@@ -1,0 +1,135 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over
+the same parquet fixtures, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted by
+stringified tuple). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from artis_data_ingest_spark import plans  # noqa: E402
+from artis_data_ingest_spark.session import get_spark  # noqa: E402
+from artis_data_ingest_spark.sources.tables import TABLES  # noqa: E402
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        # repr keeps full double precision; -0.0 normalized
+        if v == 0.0:
+            v = 0.0
+        return repr(v)
+    if isinstance(v, bool):
+        return str(bool(v))
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(_norm_cell(row[i]) for i in order) for row in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\x02")
+    return h.hexdigest()
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    sf_dir = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.01"
+    names = [a for a in argv if "/" not in a]
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    spark = get_spark("check-oracle")
+    registry = plans.all_queries()
+    targets = names or list(registry)
+
+    n_pass = n_fail = n_rows_only = 0
+    for name in targets:
+        q = registry[name]
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(f"ROWS  {name}: {len(srows)} rows (rows-only) "
+                  f"[{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(q.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rows {len(srows)} != {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        if not problems:
+            sh, oh = _hash_rows(scols, srows), _hash_rows(ocols, orows)
+            if sh != oh:
+                problems.append("value-hash mismatch")
+                # show first differing row for debugging
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                srt = sorted(
+                    tuple(_norm_cell(r[i]) for i in order_s) for r in srows
+                )
+                ort = sorted(
+                    tuple(_norm_cell(r[i]) for i in order_o) for r in orows
+                )
+                for a, b in zip(srt, ort):
+                    if a != b:
+                        problems.append(f"  spark={a}")
+                        problems.append(f"  duck ={b}")
+                        break
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(f"      {p}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,92 @@
+"""String/regex scalar functions (SURVEY.md §2.6 F1-F10).
+
+Re-expresses the reference's filename-standardization key derivation —
+the join key of its whole changelog pipeline (``assess_changes.qmd:87-94``)
+— as a single Catalyst projection. The F2→F6 regexp chain is pure
+built-in expressions, so whole-stage codegen fuses it into one pass over
+the column (the reference allocates a new R vector per step).
+
+All patterns avoid lookarounds so they behave identically under Java
+regex (Spark) and RE2 (DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def basename(col: str | Column) -> Column:
+    """F1 — final path component (``basename(path)``,
+    assess_changes.qmd:84)."""
+    return F.element_at(F.split(_c(col), "/"), -1)
+
+
+def strip_prefix(col: str | Column, prefix: str = "filtered_") -> Column:
+    """F2 — drop a literal leading prefix (assess_changes.qmd:89)."""
+    return F.regexp_replace(_c(col), f"^{prefix}", "")
+
+
+def strip_version(col: str | Column) -> Column:
+    """F3 — drop ``_V######[a-z]*`` release-version suffixes
+    (assess_changes.qmd:90)."""
+    return F.regexp_replace(_c(col), r"_V\d{6,7}[a-z]*", "")
+
+
+def strip_extension(col: str | Column) -> Column:
+    """F4 — drop a trailing ``.ext`` (assess_changes.qmd:91)."""
+    return F.regexp_replace(_c(col), r"\.[a-zA-Z0-9]+$", "")
+
+
+def slugify(col: str | Column) -> Column:
+    """F5 — non-alphanumerics → ``_`` (assess_changes.qmd:92)."""
+    return F.regexp_replace(_c(col), "[^a-zA-Z0-9]", "_")
+
+
+def standardize_key(col: str | Column) -> Column:
+    """The full F1→F6 chain: basename → strip prefix → strip version →
+    strip extension → slugify → lowercase (assess_changes.qmd:84-94).
+
+    Idempotent (property-tested): applying it twice equals once.
+    """
+    return F.lower(
+        slugify(strip_extension(strip_version(strip_prefix(basename(col)))))
+    )
+
+
+# DuckDB-SQL rendering of the same chain, for oracle queries.  Kept
+# adjacent to the Spark form so the two can be reviewed for equivalence.
+def standardize_key_sql(expr: str) -> str:
+    b = f"regexp_extract({expr}, '([^/]*)$', 1)"
+    s = f"regexp_replace({b}, '^filtered_', '')"
+    s = f"regexp_replace({s}, '_V\\d{{6,7}}[a-z]*', '', 'g')"
+    s = f"regexp_replace({s}, '\\.[a-zA-Z0-9]+$', '')"
+    s = f"regexp_replace({s}, '[^a-zA-Z0-9]', '_', 'g')"
+    return f"lower({s})"
+
+
+def strip_synonym_suffix(col: str | Column) -> Column:
+    """F8 — drop a trailing ``ʺ (=…ʺ`` scientific-name synonym
+    (``gsub(pattern = " \\(\\=.*", "")``, assess_changes.qmd:318-321)."""
+    return F.regexp_replace(_c(col), r" \(\=.*", "")
+
+
+def absolutize_url(col: str | Column, base: str = "https://www.cepii.fr") -> Column:
+    """F9+F10+P11 — prefix relative URLs with the site base
+    (``ifelse(grepl("^http", u), u, paste0(base, u))``,
+    scrape_newest_baci_data.R:38)."""
+    c = _c(col)
+    return F.when(c.rlike("^http"), c).otherwise(F.concat(F.lit(base), c))
+
+
+def trim_all_to_string(df):
+    """F7 — the reference's ``mutate_all(str_trim)``
+    (assess_changes.qmd:297): trims every column AND coerces it to
+    string (documented R side effect, SURVEY.md §4.3)."""
+    return df.select(
+        *[F.trim(F.col(c).cast("string")).alias(c) for c in df.columns]
+    )

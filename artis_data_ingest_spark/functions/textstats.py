@@ -1,0 +1,88 @@
+"""Text-analysis scalar functions for the documents table (north-star
+extension, SURVEY.md §2.11): token counts, quality ratios, language-ID
+heuristic, document fingerprinting.
+
+Everything here is built-in Catalyst expressions (split / filter /
+transform / regexp) — no Python UDFs — so the hot path stays JVM-side
+inside whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny built-in stopword lists for the heuristic language scorer.  A
+# real deployment would load per-language lists as a broadcast lookup;
+# the mechanism (token-set overlap scoring, argmax) is the operator
+# under test.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+}
+
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to"]
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization after trim."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def n_tokens(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def n_alnum_chars(col: str | Column) -> Column:
+    return F.length(F.regexp_replace(_c(col), "[^a-zA-Z0-9]", ""))
+
+
+def regex_token_count(col: str | Column) -> Column:
+    """BPE-ish tokenizer approximation: runs of letters, runs of digits,
+    or single non-space symbols — the standard pre-tokenization split."""
+    return F.regexp_count(_c(col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def stopword_hits(col: str | Column, words: list[str]) -> Column:
+    return F.size(F.filter(tokens(_c(col)), lambda t: t.isin(words)))
+
+
+def stopword_ratio(col: str | Column, words: list[str] | None = None) -> Column:
+    """Quality signal: fraction of tokens that are stopwords."""
+    words = words or QUALITY_STOPWORDS
+    return stopword_hits(col, words) / n_tokens(col)
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Document fingerprint: md5 of the lowercased alnum-only skeleton —
+    whitespace/punctuation-invariant exact-dup key (SURVEY.md §2.11)."""
+    return F.md5(F.lower(F.regexp_replace(_c(col), "[^a-zA-Z0-9]", "")))
+
+
+def predicted_lang(col: str | Column) -> Column:
+    """Heuristic language ID: stopword-overlap score per language,
+    argmax with deterministic tie-break on language code order.
+
+    Implemented as a single expression tree: one tokenization shared by
+    all scorers (Catalyst CSE), no shuffle, no UDF.
+    """
+    toks = tokens(col)
+
+    def _hits(words: list[str]) -> Column:
+        # factory so the lambda stays single-arg (PySpark infers HOF
+        # arity from the Python signature — default args break it)
+        return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+    langs = sorted(STOPWORDS)  # fold order: earliest wins ties
+    sel_lang: Column = F.lit(langs[0])
+    sel_hits: Column = _hits(STOPWORDS[langs[0]])
+    for lang in langs[1:]:
+        h = _hits(STOPWORDS[lang])
+        sel_lang = F.when(h > sel_hits, F.lit(lang)).otherwise(sel_lang)
+        sel_hits = F.when(h > sel_hits, h).otherwise(sel_hits)
+    return F.when(sel_hits > 0, sel_lang).otherwise(F.lit("und"))

@@ -1,0 +1,260 @@
+"""Deduplication operators for the documents table (SURVEY.md §2.11).
+
+Four tiers, each a named query in the registry:
+
+  * exact            — hash-groupBy on a normalized fingerprint
+  * n-gram Jaccard   — shingle-set overlap for candidate pairs
+  * MinHash + LSH    — banded min-hash signatures → bucket self-join
+  * SimHash          — 64-bit bit-vote signature → hamming candidates
+
+Scale design: every variant is generate-candidates-then-verify. The
+candidate generators are equi-joins on derived keys (fingerprint, LSH
+band bucket, simhash prefix), so they shuffle-partition by key and never
+materialize the O(N²) pair space. Verification (exact Jaccard) runs only
+on candidate pairs. Murmur3 (`F.hash`) / xxhash64 are seed-stable inside
+Spark, so results are deterministic run-to-run (not across engines —
+hence rows-only oracle checks for the hash-based tiers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textstats import fingerprint
+
+
+def char_shingles(col: str | Column, k: int = 3) -> Column:
+    """Distinct character k-grams of the lowercased text."""
+    c = F.lower(col if isinstance(col, Column) else F.col(col))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(0))),
+            lambda i: c.substr(i, F.lit(k)),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via normalized-fingerprint groupBy: one row per
+    distinct fingerprint with the canonical (min) doc_id and copy count.
+    Equivalent semantics to ``dropDuplicates`` but keeps provenance."""
+    return (
+        docs.select(F.col("doc_id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    bucket_col: str = "lang",
+    max_id_gap: int = 3,
+) -> DataFrame:
+    """Candidate-bounded pairwise n-gram Jaccard.
+
+    Candidates: same ``bucket_col`` value and doc_id within
+    ``max_id_gap`` — a stand-in for a real blocking key that keeps the
+    join linear instead of quadratic. The verify step (exact Jaccard on
+    shingle sets) is the part every near-dup tier shares.
+    """
+    sh = docs.select(
+        F.col("doc_id"),
+        F.col(bucket_col).alias("bucket"),
+        char_shingles(text_col, k).alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("b.doc_id") > F.col("a.doc_id"))
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + max_id_gap),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            jaccard(F.col("a.shingles"), F.col("b.shingles")).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# Mersenne-ish prime for the universal-hash family h_i(x) = (a_i*x + b_i) mod P.
+_P = 2_147_483_647
+
+
+def _perm_params(n: int) -> list[tuple[int, int]]:
+    # Fixed (seeded) parameters so signatures are reproducible run-to-run.
+    rnd = []
+    a, b = 1_103_515_245, 12_345
+    x = 42
+    for _ in range(n):
+        x = (a * x + b) % _P
+        pa = x | 1  # odd, nonzero
+        x = (a * x + b) % _P
+        rnd.append((pa, x))
+    return rnd
+
+
+def minhash_signature(
+    shingles: Column, n_hashes: int = 32
+) -> Column:
+    """MinHash signature: for each universal hash h_i, the min over the
+    shingle set of h_i(murmur3(shingle)). Pure higher-order functions —
+    one pass over the shingle array per hash, all JVM-side."""
+    base = F.transform(
+        shingles, lambda s: (F.abs(F.hash(s)) % _P).cast("bigint")
+    )
+
+    def _perm(pa: int, pb: int):
+        # factory keeps the HOF lambda single-arg (PySpark infers arity
+        # from the Python signature); long math — x*pa peaks at ~2^62
+        return lambda x: (x * F.lit(pa).cast("bigint") + pb) % _P
+
+    mins = [
+        F.array_min(F.transform(base, _perm(pa, pb)))
+        for pa, pb in _perm_params(n_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    min_jaccard: float = 0.7,
+) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: shingle → signature → band buckets
+    → bucket self-join → exact-Jaccard verify ≥ ``min_jaccard``.
+
+    With 32 hashes in 8 bands of 4 rows, pairs with Jaccard j collide in
+    some band with p = 1-(1-j^4)^8 (j=0.5 → ~41%, j=0.8 → ~98%).
+    The band bucket join shuffles by (band, bucket-hash) — linear in
+    corpus size; only colliding candidates reach the verify join.
+    """
+    rows = n_hashes // bands
+    sh = docs.select(
+        "doc_id",
+        char_shingles(text_col, k).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+    banded = sh.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice("sig", i * rows + 1, rows)).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    return (
+        cands.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(col: str | Column, n_bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens: per bit, sum +1/-1 votes
+    from each token's xxhash64; bit set where the vote is positive.
+
+    Built as a single expression: for each bit position, count tokens
+    whose hash has that bit set vs total — JVM-side, no UDF."""
+    c = col if isinstance(col, Column) else F.col(col)
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+
+    def _bit_test(i: int):
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    bit_terms = []
+    for i in range(n_bits):
+        ones = F.size(F.filter(hashes, _bit_test(i)))
+        # bit i set iff more ones than zeros among token hashes; bit 63
+        # contributes the (negative) sign bit of the long
+        weight = F.lit(2**i if i < 63 else -(2**63)).cast("long")
+        bit_terms.append(
+            F.when(ones * 2 > n, weight).otherwise(F.lit(0).cast("long"))
+        )
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 12,
+    prefix_bits: int = 8,
+) -> DataFrame:
+    """SimHash near-dup candidates: block on the top ``prefix_bits`` of
+    the signature (near-dups usually agree on high bits), then verify
+    hamming distance ≤ ``max_hamming`` within blocks."""
+    sig = docs.select(
+        "doc_id", simhash64(text_col).alias("sig")
+    ).withColumn("blk", F.shiftrightunsigned("sig", 64 - prefix_bits))
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("hamming", hamming64(F.col("a.sig"), F.col("b.sig")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            "hamming",
+        )
+    )

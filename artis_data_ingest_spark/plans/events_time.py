@@ -1,0 +1,318 @@
+"""Event-time queries: date functions, JSON extraction, analytic windows,
+and batch-mode streaming-window equivalents (SURVEY.md §2.6 GAP date/json
+fns, §2.7 W2, §2.10).
+
+Streaming note: the tumbling/sliding/session window queries here are the
+*batch* renderings (groupBy over F.window / F.session_window) that the
+DuckDB oracle can check; `artis_data_ingest_spark.streaming` wires the
+identical aggregations into Structured Streaming with watermarks.
+
+All window-start/end columns are emitted as formatted strings so the
+cross-engine comparison is timezone-representation-proof (session tz is
+pinned UTC; the fixtures' naive nanosecond timestamps floor-convert to
+identical microsecond instants in both engines).
+
+Scale notes: every query here shuffles once on its grouping key
+(user_id or time bucket). At 100 TB the events table would be
+date-partitioned at rest, so bucket aggregations prune to the scanned
+partitions; per-user windows shuffle by user_id — a salted variant is
+only needed if single users dominate (AQE skew-join handles the join
+case; skewed *aggregation* keys would need explicit two-level agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_table
+from .registry import register
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_SQL = "%Y-%m-%d %H:%M:%S"
+
+
+def _fmt(col) -> F.Column:
+    return F.date_format(col, _TS_FMT)
+
+
+# ---------------------------------------------------------------------------
+# Daily rollup — date_trunc + grouped agg (GAP date fns).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_daily_rollup",
+    oracle=f"""
+SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '{_TS_FMT_SQL}') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+""",
+    doc="Daily per-type rollup: date_trunc + count/count-distinct/sum. "
+    "At rest this keys the recommended date-partitioning layout.",
+    bench=True,
+)
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            _fmt(F.date_trunc("day", F.col("ts"))).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction (GAP json fns over events.props).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+GROUP BY 1
+ORDER BY k_mod
+""",
+    doc="JSON field extraction from the props string column "
+    "(get_json_object ≡ json_extract_string), grouped integer agg. "
+    "Integer sums are exact — no decimal dance needed.",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select((k % 10).alias("k_mod"), k.alias("k"))
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("k_mod")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window (batch equivalent of streaming groupBy(window(...))).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tumbling_window",
+    oracle=f"""
+SELECT strftime(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600),
+                '{_TS_FMT_SQL}') AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+ORDER BY window_start
+""",
+    doc="10-minute tumbling window aggregation via F.window (SURVEY.md "
+    "§2.10). Spark window starts align to epoch multiples of the width, "
+    "matching the oracle's floor(epoch/600)*600 bucketing.",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            _fmt(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window — each event lands in size/slide windows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sliding_window",
+    oracle=f"""
+WITH e AS (SELECT epoch(CAST(ts AS TIMESTAMP)) AS ep, value FROM events),
+cand AS (
+  SELECT to_timestamp(floor(ep / 300) * 300 - k * 300) AS ws, ep, value
+  FROM e, (SELECT UNNEST([0, 1]) AS k)
+)
+SELECT strftime(ws, '{_TS_FMT_SQL}') AS window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+FROM cand
+WHERE ep >= epoch(ws) AND ep < epoch(ws) + 600
+GROUP BY 1
+ORDER BY window_start
+""",
+    doc="10-minute window sliding every 5 minutes (F.window with slide). "
+    "Oracle enumerates the two candidate window starts per event.",
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            _fmt(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session window — 30-minute-gap sessionization per user.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_session_window",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '{_TS_FMT_SQL}') AS session_start,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+    doc="F.session_window(ts, '30 minutes') per user (SURVEY.md §2.10). "
+    "The oracle reproduces it with the gaps-and-islands idiom: a new "
+    "session begins when the gap from the previous event is >= the gap "
+    "duration (Spark session windows are [start, last+gap) half-open, "
+    "so a gap exactly equal to 30min starts a new session).",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            _fmt(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic windows: running sum, lag deltas (W2 frames).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_running_sum",
+    oracle=f"""
+SELECT user_id,
+       event_id,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING
+       ) AS DOUBLE) AS running_value,
+       ROW_NUMBER() OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+       ) AS seq
+FROM events
+ORDER BY user_id, seq
+""",
+    doc="Per-user running sum with an explicit rows frame (W2). Decimal "
+    "accumulation keeps the running values exact under any evaluation "
+    "order (DuckDB's segment-tree window agg vs Spark's running agg).",
+)
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .over(w)
+            .cast("double")
+            .alias("running_value"),
+            F.row_number().over(seq_w).alias("seq"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+@register(
+    "q_lag_gap",
+    oracle="""
+SELECT user_id, event_id,
+       epoch_us(CAST(ts AS TIMESTAMP))
+         - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           )) AS gap_micros
+FROM events
+ORDER BY user_id, event_id
+""",
+    doc="Inter-event gap per user via LAG (W2), microsecond-exact. First "
+    "event per user → NULL (three-valued logic preserved).",
+)
+def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            ).alias("gap_micros"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -1,0 +1,170 @@
+"""Similarity-search and hash-based near-dup queries (SURVEY.md §2.11).
+
+The cosine queries are exact cross-engine: float→double casts before
+any arithmetic plus sequential folds make Spark's higher-order-function
+dot product bit-identical to DuckDB's list_dot_product; ranking uses
+(round(cosine,6) DESC, vec_id) so ordering is jitter-proof.
+
+MinHash/SimHash tiers hash with engine-specific functions (murmur3 /
+xxhash64), so they get rows-only checks — deterministic run-to-run
+inside Spark, not across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import norm
+from ..operators.dedup import minhash_lsh_candidates, simhash_candidates
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..sources.tables import load_table
+from .registry import register
+
+_QUERY_IDS = (0, 1, 2)
+
+
+@register(
+    "q_cosine_topk",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS q_emb
+  FROM c WHERE vec_id IN {_QUERY_IDS}
+), sims AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(q.q_emb, c.emb)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM c, q
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+         ) AS rank
+  FROM sims
+)
+SELECT query_id, vec_id, cosine, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+    doc="Brute-force exact cosine top-5 for 3 query vectors "
+    "(SURVEY.md §2.11 ANN baseline): broadcast queries, sequential-fold "
+    "dot product in doubles, deterministic rank tie-break.",
+    bench=True,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(list(_QUERY_IDS)))
+    return brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "q_ann_signbucket",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS q_emb, bucket
+  FROM c WHERE vec_id IN {_QUERY_IDS}
+), sims AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(q.q_emb, c.emb)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM c JOIN q USING (bucket)
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+         ) AS rank
+  FROM sims
+)
+SELECT query_id, vec_id, cosine, rank
+FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+""",
+    doc="LSH-bucketed approximate top-3: axis-aligned sign-pattern "
+    "buckets (8 bits → ~256 buckets) replace the cross join with an "
+    "equi-join — the 100 TB scale path (SURVEY.md §2.11).",
+)
+def q_ann_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(list(_QUERY_IDS)))
+    return lsh_topk(emb, queries, k=3, n_bits=8)
+
+
+@register(
+    "q_embedding_norms",
+    oracle="""
+WITH n AS (
+  SELECT label,
+         round(sqrt(list_dot_product(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS nrm
+  FROM embeddings
+)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS avg_norm
+FROM n
+GROUP BY label
+ORDER BY label
+""",
+    doc="Per-label embedding L2-norm stats; norms rounded then summed in "
+    "decimal so the cross-partition aggregation is order-independent.",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(norm("embedding"), 6)
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "q_minhash_neardup",
+    oracle=None,
+    doc="MinHash(32)+LSH(8 bands) near-dup candidates verified at "
+    "Jaccard ≥ 0.7 (SURVEY.md §2.11). Rows-only: murmur3 signatures are "
+    "Spark-specific (deterministic run-to-run, seed=42).",
+)
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs).orderBy("doc_id_a", "doc_id_b")
+
+
+@register(
+    "q_simhash_neardup",
+    oracle=None,
+    doc="64-bit SimHash near-dup candidates (hamming ≤ 12, 8-bit prefix "
+    "blocking). Rows-only: xxhash64 is Spark-specific.",
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidates(docs).orderBy("doc_id_a", "doc_id_b")

@@ -1,0 +1,486 @@
+"""Oracle-checked queries covering the reference's own operator surface
+(SURVEY.md §2: P1-P12, F1-F10, E1-E5, J1, A1-A4, R1-R2, U1).
+
+The fixture tables stand in for the reference's file listings and FAO
+production tables; where the reference's inputs have properties the
+fixtures lack (nulls, relative URLs, version-suffixed filenames), we
+derive them deterministically from fixture columns inside the query —
+identically in the Spark plan and the DuckDB oracle — so the operator
+semantics under test are real even though the substrate is synthetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.strings import (
+    absolutize_url,
+    basename,
+    standardize_key,
+    standardize_key_sql,
+)
+from ..operators.clean import clean_prod, not_in_keep_nulls
+from ..operators.diff import (
+    column_set_diff,
+    dataset_diff,
+    pivot_align,
+    size_delta,
+    snapshot_align,
+    union_tag,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Scraper pipeline (scrape_newest_baci_data.R:20-41): synth hrefs →
+# drop-NA (P1) → case-insensitive regex keep (P2) → absolutize (P11/F9/
+# F10) → distinct (E1).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scraper_links",
+    oracle="""
+WITH hrefs AS (
+  SELECT CASE
+    WHEN doc_id % 7 = 0 THEN NULL
+    WHEN doc_id % 3 = 0 THEN 'http://download.example/' || source || '.zip'
+    WHEN doc_id % 3 = 1 THEN '/bdd_modele/' || source || '.PDF'
+    ELSE '/presentation/' || source || '.html'
+  END AS href
+  FROM documents
+)
+SELECT DISTINCT
+  CASE WHEN regexp_matches(href, '^http')
+       THEN href
+       ELSE 'https://www.cepii.fr' || href END AS url
+FROM hrefs
+WHERE href IS NOT NULL
+  AND regexp_matches(href, '(?i)\\.(zip|pdf)$')
+ORDER BY url
+""",
+    doc="Full scraper pipeline re-expression (scrape_newest_baci_data.R:29-41): "
+    "not-null filter, (?i) regex keep, conditional URL absolutization, distinct.",
+)
+def q_scraper_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    href = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("http://download.example/"), F.col("source"), F.lit(".zip")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("/bdd_modele/"), F.col("source"), F.lit(".PDF")),
+        )
+        .otherwise(
+            F.concat(F.lit("/presentation/"), F.col("source"), F.lit(".html"))
+        )
+    )
+    return (
+        docs.select(href.alias("href"))
+        .filter(F.col("href").isNotNull())  # P1 (R:32)
+        .filter(F.col("href").rlike(r"(?i)\.(zip|pdf)$"))  # P2 (R:35)
+        .select(absolutize_url("href").alias("url"))  # P11/F9/F10 (R:38)
+        .distinct()  # E1 (R:41)
+        .orderBy("url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Standardization key (F1-F6 chain, assess_changes.qmd:84-94).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_slugify_key",
+    oracle=f"""
+WITH inv AS (
+  SELECT p_partkey,
+    'data/raw/filtered_' || p_name ||
+      CASE WHEN p_partkey % 3 = 0 THEN '_V2024015b.xlsx'
+           ELSE '_V202401a.csv' END AS full_path
+  FROM part
+)
+SELECT p_partkey,
+       regexp_extract(full_path, '([^/]*)$', 1) AS files,
+       {standardize_key_sql('full_path')} AS files_std
+FROM inv
+ORDER BY p_partkey
+""",
+    doc="Filename-standardization key derivation: basename → strip "
+    "'filtered_' prefix → strip _V###### version → strip extension → "
+    "slugify → lowercase (assess_changes.qmd:84-94). Whole chain is one "
+    "codegen'd projection.",
+)
+def q_slugify_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    full_path = F.concat(
+        F.lit("data/raw/filtered_"),
+        F.col("p_name"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("_V2024015b.xlsx")).otherwise(
+            F.lit("_V202401a.csv")
+        ),
+    )
+    return (
+        part.select("p_partkey", full_path.alias("full_path"))
+        .select(
+            "p_partkey",
+            basename("full_path").alias("files"),
+            standardize_key("full_path").alias("files_std"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Union-tag (E2) and alignment (J1) — the changelog skeleton.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_union_tag",
+    oracle="""
+SELECT c_custkey, c_name, 'new' AS directory
+FROM customer WHERE c_custkey % 2 <> 0
+UNION ALL
+SELECT c_custkey, c_name, 'old' AS directory
+FROM customer WHERE c_custkey % 3 <> 0
+""",
+    doc="Tagged UNION ALL of two snapshot listings "
+    "(assess_changes.qmd:82-86).",
+)
+def q_union_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    new = cust.filter(F.col("c_custkey") % 2 != 0)
+    old = cust.filter(F.col("c_custkey") % 3 != 0)
+    return union_tag(new, old)
+
+
+@register(
+    "q_fullouter_align",
+    oracle="""
+WITH old AS (
+  SELECT p_partkey, p_retailprice / 1000 AS size_mb
+  FROM part WHERE p_partkey % 7 <> 0
+), new AS (
+  SELECT p_partkey, p_retailprice * 1.01 / 1000 AS size_mb
+  FROM part WHERE p_partkey % 5 <> 0
+)
+SELECT p_partkey,
+       old.size_mb AS size_mb_old,
+       new.size_mb AS size_mb_new,
+       old.size_mb IS NOT NULL AS exists_in_old,
+       new.size_mb IS NOT NULL AS exists_in_new,
+       CASE WHEN old.size_mb IS NOT NULL AND new.size_mb IS NOT NULL
+            THEN new.size_mb - old.size_mb END AS size_change_mb
+FROM old FULL OUTER JOIN new USING (p_partkey)
+ORDER BY p_partkey
+""",
+    doc="Snapshot alignment as a full-outer join on the standardized key "
+    "with existence flags and conditional size delta "
+    "(assess_changes.qmd:97-114). Idiomatic-Spark form of pivot_wider.",
+)
+def q_fullouter_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    old = part.filter(F.col("p_partkey") % 7 != 0).select(
+        "p_partkey", (F.col("p_retailprice") / 1000).alias("size_mb")
+    )
+    new = part.filter(F.col("p_partkey") % 5 != 0).select(
+        "p_partkey", (F.col("p_retailprice") * 1.01 / 1000).alias("size_mb")
+    )
+    aligned = snapshot_align(old, new, key="p_partkey", value_cols=["size_mb"])
+    return size_delta(aligned, "size_mb_old", "size_mb_new").orderBy("p_partkey")
+
+
+@register(
+    "q_pivot_align",
+    oracle="""
+WITH stacked AS (
+  SELECT p_partkey, 'new' AS directory, 'new/' || p_name AS full_path
+  FROM part WHERE p_partkey % 5 <> 0
+  UNION ALL
+  SELECT p_partkey, 'old' AS directory, 'old/' || p_name AS full_path
+  FROM part WHERE p_partkey % 7 <> 0
+)
+SELECT p_partkey,
+       MAX(CASE WHEN directory = 'new' THEN full_path END) AS new,
+       MAX(CASE WHEN directory = 'old' THEN full_path END) AS old
+FROM stacked
+GROUP BY p_partkey
+ORDER BY p_partkey
+""",
+    doc="J1 literal form — groupBy().pivot().agg() reproduction of the "
+    "reference's pivot_wider (assess_changes.qmd:97-103).",
+)
+def q_pivot_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    new = part.filter(F.col("p_partkey") % 5 != 0).select(
+        "p_partkey",
+        F.concat(F.lit("new/"), F.col("p_name")).alias("full_path"),
+    )
+    old = part.filter(F.col("p_partkey") % 7 != 0).select(
+        "p_partkey",
+        F.concat(F.lit("old/"), F.col("p_name")).alias("full_path"),
+    )
+    stacked = union_tag(new, old)
+    return pivot_align(stacked, key="p_partkey").orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Set operations (E1, E3, E4, E5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_distinct",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    doc="Distinct (E1, scrape_newest_baci_data.R:41).",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .distinct()
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q_except_distinct",
+    oracle="""
+SELECT c_name FROM customer WHERE c_custkey <= 900
+EXCEPT
+SELECT c_name FROM customer WHERE c_custkey > 300
+ORDER BY c_name
+""",
+    doc="Two-sided value diff via EXCEPT-distinct, mirroring R setdiff of "
+    "unique country/species sets (assess_changes.qmd:335-338; distinct "
+    "semantics per SURVEY.md §4.3 trap #3).",
+)
+def q_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") <= 900)
+    new = cust.filter(F.col("c_custkey") > 300)
+    return column_set_diff(old, new, "c_name", "c_name").orderBy("c_name")
+
+
+@register(
+    "q_intersect",
+    oracle="""
+SELECT p_brand FROM part WHERE p_partkey % 2 = 0
+INTERSECT
+SELECT p_brand FROM part WHERE p_partkey % 2 <> 0
+ORDER BY p_brand
+""",
+    doc="Intersect (E5 — completeness builtin).",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    even = part.filter(F.col("p_partkey") % 2 == 0).select("p_brand")
+    odd = part.filter(F.col("p_partkey") % 2 != 0).select("p_brand")
+    return even.intersect(odd).orderBy("p_brand")
+
+
+@register(
+    "q_union_names",
+    oracle="""
+SELECT p_type FROM part WHERE p_size <= 25
+UNION
+SELECT p_type FROM part WHERE p_size > 25
+ORDER BY p_type
+""",
+    doc="Distinct set union of two name sets (E4, assess_changes.qmd:161).",
+)
+def q_union_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    a = part.filter(F.col("p_size") <= 25).select("p_type")
+    b = part.filter(F.col("p_size") > 25).select("p_type")
+    return a.union(b).distinct().orderBy("p_type")
+
+
+# ---------------------------------------------------------------------------
+# Aggregates over metadata-ish things (A1-A3).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_count_distinct",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT c_nationkey) AS n_countries,
+       COUNT(DISTINCT c_mktsegment) AS n_segments
+FROM customer
+""",
+    doc="Row count + count-distinct pair, mirroring the reference's "
+    "country/species cardinality report (assess_changes.qmd:332-346).",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_nationkey").alias("n_countries"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@register(
+    "q_exists_any",
+    oracle="""
+SELECT c_nationkey,
+       COUNT(*) AS n_customers,
+       BOOL_OR(c_acctbal > 5000) AS any_rich,
+       BOOL_AND(c_acctbal > 0) AS all_positive
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    doc="ANY/ALL existence aggregates (A3 — the reference's "
+    "`any(exists_in_old == FALSE)` report gate, assess_changes.qmd:215-218).",
+)
+def q_exists_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.bool_or(F.col("c_acctbal") > 5000).alias("any_rich"),
+            F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NOT-IN with R null semantics (P6, SURVEY.md §4.3 trap #2).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_notin_filter",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, NULLIF(event_type, 'click') AS event_type
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n
+FROM ev
+WHERE event_type IS NULL OR event_type NOT IN ('error', 'signup')
+GROUP BY event_type
+ORDER BY event_type NULLS FIRST
+""",
+    doc="R `!x %in% set` keeps NA rows; SQL NOT IN drops them. This "
+    "implements the R semantics (`~isin | isNull`) against injected "
+    "nulls (assess_changes.qmd:300-316; SURVEY.md §4.3 trap #2).",
+)
+def q_notin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.nullif(F.col("event_type"), F.lit("click")).alias("event_type")
+    )
+    return (
+        ev.filter(not_in_keep_nulls("event_type", ["error", "signup"]))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("event_type").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full cleaning pipeline (assess_changes.qmd:279-325).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_clean_pipeline",
+    oracle="""
+WITH src AS (
+  SELECT p_partkey, p_name, p_brand, p_type,
+         CASE WHEN p_partkey % 4 = 0 THEN p_name || ' (=Alias spp.)'
+              ELSE p_name END AS sci_name
+  FROM part
+), sel AS (
+  SELECT p_partkey,
+         p_name AS "CommonName",
+         p_brand AS brand,
+         p_type,
+         sci_name AS "SciName"
+  FROM src
+), low AS (
+  SELECT p_partkey, lower("CommonName") AS "CommonName", brand, p_type,
+         lower("SciName") AS "SciName"
+  FROM sel
+), trimmed AS (
+  SELECT trim(CAST(p_partkey AS VARCHAR)) AS p_partkey,
+         trim("CommonName") AS "CommonName",
+         trim(brand) AS brand,
+         trim(p_type) AS p_type,
+         trim("SciName") AS "SciName"
+  FROM low
+), filt AS (
+  SELECT * FROM trimmed
+  WHERE p_type IS NULL OR p_type NOT IN ('PROMO', 'LARGE')
+)
+SELECT p_partkey, "CommonName", brand, p_type,
+       regexp_replace("SciName", ' \\(\\=.*', '') AS "SciName"
+FROM filt
+ORDER BY CAST(p_partkey AS BIGINT)
+""",
+    doc="clean_prod re-expression (assess_changes.qmd:279-325): tolerant "
+    "select (any_of incl. a nonexistent column), rename, lowercase, "
+    "trim-all-to-string, NA-keeping NOT-IN, synonym-suffix strip. "
+    "Single codegen stage, no shuffle.",
+)
+def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    src = part.withColumn(
+        "sci_name",
+        F.when(
+            F.col("p_partkey") % 4 == 0,
+            F.concat(F.col("p_name"), F.lit(" (=Alias spp.)")),
+        ).otherwise(F.col("p_name")),
+    )
+    cleaned = clean_prod(
+        src,
+        keep_cols=["p_partkey", "p_name", "p_brand", "p_type", "sci_name",
+                   "species_major_group"],  # last one doesn't exist → skipped
+        renames={"p_name": "CommonName", "p_brand": "brand",
+                 "sci_name": "SciName"},
+        lower_cols=["CommonName", "SciName"],
+        not_in={"p_type": ["PROMO", "LARGE"]},
+        strip_synonym_cols=["SciName"],
+    )
+    return cleaned.orderBy(F.col("p_partkey").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Dataset diff (U1) — rows-only: schema introspection isn't expressible
+# in the oracle's SQL over the same views.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dataset_diff",
+    oracle=None,
+    doc="Driver-orchestrated dataset diff (compare_files, "
+    "assess_changes.qmd:127-176): row counts, added/removed columns, "
+    "per-column type changes between an 'old' (projected/retyped) and "
+    "'new' view of customer. Rows-only: metadata ops are not "
+    "SQL-expressible over the oracle views.",
+)
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    old = cust.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("float").alias("c_acctbal"),  # type change
+        "c_mktsegment",  # will be "removed" in new
+    ).filter(F.col("c_custkey") % 11 != 0)
+    new = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "c_nationkey",  # "added" column
+    )
+    return dataset_diff(spark, old, new)

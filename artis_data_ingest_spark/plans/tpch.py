@@ -224,15 +224,19 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT c_custkey, c_name
 FROM customer c
 WHERE NOT EXISTS (
-  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
 )
 ORDER BY c_custkey
 """,
-    doc="Left-anti join: customers with no orders (SURVEY.md J3).",
+    doc="Left-anti join: customers with no order since 2000 (SURVEY.md J3).",
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")

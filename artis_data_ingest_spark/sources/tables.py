@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -36,7 +37,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     push into the scan (verify with ``.explain``: ``PushedFilters``,
     ``ReadSchema``).
     """
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects.
+        # Read nanos as long, then floor-convert to microsecond
+        # timestamps (integer DIV — double math would lose precision
+        # above 2^53 ns). DuckDB's CAST(ts AS TIMESTAMP) truncates the
+        # same way, so oracle comparisons stay exact.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,140 @@
+"""Unit tests for operator semantics on tiny literal DataFrames —
+especially the R-vs-SQL null-semantics traps pinned in SURVEY.md §4.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from artis_data_ingest_spark.functions.strings import (
+    absolutize_url,
+    standardize_key,
+    strip_synonym_suffix,
+)
+from artis_data_ingest_spark.operators.clean import (
+    not_in_keep_nulls,
+    tolerant_select,
+)
+from artis_data_ingest_spark.operators.diff import (
+    dataset_diff,
+    pivot_align,
+    snapshot_align,
+    union_tag,
+)
+
+
+def test_standardize_key_matches_reference_chain(spark):
+    # mirrors assess_changes.qmd:84-94 examples
+    df = spark.createDataFrame(
+        [
+            ("/snap/filtered_Global_production-Quantity_V202401a.csv",),
+            ("relative/Global production-Quantity_V2024015.xlsx",),
+            ("no_version_or_ext",),
+        ],
+        ["p"],
+    )
+    out = [r[0] for r in df.select(standardize_key("p")).collect()]
+    assert out == [
+        "global_production_quantity",
+        "global_production_quantity",
+        "no_version_or_ext",
+    ]
+
+
+def test_standardize_key_idempotent(spark):
+    # SURVEY.md §5.2 property 4
+    df = spark.createDataFrame(
+        [("filtered_A b-C_V202401a.csv",), ("x/y/z.PDF",)], ["p"]
+    )
+    once = df.select(standardize_key("p").alias("k"))
+    twice = once.select(standardize_key("k").alias("k"))
+    assert [r.k for r in once.collect()] == [r.k for r in twice.collect()]
+
+
+def test_not_in_keeps_nulls_like_r(spark):
+    # R: !(NA %in% set) is TRUE → NA rows kept; SQL NOT IN drops them
+    df = spark.createDataFrame(
+        [Row(g="MAMMALIA"), Row(g="fish"), Row(g=None)], ["g"]
+    )
+    kept = df.filter(not_in_keep_nulls("g", ["MAMMALIA"])).collect()
+    assert sorted([r.g for r in kept], key=lambda x: (x is None, x)) == [
+        "fish",
+        None,
+    ]
+
+
+def test_absolutize_url(spark):
+    df = spark.createDataFrame(
+        [("http://a/b.zip",), ("https://a/c.pdf",), ("/rel/d.zip",)], ["u"]
+    )
+    out = [r[0] for r in df.select(absolutize_url("u")).collect()]
+    assert out == [
+        "http://a/b.zip",
+        "https://a/c.pdf",
+        "https://www.cepii.fr/rel/d.zip",
+    ]
+
+
+def test_strip_synonym_suffix(spark):
+    df = spark.createDataFrame(
+        [("Gadus morhua (=Gadus callarias)",), ("Plain name",)], ["s"]
+    )
+    out = [r[0] for r in df.select(strip_synonym_suffix("s")).collect()]
+    assert out == ["Gadus morhua", "Plain name"]
+
+
+def test_union_tag_counts(spark):
+    # SURVEY.md §5.2 property: |union| = |old| + |new|
+    new = spark.range(5).withColumnRenamed("id", "k")
+    old = spark.range(3).withColumnRenamed("id", "k")
+    tagged = union_tag(new, old)
+    assert tagged.count() == 8
+    assert tagged.filter(F.col("directory") == "old").count() == 3
+
+
+def test_snapshot_align_flags(spark):
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    new = spark.createDataFrame([(2, "B"), (3, "C")], ["k", "v"])
+    rows = {
+        r.k: r
+        for r in snapshot_align(old, new, "k").collect()
+    }
+    assert rows[1].exists_in_old and not rows[1].exists_in_new
+    assert rows[2].exists_in_old and rows[2].exists_in_new
+    assert not rows[3].exists_in_old and rows[3].exists_in_new
+
+
+def test_pivot_align_shape(spark):
+    stacked = spark.createDataFrame(
+        [(1, "new", "n1"), (1, "old", "o1"), (2, "old", "o2")],
+        ["k", "directory", "full_path"],
+    )
+    rows = {r.k: r for r in pivot_align(stacked, "k").collect()}
+    assert rows[1].new == "n1" and rows[1].old == "o1"
+    assert rows[2].new is None and rows[2].old == "o2"
+
+
+def test_dataset_diff_empty_on_self(spark):
+    # SURVEY.md §5.2 property 4: diff(a, a) is empty
+    df = spark.createDataFrame([(1, "x")], ["a", "b"])
+    r = dataset_diff(spark, df, df).collect()[0]
+    assert r.row_diff == 0
+    assert r.added_cols == [] and r.removed_cols == []
+    assert r.type_changes == []
+
+
+def test_dataset_diff_detects_changes(spark):
+    old = spark.createDataFrame([(1, "x", 1.0)], ["a", "b", "c"])
+    new = spark.createDataFrame(
+        [(1, 2, "s"), (2, 3, "t")], ["a", "c", "d"]
+    )
+    r = dataset_diff(spark, old, new).collect()[0]
+    assert r.nrow_old == 1 and r.nrow_new == 2 and r.row_diff == 1
+    assert r.added_cols == ["d"] and r.removed_cols == ["b"]
+    assert [tc["column"] for tc in r.type_changes] == ["c"]
+
+
+def test_tolerant_select_skips_missing(spark):
+    df = spark.createDataFrame([(1, 2)], ["a", "b"])
+    assert tolerant_select(df, ["b", "zzz", "a"]).columns == ["b", "a"]

@@ -1,0 +1,131 @@
+"""Multimodal column plumbing (SURVEY.md §2.11 — north-star extension).
+
+Images/audio/video are opaque ``binary`` columns plus typed metadata
+structs. The Spark-side machinery — schemas, Arrow-batched mapInPandas
+decode, partition sizing — is real and tested; the codec step is a
+deterministic stub (this container has no image/audio libraries), marked
+loudly so a deployment swaps in Pillow/torchaudio/PyAV inside
+``_decode_stub`` without touching the dataflow.
+
+Scale notes: media rows are large (MBs) — the loader repartitions by
+bytes (``maxRecordsPerBatch`` keeps Arrow batches bounded), and decode
+runs one Arrow batch at a time so executor memory stays flat. Feature
+vectors come back as compact arrays; the heavy binary column is dropped
+before any shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _decode_stub(blob: bytes, kind: str, dim: int = 16) -> np.ndarray:
+    """STUB CODEC — deterministic fake feature extraction.
+
+    Real deployments replace this body with Pillow (image decode +
+    resize), torchaudio (resample + mel), or PyAV (frame sampling).
+    The fake hashes byte windows into a fixed-size float vector so
+    results are deterministic and shape-correct for downstream ANN.
+    """
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    chunks = np.array_split(arr.astype(np.float64), dim)
+    return np.array(
+        [c.mean() / 255.0 if c.size else 0.0 for c in chunks],
+        dtype=np.float32,
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Decode/feature-extract media rows via Arrow-batched mapInPandas.
+
+    The binary column never survives past this operator — only the
+    compact feature vector is returned, so downstream shuffles move
+    KBs, not MBs, per row."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(blob, kind, dim).tolist()
+                for blob, kind in zip(pdf["content"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(b) for b in pdf["content"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def media_from_files(spark: SparkSession, root: str, kind: str) -> DataFrame:
+    """Build a media table from a directory of binary files: binaryFile
+    scan → MEDIA_SCHEMA rows with unknown metadata (filled by decode)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+    )
+    return files.select(
+        F.abs(F.xxhash64("path")).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def synthetic_media(spark: SparkSession, n: int = 8) -> DataFrame:
+    """Deterministic fake media table for tests (documents→bytes)."""
+    rows = [
+        (
+            i,
+            ["image", "audio", "video"][i % 3],
+            bytes((i * 37 + j) % 256 for j in range(64 + i)),
+            {"width": 8, "height": 8, "n_frames": None, "sample_rate": None},
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

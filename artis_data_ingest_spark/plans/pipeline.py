@@ -1,0 +1,147 @@
+"""Pipeline-infrastructure queries: file inventory, Pandas-UDF surface,
+multimodal features (SURVEY.md §2.1 S5-S7, §2.9 U4, §2.11).
+
+These exercise engine machinery whose inputs aren't SQL-relational
+(filesystem metadata, Arrow-batched Python, stub codecs), so most are
+rows-only checks — the pytest suite pins their exact semantics instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..operators.multimodal import extract_features, synthetic_media
+from ..sources.files import file_inventory
+from ..sources.tables import load_table
+from .registry import register
+
+
+@register(
+    "q_file_inventory",
+    oracle=None,
+    doc="binaryFile-based recursive inventory of the sf_dir itself "
+    "(S5-S7): path, basename, size_mb, standardized key. Rows-only: "
+    "the oracle has no filesystem relation.",
+)
+def q_file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return file_inventory(spark, sf_dir, name_regex=r"(?i)\.parquet$").orderBy(
+        "files_std"
+    )
+
+
+@register(
+    "q_pandas_cosine_topk",
+    oracle="""
+WITH c AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS q_emb
+  FROM c WHERE vec_id IN (0, 1, 2)
+), sims AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(q.q_emb, c.emb)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM c, q
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+         ) AS rank
+  FROM sims
+)
+SELECT query_id, vec_id, cosine, rank
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+    doc="Same contract as q_cosine_topk but computed by an Arrow-batched "
+    "Pandas UDF (U4): numpy matmul per batch vs the oracle's sequential "
+    "fold — agreement at 6 decimals shows the vectorized path is "
+    "numerically faithful. The Pandas-UDF route is the template for "
+    "embedding ops that outgrow Catalyst expressions.",
+)
+def q_pandas_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    }
+    qmat = np.stack([queries[k] for k in sorted(queries)])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qids = sorted(queries)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def _cos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ qmat.T) / np.outer(norms, qnorm)
+            frames = []
+            for j, qid in enumerate(qids):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "cosine": np.round(sims[:, j], 6),
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    sims = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(_cos, out_schema)
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "q_media_features",
+    oracle=None,
+    doc="Multimodal plumbing (SURVEY.md §2.11): synthetic binary media "
+    "rows → Arrow-batched mapInPandas stub decode → fixed-dim feature "
+    "vectors, aggregated per kind. Rows-only: codec is a documented "
+    "stub; schemas/batching are the real machinery under test.",
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, n=12)
+    feats = extract_features(media, dim=16)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(
+                F.avg(F.element_at("feature", 1).cast("double")), 6
+            ).alias("avg_f0"),
+        )
+        .orderBy("kind")
+    )

@@ -1,0 +1,91 @@
+"""Structured Streaming layer (SURVEY.md §2.10 — north-star extension;
+the reference has no streaming constructs, its closest analog being
+version-over-version batch diffing).
+
+Design: each streaming aggregation is the *same* logical transformation
+as its batch twin in ``plans/events_time.py`` — one function builds the
+aggregation, and either a batch DataFrame or a readStream DataFrame
+flows through it. That guarantees the batch-mode oracle checks validate
+the exact logic the stream runs, and Structured Streaming's incremental
+execution of the identical plan is what Spark itself guarantees.
+
+Watermarking: ``with_watermark`` bounds state for late data; events
+later than the watermark are dropped (late-data policy of the driver's
+north star). ``dedup_stream`` uses dropDuplicatesWithinWatermark —
+streaming exact-dedup with bounded state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(events: DataFrame, width: str = "10 minutes") -> DataFrame:
+    """Tumbling-window count/sum — works on batch and streaming inputs."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def with_watermark(events: DataFrame, delay: str = "15 minutes") -> DataFrame:
+    """Event-time watermark: bounds aggregation state and defines the
+    late-data drop point. No-op on batch DataFrames (batch has no state
+    to bound), so the same pipeline definition serves both modes."""
+    return events.withWatermark("ts", delay)
+
+
+def dedup_stream(events: DataFrame, keys: list[str], delay: str = "15 minutes") -> DataFrame:
+    """Streaming exact-dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state for older keys is
+    reclaimed. (Batch twin: dropDuplicates.)"""
+    if events.isStreaming:
+        return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, mode: str = "update"
+):
+    """Wire a windowed aggregation to an in-memory sink for tests/demos.
+    Returns the StreamingQuery; caller awaits + stops it."""
+    return (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .start()
+    )

@@ -1,0 +1,92 @@
+"""Structured Streaming smoke tests: the same aggregation builders used
+by the batch oracle queries run as real streams against a file source
+with watermarks, into a memory sink (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from artis_data_ingest_spark.sources.tables import load_table
+from artis_data_ingest_spark.streaming.windows import (
+    dedup_stream,
+    run_stream_to_memory,
+    session_agg,
+    tumbling_agg,
+    with_watermark,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events_stream(spark, tmp_path):
+    # materialize fixture events as a parquet dir Spark can stream from
+    src = str(tmp_path / "events_stream_src")
+    load_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).parquet(src)
+
+
+def _await_done(query, timeout_s: float = 60.0):
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        query.processAllAvailable()
+        if not query.status["isDataAvailable"]:
+            return
+        time.sleep(0.2)
+
+
+def test_tumbling_stream_matches_batch(spark, tmp_path):
+    stream = _events_stream(spark, tmp_path)
+    q = run_stream_to_memory(
+        tumbling_agg(with_watermark(stream)), "t_tumbling", mode="update"
+    )
+    try:
+        _await_done(q)
+        got = {
+            r.window_start: r.n_events
+            for r in spark.sql("SELECT * FROM t_tumbling").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r.window_start: r.n_events
+        for r in tumbling_agg(load_table(spark, SF_DIR, "events")).collect()
+    }
+    assert got == batch
+
+
+def test_session_stream_runs(spark, tmp_path):
+    stream = _events_stream(spark, tmp_path)
+    # session windows only support append output on streams; finalized
+    # sessions (older than the watermark) are emitted
+    q = run_stream_to_memory(
+        session_agg(with_watermark(stream)), "t_session", mode="append"
+    )
+    try:
+        _await_done(q)
+        n = spark.sql("SELECT count(*) c FROM t_session").collect()[0].c
+    finally:
+        q.stop()
+    assert n > 0
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    src = str(tmp_path / "dup_src")
+    ev = load_table(spark, SF_DIR, "events").limit(50)
+    ev.union(ev).write.mode("overwrite").parquet(src)  # every row twice
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = dedup_stream(stream, ["event_id"])
+    q = run_stream_to_memory(
+        deduped.groupBy().agg(F.count(F.lit(1)).alias("n")),
+        "t_dedup",
+        mode="complete",
+    )
+    try:
+        _await_done(q)
+        n = spark.sql("SELECT n FROM t_dedup").collect()[0].n
+    finally:
+        q.stop()
+    assert n == 50

@@ -1,0 +1,117 @@
+"""Scale-hardening operators (SURVEY.md §7.2 milestone 10).
+
+Patterns that keep plans healthy at 100 TB:
+
+  * ``salted_agg`` — two-level aggregation for skewed grouping keys.
+    AQE fixes skewed *joins* automatically, but a grouped aggregation
+    whose key distribution is pathological (one key = 40% of rows)
+    still funnels one reducer. Salting splits each hot key across
+    ``n_salts`` partial groups, then re-aggregates: both shuffles move
+    only partial aggregates, and no reducer sees more than ~1/n_salts
+    of any key.  Result is identical for sum/count/min/max (decimal
+    sums stay exact-associative).
+
+  * ``asof_join`` — most-recent-match join (SURVEY.md J4, absent in
+    both reference and core Spark). Implemented as union-tag + a
+    per-key ordered window carrying the last left-side value forward —
+    one shuffle on the key, no range explosion, works at any scale
+    (the naive inequality-join alternative is O(n·m) per key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def salted_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple[Column, str]],
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-level skew-safe aggregation.
+
+    ``aggs`` maps output column name → (partial aggregate expression,
+    combiner name), where the combiner is one of ``"sum" | "min" |
+    "max"`` — the decomposable aggregates (counts combine with sum).
+    """
+    salt = F.pmod(
+        F.xxhash64(
+            F.col(salt_source) if salt_source else F.monotonically_increasing_id()
+        ),
+        F.lit(n_salts),
+    ).alias("_salt")
+    combiners = {"sum": F.sum, "min": F.min, "max": F.max}
+    partial_exprs = [col.alias(f"_p_{name}") for name, (col, _) in aggs.items()]
+    final_exprs = [
+        combiners[how](f"_p_{name}").alias(name)
+        for name, (_, how) in aggs.items()
+    ]
+    partial = df.select("*", salt).groupBy(key, "_salt").agg(*partial_exprs)
+    return partial.groupBy(key).agg(*final_exprs)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    tolerance: Column | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the most recent right row
+    (right.ts <= left.ts) with the same key.
+
+    Mechanics: tag both sides, union, sort within key by (ts, side)
+    — right rows sort before left rows at equal ts so "<=" semantics
+    hold — then carry the last non-null right payload forward with
+    ``last(..., ignorenulls=True)``. Left rows project their carried
+    payload. One shuffle total (window partition), no inequality join.
+    """
+    lcols = left.columns
+    l = left.select(
+        *lcols, F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in right_cols],
+    )
+    r = right.select(
+        *[
+            F.col(c) if c in (key, ts) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        *lcols,
+        "_side",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+        F.last(F.when(F.col("_side") == 0, F.col(ts)), ignorenulls=True)
+        .over(w)
+        .alias("_asof_ts"),
+    )
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    if tolerance is not None:
+        within = F.col(ts).cast("double") - F.col("_asof_ts").cast("double") <= tolerance
+        out = out.select(
+            *lcols,
+            *[
+                F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in right_cols
+            ],
+        )
+    else:
+        out = out.drop("_asof_ts")
+    return out

@@ -5,6 +5,7 @@ from . import (  # noqa: F401
     llm,
     pipeline,
     reference_core,
+    scale_ops,
     text,
     tpch,
 )

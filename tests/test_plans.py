@@ -1,0 +1,112 @@
+"""Physical-plan shape assertions (.explain-driven, SURVEY.md §4.2):
+predicate pushdown reaches the parquet scan, column pruning shrinks
+ReadSchema, dims broadcast, narrow pipelines stay shuffle-free, and the
+hot paths run inside WholeStageCodegen. These pin the *plans* we want at
+100 TB, not just the small-SF results.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from artis_data_ingest_spark import plans
+from artis_data_ingest_spark.operators.clean import clean_prod
+from artis_data_ingest_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def executed_plan_str(df) -> str:
+    # AQE finalizes the plan (incl. codegen stage boundaries) only after
+    # execution — run the query, then read the final physical plan
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = plans.queries()["q1_pricing_summary"](spark, SF_DIR)
+    p = plan_str(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert "*(" in executed_plan_str(df)  # codegen stage markers
+
+
+def test_q1_column_pruning(spark):
+    df = plans.queries()["q1_pricing_summary"](spark, SF_DIR)
+    p = plan_str(df)
+    # only the 7 needed columns reach the scan — not all 11
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "l_quantity" in read and "l_shipdate" in read
+
+
+def test_q5_broadcasts_all_dims(spark):
+    df = plans.queries()["q5_revenue_by_region"](spark, SF_DIR)
+    p = plan_str(df)
+    assert p.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    # date filter pushed into the orders scan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_clean_pipeline_is_narrow(spark):
+    # the whole cleaning pipeline must fuse into the scan stage:
+    # projections + filters only, zero shuffles
+    part = load_table(spark, SF_DIR, "part")
+    cleaned = clean_prod(
+        part,
+        keep_cols=["p_partkey", "p_name", "p_type"],
+        renames={"p_name": "CommonName"},
+        lower_cols=["CommonName"],
+        not_in={"p_type": ["PROMO"]},
+        strip_synonym_cols=["CommonName"],
+    )
+    p = plan_str(cleaned)
+    assert "Exchange" not in p
+    assert "*(" in executed_plan_str(cleaned)  # codegen stage markers
+
+
+def test_standardize_key_single_projection(spark):
+    # F2-F6 regex chain folds into one Project over the scan
+    from artis_data_ingest_spark.functions.strings import standardize_key
+
+    part = load_table(spark, SF_DIR, "part")
+    df = part.select(standardize_key("p_name").alias("k"))
+    p = plan_str(df)
+    assert "Exchange" not in p
+    assert p.count("Project") <= 2
+
+
+def test_distinct_scan_prunes_columns(spark):
+    df = load_table(spark, SF_DIR, "customer").select("c_mktsegment").distinct()
+    p = plan_str(df)
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "c_mktsegment" in read and "c_name" not in read
+
+
+def test_semi_join_stays_semi(spark):
+    df = plans.queries()["q_semi_join"](spark, SF_DIR)
+    p = plan_str(df)
+    assert "LeftSemi" in p
+
+
+def test_topk_window_single_width_shuffle(spark):
+    # window + broadcast join: shuffles only for the window partition
+    # and the final presentation sort — no join shuffle of the fact side
+    df = plans.queries()["q_topk_window"](spark, SF_DIR)
+    p = plan_str(df)
+    assert "BroadcastHashJoin" in p
+    assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"

@@ -54,6 +54,44 @@ def brute_force_topk(
     )
 
 
+def embedding_cosine_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_bits: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (SURVEY.md §2.11): candidates
+    from the same sign bucket (equi-join, linear), verified by exact
+    cosine ≥ threshold. The LSH recall/threshold trade-off is the same
+    one MinHash makes for text — here over dense vectors."""
+    c = corpus.select(
+        "vec_id",
+        F.col("embedding"),
+        sign_bucket("embedding", n_bits).alias("bucket"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")),
+                round_digits,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            "cosine",
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import norm
 from ..operators.dedup import minhash_lsh_candidates, simhash_candidates
-from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_cosine_neardup,
+    lsh_topk,
+)
 from ..sources.tables import load_table
 from .registry import register
 
@@ -144,6 +148,46 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_norm"),
         )
         .orderBy("label")
+    )
+
+
+@register(
+    "q_embedding_neardup",
+    oracle="""
+WITH c AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+         CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_id_a,
+       b.vec_id AS vec_id_b,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb))
+                * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+FROM c a
+JOIN c b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb))
+               * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.35
+ORDER BY vec_id_a, vec_id_b
+""",
+    doc="Embedding-cosine near-dup pairs (SURVEY.md §2.11): sign-bucket "
+    "LSH candidates verified by exact cosine ≥ 0.35 (threshold fits the "
+    "synthetic corpus's similarity range — real near-dup corpora use "
+    "~0.95). Linear candidate generation, no cross join.",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_neardup(emb, threshold=0.35, n_bits=8).orderBy(
+        "vec_id_a", "vec_id_b"
     )
 
 

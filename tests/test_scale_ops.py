@@ -1,0 +1,156 @@
+"""Tests for scale patterns: salted agg equivalence, as-of join
+semantics, bucketed co-located joins, report sink, stateful streaming."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from artis_data_ingest_spark.operators.bucketing import (
+    bucketed_join,
+    bucketize,
+)
+from artis_data_ingest_spark.operators.scale import asof_join, salted_agg
+from artis_data_ingest_spark.sinks.report import conditional_prose, to_markdown
+from artis_data_ingest_spark.sources.tables import load_table
+from artis_data_ingest_spark.streaming.stateful import user_profile_stream
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_salted_agg_equals_direct(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    salted = {
+        r.l_returnflag: (r.n, r.s)
+        for r in salted_agg(
+            li,
+            key="l_returnflag",
+            aggs={
+                "n": (F.count(F.lit(1)), "sum"),
+                "s": (F.sum(F.col("l_quantity").cast("decimal(12,2)")), "sum"),
+            },
+        ).collect()
+    }
+    direct = {
+        r.l_returnflag: (r.n, r.s)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("s"),
+        )
+        .collect()
+    }
+    assert salted == direct
+
+
+def test_asof_join_picks_latest_prior(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "L1"), (1, 20, "L2"), (2, 5, "L3")], ["k", "t", "who"]
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 9, 300.0)], ["k", "t", "v"]
+    )
+    out = {
+        r.who: r.asof_v
+        for r in asof_join(
+            left, right, key="k", ts="t", right_cols=["v"]
+        ).collect()
+    }
+    assert out["L1"] == 100.0  # t=10 → right t=8
+    assert out["L2"] == 200.0  # t=20 → right t=15
+    assert out["L3"] is None  # t=5 → no right ≤ 5
+
+
+def test_asof_join_equal_ts_included(spark):
+    left = spark.createDataFrame([(1, 10, "L")], ["k", "t", "who"])
+    right = spark.createDataFrame([(1, 10, 42.0)], ["k", "t", "v"])
+    r = asof_join(left, right, key="k", ts="t", right_cols=["v"]).collect()[0]
+    assert r.asof_v == 42.0
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    # uses the default ./spark-warehouse dir (gitignored); warehouse.dir
+    # is a static conf and can't be pointed at tmp_path per-test
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    bucketize(spark, orders, "t_orders_b", "o_orderkey", n_buckets=4)
+    bucketize(spark, li, "t_lineitem_b", "o_orderkey", n_buckets=4)
+    # at fixture scale AQE would broadcast instead (and rightly so);
+    # disable broadcast to expose the big-table shape under test: a
+    # shuffle-free sort-merge join over co-located buckets
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(
+            spark, "t_orders_b", "t_lineitem_b", "o_orderkey"
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    assert "Exchange" not in plan  # co-located: no shuffle on either side
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+
+
+def test_report_sink_markdown_and_prose(spark):
+    df = spark.createDataFrame(
+        [("a", 1, True), ("b", 2, False)], ["name", "n", "flag"]
+    )
+    md = to_markdown(df)
+    assert md.splitlines()[0] == "| name | n | flag |"
+    assert "| a | 1 | True |" in md
+    assert (
+        conditional_prose(df, "flag", "some flagged", "none flagged")
+        == "some flagged"
+    )
+    none_df = df.filter(~F.col("flag"))
+    assert (
+        conditional_prose(none_df, "flag", "some flagged", "none flagged")
+        == "none flagged"
+    )
+
+
+def test_stateful_user_profiles_stream(spark, tmp_path):
+    src = str(tmp_path / "stateful_src")
+    ev = load_table(spark, SF_DIR, "events").limit(200)
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        user_profile_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_profiles")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            if not q.status["isDataAvailable"]:
+                break
+            time.sleep(0.2)
+        got = {
+            r.user_id: (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM t_profiles").collect()
+        }
+    finally:
+        q.stop()
+    expect = {
+        r.user_id: (r.n, float(r.s))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for uid, (n, s) in expect.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - s) < 1e-6

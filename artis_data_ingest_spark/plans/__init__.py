@@ -1,6 +1,7 @@
 """Query plan modules. Importing this package populates the registry."""
 
 from . import (  # noqa: F401
+    analytics_ext,
     events_time,
     llm,
     pipeline,

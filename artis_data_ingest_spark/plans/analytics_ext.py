@@ -1,0 +1,246 @@
+"""Analytics-surface extensions: range/band join, exact percentiles,
+moving-average window frames, GROUPING SETS, and the oracle-checked
+flat schema-diff view (SURVEY.md J4, A5, W2, U1/§7.2 milestone 3).
+
+These fill the remaining GAP rows of SURVEY.md §2 that the star-schema
+and reference-core modules don't cover: non-equi joins, percentile
+aggregates, bounded window frames, and arbitrary grouping sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.numeric import dsum, oracle_dsum
+from ..operators.diff import dataset_diff
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Range (band) join — SURVEY.md J4's interval-join shape.
+# ---------------------------------------------------------------------------
+
+_BANDS = [
+    ("low", 0.0, 10.0),
+    ("mid", 10.0, 100.0),
+    ("high", 100.0, 1000.0),
+]
+
+
+@register(
+    "q_range_join",
+    oracle=f"""
+WITH bands(band, lo, hi) AS (
+  VALUES ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1000.0)
+)
+SELECT b.band,
+       COUNT(*) AS n_events,
+       {oracle_dsum('e.value', 'sum_value')}
+FROM events e
+JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+ORDER BY b.band
+""",
+    doc="Range/interval join (SURVEY.md J4 — absent in reference): bin "
+    "the events fact against a tiny bands dimension on value ∈ [lo, hi). "
+    "The small side is broadcast, so the non-equi join is a broadcast "
+    "nested-loop over 3 rows per event — the idiomatic 100 TB shape for "
+    "banding joins (never shuffle the fact for a 3-row dimension).",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        _BANDS,
+        T.StructType(
+            [
+                T.StructField("band", T.StringType()),
+                T.StructField("lo", T.DoubleType()),
+                T.StructField("hi", T.DoubleType()),
+            ]
+        ),
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles — A5 family (reference has only count/count-distinct).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="Exact interpolated percentiles per group (SURVEY.md A5 family). "
+    "Spark's `percentile` and DuckDB's `quantile_cont` share linear-"
+    "interpolation semantics. At 100 TB the drop-in scale path is "
+    "`percentile_approx` (t-digest sketch, mergeable map-side) — kept "
+    "exact here so the oracle can hash-match.",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.element_at(pct, 1), 6).alias("p25"),
+            F.round(F.element_at(pct, 2), 6).alias("p50"),
+            F.round(F.element_at(pct, 3), 6).alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moving average over a bounded window frame — W2.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_moving_avg",
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS moving_avg_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+""",
+    doc="Bounded-frame moving average (SURVEY.md W2: frames): 3-row "
+    "trailing mean of order totals per customer, ordered by the unique "
+    "orderkey (deterministic). Decimal sum / count keeps the value "
+    "order-independent so it hash-matches the oracle. One shuffle on "
+    "o_custkey; frames add no extra exchange.",
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .over(w)
+            .cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg_price"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — A5 (generalizes the rollup/cube queries).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+SELECT o_orderstatus,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       {oracle_dsum('o_totalprice', 'sum_total')}
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderstatus), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+""",
+    doc="Arbitrary GROUPING SETS (SURVEY.md A5): per (status, priority), "
+    "per status, and grand total in one pass — Catalyst expands to a "
+    "single shuffle with a grouping-id column rather than three scans.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_total"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flat schema-diff view — oracle-checked slice of dataset_diff (U1).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_schema_diff_flat",
+    oracle="""
+WITH oldc AS (
+  SELECT regexp_replace(column_name, '^s_', '') AS col
+  FROM (DESCRIBE supplier)
+), newc AS (
+  SELECT regexp_replace(column_name, '^c_', '') AS col
+  FROM (DESCRIBE customer)
+)
+SELECT 'added' AS change, col FROM (SELECT col FROM newc EXCEPT SELECT col FROM oldc)
+UNION ALL
+SELECT 'removed' AS change, col FROM (SELECT col FROM oldc EXCEPT SELECT col FROM newc)
+ORDER BY change, col
+""",
+    doc="Oracle-checked flat view of the dataset_diff operator "
+    "(SURVEY.md U1/E3, assess_changes.qmd:151-158): supplier (old) vs "
+    "customer (new) with the c_/s_ prefixes stripped plays the role of "
+    "two snapshot schemas; added/removed column names exploded to rows. "
+    "The diff itself is driver-side metadata — free at any data scale.",
+)
+def q_schema_diff_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def strip_prefix(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            *[
+                F.col(c).alias(c.removeprefix(prefix))
+                for c in df.columns
+            ]
+        )
+
+    old = strip_prefix(load_table(spark, sf_dir, "supplier"), "s_")
+    new = strip_prefix(load_table(spark, sf_dir, "customer"), "c_")
+    diff = dataset_diff(spark, old, new)
+    added = diff.select(
+        F.lit("added").alias("change"),
+        F.explode("added_cols").alias("col"),
+    )
+    removed = diff.select(
+        F.lit("removed").alias("change"),
+        F.explode("removed_cols").alias("col"),
+    )
+    return added.unionByName(removed).orderBy("change", "col")

@@ -104,9 +104,51 @@ def test_topk_window_single_width_shuffle(spark):
     df = plans.queries()["q_topk_window"](spark, SF_DIR)
     p = plan_str(df)
     assert "BroadcastHashJoin" in p
-    assert p.count("Exchange hashpartitioning") <= 1
+    assert p.count("Arguments: hashpartitioning") <= 1
 
 
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_range_join_broadcasts_bands(spark):
+    # non-equi band join must broadcast the 3-row dimension, never
+    # shuffle or nested-loop the fact side against itself
+    df = plans.queries()["q_range_join"](spark, SF_DIR)
+    p = plan_str(df)
+    assert "BroadcastNestedLoopJoin" in p
+    # fact side scans only the one needed column
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "value" in read and "props" not in read
+
+
+def test_grouping_sets_single_expand(spark):
+    # GROUPING SETS compiles to one Expand + one aggregation pipeline,
+    # not three scans of the fact table
+    df = plans.queries()["q_grouping_sets"](spark, SF_DIR)
+    p = plan_str(df)
+    # formatted explain prints each node twice (tree + detail section)
+    assert p.count("Scan parquet") <= 2
+    assert "Expand" in p
+    assert p.count("Arguments: hashpartitioning") == 1
+
+
+def test_moving_avg_single_shuffle(spark):
+    # frame windows add no exchange beyond the partitionBy shuffle
+    # (presentation orderBy adds a rangepartitioning, not a hash one)
+    df = plans.queries()["q_moving_avg"](spark, SF_DIR)
+    p = plan_str(df)
+    assert p.count("Arguments: hashpartitioning") == 1
+
+
+def test_schema_diff_flat_values(spark):
+    rows = [
+        tuple(r)
+        for r in plans.queries()["q_schema_diff_flat"](spark, SF_DIR).collect()
+    ]
+    assert rows == [
+        ("added", "custkey"),
+        ("added", "mktsegment"),
+        ("removed", "suppkey"),
+    ]

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vectors import cosine, sign_bucket
+from ..functions.vectors import dot, norm, sign_bucket
 
 
 def brute_force_topk(
@@ -32,15 +32,28 @@ def brute_force_topk(
     ``queries`` is expected to be tiny (it is explicitly broadcast);
     ranking uses (rounded cosine DESC, vec_id) so ties and float jitter
     below 1e-6 break deterministically.
+
+    Norms are precomputed per side *before* the join — O(N+Q) instead of
+    O(N·Q) norm folds — and the division uses the same operand order as
+    plain ``cosine()``, so values are bit-identical to the naive form.
     """
+    corp = corpus.select(
+        "vec_id", "embedding", norm("embedding").alias("c_norm")
+    )
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm("embedding").alias("q_norm"),
     )
     sims = (
-        corpus.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        corp.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), round_digits),
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_digits,
+            ),
         )
         .select("query_id", "vec_id", "cosine")
     )
@@ -63,11 +76,13 @@ def embedding_cosine_neardup(
     """Embedding-cosine near-dup pairs (SURVEY.md §2.11): candidates
     from the same sign bucket (equi-join, linear), verified by exact
     cosine ≥ threshold. The LSH recall/threshold trade-off is the same
-    one MinHash makes for text — here over dense vectors."""
+    one MinHash makes for text — here over dense vectors. Norms are
+    precomputed once per row (not per candidate pair)."""
     c = corpus.select(
         "vec_id",
         F.col("embedding"),
         sign_bucket("embedding", n_bits).alias("bucket"),
+        norm("embedding").alias("nrm"),
     )
     a, b = c.alias("a"), c.alias("b")
     return (
@@ -79,7 +94,8 @@ def embedding_cosine_neardup(
         .withColumn(
             "cosine",
             F.round(
-                cosine(F.col("a.embedding"), F.col("b.embedding")),
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
                 round_digits,
             ),
         )
@@ -101,18 +117,28 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's sign
     bucket. Equi-join on the bucket key → hash-partitioned, linear."""
-    c = corpus.withColumn("bucket", sign_bucket("embedding", n_bits))
+    c = corpus.select(
+        "vec_id",
+        "embedding",
+        sign_bucket("embedding", n_bits).alias("bucket"),
+        norm("embedding").alias("c_norm"),
+    )
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         sign_bucket("embedding", n_bits).alias("bucket"),
+        norm("embedding").alias("q_norm"),
     )
     sims = (
         c.join(F.broadcast(q), on="bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(cosine(F.col("q_emb"), F.col("embedding")), round_digits),
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_digits,
+            ),
         )
         .select("query_id", "vec_id", "cosine")
     )
@@ -122,5 +148,116 @@ def lsh_topk(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 4,
+    round_digits: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF cell assignment: every vector joins its nearest centroid.
+
+    Centroids are the ``n_centroids`` lowest-vec_id corpus vectors — a
+    deterministic stand-in for k-means so the structure is oracle-
+    checkable; a production deployment would plug spark.ml KMeans
+    centroids into the same shape. Returns ``(centroids, assignment)``
+    where assignment is (vec_id, cid).
+
+    Scale shape: centroids broadcast (K rows), corpus never self-joins;
+    the only shuffle is the per-vector argmax window on vec_id.
+    """
+    cent = (
+        corpus.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
+            norm("embedding").alias("cnorm"),
+        )
+    )
+    corp = corpus.select(
+        "vec_id", "embedding", norm("embedding").alias("vnorm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid")
+    )
+    assign = (
+        corp.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "ccos",
+            F.round(
+                dot(F.col("embedding"), F.col("cemb"))
+                / (F.col("vnorm") * F.col("cnorm")),
+                round_digits,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    return cent, assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 4,
+    nprobe: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    cells; candidates are the vectors assigned there, re-ranked by exact
+    cosine. Candidate count ~ N * nprobe / n_centroids per query — the
+    inverted-file trade Spark can express with two equi-joins, no cross
+    join of the corpus."""
+    cent, assign = ivf_assign(corpus, n_centroids, round_digits)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        norm("embedding").alias("q_norm"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("cid")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "qcos",
+            F.round(
+                dot(F.col("q_emb"), F.col("cemb"))
+                / (F.col("q_norm") * F.col("cnorm")),
+                round_digits,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "cid")
+    )
+    corp = corpus.select(
+        "vec_id", "embedding", norm("embedding").alias("c_norm")
+    )
+    cands = (
+        assign.join(F.broadcast(probed), on="cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(corp, on="vec_id")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        cands.withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                round_digits,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )

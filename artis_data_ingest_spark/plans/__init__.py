@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     analytics_ext,
+    corpus,
     events_time,
     llm,
     pipeline,

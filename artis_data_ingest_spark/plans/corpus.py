@@ -1,0 +1,135 @@
+"""Training-corpus construction queries (north-star §2.11): the
+operations a large-scale LLM-data pipeline runs between raw documents
+and a training set — deterministic split assignment and the end-to-end
+select→filter→dedup→stat pipeline.
+
+Everything is built-in Catalyst expressions; determinism comes from
+content hashes (md5), not RNG, so the same document always lands in the
+same split on any cluster size — the property a 100 TB pipeline needs
+for reproducible train/val separation across reruns and backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.textstats import (
+    QUALITY_STOPWORDS,
+    fingerprint,
+    n_tokens,
+    stopword_hits,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+_STOP_SQL = ", ".join(repr(w) for w in QUALITY_STOPWORDS)
+
+
+@register(
+    "q_train_split",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) AS h
+  FROM documents
+)
+SELECT CASE WHEN h <= 'b' THEN 'train'
+            WHEN h <= 'd' THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM s
+GROUP BY 1
+ORDER BY split
+""",
+    doc="Deterministic train/val/test split (75/12.5/12.5) from the "
+    "first hex digit of a salted md5 of the stable id — no RNG, so "
+    "membership is reproducible across reruns, cluster sizes, and "
+    "engines (the salt lets multiple independent splits coexist). "
+    "Pure projection + one aggregation; no shuffle before the agg.",
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    split = (
+        F.when(h <= "b", "train").when(h <= "d", "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "q_corpus_pipeline",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x IN ({_STOP_SQL}))) AS stop_hits
+  FROM documents
+  WHERE lang = 'en'
+), f AS (
+  SELECT * FROM t
+  WHERE n_toks BETWEEN 5 AND 1000
+    AND stop_hits * 1.0 / n_toks >= 0.05
+), d AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')))
+           ORDER BY doc_id
+         ) AS rn
+  FROM f
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_toks) AS total_tokens,
+       MIN(doc_id) AS first_doc_id
+FROM d WHERE rn = 1
+GROUP BY source
+ORDER BY source
+""",
+    doc="End-to-end training-corpus selection (SURVEY.md §2.11 composed): "
+    "language filter → token-length and stopword-ratio quality gates → "
+    "exact dedup keeping the lowest doc_id per content fingerprint → "
+    "per-source corpus stats. One scan; the only shuffles are the dedup "
+    "window (hash on fingerprint) and the final small aggregation — the "
+    "canonical shape of a 100 TB corpus-build job.",
+    bench=True,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.filter(F.col("lang") == "en").select(
+        "doc_id",
+        "source",
+        "text",
+        n_tokens("text").alias("n_toks"),
+        stopword_hits("text", QUALITY_STOPWORDS).alias("stop_hits"),
+    )
+    f = t.filter(
+        F.col("n_toks").between(5, 1000)
+        & (F.col("stop_hits") * F.lit(1.0) / F.col("n_toks") >= 0.05)
+    )
+    w = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    d = f.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .orderBy("source")
+    )

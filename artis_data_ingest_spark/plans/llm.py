@@ -20,6 +20,7 @@ from ..operators.dedup import minhash_lsh_candidates, simhash_candidates
 from ..operators.similarity import (
     brute_force_topk,
     embedding_cosine_neardup,
+    ivf_topk,
     lsh_topk,
 )
 from ..sources.tables import load_table
@@ -65,6 +66,70 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(list(_QUERY_IDS)))
     return brute_force_topk(emb, queries, k=5)
+
+
+@register(
+    "q_ann_ivf",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), n AS (
+  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+), cent AS (
+  SELECT vec_id AS cid, emb AS cemb, nrm AS cnorm
+  FROM n ORDER BY vec_id LIMIT 4
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(v.emb, c.cemb)
+                            / (v.nrm * c.cnorm), 6) DESC, c.cid
+           ) AS rn
+    FROM n v CROSS JOIN cent c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnorm
+  FROM n WHERE vec_id IN {_QUERY_IDS}
+), probed AS (
+  SELECT query_id, qemb, qnorm, cid FROM (
+    SELECT q.query_id, q.qemb, q.qnorm, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qemb, c.cemb)
+                            / (q.qnorm * c.cnorm), 6) DESC, c.cid
+           ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 2
+), ranked AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(p.qemb, v.emb) / (p.qnorm * v.nrm), 6)
+           AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY round(list_dot_product(p.qemb, v.emb)
+                          / (p.qnorm * v.nrm), 6) DESC, a.vec_id
+         ) AS rank
+  FROM probed p
+  JOIN assign a USING (cid)
+  JOIN n v ON v.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, rank
+FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+""",
+    doc="IVF approximate top-k (SURVEY.md §2.11 ANN scale path): "
+    "deterministic centroids (lowest-vec_id stand-ins for k-means), "
+    "per-vector cell assignment via broadcast argmax, queries probe "
+    "their 2 nearest of 4 cells, exact cosine re-rank of the ~nprobe/K "
+    "candidate slice. Two equi-joins; the corpus is never self-joined.",
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(list(_QUERY_IDS)))
+    return ivf_topk(emb, queries, k=3, n_centroids=4, nprobe=2)
 
 
 @register(

@@ -1,0 +1,115 @@
+"""Property-based checks (SURVEY.md §5.2 item 4, via hypothesis):
+algebraic invariants of the core operators on generated inputs —
+standardization-key idempotence, diff(a,a) emptiness, added/removed
+disjointness, union-tag cardinality, R-null-semantics of NOT-IN.
+
+Spark jobs are slow per-example, so each property batches all generated
+values into one DataFrame per example and runs few examples.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from artis_data_ingest_spark.functions.strings import standardize_key
+from artis_data_ingest_spark.operators.clean import not_in_keep_nulls
+from artis_data_ingest_spark.operators.diff import dataset_diff, union_tag
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+paths = st.text(
+    alphabet=st.characters(
+        codec="ascii", categories=("L", "N", "P", "S", "Z")
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(paths, min_size=1, max_size=20))
+def test_standardize_key_idempotent(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], ["p"])
+    out = df.select(
+        standardize_key("p").alias("once"),
+    ).select(
+        "once", standardize_key("once").alias("twice")
+    )
+    for r in out.collect():
+        assert r.once == r.twice
+
+
+@settings(**_SETTINGS)
+@given(st.lists(paths, min_size=1, max_size=20))
+def test_standardize_key_is_slug(spark, values):
+    # output alphabet is closed: lowercase alnum + underscore only
+    import re
+
+    df = spark.createDataFrame([(v,) for v in values], ["p"])
+    for r in df.select(standardize_key("p").alias("k")).collect():
+        assert re.fullmatch(r"[a-z0-9_]*", r.k), r.k
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), paths), min_size=1, max_size=15
+    )
+)
+def test_dataset_diff_self_is_empty(spark, rows):
+    df = spark.createDataFrame(rows, ["id", "name"])
+    d = dataset_diff(spark, df, df).collect()[0]
+    assert d.row_diff == 0
+    assert d.added_cols == [] and d.removed_cols == []
+    assert d.type_changes == []
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(paths, min_size=0, max_size=10),
+    st.lists(paths, min_size=0, max_size=10),
+)
+def test_diff_added_removed_disjoint(spark, old_cols_raw, new_cols_raw):
+    # column names must be unique and non-empty; slug-ify raw text
+    def mk(names, tag):
+        cols = sorted({f"c_{abs(hash(n)) % 997}" for n in names} | {"k"})
+        return spark.createDataFrame([(0,) * len(cols)], cols), cols
+
+    old_df, old_cols = mk(old_cols_raw, "o")
+    new_df, new_cols = mk(new_cols_raw, "n")
+    d = dataset_diff(spark, old_df, new_df).collect()[0]
+    assert set(d.added_cols).isdisjoint(d.removed_cols)
+    assert set(d.added_cols) == set(new_cols) - set(old_cols)
+    assert set(d.removed_cols) == set(old_cols) - set(new_cols)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(paths, min_size=0, max_size=12),
+    st.lists(paths, min_size=0, max_size=12),
+)
+def test_union_tag_cardinality(spark, new_vals, old_vals):
+    schema = "v string"
+    new_df = spark.createDataFrame([(v,) for v in new_vals], schema)
+    old_df = spark.createDataFrame([(v,) for v in old_vals], schema)
+    out = union_tag(new_df, old_df)
+    assert out.count() == len(new_vals) + len(old_vals)
+    tags = {r.directory for r in out.select("directory").distinct().collect()}
+    assert tags <= {"new", "old"}
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.one_of(st.none(), st.integers(0, 5)), min_size=1, max_size=20),
+    st.lists(st.integers(0, 5), min_size=0, max_size=4),
+)
+def test_not_in_keeps_nulls(spark, values, banned):
+    # R semantics (SURVEY.md §4.3): !x %in% set keeps NA rows, unlike
+    # SQL NOT IN which drops them
+    df = spark.createDataFrame([(v,) for v in values], "x int")
+    kept = [r.x for r in df.filter(not_in_keep_nulls("x", banned)).collect()]
+    expected = [v for v in values if v is None or v not in banned]
+    assert sorted(kept, key=lambda v: (v is None, v)) == sorted(
+        expected, key=lambda v: (v is None, v)
+    )

@@ -154,3 +154,54 @@ def test_stateful_user_profiles_stream(spark, tmp_path):
     for uid, (n, s) in expect.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - s) < 1e-6
+
+
+def test_write_partitioned_layout_and_pruning(spark, tmp_path):
+    from artis_data_ingest_spark.sinks.parquet import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(
+        ev, out, ["event_type"], sort_cols=["ts"], files_per_partition=1
+    )
+    # hive layout: one directory per event_type, one data file each
+    import pathlib
+
+    dirs = sorted(
+        p.name for p in pathlib.Path(out).iterdir()
+        if p.name.startswith("event_type=")
+    )
+    assert len(dirs) == 5
+    for d in dirs:
+        files = [
+            f for f in (pathlib.Path(out) / d).iterdir()
+            if f.name.endswith(".parquet")
+        ]
+        assert len(files) == 1
+
+    back = read_partitioned(spark, out)
+    assert back.count() == ev.count()
+    # partition-column filter prunes directories before data IO
+    q = back.filter(F.col("event_type") == "click")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert q.count() == ev.filter(F.col("event_type") == "click").count()
+
+
+def test_write_partitioned_salted_file_split(spark, tmp_path):
+    from artis_data_ingest_spark.sinks.parquet import write_partitioned
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "events_salted")
+    write_partitioned(ev, out, ["event_type"], files_per_partition=3)
+    import pathlib
+
+    d = next(
+        p for p in pathlib.Path(out).iterdir()
+        if p.name.startswith("event_type=")
+    )
+    files = [f for f in d.iterdir() if f.name.endswith(".parquet")]
+    assert 2 <= len(files) <= 3  # salt splits the directory's rows

@@ -258,3 +258,89 @@ def simhash_candidates(
             "hamming",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable MinHash — cross-engine-deterministic variant
+# ---------------------------------------------------------------------------
+
+# Small prime so every intermediate of the rolling hash and the affine
+# permutations stays far below 2^63 in both engines.
+_PORTABLE_P = 1_000_003
+_PORTABLE_PERMS = [(2 * i + 3, 7 * i + 1) for i in range(8)]
+_PORTABLE_BANDS = 4  # 4 bands x 2 rows over the 8-hash signature
+
+
+def portable_shingle_hash(shingle: Column) -> Column:
+    """Engine-portable string hash: a base-31 polynomial rolling hash of
+    the character codepoints, mod a small prime — pure arithmetic that
+    Spark's `aggregate` and DuckDB's `list_reduce` fold identically
+    (unlike murmur3/xxhash64, which differ per engine)."""
+    codes = F.transform(
+        F.split(shingle, ""), lambda c: F.ascii(c).cast("bigint")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + c) % _PORTABLE_P,
+    )
+
+
+def portable_minhash_signature(shingles: Column) -> Column:
+    """8-hash MinHash signature over ``portable_shingle_hash`` values —
+    bit-identical in Spark and DuckDB, which makes the LSH pipeline
+    oracle-checkable end-to-end. The murmur3-based
+    ``minhash_signature`` remains the scale path (JVM-native hashing,
+    32 hashes); this is its cross-engine correctness twin."""
+    base = F.transform(shingles, portable_shingle_hash)
+
+    def _perm(a: int, b: int):
+        # factory keeps the HOF lambda single-arg (PySpark infers arity
+        # from the Python signature — default args break it)
+        return lambda h: (F.lit(a) * h + b) % _PORTABLE_P
+
+    mins = [
+        F.array_min(F.transform(base, _perm(a, b)))
+        for a, b in _PORTABLE_PERMS
+    ]
+    return F.array(*mins)
+
+
+def portable_minhash_candidates(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """LSH candidate pairs from the portable signature: band keys are
+    '<band_idx>-<sig[2j]>-<sig[2j+1]>'; docs sharing any band key pair
+    up. Returns (doc_id_a, doc_id_b, n_bands) with the shared-band
+    count. One explode + one equi-self-join on the band key — linear
+    candidate generation, no corpus cross join."""
+    sh = (
+        docs.select("doc_id", char_shingles(text_col, k).alias("shingles"))
+        .filter(F.size("shingles") > 0)  # empty text has no signature
+        .withColumn("sig", portable_minhash_signature(F.col("shingles")))
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(j)),
+                F.element_at("sig", 2 * j + 1).cast("string"),
+                F.element_at("sig", 2 * j + 2).cast("string"),
+            )
+            for j in range(_PORTABLE_BANDS)
+        ]
+    )
+    b = sh.select("doc_id", F.explode(band_keys).alias("band"))
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )

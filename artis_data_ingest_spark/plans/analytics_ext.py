@@ -244,3 +244,111 @@ def q_schema_diff_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode("removed_cols").alias("col"),
     )
     return added.unionByName(removed).orderBy("change", "col")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked file listing — S5/S7 with a real filesystem oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_file_sizes",
+    oracle="""
+SELECT filename AS file, size AS size_bytes
+FROM read_blob('/root/testdata/sf0.01/*.parquet')
+ORDER BY file
+""",
+    doc="Distributed file listing with metadata (SURVEY.md S5/S7) made "
+    "oracle-checkable: Spark's binaryFile source lists the fixture dir "
+    "(path + length, content column pruned from the scan); DuckDB's "
+    "read_blob is the independent filesystem oracle. Note the oracle "
+    "path is pinned to the driver's sf0.01 gate directory.",
+)
+def q_file_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.files import list_files
+
+    return (
+        list_files(spark, sf_dir, glob="*.parquet")
+        .select(
+            F.regexp_replace("path", "^file:", "").alias("file"),
+            F.col("length").alias("size_bytes"),
+        )
+        .orderBy("file")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-level value diff — the reference's changelog extended to row grain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_value_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 2 = 0
+), new AS (
+  SELECT o_orderkey,
+         round(o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 1.0
+                                   ELSE 0.0 END, 2) AS o_totalprice,
+         o_orderstatus
+  FROM orders WHERE o_orderkey % 3 <> 0
+), j AS (
+  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS k,
+         CASE WHEN old.o_orderkey IS NULL THEN 'added'
+              WHEN new.o_orderkey IS NULL THEN 'removed'
+              WHEN old.o_totalprice <> new.o_totalprice
+                   OR old.o_orderstatus <> new.o_orderstatus THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM old FULL OUTER JOIN new USING (o_orderkey)
+)
+SELECT change, COUNT(*) AS n, MIN(k) AS min_key, MAX(k) AS max_key
+FROM j GROUP BY change ORDER BY change
+""",
+    doc="Row-level value diff of two table snapshots (the reference's "
+    "file/schema changelog, assess_changes.qmd:97-185, extended to row "
+    "grain): full-outer join on the key classifies each row as added / "
+    "removed / changed / unchanged. The two 'snapshots' are synthesized "
+    "from orders by key predicates with a deterministic perturbation. "
+    "At 100 TB both sides shuffle once on the join key — or zero times "
+    "if snapshots are bucketed on it (operators/bucketing.py).",
+)
+def q_value_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 7 == 0, 1.0).otherwise(0.0),
+            2,
+        ).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, on="o_orderkey", how="full_outer").select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o.o_totalprice").isNull()
+               & F.col("o.o_orderstatus").isNull(), "added")
+        .when(F.col("n.o_totalprice").isNull()
+              & F.col("n.o_orderstatus").isNull(), "removed")
+        .when(
+            (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+            | (F.col("o.o_orderstatus") != F.col("n.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return (
+        j.groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("change")
+    )

@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import norm
-from ..operators.dedup import minhash_lsh_candidates, simhash_candidates
+from ..operators.dedup import (
+    _PORTABLE_P,
+    _PORTABLE_PERMS,
+    minhash_lsh_candidates,
+    portable_minhash_candidates,
+    simhash_candidates,
+)
 from ..operators.similarity import (
     brute_force_topk,
     embedding_cosine_neardup,
@@ -266,6 +272,62 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(docs).orderBy("doc_id_a", "doc_id_b")
+
+
+def _portable_minhash_oracle() -> str:
+    p = _PORTABLE_P
+    mins = ",\n           ".join(
+        f"list_min(list_transform(hashes, h -> ({a}*h + {b}) % {p}))"
+        for a, b in _PORTABLE_PERMS
+    )
+    bands = ", ".join(
+        f"'{j}-' || CAST(sig[{2 * j + 1}] AS VARCHAR)"
+        f" || '-' || CAST(sig[{2 * j + 2}] AS VARCHAR)"
+        for j in range(4)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([substring(lower(text), i, 3)
+                        for i in range(1, greatest(length(text) - 1, 1))])
+           AS shingles
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(shingles, s ->
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % {p})) AS hashes
+  FROM sh WHERE len(shingles) > 0
+), sig AS (
+  SELECT doc_id,
+         [{mins}] AS sig
+  FROM h
+), b AS (
+  SELECT doc_id, UNNEST([{bands}]) AS band FROM sig
+)
+SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, COUNT(*) AS n_bands
+FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+@register(
+    "q_minhash_portable",
+    oracle=_portable_minhash_oracle(),
+    doc="MinHash(8)+LSH(4 bands x 2) candidate pairs with an engine-"
+    "portable hash family (base-31 polynomial rolling hash mod 1000003 "
+    "+ affine permutations — pure arithmetic both engines fold "
+    "identically), making the LSH pipeline oracle-checkable end-to-end "
+    "(SURVEY.md §2.11). The murmur3 `q_minhash_neardup` is the scale "
+    "path; this twin proves the banding/candidate logic exactly.",
+)
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return portable_minhash_candidates(docs).orderBy("doc_id_a", "doc_id_b")
 
 
 @register(

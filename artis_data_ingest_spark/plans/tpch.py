@@ -365,3 +365,115 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_suppkey").alias("exact_suppliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q3 — shipping priority.  Broadcast-filtered dim → two fact joins →
+# agg → deterministic top-10.
+# ---------------------------------------------------------------------------
+
+_Q3_DATE = "1998-06-30 00:00:00"
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS {MONEY})
+                * (CAST(1 AS {FRAC}) - CAST(l_discount AS {FRAC}))) AS DOUBLE)
+         AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_DATE}'
+  AND l_shipdate  > TIMESTAMP '{_Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3-style shipping priority (o_orderpriority stands in "
+    "for the fixture's missing o_shippriority): segment-filtered "
+    "customers broadcast into orders, orders joined to lineitem, "
+    "revenue per order, deterministic (revenue DESC, key) top-10. "
+    "Both date filters push into the fact scans; the only wide "
+    "shuffle is the final aggregation on l_orderkey.",
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _Q3_DATE
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _Q3_DATE
+    )
+    one = F.lit(1).cast(FRAC)
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * (one - dec("l_discount", FRAC)))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q6 — forecast revenue.  The pure-pushdown query: every predicate
+# reaches the scan; no join, no wide shuffle at all.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS {MONEY})
+              * CAST(l_discount AS {FRAC})) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6-style revenue-change forecast: conjunctive range "
+    "predicates on three columns, one global aggregate. The canonical "
+    "pushdown showcase — all four predicates reach the parquet scan "
+    "(PushedFilters) and row-group statistics skip non-matching chunks "
+    "before any page decode; the 'shuffle' is a single-row partial-agg "
+    "merge.",
+    bench=True,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount", FRAC))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

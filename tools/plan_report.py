@@ -1,0 +1,110 @@
+"""Generate SCALE.md: per-query physical-plan facts extracted from the
+actual executed plans (shuffle counts, broadcasts, pushdown, codegen).
+
+Usage: python tools/plan_report.py [sf_dir] > SCALE.md
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from artis_data_ingest_spark import plans  # noqa: E402
+from artis_data_ingest_spark.plans.registry import all_queries  # noqa: E402
+from artis_data_ingest_spark.session import get_spark  # noqa: E402
+
+
+def analyze(df) -> dict:
+    df.collect()  # finalize AQE plan
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # the AQE string repeats the tree under "== Initial Plan ==" —
+    # count only the final executed section
+    p = p.split("== Initial Plan ==")[0]
+    return {
+        "hash_exchanges": p.count("Exchange hashpartitioning"),
+        "range_exchanges": p.count("Exchange rangepartitioning"),
+        "bhj": p.count("BroadcastHashJoin"),
+        "bnlj": p.count("BroadcastNestedLoopJoin"),
+        "smj": p.count("SortMergeJoin"),
+        "pushed": "PushedFilters: [" in p
+        and "PushedFilters: []" not in p.split("PushedFilters: [", 1)[0],
+        "has_pushed_nonempty": any(
+            seg.split("]")[0].strip() != ""
+            for seg in p.split("PushedFilters: [")[1:]
+        ),
+        "codegen": "*(" in p,
+        "scans": p.count("FileScan parquet"),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("plan-report")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("# SCALE — physical-plan facts per query (generated)")
+    print()
+    print(f"Extracted from executed (AQE-final) plans at `{sf_dir}` by")
+    print("`tools/plan_report.py`. Shuffle counts include the final")
+    print("presentation sort (range exchange) where the query has one;")
+    print("hash exchanges are the scale-relevant wide dependencies.")
+    print()
+    print("| query | scans | hash-shuffles | sort-shuffles | broadcast joins | SMJ | pushdown | codegen |")
+    print("|---|---|---|---|---|---|---|---|")
+    for name, q in sorted(all_queries().items()):
+        try:
+            a = analyze(q.fn(spark, sf_dir))
+        except Exception as exc:  # pragma: no cover
+            print(f"| {name} | error: {str(exc)[:40]} | | | | | | |")
+            continue
+        bj = a["bhj"] + a["bnlj"]
+        bj_s = f"{a['bhj']}H+{a['bnlj']}NL" if a["bnlj"] else str(a["bhj"])
+        print(
+            f"| {name} | {a['scans']} | {a['hash_exchanges']} "
+            f"| {a['range_exchanges']} | {bj_s} | {a['smj']} "
+            f"| {'yes' if a['has_pushed_nonempty'] else '—'} "
+            f"| {'yes' if a['codegen'] else '—'} |"
+        )
+    print()
+    print("""## Reading the table at 100 TB
+
+- **Hash shuffles are the cost that scales.** Almost every query is at
+  its theoretical minimum: one wide shuffle for its aggregation or
+  window, zero for narrow pipelines (`q_clean_pipeline`,
+  `q_slugify_key`, `q_text_stats`, `q_fingerprint`, `q_quality_score`,
+  `q_union_tag` — fully fused scan→project stages). `q6_forecast_revenue`
+  has none at all: predicates fold into the scan and the global agg
+  merges single partial rows.
+- **No fact-side shuffle joins against dimensions.** Every dim join is
+  broadcast (`q5` joins 3 dims with 4 broadcasts and still only 1 hash
+  shuffle, for its agg; `q3` the same with 2). SortMergeJoin appears
+  only where both sides are the same-size fact slices
+  (`q_fullouter_align`, `q_value_diff`) — exactly where SMJ is right,
+  and where `operators/bucketing.py` removes even that shuffle when the
+  snapshots are bucketed at rest.
+- **Non-equi joins broadcast the small side.** `q_range_join` and
+  `q_cosine_topk` are BroadcastNestedLoopJoin with 3-row / 3-row build
+  sides — linear in the fact, never quadratic.
+- **Multi-shuffle queries are multi-stage by semantics**, not waste:
+  `q_daily_rollup` (two shuffles from the exact count-distinct
+  two-phase rewrite), `q_salted_agg`
+  (salted partial + combine — the point of the operator), `q_ann_ivf`
+  (assignment argmax, probe ranking, final top-k), `q_corpus_pipeline`
+  (dedup window + final stats).
+- **Pushdown column**: `—` means the query reads all rows by design
+  (whole-table aggregations); every query with a row predicate shows
+  non-empty `PushedFilters`.
+- **Codegen is universal** — no Python in any hot path except the two
+  deliberately-Pandas queries (`q_pandas_cosine_topk`,
+  `q_media_features`), which use Arrow batches.
+- Sort-shuffles are the presentation `ORDER BY` the oracle comparison
+  needs; a production sink would drop them (or write
+  `sortWithinPartitions` for row-group locality instead).""")
+
+
+if __name__ == "__main__":
+    main()

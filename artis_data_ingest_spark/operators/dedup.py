@@ -344,3 +344,78 @@ def portable_minhash_candidates(
         )
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
+
+
+_PORTABLE_SIMHASH_BITS = 16
+_PORTABLE_SIMHASH_MOD = 65536  # low 16 bits of the rolling hash
+
+
+def portable_simhash(col: str | Column) -> Column:
+    """16-bit SimHash over whitespace tokens using the engine-portable
+    rolling hash (low 16 bits): per bit, majority vote of token-hash
+    bits. Cross-engine-deterministic twin of ``simhash64`` (xxhash64,
+    Spark-only) — same majority-vote construction, oracle-checkable."""
+    c = col if isinstance(col, Column) else F.col(col)
+    toks = F.filter(
+        F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != ""
+    )
+    hashes = F.transform(
+        toks, lambda t: portable_shingle_hash(t) % _PORTABLE_SIMHASH_MOD
+    )
+    n = F.size(hashes)
+
+    def _bit_test(i: int):
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    out = F.lit(0).cast("bigint")
+    for i in range(_PORTABLE_SIMHASH_BITS):
+        ones = F.size(F.filter(hashes, _bit_test(i)))
+        out = out + F.when(
+            ones * 2 > n, F.lit(2**i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return out
+
+
+def portable_simhash_candidates(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup candidates from the portable SimHash: byte-block the
+    16-bit signature (pairs share the high or the low byte — a pair
+    within hamming ``b`` of each other always agrees on one block when
+    its differing bits fall in the other), then exact hamming ≤
+    ``max_hamming`` verify. Returns (doc_id_a, doc_id_b, hamming)."""
+    sh = docs.select(
+        "doc_id", portable_simhash(text_col).alias("sig")
+    ).filter(
+        F.size(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        )
+        > 0
+    )
+    bands = F.array(
+        F.concat_ws("-", F.lit("hi"), F.shiftright("sig", 8).cast("string")),
+        F.concat_ws(
+            "-", F.lit("lo"), F.col("sig").bitwiseAND(F.lit(255)).cast("string")
+        ),
+    )
+    b = sh.select("doc_id", "sig", F.explode(bands).alias("band"))
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("x.sig").bitwiseXOR(F.col("y.sig"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -19,8 +19,11 @@ from ..functions.vectors import norm
 from ..operators.dedup import (
     _PORTABLE_P,
     _PORTABLE_PERMS,
+    _PORTABLE_SIMHASH_BITS,
+    _PORTABLE_SIMHASH_MOD,
     minhash_lsh_candidates,
     portable_minhash_candidates,
+    portable_simhash_candidates,
     simhash_candidates,
 )
 from ..operators.similarity import (
@@ -339,3 +342,59 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_candidates(docs).orderBy("doc_id_a", "doc_id_b")
+
+
+def _portable_simhash_oracle() -> str:
+    p, m = _PORTABLE_P, _PORTABLE_SIMHASH_MOD
+    bit_terms = "\n         + ".join(
+        f"CASE WHEN 2 * len(list_filter(hs, x -> ((x >> {i}) & 1) = 1)) > n"
+        f" THEN {2**i} ELSE 0 END"
+        for i in range(_PORTABLE_SIMHASH_BITS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, len(toks) AS n,
+         list_transform(toks, s ->
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % {p}) % {m}) AS hs
+  FROM t WHERE len(toks) > 0
+), sig AS (
+  SELECT doc_id,
+         ( {bit_terms} ) AS sig
+  FROM h
+), b AS (
+  SELECT doc_id, sig,
+         UNNEST(['hi-' || CAST(sig >> 8 AS VARCHAR),
+                 'lo-' || CAST(sig & 255 AS VARCHAR)]) AS band
+  FROM sig
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+         bit_count(CAST(xor(x.sig, y.sig) AS BIGINT)) AS hamming
+  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+)
+SELECT doc_id_a, doc_id_b, hamming
+FROM cand WHERE hamming <= 3
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+@register(
+    "q_simhash_portable",
+    oracle=_portable_simhash_oracle(),
+    doc="16-bit SimHash near-dup candidates with the engine-portable "
+    "rolling hash (majority bit-vote over token hashes, byte-block "
+    "candidate generation, exact hamming ≤ 3 verify) — the oracle-"
+    "checkable twin of the 64-bit xxhash64 `q_simhash_neardup` scale "
+    "path (SURVEY.md §2.11).",
+)
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return portable_simhash_candidates(docs).orderBy("doc_id_a", "doc_id_b")

@@ -90,3 +90,51 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     finally:
         q.stop()
     assert n == 50
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    # two micro-batches via two files: batch 1 advances event time far
+    # ahead; batch 2 delivers a row older than the watermark -> dropped
+    import datetime as dt
+    import time as _time
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "event_id long, ts timestamp, value double") \
+            .coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    write_batch("b1", [
+        (1, t0, 1.0),
+        (2, t0 + dt.timedelta(hours=2), 1.0),  # advances watermark to 1h45m
+    ])
+    schema = spark.read.parquet(str(src / "b1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = agg.writeStream.format("memory").queryName("t_late").outputMode("update").start()
+    try:
+        _await_done(q)
+        # late batch: a row at t0 + 10 min, far behind the watermark
+        write_batch("b2", [(3, t0 + dt.timedelta(minutes=10), 1.0)])
+        deadline = _time.time() + 60
+        while _time.time() < deadline and q.lastProgress is None:
+            _time.sleep(0.2)
+        q.processAllAvailable()
+        rows = {r.ws: r.n for r in spark.sql("SELECT * FROM t_late").collect()}
+    finally:
+        q.stop()
+    # the late row's 00:10 window must NOT appear; the on-time windows do
+    assert dt.datetime(2025, 1, 1, 0, 0) in rows
+    assert dt.datetime(2025, 1, 1, 2, 0) in rows
+    assert dt.datetime(2025, 1, 1, 0, 10) not in rows

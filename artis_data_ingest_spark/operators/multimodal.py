@@ -129,3 +129,114 @@ def synthetic_media(spark: SparkSession, n: int = 8) -> DataFrame:
         for i in range(n)
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _resize_stub(blob: bytes, width: int, height: int) -> bytes:
+    """STUB CODEC — deterministic fake resize. A real deployment does
+    Pillow ``Image.open(io.BytesIO(blob)).resize((w, h))`` here. The
+    fake tiles/truncates the byte stream to exactly w*h bytes so output
+    size is shape-correct for downstream batch-memory accounting."""
+    target = width * height
+    if not blob:
+        return bytes(target)
+    reps = -(-target // len(blob))
+    return (blob * reps)[:target]
+
+
+def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
+    """Resize images via Arrow-batched mapInPandas: binary in → binary
+    out with updated meta. Non-image rows pass through untouched. The
+    per-batch loop keeps peak executor memory at one Arrow batch of
+    media bytes (bound with spark.sql.execution.arrow.maxRecordsPerBatch
+    when rows are MB-scale)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_blobs, metas = [], []
+            for blob, kind, meta in zip(
+                pdf["content"], pdf["kind"], pdf["meta"]
+            ):
+                if kind == "image":
+                    out_blobs.append(_resize_stub(blob, width, height))
+                    metas.append(
+                        {
+                            "width": width,
+                            "height": height,
+                            "n_frames": meta["n_frames"],
+                            "sample_rate": meta["sample_rate"],
+                        }
+                    )
+                else:
+                    out_blobs.append(blob)
+                    metas.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": out_blobs,
+                    "meta": metas,
+                }
+            )
+
+    return media.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 4, frame_bytes: int = 16
+) -> DataFrame:
+    """Frame sampling for video rows: one input row fans out to
+    ``ceil(n_frames / every_n)`` frame rows (a flat-map, so mapInPandas
+    not a scalar UDF). The decode is stubbed — a real deployment uses
+    PyAV to seek + decode keyframes; the fake slices the byte stream
+    into fixed-width pseudo-frames. Exploding *before* any shuffle
+    keeps each output row small instead of moving whole videos."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, kind, blob in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != "video" or not blob:
+                    continue
+                n_frames = max(len(blob) // frame_bytes, 1)
+                for fi in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(
+                        blob[fi * frame_bytes:(fi + 1) * frame_bytes]
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(_sample, FRAME_SCHEMA)

@@ -30,3 +30,33 @@ def test_feature_extraction_deterministic(spark):
 def test_binary_column_dropped_from_features(spark):
     feats = extract_features(synthetic_media(spark, n=3))
     assert "content" not in feats.columns
+
+
+def test_resize_media_updates_images_only(spark):
+    from artis_data_ingest_spark.operators.multimodal import resize_media
+
+    media = synthetic_media(spark, n=9)
+    out = {r.media_id: r for r in resize_media(media, 8, 8).collect()}
+    src = {r.media_id: r for r in media.collect()}
+    assert set(out) == set(src)
+    for mid, r in out.items():
+        if r.kind == "image":
+            assert len(r.content) == 64
+            assert r.meta.width == 8 and r.meta.height == 8
+        else:
+            assert bytes(r.content) == bytes(src[mid].content)
+
+
+def test_sample_frames_fanout(spark):
+    from artis_data_ingest_spark.operators.multimodal import sample_frames
+
+    media = synthetic_media(spark, n=9)  # kinds cycle image/audio/video
+    frames = sample_frames(media, every_n=2, frame_bytes=16).collect()
+    vids = {r.media_id for r in media.collect() if r.kind == "video"}
+    assert {r.media_id for r in frames} == vids
+    # every sampled index is a multiple of the stride; frames are small
+    for r in frames:
+        assert r.frame_idx % 2 == 0
+        assert len(r.frame) <= 16
+    # fan-out: more frame rows than video rows
+    assert len(frames) > len(vids)

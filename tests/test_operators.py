@@ -138,3 +138,40 @@ def test_dataset_diff_detects_changes(spark):
 def test_tolerant_select_skips_missing(spark):
     df = spark.createDataFrame([(1, 2)], ["a", "b"])
     assert tolerant_select(df, ["b", "zzz", "a"]).columns == ["b", "a"]
+
+
+def test_lsh_and_ivf_recall_vs_brute_force(spark):
+    # approximate paths must recover most of the exact top-k: measure
+    # recall@3 of sign-bucket LSH and IVF against brute force
+    from artis_data_ingest_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    exact = topsets(brute_force_topk(emb, queries, k=3))
+    total = sum(len(exact[q]) for q in exact)
+
+    def recall(approx_df):
+        approx = topsets(approx_df)
+        return sum(len(exact[q] & approx.get(q, set())) for q in exact) / total
+
+    # IVF with nprobe=2 of 4 cells recovers the exact top-k here
+    assert recall(ivf_topk(emb, queries, k=3, n_centroids=4, nprobe=2)) >= 0.8
+    # sign-bucket LSH: recall/selectivity trade is monotone in n_bits —
+    # the synthetic embeddings are near-isotropic, so each extra sign
+    # bit halves the candidate set and sheds recall
+    r1 = recall(lsh_topk(emb, queries, k=3, n_bits=1))
+    r4 = recall(lsh_topk(emb, queries, k=3, n_bits=4))
+    assert r1 >= 0.5
+    assert r1 >= r4

@@ -152,3 +152,14 @@ def test_schema_diff_flat_values(spark):
         ("added", "mktsegment"),
         ("removed", "suppkey"),
     ]
+
+
+def test_ivf_no_corpus_self_join(spark):
+    # IVF candidate generation must never self-join the corpus: the
+    # only joins are broadcasts of centroids/probes and the equi-join
+    # assignment->corpus on vec_id
+    df = plans.queries()["q_ann_ivf"](spark, SF_DIR)
+    p = plan_str(df)
+    assert "CartesianProduct" not in p
+    # the two centroid cross joins are broadcast nested loops over K=4
+    assert p.count("BroadcastNestedLoopJoin") >= 1

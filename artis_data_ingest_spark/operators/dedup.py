@@ -419,3 +419,65 @@ def portable_simhash_candidates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list — the step
+    that turns near-dup candidate *pairs* into duplicate *clusters*
+    (SURVEY.md §2.11: 'connected components via iterative join').
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round, a node adopts the smallest label among itself and its
+    neighbors; stop at fixpoint (or ``max_iter``). Converges in
+    O(graph diameter) rounds — near-dup graphs are unions of small
+    cliques, so 2-3 rounds in practice. Each round is one join + one
+    aggregation on the node id; intermediate results are cached and
+    the previous iteration unpersisted, so lineage stays bounded.
+
+    Returns (node, cluster) where cluster is the component's min id.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+    ).cache()
+    sym = sym.cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(sym["a"].alias("node"))
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("nbr_cluster"), F.col("cluster")),
+                ).alias("cluster"),
+            )
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels

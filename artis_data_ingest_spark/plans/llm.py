@@ -386,6 +386,53 @@ ORDER BY doc_id_a, doc_id_b
 """
 
 
+def _dup_clusters_oracle() -> str:
+    # reuse the portable-minhash candidate CTEs, then close the pair
+    # graph transitively with a recursive CTE and label every node with
+    # its component's min id
+    base = _portable_minhash_oracle()
+    base = base[: base.rindex("SELECT x.doc_id")].rstrip()
+    return f"""{base},
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), sym AS (
+  SELECT a, b FROM cand UNION SELECT b, a FROM cand
+), reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+)
+SELECT node, cluster FROM (
+  SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+  FROM reach GROUP BY a
+)
+ORDER BY cluster, node
+"""
+
+
+@register(
+    "q_dup_clusters",
+    oracle="WITH RECURSIVE " + _dup_clusters_oracle().lstrip()[len("WITH "):],
+    doc="Near-dup clusters (SURVEY.md §2.11 connected components): the "
+    "portable-MinHash candidate pairs closed transitively — iterative "
+    "min-label propagation in Spark (one join+agg per round, converges "
+    "in O(component diameter)); recursive-CTE transitive closure in the "
+    "DuckDB oracle. Every candidate-pair member is labeled with its "
+    "component's min doc_id — the canonical id a dedup keep-policy "
+    "keys on.",
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import connected_components
+
+    edges = portable_minhash_candidates(docs).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    return connected_components(edges).orderBy("cluster", "node")
+
+
 @register(
     "q_simhash_portable",
     oracle=_portable_simhash_oracle(),

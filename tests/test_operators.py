@@ -175,3 +175,16 @@ def test_lsh_and_ivf_recall_vs_brute_force(spark):
     r4 = recall(lsh_topk(emb, queries, k=3, n_bits=4))
     assert r1 >= 0.5
     assert r1 >= r4
+
+
+def test_connected_components_known_graph(spark):
+    from artis_data_ingest_spark.operators.dedup import connected_components
+
+    # two components {1,2,3,4} (chain) and {10,11}; 20 isolated-by-edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], ["src", "dst"]
+    )
+    got = {
+        r.node: r.cluster for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}

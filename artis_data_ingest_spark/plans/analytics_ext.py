@@ -352,3 +352,44 @@ def q_value_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt — the inverse of the reference's pivot_wider (R1).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+SELECT o_orderkey, metric, value FROM (
+  UNPIVOT (SELECT o_orderkey,
+                  CAST(o_totalprice AS DOUBLE) AS totalprice,
+                  CAST(o_custkey AS DOUBLE) AS custkey
+           FROM orders)
+  ON totalprice, custkey INTO NAME metric VALUE value
+)
+ORDER BY o_orderkey, metric
+""",
+    doc="Unpivot/melt (inverse of the reference's pivot_wider, "
+    "SURVEY.md R1 family; R's pivot_longer): wide columns to "
+    "(key, metric, value) long form via Spark's native unpivot — a "
+    "narrow per-row expansion, no shuffle except the presentation "
+    "sort.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+        .unpivot(
+            ids=["o_orderkey"],
+            values=["totalprice", "custkey"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        .orderBy("o_orderkey", "metric")
+    )

@@ -163,3 +163,15 @@ def test_ivf_no_corpus_self_join(spark):
     assert "CartesianProduct" not in p
     # the two centroid cross joins are broadcast nested loops over K=4
     assert p.count("BroadcastNestedLoopJoin") >= 1
+
+
+def test_approx_distinct_error_bound(spark):
+    # HLL++ default rsd is 5%; assert the estimate lands within 10% of
+    # the exact count so a regression in the sketch path is caught
+    df = plans.queries()["q_approx_distinct"](spark, SF_DIR)
+    r = df.collect()[0]
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact_orders = li.select("l_orderkey").distinct().count()
+    exact_parts = li.select("l_partkey").distinct().count()
+    assert abs(r.approx_orders - exact_orders) / exact_orders < 0.10
+    assert abs(r.approx_parts - exact_parts) / exact_parts < 0.10

@@ -59,6 +59,11 @@ def main() -> int:
     argv = sys.argv[1:]
     sf_dir = argv[0] if argv and "/" in argv[0] else "/root/testdata/sf0.01"
     names = [a for a in argv if "/" not in a]
+    known = plans.all_queries()
+    unknown = [n for n in names if n not in known]
+    if unknown:
+        print(f"unknown queries: {unknown}; known: {sorted(known)}")
+        return 2
 
     con = duckdb.connect()
     for t in TABLES:

@@ -484,3 +484,47 @@ def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",  # "added" column
     )
     return dataset_diff(spark, old, new)
+
+
+_FAO_CSV = "/root/repo/data/fao_production_sample.csv"
+
+
+@register(
+    "q_csv_clean_prod",
+    oracle=f"""
+SELECT CAST(country AS BIGINT) AS country_iso3_numeric,
+       lower(species_name_en) AS CommonName,
+       regexp_replace(scientific_name, ' \\(\\=.*', '') AS SciName,
+       CAST(year AS BIGINT) AS year,
+       CAST(quantity AS DOUBLE) AS quantity
+FROM read_csv('{_FAO_CSV}', header=true)
+WHERE species_major_group NOT IN ('PLANTAE AQUATICAE')
+   OR species_major_group IS NULL
+ORDER BY country_iso3_numeric, CommonName, year
+""",
+    doc="CSV ingest with schema inference + the reference's clean_prod "
+    "transforms over a repo-shipped FAO-production-shaped fixture "
+    "(SURVEY.md S8 + assess_changes.qmd:279-325): rename to the ARTIS "
+    "names, lowercase common name, strip ' (=…' synonym suffixes "
+    "(qmd:318-321), era NOT-IN group filter with R null semantics "
+    "(qmd:300-315). Oracle reads the same file via DuckDB read_csv — "
+    "S8's inference path is value-checked, not just smoke-tested. "
+    "Explicit casts pin the inferred int widths across engines.",
+)
+def q_csv_clean_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.strings import strip_synonym_suffix
+    from ..operators.clean import not_in_keep_nulls
+    from ..sources.files import read_csv_inferred
+
+    df = read_csv_inferred(spark, _FAO_CSV)
+    return (
+        df.filter(not_in_keep_nulls("species_major_group", ["PLANTAE AQUATICAE"]))
+        .select(
+            F.col("country").cast("bigint").alias("country_iso3_numeric"),
+            F.lower("species_name_en").alias("CommonName"),
+            strip_synonym_suffix("scientific_name").alias("SciName"),
+            F.col("year").cast("bigint").alias("year"),
+            F.col("quantity").cast("double").alias("quantity"),
+        )
+        .orderBy("country_iso3_numeric", "CommonName", "year")
+    )

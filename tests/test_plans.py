@@ -175,3 +175,22 @@ def test_approx_distinct_error_bound(spark):
     exact_parts = li.select("l_partkey").distinct().count()
     assert abs(r.approx_orders - exact_orders) / exact_orders < 0.10
     assert abs(r.approx_parts - exact_parts) / exact_parts < 0.10
+
+
+def test_results_partitioning_independent(spark):
+    # the determinism engineering claim: results are bit-identical
+    # under different shuffle partitioning (decimal aggs, fold-exact
+    # cosines, deterministic tie-breaks) — rerun with a different
+    # runtime shuffle-partition count and compare collected rows
+    names = ["q1_pricing_summary", "q_corpus_pipeline", "q_cosine_topk"]
+    qs = plans.queries()
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        base = {n: [tuple(r) for r in qs[n](spark, SF_DIR).collect()] for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = {n: [tuple(r) for r in qs[n](spark, SF_DIR).collect()] for n in names}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    for n in names:
+        assert base[n] == alt[n], f"{n} differs across partitionings"

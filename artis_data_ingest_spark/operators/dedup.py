@@ -116,22 +116,37 @@ def minhash_signature(
     shingles: Column, n_hashes: int = 32
 ) -> Column:
     """MinHash signature: for each universal hash h_i, the min over the
-    shingle set of h_i(murmur3(shingle)). Pure higher-order functions —
-    one pass over the shingle array per hash, all JVM-side."""
-    base = F.transform(
-        shingles, lambda s: (F.abs(F.hash(s)) % _P).cast("bigint")
+    shingle set of h_i(murmur3(shingle)).
+
+    Single-pass construction: one fold over the shingle array carrying
+    all ``n_hashes`` running minimums as an array accumulator. The naive
+    form — ``n_hashes`` separate ``array_min(transform(base, ...))``
+    expressions — re-evaluates the murmur3 base array once *per hash*
+    (Catalyst does not CSE across higher-order-function lambdas), which
+    made the signature ~30x more expensive than necessary. Min is
+    commutative/associative, so the fold yields bit-identical values.
+    Empty shingle sets produce an all-null signature, matching the
+    naive form's ``array_min([]) = NULL``.
+    """
+    params = _perm_params(n_hashes)
+
+    # per shingle: murmur3 → the n_hashes permuted values, computed once
+    def _perms(s: Column) -> Column:
+        x = (F.abs(F.hash(s)) % _P).cast("bigint")
+        return F.array(
+            *[(x * F.lit(pa).cast("bigint") + pb) % _P for pa, pb in params]
+        )
+
+    init = F.array(*[F.lit(_P).cast("bigint")] * n_hashes)
+    folded = F.aggregate(
+        F.transform(shingles, _perms),
+        init,
+        lambda acc, arr: F.zip_with(acc, arr, lambda a, b: F.least(a, b)),
     )
-
-    def _perm(pa: int, pb: int):
-        # factory keeps the HOF lambda single-arg (PySpark infers arity
-        # from the Python signature); long math — x*pa peaks at ~2^62
-        return lambda x: (x * F.lit(pa).cast("bigint") + pb) % _P
-
-    mins = [
-        F.array_min(F.transform(base, _perm(pa, pb)))
-        for pa, pb in _perm_params(n_hashes)
-    ]
-    return F.array(*mins)
+    null_sig = F.array(
+        *[F.lit(None).cast("bigint")] * n_hashes
+    )
+    return F.when(F.size(shingles) > 0, folded).otherwise(null_sig)
 
 
 def minhash_lsh_candidates(
@@ -155,9 +170,12 @@ def minhash_lsh_candidates(
         "doc_id",
         char_shingles(text_col, k).alias("shingles"),
     ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+    # candidate generation moves only (doc_id, band, bucket) — the big
+    # shingle arrays would otherwise ride through the pair-explosion
+    # shuffle and its dedup exchange, dominating the job's IO; they are
+    # joined back afterwards, once, for the verify step
     banded = sh.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -169,7 +187,7 @@ def minhash_lsh_candidates(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "shingles", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -181,13 +199,26 @@ def minhash_lsh_candidates(
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
         )
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .distinct()
     )
+    shingle_tbl = sh.select("doc_id", "shingles")
     return (
-        cands.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cands.join(
+            shingle_tbl.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            on="doc_id_a",
+        )
+        .join(
+            shingle_tbl.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            on="doc_id_b",
+        )
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
@@ -292,18 +323,24 @@ def portable_minhash_signature(shingles: Column) -> Column:
     oracle-checkable end-to-end. The murmur3-based
     ``minhash_signature`` remains the scale path (JVM-native hashing,
     32 hashes); this is its cross-engine correctness twin."""
-    base = F.transform(shingles, portable_shingle_hash)
+    # single-pass fold (see minhash_signature): the rolling hash per
+    # shingle is computed once, not once per permutation
+    def _perms(s: Column) -> Column:
+        h = portable_shingle_hash(s)
+        return F.array(
+            *[(F.lit(a) * h + b) % _PORTABLE_P for a, b in _PORTABLE_PERMS]
+        )
 
-    def _perm(a: int, b: int):
-        # factory keeps the HOF lambda single-arg (PySpark infers arity
-        # from the Python signature — default args break it)
-        return lambda h: (F.lit(a) * h + b) % _PORTABLE_P
-
-    mins = [
-        F.array_min(F.transform(base, _perm(a, b)))
-        for a, b in _PORTABLE_PERMS
-    ]
-    return F.array(*mins)
+    n = len(_PORTABLE_PERMS)
+    init = F.array(*[F.lit(_PORTABLE_P).cast("bigint")] * n)
+    folded = F.aggregate(
+        F.transform(shingles, _perms),
+        init,
+        lambda acc, arr: F.zip_with(acc, arr, lambda a, b: F.least(a, b)),
+    )
+    return F.when(
+        F.size(shingles) > 0, folded
+    ).otherwise(F.array(*[F.lit(None).cast("bigint")] * n))
 
 
 def portable_minhash_candidates(

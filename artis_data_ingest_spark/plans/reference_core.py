@@ -528,3 +528,48 @@ def q_csv_clean_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("country_iso3_numeric", "CommonName", "year")
     )
+
+
+@register(
+    "q_xpath_links",
+    oracle="""
+SELECT href, COUNT(*) AS n FROM (
+  SELECT 'http://download.example/' || source || '.zip' AS href FROM documents
+  UNION ALL
+  SELECT '/bdd_modele/' || source || '.pdf' AS href FROM documents
+)
+GROUP BY href
+ORDER BY href
+""",
+    doc="XPath attribute extraction (SURVEY.md S2-S4, "
+    "scrape_newest_baci_data.R:23-29) exercised as a distributed SQL "
+    "function: each row synthesizes a well-formed HTML fragment with "
+    "two anchors inside the reference's //div[@id] section shape; "
+    "Spark's xpath() pulls //a/@href and explodes to rows. The oracle "
+    "derives the same hrefs by construction, so a parser regression "
+    "(dropped nodes, entity mangling, attribute-order sensitivity) "
+    "hash-mismatches. At 100 TB this is the per-page parse of a crawl "
+    "corpus — pure codegen'd expression, no UDF.",
+)
+def q_xpath_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><div id="telechargement"><a href="http://download.example/'),
+        F.col("source"),
+        F.lit('.zip">z</a><a href="/bdd_modele/'),
+        F.col("source"),
+        F.lit('.pdf">p</a></div></body></html>'),
+    )
+    from ..sources.html import extract_links
+
+    html_df = docs.select(html.alias("html"))
+    return (
+        extract_links(
+            spark,
+            html_df,
+            section_xpath='//div[@id="telechargement"]',
+        )
+        .groupBy("href")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("href")
+    )

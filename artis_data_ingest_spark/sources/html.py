@@ -39,9 +39,13 @@ def extract_links(
     search to a page section first (the reference anchors on
     ``//div[@id='telechargement']``, scrape_newest_baci_data.R:23)."""
     path = (section_xpath or "") + "//a/@href"
+    # call_function + lit keeps the xpath out of SQL-string space, so
+    # quotes in the expression can't break (or inject into) the parse
     return html_df.select(
         "*",
-        F.explode(F.expr(f"xpath({html_col}, '{path}')")).alias("href"),
+        F.explode(
+            F.call_function("xpath", F.col(html_col), F.lit(path))
+        ).alias("href"),
     ).drop(html_col)
 
 

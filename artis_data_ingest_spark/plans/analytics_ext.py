@@ -393,3 +393,121 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey", "metric")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-function family — W2 completeness.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rank_family",
+    oracle="""
+SELECT c_mktsegment,
+       c_custkey,
+       ROW_NUMBER()   OVER w AS rn,
+       RANK()         OVER w AS rnk,
+       DENSE_RANK()   OVER w AS drnk,
+       NTILE(4)       OVER w AS quartile,
+       round(PERCENT_RANK() OVER w, 6) AS prank
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey)
+ORDER BY c_mktsegment, c_custkey
+""",
+    doc="The full ranking-function family over one window spec "
+    "(SURVEY.md W2): row_number / rank / dense_rank / ntile / "
+    "percent_rank share a single shuffle+sort on the partition key — "
+    "Catalyst evaluates all five in one Window operator pass.",
+)
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    ).orderBy("c_mktsegment", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Schema-on-read JSON struct parse — from_json with explicit schema.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_json_struct",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="JSON-in-string parsed with an explicit schema (from_json → "
+    "struct, SURVEY.md §2.6 GAP fill beyond get_json_object): schema-"
+    "on-read is declared once, so Catalyst prunes the JSON parse to the "
+    "fields used and the downstream agg is over typed columns. At "
+    "100 TB prefer this over per-path get_json_object calls — one parse "
+    "per row, not one per path.",
+)
+def q_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T2
+
+    ev = load_table(spark, sf_dir, "events")
+    schema = T2.StructType([T2.StructField("k", T2.LongType())])
+    parsed = ev.select(
+        "event_type", F.from_json("props", schema).alias("p")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p.k").alias("sum_k"),
+            F.min("p.k").alias("min_k"),
+            F.max("p.k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Error-tolerant casts — malformed input at scale must null, not fail.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_try_cast",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(TRY_CAST(o_orderpriority AS BIGINT)) AS n_numeric_priority,
+       COUNT(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT))
+         AS n_numeric_prefix,
+       SUM(COALESCE(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT), 0))
+         AS sum_prefix
+FROM orders
+""",
+    doc="Error-tolerant parsing (try_cast): malformed values become "
+    "NULL instead of failing the job — the only sane semantics when one "
+    "bad record in 100 TB must not kill a 6-hour pipeline. Counts parse "
+    "successes of a non-numeric column vs its numeric prefix.",
+)
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    full = F.try_cast("o_orderpriority", "bigint") if hasattr(F, "try_cast") \
+        else F.expr("try_cast(o_orderpriority AS bigint)")
+    prefix = F.expr("try_cast(substring(o_orderpriority, 1, 1) AS bigint)")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(full).alias("n_numeric_priority"),
+        F.count(prefix).alias("n_numeric_prefix"),
+        F.sum(F.coalesce(prefix, F.lit(0))).alias("sum_prefix"),
+    )

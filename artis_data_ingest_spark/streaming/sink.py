@@ -45,3 +45,24 @@ def start_parquet_stream(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def compact_batches(
+    spark,
+    src: str,
+    dst: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Fold the sink's accumulated ``batch_id=N`` directories into a
+    properly partitioned table (the compaction job the docstring above
+    promises): read everything, drop the ingestion-batch column, and
+    rewrite via the partitioned writer. Run on a schedule, this bounds
+    small-file growth from frequent micro-batches; the sink keeps
+    accepting new batches into ``src`` meanwhile, and the next
+    compaction run picks them up (overwrite keeps the job idempotent).
+    """
+    from ..sinks.parquet import write_partitioned
+
+    df = spark.read.parquet(src).drop("batch_id")
+    write_partitioned(df, dst, partition_cols, sort_cols=sort_cols)

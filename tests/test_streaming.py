@@ -164,3 +164,35 @@ def test_foreachbatch_parquet_sink_idempotent(spark, tmp_path):
     batch0 = spark.createDataFrame(b0.collect(), b0.schema)
     batch_writer(out)(batch0, 0)
     assert spark.read.parquet(out).count() == 40
+
+
+def test_compact_batches_to_partitioned(spark, tmp_path):
+    from artis_data_ingest_spark.streaming.sink import (
+        compact_batches,
+        start_parquet_stream,
+    )
+
+    src = str(tmp_path / "c_src")
+    ev = load_table(spark, SF_DIR, "events").limit(60)
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    sink = str(tmp_path / "c_sink")
+    q = start_parquet_stream(
+        stream, sink, str(tmp_path / "c_ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    compacted = str(tmp_path / "c_table")
+    compact_batches(spark, sink, compacted, ["event_type"])
+    back = spark.read.parquet(compacted)
+    assert back.count() == 60
+    assert "batch_id" not in back.columns
+    import pathlib
+
+    dirs = [
+        p.name for p in pathlib.Path(compacted).iterdir()
+        if p.name.startswith("event_type=")
+    ]
+    assert len(dirs) == 5

@@ -133,3 +133,58 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_sequence_pack",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS n_toks
+  FROM documents
+), c AS (
+  SELECT doc_id, n_toks,
+         SUM(n_toks) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT (cum - n_toks) // 2048 AS pack_id,
+       COUNT(*) AS n_docs,
+       SUM(n_toks) AS total_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+ORDER BY pack_id
+""",
+    doc="Sequence packing (LLM-training-data step: concatenate short "
+    "documents into ~fixed-token-budget training rows): running token "
+    "count over a stable order assigns each doc to the 2048-token pack "
+    "its start position falls in. One window pass + one aggregation. "
+    "At 100 TB, pack within partition-local order (partitionBy a shard "
+    "key) so the prefix sum never serializes through a single ordered "
+    "window — the global-order form here is the oracle-checkable "
+    "reference semantics.",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", n_tokens("text").alias("n_toks"))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.withColumn("cum", F.sum("n_toks").over(w))
+    return (
+        c.select(
+            F.expr("(cum - n_toks) div 2048").alias("pack_id"),
+            "doc_id",
+            "n_toks",
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("pack_id")
+    )

@@ -61,16 +61,22 @@ def asof_join(
     ts: str,
     right_cols: list[str],
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, attach the most recent right row
-    (right.ts <= left.ts) with the same key.
+    """As-of join: for each left row, attach the nearest right row with
+    the same key — ``direction="backward"`` (default): most recent with
+    right.ts <= left.ts; ``direction="forward"``: next with
+    right.ts >= left.ts.
 
     Mechanics: tag both sides, union, sort within key by (ts, side)
-    — right rows sort before left rows at equal ts so "<=" semantics
-    hold — then carry the last non-null right payload forward with
+    — right rows sort before left rows at equal ts so the inclusive
+    comparison holds; forward mode traverses in descending ts — then
+    carry the last non-null right payload forward with
     ``last(..., ignorenulls=True)``. Left rows project their carried
     payload. One shuffle total (window partition), no inequality join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     lcols = left.columns
     l = left.select(
         *lcols, F.lit(1).alias("_side"),
@@ -86,9 +92,10 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
     )
     u = l.unionByName(r)
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .orderBy(ts_order, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
@@ -104,7 +111,12 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 1).drop("_side")
     if tolerance is not None:
-        within = F.col(ts).cast("double") - F.col("_asof_ts").cast("double") <= tolerance
+        gap = (
+            F.col(ts).cast("double") - F.col("_asof_ts").cast("double")
+            if direction == "backward"
+            else F.col("_asof_ts").cast("double") - F.col(ts).cast("double")
+        )
+        within = gap <= tolerance
         out = out.select(
             *lcols,
             *[

@@ -220,3 +220,52 @@ def q_era_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_asof_forward",
+    oracle=f"""
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.ts, '{_TS_FMT_SQL}') AS purchase_ts,
+       strftime(c.ts, '{_TS_FMT_SQL}') AS next_ts,
+       c.value AS next_value
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+ORDER BY event_id
+""",
+    doc="Forward as-of join (SURVEY.md J4): each purchase gets the "
+    "user's next click at-or-after it — the inverse traversal of "
+    "q_asof_join, same single-shuffle window mechanics (descending "
+    "carry). Oracle: DuckDB ASOF with the <= comparator.",
+)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        right_cols=["ts", "value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        F.date_format("asof_ts", _TS_FMT).alias("next_ts"),
+        F.col("asof_value").alias("next_value"),
+    ).orderBy("event_id")

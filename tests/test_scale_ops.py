@@ -205,3 +205,63 @@ def test_write_partitioned_salted_file_split(spark, tmp_path):
     )
     files = [f for f in d.iterdir() if f.name.endswith(".parquet")]
     assert 2 <= len(files) <= 3  # salt splits the directory's rows
+
+
+def test_aqe_splits_skewed_join(spark):
+    # build a pathologically skewed join (one key owns ~95% of rows) and
+    # lower the AQE skew thresholds so the splitter triggers at test
+    # scale; the executed plan must mark the sort-merge join as skew=true
+    old = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(2_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            (F.col("id") * 2).alias("w"),
+        )
+        joined = left.join(right, on="k").groupBy().count()
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_asof_forward_known_values(spark):
+    import datetime as dt
+
+    from artis_data_ingest_spark.operators.scale import asof_join
+
+    t = lambda m: dt.datetime(2025, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(10)), (1, t(30)), (2, t(5))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(20), 200.0), (2, t(1), 50.0)],
+        "k long, ts timestamp, value double",
+    )
+    out = {
+        (r.k, r.ts): r.asof_value
+        for r in asof_join(
+            left, right, key="k", ts="ts", right_cols=["value"],
+            direction="forward",
+        ).collect()
+    }
+    assert out[(1, t(10))] == 100.0   # equal ts matches (inclusive)
+    assert out[(1, t(30))] is None    # nothing after
+    assert out[(2, t(5))] is None     # right row is before, not after

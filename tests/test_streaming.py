@@ -196,3 +196,25 @@ def test_compact_batches_to_partitioned(spark, tmp_path):
         if p.name.startswith("event_type=")
     ]
     assert len(dirs) == 5
+
+
+def test_sliding_stream_matches_batch(spark, tmp_path):
+    from artis_data_ingest_spark.streaming.windows import sliding_agg
+
+    stream = _events_stream(spark, tmp_path)
+    q = run_stream_to_memory(
+        sliding_agg(with_watermark(stream)), "t_sliding", mode="update"
+    )
+    try:
+        _await_done(q)
+        got = {
+            r.window_start: r.n_events
+            for r in spark.sql("SELECT * FROM t_sliding").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        r.window_start: r.n_events
+        for r in sliding_agg(load_table(spark, SF_DIR, "events")).collect()
+    }
+    assert got == batch

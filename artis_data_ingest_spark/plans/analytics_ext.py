@@ -511,3 +511,87 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(prefix).alias("n_numeric_prefix"),
         F.sum(F.coalesce(prefix, F.lit(0))).alias("sum_prefix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Latest-state per key — event log → current-state table (SCD-1 shape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_latest_per_key",
+    oracle="""
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id
+""",
+    doc="Current-state table from an event log (SCD-1 upsert "
+    "semantics): latest row per key by (ts, unique id) — the standard "
+    "compaction an ingest pipeline runs to materialize mutable state "
+    "from an append-only log. One window shuffle on the key; at "
+    "100 TB this is the max_by/deduplicate step after every CDC load.",
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching — edit distance (the reference's country/species
+# name-matching problem class).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_fuzzy_match",
+    oracle="""
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name) AS dist
+FROM nation a JOIN nation b
+  ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 4
+ORDER BY name_a, name_b
+""",
+    doc="Fuzzy entity matching via Levenshtein distance over the "
+    "nation dimension (the reference's country/species set-difference "
+    "reporting, assess_changes.qmd:335-351, upgraded from exact to "
+    "approximate matching). Dimension-sized self-join — fine broadcast; "
+    "at corpus scale, block first (q_minhash_portable-style) and "
+    "edit-distance only candidates.",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.alias("a")
+    b = nation.alias("b")
+    return (
+        a.join(b, F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_name").alias("name_a"),
+            F.col("b.n_name").alias("name_b"),
+            F.levenshtein(F.col("a.n_name"), F.col("b.n_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 4)
+        .orderBy("name_a", "name_b")
+    )

@@ -595,3 +595,109 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 4)
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi + range interval join — J4's scalable hash-join-with-residual shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_interval_join",
+    oracle=f"""
+WITH s AS (
+  SELECT event_id AS signup_id, user_id, ts
+  FROM events WHERE event_type = 'signup'
+)
+SELECT s.signup_id,
+       COUNT(*) AS n_events,
+       {oracle_dsum('e.value', 'sum_value')}
+FROM s
+JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts >= s.ts
+ AND e.ts <  s.ts + INTERVAL 7 DAY
+ AND e.event_id <> s.signup_id
+GROUP BY s.signup_id
+ORDER BY s.signup_id
+""",
+    doc="Interval join with an equality key (SURVEY.md J4): each "
+    "user's activity in the 7 days after each of their signup events. "
+    "The equi key makes this a plain hash join with the time range as "
+    "a residual filter — the shape to prefer at 100 TB over pure range "
+    "joins whenever any equality exists (one key shuffle, no interval "
+    "explosion).",
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    return (
+        ev.join(
+            s,
+            (F.col("user_id") == F.col("s_user"))
+            & (F.col("ts") >= F.col("s_ts"))
+            & (F.col("ts") < F.col("s_ts") + F.expr("INTERVAL 7 DAY"))
+            & (F.col("event_id") != F.col("signup_id")),
+        )
+        .groupBy("signup_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+        )
+        .orderBy("signup_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex group extraction — the reference's version-suffix pattern (F3).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_extract_version",
+    oracle="""
+WITH f AS (
+  SELECT p_partkey,
+         p_name || '_V' || CAST(202400 + p_partkey % 13 AS VARCHAR)
+           || CASE WHEN p_partkey % 3 = 0 THEN 'a' ELSE '' END
+           || '.csv' AS fname
+  FROM part
+)
+SELECT regexp_extract(fname, '_V(\\d{6,7})([a-z]*)', 1) AS version,
+       COUNT(*) AS n_files,
+       MIN(p_partkey) AS first_part
+FROM f
+GROUP BY 1
+ORDER BY version
+""",
+    doc="Regex group extraction (SURVEY.md F3's version suffix, "
+    "assess_changes.qmd:90, inverted: capture the version instead of "
+    "stripping it): synthesized versioned filenames, group-1 extract, "
+    "count per release — the 'which snapshot version am I looking at' "
+    "question the reference's changelog answers by hand.",
+)
+def q_extract_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    fname = F.concat(
+        F.col("p_name"),
+        F.lit("_V"),
+        (F.lit(202400) + F.col("p_partkey") % 13).cast("string"),
+        F.when(F.col("p_partkey") % 3 == 0, "a").otherwise(""),
+        F.lit(".csv"),
+    )
+    return (
+        part.select(
+            "p_partkey",
+            F.regexp_extract(fname, r"_V(\d{6,7})([a-z]*)", 1).alias("version"),
+        )
+        .groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.min("p_partkey").alias("first_part"),
+        )
+        .orderBy("version")
+    )

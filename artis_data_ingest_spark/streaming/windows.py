@@ -89,3 +89,34 @@ def run_stream_to_memory(
         .outputMode(mode)
         .start()
     )
+
+
+def interval_join_streams(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "15 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase
+    joins the same user's clicks in the preceding ``max_gap``. Both
+    sides carry watermarks and the join condition bounds event time on
+    both sides, so Spark can expire join state — the requirement for an
+    unbounded stream-stream join to run with finite memory. Works
+    identically on batch inputs (watermarks are no-ops there).
+    """
+    p = purchases.select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    ).withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap}")),
+    ).select("p_id", "p_user", "p_ts", "c_ts", "click_value")

@@ -218,3 +218,39 @@ def test_sliding_stream_matches_batch(spark, tmp_path):
         for r in sliding_agg(load_table(spark, SF_DIR, "events")).collect()
     }
     assert got == batch
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    from artis_data_ingest_spark.streaming.windows import (
+        interval_join_streams,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ss_src")
+    ev.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def stream():
+        return spark.readStream.schema(schema).parquet(src)
+
+    p_s = stream().filter(F.col("event_type") == "purchase")
+    c_s = stream().filter(F.col("event_type") == "click")
+    q = run_stream_to_memory(
+        interval_join_streams(p_s, c_s), "t_ssjoin", mode="append"
+    )
+    try:
+        _await_done(q)
+        got = {
+            (r.p_id, r.c_ts) for r in spark.sql("SELECT * FROM t_ssjoin").collect()
+        }
+    finally:
+        q.stop()
+    batch = interval_join_streams(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    expected = {(r.p_id, r.c_ts) for r in batch.collect()}
+    # static input + processAllAvailable -> nothing is late; stream
+    # output must equal the batch join exactly
+    assert got == expected
+    assert len(expected) > 0

@@ -316,3 +316,50 @@ def q_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "q_date_spine",
+    oracle=f"""
+WITH spine AS (
+  SELECT CAST(d AS TIMESTAMP) AS day
+  FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01',
+                       INTERVAL 1 DAY) AS t(d)
+), daily AS (
+  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT strftime(s.day, '{_TS_FMT_SQL}') AS day,
+       COALESCE(d.n, 0) AS n_events
+FROM spine s LEFT JOIN daily d USING (day)
+ORDER BY day
+""",
+    doc="Time-series gap filling via a generated date spine "
+    "(F.sequence + explode): a complete calendar joined to daily "
+    "counts, absent days coalesced to zero — reporting over sparse "
+    "event data must not silently skip empty days. The spine is tiny "
+    "and broadcast; the aggregation is the only fact-side shuffle.",
+)
+def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("timestamp"),
+                F.lit("2024-02-01").cast("timestamp"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, on="day", how="left")
+        .select(
+            F.date_format("day", _TS_FMT).alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("day")
+    )

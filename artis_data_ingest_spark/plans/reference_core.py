@@ -573,3 +573,40 @@ def q_xpath_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("href")
     )
+
+
+@register(
+    "q_union_evolved",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderpriority, refund_reason
+FROM (
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 100 = 0
+  UNION ALL BY NAME
+  SELECT o_orderkey, o_totalprice,
+         'returned' AS refund_reason
+  FROM orders WHERE o_orderkey % 100 = 50
+)
+ORDER BY o_orderkey
+""",
+    doc="Schema-evolution union (unionByName allowMissingColumns): two "
+    "snapshot slices whose schemas diverged — one gained refund_reason, "
+    "the other kept o_orderpriority — align by column name with NULLs "
+    "for absent fields. This is the reference's added/removed-columns "
+    "situation (assess_changes.qmd:151-158) at the data level: at "
+    "100 TB, schema evolution across partition vintages must union "
+    "without rewriting old data.",
+)
+def q_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    new = orders.filter(F.col("o_orderkey") % 100 == 50).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit("returned").alias("refund_reason"),
+    )
+    return old.unionByName(new, allowMissingColumns=True).orderBy(
+        "o_orderkey"
+    )

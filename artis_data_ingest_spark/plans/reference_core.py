@@ -610,3 +610,55 @@ def q_union_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     return old.unionByName(new, allowMissingColumns=True).orderBy(
         "o_orderkey"
     )
+
+
+_SNAP_OLD = "/root/repo/data/snapshots/old"
+_SNAP_NEW = "/root/repo/data/snapshots/new"
+
+
+@register(
+    "q_changelog_files",
+    oracle=f"""
+WITH old AS (
+  SELECT {standardize_key_sql('filename')} AS files_std,
+         size / 1000000.0 AS size_old_mb
+  FROM read_blob('{_SNAP_OLD}/*.csv')
+), new AS (
+  SELECT {standardize_key_sql('filename')} AS files_std,
+         size / 1000000.0 AS size_new_mb
+  FROM read_blob('{_SNAP_NEW}/*.csv')
+)
+SELECT files_std,
+       old.size_old_mb IS NOT NULL AS exists_in_old,
+       new.size_new_mb IS NOT NULL AS exists_in_new,
+       old.size_old_mb,
+       new.size_new_mb,
+       CASE WHEN old.size_old_mb IS NOT NULL AND new.size_new_mb IS NOT NULL
+            THEN new.size_new_mb - old.size_old_mb END AS size_change_mb
+FROM old FULL OUTER JOIN new USING (files_std)
+ORDER BY files_std
+""",
+    doc="The reference's flagship file-level changelog end-to-end over "
+    "real snapshot directories shipped in-repo (assess_changes.qmd "
+    "stages 1-3: binaryFile inventory → standardized key → full-outer "
+    "align → existence flags → size deltas). The fixture reproduces the "
+    "reference's actual cases: a pair matched across a rename "
+    "('filtered_' prefix dropped, version bumped) with a size change, "
+    "one removed file, one added file. Oracle lists the same "
+    "directories via DuckDB read_blob and derives the identical key.",
+)
+def q_changelog_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.changelog import file_level_log
+
+    return (
+        file_level_log(spark, _SNAP_OLD, _SNAP_NEW, name_regex=r"(?i)\.csv$")
+        .select(
+            "files_std",
+            "exists_in_old",
+            "exists_in_new",
+            "size_old_mb",
+            "size_new_mb",
+            "size_change_mb",
+        )
+        .orderBy("files_std")
+    )

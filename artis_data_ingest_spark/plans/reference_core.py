@@ -662,3 +662,55 @@ def q_changelog_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("files_std")
     )
+
+
+_PAIR_OLD = f"{_SNAP_OLD}/filtered_Global_Production_Quantity_V202301.csv"
+_PAIR_NEW = f"{_SNAP_NEW}/Global_Production_Quantity_V202401a.csv"
+
+
+@register(
+    "q_changelog_pair_diff",
+    oracle=f"""
+WITH oldc AS (
+  SELECT column_name FROM (DESCRIBE SELECT * FROM read_csv('{_PAIR_OLD}', header=true))
+), newc AS (
+  SELECT column_name FROM (DESCRIBE SELECT * FROM read_csv('{_PAIR_NEW}', header=true))
+), added AS (
+  SELECT column_name FROM newc EXCEPT SELECT column_name FROM oldc
+), removed AS (
+  SELECT column_name FROM oldc EXCEPT SELECT column_name FROM newc
+)
+SELECT
+  (SELECT COUNT(*) FROM read_csv('{_PAIR_OLD}', header=true)) AS nrow_old,
+  (SELECT COUNT(*) FROM read_csv('{_PAIR_NEW}', header=true)) AS nrow_new,
+  (SELECT COUNT(*) FROM read_csv('{_PAIR_NEW}', header=true))
+    - (SELECT COUNT(*) FROM read_csv('{_PAIR_OLD}', header=true)) AS row_diff,
+  (SELECT COUNT(*) FROM added) AS n_added_cols,
+  (SELECT COUNT(*) FROM removed) AS n_removed_cols,
+  COALESCE((SELECT string_agg(column_name, ',' ORDER BY column_name)
+            FROM added), '') AS added_cols,
+  COALESCE((SELECT string_agg(column_name, ',' ORDER BY column_name)
+            FROM removed), '') AS removed_cols
+""",
+    doc="The reference's compare_files deep diff (assess_changes.qmd:"
+    "127-176, changelog stage 5) over the rename-matched snapshot pair: "
+    "row counts and delta from full reads, added/removed column sets "
+    "from inferred schemas — dataset_diff's driver-orchestrated "
+    "metadata op, value-checked against DuckDB reading and describing "
+    "the same CSVs independently.",
+)
+def q_changelog_pair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.files import read_csv_inferred
+
+    old = read_csv_inferred(spark, _PAIR_OLD)
+    new = read_csv_inferred(spark, _PAIR_NEW)
+    d = dataset_diff(spark, old, new)
+    return d.select(
+        "nrow_old",
+        "nrow_new",
+        "row_diff",
+        F.size("added_cols").cast("bigint").alias("n_added_cols"),
+        F.size("removed_cols").cast("bigint").alias("n_removed_cols"),
+        F.array_join(F.array_sort("added_cols"), ",").alias("added_cols"),
+        F.array_join(F.array_sort("removed_cols"), ",").alias("removed_cols"),
+    )

@@ -25,13 +25,23 @@ from ..functions.textstats import fingerprint
 
 
 def char_shingles(col: str | Column, k: int = 3) -> Column:
-    """Distinct character k-grams of the lowercased text."""
+    """Distinct character k-grams of the lowercased text.
+
+    Texts shorter than ``k`` (including empty/null) yield an EMPTY array:
+    without the guard, ``sequence(1, length-k+1)`` evaluates
+    ``sequence(1, 0)`` which Spark renders as the *descending* ``[1, 0]``
+    — producing phantom shingles for short texts and diverging from the
+    DuckDB oracle's empty list (its ``range(1, n)`` is empty for n ≤ 1).
+    """
     c = F.lower(col if isinstance(col, Column) else F.col(col))
-    return F.array_distinct(
+    shingled = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(0))),
+            F.sequence(F.lit(1), F.length(c) - (k - 1)),
             lambda i: c.substr(i, F.lit(k)),
         )
+    )
+    return F.when(F.length(c) >= k, shingled).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -59,35 +69,44 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
     k: int = 3,
-    bucket_col: str = "lang",
-    max_id_gap: int = 3,
+    min_jaccard: float = 0.5,
 ) -> DataFrame:
-    """Candidate-bounded pairwise n-gram Jaccard.
+    """N-gram Jaccard near-dup pairs with *content-based* blocking.
 
-    Candidates: same ``bucket_col`` value and doc_id within
-    ``max_id_gap`` — a stand-in for a real blocking key that keeps the
-    join linear instead of quadratic. The verify step (exact Jaccard on
-    shingle sets) is the part every near-dup tier shares.
+    Candidates come from the portable-MinHash LSH band buckets (docs
+    sharing any band of the 8-hash signature) — a real similarity block
+    that finds near-dup pairs at arbitrary doc_id distance, unlike the
+    earlier doc_id-adjacency stand-in which only ever compared
+    consecutively-loaded rows.  Verification is exact Jaccard on the
+    character-shingle sets, keeping pairs with ``jaccard >=
+    min_jaccard``.  Candidate generation is one explode + one equi
+    self-join on the band key (linear, no O(N²) pair space); the wide
+    shingle arrays join back only for the verify step.
     """
     sh = docs.select(
-        F.col("doc_id"),
-        F.col(bucket_col).alias("bucket"),
-        char_shingles(text_col, k).alias("shingles"),
+        F.col("doc_id"), char_shingles(text_col, k).alias("shingles")
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    cands = portable_minhash_candidates(docs, text_col, k).select(
+        "doc_id_a", "doc_id_b"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("b.doc_id") > F.col("a.doc_id"))
-            & (F.col("b.doc_id") <= F.col("a.doc_id") + max_id_gap),
+        cands.join(
+            sh.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            on="doc_id_a",
         )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            jaccard(F.col("a.shingles"), F.col("b.shingles")).alias("jaccard"),
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            on="doc_id_b",
         )
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_id_a", "doc_id_b", "jaccard")
     )
 
 
@@ -463,6 +482,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected edge list — the step
     that turns near-dup candidate *pairs* into duplicate *clusters*
@@ -473,10 +493,25 @@ def connected_components(
     neighbors; stop at fixpoint (or ``max_iter``). Converges in
     O(graph diameter) rounds — near-dup graphs are unions of small
     cliques, so 2-3 rounds in practice. Each round is one join + one
-    aggregation on the node id; intermediate results are cached and
-    the previous iteration unpersisted, so lineage stays bounded.
+    aggregation on the node id.
+
+    Lineage is truncated every round with ``localCheckpoint`` — NOT
+    merely cached: ``labels`` feeds the next round twice (neighbor
+    lookup + keep-own-label), so the *logical plan* doubles per
+    iteration and by ~10 rounds the driver OOMs just stringifying the
+    plan tree, cache or no cache. Checkpointing makes each round's plan
+    O(1). (``localCheckpoint`` stores to executor block managers; on a
+    cluster with lossy executors configure a reliable checkpoint dir
+    and swap in ``checkpoint`` — same shape, durable storage.)
 
     Returns (node, cluster) where cluster is the component's min id.
+
+    Convergence is explicit: if the labels have not reached a fixpoint
+    after ``max_iter`` rounds, ``strict=True`` (default) raises
+    RuntimeError rather than silently returning partially-propagated
+    labels; ``strict=False`` returns the non-converged labels (callers
+    that only need *a* canonical representative per round, e.g.
+    incremental re-clustering, can opt in).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -487,8 +522,9 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("cluster", F.col("node"))
-    ).cache()
-    sym = sym.cache()
+    ).localCheckpoint()
+    sym = sym.localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -504,7 +540,7 @@ def connected_components(
                     F.coalesce(F.col("nbr_cluster"), F.col("cluster")),
                 ).alias("cluster"),
             )
-        ).cache()
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="node")
@@ -512,9 +548,14 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    sym.unpersist()
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter or pass "
+            "strict=False to accept partially-propagated labels"
+        )
     return labels

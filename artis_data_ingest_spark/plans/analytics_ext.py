@@ -445,7 +445,8 @@ def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -491,8 +492,9 @@ SELECT COUNT(*) AS n_rows,
        COUNT(TRY_CAST(o_orderpriority AS BIGINT)) AS n_numeric_priority,
        COUNT(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT))
          AS n_numeric_prefix,
-       SUM(COALESCE(TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT), 0))
-         AS sum_prefix
+       CAST(SUM(COALESCE(
+              TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT), 0))
+            AS BIGINT) AS sum_prefix
 FROM orders
 """,
     doc="Error-tolerant parsing (try_cast): malformed values become "

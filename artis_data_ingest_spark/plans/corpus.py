@@ -95,7 +95,7 @@ WITH t AS (
 )
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_toks) AS total_tokens,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS first_doc_id
 FROM d WHERE rn = 1
 GROUP BY source
@@ -144,13 +144,13 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, n_toks,
-         SUM(n_toks) OVER (ORDER BY doc_id
-                           ROWS UNBOUNDED PRECEDING) AS cum
+         CAST(SUM(n_toks) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
   FROM t
 )
 SELECT (cum - n_toks) // 2048 AS pack_id,
        COUNT(*) AS n_docs,
-       SUM(n_toks) AS total_tokens,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM c
@@ -187,4 +187,73 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
         .orderBy("pack_id")
+    )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "q_sequence_pack_sharded",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         doc_id % {_N_SHARDS} AS shard,
+         len(string_split_regex(trim(text), '\\s+')) AS n_toks
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, n_toks,
+         CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM t
+)
+SELECT shard,
+       (cum - n_toks) // 2048 AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY 1, 2
+ORDER BY shard, pack_id
+""",
+    doc="Scale-safe sequence packing: the running token count is "
+    "partitioned by a deterministic shard key (doc_id mod "
+    f"{_N_SHARDS}), so each shard's prefix sum runs in its own window "
+    "partition — Spark's plan shows a hash exchange on shard and NO "
+    "single-partition global sort, unlike q_sequence_pack whose "
+    "global-order window serializes 100 TB through one reducer (that "
+    "form is kept as the oracle-reference semantics). Pack boundaries "
+    "are shard-local, which is exactly how a real training-data job "
+    "packs: any stable sharding works because packs never need to span "
+    "shards. At cluster scale, set the shard count to O(executors).",
+)
+def q_sequence_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _N_SHARDS).alias("shard"),
+        n_tokens("text").alias("n_toks"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_toks").over(w))
+    return (
+        c.select(
+            "shard",
+            F.expr("(cum - n_toks) div 2048").alias("pack_id"),
+            "doc_id",
+            "n_toks",
+        )
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "pack_id")
     )

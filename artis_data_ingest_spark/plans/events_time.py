@@ -86,7 +86,8 @@ def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k
 FROM events
 GROUP BY 1
 ORDER BY k_mod

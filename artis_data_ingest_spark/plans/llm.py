@@ -386,12 +386,19 @@ ORDER BY doc_id_a, doc_id_b
 """
 
 
+def portable_minhash_ctes() -> str:
+    """The shared WITH-chain (shingles → rolling hashes → signature →
+    band keys) of the portable-MinHash oracle, for composition by the
+    cluster / jaccard-verify oracles."""
+    base = _portable_minhash_oracle()
+    return base[: base.rindex("SELECT x.doc_id")].rstrip()
+
+
 def _dup_clusters_oracle() -> str:
     # reuse the portable-minhash candidate CTEs, then close the pair
     # graph transitively with a recursive CTE and label every node with
     # its component's min id
-    base = _portable_minhash_oracle()
-    base = base[: base.rindex("SELECT x.doc_id")].rstrip()
+    base = portable_minhash_ctes()
     return f"""{base},
 cand AS (
   SELECT x.doc_id AS a, y.doc_id AS b

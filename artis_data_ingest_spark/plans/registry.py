@@ -27,6 +27,65 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
+# The external correctness driver checks at most ~50 queries per round, in
+# the order ``queries()`` yields them.  To get every registered query a hard
+# driver signal across rounds, names listed here are yielded FIRST (in this
+# order); the rest follow in definition order.  Round 2 front-loads the 33
+# queries the r1 driver never reached plus the 5 whose oracles were re-typed
+# (CAST(SUM(...) AS BIGINT)) and this round's new queries, so CORRECTNESS_r02
+# covers everything CORRECTNESS_r01 could not.
+_PRIORITY: list[str] = [
+    # round-2 new / re-typed oracles — need a fresh driver verdict
+    "q_sequence_pack_sharded",
+    "q_excel_clean",
+    "q_ngram_jaccard",
+    "q_file_inventory",
+    "q_json_struct",
+    "q_try_cast",
+    "q_json_extract",
+    "q_corpus_pipeline",
+    "q_sequence_pack",
+    # driver-unchecked in round 1 (registry positions 51..83)
+    "q_notin_filter",
+    "q_clean_pipeline",
+    "q_dataset_diff",
+    "q_csv_clean_prod",
+    "q_xpath_links",
+    "q_union_evolved",
+    "q_changelog_files",
+    "q_changelog_pair_diff",
+    "q_salted_agg",
+    "q_asof_join",
+    "q_token_freq",
+    "q_argminmax",
+    "q_monthly_orders",
+    "q_era_branch",
+    "q_asof_forward",
+    "q_text_stats",
+    "q_quality_score",
+    "q_lang_stats",
+    "q_langid_confusion",
+    "q_dedup_exact",
+    "q_fingerprint",
+    "q1_pricing_summary",
+    "q5_revenue_by_region",
+    "q_grouped_agg",
+    "q_semi_join",
+    "q_anti_join",
+    "q_topk_window",
+    "q_rollup",
+    "q_cube",
+    "q_approx_distinct",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+]
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in _PRIORITY if n in _REGISTRY]
+    rest = [n for n in _REGISTRY if n not in set(head)]
+    return head + rest
+
 
 def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = False):
     """Decorator registering a query under ``name``."""
@@ -41,16 +100,20 @@ def register(name: str, oracle: str | None = None, doc: str = "", bench: bool = 
 
 
 def queries() -> dict[str, QueryFn]:
-    return {n: q.fn for n, q in _REGISTRY.items()}
+    return {n: _REGISTRY[n].fn for n in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {n: q.oracle for n, q in _REGISTRY.items() if q.oracle is not None}
+    return {
+        n: _REGISTRY[n].oracle
+        for n in _ordered_names()
+        if _REGISTRY[n].oracle is not None
+    }
 
 
 def all_queries() -> dict[str, Query]:
-    return dict(_REGISTRY)
+    return {n: _REGISTRY[n] for n in _ordered_names()}
 
 
 def bench_queries() -> dict[str, QueryFn]:
-    return {n: q.fn for n, q in _REGISTRY.items() if q.bench}
+    return {n: _REGISTRY[n].fn for n in _ordered_names() if _REGISTRY[n].bench}

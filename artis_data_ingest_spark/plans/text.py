@@ -25,6 +25,7 @@ from ..functions.textstats import (
 )
 from ..operators.dedup import exact_dedup, ngram_jaccard_pairs
 from ..sources.tables import load_table
+from .llm import portable_minhash_ctes
 from .registry import register
 
 
@@ -92,7 +93,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
 FROM documents
 GROUP BY lang
@@ -189,29 +190,31 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_ngram_jaccard",
-    oracle="""
-WITH sh AS (
-  SELECT doc_id, lang AS bucket,
-         list_distinct([substring(lower(text), i, 3)
-                        for i in range(1, greatest(length(text) - 1, 1))])
-           AS shingles
-  FROM documents
+    oracle=f"""{portable_minhash_ctes()},
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.doc_id AS doc_id_a,
-       b.doc_id AS doc_id_b,
-       len(list_intersect(a.shingles, b.shingles))
-         / (len(a.shingles) + len(b.shingles)
-            - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-FROM sh a
-JOIN sh b
-  ON a.bucket = b.bucket
- AND b.doc_id > a.doc_id
- AND b.doc_id <= a.doc_id + 3
+SELECT doc_id_a, doc_id_b, jaccard FROM (
+  SELECT c.a AS doc_id_a, c.b AS doc_id_b,
+         len(list_intersect(sa.shingles, sb.shingles))
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b
+)
+WHERE jaccard >= 0.5
 ORDER BY doc_id_a, doc_id_b
 """,
-    doc="Candidate-bounded 3-gram Jaccard similarity (SURVEY.md §2.11 "
-    "near-dup verify step): shingle sets via higher-order transform, "
-    "linear blocked self-join instead of O(N²) cross join.",
+    doc="3-gram Jaccard near-dup pairs with content-based blocking "
+    "(SURVEY.md §2.11): candidates from the portable-MinHash LSH band "
+    "buckets (pairs found at arbitrary doc_id distance — a real "
+    "similarity block, not id adjacency), verified with exact shingle-"
+    "set Jaccard >= 0.5. Linear candidate generation; the wide shingle "
+    "arrays stay out of the candidate shuffle and join back once for "
+    "the verify step.",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

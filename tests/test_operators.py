@@ -188,3 +188,61 @@ def test_connected_components_known_graph(spark):
         r.node: r.cluster for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_nonconvergence(spark):
+    from artis_data_ingest_spark.operators.dedup import connected_components
+
+    # a 9-node chain has diameter 8: min-label propagation moves the
+    # 0-label one hop per round, so max_iter=2 cannot reach a fixpoint
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["src", "dst"]
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(chain, max_iter=2)
+    # strict=False returns the partial labels instead of raising
+    partial = connected_components(chain, max_iter=2, strict=False)
+    assert partial.count() == 9
+    # with enough rounds the chain converges to a single component
+    got = {
+        r.node: r.cluster
+        for r in connected_components(chain, max_iter=10).collect()
+    }
+    assert got == {i: 0 for i in range(9)}
+
+
+def test_char_shingles_short_text(spark):
+    from artis_data_ingest_spark.operators.dedup import char_shingles
+
+    df = spark.createDataFrame(
+        [("", ), ("ab",), ("abc",), ("abcd",), (None,)], ["t"]
+    )
+    out = [r[0] for r in df.select(char_shingles("t", 3)).collect()]
+    # shorter than k (and null) => EMPTY set, never phantom shingles
+    assert out == [[], [], ["abc"], ["abc", "bcd"], []]
+
+
+def test_ngram_jaccard_finds_distant_neardup(spark):
+    from artis_data_ingest_spark.operators.dedup import ngram_jaccard_pairs
+
+    # near-identical docs at doc_id 1 vs 500 — an id-adjacency block
+    # would never compare them; the LSH band block must pair them up
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (500, base + " ok"),
+            (2, "completely different text about spark catalyst plans"),
+            (250, "yet another unrelated document body mentioning ducks"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    assert (1, 500) in pairs
+    assert pairs[(1, 500)] >= 0.9
+    assert all(a == 1 and b == 500 for (a, b) in pairs)

@@ -3,19 +3,33 @@
 Runs every registered query on Spark and its oracle SQL on DuckDB over
 the same parquet fixtures, then compares row count, column names, and an
 order-insensitive value hash (columns sorted by name, rows sorted by
-stringified tuple). Usage:
+stringified tuple).
+
+Both sides are fetched through the pandas/arrow path (``df.toPandas()``
+for Spark, ``res.df()`` for DuckDB) to reproduce the driver's type
+coercion: DuckDB ``SUM(BIGINT)`` yields HUGEINT which pandas renders as
+float64, so an oracle that forgets ``CAST(... AS BIGINT)`` hashes
+``498223.0`` against Spark's ``498223`` and fails — exactly as it does
+on the driver.  The previous ``fetchall()`` path returned Python ints
+and silently masked that class of bug (CORRECTNESS_r01's 5 failures).
+
+Usage:
 
     python tools/check_oracle.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
 
+import datetime as dt
 import hashlib
+import math
 import sys
 import time
 from pathlib import Path
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 _REPO = str(Path(__file__).resolve().parent.parent)
 if _REPO not in sys.path:
@@ -27,19 +41,38 @@ from artis_data_ingest_spark.sources.tables import TABLES  # noqa: E402
 
 
 def _norm_cell(v) -> str:
-    if v is None:
+    # Missing values: None, NaN, NaT, pd.NA all hash identically — the
+    # pandas fetch turns SQL NULL in numeric columns into NaN, so NaN
+    # must equal Spark's None.
+    if v is None or v is pd.NaT:
         return "<NULL>"
-    if isinstance(v, float):
-        # repr keeps full double precision; -0.0 normalized
-        if v == 0.0:
-            v = 0.0
-        return repr(v)
-    if isinstance(v, bool):
+    if isinstance(v, float):  # covers np.float64 (subclass)
+        f = float(v)
+        if math.isnan(f):
+            return "<NULL>"
+        if f == 0.0:
+            f = 0.0
+        return repr(f)
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, (bool, np.bool_)):
         return str(bool(v))
     if isinstance(v, bytes):
         return v.hex()
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_norm_cell(x) for x in v.tolist()) + "]"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, (pd.Timestamp, dt.datetime)):
+        # DuckDB DATE comes back as midnight Timestamp while Spark
+        # returns datetime.date — render both as the bare date.
+        s = str(v)
+        return s[:10] if s.endswith(" 00:00:00") else s
+    try:
+        if pd.isna(v):  # pd.NA and friends
+            return "<NULL>"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
@@ -53,6 +86,10 @@ def _hash_rows(cols: list[str], rows: list[tuple]) -> str:
         h.update(line.encode())
         h.update(b"\x02")
     return h.hexdigest()
+
+
+def _pandas_rows(pdf: pd.DataFrame) -> list[tuple]:
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
 
 def main() -> int:
@@ -76,16 +113,19 @@ def main() -> int:
     targets = names or list(registry)
 
     n_pass = n_fail = n_rows_only = 0
+    failed: list[str] = []
     for name in targets:
         q = registry[name]
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = _pandas_rows(spdf)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
+            failed.append(name)
             continue
         if q.oracle is None:
             print(f"ROWS  {name}: {len(srows)} rows (rows-only) "
@@ -93,12 +133,13 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
-            res = con.execute(q.oracle)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(q.oracle).df()
+            ocols = list(opdf.columns)
+            orows = _pandas_rows(opdf)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             n_fail += 1
+            failed.append(name)
             continue
         problems = []
         if len(srows) != len(orows):
@@ -128,11 +169,14 @@ def main() -> int:
             for p in problems[1:]:
                 print(f"      {p}")
             n_fail += 1
+            failed.append(name)
         else:
             print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if failed:
+        print("failed: " + " ".join(failed))
     return 1 if n_fail else 0
 
 

@@ -455,19 +455,37 @@ def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Dataset diff (U1) — rows-only: schema introspection isn't expressible
-# in the oracle's SQL over the same views.
+# Dataset diff (U1).  The registered projection flattens the library
+# op's array/struct columns (array_join / formatted strings) because
+# the external driver canonicalizes results through pandas sort_values,
+# which cannot hash list cells (CORRECTNESS_r02 'unhashable type').
+# The column/type deltas are deterministic by construction, so the
+# oracle pins them as literals and derives only the row counts from
+# data — a full hash-match instead of the old rows-only verdict.
 # ---------------------------------------------------------------------------
 
 
 @register(
     "q_dataset_diff",
-    oracle=None,
+    oracle="""
+WITH o AS (SELECT COUNT(*) AS n FROM customer WHERE c_custkey % 11 <> 0),
+     n AS (SELECT COUNT(*) AS n FROM customer)
+SELECT o.n AS nrow_old,
+       n.n AS nrow_new,
+       n.n - o.n AS row_diff,
+       4 AS ncol_old,
+       4 AS ncol_new,
+       'c_nationkey' AS added_cols,
+       'c_mktsegment' AS removed_cols,
+       'c_acctbal:float->double' AS type_changes
+FROM o, n
+""",
     doc="Driver-orchestrated dataset diff (compare_files, "
     "assess_changes.qmd:127-176): row counts, added/removed columns, "
     "per-column type changes between an 'old' (projected/retyped) and "
-    "'new' view of customer. Rows-only: metadata ops are not "
-    "SQL-expressible over the oracle views.",
+    "'new' view of customer, flattened to driver-safe scalar columns. "
+    "Oracle recomputes the counts from the same view and pins the "
+    "construction-determined schema deltas.",
 )
 def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
@@ -483,7 +501,25 @@ def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         "c_nationkey",  # "added" column
     )
-    return dataset_diff(spark, old, new)
+    return dataset_diff(spark, old, new).select(
+        "nrow_old",
+        "nrow_new",
+        "row_diff",
+        "ncol_old",
+        "ncol_new",
+        F.array_join(F.array_sort("added_cols"), ",").alias("added_cols"),
+        F.array_join(F.array_sort("removed_cols"), ",").alias("removed_cols"),
+        F.array_join(
+            F.transform(
+                "type_changes",
+                lambda t: F.concat_ws(
+                    "", t["column"], F.lit(":"), t["old_type"],
+                    F.lit("->"), t["new_type"],
+                ),
+            ),
+            ",",
+        ).alias("type_changes"),
+    )
 
 
 _FAO_CSV = "/root/repo/data/fao_production_sample.csv"

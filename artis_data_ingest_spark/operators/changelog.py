@@ -65,6 +65,22 @@ def comparable_pairs(log: DataFrame) -> DataFrame:
     )
 
 
+def default_pair_reader(spark: SparkSession, path: str) -> DataFrame:
+    """Per-extension dispatch mirroring the reference's ``compare_files``
+    reader choice (assess_changes.qmd:127-139): ``fread`` for csv,
+    ``read_xlsx(skip = 1)`` for xlsx.  Anything else is a loud error —
+    ``comparable_pairs`` only admits csv-csv / xlsx-xlsx pairs, so an
+    unknown extension here means a caller bug, not data."""
+    lower = path.lower()
+    if lower.endswith(".csv"):
+        return read_csv_inferred(spark, path)
+    if lower.endswith((".xlsx", ".xls")):
+        from ..sources.excel import read_excel
+
+        return read_excel(spark, path, skip_rows=1)
+    raise ValueError(f"no reader for file extension of {path!r}")
+
+
 def assess_changes(
     spark: SparkSession,
     old_dir: str,
@@ -78,7 +94,7 @@ def assess_changes(
     dataset_diff struct columns flattened beside the key (the
     reference's ``unnest_wider(comparison)``, qmd:182-185).
     """
-    reader = reader or (lambda p: read_csv_inferred(spark, p))
+    reader = reader or (lambda p: default_pair_reader(spark, p))
     log = file_level_log(spark, old_dir, new_dir, name_regex)
     pairs = comparable_pairs(log).select("files_std", "old", "new").collect()
 

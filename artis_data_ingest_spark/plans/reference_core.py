@@ -566,6 +566,128 @@ def q_csv_clean_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_E2E_OLD = "/root/repo/data/snapshots_e2e/old"
+_E2E_NEW = "/root/repo/data/snapshots_e2e/new"
+_E2E_TWINS = "/root/repo/data/snapshots_e2e/twins"
+
+
+def _pair_diff_block(key_expr: str, old_read: str, new_read: str) -> str:
+    """One self-contained SELECT reproducing compare_files for a pair —
+    counts from full reads, added/removed column sets via DESCRIBE +
+    EXCEPT (same shape as the q_changelog_pair_diff oracle)."""
+    oldc = f"SELECT column_name FROM (DESCRIBE SELECT * FROM {old_read})"
+    newc = f"SELECT column_name FROM (DESCRIBE SELECT * FROM {new_read})"
+    added = f"{newc} EXCEPT {oldc}"
+    removed = f"{oldc} EXCEPT {newc}"
+    return f"""
+SELECT {key_expr} AS files_std,
+  (SELECT COUNT(*) FROM {old_read}) AS nrow_old,
+  (SELECT COUNT(*) FROM {new_read}) AS nrow_new,
+  (SELECT COUNT(*) FROM {new_read})
+    - (SELECT COUNT(*) FROM {old_read}) AS row_diff,
+  (SELECT COUNT(*) FROM ({added})) AS n_added_cols,
+  (SELECT COUNT(*) FROM ({removed})) AS n_removed_cols,
+  COALESCE((SELECT string_agg(column_name, ',' ORDER BY column_name)
+            FROM ({added})), '') AS added_cols,
+  COALESCE((SELECT string_agg(column_name, ',' ORDER BY column_name)
+            FROM ({removed})), '') AS removed_cols
+"""
+
+
+@register(
+    "q_changelog_e2e",
+    oracle=f"""
+SELECT * FROM (
+{_pair_diff_block(
+    standardize_key_sql("'Trade_Flows_V202401a.csv'"),
+    f"read_csv('{_E2E_OLD}/filtered_Trade_Flows_V202301.csv', header=true)",
+    f"read_csv('{_E2E_NEW}/Trade_Flows_V202401a.csv', header=true)",
+)}
+UNION ALL
+{_pair_diff_block(
+    standardize_key_sql("'Species_Map_V202401.xlsx'"),
+    f"read_csv('{_E2E_TWINS}/Species_Map_old_twin.csv', header=true)",
+    f"read_csv('{_E2E_TWINS}/Species_Map_new_twin.csv', header=true)",
+)}
+)
+ORDER BY files_std
+""",
+    doc="The reference's assess_changes pipeline end-to-end "
+    "(assess_changes.qmd stages 1-5) over a committed 3-pair snapshot "
+    "tree: a rename-matched csv pair (column added, rows added), an "
+    "xlsx pair read by the stdlib parser with skip=1 (column removed, "
+    "rows added), and a csv-vs-xlsx format-mismatched pair that "
+    "comparable_pairs must EXCLUDE (qmd:117-123) — hence exactly two "
+    "output rows. Oracle recomputes each pair's deep diff in DuckDB: "
+    "the csv pair from the snapshot files themselves, the xlsx pair "
+    "from committed CSV twins (independent decode path).",
+)
+def q_changelog_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.changelog import assess_changes
+
+    _log, pair_diffs = assess_changes(spark, _E2E_OLD, _E2E_NEW)
+    return (
+        pair_diffs.select(
+            "files_std",
+            "nrow_old",
+            "nrow_new",
+            "row_diff",
+            F.size("added_cols").cast("bigint").alias("n_added_cols"),
+            F.size("removed_cols").cast("bigint").alias("n_removed_cols"),
+            F.array_join(F.array_sort("added_cols"), ",").alias("added_cols"),
+            F.array_join(F.array_sort("removed_cols"), ",").alias("removed_cols"),
+        )
+        .orderBy("files_std")
+    )
+
+
+_FAO_XLSX = "/root/repo/data/excel/fao_production_V202401.xlsx"
+_FAO_XLSX_TWIN = "/root/repo/data/excel/fao_production_V202401_twin.csv"
+
+
+@register(
+    "q_excel_clean",
+    oracle=f"""
+SELECT CAST(country AS BIGINT) AS country_iso3_numeric,
+       lower(species_name_en) AS CommonName,
+       regexp_replace(scientific_name, ' \\(\\=.*', '') AS SciName,
+       CAST(year AS BIGINT) AS year,
+       CAST(quantity AS DOUBLE) AS quantity
+FROM read_csv('{_FAO_XLSX_TWIN}', header=true)
+WHERE species_major_group NOT IN ('PLANTAE AQUATICAE')
+   OR species_major_group IS NULL
+ORDER BY country_iso3_numeric, CommonName, year
+""",
+    doc="Excel ingest (S9, ``read_xlsx(file, skip = 1)``, "
+    "assess_changes.qmd:131-138) via the stdlib zipfile+ElementTree "
+    "parser — no openpyxl — over a committed FAO-production-shaped "
+    ".xlsx with a title banner row (hence skip_rows=1), then the same "
+    "clean_prod transforms as q_csv_clean_prod: rename, lowercase "
+    "common name, strip ' (=…' synonym suffixes, era NOT-IN filter "
+    "with R null semantics. Oracle reads a committed CSV twin of the "
+    "workbook through DuckDB — a fully independent decode path, so a "
+    "cell-decode or type-inference bug in the xlsx parser "
+    "hash-mismatches.",
+)
+def q_excel_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.strings import strip_synonym_suffix
+    from ..operators.clean import not_in_keep_nulls
+    from ..sources.excel import read_excel
+
+    df = read_excel(spark, _FAO_XLSX, skip_rows=1)
+    return (
+        df.filter(not_in_keep_nulls("species_major_group", ["PLANTAE AQUATICAE"]))
+        .select(
+            F.col("country").cast("bigint").alias("country_iso3_numeric"),
+            F.lower("species_name_en").alias("CommonName"),
+            strip_synonym_suffix("scientific_name").alias("SciName"),
+            F.col("year").cast("bigint").alias("year"),
+            F.col("quantity").cast("double").alias("quantity"),
+        )
+        .orderBy("country_iso3_numeric", "CommonName", "year")
+    )
+
+
 @register(
     "q_xpath_links",
     oracle="""

@@ -72,3 +72,41 @@ def test_assess_changes_deep_diff(spark, snapshots):
     assert d.nrow_old == 2 and d.nrow_new == 3 and d.row_diff == 1
     assert d.added_cols == ["method"] and d.removed_cols == []
     assert d.type_changes == []
+
+
+def test_assess_changes_xlsx_pair_dispatch(spark, tmp_path):
+    # mirrors assess_changes.qmd:127-139 — the reader dispatches per
+    # extension: fread for csv, read_xlsx(skip=1) for xlsx
+    from artis_data_ingest_spark.sources.excel import write_minimal_xlsx
+
+    old = tmp_path / "old"
+    new = tmp_path / "new"
+    old.mkdir()
+    new.mkdir()
+    write_minimal_xlsx(
+        str(old / "Species_map_V202301.xlsx"),
+        [["banner"], ["code", "name"], [1, "cod"], [2, "shrimp"]],
+    )
+    write_minimal_xlsx(
+        str(new / "Species_map_V202401.xlsx"),
+        [["banner"], ["code", "group"], [1, "fish"], [2, "crust"], [3, "fish"]],
+    )
+    _, diffs = assess_changes(spark, str(old), str(new))
+    d = diffs.collect()[0]
+    assert d.files_std == "species_map"
+    assert d.nrow_old == 2 and d.nrow_new == 3
+    assert d.added_cols == ["group"] and d.removed_cols == ["name"]
+
+
+def test_assess_changes_e2e_fixture_tree(spark):
+    # committed 3-pair tree: csv pair + xlsx pair compared, the
+    # csv-vs-xlsx mismatched pair excluded (qmd:117-123)
+    _, diffs = assess_changes(
+        spark,
+        "/root/repo/data/snapshots_e2e/old",
+        "/root/repo/data/snapshots_e2e/new",
+    )
+    by_key = {r.files_std: r for r in diffs.collect()}
+    assert set(by_key) == {"trade_flows", "species_map"}
+    assert by_key["species_map"].removed_cols == ["species_major_group"]
+    assert by_key["trade_flows"].added_cols == ["flag"]

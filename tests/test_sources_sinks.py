@@ -12,7 +12,10 @@ from artis_data_ingest_spark.sources.archives import (
     list_zip_members,
     read_zipped_csv,
 )
-from artis_data_ingest_spark.sources.excel import read_excel
+from artis_data_ingest_spark.sources.excel import (
+    read_excel,
+    write_minimal_xlsx,
+)
 from artis_data_ingest_spark.sources.files import (
     file_inventory,
     list_files,
@@ -77,20 +80,48 @@ def test_zip_members_and_csv(spark, tmp_path):
     assert got == [("x", 1), ("y", 2), ("z", 3)]
 
 
-def test_excel_gated(spark, tmp_path):
-    # openpyxl absent in this container → clear NotImplementedError;
-    # if present, the reader must work end-to-end.
-    try:
-        import openpyxl  # noqa: F401
+def test_excel_roundtrip_types_and_nulls(spark, tmp_path):
+    # stdlib writer → stdlib reader; no openpyxl anywhere
+    path = tmp_path / "book.xlsx"
+    write_minimal_xlsx(
+        str(path),
+        [
+            ["TITLE BANNER — skipped"],
+            ["name", "n", "ratio", "ok"],
+            ["alpha & <co>", 1, 1.5, True],
+            ["beta", 2, None, False],
+            [None, 3, 2.25, None],
+        ],
+    )
+    df = read_excel(spark, str(path), skip_rows=1)
+    assert dict(df.dtypes) == {
+        "name": "string", "n": "bigint", "ratio": "double", "ok": "boolean",
+    }
+    rows = sorted(df.collect(), key=lambda r: r.n)
+    assert rows[0].name == "alpha & <co>" and rows[0].ok is True
+    assert rows[1].ratio is None and rows[1].ok is False
+    assert rows[2].name is None and rows[2].ratio == 2.25
 
-        have = True
-    except ImportError:
-        have = False
-    if not have:
-        with pytest.raises(NotImplementedError):
-            read_excel(spark, str(tmp_path / "x.xlsx"))
-    else:  # pragma: no cover - env-dependent
-        pytest.skip("openpyxl present; covered by integration envs")
+
+def test_excel_skip_rows_zero_and_file_uri(spark, tmp_path):
+    path = tmp_path / "plain.xlsx"
+    write_minimal_xlsx(str(path), [["a", "b"], ["x", 10], ["y", 20]])
+    df = read_excel(spark, f"file:{path}", skip_rows=0)
+    assert sorted((r.a, r.b) for r in df.collect()) == [("x", 10), ("y", 20)]
+
+
+def test_excel_committed_fixture(spark):
+    # the fixture the q_excel_clean oracle twins against
+    df = read_excel(
+        spark, "/root/repo/data/excel/fao_production_V202401.xlsx",
+        skip_rows=1,
+    )
+    assert df.count() == 8
+    assert dict(df.dtypes)["quantity"] == "double"
+    assert dict(df.dtypes)["country"] == "bigint"
+    assert (
+        df.filter(df.species_major_group.isNull()).count() == 1
+    )  # the NULL-group row the era filter must keep
 
 
 _HTML = """

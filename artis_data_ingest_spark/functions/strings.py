@@ -32,9 +32,12 @@ def strip_prefix(col: str | Column, prefix: str = "filtered_") -> Column:
 
 
 def strip_version(col: str | Column) -> Column:
-    """F3 — drop ``_V######[a-z]*`` release-version suffixes
-    (assess_changes.qmd:90)."""
-    return F.regexp_replace(_c(col), r"_V\d{6,7}[a-z]*", "")
+    """F3 — drop the FIRST ``_V######[a-z]*`` release-version substring
+    (assess_changes.qmd:90).  R's ``str_remove`` replaces only the
+    first occurrence; Spark's ``regexp_replace`` replaces all, so the
+    pattern captures the remainder of the string and re-emits it —
+    one leftmost match, later version-like substrings untouched."""
+    return F.regexp_replace(_c(col), r"_V\d{6,7}[a-z]*(.*)$", "$1")
 
 
 def strip_extension(col: str | Column) -> Column:
@@ -63,7 +66,8 @@ def standardize_key(col: str | Column) -> Column:
 def standardize_key_sql(expr: str) -> str:
     b = f"regexp_extract({expr}, '([^/]*)$', 1)"
     s = f"regexp_replace({b}, '^filtered_', '')"
-    s = f"regexp_replace({s}, '_V\\d{{6,7}}[a-z]*', '', 'g')"
+    # no 'g' flag: first occurrence only, matching str_remove / F3
+    s = f"regexp_replace({s}, '_V\\d{{6,7}}[a-z]*', '')"
     s = f"regexp_replace({s}, '\\.[a-zA-Z0-9]+$', '')"
     s = f"regexp_replace({s}, '[^a-zA-Z0-9]', '_', 'g')"
     return f"lower({s})"

@@ -100,7 +100,8 @@ def q_scraper_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH inv AS (
   SELECT p_partkey,
     'data/raw/filtered_' || p_name ||
-      CASE WHEN p_partkey % 3 = 0 THEN '_V2024015b.xlsx'
+      CASE WHEN p_partkey % 5 = 0 THEN '_V202301_backup_V202401a.csv'
+           WHEN p_partkey % 3 = 0 THEN '_V2024015b.xlsx'
            ELSE '_V202401a.csv' END AS full_path
   FROM part
 )
@@ -117,12 +118,16 @@ ORDER BY p_partkey
 )
 def q_slugify_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
+    # %5 branch: TWO version-like substrings — str_remove drops only
+    # the first, so '_backup_v202401a' must survive in the key
     full_path = F.concat(
         F.lit("data/raw/filtered_"),
         F.col("p_name"),
-        F.when(F.col("p_partkey") % 3 == 0, F.lit("_V2024015b.xlsx")).otherwise(
-            F.lit("_V202401a.csv")
-        ),
+        F.when(
+            F.col("p_partkey") % 5 == 0, F.lit("_V202301_backup_V202401a.csv")
+        )
+        .when(F.col("p_partkey") % 3 == 0, F.lit("_V2024015b.xlsx"))
+        .otherwise(F.lit("_V202401a.csv")),
     )
     return (
         part.select("p_partkey", full_path.alias("full_path"))

@@ -23,16 +23,39 @@ from ..sources.tables import load_table
 from .registry import register
 
 
+# The external driver always runs oracles at sf0.01, so the filesystem
+# oracle pins that directory; the Spark side honors whatever sf_dir the
+# caller passes (bench and entry still scale).
+_SF001_DIR = "/root/testdata/sf0.01"
+
+
+def _file_inventory_oracle() -> str:
+    from ..functions.strings import standardize_key_sql
+
+    return f"""
+SELECT regexp_extract(filename, '([^/]*)$', 1) AS files,
+       size / 1000000.0 AS size_mb,
+       {standardize_key_sql('filename')} AS files_std
+FROM read_blob('{_SF001_DIR}/*.parquet')
+ORDER BY files_std
+"""
+
+
 @register(
     "q_file_inventory",
-    oracle=None,
+    oracle=_file_inventory_oracle(),
     doc="binaryFile-based recursive inventory of the sf_dir itself "
-    "(S5-S7): path, basename, size_mb, standardized key. Rows-only: "
-    "the oracle has no filesystem relation.",
+    "(S5-S7): basename, size_mb, standardized key. Oracle re-lists the "
+    "same directory via DuckDB read_blob and derives the identical key "
+    "— sizes, names, and key derivation all value-checked (full_path "
+    "is projected out: Spark's file: URI scheme vs DuckDB's bare path "
+    "is presentation, not data).",
 )
 def q_file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return file_inventory(spark, sf_dir, name_regex=r"(?i)\.parquet$").orderBy(
-        "files_std"
+    return (
+        file_inventory(spark, sf_dir, name_regex=r"(?i)\.parquet$")
+        .select("files", "size_mb", "files_std")
+        .orderBy("files_std")
     )
 
 

@@ -354,16 +354,46 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_distinct",
-    oracle=None,
-    doc="HLL++ approx_count_distinct over lineitem keys (SURVEY.md A2 scale "
-    "path). Rows-only: HLL estimates are engine-specific.",
+    oracle="""
+SELECT COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_suppkey) AS exact_suppliers,
+       TRUE AS orders_within_tol,
+       TRUE AS parts_within_tol
+FROM lineitem
+""",
+    doc="HLL++ approx_count_distinct over lineitem keys (SURVEY.md A2 "
+    "scale path). The HLL estimates themselves are engine-specific, so "
+    "the query emits exact counts plus |approx-exact|/exact < 0.1 "
+    "verdicts (rsd=0.02, 5-sigma headroom; the sketch is deterministic "
+    "for fixed data) — the oracle hash-matches exact counts and "
+    "literal TRUE bounds, turning the HLL path into a hard signal "
+    "instead of a rows-only check.",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+
+    def _within(approx, exact):
+        rel = F.abs(approx.cast("double") / exact.cast("double") - 1.0)
+        return rel < 0.1
+
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.countDistinct("l_suppkey").alias("exact_suppliers"),
+    )
+    return agg.select(
+        "exact_orders",
+        "exact_parts",
+        "exact_suppliers",
+        _within(F.col("a_orders"), F.col("exact_orders")).alias(
+            "orders_within_tol"
+        ),
+        _within(F.col("a_parts"), F.col("exact_parts")).alias(
+            "parts_within_tol"
+        ),
     )
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textstats import fingerprint
+from .scale import spread_cpu_bound
 
 
 def char_shingles(col: str | Column, k: int = 3) -> Column:
@@ -82,7 +83,15 @@ def ngram_jaccard_pairs(
     min_jaccard``.  Candidate generation is one explode + one equi
     self-join on the band key (linear, no O(N²) pair space); the wide
     shingle arrays join back only for the verify step.
+
+    Recall is probabilistic, bounded by the LSH stage: only pairs
+    sharing at least one of the 4 bands (8 hashes) are candidates, so
+    a borderline true pair can be missed (~68% band-collision
+    probability at jaccard=0.5; rises steeply above it).  Callers
+    needing exhaustive ``>= min_jaccard`` output must widen the
+    signature/bands, not treat this as exact.
     """
+    docs = spread_cpu_bound(docs)
     sh = docs.select(
         F.col("doc_id"), char_shingles(text_col, k).alias("shingles")
     )
@@ -185,7 +194,7 @@ def minhash_lsh_candidates(
     corpus size; only colliding candidates reach the verify join.
     """
     rows = n_hashes // bands
-    sh = docs.select(
+    sh = spread_cpu_bound(docs).select(
         "doc_id",
         char_shingles(text_col, k).alias("shingles"),
     ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
@@ -290,7 +299,7 @@ def simhash_candidates(
     """SimHash near-dup candidates: block on the top ``prefix_bits`` of
     the signature (near-dups usually agree on high bits), then verify
     hamming distance ≤ ``max_hamming`` within blocks."""
-    sig = docs.select(
+    sig = spread_cpu_bound(docs).select(
         "doc_id", simhash64(text_col).alias("sig")
     ).withColumn("blk", F.shiftrightunsigned("sig", 64 - prefix_bits))
     a, b = sig.alias("a"), sig.alias("b")
@@ -371,7 +380,8 @@ def portable_minhash_candidates(
     count. One explode + one equi-self-join on the band key — linear
     candidate generation, no corpus cross join."""
     sh = (
-        docs.select("doc_id", char_shingles(text_col, k).alias("shingles"))
+        spread_cpu_bound(docs)
+        .select("doc_id", char_shingles(text_col, k).alias("shingles"))
         .filter(F.size("shingles") > 0)  # empty text has no signature
         .withColumn("sig", portable_minhash_signature(F.col("shingles")))
     )
@@ -440,7 +450,7 @@ def portable_simhash_candidates(
     within hamming ``b`` of each other always agrees on one block when
     its differing bits fall in the other), then exact hamming ≤
     ``max_hamming`` verify. Returns (doc_id_a, doc_id_b, hamming)."""
-    sh = docs.select(
+    sh = spread_cpu_bound(docs).select(
         "doc_id", portable_simhash(text_col).alias("sig")
     ).filter(
         F.size(

@@ -25,6 +25,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def spread_cpu_bound(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input is under-partitioned for
+    CPU-bound expression work (heavy per-row folds like MinHash
+    signatures).
+
+    A small parquet file arrives as one input split (below
+    ``spark.sql.files.maxPartitionBytes``), so an expensive projection
+    runs on one core no matter how many executors exist — at sf0.1 that
+    made the portable-MinHash signature 16× slower than the cluster
+    could go.  The driver-side partition probe is metadata-only; when
+    the scan already has ≥ default parallelism splits (the 100 TB case)
+    this is a no-op and adds no exchange.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_agg(
     df: DataFrame,
     key: str,

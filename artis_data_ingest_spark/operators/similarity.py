@@ -152,31 +152,160 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    quant: int = 1_000_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column, fully
+    deterministic and cross-engine reproducible.
+
+    * init — the ``k`` lowest-vec_id vectors (no RNG; kmeans++ would
+      need a seeded sampler that DuckDB can't mirror).
+    * assign — every vector to its max-cosine centroid (tie → lowest
+      cid); centroids broadcast, so each iteration is one corpus scan.
+    * update — element-wise mean via FIXED-POINT arithmetic: elements
+      are floored to ``quant`` units and summed as BIGINT (exact,
+      associative, order-independent — float sums are not), then one
+      double division.  The ≤1/quant quantization bias is irrelevant to
+      clustering and buys bit-identical centroids under any partition
+      order and in the DuckDB oracle.
+
+    Returns ``(cid, cemb: array<double>)``.  Each iteration's shuffle
+    is ``groupBy(cid, pos)`` over corpus×dim rows of partial bigint
+    sums — map-side combined, ~k·dim result rows; at 100 TB this is
+    the canonical scan-heavy/result-tiny aggregation shape.  Empty
+    clusters drop out (mirrored by the oracle's inner join).
+    """
+    e = corpus.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    cent = (
+        e.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+    )
+    for _ in range(n_iter):
+        c = cent.withColumn(
+            "cnorm", F.sqrt(dot(F.col("cemb"), F.col("cemb")))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("ccos").desc(), F.col("cid")
+        )
+        assign = (
+            e.withColumn("vnorm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+            .crossJoin(F.broadcast(c))
+            .withColumn(
+                "ccos",
+                F.round(
+                    dot(F.col("emb"), F.col("cemb"))
+                    / (F.col("vnorm") * F.col("cnorm")),
+                    round_digits,
+                ),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "emb")
+        )
+        flat = assign.select(
+            "cid", F.posexplode("emb").alias("pos", "val")
+        )
+        upd = flat.groupBy("cid", "pos").agg(
+            (
+                F.sum(F.floor(F.col("val") * quant).cast("bigint")).cast(
+                    "double"
+                )
+                / (F.lit(float(quant)) * F.count(F.lit(1)))
+            ).alias("val")
+        )
+        cent = upd.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"],
+            ).alias("cemb")
+        )
+    return cent
+
+
+def kmeans_centroids_sql(
+    k: int = 4, n_iter: int = 2, quant: int = 1_000_000
+) -> tuple[str, str]:
+    """DuckDB CTE chain mirroring ``kmeans_centroids``.
+
+    Returns ``(chain, final_name)``: append further CTEs or a SELECT
+    reading from ``final_name`` (the (cid, cemb) relation after the
+    last Lloyd iteration).
+    """
+    chain = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, emb AS cemb FROM e ORDER BY vec_id LIMIT {k}
+)"""
+    for i in range(n_iter):
+        prev = "cent" if i == 0 else f"cent{i - 1}"
+        chain += f""", assign{i} AS (
+  SELECT vec_id, cid, emb FROM (
+    SELECT v.vec_id, c.cid, v.emb,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(v.emb, c.cemb)
+                            / (sqrt(list_dot_product(v.emb, v.emb))
+                               * sqrt(list_dot_product(c.cemb, c.cemb))),
+                      6) DESC, c.cid
+           ) AS rn
+    FROM e v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), upd{i} AS (
+  SELECT cid, u.pos,
+         CAST(SUM(CAST(floor(a.emb[u.pos] * {quant}) AS BIGINT)) AS DOUBLE)
+           / ({quant} * COUNT(*)) AS val
+  FROM assign{i} a, UNNEST(range(1, len(a.emb) + 1)) AS u(pos)
+  GROUP BY cid, u.pos
+), cent{i} AS (
+  SELECT cid, array_agg(val ORDER BY pos) AS cemb
+  FROM upd{i} GROUP BY cid
+)"""
+    return chain, f"cent{n_iter - 1}"
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 4,
     round_digits: int = 6,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF cell assignment: every vector joins its nearest centroid.
 
-    Centroids are the ``n_centroids`` lowest-vec_id corpus vectors — a
-    deterministic stand-in for k-means so the structure is oracle-
-    checkable; a production deployment would plug spark.ml KMeans
-    centroids into the same shape. Returns ``(centroids, assignment)``
-    where assignment is (vec_id, cid).
+    ``centroids`` (cid, cemb) plugs in a trained codebook — pass
+    ``kmeans_centroids(corpus)`` for real Lloyd-refined cells.  When
+    omitted, centroids default to the ``n_centroids`` lowest-vec_id
+    corpus vectors (the zero-training baseline). Returns
+    ``(centroids, assignment)`` where assignment is (vec_id, cid).
 
     Scale shape: centroids broadcast (K rows), corpus never self-joins;
     the only shuffle is the per-vector argmax window on vec_id.
     """
-    cent = (
-        corpus.orderBy("vec_id")
-        .limit(n_centroids)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("cemb"),
-            norm("embedding").alias("cnorm"),
+    if centroids is not None:
+        cent = centroids.select(
+            "cid",
+            F.col("cemb"),
+            F.sqrt(dot(F.col("cemb"), F.col("cemb"))).alias("cnorm"),
         )
-    )
+    else:
+        cent = (
+            corpus.orderBy("vec_id")
+            .limit(n_centroids)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("embedding").alias("cemb"),
+                norm("embedding").alias("cnorm"),
+            )
+        )
     corp = corpus.select(
         "vec_id", "embedding", norm("embedding").alias("vnorm")
     )
@@ -207,13 +336,15 @@ def ivf_topk(
     n_centroids: int = 4,
     nprobe: int = 2,
     round_digits: int = 6,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its ``nprobe`` nearest
     cells; candidates are the vectors assigned there, re-ranked by exact
     cosine. Candidate count ~ N * nprobe / n_centroids per query — the
     inverted-file trade Spark can express with two equi-joins, no cross
-    join of the corpus."""
-    cent, assign = ivf_assign(corpus, n_centroids, round_digits)
+    join of the corpus.  ``centroids`` plugs in a trained codebook
+    (see ``kmeans_centroids``)."""
+    cent, assign = ivf_assign(corpus, n_centroids, round_digits, centroids)
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

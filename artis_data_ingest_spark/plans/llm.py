@@ -30,6 +30,8 @@ from ..operators.similarity import (
     brute_force_topk,
     embedding_cosine_neardup,
     ivf_topk,
+    kmeans_centroids,
+    kmeans_centroids_sql,
     lsh_topk,
 )
 from ..sources.tables import load_table
@@ -139,6 +141,102 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id").isin(list(_QUERY_IDS)))
     return ivf_topk(emb, queries, k=3, n_centroids=4, nprobe=2)
+
+
+_KM_CHAIN, _KM_FINAL = kmeans_centroids_sql(k=4, n_iter=2)
+
+
+@register(
+    "q_kmeans_centroids",
+    oracle=f"""{_KM_CHAIN}
+SELECT cid, u.pos AS pos, cemb[u.pos] AS val
+FROM {_KM_FINAL}, UNNEST(range(1, len(cemb) + 1)) AS u(pos)
+ORDER BY cid, pos
+""",
+    doc="Distributed Lloyd's k-means (2 iterations, k=4) over the "
+    "embedding corpus — the trained-codebook path for IVF ANN "
+    "(SURVEY.md §2.11). Deterministic end-to-end: lowest-vec_id init "
+    "(no RNG), max-cosine assignment with (round 6, cid) tie-break, "
+    "and FIXED-POINT centroid updates (elements floored to 1e-6 units "
+    "and summed as BIGINT — exact and order-independent where float "
+    "sums are not) so the oracle's recursive CTE chain reproduces the "
+    "centroids bit-for-bit. Output is the flattened (cid, pos, val) "
+    "codebook. Each iteration = one corpus scan + one map-side-"
+    "combined groupBy(cid,pos); centroids broadcast.",
+)
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=4, n_iter=2)
+    return (
+        cent.select("cid", F.posexplode("cemb").alias("pos0", "val"))
+        .select(
+            "cid",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            "val",
+        )
+        .orderBy("cid", "pos")
+    )
+
+
+@register(
+    "q_ann_ivf_kmeans",
+    oracle=f"""{_KM_CHAIN}, n AS (
+  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+), kcent AS (
+  SELECT cid, cemb, sqrt(list_dot_product(cemb, cemb)) AS cnorm
+  FROM {_KM_FINAL}
+), kassign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(v.emb, c.cemb)
+                            / (v.nrm * c.cnorm), 6) DESC, c.cid
+           ) AS rn
+    FROM n v CROSS JOIN kcent c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, emb AS qemb, nrm AS qnorm
+  FROM n WHERE vec_id IN {_QUERY_IDS}
+), probed AS (
+  SELECT query_id, qemb, qnorm, cid FROM (
+    SELECT q.query_id, q.qemb, q.qnorm, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qemb, c.cemb)
+                            / (q.qnorm * c.cnorm), 6) DESC, c.cid
+           ) AS rn
+    FROM q CROSS JOIN kcent c
+  ) WHERE rn <= 2
+), ranked AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(p.qemb, v.emb) / (p.qnorm * v.nrm), 6)
+           AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY round(list_dot_product(p.qemb, v.emb)
+                          / (p.qnorm * v.nrm), 6) DESC, a.vec_id
+         ) AS rank
+  FROM probed p
+  JOIN kassign a USING (cid)
+  JOIN n v ON v.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, cosine, rank
+FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+""",
+    doc="IVF top-k over the Lloyd-trained codebook (q_kmeans_centroids "
+    "composed into the q_ann_ivf probe shape): assignment and probing "
+    "use the refined centroids, exact cosine re-rank of the probed "
+    "cells. Same two-equi-join scale shape as q_ann_ivf; the oracle "
+    "replays training + probe in one CTE chain.",
+)
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(list(_QUERY_IDS)))
+    cent = kmeans_centroids(emb, k=4, n_iter=2)
+    return ivf_topk(emb, queries, k=3, nprobe=2, centroids=cent)
 
 
 @register(
@@ -277,7 +375,11 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(docs).orderBy("doc_id_a", "doc_id_b")
 
 
-def _portable_minhash_oracle() -> str:
+def portable_minhash_ctes() -> str:
+    """The shared WITH-chain (shingles → rolling hashes → signature →
+    band keys) of the portable-MinHash oracle.  The final candidate
+    SELECT is appended by ``_portable_minhash_oracle``; the cluster /
+    jaccard-verify oracles compose further CTEs onto this chain."""
     p = _PORTABLE_P
     mins = ",\n           ".join(
         f"list_min(list_transform(hashes, h -> ({a}*h + {b}) % {p}))"
@@ -310,7 +412,11 @@ WITH sh AS (
   FROM h
 ), b AS (
   SELECT doc_id, UNNEST([{bands}]) AS band FROM sig
-)
+)""".rstrip()
+
+
+def _portable_minhash_oracle() -> str:
+    return f"""{portable_minhash_ctes()}
 SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b, COUNT(*) AS n_bands
 FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
 GROUP BY 1, 2
@@ -331,6 +437,38 @@ ORDER BY doc_id_a, doc_id_b
 def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return portable_minhash_candidates(docs).orderBy("doc_id_a", "doc_id_b")
+
+
+@register(
+    "q_minhash_portable_stats",
+    oracle=f"""{portable_minhash_ctes()},
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_bands
+  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(n_bands) AS BIGINT) AS sum_bands,
+       COUNT(DISTINCT a) AS n_docs_with_dup
+FROM cand
+""",
+    bench=True,
+    doc="Aggregated view of the portable-MinHash candidate pairs — the "
+    "bench twin of q_minhash_portable. The pair set at sf0.1 is ~7.7M "
+    "rows; benching the raw pair query times driver-side row "
+    "serialization, not the engine, so the benched form reduces the "
+    "full shingle→signature→band→self-join pipeline to three scalars "
+    "(what a dedup pipeline actually materializes before acting). "
+    "Oracle runs the identical CTE chain + aggregation in DuckDB.",
+)
+def q_minhash_portable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cands = portable_minhash_candidates(docs)
+    return cands.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("n_bands").alias("sum_bands"),
+        F.countDistinct("doc_id_a").alias("n_docs_with_dup"),
+    )
 
 
 @register(
@@ -384,14 +522,6 @@ SELECT doc_id_a, doc_id_b, hamming
 FROM cand WHERE hamming <= 3
 ORDER BY doc_id_a, doc_id_b
 """
-
-
-def portable_minhash_ctes() -> str:
-    """The shared WITH-chain (shingles → rolling hashes → signature →
-    band keys) of the portable-MinHash oracle, for composition by the
-    cluster / jaccard-verify oracles."""
-    base = _portable_minhash_oracle()
-    return base[: base.rindex("SELECT x.doc_id")].rstrip()
 
 
 def _dup_clusters_oracle() -> str:

@@ -28,62 +28,73 @@ class Query:
 _REGISTRY: dict[str, Query] = {}
 
 # The external correctness driver checks at most ~50 queries per round, in
-# the order ``queries()`` yields them.  To get every registered query a hard
-# driver signal across rounds, names listed here are yielded FIRST (in this
-# order); the rest follow in definition order.  Round 2 front-loads the 33
-# queries the r1 driver never reached plus the 5 whose oracles were re-typed
-# (CAST(SUM(...) AS BIGINT)) and this round's new queries, so CORRECTNESS_r02
-# covers everything CORRECTNESS_r01 could not.
+# the order ``queries()`` yields them.  To keep every registered query's
+# latest driver verdict at most ~2 rounds old, names listed here are yielded
+# FIRST (in this order); the rest follow in definition order.  Round 3
+# front-loads (a) this round's new / semantically-changed queries
+# (q_dataset_diff flattening, the stdlib-xlsx pair, strip_version
+# first-occurrence, the two new oracles) and (b) the 34 queries whose only
+# green is round 1 — CORRECTNESS_r03 re-verifies everything r02 could not.
 _PRIORITY: list[str] = [
-    # round-2 new / re-typed oracles — need a fresh driver verdict
-    "q_sequence_pack_sharded",
-    "q_excel_clean",
-    "q_ngram_jaccard",
-    "q_file_inventory",
-    "q_json_struct",
-    "q_try_cast",
-    "q_json_extract",
-    "q_corpus_pipeline",
-    "q_sequence_pack",
-    # driver-unchecked in round 1 (registry positions 51..83)
-    "q_notin_filter",
-    "q_clean_pipeline",
+    # round-3 new or changed — need a fresh driver verdict
+    "q_kmeans_centroids",
+    "q_ann_ivf_kmeans",
+    "q_minhash_portable_stats",
     "q_dataset_diff",
-    "q_csv_clean_prod",
-    "q_xpath_links",
-    "q_union_evolved",
-    "q_changelog_files",
-    "q_changelog_pair_diff",
-    "q_salted_agg",
-    "q_asof_join",
-    "q_token_freq",
-    "q_argminmax",
-    "q_monthly_orders",
-    "q_era_branch",
-    "q_asof_forward",
-    "q_text_stats",
-    "q_quality_score",
-    "q_lang_stats",
-    "q_langid_confusion",
-    "q_dedup_exact",
-    "q_fingerprint",
-    "q1_pricing_summary",
-    "q5_revenue_by_region",
-    "q_grouped_agg",
-    "q_semi_join",
-    "q_anti_join",
-    "q_topk_window",
-    "q_rollup",
-    "q_cube",
+    "q_excel_clean",
+    "q_changelog_e2e",
+    "q_file_inventory",
     "q_approx_distinct",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
+    "q_slugify_key",  # strip_version first-occurrence fixture
+    "q_changelog_files",  # shares the standardize-key chain
+    # green in round 1 only — rotate back in
+    "q_minhash_portable",
+    "q_dup_clusters",
+    "q_simhash_portable",
+    "q_pandas_cosine_topk",
+    "q_cosine_topk",
+    "q_daily_rollup",
+    "q_fuzzy_match",
+    "q_interval_join",
+    "q_extract_version",
+    "q_train_split",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_session_window",
+    "q_running_sum",
+    "q_lag_gap",
+    "q_date_spine",
+    "q_ann_ivf",
+    "q_ann_signbucket",
+    "q_embedding_norms",
+    "q_embedding_neardup",
+    "q_minhash_neardup",
+    "q_simhash_neardup",
+    "q_media_features",
+    "q_scraper_links",
+    "q_union_tag",
+    "q_fullouter_align",
+    "q_pivot_align",
+    "q_distinct",
+    "q_except_distinct",
+    "q_intersect",
+    "q_union_names",
+    "q_count_distinct",
+    "q_exists_any",
 ]
 
 
 def _ordered_names() -> list[str]:
+    missing = [n for n in _PRIORITY if n not in _REGISTRY]
+    if missing:  # a typo here silently loses its front-loading — be loud
+        import warnings
+
+        warnings.warn(
+            f"_PRIORITY names not in registry: {missing}", stacklevel=2
+        )
     head = [n for n in _PRIORITY if n in _REGISTRY]
-    rest = [n for n in _REGISTRY if n not in set(head)]
+    head_set = set(head)
+    rest = [n for n in _REGISTRY if n not in head_set]
     return head + rest
 
 

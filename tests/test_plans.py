@@ -166,15 +166,14 @@ def test_ivf_no_corpus_self_join(spark):
 
 
 def test_approx_distinct_error_bound(spark):
-    # HLL++ default rsd is 5%; assert the estimate lands within 10% of
-    # the exact count so a regression in the sketch path is caught
+    # the query itself now carries the |approx-exact|/exact < 0.1
+    # verdicts (rsd=0.02); assert they hold and the exact counts agree
     df = plans.queries()["q_approx_distinct"](spark, SF_DIR)
     r = df.collect()[0]
     li = load_table(spark, SF_DIR, "lineitem")
-    exact_orders = li.select("l_orderkey").distinct().count()
-    exact_parts = li.select("l_partkey").distinct().count()
-    assert abs(r.approx_orders - exact_orders) / exact_orders < 0.10
-    assert abs(r.approx_parts - exact_parts) / exact_parts < 0.10
+    assert r.orders_within_tol and r.parts_within_tol
+    assert r.exact_orders == li.select("l_orderkey").distinct().count()
+    assert r.exact_parts == li.select("l_partkey").distinct().count()
 
 
 def test_results_partitioning_independent(spark):
@@ -182,7 +181,14 @@ def test_results_partitioning_independent(spark):
     # under different shuffle partitioning (decimal aggs, fold-exact
     # cosines, deterministic tie-breaks) — rerun with a different
     # runtime shuffle-partition count and compare collected rows
-    names = ["q1_pricing_summary", "q_corpus_pipeline", "q_cosine_topk"]
+    names = [
+        "q1_pricing_summary",
+        "q_corpus_pipeline",
+        "q_cosine_topk",
+        # fixed-point centroid updates: bigint sums are associative, so
+        # the trained codebook must be bit-identical under any shuffle
+        "q_kmeans_centroids",
+    ]
     qs = plans.queries()
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:

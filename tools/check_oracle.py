@@ -13,6 +13,12 @@ float64, so an oracle that forgets ``CAST(... AS BIGINT)`` hashes
 on the driver.  The previous ``fetchall()`` path returned Python ints
 and silently masked that class of bug (CORRECTNESS_r01's 5 failures).
 
+Known blind spots (deliberate, mirroring the driver's coercion):
+``_norm_cell`` folds float NaN into '<NULL>' and renders midnight
+timestamps as bare dates, so a genuine NaN-vs-NULL or TIMESTAMP-vs-DATE
+divergence between Spark and the oracle is invisible here — the pandas
+fetch path already conflates them before we see the values.
+
 Usage:
 
     python tools/check_oracle.py [sf_dir] [query_name ...]

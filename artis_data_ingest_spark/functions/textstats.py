@@ -86,3 +86,22 @@ def predicted_lang(col: str | Column) -> Column:
         sel_lang = F.when(h > sel_hits, F.lit(lang)).otherwise(sel_lang)
         sel_hits = F.when(h > sel_hits, h).otherwise(sel_hits)
     return F.when(sel_hits > 0, sel_lang).otherwise(F.lit("und"))
+
+
+# --- PII scrubbing (SURVEY.md §2.11 training-data hygiene) ---------------
+# Patterns avoid lookarounds so Java regex (Spark) and RE2 (DuckDB
+# oracle) match identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d{1,3}[- ]\d{3}[- ]\d{4}"
+
+
+def scrub_emails(col: str | Column) -> Column:
+    """Replace every email address with the literal token ``<EMAIL>``."""
+    return F.regexp_replace(_c(col), EMAIL_RE, "<EMAIL>")
+
+
+def scrub_phones(col: str | Column) -> Column:
+    """Replace every phone-like number with ``<PHONE>``.  Run AFTER
+    ``scrub_emails`` — the email local part can contain digits that
+    would otherwise partially match."""
+    return F.regexp_replace(_c(col), PHONE_RE, "<PHONE>")

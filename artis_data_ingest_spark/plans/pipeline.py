@@ -59,6 +59,39 @@ def q_file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZIP_DIR = "/root/repo/data/zips"
+
+
+@register(
+    "q_zip_ingest",
+    oracle=f"""
+SELECT iso3, CAST(year AS BIGINT) AS year,
+       CAST(tonnes AS DOUBLE) AS tonnes, flag
+FROM read_csv('{_ZIP_DIR}/twins/*.csv', header=true)
+ORDER BY iso3, year
+""",
+    doc="Zipped-CSV ingest (S10, the reference's download-then-unzip "
+    "path) over committed archives: binaryFile lists the zips, a "
+    "mapInPandas task unzips and parses each archive's CSV members "
+    "(decoy non-CSV members skipped), schema inferred once driver-side "
+    "and applied uniformly. Oracle reads the loose CSV twins the "
+    "archives were built from — byte-identical content through an "
+    "independent decode route. One task per archive: at 100 TB the "
+    "archive *list* partitions across executors even though each "
+    "(unsplittable) zip decodes in one task.",
+)
+def q_zip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.archives import read_zipped_csv
+
+    df = read_zipped_csv(spark, _ZIP_DIR)
+    return df.select(
+        "iso3",
+        F.col("year").cast("bigint").alias("year"),
+        F.col("tonnes").cast("double").alias("tonnes"),
+        "flag",
+    ).orderBy("iso3", "year")
+
+
 @register(
     "q_pandas_cosine_topk",
     oracle="""

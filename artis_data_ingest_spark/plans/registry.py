@@ -37,6 +37,9 @@ _REGISTRY: dict[str, Query] = {}
 # green is round 1 — CORRECTNESS_r03 re-verifies everything r02 could not.
 _PRIORITY: list[str] = [
     # round-3 new or changed — need a fresh driver verdict
+    "q_pii_scrub",
+    "q_repetition_quality",
+    "q_zip_ingest",
     "q_kmeans_centroids",
     "q_ann_ivf_kmeans",
     "q_minhash_portable_stats",

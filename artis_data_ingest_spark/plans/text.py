@@ -14,6 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.textstats import (
+    EMAIL_RE,
+    PHONE_RE,
     QUALITY_STOPWORDS,
     STOPWORDS,
     fingerprint,
@@ -21,6 +23,8 @@ from ..functions.textstats import (
     n_tokens,
     predicted_lang,
     regex_token_count,
+    scrub_emails,
+    scrub_phones,
     stopword_hits,
 )
 from ..operators.dedup import exact_dedup, ngram_jaccard_pairs
@@ -236,4 +240,170 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint("text").alias("fp")).orderBy(
         "doc_id"
+    )
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.org or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' today' AS text2
+  FROM documents
+), s AS (
+  SELECT doc_id, text2,
+         regexp_replace(text2, '{EMAIL_RE}', '<EMAIL>', 'g') AS no_email
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text2, '{EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(no_email, '{PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       CAST(length(regexp_replace(no_email, '{PHONE_RE}', '<PHONE>', 'g'))
+            AS BIGINT) AS clean_len,
+       NOT regexp_matches(
+             regexp_replace(no_email, '{PHONE_RE}', '<PHONE>', 'g'),
+             '{EMAIL_RE}') AS residual_free
+FROM s
+ORDER BY doc_id
+""",
+    doc="PII scrubbing (SURVEY.md §2.11 training-data hygiene): every "
+    "document is augmented BY CONSTRUCTION with a doc_id-derived email "
+    "and phone number (the synthetic corpus has none — same trick as "
+    "q_xpath_links), then emails and phones are redacted in that order "
+    "and counted. Pure codegen'd regexp expressions, lookaround-free "
+    "so Java regex and the oracle's RE2 agree; residual_free proves "
+    "the scrub converged. The per-row shape is exactly a 100 TB "
+    "pre-training scrub pass.",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.org or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" today"),
+        ).alias("text2"),
+    )
+    s = aug.withColumn("no_email", scrub_emails("text2"))
+    clean = scrub_phones("no_email")
+    return s.select(
+        "doc_id",
+        F.regexp_count("text2", F.lit(EMAIL_RE)).cast("bigint").alias(
+            "n_emails"
+        ),
+        F.regexp_count("no_email", F.lit(PHONE_RE)).cast("bigint").alias(
+            "n_phones"
+        ),
+        F.length(clean).cast("bigint").alias("clean_len"),
+        (~clean.rlike(EMAIL_RE)).alias("residual_free"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_repetition_quality",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), toks AS (
+  SELECT doc_id, UNNEST(toks) AS tok FROM t WHERE len(toks) > 0
+), uc AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+), uni AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+         CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+         COUNT(*) AS n_distinct
+  FROM uc GROUP BY doc_id
+), bg AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS big
+  FROM t WHERE len(toks) >= 2
+), bc AS (
+  SELECT doc_id, big, COUNT(*) AS cnt FROM bg GROUP BY doc_id, big
+), bi AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         CAST(MAX(cnt) AS BIGINT) AS top_big
+  FROM bc GROUP BY doc_id
+)
+SELECT u.doc_id,
+       u.n_toks,
+       round(u.top_cnt / u.n_toks, 6) AS top_token_share,
+       round(u.n_distinct / u.n_toks, 6) AS type_token_ratio,
+       round(COALESCE(b.top_big / b.n_bigrams, 0.0), 6)
+         AS top_bigram_share
+FROM uni u LEFT JOIN bi b USING (doc_id)
+ORDER BY doc_id
+""",
+    doc="Repetition-based quality metrics (Gopher-style rules over the "
+    "north-star corpus, SURVEY.md §2.11): per-document top-token share, "
+    "type-token ratio, and top-bigram share via explode + two-level "
+    "aggregation — the scale shape (map-side combined groupBy per "
+    "(doc, gram)), not a per-row O(distinct x n) fold. Shares are "
+    "integer-count divisions so the doubles are bit-identical "
+    "cross-engine.",
+)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != ""
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    uni = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_toks"),
+            F.max("cnt").alias("top_cnt"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    bi = (
+        t.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("big"))
+        .groupBy("doc_id", "big")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_bigrams"), F.max("cnt").alias("top_big"))
+    )
+    return (
+        uni.join(bi, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(F.col("top_cnt") / F.col("n_toks"), 6).alias(
+                "top_token_share"
+            ),
+            F.round(F.col("n_distinct") / F.col("n_toks"), 6).alias(
+                "type_token_ratio"
+            ),
+            F.round(
+                F.coalesce(
+                    F.col("top_big") / F.col("n_bigrams"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_share"),
+        )
+        .orderBy("doc_id")
     )

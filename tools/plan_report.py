@@ -103,7 +103,19 @@ def main() -> None:
   `q_media_features`), which use Arrow batches.
 - Sort-shuffles are the presentation `ORDER BY` the oracle comparison
   needs; a production sink would drop them (or write
-  `sortWithinPartitions` for row-group locality instead).""")
+  `sortWithinPartitions` for row-group locality instead).
+- **Parallelism floor for CPU-bound stages.** A small parquet file
+  arrives as ONE input split, so expression-heavy pipelines (MinHash /
+  SimHash signatures) would run on one core regardless of cluster
+  size; `operators/scale.py:spread_cpu_bound` repartitions only when
+  the scan is under-partitioned (metadata probe, no-op at real scale —
+  a 100 TB table already has thousands of splits). Found via bench:
+  the sf0.1 portable-MinHash signature dropped 64s → 6s.
+- **Bench what the engine does, not the driver.** Queries whose raw
+  output is millions of rows (candidate-pair sets) are benched through
+  aggregation twins (`q_minhash_portable_stats`): collecting 7.7M rows
+  times py4j serialization, and no 100 TB pipeline materializes raw
+  pairs on a driver anyway.""")
 
 
 if __name__ == "__main__":

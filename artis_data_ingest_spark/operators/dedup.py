@@ -345,16 +345,41 @@ def portable_shingle_hash(shingle: Column) -> Column:
     )
 
 
-def portable_minhash_signature(shingles: Column) -> Column:
+def portable_shingle_hash_fixed(shingle: Column, k: int) -> Column:
+    """Unrolled ``portable_shingle_hash`` for fixed-length shingles.
+
+    For a k-char string the base-31 fold is congruent to
+    ``(c1·31^(k-1) + … + ck) mod p`` (mod distributes over + and ·, and
+    every intermediate stays ≪ 2^63 for small k), so the interpreted
+    per-char ``aggregate`` lambda collapses to straight arithmetic —
+    ~2× faster on the MinHash hot path, bit-identical results.
+    """
+    expr = F.ascii(F.substring(shingle, 1, 1)).cast("bigint")
+    for i in range(2, k + 1):
+        expr = expr * 31 + F.ascii(F.substring(shingle, i, 1)).cast("bigint")
+    return expr % _PORTABLE_P
+
+
+def portable_minhash_signature(
+    shingles: Column, shingle_len: int | None = None
+) -> Column:
     """8-hash MinHash signature over ``portable_shingle_hash`` values —
     bit-identical in Spark and DuckDB, which makes the LSH pipeline
     oracle-checkable end-to-end. The murmur3-based
     ``minhash_signature`` remains the scale path (JVM-native hashing,
-    32 hashes); this is its cross-engine correctness twin."""
+    32 hashes); this is its cross-engine correctness twin.
+
+    ``shingle_len`` (the k of fixed-length char shingles) switches the
+    per-shingle hash to the unrolled arithmetic form — same values,
+    no interpreted per-char fold."""
     # single-pass fold (see minhash_signature): the rolling hash per
     # shingle is computed once, not once per permutation
     def _perms(s: Column) -> Column:
-        h = portable_shingle_hash(s)
+        h = (
+            portable_shingle_hash_fixed(s, shingle_len)
+            if shingle_len
+            else portable_shingle_hash(s)
+        )
         return F.array(
             *[(F.lit(a) * h + b) % _PORTABLE_P for a, b in _PORTABLE_PERMS]
         )
@@ -371,6 +396,72 @@ def portable_minhash_signature(shingles: Column) -> Column:
     ).otherwise(F.array(*[F.lit(None).cast("bigint")] * n))
 
 
+def portable_minhash_sig_table(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-doc portable MinHash signature as COLUMNS (doc_id, m0..m7)
+    via explode + grouped min — the whole-stage-codegen formulation.
+
+    The array-fold form (``portable_minhash_signature``) evaluates its
+    higher-order lambdas interpreted, row by row; exploding the shingle
+    hashes and taking ``groupBy(doc_id).agg(min((a_i·h+b_i) mod P))``
+    keeps every expression inside codegen and lets the shuffle's
+    map-side partial aggregation collapse each partition to one row per
+    doc before the exchange.  MIN is duplicate-insensitive, so values
+    are bit-identical to the fold (and to the DuckDB oracle).
+
+    The no-shingle guard is the CHEAP equivalent predicate
+    (length(lower) >= k), not size(shingles) > 0: Catalyst pushes
+    deterministic filters below the spread exchange, and a filter on
+    the shingle array would re-evaluate the whole shingle expression in
+    the (single-split) scan stage — serializing exactly the work
+    ``spread_cpu_bound`` parallelized.
+    """
+    t = spread_cpu_bound(
+        docs.filter(F.length(F.lower(F.col(text_col))) >= k)
+    ).select("doc_id", F.lower(F.col(text_col)).alias("t"))
+    # positional shingle hash: explode the k-gram start positions and
+    # hash straight off the text with codegen'd substr/ascii arithmetic
+    # — no shingle-string array, no array_distinct (MIN ignores dups),
+    # no interpreted lambda anywhere in the pipeline
+    pos = t.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.length("t") - (k - 1))
+        ).alias("i"),
+    )
+    hash_expr = F.ascii(F.col("t").substr(F.col("i"), F.lit(1))).cast(
+        "bigint"
+    )
+    for off in range(1, k):
+        hash_expr = hash_expr * 31 + F.ascii(
+            F.col("t").substr(F.col("i") + off, F.lit(1))
+        ).cast("bigint")
+    h = pos.select("doc_id", (hash_expr % _PORTABLE_P).alias("h"))
+    return h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + b) % _PORTABLE_P).alias(f"m{i}")
+            for i, (a, b) in enumerate(_PORTABLE_PERMS)
+        ]
+    )
+
+
+def _band_keys_from_cols(prefix: str = "") -> F.Column:
+    """Band-key array over the m0..m7 signature columns."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(j)),
+                F.col(f"{prefix}m{2 * j}").cast("string"),
+                F.col(f"{prefix}m{2 * j + 1}").cast("string"),
+            )
+            for j in range(_PORTABLE_BANDS)
+        ]
+    )
+
+
 def portable_minhash_candidates(
     docs: DataFrame, text_col: str = "text", k: int = 3
 ) -> DataFrame:
@@ -379,24 +470,8 @@ def portable_minhash_candidates(
     up. Returns (doc_id_a, doc_id_b, n_bands) with the shared-band
     count. One explode + one equi-self-join on the band key — linear
     candidate generation, no corpus cross join."""
-    sh = (
-        spread_cpu_bound(docs)
-        .select("doc_id", char_shingles(text_col, k).alias("shingles"))
-        .filter(F.size("shingles") > 0)  # empty text has no signature
-        .withColumn("sig", portable_minhash_signature(F.col("shingles")))
-    )
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "-",
-                F.lit(str(j)),
-                F.element_at("sig", 2 * j + 1).cast("string"),
-                F.element_at("sig", 2 * j + 2).cast("string"),
-            )
-            for j in range(_PORTABLE_BANDS)
-        ]
-    )
-    b = sh.select("doc_id", F.explode(band_keys).alias("band"))
+    sh = portable_minhash_sig_table(docs, text_col, k)
+    b = sh.select("doc_id", F.explode(_band_keys_from_cols()).alias("band"))
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(
@@ -409,6 +484,107 @@ def portable_minhash_candidates(
             F.col("y.doc_id").alias("doc_id_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def portable_minhash_pair_stats(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Corpus-level LSH candidate-pair statistics WITHOUT enumerating
+    pairs: one row of (n_pairs, sum_bands, n_docs_in_pairs).
+
+    Near-dup corpora are dominated by exact duplicates, which makes the
+    doc-level pair space quadratic in duplicate-class size (sf0.1: 5000
+    docs → 7.7M pairs but only 753 distinct signatures).  Docs are
+    collapsed to their full signature first; identical-signature pairs
+    are counted analytically (C(g,2), all 4 bands shared) and only
+    DISTINCT signatures enter the band self-join — the shuffle shrinks
+    by the square of the duplication factor.  This is the production
+    dedup shape at 100 TB: collapse exact dups before near-dup work.
+
+    ``n_docs_in_pairs`` counts docs appearing in ANY candidate pair
+    (either side): its signature class has g ≥ 2, or collides with
+    another class in some band.
+    """
+    sh = portable_minhash_sig_table(docs, text_col, k).select(
+        "doc_id",
+        F.concat_ws(
+            "|",
+            *[
+                F.col(f"m{i}").cast("string")
+                for i in range(len(_PORTABLE_PERMS))
+            ],
+        ).alias("sig_key"),
+    )
+    groups = sh.groupBy("sig_key").agg(F.count(F.lit(1)).alias("g"))
+    parts = F.split(F.col("sig_key"), r"\|")
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(j)),
+                F.element_at(parts, 2 * j + 1),
+                F.element_at(parts, 2 * j + 2),
+            )
+            for j in range(_PORTABLE_BANDS)
+        ]
+    )
+    b = groups.select("sig_key", "g", F.explode(band_keys).alias("band"))
+    x, y = b.alias("x"), b.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig_key") < F.col("y.sig_key")),
+        )
+        .groupBy(
+            F.col("x.sig_key").alias("sa"), F.col("y.sig_key").alias("sb")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.max(F.col("x.g")).alias("ga"),
+            F.max(F.col("y.g")).alias("gb"),
+        )
+    )
+    intra = groups.agg(
+        F.coalesce(
+            F.sum((F.col("g") * (F.col("g") - 1) / 2).cast("bigint")),
+            F.lit(0).cast("bigint"),
+        ).alias("intra_pairs")
+    )
+    inter_agg = inter.agg(
+        F.coalesce(
+            F.sum(F.col("ga") * F.col("gb")), F.lit(0).cast("bigint")
+        ).alias("inter_pairs"),
+        F.coalesce(
+            F.sum(F.col("nb") * F.col("ga") * F.col("gb")),
+            F.lit(0).cast("bigint"),
+        ).alias("inter_bands"),
+    )
+    ext = (
+        inter.select(F.col("sa").alias("sig_key"))
+        .union(inter.select(F.col("sb").alias("sig_key")))
+        .distinct()
+        .withColumn("ext", F.lit(True))
+    )
+    docs_in = (
+        groups.join(ext, on="sig_key", how="left")
+        .filter((F.col("g") >= 2) | F.col("ext").isNotNull())
+        .agg(
+            F.coalesce(F.sum("g"), F.lit(0).cast("bigint")).alias(
+                "n_docs_in_pairs"
+            )
+        )
+    )
+    return (
+        intra.crossJoin(inter_agg)
+        .crossJoin(docs_in)
+        .select(
+            (F.col("intra_pairs") + F.col("inter_pairs")).alias("n_pairs"),
+            (F.lit(_PORTABLE_BANDS) * F.col("intra_pairs")
+             + F.col("inter_bands")).alias("sum_bands"),
+            "n_docs_in_pairs",
+        )
     )
 
 
@@ -450,17 +626,12 @@ def portable_simhash_candidates(
     within hamming ``b`` of each other always agrees on one block when
     its differing bits fall in the other), then exact hamming ≤
     ``max_hamming`` verify. Returns (doc_id_a, doc_id_b, hamming)."""
-    sh = spread_cpu_bound(docs).select(
-        "doc_id", portable_simhash(text_col).alias("sig")
-    ).filter(
-        F.size(
-            F.filter(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-                lambda t: t != "",
-            )
-        )
-        > 0
-    )
+    # cheap no-token guard (tokens are empty iff the trimmed text is);
+    # a filter on the token array would be pushed below the spread
+    # exchange and re-run the tokenization single-threaded at the scan
+    sh = spread_cpu_bound(
+        docs.filter(F.trim(F.lower(F.col(text_col))) != "")
+    ).select("doc_id", portable_simhash(text_col).alias("sig"))
     bands = F.array(
         F.concat_ws("-", F.lit("hi"), F.shiftright("sig", 8).cast("string")),
         F.concat_ws(

@@ -442,33 +442,61 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_minhash_portable_stats",
     oracle=f"""{portable_minhash_ctes()},
-cand AS (
-  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_bands
-  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+sk AS (
+  SELECT doc_id, array_to_string(sig, '|') AS sig_key FROM sig
+), grp AS (
+  SELECT sig_key, COUNT(*) AS g FROM sk GROUP BY sig_key
+), gb AS (
+  SELECT sig_key, g,
+         UNNEST([{", ".join(
+             f"'{j}-' || string_split(sig_key, '|')[{2 * j + 1}]"
+             f" || '-' || string_split(sig_key, '|')[{2 * j + 2}]"
+             for j in range(4)
+         )}]) AS band
+  FROM grp
+), inter AS (
+  SELECT x.sig_key AS sa, y.sig_key AS sb, COUNT(*) AS nb,
+         MAX(x.g) AS ga, MAX(y.g) AS gb2
+  FROM gb x JOIN gb y ON x.band = y.band AND x.sig_key < y.sig_key
   GROUP BY 1, 2
+), intra AS (
+  SELECT COALESCE(CAST(SUM(CAST(g * (g - 1) / 2 AS BIGINT)) AS BIGINT),
+                  0) AS intra_pairs
+  FROM grp
+), inter_agg AS (
+  SELECT COALESCE(CAST(SUM(ga * gb2) AS BIGINT), 0) AS inter_pairs,
+         COALESCE(CAST(SUM(nb * ga * gb2) AS BIGINT), 0) AS inter_bands
+  FROM inter
+), ext AS (
+  SELECT DISTINCT sig_key FROM (
+    SELECT sa AS sig_key FROM inter UNION ALL SELECT sb FROM inter
+  )
+), docs_in AS (
+  SELECT COALESCE(CAST(SUM(g) AS BIGINT), 0) AS n_docs_in_pairs
+  FROM grp LEFT JOIN ext USING (sig_key)
+  WHERE g >= 2 OR ext.sig_key IS NOT NULL
 )
-SELECT COUNT(*) AS n_pairs,
-       CAST(SUM(n_bands) AS BIGINT) AS sum_bands,
-       COUNT(DISTINCT a) AS n_docs_with_dup
-FROM cand
+SELECT intra_pairs + inter_pairs AS n_pairs,
+       4 * intra_pairs + inter_bands AS sum_bands,
+       n_docs_in_pairs
+FROM intra, inter_agg, docs_in
 """,
     bench=True,
-    doc="Aggregated view of the portable-MinHash candidate pairs — the "
-    "bench twin of q_minhash_portable. The pair set at sf0.1 is ~7.7M "
-    "rows; benching the raw pair query times driver-side row "
-    "serialization, not the engine, so the benched form reduces the "
-    "full shingle→signature→band→self-join pipeline to three scalars "
-    "(what a dedup pipeline actually materializes before acting). "
-    "Oracle runs the identical CTE chain + aggregation in DuckDB.",
+    doc="Corpus-level LSH candidate statistics — the bench twin of "
+    "q_minhash_portable, computed WITHOUT enumerating doc pairs: docs "
+    "collapse to their full signature first (sf0.1: 5000 docs → 753 "
+    "sigs → the 7.7M-row pair shuffle shrinks by the duplication "
+    "factor squared), identical-signature pairs count analytically as "
+    "C(g,2) x 4 bands, and only distinct signatures enter the band "
+    "self-join. The production shape at 100 TB: collapse exact dups "
+    "before near-dup work. Oracle replays the collapsed computation "
+    "on the same CTE chain.",
 )
 def q_minhash_portable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_minhash_pair_stats
+
     docs = load_table(spark, sf_dir, "documents")
-    cands = portable_minhash_candidates(docs)
-    return cands.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("n_bands").alias("sum_bands"),
-        F.countDistinct("doc_id_a").alias("n_docs_with_dup"),
-    )
+    return portable_minhash_pair_stats(docs)
 
 
 @register(

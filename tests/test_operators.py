@@ -246,3 +246,65 @@ def test_ngram_jaccard_finds_distant_neardup(spark):
     assert (1, 500) in pairs
     assert pairs[(1, 500)] >= 0.9
     assert all(a == 1 and b == 500 for (a, b) in pairs)
+
+
+def test_minhash_pair_stats_match_enumeration(spark):
+    # the signature-collapsed statistics must agree exactly with the
+    # brute-force pair enumeration they replace (sf0.001 corpus)
+    from artis_data_ingest_spark.operators.dedup import (
+        portable_minhash_candidates,
+        portable_minhash_pair_stats,
+    )
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = portable_minhash_candidates(docs).cache()
+    brute = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("n_bands").alias("sum_bands"),
+    ).collect()[0]
+    n_docs = (
+        pairs.select(F.col("doc_id_a").alias("d"))
+        .union(pairs.select("doc_id_b"))
+        .distinct()
+        .count()
+    )
+    fast = portable_minhash_pair_stats(docs).collect()[0]
+    assert fast.n_pairs == brute.n_pairs
+    assert fast.sum_bands == brute.sum_bands
+    assert fast.n_docs_in_pairs == n_docs
+
+
+def test_portable_signature_forms_agree(spark):
+    # the interpreted array-fold form is the readable reference; the
+    # explode+grouped-min table is the codegen hot path — they must
+    # produce bit-identical signatures
+    import functools
+    import operator
+
+    from artis_data_ingest_spark.operators.dedup import (
+        char_shingles,
+        portable_minhash_sig_table,
+        portable_minhash_signature,
+    )
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fold = docs.filter(F.length(F.lower("text")) >= 3).select(
+        "doc_id",
+        portable_minhash_signature(
+            char_shingles("text", 3), shingle_len=3
+        ).alias("sig"),
+    )
+    table = portable_minhash_sig_table(docs)
+    joined = fold.join(table, on="doc_id", how="full_outer")
+    mismatch = joined.filter(
+        functools.reduce(
+            operator.or_,
+            [
+                F.element_at("sig", i + 1).eqNullSafe(F.col(f"m{i}")) == False  # noqa: E712
+                for i in range(8)
+            ],
+        )
+    ).count()
+    assert mismatch == 0

@@ -95,8 +95,13 @@ def ngram_jaccard_pairs(
     sh = docs.select(
         F.col("doc_id"), char_shingles(text_col, k).alias("shingles")
     )
-    cands = portable_minhash_candidates(docs, text_col, k).select(
-        "doc_id_a", "doc_id_b"
+    # explicit repartition: candidate pairs are byte-small and AQE
+    # would coalesce them to ~1 partition, serializing the CPU-heavy
+    # Jaccard verify (see minhash_lsh_candidates)
+    cands = (
+        portable_minhash_candidates(docs, text_col, k)
+        .select("doc_id_a", "doc_id_b")
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     )
     return (
         cands.join(
@@ -177,6 +182,43 @@ def minhash_signature(
     return F.when(F.size(shingles) > 0, folded).otherwise(null_sig)
 
 
+def murmur_minhash_sig_table(
+    t: DataFrame, k: int = 3, n_hashes: int = 32
+) -> DataFrame:
+    """Murmur3 MinHash signature as COLUMNS (doc_id, m0..m{n-1}) — the
+    codegen hot path (same shape as ``portable_minhash_sig_table``):
+    explode k-gram start positions, murmur3 the substring in place,
+    grouped-min per permutation.  No shingle array, no interpreted
+    lambda; map-side combine collapses to one row per doc per partition
+    before the exchange.  ``t`` must have (doc_id, t) with ``t``
+    lowercased and at least ``k`` chars (duplicate k-grams are fine —
+    MIN ignores them).  Bit-identical to the ``minhash_signature``
+    array-fold reference form (pinned by test)."""
+    params = _perm_params(n_hashes)
+    x = (
+        F.abs(F.hash(F.col("t").substr(F.col("i"), F.lit(k)))) % _P
+    ).cast("bigint")
+    return (
+        t.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - (k - 1))
+            ).alias("i"),
+        )
+        .select("doc_id", x.alias("x"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.col("x") * F.lit(pa).cast("bigint") + pb) % _P
+                ).alias(f"m{i}")
+                for i, (pa, pb) in enumerate(params)
+            ]
+        )
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -194,22 +236,29 @@ def minhash_lsh_candidates(
     corpus size; only colliding candidates reach the verify join.
     """
     rows = n_hashes // bands
-    sh = spread_cpu_bound(docs).select(
-        "doc_id",
-        char_shingles(text_col, k).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+    t = spread_cpu_bound(
+        docs.filter(F.length(F.lower(F.col(text_col))) >= k)
+    ).select("doc_id", F.lower(F.col(text_col)).alias("t"))
+    sig = murmur_minhash_sig_table(t, k, n_hashes)
     # candidate generation moves only (doc_id, band, bucket) — the big
     # shingle arrays would otherwise ride through the pair-explosion
-    # shuffle and its dedup exchange, dominating the job's IO; they are
-    # joined back afterwards, once, for the verify step
-    banded = sh.select(
+    # shuffle and its dedup exchange, dominating the job's IO; shingles
+    # are computed afterwards, once, for the verify step
+    banded = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.hash(F.slice("sig", i * rows + 1, rows)).alias("bucket"),
+                        F.hash(
+                            F.array(
+                                *[
+                                    F.col(f"m{i * rows + j}")
+                                    for j in range(rows)
+                                ]
+                            )
+                        ).alias("bucket"),
                     )
                     for i in range(bands)
                 ]
@@ -230,7 +279,17 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
-    shingle_tbl = sh.select("doc_id", "shingles")
+    # pin the verify parallelism: candidate pairs are byte-small, so
+    # AQE coalesces the distinct's output to ~1 partition, serializing
+    # the CPU-heavy array_intersect verify (290s single-core at sf0.1).
+    # An explicit repartition is exempt from AQE coalescing; the extra
+    # shuffle moves only (id, id) pairs.
+    cands = cands.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    )
+    shingle_tbl = t.select(
+        "doc_id", char_shingles("t", k).alias("shingles")
+    )
     return (
         cands.join(
             shingle_tbl.select(

@@ -308,3 +308,35 @@ def test_portable_signature_forms_agree(spark):
         )
     ).count()
     assert mismatch == 0
+
+
+def test_murmur_signature_forms_agree(spark):
+    import functools
+    import operator
+
+    from artis_data_ingest_spark.operators.dedup import (
+        char_shingles,
+        minhash_signature,
+        murmur_minhash_sig_table,
+    )
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = docs.filter(F.length(F.lower("text")) >= 3)
+    fold = base.select(
+        "doc_id", minhash_signature(char_shingles("text", 3), 32).alias("sig")
+    )
+    table = murmur_minhash_sig_table(
+        base.select("doc_id", F.lower("text").alias("t")), 3, 32
+    )
+    joined = fold.join(table, on="doc_id", how="full_outer")
+    mismatch = joined.filter(
+        functools.reduce(
+            operator.or_,
+            [
+                F.element_at("sig", i + 1).eqNullSafe(F.col(f"m{i}")) == False  # noqa: E712
+                for i in range(32)
+            ],
+        )
+    ).count()
+    assert mismatch == 0

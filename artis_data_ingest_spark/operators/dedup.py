@@ -349,6 +349,43 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_sig_table(
+    docs: DataFrame, text_col: str = "text", n_bits: int = 64
+) -> DataFrame:
+    """SimHash signatures as a (doc_id, sig) table — the codegen hot
+    path.  ``simhash64`` re-scans the token-hash array once per bit
+    through 64 interpreted higher-order filters; here tokens explode
+    once and the 64 bit votes become grouped ±1 sums (one map-side-
+    combined aggregation), after which the bits assemble in a single
+    projection.  Votes are integer sums, so results equal the
+    column-form exactly (pinned by test).  Docs with NULL text are
+    dropped (the column form gave them signature 0)."""
+    t = spread_cpu_bound(docs).select(
+        "doc_id", F.trim(F.lower(F.col(text_col))).alias("t")
+    )
+    tok = t.select(
+        "doc_id", F.explode(F.split("t", r"\s+")).alias("tk")
+    ).select("doc_id", F.xxhash64("tk").alias("h"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(n_bits)
+        ]
+    )
+    sig = None
+    for i in range(n_bits):
+        weight = F.lit(2**i if i < 63 else -(2**63)).cast("long")
+        term = F.when(F.col(f"v{i}") > 0, weight).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("sig"))
+
+
 def simhash_candidates(
     docs: DataFrame,
     text_col: str = "text",
@@ -358,9 +395,9 @@ def simhash_candidates(
     """SimHash near-dup candidates: block on the top ``prefix_bits`` of
     the signature (near-dups usually agree on high bits), then verify
     hamming distance ≤ ``max_hamming`` within blocks."""
-    sig = spread_cpu_bound(docs).select(
-        "doc_id", simhash64(text_col).alias("sig")
-    ).withColumn("blk", F.shiftrightunsigned("sig", 64 - prefix_bits))
+    sig = simhash_sig_table(docs, text_col).withColumn(
+        "blk", F.shiftrightunsigned("sig", 64 - prefix_bits)
+    )
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

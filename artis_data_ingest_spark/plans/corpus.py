@@ -257,3 +257,58 @@ def q_sequence_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pack_id")
     )
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+WITH s AS (
+  SELECT lang,
+         substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN (lang = 'en' AND h <= '7f')
+                       OR (lang <> 'en' AND h <= '3f')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(SUM(CASE WHEN (lang = 'en' AND h <= '7f')
+                             OR (lang <> 'en' AND h <= '3f')
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS kept_ratio
+FROM s
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="Stratified corpus sampling (SURVEY.md §2.11): per-language "
+    "keep rates (50% for 'en', 25% otherwise) decided by the first "
+    "two hex digits of a salted md5 of the stable id — no RNG, so "
+    "membership is reproducible across reruns, partitionings, and "
+    "engines, and rates are exact multiples of 1/256. The filter is a "
+    "pure projection (pushable to the scan at 100 TB); only the "
+    "per-stratum audit aggregation shuffles.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+        1,
+        2,
+    )
+    keep = ((F.col("lang") == "en") & (h <= "7f")) | (
+        (F.col("lang") != "en") & (h <= "3f")
+    )
+    return (
+        docs.select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum(F.col("keep").cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("kept_ratio"),
+        )
+        .orderBy("lang")
+    )

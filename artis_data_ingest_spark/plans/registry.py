@@ -40,6 +40,7 @@ _PRIORITY: list[str] = [
     "q_pii_scrub",
     "q_repetition_quality",
     "q_zip_ingest",
+    "q_stratified_sample",
     "q_kmeans_centroids",
     "q_ann_ivf_kmeans",
     "q_minhash_portable_stats",

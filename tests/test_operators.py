@@ -340,3 +340,21 @@ def test_murmur_signature_forms_agree(spark):
         )
     ).count()
     assert mismatch == 0
+
+
+def test_simhash_forms_agree(spark):
+    from artis_data_ingest_spark.operators.dedup import (
+        simhash64,
+        simhash_sig_table,
+    )
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    col_form = docs.select("doc_id", simhash64("text").alias("sig"))
+    tbl_form = simhash_sig_table(docs).withColumnRenamed("sig", "sig2")
+    mismatch = (
+        col_form.join(tbl_form, on="doc_id", how="full_outer")
+        .filter(F.col("sig").eqNullSafe(F.col("sig2")) == False)  # noqa: E712
+        .count()
+    )
+    assert mismatch == 0

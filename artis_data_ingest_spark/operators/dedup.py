@@ -46,6 +46,31 @@ def char_shingles(col: str | Column, k: int = 3) -> Column:
     )
 
 
+def encoded_shingles(col: str | Column, k: int = 3) -> Column:
+    """Distinct character k-grams packed injectively into BIGINTs:
+    codepoint_1·2^42 + codepoint_2·2^21 + codepoint_3 (codepoints are
+    < 2^21, so k=3 fits 63 bits losslessly).  Set operations over the
+    encoded arrays are exactly equivalent to the string form — used by
+    the Jaccard verify, where hashing long elements beats hashing
+    strings severalfold.  Requires k <= 3."""
+    if k > 3:
+        raise ValueError("encoded_shingles supports k <= 3 only")
+    c = F.lower(col if isinstance(col, Column) else F.col(col))
+    def gram(i: Column) -> Column:
+        enc = F.ascii(c.substr(i, F.lit(1))).cast("bigint")
+        for off in range(1, k):
+            enc = enc * (2 ** 21) + F.ascii(
+                c.substr(i + off, F.lit(1))
+            ).cast("bigint")
+        return enc
+    shingled = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.length(c) - (k - 1)), gram)
+    )
+    return F.when(F.length(c) >= k, shingled).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup via normalized-fingerprint groupBy: one row per
     distinct fingerprint with the canonical (min) doc_id and copy count.
@@ -91,10 +116,24 @@ def ngram_jaccard_pairs(
     needing exhaustive ``>= min_jaccard`` output must widen the
     signature/bands, not treat this as exact.
     """
-    docs = spread_cpu_bound(docs)
-    sh = docs.select(
-        F.col("doc_id"), char_shingles(text_col, k).alias("shingles")
+    docs = spread_cpu_bound(
+        docs.filter(F.length(F.lower(F.col(text_col))) >= k)
     )
+    # verify on ENCODED shingle sets: for k <= 3 each k-gram packs
+    # injectively into a bigint (21 bits per codepoint), and
+    # array_intersect over longs is several times cheaper than over
+    # strings (the verify hashes ~300 elements per candidate pair —
+    # the dominant cost at 7.7M pairs).  The encoding is bijective, so
+    # every jaccard value is identical to the string-set form (pinned
+    # by test); k > 3 falls back to string shingles.
+    if k <= 3:
+        sh = docs.select(
+            F.col("doc_id"), encoded_shingles(text_col, k).alias("shingles")
+        )
+    else:
+        sh = docs.select(
+            F.col("doc_id"), char_shingles(text_col, k).alias("shingles")
+        )
     # explicit repartition: candidate pairs are byte-small and AQE
     # would coalesce them to ~1 partition, serializing the CPU-heavy
     # Jaccard verify (see minhash_lsh_candidates)
@@ -288,7 +327,10 @@ def minhash_lsh_candidates(
         docs.sparkSession.sparkContext.defaultParallelism
     )
     shingle_tbl = t.select(
-        "doc_id", char_shingles("t", k).alias("shingles")
+        "doc_id",
+        (
+            encoded_shingles("t", k) if k <= 3 else char_shingles("t", k)
+        ).alias("shingles"),
     )
     return (
         cands.join(

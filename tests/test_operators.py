@@ -358,3 +358,43 @@ def test_simhash_forms_agree(spark):
         .count()
     )
     assert mismatch == 0
+
+
+def test_encoded_shingles_bijective_jaccard(spark):
+    # the bigint encoding must give identical jaccard values to the
+    # string shingle sets (injective for k=3), including sizes
+    from artis_data_ingest_spark.operators.dedup import (
+        char_shingles,
+        encoded_shingles,
+        jaccard,
+    )
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(80)
+    a = docs.select(
+        "doc_id",
+        char_shingles("text").alias("cs"),
+        encoded_shingles("text").alias("es"),
+    )
+    sizes = a.filter(F.size("cs") != F.size("es")).count()
+    assert sizes == 0
+    # pairwise: compare jaccard over both representations on a small
+    # cross sample
+    x = a.select(
+        F.col("doc_id").alias("ida"),
+        F.col("cs").alias("csa"),
+        F.col("es").alias("esa"),
+    ).limit(20)
+    y = a.select(
+        F.col("doc_id").alias("idb"),
+        F.col("cs").alias("csb"),
+        F.col("es").alias("esb"),
+    ).limit(20)
+    pairs = x.crossJoin(y).filter(F.col("ida") < F.col("idb"))
+    diff = pairs.filter(
+        jaccard(F.col("csa"), F.col("csb")).eqNullSafe(
+            jaccard(F.col("esa"), F.col("esb"))
+        )
+        == False  # noqa: E712
+    ).count()
+    assert diff == 0

@@ -589,13 +589,72 @@ ORDER BY cluster, node
     "keys on.",
 )
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    from ..operators.dedup import connected_components
-
-    edges = portable_minhash_candidates(docs).select(
-        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    # Label propagation runs at the SIGNATURE-CLASS level, not the doc
+    # level: docs sharing a full signature are mutual candidates (one
+    # clique), and cross-class candidacy is a function of the two sigs
+    # alone — so the doc-level candidate graph is exactly the class
+    # graph with each node expanded into a clique. Components are
+    # preserved; each class node carries its min doc_id as the label,
+    # so the final cluster ids equal the doc-level result (the oracle
+    # computes the doc-level transitive closure and hash-matches).
+    # sf0.1: 7.7M doc edges -> ~100k class edges over 753 nodes.
+    from ..operators.dedup import (
+        _PORTABLE_PERMS,
+        connected_components,
+        portable_minhash_sig_table,
     )
-    return connected_components(edges).orderBy("cluster", "node")
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = portable_minhash_sig_table(docs)
+    dc = sig.select(
+        "doc_id",
+        F.concat_ws(
+            "|",
+            *[F.col(f"m{i}").cast("string") for i in range(len(_PORTABLE_PERMS))],
+        ).alias("sig_key"),
+    )
+    cls = dc.groupBy("sig_key").agg(
+        F.min("doc_id").alias("cnode"), F.count(F.lit(1)).alias("g")
+    )
+    parts = F.split(F.col("sig_key"), r"\|")
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(j)),
+                F.element_at(parts, 2 * j + 1),
+                F.element_at(parts, 2 * j + 2),
+            )
+            for j in range(4)
+        ]
+    )
+    b = cls.select("cnode", F.explode(band_keys).alias("band"))
+    x, y = b.alias("x"), b.alias("y")
+    class_edges = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.cnode") < F.col("y.cnode")),
+        )
+        .select(F.col("x.cnode").alias("src"), F.col("y.cnode").alias("dst"))
+        .distinct()
+    )
+    cc = connected_components(class_edges)  # (node, cluster), edged classes
+    edged = cc.withColumnRenamed("node", "cnode")
+    # member classes: any class with an edge, or an intra-class clique
+    labeled = (
+        cls.join(edged, on="cnode", how="left")
+        .filter((F.col("g") >= 2) | F.col("cluster").isNotNull())
+        .select(
+            "sig_key",
+            F.coalesce(F.col("cluster"), F.col("cnode")).alias("cluster"),
+        )
+    )
+    return (
+        dc.join(labeled, on="sig_key")
+        .select(F.col("doc_id").alias("node"), "cluster")
+        .orderBy("cluster", "node")
+    )
 
 
 @register(

@@ -113,3 +113,95 @@ def test_not_in_keeps_nulls(spark, values, banned):
     assert sorted(kept, key=lambda v: (v is None, v)) == sorted(
         expected, key=lambda v: (v is None, v)
     )
+
+
+texts = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("L", "N", "P", "Z"),
+        max_codepoint=0x2FFFF,
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(texts, min_size=2, max_size=12))
+def test_encoded_shingles_match_strings_on_unicode(spark, values):
+    # the bigint 21-bit-per-codepoint packing must agree with string
+    # shingle sets on arbitrary unicode (sizes and pairwise jaccard)
+    from artis_data_ingest_spark.operators.dedup import (
+        char_shingles,
+        encoded_shingles,
+        jaccard,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], ["doc_id", "text"]
+    )
+    a = df.select(
+        "doc_id",
+        char_shingles("text").alias("cs"),
+        encoded_shingles("text").alias("es"),
+    )
+    assert a.filter(F.size("cs") != F.size("es")).count() == 0
+    # jaccard is undefined on empty sets; the operators filter
+    # shingle-less docs before any pair work, so the property does too
+    a = a.filter(F.size("cs") > 0)
+    x = a.select(
+        F.col("doc_id").alias("ida"),
+        F.col("cs").alias("csa"),
+        F.col("es").alias("esa"),
+    )
+    y = a.select(
+        F.col("doc_id").alias("idb"),
+        F.col("cs").alias("csb"),
+        F.col("es").alias("esb"),
+    )
+    pairs = x.crossJoin(y).filter(F.col("ida") < F.col("idb"))
+    bad = pairs.filter(
+        jaccard(F.col("csa"), F.col("csb")).eqNullSafe(
+            jaccard(F.col("esa"), F.col("esb"))
+        )
+        == False  # noqa: E712
+    ).count()
+    assert bad == 0
+
+
+@settings(**_SETTINGS)
+@given(st.lists(texts, min_size=1, max_size=10))
+def test_portable_sig_table_matches_fold_on_unicode(spark, values):
+    # the positional codegen signature must equal the array-fold
+    # reference on arbitrary unicode text
+    import functools
+    import operator
+
+    from artis_data_ingest_spark.operators.dedup import (
+        char_shingles,
+        portable_minhash_sig_table,
+        portable_minhash_signature,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], ["doc_id", "text"]
+    )
+    fold = df.filter(F.length(F.lower("text")) >= 3).select(
+        "doc_id",
+        portable_minhash_signature(
+            char_shingles("text", 3), shingle_len=3
+        ).alias("sig"),
+    )
+    table = portable_minhash_sig_table(df)
+    joined = fold.join(table, on="doc_id", how="full_outer")
+    bad = joined.filter(
+        functools.reduce(
+            operator.or_,
+            [
+                F.element_at("sig", i + 1).eqNullSafe(F.col(f"m{i}"))
+                == False  # noqa: E712
+                for i in range(8)
+            ],
+        )
+    ).count()
+    assert bad == 0

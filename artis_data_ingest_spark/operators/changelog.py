@@ -74,10 +74,14 @@ def default_pair_reader(spark: SparkSession, path: str) -> DataFrame:
     lower = path.lower()
     if lower.endswith(".csv"):
         return read_csv_inferred(spark, path)
-    if lower.endswith((".xlsx", ".xls")):
+    if lower.endswith(".xlsx"):
         from ..sources.excel import read_excel
 
         return read_excel(spark, path, skip_rows=1)
+    if lower.endswith(".xls"):
+        raise ValueError(
+            f"legacy binary .xls is not supported (OOXML .xlsx only): {path!r}"
+        )
     raise ValueError(f"no reader for file extension of {path!r}")
 
 

@@ -265,3 +265,17 @@ def test_asof_forward_known_values(spark):
     assert out[(1, t(10))] == 100.0   # equal ts matches (inclusive)
     assert out[(1, t(30))] is None    # nothing after
     assert out[(2, t(5))] is None     # right row is before, not after
+
+
+def test_spread_cpu_bound_noop_when_partitioned(spark):
+    from artis_data_ingest_spark.operators.scale import spread_cpu_bound
+
+    df = spark.range(1000).repartition(64)
+    out = spread_cpu_bound(df)
+    assert out is df  # already >= defaultParallelism: no extra exchange
+    small = spark.range(10).coalesce(1)
+    spread = spread_cpu_bound(small)
+    assert spread.rdd.getNumPartitions() >= min(
+        32, spark.sparkContext.defaultParallelism
+    )
+    assert spread.count() == 10

@@ -240,3 +240,122 @@ def sample_frames(
             )
 
     return media.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+# --- REAL header probing (no codec libraries needed) ----------------------
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("detected", T.StringType()),  # png | wav | unknown
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_media_header(blob: bytes) -> dict:
+    """REAL container-header parsing with the stdlib only — unlike the
+    feature/resize codecs (stubbed: pixel decode genuinely needs
+    Pillow/PyAV), format detection and dimension/sample-rate extraction
+    are pure byte arithmetic per the PNG and RIFF/WAVE specs:
+
+      * PNG:  8-byte magic, then the IHDR chunk — width/height are
+        big-endian u32 at offsets 16/20.
+      * WAV:  'RIFF' … 'WAVE' + 'fmt ' chunk — sample rate is a
+        little-endian u32 at offset 24.
+    """
+    import struct
+
+    if blob[:8] == _PNG_MAGIC and blob[12:16] == b"IHDR" and len(blob) >= 24:
+        w, h = struct.unpack(">II", blob[16:24])
+        return {"detected": "png", "width": w, "height": h,
+                "sample_rate": None}
+    if (
+        blob[:4] == b"RIFF"
+        and blob[8:12] == b"WAVE"
+        and blob[12:16] == b"fmt "
+        and len(blob) >= 28
+    ):
+        (sr,) = struct.unpack("<I", blob[24:28])
+        return {"detected": "wav", "width": None, "height": None,
+                "sample_rate": sr}
+    return {"detected": "unknown", "width": None, "height": None,
+            "sample_rate": None}
+
+
+def probe_metadata(media: DataFrame) -> DataFrame:
+    """Fill typed metadata from REAL container headers via Arrow-batched
+    mapInPandas; the binary column is dropped from the output, so only
+    compact metadata rows reach any downstream shuffle."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [parse_media_header(b) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "detected": [r["detected"] for r in rows],
+                    "width": [r["width"] for r in rows],
+                    "height": [r["height"] for r in rows],
+                    "sample_rate": [r["sample_rate"] for r in rows],
+                    "n_bytes": [len(b) for b in pdf["content"]],
+                }
+            )
+
+    return media.mapInPandas(_probe, PROBE_SCHEMA)
+
+
+def make_png_bytes(width: int, height: int) -> bytes:
+    """Minimal spec-correct PNG prefix (magic + IHDR); enough container
+    for header probing — pixel data would need a real encoder."""
+    import struct
+
+    ihdr = struct.pack(">II", width, height) + b"\x08\x06\x00\x00\x00"
+    return (
+        _PNG_MAGIC
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"  # CRC not validated by the probe
+    )
+
+
+def make_wav_bytes(sample_rate: int, channels: int = 1) -> bytes:
+    """Minimal spec-correct RIFF/WAVE header with an empty data chunk."""
+    import struct
+
+    fmt = struct.pack(
+        "<IHHIIHH",
+        16, 1, channels, sample_rate,
+        sample_rate * channels * 2, channels * 2, 16,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+
+
+def synthetic_probe_media(spark: SparkSession, n: int = 12) -> DataFrame:
+    """Media table of REAL PNG/WAV containers (header-only payloads)
+    with id-derived dimensions, so probe results are checkable by
+    construction."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            blob = make_png_bytes(16 + i, 9 + i)
+            kind = "image"
+        else:
+            blob = make_wav_bytes(8000 + 100 * i)
+            kind = "audio"
+        rows.append(
+            (i, kind, blob,
+             {"width": None, "height": None, "n_frames": None,
+              "sample_rate": None})
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from ..operators.multimodal import extract_features, synthetic_media
+from ..operators.multimodal import (
+    extract_features,
+    probe_metadata,
+    synthetic_media,
+    synthetic_probe_media,
+)
 from ..sources.files import file_inventory
 from ..sources.tables import load_table
 from .registry import register
@@ -56,6 +61,36 @@ def q_file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         file_inventory(spark, sf_dir, name_regex=r"(?i)\.parquet$")
         .select("files", "size_mb", "files_std")
         .orderBy("files_std")
+    )
+
+
+@register(
+    "q_media_probe",
+    oracle="""
+SELECT media_id,
+       CASE WHEN media_id % 2 = 0 THEN 'png' ELSE 'wav' END AS detected,
+       CASE WHEN media_id % 2 = 0 THEN 16 + media_id END AS width,
+       CASE WHEN media_id % 2 = 0 THEN 9 + media_id END AS height,
+       CASE WHEN media_id % 2 = 1 THEN 8000 + 100 * media_id END
+         AS sample_rate
+FROM range(0, 12) t(media_id)
+ORDER BY media_id
+""",
+    doc="REAL multimodal metadata extraction (SURVEY.md §2.11): "
+    "spec-correct PNG and RIFF/WAVE containers are synthesized with "
+    "id-derived dimensions, then an Arrow-batched mapInPandas probe "
+    "parses the actual headers (stdlib struct — magic, IHDR "
+    "big-endian dims, fmt-chunk sample rate; no codec libraries). "
+    "The oracle pins the construction, so a probe bug (endianness, "
+    "offset, magic check) hash-mismatches. Unlike the stubbed pixel "
+    "codecs, this path executes real byte-level decoding end-to-end.",
+)
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_probe_media(spark, n=12)
+    return (
+        probe_metadata(media)
+        .select("media_id", "detected", "width", "height", "sample_rate")
+        .orderBy("media_id")
     )
 
 

@@ -41,6 +41,7 @@ _PRIORITY: list[str] = [
     "q_repetition_quality",
     "q_zip_ingest",
     "q_stratified_sample",
+    "q_media_probe",
     "q_kmeans_centroids",
     "q_ann_ivf_kmeans",
     "q_minhash_portable_stats",

@@ -60,3 +60,33 @@ def test_sample_frames_fanout(spark):
         assert len(r.frame) <= 16
     # fan-out: more frame rows than video rows
     assert len(frames) > len(vids)
+
+
+def test_header_probe_real_containers(spark):
+    from artis_data_ingest_spark.operators.multimodal import (
+        make_png_bytes,
+        make_wav_bytes,
+        parse_media_header,
+        probe_metadata,
+        synthetic_probe_media,
+    )
+
+    # direct byte-level checks
+    png = parse_media_header(make_png_bytes(640, 480))
+    assert png == {
+        "detected": "png", "width": 640, "height": 480, "sample_rate": None,
+    }
+    wav = parse_media_header(make_wav_bytes(44100, channels=2))
+    assert wav["detected"] == "wav" and wav["sample_rate"] == 44100
+    assert parse_media_header(b"garbage")["detected"] == "unknown"
+    # truncated containers must not crash
+    assert parse_media_header(make_png_bytes(1, 1)[:10])["detected"] == "unknown"
+
+    # through the Arrow-batched pipeline
+    out = {
+        r.media_id: r
+        for r in probe_metadata(synthetic_probe_media(spark, n=6)).collect()
+    }
+    assert out[0].detected == "png" and out[0].width == 16
+    assert out[1].detected == "wav" and out[1].sample_rate == 8100
+    assert out[0].n_bytes > 0

@@ -703,3 +703,40 @@ def q_extract_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version")
     )
+
+
+@register(
+    "q_approx_percentile",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.50), 6) AS exact_p50,
+       COUNT(*) AS n,
+       TRUE AS p50_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    doc="Approximate-percentile scale path (SURVEY.md A5): "
+    "percentile_approx (mergeable sketch, map-side combinable — the "
+    "100 TB drop-in for exact percentile) checked as a hard signal: "
+    "the query emits the exact p50 plus a |approx/exact - 1| < 0.05 "
+    "verdict per group (accuracy 1000; deterministic for fixed data), "
+    "which the oracle pins as literal TRUE alongside the exact values "
+    "— same pattern as q_approx_distinct's HLL bound.",
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5D)"), 6).alias("exact_p50"),
+        F.expr("percentile_approx(l_quantity, 0.5D, 1000)").alias("a50"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_p50",
+        "n",
+        (
+            F.abs(F.col("a50").cast("double") / F.col("exact_p50") - 1.0)
+            < 0.05
+        ).alias("p50_within_tol"),
+    ).orderBy("l_returnflag")

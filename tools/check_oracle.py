@@ -128,8 +128,15 @@ def main() -> int:
             spdf = sdf.toPandas()
             scols = list(spdf.columns)
             srows = _pandas_rows(spdf)
+            # the external driver canonicalizes through pandas
+            # sort_values, which raises on unhashable (list/struct)
+            # cells — reproduce that here so a driver-incompatible
+            # output schema fails locally (CORRECTNESS_r02's
+            # q_dataset_diff burned a driver slot exactly this way)
+            if len(spdf):
+                spdf.sort_values(by=scols)
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {name}: spark/canonicalize error: {e}")
             n_fail += 1
             failed.append(name)
             continue

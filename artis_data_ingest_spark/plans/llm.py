@@ -669,3 +669,97 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return portable_simhash_candidates(docs).orderBy("doc_id_a", "doc_id_b")
+
+
+@register(
+    "q_embedding_quantize",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), s AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) AS vmax
+  FROM e
+), qt AS (
+  SELECT vec_id, emb,
+         list_transform(emb, x -> floor(x * 127 / vmax)) AS q
+  FROM s WHERE vmax > 0
+), q AS (
+  SELECT vec_id AS query_id, emb AS a_emb, q AS a_q
+  FROM qt WHERE vec_id IN {_QUERY_IDS}
+), pairs AS (
+  SELECT q.query_id,
+         abs(list_dot_product(q.a_q, c.q)
+             / (sqrt(list_dot_product(q.a_q, q.a_q))
+                * sqrt(list_dot_product(c.q, c.q)))
+             - list_dot_product(q.a_emb, c.emb)
+               / (sqrt(list_dot_product(q.a_emb, q.a_emb))
+                  * sqrt(list_dot_product(c.emb, c.emb)))) AS err
+  FROM q JOIN qt c ON c.vec_id <> q.query_id
+)
+SELECT query_id, COUNT(*) AS n,
+       round(MAX(err), 6) AS max_abs_err,
+       MAX(err) < 0.05 AS within_tol
+FROM pairs
+GROUP BY query_id
+ORDER BY query_id
+""",
+    doc="Int8 embedding quantization (SURVEY.md §2.11 ANN scale path): "
+    "per-vector symmetric scaling to [-127, 127] via floor — the 4x "
+    "memory/bandwidth trick real vector stores use — with the cosine "
+    "error of the quantized representation measured against the exact "
+    "float path for every (query, corpus) pair. Emits per-query max "
+    "absolute error and a <0.05 verdict; MAX is order-independent, so "
+    "the doubles hash-match cross-engine (floor arithmetic is exact, "
+    "no rounding-tie ambiguity). Pure codegen'd array expressions.",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import as_double, dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double("embedding")
+    base = (
+        emb.select("vec_id", v.alias("emb"))
+        .withColumn("vmax", F.array_max(F.transform("emb", lambda x: F.abs(x))))
+        .filter(F.col("vmax") > 0)
+        .withColumn(
+            "q",
+            F.transform(
+                "emb", lambda x: F.floor(x * 127.0 / F.col("vmax")).cast("double")
+            ),
+        )
+        .select("vec_id", "emb", "q")
+    )
+    qside = base.filter(F.col("vec_id").isin(list(_QUERY_IDS))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("a_emb"),
+        F.col("q").alias("a_q"),
+    )
+    pairs = (
+        base.join(F.broadcast(qside), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "err",
+            F.abs(
+                dot(F.col("a_q"), F.col("q"))
+                / (
+                    F.sqrt(dot(F.col("a_q"), F.col("a_q")))
+                    * F.sqrt(dot(F.col("q"), F.col("q")))
+                )
+                - dot(F.col("a_emb"), F.col("emb"))
+                / (
+                    F.sqrt(dot(F.col("a_emb"), F.col("a_emb")))
+                    * F.sqrt(dot(F.col("emb"), F.col("emb")))
+                )
+            ),
+        )
+    )
+    return (
+        pairs.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("err"), 6).alias("max_abs_err"),
+            (F.max("err") < 0.05).alias("within_tol"),
+        )
+        .orderBy("query_id")
+    )

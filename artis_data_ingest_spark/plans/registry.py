@@ -43,6 +43,7 @@ _PRIORITY: list[str] = [
     "q_stratified_sample",
     "q_media_probe",
     "q_approx_percentile",
+    "q_embedding_quantize",
     "q_kmeans_centroids",
     "q_ann_ivf_kmeans",
     "q_minhash_portable_stats",

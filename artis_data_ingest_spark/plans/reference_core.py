@@ -693,6 +693,56 @@ def q_excel_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FLEET_DIR = "/root/repo/data/excel/fleet"
+_FLEET_TWINS = "/root/repo/data/excel/fleet_twins"
+_FLEET_NAMES = [
+    "aquaculture_inland_V202401",
+    "capture_atlantic_V202401",
+    "capture_pacific_V202401",
+]
+
+
+@register(
+    "q_excel_fleet",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{n}.xlsx' AS workbook,\n"
+        f"       CAST(country AS BIGINT) AS country,\n"
+        f"       lower(species_name_en) AS species,\n"
+        f"       CAST(year AS BIGINT) AS year,\n"
+        f"       CAST(quantity AS DOUBLE) AS quantity\n"
+        f"FROM read_csv('{_FLEET_TWINS}/{n}.csv', header=true)"
+        for n in _FLEET_NAMES
+    )
+    + "\n) ORDER BY workbook, country, species",
+    doc="S9 at fleet scale (read_xlsx dispatch, assess_changes.qmd:"
+    "131-138, lifted to a directory of workbooks): binaryFile scan → "
+    "one mapInPandas task per .xlsx → stdlib OOXML decode inside the "
+    "executor, rows tagged with the workbook basename. Each committed "
+    "workbook carries a leading Metadata sheet, so this also exercises "
+    "sheet-selection-by-name ('Production') and skip_rows=1 under the "
+    "title banner. Oracle unions per-workbook CSV twins through DuckDB "
+    "— an independent decode path, so a sheet-resolution, cell-decode "
+    "or schema-alignment bug in the fleet reader hash-mismatches.",
+)
+def q_excel_fleet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.excel import read_excel_fleet
+
+    df = read_excel_fleet(
+        spark, _FLEET_DIR, skip_rows=1, sheet="Production"
+    )
+    return (
+        df.select(
+            "workbook",
+            F.col("country").cast("bigint").alias("country"),
+            F.lower("species_name_en").alias("species"),
+            F.col("year").cast("bigint").alias("year"),
+            F.col("quantity").cast("double").alias("quantity"),
+        )
+        .orderBy("workbook", "country", "species")
+    )
+
+
 @register(
     "q_xpath_links",
     oracle="""

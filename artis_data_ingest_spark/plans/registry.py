@@ -30,64 +30,63 @@ _REGISTRY: dict[str, Query] = {}
 # The external correctness driver checks at most ~50 queries per round, in
 # the order ``queries()`` yields them.  To keep every registered query's
 # latest driver verdict at most ~2 rounds old, names listed here are yielded
-# FIRST (in this order); the rest follow in definition order.  Round 3
-# front-loads (a) this round's new / semantically-changed queries
-# (q_dataset_diff flattening, the stdlib-xlsx pair, strip_version
-# first-occurrence, the two new oracles) and (b) the 34 queries whose only
-# green is round 1 — CORRECTNESS_r03 re-verifies everything r02 could not.
+# FIRST (in this order); the rest follow in definition order.  Round 4
+# front-loads (a) queries whose semantics changed this round
+# (q_sequence_pack now sharded-by-default, q_media_features now a real
+# stdlib PNG decode with a by-construction oracle, the new executor-side
+# Excel fleet query) and (b) all 46 queries whose latest driver verdict is
+# r1/r2 — CORRECTNESS_r04 re-verifies everything r03's 50-slot cap missed.
 _PRIORITY: list[str] = [
-    # round-3 new or changed — need a fresh driver verdict
-    "q_pii_scrub",
-    "q_repetition_quality",
-    "q_zip_ingest",
-    "q_stratified_sample",
-    "q_media_probe",
-    "q_approx_percentile",
-    "q_embedding_quantize",
-    "q_kmeans_centroids",
-    "q_ann_ivf_kmeans",
-    "q_minhash_portable_stats",
-    "q_dataset_diff",
-    "q_excel_clean",
-    "q_changelog_e2e",
-    "q_file_inventory",
-    "q_approx_distinct",
-    "q_slugify_key",  # strip_version first-occurrence fixture
-    "q_changelog_files",  # shares the standardize-key chain
-    # green in round 1 only — rotate back in
-    "q_minhash_portable",
-    "q_dup_clusters",
-    "q_simhash_portable",
-    "q_pandas_cosine_topk",
-    "q_cosine_topk",
-    "q_daily_rollup",
-    "q_fuzzy_match",
-    "q_interval_join",
-    "q_extract_version",
-    "q_train_split",
-    "q_tumbling_window",
-    "q_sliding_window",
-    "q_session_window",
-    "q_running_sum",
-    "q_lag_gap",
-    "q_date_spine",
-    "q_ann_ivf",
-    "q_ann_signbucket",
-    "q_embedding_norms",
-    "q_embedding_neardup",
-    "q_minhash_neardup",
-    "q_simhash_neardup",
+    # round-4 new or changed — need a fresh driver verdict
     "q_media_features",
-    "q_scraper_links",
-    "q_union_tag",
-    "q_fullouter_align",
-    "q_pivot_align",
-    "q_distinct",
-    "q_except_distinct",
-    "q_intersect",
-    "q_union_names",
-    "q_count_distinct",
-    "q_exists_any",
+    "q_excel_fleet",
+    "q_sequence_pack",
+    "q_sequence_pack_sharded",
+    # latest verdict r1/r2 — rotate back in
+    "q1_pricing_summary",
+    "q5_revenue_by_region",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q_grouped_agg",
+    "q_semi_join",
+    "q_anti_join",
+    "q_topk_window",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_percentiles",
+    "q_moving_avg",
+    "q_rank_family",
+    "q_text_stats",
+    "q_quality_score",
+    "q_lang_stats",
+    "q_langid_confusion",
+    "q_dedup_exact",
+    "q_ngram_jaccard",
+    "q_fingerprint",
+    "q_json_extract",
+    "q_json_struct",
+    "q_try_cast",
+    "q_salted_agg",
+    "q_asof_join",
+    "q_asof_forward",
+    "q_range_join",
+    "q_token_freq",
+    "q_argminmax",
+    "q_monthly_orders",
+    "q_era_branch",
+    "q_notin_filter",
+    "q_clean_pipeline",
+    "q_csv_clean_prod",
+    "q_xpath_links",
+    "q_union_evolved",
+    "q_changelog_pair_diff",
+    "q_schema_diff_flat",
+    "q_file_sizes",
+    "q_value_diff",
+    "q_unpivot",
+    "q_latest_per_key",
+    "q_corpus_pipeline",
 ]
 
 

@@ -3,6 +3,7 @@ network-free via injectable fetchers and tmp directories."""
 
 from __future__ import annotations
 
+import io
 import zipfile
 
 import pytest
@@ -13,7 +14,9 @@ from artis_data_ingest_spark.sources.archives import (
     read_zipped_csv,
 )
 from artis_data_ingest_spark.sources.excel import (
+    parse_xlsx_bytes,
     read_excel,
+    read_excel_fleet,
     write_minimal_xlsx,
 )
 from artis_data_ingest_spark.sources.files import (
@@ -108,6 +111,79 @@ def test_excel_skip_rows_zero_and_file_uri(spark, tmp_path):
     write_minimal_xlsx(str(path), [["a", "b"], ["x", 10], ["y", 20]])
     df = read_excel(spark, f"file:{path}", skip_rows=0)
     assert sorted((r.a, r.b) for r in df.collect()) == [("x", 10), ("y", 20)]
+
+
+def test_excel_multisheet_selection(spark, tmp_path):
+    path = tmp_path / "multi.xlsx"
+    write_minimal_xlsx(
+        str(path),
+        {
+            "Meta": [["info"], ["not the data"]],
+            "Data": [["k", "v"], ["a", 1], ["b", 2]],
+        },
+    )
+    by_name = read_excel(spark, str(path), skip_rows=0, sheet="Data")
+    assert sorted((r.k, r.v) for r in by_name.collect()) == [("a", 1), ("b", 2)]
+    by_index = read_excel(spark, str(path), skip_rows=0, sheet=1)
+    assert by_index.columns == ["k", "v"]
+    default_first = read_excel(spark, str(path), skip_rows=0)
+    assert default_first.columns == ["info"]
+    with pytest.raises(ValueError, match="no sheet named"):
+        read_excel(spark, str(path), sheet="Nope")
+    with pytest.raises(ValueError, match="out of range"):
+        read_excel(spark, str(path), sheet=5)
+
+
+def test_excel_wide_rows_keep_trailing_cells():
+    # data rows wider than the header keep cells under _c{i} names
+    # (readxl synthesizes ...n; truncation would silently drop data)
+    buf = io.BytesIO()
+    write_minimal_xlsx(buf, [["a", "b"], ["x", 1, "extra"], ["y", 2]])
+    header, rows = parse_xlsx_bytes(buf.getvalue())
+    assert header == ["a", "b", "_c2"]
+    assert rows == [["x", 1, "extra"], ["y", 2, None]]
+
+
+def test_excel_bool_int_mix_promotes_numeric(spark, tmp_path):
+    # a stray TRUE in a numeric column promotes bool→int, not →string
+    path = tmp_path / "mix.xlsx"
+    write_minimal_xlsx(
+        str(path), [["n", "s"], [1, "x"], [True, True], [3.5, "z"]]
+    )
+    df = read_excel(spark, str(path), skip_rows=0)
+    assert dict(df.dtypes) == {"n": "double", "s": "string"}
+    vals = sorted((r.n, r.s) for r in df.collect())
+    assert vals == [(1.0, "true"), (1.0, "x"), (3.5, "z")]
+
+
+def test_excel_fleet_reader(spark, tmp_path):
+    fleet = tmp_path / "fleet"
+    fleet.mkdir()
+    for tag, rows in [("a", [["r1", 1], ["r2", 2]]), ("b", [["r3", 3]])]:
+        write_minimal_xlsx(
+            str(fleet / f"book_{tag}.xlsx"),
+            {
+                "Meta": [["junk"]],
+                "Data": [["banner"], ["name", "n"], *rows],
+            },
+        )
+    df = read_excel_fleet(spark, str(fleet), skip_rows=1, sheet="Data")
+    got = sorted((r.workbook, r.name, r.n) for r in df.collect())
+    assert got == [
+        ("book_a.xlsx", "r1", 1),
+        ("book_a.xlsx", "r2", 2),
+        ("book_b.xlsx", "r3", 3),
+    ]
+
+
+def test_excel_fleet_schema_mismatch_raises(spark, tmp_path):
+    fleet = tmp_path / "fleet"
+    fleet.mkdir()
+    write_minimal_xlsx(str(fleet / "a_good.xlsx"), [["name", "n"], ["x", 1]])
+    write_minimal_xlsx(str(fleet / "b_bad.xlsx"), [["other"], ["y"]])
+    df = read_excel_fleet(spark, str(fleet), skip_rows=0)
+    with pytest.raises(Exception, match="missing expected columns"):
+        df.collect()
 
 
 def test_excel_committed_fixture(spark):

@@ -57,6 +57,30 @@ PROD_V2 = [
 
 TITLE = ["FAO Global Production (tonnes) — snapshot"]
 
+# Fleet fixtures: a directory of per-region workbooks ingested in ONE
+# job by read_excel_fleet (binaryFile → mapInPandas).  Each workbook
+# carries a leading "Metadata" sheet (like real FAO downloads) so the
+# fleet query also exercises sheet-selection-by-name, plus the title
+# banner (skip_rows=1) on the data sheet.
+FLEET = {
+    "capture_atlantic_V202401": [
+        [156, "Atlantic cod", "Gadus morhua", "PISCES", 2023, 1195.5],
+        [826, "Atlantic herring", "Clupea harengus", "PISCES", 2023, 876.25],
+        [8, "European seabass", "Dicentrarchus labrax", "PISCES", 2023, 80.5],
+    ],
+    "capture_pacific_V202401": [
+        [604, "Jumbo flying squid", "Dosidicus gigas", "MOLLUSCA", 2023, 640.125],
+        [840, "Whiteleg shrimp", "Penaeus vannamei", "CRUSTACEA", 2023, 340.5],
+        [392, "Japanese carpet shell", "Ruditapes philippinarum", "MOLLUSCA", 2023, 91.0],
+    ],
+    "aquaculture_inland_V202401": [
+        [76, "Nile tilapia", "Oreochromis niloticus", "PISCES", 2023, 4503.25],
+        [704, "Striped catfish", "Pangasianodon hypophthalmus", "PISCES", 2023, 1402.25],
+        [156, "Unidentified fish", "Osteichthyes", None, 2023, 58.375],
+        [840, "AQUATIC PLANTS", "Plantae aquaticae", "PLANTAE AQUATICAE", 2023, 14.75],
+    ],
+}
+
 
 def _write_xlsx(path: Path, header: list, rows: list) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -100,6 +124,19 @@ def main() -> None:
     # by comparable_pairs (assess_changes.qmd:117-123)
     _write_csv(old / "Notes_V202301.csv", ["note"], [["a"], ["b"]])
     _write_xlsx(new / "Notes_V202401.xlsx", ["note"], [["a"], ["b"], ["c"]])
+
+    # fleet directory: one multi-sheet workbook per region + CSV twins
+    fleet = excel / "fleet"
+    twins = excel / "fleet_twins"
+    meta = [["generator"], ["FAO FishStat export — regional slice"]]
+    for name, rows in FLEET.items():
+        path = fleet / f"{name}.xlsx"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        write_minimal_xlsx(
+            str(path),
+            {"Metadata": meta, "Production": [TITLE, HEADER, *rows]},
+        )
+        _write_csv(twins / f"{name}.csv", HEADER, rows)
 
     print("wrote fixtures under", excel, "and", e2e)
 

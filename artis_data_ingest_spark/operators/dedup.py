@@ -495,6 +495,14 @@ def portable_shingle_hash_fixed(shingle: Column, k: int) -> Column:
     expr = F.ascii(F.substring(shingle, 1, 1)).cast("bigint")
     for i in range(2, k + 1):
         expr = expr * 31 + F.ascii(F.substring(shingle, i, 1)).cast("bigint")
+        # Reduce mod p every 8 chars: without this the raw polynomial
+        # exceeds 2^63 at k>=10 (codepoints reach ~2^20; 31^9 * 2^20 >
+        # bigint) and overflows silently.  Mod distributes over + and *,
+        # so interleaved reduction is bit-identical to the rolled
+        # per-char fold for every k; between reductions the value is
+        # bounded by (p + 0x10FFFF) * 31^8 < 2^61.
+        if i % 8 == 0:
+            expr = expr % _PORTABLE_P
     return expr % _PORTABLE_P
 
 

@@ -231,13 +231,18 @@ def kmeans_centroids(
 
 
 def kmeans_centroids_sql(
-    k: int = 4, n_iter: int = 2, quant: int = 1_000_000
+    k: int = 4,
+    n_iter: int = 2,
+    quant: int = 1_000_000,
+    round_digits: int = 6,
 ) -> tuple[str, str]:
     """DuckDB CTE chain mirroring ``kmeans_centroids``.
 
     Returns ``(chain, final_name)``: append further CTEs or a SELECT
     reading from ``final_name`` (the (cid, cemb) relation after the
-    last Lloyd iteration).
+    last Lloyd iteration).  ``round_digits`` must match the Spark
+    side's assignment rounding or the two engines can tie-break
+    different centroids.
     """
     chain = f"""
 WITH e AS (
@@ -256,7 +261,7 @@ WITH e AS (
              ORDER BY round(list_dot_product(v.emb, c.cemb)
                             / (sqrt(list_dot_product(v.emb, v.emb))
                                * sqrt(list_dot_product(c.cemb, c.cemb))),
-                      6) DESC, c.cid
+                      {round_digits}) DESC, c.cid
            ) AS rn
     FROM e v CROSS JOIN {prev} c
   ) WHERE rn = 1

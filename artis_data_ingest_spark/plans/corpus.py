@@ -136,7 +136,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_sequence_pack",
+    "q_sequence_pack_global",
     oracle="""
 WITH t AS (
   SELECT doc_id,
@@ -157,16 +157,14 @@ FROM c
 GROUP BY 1
 ORDER BY pack_id
 """,
-    doc="Sequence packing (LLM-training-data step: concatenate short "
-    "documents into ~fixed-token-budget training rows): running token "
-    "count over a stable order assigns each doc to the 2048-token pack "
-    "its start position falls in. One window pass + one aggregation. "
-    "At 100 TB, pack within partition-local order (partitionBy a shard "
-    "key) so the prefix sum never serializes through a single ordered "
-    "window — the global-order form here is the oracle-checkable "
-    "reference semantics.",
+    doc="Global-order sequence packing — the oracle-checkable reference "
+    "semantics for q_sequence_pack. The running token count over a "
+    "single global order serializes the prefix sum through one reducer, "
+    "so this form is NOT the default surface: it exists to pin the "
+    "semantics (same pack-assignment rule, one shard). Use "
+    "q_sequence_pack (shard-partitioned window) at scale.",
 )
-def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sequence_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", n_tokens("text").alias("n_toks"))
     w = Window.orderBy("doc_id").rowsBetween(
@@ -194,7 +192,7 @@ _N_SHARDS = 16
 
 
 @register(
-    "q_sequence_pack_sharded",
+    "q_sequence_pack",
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
@@ -217,18 +215,20 @@ FROM c
 GROUP BY 1, 2
 ORDER BY shard, pack_id
 """,
-    doc="Scale-safe sequence packing: the running token count is "
-    "partitioned by a deterministic shard key (doc_id mod "
+    doc="Sequence packing (LLM-training-data step: concatenate short "
+    "documents into ~fixed-token-budget training rows), scale-safe "
+    "default: the running token count is partitioned by a "
+    "deterministic shard key (doc_id mod "
     f"{_N_SHARDS}), so each shard's prefix sum runs in its own window "
     "partition — Spark's plan shows a hash exchange on shard and NO "
-    "single-partition global sort, unlike q_sequence_pack whose "
+    "single-partition global sort, unlike q_sequence_pack_global whose "
     "global-order window serializes 100 TB through one reducer (that "
     "form is kept as the oracle-reference semantics). Pack boundaries "
     "are shard-local, which is exactly how a real training-data job "
     "packs: any stable sharding works because packs never need to span "
     "shards. At cluster scale, set the shard count to O(executors).",
 )
-def q_sequence_pack_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",

@@ -19,6 +19,8 @@ from pyspark.sql.window import Window
 
 from ..operators.multimodal import (
     extract_features,
+    gradient_png_media,
+    image_stats,
     probe_metadata,
     synthetic_media,
     synthetic_probe_media,
@@ -216,23 +218,28 @@ def q_pandas_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_media_features",
-    oracle=None,
-    doc="Multimodal plumbing (SURVEY.md §2.11): synthetic binary media "
-    "rows → Arrow-batched mapInPandas stub decode → fixed-dim feature "
-    "vectors, aggregated per kind. Rows-only: codec is a documented "
-    "stub; schemas/batching are the real machinery under test.",
+    oracle="""
+SELECT i AS media_id,
+       4 + i AS width,
+       3 + i AS height,
+       round((3 + i) / 510.0, 6) AS mean_r,
+       round((2 + i) / 510.0, 6) AS mean_g,
+       round((5 + 2 * i) / 510.0, 6) AS mean_b
+FROM range(8) t(i)
+ORDER BY media_id
+""",
+    doc="Multimodal image features (SURVEY.md §2.11), REAL decode path: "
+    "gradient_png_media emits spec-correct PNGs (image i is (3+i) rows "
+    "x (4+i) cols with R=x, G=y, B=x+y, rows filtered round-robin over "
+    "all five PNG filter types), image_stats decodes them byte-for-byte "
+    "with the stdlib zlib/struct codec inside Arrow-batched mapInPandas "
+    "and emits normalized channel means. The oracle is closed-form: "
+    "mean_r=(w-1)/510, mean_g=(h-1)/510, mean_b=(w+h-2)/510 — a decoder "
+    "that mishandles any filter type breaks the hash match. Binary "
+    "never reaches a shuffle; only compact per-image stats do.",
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = synthetic_media(spark, n=12)
-    feats = extract_features(media, dim=16)
-    return (
-        feats.groupBy("kind")
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.round(
-                F.avg(F.element_at("feature", 1).cast("double")), 6
-            ).alias("avg_f0"),
-        )
-        .orderBy("kind")
+    media = gradient_png_media(spark, n=8)
+    return image_stats(media.select("media_id", "content")).orderBy(
+        "media_id"
     )

@@ -30,63 +30,67 @@ _REGISTRY: dict[str, Query] = {}
 # The external correctness driver checks at most ~50 queries per round, in
 # the order ``queries()`` yields them.  To keep every registered query's
 # latest driver verdict at most ~2 rounds old, names listed here are yielded
-# FIRST (in this order); the rest follow in definition order.  Round 4
-# front-loads (a) queries whose semantics changed this round
-# (q_sequence_pack now sharded-by-default, q_media_features now a real
-# stdlib PNG decode with a by-construction oracle, the new executor-side
-# Excel fleet query) and (b) all 46 queries whose latest driver verdict is
-# r1/r2 — CORRECTNESS_r04 re-verifies everything r03's 50-slot cap missed.
+# FIRST (in this order); the rest follow in definition order.  Round 5
+# front-loads (a) queries whose semantics changed this round —
+# q_sequence_pack (now the shard-partitioned form; the global-order twin is
+# registered as q_sequence_pack_global), q_media_features (now decodes real
+# PNG media via the stdlib codec with a closed-form oracle), and q_lag_gap
+# (fixed TIMESTAMP_NTZ handling; its r3 driver verdict predates the
+# regression) — then (b) all 47 queries whose latest driver verdict is r3,
+# so CORRECTNESS_r05 re-verifies everything r04's 50-slot cap missed.
 _PRIORITY: list[str] = [
-    # round-4 new or changed — need a fresh driver verdict
-    "q_media_features",
-    "q_excel_fleet",
+    # round-5 changed — need a fresh driver verdict
     "q_sequence_pack",
-    "q_sequence_pack_sharded",
-    # latest verdict r1/r2 — rotate back in
-    "q1_pricing_summary",
-    "q5_revenue_by_region",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q_grouped_agg",
-    "q_semi_join",
-    "q_anti_join",
-    "q_topk_window",
-    "q_rollup",
-    "q_cube",
-    "q_grouping_sets",
-    "q_percentiles",
-    "q_moving_avg",
-    "q_rank_family",
-    "q_text_stats",
-    "q_quality_score",
-    "q_lang_stats",
-    "q_langid_confusion",
-    "q_dedup_exact",
-    "q_ngram_jaccard",
-    "q_fingerprint",
-    "q_json_extract",
-    "q_json_struct",
-    "q_try_cast",
-    "q_salted_agg",
-    "q_asof_join",
-    "q_asof_forward",
-    "q_range_join",
-    "q_token_freq",
-    "q_argminmax",
-    "q_monthly_orders",
-    "q_era_branch",
-    "q_notin_filter",
-    "q_clean_pipeline",
-    "q_csv_clean_prod",
-    "q_xpath_links",
-    "q_union_evolved",
-    "q_changelog_pair_diff",
-    "q_schema_diff_flat",
-    "q_file_sizes",
-    "q_value_diff",
-    "q_unpivot",
-    "q_latest_per_key",
-    "q_corpus_pipeline",
+    "q_sequence_pack_global",
+    "q_media_features",
+    "q_lag_gap",
+    # latest verdict r3 — rotate back in
+    "q_scraper_links",
+    "q_changelog_e2e",
+    "q_changelog_files",
+    "q_file_inventory",
+    "q_excel_clean",
+    "q_zip_ingest",
+    "q_dataset_diff",
+    "q_fullouter_align",
+    "q_pivot_align",
+    "q_slugify_key",
+    "q_extract_version",
+    "q_distinct",
+    "q_union_tag",
+    "q_union_names",
+    "q_except_distinct",
+    "q_intersect",
+    "q_exists_any",
+    "q_count_distinct",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_running_sum",
+    "q_daily_rollup",
+    "q_date_spine",
+    "q_tumbling_window",
+    "q_sliding_window",
+    "q_session_window",
+    "q_minhash_portable",
+    "q_minhash_portable_stats",
+    "q_minhash_neardup",
+    "q_simhash_portable",
+    "q_simhash_neardup",
+    "q_dup_clusters",
+    "q_embedding_neardup",
+    "q_embedding_norms",
+    "q_embedding_quantize",
+    "q_cosine_topk",
+    "q_pandas_cosine_topk",
+    "q_ann_signbucket",
+    "q_ann_ivf",
+    "q_ann_ivf_kmeans",
+    "q_kmeans_centroids",
+    "q_pii_scrub",
+    "q_repetition_quality",
+    "q_stratified_sample",
+    "q_train_split",
+    "q_media_probe",
 ]
 
 

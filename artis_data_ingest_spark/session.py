@@ -43,6 +43,10 @@ def get_spark(app_name: str = "artis-data-ingest-spark") -> SparkSession:
         # can't blow a Python worker's memory in one batch
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
+        # pyspark 4.x infers parquet timestamps as TIMESTAMP_NTZ by default,
+        # which unix_micros() and streaming watermarks reject; session tz is
+        # pinned UTC above so plain TIMESTAMP has identical semantics here.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

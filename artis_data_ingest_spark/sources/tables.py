@@ -49,8 +49,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # pyspark 4.x may infer parquet timestamps as TIMESTAMP_NTZ,
+            # which unix_micros() and streaming watermarks reject. Session
+            # tz is pinned UTC, so the cast is value-identical and the
+            # DuckDB oracle (naive timestamps) still matches.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -90,3 +90,134 @@ def test_header_probe_real_containers(spark):
     assert out[0].detected == "png" and out[0].width == 16
     assert out[1].detected == "wav" and out[1].sample_rate == 8100
     assert out[0].n_bytes > 0
+
+
+# --- real PNG codec (encode/decode round-trip, per-filter coverage) -------
+
+
+def _random_rgb(h, w, ch, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+def test_png_roundtrip_each_filter_type():
+    """Every PNG filter (0 none, 1 sub, 2 up, 3 average, 4 paeth) must
+    survive encode→decode bit-exactly on its own — a decoder handling
+    only filter 0 fails four of these."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    arr = _random_rgb(11, 7, 3, seed=42)
+    for f in (0, 1, 2, 3, 4):
+        blob = encode_png(arr, filter_cycle=(f,))
+        out = decode_png(blob)
+        assert out.shape == arr.shape, f"filter {f}"
+        assert np.array_equal(out, arr), f"filter {f}"
+
+
+def test_png_roundtrip_mixed_cycle_rgb_and_rgba():
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    for ch in (3, 4):
+        arr = _random_rgb(13, 9, ch, seed=ch)
+        out = decode_png(encode_png(arr))  # default cycles all 5 filters
+        assert np.array_equal(out, arr)
+
+
+def test_png_decode_is_spec_correct_gradient():
+    """Closed-form pixels: image with R=x, G=y, B=x+y decodes to exactly
+    those values (pins scanline order and channel order, not just
+    round-trip self-consistency)."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    h, w = 5, 6
+    x = np.arange(w, dtype=np.uint8)[None, :, None]
+    y = np.arange(h, dtype=np.uint8)[:, None, None]
+    arr = np.concatenate(
+        [
+            np.broadcast_to(x, (h, w, 1)),
+            np.broadcast_to(y, (h, w, 1)),
+            (x + y).astype(np.uint8),
+        ],
+        axis=2,
+    )
+    out = decode_png(encode_png(np.ascontiguousarray(arr)))
+    assert out[2, 3, 0] == 3 and out[2, 3, 1] == 2 and out[2, 3, 2] == 5
+    assert np.array_equal(out, arr)
+
+
+def test_png_codec_rejects_unsupported_forms():
+    import numpy as np
+    import pytest
+
+    from artis_data_ingest_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    with pytest.raises(ValueError, match="expects uint8"):
+        encode_png(np.zeros((4, 4, 3), dtype=np.float64))
+    with pytest.raises(ValueError, match="expects uint8"):
+        encode_png(np.zeros((4, 4, 2), dtype=np.uint8))  # 2 channels
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"RIFF....WAVE")
+    # grayscale (color type 0) is declared unsupported → loud error
+    import struct
+    import zlib
+
+    from artis_data_ingest_spark.operators.multimodal import _PNG_MAGIC
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    gray_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = bytes([0, 1, 2, 0, 3, 4])  # 2 rows: filter byte + 2 px
+    gray = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", gray_ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(gray)
+
+
+def test_image_stats_matches_closed_form(spark):
+    """q_media_features' building block: decode real PNGs through
+    Arrow-batched mapInPandas and verify channel means against the
+    closed-form values the oracle pins."""
+    from artis_data_ingest_spark.operators.multimodal import (
+        gradient_png_media,
+        image_stats,
+    )
+
+    media = gradient_png_media(spark, n=6)
+    out = {r.media_id: r for r in image_stats(
+        media.select("media_id", "content")
+    ).collect()}
+    assert set(out) == set(range(6))
+    for i, r in out.items():
+        w, h = 4 + i, 3 + i
+        assert (r.width, r.height) == (w, h)
+        assert r.mean_r == round((w - 1) / 510.0, 6)
+        assert r.mean_g == round((h - 1) / 510.0, 6)
+        assert r.mean_b == round((w + h - 2) / 510.0, 6)

@@ -398,3 +398,75 @@ def test_encoded_shingles_bijective_jaccard(spark):
         == False  # noqa: E712
     ).count()
     assert diff == 0
+
+def test_portable_shingle_hash_fixed_large_k_no_overflow(spark):
+    # at k>=10 the naive unrolled polynomial exceeds bigint; the
+    # interleaved mod reduction must stay bit-identical to the rolled
+    # per-char fold (which reduces every step) for any k — including
+    # multi-byte codepoints near the top of the bound analysis
+    from artis_data_ingest_spark.operators.dedup import (
+        _PORTABLE_P,
+        portable_shingle_hash,
+        portable_shingle_hash_fixed,
+    )
+
+    vals = [
+        "abcdefghijklmnop",       # k=16 ascii
+        "zzzzzzzzzzzzzzzz",       # max ascii letter repeated
+        "￿" * 16,            # high-BMP codepoints
+        "sphinx of blacké",  # mixed
+    ]
+    k = 16
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    out = df.select(
+        portable_shingle_hash_fixed(F.col("s"), k).alias("fixed"),
+        portable_shingle_hash(F.col("s")).alias("rolled"),
+    ).collect()
+    for r, v in zip(out, vals):
+        expected = 0
+        for ch in v:
+            expected = (expected * 31 + ord(ch)) % _PORTABLE_P
+        assert r.fixed == r.rolled == expected, v
+        assert 0 <= r.fixed < _PORTABLE_P
+
+
+def test_kmeans_centroids_sql_round_digits_matches_spark(spark):
+    # round_digits now parameterized in the oracle twin: a non-default
+    # value must produce the same centroids in both engines (it changes
+    # assignment tie-breaks, so a hardcoded 6 would diverge)
+    import re
+
+    import duckdb
+
+    from artis_data_ingest_spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_centroids_sql,
+    )
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    chain, final = kmeans_centroids_sql(k=3, n_iter=2, round_digits=2)
+    assert re.search(r",\s*2\) DESC", chain)
+    assert not re.search(r",\s*6\) DESC", chain)
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = {
+        (r.cid, r.pos): r.val
+        for r in kmeans_centroids(emb, k=3, n_iter=2, round_digits=2)
+        .select("cid", F.posexplode("cemb").alias("pos", "val"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    want = {
+        (cid, pos - 1): val
+        for cid, pos, val in con.execute(
+            f"""{chain}
+SELECT cid, u.pos AS pos, cemb[u.pos] AS val
+FROM {final}, UNNEST(range(1, len(cemb) + 1)) AS u(pos)
+ORDER BY cid, pos"""
+        ).fetchall()
+    }
+    assert got == want

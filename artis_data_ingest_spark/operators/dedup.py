@@ -815,12 +815,16 @@ def connected_components(
     that turns near-dup candidate *pairs* into duplicate *clusters*
     (SURVEY.md §2.11: 'connected components via iterative join').
 
-    Min-label propagation: every node starts labeled with its own id;
-    each round, a node adopts the smallest label among itself and its
-    neighbors; stop at fixpoint (or ``max_iter``). Converges in
-    O(graph diameter) rounds — near-dup graphs are unions of small
-    cliques, so 2-3 rounds in practice. Each round is one join + one
-    aggregation on the node id.
+    Min-label propagation with pointer jumping: every node starts
+    labeled with its own id; each round, a node adopts the smallest
+    label among itself and its neighbors (one join + one aggregation),
+    then labels are composed once — node adopts label(label(node)) —
+    so label information travels ~2x the distance per round instead of
+    one hop. Convergence is O(log diameter) rounds, not O(diameter):
+    a 10k-node path converges in ~15 rounds where plain propagation
+    would need 10k. Near-dup graphs are unions of small cliques
+    (2-3 rounds); the jump is what makes the adversarial long-chain
+    shape safe at scale.
 
     Lineage is truncated every round with ``localCheckpoint`` — NOT
     merely cached: ``labels`` feeds the next round twice (neighbor
@@ -858,14 +862,25 @@ def connected_components(
             .groupBy(sym["a"].alias("node"))
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
+        propagated = labels.join(neighbor_min, on="node", how="left").select(
+            "node",
+            F.least(
+                F.col("cluster"),
+                F.coalesce(F.col("nbr_cluster"), F.col("cluster")),
+            ).alias("cluster"),
+        )
+        # pointer jump: compose labels once per round. A label is always
+        # a node id in the graph, and labels only decrease, so
+        # label(label(node)) <= label(node) — adopting it halves the
+        # remaining propagation distance (O(log diameter) total rounds).
+        parent = propagated.select(
+            F.col("node").alias("cluster"), F.col("cluster").alias("jump")
+        )
         new_labels = (
-            labels.join(neighbor_min, on="node", how="left")
+            propagated.join(parent, on="cluster", how="left")
             .select(
                 "node",
-                F.least(
-                    F.col("cluster"),
-                    F.coalesce(F.col("nbr_cluster"), F.col("cluster")),
-                ).alias("cluster"),
+                F.coalesce(F.col("jump"), F.col("cluster")).alias("cluster"),
             )
         ).localCheckpoint()
         changed = (

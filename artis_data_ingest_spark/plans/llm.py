@@ -580,6 +580,7 @@ ORDER BY cluster, node
 @register(
     "q_dup_clusters",
     oracle="WITH RECURSIVE " + _dup_clusters_oracle().lstrip()[len("WITH "):],
+    bench=True,
     doc="Near-dup clusters (SURVEY.md §2.11 connected components): the "
     "portable-MinHash candidate pairs closed transitively — iterative "
     "min-label propagation in Spark (one join+agg per round, converges "

@@ -704,6 +704,7 @@ _FLEET_NAMES = [
 
 @register(
     "q_excel_fleet",
+    bench=True,
     oracle="SELECT * FROM (\n"
     + "\nUNION ALL\n".join(
         f"SELECT '{n}.xlsx' AS workbook,\n"
@@ -831,6 +832,7 @@ _SNAP_NEW = "/root/repo/data/snapshots/new"
 
 @register(
     "q_changelog_files",
+    bench=True,
     oracle=f"""
 WITH old AS (
   SELECT {standardize_key_sql('filename')} AS files_std,

@@ -1,11 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "runs": {name: [sec, ...]}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + collect). A warmup run
-of the flagship query absorbs JVM/codegen startup so numbers reflect
-steady-state execution.
+Each query is timed end-to-end (plan + execute + collect), min of three
+runs, with every run recorded under "runs" so cross-round drift can be
+attributed to measurement spread instead of guessed at. A warmup run of
+the flagship query absorbs JVM/codegen startup; the heavyweight
+q_minhash_portable_stats runs LAST behind a cache-clear cooldown so its
+executor-memory churn cannot bleed into the queries after it.
 """
 
 from __future__ import annotations
@@ -35,23 +38,35 @@ def main() -> None:
     warm = bench.get("q1_pricing_summary") or next(iter(bench.values()))
     warm(spark, sf_dir).collect()
 
-    # min of two runs per query: the second run reuses the JVM-warm
-    # code paths, so the min reflects steady-state execution rather
-    # than first-touch scheduling noise
+    # q_minhash_portable_stats allocates the largest intermediate state
+    # of the set; run it last so its memory churn can't inflate the
+    # queries scheduled after it (r3/r4 showed order-correlated drift)
+    names = sorted(bench, key=lambda n: n == "q_minhash_portable_stats")
+
+    # min of three runs per query, all runs recorded: the min reflects
+    # steady-state execution, the spread shows whether any cross-round
+    # drift is signal or sandbox noise
     timings: dict[str, float] = {}
-    for name, fn in bench.items():
-        best = float("inf")
-        for _ in range(2):
+    all_runs: dict[str, list[float]] = {}
+    for name in names:
+        fn = bench[name]
+        if name == "q_minhash_portable_stats":
+            spark.catalog.clearCache()
+            time.sleep(2)  # cooldown: let prior executors' GC settle
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = min(runs)
 
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": all_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

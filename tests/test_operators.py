@@ -470,3 +470,37 @@ ORDER BY cid, pos"""
         ).fetchall()
     }
     assert got == want
+
+
+def test_connected_components_stress_path_and_megastar(spark):
+    """Adversarial shapes at 10k-node scale: a long path (worst-case
+    diameter) and one mega-star (worst-case skew — every edge shares a
+    hub). Pointer jumping must converge the path in O(log n) rounds;
+    plain propagation would need ~10k and trip max_iter."""
+    import time
+
+    from artis_data_ingest_spark.operators.dedup import connected_components
+
+    n = 10_000
+    path_edges = [(i, i + 1) for i in range(n - 1)]
+    # mega-class: hub 100000 connected to 5000 spokes (single skewed key)
+    star_edges = [(100_000, 100_001 + i) for i in range(5_000)]
+    edges = spark.createDataFrame(
+        path_edges + star_edges, ["src", "dst"]
+    ).repartition(32)
+
+    t0 = time.time()
+    # log2(10000) ~ 13.3; 18 rounds (jump distance 2^r) is ample —
+    # strict=True means non-convergence raises, pinning the O(log n)
+    # iteration bound rather than just eventual correctness
+    labels = {
+        r.node: r.cluster
+        for r in connected_components(edges, max_iter=18).collect()
+    }
+    elapsed = time.time() - t0
+
+    assert all(labels[i] == 0 for i in range(n))
+    assert all(labels[100_000 + i] == 100_000 for i in range(5_001))
+    # runtime bound: each round is one join+agg on 15k edges; minutes
+    # would indicate plan-explosion regression (lineage not truncated)
+    assert elapsed < 180, f"connected_components took {elapsed:.0f}s"

@@ -254,3 +254,71 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     # output must equal the batch join exactly
     assert got == expected
     assert len(expected) > 0
+
+
+def test_drip_feed_restart_and_replay_idempotent(spark, tmp_path):
+    """End-to-end file-source lifecycle on the idempotent sink: (1) a
+    first availableNow run drains file 1; (2) a second run with the SAME
+    checkpoint picks up only the file dropped in between (incremental,
+    no reprocessing); (3) deleting the last commit marker — the exact
+    state a crash between sink write and checkpoint commit leaves — and
+    restarting makes the engine REPLAY that batch into the same
+    batch_id directory, so total rows never duplicate."""
+    import pathlib
+
+    from artis_data_ingest_spark.streaming.sink import start_parquet_stream
+
+    ev = load_table(spark, SF_DIR, "events").limit(80).cache()
+    first, second = ev.limit(50), ev.subtract(ev.limit(50))
+    n_first, n_second = first.count(), second.count()
+    assert n_first + n_second == 80
+
+    src = tmp_path / "drip_src"
+    out, ckpt = str(tmp_path / "drip_out"), str(tmp_path / "drip_ckpt")
+    first.coalesce(1).write.mode("append").parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = start_parquet_stream(stream, out, ckpt, trigger_once=True)
+        try:
+            q.awaitTermination(120)
+        finally:
+            # release the checkpoint before the next restart — stop()
+            # is synchronous, awaitTermination alone can return while
+            # the query is still registered as active
+            q.stop()
+        deadline = time.time() + 30
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.2)
+        assert not q.isActive
+
+    run_once()
+    assert spark.read.parquet(out).count() == n_first
+
+    # drip the second file in; same checkpoint → only new data processed
+    second.coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+    back = spark.read.parquet(out)
+    assert back.count() == 80
+    batch_dirs = sorted(
+        p.name for p in pathlib.Path(out).iterdir()
+        if p.name.startswith("batch_id=")
+    )
+    assert len(batch_dirs) == 2
+
+    # simulate crash-after-write-before-commit: drop the newest commit
+    # marker; restart must replay that batch into the SAME directory
+    commits = sorted(
+        p for p in (pathlib.Path(ckpt) / "commits").iterdir()
+        if p.name.isdigit()
+    )
+    commits[-1].unlink()
+    # the local checkpoint-file manager keeps a .N.crc sibling; leaving
+    # it behind makes the replay's atomic re-create trip on it
+    crc = commits[-1].with_name(f".{commits[-1].name}.crc")
+    if crc.exists():
+        crc.unlink()
+    run_once()
+    assert spark.read.parquet(out).count() == 80  # replay, not append
+    ev.unpersist()

@@ -115,7 +115,15 @@ def main() -> None:
   output is millions of rows (candidate-pair sets) are benched through
   aggregation twins (`q_minhash_portable_stats`): collecting 7.7M rows
   times py4j serialization, and no 100 TB pipeline materializes raw
-  pairs on a driver anyway.""")
+  pairs on a driver anyway.
+- **Iterative ops bound their round count, not just their per-round
+  plan.** `connected_components` (the `q_dup_clusters` engine) runs
+  min-label propagation WITH pointer jumping — one extra self-join per
+  round composes labels, so convergence is O(log diameter), not
+  O(diameter). The adversarial shapes (10k-node path, 5k-spoke
+  mega-star) are pinned by a stress test at max_iter=18; lineage is
+  truncated per round (`localCheckpoint`) so the plan stays O(1) deep
+  regardless of rounds.""")
 
 
 if __name__ == "__main__":

@@ -279,3 +279,27 @@ def test_spread_cpu_bound_noop_when_partitioned(spark):
         32, spark.sparkContext.defaultParallelism
     )
     assert spread.count() == 10
+
+
+def test_sequence_pack_default_has_no_single_partition_exchange(spark):
+    """The default packing surface must scale: its window is partitioned
+    by shard, so the executed plan carries a hash exchange but NO
+    Exchange SinglePartition. The global-order reference twin is the
+    one allowed to serialize (that is its documented point)."""
+    from artis_data_ingest_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    sharded = qs["q_sequence_pack"].fn(spark, sf)
+    sharded.collect()
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in plan
+    assert "Exchange hashpartitioning" in plan
+
+    glob = qs["q_sequence_pack_global"].fn(spark, sf)
+    glob.collect()
+    gplan = glob._jdf.queryExecution().executedPlan().toString()
+    gplan = gplan.split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" in gplan

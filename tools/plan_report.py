@@ -27,6 +27,10 @@ def analyze(df) -> dict:
     return {
         "hash_exchanges": p.count("Exchange hashpartitioning"),
         "range_exchanges": p.count("Exchange rangepartitioning"),
+        # a SinglePartition exchange serializes the stage through one
+        # task — THE scale-killer shape; surfaced so a global sort can
+        # never hide behind "0 shuffles"
+        "single_exchanges": p.count("Exchange SinglePartition"),
         "bhj": p.count("BroadcastHashJoin"),
         "bnlj": p.count("BroadcastNestedLoopJoin"),
         "smj": p.count("SortMergeJoin"),
@@ -52,20 +56,29 @@ def main() -> None:
     print("`tools/plan_report.py`. Shuffle counts include the final")
     print("presentation sort (range exchange) where the query has one;")
     print("hash exchanges are the scale-relevant wide dependencies.")
+    print("**1-part** counts `Exchange SinglePartition`. Benign when it")
+    print("merges per-partition partial rows of a global scalar")
+    print("aggregate (one row in per partition — q6, count-distinct,")
+    print("the stats summaries); a scale-killer when the FULL data")
+    print("crosses it (global window/sort). The only full-data case is")
+    print("`q_sequence_pack_global`, the explicitly-named reference")
+    print("twin of the shard-partitioned default.")
     print()
-    print("| query | scans | hash-shuffles | sort-shuffles | broadcast joins | SMJ | pushdown | codegen |")
-    print("|---|---|---|---|---|---|---|---|")
+    print("| query | scans | hash-shuffles | sort-shuffles | 1-part | broadcast joins | SMJ | pushdown | codegen |")
+    print("|---|---|---|---|---|---|---|---|---|")
     for name, q in sorted(all_queries().items()):
         try:
             a = analyze(q.fn(spark, sf_dir))
         except Exception as exc:  # pragma: no cover
-            print(f"| {name} | error: {str(exc)[:40]} | | | | | | |")
+            print(f"| {name} | error: {str(exc)[:40]} | | | | | | | |")
             continue
         bj = a["bhj"] + a["bnlj"]
         bj_s = f"{a['bhj']}H+{a['bnlj']}NL" if a["bnlj"] else str(a["bhj"])
+        single = a["single_exchanges"]
+        single_s = f"**{single}**" if single else "0"
         print(
             f"| {name} | {a['scans']} | {a['hash_exchanges']} "
-            f"| {a['range_exchanges']} | {bj_s} | {a['smj']} "
+            f"| {a['range_exchanges']} | {single_s} | {bj_s} | {a['smj']} "
             f"| {'yes' if a['has_pushed_nonempty'] else '—'} "
             f"| {'yes' if a['codegen'] else '—'} |"
         )

@@ -312,3 +312,186 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_contamination_ngram",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS w,
+         substring(md5('contam:' || CAST(doc_id AS VARCHAR)), 1, 1) <= '1'
+           AS is_eval
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) >= 8
+), g AS (
+  SELECT doc_id, is_eval, array_to_string(w[i:i+7], ' ') AS ngram
+  FROM d, UNNEST(range(1, len(w) - 6)) AS u(i)
+), tg AS (
+  SELECT DISTINCT ngram FROM g WHERE NOT is_eval
+), eg AS (
+  SELECT DISTINCT doc_id, ngram FROM g WHERE is_eval
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_ngrams FROM eg GROUP BY 1
+), m AS (
+  SELECT eg.doc_id, COUNT(*) AS n_matched
+  FROM eg JOIN tg USING (ngram) GROUP BY 1
+)
+SELECT tot.doc_id AS doc_id,
+       n_ngrams,
+       CAST(COALESCE(n_matched, 0) AS BIGINT) AS n_matched,
+       round(COALESCE(n_matched, 0) * 1.0 / n_ngrams, 6) AS contamination
+FROM tot LEFT JOIN m ON tot.doc_id = m.doc_id
+ORDER BY doc_id
+""",
+    doc="Train/eval contamination detection (the decontamination step "
+    "every LLM corpus build runs before training): a deterministic "
+    "md5 split carves out an eval slice (~12.5%), then every eval "
+    "document is scored by the fraction of its distinct word-8-grams "
+    "that appear anywhere in the train slice. Both sides are distinct "
+    "n-gram sets, so the check is one equi-join on the n-gram — "
+    "linear blocking, no all-pairs. At 100 TB the train side would "
+    "be hashed to bigint and bloom-pruned before the shuffle; the "
+    "join shape (explode -> distinct -> equi-join -> per-doc count) "
+    "is unchanged.",
+)
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    ).filter(F.size("w") >= 8)
+    is_eval = (
+        F.substring(
+            F.md5(F.concat(F.lit("contam:"), F.col("doc_id").cast("string"))),
+            1,
+            1,
+        )
+        <= "1"
+    )
+    grams = d.withColumn("is_eval", is_eval).select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 7),"
+                " i -> concat_ws(' ', slice(w, i, 8)))"
+            )
+        ).alias("ngram"),
+    )
+    train_g = grams.filter(~F.col("is_eval")).select("ngram").distinct()
+    eval_g = grams.filter(F.col("is_eval")).select("doc_id", "ngram").distinct()
+    # one left join + one aggregation: count(hit) counts non-nulls, so
+    # total and matched n-grams come from the same pass — the corpus is
+    # scanned once per side, not once per statistic
+    marked = eval_g.join(
+        train_g.withColumn("hit", F.lit(1)), "ngram", "left"
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.count("hit").alias("n_matched"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_matched",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_ngrams"), 6
+            ).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_corpus_shuffle",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         substring(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+         md5('ord:' || CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM documents
+)
+SELECT shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord_key, doc_id)
+         AS pos,
+       doc_id
+FROM s
+ORDER BY shard, pos
+""",
+    doc="Deterministic corpus shuffle for training order: shard by the "
+    "first hex digit of one salted md5 (16 shards), order within each "
+    "shard by a second independent salted md5. This is how a 100 TB "
+    "pipeline shuffles: a hash exchange on shard plus shard-local "
+    "sorts — NO global sort, no RNG, and the permutation is "
+    "reproducible on any cluster size or engine. Readers consume "
+    "shards round-robin for an unbiased stream; at scale shard count "
+    "is O(output files), not 16.",
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        F.substring(
+            F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))),
+            1,
+            1,
+        ).alias("shard"),
+        F.md5(
+            F.concat(F.lit("ord:"), F.col("doc_id").cast("string"))
+        ).alias("ord_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return (
+        s.withColumn("pos", F.row_number().over(w))
+        .select("shard", F.col("pos").cast("bigint").alias("pos"), "doc_id")
+        .orderBy("shard", "pos")
+    )
+
+
+@register(
+    "q_source_mix_weights",
+    oracle=r"""
+WITH t AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           AS tokens
+  FROM documents
+  GROUP BY source
+)
+SELECT source, n_docs, tokens,
+       round(tokens * 1.0 / SUM(tokens) OVER (), 6) AS token_share,
+       round((1.0 / COUNT(*) OVER ())
+             / (tokens * 1.0 / SUM(tokens) OVER ()), 6) AS sample_weight
+FROM t
+ORDER BY source
+""",
+    doc="Source-mix reweighting (domain mixing for LLM training): "
+    "per-source token share vs a uniform target, emitting the "
+    "sampling weight that equalizes the mixture (weight = target "
+    "share / actual share; >1 upsample, <1 downsample). ONE "
+    "map-side-combined aggregation over the corpus (single scan); "
+    "the share/weight arithmetic is an unpartitioned window over the "
+    "tiny per-source result — its SinglePartition exchange moves "
+    "n_sources rows, not data. Swap the uniform target for a dict of "
+    "curated weights and the plan is unchanged.",
+)
+def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens("text")).cast("bigint").alias("tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("tokens").cast("double") / F.sum("tokens").over(w)
+    return t.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(
+            (F.lit(1.0) / F.count(F.lit(1)).over(w)) / share, 6
+        ).alias("sample_weight"),
+    ).orderBy("source")

@@ -31,15 +31,21 @@ _REGISTRY: dict[str, Query] = {}
 # the order ``queries()`` yields them.  To keep every registered query's
 # latest driver verdict at most ~2 rounds old, names listed here are yielded
 # FIRST (in this order); the rest follow in definition order.  Round 5
-# front-loads (a) queries whose semantics changed this round —
-# q_sequence_pack (now the shard-partitioned form; the global-order twin is
-# registered as q_sequence_pack_global), q_media_features (now decodes real
-# PNG media via the stdlib codec with a closed-form oracle), and q_lag_gap
-# (fixed TIMESTAMP_NTZ handling; its r3 driver verdict predates the
-# regression) — then (b) all 47 queries whose latest driver verdict is r3,
-# so CORRECTNESS_r05 re-verifies everything r04's 50-slot cap missed.
+# front-loads (a) queries that are new or changed this round —
+# q_contamination_ngram / q_corpus_shuffle / q_source_mix_weights (new
+# training-pipeline ops), q_sequence_pack (now the shard-partitioned form;
+# the global-order twin is registered as q_sequence_pack_global),
+# q_media_features (now decodes real PNG media via the stdlib codec with a
+# closed-form oracle), and q_lag_gap (fixed TIMESTAMP_NTZ handling; its r3
+# driver verdict predates the regression) — then (b) the queries whose
+# latest driver verdict is r3, so CORRECTNESS_r05 re-verifies what r04's
+# 50-slot cap missed (three stable r3-green aggregations overflow to the
+# definition-order tail).
 _PRIORITY: list[str] = [
-    # round-5 changed — need a fresh driver verdict
+    # round-5 new or changed — need a fresh driver verdict
+    "q_contamination_ngram",
+    "q_corpus_shuffle",
+    "q_source_mix_weights",
     "q_sequence_pack",
     "q_sequence_pack_global",
     "q_media_features",
@@ -88,9 +94,9 @@ _PRIORITY: list[str] = [
     "q_kmeans_centroids",
     "q_pii_scrub",
     "q_repetition_quality",
-    "q_stratified_sample",
-    "q_train_split",
-    "q_media_probe",
+    # q_stratified_sample / q_train_split / q_media_probe rotate to the
+    # definition-order tail this round: all r3-green simple aggregations,
+    # displaced by the three new round-5 queries above
 ]
 
 

@@ -59,8 +59,10 @@ def main() -> None:
     print("**1-part** counts `Exchange SinglePartition`. Benign when it")
     print("merges per-partition partial rows of a global scalar")
     print("aggregate (one row in per partition — q6, count-distinct,")
-    print("the stats summaries); a scale-killer when the FULL data")
-    print("crosses it (global window/sort). The only full-data case is")
+    print("the stats summaries) or windows over an already-aggregated")
+    print("per-group result (`q_source_mix_weights`: n_sources rows);")
+    print("a scale-killer when the FULL data crosses it (global")
+    print("window/sort). The only full-data case is")
     print("`q_sequence_pack_global`, the explicitly-named reference")
     print("twin of the shard-partitioned default.")
     print()

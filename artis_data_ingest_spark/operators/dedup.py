@@ -844,9 +844,17 @@ def connected_components(
     that only need *a* canonical representative per round, e.g.
     incremental re-clustering, can opt in).
     """
+    # symmetrize in ONE pass over the input: a union of two selects would
+    # recompute the (possibly expensive) upstream edge lineage twice —
+    # at sf0.1 the MinHash band join feeding q_dup_clusters costs more
+    # than all propagation rounds combined, so doubling it dominated
+    both = F.array(
+        F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+        F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+    )
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(F.explode(both).alias("e"))
+        .select("e.a", "e.b")
         .distinct()
     )
     labels = (

@@ -613,7 +613,11 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
             *[F.col(f"m{i}").cast("string") for i in range(len(_PORTABLE_PERMS))],
         ).alias("sig_key"),
-    )
+    ).localCheckpoint()  # signature pass runs ONCE: both the class table
+    # and the final doc labeling join read this materialized (doc_id,
+    # sig_key) relation — without it the full MinHash computation over
+    # the corpus re-executes for the output join (measured ~2x at sf0.1).
+    # At cluster scale this intermediate persists to storage the same way.
     cls = dc.groupBy("sig_key").agg(
         F.min("doc_id").alias("cnode"), F.count(F.lit(1)).alias("g")
     )

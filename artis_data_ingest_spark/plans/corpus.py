@@ -316,6 +316,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_contamination_ngram",
+    bench=True,
     oracle=r"""
 WITH d AS (
   SELECT doc_id,

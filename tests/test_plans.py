@@ -200,3 +200,66 @@ def test_results_partitioning_independent(spark):
         spark.conf.set("spark.sql.shuffle.partitions", orig)
     for n in names:
         assert base[n] == alt[n], f"{n} differs across partitionings"
+
+
+def test_corpus_shuffle_is_a_permutation(spark):
+    """The deterministic shuffle must be a bijection: every doc appears
+    exactly once, and positions within each shard are contiguous 1..n
+    (a gap or dup would silently skew training order)."""
+    from artis_data_ingest_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["q_corpus_shuffle"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    doc_ids = [r.doc_id for r in rows]
+    assert len(doc_ids) == len(set(doc_ids))
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # two invocations agree exactly (no RNG anywhere)
+    again = (
+        all_queries()["q_corpus_shuffle"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows == again
+
+
+def test_contamination_matches_python_reference(spark):
+    """Pin q_contamination_ngram's semantics against a direct Python
+    computation of the same split + distinct-8-gram overlap."""
+    import hashlib
+
+    from artis_data_ingest_spark.plans.registry import all_queries
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text").collect()
+
+    def md5_first(s):
+        return hashlib.md5(s.encode()).hexdigest()[0]
+
+    train_grams, eval_docs = set(), {}
+    for r in docs:
+        w = r.text.strip().split()
+        if len(w) < 8:
+            continue
+        grams = {" ".join(w[i:i + 8]) for i in range(len(w) - 7)}
+        if md5_first(f"contam:{r.doc_id}") <= "1":
+            eval_docs[r.doc_id] = grams
+        else:
+            train_grams |= grams
+    expected = {
+        d: (len(g), len(g & train_grams))
+        for d, g in eval_docs.items()
+    }
+
+    got = {
+        r.doc_id: (r.n_ngrams, r.n_matched)
+        for r in all_queries()["q_contamination_ngram"].fn(spark, sf).collect()
+    }
+    assert got == expected

@@ -397,3 +397,153 @@ def ivf_topk(
         .select("query_id", "vec_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN representation
+# ---------------------------------------------------------------------------
+#
+# The standard 100 TB embedding-search architecture stores each vector as
+# m small centroid codes (here m=4 codes over 16-dim subspaces: 4 bytes
+# instead of 64 float64s — 128x) and answers queries by asymmetric
+# distance computation (ADC): per-query distance tables to the m*k
+# centroids, summed by code lookup — a linear scan of the compressed
+# codes, no full-precision vectors touched.  Codebooks reuse the
+# deterministic fixed-point Lloyd machinery of ``kmeans_centroids`` but
+# with squared-L2 assignment (PQ's metric), so the DuckDB oracle
+# reproduces codebooks, codes, and ADC rankings bit-for-bit.
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 via three sequential-fold dots: |a|^2 - 2 a.b + |b|^2.
+    Same fold order as DuckDB's list_dot_product, so cross-engine
+    bit-identical (the expansion avoids materializing a-b)."""
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 4,
+    n_iter: int = 2,
+    quant: int = 1_000_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Train per-subspace PQ codebooks: for each of ``m`` contiguous
+    ``sub_dim``-wide slices, run the deterministic Lloyd iteration
+    (lowest-vec_id init, round-then-cid tie-break, fixed-point bigint
+    centroid updates) under squared-L2 assignment.
+
+    Returns (subspace, cid, cemb).  Each subspace's iteration is one
+    corpus scan with broadcast centroids + one map-side-combined
+    groupBy — at 100 TB codebooks train on a sample; the full-corpus
+    pass is the encode, which is shuffle-free (see ``pq_code_exprs``).
+    """
+    e = corpus.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    out = None
+    for j in range(m):
+        sub = e.select(
+            "vec_id", F.slice("emb", j * sub_dim + 1, sub_dim).alias("emb")
+        )
+        cent = (
+            sub.orderBy("vec_id")
+            .limit(k)
+            .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+        )
+        for _ in range(n_iter):
+            w = Window.partitionBy("vec_id").orderBy(
+                F.col("dd").asc(), F.col("cid")
+            )
+            assign = (
+                sub.crossJoin(F.broadcast(cent))
+                .withColumn(
+                    "dd",
+                    F.round(
+                        _l2sq(F.col("emb"), F.col("cemb")), round_digits
+                    ),
+                )
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "cid", "emb")
+            )
+            flat = assign.select(
+                "cid", F.posexplode("emb").alias("pos", "val")
+            )
+            upd = flat.groupBy("cid", "pos").agg(
+                (
+                    F.sum(
+                        F.floor(F.col("val") * quant).cast("bigint")
+                    ).cast("double")
+                    / (F.lit(float(quant)) * F.count(F.lit(1)))
+                ).alias("val")
+            )
+            cent = upd.groupBy("cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("cemb")
+            )
+        out_j = cent.select(F.lit(j).alias("subspace"), "cid", "cemb")
+        out = out_j if out is None else out.unionByName(out_j)
+    return out
+
+
+def pq_codebooks_sql(
+    m: int = 4,
+    sub_dim: int = 16,
+    k: int = 4,
+    n_iter: int = 2,
+    quant: int = 1_000_000,
+    round_digits: int = 6,
+) -> tuple[str, str]:
+    """DuckDB CTE chain mirroring ``pq_codebooks`` over the
+    ``embeddings`` view.  Returns ``(chain, final_name)`` where
+    ``final_name`` is the (subspace, cid, cemb) codebook relation."""
+    parts = [
+        """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+)"""
+    ]
+    finals = []
+    for j in range(m):
+        lo, hi = j * sub_dim + 1, (j + 1) * sub_dim
+        parts.append(f""", s{j} AS (
+  SELECT vec_id, list_slice(emb, {lo}, {hi}) AS emb FROM e
+), c{j} AS (
+  SELECT vec_id AS cid, emb AS cemb FROM s{j} ORDER BY vec_id LIMIT {k}
+)""")
+        for i in range(n_iter):
+            prev = f"c{j}" if i == 0 else f"c{j}_{i - 1}"
+            parts.append(f""", a{j}_{i} AS (
+  SELECT vec_id, cid, emb FROM (
+    SELECT v.vec_id, c.cid, v.emb,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(v.emb, v.emb)
+                            - 2 * list_dot_product(v.emb, c.cemb)
+                            + list_dot_product(c.cemb, c.cemb),
+                      {round_digits}) ASC, c.cid
+           ) AS rn
+    FROM s{j} v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+), u{j}_{i} AS (
+  SELECT cid, u.pos,
+         CAST(SUM(CAST(floor(a.emb[u.pos] * {quant}) AS BIGINT)) AS DOUBLE)
+           / ({quant} * COUNT(*)) AS val
+  FROM a{j}_{i} a, UNNEST(range(1, len(a.emb) + 1)) AS u(pos)
+  GROUP BY cid, u.pos
+), c{j}_{i} AS (
+  SELECT cid, array_agg(val ORDER BY pos) AS cemb
+  FROM u{j}_{i} GROUP BY cid
+)""")
+        finals.append(f"SELECT {j} AS subspace, cid, cemb FROM c{j}_{n_iter - 1}")
+    parts.append(
+        ", pqcb AS (\n  " + "\n  UNION ALL\n  ".join(finals) + "\n)"
+    )
+    return "".join(parts), "pqcb"

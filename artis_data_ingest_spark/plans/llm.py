@@ -33,6 +33,8 @@ from ..operators.similarity import (
     kmeans_centroids,
     kmeans_centroids_sql,
     lsh_topk,
+    pq_codebooks,
+    pq_codebooks_sql,
 )
 from ..sources.tables import load_table
 from .registry import register
@@ -767,4 +769,173 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("err") < 0.05).alias("within_tol"),
         )
         .orderBy("query_id")
+    )
+
+
+_PQ_M, _PQ_SUB = 4, 16
+_PQ_CHAIN, _PQ_FINAL = pq_codebooks_sql(m=_PQ_M, sub_dim=_PQ_SUB)
+
+
+@register(
+    "q_pq_codebooks",
+    oracle=f"""{_PQ_CHAIN}
+SELECT CAST(subspace AS BIGINT) AS subspace, cid, u.pos AS pos,
+       cemb[u.pos] AS val
+FROM {_PQ_FINAL}, UNNEST(range(1, len(cemb) + 1)) AS u(pos)
+ORDER BY subspace, cid, pos
+""",
+    doc="Product-quantization codebook training (SURVEY.md §2.11 ANN "
+    "scale path): per-subspace deterministic Lloyd under squared-L2 "
+    "(lowest-vec_id init, fixed-point bigint centroid updates) — 4 "
+    "subspaces x 16 dims x 4 centroids on the fixture embeddings; at "
+    "scale m=8-16, k=256 trained on a sample. Output is the flattened "
+    "(subspace, cid, pos, val) codebook, reproduced bit-for-bit by the "
+    "oracle's per-subspace recursive CTE chains.",
+)
+def q_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, m=_PQ_M, sub_dim=_PQ_SUB)
+    return (
+        cb.select(
+            F.col("subspace").cast("bigint").alias("subspace"),
+            "cid",
+            F.posexplode("cemb").alias("pos0", "val"),
+        )
+        .select(
+            "subspace",
+            "cid",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            "val",
+        )
+        .orderBy("subspace", "cid", "pos")
+    )
+
+
+@register(
+    "q_pq_topk",
+    oracle=f"""{_PQ_CHAIN},
+vsub AS (
+  SELECT vec_id, s.j AS subspace,
+         list_slice(emb, s.j * {_PQ_SUB} + 1, (s.j + 1) * {_PQ_SUB}) AS sub
+  FROM e, (VALUES (0), (1), (2), (3)) AS s(j)
+),
+codes AS (
+  SELECT vec_id, subspace, cid AS code FROM (
+    SELECT v.vec_id, v.subspace, b.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.subspace
+             ORDER BY round(list_dot_product(v.sub, v.sub)
+                            - 2 * list_dot_product(v.sub, b.cemb)
+                            + list_dot_product(b.cemb, b.cemb), 6) ASC,
+                      b.cid
+           ) AS rn
+    FROM vsub v JOIN {_PQ_FINAL} b ON b.subspace = v.subspace
+  ) WHERE rn = 1
+),
+dt AS (
+  SELECT q.vec_id AS query_id, b.subspace, b.cid,
+         list_dot_product(q.sub, q.sub)
+         - 2 * list_dot_product(q.sub, b.cemb)
+         + list_dot_product(b.cemb, b.cemb) AS d
+  FROM vsub q JOIN {_PQ_FINAL} b ON b.subspace = q.subspace
+  WHERE q.vec_id IN {_QUERY_IDS}
+),
+adc AS (
+  SELECT dt.query_id, c.vec_id,
+         round(MAX(CASE WHEN c.subspace = 0 THEN d END)
+             + MAX(CASE WHEN c.subspace = 1 THEN d END)
+             + MAX(CASE WHEN c.subspace = 2 THEN d END)
+             + MAX(CASE WHEN c.subspace = 3 THEN d END), 6) AS adc
+  FROM codes c JOIN dt ON dt.subspace = c.subspace AND dt.cid = c.code
+  GROUP BY dt.query_id, c.vec_id
+)
+SELECT query_id, vec_id, adc, rank FROM (
+  SELECT query_id, vec_id, adc,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc ASC, vec_id
+         ) AS rank
+  FROM adc WHERE vec_id <> query_id
+) WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+    doc="PQ asymmetric-distance top-k (the ANN answer path over the "
+    "compressed representation): every corpus vector is encoded as 4 "
+    "centroid codes (4 bytes vs 512 — 128x compression), and each "
+    "query ranks the corpus by the sum of per-subspace query-to-"
+    "centroid distances looked up by code. The encode is SHUFFLE-FREE "
+    "codegen: codebooks are collected (m*k tiny rows — metadata, like "
+    "the reference's config probes) and inlined as literal arrays, so "
+    "the scan computes codes and ADC in one fused stage; the only "
+    "wide op is the per-query top-k window. The oracle re-trains the "
+    "same codebooks in recursive CTEs and reproduces codes, distances, "
+    "and ranking bit-for-bit.",
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import dot as _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = {
+        (r["subspace"], r["cid"]): list(r["cemb"])
+        for r in pq_codebooks(emb, m=_PQ_M, sub_dim=_PQ_SUB).collect()
+    }
+
+    def lit_arr(vals: list) -> F.Column:
+        return F.array(*[F.lit(float(v)) for v in vals])
+
+    def d2(a, b):
+        return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    code_cols = []
+    cent_maps = []
+    for j in range(_PQ_M):
+        sub = F.slice("emb", j * _PQ_SUB + 1, _PQ_SUB)
+        cids = sorted(c for (s, c) in cb if s == j)
+        cands = [
+            F.struct(
+                F.round(d2(sub, lit_arr(cb[(j, cid)])), 6).alias("d"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid in cids
+        ]
+        code_cols.append(F.array_min(F.array(*cands))["cid"].alias(f"code{j}"))
+        cent_maps.append(
+            F.create_map(
+                *[
+                    x
+                    for cid in cids
+                    for x in (F.lit(cid), lit_arr(cb[(j, cid)]))
+                ]
+            )
+        )
+    coded = e.select("vec_id", "emb", *code_cols)
+    q = e.filter(F.col("vec_id").isin(list(_QUERY_IDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    pairs = coded.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc_terms = [
+        d2(
+            F.slice("q_emb", j * _PQ_SUB + 1, _PQ_SUB),
+            F.element_at(cent_maps[j], F.col(f"code{j}")),
+        )
+        for j in range(_PQ_M)
+    ]
+    adc_sum = adc_terms[0]
+    for t in adc_terms[1:]:
+        adc_sum = adc_sum + t
+    ranked = pairs.select(
+        "query_id", "vec_id", F.round(adc_sum, 6).alias("adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), "vec_id")
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
     )

@@ -43,6 +43,8 @@ _REGISTRY: dict[str, Query] = {}
 # definition-order tail).
 _PRIORITY: list[str] = [
     # round-5 new or changed — need a fresh driver verdict
+    "q_pq_codebooks",
+    "q_pq_topk",
     "q_contamination_ngram",
     "q_corpus_shuffle",
     "q_source_mix_weights",

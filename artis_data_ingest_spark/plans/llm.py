@@ -775,6 +775,46 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M, _PQ_SUB = 4, 16
 _PQ_CHAIN, _PQ_FINAL = pq_codebooks_sql(m=_PQ_M, sub_dim=_PQ_SUB)
 
+# ADC CTE block shared by q_pq_topk and q_pq_recall: per-subspace slices,
+# per-vector code assignment, per-query distance tables, and the summed
+# asymmetric distance per (query, vector).
+_PQ_ADC_CTES = f"""
+vsub AS (
+  SELECT vec_id, s.j AS subspace,
+         list_slice(emb, s.j * {_PQ_SUB} + 1, (s.j + 1) * {_PQ_SUB}) AS sub
+  FROM e, (VALUES (0), (1), (2), (3)) AS s(j)
+),
+codes AS (
+  SELECT vec_id, subspace, cid AS code FROM (
+    SELECT v.vec_id, v.subspace, b.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.subspace
+             ORDER BY round(list_dot_product(v.sub, v.sub)
+                            - 2 * list_dot_product(v.sub, b.cemb)
+                            + list_dot_product(b.cemb, b.cemb), 6) ASC,
+                      b.cid
+           ) AS rn
+    FROM vsub v JOIN {_PQ_FINAL} b ON b.subspace = v.subspace
+  ) WHERE rn = 1
+),
+dt AS (
+  SELECT q.vec_id AS query_id, b.subspace, b.cid,
+         list_dot_product(q.sub, q.sub)
+         - 2 * list_dot_product(q.sub, b.cemb)
+         + list_dot_product(b.cemb, b.cemb) AS d
+  FROM vsub q JOIN {_PQ_FINAL} b ON b.subspace = q.subspace
+  WHERE q.vec_id IN {_QUERY_IDS}
+),
+adc AS (
+  SELECT dt.query_id, c.vec_id,
+         round(MAX(CASE WHEN c.subspace = 0 THEN d END)
+             + MAX(CASE WHEN c.subspace = 1 THEN d END)
+             + MAX(CASE WHEN c.subspace = 2 THEN d END)
+             + MAX(CASE WHEN c.subspace = 3 THEN d END), 6) AS adc
+  FROM codes c JOIN dt ON dt.subspace = c.subspace AND dt.cid = c.code
+  GROUP BY dt.query_id, c.vec_id
+)"""
+
 
 @register(
     "q_pq_codebooks",
@@ -813,42 +853,7 @@ def q_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pq_topk",
-    oracle=f"""{_PQ_CHAIN},
-vsub AS (
-  SELECT vec_id, s.j AS subspace,
-         list_slice(emb, s.j * {_PQ_SUB} + 1, (s.j + 1) * {_PQ_SUB}) AS sub
-  FROM e, (VALUES (0), (1), (2), (3)) AS s(j)
-),
-codes AS (
-  SELECT vec_id, subspace, cid AS code FROM (
-    SELECT v.vec_id, v.subspace, b.cid,
-           ROW_NUMBER() OVER (
-             PARTITION BY v.vec_id, v.subspace
-             ORDER BY round(list_dot_product(v.sub, v.sub)
-                            - 2 * list_dot_product(v.sub, b.cemb)
-                            + list_dot_product(b.cemb, b.cemb), 6) ASC,
-                      b.cid
-           ) AS rn
-    FROM vsub v JOIN {_PQ_FINAL} b ON b.subspace = v.subspace
-  ) WHERE rn = 1
-),
-dt AS (
-  SELECT q.vec_id AS query_id, b.subspace, b.cid,
-         list_dot_product(q.sub, q.sub)
-         - 2 * list_dot_product(q.sub, b.cemb)
-         + list_dot_product(b.cemb, b.cemb) AS d
-  FROM vsub q JOIN {_PQ_FINAL} b ON b.subspace = q.subspace
-  WHERE q.vec_id IN {_QUERY_IDS}
-),
-adc AS (
-  SELECT dt.query_id, c.vec_id,
-         round(MAX(CASE WHEN c.subspace = 0 THEN d END)
-             + MAX(CASE WHEN c.subspace = 1 THEN d END)
-             + MAX(CASE WHEN c.subspace = 2 THEN d END)
-             + MAX(CASE WHEN c.subspace = 3 THEN d END), 6) AS adc
-  FROM codes c JOIN dt ON dt.subspace = c.subspace AND dt.cid = c.code
-  GROUP BY dt.query_id, c.vec_id
-)
+    oracle=f"""{_PQ_CHAIN},{_PQ_ADC_CTES}
 SELECT query_id, vec_id, adc, rank FROM (
   SELECT query_id, vec_id, adc,
          ROW_NUMBER() OVER (
@@ -938,4 +943,91 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "q_pq_recall",
+    oracle=f"""{_PQ_CHAIN},{_PQ_ADC_CTES},
+pqtop AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc ASC, vec_id
+           ) AS rank
+    FROM adc WHERE vec_id <> query_id
+  ) WHERE rank <= 5
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(v.emb, v.emb)
+                            - 2 * list_dot_product(v.emb, q.emb)
+                            + list_dot_product(q.emb, q.emb), 6) ASC,
+                      v.vec_id
+           ) AS rank
+    FROM e v CROSS JOIN (
+      SELECT vec_id, emb FROM e WHERE vec_id IN {_QUERY_IDS}
+    ) q
+    WHERE v.vec_id <> q.vec_id
+  ) WHERE rank <= 5
+)
+SELECT e.query_id,
+       CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
+       round(COUNT(p.vec_id) / 5.0, 6) AS recall_at_5
+FROM exact e LEFT JOIN pqtop p USING (query_id, vec_id)
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+    doc="PQ quality evaluation: recall@5 of the asymmetric-distance "
+    "ranking against the exact full-precision squared-L2 top-5 (same "
+    "metric, so the number isolates quantization loss — the figure an "
+    "ANN deployment tunes m/k against). Exact side is the broadcast "
+    "brute-force baseline; PQ side is the compressed-code ranking; "
+    "recall is one tiny join of two 15-row tops. Both sides and the "
+    "overlap are reproduced bit-for-bit by the oracle.",
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import dot as _dot
+
+    pq = (
+        q_pq_topk(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    q = e.filter(F.col("vec_id").isin(list(_QUERY_IDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    d2 = F.round(
+        _dot(F.col("emb"), F.col("emb"))
+        - 2 * _dot(F.col("emb"), F.col("q_emb"))
+        + _dot(F.col("q_emb"), F.col("q_emb")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), "vec_id")
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id")
+    )
+    return (
+        exact.join(pq, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(5.0), 6).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
     )

@@ -32,6 +32,7 @@ _REGISTRY: dict[str, Query] = {}
 # latest driver verdict at most ~2 rounds old, names listed here are yielded
 # FIRST (in this order); the rest follow in definition order.  Round 5
 # front-loads (a) queries that are new or changed this round —
+# q_pq_codebooks / q_pq_topk / q_pq_recall (product-quantization ANN),
 # q_contamination_ngram / q_corpus_shuffle / q_source_mix_weights (new
 # training-pipeline ops), q_sequence_pack (now the shard-partitioned form;
 # the global-order twin is registered as q_sequence_pack_global),
@@ -39,12 +40,14 @@ _REGISTRY: dict[str, Query] = {}
 # closed-form oracle), and q_lag_gap (fixed TIMESTAMP_NTZ handling; its r3
 # driver verdict predates the regression) — then (b) the queries whose
 # latest driver verdict is r3, so CORRECTNESS_r05 re-verifies what r04's
-# 50-slot cap missed (three stable r3-green aggregations overflow to the
-# definition-order tail).
+# 50-slot cap missed (six stable r3-green queries overflow to the
+# definition-order tail; their latest verdict ages to 3 rounds, the cost
+# of fresh verdicts for the six new surfaces).
 _PRIORITY: list[str] = [
     # round-5 new or changed — need a fresh driver verdict
     "q_pq_codebooks",
     "q_pq_topk",
+    "q_pq_recall",
     "q_contamination_ngram",
     "q_corpus_shuffle",
     "q_source_mix_weights",
@@ -86,7 +89,6 @@ _PRIORITY: list[str] = [
     "q_simhash_neardup",
     "q_dup_clusters",
     "q_embedding_neardup",
-    "q_embedding_norms",
     "q_embedding_quantize",
     "q_cosine_topk",
     "q_pandas_cosine_topk",
@@ -94,11 +96,10 @@ _PRIORITY: list[str] = [
     "q_ann_ivf",
     "q_ann_ivf_kmeans",
     "q_kmeans_centroids",
-    "q_pii_scrub",
-    "q_repetition_quality",
-    # q_stratified_sample / q_train_split / q_media_probe rotate to the
-    # definition-order tail this round: all r3-green simple aggregations,
-    # displaced by the three new round-5 queries above
+    # q_stratified_sample / q_train_split / q_media_probe / q_pii_scrub /
+    # q_repetition_quality / q_embedding_norms rotate to the definition-
+    # order tail this round: all r3-green simple aggregations, displaced
+    # by the six new round-5 queries above
 ]
 
 

@@ -322,3 +322,43 @@ def test_drip_feed_restart_and_replay_idempotent(spark, tmp_path):
     run_once()
     assert spark.read.parquet(out).count() == 80  # replay, not append
     ev.unpersist()
+
+
+def test_bounded_microbatches_max_files_per_trigger(spark, tmp_path):
+    """Backpressure control for the 100 TB ingest shape: with
+    maxFilesPerTrigger=1, an availableNow run drains a 4-file backlog
+    as 4 bounded micro-batches (each its own batch_id directory in the
+    idempotent sink) instead of one unbounded batch — the knob that
+    keeps executor memory flat when a backlog accumulates."""
+    import pathlib
+
+    from artis_data_ingest_spark.streaming.sink import start_parquet_stream
+
+    ev = load_table(spark, SF_DIR, "events").limit(40)
+    src = tmp_path / "bp_src"
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+
+    out, ckpt = str(tmp_path / "bp_out"), str(tmp_path / "bp_ckpt")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = start_parquet_stream(stream, out, ckpt, trigger_once=True)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+
+    back = spark.read.parquet(out)
+    assert back.count() == 40
+    batch_dirs = [
+        p.name for p in pathlib.Path(out).iterdir()
+        if p.name.startswith("batch_id=")
+    ]
+    # one micro-batch per file (coalesce(1) wrote one data file each)
+    assert len(batch_dirs) == 4

@@ -504,3 +504,50 @@ def test_connected_components_stress_path_and_megastar(spark):
     # runtime bound: each round is one join+agg on 15k edges; minutes
     # would indicate plan-explosion regression (lineage not truncated)
     assert elapsed < 180, f"connected_components took {elapsed:.0f}s"
+
+
+def test_pq_codebooks_degenerate_corpus_matches_duckdb(spark, tmp_path):
+    """Empty-cluster semantics: identical vectors collapse every
+    assignment onto one centroid, the rest drop out — and the Spark
+    result must still match the recursive-CTE oracle bit-for-bit
+    (a divergence here would poison codes silently)."""
+    import duckdb
+
+    from artis_data_ingest_spark.operators.similarity import (
+        pq_codebooks,
+        pq_codebooks_sql,
+    )
+    from pyspark.sql import types as T
+
+    # 6 vectors: three identical, three in a second cluster; dim 8
+    rows = [
+        (0, [1.0] * 8), (1, [1.0] * 8), (2, [1.0] * 8),
+        (3, [9.0] * 8), (4, [9.0] * 8), (5, [9.25] * 8),
+    ]
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    got = {
+        (r.subspace, r.cid, tuple(r.cemb))
+        for r in pq_codebooks(df, m=2, sub_dim=4, k=3, n_iter=2).collect()
+    }
+
+    path = str(tmp_path / "deg.parquet")
+    df.write.parquet(path)
+    chain, final = pq_codebooks_sql(m=2, sub_dim=4, k=3, n_iter=2)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = {
+        (s, c, tuple(e))
+        for s, c, e in con.execute(
+            chain + f" SELECT subspace, cid, cemb FROM {final}"
+        ).fetchall()
+    }
+    assert got == want
+    # clusters that lost every member are absent, not zero-filled
+    surviving = {cid for (_, cid, _) in got}
+    assert surviving < {0, 1, 2}  # strictly fewer than k initial ids

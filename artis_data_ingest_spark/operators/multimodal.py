@@ -2,10 +2,13 @@
 
 Images/audio/video are opaque ``binary`` columns plus typed metadata
 structs. The Spark-side machinery — schemas, Arrow-batched mapInPandas
-decode, partition sizing — is real and tested; the codec step is a
-deterministic stub (this container has no image/audio libraries), marked
-loudly so a deployment swaps in Pillow/torchaudio/PyAV inside
-``_decode_stub`` without touching the dataflow.
+decode, partition sizing — is real and tested. The IMAGE pixel path is
+a real stdlib PNG codec (``encode_png``/``decode_png``: zlib inflate,
+all five scanline filters; feeds ``image_stats`` and the oracled
+``q_media_features``). Audio/video decode remains a deterministic stub
+(this container has no torchaudio/PyAV), marked loudly so a deployment
+swaps the real library into ``_decode_stub`` without touching the
+dataflow.
 
 Scale notes: media rows are large (MBs) — the loader repartitions by
 bytes (``maxRecordsPerBatch`` keeps Arrow batches bounded), and decode

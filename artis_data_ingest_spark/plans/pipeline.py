@@ -2,7 +2,7 @@
 multimodal features (SURVEY.md §2.1 S5-S7, §2.9 U4, §2.11).
 
 These exercise engine machinery whose inputs aren't SQL-relational
-(filesystem metadata, Arrow-batched Python, stub codecs), so most are
+(filesystem metadata, Arrow-batched Python, synthesized media), so some are
 rows-only checks — the pytest suite pins their exact semantics instead.
 """
 
@@ -84,8 +84,9 @@ ORDER BY media_id
     "parses the actual headers (stdlib struct — magic, IHDR "
     "big-endian dims, fmt-chunk sample rate; no codec libraries). "
     "The oracle pins the construction, so a probe bug (endianness, "
-    "offset, magic check) hash-mismatches. Unlike the stubbed pixel "
-    "codecs, this path executes real byte-level decoding end-to-end.",
+    "offset, magic check) hash-mismatches. Together with the real "
+    "pixel path (q_media_features), the image pipeline executes real "
+    "byte-level decoding end-to-end.",
 )
 def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthetic_probe_media(spark, n=12)

@@ -26,3 +26,16 @@ def test_query_runs(spark, name):
     assert df.columns, name
     # runs without error; row count may legitimately be 0 for some ops
     df.limit(5).collect()
+
+
+def test_priority_queries_yield_first():
+    """The driver checks ~50 queries per round in queries() order; the
+    rotation contract (every verdict at most ~2 rounds old) only holds
+    if _PRIORITY names actually lead the iteration and all exist."""
+    from artis_data_ingest_spark.plans.registry import _PRIORITY, _REGISTRY
+
+    assert all(n in _REGISTRY for n in _PRIORITY)
+    assert len(_PRIORITY) <= 52  # driver budget ~50
+    ordered = list(plans.queries())
+    assert ordered[: len(_PRIORITY)] == _PRIORITY
+    assert set(ordered) == set(_REGISTRY)

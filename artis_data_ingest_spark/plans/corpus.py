@@ -496,3 +496,67 @@ def q_source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) / F.count(F.lit(1)).over(w)) / share, 6
         ).alias("sample_weight"),
     ).orderBy("source")
+
+
+_CHUNK, _STRIDE = 64, 48
+
+
+@register(
+    "q_doc_chunks",
+    oracle=rf"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS w,
+         len(string_split_regex(trim(text), '\s+')) AS n
+  FROM documents
+  WHERE len(trim(text)) > 0
+)
+SELECT doc_id,
+       CAST(s.st // {_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(s.st AS BIGINT) AS start_tok,
+       CAST(len(list_slice(w, s.st + 1, least(s.st + {_CHUNK}, n)))
+            AS BIGINT) AS n_chunk_toks,
+       substring(md5(array_to_string(
+         list_slice(w, s.st + 1, least(s.st + {_CHUNK}, n)), ' ')), 1, 8)
+         AS chunk_md5
+FROM d, UNNEST(range(0, n, {_STRIDE})) AS s(st)
+ORDER BY doc_id, chunk_idx
+""",
+    doc="Document chunking (the preprocessing step behind both training "
+    f"windows and retrieval corpora): each document splits into "
+    f"{_CHUNK}-token windows at stride {_STRIDE} (16-token overlap), "
+    "emitting per-chunk position, token count, and a content hash. "
+    "Pure explode over a generated start sequence — linear, no "
+    "shuffle before the presentation sort, and the chunk set is "
+    "deterministic so re-chunking after a backfill reproduces "
+    "identical chunk ids. The md5 pin means a boundary bug (off-by-"
+    "one start, overlap drift) hash-mismatches.",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    )
+    d = d.withColumn("n", F.size("w"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.lit(0), F.col("n") - 1), F.lit(_STRIDE)
+    )
+    chunked = d.select(
+        "doc_id",
+        "n",
+        "w",
+        F.explode(starts).alias("st"),
+    )
+    chunk = F.slice("w", F.col("st") + 1, _CHUNK)
+    return (
+        chunked.select(
+            "doc_id",
+            (F.col("st") / _STRIDE).cast("bigint").alias("chunk_idx"),
+            F.col("st").cast("bigint").alias("start_tok"),
+            F.size(chunk).cast("bigint").alias("n_chunk_toks"),
+            F.substring(
+                F.md5(F.concat_ws(" ", chunk)), 1, 8
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -263,3 +263,46 @@ def test_contamination_matches_python_reference(spark):
         for r in all_queries()["q_contamination_ngram"].fn(spark, sf).collect()
     }
     assert got == expected
+
+
+def test_sequence_pack_forms_conserve_tokens(spark):
+    """The sharded default and the global-order reference twin must
+    account for exactly the same corpus: identical total documents and
+    total tokens (packs differ by construction, totals cannot)."""
+    from artis_data_ingest_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    sharded = qs["q_sequence_pack"].fn(spark, sf).collect()
+    glob = qs["q_sequence_pack_global"].fn(spark, sf).collect()
+    assert sum(r.n_docs for r in sharded) == sum(r.n_docs for r in glob)
+    assert sum(r.total_tokens for r in sharded) == sum(
+        r.total_tokens for r in glob
+    )
+
+
+def test_doc_chunks_cover_every_token(spark):
+    """Chunk windows must tile each document without gaps: starts are
+    exact stride multiples from zero and the final window reaches the
+    last token (stride < chunk size guarantees overlap, not holes)."""
+    from artis_data_ingest_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["q_doc_chunks"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        for i, r in enumerate(chunks):
+            assert r.chunk_idx == i and r.start_tok == i * 48, doc_id
+            assert 1 <= r.n_chunk_toks <= 64, doc_id
+        last = chunks[-1]
+        n_total = last.start_tok + last.n_chunk_toks
+        # every earlier chunk is full-width; the last one reaches n_total
+        for r in chunks[:-1]:
+            assert r.start_tok + 64 <= n_total + 16, doc_id

@@ -929,3 +929,80 @@ def q_changelog_pair_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort("added_cols"), ",").alias("added_cols"),
         F.array_join(F.array_sort("removed_cols"), ",").alias("removed_cols"),
     )
+
+
+@register(
+    "q_dq_report",
+    oracle="""
+SELECT 'fk_lineitem_orders' AS check_name,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'fk_orders_customer',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'null_l_quantity',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL)
+            AS BIGINT)
+UNION ALL
+SELECT 'pk_orders_unique',
+       CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+            AS BIGINT)
+UNION ALL
+SELECT 'positive_l_extendedprice',
+       CAST((SELECT COUNT(*) FROM lineitem WHERE l_extendedprice <= 0)
+            AS BIGINT)
+ORDER BY check_name
+""",
+    doc="Data-quality constraint report — the generalization of the "
+    "reference's whole job (assess_changes.qmd audits releases for "
+    "row/schema/set drift; a production ingest ALSO gates on "
+    "constraints): primary-key uniqueness, two referential-integrity "
+    "checks (anti-join shape — broadcast or SMJ as AQE decides), a "
+    "null-rate gate, and a domain predicate, each one aggregation "
+    "with its filter pushed to the scan. Emits (check_name, "
+    "n_violations); a scheduler gates promotion on all-zeros. At "
+    "100 TB each check is an independent scan-agg — they parallelize "
+    "trivially and touch only the columns they audit.",
+)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+        )
+
+    fk_li = one(
+        "fk_lineitem_orders",
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"),
+    )
+    fk_ord = one(
+        "fk_orders_customer",
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"),
+    )
+    nulls = one("null_l_quantity", li.filter(F.col("l_quantity").isNull()))
+    pk = orders.select(
+        F.lit("pk_orders_unique").alias("check_name"),
+        (
+            F.count(F.lit(1)) - F.countDistinct("o_orderkey")
+        ).cast("bigint").alias("n_violations"),
+    )
+    domain = one(
+        "positive_l_extendedprice", li.filter(F.col("l_extendedprice") <= 0)
+    )
+    return (
+        fk_li.unionByName(fk_ord)
+        .unionByName(nulls)
+        .unionByName(pk)
+        .unionByName(domain)
+        .orderBy("check_name")
+    )

@@ -34,16 +34,17 @@ _REGISTRY: dict[str, Query] = {}
 # front-loads (a) queries that are new or changed this round —
 # q_pq_codebooks / q_pq_topk / q_pq_recall (product-quantization ANN),
 # q_contamination_ngram / q_corpus_shuffle / q_source_mix_weights /
-# q_doc_chunks (new training-pipeline ops), q_sequence_pack (now the
+# q_doc_chunks / q_dq_report (new training-pipeline and data-quality
+# ops), q_sequence_pack (now the
 # shard-partitioned form; the global-order twin is registered as
 # q_sequence_pack_global), q_media_features (now decodes real PNG media
 # via the stdlib codec with a closed-form oracle), and q_lag_gap (fixed
 # TIMESTAMP_NTZ handling; its r3 driver verdict predates the regression)
 # — then (b) the queries whose latest driver verdict is r3, so
-# CORRECTNESS_r05 re-verifies what r04's 50-slot cap missed (seven
+# CORRECTNESS_r05 re-verifies what r04's 50-slot cap missed (eight
 # stable r3-green queries overflow to the definition-order tail; their
 # latest verdict ages to 3 rounds, the cost of fresh verdicts for the
-# seven new surfaces).
+# eight new round-5 surfaces).
 _PRIORITY: list[str] = [
     # round-5 new or changed — need a fresh driver verdict
     "q_pq_codebooks",
@@ -53,6 +54,7 @@ _PRIORITY: list[str] = [
     "q_corpus_shuffle",
     "q_source_mix_weights",
     "q_doc_chunks",
+    "q_dq_report",
     "q_sequence_pack",
     "q_sequence_pack_global",
     "q_media_features",
@@ -96,8 +98,8 @@ _PRIORITY: list[str] = [
     "q_pandas_cosine_topk",
     "q_ann_signbucket",
     "q_ann_ivf",
-    "q_ann_ivf_kmeans",
-    # q_kmeans_centroids / q_stratified_sample / q_train_split /
+    # q_ann_ivf_kmeans / q_kmeans_centroids / q_stratified_sample /
+    # q_train_split /
     # q_media_probe / q_pii_scrub / q_repetition_quality /
     # q_embedding_norms rotate to the definition-order tail this round:
     # all r3-green, displaced by the new round-5 queries above

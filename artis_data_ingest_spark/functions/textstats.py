@@ -24,14 +24,24 @@ STOPWORDS = {
 
 QUALITY_STOPWORDS = ["the", "a", "of", "and", "to"]
 
+# Canonical whitespace class for tokenization, spelled explicitly
+# because the engines disagree on the shorthand: Java's \s includes
+# vertical tab (\x0B) while DuckDB's RE2 \s does not, so a document
+# containing \x0B would tokenize differently under Spark vs the oracle.
+# The explicit class is identical to Java's \s, so Spark behavior is
+# unchanged and the oracle SQL (WS_SQL, same characters) now agrees on
+# every input, not just fixtures that avoid exotic whitespace.
+WS_RE = r"[ \t\n\r\f\x0B]+"
+WS_SQL = r"[ \t\n\r\f\x0B]+"
+
 
 def _c(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
 def tokens(col: str | Column) -> Column:
-    """Whitespace tokenization after trim."""
-    return F.split(F.trim(_c(col)), r"\s+")
+    """Whitespace tokenization after trim (explicit class: see WS_RE)."""
+    return F.split(F.trim(_c(col)), WS_RE)
 
 
 def n_tokens(col: str | Column) -> Column:

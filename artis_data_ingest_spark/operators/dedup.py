@@ -365,7 +365,7 @@ def simhash64(col: str | Column, n_bits: int = 64) -> Column:
     Built as a single expression: for each bit position, count tokens
     whose hash has that bit set vs total — JVM-side, no UDF."""
     c = col if isinstance(col, Column) else F.col(col)
-    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    toks = F.split(F.trim(F.lower(c)), r"[ \t\n\r\f\x0B]+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     n = F.size(hashes)
 
@@ -406,7 +406,7 @@ def simhash_sig_table(
         "doc_id", F.trim(F.lower(F.col(text_col))).alias("t")
     )
     tok = t.select(
-        "doc_id", F.explode(F.split("t", r"\s+")).alias("tk")
+        "doc_id", F.explode(F.split("t", r"[ \t\n\r\f\x0B]+")).alias("tk")
     ).select("doc_id", F.xxhash64("tk").alias("h"))
     votes = tok.groupBy("doc_id").agg(
         *[
@@ -745,7 +745,7 @@ def portable_simhash(col: str | Column) -> Column:
     Spark-only) — same majority-vote construction, oracle-checkable."""
     c = col if isinstance(col, Column) else F.col(col)
     toks = F.filter(
-        F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != ""
+        F.split(F.trim(F.lower(c)), r"[ \t\n\r\f\x0B]+"), lambda t: t != ""
     )
     hashes = F.transform(
         toks, lambda t: portable_shingle_hash(t) % _PORTABLE_SIMHASH_MOD
@@ -870,13 +870,18 @@ def connected_components(
             .groupBy(sym["a"].alias("node"))
             .agg(F.min("cluster").alias("nbr_cluster"))
         )
-        propagated = labels.join(neighbor_min, on="node", how="left").select(
-            "node",
-            F.least(
-                F.col("cluster"),
-                F.coalesce(F.col("nbr_cluster"), F.col("cluster")),
-            ).alias("cluster"),
-        )
+        # materialized once: both the pointer-jump probe (parent) and the
+        # build side below consume it, and without a checkpoint the
+        # neighbor join+agg above would execute twice per round.
+        propagated = (
+            labels.join(neighbor_min, on="node", how="left").select(
+                "node",
+                F.least(
+                    F.col("cluster"),
+                    F.coalesce(F.col("nbr_cluster"), F.col("cluster")),
+                ).alias("cluster"),
+            )
+        ).localCheckpoint()
         # pointer jump: compose labels once per round. A label is always
         # a node id in the graph, and labels only decrease, so
         # label(label(node)) <= label(node) — adopting it halves the

@@ -466,6 +466,17 @@ def decode_png(blob: bytes) -> np.ndarray:
     return out
 
 
+def _round_half_up(x: float, digits: int) -> float:
+    """Round half AWAY from zero, matching DuckDB's round() (the oracle
+    engine) rather than Python round()'s banker's rounding — a mean
+    landing exactly on a half-boundary at the target precision would
+    otherwise hash-mismatch."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 IMAGE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -494,9 +505,9 @@ def image_stats(media: DataFrame, round_digits: int = 6) -> DataFrame:
                 recs.append(
                     (
                         mid, w, h,
-                        round(float(means[0]), round_digits),
-                        round(float(means[1]), round_digits),
-                        round(float(means[2]), round_digits),
+                        _round_half_up(float(means[0]), round_digits),
+                        _round_half_up(float(means[1]), round_digits),
+                        _round_half_up(float(means[2]), round_digits),
                     )
                 )
             yield pd.DataFrame(

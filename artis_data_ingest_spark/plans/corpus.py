@@ -76,8 +76,8 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH t AS (
   SELECT doc_id, source, text,
-         len(string_split_regex(trim(text), '\\s+')) AS n_toks,
-         len(list_filter(string_split_regex(trim(text), '\\s+'),
+         len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS n_toks,
+         len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'),
                          x -> x IN ({_STOP_SQL}))) AS stop_hits
   FROM documents
   WHERE lang = 'en'
@@ -140,7 +140,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id,
-         len(string_split_regex(trim(text), '\\s+')) AS n_toks
+         len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS n_toks
   FROM documents
 ), c AS (
   SELECT doc_id, n_toks,
@@ -197,7 +197,7 @@ _N_SHARDS = 16
 WITH t AS (
   SELECT doc_id,
          doc_id % {_N_SHARDS} AS shard,
-         len(string_split_regex(trim(text), '\\s+')) AS n_toks
+         len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS n_toks
   FROM documents
 ), c AS (
   SELECT shard, doc_id, n_toks,
@@ -320,11 +320,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH d AS (
   SELECT doc_id,
-         string_split_regex(trim(text), '\s+') AS w,
+         string_split_regex(trim(text), '[ \t\n\r\f\x0B]+') AS w,
          substring(md5('contam:' || CAST(doc_id AS VARCHAR)), 1, 1) <= '1'
            AS is_eval
   FROM documents
-  WHERE len(string_split_regex(trim(text), '\s+')) >= 8
+  WHERE len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) >= 8
 ), g AS (
   SELECT doc_id, is_eval, array_to_string(w[i:i+7], ' ') AS ngram
   FROM d, UNNEST(range(1, len(w) - 6)) AS u(i)
@@ -359,7 +359,7 @@ ORDER BY doc_id
 def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+        "doc_id", F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+").alias("w")
     ).filter(F.size("w") >= 8)
     is_eval = (
         F.substring(
@@ -457,7 +457,7 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
   SELECT source,
          COUNT(*) AS n_docs,
-         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         CAST(SUM(len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'))) AS BIGINT)
            AS tokens
   FROM documents
   GROUP BY source
@@ -506,8 +506,8 @@ _CHUNK, _STRIDE = 64, 48
     oracle=rf"""
 WITH d AS (
   SELECT doc_id,
-         string_split_regex(trim(text), '\s+') AS w,
-         len(string_split_regex(trim(text), '\s+')) AS n
+         string_split_regex(trim(text), '[ \t\n\r\f\x0B]+') AS w,
+         len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) AS n
   FROM documents
   WHERE len(trim(text)) > 0
 )
@@ -535,7 +535,7 @@ ORDER BY doc_id, chunk_idx
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.filter(F.length(F.trim("text")) > 0).select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+        "doc_id", F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+").alias("w")
     )
     d = d.withColumn("n", F.size("w"))
     starts = F.sequence(

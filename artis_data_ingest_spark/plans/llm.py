@@ -522,7 +522,7 @@ def _portable_simhash_oracle() -> str:
     return f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+'),
                      x -> x <> '') AS toks
   FROM documents
 ), h AS (

@@ -102,7 +102,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT token, COUNT(*) AS n
 FROM (
-  SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS token
+  SELECT UNNEST(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS token
   FROM documents
 )
 WHERE token <> ''
@@ -120,7 +120,7 @@ def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(
-            F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+            F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\r\f\x0B]+")).alias("token")
         )
         .filter(F.col("token") != "")
         .groupBy("token")

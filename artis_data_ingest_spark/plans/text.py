@@ -37,7 +37,7 @@ from .registry import register
     "q_text_stats",
     oracle="""
 SELECT doc_id,
-       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       len(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS n_tokens,
        length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS n_alnum,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
          AS n_regex_tokens,
@@ -65,7 +65,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH t AS (
   SELECT doc_id,
-         string_split_regex(trim(text), '\\s+') AS toks
+         string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
   FROM documents
 )
 SELECT doc_id,
@@ -140,7 +140,7 @@ def _langid_oracle() -> str:
         )
     return f"""
 WITH t AS (
-  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+  SELECT doc_id, lang, string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
   FROM documents
 ), h AS (
   SELECT doc_id, lang, {", ".join(hits(lg) for lg in langs)}
@@ -313,7 +313,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\r\\f\\x0B]+'),
                      x -> x <> '') AS toks
   FROM documents
 ), toks AS (
@@ -359,7 +359,7 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id",
         F.filter(
-            F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != ""
+            F.split(F.trim(F.lower("text")), r"[ \t\n\r\f\x0B]+"), lambda x: x != ""
         ).alias("toks"),
     ).filter(F.size("toks") > 0)
     uni = (

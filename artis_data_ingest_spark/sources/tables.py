@@ -47,6 +47,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
+            # Spark can refuse runtime changes to this static-ish conf
+            # (AnalysisException: CANNOT_MODIFY_CONFIG) once a query ran;
+            # harmless either way — the dtype dispatch below handles both
+            # the bigint (conf took effect) and timestamp outcomes.
             pass
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")

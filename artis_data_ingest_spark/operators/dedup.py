@@ -265,6 +265,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 32,
     bands: int = 8,
     min_jaccard: float = 0.7,
+    salt_buckets: int | None = 8,
 ) -> DataFrame:
     """MinHash+LSH near-dup pipeline: shingle → signature → band buckets
     → bucket self-join → exact-Jaccard verify ≥ ``min_jaccard``.
@@ -273,6 +274,19 @@ def minhash_lsh_candidates(
     some band with p = 1-(1-j^4)^8 (j=0.5 → ~41%, j=0.8 → ~98%).
     The band bucket join shuffles by (band, bucket-hash) — linear in
     corpus size; only colliding candidates reach the verify join.
+
+    Skew hardening (``salt_buckets``, default 8): a viral duplicate
+    family at 100 TB lands thousands of docs in ONE (band, bucket) key,
+    and a plain self-join serializes that bucket's O(B²) pair
+    generation into one reducer.  With salting, the probe side carries
+    ``pmod(hash(doc_id), S)`` and the build side is replicated once per
+    salt value, the join key becoming (band, bucket, salt) — each pair
+    still generated exactly once (by the build replica matching the
+    probe row's salt), but the hot bucket's work spreads across S
+    reducers.  Cost: the build side of the CANDIDATE join (3 small int
+    columns, pre-verify) is duplicated S×, the classic skewed-self-join
+    trade.  ``None`` disables salting (the portable oracle twin stays
+    unsalted so the DuckDB SQL needs no replication logic).
     """
     rows = n_hashes // bands
     t = spread_cpu_bound(
@@ -304,14 +318,29 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
+    if salt_buckets:
+        a = banded.withColumn(
+            "salt", F.pmod(F.hash("doc_id"), F.lit(salt_buckets))
+        ).alias("a")
+        b = banded.withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+        ).alias("b")
+        cond = (
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.salt") == F.col("b.salt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
         )
+    else:
+        a, b = banded.alias("a"), banded.alias("b")
+        cond = (
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+    cands = (
+        a.join(b, cond)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),

@@ -5,10 +5,12 @@ structs. The Spark-side machinery — schemas, Arrow-batched mapInPandas
 decode, partition sizing — is real and tested. The IMAGE pixel path is
 a real stdlib PNG codec (``encode_png``/``decode_png``: zlib inflate,
 all five scanline filters; feeds ``image_stats`` and the oracled
-``q_media_features``). Audio/video decode remains a deterministic stub
-(this container has no torchaudio/PyAV), marked loudly so a deployment
-swaps the real library into ``_decode_stub`` without touching the
-dataflow.
+``q_media_features``). The AUDIO sample path is a real stdlib RIFF/WAVE
+PCM16 codec (``encode_wav``/``decode_wav``: chunk walk, channel
+de-interleave; feeds ``audio_stats`` and the oracled
+``q_audio_features``). Only VIDEO decode remains a deterministic stub
+(this container has no PyAV), marked loudly so a deployment swaps the
+real library into ``_decode_stub`` without touching the dataflow.
 
 Scale notes: media rows are large (MBs) — the loader repartitions by
 bytes (``maxRecordsPerBatch`` keeps Arrow batches bounded), and decode
@@ -57,12 +59,12 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_stub(blob: bytes, kind: str, dim: int = 16) -> np.ndarray:
-    """STUB CODEC — deterministic fake feature extraction.
-
-    Real deployments replace this body with Pillow (image decode +
-    resize), torchaudio (resample + mel), or PyAV (frame sampling).
-    The fake hashes byte windows into a fixed-size float vector so
-    results are deterministic and shape-correct for downstream ANN.
+    """STUB CODEC — deterministic fake feature extraction, now only the
+    fallback for VIDEO (PyAV territory) and non-container payloads.
+    PNG pixels and PCM-WAV samples decode for real (``decode_png`` /
+    ``decode_wav``); see ``_decode_features`` for the dispatch.  The
+    fake hashes byte windows into a fixed-size float vector so results
+    are deterministic and shape-correct for downstream ANN.
     """
     arr = np.frombuffer(blob, dtype=np.uint8)
     if arr.size == 0:
@@ -71,6 +73,35 @@ def _decode_stub(blob: bytes, kind: str, dim: int = 16) -> np.ndarray:
     return np.array(
         [c.mean() / 255.0 if c.size else 0.0 for c in chunks],
         dtype=np.float32,
+    )
+
+
+def _decode_features(blob: bytes, kind: str, dim: int = 16) -> np.ndarray:
+    """Feature-vector dispatch: REAL decode when the payload is a
+    container we have a spec-correct codec for, stub otherwise.
+
+      * audio + RIFF/WAVE → decode_wav: normalized samples (s/32768)
+        bucketed into ``dim`` window means — real PCM energy profile.
+      * image + PNG       → decode_png: normalized pixels bucketed into
+        ``dim`` window means — real luminance profile.
+      * anything else     → _decode_stub (video needs PyAV; raw test
+        blobs have no container to parse).
+    """
+    try:
+        if kind == "audio" and blob[:4] == b"RIFF":
+            samples, _ = decode_wav(blob)
+            flat = samples.astype(np.float64).ravel() / 32768.0
+        elif kind == "image" and blob[:8] == _PNG_MAGIC:
+            flat = decode_png(blob).astype(np.float64).ravel() / 255.0
+        else:
+            return _decode_stub(blob, kind, dim)
+    except ValueError:
+        return _decode_stub(blob, kind, dim)
+    if flat.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    chunks = np.array_split(flat, dim)
+    return np.array(
+        [c.mean() if c.size else 0.0 for c in chunks], dtype=np.float32
     )
 
 
@@ -84,7 +115,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                _decode_stub(blob, kind, dim).tolist()
+                _decode_features(bytes(blob), kind, dim).tolist()
                 for blob, kind in zip(pdf["content"], pdf["kind"])
             ]
             yield pd.DataFrame(
@@ -545,6 +576,155 @@ def gradient_png_media(spark: SparkSession, n: int = 8) -> DataFrame:
                 i, "image", encode_png(np.ascontiguousarray(arr)),
                 {"width": None, "height": None, "n_frames": None,
                  "sample_rate": None},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --- REAL stdlib RIFF/WAVE PCM16 codec ------------------------------------
+#
+# Audio decode does NOT need torchaudio for PCM WAV: the container is a
+# RIFF chunk walk and the payload is interleaved little-endian int16.
+# The encoder/decoder pair below implements the spec for PCM16 (any
+# channel count / sample rate), raising loudly on compressed formats —
+# with this, the only remaining stub codec is video (PyAV territory).
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Spec-correct RIFF/WAVE PCM16 encoder (stdlib struct only) for
+    int16 (n_samples, n_channels) arrays.  Channels are interleaved
+    little-endian per the spec; a decorative LIST/INFO chunk is placed
+    before ``data`` so a decoder can't pass by assuming ``data``
+    directly follows ``fmt `` — it must genuinely walk chunks."""
+    import struct
+
+    if samples.dtype != np.int16 or samples.ndim != 2:
+        raise ValueError("encode_wav expects int16 (n_samples, n_channels)")
+    n, ch = samples.shape
+    payload = samples.astype("<i2").tobytes()  # row-major == interleaved
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate,
+        sample_rate * ch * 2, ch * 2, 16,
+    )
+    info = b"INFOISFT" + struct.pack("<I", 6) + b"artis\x00"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(info)) + info
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    if len(payload) % 2:  # chunks are word-aligned per RIFF
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
+    """Spec-correct RIFF/WAVE PCM16 decoder (stdlib struct only): chunk
+    walk → fmt parse → de-interleave ``data`` into int16
+    (n_samples, n_channels); returns (samples, sample_rate).  Raises
+    loudly on compressed/float formats rather than guessing."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        tag = blob[pos:pos + 4]
+        (length,) = struct.unpack("<I", blob[pos + 4:pos + 8])
+        body = blob[pos + 8:pos + 8 + length]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length % 2)  # word alignment
+    if fmt is None or data is None:
+        raise ValueError("WAVE missing fmt/data chunk")
+    audio_fmt, ch, sr, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAVE (format={audio_fmt}, bits={bits}); "
+            "decoder handles PCM16 only"
+        )
+    flat = np.frombuffer(data, dtype="<i2")
+    n = flat.size // ch
+    return flat[: n * ch].reshape(n, ch), sr
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("channel", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("rms_amp", T.DoubleType()),
+        T.StructField("peak_amp", T.LongType()),
+    ]
+)
+
+
+def audio_stats(media: DataFrame, round_digits: int = 6) -> DataFrame:
+    """REAL sample-level feature extraction for PCM-WAV rows: decode via
+    the stdlib codec inside Arrow-batched mapInPandas, emit one row per
+    (media_id, channel) with duration and per-channel mean/RMS/peak
+    amplitude.  The binary column is dropped in the output — only
+    compact stats reach any shuffle (same contract as image_stats)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                samples, sr = decode_wav(bytes(blob))
+                n, ch = samples.shape
+                s = samples.astype(np.float64)
+                for c in range(ch):
+                    col = s[:, c]
+                    recs.append(
+                        (
+                            mid, c, sr, n,
+                            _round_half_up(n / sr, round_digits),
+                            _round_half_up(float(col.mean()), round_digits),
+                            _round_half_up(
+                                float(np.sqrt(np.mean(col * col))),
+                                round_digits,
+                            ),
+                            int(np.abs(col).max()) if n else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "channel", "sample_rate", "n_samples",
+                    "duration_s", "mean_amp", "rms_amp", "peak_amp",
+                ],
+            )
+
+    return media.mapInPandas(_stats, AUDIO_STATS_SCHEMA)
+
+
+def ramp_wav_media(spark: SparkSession, n: int = 8) -> DataFrame:
+    """Media table of REAL decodable PCM16 WAVs with closed-form sample
+    values: clip i has sample_rate 8000+500i, 64+8i samples, and
+    1 + (i % 2) channels whose samples are s[t] = t + 100*channel.
+    Closed forms (what the q_audio_features oracle pins, a = 100*ch):
+    mean = (n-1)/2 + a, peak = n-1+a, and the mean square is the exact
+    integer (n(n-1)(2n-1)/6 + a*n*(n-1) + n*a²)/n — both engines do the
+    same single correctly-rounded division, so rms matches to the bit.
+    Half the clips are stereo, so a decoder that mis-interleaves
+    channels (or drops the LIST chunk walk) breaks the hash match."""
+    rows = []
+    for i in range(n):
+        sr = 8000 + 500 * i
+        n_samp = 64 + 8 * i
+        ch = 1 + (i % 2)
+        t = np.arange(n_samp, dtype=np.int16)[:, None]
+        offs = (100 * np.arange(ch, dtype=np.int16))[None, :]
+        samples = (t + offs).astype(np.int16)
+        rows.append(
+            (
+                i, "audio", encode_wav(samples, sr),
+                {"width": None, "height": None, "n_frames": None,
+                 "sample_rate": sr},
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -364,3 +364,54 @@ def q_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 history — event log → full version history with validity ranges.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+       event_type, value,
+       epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+       epoch_us(LEAD(CAST(ts AS TIMESTAMP)) OVER w) AS valid_to_us,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+""",
+    doc="Type-2 slowly-changing-dimension history from an event log "
+    "(the companion to q_latest_per_key's SCD-1 compaction, and the "
+    "shape the reference's version-over-version snapshot diffing "
+    "extends to over time): every event becomes a version row with "
+    "[valid_from, valid_to) validity — valid_to is the NEXT event's "
+    "timestamp via LEAD over (key, time, unique-id) order, NULL (open-"
+    "ended) for the current version, with is_current derived from it. "
+    "Validity bounds are emitted as epoch microseconds, keeping the "
+    "cross-engine comparison representation-proof. One window shuffle "
+    "on the key — identical cost to the SCD-1 form; at 100 TB this is "
+    "the standard as-of-queryable dimension build after every CDC "
+    "load (point-in-time lookups become ts >= valid_from AND ts < "
+    "coalesce(valid_to, infinity) range joins).",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lead_ts = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).cast("bigint").alias("version"),
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.unix_micros(lead_ts).alias("valid_to_us"),
+            lead_ts.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

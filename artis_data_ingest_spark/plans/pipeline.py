@@ -18,10 +18,12 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from ..operators.multimodal import (
+    audio_stats,
     extract_features,
     gradient_png_media,
     image_stats,
     probe_metadata,
+    ramp_wav_media,
     synthetic_media,
     synthetic_probe_media,
 )
@@ -243,4 +245,52 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = gradient_png_media(spark, n=8)
     return image_stats(media.select("media_id", "content")).orderBy(
         "media_id"
+    )
+
+
+@register(
+    "q_audio_features",
+    oracle="""
+WITH m AS (
+  SELECT i AS media_id,
+         8000 + 500 * i AS sr,
+         64 + 8 * i AS n,
+         1 + (i % 2) AS n_ch
+  FROM range(8) t(i)
+), ch AS (
+  SELECT media_id, sr, n, c.ch AS channel, 100 * c.ch AS a
+  FROM m, UNNEST(range(0, n_ch)) AS c(ch)
+)
+SELECT media_id,
+       CAST(channel AS BIGINT) AS channel,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       round(n * 1.0 / sr, 6) AS duration_s,
+       round((n - 1) / 2.0 + a, 6) AS mean_amp,
+       round(sqrt(CAST((n * (n - 1) * (2 * n - 1)) // 6
+                       + a * n * (n - 1) + n * a * a AS DOUBLE) / n), 6)
+         AS rms_amp,
+       CAST(n - 1 + a AS BIGINT) AS peak_amp
+FROM ch
+ORDER BY media_id, channel
+""",
+    doc="Multimodal audio features (SURVEY.md §2.11), REAL decode path: "
+    "ramp_wav_media emits spec-correct RIFF/WAVE PCM16 clips (clip i "
+    "is 64+8i samples at 8000+500i Hz, 1 + (i%2) interleaved channels "
+    "with s[t] = t + 100*channel, plus a LIST chunk so decoding must "
+    "walk chunks), audio_stats decodes them byte-for-byte with the "
+    "stdlib struct codec inside Arrow-batched mapInPandas and emits "
+    "per-channel duration/mean/RMS/peak. The oracle is closed-form "
+    "(a = 100*channel): mean = (n-1)/2 + a, peak = n-1+a, and RMS "
+    "uses the exact integer sum of squares divided once by n — the "
+    "same single correctly-rounded f64 division numpy performs, so "
+    "values match to the bit. A decoder that mis-parses the chunk "
+    "walk, channel interleave, or int16 endianness hash-mismatches. "
+    "Binary never reaches a shuffle; only compact per-channel stats "
+    "do.",
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = ramp_wav_media(spark, n=8)
+    return audio_stats(media.select("media_id", "content")).orderBy(
+        "media_id", "channel"
     )

@@ -30,79 +30,74 @@ _REGISTRY: dict[str, Query] = {}
 # The external correctness driver checks at most ~50 queries per round, in
 # the order ``queries()`` yields them.  To keep every registered query's
 # latest driver verdict at most ~2 rounds old, names listed here are yielded
-# FIRST (in this order); the rest follow in definition order.  Round 5
-# front-loads (a) queries that are new or changed this round —
-# q_pq_codebooks / q_pq_topk / q_pq_recall (product-quantization ANN),
-# q_contamination_ngram / q_corpus_shuffle / q_source_mix_weights /
-# q_doc_chunks / q_dq_report (new training-pipeline and data-quality
-# ops), q_sequence_pack (now the
-# shard-partitioned form; the global-order twin is registered as
-# q_sequence_pack_global), q_media_features (now decodes real PNG media
-# via the stdlib codec with a closed-form oracle), and q_lag_gap (fixed
-# TIMESTAMP_NTZ handling; its r3 driver verdict predates the regression)
-# — then (b) the queries whose latest driver verdict is r3, so
-# CORRECTNESS_r05 re-verifies what r04's 50-slot cap missed (eight
-# stable r3-green queries overflow to the definition-order tail; their
-# latest verdict ages to 3 rounds, the cost of fresh verdicts for the
-# eight new round-5 surfaces).
+# FIRST (in this order); the rest follow in definition order.  Round 6
+# front-loads (a) the eight queries whose latest driver verdict is r3 —
+# two rounds stale, displaced by round 5's eleven new surfaces — then
+# (b) queries new or changed this round (real WAV audio decode,
+# IVF-PQ composed ANN, persisted-codebook PQ, SCD-2), then (c) names
+# whose latest verdict is r4, oldest exposure first.
 _PRIORITY: list[str] = [
-    # round-5 new or changed — need a fresh driver verdict
+    # latest verdict r3 — two rounds stale, refresh first
+    "q_train_split",
+    "q_embedding_norms",
+    "q_pii_scrub",
+    "q_repetition_quality",
+    "q_stratified_sample",
+    "q_media_probe",
+    "q_kmeans_centroids",
+    "q_ann_ivf_kmeans",
+    # round-6 new or changed — need a first/fresh driver verdict
+    "q_audio_features",
+    "q_ann_ivfpq",
+    "q_ivfpq_recall",
     "q_pq_codebooks",
     "q_pq_topk",
     "q_pq_recall",
-    "q_contamination_ngram",
-    "q_corpus_shuffle",
-    "q_source_mix_weights",
-    "q_doc_chunks",
-    "q_dq_report",
-    "q_sequence_pack",
-    "q_sequence_pack_global",
-    "q_media_features",
-    "q_lag_gap",
-    # latest verdict r3 — rotate back in
-    "q_scraper_links",
-    "q_changelog_e2e",
-    "q_changelog_files",
-    "q_file_inventory",
-    "q_excel_clean",
-    "q_zip_ingest",
-    "q_dataset_diff",
-    "q_fullouter_align",
-    "q_pivot_align",
-    "q_slugify_key",
-    "q_extract_version",
-    "q_distinct",
-    "q_union_tag",
-    "q_union_names",
-    "q_except_distinct",
-    "q_intersect",
-    "q_exists_any",
-    "q_count_distinct",
-    "q_approx_distinct",
-    "q_approx_percentile",
-    "q_running_sum",
-    "q_daily_rollup",
-    "q_date_spine",
-    "q_tumbling_window",
-    "q_sliding_window",
-    "q_session_window",
-    "q_minhash_portable",
-    "q_minhash_portable_stats",
-    "q_minhash_neardup",
-    "q_simhash_portable",
-    "q_simhash_neardup",
-    "q_dup_clusters",
-    "q_embedding_neardup",
-    "q_embedding_quantize",
-    "q_cosine_topk",
-    "q_pandas_cosine_topk",
-    "q_ann_signbucket",
-    "q_ann_ivf",
-    # q_ann_ivf_kmeans / q_kmeans_centroids / q_stratified_sample /
-    # q_train_split /
-    # q_media_probe / q_pii_scrub / q_repetition_quality /
-    # q_embedding_norms rotate to the definition-order tail this round:
-    # all r3-green, displaced by the new round-5 queries above
+    "q_scd2_history",
+    # latest verdict r4 — rotate back in
+    "q_xpath_links",
+    "q_csv_clean_prod",
+    "q_excel_fleet",
+    "q_clean_pipeline",
+    "q_notin_filter",
+    "q_era_branch",
+    "q_value_diff",
+    "q_changelog_pair_diff",
+    "q_semi_join",
+    "q_anti_join",
+    "q_asof_join",
+    "q_asof_forward",
+    "q_range_join",
+    "q_interval_join",
+    "q_argminmax",
+    "q_grouped_agg",
+    "q_rollup",
+    "q_cube",
+    "q_grouping_sets",
+    "q_percentiles",
+    "q_union_evolved",
+    "q_topk_window",
+    "q_rank_family",
+    "q_moving_avg",
+    "q_unpivot",
+    "q_json_struct",
+    "q_token_freq",
+    "q_schema_diff_flat",
+    "q_latest_per_key",
+    "q_dedup_exact",
+    "q_ngram_jaccard",
+    "q_text_stats",
+    "q_quality_score",
+    "q_lang_stats",
+    "q_langid_confusion",
+    "q_fingerprint",
+    "q5_revenue_by_region",
+    # q1_pricing_summary / q3_shipping_priority / q6_forecast_revenue
+    # age to r4-latest this round: they are benched every round and
+    # plan-pinned in pytest, so staleness risk is lowest of the r4 set
+    # (the 52-slot budget is enforced by test_priority_queries_yield_first).
+    # Everything r5-verified follows in definition order; with ~50 slots
+    # the r5-green set ages to two rounds at worst before rotating back.
 ]
 
 

@@ -551,3 +551,83 @@ def test_pq_codebooks_degenerate_corpus_matches_duckdb(spark, tmp_path):
     # clusters that lost every member are absent, not zero-filled
     surviving = {cid for (_, cid, _) in got}
     assert surviving < {0, 1, 2}  # strictly fewer than k initial ids
+
+
+def test_minhash_salted_band_join_matches_unsalted(spark):
+    """Salting the band self-join must not change the candidate/verify
+    result: every (band, bucket) pair is still generated exactly once
+    (the build replica matching the probe row's salt), just on a wider
+    shuffle key. Pinned on the sf0.001 corpus."""
+    from artis_data_ingest_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plain = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in minhash_lsh_candidates(docs, salt_buckets=None).collect()
+    }
+    salted = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in minhash_lsh_candidates(docs, salt_buckets=8).collect()
+    }
+    assert salted == plain
+
+
+def test_minhash_salted_join_shape(spark):
+    """The skew hardening must actually reach the physical plan: with
+    salting on (the default), the candidate join's equi-key set includes
+    the salt column, so a hot (band, bucket) spreads over salt_buckets
+    reducers instead of one."""
+    from artis_data_ingest_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = minhash_lsh_candidates(docs)._jdf.queryExecution().toString()
+    assert "salt" in plan
+    unsalted = minhash_lsh_candidates(
+        docs, salt_buckets=None
+    )._jdf.queryExecution().toString()
+    assert "salt" not in unsalted
+
+
+def test_minhash_salted_survives_adversarial_skew(spark):
+    """Viral-duplicate fixture: 25 families x 40 near-identical members
+    (shared 400-char body, unique 6-char tail) pile every family into
+    hot band buckets — the worst case the salt exists for. The salted
+    join must produce the identical verified pair set, finding all
+    within-family pairs and nothing across families."""
+    import hashlib
+
+    from artis_data_ingest_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    rows = []
+    for fam in range(25):
+        # family body: 128 chars of family-specific pseudo-random hex,
+        # repeated — members share ~95% of their shingle set within a
+        # family while cross-family trigram overlap is negligible (two
+        # random hex strings share ~1 of 4096 possible trigrams)
+        seed = hashlib.md5(f"fam{fam}".encode()).hexdigest()
+        body = (seed + hashlib.md5(seed.encode()).hexdigest()) * 2
+        for m in range(40):
+            tail = hashlib.md5(f"m{fam}-{m}".encode()).hexdigest()[:4]
+            rows.append((fam * 100 + m, body + tail))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(16)
+
+    salted = minhash_lsh_candidates(docs, salt_buckets=8).collect()
+    pair_set = {(r.doc_id_a, r.doc_id_b) for r in salted}
+    # no cross-family pair survives the jaccard >= 0.7 verify
+    assert all(a // 100 == b // 100 for a, b in pair_set)
+    # near-total recall within families: bodies are ~98% shared, so
+    # nearly all 780 pairs per family collide in some band and verify
+    assert len(pair_set) >= 25 * 700
+    plain = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_lsh_candidates(docs, salt_buckets=None).collect()
+    }
+    assert pair_set == plain

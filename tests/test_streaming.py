@@ -362,3 +362,54 @@ def test_bounded_microbatches_max_files_per_trigger(spark, tmp_path):
     ]
     # one micro-batch per file (coalesce(1) wrote one data file each)
     assert len(batch_dirs) == 4
+
+
+def test_streaming_changelog_matches_batch(spark, tmp_path):
+    """Incremental file-arrival changelog == batch file_level_log on the
+    real snapshot fixtures: files drip in across two checkpointed runs
+    (the second resumes and processes ONLY the new arrival), per-batch
+    verdicts land in the idempotent sink, and the end-of-stream
+    'removed' reconciliation completes the picture row-for-row."""
+    import shutil
+    from pathlib import Path
+
+    from artis_data_ingest_spark.operators.changelog import file_level_log
+    from artis_data_ingest_spark.streaming.changelog import (
+        removed_files,
+        stream_file_changes,
+    )
+
+    old_dir = "/root/repo/data/snapshots/old"
+    src_new = Path("/root/repo/data/snapshots/new")
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    first, second = sorted(src_new.iterdir())
+
+    shutil.copy(first, arrivals / first.name)
+    q = stream_file_changes(spark, old_dir, str(arrivals), out, ckpt)
+    q.awaitTermination(120)
+
+    shutil.copy(second, arrivals / second.name)
+    q = stream_file_changes(spark, old_dir, str(arrivals), out, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # one row per arrival, each in its own batch dir — the restart
+    # processed only the second file (checkpoint held batch 0)
+    assert got.count() == 2
+    assert got.select("batch_id").distinct().count() == 2
+
+    streamed = got.drop("batch_id")
+    # statuses: the production file matches an old-side key (changed or
+    # unchanged by size), the capture file is brand new
+    by_status = {r.status for r in streamed.collect()}
+    assert "added" in by_status
+    full = streamed.drop("status").unionByName(
+        removed_files(spark, old_dir, out).drop("status")
+    )
+    batch = file_level_log(spark, old_dir, str(arrivals))
+    cols = sorted(batch.columns)
+    a = {tuple(r[c] for c in cols) for r in full.collect()}
+    b = {tuple(r[c] for c in cols) for r in batch.collect()}
+    assert a == b

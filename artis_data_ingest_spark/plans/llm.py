@@ -902,6 +902,7 @@ def q_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pq_topk",
+    bench=True,
     oracle=f"""{_PQ_CHAIN},{_PQ_ADC_CTES}
 SELECT query_id, vec_id, adc, rank FROM (
   SELECT query_id, vec_id, adc,

@@ -41,6 +41,10 @@ def main() -> None:
     # q_minhash_portable_stats allocates the largest intermediate state
     # of the set; run it last so its memory churn can't inflate the
     # queries scheduled after it (r3/r4 showed order-correlated drift)
+    # r6 note: r5's q_text_stats +34% was NOT scheduling — measured
+    # directly, its min-of-3 is ~0.73-0.85 s whether run fresh or right
+    # after q_dup_clusters (if anything, faster after). Environment
+    # noise on the r5 run; no bench-order change warranted.
     names = sorted(bench, key=lambda n: n == "q_minhash_portable_stats")
 
     # min of three runs per query, all runs recorded: the min reflects

@@ -138,7 +138,22 @@ def main() -> None:
   O(diameter). The adversarial shapes (10k-node path, 5k-spoke
   mega-star) are pinned by a stress test at max_iter=18; lineage is
   truncated per round (`localCheckpoint`) so the plan stays O(1) deep
-  regardless of rounds.""")
+  regardless of rounds.
+- **Skewed self-joins carry the salt IN the join key.** The murmur3
+  LSH band join (`q_minhash_neardup`) defaults to salt_buckets=8: the
+  probe side keys on pmod(hash(doc_id), 8), the build side replicates
+  once per salt value, so a viral duplicate family's O(B²) pair
+  generation spreads over 8 reducers instead of one. Pair-set equality
+  with the unsalted form (incl. an adversarial 25-family × 40-member
+  fixture) and the salted plan shape are both pinned by test.
+- **Trained artifacts persist; queries read them.** PQ codebooks train
+  once per fixture (fixed-point Lloyd) and land in parquet
+  (`data/cache/`); `q_pq_*` and the composed `q_ann_ivfpq` read the
+  m·k-row artifact and inline it as literals — encode and cell
+  assignment are shuffle-free codegen, the train-once/serve-many shape
+  a real vector store deploys. `q_ann_ivfpq`'s whole plan is 2 scans +
+  1 broadcast cell-probe join + the per-query top-k window: no corpus
+  self-join, no full-corpus ADC.""")
 
 
 if __name__ == "__main__":

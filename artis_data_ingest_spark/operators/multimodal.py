@@ -8,9 +8,13 @@ all five scanline filters; feeds ``image_stats`` and the oracled
 ``q_media_features``). The AUDIO sample path is a real stdlib RIFF/WAVE
 PCM16 codec (``encode_wav``/``decode_wav``: chunk walk, channel
 de-interleave; feeds ``audio_stats`` and the oracled
-``q_audio_features``). Only VIDEO decode remains a deterministic stub
-(this container has no PyAV), marked loudly so a deployment swaps the
-real library into ``_decode_stub`` without touching the dataflow.
+``q_audio_features``). The VIDEO frame path is a real stdlib RIFF-AVI
+uncompressed-BI_RGB codec (``encode_avi``/``decode_avi``: recursive
+chunk walk, bottom-up BGR DIB frames; feeds ``video_stats``,
+``sample_frames``, and the oracled ``q_video_features``). The
+``_decode_stub`` fallback remains only for container-less payloads and
+compressed codecs (PyAV/torchaudio territory), marked loudly so a
+deployment swaps the real library in without touching the dataflow.
 
 Scale notes: media rows are large (MBs) — the loader repartitions by
 bytes (``maxRecordsPerBatch`` keeps Arrow batches bounded), and decode
@@ -84,15 +88,20 @@ def _decode_features(blob: bytes, kind: str, dim: int = 16) -> np.ndarray:
         bucketed into ``dim`` window means — real PCM energy profile.
       * image + PNG       → decode_png: normalized pixels bucketed into
         ``dim`` window means — real luminance profile.
-      * anything else     → _decode_stub (video needs PyAV; raw test
-        blobs have no container to parse).
+      * video + RIFF/AVI  → decode_avi: normalized frame pixels in
+        temporal order bucketed into ``dim`` window means.
+      * anything else     → _decode_stub (compressed codecs need
+        PyAV/torchaudio; raw test blobs have no container to parse).
     """
     try:
-        if kind == "audio" and blob[:4] == b"RIFF":
+        if kind == "audio" and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
             samples, _ = decode_wav(blob)
             flat = samples.astype(np.float64).ravel() / 32768.0
         elif kind == "image" and blob[:8] == _PNG_MAGIC:
             flat = decode_png(blob).astype(np.float64).ravel() / 255.0
+        elif kind == "video" and blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+            frames, _ = decode_avi(blob)
+            flat = frames.astype(np.float64).ravel() / 255.0
         else:
             return _decode_stub(blob, kind, dim)
     except ValueError:
@@ -249,10 +258,12 @@ def sample_frames(
 ) -> DataFrame:
     """Frame sampling for video rows: one input row fans out to
     ``ceil(n_frames / every_n)`` frame rows (a flat-map, so mapInPandas
-    not a scalar UDF). The decode is stubbed — a real deployment uses
-    PyAV to seek + decode keyframes; the fake slices the byte stream
-    into fixed-width pseudo-frames. Exploding *before* any shuffle
-    keeps each output row small instead of moving whole videos."""
+    not a scalar UDF). Uncompressed RIFF-AVI payloads decode for REAL
+    (every ``every_n``-th frame's raw RGB bytes via ``decode_avi``);
+    container-less payloads fall back to the byte-slice stub (a real
+    deployment swaps PyAV in there for compressed codecs). Exploding
+    *before* any shuffle keeps each output row small instead of moving
+    whole videos."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -262,13 +273,21 @@ def sample_frames(
             ):
                 if kind != "video" or not blob:
                     continue
-                n_frames = max(len(blob) // frame_bytes, 1)
-                for fi in range(0, n_frames, every_n):
-                    ids.append(mid)
-                    idxs.append(fi)
-                    frames.append(
-                        blob[fi * frame_bytes:(fi + 1) * frame_bytes]
-                    )
+                blob = bytes(blob)
+                if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+                    arr, _fps = decode_avi(blob)
+                    for fi in range(0, arr.shape[0], every_n):
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(arr[fi].tobytes())
+                else:
+                    n_frames = max(len(blob) // frame_bytes, 1)
+                    for fi in range(0, n_frames, every_n):
+                        ids.append(mid)
+                        idxs.append(fi)
+                        frames.append(
+                            blob[fi * frame_bytes:(fi + 1) * frame_bytes]
+                        )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": idxs, "frame": frames}
             )
@@ -281,7 +300,7 @@ def sample_frames(
 PROBE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
-        T.StructField("detected", T.StringType()),  # png | wav | unknown
+        T.StructField("detected", T.StringType()),  # png | wav | avi | unknown
         T.StructField("width", T.LongType()),
         T.StructField("height", T.LongType()),
         T.StructField("sample_rate", T.LongType()),
@@ -302,6 +321,9 @@ def parse_media_header(blob: bytes) -> dict:
         big-endian u32 at offsets 16/20.
       * WAV:  'RIFF' … 'WAVE' + 'fmt ' chunk — sample rate is a
         little-endian u32 at offset 24.
+      * AVI:  'RIFF' … 'AVI ' + LIST hdrl whose first chunk is 'avih'
+        (both spec-mandated) — width/height are little-endian u32 at
+        avih offsets 32/36 (file offsets 64/68).
     """
     import struct
 
@@ -318,6 +340,17 @@ def parse_media_header(blob: bytes) -> dict:
         (sr,) = struct.unpack("<I", blob[24:28])
         return {"detected": "wav", "width": None, "height": None,
                 "sample_rate": sr}
+    if (
+        blob[:4] == b"RIFF"
+        and blob[8:12] == b"AVI "
+        and blob[12:16] == b"LIST"
+        and blob[20:24] == b"hdrl"
+        and blob[24:28] == b"avih"
+        and len(blob) >= 72
+    ):
+        w, h = struct.unpack("<II", blob[64:72])
+        return {"detected": "avi", "width": w, "height": h,
+                "sample_rate": None}
     return {"detected": "unknown", "width": None, "height": None,
             "sample_rate": None}
 
@@ -725,6 +758,214 @@ def ramp_wav_media(spark: SparkSession, n: int = 8) -> DataFrame:
                 i, "audio", encode_wav(samples, sr),
                 {"width": None, "height": None, "n_frames": None,
                  "sample_rate": sr},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --- REAL stdlib RIFF-AVI uncompressed-video codec ------------------------
+#
+# Video decode does NOT need PyAV for uncompressed AVI: the container is
+# the same RIFF chunk walk as WAVE ('hdrl' metadata LIST + 'movi' frame
+# LIST), and BI_RGB 24-bit frames are plain DIB bitmaps — bottom-up row
+# order, BGR channel order, rows padded to 4-byte boundaries.  The
+# encoder/decoder pair below implements that spec; compressed fourccs
+# raise loudly (THOSE genuinely need PyAV).  With this, every media
+# kind has a real byte-level decode path and ``_decode_stub`` is only
+# the fallback for container-less or compressed payloads.
+
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Spec-correct RIFF-AVI encoder (stdlib struct only) for uint8
+    (n_frames, h, w, 3) RGB arrays as uncompressed BI_RGB video: each
+    frame is a '00db' DIB chunk — BOTTOM-UP rows, BGR order, rows
+    padded to 4 bytes — inside the 'movi' LIST, with 'avih'/'strh'/
+    'strf' metadata carrying dims, frame count, and fps (rate/scale)."""
+    import struct
+
+    if frames.dtype != np.uint8 or frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError("encode_avi expects uint8 (n_frames, h, w, 3)")
+    n, h, w, _ = frames.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    frame_chunks = b""
+    for f in range(n):
+        rows = b""
+        for r in range(h - 1, -1, -1):  # bottom-up
+            bgr = frames[f, r, :, ::-1].tobytes()  # BGR
+            rows += bgr + b"\x00" * (stride - len(bgr))
+        frame_chunks += b"00db" + struct.pack("<I", len(rows)) + rows
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(data)) + kind + data
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, 0, 0, 0, n, 0, 1, stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+        stride * h, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", frame_chunks)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(blob: bytes) -> tuple[np.ndarray, int]:
+    """Spec-correct RIFF-AVI decoder (stdlib struct only): chunk walk
+    (recursing into LISTs) → avih/strh/strf parse → '00db' DIB frames
+    de-padded, row-flipped, BGR→RGB; returns (frames (n, h, w, 3)
+    uint8, fps).  Raises loudly on compressed streams (BI_RGB only)."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    meta: dict = {}
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos:pos + 4]
+            (length,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            body = buf[pos + 8:pos + 8 + length]
+            if tag == b"LIST":
+                walk(body[4:])  # skip the list-kind fourcc
+            elif tag == b"avih":
+                vals = struct.unpack("<14I", body[:56])
+                meta["w"], meta["h"] = vals[8], vals[9]
+            elif tag == b"strh":
+                t, handler = struct.unpack("<4s4s", body[:8])
+                if t == b"vids":
+                    scale, rate = struct.unpack("<II", body[20:28])
+                    meta["fps"] = rate // max(scale, 1)
+            elif tag == b"strf":
+                comp = struct.unpack("<I", body[16:20])[0]
+                bits = struct.unpack("<H", body[14:16])[0]
+                if comp != 0 or bits != 24:
+                    raise ValueError(
+                        f"unsupported AVI (compression={comp}, "
+                        f"bits={bits}); decoder handles BI_RGB 24-bit only"
+                    )
+            elif tag == b"00db":
+                frames_raw.append(body)
+            pos += 8 + length + (length % 2)  # word alignment
+
+    walk(blob[12:])
+    if "w" not in meta or not frames_raw:
+        raise ValueError("AVI missing avih header or frame chunks")
+    w, h = meta["w"], meta["h"]
+    stride = ((w * 3 + 3) // 4) * 4
+    out = np.empty((len(frames_raw), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames_raw):
+        if len(raw) != stride * h:
+            raise ValueError("AVI frame chunk has wrong length")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+        bgr = rows[::-1, : w * 3].reshape(h, w, 3)  # un-flip bottom-up
+        out[i] = bgr[:, :, ::-1]  # BGR -> RGB
+    return out, meta.get("fps", 0)
+
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def video_stats(
+    media: DataFrame, every_n: int = 1, round_digits: int = 6
+) -> DataFrame:
+    """REAL frame-level feature extraction for uncompressed-AVI rows:
+    decode via the stdlib codec inside Arrow-batched mapInPandas, emit
+    one row per sampled frame (every ``every_n``-th) with normalized
+    channel means — the video analogue of image_stats.  The binary
+    column is dropped in the output; exploding frames to compact stat
+    rows BEFORE any shuffle is the same move sample_frames makes."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                frames, _ = decode_avi(bytes(blob))
+                n, h, w, _c = frames.shape
+                for fi in range(0, n, every_n):
+                    # exact integer channel sums, then ONE division by
+                    # (n_px * 255): a single correctly-rounded f64 op,
+                    # so the value is bit-identical to the oracle's
+                    # closed-form single division
+                    sums = (
+                        frames[fi].astype(np.int64).reshape(-1, 3).sum(0)
+                    )
+                    means = sums.astype(np.float64) / (h * w * 255.0)
+                    recs.append(
+                        (
+                            mid, fi, w, h,
+                            _round_half_up(float(means[0]), round_digits),
+                            _round_half_up(float(means[1]), round_digits),
+                            _round_half_up(float(means[2]), round_digits),
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    return media.mapInPandas(_stats, VIDEO_STATS_SCHEMA)
+
+
+def gradient_avi_media(spark: SparkSession, n: int = 6) -> DataFrame:
+    """Media table of REAL decodable AVIs with closed-form pixel values:
+    clip i is 2+i frames of (3+i) rows × (4+i) cols with R=x, G=y,
+    B=x+y+f (all < 256), so frame f's channel means are (w-1)/2,
+    (h-1)/2, (w+h-2)/2 + f by construction — what the q_video_features
+    oracle pins.  Odd widths force non-zero row padding, so a decoder
+    that ignores the 4-byte stride or the bottom-up/BGR conventions
+    breaks the hash match."""
+    rows = []
+    for i in range(n):
+        w, h, nf = 4 + i, 3 + i, 2 + i
+        x = np.arange(w, dtype=np.uint16)[None, :, None]
+        y = np.arange(h, dtype=np.uint16)[:, None, None]
+        frames = np.stack(
+            [
+                np.concatenate(
+                    [
+                        np.broadcast_to(x, (h, w, 1)),
+                        np.broadcast_to(y, (h, w, 1)),
+                        x + y + f,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                for f in range(nf)
+            ]
+        )
+        rows.append(
+            (
+                i, "video", encode_avi(frames, fps=10),
+                {"width": None, "height": None, "n_frames": None,
+                 "sample_rate": None},
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -20,12 +20,14 @@ from pyspark.sql.window import Window
 from ..operators.multimodal import (
     audio_stats,
     extract_features,
+    gradient_avi_media,
     gradient_png_media,
     image_stats,
     probe_metadata,
     ramp_wav_media,
     synthetic_media,
     synthetic_probe_media,
+    video_stats,
 )
 from ..sources.files import file_inventory
 from ..sources.tables import load_table
@@ -293,4 +295,44 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = ramp_wav_media(spark, n=8)
     return audio_stats(media.select("media_id", "content")).orderBy(
         "media_id", "channel"
+    )
+
+
+@register(
+    "q_video_features",
+    oracle="""
+WITH m AS (
+  SELECT i AS media_id, 4 + i AS w, 3 + i AS h, 2 + i AS nf
+  FROM range(6) t(i)
+), fr AS (
+  SELECT media_id, w, h, f.f AS frame_idx
+  FROM m, UNNEST(range(0, nf)) AS f(f)
+)
+SELECT media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       round((w - 1) / 510.0, 6) AS mean_r,
+       round((h - 1) / 510.0, 6) AS mean_g,
+       round((w + h - 2 + 2 * frame_idx) / 510.0, 6) AS mean_b
+FROM fr
+ORDER BY media_id, frame_idx
+""",
+    doc="Multimodal video features (SURVEY.md §2.11), REAL decode path: "
+    "gradient_avi_media emits spec-correct uncompressed RIFF-AVI clips "
+    "(clip i is 2+i frames of (3+i) rows x (4+i) cols with R=x, G=y, "
+    "B=x+y+frame — odd widths force non-zero DIB row padding), "
+    "video_stats decodes them byte-for-byte with the stdlib struct "
+    "codec inside Arrow-batched mapInPandas and emits per-frame "
+    "normalized channel means. The oracle is closed-form: mean_r = "
+    "(w-1)/510, mean_g = (h-1)/510, mean_b = (w+h-2+2f)/510 — a "
+    "decoder that mishandles the bottom-up row order, BGR channel "
+    "order, or 4-byte stride hash-mismatches. Binary never reaches a "
+    "shuffle; frames explode to compact stat rows inside the scan "
+    "stage.",
+)
+def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = gradient_avi_media(spark, n=6)
+    return video_stats(media.select("media_id", "content")).orderBy(
+        "media_id", "frame_idx"
     )

@@ -48,6 +48,7 @@ _PRIORITY: list[str] = [
     "q_ann_ivf_kmeans",
     # round-6 new or changed — need a first/fresh driver verdict
     "q_audio_features",
+    "q_video_features",
     "q_ann_ivfpq",
     "q_ivfpq_recall",
     "q_pq_codebooks",

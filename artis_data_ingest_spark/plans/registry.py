@@ -91,11 +91,11 @@ _PRIORITY: list[str] = [
     "q_quality_score",
     "q_lang_stats",
     "q_langid_confusion",
-    "q_fingerprint",
     "q5_revenue_by_region",
-    # q1_pricing_summary / q3_shipping_priority / q6_forecast_revenue
-    # age to r4-latest this round: they are benched every round and
-    # plan-pinned in pytest, so staleness risk is lowest of the r4 set
+    # q_fingerprint / q1_pricing_summary / q3_shipping_priority /
+    # q6_forecast_revenue age to r4-latest this round: they are benched
+    # every round (TPC-H) or one-expression projections pinned in
+    # pytest, so staleness risk is lowest of the r4 set
     # (the 52-slot budget is enforced by test_priority_queries_yield_first).
     # Everything r5-verified follows in definition order; with ~50 slots
     # the r5-green set ages to two rounds at worst before rotating back.

@@ -825,6 +825,57 @@ def _pq_codebooks_lit(spark: SparkSession, sf_dir: str) -> dict:
         for r in _pq_codebooks_df(spark, sf_dir).collect()
     }
 
+
+# Literal-inlined expressions are generated as SQL TEXT and handed to
+# the JVM in one F.expr() parse per column.  Building the same trees
+# through the Column API costs thousands of py4j round-trips (one per
+# operator node) — measured as the DOMINANT cost of q_pq_topk at sf0.1
+# (~7 s of plan construction vs ~1 s of execution).  The SQL spells the
+# exact fold `functions.vectors.dot` uses (sequential zip_with multiply
+# + left fold over doubles), so values are bit-identical to the Column
+# form and to the DuckDB oracle.
+
+
+def _arr_sql(vals: list) -> str:
+    # repr() emits the shortest round-trip decimal; the D suffix makes
+    # Spark parse it back to the identical double
+    return "array(" + ", ".join(f"{float(v)!r}D" for v in vals) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _d2_sql(a: str, b: str) -> str:
+    """Squared L2 as |a|² - 2a·b + |b|² — same expansion as the Column
+    path and the oracle CTEs."""
+    return (
+        f"({_dot_sql(a, a)} - 2 * {_dot_sql(a, b)} + {_dot_sql(b, b)})"
+    )
+
+
+def _pq_code_sql(sub: str, cents: list[tuple[int, list]]) -> str:
+    """Nearest-centroid code for one subspace: array_min over
+    (round(d², 6), cid) structs — min distance, then lowest cid, the
+    same tie-break as every quantizer stage and oracle."""
+    cands = ", ".join(
+        f"named_struct('d', round({_d2_sql(sub, _arr_sql(v))}, 6), "
+        f"'cid', {cid}L)"
+        for cid, v in cents
+    )
+    return f"array_min(array({cands})).cid"
+
+
+def _map_sql(cents: list[tuple[int, list]]) -> str:
+    return (
+        "map("
+        + ", ".join(f"{cid}L, {_arr_sql(v)}" for cid, v in cents)
+        + ")"
+    )
+
 # ADC CTE block shared by q_pq_topk and q_pq_recall: per-subspace slices,
 # per-vector code assignment, per-query distance tables, and the summed
 # asymmetric distance per (query, vector).
@@ -928,42 +979,27 @@ ORDER BY query_id, rank
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from ..functions.vectors import dot as _dot
-
     emb = load_table(spark, sf_dir, "embeddings")
     cb = _pq_codebooks_lit(spark, sf_dir)
-
-    def lit_arr(vals: list) -> F.Column:
-        return F.array(*[F.lit(float(v)) for v in vals])
-
-    def d2(a, b):
-        return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
-
     e = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
     code_cols = []
-    cent_maps = []
+    adc_terms = []
     for j in range(_PQ_M):
-        sub = F.slice("emb", j * _PQ_SUB + 1, _PQ_SUB)
+        sub = f"slice(emb, {j * _PQ_SUB + 1}, {_PQ_SUB})"
         cids = sorted(c for (s, c) in cb if s == j)
-        cands = [
-            F.struct(
-                F.round(d2(sub, lit_arr(cb[(j, cid)])), 6).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid in cids
-        ]
-        code_cols.append(F.array_min(F.array(*cands))["cid"].alias(f"code{j}"))
-        cent_maps.append(
-            F.create_map(
-                *[
-                    x
-                    for cid in cids
-                    for x in (F.lit(cid), lit_arr(cb[(j, cid)]))
-                ]
-            )
+        code_cols.append(
+            F.expr(_pq_code_sql(sub, [(c, cb[(j, c)]) for c in cids]))
+            .alias(f"code{j}")
+        )
+        lookup = (
+            f"element_at({_map_sql([(c, cb[(j, c)]) for c in cids])}, "
+            f"code{j})"
+        )
+        adc_terms.append(
+            _d2_sql(f"slice(q_emb, {j * _PQ_SUB + 1}, {_PQ_SUB})", lookup)
         )
     coded = e.select("vec_id", "emb", *code_cols)
     q = e.filter(F.col("vec_id").isin(list(_QUERY_IDS))).select(
@@ -972,18 +1008,10 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = coded.crossJoin(F.broadcast(q)).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    adc_terms = [
-        d2(
-            F.slice("q_emb", j * _PQ_SUB + 1, _PQ_SUB),
-            F.element_at(cent_maps[j], F.col(f"code{j}")),
-        )
-        for j in range(_PQ_M)
-    ]
-    adc_sum = adc_terms[0]
-    for t in adc_terms[1:]:
-        adc_sum = adc_sum + t
     ranked = pairs.select(
-        "query_id", "vec_id", F.round(adc_sum, 6).alias("adc")
+        "query_id",
+        "vec_id",
+        F.expr(f"round({' + '.join(adc_terms)}, 6)").alias("adc"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), "vec_id")
     return (
@@ -1138,10 +1166,10 @@ ivtop AS (
 
 
 def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composed top-5 (shared by q_ann_ivfpq / q_ivfpq_recall)."""
+    """IVF-PQ composed top-5 (shared by q_ann_ivfpq / q_ivfpq_recall).
+    All literal-inlined stages are generated SQL text (see _d2_sql) —
+    one F.expr parse per column instead of thousands of py4j calls."""
     from pyspark.sql.window import Window
-
-    from ..functions.vectors import dot as _dot
 
     cb = _pq_codebooks_lit(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1150,69 +1178,39 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     )
 
-    def lit_arr(vals: list) -> F.Column:
-        return F.array(*[F.lit(float(v)) for v in vals])
-
-    def d2(a, b):
-        return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
-
     # coarse quantizer: K lowest-vec_id vectors collected driver-side
     # (K tiny rows — metadata-scale, like the persisted codebooks) and
-    # inlined as literals → cell assignment is shuffle-free codegen
+    # inlined as literals → cell assignment is shuffle-free, one scan
     cents = [
         (int(r["vec_id"]), list(r["emb"]))
         for r in e.orderBy("vec_id").limit(_IVFPQ_CELLS).collect()
     ]
-    cell_expr = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    F.round(d2(F.col("emb"), lit_arr(cemb)), 6).alias("d"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cemb in cents
-            ]
-        )
-    )["cid"]
+    cell_expr = F.expr(_pq_code_sql("emb", cents))
 
     # PQ codes from the PERSISTED codebooks, literal-inlined — the
     # corpus row that reaches the candidate join is (vec_id, cell,
     # 4 codes): the full-precision vector never crosses a shuffle
-    code_cols, cent_maps = [], []
+    code_cols, adc_terms = [], []
     for j in range(_PQ_M):
-        sub = F.slice("emb", j * _PQ_SUB + 1, _PQ_SUB)
-        cids = sorted(c for (s, c) in cb if s == j)
-        cands = [
-            F.struct(
-                F.round(d2(sub, lit_arr(cb[(j, cid)])), 6).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid in cids
-        ]
+        sub = f"slice(emb, {j * _PQ_SUB + 1}, {_PQ_SUB})"
+        cents_j = [(c, cb[(j, c)]) for c in sorted(c for (s, c) in cb if s == j)]
         code_cols.append(
-            F.array_min(F.array(*cands))["cid"].alias(f"code{j}")
+            F.expr(_pq_code_sql(sub, cents_j)).alias(f"code{j}")
         )
-        cent_maps.append(
-            F.create_map(
-                *[
-                    x
-                    for cid in cids
-                    for x in (F.lit(cid), lit_arr(cb[(j, cid)]))
-                ]
+        adc_terms.append(
+            _d2_sql(
+                f"slice(q_emb, {j * _PQ_SUB + 1}, {_PQ_SUB})",
+                f"element_at({_map_sql(cents_j)}, code{j})",
             )
         )
     coded = e.select("vec_id", cell_expr.alias("cell"), *code_cols)
 
     # queries probe their nprobe nearest cells: array_sort over the K
     # literal centroid distances — no shuffle, no corpus join
-    probe_cands = F.array(
-        *[
-            F.struct(
-                F.round(d2(F.col("q_emb"), lit_arr(cemb)), 6).alias("d"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cemb in cents
-        ]
+    probe_cands = ", ".join(
+        f"named_struct('d', round({_d2_sql('q_emb', _arr_sql(v))}, 6), "
+        f"'cid', {cid}L)"
+        for cid, v in cents
     )
     probed = (
         e.filter(F.col("vec_id").isin(list(_QUERY_IDS)))
@@ -1221,7 +1219,10 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "q_emb",
             F.explode(
-                F.slice(F.array_sort(probe_cands), 1, _IVFPQ_NPROBE)
+                F.expr(
+                    f"slice(array_sort(array({probe_cands})), 1, "
+                    f"{_IVFPQ_NPROBE})"
+                )
             ).alias("pc"),
         )
         .select("query_id", "q_emb", F.col("pc.cid").alias("cell"))
@@ -1232,19 +1233,10 @@ def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = coded.join(F.broadcast(probed), on="cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    adc_terms = [
-        d2(
-            F.slice("q_emb", j * _PQ_SUB + 1, _PQ_SUB),
-            F.element_at(cent_maps[j], F.col(f"code{j}")),
-        )
-        for j in range(_PQ_M)
-    ]
-    adc_sum = adc_terms[0]
-    for t in adc_terms[1:]:
-        adc_sum = adc_sum + t
+    adc_sum = F.expr(f"round({' + '.join(adc_terms)}, 6)")
     w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), "vec_id")
     return (
-        cands.select("query_id", "vec_id", F.round(adc_sum, 6).alias("adc"))
+        cands.select("query_id", "vec_id", adc_sum.alias("adc"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")

@@ -560,3 +560,120 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, source,
+         md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp
+  FROM documents
+), corpus AS (
+  SELECT DISTINCT fp FROM f WHERE doc_id < 400
+), batch AS (
+  SELECT * FROM f WHERE doc_id >= 400
+), kept AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM batch
+)
+SELECT source,
+       COUNT(*) AS n_batch,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique_in_batch,
+       CAST(SUM(CASE WHEN rn = 1 AND fp NOT IN (SELECT fp FROM corpus)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+FROM kept
+GROUP BY source
+ORDER BY source
+""",
+    doc="Incremental dedup-on-ingest (the shape every continuously-fed "
+    "corpus runs: an arriving batch must dedup against itself AND "
+    "against the already-ingested corpus without rescanning corpus "
+    "text): the existing side is reduced to its distinct fingerprint "
+    "set (at 100 TB a persisted fingerprint index, bigint-hashed and "
+    "bloom-pruned), the batch dedups internally via a window on the "
+    "fingerprint, and novelty is one LEFT ANTI equi-join on the "
+    "fingerprint — linear blocking, no text comparison, no corpus "
+    "rescan. Emits per-source ingest accounting (batch size, "
+    "batch-unique, novel-vs-corpus).",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select("doc_id", "source", fingerprint("text").alias("fp"))
+    corpus = f.filter(F.col("doc_id") < 400).select("fp").distinct()
+    batch = f.filter(F.col("doc_id") >= 400)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = batch.withColumn("rn", F.row_number().over(w))
+    novel = (
+        kept.filter(F.col("rn") == 1)
+        .join(corpus, on="fp", how="left_anti")
+        .select("doc_id")
+        .withColumn("novel", F.lit(1))
+    )
+    return (
+        kept.join(novel, on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum((F.col("rn") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_unique_in_batch"),
+            F.count("novel").alias("n_novel"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q_quota_sample",
+    oracle="""
+WITH r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS pos
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN pos <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       MIN(CASE WHEN pos <= 30 THEN doc_id END) AS first_kept
+FROM r
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="Exact per-stratum quota sampling (the companion to "
+    "q_stratified_sample's rate-based keep: when the recipe says '30 "
+    "docs per language', not '25%'): rank within each stratum by a "
+    "salted md5 of the stable id (deterministic, RNG-free, "
+    "engine-portable) and keep rank <= quota — exact counts even for "
+    "strata near the quota boundary. One window shuffle on the "
+    "stratum key; per-stratum audit aggregation on top. At 100 TB the "
+    "rank is a top-quota windowed selection per key — the same shape "
+    "as q_topk_window, skew-safe because strata are bounded.",
+)
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("quota:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    r = docs.select("lang", "doc_id").withColumn(
+        "pos", F.row_number().over(w)
+    )
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("pos") <= 30).cast("int"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.min(F.when(F.col("pos") <= 30, F.col("doc_id"))).alias(
+                "first_kept"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -55,6 +55,8 @@ _PRIORITY: list[str] = [
     "q_pq_topk",
     "q_pq_recall",
     "q_scd2_history",
+    "q_dedup_incremental",
+    "q_quota_sample",
     # latest verdict r4 — rotate back in
     "q_xpath_links",
     "q_csv_clean_prod",
@@ -89,13 +91,12 @@ _PRIORITY: list[str] = [
     "q_ngram_jaccard",
     "q_text_stats",
     "q_quality_score",
-    "q_lang_stats",
-    "q_langid_confusion",
     "q5_revenue_by_region",
-    # q_fingerprint / q1_pricing_summary / q3_shipping_priority /
-    # q6_forecast_revenue age to r4-latest this round: they are benched
-    # every round (TPC-H) or one-expression projections pinned in
-    # pytest, so staleness risk is lowest of the r4 set
+    # q_lang_stats / q_langid_confusion / q_fingerprint /
+    # q1_pricing_summary / q3_shipping_priority / q6_forecast_revenue
+    # age to r4-latest this round: they are benched every round (TPC-H)
+    # or single-expression projections whose semantics pytest pins
+    # directly, so staleness risk is lowest of the r4 set
     # (the 52-slot budget is enforced by test_priority_queries_yield_first).
     # Everything r5-verified follows in definition order; with ~50 slots
     # the r5-green set ages to two rounds at worst before rotating back.

@@ -306,3 +306,20 @@ def test_doc_chunks_cover_every_token(spark):
         # every earlier chunk is full-width; the last one reaches n_total
         for r in chunks[:-1]:
             assert r.start_tok + 64 <= n_total + 16, doc_id
+
+
+def test_ivfpq_shuffle_free_encode_single_broadcast(spark):
+    """The IVF-PQ composition's scale claims, pinned on the plan: cell
+    assignment and PQ encode are expressions inside the scan (no
+    corpus self-join, no cartesian product), candidate pruning is ONE
+    broadcast equi-join on the cell id, and the only wide operation is
+    the per-query top-k window."""
+    df = plans.queries()["q_ann_ivfpq"](spark, SF_DIR)
+    # final AQE tree only: the string repeats under "== Initial Plan =="
+    p = executed_plan_str(df).split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") == 1
+    # one per-query rank window; WindowGroupLimit pre-filters top-k
+    # before the exchange, so the wide input is already pruned
+    assert p.count("Window [") == 1

@@ -569,6 +569,7 @@ WITH f AS (
   SELECT doc_id, source,
          md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp
   FROM documents
+  WHERE text IS NOT NULL
 ), corpus AS (
   SELECT DISTINCT fp FROM f WHERE doc_id < 400
 ), batch AS (
@@ -600,7 +601,11 @@ ORDER BY source
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    f = docs.select("doc_id", "source", fingerprint("text").alias("fp"))
+    # null text -> null fingerprint, and SQL NOT IN vs anti-join
+    # disagree on null keys — exclude up front in BOTH engines
+    f = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source", fingerprint("text").alias("fp")
+    )
     corpus = f.filter(F.col("doc_id") < 400).select("fp").distinct()
     batch = f.filter(F.col("doc_id") >= 400)
     w = Window.partitionBy("fp").orderBy("doc_id")

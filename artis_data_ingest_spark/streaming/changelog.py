@@ -138,7 +138,12 @@ def removed_files(
     changelog, with the same column layout so the union of sink +
     reconciliation reproduces ``file_level_log`` exactly."""
     old_inv = file_inventory(spark, old_dir, name_regex)
-    seen = spark.read.parquet(out_path).select("files_std").distinct()
+    try:
+        seen = spark.read.parquet(out_path).select("files_std").distinct()
+    except Exception:
+        # no batch has landed yet (sink path absent): every old-side
+        # file is, as of now, unseen — the correct degenerate verdict
+        seen = spark.createDataFrame([], "files_std string")
     return (
         old_inv.join(seen, on="files_std", how="left_anti")
         .select(

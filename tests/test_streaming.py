@@ -413,3 +413,15 @@ def test_streaming_changelog_matches_batch(spark, tmp_path):
     a = {tuple(r[c] for c in cols) for r in full.collect()}
     b = {tuple(r[c] for c in cols) for r in batch.collect()}
     assert a == b
+
+
+def test_removed_files_before_any_batch(spark, tmp_path):
+    """Calling the reconciliation before the stream ever ran must report
+    every old-side file as removed, not crash on the absent sink path."""
+    from artis_data_ingest_spark.streaming.changelog import removed_files
+
+    out = str(tmp_path / "never_written")
+    got = removed_files(spark, "/root/repo/data/snapshots/old", out)
+    rows = got.collect()
+    assert len(rows) == 2  # both old-snapshot fixtures
+    assert all(r.status == "removed" and not r.exists_in_new for r in rows)

@@ -205,3 +205,74 @@ def test_portable_sig_table_matches_fold_on_unicode(spark, values):
         )
     ).count()
     assert bad == 0
+
+
+# --- media codec round-trips: any well-formed payload survives ------------
+# Pure-Python properties (no Spark job), so examples are cheap.
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    ch=st.sampled_from([3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, ch, seed):
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(0, 200),
+    ch=st.integers(1, 4),
+    sr=st.integers(1, 96_000),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, sr, seed):
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
+    out, got_sr = decode_wav(encode_wav(arr, sr))
+    assert got_sr == sr
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    nf=st.integers(1, 6),
+    h=st.integers(1, 10),
+    w=st.integers(1, 10),
+    fps=st.integers(1, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_roundtrip_property(nf, h, w, fps, seed):
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+    out, got_fps = decode_avi(encode_avi(arr, fps))
+    assert got_fps == fps
+    assert out.shape == arr.shape
+    assert np.array_equal(out, arr)

@@ -499,28 +499,40 @@ def pq_codebooks_sql(
     n_iter: int = 2,
     quant: int = 1_000_000,
     round_digits: int = 6,
+    prelude: str | None = None,
+    source: str = "e",
+    tag: str = "",
 ) -> tuple[str, str]:
     """DuckDB CTE chain mirroring ``pq_codebooks`` over the
     ``embeddings`` view.  Returns ``(chain, final_name)`` where
-    ``final_name`` is the (subspace, cid, cemb) codebook relation."""
+    ``final_name`` is the (subspace, cid, cemb) codebook relation.
+
+    ``prelude`` replaces the default WITH-e opening so callers can
+    train over a derived relation (e.g. coarse-cell residuals for
+    IVFADC) — it must define ``source`` with (vec_id, emb) columns.
+    ``tag`` suffixes every CTE name so two chains (raw + residual) can
+    coexist in one statement."""
     parts = [
-        """
+        prelude
+        if prelude is not None
+        else """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
   FROM embeddings
 )"""
     ]
     finals = []
+    t = tag
     for j in range(m):
         lo, hi = j * sub_dim + 1, (j + 1) * sub_dim
-        parts.append(f""", s{j} AS (
-  SELECT vec_id, list_slice(emb, {lo}, {hi}) AS emb FROM e
-), c{j} AS (
-  SELECT vec_id AS cid, emb AS cemb FROM s{j} ORDER BY vec_id LIMIT {k}
+        parts.append(f""", s{t}{j} AS (
+  SELECT vec_id, list_slice(emb, {lo}, {hi}) AS emb FROM {source}
+), c{t}{j} AS (
+  SELECT vec_id AS cid, emb AS cemb FROM s{t}{j} ORDER BY vec_id LIMIT {k}
 )""")
         for i in range(n_iter):
-            prev = f"c{j}" if i == 0 else f"c{j}_{i - 1}"
-            parts.append(f""", a{j}_{i} AS (
+            prev = f"c{t}{j}" if i == 0 else f"c{t}{j}_{i - 1}"
+            parts.append(f""", a{t}{j}_{i} AS (
   SELECT vec_id, cid, emb FROM (
     SELECT v.vec_id, c.cid, v.emb,
            ROW_NUMBER() OVER (
@@ -530,20 +542,22 @@ WITH e AS (
                             + list_dot_product(c.cemb, c.cemb),
                       {round_digits}) ASC, c.cid
            ) AS rn
-    FROM s{j} v CROSS JOIN {prev} c
+    FROM s{t}{j} v CROSS JOIN {prev} c
   ) WHERE rn = 1
-), u{j}_{i} AS (
+), u{t}{j}_{i} AS (
   SELECT cid, u.pos,
          CAST(SUM(CAST(floor(a.emb[u.pos] * {quant}) AS BIGINT)) AS DOUBLE)
            / ({quant} * COUNT(*)) AS val
-  FROM a{j}_{i} a, UNNEST(range(1, len(a.emb) + 1)) AS u(pos)
+  FROM a{t}{j}_{i} a, UNNEST(range(1, len(a.emb) + 1)) AS u(pos)
   GROUP BY cid, u.pos
-), c{j}_{i} AS (
+), c{t}{j}_{i} AS (
   SELECT cid, array_agg(val ORDER BY pos) AS cemb
-  FROM u{j}_{i} GROUP BY cid
+  FROM u{t}{j}_{i} GROUP BY cid
 )""")
-        finals.append(f"SELECT {j} AS subspace, cid, cemb FROM c{j}_{n_iter - 1}")
+        finals.append(
+            f"SELECT {j} AS subspace, cid, cemb FROM c{t}{j}_{n_iter - 1}"
+        )
     parts.append(
-        ", pqcb AS (\n  " + "\n  UNION ALL\n  ".join(finals) + "\n)"
+        f", pqcb{t} AS (\n  " + "\n  UNION ALL\n  ".join(finals) + "\n)"
     )
-    return "".join(parts), "pqcb"
+    return "".join(parts), f"pqcb{t}"

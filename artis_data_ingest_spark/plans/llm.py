@@ -1344,3 +1344,352 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ — the full FAISS-style IVFADC: PQ over coarse-cell
+# residuals (x - centroid), query distance tables per probed cell.
+# ---------------------------------------------------------------------------
+
+# Shared prelude: coarse cells + the residual relation r(vec_id, cell,
+# emb = x - centroid).  Everything downstream (codebook training, codes,
+# ADC) runs over residuals — the quantizer spends its precision on the
+# within-cell remainder instead of re-encoding cell-scale structure.
+_IVFPQ_RES_PRELUDE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), ccent AS (
+  SELECT vec_id AS ccid, emb AS ccemb FROM e
+  ORDER BY vec_id LIMIT {_IVFPQ_CELLS}
+), vcell AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT v.vec_id, c.ccid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(v.emb, v.emb)
+                            - 2 * list_dot_product(v.emb, c.ccemb)
+                            + list_dot_product(c.ccemb, c.ccemb), 6) ASC,
+                      c.ccid
+           ) AS rn
+    FROM e v CROSS JOIN ccent c
+  ) WHERE rn = 1
+), r AS (
+  SELECT e.vec_id, vc.cell,
+         list_transform(range(1, len(e.emb) + 1),
+                        i -> e.emb[i] - cc.ccemb[i]) AS emb
+  FROM e
+  JOIN vcell vc USING (vec_id)
+  JOIN ccent cc ON cc.ccid = vc.cell
+)"""
+
+_PQR_CHAIN, _PQR_FINAL = pq_codebooks_sql(
+    m=_PQ_M, sub_dim=_PQ_SUB, prelude=_IVFPQ_RES_PRELUDE, source="r",
+    tag="r",
+)
+
+_IVFPQ_RES_ADC = f""",
+vsubr AS (
+  SELECT vec_id, s.j AS subspace,
+         list_slice(emb, s.j * {_PQ_SUB} + 1, (s.j + 1) * {_PQ_SUB}) AS sub
+  FROM r, (VALUES (0), (1), (2), (3)) AS s(j)
+),
+codesr AS (
+  SELECT vec_id, subspace, cid AS code FROM (
+    SELECT v.vec_id, v.subspace, b.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.subspace
+             ORDER BY round(list_dot_product(v.sub, v.sub)
+                            - 2 * list_dot_product(v.sub, b.cemb)
+                            + list_dot_product(b.cemb, b.cemb), 6) ASC,
+                      b.cid
+           ) AS rn
+    FROM vsubr v JOIN {_PQR_FINAL} b ON b.subspace = v.subspace
+  ) WHERE rn = 1
+),
+qprobe AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.ccid AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.emb, q.emb)
+                            - 2 * list_dot_product(q.emb, c.ccemb)
+                            + list_dot_product(c.ccemb, c.ccemb), 6) ASC,
+                      c.ccid
+           ) AS rn
+    FROM e q CROSS JOIN ccent c
+    WHERE q.vec_id IN {_QUERY_IDS}
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+),
+qres AS (
+  SELECT p.query_id, p.cell,
+         list_transform(range(1, len(q.emb) + 1),
+                        i -> q.emb[i] - cc.ccemb[i]) AS qr
+  FROM qprobe p
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN ccent cc ON cc.ccid = p.cell
+),
+qsubr AS (
+  SELECT query_id, cell, s.j AS subspace,
+         list_slice(qr, s.j * {_PQ_SUB} + 1, (s.j + 1) * {_PQ_SUB}) AS sub
+  FROM qres, (VALUES (0), (1), (2), (3)) AS s(j)
+),
+dtr AS (
+  SELECT qs.query_id, qs.cell, qs.subspace, b.cid,
+         list_dot_product(qs.sub, qs.sub)
+         - 2 * list_dot_product(qs.sub, b.cemb)
+         + list_dot_product(b.cemb, b.cemb) AS d
+  FROM qsubr qs JOIN {_PQR_FINAL} b ON b.subspace = qs.subspace
+),
+adcr AS (
+  SELECT dtr.query_id, c.vec_id,
+         round(MAX(CASE WHEN c.subspace = 0 THEN d END)
+             + MAX(CASE WHEN c.subspace = 1 THEN d END)
+             + MAX(CASE WHEN c.subspace = 2 THEN d END)
+             + MAX(CASE WHEN c.subspace = 3 THEN d END), 6) AS adc
+  FROM codesr c
+  JOIN vcell vc ON vc.vec_id = c.vec_id
+  JOIN dtr ON dtr.cell = vc.cell AND dtr.subspace = c.subspace
+          AND dtr.cid = c.code
+  GROUP BY dtr.query_id, c.vec_id
+)"""
+
+
+def _coarse_cents(spark: SparkSession, sf_dir: str) -> list:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    return [
+        (int(r["vec_id"]), list(r["emb"]))
+        for r in e.orderBy("vec_id").limit(_IVFPQ_CELLS).collect()
+    ]
+
+
+def _residual_corpus(
+    spark: SparkSession, sf_dir: str, cents: list
+) -> DataFrame:
+    """(vec_id, cell, embedding = x - centroid_of_cell): the IVFADC
+    training/encode substrate.  Cell assignment and the elementwise
+    subtract are literal-inlined codegen — one scan, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    e2 = e.select(
+        "vec_id", "emb", F.expr(_pq_code_sql("emb", cents)).alias("cell")
+    )
+    res = F.expr(
+        f"zip_with(emb, element_at({_map_sql(cents)}, cell), "
+        "(x, y) -> x - y)"
+    )
+    return e2.select("vec_id", "cell", res.alias("embedding"))
+
+
+def _pq_res_codebooks_lit(spark: SparkSession, sf_dir: str) -> dict:
+    """Persisted RESIDUAL codebooks (train-once, tag 'res'), as a
+    {(subspace, cid): [centroid]} dict for literal inlining."""
+    path = _pq_cache_path(sf_dir) + "-res"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        cents = _coarse_cents(spark, sf_dir)
+        cb = pq_codebooks(
+            _residual_corpus(spark, sf_dir, cents),
+            m=_PQ_M,
+            sub_dim=_PQ_SUB,
+        )
+        cb.write.mode("overwrite").parquet(path)
+    return {
+        (r["subspace"], r["cid"]): list(r["cemb"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+@register(
+    "q_ann_ivfpq_res",
+    oracle=f"""{_PQR_CHAIN}{_IVFPQ_RES_ADC}
+SELECT query_id, vec_id, adc, rank FROM (
+  SELECT query_id, vec_id, adc,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc ASC, vec_id
+         ) AS rank
+  FROM adcr WHERE vec_id <> query_id
+) WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+    doc="RESIDUAL IVF-PQ — the full FAISS IVFADC architecture: PQ "
+    "codebooks are trained on coarse-cell residuals (x - centroid), "
+    "so the 4 codes spend their precision on the within-cell "
+    "remainder instead of re-encoding cell-scale structure (the "
+    "refinement that makes IVFADC beat raw-subvector PQ at equal "
+    "bytes); queries build a distance table PER PROBED CELL from "
+    "their own residual against that cell's centroid. Training is "
+    "train-once/persisted (tag 'res'); encode and cell assignment "
+    "stay literal-inlined single-scan; candidate pruning is the same "
+    "broadcast cell equi-join as q_ann_ivfpq. The oracle re-derives "
+    "cells, residuals, codebooks, codes, and per-cell distance "
+    "tables in CTEs and reproduces the ranking bit-for-bit.",
+)
+def q_ann_ivfpq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cents = _coarse_cents(spark, sf_dir)
+    cb = _pq_res_codebooks_lit(spark, sf_dir)
+    r = _residual_corpus(spark, sf_dir, cents)
+
+    code_cols, adc_terms = [], []
+    for j in range(_PQ_M):
+        sub = f"slice(embedding, {j * _PQ_SUB + 1}, {_PQ_SUB})"
+        cents_j = [
+            (c, cb[(j, c)]) for c in sorted(c for (s, c) in cb if s == j)
+        ]
+        code_cols.append(
+            F.expr(_pq_code_sql(sub, cents_j)).alias(f"code{j}")
+        )
+        adc_terms.append(
+            _d2_sql(
+                f"slice(qr, {j * _PQ_SUB + 1}, {_PQ_SUB})",
+                f"element_at({_map_sql(cents_j)}, code{j})",
+            )
+        )
+    coded = r.select("vec_id", "cell", *code_cols)
+
+    # probe: nprobe nearest cells per query, then the query's residual
+    # AGAINST EACH PROBED CELL — both literal-inlined, no corpus join
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    probe_cands = ", ".join(
+        f"named_struct('d', round({_d2_sql('q_emb', _arr_sql(v))}, 6), "
+        f"'cid', {cid}L)"
+        for cid, v in cents
+    )
+    probed = (
+        e.filter(F.col("vec_id").isin(list(_QUERY_IDS)))
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+        .select(
+            "query_id",
+            "q_emb",
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(array({probe_cands})), 1, "
+                    f"{_IVFPQ_NPROBE})"
+                )
+            ).alias("pc"),
+        )
+        .select("query_id", "q_emb", F.col("pc.cid").alias("cell"))
+        .withColumn(
+            "qr",
+            F.expr(
+                f"zip_with(q_emb, element_at({_map_sql(cents)}, cell), "
+                "(x, y) -> x - y)"
+            ),
+        )
+        .select("query_id", "cell", "qr")
+    )
+
+    cands = coded.join(F.broadcast(probed), on="cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = F.expr(f"round({' + '.join(adc_terms)}, 6)")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), "vec_id")
+    return (
+        cands.select("query_id", "vec_id", adc.alias("adc"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "q_ivfpq_res_recall",
+    oracle=f"""{_PQR_CHAIN}{_IVFPQ_RES_ADC},
+ivtopr AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc ASC, vec_id
+           ) AS rank
+    FROM adcr WHERE vec_id <> query_id
+  ) WHERE rank <= 5
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, v.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(v.emb, v.emb)
+                            - 2 * list_dot_product(v.emb, q.emb)
+                            + list_dot_product(q.emb, q.emb), 6) ASC,
+                      v.vec_id
+           ) AS rank
+    FROM e v CROSS JOIN (
+      SELECT vec_id, emb FROM e WHERE vec_id IN {_QUERY_IDS}
+    ) q
+    WHERE v.vec_id <> q.vec_id
+  ) WHERE rank <= 5
+)
+SELECT e.query_id,
+       CAST(COUNT(p.vec_id) AS BIGINT) AS n_hits,
+       round(COUNT(p.vec_id) / 5.0, 6) AS recall_at_5
+FROM exact e LEFT JOIN ivtopr p USING (query_id, vec_id)
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+    doc="Residual-IVFPQ quality evaluation: recall@5 of the IVFADC "
+    "ranking against the exact full-precision squared-L2 top-5 — "
+    "the number that shows whether residual encoding recovers "
+    "accuracy lost by raw-subvector PQ at the same code budget "
+    "(compare against q_ivfpq_recall). Measured finding on the "
+    "synthetic fixtures: residuals do NOT beat raw subvectors here, "
+    "because the generated embeddings are isotropic — there is no "
+    "cell-scale structure for the coarse quantizer to remove, so "
+    "subtracting an arbitrary lowest-id centroid only inflates "
+    "residual variance. On real clustered embeddings (and with "
+    "k-means coarse centroids) the ordering reverses; having BOTH "
+    "evals is what lets a deployment see that on its own data. "
+    "Reproduced bit-for-bit by the oracle.",
+)
+def q_ivfpq_res_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    iv = (
+        q_ann_ivfpq_res(spark, sf_dir)
+        .select("query_id", "vec_id")
+        .withColumn("hit", F.lit(1))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    q = e.filter(F.col("vec_id").isin(list(_QUERY_IDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    d2 = F.round(
+        F.expr(_dot_sql("emb", "emb"))
+        - 2 * F.expr(_dot_sql("emb", "q_emb"))
+        + F.expr(_dot_sql("q_emb", "q_emb")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), "vec_id")
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id")
+    )
+    return (
+        exact.join(iv, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.round(F.count("hit") / F.lit(5.0), 6).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )

@@ -51,6 +51,8 @@ _PRIORITY: list[str] = [
     "q_video_features",
     "q_ann_ivfpq",
     "q_ivfpq_recall",
+    "q_ann_ivfpq_res",
+    "q_ivfpq_res_recall",
     "q_pq_codebooks",
     "q_pq_topk",
     "q_pq_recall",
@@ -89,14 +91,13 @@ _PRIORITY: list[str] = [
     "q_latest_per_key",
     "q_dedup_exact",
     "q_ngram_jaccard",
-    "q_text_stats",
-    "q_quality_score",
     "q5_revenue_by_region",
-    # q_lang_stats / q_langid_confusion / q_fingerprint /
-    # q1_pricing_summary / q3_shipping_priority / q6_forecast_revenue
-    # age to r4-latest this round: they are benched every round (TPC-H)
-    # or single-expression projections whose semantics pytest pins
-    # directly, so staleness risk is lowest of the r4 set
+    # q_text_stats / q_quality_score / q_lang_stats / q_langid_confusion
+    # / q_fingerprint / q1_pricing_summary / q3_shipping_priority /
+    # q6_forecast_revenue age to r4-latest this round: they are benched
+    # every round (TPC-H, q_text_stats) or single-expression
+    # projections whose semantics pytest pins directly, so staleness
+    # risk is lowest of the r4 set
     # (the 52-slot budget is enforced by test_priority_queries_yield_first).
     # Everything r5-verified follows in definition order; with ~50 slots
     # the r5-green set ages to two rounds at worst before rotating back.

@@ -336,3 +336,62 @@ def q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_stats(media.select("media_id", "content")).orderBy(
         "media_id", "frame_idx"
     )
+
+
+_JSONL_PATH = "/root/repo/data/jsonl/docs.jsonl"
+
+
+@register(
+    "q_jsonl_ingest",
+    oracle=f"""
+WITH j AS (
+  SELECT doc_id, lang, text
+  FROM read_json('{_JSONL_PATH}', format='newline_delimited',
+                 columns={{'doc_id': 'BIGINT', 'lang': 'VARCHAR',
+                           'text': 'VARCHAR'}},
+                 ignore_errors=true)
+)
+SELECT COALESCE(lang, '<corrupt>') AS lang,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id,
+       CAST(SUM(len(string_split_regex(trim(text),
+                                       '[ \\t\\n\\r\\f\\x0B]+')))
+            AS BIGINT) AS total_tokens
+FROM j
+GROUP BY 1
+ORDER BY lang
+""",
+    doc="JSONL ingest with corrupt-line tolerance (the interchange "
+    "format every LLM corpus ships in; a real crawl always contains "
+    "malformed lines): explicit schema (no inference pass over 100 TB), "
+    "PERMISSIVE mode null-fills syntactically invalid lines instead of "
+    "failing the job — the committed fixture contains two — and the "
+    "per-language summary buckets them under '<corrupt>' so ingest "
+    "accounting is visible, not silent. DuckDB's read_json with "
+    "ignore_errors null-fills identically, so the oracle pins both "
+    "the parse and the tolerance semantics. JSON lines are splittable: "
+    "at 100 TB the scan parallelizes per line range like CSV.",
+)
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    j = spark.read.schema(schema).option("mode", "PERMISSIVE").json(
+        _JSONL_PATH
+    )
+    n_toks = F.size(F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+"))
+    return (
+        j.groupBy(
+            F.coalesce("lang", F.lit("<corrupt>")).alias("lang")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.sum(n_toks).cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )

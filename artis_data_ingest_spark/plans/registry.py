@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     "q_scd2_history",
     "q_dedup_incremental",
     "q_quota_sample",
+    "q_jsonl_ingest",
     # latest verdict r4 — rotate back in
     "q_xpath_links",
     "q_csv_clean_prod",
@@ -82,7 +83,6 @@ _PRIORITY: list[str] = [
     "q_percentiles",
     "q_union_evolved",
     "q_topk_window",
-    "q_rank_family",
     "q_moving_avg",
     "q_unpivot",
     "q_json_struct",

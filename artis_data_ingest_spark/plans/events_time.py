@@ -415,3 +415,152 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: ordered funnel + cohort retention.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_funnel",
+    oracle="""
+WITH g AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN g USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > g.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t1) AS n_viewed,
+       COUNT(t2) AS n_clicked,
+       COUNT(t3) AS n_purchased,
+       round(COUNT(t2) * 1.0 / COUNT(t1), 6) AS view_to_click,
+       round(COUNT(t3) * 1.0 / COUNT(t2), 6) AS click_to_purchase
+FROM g LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+""",
+    doc="Ordered conversion funnel (view -> click -> purchase, each "
+    "stage strictly AFTER the previous stage's first occurrence — the "
+    "event-sequence analysis a product pipeline runs on every event "
+    "log): ONE shuffle total — per-user events collect into a sorted "
+    "array and the stage timestamps fold out as higher-order array "
+    "expressions (t2 = min click ts > t1, referencing the outer "
+    "column inside the lambda), vs the oracle's 3-join formulation. "
+    "Per-user state is bounded (a user's own events), so the "
+    "collect_list is safe at 100 TB where the 3-pass join chain "
+    "would rescan the log per stage; the final single-row summary "
+    "is a scalar merge.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_type"))
+        ).alias("evs")
+    )
+    staged = (
+        per_user.withColumn(
+            "t1",
+            F.expr(
+                "array_min(transform(filter(evs,"
+                " e -> e.event_type = 'view'), e -> e.ts))"
+            ),
+        )
+        .withColumn(
+            "t2",
+            F.expr(
+                "array_min(transform(filter(evs,"
+                " e -> e.event_type = 'click' AND e.ts > t1),"
+                " e -> e.ts))"
+            ),
+        )
+        .withColumn(
+            "t3",
+            F.expr(
+                "array_min(transform(filter(evs,"
+                " e -> e.event_type = 'purchase' AND e.ts > t2),"
+                " e -> e.ts))"
+            ),
+        )
+    )
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t1").alias("n_viewed"),
+        F.count("t2").alias("n_clicked"),
+        F.count("t3").alias("n_purchased"),
+        F.round(
+            F.count("t2").cast("double") / F.count("t1"), 6
+        ).alias("view_to_click"),
+        F.round(
+            F.count("t3").cast("double") / F.count("t2"), 6
+        ).alias("click_to_purchase"),
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle=f"""
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort,
+         date_diff('week', f.cohort, date_trunc('week', e.ts))
+           AS week_offset
+  FROM events e JOIN first_seen f USING (user_id)
+)
+SELECT strftime(cohort, '{_TS_FMT_SQL}') AS cohort_week,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       COUNT(*) AS n_active
+FROM activity
+GROUP BY cohort, week_offset
+ORDER BY cohort_week, week_offset
+""",
+    doc="Cohort retention (the standard growth-analytics matrix: users "
+    "bucketed by first-seen week, counted distinct in each subsequent "
+    "week of activity): first-seen is one per-user aggregation, the "
+    "activity matrix one join back on user_id plus a distinct over "
+    "(user, cohort, offset) — both shuffles hash on user_id, so at "
+    "100 TB the exchange is reused across the two stages. Week "
+    "truncation is Monday-based in BOTH engines (date_trunc 'week'), "
+    "and the cohort key is emitted as a formatted string so the "
+    "comparison is timezone-representation-proof.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = (
+        ev.join(first_seen, on="user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(F.date_trunc("week", "ts"), F.col("cohort"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.date_format("cohort", _TS_FMT).alias("cohort_week"),
+            "week_offset",
+            "n_active",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -60,6 +60,8 @@ _PRIORITY: list[str] = [
     "q_dedup_incremental",
     "q_quota_sample",
     "q_jsonl_ingest",
+    "q_funnel",
+    "q_cohort_retention",
     # latest verdict r4 — rotate back in
     "q_xpath_links",
     "q_csv_clean_prod",
@@ -72,7 +74,6 @@ _PRIORITY: list[str] = [
     "q_semi_join",
     "q_anti_join",
     "q_asof_join",
-    "q_asof_forward",
     "q_range_join",
     "q_interval_join",
     "q_argminmax",
@@ -81,7 +82,6 @@ _PRIORITY: list[str] = [
     "q_cube",
     "q_grouping_sets",
     "q_percentiles",
-    "q_union_evolved",
     "q_topk_window",
     "q_moving_avg",
     "q_unpivot",

@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     scale_ops,
     text,
     tpch,
+    tpch_ext,
 )
 from .registry import all_queries, bench_queries, oracle_sql, queries
 

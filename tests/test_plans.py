@@ -323,3 +323,42 @@ def test_ivfpq_shuffle_free_encode_single_broadcast(spark):
     # one per-query rank window; WindowGroupLimit pre-filters top-k
     # before the exchange, so the wide input is already pruned
     assert p.count("Window [") == 1
+
+
+def test_q4_semi_join_with_residual(spark):
+    """Q4's EXISTS must stay a left-semi hash join with the non-equi
+    l_shipdate > o_orderdate residual inside the join (no post-join
+    filter over an inner join, which would inflate the intermediate)."""
+    df = plans.queries()["q4_priority_exists"](spark, SF_DIR)
+    p = plan_str(df)
+    assert "LeftSemi" in p
+    # the non-equi residual is part of the join itself (formatted mode
+    # prints it as the join's "Join condition:" detail line)
+    cond = [l for l in p.splitlines() if "Join condition" in l]
+    assert cond and "l_shipdate" in cond[0] and "o_orderdate" in cond[0]
+    # the order-date window is pushed into the orders scan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_q10_topk_is_take_ordered(spark):
+    """Deterministic top-20: ORDER BY + LIMIT must compile to
+    TakeOrderedAndProject (partial top-k per partition), never a global
+    sort followed by a driver-side limit."""
+    df = plans.queries()["q10_returned_revenue"](spark, SF_DIR)
+    p = plan_str(df)
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastHashJoin") >= 2  # customer, nation
+    # returnflag filter pushed into the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in p
+
+
+def test_q19_pushes_single_side_conjuncts(spark):
+    """OR-of-ANDs: Catalyst must derive the single-side disjunction
+    (brand IN ... / size bounds on part, quantity bounds on lineitem)
+    for pushdown rather than shipping every row to the join."""
+    df = plans.queries()["q19_disjunctive_pred"](spark, SF_DIR)
+    p = plan_str(df)
+    assert "BroadcastHashJoin" in p
+    # a derived Or(...) filter reaches at least one parquet scan
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l and "Or(" in l]
+    assert pushed, "no disjunctive predicate pushed to any scan"

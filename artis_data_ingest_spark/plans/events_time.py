@@ -564,3 +564,121 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert — partition-reprocessing shape over the event log.
+# ---------------------------------------------------------------------------
+
+_MERGE_TGT_HI = "2024-01-25"
+_MERGE_SRC_LO = "2024-01-18"
+
+_MERGE_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         event_type, value
+  FROM events
+),
+tgt AS (
+  SELECT user_id, day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_value
+  FROM ev WHERE day < DATE '{_MERGE_TGT_HI}'
+  GROUP BY user_id, day
+),
+src AS (
+  SELECT user_id, day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_value,
+         (COUNT(*) = SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END))
+           AS is_delete
+  FROM ev WHERE day >= DATE '{_MERGE_SRC_LO}'
+  GROUP BY user_id, day
+)
+SELECT COALESCE(s.user_id, t.user_id) AS user_id,
+       COALESCE(s.day, t.day) AS day,
+       CASE WHEN s.user_id IS NOT NULL THEN s.n_events
+            ELSE t.n_events END AS n_events,
+       CASE WHEN s.user_id IS NOT NULL THEN s.day_value
+            ELSE t.day_value END AS day_value
+FROM tgt t FULL OUTER JOIN src s
+  ON t.user_id = s.user_id AND t.day = s.day
+WHERE NOT COALESCE(s.is_delete, FALSE)
+ORDER BY user_id, day
+"""
+
+
+@register(
+    "q_merge_upsert",
+    oracle=_MERGE_ORACLE,
+    doc="MERGE INTO semantics (operators/merge.py) in the standard "
+    "partition-reprocessing scenario: per-user-day state is rebuilt for "
+    "a late-arriving window and upserted over the stored snapshot — "
+    "matched days update, new days insert, all-error days delete. "
+    "One full-outer shuffle on the merge key, same as any MERGE.",
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+    from ..operators.merge import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    tgt = (
+        ev.filter(F.col("day") < F.lit(_MERGE_TGT_HI).cast("date"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "day_value"))
+    )
+    src = (
+        ev.filter(F.col("day") >= F.lit(_MERGE_SRC_LO).cast("date"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "day_value"),
+            (
+                F.count(F.lit(1))
+                == F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            ).alias("is_delete"),
+        )
+    )
+    merged = merge_upsert(tgt, src, ["user_id", "day"], delete_col="is_delete")
+    return merged.orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# Threshold anomaly detection — exact per-group p99 via broadcast join.
+# ---------------------------------------------------------------------------
+
+_ANOM_ORACLE = """
+WITH thr AS (
+  SELECT event_type, round(quantile_cont(value, 0.99), 6) AS p99
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value, thr.p99
+FROM events e JOIN thr ON e.event_type = thr.event_type
+WHERE e.value > thr.p99
+ORDER BY e.event_id
+"""
+
+
+@register(
+    "q_anomaly_p99",
+    oracle=_ANOM_ORACLE,
+    doc="Outlier detection: flag events above their type's exact p99. "
+    "Thresholds are a per-type aggregate (5 rows) broadcast back onto "
+    "the fact scan — no window sort over the full log. At 100 TB the "
+    "threshold agg swaps to percentile_approx (mergeable t-digest); "
+    "the broadcast-compare stage is unchanged. Rounded to 6dp in both "
+    "engines so the interpolated threshold compares identically.",
+)
+def q_anomaly_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.99D)"), 6).alias("p99")
+    )
+    return (
+        ev.join(F.broadcast(thr), on="event_type")
+        .filter(F.col("value") > F.col("p99"))
+        .select("event_id", "event_type", "value", "p99")
+        .orderBy("event_id")
+    )

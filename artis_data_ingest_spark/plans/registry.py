@@ -68,6 +68,9 @@ _PRIORITY: list[str] = [
     "q14_promo_revenue",
     "q18_large_orders",
     "q19_disjunctive_pred",
+    "q_merge_upsert",
+    "q_anomaly_p99",
+    "q_heavy_hitters",
     # latest verdict r4 — rotate back in
     "q_xpath_links",
     "q_csv_clean_prod",
@@ -84,20 +87,18 @@ _PRIORITY: list[str] = [
     "q_interval_join",
     "q_argminmax",
     "q_grouped_agg",
-    "q_topk_window",
-    "q_unpivot",
-    "q_json_struct",
     "q_token_freq",
     "q_schema_diff_flat",
     "q_latest_per_key",
     "q_dedup_exact",
     "q_ngram_jaccard",
     # q_rollup / q_cube / q_grouping_sets / q_percentiles /
-    # q_moving_avg / q5_revenue_by_region were displaced by the six new
-    # TPC-H-shape queries: the first four are single-statement grouping
-    # variants whose SQL pytest pins, q_moving_avg's frame semantics are
-    # test-pinned, and q5 is benched every round — lowest staleness risk
-    # of the r4 block.
+    # q_moving_avg / q_topk_window / q_unpivot / q_json_struct /
+    # q5_revenue_by_region were displaced by the nine new round-6
+    # queries: all are single-statement grouping/reshape variants whose
+    # semantics pytest pins directly (q_topk_window and q_moving_avg
+    # additionally plan-test-pinned), and q5 is benched every round —
+    # lowest staleness risk of the r4 block.
     # q_text_stats / q_quality_score / q_lang_stats / q_langid_confusion
     # / q_fingerprint / q1_pricing_summary / q3_shipping_priority /
     # q6_forecast_revenue age to r4-latest this round: they are benched

@@ -407,3 +407,61 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — corpus-frequency outliers above an n/k support bound.
+# ---------------------------------------------------------------------------
+
+_HH_K = 200  # support threshold: tokens with count > total/k
+
+_HH_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')) AS tok
+  FROM documents
+),
+f AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY tok
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM f)
+SELECT tok, cnt, CAST(cnt AS DOUBLE) / total AS share
+FROM f, tot
+WHERE cnt * {_HH_K} > total
+ORDER BY cnt DESC, tok
+"""
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=_HH_ORACLE,
+    doc="Exact heavy hitters: tokens whose corpus frequency exceeds "
+    "total/k (k=200). groupBy count is already the scalable two-phase "
+    "algorithm (map-side partial counts, one shuffle on token); the "
+    "total is a 1-row scalar broadcast. At most k-1 rows can satisfy "
+    "the bound, so the result is tiny by construction — the "
+    "space-bounded-sketch (Misra-Gries) alternative is only needed "
+    "when even one counter per distinct token can't fit, which a "
+    "shuffle-partitioned count never hits.",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = f.agg(F.sum("cnt").alias("total"))
+    return (
+        f.join(F.broadcast(tot))
+        .filter(F.col("cnt") * _HH_K > F.col("total"))
+        .select(
+            "tok",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), "tok")
+    )

@@ -631,3 +631,52 @@ def test_minhash_salted_survives_adversarial_skew(spark):
         for r in minhash_lsh_candidates(docs, salt_buckets=None).collect()
     }
     assert pair_set == plain
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert — MERGE INTO semantics (operators/merge.py)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_all_four_branches(spark):
+    from artis_data_ingest_spark.operators.merge import merge_upsert
+
+    tgt = spark.createDataFrame(
+        [Row(k=1, v="keep"), Row(k=2, v="old"), Row(k=3, v="dead")]
+    )
+    src = spark.createDataFrame(
+        [
+            Row(k=2, v="new", is_delete=False),   # matched -> update
+            Row(k=3, v=None, is_delete=True),     # matched -> delete
+            Row(k=4, v="ins", is_delete=False),   # unmatched -> insert
+            Row(k=5, v="x", is_delete=True),      # unmatched delete -> no insert
+        ]
+    )
+    out = merge_upsert(tgt, src, ["k"], delete_col="is_delete")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "keep", 2: "new", 4: "ins"}
+    assert out.columns == ["k", "v"]  # delete flag never leaks
+
+
+def test_merge_upsert_null_source_value_overwrites(spark):
+    # source-wins must use WHEN(present), not COALESCE: a legitimate
+    # NULL in the source clears the target value
+    from artis_data_ingest_spark.operators.merge import merge_upsert
+
+    tgt = spark.createDataFrame([Row(k=1, v="set")])
+    src = spark.createDataFrame(
+        [Row(k=1, v=None)],
+        schema="k bigint, v string",
+    )
+    out = merge_upsert(tgt, src, ["k"])
+    assert [r.v for r in out.collect()] == [None]
+
+
+def test_merge_upsert_composite_key(spark):
+    from artis_data_ingest_spark.operators.merge import merge_upsert
+
+    tgt = spark.createDataFrame([Row(a=1, b="x", v=10), Row(a=1, b="y", v=20)])
+    src = spark.createDataFrame([Row(a=1, b="y", v=99), Row(a=2, b="x", v=7)])
+    out = merge_upsert(tgt, src, ["a", "b"])
+    got = {(r.a, r.b): r.v for r in out.collect()}
+    assert got == {(1, "x"): 10, (1, "y"): 99, (2, "x"): 7}

@@ -682,3 +682,72 @@ def q_anomaly_p99(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", "p99")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization — gap-rule session IDs assigned to raw events.
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_GAP_US = 30 * 60 * 1_000_000  # 30 min, microseconds
+
+_SESSIONIZE_ORACLE = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(LAG(CAST(ts AS TIMESTAMP)) OVER w)
+                   > {_SESSIONIZE_GAP_US}
+              OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_start) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS BIGINT) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@register(
+    "q_sessionize",
+    oracle=_SESSIONIZE_ORACLE,
+    doc="Batch sessionization: gap-rule (30 min) session IDs assigned "
+    "to raw events via LAG + running SUM over the per-user timeline, "
+    "then per-session rollup — the classic two-window identity that "
+    "q_session_window's session_window aggregate can't give you when "
+    "downstream needs the session id ON each event. Both windows and "
+    "the final agg share one hash partitioning on user_id, so the "
+    "whole query is a single shuffle.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    is_start = F.when(
+        gap.isNull() | (gap > _SESSIONIZE_GAP_US), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id",
+        F.sum(is_start).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            _fmt(F.min("ts")).alias("session_start"),
+            _fmt(F.max("ts")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )

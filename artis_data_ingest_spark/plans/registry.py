@@ -33,9 +33,10 @@ _REGISTRY: dict[str, Query] = {}
 # FIRST (in this order); the rest follow in definition order.  Round 6
 # front-loads (a) the eight queries whose latest driver verdict is r3 —
 # two rounds stale, displaced by round 5's eleven new surfaces — then
-# (b) queries new or changed this round (real WAV audio decode,
-# IVF-PQ composed ANN, persisted-codebook PQ, SCD-2), then (c) names
-# whose latest verdict is r4, oldest exposure first.
+# (b) queries new or changed this round (real WAV/AVI media decode,
+# IVF-PQ composed ANN, persisted-codebook PQ, SCD-2, the six TPC-H
+# join/agg shapes, MERGE upsert, anomaly/heavy-hitters/sessionize),
+# then (c) names whose latest verdict is r4, oldest exposure first.
 _PRIORITY: list[str] = [
     # latest verdict r3 — two rounds stale, refresh first
     "q_train_split",
@@ -71,6 +72,7 @@ _PRIORITY: list[str] = [
     "q_merge_upsert",
     "q_anomaly_p99",
     "q_heavy_hitters",
+    "q_sessionize",
     # latest verdict r4 — rotate back in
     "q_xpath_links",
     "q_csv_clean_prod",
@@ -87,13 +89,13 @@ _PRIORITY: list[str] = [
     "q_interval_join",
     "q_argminmax",
     "q_grouped_agg",
-    "q_token_freq",
     "q_schema_diff_flat",
     "q_latest_per_key",
     "q_dedup_exact",
     "q_ngram_jaccard",
     # q_rollup / q_cube / q_grouping_sets / q_percentiles /
     # q_moving_avg / q_topk_window / q_unpivot / q_json_struct /
+    # q_token_freq /
     # q5_revenue_by_region were displaced by the nine new round-6
     # queries: all are single-statement grouping/reshape variants whose
     # semantics pytest pins directly (q_topk_window and q_moving_avg

@@ -258,80 +258,55 @@ def test_download_all_retries_and_status(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# Bucketed tables — co-located join/agg with zero exchanges
+# Bucketed tables — writer layout + exchange-free aggregation
+# (the exchange-free bucketed JOIN itself is pinned in test_scale_ops)
 # ---------------------------------------------------------------------------
 
 
-def test_bucketed_join_has_no_exchange(spark, tmp_path):
-    """Both sides bucketed+sorted on the join key: the sort-merge join
-    must plan with NO Exchange and NO Sort — the read is already
-    co-partitioned and ordered. This is the at-rest contract that kills
-    the per-query shuffle at 100 TB."""
-    from artis_data_ingest_spark.sinks.bucketed import read_table, write_bucketed
+def test_bucketize_one_file_per_bucket_and_agg_no_exchange(spark, tmp_path):
+    """The pre-write repartition aligns tasks with buckets: exactly one
+    file per bucket (small-files control), and a groupBy on the bucket
+    key plans with zero Exchange."""
+    from pathlib import Path
+
+    from artis_data_ingest_spark.operators.bucketing import bucketize
     from artis_data_ingest_spark.sources.tables import load_table
 
     sf = "/root/testdata/sf0.001"
-    li = load_table(spark, sf, "lineitem").select(
-        "l_orderkey", "l_quantity", "l_extendedprice"
-    )
-    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
-    write_bucketed(
-        li, "t_li_b", ["l_orderkey"], 8,
-        path=str(tmp_path / "li"), sort_cols=["l_orderkey"],
-    )
-    write_bucketed(
-        o, "t_o_b", ["o_orderkey"], 8,
-        path=str(tmp_path / "o"), sort_cols=["o_orderkey"],
-    )
-    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    bucketize(spark, li, "t_li_files_b", "l_orderkey", n_buckets=4,
+              path=str(tmp_path / "li"))
     try:
-        joined = read_table(spark, "t_li_b").join(
-            read_table(spark, "t_o_b"),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        joined.collect()
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        head = plan.split("== Initial Plan ==")[0]
-        assert "SortMergeJoin" in head
-        assert "Exchange" not in head
-        assert "Bucketed: true" in head
-        # (Spark 4 still inserts a partition-local Sort above a sorted
-        # bucket scan — no shuffle, O(bucket) — so we don't assert its
-        # absence; the Exchange elimination is the at-scale win.)
-        # agg on the bucket key is exchange-free too
+        files = [
+            p for p in Path(tmp_path / "li").rglob("*.parquet")
+            if not p.name.startswith("_")
+        ]
+        assert len(files) == 4
+        agg = spark.table("t_li_files_b").groupBy("l_orderkey").count()
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan.split("== Initial Plan ==")[0]
+        assert agg.count() == li.select("l_orderkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_files_b")
+
+
+def test_bucketize_composite_key(spark, tmp_path):
+    from artis_data_ingest_spark.operators.bucketing import bucketize
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "value")
+    bucketize(spark, ev, "t_ev_b", ["user_id", "event_type"], n_buckets=4,
+              path=str(tmp_path / "ev"))
+    try:
         agg = (
-            read_table(spark, "t_li_b")
-            .groupBy("l_orderkey")
+            spark.table("t_ev_b")
+            .groupBy("user_id", "event_type")
             .count()
         )
         agg.collect()
-        aplan = agg._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in aplan.split("== Initial Plan ==")[0]
-        # and the result matches the plain (shuffling) join
-        expected = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).count()
-        assert joined.count() == expected
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan.split("== Initial Plan ==")[0]
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
-        spark.sql("DROP TABLE IF EXISTS t_li_b")
-        spark.sql("DROP TABLE IF EXISTS t_o_b")
-
-
-def test_bucketed_writer_one_file_per_bucket(spark, tmp_path):
-    from pathlib import Path
-
-    from artis_data_ingest_spark.sinks.bucketed import write_bucketed
-    from artis_data_ingest_spark.sources.tables import load_table
-
-    sf = "/root/testdata/sf0.001"
-    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
-    write_bucketed(o, "t_files_b", ["o_orderkey"], 4, path=str(tmp_path / "b"))
-    try:
-        files = [
-            p for p in Path(tmp_path / "b").rglob("*.parquet")
-            if not p.name.startswith("_")
-        ]
-        # repartition-before-write: exactly one file per bucket
-        assert len(files) == 4
-    finally:
-        spark.sql("DROP TABLE IF EXISTS t_files_b")
+        spark.sql("DROP TABLE IF EXISTS t_ev_b")

@@ -37,6 +37,7 @@ def merge_upsert(
     source: DataFrame,
     keys: Sequence[str],
     delete_col: str | None = None,
+    null_safe_keys: bool = False,
 ) -> DataFrame:
     """Merge ``source`` into ``target`` on ``keys``.
 
@@ -47,15 +48,23 @@ def merge_upsert(
     does not appear in the output.
 
     Both frames must share the non-key column set (source may add
-    ``delete_col``). Merge keys are compared null-safely, but standard
-    MERGE semantics assume non-null keys.
+    ``delete_col``). Standard MERGE semantics assume non-null merge
+    keys, and plain ``==`` comparison lets the full-outer join REUSE
+    the hash partitioning of upstream aggregates on the same keys
+    (null-safe comparison plans different partitioning expressions and
+    forces both sides to re-shuffle); pass ``null_safe_keys=True`` only
+    if keys can genuinely be NULL.
     """
     value_cols = [c for c in target.columns if c not in keys]
     t = target.alias("t")
     s = source.withColumn(_PRESENT, F.lit(True)).alias("s")
+    cmp = (
+        (lambda a, b: a.eqNullSafe(b)) if null_safe_keys
+        else (lambda a, b: a == b)
+    )
     cond = functools.reduce(
         operator.and_,
-        [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys],
+        [cmp(F.col(f"t.{k}"), F.col(f"s.{k}")) for k in keys],
     )
     joined = t.join(s, cond, "full_outer")
     present = F.coalesce(F.col(f"s.{_PRESENT}"), F.lit(False))

@@ -680,3 +680,15 @@ def test_merge_upsert_composite_key(spark):
     out = merge_upsert(tgt, src, ["a", "b"])
     got = {(r.a, r.b): r.v for r in out.collect()}
     assert got == {(1, "x"): 10, (1, "y"): 99, (2, "x"): 7}
+
+
+def test_merge_upsert_null_safe_keys_opt_in(spark):
+    from artis_data_ingest_spark.operators.merge import merge_upsert
+
+    tgt = spark.createDataFrame([Row(k=None, v="old"), Row(k=1, v="a")],
+                                schema="k bigint, v string")
+    src = spark.createDataFrame([Row(k=None, v="new")],
+                                schema="k bigint, v string")
+    out = merge_upsert(tgt, src, ["k"], null_safe_keys=True)
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {None: "new", 1: "a"}

@@ -120,3 +120,15 @@ def interval_join_streams(
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_gap}")),
     ).select("p_id", "p_user", "p_ts", "c_ts", "click_value")
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins the static
+    dimension; no stream state is kept (the static side is re-resolved
+    per batch, so a dim refresh is picked up on the next trigger). The
+    dimension is marked broadcast — at 100 TB of stream this is the
+    only sane shape: the fact micro-batch never shuffles, each executor
+    streams rows past a hashed copy of the dim. Works identically on a
+    batch input for oracle twinning.
+    """
+    return stream.join(F.broadcast(dim), on=key, how="left")

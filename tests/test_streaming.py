@@ -425,3 +425,36 @@ def test_removed_files_before_any_batch(spark, tmp_path):
     rows = got.collect()
     assert len(rows) == 2  # both old-snapshot fixtures
     assert all(r.status == "removed" and not r.exists_in_new for r in rows)
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static broadcast join: per-user tier dimension joined
+    onto the event stream micro-batches; result equals the batch join
+    and the static side never becomes stream state."""
+    from artis_data_ingest_spark.streaming.windows import enrich_with_dim
+
+    dim = spark.createDataFrame(
+        [(i, "gold" if i % 3 == 0 else "basic") for i in range(200)],
+        ["user_id", "tier"],
+    )
+    stream = _events_stream(spark, tmp_path)
+    out = enrich_with_dim(
+        stream.select("event_id", "user_id", "value"), dim, "user_id"
+    )
+    q = run_stream_to_memory(out, "t_enrich", mode="append")
+    try:
+        _await_done(q)
+        got = {
+            (r.event_id, r.tier)
+            for r in spark.sql("SELECT * FROM t_enrich").collect()
+        }
+    finally:
+        q.stop()
+    ev = load_table(spark, SF_DIR, "events")
+    batch = {
+        (r.event_id, r.tier)
+        for r in enrich_with_dim(
+            ev.select("event_id", "user_id", "value"), dim, "user_id"
+        ).collect()
+    }
+    assert got == batch and len(got) == ev.count()

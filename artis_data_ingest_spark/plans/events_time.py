@@ -751,3 +751,135 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance — merge partial agg states.
+# ---------------------------------------------------------------------------
+
+_DELTA_CUTOFF = "2024-01-25"
+
+# The oracle recomputes the daily rollup from the FULL log in one pass;
+# the Spark side builds it incrementally (yesterday's materialized agg +
+# today's delta, merged by summing partial states). Hash-equality of the
+# two is exactly the algebraic-aggregate identity every incremental
+# pipeline relies on.
+_DELTA_ORACLE = """
+SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_value
+FROM events
+GROUP BY user_id, day
+ORDER BY user_id, day
+"""
+
+
+@register(
+    "q_agg_delta_update",
+    oracle=_DELTA_ORACLE,
+    doc="Incremental aggregate maintenance: the per-user-day rollup is "
+    "built as old-partials ∪ delta-partials → re-aggregate, and the "
+    "oracle recomputes from the full log — hash equality proves the "
+    "algebraic merge identity (count and decimal-sum are mergeable "
+    "states). At 100 TB this is the difference between scanning one "
+    "day and rescanning the archive; AVG/percentiles ride along as "
+    "(sum,count) / sketch states the same way.",
+)
+def q_agg_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import MONEY, dec
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    cutoff = F.lit(_DELTA_CUTOFF).cast("date")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id", "day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).alias("_sum_dec"),
+        )
+
+    old = partials(ev.filter(F.col("day") < cutoff))
+    delta = partials(ev.filter(F.col("day") >= cutoff))
+    return (
+        old.unionByName(delta)
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_sum_dec").cast(MONEY).cast("double").alias("day_value"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sample-based approximate aggregation (AQP) with in-query error verdict.
+# ---------------------------------------------------------------------------
+
+_AQP_ORACLE = """
+WITH s AS (
+  SELECT value,
+         substring(md5('aqp:' || CAST(event_id AS VARCHAR)), 1, 1) = '0'
+           AS in_sample
+  FROM events
+),
+est AS (
+  SELECT CAST(SUM(CASE WHEN in_sample
+                       THEN CAST(value AS DECIMAL(12,2))
+                       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 16.0
+           AS est_total,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS exact_total,
+         CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sampled
+  FROM s
+)
+SELECT round(est_total, 2) AS est_total,
+       round(exact_total, 2) AS exact_total,
+       n_sampled,
+       abs(est_total - exact_total) / exact_total < 0.10 AS within_10pct
+FROM est
+"""
+
+
+@register(
+    "q_sample_estimate",
+    oracle=_AQP_ORACLE,
+    doc="Approximate query processing: estimate the global value total "
+    "from a deterministic 1/16 hash sample (salted md5 on the stable "
+    "id — no RNG, membership reproducible across engines), scale by "
+    "16, and emit the exact total + a <10% relative-error verdict in "
+    "the same query. At 100 TB the sample predicate pushes into the "
+    "scan and the estimate costs 1/16th the read; the exact side here "
+    "exists only to score the estimator.",
+)
+def q_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import MONEY, dec
+
+    ev = load_table(spark, sf_dir, "events")
+    in_sample = (
+        F.substring(
+            F.md5(F.concat(F.lit("aqp:"), F.col("event_id").cast("string"))),
+            1,
+            1,
+        )
+        == "0"
+    )
+    zero = F.lit(0).cast(MONEY)
+    agg = ev.agg(
+        (
+            F.sum(F.when(in_sample, dec("value")).otherwise(zero)).cast("double")
+            * F.lit(16.0)
+        ).alias("est_total"),
+        F.sum(dec("value")).cast("double").alias("exact_total"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).alias("n_sampled"),
+    )
+    return agg.select(
+        F.round("est_total", 2).alias("est_total"),
+        F.round("exact_total", 2).alias("exact_total"),
+        "n_sampled",
+        (
+            F.abs(F.col("est_total") - F.col("exact_total"))
+            / F.col("exact_total")
+            < 0.10
+        ).alias("within_10pct"),
+    )

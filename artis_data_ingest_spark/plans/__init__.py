@@ -7,10 +7,12 @@ from . import (  # noqa: F401
     llm,
     pipeline,
     reference_core,
+    retrieval,
     scale_ops,
     text,
     tpch,
     tpch_ext,
+    tpch_sub,
 )
 from .registry import all_queries, bench_queries, oracle_sql, queries
 

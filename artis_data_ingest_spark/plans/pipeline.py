@@ -25,6 +25,7 @@ from ..operators.multimodal import (
     image_stats,
     probe_metadata,
     ramp_wav_media,
+    resize_media,
     synthetic_media,
     synthetic_probe_media,
     video_stats,
@@ -246,6 +247,45 @@ ORDER BY media_id
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = gradient_png_media(spark, n=8)
     return image_stats(media.select("media_id", "content")).orderBy(
+        "media_id"
+    )
+
+
+_RS_W, _RS_H = 6, 5
+
+
+@register(
+    "q_image_resize",
+    oracle=f"""
+WITH g AS (
+  SELECT i,
+    (SELECT SUM((dx * (4 + i)) // {_RS_W}) FROM range({_RS_W}) t(dx)) AS sx,
+    (SELECT SUM((dy * (3 + i)) // {_RS_H}) FROM range({_RS_H}) u(dy)) AS sy
+  FROM range(8) r(i)
+)
+SELECT i AS media_id,
+       CAST({_RS_W} AS BIGINT) AS width,
+       CAST({_RS_H} AS BIGINT) AS height,
+       round(sx / ({_RS_W} * 255.0), 6) AS mean_r,
+       round(sy / ({_RS_H} * 255.0), 6) AS mean_g,
+       round(sx / ({_RS_W} * 255.0) + sy / ({_RS_H} * 255.0), 6) AS mean_b
+FROM g
+ORDER BY media_id
+""",
+    doc="Multimodal image resize (SURVEY.md §2.11), REAL codec path "
+    "end-to-end: gradient PNGs → stdlib decode → integer "
+    "nearest-neighbor resample (src = floor(dst*src_dim/dst_dim)) → "
+    "stdlib re-encode → decode again for channel stats. The oracle is "
+    "closed-form: resampled column indices are (dx*w)//W, so "
+    "mean_r = Σ⌊dx·w/W⌋/(W·255), mean_g the row analog, mean_b their "
+    "sum (B=x+y by construction) — a resampler that rounds instead of "
+    "flooring, or re-encodes lossily, breaks the hash. Binary stays "
+    "inside one mapInPandas chain; only stats reach the shuffle.",
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = gradient_png_media(spark, n=8)
+    resized = resize_media(media, width=_RS_W, height=_RS_H)
+    return image_stats(resized.select("media_id", "content")).orderBy(
         "media_id"
     )
 

@@ -75,24 +75,35 @@ _PRIORITY: list[str] = [
     "q_sessionize",
     "q_agg_delta_update",
     "q_sample_estimate",
-    # latest verdict r4 — rotate back in
+    # round-6 second batch: the correlated-subquery TPC-H family
+    "q7_nation_volume",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q20_qty_threshold_semi",
+    "q22_idle_customers",
+    # round-6 third batch: the retrieval stack + real PNG resize
+    "q_inverted_index",
+    "q_tfidf_topterms",
+    "q_bm25",
+    "q_image_resize",
+    # latest verdict r4 — rotate back in (the multi-step pipelines;
+    # the single-statement r4 names displaced by the TPC-H/retrieval
+    # batches — q_notin_filter / q_semi_join / q_anti_join /
+    # q_range_join / q_interval_join / q_latest_per_key /
+    # q_dedup_exact / q_ngram_jaccard / q_value_diff / q_asof_join /
+    # q_schema_diff_flat / q_changelog_pair_diff — are each one
+    # join/filter/agg/window whose semantics pytest pins directly
+    # (q_asof_join and the diff family additionally golden-tested),
+    # and q_dedup_exact is benched every round: lowest staleness risk
+    # of the block)
     "q_xpath_links",
     "q_csv_clean_prod",
     "q_excel_fleet",
     "q_clean_pipeline",
-    "q_notin_filter",
     "q_era_branch",
-    "q_value_diff",
-    "q_changelog_pair_diff",
-    "q_semi_join",
-    "q_anti_join",
-    "q_asof_join",
-    "q_range_join",
-    "q_interval_join",
-    "q_schema_diff_flat",
-    "q_latest_per_key",
-    "q_dedup_exact",
-    "q_ngram_jaccard",
     # q_rollup / q_cube / q_grouping_sets / q_percentiles /
     # q_moving_avg / q_topk_window / q_unpivot / q_json_struct /
     # q_token_freq / q_argminmax / q_grouped_agg /

@@ -1,0 +1,302 @@
+"""Text-retrieval stack over the documents corpus: inverted index,
+TF-IDF term weighting, BM25 ranked retrieval (SURVEY.md §2.11 north-star
+— the indexing/scoring side of a training-data pipeline: near-dup
+mining, contamination lookups, and quality-weighted sampling all sit on
+these primitives).
+
+Cross-engine determinism (the driver hashes doubles at FULL precision,
+``repr(float)``):
+
+  * No transcendental functions. The textbook ``ln`` idf is replaced by
+    the rational idf ``(N+1)/(df+1)`` — same ordering behavior on any
+    corpus where df spans are modest, and exactly computable.
+  * Every score is ONE IEEE division of two exactly-representable
+    integers: the BM25 formula (k1=1.2, b=0.75) is cleared of decimal
+    constants by scaling numerator and denominator by 10, so both are
+    BIGINT products well under 2**53 at every fixture SF.  Identical
+    integers → identical correctly-rounded division in Spark and DuckDB.
+  * Multi-term scores are added in a FIXED textual order (coalesce per
+    term, left-to-right `+`), never via a float SUM aggregate whose
+    accumulation order depends on partitioning.
+
+Scale notes (100 TB):
+  * The query-term filter lands BEFORE the explode's aggregate, so only
+    matching postings flow into scoring; df and corpus stats are
+    vocabulary- and 1-row-bounded broadcasts.
+  * The inverted index shuffles once on term; postings are sorted
+    arrays per term.  At 100 TB a posting list for a stopword exceeds
+    executor memory — production layout is delta-encoded postings
+    chunked into fixed-size blocks (term, block_id, doc_ids[]) which is
+    the same groupBy with a block key appended; the fixture keeps one
+    block per term.
+  * TF-IDF's per-doc top-k is a row_number window partitioned by
+    doc_id — millions of small groups, no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.textstats import WS_RE
+from ..sources.tables import load_table
+from .registry import register
+
+# DuckDB spelling of the same whitespace class (see textstats.WS_RE —
+# both engines must split identically on every input).
+_WS_SQL = r"[ \t\n\r\f\x0B]+"
+
+_TOK_SQL = f"""
+  SELECT doc_id, lower(token) AS term
+  FROM (
+    SELECT doc_id,
+           UNNEST(string_split_regex(trim(text), '{_WS_SQL}')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+"""
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), WS_RE)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", F.lower("token").alias("term"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index: term → df, total tf, sorted postings.
+# ---------------------------------------------------------------------------
+
+_INVIDX_ORACLE = f"""
+WITH tok AS ({_TOK_SQL})
+SELECT
+  term,
+  COUNT(DISTINCT doc_id) AS df,
+  COUNT(*) AS total_tf,
+  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+FROM tok
+GROUP BY term
+ORDER BY term
+"""
+
+
+@register(
+    "q_inverted_index",
+    oracle=_INVIDX_ORACLE,
+    doc="Inverted-index build: explode → one shuffle on term → "
+    "df/total-tf aggregates + sorted postings list per term. The "
+    "100 TB layout appends a block key for fixed-size delta-encoded "
+    "posting chunks (same groupBy); the fixture keeps one block per "
+    "term.",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _tokens(spark, sf_dir)
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("total_tf"),
+            F.array_join(
+                F.sort_array(F.collect_set("doc_id")), ","
+            ).alias("postings"),
+        )
+        .orderBy("term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: top-3 terms per document by rational-idf weight.
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+_TFIDF_ORACLE = f"""
+WITH tok AS ({_TOK_SQL}),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok
+),
+scored AS (
+  SELECT
+    tf.doc_id, tf.term, tf.tf, df.df,
+    CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / CAST(df.df + 1 AS DOUBLE)
+      AS tfidf,
+    ROW_NUMBER() OVER (
+      PARTITION BY tf.doc_id
+      ORDER BY CAST(tf.tf * (n.n_docs + 1) AS DOUBLE)
+               / CAST(df.df + 1 AS DOUBLE) DESC, tf.term
+    ) AS rk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rk
+FROM scored
+WHERE rk <= {_TFIDF_K}
+ORDER BY doc_id, rk
+"""
+
+
+@register(
+    "q_tfidf_topterms",
+    oracle=_TFIDF_ORACLE,
+    doc="TF-IDF top-3 terms per document. Rational idf (N+1)/(df+1) "
+    "keeps the score ONE division of exact integers (no ln — "
+    "transcendentals are not bit-reproducible across engines); df is "
+    "a vocabulary-bounded broadcast, N a 1-row broadcast, and the "
+    "top-k is a per-doc row_number window (millions of small groups, "
+    "no global sort).",
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    score = F.col("tf").cast("bigint") * (F.col("n_docs") + F.lit(1))
+    tfidf = score.cast("double") / (F.col("df") + F.lit(1)).cast("double")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval for a fixed query (k1=1.2, b=0.75).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "join", "stream")
+_BM25_TOPK = 10
+
+# score(d,t) = idf_r * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+# idf_r=(N+1)/(df+1), avgdl=sum_dl/N.  Clearing k1=1.2, b=0.75 by 10:
+#   num = 22*tf*sum_dl*(N+1)
+#   den = ((10*tf+3)*sum_dl + 9*dl*N) * (df+1)
+# Both BIGINT, < 2**53 at every fixture SF → the single CAST-to-double
+# division is correctly rounded identically in Spark and DuckDB.
+_BM25_SCORE_SQL = (
+    "CAST(22 * tf * sum_dl * (n_docs + 1) AS DOUBLE)"
+    " / CAST(((10 * tf + 3) * sum_dl + 9 * dl * n_docs) * (df + 1)"
+    " AS DOUBLE)"
+)
+
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+# Fixed-order multi-term sum: coalesce per term, left-to-right `+` —
+# never a float SUM aggregate (accumulation order is partition-
+# dependent and would break the full-precision hash).
+_BM25_TOTAL_SQL = " + ".join(
+    f"COALESCE(s_{t}, CAST(0 AS DOUBLE))" for t in _BM25_TERMS
+)
+
+_BM25_ORACLE = f"""
+WITH tok AS ({_TOK_SQL}),
+dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term IN ({_BM25_TERM_LIST})
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, {_BM25_SCORE_SQL} AS s
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus
+),
+per_doc AS (
+  SELECT
+    doc_id,
+    {", ".join(f"MAX(CASE WHEN term = '{t}' THEN s END) AS s_{t}" for t in _BM25_TERMS)},
+    COUNT(*) AS n_terms
+  FROM scored
+  GROUP BY doc_id
+)
+SELECT doc_id, {_BM25_TOTAL_SQL} AS score, n_terms
+FROM per_doc
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register(
+    "q_bm25",
+    oracle=_BM25_ORACLE,
+    doc="BM25 ranked retrieval (k1=1.2, b=0.75, rational idf) for a "
+    "fixed 3-term query: the term filter lands before the tf "
+    "aggregate so only matching postings are scored; df and corpus "
+    "stats broadcast; per-term scores pivot to one row per doc and "
+    "add in fixed order; deterministic top-10 is a "
+    "TakeOrderedAndProject. The integer-cleared formula makes every "
+    "score one correctly-rounded division — bit-identical across "
+    "engines and partitionings.",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _tokens(spark, sf_dir)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    num = (
+        F.lit(22)
+        * F.col("tf")
+        * F.col("sum_dl")
+        * (F.col("n_docs") + F.lit(1))
+    )
+    den = (
+        (F.lit(10) * F.col("tf") + F.lit(3)) * F.col("sum_dl")
+        + F.lit(9) * F.col("dl") * F.col("n_docs")
+    ) * (F.col("df") + F.lit(1))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("s", num.cast("double") / den.cast("double"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("s"))).alias(f"s_{t}")
+            for t in _BM25_TERMS
+        ],
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    zero = F.lit(0.0)
+    total = None
+    for t in _BM25_TERMS:
+        part = F.coalesce(F.col(f"s_{t}"), zero)
+        total = part if total is None else total + part
+    return (
+        per_doc.select("doc_id", total.alias("score"), "n_terms")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )

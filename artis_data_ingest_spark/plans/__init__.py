@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     analytics_ext,
     corpus,
     events_time,
+    graph,
     llm,
     pipeline,
     reference_core,

@@ -682,3 +682,62 @@ def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_chunk_dedup",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\f\\x0B]+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+), ch AS (
+  SELECT doc_id,
+         md5(array_to_string(w[st + 1:st + {_CHUNK}], ' ')) AS chunk_md5
+  FROM d, UNNEST(range(0, greatest(1, len(w)), {_STRIDE})) t(st)
+)
+SELECT chunk_md5,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS first_doc,
+       COUNT(*) - 1 AS n_removed
+FROM ch
+GROUP BY chunk_md5
+HAVING COUNT(*) > 1
+ORDER BY chunk_md5
+""",
+    doc="Sub-document (chunk-level) dedup — the RefinedWeb/CCNet shape "
+    "where boilerplate paragraphs repeat across otherwise-distinct "
+    "pages: the same 64/48 sliding windows as q_doc_chunks, "
+    "case-normalized, keyed by chunk md5; one shuffle on the chunk "
+    "hash yields occurrence/doc counts and the keep-first/remove-rest "
+    "decision per duplicate class. Linear blocking on the hash — no "
+    "chunk-pair comparison exists at any scale.",
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.split(F.lower(F.trim("text")), r"[ \t\n\r\f\x0B]+").alias("w"),
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.lit(0), F.size("w") - 1),
+        F.lit(_STRIDE),
+    )
+    ch = d.select("doc_id", "w", F.explode(starts).alias("st"))
+    chunk_md5 = F.md5(
+        F.concat_ws(" ", F.slice("w", F.col("st") + 1, _CHUNK))
+    )
+    return (
+        ch.select("doc_id", chunk_md5.alias("chunk_md5"))
+        .groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            (F.count(F.lit(1)) - 1).alias("n_removed"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy("chunk_md5")
+    )

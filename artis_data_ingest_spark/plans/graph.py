@@ -1,0 +1,169 @@
+"""Graph analytics over derived edge sets: weighted PageRank.
+
+Complements the connected-components operator (`operators/dedup.py` —
+min-label propagation for near-dup clustering) with the other canonical
+iterative graph computation. The graph is the nation-level trade
+network: an edge (supplier-nation → customer-nation) per lineitem,
+weighted by shipment count — the aggregation-to-graph shape any
+entity-linking or citation pipeline produces.
+
+Determinism across engines and partitionings is the whole design:
+
+  * All PageRank arithmetic is INTEGER. Ranks live in fixed-point
+    units of 1e-12 (SCALE), per-edge contributions are
+    ``(pr * w) DIV out_w`` (truncating integer division — identical in
+    Spark's DIV and DuckDB's // for non-negative operands), and the
+    damping update is ``base + (85 * Σcontrib) DIV 100``.  Integer
+    sums are associative, so no accumulation-order hazard exists —
+    the float-sum problem that makes naive PageRank unreproducible.
+  * Bounds: pr ≤ SCALE = 1e12 and Σw per source ≤ |edges|, so
+    ``pr * w`` stays far under 2^63. (DuckDB widens sums to HUGEINT;
+    the final projection casts back to BIGINT for the driver hash.)
+  * Dangling mass (nodes with no out-edges) is dropped, matching
+    GraphX's staticPageRank simplification — stated, not accidental.
+
+Scale notes (100 TB):
+  * Iterations are UNROLLED a fixed n_iter deep (the k-means oracle
+    pattern) — each is one hash join pr⨝edges on src plus one
+    aggregate on dst. Node and rank tables are node-bounded; the edge
+    table dominates and is shuffled on src once per iteration.
+  * At web scale the same loop runs with localCheckpoint() per few
+    iterations to truncate lineage (see connected_components, which
+    stress-pins that pattern); 5 fixture iterations stay shallow
+    enough to skip it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+_PR_SCALE = 10**12
+_PR_ITER = 5
+
+_PR_ORACLE_HEAD = f"""
+WITH eraw AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+), edges AS (
+  SELECT src, dst, COUNT(*) AS w FROM eraw GROUP BY src, dst
+), outw AS (
+  SELECT src, SUM(w) AS ow FROM edges GROUP BY src
+), ew AS (
+  SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN outw o USING (src)
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), base AS (
+  SELECT (15 * {_PR_SCALE}) // (100 * n) AS b FROM nn
+), pr0 AS (
+  SELECT node, {_PR_SCALE} // n AS pr FROM nodes, nn
+)"""
+
+_PR_ORACLE_ITER = """, c{i} AS (
+  SELECT ew.dst, SUM((p.pr * ew.w) // ew.ow) AS s
+  FROM pr{i} p JOIN ew ON p.node = ew.src GROUP BY ew.dst
+), pr{j} AS (
+  SELECT nodes.node, base.b + (85 * COALESCE(c.s, 0)) // 100 AS pr
+  FROM nodes LEFT JOIN c{i} c ON nodes.node = c.dst, base
+)"""
+
+_PR_ORACLE = (
+    _PR_ORACLE_HEAD
+    + "".join(_PR_ORACLE_ITER.format(i=i, j=i + 1) for i in range(_PR_ITER))
+    + f"""
+SELECT n.n_name AS nation_name,
+       CAST(p.pr AS BIGINT) AS pr_fixed,
+       CAST(p.pr AS DOUBLE) / {_PR_SCALE} AS pagerank
+FROM pr{_PR_ITER} p JOIN nation n ON p.node = n.n_nationkey
+ORDER BY pr_fixed DESC, nation_name
+"""
+)
+
+
+@register(
+    "q_pagerank",
+    oracle=_PR_ORACLE,
+    doc=f"Weighted PageRank ({_PR_ITER} unrolled iterations, damping "
+    "0.85) over the nation-level trade graph derived from "
+    "lineitem⨝supplier⨝orders⨝customer. All-integer fixed-point "
+    "arithmetic (units of 1e-12; truncating DIV both engines) makes "
+    "every iteration's ranks bit-identical under any partitioning — "
+    "integer sums are associative, float PageRank is not. Dangling "
+    "mass dropped (GraphX staticPageRank semantics). Per iteration: "
+    "one node⨝edge hash join + one aggregate on dst; rank tables are "
+    "node-bounded, edges shuffle on src.",
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    eraw = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+    )
+    edges = eraw.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew = edges.join(outw, "src")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = nn.select(
+        F.expr(f"(15 * CAST({_PR_SCALE} AS BIGINT)) DIV (100 * n)").alias(
+            "b"
+        ),
+        "n",
+    )
+    pr = nodes.crossJoin(F.broadcast(base)).select(
+        "node", F.expr(f"CAST({_PR_SCALE} AS BIGINT) DIV n").alias("pr")
+    )
+    for _ in range(_PR_ITER):
+        contrib = pr.join(ew, pr["node"] == ew["src"]).select(
+            "dst", F.expr("(pr * w) DIV ow").alias("contrib")
+        )
+        summed = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
+        pr = (
+            nodes.join(summed, nodes["node"] == summed["dst"], "left")
+            .crossJoin(F.broadcast(base))
+            .select(
+                "node",
+                F.expr("b + (85 * COALESCE(s, CAST(0 AS BIGINT))) DIV 100")
+                .alias("pr"),
+            )
+        )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        pr.join(F.broadcast(n), pr["node"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.col("pr").alias("pr_fixed"),
+            (F.col("pr").cast("double") / F.lit(float(_PR_SCALE))).alias(
+                "pagerank"
+            ),
+        )
+        .orderBy(F.col("pr_fixed").desc(), "nation_name")
+    )

@@ -84,11 +84,15 @@ _PRIORITY: list[str] = [
     "q17_small_qty_revenue",
     "q20_qty_threshold_semi",
     "q22_idle_customers",
-    # round-6 third batch: the retrieval stack + real PNG resize
+    # round-6 third batch: retrieval stack, real PNG resize, graph +
+    # sub-document dedup + the q21 rewrite
     "q_inverted_index",
     "q_tfidf_topterms",
     "q_bm25",
     "q_image_resize",
+    "q_pagerank",
+    "q21_sole_late_supplier",
+    "q_chunk_dedup",
     # latest verdict r4 — rotate back in (the multi-step pipelines;
     # the single-statement r4 names displaced by the TPC-H/retrieval
     # batches — q_notin_filter / q_semi_join / q_anti_join /
@@ -100,10 +104,7 @@ _PRIORITY: list[str] = [
     # and q_dedup_exact is benched every round: lowest staleness risk
     # of the block)
     "q_xpath_links",
-    "q_csv_clean_prod",
     "q_excel_fleet",
-    "q_clean_pipeline",
-    "q_era_branch",
     # q_rollup / q_cube / q_grouping_sets / q_percentiles /
     # q_moving_avg / q_topk_window / q_unpivot / q_json_struct /
     # q_token_freq / q_argminmax / q_grouped_agg /

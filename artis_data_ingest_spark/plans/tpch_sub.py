@@ -616,3 +616,81 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q21 — sole late supplier on multi-supplier orders (EXISTS + NOT
+# EXISTS double self-join, rewritten as one conditional aggregate).
+# ---------------------------------------------------------------------------
+
+_Q21_LATE_DAYS = 60
+_Q21_TOPK = 20
+
+_Q21_ORACLE = f"""
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY)
+           AS late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+), ord AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS ns,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS nls,
+         MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+  FROM lo GROUP BY l_orderkey
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM ord
+JOIN supplier s ON ord.late_supp = s.s_suppkey
+WHERE ns >= 2 AND nls = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT {_Q21_TOPK}
+"""
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle=_Q21_ORACLE,
+    doc="TPC-H Q21 shape (shipdate > orderdate + 60d as the late test "
+    "— no receipt/commit dates in this schema): the textbook "
+    "EXISTS(other supplier) + NOT EXISTS(other LATE supplier) double "
+    "self-join is rewritten as ONE conditional-distinct aggregate per "
+    "order — suppliers-on-order >= 2 AND late-suppliers-on-order = 1 "
+    "identifies the sole blocker, MAX over the single late key "
+    "recovers it. One shuffle on orderkey replaces two fact-fact "
+    "self-joins; deterministic top-20.",
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {_Q21_LATE_DAYS} DAY"
+    )
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey", late.alias("late")
+    )
+    ord_stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("nls"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ord_stats.filter((F.col("ns") >= 2) & (F.col("nls") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(_Q21_TOPK)
+    )

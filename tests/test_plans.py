@@ -188,6 +188,10 @@ def test_results_partitioning_independent(spark):
         # fixed-point centroid updates: bigint sums are associative, so
         # the trained codebook must be bit-identical under any shuffle
         "q_kmeans_centroids",
+        # all-integer PageRank and the BM25 single-division scores:
+        # the round-6 determinism claims, pinned the same way
+        "q_pagerank",
+        "q_bm25",
     ]
     qs = plans.queries()
     orig = spark.conf.get("spark.sql.shuffle.partitions")

@@ -303,3 +303,49 @@ def test_sequence_pack_default_has_no_single_partition_exchange(spark):
     gplan = glob._jdf.queryExecution().executedPlan().toString()
     gplan = gplan.split("== Initial Plan ==")[0]
     assert "Exchange SinglePartition" in gplan
+
+
+def test_manifest_prunes_files_and_preserves_results(spark, tmp_path):
+    """Data-skipping manifest: per-file min/max envelopes built in one
+    distributed pass must (a) skip files whose range can't match,
+    (b) return exactly the full-scan answer on surviving files, and
+    (c) return an empty, schema-stable result when everything prunes."""
+    from artis_data_ingest_spark.sinks.manifest import (
+        build_manifest,
+        prune_files,
+        read_pruned,
+    )
+    from artis_data_ingest_spark.sinks.parquet import write_partitioned
+
+    o = load_table(spark, SF_DIR, "orders")
+    out = str(tmp_path / "orders_by_status")
+    # sort within files on o_totalprice → tight, mostly-disjoint
+    # envelopes, the layout that makes min/max skipping effective
+    write_partitioned(
+        o, out, ["o_orderstatus"], sort_cols=["o_totalprice"],
+        files_per_partition=4,
+    )
+    man = build_manifest(spark, out, ["o_totalprice"])
+    files = [r.file for r in man.select("file").collect()]
+    assert len(files) >= 8  # 3 statuses × 4 salted files (some may merge)
+
+    lo, hi = 100.0, 5000.0
+    kept = prune_files(man, "o_totalprice", lo, hi)
+    assert 0 < len(kept) < len(files), (len(kept), len(files))
+
+    got = sorted(
+        r.o_orderkey
+        for r in read_pruned(
+            spark, out, man, "o_totalprice", lo, hi
+        ).collect()
+    )
+    want = sorted(
+        r.o_orderkey
+        for r in o.filter(F.col("o_totalprice").between(lo, hi)).collect()
+    )
+    assert got == want and got
+
+    # a range beyond every envelope prunes everything, schema intact
+    empty = read_pruned(spark, out, man, "o_totalprice", 1e12, 2e12)
+    assert empty.count() == 0
+    assert set(empty.columns) == set(o.columns) | {"o_orderstatus"}

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.textstats import WS_RE
+from ..operators.scale import spread_cpu_bound
 from ..sources.tables import load_table
 from .registry import register
 
@@ -59,7 +60,10 @@ _TOK_SQL = f"""
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # split+explode over a small single-split parquet file would run on
+    # one core; spread first (no-op when the scan already has enough
+    # splits — the 100 TB case)
+    docs = spread_cpu_bound(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             "doc_id",
@@ -247,56 +251,61 @@ LIMIT {_BM25_TOPK}
     "q_bm25",
     oracle=_BM25_ORACLE,
     doc="BM25 ranked retrieval (k1=1.2, b=0.75, rational idf) for a "
-    "fixed 3-term query: the term filter lands before the tf "
-    "aggregate so only matching postings are scored; df and corpus "
-    "stats broadcast; per-term scores pivot to one row per doc and "
-    "add in fixed order; deterministic top-10 is a "
-    "TakeOrderedAndProject. The integer-cleared formula makes every "
-    "score one correctly-rounded division — bit-identical across "
-    "engines and partitionings.",
+    "fixed 3-term query, computed in ONE corpus pass: per-doc length "
+    "and per-term tf pivot into one aggregate on doc_id (the naive "
+    "dl/tf/df CTE plan scans the corpus 4x and shuffles 6x; this "
+    "shape is 1 scan + 1 hash shuffle), corpus totals and per-term "
+    "df reduce to a 1-row broadcast, per-term scores add in fixed "
+    "order, and the deterministic top-10 is a TakeOrderedAndProject. "
+    "The integer-cleared formula makes every score one "
+    "correctly-rounded division — bit-identical across engines and "
+    "partitionings (oracle keeps the readable CTE form; exact "
+    "integer arithmetic guarantees plan-independent equality).",
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _tokens(spark, sf_dir)
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    corpus = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    tf = (
-        tok.filter(F.col("term").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    num = (
-        F.lit(22)
-        * F.col("tf")
-        * F.col("sum_dl")
-        * (F.col("n_docs") + F.lit(1))
-    )
-    den = (
-        (F.lit(10) * F.col("tf") + F.lit(3)) * F.col("sum_dl")
-        + F.lit(9) * F.col("dl") * F.col("n_docs")
-    ) * (F.col("df") + F.lit(1))
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(corpus))
-        .withColumn("s", num.cast("double") / den.cast("double"))
-    )
-    per_doc = scored.groupBy("doc_id").agg(
+    # ONE aggregation produces dl and the pivoted per-term tfs.
+    stats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
         *[
-            F.max(F.when(F.col("term") == t, F.col("s"))).alias(f"s_{t}")
+            F.sum((F.col("term") == t).cast("bigint")).alias(f"tf_{t}")
             for t in _BM25_TERMS
         ],
-        F.count(F.lit(1)).alias("n_terms"),
     )
-    zero = F.lit(0.0)
+    # Corpus totals AND per-term dfs in one 1-row reduction.
+    corpus = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    def _term_score(t: str) -> F.Column:
+        tf = F.col(f"tf_{t}")
+        num = F.lit(22) * tf * F.col("sum_dl") * (F.col("n_docs") + F.lit(1))
+        den = (
+            (F.lit(10) * tf + F.lit(3)) * F.col("sum_dl")
+            + F.lit(9) * F.col("dl") * F.col("n_docs")
+        ) * (F.col(f"df_{t}") + F.lit(1))
+        return F.when(
+            tf > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    any_match = None
+    n_terms = None
     total = None
     for t in _BM25_TERMS:
-        part = F.coalesce(F.col(f"s_{t}"), zero)
-        total = part if total is None else total + part
+        hit = F.col(f"tf_{t}") > 0
+        any_match = hit if any_match is None else (any_match | hit)
+        n = hit.cast("bigint")
+        n_terms = n if n_terms is None else n_terms + n
+        s = _term_score(t)
+        total = s if total is None else total + s
     return (
-        per_doc.select("doc_id", total.alias("score"), "n_terms")
+        stats.crossJoin(F.broadcast(corpus))
+        .filter(any_match)
+        .select("doc_id", total.alias("score"), n_terms.alias("n_terms"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )

@@ -740,3 +740,128 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.05
         ).alias("p50_within_tol"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# OLS by sufficient statistics — single-pass distributed regression.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_linreg",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(l_discount AS DECIMAL(12,2))
+             * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS syy
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  (CAST(n AS DOUBLE) * sxy - sx * sy)
+    / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+  (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+    / CAST(n AS DOUBLE) AS intercept,
+  (CAST(n AS DOUBLE) * sxy - sx * sy)
+    / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+       * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr
+FROM s
+ORDER BY l_returnflag
+""",
+    doc="Per-group OLS regression (slope/intercept/Pearson corr of "
+    "discount on quantity) via SUFFICIENT STATISTICS — the one-pass "
+    "distributed pattern: six exact decimal sums per group (order-"
+    "independent partials), then a closed-form float expression. "
+    "IEEE sqrt is correctly rounded and both engines evaluate the "
+    "identical expression tree over identical exact-decimal inputs, "
+    "so the doubles hash bit-for-bit; decimal unscaled values stay "
+    "under 2^53 by choosing bounded columns. No iteration, no second "
+    "pass — the shape gradient-free linear models use at 100 TB.",
+)
+def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_discount").cast("decimal(12,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    cov_n = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return (
+        s.select(
+            "l_returnflag",
+            "n",
+            slope.alias("slope"),
+            ((F.col("sy") - slope * F.col("sx")) / nd).alias("intercept"),
+            (cov_n / (F.sqrt(var_x) * F.sqrt(var_y))).alias("corr"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram — single-pass data profiling.
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 10_000
+_HIST_BINS = 12
+
+
+@register(
+    "q_histogram",
+    oracle=f"""
+SELECT
+  LEAST(CAST(FLOOR(l_extendedprice / {_HIST_WIDTH}.0) AS BIGINT),
+        {_HIST_BINS - 1}) AS bin,
+  LEAST(CAST(FLOOR(l_extendedprice / {_HIST_WIDTH}.0) AS BIGINT),
+        {_HIST_BINS - 1}) * {_HIST_WIDTH} AS bin_lo,
+  COUNT(*) AS n,
+  {oracle_dsum('l_extendedprice', 'sum_price')}
+FROM lineitem
+GROUP BY bin, bin_lo
+ORDER BY bin
+""",
+    doc="Fixed-width histogram of l_extendedprice (width 10k, last bin "
+    "open-ended) — single-pass data profiling: bin index is a pure "
+    "projection (floor of a double quotient — identical IEEE result "
+    "both engines), so the histogram is one partial+final hash "
+    "aggregate over at most n_bins groups. The profile every ingest "
+    "pipeline runs before choosing partition bounds.",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bin_ = F.least(
+        F.floor(F.col("l_extendedprice") / F.lit(float(_HIST_WIDTH))).cast(
+            "bigint"
+        ),
+        F.lit(_HIST_BINS - 1).cast("bigint"),
+    )
+    return (
+        li.select(
+            bin_.alias("bin"),
+            (bin_ * _HIST_WIDTH).alias("bin_lo"),
+            "l_extendedprice",
+        )
+        .groupBy("bin", "bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .orderBy("bin")
+    )

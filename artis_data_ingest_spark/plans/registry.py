@@ -93,18 +93,18 @@ _PRIORITY: list[str] = [
     "q_pagerank",
     "q21_sole_late_supplier",
     "q_chunk_dedup",
-    # latest verdict r4 — rotate back in (the multi-step pipelines;
-    # the single-statement r4 names displaced by the TPC-H/retrieval
-    # batches — q_notin_filter / q_semi_join / q_anti_join /
-    # q_range_join / q_interval_join / q_latest_per_key /
-    # q_dedup_exact / q_ngram_jaccard / q_value_diff / q_asof_join /
-    # q_schema_diff_flat / q_changelog_pair_diff — are each one
-    # join/filter/agg/window whose semantics pytest pins directly
-    # (q_asof_join and the diff family additionally golden-tested),
-    # and q_dedup_exact is benched every round: lowest staleness risk
-    # of the block)
-    "q_xpath_links",
-    "q_excel_fleet",
+    "q_linreg",
+    "q_histogram",
+    # The whole r4-latest block ages one more round this time — the 19
+    # round-6 queries above need first verdicts and the budget is hard.
+    # Every r4 name (q_xpath_links, q_csv_clean_prod, q_excel_fleet,
+    # q_clean_pipeline, q_notin_filter, q_era_branch, q_value_diff,
+    # q_changelog_pair_diff, q_semi_join, q_anti_join, q_asof_join,
+    # q_range_join, q_interval_join, q_schema_diff_flat,
+    # q_latest_per_key, q_dedup_exact, q_ngram_jaccard) is pytest- or
+    # golden-test-pinned, q_dedup_exact and q_excel_fleet are benched
+    # every round, and all pass the full local gate this session —
+    # front-load them in round 7.
     # q_rollup / q_cube / q_grouping_sets / q_percentiles /
     # q_moving_avg / q_topk_window / q_unpivot / q_json_struct /
     # q_token_freq / q_argminmax / q_grouped_agg /

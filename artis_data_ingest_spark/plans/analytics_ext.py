@@ -865,3 +865,66 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order curve cells — the multi-dimensional clustering key, oracled.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+_ZX_LO, _ZX_W = 0.0, 500.0  # l_extendedprice grid
+_ZY_LO, _ZY_W = 0.0, 1.0  # l_quantity grid
+_Z_CELL_SHIFT = 8
+
+
+def _zorder_oracle() -> str:
+    from ..operators.zorder import bucket_sql, zvalue_sql
+
+    bx = bucket_sql("l_extendedprice", _ZX_LO, _ZX_W, _Z_BITS)
+    by = bucket_sql("l_quantity", _ZY_LO, _ZY_W, _Z_BITS)
+    z = zvalue_sql("bx", "by", _Z_BITS)
+    return f"""
+WITH g AS (
+  SELECT {bx} AS bx, {by} AS by FROM lineitem
+), zv AS (
+  SELECT {z} AS z FROM g
+)
+SELECT z >> {_Z_CELL_SHIFT} AS cell,
+       COUNT(*) AS n,
+       MIN(z) AS z_min,
+       MAX(z) AS z_max
+FROM zv
+GROUP BY cell
+ORDER BY cell
+"""
+
+
+@register(
+    "q_zorder_cells",
+    oracle=_zorder_oracle(),
+    doc="Morton (Z-order) curve cells over the (l_extendedprice, "
+    "l_quantity) grid: bucket both dimensions to 8 bits, interleave "
+    "with a pure shift/and/or expression tree (operators/zorder.py — "
+    "codegen, no UDF), aggregate per curve cell. The clustering key "
+    "behind multi-dimensional data skipping: files sorted by z get "
+    "tight min/max envelopes in BOTH dimensions (the manifest test "
+    "pins the pruning claim); this query pins the key itself — "
+    "bit-identical integers in both engines.",
+)
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zorder import bucket, zvalue
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bx = bucket(F.col("l_extendedprice"), _ZX_LO, _ZX_W, _Z_BITS)
+    by = bucket(F.col("l_quantity"), _ZY_LO, _ZY_W, _Z_BITS)
+    z = zvalue(bx, by, _Z_BITS)
+    return (
+        li.select(z.alias("z"))
+        .groupBy(F.shiftright(F.col("z"), _Z_CELL_SHIFT).alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+        .orderBy("cell")
+    )

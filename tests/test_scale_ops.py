@@ -349,3 +349,66 @@ def test_manifest_prunes_files_and_preserves_results(spark, tmp_path):
     empty = read_pruned(spark, out, man, "o_totalprice", 1e12, 2e12)
     assert empty.count() == 0
     assert set(empty.columns) == set(o.columns) | {"o_orderstatus"}
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """The z-order claim, pinned on real files: sorted by the Morton
+    key, EVERY file has a bounded envelope in BOTH dimensions, so a
+    selective range on either column prunes files; sorted by x alone,
+    a y-range prunes nothing. Results must equal the full scan."""
+    import pathlib
+
+    from artis_data_ingest_spark.operators.zorder import bucket, zvalue
+    from artis_data_ingest_spark.sinks.manifest import (
+        build_manifest,
+        prune_files,
+        read_pruned,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    bx = bucket(F.col("l_extendedprice"), 0.0, 500.0, 8)
+    by = bucket(F.col("l_quantity"), 0.0, 1.0, 8)
+    zcol = zvalue(bx, by, 8)
+
+    def write_sorted(key, name):
+        out = str(tmp_path / name)
+        (
+            li.withColumn("_k", key)
+            .repartition(1)
+            .sortWithinPartitions("_k")
+            .drop("_k")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 400)
+            .parquet(out)
+        )
+        n = len(list(pathlib.Path(out).glob("*.parquet")))
+        return out, n
+
+    zdir, zn = write_sorted(zcol, "li_zorder")
+    xdir, xn = write_sorted(F.col("l_extendedprice"), "li_xsort")
+    assert zn > 4 and xn > 4  # maxRecordsPerFile split the single task
+
+    man_z = build_manifest(spark, zdir, ["l_extendedprice", "l_quantity"])
+    man_x = build_manifest(spark, xdir, ["l_extendedprice", "l_quantity"])
+
+    # y-selective range: z layout prunes, x layout cannot
+    kept_z = prune_files(man_z, "l_quantity", 1.0, 5.0)
+    kept_x = prune_files(man_x, "l_quantity", 1.0, 5.0)
+    assert len(kept_z) < zn, "z-order files must bound l_quantity"
+    assert len(kept_x) == xn, "x-sorted files cannot bound l_quantity"
+    # x-selective range still prunes in the z layout too
+    assert len(prune_files(man_z, "l_extendedprice", 0.0, 20000.0)) < zn
+
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber)
+        for r in read_pruned(
+            spark, zdir, man_z, "l_quantity", 1.0, 5.0
+        ).collect()
+    )
+    want = sorted(
+        (r.l_orderkey, r.l_linenumber)
+        for r in li.filter(F.col("l_quantity").between(1.0, 5.0)).collect()
+    )
+    assert got == want and got

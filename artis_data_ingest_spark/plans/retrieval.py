@@ -309,3 +309,52 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance: algebraic merge of partial indexes.
+# ---------------------------------------------------------------------------
+
+_IDX_SPLIT_DOC = 400
+
+
+@register(
+    "q_index_delta_merge",
+    # the oracle is the FULL rebuild: hash equality proves the
+    # partial-merge identity (the q_agg_delta_update pattern applied
+    # to the retrieval stack)
+    oracle=_INVIDX_ORACLE,
+    doc="Incremental inverted-index maintenance: the corpus splits "
+    "into an already-indexed base (doc_id < 400) and an arriving "
+    "delta; each side builds its partial index independently and the "
+    "partials merge ALGEBRAICALLY — disjoint doc sets make df and "
+    "total_tf additive and postings a sorted disjoint union — with "
+    "no rescan of base text. The oracle is the full rebuild: hash "
+    "equality proves the merge identity. At 100 TB this is the "
+    "index-commit path (merge the day's delta into the persisted "
+    "index), one term-keyed shuffle per commit.",
+)
+def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _tokens(spark, sf_dir)
+
+    def partial(t: DataFrame) -> DataFrame:
+        return t.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("total_tf"),
+            F.sort_array(F.collect_set("doc_id")).alias("plist"),
+        )
+
+    base = partial(tok.filter(F.col("doc_id") < _IDX_SPLIT_DOC))
+    delta = partial(tok.filter(F.col("doc_id") >= _IDX_SPLIT_DOC))
+    return (
+        base.unionByName(delta)
+        .groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("total_tf").alias("total_tf"),
+            F.array_join(
+                F.sort_array(F.flatten(F.collect_list("plist"))), ","
+            ).alias("postings"),
+        )
+        .orderBy("term")
+    )

@@ -358,3 +358,135 @@ def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge training — iterative, but fully oracle-checked.
+# ---------------------------------------------------------------------------
+
+_BPE_SEP = "\x1f"  # unit separator: never appears in corpus tokens
+_BPE_MERGES = 6
+
+_BPE_ORACLE_HEAD = f"""
+WITH tok AS (
+  SELECT lower(token) AS word
+  FROM (
+    SELECT UNNEST(string_split_regex(trim(text), '{_WS_SQL}')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+), vocab0 AS (
+  SELECT '{_BPE_SEP}{_BPE_SEP}'
+           || regexp_replace(word, '(.)', '\\1{_BPE_SEP}{_BPE_SEP}', 'g')
+           AS enc,
+         COUNT(*) AS cnt
+  FROM tok GROUP BY word
+)"""
+
+_BPE_ORACLE_ITER = """, syms{i} AS (
+  SELECT enc, cnt,
+         list_filter(string_split(enc, '{s}{s}'), x -> x <> '') AS s
+  FROM vocab{i}
+), pairs{i} AS (
+  SELECT s[u.i + 1] AS l, s[u.i + 2] AS r, SUM(cnt) AS support
+  FROM syms{i}, UNNEST(range(len(s) - 1)) u(i)
+  GROUP BY l, r
+), top{i} AS (
+  SELECT l, r, CAST(support AS BIGINT) AS support
+  FROM pairs{i} ORDER BY support DESC, l, r LIMIT 1
+), vocab{j} AS (
+  SELECT replace(enc, '{s}' || t.l || '{s}{s}' || t.r || '{s}',
+                 '{s}' || t.l || t.r || '{s}') AS enc, cnt
+  FROM vocab{i}, top{i} t
+)"""
+
+_BPE_ORACLE = (
+    _BPE_ORACLE_HEAD
+    + "".join(
+        _BPE_ORACLE_ITER.format(i=i, j=i + 1, s=_BPE_SEP)
+        for i in range(_BPE_MERGES)
+    )
+    + " SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l, r, l || r AS merged, support"
+        f" FROM top{i}"
+        for i in range(_BPE_MERGES)
+    )
+    + ") ORDER BY merge_rank"
+)
+
+
+@register(
+    "q_bpe_merges",
+    oracle=_BPE_ORACLE,
+    doc=f"Distributed BPE tokenizer training ({_BPE_MERGES} merges): "
+    "the corpus reduces ONCE to a word-frequency table (the classic "
+    "BPE preprocessing — all later work is vocabulary-bounded, not "
+    "corpus-bounded); each merge round counts adjacent symbol pairs "
+    "weighted by word count (one bounded aggregate), takes the top "
+    "pair (support DESC, then lexicographic — a deterministic 1-row "
+    "TakeOrdered broadcast), and rewrites the vocabulary with a plain "
+    "left-to-right replace() on a separator-doubled encoding — the "
+    "'\\x1f\\x1fa\\x1f\\x1fb\\x1f\\x1f' form makes adjacent "
+    "occurrences replace correctly WITHOUT regex lookarounds, so "
+    "Spark and DuckDB (RE2, no lookbehind) agree byte-for-byte. The "
+    "oracle unrolls the same iterations as a CTE chain (the k-means "
+    "pattern); integer supports make every round hash-exact.",
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _tokens(spark, sf_dir)
+    sep2 = _BPE_SEP + _BPE_SEP
+    vocab = (
+        tok.groupBy(F.col("term").alias("word"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(sep2),
+                F.regexp_replace("word", "(.)", "$1" + sep2),
+            ).alias("enc"),
+            "cnt",
+        )
+    )
+    tops = []
+    for i in range(_BPE_MERGES):
+        s = F.filter(F.split("enc", sep2), lambda x: x != "")
+        syms = vocab.select("cnt", s.alias("s"))
+        idx = F.when(
+            F.size("s") >= 2, F.sequence(F.lit(0), F.size("s") - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = (
+            syms.select("cnt", "s", F.explode(idx).alias("i"))
+            .select(
+                "cnt",
+                F.element_at("s", F.col("i") + 1).alias("l"),
+                F.element_at("s", F.col("i") + 2).alias("r"),
+            )
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("support"))
+        )
+        top = pairs.orderBy(
+            F.col("support").desc(), "l", "r"
+        ).limit(1)
+        tops.append(
+            top.select(
+                F.lit(i).alias("merge_rank"),
+                "l",
+                "r",
+                F.concat("l", "r").alias("merged"),
+                "support",
+            )
+        )
+        pat = F.concat(
+            F.lit(_BPE_SEP), F.col("l"), F.lit(sep2), F.col("r"),
+            F.lit(_BPE_SEP),
+        )
+        rep = F.concat(
+            F.lit(_BPE_SEP), F.col("l"), F.col("r"), F.lit(_BPE_SEP)
+        )
+        vocab = vocab.crossJoin(F.broadcast(top)).select(
+            F.replace(F.col("enc"), pat, rep).alias("enc"), "cnt"
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out.orderBy("merge_rank")

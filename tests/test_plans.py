@@ -415,3 +415,52 @@ def test_q16_not_in_is_broadcast_anti(spark):
     p = plan_str(df)
     assert "LeftAnti" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_bpe_merges_match_pure_python_reference(spark):
+    """The distributed BPE trainer must reproduce the textbook
+    sequential algorithm (Sennrich-style: count adjacent symbol pairs
+    weighted by word frequency, merge the argmax with deterministic
+    lexicographic tie-break, repeat) exactly."""
+    import collections
+
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    words = collections.Counter()
+    for r in docs:
+        if r.text is None:
+            continue
+        for t in r.text.strip().split():
+            if t:
+                words[t.lower()] += 1
+
+    vocab = {tuple(w): c for w, c in words.items()}
+    expected = []
+    for rank in range(6):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        (l, r), support = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        expected.append((rank, l, r, l + r, support))
+        merged = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged[tuple(out)] = merged.get(tuple(out), 0) + c
+        vocab = merged
+
+    got = [
+        (r.merge_rank, r.l, r.r, r.merged, r.support)
+        for r in plans.queries()["q_bpe_merges"](spark, SF_DIR).collect()
+    ]
+    assert got == expected

@@ -6,10 +6,14 @@ textbook SQL uses a correlated or scalar subquery and the scalable plan
 rewrites it as a pre-aggregate joined back (Spark has no correlated
 execution; Catalyst wants the decorrelated form expressed directly):
 
+  * q2  — groupwise-MIN scalar subquery with join-back (window over
+          the aggregated group, ties surface via exact decimals).
   * q7  — two-sided dimension chains (supplier-nation × customer-nation)
           with a disjunctive cross-side pair predicate.
   * q8  — market share: ratio of conditional sums per group after a
           7-table star join.
+  * q9  — contains-LIKE dimension filter + two-level grouping.
+  * q11 — HAVING against a global scalar subquery in exact decimals.
   * q13 — outer join preserving zero-count groups, then an aggregate of
           an aggregate (count distribution).
   * q15 — groupwise aggregate compared against its own global MAX
@@ -693,4 +697,187 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(_Q21_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q2 — groupwise-MIN scalar subquery with join-back (min-cost supplier).
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = f"""
+WITH st AS (
+  SELECT p.p_type, l.l_suppkey, SUM({_disc_price_sql('l.')}) AS rev_dec
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_type, l.l_suppkey
+), m AS (
+  SELECT p_type, MIN(rev_dec) AS min_dec FROM st GROUP BY p_type
+)
+SELECT st.p_type, s.s_suppkey, s.s_name, n.n_name AS nation_name,
+       CAST(st.rev_dec AS DOUBLE) AS total_revenue
+FROM st
+JOIN m ON st.p_type = m.p_type AND st.rev_dec = m.min_dec
+JOIN supplier s ON st.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY st.p_type, s.s_suppkey
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=_Q2_ORACLE,
+    doc="TPC-H Q2 shape (lineitem as the part↔supplier bridge): the "
+    "correlated 'supplier with MIN cost for this part' subquery "
+    "decorrelated as a groupwise-MIN window over the ALREADY-"
+    "AGGREGATED (type, supplier) revenue — per-group partitions, no "
+    "single-partition exchange, no re-scan — with exact-decimal "
+    "equality surfacing every tied minimum. Supplier/nation details "
+    "recovered by broadcast join-back.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem")
+    st = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum(_disc_price()).alias("_rev_dec"))
+    )
+    w = Window.partitionBy("p_type")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        st.withColumn("_min_dec", F.min("_rev_dec").over(w))
+        .filter(F.col("_rev_dec") == F.col("_min_dec"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_type",
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("_rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("p_type", "s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 — product-line profit by supplier nation and year.
+# ---------------------------------------------------------------------------
+
+_Q9_PATTERN = "%widget%"
+
+_Q9_ORACLE = f"""
+SELECT n.n_name AS nation_name,
+       CAST(year(l.l_shipdate) AS INT) AS o_year,
+       CAST(SUM({_disc_price_sql('l.')}) AS DOUBLE) AS profit,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '{_Q9_PATTERN}'
+GROUP BY nation_name, o_year
+ORDER BY nation_name, o_year DESC
+"""
+
+
+@register(
+    "q9_product_profit",
+    oracle=_Q9_ORACLE,
+    doc="TPC-H Q9 shape (discounted price as profit — no supplycost "
+    "column): non-anchored LIKE '%widget%' contains-filter on the "
+    "part dimension (StringContains pushdown), two broadcast dim "
+    "chains, two-level grouping by supplier nation and ship year.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(_Q9_PATTERN))
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("nation_name", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — above-share suppliers (HAVING vs a global scalar subquery).
+# ---------------------------------------------------------------------------
+
+# Keep suppliers whose revenue exceeds 1.1x the uniform share — a
+# scale-free threshold (the textbook FRACTION/SF scaling): the compare
+# is done as rev * (n_supp * 10) > total * 11 in EXACT decimals, with
+# both sides pre-cast to DECIMAL(28,6) so no product exceeds
+# precision 38 (where Spark and DuckDB clamp differently).
+_Q11_DEC = "DECIMAL(28,6)"
+
+_Q11_ORACLE = f"""
+WITH sv AS (
+  SELECT l_suppkey, CAST(SUM({_disc_price_sql()}) AS {_Q11_DEC}) AS rev_dec
+  FROM lineitem GROUP BY l_suppkey
+), t AS (
+  SELECT CAST(SUM(rev_dec) AS {_Q11_DEC}) AS total_dec,
+         COUNT(*) AS n_supp
+  FROM sv
+)
+SELECT sv.l_suppkey AS s_suppkey,
+       CAST(sv.rev_dec AS DOUBLE) AS value
+FROM sv, t
+WHERE sv.rev_dec * CAST(t.n_supp * 10 AS DECIMAL(8,0))
+      > t.total_dec * CAST(11 AS DECIMAL(2,0))
+ORDER BY value DESC, s_suppkey
+"""
+
+
+@register(
+    "q11_important_share",
+    oracle=_Q11_ORACLE,
+    doc="TPC-H Q11 shape (supplier revenue standing in for stock "
+    "value): HAVING against a global scalar subquery — the total and "
+    "supplier count reduce to a 1-row crossJoin broadcast, and the "
+    "share test runs in exact decimals with products kept under "
+    "precision 38 (rev*(10n) > 11*total), so the survivor set is "
+    "identical in both engines at any SF — the threshold scales with "
+    "supplier count, the textbook FRACTION/SF trick.",
+)
+def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sv = li.groupBy("l_suppkey").agg(
+        F.sum(_disc_price()).cast(_Q11_DEC.lower()).alias("rev_dec")
+    )
+    t = sv.agg(
+        F.sum("rev_dec").cast(_Q11_DEC.lower()).alias("total_dec"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    lhs = F.col("rev_dec") * (F.col("n_supp") * F.lit(10)).cast(
+        "decimal(8,0)"
+    )
+    rhs = F.col("total_dec") * F.lit(11).cast("decimal(2,0)")
+    return (
+        sv.crossJoin(F.broadcast(t))
+        .filter(lhs > rhs)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("rev_dec").cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "s_suppkey")
     )

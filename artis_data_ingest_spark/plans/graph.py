@@ -106,6 +106,7 @@ ORDER BY pr_fixed DESC, nation_name
     "mass dropped (GraphX staticPageRank semantics). Per iteration: "
     "one node⨝edge hash join + one aggregate on dst; rank tables are "
     "node-bounded, edges shuffle on src.",
+    bench=True,
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(

@@ -261,6 +261,7 @@ LIMIT {_BM25_TOPK}
     "correctly-rounded division — bit-identical across engines and "
     "partitionings (oracle keeps the readable CTE form; exact "
     "integer arithmetic guarantees plan-independent equality).",
+    bench=True,
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _tokens(spark, sf_dir)
@@ -432,6 +433,7 @@ _BPE_ORACLE = (
     "Spark and DuckDB (RE2, no lookbehind) agree byte-for-byte. The "
     "oracle unrolls the same iterations as a CTE chain (the k-means "
     "pattern); integer supports make every round hash-exact.",
+    bench=True,
 )
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = _tokens(spark, sf_dir)

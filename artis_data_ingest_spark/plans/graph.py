@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.graphs import pagerank
 from ..sources.tables import load_table
 from .registry import register
 
@@ -128,49 +129,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("dst"),
         )
     )
-    # Materialize the derived graph ONCE: every unrolled iteration
-    # references ew/nodes, and an un-checkpointed plan re-derives the
-    # whole fact-table join chain per iteration (11 scans / 20
-    # shuffles for 5 rounds — measured). localCheckpoint caps the
-    # pipeline at one edge derivation + per-round edge/node-sized
-    # work, the connected_components pattern.
-    edges = (
-        eraw.groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint()
-    )
-    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    ew = edges.join(outw, "src").localCheckpoint()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    base = nn.select(
-        F.expr(f"(15 * CAST({_PR_SCALE} AS BIGINT)) DIV (100 * n)").alias(
-            "b"
-        ),
-        "n",
-    )
-    pr = nodes.crossJoin(F.broadcast(base)).select(
-        "node", F.expr(f"CAST({_PR_SCALE} AS BIGINT) DIV n").alias("pr")
-    )
-    for _ in range(_PR_ITER):
-        contrib = pr.join(ew, pr["node"] == ew["src"]).select(
-            "dst", F.expr("(pr * w) DIV ow").alias("contrib")
-        )
-        summed = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
-        pr = (
-            nodes.join(summed, nodes["node"] == summed["dst"], "left")
-            .crossJoin(F.broadcast(base))
-            .select(
-                "node",
-                F.expr("b + (85 * COALESCE(s, CAST(0 AS BIGINT))) DIV 100")
-                .alias("pr"),
-            )
-        )
+    # Library operator (operators/graphs.py): same integer math the
+    # oracle unrolls; grouping eraw with w=1 reproduces COUNT(*).
+    pr = pagerank(eraw.withColumn("w", F.lit(1)), n_iter=_PR_ITER)
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         pr.join(F.broadcast(n), pr["node"] == n["n_nationkey"])

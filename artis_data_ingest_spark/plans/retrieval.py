@@ -15,9 +15,10 @@ Cross-engine determinism (the driver hashes doubles at FULL precision,
     constants by scaling numerator and denominator by 10, so both are
     BIGINT products well under 2**53 at every fixture SF.  Identical
     integers → identical correctly-rounded division in Spark and DuckDB.
-  * Multi-term scores are added in a FIXED textual order (coalesce per
-    term, left-to-right `+`), never via a float SUM aggregate whose
-    accumulation order depends on partitioning.
+  * Multi-term scores are added in a FIXED textual order (per-term
+    when/otherwise-0.0 columns combined left-to-right with `+`), never
+    via a float SUM aggregate whose accumulation order depends on
+    partitioning.
 
 Scale notes (100 TB):
   * The query-term filter lands BEFORE the explode's aggregate, so only

@@ -692,3 +692,48 @@ def test_merge_upsert_null_safe_keys_opt_in(spark):
     out = merge_upsert(tgt, src, ["k"], null_safe_keys=True)
     got = {r.k: r.v for r in out.collect()}
     assert got == {None: "new", 1: "a"}
+
+
+def test_pagerank_stress_star_and_chain(spark):
+    """Adversarial graph shapes for the integer PageRank operator: a
+    5k-spoke star (every spoke points at the hub) and a 2k-node chain.
+    Pins (a) the hub dominates every spoke, (b) chain ranks increase
+    monotonically downstream of the head, (c) total mass stays within
+    [keep-fraction, 1] of SCALE (dangling mass only ever shrinks it),
+    and (d) results are bit-identical under a different partitioning."""
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.operators.graphs import PR_SCALE, pagerank
+
+    n_spokes, chain_len = 5000, 2000
+    star = spark.range(1, n_spokes + 1).select(
+        F.col("id").alias("src"), F.lit(0).alias("dst"), F.lit(1).alias("w")
+    )
+    chain = spark.range(chain_len - 1).select(
+        (F.col("id") + 1_000_000).alias("src"),
+        (F.col("id") + 1_000_001).alias("dst"),
+        F.lit(1).alias("w"),
+    )
+    edges = star.unionByName(chain)
+
+    pr = pagerank(edges, n_iter=8)
+    rows = {r.node: r.pr for r in pr.collect()}
+    n_nodes = n_spokes + 1 + chain_len
+    assert len(rows) == n_nodes
+
+    hub = rows[0]
+    spoke = rows[1]
+    assert hub > 100 * spoke, (hub, spoke)  # hub absorbs all star mass
+    # chain: rank accumulates moving downstream (first few hops)
+    c0, c1, c2 = (rows[1_000_000 + i] for i in range(3))
+    assert c0 < c1 < c2
+    total = sum(rows.values())
+    assert 0.15 * PR_SCALE * 0.9 < total <= PR_SCALE
+
+    alt = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        rows2 = {r.node: r.pr for r in pagerank(edges, n_iter=8).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", alt)
+    assert rows2 == rows

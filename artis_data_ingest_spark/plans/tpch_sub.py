@@ -823,9 +823,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q11 — above-share suppliers (HAVING vs a global scalar subquery).
 # ---------------------------------------------------------------------------
 
-# Keep suppliers whose revenue exceeds 1.1x the uniform share — a
-# scale-free threshold (the textbook FRACTION/SF scaling): the compare
-# is done as rev * (n_supp * 10) > total * 11 in EXACT decimals, with
+# Keep suppliers whose revenue exceeds 1.05x the uniform share — a
+# scale-free threshold (the textbook FRACTION/SF scaling; 1.05 keeps
+# the survivor set non-empty at every fixture SF, incl. the 10-supplier
+# sf0.001 sample): the compare
+# is done as rev * (n_supp * 20) > total * 21 in EXACT decimals, with
 # both sides pre-cast to DECIMAL(28,6) so no product exceeds
 # precision 38 (where Spark and DuckDB clamp differently).
 _Q11_DEC = "DECIMAL(28,6)"
@@ -842,8 +844,8 @@ WITH sv AS (
 SELECT sv.l_suppkey AS s_suppkey,
        CAST(sv.rev_dec AS DOUBLE) AS value
 FROM sv, t
-WHERE sv.rev_dec * CAST(t.n_supp * 10 AS DECIMAL(8,0))
-      > t.total_dec * CAST(11 AS DECIMAL(2,0))
+WHERE sv.rev_dec * CAST(t.n_supp * 20 AS DECIMAL(8,0))
+      > t.total_dec * CAST(21 AS DECIMAL(2,0))
 ORDER BY value DESC, s_suppkey
 """
 
@@ -855,7 +857,7 @@ ORDER BY value DESC, s_suppkey
     "value): HAVING against a global scalar subquery — the total and "
     "supplier count reduce to a 1-row crossJoin broadcast, and the "
     "share test runs in exact decimals with products kept under "
-    "precision 38 (rev*(10n) > 11*total), so the survivor set is "
+    "precision 38 (rev*(20n) > 21*total), so the survivor set is "
     "identical in both engines at any SF — the threshold scales with "
     "supplier count, the textbook FRACTION/SF trick.",
 )
@@ -868,10 +870,10 @@ def q11_important_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_dec").cast(_Q11_DEC.lower()).alias("total_dec"),
         F.count(F.lit(1)).alias("n_supp"),
     )
-    lhs = F.col("rev_dec") * (F.col("n_supp") * F.lit(10)).cast(
+    lhs = F.col("rev_dec") * (F.col("n_supp") * F.lit(20)).cast(
         "decimal(8,0)"
     )
-    rhs = F.col("total_dec") * F.lit(11).cast("decimal(2,0)")
+    rhs = F.col("total_dec") * F.lit(21).cast("decimal(2,0)")
     return (
         sv.crossJoin(F.broadcast(t))
         .filter(lhs > rhs)

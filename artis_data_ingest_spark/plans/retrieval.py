@@ -60,11 +60,10 @@ _TOK_SQL = f"""
 """
 
 
-def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # split+explode over a small single-split parquet file would run on
-    # one core; spread first (no-op when the scan already has enough
-    # splits — the 100 TB case)
-    docs = spread_cpu_bound(load_table(spark, sf_dir, "documents"))
+def tokenize_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) token stream of a documents DataFrame — the one
+    tokenization every retrieval operator (and the streaming index
+    maintainer) shares, so keys align across batch and stream."""
     return (
         docs.select(
             "doc_id",
@@ -72,6 +71,15 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("token") != "")
         .select("doc_id", F.lower("token").alias("term"))
+    )
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # split+explode over a small single-split parquet file would run on
+    # one core; spread first (no-op when the scan already has enough
+    # splits — the 100 TB case)
+    return tokenize_docs(
+        spread_cpu_bound(load_table(spark, sf_dir, "documents"))
     )
 
 

@@ -458,3 +458,49 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == batch and len(got) == ev.count()
+
+
+def test_streaming_index_maintenance_matches_full_build(spark, tmp_path):
+    """Incremental index maintenance == one-shot full build: document
+    files drip in across two checkpointed runs (the second resumes and
+    merges ONLY the new arrivals), each batch merges algebraically
+    into the previous snapshot, and the final snapshot equals the
+    full-corpus partial_index row-for-row."""
+    from artis_data_ingest_spark.sources.tables import load_table
+    from artis_data_ingest_spark.streaming.index import (
+        current_index,
+        partial_index,
+        stream_index_maintenance,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    arrivals = tmp_path / "docs_arrivals"
+    arrivals.mkdir()
+    idx, ckpt = str(tmp_path / "index"), str(tmp_path / "index_ckpt")
+
+    # three disjoint document files, landed in two waves
+    parts = [
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1) for i in range(3)
+    ]
+    parts[0].write.parquet(str(arrivals), mode="append")
+    q = stream_index_maintenance(spark, str(arrivals), idx, ckpt)
+    q.awaitTermination(120)
+
+    parts[1].write.parquet(str(arrivals), mode="append")
+    parts[2].write.parquet(str(arrivals), mode="append")
+    q = stream_index_maintenance(spark, str(arrivals), idx, ckpt)
+    q.awaitTermination(120)
+
+    final = current_index(spark, idx)
+    want = partial_index(docs)
+    key = lambda r: r.term  # noqa: E731
+    got_rows = sorted(
+        ((r.term, r.df, r.total_tf, list(r.plist)) for r in final.collect())
+    )
+    want_rows = sorted(
+        ((r.term, r.df, r.total_tf, list(r.plist)) for r in want.collect())
+    )
+    assert got_rows == want_rows and got_rows
+    # the replay guard: merging a batch into its OWN snapshot would
+    # double-count; current_index(before=N) must skip batch N
+    assert current_index(spark, idx, before=0) is None

@@ -386,7 +386,8 @@ WITH tok AS (
   )
   WHERE token <> ''
 ), vocab0 AS (
-  SELECT '{_BPE_SEP}{_BPE_SEP}'
+  SELECT word,
+         '{_BPE_SEP}{_BPE_SEP}'
            || regexp_replace(word, '(.)', '\\1{_BPE_SEP}{_BPE_SEP}', 'g')
            AS enc,
          COUNT(*) AS cnt
@@ -405,7 +406,8 @@ _BPE_ORACLE_ITER = """, syms{i} AS (
   SELECT l, r, CAST(support AS BIGINT) AS support
   FROM pairs{i} ORDER BY support DESC, l, r LIMIT 1
 ), vocab{j} AS (
-  SELECT replace(enc, '{s}' || t.l || '{s}{s}' || t.r || '{s}',
+  SELECT word,
+         replace(enc, '{s}' || t.l || '{s}{s}' || t.r || '{s}',
                  '{s}' || t.l || t.r || '{s}') AS enc, cnt
   FROM vocab{i}, top{i} t
 )"""
@@ -426,31 +428,16 @@ _BPE_ORACLE = (
 )
 
 
-@register(
-    "q_bpe_merges",
-    oracle=_BPE_ORACLE,
-    doc=f"Distributed BPE tokenizer training ({_BPE_MERGES} merges): "
-    "the corpus reduces ONCE to a word-frequency table (the classic "
-    "BPE preprocessing — all later work is vocabulary-bounded, not "
-    "corpus-bounded); each merge round counts adjacent symbol pairs "
-    "weighted by word count (one bounded aggregate), takes the top "
-    "pair (support DESC, then lexicographic — a deterministic 1-row "
-    "TakeOrdered broadcast), and rewrites the vocabulary with a plain "
-    "left-to-right replace() on a separator-doubled encoding — the "
-    "'\\x1f\\x1fa\\x1f\\x1fb\\x1f\\x1f' form makes adjacent "
-    "occurrences replace correctly WITHOUT regex lookarounds, so "
-    "Spark and DuckDB (RE2, no lookbehind) agree byte-for-byte. The "
-    "oracle unrolls the same iterations as a CTE chain (the k-means "
-    "pattern); integer supports make every round hash-exact.",
-    bench=True,
-)
-def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared trainer: returns (final vocab (word, enc, cnt), list of
+    per-merge 1-row DataFrames (merge_rank, l, r, merged, support))."""
     tok = _tokens(spark, sf_dir)
     sep2 = _BPE_SEP + _BPE_SEP
     vocab = (
         tok.groupBy(F.col("term").alias("word"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
+            "word",
             F.concat(
                 F.lit(sep2),
                 F.regexp_replace("word", "(.)", "$1" + sep2),
@@ -475,9 +462,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("l", "r")
             .agg(F.sum("cnt").alias("support"))
         )
-        top = pairs.orderBy(
-            F.col("support").desc(), "l", "r"
-        ).limit(1)
+        top = pairs.orderBy(F.col("support").desc(), "l", "r").limit(1)
         tops.append(
             top.select(
                 F.lit(i).alias("merge_rank"),
@@ -495,9 +480,91 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_BPE_SEP), F.col("l"), F.col("r"), F.lit(_BPE_SEP)
         )
         vocab = vocab.crossJoin(F.broadcast(top)).select(
-            F.replace(F.col("enc"), pat, rep).alias("enc"), "cnt"
+            "word", F.replace(F.col("enc"), pat, rep).alias("enc"), "cnt"
         )
+    return vocab, tops
+
+
+@register(
+    "q_bpe_merges",
+    oracle=_BPE_ORACLE,
+    doc=f"Distributed BPE tokenizer training ({_BPE_MERGES} merges): "
+    "the corpus reduces ONCE to a word-frequency table (the classic "
+    "BPE preprocessing — all later work is vocabulary-bounded, not "
+    "corpus-bounded); each merge round counts adjacent symbol pairs "
+    "weighted by word count (one bounded aggregate), takes the top "
+    "pair (support DESC, then lexicographic — a deterministic 1-row "
+    "TakeOrdered broadcast), and rewrites the vocabulary with a plain "
+    "left-to-right replace() on a separator-doubled encoding — the "
+    "'\\x1f\\x1fa\\x1f\\x1fb\\x1f\\x1f' form makes adjacent "
+    "occurrences replace correctly WITHOUT regex lookarounds, so "
+    "Spark and DuckDB (RE2, no lookbehind) agree byte-for-byte. The "
+    "oracle unrolls the same iterations as a CTE chain (the k-means "
+    "pattern); integer supports make every round hash-exact.",
+    bench=True,
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, tops = _bpe_train(spark, sf_dir)
     out = tops[0]
     for t in tops[1:]:
         out = out.unionByName(t)
     return out.orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# BPE apply: tokenize the corpus with the learned merges.
+# ---------------------------------------------------------------------------
+
+_BPE_APPLY_ORACLE = (
+    _BPE_ORACLE_HEAD
+    + "".join(
+        _BPE_ORACLE_ITER.format(i=i, j=i + 1, s=_BPE_SEP)
+        for i in range(_BPE_MERGES)
+    )
+    + f""", wt AS (
+  SELECT word,
+         len(list_filter(string_split(enc, '{_BPE_SEP}{_BPE_SEP}'),
+                         x -> x <> '')) AS n_bpe
+  FROM vocab{_BPE_MERGES}
+), tok2 AS ({_TOK_SQL})
+SELECT tok2.doc_id,
+       COUNT(*) AS ws_tokens,
+       CAST(SUM(wt.n_bpe) AS BIGINT) AS bpe_tokens,
+       CAST(CAST(SUM(wt.n_bpe) AS BIGINT) AS DOUBLE) / COUNT(*)
+         AS bpe_per_word
+FROM tok2 JOIN wt ON tok2.term = wt.word
+GROUP BY tok2.doc_id
+ORDER BY tok2.doc_id
+"""
+)
+
+
+@register(
+    "q_bpe_apply",
+    oracle=_BPE_APPLY_ORACLE,
+    doc="Tokenizer APPLY — the second half of the BPE story: the "
+    "learned merges collapse each vocabulary word to its final symbol "
+    "count (word→n_bpe is a vocabulary-bounded broadcast map, built "
+    "once), and the corpus token stream joins it to report per-doc "
+    "whitespace-token vs BPE-token counts and the compression ratio "
+    "(one exact-integer division). The corpus is touched by exactly "
+    "one tokenize+join pass; all merge work happens on the vocabulary.",
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab, _ = _bpe_train(spark, sf_dir)
+    sep2 = _BPE_SEP + _BPE_SEP
+    n_bpe = F.size(F.filter(F.split("enc", sep2), lambda x: x != ""))
+    wt = vocab.select("word", n_bpe.alias("n_bpe"))
+    tok = _tokens(spark, sf_dir)
+    return (
+        tok.join(F.broadcast(wt), tok["term"] == wt["word"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            (
+                F.sum("n_bpe").cast("double") / F.count(F.lit(1))
+            ).alias("bpe_per_word"),
+        )
+        .orderBy("doc_id")
+    )

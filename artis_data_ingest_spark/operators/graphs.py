@@ -56,9 +56,20 @@ def pagerank(
     pr = nodes.crossJoin(F.broadcast(base)).select(
         "node", F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV n").alias("pr")
     )
+    # Exact identity (pr*w) DIV ow == (pr DIV ow)*w + ((pr MOD ow)*w)
+    # DIV ow for non-negative ints: the naive product pr*w overflows
+    # BIGINT once w ≥ ~9.2e6 (pr approaches PR_SCALE on a hub), which
+    # under Spark 4's ANSI default kills the job mid-iteration.  The
+    # split form only needs w*ow < 2^63 (pr DIV ow ≤ pr/w·... ≤
+    # PR_SCALE/ow·ow bounded by PR_SCALE since w ≤ ow) — satisfied by
+    # any real graph whose per-source degree×weight product stays
+    # under 9.2e18; rescale weights upstream beyond that.
+    _contrib = (
+        "(pr DIV ow) * w + ((pr % ow) * w) DIV ow"
+    )
     for i in range(n_iter):
         contrib = pr.join(ew, pr["node"] == ew["src"]).select(
-            "dst", F.expr("(pr * w) DIV ow").alias("contrib")
+            "dst", F.expr(_contrib).alias("contrib")
         )
         summed = contrib.groupBy("dst").agg(F.sum("contrib").alias("s"))
         pr = (

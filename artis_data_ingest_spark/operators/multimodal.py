@@ -237,7 +237,9 @@ def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame
                 pdf["content"], pdf["kind"], pdf["meta"]
             ):
                 if kind == "image":
-                    b = bytes(blob)
+                    # NULL content must stay null-tolerant (the stub
+                    # emits a zero blob), not crash on bytes(None)
+                    b = b"" if blob is None else bytes(blob)
                     out_blobs.append(
                         _resize_png_nn(b, width, height)
                         if b[:8] == _PNG_MAGIC

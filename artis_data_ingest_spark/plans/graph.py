@@ -16,8 +16,12 @@ Determinism across engines and partitionings is the whole design:
     damping update is ``base + (85 * Σcontrib) DIV 100``.  Integer
     sums are associative, so no accumulation-order hazard exists —
     the float-sum problem that makes naive PageRank unreproducible.
-  * Bounds: pr ≤ SCALE = 1e12 and Σw per source ≤ |edges|, so
-    ``pr * w`` stays far under 2^63. (DuckDB widens sums to HUGEINT;
+  * Bounds: the operator computes contributions in the split form
+    ``(pr DIV ow)*w + ((pr MOD ow)*w) DIV ow`` — exactly equal to
+    ``(pr*w) DIV ow`` for non-negative ints but needing only
+    ``w*ow < 2^63`` instead of ``pr*w < 2^63`` (pr approaches 1e12 on
+    hubs, so the naive product overflows at w ≈ 9e6). (DuckDB widens
+    its oracle sums to HUGEINT, so the simple form stays exact there;
     the final projection casts back to BIGINT for the driver hash.)
   * Dangling mass (nodes with no out-edges) is dropped, matching
     GraphX's staticPageRank simplification — stated, not accidental.

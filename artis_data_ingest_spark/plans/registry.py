@@ -95,8 +95,15 @@ _PRIORITY: list[str] = [
     "q_chunk_dedup",
     "q_linreg",
     "q_histogram",
-    # The whole r4-latest block ages one more round this time — the 19
-    # round-6 queries above need first verdicts and the budget is hard.
+    # The whole r4-latest block ages one more round this time — the 17
+    # round-6 TPC-H/retrieval/graph/media queries above need first
+    # verdicts and the budget is hard.  Seven round-6 queries exceed
+    # even this budget and are deliberately deferred to round 7's
+    # front-load (all full-local-gate green this session):
+    # q2_min_cost_supplier, q9_product_profit, q11_important_share,
+    # q_zorder_cells, q_bpe_merges, q_bpe_apply, q_index_delta_merge
+    # (q_bpe_merges and q_pagerank are additionally benched every
+    # round, so their values are exercised at sf0.1 regardless).
     # Every r4 name (q_xpath_links, q_csv_clean_prod, q_excel_fleet,
     # q_clean_pipeline, q_notin_filter, q_era_branch, q_value_diff,
     # q_changelog_pair_diff, q_semi_join, q_anti_join, q_asof_join,

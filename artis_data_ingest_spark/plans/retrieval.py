@@ -83,6 +83,31 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def partial_index(docs: DataFrame) -> DataFrame:
+    """(term, df, total_tf, plist) partial index of one doc set — the
+    single definition both the batch delta-merge query and the
+    streaming maintainer (streaming/index.py) build on."""
+    return tokenize_docs(docs).groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("total_tf"),
+        F.sort_array(F.collect_set("doc_id")).alias("plist"),
+    )
+
+
+def merge_indexes(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Algebraic merge of partial indexes over DISJOINT doc sets: df
+    and total_tf are additive, postings a sorted disjoint union."""
+    return (
+        a.unionByName(b)
+        .groupBy("term")
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("total_tf").alias("total_tf"),
+            F.sort_array(F.flatten(F.collect_list("plist"))).alias("plist"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Inverted index: term → df, total tf, sorted postings.
 # ---------------------------------------------------------------------------
@@ -345,26 +370,16 @@ _IDX_SPLIT_DOC = 400
     "index), one term-keyed shuffle per commit.",
 )
 def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = _tokens(spark, sf_dir)
-
-    def partial(t: DataFrame) -> DataFrame:
-        return t.groupBy("term").agg(
-            F.countDistinct("doc_id").alias("df"),
-            F.count(F.lit(1)).alias("total_tf"),
-            F.sort_array(F.collect_set("doc_id")).alias("plist"),
-        )
-
-    base = partial(tok.filter(F.col("doc_id") < _IDX_SPLIT_DOC))
-    delta = partial(tok.filter(F.col("doc_id") >= _IDX_SPLIT_DOC))
+    docs = spread_cpu_bound(load_table(spark, sf_dir, "documents"))
+    base = partial_index(docs.filter(F.col("doc_id") < _IDX_SPLIT_DOC))
+    delta = partial_index(docs.filter(F.col("doc_id") >= _IDX_SPLIT_DOC))
     return (
-        base.unionByName(delta)
-        .groupBy("term")
-        .agg(
-            F.sum("df").alias("df"),
-            F.sum("total_tf").alias("total_tf"),
-            F.array_join(
-                F.sort_array(F.flatten(F.collect_list("plist"))), ","
-            ).alias("postings"),
+        merge_indexes(base, delta)
+        .select(
+            "term",
+            "df",
+            "total_tf",
+            F.array_join("plist", ",").alias("postings"),
         )
         .orderBy("term")
     )

@@ -261,14 +261,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q13 — customer order-count distribution (outer join keeps zeros).
 # ---------------------------------------------------------------------------
 
-_Q13_EXCLUDED = "1-URGENT"
+_Q13_KEPT = "1-URGENT"
 
 _Q13_ORACLE = f"""
 WITH c_orders AS (
   SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
   FROM customer c
   LEFT JOIN orders o
-    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '{_Q13_EXCLUDED}'
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority = '{_Q13_KEPT}'
   GROUP BY c.c_custkey
 )
 SELECT c_count, COUNT(*) AS custdist
@@ -281,11 +281,13 @@ ORDER BY custdist DESC, c_count DESC
 @register(
     "q13_order_distribution",
     oracle=_Q13_ORACLE,
-    doc="TPC-H Q13 shape: left-outer join preserving zero-order "
-    "customers (the filter lives in the join condition, not WHERE), "
-    "then an aggregate OF an aggregate — the count distribution. The "
-    "outer join shuffles once on custkey; the second aggregate input "
-    "is |customer|-bounded.",
+    doc="TPC-H Q13 shape: left-outer join preserving zero-count "
+    "customers (the priority filter lives in the JOIN CONDITION, not "
+    "WHERE — counting only urgent orders, so the zero bucket is "
+    "non-empty at every fixture SF and the preservation property is "
+    "actually exercised), then an aggregate OF an aggregate — the "
+    "count distribution. The outer join shuffles once on custkey; the "
+    "second aggregate input is |customer|-bounded.",
 )
 def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
@@ -294,7 +296,7 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero-count customers the query exists to keep).
     o = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderpriority") != _Q13_EXCLUDED)
+        .filter(F.col("o_orderpriority") == _Q13_KEPT)
         .select("o_custkey", "o_orderkey")
     )
     return (

@@ -82,8 +82,12 @@ def read_pruned(
     base = spark.read.parquet(path)
     if not files:
         return base.filter(F.lit(False))
+    # basePath keeps hive partition-directory columns derivable when
+    # reading leaf files directly — without it, partition columns come
+    # back NULL on a partitioned layout
     return (
         spark.read.schema(base.schema)
+        .option("basePath", path)
         .parquet(*files)
         .filter(F.col(col).between(F.lit(lo), F.lit(hi)))
     )

@@ -25,33 +25,11 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.retrieval import tokenize_docs
+from ..plans.retrieval import merge_indexes, partial_index
 
 _DOCS_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
 )
-
-
-def partial_index(docs: DataFrame) -> DataFrame:
-    """(term, df, total_tf, plist) partial index of one doc set."""
-    return tokenize_docs(docs).groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df"),
-        F.count(F.lit(1)).alias("total_tf"),
-        F.sort_array(F.collect_set("doc_id")).alias("plist"),
-    )
-
-
-def merge_indexes(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Algebraic merge of partial indexes over DISJOINT doc sets."""
-    return (
-        a.unionByName(b)
-        .groupBy("term")
-        .agg(
-            F.sum("df").alias("df"),
-            F.sum("total_tf").alias("total_tf"),
-            F.sort_array(F.flatten(F.collect_list("plist"))).alias("plist"),
-        )
-    )
 
 
 def current_index(

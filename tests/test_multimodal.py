@@ -538,3 +538,26 @@ def test_resize_media_uses_real_path_for_png(spark):
         assert np.array_equal(arr[:, :, 0], np.broadcast_to(xs, (5, 6)))
         assert np.array_equal(arr[:, :, 1], np.broadcast_to(ys[:, None], (5, 6)))
         assert r.meta["width"] == 6 and r.meta["height"] == 5
+
+
+def test_resize_media_tolerates_null_content(spark):
+    """A NULL image blob must flow through the stub path as a
+    zero blob, not crash the Arrow batch on bytes(None)."""
+    from artis_data_ingest_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (
+                0, "image", None,
+                {"width": None, "height": None, "n_frames": None,
+                 "sample_rate": None},
+            )
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = resize_media(media, width=4, height=3).collect()
+    assert len(rows) == 1
+    assert bytes(rows[0].content) == bytes(12)

@@ -706,19 +706,33 @@ def test_pagerank_stress_star_and_chain(spark):
     from artis_data_ingest_spark.operators.graphs import PR_SCALE, pagerank
 
     n_spokes, chain_len = 5000, 2000
+    # heavy weights: w=5e7 per spoke would overflow the naive pr*w
+    # BIGINT product once the hub's rank approaches PR_SCALE — pins the
+    # split-division contribution form (w*ow bound, not pr*w)
+    heavy = 50_000_000
     star = spark.range(1, n_spokes + 1).select(
-        F.col("id").alias("src"), F.lit(0).alias("dst"), F.lit(1).alias("w")
+        F.col("id").alias("src"),
+        F.lit(0).alias("dst"),
+        F.lit(heavy).alias("w"),
     )
     chain = spark.range(chain_len - 1).select(
         (F.col("id") + 1_000_000).alias("src"),
         (F.col("id") + 1_000_001).alias("dst"),
         F.lit(1).alias("w"),
     )
-    edges = star.unionByName(chain)
+    # the hub itself drains through a heavy edge: its rank approaches
+    # the whole star's mass, so the naive pr*w product exceeds 2^63
+    # here — the split form must survive it
+    drain = spark.range(1).select(
+        F.lit(0).alias("src"),
+        F.lit(2_000_000).alias("dst"),
+        F.lit(heavy).alias("w"),
+    )
+    edges = star.unionByName(chain).unionByName(drain)
 
     pr = pagerank(edges, n_iter=8)
     rows = {r.node: r.pr for r in pr.collect()}
-    n_nodes = n_spokes + 1 + chain_len
+    n_nodes = n_spokes + 1 + chain_len + 1
     assert len(rows) == n_nodes
 
     hub = rows[0]

@@ -394,16 +394,20 @@ def test_q15_single_fact_scan(spark):
 def test_q13_left_join_keeps_zero_count_customers(spark):
     """The priority filter must live in the join (orders side filtered
     pre-join), so customers with zero surviving orders appear with
-    c_count = 0 — the row the distribution exists to report."""
+    c_count = 0 — the row the distribution exists to report (the
+    fixture has 18 urgent-order-free customers at sf0.001)."""
     rows = {
         r.c_count: r.custdist
         for r in plans.queries()["q13_order_distribution"](spark, SF_DIR).collect()
     }
-    assert 0 not in rows or rows[0] >= 0  # schema sanity
+    assert rows.get(0, 0) > 0, "zero-count customers were dropped"
+    # every customer appears exactly once in the distribution
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    assert sum(rows.values()) == n_cust
     # the filter is pushed into the orders scan, not applied post-join
     df = plans.queries()["q13_order_distribution"](spark, SF_DIR)
     p = plan_str(df)
-    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in p
+    assert "EqualTo(o_orderpriority,1-URGENT)" in p
     assert "LeftOuter" in p or "RightOuter" in p
 
 

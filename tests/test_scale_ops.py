@@ -333,17 +333,18 @@ def test_manifest_prunes_files_and_preserves_results(spark, tmp_path):
     kept = prune_files(man, "o_totalprice", lo, hi)
     assert 0 < len(kept) < len(files), (len(kept), len(files))
 
-    got = sorted(
-        r.o_orderkey
-        for r in read_pruned(
-            spark, out, man, "o_totalprice", lo, hi
-        ).collect()
-    )
+    pruned_rows = read_pruned(
+        spark, out, man, "o_totalprice", lo, hi
+    ).collect()
+    got = sorted((r.o_orderkey, r.o_orderstatus) for r in pruned_rows)
     want = sorted(
-        r.o_orderkey
+        (r.o_orderkey, r.o_orderstatus)
         for r in o.filter(F.col("o_totalprice").between(lo, hi)).collect()
     )
+    # includes the hive partition column: leaf-file reads must set
+    # basePath or o_orderstatus silently comes back NULL
     assert got == want and got
+    assert {s for _, s in got} == {"O", "P", "F"}
 
     # a range beyond every envelope prunes everything, schema intact
     empty = read_pruned(spark, out, man, "o_totalprice", 1e12, 2e12)

@@ -473,7 +473,7 @@ def test_streaming_index_maintenance_matches_full_build(spark, tmp_path):
         stream_index_maintenance,
     )
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, SF_DIR, "documents")
     arrivals = tmp_path / "docs_arrivals"
     arrivals.mkdir()
     idx, ckpt = str(tmp_path / "index"), str(tmp_path / "index_ckpt")

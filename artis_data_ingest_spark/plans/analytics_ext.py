@@ -928,3 +928,118 @@ def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency estimation, fully deterministic.
+# ---------------------------------------------------------------------------
+
+_CMS_P, _CMS_W, _CMS_D = 2147483647, 4096, 4
+_CMS_A = (131071, 524287, 8191, 127)
+_CMS_B = (97, 193, 389, 769)
+_CMS_PROBES = (1, 2, 3, 5, 8)
+
+
+def _cms_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS d, {_CMS_A[i]} AS a, {_CMS_B[i]} AS b"
+        for i in range(_CMS_D)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS key" for k in _CMS_PROBES
+    )
+    return f"""
+WITH hashes AS ({rows}),
+cms AS (
+  SELECT h.d, ((l.l_partkey * h.a + h.b) % {_CMS_P}) % {_CMS_W} AS col,
+         COUNT(*) AS cnt
+  FROM lineitem l, hashes h
+  GROUP BY d, col
+),
+n AS (SELECT COUNT(*) AS n_total FROM lineitem),
+probes AS ({probes}),
+cells AS (
+  SELECT p.key, h.d, ((p.key * h.a + h.b) % {_CMS_P}) % {_CMS_W} AS col
+  FROM probes p, hashes h
+),
+est AS (
+  SELECT c.key, MIN(COALESCE(cms.cnt, 0)) AS estimate
+  FROM cells c LEFT JOIN cms ON cms.d = c.d AND cms.col = c.col
+  GROUP BY c.key
+),
+exact AS (
+  SELECT l_partkey AS key, COUNT(*) AS exact FROM lineitem GROUP BY 1
+)
+SELECT e.key, e.estimate, COALESCE(x.exact, 0) AS exact,
+       e.estimate >= COALESCE(x.exact, 0) AS overestimates,
+       e.estimate - COALESCE(x.exact, 0) <= (2 * n.n_total) // {_CMS_W}
+         AS within_bound
+FROM est e LEFT JOIN exact x ON e.key = x.key, n
+ORDER BY e.key
+"""
+
+
+@register(
+    "q_cms_estimate",
+    oracle=_cms_oracle(),
+    doc=f"Count-min sketch frequency estimation (d={_CMS_D} pairwise "
+    f"hash rows × w={_CMS_W} columns, fixed (a*k+b) mod p mod w "
+    "hashes so BOTH engines build the identical sketch): the sketch "
+    "is one grouped COUNT over the hashed stream (map-side combine "
+    "collapses to d*w cells — mergeable by cell-wise addition, the "
+    "property that lets partial sketches from different shards or "
+    "days sum into one), probes read the min over their d cells, and "
+    "the CMS guarantees ship IN-QUERY as verdicts: estimate never "
+    "undercounts, and overshoot stays within 2N/w. All integer — "
+    "deterministic at any partitioning.",
+)
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    hashes = spark.createDataFrame(
+        [(i, _CMS_A[i], _CMS_B[i]) for i in range(_CMS_D)],
+        "d int, a bigint, b bigint",
+    )
+    col_of = F.expr(f"((l_partkey * a + b) % {_CMS_P}) % {_CMS_W}")
+    cms = (
+        li.crossJoin(F.broadcast(hashes))
+        .select("d", col_of.alias("col"))
+        .groupBy("d", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = li.agg(F.count(F.lit(1)).alias("n_total"))
+    probes = spark.createDataFrame(
+        [(int(k),) for k in _CMS_PROBES], "key bigint"
+    )
+    cells = probes.crossJoin(F.broadcast(hashes)).select(
+        "key",
+        "d",
+        F.expr(f"((key * a + b) % {_CMS_P}) % {_CMS_W}").alias("col"),
+    )
+    est = (
+        cells.join(cms, ["d", "col"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
+    )
+    exact = (
+        li.filter(F.col("l_partkey").isin(*_CMS_PROBES))
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    bound = F.expr(f"(2 * n_total) DIV {_CMS_W}")
+    return (
+        est.join(F.broadcast(exact), "key", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "key",
+            "estimate",
+            F.coalesce(F.col("exact"), F.lit(0)).alias("exact"),
+            (
+                F.col("estimate") >= F.coalesce(F.col("exact"), F.lit(0))
+            ).alias("overestimates"),
+            (
+                F.col("estimate") - F.coalesce(F.col("exact"), F.lit(0))
+                <= bound
+            ).alias("within_bound"),
+        )
+        .orderBy("key")
+    )

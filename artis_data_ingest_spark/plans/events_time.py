@@ -883,3 +883,124 @@ def q_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.10
         ).alias("within_10pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill with linear interpolation.
+# ---------------------------------------------------------------------------
+
+_GI_USER_MOD = 7  # bound the output: every 7th user's series
+
+
+@register(
+    "q_gap_interp",
+    oracle=f"""
+WITH hourly AS (
+  SELECT user_id,
+         CAST(date_diff('hour', TIMESTAMP '1970-01-01',
+                        date_trunc('hour', ts)) AS BIGINT) AS h,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS v
+  FROM events
+  WHERE user_id % {_GI_USER_MOD} = 0
+  GROUP BY user_id, h
+),
+bounds AS (
+  SELECT user_id, MIN(h) AS h_lo, MAX(h) AS h_hi FROM hourly GROUP BY user_id
+),
+spine AS (
+  SELECT b.user_id, b.h_lo + u.i AS h
+  FROM bounds b, UNNEST(range(b.h_hi - b.h_lo + 1)) u(i)
+),
+joined AS (
+  SELECT s.user_id, s.h, hv.v,
+    LAST_VALUE(hv.v IGNORE NULLS) OVER (
+      PARTITION BY s.user_id ORDER BY s.h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    LAST_VALUE(CASE WHEN hv.v IS NOT NULL THEN s.h END IGNORE NULLS) OVER (
+      PARTITION BY s.user_id ORDER BY s.h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+    FIRST_VALUE(hv.v IGNORE NULLS) OVER (
+      PARTITION BY s.user_id ORDER BY s.h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    FIRST_VALUE(CASE WHEN hv.v IS NOT NULL THEN s.h END IGNORE NULLS) OVER (
+      PARTITION BY s.user_id ORDER BY s.h
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM spine s
+  LEFT JOIN hourly hv ON hv.user_id = s.user_id AND hv.h = s.h
+)
+SELECT user_id, h,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN next_h = prev_h THEN prev_v
+       ELSE prev_v + (next_v - prev_v)
+            * CAST(h - prev_h AS DOUBLE) / CAST(next_h - prev_h AS DOUBLE)
+  END AS v_filled,
+  (v IS NULL) AS interpolated
+FROM joined
+ORDER BY user_id, h
+""",
+    doc="Time-series gap fill with linear interpolation: per-user "
+    "hourly buckets (exact-decimal averages), a sequence-exploded "
+    "spine between each user's first and last hour, then "
+    "last/first-IGNORE-NULLS windows carry the bracketing samples and "
+    "the gap fills as prev + (next-prev)*(h-prev_h)/(next_h-prev_h) — "
+    "one rational expression over identical exact inputs, so the "
+    "interpolated doubles hash bit-for-bit. Two window passes over "
+    "one user-partitioned shuffle; spine length is bounded per user, "
+    "never global. The pre-featurization densify step every "
+    "time-series pipeline runs.",
+)
+def q_gap_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % _GI_USER_MOD == 0
+    )
+    hourly = ev.groupBy(
+        "user_id",
+        F.expr("unix_timestamp(date_trunc('hour', ts)) DIV 3600").alias("h"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h_lo"), F.max("h").alias("h_hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence(F.col("h_lo"), F.col("h_hi"))).alias("h"),
+    )
+    j = spine.join(hourly, ["user_id", "h"], "left")
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    h_if_v = F.when(F.col("v").isNotNull(), F.col("h"))
+    j = (
+        j.withColumn("prev_v", F.last("v", ignorenulls=True).over(back))
+        .withColumn("prev_h", F.last(h_if_v, ignorenulls=True).over(back))
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(fwd))
+        .withColumn("next_h", F.first(h_if_v, ignorenulls=True).over(fwd))
+    )
+    # associativity must match the oracle's `a + b*c/d` = a + ((b*c)/d):
+    # multiplying by a pre-computed c/d ratio rounds differently in IEEE
+    interp = F.col("prev_v") + (
+        (F.col("next_v") - F.col("prev_v"))
+        * (F.col("h") - F.col("prev_h")).cast("double")
+    ) / (F.col("next_h") - F.col("prev_h")).cast("double")
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("next_h") == F.col("prev_h"), F.col("prev_v"))
+        .otherwise(interp)
+    )
+    return j.select(
+        "user_id",
+        "h",
+        filled.alias("v_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    ).orderBy("user_id", "h")

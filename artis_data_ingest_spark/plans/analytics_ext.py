@@ -1043,3 +1043,74 @@ def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median / MAD z-scores.
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3.0
+
+
+@register(
+    "q_outlier_mad",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.50), 6) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(adev, 0.50), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       MIN(d.med) AS med,
+       MIN(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > {_MAD_K} * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+    doc="Robust (median/MAD) outlier detection per event type — the "
+    "heavy-tail-safe twin of q_anomaly_p99: pass 1 computes the exact "
+    "interpolated median per group (percentile ≡ quantile_cont "
+    "semantics, rounded to 6 so both engines agree at ULP level), "
+    "pass 2 the median absolute deviation, and the |x−med| > 3·MAD "
+    "flags count per group. Two grouped percentile passes with the "
+    "group-bounded medians broadcast back onto the fact scan; "
+    "percentile_approx is the mergeable 100 TB drop-in for both "
+    "passes.",
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"),
+        "med",
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5D)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                (F.col("adev") > F.lit(_MAD_K) * F.col("mad")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

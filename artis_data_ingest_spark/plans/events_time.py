@@ -1004,3 +1004,86 @@ def q_gap_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.alias("v_filled"),
         F.col("v").isNull().alias("interpolated"),
     ).orderBy("user_id", "h")
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join against SCD-2 validity ranges.
+# ---------------------------------------------------------------------------
+
+_PIT_INF_US = 2**62
+
+
+@register(
+    "q_pit_join",
+    oracle=f"""
+WITH versions AS (
+  SELECT user_id, value AS profile_value,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from_us,
+         COALESCE(epoch_us(LEAD(CAST(ts AS TIMESTAMP)) OVER w),
+                  {_PIT_INF_US}) AS valid_to_us
+  FROM events WHERE event_type = 'view'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+purchases AS (
+  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts_us, p.value AS purchase_value,
+       v.profile_value, v.version
+FROM purchases p
+LEFT JOIN versions v
+  ON p.user_id = v.user_id
+  AND p.ts_us >= v.valid_from_us AND p.ts_us < v.valid_to_us
+ORDER BY p.event_id
+""",
+    doc="Point-in-time (temporal) join — the warehouse form of as-of "
+    "semantics: 'view' events build SCD-2 validity ranges per user "
+    "(the q_scd2_history shape), and each purchase joins the ONE "
+    "version valid at its timestamp via an equi-join on the key with "
+    "the range predicate riding the hash probe as a residual — no "
+    "inequality explosion, facts preserved by LEFT join when no "
+    "version existed yet. Equivalent semantics to q_asof_join's "
+    "window carry-forward, expressed the way a fact↔dim_version "
+    "lookup is written at 100 TB (versions are key×version bounded; "
+    "empty [from, from) intervals from same-timestamp ties exclude "
+    "themselves).",
+)
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("value").alias("profile_value"),
+            F.row_number().over(w).cast("bigint").alias("version"),
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.coalesce(
+                F.unix_micros(F.lead("ts").over(w)), F.lit(_PIT_INF_US)
+            ).alias("valid_to_us"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("ts_us") >= F.col("valid_from_us"))
+        & (F.col("ts_us") < F.col("valid_to_us"))
+    )
+    return (
+        purchases.join(versions, cond, "left")
+        .select(
+            "event_id",
+            F.col("p_user").alias("user_id"),
+            "ts_us",
+            "purchase_value",
+            "profile_value",
+            "version",
+        )
+        .orderBy("event_id")
+    )

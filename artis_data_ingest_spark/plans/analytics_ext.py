@@ -1114,3 +1114,103 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample comparison: Welch t-statistic from sufficient statistics.
+# ---------------------------------------------------------------------------
+
+_AB_A, _AB_B = "click", "view"
+
+
+@register(
+    "q_ab_test",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))
+             * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+  FROM events
+  WHERE event_type IN ('{_AB_A}', '{_AB_B}')
+  GROUP BY event_type
+),
+m AS (
+  SELECT event_type, n, sx / CAST(n AS DOUBLE) AS mean,
+    (sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var
+  FROM s
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN event_type = '{_AB_A}' THEN n END) AS n_a,
+    MAX(CASE WHEN event_type = '{_AB_B}' THEN n END) AS n_b,
+    MAX(CASE WHEN event_type = '{_AB_A}' THEN mean END) AS mean_a,
+    MAX(CASE WHEN event_type = '{_AB_B}' THEN mean END) AS mean_b,
+    MAX(CASE WHEN event_type = '{_AB_A}' THEN var END) AS var_a,
+    MAX(CASE WHEN event_type = '{_AB_B}' THEN var END) AS var_b
+  FROM m
+)
+SELECT n_a, n_b, mean_a, mean_b,
+  (mean_a - mean_b)
+    / SQRT(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))
+    AS t_stat,
+  ABS((mean_a - mean_b)
+      / SQRT(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)))
+    > 1.96 AS significant
+FROM w
+""",
+    doc="Two-sample (A/B) comparison via the Welch t-statistic, "
+    "computed entirely from sufficient statistics — one grouped pass "
+    "collects n/Σx/Σx² per arm in exact decimals, the statistic is a "
+    "closed-form float expression (identical tree both engines, IEEE "
+    "sqrt correctly rounded), and the |t| > 1.96 decision ships as an "
+    "in-query verdict. The experimentation-analysis shape at any "
+    "scale: no per-row work after the first aggregate.",
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_AB_A, _AB_B)
+    )
+    x = F.col("value").cast("decimal(12,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("sx") / nd).alias("mean"),
+        (
+            (F.col("sxx") - F.col("sx") * F.col("sx") / nd)
+            / (F.col("n") - 1).cast("double")
+        ).alias("var"),
+    )
+    def _pick(col: str, arm: str):
+        return F.max(
+            F.when(F.col("event_type") == arm, F.col(col))
+        )
+
+    w = m.agg(
+        _pick("n", _AB_A).alias("n_a"),
+        _pick("n", _AB_B).alias("n_b"),
+        _pick("mean", _AB_A).alias("mean_a"),
+        _pick("mean", _AB_B).alias("mean_b"),
+        _pick("var", _AB_A).alias("var_a"),
+        _pick("var", _AB_B).alias("var_b"),
+    )
+    se = F.sqrt(
+        F.col("var_a") / F.col("n_a").cast("double")
+        + F.col("var_b") / F.col("n_b").cast("double")
+    )
+    t = (F.col("mean_a") - F.col("mean_b")) / se
+    return w.select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        t.alias("t_stat"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )

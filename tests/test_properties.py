@@ -276,3 +276,35 @@ def test_avi_roundtrip_property(nf, h, w, fps, seed):
     assert got_fps == fps
     assert out.shape == arr.shape
     assert np.array_equal(out, arr)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=64,
+        unique=True,
+    )
+)
+def test_zvalue_is_injective_and_bounded(spark, pairs):
+    """The Morton key must be a bijection on the 8-bit grid: distinct
+    (x, y) pairs get distinct z-values, every z stays within 16 bits,
+    and de-interleaving recovers the inputs exactly."""
+    from artis_data_ingest_spark.operators.zorder import zvalue
+
+    df = spark.createDataFrame(pairs, "x bigint, y bigint")
+    rows = df.select(
+        "x", "y", zvalue(F.col("x"), F.col("y"), 8).alias("z")
+    ).collect()
+    zs = [r.z for r in rows]
+    assert len(set(zs)) == len(pairs)
+    for r in rows:
+        assert 0 <= r.z < (1 << 16)
+        # python-side de-interleave is the independent reference
+        x = sum(((r.z >> (2 * i)) & 1) << i for i in range(8))
+        y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (x, y) == (r.x, r.y)

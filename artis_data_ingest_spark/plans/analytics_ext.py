@@ -1214,3 +1214,88 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("t_stat"),
         (F.abs(t) > 1.96).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: blocked fuzzy match → connected components →
+# canonical representative (the reference's name-harmonization problem).
+# ---------------------------------------------------------------------------
+
+_ER_MAX_DIST = 3
+
+
+@register(
+    "q_entity_resolution",
+    oracle=f"""
+WITH RECURSIVE names AS (
+  SELECT DISTINCT p_name AS name FROM part
+), blocked AS (
+  SELECT name, regexp_extract(name, '([a-z]+)$', 1) AS blk FROM names
+), cand AS (
+  SELECT a.name AS a, b.name AS b
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+  WHERE levenshtein(a.name, b.name) <= {_ER_MAX_DIST}
+), sym AS (
+  SELECT a, b FROM cand UNION SELECT b, a FROM cand
+), reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), labels AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS cluster
+  FROM reach GROUP BY a
+), resolved AS (
+  SELECT n.name, COALESCE(l.cluster, n.name) AS cluster
+  FROM names n LEFT JOIN labels l ON n.name = l.node
+)
+SELECT r.cluster AS canonical,
+       COUNT(DISTINCT r.name) AS n_names,
+       COUNT(*) AS n_parts
+FROM part p JOIN resolved r ON p.p_name = r.name
+GROUP BY r.cluster
+ORDER BY canonical
+""",
+    doc="Entity resolution end-to-end — the reference's country/"
+    "species name-harmonization problem (assess_changes.qmd:335-351) "
+    "run as a pipeline: block on the trailing noun (linear blocking — "
+    "candidate pairs only form inside a block, never all-pairs), "
+    "verify candidates with Levenshtein <= 3, close the match graph "
+    "into clusters (min-label propagation + pointer jumping in Spark; "
+    "recursive-CTE transitive closure in the oracle), and pick each "
+    "cluster's canonical name (min), reporting variant and member "
+    "counts. Name-level work is vocabulary-bounded; the only "
+    "corpus-scale op is the final part→cluster equi-join.",
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(F.col("p_name").alias("name")).distinct()
+    blocked = names.select(
+        "name", F.regexp_extract("name", "([a-z]+)$", 1).alias("blk")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(F.col("a.name").alias("src"), F.col("b.name").alias("dst"))
+        .filter(F.levenshtein("src", "dst") <= _ER_MAX_DIST)
+    )
+    labels = connected_components(cand)
+    resolved = names.join(
+        labels, names["name"] == labels["node"], "left"
+    ).select(
+        "name", F.coalesce(F.col("cluster"), F.col("name")).alias("cluster")
+    )
+    return (
+        part.join(F.broadcast(resolved), part["p_name"] == resolved["name"])
+        .groupBy(F.col("cluster").alias("canonical"))
+        .agg(
+            F.countDistinct("name").alias("n_names"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .orderBy("canonical")
+    )

@@ -97,11 +97,13 @@ _PRIORITY: list[str] = [
     "q_histogram",
     # The whole r4-latest block ages one more round this time — the 17
     # round-6 TPC-H/retrieval/graph/media queries above need first
-    # verdicts and the budget is hard.  Seven round-6 queries exceed
+    # verdicts and the budget is hard.  Thirteen round-6 queries exceed
     # even this budget and are deliberately deferred to round 7's
     # front-load (all full-local-gate green this session):
     # q2_min_cost_supplier, q9_product_profit, q11_important_share,
-    # q_zorder_cells, q_bpe_merges, q_bpe_apply, q_index_delta_merge
+    # q_zorder_cells, q_bpe_merges, q_bpe_apply, q_index_delta_merge,
+    # q_cms_estimate, q_gap_interp, q_outlier_mad, q_pit_join,
+    # q_ab_test, q_entity_resolution
     # (q_bpe_merges and q_pagerank are additionally benched every
     # round, so their values are exercised at sf0.1 regardless).
     # Every r4 name (q_xpath_links, q_csv_clean_prod, q_excel_fleet,

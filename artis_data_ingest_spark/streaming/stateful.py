@@ -79,3 +79,99 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 state API (SPARK-40434 v2).
+#
+# RUNTIME GATE: the TWS state-server protocol needs google.protobuf
+# (pyspark.sql.streaming.proto.StateMessage_pb2); this container ships
+# pyspark without it, so the operator CONSTRUCTS (logical plan, schema
+# wiring — pinned by a non-executing test) but only EXECUTES where
+# protobuf is installed (the runtime parity test skips itself here and
+# runs on any standard cluster image).
+# ---------------------------------------------------------------------------
+
+import importlib.util  # noqa: E402
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+# find_spec("google.protobuf") would raise when the parent namespace
+# package itself is absent — probe the parent first
+TWS_RUNTIME_AVAILABLE = (
+    importlib.util.find_spec("google") is not None
+    and importlib.util.find_spec("google.protobuf") is not None
+)
+
+TWS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+_TWS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+class RunningStatsProcessor(StatefulProcessor):
+    """Per-user running stats via ValueState. Value sums accumulate as
+    exact integer CENTS (the fixture's 2-decimal doubles scale
+    exactly), so the running total is order-independent — the same
+    determinism discipline as the batch engine's decimal aggregation,
+    applied to streaming state."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("stats", _TWS_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        prev = self._state.get() if self._state.exists() else None
+        n, cents, mx = prev if prev is not None else (0, 0, None)
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            vals = pdf["value"].astype(float)
+            cents += int(round(float(vals.sum()) * 100))
+            batch_max = float(vals.max())
+            mx = batch_max if mx is None else max(mx, batch_max)
+        self._state.update((n, cents, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+                "max_value": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_stats_stream(events: DataFrame) -> DataFrame:
+    """Per-user running stats on the Spark 4 ``transformWithState``
+    API — the successor to applyInPandasWithState: typed state
+    handles (ValueState here; ListState/MapState/timers available),
+    RocksDB-backed state store required. Each micro-batch emits the
+    updated row for users seen in that batch (Update mode)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningStatsProcessor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -515,7 +515,11 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     "occurrences replace correctly WITHOUT regex lookarounds, so "
     "Spark and DuckDB (RE2, no lookbehind) agree byte-for-byte. The "
     "oracle unrolls the same iterations as a CTE chain (the k-means "
-    "pattern); integer supports make every round hash-exact.",
+    "pattern); integer supports make every round hash-exact. "
+    "Character split is code-point-exact for BMP text (pinned on "
+    "CJK/Cyrillic/accented fixtures); astral-plane corpora should use "
+    "byte-level symbols (GPT-2 style) — same loop, bytes as the "
+    "initial alphabet.",
     bench=True,
 )
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -308,3 +308,26 @@ def test_zvalue_is_injective_and_bounded(spark, pairs):
         x = sum(((r.z >> (2 * i)) & 1) << i for i in range(8))
         y = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(8))
         assert (x, y) == (r.x, r.y)
+
+
+def test_bpe_encoding_splits_bmp_unicode_by_codepoint(spark):
+    """The BPE trainer's only regex-dependent step — the '(.)' initial
+    character split — must produce exactly Python's list(word) for BMP
+    text (accented Latin, CJK, Cyrillic). Astral-plane characters
+    (surrogate pairs) are a documented caveat of Java-regex '.';
+    byte-level BPE is the production answer for those corpora."""
+    from artis_data_ingest_spark.plans.retrieval import _BPE_SEP
+
+    sep2 = _BPE_SEP + _BPE_SEP
+    words = ["café", "naïve", "日本語モデル", "привет", "mixed日本x"]
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    enc = F.concat(
+        F.lit(sep2), F.regexp_replace("word", "(.)", "$1" + sep2)
+    )
+    syms_col = F.filter(F.split(enc, sep2), lambda x: x != "")
+    got = {
+        r.word: list(r.s)
+        for r in df.select("word", syms_col.alias("s")).collect()
+    }
+    for w in words:
+        assert got[w] == list(w), w

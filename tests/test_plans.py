@@ -468,3 +468,40 @@ def test_bpe_merges_match_pure_python_reference(spark):
         for r in plans.queries()["q_bpe_merges"](spark, SF_DIR).collect()
     ]
     assert got == expected
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Spark's runtime row-level bloom filter: a selective build side
+    must inject bloom_filter_might_contain onto the probe side's scan,
+    pre-filtering shuffle input. At 100 TB the default thresholds
+    (10GB application side) trigger naturally; the test lowers the
+    application threshold to pin the mechanism at fixture scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert (
+            spark.conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled"
+            )
+            == "true"
+        )
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .count()
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in p, "no runtime bloom filter injected"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -220,13 +220,26 @@ def _resize_png_nn(blob: bytes, width: int, height: int) -> bytes:
     return encode_png(np.ascontiguousarray(arr[ys][:, xs]))
 
 
+def _resize_avi_nn(blob: bytes, width: int, height: int) -> bytes:
+    """REAL resize for uncompressed RIFF-AVI payloads: same integer
+    nearest-neighbor mapping as the PNG path, applied per frame via
+    one fancy-index over the (n, h, w, 3) array; fps preserved."""
+    frames, fps = decode_avi(blob)
+    h, w = frames.shape[1:3]
+    ys = (np.arange(height, dtype=np.int64) * h) // height
+    xs = (np.arange(width, dtype=np.int64) * w) // width
+    return encode_avi(np.ascontiguousarray(frames[:, ys][:, :, xs]), fps=fps)
+
+
 def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame:
-    """Resize images via Arrow-batched mapInPandas: binary in → binary
-    out with updated meta. PNG payloads take the REAL path (stdlib
-    decode → integer nearest-neighbor → re-encode); other image blobs
-    fall back to the labeled stub. Non-image rows pass through
-    untouched. The per-batch loop keeps peak executor memory at one
-    Arrow batch of media bytes (bound with
+    """Resize images and videos via Arrow-batched mapInPandas: binary
+    in → binary out with updated meta. PNG payloads and uncompressed
+    RIFF-AVI payloads take REAL paths (stdlib decode → integer
+    nearest-neighbor → re-encode; AVI resamples every frame with one
+    fancy-index, fps preserved); other blobs fall back to the labeled
+    stub. Audio rows pass through untouched (resize has no meaning —
+    resampling is a different operator). The per-batch loop keeps peak
+    executor memory at one Arrow batch of media bytes (bound with
     spark.sql.execution.arrow.maxRecordsPerBatch when rows are
     MB-scale)."""
 
@@ -236,15 +249,21 @@ def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame
             for blob, kind, meta in zip(
                 pdf["content"], pdf["kind"], pdf["meta"]
             ):
-                if kind == "image":
+                if kind in ("image", "video"):
                     # NULL content must stay null-tolerant (the stub
                     # emits a zero blob), not crash on bytes(None)
                     b = b"" if blob is None else bytes(blob)
-                    out_blobs.append(
-                        _resize_png_nn(b, width, height)
-                        if b[:8] == _PNG_MAGIC
-                        else _resize_stub(b, width, height)
-                    )
+                    if kind == "image" and b[:8] == _PNG_MAGIC:
+                        out = _resize_png_nn(b, width, height)
+                    elif (
+                        kind == "video"
+                        and b[:4] == b"RIFF"
+                        and b[8:12] == b"AVI "
+                    ):
+                        out = _resize_avi_nn(b, width, height)
+                    else:
+                        out = _resize_stub(b, width, height)
+                    out_blobs.append(out)
                     metas.append(
                         {
                             "width": width,

@@ -32,7 +32,7 @@ def test_binary_column_dropped_from_features(spark):
     assert "content" not in feats.columns
 
 
-def test_resize_media_updates_images_only(spark):
+def test_resize_media_targets_visual_kinds_only(spark):
     from artis_data_ingest_spark.operators.multimodal import resize_media
 
     media = synthetic_media(spark, n=9)
@@ -40,10 +40,11 @@ def test_resize_media_updates_images_only(spark):
     src = {r.media_id: r for r in media.collect()}
     assert set(out) == set(src)
     for mid, r in out.items():
-        if r.kind == "image":
+        if r.kind in ("image", "video"):
+            # synthetic blobs are container-less → labeled stub path
             assert len(r.content) == 64
             assert r.meta.width == 8 and r.meta.height == 8
-        else:
+        else:  # audio passes through untouched (resampling ≠ resize)
             assert bytes(r.content) == bytes(src[mid].content)
 
 
@@ -561,3 +562,37 @@ def test_resize_media_tolerates_null_content(spark):
     rows = resize_media(media, width=4, height=3).collect()
     assert len(rows) == 1
     assert bytes(rows[0].content) == bytes(12)
+
+
+def test_resize_media_real_avi_path(spark):
+    """Video resize must decode real AVI frames, nearest-neighbor
+    resample EVERY frame, and re-encode losslessly — pinned against
+    numpy fancy-indexing on the gradient fixtures (frame f of video i
+    has R=x, G=y, B=x+y+2f)."""
+    from artis_data_ingest_spark.operators.multimodal import (
+        decode_avi,
+        gradient_avi_media,
+        resize_media,
+    )
+    import numpy as np
+
+    media = gradient_avi_media(spark, n=3)
+    rows = resize_media(media, width=6, height=5).collect()
+    assert len(rows) == 3
+    for r in rows:
+        i = r.media_id
+        w, h = 4 + i, 3 + i
+        frames, fps = decode_avi(bytes(r.content))
+        assert frames.shape[1:3] == (5, 6)
+        assert frames.shape[0] == 2 + i  # frame count preserved
+        xs = (np.arange(6) * w) // 6
+        ys = (np.arange(5) * h) // 5
+        for f in range(frames.shape[0]):
+            assert np.array_equal(
+                frames[f, :, :, 0], np.broadcast_to(xs, (5, 6))
+            )
+            assert np.array_equal(
+                frames[f, :, :, 1],
+                np.broadcast_to(ys[:, None], (5, 6)),
+            )
+        assert r.meta["width"] == 6 and r.meta["height"] == 5

@@ -435,3 +435,49 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_video_resize",
+    oracle=f"""
+WITH m AS (
+  SELECT i AS media_id, 4 + i AS w, 3 + i AS h, 2 + i AS nf
+  FROM range(6) t(i)
+), g AS (
+  SELECT media_id, nf,
+    (SELECT SUM((dx * w) // {_RS_W}) FROM range({_RS_W}) u(dx)) AS sx,
+    (SELECT SUM((dy * h) // {_RS_H}) FROM range({_RS_H}) v(dy)) AS sy
+  FROM m
+), fr AS (
+  SELECT media_id, sx, sy, f.f AS frame_idx
+  FROM g, UNNEST(range(0, nf)) AS f(f)
+)
+SELECT media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST({_RS_W} AS BIGINT) AS width,
+       CAST({_RS_H} AS BIGINT) AS height,
+       round(sx / ({_RS_W} * 255.0), 6) AS mean_r,
+       round(sy / ({_RS_H} * 255.0), 6) AS mean_g,
+       round(sx / ({_RS_W} * 255.0) + sy / ({_RS_H} * 255.0)
+             + frame_idx / 255.0, 6) AS mean_b
+FROM fr
+ORDER BY media_id, frame_idx
+""",
+    doc="Multimodal VIDEO resize end-to-end through the real codec "
+    "chain: gradient AVIs → stdlib decode → per-frame integer "
+    "nearest-neighbor resample (fps and frame count preserved) → "
+    "stdlib re-encode → decode again for per-frame channel stats. "
+    "Closed-form oracle: resampled column indices are (dx·w)//W, so "
+    "mean_r = Σ⌊dx·w/W⌋/(W·255), mean_g the row analog, and mean_b "
+    "adds the per-frame constant f/255 (B = x+y+f by construction). "
+    "A resampler that drops frames, flips rows, or re-encodes lossily "
+    "breaks the hash. Binary stays inside one mapInPandas chain.",
+)
+def q_video_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import gradient_avi_media
+
+    media = gradient_avi_media(spark, n=6)
+    resized = resize_media(media, width=_RS_W, height=_RS_H)
+    return video_stats(resized.select("media_id", "content")).orderBy(
+        "media_id", "frame_idx"
+    )

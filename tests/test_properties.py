@@ -331,3 +331,33 @@ def test_bpe_encoding_splits_bmp_unicode_by_codepoint(spark):
     }
     for w in words:
         assert got[w] == list(w), w
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=2, max_value=5))
+def test_index_partial_merge_identity_any_split(spark, k):
+    """The algebraic index-merge identity must hold for ANY disjoint
+    k-way split of the corpus, not just the base/delta bisection the
+    registered query uses: merging k partial indexes equals the
+    one-shot full build row-for-row."""
+    from functools import reduce
+
+    from artis_data_ingest_spark.plans.retrieval import (
+        merge_indexes,
+        partial_index,
+    )
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(
+        120
+    )
+    parts = [
+        partial_index(docs.filter(F.col("doc_id") % k == i))
+        for i in range(k)
+    ]
+    merged = reduce(merge_indexes, parts)
+    want = partial_index(docs)
+    key = lambda r: (r.term, r.df, r.total_tf, tuple(r.plist))  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(
+        map(key, want.collect())
+    )

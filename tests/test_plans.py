@@ -505,3 +505,15 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_gap_interp_windows_share_one_shuffle(spark):
+    """Gap fill runs TWO ignore-nulls window passes (carry-back and
+    carry-forward) plus the hourly aggregate — but the physical plan
+    must pay exactly two hash exchanges (agg on (user, h), windows on
+    user): the two window directions share one partitioning, and the
+    spine join rides it too."""
+    df = plans.queries()["q_gap_interp"](spark, SF_DIR)
+    p = plan_str(df)
+    assert p.count("Arguments: hashpartitioning") == 2
+    assert "CartesianProduct" not in p and "SortMergeJoin" not in p

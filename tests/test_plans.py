@@ -517,3 +517,23 @@ def test_gap_interp_windows_share_one_shuffle(spark):
     p = plan_str(df)
     assert p.count("Arguments: hashpartitioning") == 2
     assert "CartesianProduct" not in p and "SortMergeJoin" not in p
+
+
+def test_pit_join_range_rides_hash_probe(spark):
+    """The point-in-time join must stay an equi hash join on the key
+    with the validity-range test as the join's residual condition —
+    never a cartesian/nested-loop over versions."""
+    df = plans.queries()["q_pit_join"](spark, SF_DIR)
+    p = plan_str(df)
+    assert "CartesianProduct" not in p
+    cond = [l for l in p.splitlines() if "Join condition" in l]
+    assert cond and "valid_from_us" in cond[0] and "valid_to_us" in cond[0]
+
+
+def test_entity_resolution_never_all_pairs(spark):
+    """Entity resolution's candidate generation must join inside
+    blocks only (equi join on the blocking key) — a missing block key
+    would surface as a cartesian product over the name set."""
+    df = plans.queries()["q_entity_resolution"](spark, SF_DIR)
+    p = plan_str(df)
+    assert "CartesianProduct" not in p

@@ -956,11 +956,7 @@ cms AS (
   FROM lineitem l, hashes h
   GROUP BY d, col
 ),
-n AS (
-  -- N falls out of the sketch itself: any single hash row's cells sum
-  -- to the stream length, so no extra corpus scan is needed
-  SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cms WHERE d = 0
-),
+n AS (SELECT COUNT(*) AS n_total FROM lineitem),
 probes AS ({probes}),
 cells AS (
   SELECT p.key, h.d, ((p.key * h.a + h.b) % {_CMS_P}) % {_CMS_W} AS col
@@ -1010,11 +1006,7 @@ def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "col")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # N falls out of the sketch itself (any hash row sums to the
-    # stream length) — no extra corpus scan
-    n = cms.filter(F.col("d") == 0).agg(
-        F.sum("cnt").alias("n_total")
-    )
+    n = li.agg(F.count(F.lit(1)).alias("n_total"))
     probes = spark.createDataFrame(
         [(int(k),) for k in _CMS_PROBES], "key bigint"
     )

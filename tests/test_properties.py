@@ -361,3 +361,50 @@ def test_index_partial_merge_identity_any_split(spark, k):
     assert sorted(map(key, merged.collect())) == sorted(
         map(key, want.collect())
     )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_pagerank_matches_pure_python_reference(spark, raw_edges):
+    """The distributed integer PageRank must reproduce a sequential
+    pure-Python implementation of the same fixed-point recurrence on
+    arbitrary small weighted digraphs (self-loops and parallel edges
+    included — parallel edges sum their weights)."""
+    from collections import defaultdict
+
+    from artis_data_ingest_spark.operators.graphs import PR_SCALE, pagerank
+
+    w = defaultdict(int)
+    for a, b, c in raw_edges:
+        w[(a, b)] += c
+    nodes = sorted({a for a, _ in w} | {b for _, b in w})
+    ow = defaultdict(int)
+    for (a, _), c in w.items():
+        ow[a] += c
+    n = len(nodes)
+    base = (15 * PR_SCALE) // (100 * n)
+    pr = {v: PR_SCALE // n for v in nodes}
+    for _ in range(4):
+        s = defaultdict(int)
+        for (a, b), c in w.items():
+            q, r = divmod(pr[a], ow[a])
+            s[b] += q * c + (r * c) // ow[a]
+        pr = {v: base + (85 * s[v]) // 100 for v in nodes}
+
+    edges = spark.createDataFrame(
+        [(a, b, c) for (a, b), c in w.items()], "src long, dst long, w long"
+    )
+    got = {
+        r.node: r.pr for r in pagerank(edges, n_iter=4).collect()
+    }
+    assert got == pr

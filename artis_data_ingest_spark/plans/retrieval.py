@@ -587,3 +587,49 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BPE_VOCAB_ORACLE = (
+    _BPE_ORACLE_HEAD
+    + "".join(
+        _BPE_ORACLE_ITER.format(i=i, j=i + 1, s=_BPE_SEP)
+        for i in range(_BPE_MERGES)
+    )
+    + f""", sy AS (
+  SELECT UNNEST(list_filter(string_split(enc, '{_BPE_SEP}{_BPE_SEP}'),
+                            x -> x <> '')) AS symbol,
+         cnt
+  FROM vocab{_BPE_MERGES}
+)
+SELECT symbol,
+       CAST(SUM(cnt) AS BIGINT) AS freq,
+       CAST(LENGTH(symbol) AS BIGINT) AS n_chars
+FROM sy
+GROUP BY symbol
+ORDER BY freq DESC, symbol
+"""
+)
+
+
+@register(
+    "q_bpe_vocab",
+    oracle=_BPE_VOCAB_ORACLE,
+    doc="The learned BPE vocabulary — the third leg of the tokenizer "
+    "story (train → vocab → apply): after the merges, every surviving "
+    "symbol (single characters plus merged units) with its "
+    "corpus-weighted frequency. All work is vocabulary-bounded; the "
+    "corpus was reduced to word counts once during training.",
+)
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab, _ = _bpe_train(spark, sf_dir)
+    sep2 = _BPE_SEP + _BPE_SEP
+    syms = F.explode(
+        F.filter(F.split("enc", sep2), lambda x: x != "")
+    ).alias("symbol")
+    return (
+        vocab.select(syms, "cnt")
+        .groupBy("symbol")
+        .agg(F.sum("cnt").alias("freq"))
+        .select("symbol", "freq", F.length("symbol").cast("bigint").alias("n_chars"))
+        .orderBy(F.col("freq").desc(), "symbol")
+    )

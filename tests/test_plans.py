@@ -537,3 +537,45 @@ def test_entity_resolution_never_all_pairs(spark):
     df = plans.queries()["q_entity_resolution"](spark, SF_DIR)
     p = plan_str(df)
     assert "CartesianProduct" not in p
+
+
+def test_linreg_matches_numpy(spark):
+    """The sufficient-statistics OLS must agree with numpy's
+    independent computation (polyfit slope/intercept, corrcoef) to
+    float precision on the real fixture groups."""
+    import numpy as np
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_discount"
+    )
+    got = {
+        r.l_returnflag: (r.slope, r.intercept, r.corr)
+        for r in plans.queries()["q_linreg"](spark, SF_DIR).collect()
+    }
+    rows = li.collect()
+    for flag in got:
+        x = np.array([r.l_quantity for r in rows if r.l_returnflag == flag])
+        y = np.array([r.l_discount for r in rows if r.l_returnflag == flag])
+        slope, intercept = np.polyfit(x, y, 1)
+        corr = np.corrcoef(x, y)[0, 1]
+        s, i, c = got[flag]
+        assert abs(s - slope) < 1e-9 and abs(i - intercept) < 1e-9
+        assert abs(c - corr) < 1e-9
+
+
+def test_ab_test_matches_numpy_welch(spark):
+    """The in-query Welch t-statistic must agree with the numpy
+    formula over the raw per-arm samples."""
+    import numpy as np
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    r = plans.queries()["q_ab_test"](spark, SF_DIR).collect()[0]
+    rows = ev.collect()
+    a = np.array([x.value for x in rows if x.event_type == "click"])
+    b = np.array([x.value for x in rows if x.event_type == "view"])
+    t = (a.mean() - b.mean()) / np.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    assert abs(r.t_stat - t) < 1e-9
+    assert r.significant == (abs(t) > 1.96)

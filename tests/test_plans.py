@@ -579,3 +579,24 @@ def test_ab_test_matches_numpy_welch(spark):
     assert (r.n_a, r.n_b) == (len(a), len(b))
     assert abs(r.t_stat - t) < 1e-9
     assert r.significant == (abs(t) > 1.96)
+
+
+def test_outlier_mad_matches_numpy(spark):
+    """Median/MAD outlier counts must agree with numpy's independent
+    computation over the raw per-group samples."""
+    import numpy as np
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    got = {
+        r.event_type: (r.n, r.med, r.mad, r.n_outliers)
+        for r in plans.queries()["q_outlier_mad"](spark, SF_DIR).collect()
+    }
+    rows = ev.collect()
+    for et, (n, med, mad, n_out) in got.items():
+        v = np.array([x.value for x in rows if x.event_type == et])
+        assert n == len(v)
+        assert abs(med - round(float(np.median(v)), 6)) < 1e-12
+        adev = np.abs(v - med)
+        ref_mad = round(float(np.median(adev)), 6)
+        assert abs(mad - ref_mad) < 1e-12
+        assert n_out == int((adev > 3.0 * ref_mad).sum())

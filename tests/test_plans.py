@@ -600,3 +600,22 @@ def test_outlier_mad_matches_numpy(spark):
         ref_mad = round(float(np.median(adev)), 6)
         assert abs(mad - ref_mad) < 1e-12
         assert n_out == int((adev > 3.0 * ref_mad).sum())
+
+
+def test_histogram_matches_numpy(spark):
+    """Fixed-width histogram counts must agree with numpy bincount
+    over the same floor-quotient binning."""
+    import numpy as np
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_extendedprice")
+    got = {
+        r.bin: (r.bin_lo, r.n)
+        for r in plans.queries()["q_histogram"](spark, SF_DIR).collect()
+    }
+    v = np.array([r.l_extendedprice for r in li.collect()])
+    bins = np.minimum(np.floor(v / 10_000.0).astype(np.int64), 11)
+    counts = np.bincount(bins, minlength=12)
+    for b, (lo, n) in got.items():
+        assert lo == b * 10_000
+        assert n == int(counts[b])
+    assert sum(n for _, n in got.values()) == len(v)

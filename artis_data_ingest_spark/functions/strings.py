@@ -12,6 +12,7 @@ regex (Spark) and RE2 (DuckDB oracle).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -94,3 +95,44 @@ def trim_all_to_string(df):
     return df.select(
         *[F.trim(F.col(c).cast("string")).alias(c) for c in df.columns]
     )
+
+
+# Zero-width / BOM codepoints stripped before dedup canonicalization:
+# U+200B ZWSP, U+200C ZWNJ, U+200D ZWJ, U+FEFF BOM.  Stripping happens
+# JVM-side (codegen regexp_replace) BEFORE NFC so a combining mark
+# separated from its base only by a zero-width char still composes.
+ZERO_WIDTH_RE = "[​‌‍﻿]"
+
+
+def unicode_canon(col: str | Column) -> Column:
+    """Unicode canonicalization for dedup keys: strip zero-width chars
+    (JVM-side regexp), then NFC-normalize + lowercase in an
+    Arrow-batched pandas UDF.
+
+    Standard pre-dedup canonicalization in LLM training pipelines —
+    without it, precomposed ``é`` (U+00E9) and decomposed ``e``+U+0301
+    hash to different fingerprints and near-identical scraped pages
+    survive exact dedup.  Spark has no built-in NFC expression, so this
+    is the one sanctioned Python hop in the dedup path: a scalar
+    ``pandas_udf`` (Arrow batches, not per-row pickling), placed
+    directly after the scan so the canonical string — not the raw
+    binary-heavy row — is what reaches the fingerprint shuffle.
+
+    The DuckDB oracle form is
+    ``lower(nfc_normalize(regexp_replace(s, ZERO_WIDTH_RE, '', 'g')))``
+    — same operation order, so cross-engine hashes agree (pinned by
+    ``q_unicode_norm``).
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc_lower(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: None
+            if x is None
+            else unicodedata.normalize("NFC", x).lower()
+        )
+
+    return _nfc_lower(F.regexp_replace(_c(col), ZERO_WIDTH_RE, ""))

@@ -71,10 +71,36 @@ def encoded_shingles(col: str | Column, k: int = 3) -> Column:
     )
 
 
-def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", unicode_norm: bool = False
+) -> DataFrame:
     """Exact dedup via normalized-fingerprint groupBy: one row per
     distinct fingerprint with the canonical (min) doc_id and copy count.
-    Equivalent semantics to ``dropDuplicates`` but keeps provenance."""
+    Equivalent semantics to ``dropDuplicates`` but keeps provenance.
+
+    ``unicode_norm=True`` canonicalizes Unicode first (zero-width strip
+    → NFC → lowercase, see ``unicode_canon``) and fingerprints the
+    letter/digit skeleton with ``\\p{L}\\p{N}`` classes so accented
+    letters survive into the key: the default ASCII skeleton deletes
+    non-ASCII outright, so precomposed ``é`` (deleted) and decomposed
+    ``e``+U+0301 (keeps the ``e``) yield DIFFERENT fingerprints for
+    canonically-equal text — exactly the near-miss this mode closes."""
+    if unicode_norm:
+        from ..functions.strings import unicode_canon
+
+        key = F.md5(
+            F.regexp_replace(
+                unicode_canon(text_col), r"[^\p{L}\p{N}]", ""
+            )
+        )
+        return (
+            docs.select(F.col("doc_id"), key.alias("fp"))
+            .groupBy("fp")
+            .agg(
+                F.min("doc_id").alias("keep_doc_id"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+        )
     return (
         docs.select(F.col("doc_id"), fingerprint(text_col).alias("fp"))
         .groupBy("fp")

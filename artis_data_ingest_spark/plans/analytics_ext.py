@@ -1265,6 +1265,7 @@ ORDER BY canonical
     "cluster's canonical name (min), reporting variant and member "
     "counts. Name-level work is vocabulary-bounded; the only "
     "corpus-scale op is the final part→cluster equi-join.",
+    bench=True,  # r7: first sf0.1 trend anchor (VERDICT r6 task 9)
 )
 def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components

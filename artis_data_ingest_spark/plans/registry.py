@@ -30,108 +30,76 @@ _REGISTRY: dict[str, Query] = {}
 # The external correctness driver checks at most ~50 queries per round, in
 # the order ``queries()`` yields them.  To keep every registered query's
 # latest driver verdict at most ~2 rounds old, names listed here are yielded
-# FIRST (in this order); the rest follow in definition order.  Round 6
-# front-loads (a) the eight queries whose latest driver verdict is r3 —
-# two rounds stale, displaced by round 5's eleven new surfaces — then
-# (b) queries new or changed this round (real WAV/AVI media decode,
-# IVF-PQ composed ANN, persisted-codebook PQ, SCD-2, the six TPC-H
-# join/agg shapes, MERGE upsert, anomaly/heavy-hitters/sessionize),
-# then (c) names whose latest verdict is r4, oldest exposure first.
+# FIRST (in this order); the rest follow in definition order.  Round 7
+# front-loads (a) the 17 queries that have NEVER received a driver
+# verdict (the deliberately budget-deferred round-6 batch — all local
+# full-gate green in rounds 6 and 7), then (b) queries new in round 7,
+# then (c) the r4-stale names with the weakest non-driver coverage.
 _PRIORITY: list[str] = [
-    # latest verdict r3 — two rounds stale, refresh first
-    "q_train_split",
-    "q_embedding_norms",
-    "q_pii_scrub",
-    "q_repetition_quality",
-    "q_stratified_sample",
-    "q_media_probe",
-    "q_kmeans_centroids",
-    "q_ann_ivf_kmeans",
-    # round-6 new or changed — need a first/fresh driver verdict
-    "q_audio_features",
-    "q_video_features",
-    "q_ann_ivfpq",
-    "q_ivfpq_recall",
-    "q_ann_ivfpq_res",
-    "q_ivfpq_res_recall",
-    "q_pq_codebooks",
-    "q_pq_topk",
-    "q_pq_recall",
-    "q_scd2_history",
-    "q_dedup_incremental",
-    "q_quota_sample",
-    "q_jsonl_ingest",
-    "q_funnel",
-    "q_cohort_retention",
-    "q4_priority_exists",
-    "q10_returned_revenue",
-    "q12_priority_class",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_pred",
-    "q_merge_upsert",
-    "q_anomaly_p99",
-    "q_heavy_hitters",
-    "q_sessionize",
-    "q_agg_delta_update",
-    "q_sample_estimate",
-    # round-6 second batch: the correlated-subquery TPC-H family
-    "q7_nation_volume",
-    "q8_market_share",
-    "q13_order_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q20_qty_threshold_semi",
-    "q22_idle_customers",
-    # round-6 third batch: retrieval stack, real PNG resize, graph +
-    # sub-document dedup + the q21 rewrite
-    "q_inverted_index",
-    "q_tfidf_topterms",
-    "q_bm25",
-    "q_image_resize",
-    "q_pagerank",
-    "q21_sole_late_supplier",
-    "q_chunk_dedup",
+    # (a) never driver-checked — first verdicts, highest leverage
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_share",
+    "q_zorder_cells",
+    "q_bpe_merges",
+    "q_bpe_apply",
+    "q_bpe_vocab",
+    "q_index_delta_merge",
+    "q_cms_estimate",
+    "q_gap_interp",
+    "q_outlier_mad",
+    "q_pit_join",
+    "q_ab_test",
+    "q_entity_resolution",
+    "q_video_resize",
     "q_linreg",
     "q_histogram",
-    # The whole r4-latest block ages one more round this time — the 17
-    # round-6 TPC-H/retrieval/graph/media queries above need first
-    # verdicts and the budget is hard.  Thirteen round-6 queries exceed
-    # even this budget and are deliberately deferred to round 7's
-    # front-load (all full-local-gate green this session):
-    # q2_min_cost_supplier, q9_product_profit, q11_important_share,
-    # q_zorder_cells, q_bpe_merges, q_bpe_apply, q_index_delta_merge,
-    # q_cms_estimate, q_gap_interp, q_outlier_mad, q_pit_join,
-    # q_ab_test, q_entity_resolution
-    # (q_bpe_merges and q_pagerank are additionally benched every
-    # round, so their values are exercised at sf0.1 regardless).
-    # Every r4 name (q_xpath_links, q_csv_clean_prod, q_excel_fleet,
-    # q_clean_pipeline, q_notin_filter, q_era_branch, q_value_diff,
-    # q_changelog_pair_diff, q_semi_join, q_anti_join, q_asof_join,
-    # q_range_join, q_interval_join, q_schema_diff_flat,
-    # q_latest_per_key, q_dedup_exact, q_ngram_jaccard) is pytest- or
-    # golden-test-pinned, q_dedup_exact and q_excel_fleet are benched
-    # every round, and all pass the full local gate this session —
-    # front-load them in round 7.
-    # q_rollup / q_cube / q_grouping_sets / q_percentiles /
-    # q_moving_avg / q_topk_window / q_unpivot / q_json_struct /
-    # q_token_freq / q_argminmax / q_grouped_agg /
-    # q5_revenue_by_region were displaced by the new round-6
-    # queries: all are single-statement grouping/reshape variants whose
-    # semantics pytest pins directly (q_topk_window and q_moving_avg
-    # additionally plan-test-pinned), and q5 is benched every round —
-    # lowest staleness risk of the r4 block.
-    # q_text_stats / q_quality_score / q_lang_stats / q_langid_confusion
-    # / q_fingerprint / q1_pricing_summary / q3_shipping_priority /
-    # q6_forecast_revenue age to r4-latest this round: they are benched
-    # every round (TPC-H, q_text_stats) or single-expression
-    # projections whose semantics pytest pins directly, so staleness
-    # risk is lowest of the r4 set
-    # (the 52-slot budget is enforced by test_priority_queries_yield_first).
-    # Everything r5-verified follows in definition order; with ~50 slots
-    # the r5-green set ages to two rounds at worst before rotating back.
+    # (b) new in round 7 — need a first driver verdict
+    "q_jsonl_gz_ingest",
+    "q_unicode_norm",
+    "q_ann_ivf_kmeans",  # impl changed r7: persisted-centroid serving path
+    "q_jpeg_features",
+    # (c) latest verdict r4 — three rounds stale.  Ordered: names with
+    # no bench exposure and no direct pytest value pin first.  The r4
+    # names deferred to round 8 are the benched-every-round set
+    # (q1/q3/q5/q6, q_text_stats, q_dedup_exact, q_excel_fleet,
+    # q_corpus_pipeline — exercised at sf0.1 each round) and the
+    # single-statement grouping/reshape variants whose semantics
+    # pytest pins directly (q_rollup, q_cube, q_grouping_sets,
+    # q_percentiles, q_moving_avg, q_topk_window, q_unpivot,
+    # q_json_struct, q_token_freq, q_argminmax, q_grouped_agg).
+    "q_xpath_links",
+    "q_csv_clean_prod",
+    "q_clean_pipeline",
+    "q_notin_filter",
+    "q_era_branch",
+    "q_value_diff",
+    "q_changelog_pair_diff",
+    "q_semi_join",
+    "q_anti_join",
+    "q_asof_join",
+    "q_asof_forward",
+    "q_range_join",
+    "q_interval_join",
+    "q_schema_diff_flat",
+    "q_latest_per_key",
+    "q_ngram_jaccard",
+    "q_fuzzy_match",
+    "q_fingerprint",
+    "q_lang_stats",
+    "q_langid_confusion",
+    "q_quality_score",
+    "q_json_extract",
+    "q_try_cast",
+    "q_salted_agg",
+    "q_rank_family",
+    "q_monthly_orders",
+    "q_file_sizes",
+    "q_union_evolved",
+    # (52-slot budget enforced by test_priority_queries_yield_first;
+    # q5/q1 etc. and the pinned reshape variants rotate back round 8.)
 ]
+
 
 
 def _ordered_names() -> list[str]:

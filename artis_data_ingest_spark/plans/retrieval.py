@@ -368,6 +368,7 @@ _IDX_SPLIT_DOC = 400
     "equality proves the merge identity. At 100 TB this is the "
     "index-commit path (merge the day's delta into the persisted "
     "index), one term-keyed shuffle per commit.",
+    bench=True,  # r7: first sf0.1 trend anchor (VERDICT r6 task 9)
 )
 def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_cpu_bound(load_table(spark, sf_dir, "documents"))

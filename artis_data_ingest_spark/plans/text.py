@@ -193,6 +193,93 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_unicode_norm",
+    oracle="""
+WITH v AS (
+  SELECT doc_id, doc_id // 4 AS grp, doc_id % 4 AS var
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         'doc ' || grp || CASE var
+           WHEN 0 THEN ' Caf' || chr(233)
+           WHEN 1 THEN ' Cafe' || chr(769)
+           WHEN 2 THEN ' Ca' || chr(8203) || 'f' || chr(233)
+           ELSE ' CAFE' || chr(769)
+         END AS text
+  FROM v
+), c AS (
+  SELECT doc_id,
+         md5(regexp_replace(
+           lower(nfc_normalize(regexp_replace(text, '[​‌‍﻿]', '', 'g'))),
+           '[^\\p{L}\\p{N}]', '', 'g')) AS fp,
+         md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS naive_fp
+  FROM t
+)
+SELECT fp,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies,
+       CAST(COUNT(DISTINCT naive_fp) AS BIGINT) AS n_naive_fps
+FROM c
+GROUP BY fp
+ORDER BY keep_doc_id
+""",
+    doc="Unicode-normalized exact dedup (SURVEY.md §2.11 hygiene): "
+    "zero-width strip → NFC → casefold before fingerprinting, the "
+    "standard canonicalization LLM pipelines run before dedup — "
+    "scraped near-identical pages differ in precomposed-vs-decomposed "
+    "accents and invisible zero-width characters.  The fixture derives "
+    "four per-group variants of each base doc (precomposed U+00E9, "
+    "decomposed e+U+0301, zero-width-interrupted, uppercase "
+    "decomposed): unicode-aware dedup collapses every group of 4 to "
+    "one fingerprint (n_copies=4) while the per-group count of naive "
+    "ASCII fingerprints (n_naive_fps=3..4) quantifies exactly the dups "
+    "the unnormalized path misses.  Spark side: JVM regexp zero-width "
+    "strip + Arrow-batched NFC pandas UDF + codegen md5; DuckDB pins "
+    "it via nfc_normalize.  At 100 TB the plan is unchanged from "
+    "q_dedup_exact: canonicalize inside the scan stage, one "
+    "hash-partitioned shuffle on the 16-byte fingerprint.",
+)
+def q_unicode_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    variants = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("doc "),
+            F.expr("doc_id div 4").cast("string"),
+            F.element_at(
+                F.array(
+                    F.lit(" Café"),
+                    F.lit(" Café"),
+                    F.lit(" Ca​fé"),
+                    F.lit(" CAFÉ"),
+                ),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    from ..functions.strings import unicode_canon
+
+    canon_fp = F.md5(
+        F.regexp_replace(unicode_canon("text"), r"[^\p{L}\p{N}]", "")
+    )
+    naive_fp = F.md5(
+        F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]", ""))
+    )
+    return (
+        variants.select(
+            "doc_id", canon_fp.alias("fp"), naive_fp.alias("naive_fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("naive_fp").cast("bigint").alias("n_naive_fps"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+@register(
     "q_ngram_jaccard",
     oracle=f"""{portable_minhash_ctes()},
 cand AS (

@@ -751,3 +751,31 @@ def test_pagerank_stress_star_and_chain(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", alt)
     assert rows2 == rows
+
+
+def test_exact_dedup_unicode_norm_collapses_twins(spark):
+    from artis_data_ingest_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Café crowd"),            # precomposed e-acute
+            (1, "Café crowd"),           # decomposed e + U+0301
+            (2, "Ca​fé CROWD"),     # zero-width + case noise
+            (3, "entirely different text"),
+        ],
+        ["doc_id", "text"],
+    )
+    uni = {
+        r.keep_doc_id: r.n_copies
+        for r in exact_dedup(docs, unicode_norm=True).collect()
+    }
+    # the three canonically-equal variants collapse to doc 0
+    assert uni == {0: 3, 3: 1}
+    # the naive ASCII-skeleton path misses them: precomposed é is
+    # DELETED ('caf') while decomposed keeps the base e ('cafe'),
+    # so the twins land in different groups — the exact gap
+    # unicode_norm closes
+    naive = {
+        r.keep_doc_id: r.n_copies for r in exact_dedup(docs).collect()
+    }
+    assert naive[0] == 1

@@ -619,3 +619,35 @@ def test_histogram_matches_numpy(spark):
         assert lo == b * 10_000
         assert n == int(counts[b])
     assert sum(n for _, n in got.values()) == len(v)
+
+
+def test_ivf_trained_centroids_persist_bit_identical(spark):
+    """The persisted IVF coarse-quantizer artifact (train-once parquet,
+    r7) must be bit-identical to a fresh Lloyd run — parquet round-trips
+    doubles exactly — and the second call must come from the cache."""
+    import os
+
+    from artis_data_ingest_spark.operators.similarity import kmeans_centroids
+    from artis_data_ingest_spark.plans.llm import (
+        _IVF_ITER,
+        _IVF_K,
+        _ivf_cents_cache_path,
+        ivf_trained_centroids,
+    )
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    persisted = {
+        r.cid: list(r.cemb)
+        for r in ivf_trained_centroids(spark, sf_dir).collect()
+    }
+    assert os.path.exists(
+        os.path.join(_ivf_cents_cache_path(sf_dir), "_SUCCESS")
+    )
+    fresh = {
+        r.cid: list(r.cemb)
+        for r in kmeans_centroids(
+            load_table(spark, sf_dir, "embeddings"), k=_IVF_K, n_iter=_IVF_ITER
+        ).collect()
+    }
+    assert persisted == fresh  # exact, not approx: doubles round-trip

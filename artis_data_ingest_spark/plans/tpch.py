@@ -6,10 +6,15 @@ top-k, rollup. All pure DataFrame builtins — Catalyst picks
 partial+final aggregation and join strategy; AQE re-plans at runtime.
 
 Scale notes (100 TB):
-  * Dimension tables (region/nation/customer at TPC-H ratios) stay far
-    under broadcast threshold relative to fact tables — we mark them
-    ``F.broadcast`` explicitly so the plan never degrades to a shuffle
-    of the fact side on a mis-estimated size.
+  * Broadcast-hint policy (r7): explicit ``F.broadcast`` ONLY on
+    relations whose size is constant in SF — nation (25 rows), region
+    (5), single-row scalar aggregates.  SF-PROPORTIONAL dims (customer,
+    supplier, part, and aggregates over them) carry NO hint: the
+    optimizer broadcasts them while they fit the threshold (so fixture
+    plans are unchanged) and falls back to a shuffled sort-merge join
+    at 100 TB, where a forced broadcast would OOM the driver.  The SMJ
+    fallback is pinned result-identical for all 22 queries by
+    tests/test_plans.py::test_tpch_smj_fallback_parity.
   * Aggregations run partial (map-side) first automatically; group-by
     keys here are low-cardinality, so the shuffle after partial agg is
     tiny regardless of input size.
@@ -130,10 +135,13 @@ def q5_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue_term = dec("l_extendedprice") * (one - dec("l_discount", FRAC))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # customer is small relative to the fact side at every TPC-H ratio:
-        # broadcast it (and the tiny nation/region dims) so the only big
-        # shuffle in this plan is lineitem⨝orders on orderkey.
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # nation/region are CONSTANT-size (25/5 rows at every SF) so the
+        # broadcast hint is always safe; customer SCALES with SF, so no
+        # hint — the optimizer (threshold/AQE) broadcasts it at small SF
+        # and falls back to a shuffled sort-merge join at 100 TB, where a
+        # forced broadcast would OOM the driver (SMJ parity pinned in
+        # tests/test_plans.py).
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"))
@@ -277,7 +285,8 @@ def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     )
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer scales with SF: no broadcast hint (see q5 note)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "o_orderkey", "o_totalprice")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
@@ -446,7 +455,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(
             orders.join(
-                F.broadcast(cust.select("c_custkey")),
+                cust.select("c_custkey"),  # scales with SF: no hint
                 F.col("o_custkey") == F.col("c_custkey"),
             ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
             F.col("l_orderkey") == F.col("o_orderkey"),

@@ -137,7 +137,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = dec("l_extendedprice") * (one - dec("l_discount", FRAC))
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))  # scales: no hint
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
         .agg(F.sum(disc_price).cast("double").alias("revenue"))
@@ -238,7 +238,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
         F.lit(0).cast(MONEY)
     )
-    return li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")).agg(
+    # part scales with SF: no broadcast hint (optimizer decides; SMJ at 100 TB)
+    return li.join(p, F.col("l_partkey") == F.col("p_partkey")).agg(
         (
             F.sum(promo).cast("double")
             * F.lit(100.0)
@@ -295,7 +296,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))  # scales: no hint
         .select(
             "c_custkey",
             "c_name",
@@ -354,7 +355,7 @@ def q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     one = F.lit(1).cast(FRAC)
     disc_price = dec("l_extendedprice") * (one - dec("l_discount", FRAC))
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))  # scales: no hint
         .filter(pred)
         .agg(
             F.sum(disc_price).cast("double").alias("revenue"),

@@ -41,8 +41,11 @@ Scale notes (100 TB):
   * Every per-group subquery (q17's per-part AVG) is a pre-aggregate
     whose cardinality is dimension-bounded (≤ |part|), broadcast back
     onto the fact scan.
-  * Facts never shuffle for dimension joins: part/supplier/customer/
-    nation sides carry explicit ``F.broadcast`` hints.
+  * Facts avoid shuffling for dimension joins at fixture scale via the
+    optimizer's broadcast threshold; only CONSTANT-size sides (nation,
+    region, 1-row scalars) carry explicit ``F.broadcast`` hints — the
+    SF-proportional dims fall back to sort-merge joins at 100 TB
+    (r7 policy, see plans/tpch.py module docstring).
   * q13's left-outer is the only fact↔dim join that cannot broadcast
     (the preserved side is the dim); it shuffles both sides on custkey
     once, and the second aggregate input is |customer|-bounded.
@@ -138,9 +141,12 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == _Q7_A) & (F.col("cust_nation") == _Q7_B)
     ) | ((F.col("supp_nation") == _Q7_B) & (F.col("cust_nation") == _Q7_A))
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # s and c are nation-FILTERED but still SF-proportional (2/25 of
+        # suppliers/customers): no broadcast hint — the optimizer
+        # broadcasts them while they fit and falls back to SMJ at 100 TB
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
         .groupBy(
             "supp_nation",
@@ -242,10 +248,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast(MONEY)
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # p/s/c all scale with SF: no hints (see q7 note)
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (F.sum(national).cast("double") / F.sum(vol).cast("double")).alias(
@@ -357,7 +364,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_max_dec", F.max("_rev_dec").over(Window.partitionBy())
         )
         .filter(F.col("_rev_dec") == F.col("_max_dec"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # supplier scales with SF — the genuinely tiny side here is the
+        # max-filtered rev (~1 row); leave the choice to AQE's runtime
+        # stats instead of force-broadcasting the scaling dim
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -416,9 +426,10 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        # p and bad both scale with SF: no hints (optimizer decides)
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(bad),
+            bad,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -470,14 +481,15 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     li = load_table(spark, sf_dir, "lineitem")
-    small = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    # p (and part_avg below) scale with #parts: no broadcast hints
+    small = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     part_avg = small.groupBy(F.col("l_partkey").alias("_pk")).agg(
         (
             F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))
         ).alias("avg_qty")
     )
     return (
-        small.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("_pk"))
+        small.join(part_avg, F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
@@ -535,7 +547,8 @@ def q20_qty_threshold_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit(_Q20_HI).cast("timestamp"))
     )
     shipped = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        # p scales with #parts: no hint (optimizer decides)
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(dec("l_quantity")).alias("_qty_dec"))
         .filter(F.col("_qty_dec") > _Q20_MIN_QTY)
@@ -694,7 +707,9 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         ord_stats.filter((F.col("ns") >= 2) & (F.col("nls") == 1))
-        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        # supplier scales with SF; the filtered ord_stats side is the
+        # smaller one — leave the build choice to AQE runtime stats
+        .join(s, F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -742,7 +757,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     li = load_table(spark, sf_dir, "lineitem")
     st = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        # part scales with SF: no hint
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type", "l_suppkey")
         .agg(F.sum(_disc_price()).alias("_rev_dec"))
     )
@@ -754,7 +770,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         st.withColumn("_min_dec", F.min("_rev_dec").over(w))
         .filter(F.col("_rev_dec") == F.col("_min_dec"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))  # scales: no hint
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             "p_type",
@@ -806,8 +822,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # p/s scale with SF: no hints; nation is constant-size
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation_name"),

@@ -10,6 +10,7 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
 from pyspark.sql import functions as F
 
 from artis_data_ingest_spark import plans
@@ -651,3 +652,79 @@ def test_ivf_trained_centroids_persist_bit_identical(spark):
         ).collect()
     }
     assert persisted == fresh  # exact, not approx: doubles round-trip
+
+
+# --- Sort-merge-join fallback parity (VERDICT r6 task 2) -----------------
+#
+# At fixture scale every TPC-H dim fits the broadcast threshold, so the
+# default plans exercise BroadcastHashJoin only.  At 100 TB the dims
+# exceed it and the same logical plans must compile to shuffled
+# sort-merge joins — the fallback the scale claim rests on.  These tests
+# disable broadcasting (autoBroadcastJoinThreshold=-1 and, because the
+# planner still honors explicit broadcast() hints, strip the hint effect
+# by also capping AQE's dynamic threshold), re-run all 22 queries, and
+# assert (a) at least one SortMergeJoin actually appears across the
+# family and (b) results are row-for-row identical to the broadcast
+# plans.
+
+_TPCH_ALL = [
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_priority_exists", "q5_revenue_by_region", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "q10_returned_revenue", "q11_important_share", "q12_priority_class",
+    "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_cnt", "q17_small_qty_revenue", "q18_large_orders",
+    "q19_disjunctive_pred", "q20_qty_threshold_semi",
+    "q21_sole_late_supplier", "q22_idle_customers",
+]
+
+_SMJ_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _with_confs(spark, confs):
+    saved = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    return saved
+
+
+def _restore_confs(spark, saved):
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", _TPCH_ALL)
+def test_tpch_smj_fallback_parity(spark, name):
+    from artis_data_ingest_spark import plans
+
+    q = plans.all_queries()[name].fn
+    base = [tuple(r) for r in q(spark, SF_DIR).collect()]
+    saved = _with_confs(spark, _SMJ_CONFS)
+    try:
+        smj = [tuple(r) for r in q(spark, SF_DIR).collect()]
+    finally:
+        _restore_confs(spark, saved)
+    assert smj == base, f"{name}: SMJ plan diverges from broadcast plan"
+
+
+def test_tpch_smj_fallback_actually_compiles_smj(spark):
+    """With broadcasting disabled, the multi-join queries must plan
+    SortMergeJoin (not silently keep BHJ via hints) — q5's 5-way join
+    and q9's 6-way join are the canonical shapes."""
+    from artis_data_ingest_spark import plans
+
+    saved = _with_confs(spark, _SMJ_CONFS)
+    try:
+        for name in ("q5_revenue_by_region", "q9_product_profit"):
+            df = plans.all_queries()[name].fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, f"{name} compiled no SMJ:\n{plan[:2000]}"
+    finally:
+        _restore_confs(spark, saved)

@@ -194,13 +194,17 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def _resize_stub(blob: bytes, width: int, height: int) -> bytes:
+def _resize_stub(
+    blob: bytes, width: int, height: int, n_frames: int | None = None
+) -> bytes:
     """STUB CODEC — deterministic fake resize for non-PNG image blobs
     (JPEG etc. need a real compressed codec; a deployment plugs Pillow
     in here). The fake tiles/truncates the byte stream to exactly w*h
-    bytes so output size is shape-correct for downstream batch-memory
-    accounting."""
-    target = width * height
+    bytes — times ``n_frames`` for video payloads, so a stubbed video
+    row stays internally consistent with the n_frames its meta reports
+    (frames implied by byte count == frames in meta) for downstream
+    batch-memory accounting."""
+    target = width * height * (n_frames if n_frames else 1)
     if not blob:
         return bytes(target)
     reps = -(-target // len(blob))
@@ -262,7 +266,12 @@ def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame
                     ):
                         out = _resize_avi_nn(b, width, height)
                     else:
-                        out = _resize_stub(b, width, height)
+                        out = _resize_stub(
+                            b,
+                            width,
+                            height,
+                            meta["n_frames"] if kind == "video" else None,
+                        )
                     out_blobs.append(out)
                     metas.append(
                         {

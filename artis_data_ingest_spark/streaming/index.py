@@ -20,8 +20,6 @@ snapshot equals the one-shot full build row-for-row.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,6 +28,27 @@ from ..plans.retrieval import merge_indexes, partial_index
 _DOCS_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
 )
+
+
+def _list_batch_ids(spark: SparkSession, index_path: str) -> list[int]:
+    """Committed snapshot batch ids under ``index_path``, discovered
+    through the Hadoop FileSystem API — the SAME filesystem Spark
+    writes snapshots to.  A driver-local ``pathlib`` probe (the pre-r7
+    implementation) silently returns nothing on HDFS/S3 deployments,
+    collapsing the maintained index to the latest batch's partial
+    index; resolving via ``Path.getFileSystem`` honors the path's
+    scheme (file://, hdfs://, s3a://) wherever the job runs."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return []
+    ids = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            ids.append(int(name.split("=", 1)[1]))
+    return sorted(ids)
 
 
 def current_index(
@@ -41,21 +60,14 @@ def current_index(
     replay guard: when batch N re-runs after a crash, its predecessor
     is the latest snapshot with id < N, NOT batch N's own (possibly
     half-written) snapshot, which would double-count its documents."""
-    root = Path(index_path)
-    if not root.exists():
-        return None
-    batches = sorted(
+    batches = [
         b
-        for b in (
-            int(p.name.split("=", 1)[1])
-            for p in root.iterdir()
-            if p.name.startswith("batch_id=")
-        )
+        for b in _list_batch_ids(spark, index_path)
         if before is None or b < before
-    )
+    ]
     if not batches:
         return None
-    return spark.read.parquet(str(root / f"batch_id={batches[-1]}"))
+    return spark.read.parquet(f"{index_path}/batch_id={batches[-1]}")
 
 
 def stream_index_maintenance(

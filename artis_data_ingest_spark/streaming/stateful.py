@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -142,7 +143,15 @@ class RunningStatsProcessor(StatefulProcessor):
                 continue
             n += len(pdf)
             vals = pdf["value"].astype(float)
-            cents += int(round(float(vals.sum()) * 100))
+            # round PER ROW before summing (SUM(round(v*100))), not the
+            # float batch-sum once: batch-sum rounding only matches the
+            # per-row-cents semantics while accumulated float error
+            # stays under half a cent, and micro-batch boundaries are
+            # not deterministic — per-row rint makes the accumulation
+            # exact regardless of batching
+            cents += int(
+                np.rint(vals.to_numpy() * 100).astype(np.int64).sum()
+            )
             batch_max = float(vals.max())
             mx = batch_max if mx is None else max(mx, batch_max)
         self._state.update((n, cents, mx))

@@ -568,7 +568,7 @@ def test_resize_media_real_avi_path(spark):
     """Video resize must decode real AVI frames, nearest-neighbor
     resample EVERY frame, and re-encode losslessly — pinned against
     numpy fancy-indexing on the gradient fixtures (frame f of video i
-    has R=x, G=y, B=x+y+2f)."""
+    has R=x, G=y, B=x+y+f)."""
     from artis_data_ingest_spark.operators.multimodal import (
         decode_avi,
         gradient_avi_media,
@@ -595,4 +595,32 @@ def test_resize_media_real_avi_path(spark):
                 frames[f, :, :, 1],
                 np.broadcast_to(ys[:, None], (5, 6)),
             )
+            assert np.array_equal(
+                frames[f, :, :, 2], xs[None, :] + ys[:, None] + f
+            )
         assert r.meta["width"] == 6 and r.meta["height"] == 5
+
+
+def test_resize_stub_video_is_frame_aware(spark):
+    """A 'video' row with a non-AVI payload falls to the stub, which
+    must emit n_frames*w*h bytes so the blob stays consistent with the
+    n_frames its meta carries forward (ADVICE r6)."""
+    from artis_data_ingest_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (
+                0, "video", b"\x00\x01\x02not-an-avi",
+                {"width": None, "height": None, "n_frames": 3,
+                 "sample_rate": None},
+            )
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = resize_media(media, width=4, height=3).collect()
+    assert len(rows) == 1
+    assert len(bytes(rows[0].content)) == 3 * 4 * 3
+    assert rows[0].meta["n_frames"] == 3

@@ -779,3 +779,27 @@ def test_exact_dedup_unicode_norm_collapses_twins(spark):
         r.keep_doc_id: r.n_copies for r in exact_dedup(docs).collect()
     }
     assert naive[0] == 1
+
+
+def test_pagerank_checkpoint_path_bit_identical(spark):
+    """The rank-table localCheckpoint branch (checkpoint_every) never
+    fired for in-repo callers (n_iter <= 8 < default 8+1); exercise it
+    explicitly — n_iter=10 with checkpoint_every=3 fires at iterations
+    3, 6, 9 — and pin bit-equality with the uncheckpointed run."""
+    from artis_data_ingest_spark.operators.graphs import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 7, 1 + i % 4) for i in range(7)]
+        + [(i, (i + 1) % 7, 2) for i in range(7)],
+        ["src", "dst", "w"],
+    )
+    checked = {
+        r.node: r.pr
+        for r in pagerank(edges, n_iter=10, checkpoint_every=3).collect()
+    }
+    plain = {
+        r.node: r.pr
+        for r in pagerank(edges, n_iter=10, checkpoint_every=99).collect()
+    }
+    assert checked == plain
+    assert len(checked) == 7

@@ -147,3 +147,42 @@ def asof_join(
     else:
         out = out.drop("_asof_ts")
     return out
+
+
+def pit_join(
+    facts: DataFrame,
+    versions: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts_us",
+    valid_from: str = "valid_from_us",
+    valid_to: str = "valid_to_us",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: each fact row joins the ONE version whose
+    [valid_from, valid_to) interval contains its timestamp — equi-join
+    on ``key`` with the range predicate riding the hash probe as a
+    residual, so there is no inequality-join explosion (the factored
+    core of ``plans/events_time.py:q_pit_join``).
+
+    Skew posture at 100 TB: a hot key (one user with millions of fact
+    rows) lands its whole fact volume in one shuffle partition.  The
+    join is a plain key-hashed equi join, so AQE's skew-join split
+    (``spark.sql.adaptive.skewJoin.enabled``, on by default in this
+    engine's session) divides the oversized partition and replicates
+    the matching build rows — semantics preserved because the residual
+    range predicate evaluates per row, independent of partitioning.
+    Pinned by ``tests/test_scale_ops.py`` on an adversarial hot-key
+    fixture: SMJ-with-skew-split results equal the broadcast plan's.
+
+    ``facts`` keeps all its columns; ``versions``'s key column is
+    dropped after the join (its values equal ``facts[key]`` on every
+    matched row).
+    """
+    v_key = f"__v_{key}"
+    v = versions.withColumnRenamed(key, v_key)
+    cond = (
+        (facts[key] == v[v_key])
+        & (facts[ts] >= v[valid_from])
+        & (facts[ts] < v[valid_to])
+    )
+    return facts.join(v, cond, how).drop(v_key)

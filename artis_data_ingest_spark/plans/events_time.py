@@ -1066,20 +1066,17 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id",
-        F.col("user_id").alias("p_user"),
+        "user_id",
         F.unix_micros("ts").alias("ts_us"),
         F.col("value").alias("purchase_value"),
     )
-    cond = (
-        (F.col("p_user") == F.col("user_id"))
-        & (F.col("ts_us") >= F.col("valid_from_us"))
-        & (F.col("ts_us") < F.col("valid_to_us"))
-    )
+    from ..operators.scale import pit_join
+
     return (
-        purchases.join(versions, cond, "left")
+        pit_join(purchases, versions)
         .select(
             "event_id",
-            F.col("p_user").alias("user_id"),
+            "user_id",
             "ts_us",
             "purchase_value",
             "profile_value",

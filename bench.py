@@ -45,6 +45,11 @@ def main() -> None:
     # directly, its min-of-3 is ~0.73-0.85 s whether run fresh or right
     # after q_dup_clusters (if anything, faster after). Environment
     # noise on the r5 run; no bench-order change warranted.
+    # r7 note: the r6 q_minhash_portable_stats "+15%" (1.386→1.589) is
+    # measurement spread, not a regression — 8 warm runs in one process
+    # measure 1.478..2.034 s (median 1.714); both round values sit
+    # inside that distribution and the r5 min was a lucky low draw.
+    # The query runs 5x (below) so the min estimator is less jumpy.
     names = sorted(bench, key=lambda n: n == "q_minhash_portable_stats")
 
     # min of three runs per query, all runs recorded: the min reflects
@@ -58,7 +63,10 @@ def main() -> None:
             spark.catalog.clearCache()
             time.sleep(2)  # cooldown: let prior executors' GC settle
         runs = []
-        for _ in range(3):
+        # 5 runs for the high-variance minhash stats query (r7 note
+        # above), 3 elsewhere
+        n_runs = 5 if name == "q_minhash_portable_stats" else 3
+        for _ in range(n_runs):
             t0 = time.time()
             fn(spark, sf_dir).collect()
             runs.append(round(time.time() - t0, 3))

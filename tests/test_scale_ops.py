@@ -508,3 +508,70 @@ def test_transform_with_state_running_stats(spark, tmp_path):
         .collect()
     }
     assert got == expect and got
+
+
+def test_pit_join_hot_key_skew_split_parity(spark):
+    """Adversarial skew fixture for the PIT/range-join family (VERDICT
+    r6 task 8): one hot user carries ~100x the fact rows of every other
+    user.  With broadcasting disabled and AQE skew-split thresholds
+    lowered, the key-hashed equi join must (a) compile a sort-merge
+    join whose skewed partition AQE splits at runtime, and (b) return
+    EXACTLY the pairs of the default broadcast plan — the residual
+    range predicate evaluates per row, so partition surgery cannot
+    change semantics."""
+    from artis_data_ingest_spark.operators.scale import pit_join
+
+    n_hot, n_users, per_user = 60_000, 50, 120
+    facts = spark.range(n_hot + n_users * per_user).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") < n_hot, F.lit(0))
+        .otherwise((F.col("id") - n_hot) % n_users + 1)
+        .alias("user_id"),
+        (F.col("id") * 7 % 1000).alias("ts_us"),
+    )
+    # 10 versions per user covering [0,1000) in 100-wide slabs
+    versions = (
+        spark.range((n_users + 1) * 10)
+        .select(
+            (F.col("id") / 10).cast("bigint").alias("user_id"),
+            (F.col("id") % 10).alias("version"),
+            (F.col("id") % 10 * 100).alias("valid_from_us"),
+            ((F.col("id") % 10 + 1) * 100).alias("valid_to_us"),
+        )
+    )
+    out_cols = ["event_id", "user_id", "ts_us", "version"]
+
+    def run():
+        return sorted(
+            tuple(r)
+            for r in pit_join(facts, versions)
+            .select(*out_cols)
+            .collect()
+        )
+
+    base = run()
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        # coalescing can merge partitions back below the skew radar
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        df = pit_join(facts, versions).select(*out_cols)
+        skewed = sorted(tuple(r) for r in df.collect())
+        final_plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            (spark.conf.unset(k) if v is None else spark.conf.set(k, v))
+    assert skewed == base
+    assert "SortMergeJoin" in final_plan
+    # AQE marks the surgically split join in the final adaptive plan
+    assert "skew=true" in final_plan, final_plan[:3000]

@@ -1,0 +1,599 @@
+"""Baseline JPEG codec (stdlib ``struct`` + numpy only).
+
+Round 7 closes the last big ``_decode_stub`` class with real-world
+weight: most scraped images are JPEG.  Same playbook as the PNG / WAV /
+AVI codecs in ``operators/multimodal.py`` — a spec-correct, dependency-
+free implementation of the subset that matters, loud errors beyond it:
+
+  * baseline sequential DCT (SOF0), Huffman entropy coding with the
+    ITU-T T.81 Annex K tables,
+  * grayscale (1 component) and YCbCr 4:4:4 (3 components, no chroma
+    subsampling),
+  * restart markers (DRI/RSTn) honored on decode,
+  * progressive (SOF2), arithmetic coding, subsampled MCUs and 12-bit
+    precision raise ``ValueError`` rather than guessing.
+
+Exactness story for oracle-checked queries: with a FLAT quantization
+table (all ones) an image built of constant 8x8 tiles is bit-exact
+through encode→decode — a constant block's DCT is DC-only and integer
+(F00 = 8*(v-128)), quantization divides by 1, and the IDCT of a DC-only
+block reconstructs v exactly.  ``tile_jpeg_media`` builds such fixtures
+with closed-form channel means, which is what ``q_jpeg_features`` pins
+cross-engine (the same design as the PNG/AVI gradient fixtures).
+
+The Huffman bitstream walk is sequential per block (inherent to JPEG),
+in Python — fine for fixture-scale tests; a production deployment swaps
+``decode_jpeg`` for libjpeg via Pillow behind the SAME ``image_stats``
+mapInPandas plumbing, which is the part that matters at 100 TB (binary
+never shuffles; only compact stats leave the scan stage).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- constants: zigzag, Annex K quantization + Huffman tables -------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+FLAT_QUANT = np.ones(64, dtype=np.int64)
+
+# ITU-T T.81 Annex K.1/K.2 example quantization tables (natural order)
+STD_LUMA_QUANT = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+STD_CHROMA_QUANT = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 Huffman specs: (BITS[1..16], HUFFVAL)
+DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_codes(spec: tuple[list[int], list[int]]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol → (length, code)."""
+    bits, vals = spec
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(spec: tuple[list[int], list[int]]) -> dict[tuple[int, int], int]:
+    return {lc: sym for sym, lc in _huff_codes(spec).items()}
+
+
+# orthonormal 8x8 DCT-II basis: F = M @ f @ M.T, f = M.T @ F @ M
+_M = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _M[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._nbits += nbits
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self._nbits -= 8
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> None:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+class _BitReader:
+    """Entropy-coded-segment reader: unstuffs 0xFF00, stops at markers
+    (returns them via ``marker``)."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> bool:
+        b = self.buf
+        if self.pos >= len(b):
+            return False
+        byte = b[self.pos]
+        if byte == 0xFF:
+            nxt = b[self.pos + 1] if self.pos + 1 < len(b) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                # restart marker: caller resets predictors via sync()
+                self.marker = nxt
+                return False
+            else:
+                self.marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self._acc = (self._acc << 8) | byte
+        self._nbits += 8
+        return True
+
+    def bit(self) -> int:
+        if self._nbits == 0 and not self._fill():
+            raise ValueError("JPEG bitstream truncated")
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Consume the pending RSTn marker and realign to a byte."""
+        assert self.marker is not None and 0xD0 <= self.marker <= 0xD7
+        self.pos += 2
+        self._acc = 0
+        self._nbits = 0
+        self.marker = None
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_magnitude(v: int) -> tuple[int, int]:
+    """(category, appended bits): negative values use the one's-
+    complement form the spec mandates."""
+    cat = _category(v)
+    if v < 0:
+        v += (1 << cat) - 1
+    return cat, v
+
+
+def _extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    if v < (1 << (cat - 1)):
+        return v - (1 << cat) + 1
+    return v
+
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    r = arr[..., 0].astype(np.float64)
+    g = arr[..., 1].astype(np.float64)
+    b = arr[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(
+        np.rint(np.stack([y, cb, cr], axis=-1)), 0, 255
+    ).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(arr: np.ndarray) -> np.ndarray:
+    y = arr[..., 0].astype(np.float64)
+    cb = arr[..., 1].astype(np.float64) - 128.0
+    cr = arr[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """(h, w) → (n_blocks_y, n_blocks_x, 8, 8), edge-replicated padding."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if (ph, pw) != (h, w):
+        plane = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return (
+        plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    )
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quant: np.ndarray | str = "flat",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline-sequential JPEG encoder for uint8 ``(h, w)`` grayscale
+    or ``(h, w, 3)`` RGB arrays.
+
+    ``quant``: ``"flat"`` (all-ones tables — lossless for constant 8x8
+    tiles, the fixture mode), ``"std"`` (Annex K example tables — real
+    lossy compression), or a caller-provided 64-entry natural-order
+    table used for every component.  ``restart_interval`` > 0 emits a
+    DRI segment and RSTn markers every that many MCUs (exercises the
+    decoder's predictor-reset path; real scrapes contain DRI streams).
+    """
+    if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
+        raise ValueError("encode_jpeg expects uint8 (h, w) or (h, w, 3)")
+    if arr.ndim == 3 and arr.shape[2] != 3:
+        raise ValueError("encode_jpeg expects 3 channels for color")
+    h, w = arr.shape[:2]
+    gray = arr.ndim == 2
+    if isinstance(quant, str):
+        if quant == "flat":
+            qtabs = [FLAT_QUANT, FLAT_QUANT]
+        elif quant == "std":
+            qtabs = [STD_LUMA_QUANT, STD_CHROMA_QUANT]
+        else:
+            raise ValueError(f"unknown quant mode: {quant}")
+    else:
+        q = np.asarray(quant, dtype=np.int64).reshape(64)
+        qtabs = [q, q]
+
+    planes = (
+        [arr.astype(np.float64)]
+        if gray
+        else [ _rgb_to_ycbcr(arr)[..., i].astype(np.float64) for i in range(3) ]
+    )
+    dc_specs = [DC_LUMA_SPEC] + ([] if gray else [DC_CHROMA_SPEC] * 2)
+    ac_specs = [AC_LUMA_SPEC] + ([] if gray else [AC_CHROMA_SPEC] * 2)
+    dc_codes = [_huff_codes(s) for s in dc_specs]
+    ac_codes = [_huff_codes(s) for s in ac_specs]
+    comp_q = [0] + ([] if gray else [1, 1])
+
+    # forward DCT + quantization per component, natural order
+    comp_coeffs = []
+    for ci, plane in enumerate(planes):
+        blk = _blocks(plane) - 128.0
+        coef = np.einsum("ux,byxv,wv->byuw", _M, blk, _M, optimize=True)
+        # np.einsum above: F = M @ f @ M.T per block
+        q = qtabs[comp_q[ci]].reshape(8, 8).astype(np.float64)
+        comp_coeffs.append(
+            np.rint(coef / q).astype(np.int64)
+        )
+
+    # entropy-coded segment: MCU = one block per component (4:4:4)
+    nby, nbx = comp_coeffs[0].shape[:2]
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    zz = ZIGZAG
+    mcu = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.out.extend(
+                    bytes([0xFF, 0xD0 + (mcu // restart_interval - 1) % 8])
+                )
+                pred = [0] * len(planes)
+            mcu += 1
+            for ci in range(len(planes)):
+                block = comp_coeffs[ci][by, bx].reshape(64)[zz]
+                diff = int(block[0]) - pred[ci]
+                pred[ci] = int(block[0])
+                cat, mag = _encode_magnitude(diff)
+                ln, code = dc_codes[ci][cat]
+                bw.write(code, ln)
+                bw.write(mag, cat)
+                run = 0
+                nz = np.nonzero(block[1:])[0]
+                last = nz[-1] + 1 if nz.size else 0
+                for k in range(1, last + 1):
+                    v = int(block[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, code = ac_codes[ci][0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    cat, mag = _encode_magnitude(v)
+                    ln, code = ac_codes[ci][(run << 4) | cat]
+                    bw.write(code, ln)
+                    bw.write(mag, cat)
+                    run = 0
+                if last < 63:
+                    ln, code = ac_codes[ci][0x00]  # EOB
+                    bw.write(code, ln)
+    bw.flush()
+
+    # markers
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(struct.pack(">BBH", 0xFF, marker, len(payload) + 2))
+        out.extend(payload)
+
+    n_q = 1 if gray else 2
+    for t in range(n_q):
+        zzq = qtabs[t][zz]
+        seg(0xDB, bytes([t]) + bytes(int(x) for x in zzq))  # DQT
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, comp_q[ci]])  # 1x1 sampling (4:4:4)
+    seg(0xC0, sof)  # SOF0 baseline
+
+    def dht(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> None:
+        bits, vals = spec
+        seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    dht(0, 0, DC_LUMA_SPEC)
+    dht(1, 0, AC_LUMA_SPEC)
+    if not gray:
+        dht(0, 1, DC_CHROMA_SPEC)
+        dht(1, 1, AC_CHROMA_SPEC)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))  # DRI
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Baseline-sequential JPEG decoder: marker walk → Huffman-decoded
+    MCUs → dequantize → IDCT → level shift → (YCbCr→RGB) → crop.
+    Returns uint8 ``(h, w)`` for grayscale or ``(h, w, 3)`` RGB.
+    Raises ``ValueError`` on progressive/arithmetic/subsampled/12-bit
+    streams instead of guessing."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    comps: list[tuple[int, int]] = []  # (comp_id, quant_tid)
+    scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_tid, ac_tid)
+    restart_interval = 0
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        payload = blob[pos + 4:pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tid = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tab = np.zeros(64, dtype=np.int64)
+                tab[ZIGZAG] = np.frombuffer(
+                    payload[p + 1:p + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qtabs[tid] = tab
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17:p + 17 + n])
+                huff[(cls, tid)] = _huff_decode_map((bits, vals))
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            for i in range(nc):
+                cid, samp, qid = payload[6 + 3 * i:9 + 3 * i]
+                if samp != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG unsupported (4:4:4 only)"
+                    )
+                comps.append((cid, qid))
+            sof = (h, w, nc)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding process (SOF{marker - 0xC0})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:  # SOS → entropy-coded data follows
+            ns = payload[0]
+            for i in range(ns):
+                cid, tids = payload[1 + 2 * i], payload[2 + 2 * i]
+                ci = next(
+                    j for j, (c, _) in enumerate(comps) if c == cid
+                )
+                scan.append((ci, tids >> 4, tids & 0xF))
+            break
+    if sof is None or not scan:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, nc = sof
+    nby, nbx = -(-h // 8), -(-w // 8)
+    br = _BitReader(blob, pos)
+    planes = [
+        np.zeros((nby * 8, nbx * 8), dtype=np.float64) for _ in range(nc)
+    ]
+    pred = [0] * nc
+    zz = ZIGZAG
+
+    def read_symbol(table: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+    mcu = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # skip to the RSTn marker boundary
+                while br.marker is None:
+                    try:
+                        br.bit()
+                    except ValueError:
+                        break
+                if br.marker is not None and 0xD0 <= br.marker <= 0xD7:
+                    br.sync_restart()
+                    pred = [0] * nc
+            mcu += 1
+            for ci, dc_tid, ac_tid in scan:
+                block = np.zeros(64, dtype=np.int64)
+                cat = read_symbol(huff[(0, dc_tid)])
+                diff = _extend(br.bits(cat), cat) if cat else 0
+                pred[ci] += diff
+                block[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(huff[(1, ac_tid)])
+                    if sym == 0x00:  # EOB
+                        break
+                    run, cat = sym >> 4, sym & 0xF
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    block[k] = _extend(br.bits(cat), cat)
+                    k += 1
+                nat = np.zeros(64, dtype=np.int64)
+                nat[zz] = block
+                coef = (nat * qtabs[comps[ci][1]]).reshape(8, 8)
+                pix = _M.T @ coef.astype(np.float64) @ _M + 128.0
+                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
+    out = np.clip(
+        np.rint(np.stack(planes, axis=-1)), 0, 255
+    ).astype(np.uint8)[:h, :w]
+    if nc == 1:
+        return out[..., 0]
+    return _ycbcr_to_rgb(out)
+
+
+def parse_jpeg_header(blob: bytes) -> tuple[int, int, int] | None:
+    """(height, width, n_components) from SOF0/1, or None if not a
+    baseline JPEG — the cheap probe for ``parse_media_header``."""
+    if blob[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            return None
+        marker = blob[pos + 1]
+        if marker in (0xD9, 0xDA):
+            return None
+        (length,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        if marker in (0xC0, 0xC1):
+            _, h, w, nc = struct.unpack(">BHHB", blob[pos + 4:pos + 10])
+            return h, w, nc
+        pos += 2 + length
+    return None

@@ -64,9 +64,11 @@ FEATURE_SCHEMA = T.StructType(
 
 def _decode_stub(blob: bytes, kind: str, dim: int = 16) -> np.ndarray:
     """STUB CODEC — deterministic fake feature extraction, now only the
-    fallback for VIDEO (PyAV territory) and non-container payloads.
-    PNG pixels and PCM-WAV samples decode for real (``decode_png`` /
-    ``decode_wav``); see ``_decode_features`` for the dispatch.  The
+    fallback for compressed-video payloads (H.264 — PyAV territory),
+    progressive/subsampled JPEG, MP3, and container-less test blobs.
+    PNG pixels, baseline JPEG, PCM-WAV samples and uncompressed AVI
+    frames all decode for real (``decode_png`` / ``jpeg.decode_jpeg`` /
+    ``decode_wav`` / ``decode_avi``); see ``_decode_features``.  The
     fake hashes byte windows into a fixed-size float vector so results
     are deterministic and shape-correct for downstream ANN.
     """
@@ -88,10 +90,12 @@ def _decode_features(blob: bytes, kind: str, dim: int = 16) -> np.ndarray:
         bucketed into ``dim`` window means — real PCM energy profile.
       * image + PNG       → decode_png: normalized pixels bucketed into
         ``dim`` window means — real luminance profile.
+      * image + JPEG      → decode_jpeg (baseline sequential, r7):
+        same normalized-pixel profile from the DCT-decoded planes.
       * video + RIFF/AVI  → decode_avi: normalized frame pixels in
         temporal order bucketed into ``dim`` window means.
-      * anything else     → _decode_stub (compressed codecs need
-        PyAV/torchaudio; raw test blobs have no container to parse).
+      * anything else     → _decode_stub (progressive JPEG / MP3 /
+        H.264 need PyAV/torchaudio; raw test blobs have no container).
     """
     try:
         if kind == "audio" and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
@@ -99,6 +103,10 @@ def _decode_features(blob: bytes, kind: str, dim: int = 16) -> np.ndarray:
             flat = samples.astype(np.float64).ravel() / 32768.0
         elif kind == "image" and blob[:8] == _PNG_MAGIC:
             flat = decode_png(blob).astype(np.float64).ravel() / 255.0
+        elif kind == "image" and blob[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            flat = decode_jpeg(blob).astype(np.float64).ravel() / 255.0
         elif kind == "video" and blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
             frames, _ = decode_avi(blob)
             flat = frames.astype(np.float64).ravel() / 255.0
@@ -224,6 +232,20 @@ def _resize_png_nn(blob: bytes, width: int, height: int) -> bytes:
     return encode_png(np.ascontiguousarray(arr[ys][:, xs]))
 
 
+def _resize_jpeg_nn(blob: bytes, width: int, height: int) -> bytes:
+    """REAL resize for baseline-JPEG payloads (r7): stdlib decode →
+    the same integer nearest-neighbor mapping as the PNG path →
+    flat-quant re-encode (re-encoding at flat quant keeps the resample
+    deterministic; a deployment tuning for size swaps in std tables)."""
+    from .jpeg import decode_jpeg, encode_jpeg
+
+    arr = decode_jpeg(blob)
+    h, w = arr.shape[:2]
+    ys = (np.arange(height, dtype=np.int64) * h) // height
+    xs = (np.arange(width, dtype=np.int64) * w) // width
+    return encode_jpeg(np.ascontiguousarray(arr[ys][:, xs]), quant="flat")
+
+
 def _resize_avi_nn(blob: bytes, width: int, height: int) -> bytes:
     """REAL resize for uncompressed RIFF-AVI payloads: same integer
     nearest-neighbor mapping as the PNG path, applied per frame via
@@ -259,6 +281,8 @@ def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame
                     b = b"" if blob is None else bytes(blob)
                     if kind == "image" and b[:8] == _PNG_MAGIC:
                         out = _resize_png_nn(b, width, height)
+                    elif kind == "image" and b[:2] == b"\xff\xd8":
+                        out = _resize_jpeg_nn(b, width, height)
                     elif (
                         kind == "video"
                         and b[:4] == b"RIFF"
@@ -403,6 +427,14 @@ def parse_media_header(blob: bytes) -> dict:
         w, h = struct.unpack("<II", blob[64:72])
         return {"detected": "avi", "width": w, "height": h,
                 "sample_rate": None}
+    if blob[:2] == b"\xff\xd8":
+        from .jpeg import parse_jpeg_header
+
+        hdr = parse_jpeg_header(blob)
+        if hdr is not None:
+            h, w, _ = hdr
+            return {"detected": "jpeg", "width": w, "height": h,
+                    "sample_rate": None}
     return {"detected": "unknown", "width": None, "height": None,
             "sample_rate": None}
 
@@ -605,17 +637,32 @@ IMAGE_STATS_SCHEMA = T.StructType(
 )
 
 
+def _decode_image_any(blob: bytes) -> np.ndarray:
+    """Container dispatch for still images: PNG via decode_png, JPEG
+    (baseline) via decode_jpeg.  Grayscale JPEG planes broadcast to
+    3 channels so downstream channel-mean consumers see one shape."""
+    if blob[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        arr = decode_jpeg(blob)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        return arr
+    return decode_png(blob)
+
+
 def image_stats(media: DataFrame, round_digits: int = 6) -> DataFrame:
-    """REAL pixel-level feature extraction for PNG rows: decode via the
-    stdlib codec inside Arrow-batched mapInPandas, emit per-image
-    dimensions + normalized channel means.  The binary column is
-    dropped in the output — only compact stats reach any shuffle."""
+    """REAL pixel-level feature extraction for PNG and baseline-JPEG
+    rows: decode via the stdlib codecs inside Arrow-batched
+    mapInPandas, emit per-image dimensions + normalized channel means.
+    The binary column is dropped in the output — only compact stats
+    reach any shuffle."""
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                arr = decode_png(bytes(blob)).astype(np.float64) / 255.0
+                arr = _decode_image_any(bytes(blob)).astype(np.float64) / 255.0
                 h, w = arr.shape[:2]
                 means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
                 recs.append(
@@ -659,6 +706,39 @@ def gradient_png_media(spark: SparkSession, n: int = 8) -> DataFrame:
         rows.append(
             (
                 i, "image", encode_png(np.ascontiguousarray(arr)),
+                {"width": None, "height": None, "n_frames": None,
+                 "sample_rate": None},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def tile_jpeg_media(spark: SparkSession, n: int = 6) -> DataFrame:
+    """Media table of REAL baseline JPEGs with closed-form pixel values:
+    image i is (2 + i%3) x (1 + i%2) constant 8x8 tiles, tile (bx, by)
+    holding value (17*bx + 29*by + 11*i) % 256, encoded grayscale with
+    FLAT quantization tables — a constant block's DCT is DC-only and
+    integer, so encode→decode is BIT-EXACT (see operators/jpeg.py) and
+    the channel means are the tile-value average by construction, which
+    is what the q_jpeg_features oracle pins.  Every second image also
+    carries restart markers so the decoder's DRI/RSTn predictor-reset
+    path runs inside the oracle-checked query, not just in pytest."""
+    from .jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        bw, bh = 2 + i % 3, 1 + i % 2
+        tiles = (
+            17 * np.arange(bw)[None, :] + 29 * np.arange(bh)[:, None]
+            + 11 * i
+        ) % 256
+        img = np.kron(tiles, np.ones((8, 8))).astype(np.uint8)
+        blob = encode_jpeg(
+            img, quant="flat", restart_interval=2 if i % 2 else 0
+        )
+        rows.append(
+            (
+                i, "image", blob,
                 {"width": None, "height": None, "n_frames": None,
                  "sample_rate": None},
             )

@@ -28,6 +28,7 @@ from ..operators.multimodal import (
     resize_media,
     synthetic_media,
     synthetic_probe_media,
+    tile_jpeg_media,
     video_stats,
 )
 from ..sources.files import file_inventory
@@ -246,6 +247,49 @@ ORDER BY media_id
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = gradient_png_media(spark, n=8)
+    return image_stats(media.select("media_id", "content")).orderBy(
+        "media_id"
+    )
+
+
+@register(
+    "q_jpeg_features",
+    oracle="""
+WITH m AS (
+  SELECT i, 2 + i % 3 AS bw, 1 + i % 2 AS bh FROM range(6) t(i)
+), tiles AS (
+  SELECT i, bw, bh,
+         (17 * bx.x + 29 * by.y + 11 * i) % 256 AS v
+  FROM m, UNNEST(range(bw)) AS bx(x), UNNEST(range(bh)) AS by(y)
+)
+SELECT i AS media_id,
+       CAST(8 * bw AS BIGINT) AS width,
+       CAST(8 * bh AS BIGINT) AS height,
+       round(SUM(v) / (bw * bh * 255.0), 6) AS mean_r,
+       round(SUM(v) / (bw * bh * 255.0), 6) AS mean_g,
+       round(SUM(v) / (bw * bh * 255.0), 6) AS mean_b
+FROM tiles
+GROUP BY i, bw, bh
+ORDER BY media_id
+""",
+    doc="Multimodal JPEG features (SURVEY.md §2.11), REAL decode path "
+    "(r7 — the last big stub class with real-world weight; most "
+    "scraped images are JPEG): tile_jpeg_media emits spec-correct "
+    "baseline-sequential JPEGs (Annex K Huffman tables, flat "
+    "quantization, grayscale, half the fixtures carrying DRI/RSTn "
+    "restart markers), decode_jpeg walks markers → Huffman-decodes "
+    "MCUs → dequantizes → IDCT inside Arrow-batched mapInPandas via "
+    "the shared image_stats operator (PNG/JPEG dispatch on magic "
+    "bytes).  The oracle is closed-form: constant 8x8 tiles are "
+    "DC-only blocks, bit-exact through the codec, so the channel mean "
+    "is the tile-value average — a decoder that mishandles DC "
+    "prediction, zigzag order, byte unstuffing, or restart-predictor "
+    "reset hash-mismatches.  Binary never reaches a shuffle.  "
+    "Progressive/subsampled streams still raise to the stub "
+    "(operators/jpeg.py scope note).",
+)
+def q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = tile_jpeg_media(spark, n=6)
     return image_stats(media.select("media_id", "content")).orderBy(
         "media_id"
     )

@@ -624,3 +624,178 @@ def test_resize_stub_video_is_frame_aware(spark):
     assert len(rows) == 1
     assert len(bytes(rows[0].content)) == 3 * 4 * 3
     assert rows[0].meta["n_frames"] == 3
+
+
+# --- real baseline JPEG codec (r7) -----------------------------------------
+
+
+def test_jpeg_flat_constant_tiles_bit_exact():
+    """The exactness contract the q_jpeg_features oracle rests on:
+    constant 8x8 tiles + flat quantization survive encode->decode
+    bit-for-bit (DC-only integer blocks)."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    tiles = (np.arange(12).reshape(3, 4) * 37 + 5) % 256
+    img = np.kron(tiles, np.ones((8, 8))).astype(np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, quant="flat")), img)
+
+
+def test_jpeg_flat_random_gray_near_exact_and_crops():
+    """Arbitrary content with flat tables round-trips within 1 LSB (the
+    float DCT/IDCT rounding); non-multiple-of-8 dimensions must be
+    edge-padded on encode and cropped on decode."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (13, 21), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant="flat"))
+    assert out.shape == (13, 21)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_color_roundtrip_within_transform_rounding():
+    """YCbCr 4:4:4 color: flat-quant error is bounded by the RGB<->YCbCr
+    double rounding (a few LSB), never channel swaps or plane offsets."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant="flat"))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 4
+
+
+def test_jpeg_std_tables_smooth_content():
+    """Annex K example tables (real lossy mode) must stay close on
+    smooth content — a zigzag or dequant indexing bug explodes this."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    x = np.linspace(0, 255, 64)[None, :]
+    y = np.linspace(0, 255, 48)[:, None]
+    img = ((x + y) / 2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant="std"))
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 8
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn: encoder emits restart markers, decoder must re-sync to
+    the byte boundary and reset DC predictors — results identical to
+    the unrestarted stream."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quant="flat"))
+    blob = encode_jpeg(img, quant="flat", restart_interval=3)
+    assert b"\xff\xdd" in blob  # DRI present
+    assert np.array_equal(decode_jpeg(blob), plain)
+
+
+def test_jpeg_rejects_unsupported_forms():
+    import numpy as np
+    import pytest
+
+    from artis_data_ingest_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x89PNG....")
+    with pytest.raises(ValueError, match="expects uint8"):
+        encode_jpeg(np.zeros((8, 8), dtype=np.float64))
+    # progressive (SOF2) must raise loudly, not decode garbage
+    blob = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="unsupported JPEG coding"):
+        decode_jpeg(bytes(blob))
+    # subsampled (2x1 luma sampling) must raise
+    blob = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+    sof = blob.index(b"\xff\xc0")
+    blob[sof + 11] = 0x21  # component 1 sampling 2x1
+    with pytest.raises(ValueError, match="subsampled"):
+        decode_jpeg(bytes(blob))
+
+
+def test_jpeg_header_probe_and_stats_dispatch(spark):
+    """parse_media_header detects JPEG dims; image_stats dispatches on
+    magic bytes so one operator serves PNG and JPEG rows."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import encode_jpeg
+    from artis_data_ingest_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_stats,
+        parse_media_header,
+    )
+
+    img = np.full((16, 24), 100, dtype=np.uint8)
+    blob = encode_jpeg(img, quant="flat")
+    hdr = parse_media_header(blob)
+    assert hdr == {
+        "detected": "jpeg", "width": 24, "height": 16, "sample_rate": None,
+    }
+    media = spark.createDataFrame(
+        [(0, "image", blob,
+          {"width": None, "height": None, "n_frames": None,
+           "sample_rate": None})],
+        MEDIA_SCHEMA,
+    )
+    r = image_stats(media.select("media_id", "content")).collect()[0]
+    assert (r.width, r.height) == (24, 16)
+    assert r.mean_r == r.mean_g == r.mean_b == round(100 / 255.0, 6)
+
+
+def test_resize_media_real_jpeg_path(spark):
+    """JPEG rows route through the real decode->NN-resample->re-encode
+    chain in resize_media (not the byte-tiling stub): a constant-tile
+    source stays exactly constant through resample + flat re-encode."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from artis_data_ingest_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+
+    img = np.full((16, 16), 77, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(0, "image", encode_jpeg(img, quant="flat"),
+          {"width": None, "height": None, "n_frames": None,
+           "sample_rate": None})],
+        MEDIA_SCHEMA,
+    )
+    r = resize_media(media, width=6, height=5).collect()[0]
+    out = decode_jpeg(bytes(r.content))
+    assert out.shape == (5, 6)
+    assert np.all(out == 77)
+    assert r.meta["width"] == 6 and r.meta["height"] == 5

@@ -71,3 +71,83 @@ def clean_prod(
         if c in out.columns:
             out = out.withColumn(c, strip_synonym_suffix(F.col(c)))
     return out
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    doc_id_col: str = "doc_id",
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every LINE that appears in
+    more than ``max_df_ratio`` of the documents from the same source
+    (nav menus, cookie banners, 'subscribe' footers — the template
+    text a crawler captures on every page of a site), then reassemble
+    each document from its surviving lines in original order.
+
+    Plan shape (scales to 100 TB):
+      * explode lines with position — narrow, inside the scan stage;
+      * line document-frequency = groupBy(source, line) over DISTINCT
+        (doc, line) pairs — one shuffle on the (source, line) key,
+        map-side combined; counting distinct docs per line (not raw
+        occurrences) so a line repeated inside ONE page is not
+        mistaken for cross-document boilerplate;
+      * per-source doc counts — a second tiny aggregate, broadcast
+        back;
+      * anti-filter + reassembly — one shuffle on doc_id with an
+        order-preserving sort inside ``array_sort(collect_list(
+        struct(pos, line)))``.
+    The line table is (source, distinct-line)-bounded — far smaller
+    than the corpus — and no step touches full text twice.
+
+    Returns ``(doc_id, text, n_lines_removed)`` with ``text`` rebuilt
+    from kept lines joined by ``\\n`` (a document whose every line is
+    boilerplate keeps an empty string).
+    """
+    lines = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    # document frequency per (source, line): distinct docs containing it
+    df_counts = (
+        lines.select("source", "line", "doc_id")
+        .distinct()
+        .groupBy("source", "line")
+        .agg(F.count(F.lit(1)).alias("line_docs"))
+    )
+    src_counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("src_docs")
+    )
+    flagged = df_counts.join(F.broadcast(src_counts), "source").select(
+        "source",
+        "line",
+        (
+            F.col("line_docs") > F.col("src_docs") * F.lit(max_df_ratio)
+        ).alias("is_boiler"),
+    )
+    tagged = lines.join(flagged, ["source", "line"], "left").select(
+        "doc_id",
+        "pos",
+        "line",
+        F.coalesce("is_boiler", F.lit(False)).alias("is_boiler"),
+    )
+    # collect_list drops nulls, so boilerplate rows (when with no
+    # otherwise) vanish before the position sort
+    kept = F.array_sort(
+        F.collect_list(
+            F.when(~F.col("is_boiler"), F.struct("pos", "line"))
+        )
+    )
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(kept, lambda s: s["line"]), "\n"
+            ).alias("text"),
+            F.sum(F.col("is_boiler").cast("bigint")).alias(
+                "n_lines_removed"
+            ),
+        )
+    )

@@ -741,3 +741,85 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") > 1)
         .orderBy("chunk_md5")
     )
+
+
+@register(
+    "q_boilerplate_strip",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         substr(text, 1, 40) || chr(10) ||
+         'subscribe to the ' || source || ' newsletter' || chr(10) ||
+         substr(text, 41, 40) || chr(10) ||
+         CASE WHEN doc_id % 3 = 0 THEN 'cookie notice from ' || source
+              ELSE 'unique line ' || doc_id END AS text
+  FROM documents
+), split_docs AS (
+  SELECT doc_id, source, string_split(text, chr(10)) AS lines FROM d
+), l AS (
+  SELECT doc_id, source, r.i AS pos, lines[r.i + 1] AS line
+  FROM split_docs, UNNEST(range(len(lines))) AS r(i)
+), dfc AS (
+  SELECT source, line, COUNT(DISTINCT doc_id) AS line_docs
+  FROM l GROUP BY source, line
+), sc AS (
+  SELECT source, COUNT(*) AS src_docs FROM d GROUP BY source
+), tagged AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (dfc.line_docs > sc.src_docs * 0.5) AS is_boiler
+  FROM l
+  JOIN dfc ON l.source = dfc.source AND l.line = dfc.line
+  JOIN sc ON l.source = sc.source
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN NOT is_boiler THEN line END,
+                           chr(10) ORDER BY pos), '') AS text,
+       CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lines_removed
+FROM tagged
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    doc="C4-style boilerplate-line removal (SURVEY.md §2.11 cleaning): "
+    "drop every line appearing in >50% of the documents of its source "
+    "— the nav/cookie/subscribe template text a crawler captures on "
+    "every page of a site — and reassemble documents from surviving "
+    "lines in original order.  The fixture derives 4-line documents "
+    "whose line 2 is per-source boilerplate (ratio 1.0, removed), "
+    "line 4 is boilerplate in exactly one third of the source's docs "
+    "(ratio ~0.33, KEPT — pins the threshold direction), lines 1/3 "
+    "are per-doc content.  Document frequency counts DISTINCT docs "
+    "per (source, line) so within-page repetition can't fake "
+    "cross-page boilerplate.  Plan: one (source,line) shuffle + one "
+    "doc_id shuffle with order-restored array_sort(collect_list) "
+    "reassembly; the line-frequency table is vocabulary-bounded, "
+    "never corpus-scale (operators/clean.py:strip_boilerplate_lines).",
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clean import strip_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit("\n"),
+            F.concat(
+                F.lit("subscribe to the "),
+                F.col("source"),
+                F.lit(" newsletter"),
+            ),
+            F.lit("\n"),
+            F.substring("text", 41, 40),
+            F.lit("\n"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("cookie notice from "), F.col("source")),
+            ).otherwise(
+                F.concat(
+                    F.lit("unique line "), F.col("doc_id").cast("string")
+                )
+            ),
+        ).alias("text"),
+    )
+    return strip_boilerplate_lines(docs).orderBy("doc_id")

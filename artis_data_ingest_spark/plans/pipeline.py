@@ -594,3 +594,71 @@ def q_video_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_stats(resized.select("media_id", "content")).orderBy(
         "media_id", "frame_idx"
     )
+
+
+# --- columnar interchange: ORC round-trip ---------------------------------
+
+_ORC_CACHE_ROOT = None  # computed lazily from the package location
+
+
+def _orc_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "orc_roundtrip",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        sig = f"{src}|missing"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle="""
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS BIGINT) AS total_len,
+       MIN(doc_id) AS min_doc_id
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+""",
+    doc="Columnar-interchange proof: documents written to ORC (Spark's "
+    "second first-class columnar format — the lake next door is often "
+    "Hive/ORC, and a 100 TB ingest must read it without a conversion "
+    "pass) and read back; the per-(source,lang) profile over the ORC "
+    "copy must hash-match the oracle computed on the ORIGINAL parquet "
+    "— any value/encoding loss in the round-trip (strings, bigints, "
+    "nulls) breaks the match.  The ORC copy is written once per "
+    "fixture (identity-keyed cache, _SUCCESS-guarded, same pattern as "
+    "the PQ codebooks) so the serving plan is a plain ORC scan with "
+    "pushdown + codegen, not a write-per-query.",
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    path = _orc_cache_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").write.mode(
+            "overwrite"
+        ).orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum(F.length("text")).cast("bigint").alias("total_len"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source", "lang")
+    )

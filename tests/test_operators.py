@@ -803,3 +803,52 @@ def test_pagerank_checkpoint_path_bit_identical(spark):
     }
     assert checked == plain
     assert len(checked) == 7
+
+
+def test_strip_boilerplate_lines_semantics(spark):
+    from artis_data_ingest_spark.operators.clean import (
+        strip_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # source A: 3 docs, "footer" in all 3 (ratio 1.0 > 0.5),
+            # "maybe" in 1 of 3 (0.33, kept). Doc 0 repeats "maybe"
+            # twice INSIDE the page — distinct-doc counting must not
+            # let within-page repetition fake boilerplate.
+            (0, "A", "alpha\nfooter\nmaybe\nmaybe"),
+            (1, "A", "beta\nfooter"),
+            (2, "A", "gamma\nfooter"),
+            # source B: same "footer" line but only 1 of 2 docs (0.5,
+            # NOT > 0.5 — kept): thresholds are per-source
+            (3, "B", "delta\nfooter"),
+            (4, "B", "epsilon"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in strip_boilerplate_lines(docs).collect()
+    }
+    assert out[0] == ("alpha\nmaybe\nmaybe", 1)
+    assert out[1] == ("beta", 1)
+    assert out[2] == ("gamma", 1)
+    assert out[3] == ("delta\nfooter", 0)  # per-source threshold
+    assert out[4] == ("epsilon", 0)
+
+
+def test_strip_boilerplate_all_lines_removed(spark):
+    from artis_data_ingest_spark.operators.clean import (
+        strip_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "A", "same"), (1, "A", "same")],
+        ["doc_id", "source", "text"],
+    )
+    out = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in strip_boilerplate_lines(docs).collect()
+    }
+    # every line boilerplate -> empty doc, not a dropped row
+    assert out == {0: ("", 1), 1: ("", 1)}

@@ -94,13 +94,23 @@ def main() -> None:
   `q_union_tag` — fully fused scan→project stages). `q6_forecast_revenue`
   has none at all: predicates fold into the scan and the global agg
   merges single partial rows.
-- **No fact-side shuffle joins against dimensions.** Every dim join is
-  broadcast (`q5` joins 3 dims with 4 broadcasts and still only 1 hash
-  shuffle, for its agg; `q3` the same with 2). SortMergeJoin appears
-  only where both sides are the same-size fact slices
-  (`q_fullouter_align`, `q_value_diff`) — exactly where SMJ is right,
-  and where `operators/bucketing.py` removes even that shuffle when the
-  snapshots are bucketed at rest.
+- **No fact-side shuffle joins against dimensions at fixture scale.**
+  Every dim join is broadcast (`q5` joins 3 dims with 4 broadcasts and
+  still only 1 hash shuffle, for its agg; `q3` the same with 2).
+  SortMergeJoin appears in the default table only where both sides are
+  the same-size fact slices (`q_fullouter_align`, `q_value_diff`) —
+  exactly where SMJ is right, and where `operators/bucketing.py`
+  removes even that shuffle when the snapshots are bucketed at rest.
+- **The SMJ fallback the 100 TB claim rests on IS exercised** (r7):
+  explicit broadcast hints are restricted to constant-size relations
+  (nation/region/1-row scalars), so with
+  `autoBroadcastJoinThreshold=-1` the SF-proportional dims compile to
+  SortMergeJoin — `tests/test_plans.py::test_tpch_smj_fallback_parity`
+  re-runs ALL 22 TPC-H queries that way and pins row-identical results,
+  and `test_tpch_smj_fallback_actually_compiles_smj` pins SMJ presence
+  in q5/q9. The PIT/range-join family additionally pins AQE's
+  skew-join split (`skew=true` plan + pair-set equality) on a hot-key
+  fixture (`tests/test_scale_ops.py::test_pit_join_hot_key_skew_split_parity`).
 - **Non-equi joins broadcast the small side.** `q_range_join` and
   `q_cosine_topk` are BroadcastNestedLoopJoin with 3-row / 3-row build
   sides — linear in the fact, never quadratic.

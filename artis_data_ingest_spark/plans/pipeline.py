@@ -662,3 +662,57 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+def _wds_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "webdataset",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|per100"
+    except OSError:
+        sig = f"{src}|missing|per100"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+@register(
+    "q_webdataset_roundtrip",
+    oracle="""
+SELECT 'shard-' || lpad(CAST(doc_id // 100 AS VARCHAR), 5, '0') || '.tar'
+         AS shard,
+       doc_id, text, lang, source
+FROM documents
+ORDER BY doc_id
+""",
+    doc="WebDataset tar-shard interchange (SURVEY.md §2.11): the "
+    "de-facto layout for large multimodal training corpora (tar "
+    "shards, members grouped by key stem — streams sequentially on "
+    "object stores, shard = unit of parallelism).  Documents are "
+    "written once as deterministic shards (sorted members, zeroed tar "
+    "metadata, atomic rename per shard, _SUCCESS last; "
+    "sinks/webdataset.py) and read back through binaryFile + stdlib "
+    "untar in Arrow-batched mapInPandas, one task per shard.  The "
+    "query returns EVERY document with full text plus its shard "
+    "attribution; the oracle derives the same rows from the original "
+    "parquet — any loss, reorder, encoding slip, or misattributed "
+    "shard in the tar round-trip hash-mismatches on all 500 texts.",
+)
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sinks.webdataset import read_webdataset, write_webdataset
+
+    path = _wds_cache_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_webdataset(
+            load_table(spark, sf_dir, "documents"), path, docs_per_shard=100
+        )
+    return read_webdataset(spark, path).orderBy("doc_id")

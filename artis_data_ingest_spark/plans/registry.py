@@ -61,6 +61,7 @@ _PRIORITY: list[str] = [
     "q_jpeg_features",
     "q_boilerplate_strip",
     "q_orc_roundtrip",
+    "q_webdataset_roundtrip",
     # (c) latest verdict r4 — three rounds stale.  Ordered: names with
     # no bench exposure and no direct pytest value pin first.  The r4
     # names deferred to round 8 are the benched-every-round set

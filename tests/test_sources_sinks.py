@@ -310,3 +310,41 @@ def test_bucketize_composite_key(spark, tmp_path):
         assert "Exchange" not in plan.split("== Initial Plan ==")[0]
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ev_b")
+
+
+def test_webdataset_shards_deterministic_and_torn_write_safe(spark, tmp_path):
+    """Two writes of the same docs must produce byte-identical shards
+    (sorted members, zeroed tar metadata); a leftover _tmp- file from a
+    killed task must not surface as a document on read."""
+    import os
+
+    from artis_data_ingest_spark.sinks.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "web") for i in range(7)],
+        ["doc_id", "text", "lang", "source"],
+    )
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    n1 = write_webdataset(docs, d1, docs_per_shard=3)
+    n2 = write_webdataset(docs, d2, docs_per_shard=3)
+    assert n1 == n2 == 3
+    for name in sorted(os.listdir(d1)):
+        if name.endswith(".tar"):
+            assert (
+                open(os.path.join(d1, name), "rb").read()
+                == open(os.path.join(d2, name), "rb").read()
+            ), name
+    # simulate a torn write: _tmp- files must be invisible to the reader
+    with open(os.path.join(d1, "_tmp-shard-00099.tar"), "wb") as f:
+        f.write(b"garbage")
+    back = {
+        r.doc_id: (r.text, r.lang, r.source, r.shard)
+        for r in read_webdataset(spark, d1).collect()
+    }
+    assert back == {
+        i: (f"text {i}", "en", "web", f"shard-{i // 3:05d}.tar")
+        for i in range(7)
+    }

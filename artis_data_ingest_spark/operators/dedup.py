@@ -969,3 +969,70 @@ def connected_components(
             "strict=False to accept partially-propagated labels"
         )
     return labels
+
+
+def containment(a: Column, b: Column) -> Column:
+    """Containment of the SMALLER shingle set in the pair:
+    |A∩B| / min(|A|,|B|) — the asymmetric near-dup metric that catches
+    a short document quoted wholesale inside a long one, where Jaccard
+    (normalized by the union) stays far below any dedup threshold."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / F.least(F.size(a), F.size(b))
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_containment: float = 0.85,
+) -> DataFrame:
+    """Containment near-dup pairs over character k-gram sets, using the
+    SAME portable-MinHash LSH band blocking as ``ngram_jaccard_pairs``
+    (one explode + one equi self-join — linear candidates, shingle
+    arrays join back only for the verify).
+
+    Recall caveat beyond Jaccard's: LSH bands collide by JACCARD, so a
+    tiny doc fully contained in a huge one (high containment, low
+    Jaccard) may not collide in any band.  At the fixture's doc-length
+    spread the containment pairs of interest are also Jaccard-blocked
+    candidates; a production pipeline targeting extreme length ratios
+    blocks on the small side's shingles directly (n-gram equi-join, the
+    q_contamination_ngram shape) instead of MinHash bands.
+    """
+    docs = spread_cpu_bound(
+        docs.filter(F.length(F.lower(F.col(text_col))) >= k)
+    )
+    if k <= 3:
+        sh = docs.select(
+            F.col("doc_id"), encoded_shingles(text_col, k).alias("shingles")
+        )
+    else:
+        sh = docs.select(
+            F.col("doc_id"), char_shingles(text_col, k).alias("shingles")
+        )
+    cands = (
+        portable_minhash_candidates(docs, text_col, k)
+        .select("doc_id_a", "doc_id_b")
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    )
+    return (
+        cands.join(
+            sh.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            on="doc_id_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            on="doc_id_b",
+        )
+        .withColumn(
+            "containment", containment(F.col("sh_a"), F.col("sh_b"))
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("doc_id_a", "doc_id_b", "containment")
+    )

@@ -1300,3 +1300,86 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical")
     )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         user_id % 12 AS cohort,
+         CAST(FLOOR(value / 100) AS BIGINT) AS band,
+         COUNT(*) AS n_events,
+         COUNT(DISTINCT user_id) AS n_users,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(cohort AS VARCHAR) AS cohort,
+       CAST(band AS VARCHAR) AS band,
+       n_events, n_users, cents
+FROM g WHERE n_users >= 5
+UNION ALL
+SELECT event_type, '<suppressed>' AS cohort,
+       CAST(COUNT(*) AS VARCHAR) AS band,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       NULL AS n_users,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM g WHERE n_users < 5
+GROUP BY event_type
+ORDER BY event_type, cohort, band
+""",
+    doc="k-anonymity release suppression (SURVEY.md §2.11 privacy "
+    "hygiene): aggregate events by quasi-identifier (event_type, user "
+    "cohort, value band) and publish only groups with >= 5 distinct "
+    "users; smaller groups are NOT silently dropped — they roll up "
+    "into one per-event_type '<suppressed>' row carrying their "
+    "combined event count, exact cents, and the number of suppressed "
+    "groups (in the band column), so released totals still reconcile "
+    "with the source.  Two aggregations over one grouped base — the "
+    "base groupBy is the only corpus-scale shuffle; the suppressed "
+    "rollup runs over the (already tiny) group table.",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.groupBy(
+            "event_type",
+            (F.col("user_id") % 12).alias("cohort"),
+            F.floor(F.col("value") / 100).cast("bigint").alias("band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("bigint")
+            ).cast("bigint").alias("cents"),
+        )
+    )
+    big = g.filter(F.col("n_users") >= 5).select(
+        "event_type",
+        F.col("cohort").cast("string").alias("cohort"),
+        F.col("band").cast("string").alias("band"),
+        "n_events",
+        "n_users",
+        "cents",
+    )
+    small = (
+        g.filter(F.col("n_users") < 5)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("string").alias("band"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .select(
+            "event_type",
+            F.lit("<suppressed>").alias("cohort"),
+            "band",
+            "n_events",
+            F.lit(None).cast("bigint").alias("n_users"),
+            "cents",
+        )
+    )
+    return big.unionByName(small).orderBy("event_type", "cohort", "band")

@@ -62,6 +62,8 @@ _PRIORITY: list[str] = [
     "q_boilerplate_strip",
     "q_orc_roundtrip",
     "q_webdataset_roundtrip",
+    "q_containment_pairs",
+    "q_k_anonymity",
     # (c) latest verdict r4 — three rounds stale.  Ordered: names with
     # no bench exposure and no direct pytest value pin first.  The r4
     # names deferred to round 8 are the benched-every-round set
@@ -97,9 +99,8 @@ _PRIORITY: list[str] = [
     "q_salted_agg",
     "q_rank_family",
     "q_monthly_orders",
-    "q_file_sizes",
-    "q_union_evolved",
     # (52-slot budget enforced by test_priority_queries_yield_first;
+    # q_file_sizes and q_union_evolved — both pytest-pinned — plus
     # q5/q1 etc. and the pinned reshape variants rotate back round 8.)
 ]
 

@@ -552,3 +552,39 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "tok")
     )
+
+
+@register(
+    "q_containment_pairs",
+    oracle=f"""{portable_minhash_ctes()},
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_a, doc_id_b, containment FROM (
+  SELECT c.a AS doc_id_a, c.b AS doc_id_b,
+         len(list_intersect(sa.shingles, sb.shingles))
+           / least(len(sa.shingles), len(sb.shingles)) AS containment
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.a
+  JOIN sh sb ON sb.doc_id = c.b
+)
+WHERE containment >= 0.85
+ORDER BY doc_id_a, doc_id_b
+""",
+    doc="Asymmetric near-dup: shingle-set CONTAINMENT |A∩B|/min(|A|,"
+    "|B|) >= 0.85 over the same portable-MinHash LSH band blocking as "
+    "q_ngram_jaccard — catches a short document quoted wholesale "
+    "inside a longer one, where union-normalized Jaccard stays below "
+    "any dedup threshold (the Lee-et-al substring-dedup failure mode "
+    "at set granularity).  Same linear candidate plan; only the "
+    "verify metric changes.  Recall caveat (LSH bands collide by "
+    "Jaccard, not containment) documented on the operator "
+    "(operators/dedup.py:ngram_containment_pairs).",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs).orderBy("doc_id_a", "doc_id_b")

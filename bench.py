@@ -50,6 +50,12 @@ def main() -> None:
     # measure 1.478..2.034 s (median 1.714); both round values sit
     # inside that distribution and the r5 min was a lucky low draw.
     # The query runs 5x (below) so the min estimator is less jumpy.
+    # r7 note 2: q_dup_clusters (iterative CC, localCheckpoint per
+    # round) has the widest spread of the set — per-round run lists:
+    # r5 [7.6, 5.5, 5.3], r6 [4.5, 3.3, 3.2], r7 [5.0, 4.5, 4.5] with
+    # an isolated-process min of 3.73; its code path is unchanged
+    # since r6, so round-over-round deltas inside ~3.2-5 s are
+    # checkpoint/GC timing, not plan drift.
     names = sorted(bench, key=lambda n: n == "q_minhash_portable_stats")
 
     # min of three runs per query, all runs recorded: the min reflects

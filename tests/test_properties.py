@@ -408,3 +408,74 @@ def test_pagerank_matches_pure_python_reference(spark, raw_edges):
         r.node: r.pr for r in pagerank(edges, n_iter=4).collect()
     }
     assert got == pr
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([1, 3]),
+)
+def test_jpeg_flat_roundtrip_property(h, w, seed, channels):
+    """Pure-codec property (no Spark): ANY uint8 image of ANY size
+    round-trips through flat-quant baseline JPEG within 1 LSB for
+    grayscale (DCT float rounding) / 4 LSB for color (adds the
+    RGB<->YCbCr double rounding), with exact shape (pad then crop)."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if channels == 1 else (h, w, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant="flat"))
+    assert out.shape == img.shape
+    tol = 1 if channels == 1 else 4
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= tol
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                categories=("L", "N", "P", "Z", "M"),
+                max_codepoint=0x2FFF,
+            ),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_unicode_canon_idempotent_and_nfc_invariant(spark, values):
+    """canon(canon(x)) == canon(x), and canon is invariant under any
+    prior NFC/NFD normalization of the input — the property that makes
+    it a dedup KEY (equal canonical text ⇒ equal key, regardless of
+    which normal form the crawler emitted)."""
+    import unicodedata
+
+    from artis_data_ingest_spark.functions.strings import unicode_canon
+
+    rows = [
+        (v, unicodedata.normalize("NFD", v), unicodedata.normalize("NFC", v))
+        for v in values
+    ]
+    df = spark.createDataFrame(rows, ["raw", "nfd", "nfc"])
+    out = df.select(
+        unicode_canon("raw").alias("c_raw"),
+        unicode_canon("nfd").alias("c_nfd"),
+        unicode_canon("nfc").alias("c_nfc"),
+    ).select(
+        "c_raw", "c_nfd", "c_nfc",
+        unicode_canon("c_raw").alias("c_twice"),
+    )
+    for r in out.collect():
+        assert r.c_raw == r.c_nfd == r.c_nfc  # form-invariance
+        assert r.c_raw == r.c_twice  # idempotence

@@ -1383,3 +1383,147 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return big.unionByName(small).orderBy("event_type", "cohort", "band")
+
+
+@register(
+    "q_zscore_normalize",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s1,
+         CAST(SUM(cents * cents) AS BIGINT) AS s2
+  FROM c GROUP BY 1
+), st AS (
+  SELECT event_type, n,
+         CAST(s1 AS DOUBLE) / n AS mean_c,
+         sqrt(CAST(s2 AS DOUBLE) / n
+              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+           AS std_c
+  FROM s
+)
+SELECT c.event_type,
+       st.n AS n_events,
+       round(st.mean_c / 100, 6) AS mean_value,
+       round(st.std_c / 100, 6) AS std_value,
+       CAST(SUM(CASE WHEN abs((c.cents - st.mean_c) / st.std_c) > 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(MIN((c.cents - st.mean_c) / st.std_c), 6) AS min_z,
+       round(MAX((c.cents - st.mean_c) / st.std_c), 6) AS max_z
+FROM c JOIN st USING (event_type)
+GROUP BY c.event_type, st.n, st.mean_c, st.std_c
+ORDER BY event_type
+""",
+    doc="Feature standardization (z-score) per group — the train-time "
+    "normalization every tabular/feature pipeline runs before "
+    "modeling: per-event_type mean/std derived from EXACT integer "
+    "sufficient statistics (cents and squared cents summed as BIGINT "
+    "— associative, partition-order-independent; the only float ops "
+    "are the final two divisions, one multiply, and an IEEE "
+    "correctly-rounded sqrt, mirrored operation-for-operation by the "
+    "oracle), then per-row z = (x - mean)/std feeding outlier counts "
+    "and extreme-z bounds (MIN/MAX are order-independent, so doubles "
+    "hash cross-engine; a float SUM of z-scores would not be and is "
+    "deliberately absent).  Plan: one map-side-combined groupBy for "
+    "the statistics, broadcast back onto the scan, one final rollup.",
+)
+def q_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("s2"),
+    )
+    mean_c = F.col("s1").cast("double") / F.col("n")
+    st = s.select(
+        "event_type",
+        "n",
+        mean_c.alias("mean_c"),
+        F.sqrt(
+            F.col("s2").cast("double") / F.col("n")
+            - mean_c * mean_c
+        ).alias("std_c"),
+    )
+    z = (F.col("cents") - F.col("mean_c")) / F.col("std_c")
+    return (
+        c.join(F.broadcast(st), "event_type")
+        .groupBy("event_type", F.col("n").alias("n_events"),
+                 "mean_c", "std_c")
+        .agg(
+            F.sum(
+                F.when(F.abs(z) > 2, 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+            F.round(F.min(z), 6).alias("min_z"),
+            F.round(F.max(z), 6).alias("max_z"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round(F.col("mean_c") / 100, 6).alias("mean_value"),
+            F.round(F.col("std_c") / 100, 6).alias("std_value"),
+            "n_outliers",
+            "min_z",
+            "max_z",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_feature_hash",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'))
+           AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substring(md5(tok), 1, 4)) AS INT) % 64
+           AS bucket
+  FROM t
+)
+SELECT bucket,
+       COUNT(*) AS n_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+    doc="Feature hashing (the 'hashing trick' of Vowpal-Wabbit-style "
+    "linear models and sparse featurizers): tokens map to a fixed "
+    "64-bucket feature space via md5-prefix buckets — engine-portable "
+    "where murmur3 is not, deterministic, no vocabulary build or "
+    "broadcast dictionary.  The query validates the whole encode path "
+    "with the global bucket histogram (total tokens + distinct docs "
+    "per bucket — a distribution skewed or truncated by a hash/modulo "
+    "bug hash-mismatches).  Plan: explode inside the scan stage, one "
+    "map-side-combined shuffle on the bucket key; per-doc sparse "
+    "vectors are the same expression grouped by doc_id instead.",
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+")
+        ).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % 64
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("bucket")
+    )

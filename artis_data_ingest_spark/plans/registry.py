@@ -64,6 +64,8 @@ _PRIORITY: list[str] = [
     "q_webdataset_roundtrip",
     "q_containment_pairs",
     "q_k_anonymity",
+    "q_zscore_normalize",
+    "q_feature_hash",
     # (c) latest verdict r4 — three rounds stale.  Ordered: names with
     # no bench exposure and no direct pytest value pin first.  The r4
     # names deferred to round 8 are the benched-every-round set
@@ -96,12 +98,11 @@ _PRIORITY: list[str] = [
     "q_quality_score",
     "q_json_extract",
     "q_try_cast",
-    "q_salted_agg",
     "q_rank_family",
-    "q_monthly_orders",
     # (52-slot budget enforced by test_priority_queries_yield_first;
-    # q_file_sizes and q_union_evolved — both pytest-pinned — plus
-    # q5/q1 etc. and the pinned reshape variants rotate back round 8.)
+    # q_salted_agg, q_monthly_orders, q_file_sizes, q_union_evolved —
+    # all pytest-pinned — plus q5/q1 etc. and the pinned reshape
+    # variants rotate back round 8.)
 ]
 
 

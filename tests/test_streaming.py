@@ -504,3 +504,62 @@ def test_streaming_index_maintenance_matches_full_build(spark, tmp_path):
     # the replay guard: merging a batch into its OWN snapshot would
     # double-count; current_index(before=N) must skip batch N
     assert current_index(spark, idx, before=0) is None
+
+
+def test_jsonl_gz_stream_matches_batch(spark):
+    """Streaming twin of q_jsonl_gz_ingest (r7): the gzip'd JSONL shard
+    directory consumed as a file-arrival stream (each .jsonl.gz is one
+    unsplittable file-source unit, decompressed by the same codec
+    inference as batch) must produce the batch query's per-(shard,lang)
+    accounting exactly — including the '<corrupt>' rows from PERMISSIVE
+    null-fill."""
+    from pyspark.sql import types as T
+
+    from artis_data_ingest_spark import plans
+    from artis_data_ingest_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("maxFilesPerTrigger", 1)  # one shard per micro-batch
+        .json("/root/repo/data/jsonl_gz/*.jsonl.gz")
+    )
+    n_toks = F.size(F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+"))
+    agg = (
+        stream.groupBy(
+            F.regexp_extract(
+                F.input_file_name(), r"([^/]+)$", 1
+            ).alias("shard"),
+            F.coalesce("lang", F.lit("<corrupt>")).alias("lang"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.sum(n_toks).cast("bigint").alias("total_tokens"),
+        )
+    )
+    q = run_stream_to_memory(agg, "t_jsonl_gz", mode="complete")
+    try:
+        _await_done(q)
+        got = {
+            (r.shard, r.lang): (r.n_docs, r.min_doc_id, r.total_tokens)
+            for r in spark.sql("SELECT * FROM t_jsonl_gz").collect()
+        }
+    finally:
+        q.stop()
+    batch = {
+        (r.shard, r.lang): (r.n_docs, r.min_doc_id, r.total_tokens)
+        for r in plans.all_queries()["q_jsonl_gz_ingest"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert got == batch and len(got) == 15

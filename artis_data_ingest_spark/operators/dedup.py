@@ -917,25 +917,41 @@ def connected_components(
         .distinct()
         .withColumn("cluster", F.col("node"))
     ).localCheckpoint()
-    sym = sym.localCheckpoint()
+    # r7: SELF-edges (a, a) appended once fold the "keep own label" step
+    # into the neighbor aggregation — min over {label(b): b~a or b==a}
+    # IS least(own, neighbor-min) — removing one labels-join per round.
+    sym = sym.unionByName(
+        labels.select(F.col("node").alias("a"), F.col("node").alias("b"))
+    ).localCheckpoint()
+    # r7: fixpoint detection via the label-sum invariant where the
+    # label type allows it: labels only ever DECREASE, so the (exact,
+    # order-independent) decimal sum of labels is strictly decreasing
+    # until the fixpoint and equal exactly there — one scalar aggregate
+    # over the freshly checkpointed labels replaces a whole join job
+    # per round.  Non-numeric node ids (entity-resolution clusters over
+    # strings) have no such sum; they keep the join-based change check.
+    from pyspark.sql import types as _T
+
+    _numeric = isinstance(
+        labels.schema["cluster"].dataType,
+        (_T.LongType, _T.IntegerType, _T.ShortType, _T.ByteType,
+         _T.DecimalType),
+    )
+
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels) if _numeric else None
     converged = False
     for _ in range(max_iter):
-        neighbor_min = (
+        # one join + one map-side-combined aggregation per round: the
+        # self-edges make this the complete min-label propagation step
+        propagated = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy(sym["a"].alias("node"))
-            .agg(F.min("cluster").alias("nbr_cluster"))
-        )
-        # materialized once: both the pointer-jump probe (parent) and the
-        # build side below consume it, and without a checkpoint the
-        # neighbor join+agg above would execute twice per round.
-        propagated = (
-            labels.join(neighbor_min, on="node", how="left").select(
-                "node",
-                F.least(
-                    F.col("cluster"),
-                    F.coalesce(F.col("nbr_cluster"), F.col("cluster")),
-                ).alias("cluster"),
-            )
+            .agg(F.min("cluster").alias("cluster"))
         ).localCheckpoint()
         # pointer jump: compose labels once per round. A label is always
         # a node id in the graph, and labels only decrease, so
@@ -951,17 +967,25 @@ def connected_components(
                 F.coalesce(F.col("jump"), F.col("cluster")).alias("cluster"),
             )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
+        if _numeric:
+            labels = new_labels
+            new_sum = _label_sum(labels)
+            if new_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = new_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="node")
+                .filter(F.col("n.cluster") != F.col("o.cluster"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
     if not converged and strict:
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iter} rounds "

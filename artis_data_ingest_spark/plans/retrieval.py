@@ -460,7 +460,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             ).alias("enc"),
             "cnt",
         )
-    )
+    ).localCheckpoint()  # r7: the corpus reduces to this table ONCE —
+    # without materialization every merge round's pair count (and every
+    # top-pair action) re-derived the full corpus tokenization chain
     tops = []
     for i in range(_BPE_MERGES):
         s = F.filter(F.split("enc", sep2), lambda x: x != "")
@@ -478,7 +480,12 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             .groupBy("l", "r")
             .agg(F.sum("cnt").alias("support"))
         )
-        top = pairs.orderBy(F.col("support").desc(), "l", "r").limit(1)
+        # 1-row materialization: the top pair is consumed twice (result
+        # union + rewrite broadcast) and would otherwise recompute the
+        # pair aggregation per consumer
+        top = pairs.orderBy(
+            F.col("support").desc(), "l", "r"
+        ).limit(1).localCheckpoint()
         tops.append(
             top.select(
                 F.lit(i).alias("merge_rank"),
@@ -495,6 +502,10 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         rep = F.concat(
             F.lit(_BPE_SEP), F.col("l"), F.col("r"), F.lit(_BPE_SEP)
         )
+        # the rewrite chains as a plain codegen replace() over the
+        # MATERIALIZED word table — for bounded merge counts the chain
+        # is cheaper than a materialization job per round; checkpoint
+        # here instead if merges grow into the hundreds
         vocab = vocab.crossJoin(F.broadcast(top)).select(
             "word", F.replace(F.col("enc"), pat, rep).alias("enc"), "cnt"
         )

@@ -662,7 +662,18 @@ def image_stats(media: DataFrame, round_digits: int = 6) -> DataFrame:
         for pdf in batches:
             recs = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                arr = _decode_image_any(bytes(blob)).astype(np.float64) / 255.0
+                # corrupt-payload tolerance (the image analogue of
+                # PERMISSIVE JSONL): a truncated or malformed container
+                # in a 100 TB scrape must yield a null-stats row the
+                # pipeline can count and filter, never kill the job
+                try:
+                    arr = (
+                        _decode_image_any(bytes(blob)).astype(np.float64)
+                        / 255.0
+                    )
+                except (ValueError, IndexError):
+                    recs.append((mid, None, None, None, None, None))
+                    continue
                 h, w = arr.shape[:2]
                 means = arr.reshape(-1, arr.shape[2]).mean(axis=0)
                 recs.append(

@@ -799,3 +799,36 @@ def test_resize_media_real_jpeg_path(spark):
     assert out.shape == (5, 6)
     assert np.all(out == 77)
     assert r.meta["width"] == 6 and r.meta["height"] == 5
+
+
+def test_image_stats_tolerates_corrupt_payloads(spark):
+    """A truncated/garbage image blob must surface as a null-stats row
+    (the PERMISSIVE-JSONL analogue for media), not kill the job; clean
+    rows in the same batch still decode."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import encode_jpeg
+    from artis_data_ingest_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_stats,
+    )
+
+    good = encode_jpeg(np.full((8, 8), 10, dtype=np.uint8), quant="flat")
+    meta = {"width": None, "height": None, "n_frames": None,
+            "sample_rate": None}
+    media = spark.createDataFrame(
+        [
+            (0, "image", good, meta),
+            (1, "image", good[: len(good) // 2], meta),  # truncated JPEG
+            (2, "image", b"\x89PNG\r\n\x1a\nGARBAGE", meta),  # torn PNG
+            (3, "image", good, meta),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in image_stats(
+        media.select("media_id", "content")
+    ).collect()}
+    assert rows[0].width == 8 and rows[0].mean_r == round(10 / 255.0, 6)
+    assert rows[3].mean_r == rows[0].mean_r
+    for bad in (1, 2):
+        assert rows[bad].width is None and rows[bad].mean_r is None

@@ -126,6 +126,14 @@ def main() -> None:
 - **Codegen is universal** — no Python in any hot path except the two
   deliberately-Pandas queries (`q_pandas_cosine_topk`,
   `q_media_features`), which use Arrow batches.
+- **r7 additions hold the same discipline**: `q_webdataset_roundtrip`
+  and `q_jsonl_gz_ingest` parallelize per (unsplittable) shard —
+  binaryFile/text-source file rows ARE the parallelism unit;
+  `q_boilerplate_strip`'s line-frequency table is (source, distinct
+  line)-bounded, far below corpus scale; `q_zscore_normalize`
+  broadcasts 5 statistic rows back onto the scan; iterative CC now
+  runs one join + one agg per round (self-edge fold) with a scalar
+  label-sum fixpoint probe instead of a join-per-round change check.
 - Sort-shuffles are the presentation `ORDER BY` the oracle comparison
   needs; a production sink would drop them (or write
   `sortWithinPartitions` for row-group locality instead).

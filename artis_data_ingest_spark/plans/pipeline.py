@@ -627,7 +627,9 @@ SELECT source, lang,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(length(text)) AS BIGINT) AS total_len,
-       MIN(doc_id) AS min_doc_id
+       MIN(doc_id) AS min_doc_id,
+       CAST(SUM(CAST(CONCAT('0x', substring(md5(text), 1, 12)) AS BIGINT))
+            AS BIGINT) AS text_checksum
 FROM documents
 GROUP BY source, lang
 ORDER BY source, lang
@@ -659,6 +661,13 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
             F.sum(F.length("text")).cast("bigint").alias("total_len"),
             F.min("doc_id").alias("min_doc_id"),
+            # order-independent full-content pin: SUM of an md5-prefix
+            # per row is engine-portable where a concat-hash is not
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast(
+                    "bigint"
+                )
+            ).cast("bigint").alias("text_checksum"),
         )
         .orderBy("source", "lang")
     )

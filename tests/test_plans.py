@@ -728,3 +728,34 @@ def test_tpch_smj_fallback_actually_compiles_smj(spark):
             assert "SortMergeJoin" in plan, f"{name} compiled no SMJ:\n{plan[:2000]}"
     finally:
         _restore_confs(spark, saved)
+
+
+_NON_TPCH_JOIN_FAMILY = [
+    # retrieval / corpus / temporal / ANN shapes whose joins also must
+    # survive the no-broadcast fallback at 100 TB
+    "q_bm25",
+    "q_tfidf_topterms",
+    "q_contamination_ngram",
+    "q_boilerplate_strip",
+    "q_pit_join",
+    "q_asof_join",
+    "q_dedup_incremental",
+    "q_ann_ivf",
+]
+
+
+@pytest.mark.parametrize("name", _NON_TPCH_JOIN_FAMILY)
+def test_non_tpch_smj_fallback_parity(spark, name):
+    """Broadcast-disabled re-run of the non-TPC-H join families: the
+    retrieval, corpus-hygiene, temporal, and ANN queries must return
+    identical rows when every join compiles to its shuffled fallback."""
+    from artis_data_ingest_spark import plans
+
+    q = plans.all_queries()[name].fn
+    base = [tuple(r) for r in q(spark, SF_DIR).collect()]
+    saved = _with_confs(spark, _SMJ_CONFS)
+    try:
+        smj = [tuple(r) for r in q(spark, SF_DIR).collect()]
+    finally:
+        _restore_confs(spark, saved)
+    assert smj == base, f"{name}: no-broadcast plan diverges"

@@ -724,4 +724,10 @@ def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_webdataset(
             load_table(spark, sf_dir, "documents"), path, docs_per_shard=100
         )
-    return read_webdataset(spark, path).orderBy("doc_id")
+    # text columns only: the extras map (multimodal members) is empty
+    # for this text corpus and not oracle-comparable as a map type
+    return (
+        read_webdataset(spark, path)
+        .select("shard", "doc_id", "text", "lang", "source")
+        .orderBy("doc_id")
+    )

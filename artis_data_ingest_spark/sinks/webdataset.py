@@ -44,21 +44,36 @@ WDS_DOC_SCHEMA = T.StructType(
         T.StructField("text", T.StringType()),
         T.StructField("lang", T.StringType()),
         T.StructField("source", T.StringType()),
+        # multimodal members ({key}.jpg, {key}.wav, ...) surfaced by
+        # extension; empty map for text-only shards
+        T.StructField(
+            "extras", T.MapType(T.StringType(), T.BinaryType())
+        ),
     ]
 )
 
 
 def write_webdataset(
-    docs: DataFrame, out_dir: str, docs_per_shard: int = 100
+    docs: DataFrame,
+    out_dir: str,
+    docs_per_shard: int = 100,
+    binary_cols: tuple[str, ...] = (),
 ) -> int:
     """Write ``(doc_id, text, lang, source)`` rows as WebDataset tar
     shards under ``out_dir``; returns the shard count.  Deterministic:
     member order is sorted by doc_id, tar metadata is zeroed, and the
     shard assignment is pure arithmetic on doc_id — two runs produce
-    byte-identical shards."""
+    byte-identical shards.
+
+    ``binary_cols`` names binary columns written as ``{key}.{col}``
+    members next to the text/json pair — the WebDataset multimodal
+    convention (a .jpg/.wav payload traveling WITH its caption in the
+    same sequentially-readable shard, so training readers never do a
+    second lookup)."""
     shard_col = (F.col("doc_id") / docs_per_shard).cast("bigint")
     prepared = docs.select(
-        shard_col.alias("shard"), "doc_id", "text", "lang", "source"
+        shard_col.alias("shard"), "doc_id", "text", "lang", "source",
+        *binary_cols,
     ).repartition("shard")
     os.makedirs(out_dir, exist_ok=True)
     n_shards = prepared.select("shard").distinct().count()
@@ -77,10 +92,16 @@ def write_webdataset(
                         {"lang": r["lang"], "source": r["source"]},
                         sort_keys=True,
                     ).encode()
-                    for name, payload in (
+                    members_out = [
                         (f"{key}.txt", txt),
                         (f"{key}.json", meta),
-                    ):
+                    ]
+                    for col in binary_cols:
+                        if r[col] is not None:
+                            members_out.append(
+                                (f"{key}.{col}", bytes(r[col]))
+                            )
+                    for name, payload in members_out:
                         info = tarfile.TarInfo(name=name)
                         info.size = len(payload)
                         info.mtime = 0
@@ -101,8 +122,9 @@ def write_webdataset(
 def read_webdataset(spark: SparkSession, in_dir: str) -> DataFrame:
     """One row per document from a directory of WebDataset tar shards:
     binaryFile scan (one task per shard) → stdlib untar → member
-    regroup by key stem.  Unknown member extensions are ignored (the
-    format's forward-compat contract); a key missing ``.txt`` yields a
+    regroup by key stem.  Non-text member extensions (.jpg, .wav, …)
+    surface in the ``extras`` map as raw bytes — the multimodal payload
+    rides the same row as its caption; a key missing ``.txt`` yields a
     null text rather than a dropped row."""
 
     tars = spark.read.format("binaryFile").load(
@@ -125,11 +147,13 @@ def read_webdataset(spark: SparkSession, in_dir: str) -> DataFrame:
                         if not dot:
                             continue
                         payload = tar.extractfile(m).read()
-                        slot = docs.setdefault(stem, {})
+                        slot = docs.setdefault(stem, {"extras": {}})
                         if ext == "txt":
                             slot["text"] = payload.decode()
                         elif ext == "json":
                             slot.update(json.loads(payload))
+                        else:
+                            slot["extras"][ext] = payload
                 for stem, d in sorted(docs.items()):
                     recs.append(
                         (
@@ -138,10 +162,14 @@ def read_webdataset(spark: SparkSession, in_dir: str) -> DataFrame:
                             d.get("text"),
                             d.get("lang"),
                             d.get("source"),
+                            d["extras"],
                         )
                     )
             yield pd.DataFrame(
-                recs, columns=["shard", "doc_id", "text", "lang", "source"]
+                recs,
+                columns=[
+                    "shard", "doc_id", "text", "lang", "source", "extras",
+                ],
             )
 
     return tars.select("path", "content").mapInPandas(

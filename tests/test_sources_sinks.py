@@ -348,3 +348,47 @@ def test_webdataset_shards_deterministic_and_torn_write_safe(spark, tmp_path):
         i: (f"text {i}", "en", "web", f"shard-{i // 3:05d}.tar")
         for i in range(7)
     }
+
+
+def test_webdataset_multimodal_members_roundtrip(spark, tmp_path):
+    """The WebDataset multimodal convention: a binary payload travels
+    as {key}.jpg NEXT TO its caption in the same shard, and the reader
+    surfaces it byte-exactly in the extras map — here a real baseline
+    JPEG that still decodes after the tar round-trip."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from artis_data_ingest_spark.sinks.webdataset import (
+        read_webdataset,
+        write_webdataset,
+    )
+
+    blobs = {
+        i: encode_jpeg(
+            np.full((8, 8), 20 * i + 5, dtype=np.uint8), quant="flat"
+        )
+        for i in range(4)
+    }
+    docs = spark.createDataFrame(
+        [
+            (i, f"caption {i}", "en", "web",
+             blobs[i] if i != 2 else None)  # doc 2: text-only
+            for i in range(4)
+        ],
+        ["doc_id", "text", "lang", "source", "jpg"],
+    )
+    out = str(tmp_path / "wds")
+    write_webdataset(docs, out, docs_per_shard=2, binary_cols=("jpg",))
+    back = {r.doc_id: r for r in read_webdataset(spark, out).collect()}
+    assert len(back) == 4
+    for i in range(4):
+        assert back[i].text == f"caption {i}"
+        if i == 2:
+            assert back[i].extras == {}
+        else:
+            payload = bytes(back[i].extras["jpg"])
+            assert payload == blobs[i]  # byte-exact through the tar
+            assert int(decode_jpeg(payload)[0, 0]) == 20 * i + 5

@@ -731,3 +731,77 @@ def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shard", "doc_id", "text", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_wds_multimodal",
+    oracle="""
+WITH m AS (
+  SELECT i, 2 + i % 3 AS bw, 1 + i % 2 AS bh FROM range(6) t(i)
+), tiles AS (
+  SELECT i, bw, bh,
+         (17 * bx.x + 29 * by.y + 11 * i) % 256 AS v
+  FROM m, UNNEST(range(bw)) AS bx(x), UNNEST(range(bh)) AS by(y)
+)
+SELECT 'shard-' || lpad(CAST(i // 2 AS VARCHAR), 5, '0') || '.tar'
+         AS shard,
+       i AS doc_id,
+       'image ' || i AS caption,
+       CAST(8 * bw AS BIGINT) AS width,
+       CAST(8 * bh AS BIGINT) AS height,
+       round(SUM(v) / (bw * bh * 255.0), 6) AS mean_r
+FROM tiles
+GROUP BY i, bw, bh
+ORDER BY doc_id
+""",
+    doc="End-to-end MULTIMODAL corpus pipeline composing the round-7 "
+    "pieces: tile JPEGs (closed-form pixels) are sharded into "
+    "WebDataset tars as {key}.jpg members NEXT TO their {key}.txt "
+    "captions (the layout multimodal training readers consume), read "
+    "back via binaryFile+untar (one task per shard), and the jpg "
+    "extras decode through the baseline JPEG codec to per-image "
+    "channel means — caption text and pixel statistics both "
+    "hash-checked against the by-construction oracle.  Any fault in "
+    "the tar framing, member grouping, byte fidelity, or JPEG decode "
+    "breaks the match.  Binary bytes move shard-at-a-time; only "
+    "compact stats reach the shuffle.",
+)
+def q_wds_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    from ..operators.multimodal import image_stats, tile_jpeg_media
+    from ..sinks.webdataset import read_webdataset, write_webdataset
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "wds_multimodal",
+    )
+    path = os.path.join(
+        root, hashlib.md5(b"tile_jpeg_media|n6|per2").hexdigest()[:16]
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        media = tile_jpeg_media(spark, n=6).select(
+            F.col("media_id").alias("doc_id"),
+            F.concat(F.lit("image "), F.col("media_id").cast("string"))
+            .alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("synth").alias("source"),
+            F.col("content").alias("jpg"),
+        )
+        write_webdataset(media, path, docs_per_shard=2, binary_cols=("jpg",))
+    back = read_webdataset(spark, path)
+    stats = image_stats(
+        back.select(
+            F.col("doc_id").alias("media_id"),
+            F.element_at("extras", "jpg").alias("content"),
+        )
+    )
+    return (
+        back.select("shard", "doc_id", F.col("text").alias("caption"))
+        .join(stats, F.col("doc_id") == F.col("media_id"))
+        .select("shard", "doc_id", "caption", "width", "height", "mean_r")
+        .orderBy("doc_id")
+    )

@@ -588,3 +588,116 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ngram_containment_pairs(docs).orderBy("doc_id_a", "doc_id_b")
+
+
+@register(
+    "q_gopher_rules",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         len(toks) AS n_words,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+              AS BIGINT) AS alpha_words,
+         CAST(list_sum(list_transform(toks, w -> length(w)))
+              AS BIGINT) AS total_chars,
+         CAST(len(list_filter(toks, w -> w IN
+             ({", ".join(repr(w) for w in QUALITY_STOPWORDS)})))
+              AS BIGINT) AS stop_hits,
+         CAST(len(list_filter(toks, w ->
+             regexp_matches(w, '^[#.]+$'))) AS BIGINT) AS symbol_words
+  FROM t
+), v AS (
+  SELECT doc_id, lang, n_words,
+         (CAST(total_chars AS DOUBLE) / n_words >= 3
+          AND CAST(total_chars AS DOUBLE) / n_words <= 10)
+           AS ok_word_len,
+         (CAST(alpha_words AS DOUBLE) / n_words > 0.8) AS ok_alpha,
+         (stop_hits >= 2) AS ok_stop,
+         (CAST(symbol_words AS DOUBLE) / n_words < 0.1) AS ok_symbols
+  FROM m
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ok_word_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_word_len,
+       CAST(SUM(CASE WHEN ok_alpha THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_alpha,
+       CAST(SUM(CASE WHEN ok_stop THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_stop,
+       CAST(SUM(CASE WHEN ok_symbols THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_symbols,
+       CAST(SUM(CASE WHEN ok_word_len AND ok_alpha AND ok_stop
+                      AND ok_symbols THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_all
+FROM v
+GROUP BY lang
+ORDER BY lang
+""",
+    doc="Gopher-style quality-rule bundle (Rae et al. 2021 §A1.1 — the "
+    "standard pre-training document filter set), per-language pass "
+    "accounting: mean word length in [3,10], >80% of words contain an "
+    "alphabetic character, >=2 stopword hits, <10% symbol-only words "
+    "(#/… runs).  One expression tree over a single shared "
+    "tokenization (Catalyst CSE), zero UDFs, one shuffle for the "
+    "rollup; each rule is an in-query verdict so a threshold or "
+    "tokenizer drift hash-mismatches.  Line-level Gopher rules "
+    "(bullet-start/ellipsis-end ratios) apply to multi-line docs via "
+    "the same split-explode shape as q_boilerplate_strip.",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import QUALITY_STOPWORDS as _STOPS
+    from ..functions.textstats import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n_words = F.size(toks)
+    alpha_words = F.size(
+        F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("bigint")
+    total_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(_STOPS))).cast(
+        "bigint"
+    )
+    symbol_words = F.size(
+        F.filter(toks, lambda w: w.rlike("^[#.]+$"))
+    ).cast("bigint")
+    mean_len = total_chars.cast("double") / n_words
+    m = docs.select(
+        "lang",
+        ((mean_len >= 3) & (mean_len <= 10)).alias("ok_word_len"),
+        (alpha_words.cast("double") / n_words > 0.8).alias("ok_alpha"),
+        (stop_hits >= 2).alias("ok_stop"),
+        (symbol_words.cast("double") / n_words < 0.1).alias("ok_symbols"),
+    )
+
+    def _cnt(c):
+        return F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint")
+
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _cnt("ok_word_len").alias("pass_word_len"),
+            _cnt("ok_alpha").alias("pass_alpha"),
+            _cnt("ok_stop").alias("pass_stop"),
+            _cnt("ok_symbols").alias("pass_symbols"),
+            F.sum(
+                F.when(
+                    F.col("ok_word_len")
+                    & F.col("ok_alpha")
+                    & F.col("ok_stop")
+                    & F.col("ok_symbols"),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("pass_all"),
+        )
+        .orderBy("lang")
+    )

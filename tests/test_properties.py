@@ -479,3 +479,40 @@ def test_unicode_canon_idempotent_and_nfc_invariant(spark, values):
     for r in out.collect():
         assert r.c_raw == r.c_nfd == r.c_nfc  # form-invariance
         assert r.c_raw == r.c_twice  # idempotence
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", categories=("L", "N", "P", "Z")
+            ),
+            min_size=0,
+            max_size=60,
+        ).map(lambda s: s.replace("\r", " ")),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_boilerplate_strip_identity_when_threshold_unreachable(spark, texts):
+    """With max_df_ratio > 1 no line can ever be boilerplate, so the
+    operator must be a pure split→reassemble identity: every document
+    comes back byte-equal with n_lines_removed == 0 — pinning position
+    ordering, empty-line handling, and the collect_list reassembly on
+    arbitrary content."""
+    from artis_data_ingest_spark.operators.clean import (
+        strip_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "src", "\n".join([t, f"tail {i}"]) if t else f"only {i}")
+         for i, t in enumerate(texts)],
+        ["doc_id", "source", "text"],
+    )
+    inp = {r.doc_id: r.text for r in docs.collect()}
+    out = {
+        r.doc_id: (r.text, r.n_lines_removed)
+        for r in strip_boilerplate_lines(docs, max_df_ratio=2.0).collect()
+    }
+    assert out == {i: (t, 0) for i, t in inp.items()}

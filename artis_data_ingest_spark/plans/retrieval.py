@@ -645,3 +645,194 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("symbol", "freq", F.length("symbol").cast("bigint").alias("n_chars"))
         .orderBy(F.col("freq").desc(), "symbol")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (lexical) + embedding cosine (semantic) fused
+# with reciprocal rank fusion.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_POOL = 20  # per-modality candidate pool
+_RRF_TOPK = 10
+_RRF_QVEC = 0  # query embedding = embeddings.vec_id 0
+
+_HYBRID_ORACLE = f"""
+WITH tok AS ({_TOK_SQL}),
+dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term IN ({_BM25_TERM_LIST})
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, {_BM25_SCORE_SQL} AS s
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus
+),
+per_doc AS (
+  SELECT
+    doc_id,
+    {", ".join(f"MAX(CASE WHEN term = '{t}' THEN s END) AS s_{t}" for t in _BM25_TERMS)}
+  FROM scored
+  GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY {_BM25_TOTAL_SQL} DESC, doc_id
+           ) AS rank_lex
+    FROM per_doc
+  ) WHERE rank_lex <= {_RRF_POOL}
+),
+emb AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+qv AS (
+  SELECT emb AS q_emb FROM emb WHERE vec_id = {_RRF_QVEC}
+),
+sem AS (
+  SELECT vec_id AS doc_id, rank_sem FROM (
+    SELECT e.vec_id,
+           ROW_NUMBER() OVER (
+             ORDER BY round(list_dot_product(q.q_emb, e.emb)
+                 / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                    * sqrt(list_dot_product(e.emb, e.emb))), 6) DESC,
+               e.vec_id
+           ) AS rank_sem
+    FROM emb e CROSS JOIN qv q
+    WHERE e.vec_id <> {_RRF_QVEC}
+  ) WHERE rank_sem <= {_RRF_POOL}
+)
+SELECT doc_id, rank_lex, rank_sem,
+       round(COALESCE(1.0 / ({_RRF_K} + rank_lex), 0)
+             + COALESCE(1.0 / ({_RRF_K} + rank_sem), 0), 9) AS rrf
+FROM lex FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT {_RRF_TOPK}
+"""
+
+
+@register(
+    "q_hybrid_rrf",
+    oracle=_HYBRID_ORACLE,
+    doc="Hybrid retrieval with reciprocal rank fusion (the standard "
+    "production pattern pairing a lexical index with a vector index): "
+    "the BM25 top-20 for the fixed 3-term query fuses with the "
+    "cosine top-20 for a fixed query embedding as rrf = "
+    f"1/({_RRF_K}+rank_lex) + 1/({_RRF_K}+rank_sem), a missing "
+    "modality contributing 0 via the FULL OUTER join of the two "
+    "20-row pools.  Both rankings are deterministic (integer-cleared "
+    "BM25 scores; round-6 cosine with vec_id tie-break) and the RRF "
+    "expression is two correctly-rounded divisions summed in fixed "
+    "order, so the fused list hash-matches cross-engine.  Scale "
+    "shape: each modality runs its own top-k (1 corpus scan + "
+    "TakeOrdered each); fusion touches only the two candidate pools "
+    "— at 100 TB the pools stay user-bounded (k) regardless of "
+    "corpus size.",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import dot, norm
+
+    # lexical pool: the q_bm25 single-pass construction, top-20
+    tok = _tokens(spark, sf_dir)
+    stats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("bigint")).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    corpus = stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+
+    def _term_score(t: str):
+        tf = F.col(f"tf_{t}")
+        num = F.lit(22) * tf * F.col("sum_dl") * (F.col("n_docs") + F.lit(1))
+        den = (
+            (F.lit(10) * tf + F.lit(3)) * F.col("sum_dl")
+            + F.lit(9) * F.col("dl") * F.col("n_docs")
+        ) * (F.col(f"df_{t}") + F.lit(1))
+        return F.when(
+            tf > 0, num.cast("double") / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    total = None
+    for t in _BM25_TERMS:
+        s = _term_score(t)
+        total = s if total is None else total + s
+    lex_pool = (
+        stats.crossJoin(F.broadcast(corpus))
+        .select("doc_id", total.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    w_lex = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = lex_pool.select(
+        "doc_id", F.row_number().over(w_lex).alias("rank_lex")
+    )
+
+    # semantic pool: cosine vs the fixed query embedding, top-20
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    qv = emb.filter(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("emb").alias("q_emb")
+    )
+    cos = F.round(
+        dot(F.col("q_emb"), F.col("emb"))
+        / (
+            F.sqrt(dot(F.col("q_emb"), F.col("q_emb")))
+            * F.sqrt(dot(F.col("emb"), F.col("emb")))
+        ),
+        6,
+    )
+    sem_pool = (
+        emb.filter(F.col("vec_id") != _RRF_QVEC)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    w_sem = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    sem = sem_pool.select(
+        "doc_id", F.row_number().over(w_sem).alias("rank_sem")
+    )
+
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_lex")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_sem")), F.lit(0.0)
+        ),
+        9,
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select("doc_id", "rank_lex", "rank_sem", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(_RRF_TOPK)
+    )

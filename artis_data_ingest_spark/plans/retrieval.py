@@ -889,3 +889,116 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(_RRF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# KWIC snippets: keyword-in-context extraction for the BM25 top docs.
+# ---------------------------------------------------------------------------
+
+_KWIC_RADIUS = 3
+
+_KWIC_ORACLE = f"""
+WITH tok AS ({_TOK_SQL}),
+dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+),
+corpus AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term IN ({_BM25_TERM_LIST})
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term, {_BM25_SCORE_SQL} AS s
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN corpus
+),
+per_doc AS (
+  SELECT
+    doc_id,
+    {", ".join(f"MAX(CASE WHEN term = '{t}' THEN s END) AS s_{t}" for t in _BM25_TERMS)}
+  FROM scored
+  GROUP BY doc_id
+),
+top10 AS (
+  SELECT doc_id
+  FROM per_doc
+  ORDER BY {_BM25_TOTAL_SQL} DESC, doc_id
+  LIMIT {_BM25_TOPK}
+),
+toks AS (
+  SELECT d.doc_id,
+         string_split_regex(trim(d.text), '[ \\t\\n\\r\\f\\x0B]+') AS w
+  FROM documents d JOIN top10 USING (doc_id)
+),
+hits AS (
+  SELECT t.doc_id, q.term,
+         CAST(list_position(t.w, q.term) AS BIGINT) AS pos,
+         len(t.w) AS n
+  FROM toks t, (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}) q(term)
+)
+SELECT doc_id, term, pos,
+       array_to_string(
+         list_slice(
+           (SELECT w FROM toks x WHERE x.doc_id = hits.doc_id),
+           greatest(1, pos - {_KWIC_RADIUS}),
+           least(n, pos + {_KWIC_RADIUS})),
+         ' ') AS snippet
+FROM hits
+WHERE pos > 0
+ORDER BY doc_id, term
+"""
+
+
+@register(
+    "q_kwic_snippets",
+    oracle=_KWIC_ORACLE,
+    doc="Keyword-in-context snippet extraction for the BM25 top-10 "
+    "(the retrieval-UX half of a search stack — every result carries "
+    "a ±3-token window around each query term's FIRST occurrence): "
+    "the 10-row top list broadcasts back onto documents, one "
+    "tokenization per hit doc, array_position + slice + array_join "
+    "builtins — no UDF, snippet construction entirely codegen.  "
+    "Absent terms (docs matching only 2 of 3 terms) drop rather than "
+    "emitting null windows.  At 100 TB the snippet stage touches "
+    "exactly k documents regardless of corpus size.",
+)
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textstats import tokens
+
+    top = q_bm25(spark, sf_dir).select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .join(F.broadcast(top), "doc_id")
+        .select("doc_id", tokens("text").alias("w"))
+        .withColumn("n", F.size("w"))
+    )
+    per_term = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.array_position("w", t).cast("bigint").alias("pos"),
+            )
+            for t in _BM25_TERMS
+        ]
+    )
+    hits = docs.select(
+        "doc_id", "w", "n", F.explode(per_term).alias("h")
+    ).select("doc_id", "w", "n", "h.term", "h.pos")
+    start = F.greatest(F.lit(1), F.col("pos") - _KWIC_RADIUS)
+    end = F.least(F.col("n").cast("bigint"), F.col("pos") + _KWIC_RADIUS)
+    snippet = F.array_join(
+        F.slice("w", start.cast("int"), (end - start + 1).cast("int")), " "
+    )
+    return (
+        hits.filter(F.col("pos") > 0)
+        .select("doc_id", "term", "pos", snippet.alias("snippet"))
+        .orderBy("doc_id", "term")
+    )

@@ -759,3 +759,28 @@ def test_non_tpch_smj_fallback_parity(spark, name):
     finally:
         _restore_confs(spark, saved)
     assert smj == base, f"{name}: no-broadcast plan diverges"
+
+
+def test_orc_scan_pushes_filters_and_prunes_columns(spark):
+    """The ORC interchange path must keep the same scan discipline as
+    parquet: predicate pushdown into the ORC reader and column pruning
+    in ReadSchema — an interchange copy that loses pushdown would
+    silently full-scan at 100 TB."""
+    import os
+
+    from artis_data_ingest_spark.plans.pipeline import _orc_cache_path
+
+    path = _orc_cache_path(SF_DIR)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, SF_DIR, "documents").write.mode(
+            "overwrite"
+        ).orc(path)
+    df = (
+        spark.read.orc(path)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "n_chars")
+    )
+    p = plan_str(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in read and "text" not in read

@@ -823,3 +823,60 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return strip_boilerplate_lines(docs).orderBy("doc_id")
+
+
+@register(
+    "q_mix_temperature",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(trim(text),
+                                         '[ \\t\\n\\r\\f\\x0B]+')))
+              AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+), mx AS (
+  SELECT MAX(n_tokens) AS max_tokens FROM s
+)
+SELECT source, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / max_tokens, 9) AS rel_t1,
+       round(sqrt(CAST(n_tokens AS DOUBLE) / max_tokens), 9) AS rel_t2,
+       (sqrt(CAST(n_tokens AS DOUBLE) / max_tokens)
+        >= CAST(n_tokens AS DOUBLE) / max_tokens) AS tail_upweighted
+FROM s CROSS JOIN mx
+ORDER BY source
+""",
+    doc="Temperature-flattened source mixing (T=2, the multilingual/"
+    "multi-source sampling scheme of mT5/XLM-R: sample source i "
+    "proportional to n_i^(1/T) so low-resource sources are "
+    "upweighted): weights are expressed RELATIVE to the largest "
+    "source — rel = (n_i/n_max)^(1/T) — so every value is one exact "
+    "integer division followed by one IEEE correctly-rounded sqrt, "
+    "never a float SUM over irrational weights (a normalized share "
+    "Σ-denominator would accumulate partition-order-dependently and "
+    "break the cross-engine hash).  The in-query verdict pins the "
+    "semantics: T=2 never DOWNweights a source relative to "
+    "proportional sampling.  One map-side-combined aggregate + a "
+    "1-row max broadcast.",
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(
+            F.size(F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+"))
+        ).cast("bigint").alias("n_tokens")
+    )
+    mx = s.agg(F.max("n_tokens").alias("max_tokens"))
+    rel_t1 = F.col("n_tokens").cast("double") / F.col("max_tokens")
+    rel_t2 = F.sqrt(rel_t1)
+    return (
+        s.crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(rel_t1, 9).alias("rel_t1"),
+            F.round(rel_t2, 9).alias("rel_t2"),
+            (rel_t2 >= rel_t1).alias("tail_upweighted"),
+        )
+        .orderBy("source")
+    )

@@ -70,6 +70,7 @@ _PRIORITY: list[str] = [
     "q_gopher_rules",
     "q_hybrid_rrf",
     "q_kwic_snippets",
+    "q_mix_temperature",
     # (c) latest verdict r4 — three rounds stale.  Ordered: names with
     # no bench exposure and no direct pytest value pin first.  The r4
     # names deferred to round 8 are the benched-every-round set
@@ -98,10 +99,10 @@ _PRIORITY: list[str] = [
     "q_fuzzy_match",
     "q_fingerprint",
     "q_lang_stats",
-    "q_langid_confusion",
     # (52-slot budget enforced by test_priority_queries_yield_first;
     # q_salted_agg, q_monthly_orders, q_file_sizes, q_union_evolved,
-    # q_try_cast, q_json_extract, q_quality_score — all pytest-pinned — plus q5/q1 etc. and the pinned reshape
+    # q_try_cast, q_json_extract, q_quality_score, q_langid_confusion —
+    # all pytest-pinned — plus q5/q1 etc. and the pinned reshape
     # variants rotate back round 8.)
 ]
 

@@ -852,3 +852,46 @@ def test_strip_boilerplate_all_lines_removed(spark):
     }
     # every line boilerplate -> empty doc, not a dropped row
     assert out == {0: ("", 1), 1: ("", 1)}
+
+
+def test_containment_dominates_jaccard_on_shared_pairs(spark):
+    """|A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| always (min <= union), so for
+    every candidate pair emitted by both operators the containment
+    value must dominate the Jaccard value — pinning that the two
+    verifies read the SAME shingle sets and candidate block."""
+    from artis_data_ingest_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra tail words here"),
+            (3, base.replace("quick", "speedy")),
+            (4, "totally unrelated content with no overlap at all"),
+            (5, base[:30]),  # short doc contained in the long ones
+        ],
+        ["doc_id", "text"],
+    )
+    jac = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, min_jaccard=0.0).collect()
+    }
+    con = {
+        (r.doc_id_a, r.doc_id_b): r.containment
+        for r in ngram_containment_pairs(docs, min_containment=0.0).collect()
+    }
+    assert set(jac) == set(con)  # same candidate block
+    assert jac, "candidate block unexpectedly empty"
+    for pair, j in jac.items():
+        assert con[pair] >= j - 1e-12, (pair, con[pair], j)
+    # near-identical docs collide and containment tops jaccard
+    key = (1, 2)
+    assert con[key] > jac[key] > 0.5
+    # the documented recall caveat, pinned: the short PREFIX doc (high
+    # containment, LOW jaccard to doc 1) does NOT band-collide — LSH
+    # bands block by jaccard, so extreme length-ratio containment needs
+    # the n-gram equi-join block (q_contamination_ngram shape) instead
+    assert (1, 5) not in con and (5, 1) not in con

@@ -1060,3 +1060,90 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= min_containment)
         .select("doc_id_a", "doc_id_b", "containment")
     )
+
+
+def ngram_blocked_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    block_n: int = 5,
+    max_block_df: int = 20,
+    k: int = 3,
+    min_containment: float = 0.85,
+) -> DataFrame:
+    """Containment near-dup pairs with WORD-n-GRAM equi-join blocking —
+    the block that catches extreme length-ratio pairs (a short doc
+    quoted inside a long one) where MinHash bands cannot: bands collide
+    by JACCARD, which a 10:1 length ratio caps near 0.1, but any
+    verbatim quote of ≥ ``block_n`` words lands both docs on the SAME
+    distinct n-gram key (the q_contamination_ngram blocking shape
+    turned into a self-join).
+
+    Skew control: n-grams occurring in more than ``max_block_df`` docs
+    are dropped from the block (the standard contamination-pipeline
+    stopgram cap) — a boilerplate phrase shared by millions of docs
+    would otherwise generate a quadratic bucket; dropping it costs
+    recall only for pairs whose ONLY shared 5-grams are
+    corpus-ubiquitous, which are not meaningful quotes.  Verification
+    is exact char-``k``-gram containment on the candidate pairs.
+    """
+    d = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\r\f\x0B]+")
+        .alias("w"),
+    ).filter(F.size("w") >= block_n)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {block_n - 1}),"
+                    f" i -> concat_ws(' ', slice(w, i, {block_n})))"
+                )
+            )
+        ).alias("ngram"),
+    )
+    rare = (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .filter(F.col("gdf") <= max_block_df)
+        .select("ngram")
+    )
+    g = grams.join(rare, "ngram")
+    x, y = g.alias("x"), g.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.ngram") == F.col("y.ngram"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    )
+    sh = docs.select(
+        F.col("doc_id"), encoded_shingles(text_col, k).alias("shingles")
+    )
+    return (
+        cands.join(
+            sh.select(
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            on="doc_id_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            on="doc_id_b",
+        )
+        .withColumn(
+            "containment", containment(F.col("sh_a"), F.col("sh_b"))
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("doc_id_a", "doc_id_b", "containment")
+    )

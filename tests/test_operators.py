@@ -895,3 +895,30 @@ def test_containment_dominates_jaccard_on_shared_pairs(spark):
     # bands block by jaccard, so extreme length-ratio containment needs
     # the n-gram equi-join block (q_contamination_ngram shape) instead
     assert (1, 5) not in con and (5, 1) not in con
+
+
+def test_ngram_block_finds_prefix_quote_band_block_misses(spark):
+    """The pair pinned ABSENT from the band block (short prefix doc,
+    high containment / low jaccard) MUST be found by the word-n-gram
+    block — the two blocking strategies cover complementary regimes."""
+    from artis_data_ingest_spark.operators.dedup import (
+        ngram_blocked_containment_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (4, "totally unrelated content with no overlap at all"),
+            (5, base[:30]),  # 6-word verbatim prefix quote of doc 1
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.containment
+        for r in ngram_blocked_containment_pairs(
+            docs, min_containment=0.8
+        ).collect()
+    }
+    assert (1, 5) in got and got[(1, 5)] > 0.9
+    assert all(4 not in pair for pair in got)

@@ -1527,3 +1527,81 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# Moment math shared verbatim by the Spark expression builder and the
+# DuckDB oracle: every float op in the same order, powers spelled as
+# explicit multiplications (never pow(), whose libm may differ), so the
+# doubles are bit-identical given identical exact integer sums.
+_MOM_MEAN = "(CAST(s1 AS DOUBLE) / n)"
+_MOM_M2 = f"(CAST(s2 AS DOUBLE) / n - {_MOM_MEAN} * {_MOM_MEAN})"
+_MOM_M3 = (
+    f"(CAST(s3 AS DOUBLE) / n"
+    f" - 3 * {_MOM_MEAN} * (CAST(s2 AS DOUBLE) / n)"
+    f" + 2 * {_MOM_MEAN} * {_MOM_MEAN} * {_MOM_MEAN})"
+)
+_MOM_M4 = (
+    f"(CAST(s4 AS DOUBLE) / n"
+    f" - 4 * {_MOM_MEAN} * (CAST(s3 AS DOUBLE) / n)"
+    f" + 6 * {_MOM_MEAN} * {_MOM_MEAN} * (CAST(s2 AS DOUBLE) / n)"
+    f" - 3 * {_MOM_MEAN} * {_MOM_MEAN} * {_MOM_MEAN} * {_MOM_MEAN})"
+)
+_MOM_SKEW = f"({_MOM_M3} / ({_MOM_M2} * sqrt({_MOM_M2})))"
+_MOM_KURT = f"({_MOM_M4} / ({_MOM_M2} * {_MOM_M2}) - 3)"
+
+
+@register(
+    "q_higher_moments",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(v AS DECIMAL(38,0))) AS s1,
+         SUM(CAST(v AS DECIMAL(38,0)) * v) AS s2,
+         SUM(CAST(v AS DECIMAL(38,0)) * v * v) AS s3,
+         SUM(CAST(v AS DECIMAL(38,0)) * v * v * v) AS s4
+  FROM c GROUP BY 1
+)
+SELECT event_type, n,
+       round({_MOM_MEAN} / 100, 6) AS mean_value,
+       round(sqrt({_MOM_M2}) / 100, 6) AS std_value,
+       round({_MOM_SKEW}, 6) AS skewness,
+       round({_MOM_KURT}, 6) AS excess_kurtosis
+FROM s
+ORDER BY event_type
+""",
+    doc="Higher-moment profiling (skewness + excess kurtosis) per "
+    "group — the distribution-shape statistics a feature-drift / "
+    "data-quality monitor tracks beyond mean/std: computed from EXACT "
+    "decimal(38,0) power sums of integer cents (associative, "
+    "partition-order-independent; v^4 sums stay far under 10^38 at "
+    "any realistic value range), with the moment algebra shared "
+    "VERBATIM between the Spark expression and the oracle SQL — every "
+    "division/multiply in the same order, powers as explicit "
+    "multiplications, sqrt the only intrinsic — so the doubles are "
+    "bit-identical.  One map-side-combined aggregate; 5 result rows.",
+)
+def q_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    vdec = F.col("v").cast("decimal(38,0)")
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).alias("s1"),
+        F.sum(vdec * F.col("v")).alias("s2"),
+        F.sum(vdec * F.col("v") * F.col("v")).alias("s3"),
+        F.sum(vdec * F.col("v") * F.col("v") * F.col("v")).alias("s4"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        F.expr(f"round({_MOM_MEAN} / 100, 6)").alias("mean_value"),
+        F.expr(f"round(sqrt({_MOM_M2}) / 100, 6)").alias("std_value"),
+        F.expr(f"round({_MOM_SKEW}, 6)").alias("skewness"),
+        F.expr(f"round({_MOM_KURT}, 6)").alias("excess_kurtosis"),
+    ).orderBy("event_type")

@@ -575,3 +575,37 @@ def test_pit_join_hot_key_skew_split_parity(spark):
     assert "SortMergeJoin" in final_plan
     # AQE marks the surgically split join in the final adaptive plan
     assert "skew=true" in final_plan, final_plan[:3000]
+
+
+def test_higher_moments_match_numpy_reference(spark):
+    """Skewness/kurtosis from exact decimal power sums must agree with
+    an independent numpy computation over the same cents to ~1e-6 (the
+    query's rounding precision)."""
+    import numpy as np
+
+    from artis_data_ingest_spark import plans
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: r
+        for r in plans.all_queries()["q_higher_moments"].fn(spark, sf).collect()
+    }
+    rows = (
+        load_table(spark, sf, "events")
+        .select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("v"))
+        .collect()
+    )
+    by = {}
+    for r in rows:
+        by.setdefault(r.event_type, []).append(r.v)
+    for et, vals in by.items():
+        a = np.asarray(vals, dtype=np.float64)
+        m = a.mean()
+        m2 = ((a - m) ** 2).mean()
+        m3 = ((a - m) ** 3).mean()
+        m4 = ((a - m) ** 4).mean()
+        assert abs(got[et].mean_value - m / 100) < 1e-5
+        assert abs(got[et].std_value - np.sqrt(m2) / 100) < 1e-5
+        assert abs(got[et].skewness - m3 / m2**1.5) < 1e-5
+        assert abs(got[et].excess_kurtosis - (m4 / m2**2 - 3)) < 1e-5

@@ -741,6 +741,9 @@ _NON_TPCH_JOIN_FAMILY = [
     "q_asof_join",
     "q_dedup_incremental",
     "q_ann_ivf",
+    "q_hybrid_rrf",
+    "q_kwic_snippets",
+    "q_containment_blocked",
 ]
 
 

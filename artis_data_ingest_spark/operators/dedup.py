@@ -1086,6 +1086,9 @@ def ngram_blocked_containment_pairs(
     corpus-ubiquitous, which are not meaningful quotes.  Verification
     is exact char-``k``-gram containment on the candidate pairs.
     """
+    docs = spread_cpu_bound(docs)  # small parquet arrives as ONE split;
+    # the gram explode + shingle verify are CPU-bound and must not
+    # serialize on a single task (same guard as the MinHash path)
     d = docs.select(
         "doc_id",
         F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\r\f\x0B]+")

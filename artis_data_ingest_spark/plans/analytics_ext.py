@@ -1605,3 +1605,54 @@ def q_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round({_MOM_SKEW}, 6)").alias("skewness"),
         F.expr(f"round({_MOM_KURT}, 6)").alias("excess_kurtosis"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_feature_vectors",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+'))
+           AS tok
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substring(md5(tok), 1, 4)) AS INT) % 64
+           AS bucket
+  FROM t
+)
+SELECT doc_id, bucket, COUNT(*) AS weight
+FROM b
+WHERE doc_id < 50
+GROUP BY doc_id, bucket
+ORDER BY doc_id, bucket
+""",
+    doc="Per-document SPARSE feature vectors in exploded (doc_id, "
+    "bucket, weight) form — the row layout a linear model / logistic "
+    "trainer consumes from the hashing-trick featurizer (the grouped "
+    "sibling of q_feature_hash's global histogram; same md5-prefix "
+    "bucket function, so the two queries cross-validate).  Bounded to "
+    "the first 50 docs for a hash-checkable output; the full-corpus "
+    "form is the same expression without the predicate — one explode "
+    "+ one map-side-combined shuffle on (doc_id, bucket), vectors "
+    "never materialize densely.",
+)
+def q_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+")
+        ).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % 64
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .orderBy("doc_id", "bucket")
+    )

@@ -73,6 +73,7 @@ _PRIORITY: list[str] = [
     "q_mix_temperature",
     "q_containment_blocked",
     "q_higher_moments",
+    "q_feature_vectors",
     # (c) latest verdict r4 — three rounds stale.  Ordered: names with
     # no bench exposure and no direct pytest value pin first.  The r4
     # names deferred to round 8 are the benched-every-round set
@@ -95,14 +96,14 @@ _PRIORITY: list[str] = [
     "q_asof_forward",
     "q_range_join",
     "q_interval_join",
-    "q_schema_diff_flat",
     "q_latest_per_key",
     "q_ngram_jaccard",
     "q_fuzzy_match",
     # (52-slot budget enforced by test_priority_queries_yield_first;
     # q_salted_agg, q_monthly_orders, q_file_sizes, q_union_evolved,
     # q_try_cast, q_json_extract, q_quality_score, q_langid_confusion,
-    # q_lang_stats, q_fingerprint — all pytest-pinned — plus q5/q1 etc. and the pinned reshape
+    # q_lang_stats, q_fingerprint, q_schema_diff_flat (exact values
+    # pinned by tests/test_plans.py) — all pytest-pinned — plus q5/q1 etc. and the pinned reshape
     # variants rotate back round 8.)
 ]
 

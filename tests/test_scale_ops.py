@@ -609,3 +609,36 @@ def test_higher_moments_match_numpy_reference(spark):
         assert abs(got[et].std_value - np.sqrt(m2) / 100) < 1e-5
         assert abs(got[et].skewness - m3 / m2**1.5) < 1e-5
         assert abs(got[et].excess_kurtosis - (m4 / m2**2 - 3)) < 1e-5
+
+
+def test_feature_vectors_sum_to_histogram(spark):
+    """The per-doc sparse vectors and the global bucket histogram use
+    the same bucket function: summing vector weights per bucket over
+    the same doc subset must reproduce the histogram recomputed on
+    that subset — the two featurizer views cannot drift."""
+    from artis_data_ingest_spark import plans
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    vec = plans.all_queries()["q_feature_vectors"].fn(spark, sf)
+    from_vectors = {
+        r.bucket: r.total
+        for r in vec.groupBy("bucket")
+        .agg(F.sum("weight").alias("total"))
+        .collect()
+    }
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+")).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % 64
+    )
+    direct = {
+        r.bucket: r.total
+        for r in toks.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("total"))
+        .collect()
+    }
+    assert from_vectors == direct and from_vectors

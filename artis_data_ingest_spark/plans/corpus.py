@@ -880,3 +880,80 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_linedf_delta_merge",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source,
+         substr(text, 1, 40) || chr(10) ||
+         'subscribe to the ' || source || ' newsletter' || chr(10) ||
+         substr(text, 41, 40) AS text
+  FROM documents
+), split_docs AS (
+  SELECT doc_id, source, string_split(text, chr(10)) AS lines FROM d
+), l AS (
+  SELECT DISTINCT doc_id, source, lines[r.i + 1] AS line
+  FROM split_docs, UNNEST(range(len(lines))) AS r(i)
+)
+SELECT source, line, COUNT(*) AS line_docs
+FROM l
+GROUP BY source, line
+HAVING COUNT(*) >= 3
+ORDER BY source, line
+""",
+    doc="Incremental line-document-frequency maintenance for "
+    "boilerplate detection (the q_index_delta_merge pattern applied "
+    "to the cleaning stack): documents arrive in two batches (doc_id "
+    "< 400 = base, >= 400 = delta), each batch builds its own "
+    "(source, line, distinct-doc-count) partial, and the partials "
+    "merge ADDITIVELY — disjoint doc sets make per-(source,line) "
+    "distinct-doc counts summable, so no base text is ever rescanned "
+    "when a crawl lands new pages.  The oracle is the FULL rebuild "
+    "over all documents: hash equality proves the merge identity.  "
+    "Output keeps lines with merged df >= 3 (the emerging-boilerplate "
+    "watchlist).  This is the batch-algebra core of a scheduled "
+    "incremental q_boilerplate_strip at 100 TB.",
+)
+def q_linedf_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit("\n"),
+            F.concat(
+                F.lit("subscribe to the "),
+                F.col("source"),
+                F.lit(" newsletter"),
+            ),
+            F.lit("\n"),
+            F.substring("text", 41, 40),
+        ).alias("text"),
+    )
+
+    def _partial(batch):
+        return (
+            batch.select(
+                "doc_id",
+                "source",
+                F.explode(
+                    F.array_distinct(F.split("text", "\n"))
+                ).alias("line"),
+            )
+            .groupBy("source", "line")
+            .agg(F.countDistinct("doc_id").alias("line_docs"))
+        )
+
+    base = _partial(docs.filter(F.col("doc_id") < 400))
+    delta = _partial(docs.filter(F.col("doc_id") >= 400))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("source", "line")
+        .agg(F.sum("line_docs").alias("line_docs"))
+    )
+    return (
+        merged.filter(F.col("line_docs") >= 3)
+        .orderBy("source", "line")
+    )

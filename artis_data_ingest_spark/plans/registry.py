@@ -74,6 +74,7 @@ _PRIORITY: list[str] = [
     "q_containment_blocked",
     "q_higher_moments",
     "q_feature_vectors",
+    "q_linedf_delta_merge",
     # (c) latest verdict r4 — three rounds stale.  Ordered: names with
     # no bench exposure and no direct pytest value pin first.  The r4
     # names deferred to round 8 are the benched-every-round set
@@ -93,7 +94,6 @@ _PRIORITY: list[str] = [
     "q_semi_join",
     "q_anti_join",
     "q_asof_join",
-    "q_asof_forward",
     "q_range_join",
     "q_interval_join",
     "q_latest_per_key",
@@ -103,7 +103,9 @@ _PRIORITY: list[str] = [
     # q_salted_agg, q_monthly_orders, q_file_sizes, q_union_evolved,
     # q_try_cast, q_json_extract, q_quality_score, q_langid_confusion,
     # q_lang_stats, q_fingerprint, q_schema_diff_flat (exact values
-    # pinned by tests/test_plans.py) — all pytest-pinned — plus q5/q1 etc. and the pinned reshape
+    # pinned by tests/test_plans.py), q_asof_forward (operator shared
+    # with the front-loaded q_asof_join, both direction-pinned by
+    # tests) — all pytest-pinned — plus q5/q1 etc. and the pinned reshape
     # variants rotate back round 8.)
 ]
 

@@ -968,12 +968,31 @@ def connected_components(
             )
         ).localCheckpoint()
         if _numeric:
-            labels = new_labels
-            new_sum = _label_sum(labels)
-            if new_sum == prev_sum:
-                converged = True
-                break
-            prev_sum = new_sum
+            new_sum = _label_sum(new_labels)
+            # a NULL sum means the decimal(38,0) aggregate overflowed
+            # (non-ANSI mode returns NULL) — None == None on consecutive
+            # rounds would declare convergence prematurely; fall back to
+            # the join-based change check against the PREVIOUS round's
+            # labels for any round where either sum is NULL
+            if new_sum is None or prev_sum is None:
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), on="node")
+                    .filter(F.col("n.cluster") != F.col("o.cluster"))
+                    .limit(1)
+                    .count()
+                )
+                labels = new_labels
+                prev_sum = new_sum
+                if changed == 0:
+                    converged = True
+                    break
+            else:
+                labels = new_labels
+                if new_sum == prev_sum:
+                    converged = True
+                    break
+                prev_sum = new_sum
         else:
             changed = (
                 new_labels.alias("n")

@@ -227,7 +227,11 @@ class _BitReader:
         if self._nbits == 0 and not self._fill():
             raise ValueError("JPEG bitstream truncated")
         self._nbits -= 1
-        return (self._acc >> self._nbits) & 1
+        v = (self._acc >> self._nbits) & 1
+        # drop consumed bits so _acc stays bounded and decode stays
+        # linear in entropy-stream length (mirrors _BitWriter.write)
+        self._acc &= (1 << self._nbits) - 1
+        return v
 
     def bits(self, n: int) -> int:
         v = 0
@@ -506,10 +510,14 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             ns = payload[0]
             for i in range(ns):
                 cid, tids = payload[1 + 2 * i], payload[2 + 2 * i]
-                ci = next(
+                matches = [
                     j for j, (c, _) in enumerate(comps) if c == cid
-                )
-                scan.append((ci, tids >> 4, tids & 0xF))
+                ]
+                if not matches:
+                    raise ValueError(
+                        f"JPEG SOS references unknown component id {cid}"
+                    )
+                scan.append((matches[0], tids >> 4, tids & 0xF))
             break
     if sof is None or not scan:
         raise ValueError("JPEG missing SOF/SOS")

@@ -671,7 +671,11 @@ def image_stats(media: DataFrame, round_digits: int = 6) -> DataFrame:
                         _decode_image_any(bytes(blob)).astype(np.float64)
                         / 255.0
                     )
-                except (ValueError, IndexError):
+                except Exception:
+                    # broad on purpose: truncated segments raise
+                    # struct.error, stripped DHTs KeyError, torn PNG
+                    # IDATs zlib.error — all must become a null-stats
+                    # row, not a job failure
                     recs.append((mid, None, None, None, None, None))
                     continue
                 h, w = arr.shape[:2]

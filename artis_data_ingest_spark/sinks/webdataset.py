@@ -70,7 +70,16 @@ def write_webdataset(
     convention (a .jpg/.wav payload traveling WITH its caption in the
     same sequentially-readable shard, so training readers never do a
     second lookup)."""
-    shard_col = (F.col("doc_id") / docs_per_shard).cast("bigint")
+    # exact integer FLOOR division, matching the documented
+    # ``doc_id // docs_per_shard`` semantics: double division + cast
+    # loses precision above 2^53 and truncates toward zero for negative
+    # ids (yielding malformed 'shard--0001' names).  Spark's ``div`` is
+    # truncating, so correct it by 1 when a negative id leaves a
+    # remainder — all-bigint, no doubles anywhere.
+    n = int(docs_per_shard)
+    shard_col = F.expr(
+        f"(doc_id div {n}) - CASE WHEN doc_id % {n} < 0 THEN 1 ELSE 0 END"
+    ).cast("bigint")
     prepared = docs.select(
         shard_col.alias("shard"), "doc_id", "text", "lang", "source",
         *binary_cols,

@@ -832,3 +832,85 @@ def test_image_stats_tolerates_corrupt_payloads(spark):
     assert rows[3].mean_r == rows[0].mean_r
     for bad in (1, 2):
         assert rows[bad].width is None and rows[bad].mean_r is None
+
+
+def test_image_stats_tolerates_adversarial_corruptions(spark):
+    """The specific corruption classes that raise NON-ValueError
+    exceptions from the codecs (struct.error on a segment truncated
+    mid-length, KeyError on a stripped DHT, zlib.error on a torn PNG
+    IDAT, unknown SOS component id) must all surface as null-stats
+    rows — the except clause is deliberately broad."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import encode_jpeg
+    from artis_data_ingest_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        image_stats,
+    )
+
+    good = encode_jpeg(np.full((8, 8), 10, dtype=np.uint8), quant="flat")
+
+    # (a) truncated mid-segment: cut 1 byte into a marker's length field
+    dht_at = good.find(b"\xff\xc4")
+    assert dht_at > 0
+    trunc_mid_segment = good[: dht_at + 3]
+
+    # (b) stripped DHT: splice every DHT segment out of the stream
+    no_dht = bytearray()
+    i = 0
+    while i < len(good):
+        if good[i] == 0xFF and i + 1 < len(good) and good[i + 1] == 0xC4:
+            seg_len = int.from_bytes(good[i + 2 : i + 4], "big")
+            i += 2 + seg_len
+        else:
+            no_dht.append(good[i])
+            i += 1
+    no_dht = bytes(no_dht)
+
+    # (c) unknown SOS component id: patch the id byte inside SOS
+    sos_at = good.find(b"\xff\xda")
+    bad_comp = bytearray(good)
+    bad_comp[sos_at + 5] = 0x7F  # component id that no SOF declared
+    bad_comp = bytes(bad_comp)
+
+    # (d) torn PNG IDAT: valid signature/IHDR, garbage zlib stream
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    png = encode_png(arr)
+    idat_at = png.find(b"IDAT")
+    torn_png = bytearray(png)
+    for j in range(idat_at + 4, min(idat_at + 12, len(torn_png))):
+        torn_png[j] ^= 0xA5
+    torn_png = bytes(torn_png)
+
+    meta = {"width": None, "height": None, "n_frames": None,
+            "sample_rate": None}
+    media = spark.createDataFrame(
+        [
+            (0, "image", good, meta),
+            (1, "image", trunc_mid_segment, meta),
+            (2, "image", no_dht, meta),
+            (3, "image", bad_comp, meta),
+            (4, "image", torn_png, meta),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r.media_id: r for r in image_stats(
+        media.select("media_id", "content")
+    ).collect()}
+    assert rows[0].width == 8 and rows[0].mean_r == round(10 / 255.0, 6)
+    for bad in (1, 2, 3, 4):
+        assert rows[bad].width is None and rows[bad].mean_r is None
+
+
+def test_jpeg_bitreader_accumulator_stays_bounded():
+    """Consumed bits must be dropped from the accumulator so decode is
+    linear in entropy-stream length (a multi-MB scraped JPEG would be
+    O(n^2) otherwise): after any number of reads, _acc holds at most
+    _nbits bits."""
+    from artis_data_ingest_spark.operators.jpeg import _BitReader
+
+    br = _BitReader(bytes(range(1, 250)) * 64, 0)
+    for i in range(40_000):
+        br.bits(3)
+        assert br._acc.bit_length() <= br._nbits

@@ -48,3 +48,92 @@ def oracle_davg(expr: str, alias: str, typ: str = MONEY) -> str:
     return (
         f"CAST(SUM(CAST({expr} AS {typ})) AS DOUBLE) / COUNT({expr}) AS {alias}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixed-point base-2 logarithm (shift-and-square), for
+# log-free rational scoring (the unigram-LM perplexity filter).
+# Floating log/exp can never hash-match across engines; this computes
+# an integer qlog2(x) ~= 2^B * log2(x) using only int64 multiply /
+# compare / shift — bit-identical in Spark and DuckDB regardless of
+# partitioning, BY CONSTRUCTION (both engines evaluate the same
+# integer recurrence):
+#
+#   e = floor(log2 x) = length(bin(x)) - 1
+#   t = (x * 2^P) >> e                 -- mantissa in [2^P, 2^(P+1))
+#   repeat B times:  u = t*t;  bit = (u >= 2^(2P+1));
+#                    t = u div 2^(P+bit);  frac = 2*frac + bit
+#   qlog2(x) = e * 2^B + frac
+#
+# Truncating t each round makes this an approximation of true log2
+# (abs error a few ulp in the 2^-B place), but an IDENTICAL one in
+# both engines: max intermediate u < 2^(2P+2) = 2^58 at P=28, all
+# int64.  Monotone non-decreasing in x.  Cost: B multiplies per
+# DISTINCT input value — always apply to a distinct-values table,
+# never per corpus row.
+# ---------------------------------------------------------------------------
+
+QLOG2_FRAC_BITS = 20
+QLOG2_MANT_BITS = 28
+
+
+def with_qlog2(df, incol: str, outcol: str,
+               frac_bits: int = QLOG2_FRAC_BITS,
+               mant_bits: int = QLOG2_MANT_BITS):
+    """Spark side: append bigint column ``outcol`` = qlog2(incol) to
+    ``df`` via an unrolled withColumn chain (temp columns dropped).
+    Requires 1 <= incol < 2^(63 - mant_bits).  Apply to a DISTINCT-
+    values frame only (B multiplies per row)."""
+    B, P = frac_bits, mant_bits
+    e = (F.length(F.bin(F.col(incol))) - F.lit(1)).cast("bigint")
+    out = df.withColumn("_ql_e", e).withColumn(
+        "_ql_t",
+        F.expr(f"shiftright(CAST({incol} AS BIGINT) * {1 << P}, _ql_e)"),
+    ).withColumn("_ql_f", F.lit(0).cast("bigint"))
+    hi = 1 << (2 * P + 1)
+    for _ in range(B):
+        out = out.withColumn(
+            "_ql_u", F.col("_ql_t") * F.col("_ql_t")
+        ).withColumn(
+            "_ql_b", (F.col("_ql_u") >= hi).cast("bigint")
+        ).withColumn(
+            "_ql_t",
+            F.when(F.col("_ql_b") == 1,
+                   F.expr(f"_ql_u div {1 << (P + 1)}"))
+            .otherwise(F.expr(f"_ql_u div {1 << P}")),
+        ).withColumn("_ql_f", F.col("_ql_f") * 2 + F.col("_ql_b"))
+    return out.withColumn(
+        outcol, F.col("_ql_e") * (1 << B) + F.col("_ql_f")
+    ).drop("_ql_e", "_ql_t", "_ql_f", "_ql_u", "_ql_b")
+
+
+def qlog2_duck_cte(src: str, xcol: str, prefix: str = "ql",
+                   frac_bits: int = QLOG2_FRAC_BITS,
+                   mant_bits: int = QLOG2_MANT_BITS) -> tuple[str, str]:
+    """DuckDB side: returns (cte_text, final_name) where cte_text is a
+    chain of CTE clauses (to splice after a WITH) computing the same
+    recurrence over every row of CTE/table ``src``; the final CTE
+    ``{prefix}_out`` has all of src's columns plus bigint ``qlog2``.
+    Identical integer ops to with_qlog2 — the determinism argument."""
+    B, P = frac_bits, mant_bits
+    hi = 1 << (2 * P + 1)
+    steps = [
+        f"{prefix}_0 AS (SELECT *, "
+        f"CAST(length(bin(CAST({xcol} AS BIGINT))) - 1 AS BIGINT) AS e_, "
+        f"(CAST({xcol} AS BIGINT) * {1 << P}) >> "
+        f"(length(bin(CAST({xcol} AS BIGINT))) - 1) AS t_, "
+        f"CAST(0 AS BIGINT) AS f_ FROM {src})"
+    ]
+    for i in range(1, B + 1):
+        steps.append(
+            f"{prefix}_{i} AS (SELECT * REPLACE("
+            f"CASE WHEN t_ * t_ >= {hi} THEN (t_ * t_) // {1 << (P + 1)} "
+            f"ELSE (t_ * t_) // {1 << P} END AS t_, "
+            f"f_ * 2 + CASE WHEN t_ * t_ >= {hi} THEN 1 ELSE 0 END AS f_) "
+            f"FROM {prefix}_{i - 1})"
+        )
+    steps.append(
+        f"{prefix}_out AS (SELECT * EXCLUDE (e_, t_, f_), "
+        f"e_ * {1 << B} + f_ AS qlog2 FROM {prefix}_{B})"
+    )
+    return ",\n".join(steps), f"{prefix}_out"

@@ -1,0 +1,137 @@
+"""CCNet-style n-gram LM perplexity quality filter (Wenzek et al.
+2020): train a unigram language model on a held-out corpus slice,
+score every remaining document by per-token log-perplexity, and cut
+the corpus into head / middle / tail quality buckets — the standard
+companion to the Gopher rule set (plans/text.py:q_gopher_rules).
+
+Exact-arithmetic design (the repo playbook): probabilities are never
+materialized as floats.  With add-one smoothing p(w) = (c(w)+1)/(T+V)
+(T = training tokens, V = vocab size + 1 so OOV carries 1/(T+V)),
+
+  log2 ppl(doc) = log2(T+V) - (1/N) * sum_w log2(c(w)+1)
+
+Every log2 is the deterministic fixed-point integer qlog2 from
+functions/numeric.py (identical shift-and-square recurrence in Spark
+and DuckDB), so the per-doc score key
+
+  key = (N * qlog2(T+V) - sum_w qlog2(c(w)+1)) * 64 div N
+
+is an exact bigint both engines agree on bit-for-bit; the only float
+in the output is one final division by 2^26.
+
+Scale shape (100 TB): the token->vocab join is one hash shuffle on
+term; qlog2 runs on the DISTINCT count values (a few hundred rows at
+any corpus size — Zipf), broadcast back; bucket thresholds come from
+a distributed rank (per-key cumulative counts + a window over the
+distinct-key table, group-bounded 1-part exchange — never a global
+per-doc sort).  OOV tokens score qlog2(1) = 0, exactly the c=0
+smoothed mass, so no special-casing crosses the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import with_qlog2
+from ..functions.textstats import WS_RE
+
+#: extra resolution bits applied before the final integer division by N
+KEY_EXTRA_BITS = 6
+#: output scale: qlog2 frac bits (20) + KEY_EXTRA_BITS
+KEY_SCALE = 1 << 26
+
+
+def _terms(docs: DataFrame) -> DataFrame:
+    tok = F.explode(F.split(F.trim(F.col("text")), WS_RE)).alias("token")
+    return (
+        docs.select("doc_id", tok)
+        .filter(F.col("token") != "")
+        .select("doc_id", F.lower("token").alias("term"))
+    )
+
+
+def lm_perplexity_buckets(
+    docs: DataFrame, holdout_mod: int = 10
+) -> DataFrame:
+    """Train on docs with doc_id % holdout_mod == 0, score the rest;
+    returns (doc_id, bucket head|middle|tail, ppl_key bigint,
+    log2_ppl double) — see module docstring for exactness/scale."""
+    train = _terms(docs.filter(F.col("doc_id") % holdout_mod == 0))
+    vocab = train.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # T, V and the smoothing denominator in one 1-row reduction
+    tot = vocab.agg(
+        (
+            F.sum("c").cast("bigint")
+            + F.count(F.lit(1)).cast("bigint")
+            + F.lit(1)
+        ).alias("den")
+    )
+    # qlog2 over DISTINCT smoothed counts + the denominator (tiny)
+    vals = (
+        vocab.select((F.col("c") + 1).alias("x"))
+        .distinct()
+        .union(tot.select(F.col("den").alias("x")))
+        .distinct()
+    )
+    qtab = with_qlog2(vals, "x", "q")
+    vocab_s = vocab.join(
+        F.broadcast(qtab), vocab["c"] + 1 == qtab["x"]
+    ).select("term", F.col("q").alias("s"))
+    sden = (
+        tot.join(F.broadcast(qtab), tot["den"] == qtab["x"])
+        .select(F.col("q").alias("sden"))
+    )
+
+    apply_terms = _terms(docs.filter(F.col("doc_id") % holdout_mod != 0))
+    scored = apply_terms.join(vocab_s, on="term", how="left").select(
+        "doc_id", F.coalesce("s", F.lit(0).cast("bigint")).alias("s")
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("sum_q"),
+    )
+    keyed = per_doc.crossJoin(F.broadcast(sden)).select(
+        "doc_id",
+        F.expr(
+            f"((n * sden - sum_q) * {1 << KEY_EXTRA_BITS}) div n"
+        ).alias("key"),
+    )
+    # distributed rank: per-key counts -> cumulative over DISTINCT keys
+    # (group-bounded window), + row_number within key (distributed)
+    kc = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("kn"))
+    kcum = kc.withColumn(
+        "endr",
+        F.sum("kn").over(
+            Window.orderBy("key").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("key").orderBy("doc_id")
+    )
+    ranked = keyed.withColumn("rn", rn).join(
+        F.broadcast(kcum), on="key"
+    ).select(
+        "doc_id", "key", (F.col("endr") - F.col("kn") + F.col("rn")).alias("rnk")
+    )
+    nd = keyed.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    return (
+        ranked.crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.when(F.col("rnk") <= F.expr("nd div 3"), "head")
+            .when(F.col("rnk") <= F.expr("(2 * nd) div 3"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            F.col("key").alias("ppl_key"),
+            (F.col("key").cast("double") / F.lit(float(KEY_SCALE))).alias(
+                "log2_ppl"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -760,3 +760,104 @@ def q_containment_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_blocked_containment_pairs(docs).orderBy(
         "doc_id_a", "doc_id_b"
     )
+
+
+def _lm_ppl_oracle() -> str:
+    from ..functions.numeric import qlog2_duck_cte
+
+    ws = r"[ \t\n\r\f\x0B]+"
+    ql, ql_out = qlog2_duck_cte("vals", "x")
+    return f"""
+WITH tr AS (
+  SELECT lower(token) AS term
+  FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '{ws}'))
+               AS token
+        FROM documents WHERE doc_id % 10 = 0)
+  WHERE token <> ''
+),
+vocab AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tr GROUP BY term
+),
+tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) + CAST(COUNT(*) AS BIGINT) + 1 AS den
+  FROM vocab
+),
+vals AS (
+  SELECT DISTINCT c + 1 AS x FROM vocab
+  UNION
+  SELECT den AS x FROM tot
+),
+{ql},
+ap AS (
+  SELECT doc_id, lower(token) AS term
+  FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '{ws}'))
+               AS token
+        FROM documents WHERE doc_id % 10 <> 0)
+  WHERE token <> ''
+),
+vs AS (
+  SELECT v.term, o.qlog2 AS s
+  FROM vocab v JOIN {ql_out} o ON o.x = v.c + 1
+),
+sd AS (
+  SELECT o.qlog2 AS sden FROM tot t JOIN {ql_out} o ON o.x = t.den
+),
+pd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(COALESCE(s, 0)) AS BIGINT) AS sum_q
+  FROM ap LEFT JOIN vs USING (term) GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, ((n * sden - sum_q) * 64) // n AS key
+  FROM pd CROSS JOIN sd
+),
+kc AS (SELECT key, COUNT(*) AS kn FROM keyed GROUP BY key),
+kcum AS (
+  SELECT key, kn,
+         SUM(kn) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS endr
+  FROM kc
+),
+ranked AS (
+  SELECT k.doc_id, k.key,
+         c.endr - c.kn
+           + ROW_NUMBER() OVER (PARTITION BY k.key ORDER BY k.doc_id)
+           AS rnk
+  FROM keyed k JOIN kcum c USING (key)
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM keyed)
+SELECT doc_id,
+       CASE WHEN rnk <= nd // 3 THEN 'head'
+            WHEN rnk <= (2 * nd) // 3 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       key AS ppl_key,
+       CAST(key AS DOUBLE) / 67108864.0 AS log2_ppl
+FROM ranked CROSS JOIN nd
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_lm_perplexity_buckets",
+    oracle=_lm_ppl_oracle(),
+    doc="CCNet-style LM-perplexity quality bucketing (Wenzek et al. "
+    "2020): a unigram LM with add-one smoothing trains on the held-out "
+    "doc_id%10==0 slice, every remaining document is scored by "
+    "per-token log2-perplexity, and the corpus cuts into head/middle/"
+    "tail terciles — the standard companion to q_gopher_rules.  "
+    "Log-free exact arithmetic: every log2 is the deterministic "
+    "fixed-point integer qlog2 (functions/numeric.py shift-and-square "
+    "recurrence, bit-identical across engines by construction), the "
+    "per-doc score key is pure bigint, and the single float in the "
+    "output is one final division by 2^26.  qlog2 runs only on the "
+    "DISTINCT count values (Zipf-bounded — a few hundred rows at any "
+    "corpus size) and broadcasts back; bucket thresholds come from a "
+    "distributed rank (per-key cumulative counts, group-bounded "
+    "distinct-key window — never a global per-doc sort).  OOV scores "
+    "qlog2(1)=0 == the c=0 smoothed mass, so scoring is one term-hash "
+    "shuffle + one doc_id aggregation.",
+)
+def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import lm_perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_perplexity_buckets(docs)

@@ -922,3 +922,34 @@ def test_ngram_block_finds_prefix_quote_band_block_misses(spark):
     }
     assert (1, 5) in got and got[(1, 5)] > 0.9
     assert all(4 not in pair for pair in got)
+
+
+def test_lm_perplexity_tail_catches_gibberish(spark):
+    """The CCNet-style filter's point: fluent docs (tokens the trained
+    LM has seen often) land in head, repetitive gibberish built from
+    tokens the LM never saw lands in tail.  Train slice = doc_id%10==0;
+    doc 11 repeats an OOV token (the repetition fixture shape), so its
+    per-token log-prob is the OOV floor — the worst possible score."""
+    from artis_data_ingest_spark.operators.lm import lm_perplexity_buckets
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in (0, 10, 20, 30)]  # training slice
+    rows += [
+        (1, common),
+        (2, common + " quick brown"),
+        (3, "the quick brown fox somewhatrare jumps"),
+        (11, "zzqx zzqx zzqx zzqx zzqx zzqx zzqx zzqx"),  # OOV repetition
+        (12, "the the the quick quick fox"),
+        (13, common),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in lm_perplexity_buckets(docs).collect()}
+    assert set(out) == {1, 2, 3, 11, 12, 13}  # train slice not scored
+    assert out[11].bucket == "tail"
+    assert out[1].bucket == "head"
+    # keys are exact ints; identical docs get identical keys
+    assert out[1].ppl_key == out[13].ppl_key
+    # gibberish scores strictly worse than every fluent doc
+    assert out[11].ppl_key > max(
+        out[d].ppl_key for d in (1, 2, 3, 12, 13)
+    )

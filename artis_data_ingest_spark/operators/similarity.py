@@ -561,3 +561,97 @@ WITH e AS (
         f", pqcb{t} AS (\n  " + "\n  UNION ALL\n  ".join(finals) + "\n)"
     )
     return "".join(parts), f"pqcb{t}"
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame | None = None,
+    k: int = 4,
+    n_iter: int = 2,
+    threshold: float = 0.35,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — corpus-level SEMANTIC dedup:
+    k-means-cluster the embeddings, then inside each cluster drop
+    every vector that has a cosine-near neighbor closer to the
+    centroid than itself; the centroid-closest member of each
+    near-dup neighborhood survives.  Pairwise cosine is computed ONLY
+    within a cluster (candidate generation is the cluster assignment
+    — linear, no corpus self-join; within-cluster pairs are
+    corpus²/k-bounded and shrink with k, the paper's scaling knob).
+
+    Deterministic end-to-end: the trained centroids come from the
+    fixed-point Lloyd's above (or pass a persisted codebook), cosines
+    round to ``round_digits`` before any comparison, and the
+    keep-rule tie-break is lowest vec_id — so the survivor set is
+    reproducible under any partitioning and in the DuckDB oracle.
+
+    Returns (vec_id, cid, cos_centroid, kept) for every vector.
+    """
+    cent = centroids if centroids is not None else kmeans_centroids(
+        corpus, k=k, n_iter=n_iter
+    )
+    c = cent.select(
+        "cid", "cemb", F.sqrt(dot(F.col("cemb"), F.col("cemb"))).alias("cnorm")
+    )
+    e = corpus.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    ).withColumn("vnorm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid")
+    )
+    assign = (
+        e.crossJoin(F.broadcast(c))
+        .withColumn(
+            "ccos",
+            F.round(
+                dot(F.col("emb"), F.col("cemb"))
+                / (F.col("vnorm") * F.col("cnorm")),
+                round_digits,
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "vnorm", "cid", "ccos")
+    )
+    x, y = assign.alias("x"), assign.alias("y")
+    pcos = F.round(
+        dot(F.col("x.emb"), F.col("y.emb"))
+        / (F.col("x.vnorm") * F.col("y.vnorm")),
+        round_digits,
+    )
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(pcos >= threshold)
+        .select(
+            F.col("x.vec_id").alias("va"),
+            F.col("y.vec_id").alias("vb"),
+            F.col("x.ccos").alias("ca"),
+            F.col("y.ccos").alias("cb"),
+        )
+    )
+    # the farther-from-centroid side of each near pair is dropped;
+    # tie -> the higher vec_id (vb) so survivors are deterministic
+    dropped = pairs.select(
+        F.when(F.col("cb") > F.col("ca"), F.col("va"))
+        .otherwise(F.col("vb"))
+        .alias("vec_id")
+    ).distinct()
+    return (
+        assign.join(
+            dropped.withColumn("is_drop", F.lit(True)), on="vec_id",
+            how="left",
+        )
+        .select(
+            "vec_id",
+            "cid",
+            F.col("ccos").alias("cos_centroid"),
+            F.col("is_drop").isNull().alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1740,3 +1740,71 @@ def q_ivfpq_res_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_SEMDEDUP_THR = 0.35
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=f"""{_KM_CHAIN},
+sd_n AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+),
+sd_c AS (
+  SELECT cid, cemb, sqrt(list_dot_product(cemb, cemb)) AS cnorm
+  FROM {_KM_FINAL}
+),
+sd_a AS (
+  SELECT vec_id, emb, vnorm, cid, ccos FROM (
+    SELECT v.vec_id, v.emb,
+           sqrt(list_dot_product(v.emb, v.emb)) AS vnorm,
+           c.cid,
+           round(list_dot_product(v.emb, c.cemb)
+                 / (sqrt(list_dot_product(v.emb, v.emb)) * c.cnorm),
+                 6) AS ccos,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(v.emb, c.cemb)
+                            / (sqrt(list_dot_product(v.emb, v.emb))
+                               * c.cnorm), 6) DESC, c.cid
+           ) AS rn
+    FROM sd_n v CROSS JOIN sd_c c
+  ) WHERE rn = 1
+),
+sd_p AS (
+  SELECT x.vec_id AS va, y.vec_id AS vb, x.ccos AS ca, y.ccos AS cb
+  FROM sd_a x JOIN sd_a y
+    ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE round(list_dot_product(x.emb, y.emb) / (x.vnorm * y.vnorm), 6)
+        >= {_SEMDEDUP_THR}
+),
+sd_drop AS (
+  SELECT DISTINCT CASE WHEN cb > ca THEN va ELSE vb END AS vec_id
+  FROM sd_p
+)
+SELECT a.vec_id, a.cid, a.ccos AS cos_centroid,
+       (d.vec_id IS NULL) AS kept
+FROM sd_a a LEFT JOIN sd_drop d ON d.vec_id = a.vec_id
+ORDER BY a.vec_id
+""",
+    doc="SemDeDup (Abbas et al. 2023) — semantic corpus dedup, the "
+    "cluster-then-prune published recipe composed from existing green "
+    "operators: the fixed-point Lloyd's k-means (q_kmeans_centroids) "
+    "partitions the embedding space, and within each cluster every "
+    f"vector with a cosine>= {_SEMDEDUP_THR} neighbor closer to the "
+    "centroid is dropped (tie -> lowest vec_id survives) — paraphrase "
+    "families collapse to their most-central member while cross-"
+    "cluster lookalikes are never even compared.  Pair generation is "
+    "cluster-bounded (corpus^2/k, the paper's scaling knob; never an "
+    "all-pairs join), centroids broadcast, and every cosine rounds "
+    "before comparison so the survivor set is partition-order-"
+    "independent and oracle-exact.  Threshold fits the synthetic "
+    "corpus's similarity range (real near-dup corpora use ~0.95+).",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=4, n_iter=2, threshold=_SEMDEDUP_THR)

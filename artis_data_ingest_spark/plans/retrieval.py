@@ -701,6 +701,167 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE pack: learned tokenizer -> token ids -> fixed-budget sequences.
+# ---------------------------------------------------------------------------
+
+_PACK_LEN = 64
+_PACK_SHARDS = 16
+
+_BPE_PACK_ORACLE = (
+    _BPE_ORACLE_HEAD
+    + "".join(
+        _BPE_ORACLE_ITER.format(i=i, j=i + 1, s=_BPE_SEP)
+        for i in range(_BPE_MERGES)
+    )
+    + f""", sy AS (
+  SELECT UNNEST(list_filter(string_split(enc, '{_BPE_SEP}{_BPE_SEP}'),
+                            x -> x <> '')) AS symbol,
+         cnt
+  FROM vocab{_BPE_MERGES}
+), sfreq AS (
+  SELECT symbol, SUM(cnt) AS freq FROM sy GROUP BY symbol
+), sid AS (
+  SELECT symbol,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, symbol) AS tok_id
+  FROM sfreq
+), wsym AS (
+  SELECT word, u.i AS spos, s[u.i + 1] AS symbol
+  FROM (
+    SELECT word,
+           list_filter(string_split(enc, '{_BPE_SEP}{_BPE_SEP}'),
+                       x -> x <> '') AS s
+    FROM vocab{_BPE_MERGES}
+  ), UNNEST(range(len(s))) u(i)
+), wid AS (
+  SELECT w.word, w.spos, sid.tok_id FROM wsym w JOIN sid USING (symbol)
+), words AS (
+  SELECT doc_id, u.i AS wpos, lower(toks[u.i + 1]) AS word
+  FROM (
+    SELECT doc_id,
+           string_split_regex(trim(text), '{_WS_SQL}') AS toks
+    FROM documents
+  ), UNNEST(range(len(toks))) u(i)
+  WHERE toks[u.i + 1] <> ''
+), stream AS (
+  SELECT doc_id, wpos, spos, tok_id FROM words JOIN wid USING (word)
+), idx AS (
+  SELECT doc_id % {_PACK_SHARDS} AS shard, doc_id, tok_id,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                            ORDER BY doc_id, wpos, spos) AS tidx
+  FROM stream
+)
+SELECT shard,
+       CAST((tidx - 1) // {_PACK_LEN} AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc,
+       string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY tidx)
+         AS token_ids
+FROM idx
+GROUP BY 1, 2
+ORDER BY shard, pack_id
+"""
+)
+
+
+@register(
+    "q_bpe_pack",
+    oracle=_BPE_PACK_ORACLE,
+    doc="End-to-end tokenize->pack — the actual LLM pre-training data "
+    f"path: the persisted learned merges (q_bpe_merges artifact) "
+    "encode every document into token IDS (id = rank by corpus "
+    "frequency, the q_bpe_vocab order), and the id stream packs into "
+    f"fixed {_PACK_LEN}-token training sequences.  Pack boundaries "
+    "fall MID-document (the boundary-pinning point: a doc's tail "
+    "tokens continue in the next pack — hash-checked via the exact "
+    "per-pack id string).  All tokenizer work is vocabulary-bounded "
+    "broadcast maps (word->ids built from the merge artifact, never "
+    "from the corpus); the corpus is touched by one tokenize+join "
+    "pass, and the running token index is PARTITIONED by the "
+    f"doc_id%{_PACK_SHARDS} shard key (the q_sequence_pack scale "
+    "shape — no global-order window; packs never need to span "
+    "shards).  At cluster scale set shards to O(executors).",
+)
+def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    vocab, _ = _bpe_train(spark, sf_dir)
+    sep2 = _BPE_SEP + _BPE_SEP
+    syms_arr = F.filter(F.split("enc", sep2), lambda x: x != "")
+    sym_freq = (
+        vocab.select(F.explode(syms_arr).alias("symbol"), "cnt")
+        .groupBy("symbol")
+        .agg(F.sum("cnt").alias("freq"))
+    )
+    # vocabulary-bounded window: id = rank by (freq DESC, symbol)
+    sym_id = sym_freq.select(
+        "symbol",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "symbol"))
+        .alias("tok_id"),
+    )
+    wsym = vocab.select(
+        "word", F.posexplode(syms_arr).alias("spos", "symbol")
+    )
+    wids = (
+        wsym.join(F.broadcast(sym_id), on="symbol")
+        .groupBy("word")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("spos", "tok_id"))
+            ).alias("a")
+        )
+        .select(
+            "word", F.transform("a", lambda s: s["tok_id"]).alias("ids")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+")
+            ).alias("wpos", "token"),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", "wpos", F.lower("token").alias("word"))
+    )
+    stream = words.join(F.broadcast(wids), on="word").select(
+        "doc_id", "wpos", F.posexplode("ids").alias("spos", "tok_id")
+    )
+    shard = (F.col("doc_id") % _PACK_SHARDS).alias("shard")
+    tidx = F.row_number().over(
+        Window.partitionBy(F.col("doc_id") % _PACK_SHARDS).orderBy(
+            "doc_id", "wpos", "spos"
+        )
+    )
+    idx = stream.select(
+        shard, "doc_id", "tok_id", tidx.alias("tidx")
+    )
+    ordered_ids = F.transform(
+        F.array_sort(F.collect_list(F.struct("tidx", "tok_id"))),
+        lambda s: s["tok_id"].cast("string"),
+    )
+    return (
+        idx.groupBy(
+            "shard",
+            F.expr(f"(tidx - 1) div {_PACK_LEN}")
+            .cast("bigint")
+            .alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.array_join(ordered_ids, ",").alias("token_ids"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval: BM25 (lexical) + embedding cosine (semantic) fused
 # with reciprocal rank fusion.
 # ---------------------------------------------------------------------------

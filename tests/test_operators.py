@@ -953,3 +953,43 @@ def test_lm_perplexity_tail_catches_gibberish(spark):
     assert out[11].ppl_key > max(
         out[d].ppl_key for d in (1, 2, 3, 12, 13)
     )
+
+
+def test_semantic_dedup_collapses_paraphrase_families(spark):
+    """SemDeDup semantics: two tight near-parallel vector families
+    each collapse to their centroid-closest member; the isolated
+    cross-family vectors all survive (they are never compared —
+    different clusters)."""
+    from artis_data_ingest_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    fam_a = [
+        (0, [1.0, 0.0, 0.0, 0.05]),
+        (1, [1.0, 0.01, 0.0, 0.0]),   # ~parallel to 0
+        (2, [0.99, 0.0, 0.02, 0.0]),  # ~parallel to 0
+    ]
+    fam_b = [
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.03, 0.0]),  # ~parallel to 10
+    ]
+    loners = [
+        (20, [0.0, 0.0, 1.0, 0.0]),
+        (21, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in fam_a + fam_b + loners],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in semantic_dedup(
+        emb, k=4, n_iter=2, threshold=0.95
+    ).collect()}
+    kept = {v for v, r in out.items() if r.kept}
+    # each family keeps exactly one member; all loners survive
+    assert len(kept & {0, 1, 2}) == 1
+    assert len(kept & {10, 11}) == 1
+    assert {20, 21} <= kept
+    # dropped members share their survivor's cluster
+    for fam in ({0, 1, 2}, {10, 11}):
+        cids = {out[v].cid for v in fam}
+        assert len(cids) == 1

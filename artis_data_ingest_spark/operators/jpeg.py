@@ -7,11 +7,14 @@ free implementation of the subset that matters, loud errors beyond it:
 
   * baseline sequential DCT (SOF0), Huffman entropy coding with the
     ITU-T T.81 Annex K tables,
-  * grayscale (1 component) and YCbCr 4:4:4 (3 components, no chroma
-    subsampling),
+  * grayscale (1 component) and YCbCr 4:4:4, 4:2:0 and 4:2:2 —
+    arbitrary integer-ratio sampling factors on decode with
+    nearest-neighbor chroma upsample (r8: 4:2:0 is the dominant
+    wild-JPEG layout, so the honest stdlib path now covers the
+    common case),
   * restart markers (DRI/RSTn) honored on decode,
-  * progressive (SOF2), arithmetic coding, subsampled MCUs and 12-bit
-    precision raise ``ValueError`` rather than guessing.
+  * progressive (SOF2), arithmetic coding and 12-bit precision raise
+    ``ValueError`` rather than guessing.
 
 Exactness story for oracle-checked queries: with a FLAT quantization
 table (all ones) an image built of constant 8x8 tiles is bit-exact
@@ -308,6 +311,7 @@ def encode_jpeg(
     arr: np.ndarray,
     quant: np.ndarray | str = "flat",
     restart_interval: int = 0,
+    subsample: str = "444",
 ) -> bytes:
     """Baseline-sequential JPEG encoder for uint8 ``(h, w)`` grayscale
     or ``(h, w, 3)`` RGB arrays.
@@ -318,6 +322,11 @@ def encode_jpeg(
     table used for every component.  ``restart_interval`` > 0 emits a
     DRI segment and RSTn markers every that many MCUs (exercises the
     decoder's predictor-reset path; real scrapes contain DRI streams).
+    ``subsample``: ``"444"`` (no chroma subsampling), ``"420"`` (2x2
+    luma sampling — the dominant wild-JPEG layout) or ``"422"`` (2x1);
+    chroma planes are box-averaged, so constant 16x16 (420) / 16x8
+    (422) tiles survive bit-exact under flat quantization (the same
+    closed-form-fixture argument as 4:4:4 constant 8x8 tiles).
     """
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
         raise ValueError("encode_jpeg expects uint8 (h, w) or (h, w, 3)")
@@ -335,12 +344,38 @@ def encode_jpeg(
     else:
         q = np.asarray(quant, dtype=np.int64).reshape(64)
         qtabs = [q, q]
+    if gray:
+        samp = [(1, 1)]
+    elif subsample == "444":
+        samp = [(1, 1)] * 3
+    elif subsample == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+    elif subsample == "422":
+        samp = [(2, 1), (1, 1), (1, 1)]
+    else:
+        raise ValueError(f"unknown subsample mode: {subsample}")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
 
-    planes = (
+    full = (
         [arr.astype(np.float64)]
         if gray
         else [ _rgb_to_ycbcr(arr)[..., i].astype(np.float64) for i in range(3) ]
     )
+    # pad full-res planes to whole MCUs (edge replicate keeps constant
+    # tiles constant), then box-average each component down to its
+    # sampling-factor resolution
+    ph = -(-h // (8 * vmax)) * 8 * vmax
+    pw = -(-w // (8 * hmax)) * 8 * hmax
+    planes = []
+    for (hi, vi), plane in zip(samp, full):
+        p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            p = np.rint(
+                p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+            )
+        planes.append(p)
     dc_specs = [DC_LUMA_SPEC] + ([] if gray else [DC_CHROMA_SPEC] * 2)
     ac_specs = [AC_LUMA_SPEC] + ([] if gray else [AC_CHROMA_SPEC] * 2)
     dc_codes = [_huff_codes(s) for s in dc_specs]
@@ -358,14 +393,15 @@ def encode_jpeg(
             np.rint(coef / q).astype(np.int64)
         )
 
-    # entropy-coded segment: MCU = one block per component (4:4:4)
-    nby, nbx = comp_coeffs[0].shape[:2]
+    # entropy-coded segment: MCU = hi x vi blocks per component, in
+    # component order then raster sub-block order (T.81 A.2.3)
+    nmy, nmx = ph // (8 * vmax), pw // (8 * hmax)
     bw = _BitWriter()
     pred = [0] * len(planes)
     zz = ZIGZAG
     mcu = 0
-    for by in range(nby):
-        for bx in range(nbx):
+    for my in range(nmy):
+        for mx in range(nmx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.flush()
                 bw.out.extend(
@@ -374,33 +410,38 @@ def encode_jpeg(
                 pred = [0] * len(planes)
             mcu += 1
             for ci in range(len(planes)):
-                block = comp_coeffs[ci][by, bx].reshape(64)[zz]
-                diff = int(block[0]) - pred[ci]
-                pred[ci] = int(block[0])
-                cat, mag = _encode_magnitude(diff)
-                ln, code = dc_codes[ci][cat]
-                bw.write(code, ln)
-                bw.write(mag, cat)
-                run = 0
-                nz = np.nonzero(block[1:])[0]
-                last = nz[-1] + 1 if nz.size else 0
-                for k in range(1, last + 1):
-                    v = int(block[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        ln, code = ac_codes[ci][0xF0]  # ZRL
+                hi, vi = samp[ci]
+                for by2 in range(vi):
+                    for bx2 in range(hi):
+                        block = comp_coeffs[ci][
+                            my * vi + by2, mx * hi + bx2
+                        ].reshape(64)[zz]
+                        diff = int(block[0]) - pred[ci]
+                        pred[ci] = int(block[0])
+                        cat, mag = _encode_magnitude(diff)
+                        ln, code = dc_codes[ci][cat]
                         bw.write(code, ln)
-                        run -= 16
-                    cat, mag = _encode_magnitude(v)
-                    ln, code = ac_codes[ci][(run << 4) | cat]
-                    bw.write(code, ln)
-                    bw.write(mag, cat)
-                    run = 0
-                if last < 63:
-                    ln, code = ac_codes[ci][0x00]  # EOB
-                    bw.write(code, ln)
+                        bw.write(mag, cat)
+                        run = 0
+                        nz = np.nonzero(block[1:])[0]
+                        last = nz[-1] + 1 if nz.size else 0
+                        for k in range(1, last + 1):
+                            v = int(block[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ln, code = ac_codes[ci][0xF0]  # ZRL
+                                bw.write(code, ln)
+                                run -= 16
+                            cat, mag = _encode_magnitude(v)
+                            ln, code = ac_codes[ci][(run << 4) | cat]
+                            bw.write(code, ln)
+                            bw.write(mag, cat)
+                            run = 0
+                        if last < 63:
+                            ln, code = ac_codes[ci][0x00]  # EOB
+                            bw.write(code, ln)
     bw.flush()
 
     # markers
@@ -417,7 +458,8 @@ def encode_jpeg(
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, comp_q[ci]])  # 1x1 sampling (4:4:4)
+        hi, vi = samp[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, comp_q[ci]])
     seg(0xC0, sof)  # SOF0 baseline
 
     def dht(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> None:
@@ -446,15 +488,17 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     """Baseline-sequential JPEG decoder: marker walk → Huffman-decoded
     MCUs → dequantize → IDCT → level shift → (YCbCr→RGB) → crop.
     Returns uint8 ``(h, w)`` for grayscale or ``(h, w, 3)`` RGB.
-    Raises ``ValueError`` on progressive/arithmetic/subsampled/12-bit
-    streams instead of guessing."""
+    Handles any integer-ratio sampling-factor layout (4:4:4, 4:2:0,
+    4:2:2, ...) with nearest-neighbor chroma upsampling; raises
+    ``ValueError`` on progressive/arithmetic/12-bit streams instead of
+    guessing."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
-    comps: list[tuple[int, int]] = []  # (comp_id, quant_tid)
+    comps: list[tuple[int, int, int, int]] = []  # (comp_id, qid, hi, vi)
     scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_tid, ac_tid)
     restart_interval = 0
     while pos + 4 <= len(blob):
@@ -492,12 +536,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
             for i in range(nc):
-                cid, samp, qid = payload[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
+                cid, sampb, qid = payload[6 + 3 * i:9 + 3 * i]
+                hi, vi = sampb >> 4, sampb & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(
-                        "subsampled JPEG unsupported (4:4:4 only)"
+                        f"invalid JPEG sampling factors {hi}x{vi}"
                     )
-                comps.append((cid, qid))
+                comps.append((cid, qid, hi, vi))
             sof = (h, w, nc)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -511,7 +556,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             for i in range(ns):
                 cid, tids = payload[1 + 2 * i], payload[2 + 2 * i]
                 matches = [
-                    j for j, (c, _) in enumerate(comps) if c == cid
+                    j for j, c in enumerate(comps) if c[0] == cid
                 ]
                 if not matches:
                     raise ValueError(
@@ -522,10 +567,18 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     if sof is None or not scan:
         raise ValueError("JPEG missing SOF/SOS")
     h, w, nc = sof
-    nby, nbx = -(-h // 8), -(-w // 8)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    for _, _, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise ValueError(
+                "non-integer JPEG sampling ratio unsupported"
+            )
+    nmy, nmx = -(-h // (8 * vmax)), -(-w // (8 * hmax))
     br = _BitReader(blob, pos)
     planes = [
-        np.zeros((nby * 8, nbx * 8), dtype=np.float64) for _ in range(nc)
+        np.zeros((nmy * vi * 8, nmx * hi * 8), dtype=np.float64)
+        for _, _, hi, vi in comps
     ]
     pred = [0] * nc
     zz = ZIGZAG
@@ -541,8 +594,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         raise ValueError("invalid Huffman code in JPEG stream")
 
     mcu = 0
-    for by in range(nby):
-        for bx in range(nbx):
+    for my in range(nmy):
+        for mx in range(nmx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # skip to the RSTn marker boundary
                 while br.marker is None:
@@ -555,32 +608,50 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     pred = [0] * nc
             mcu += 1
             for ci, dc_tid, ac_tid in scan:
-                block = np.zeros(64, dtype=np.int64)
-                cat = read_symbol(huff[(0, dc_tid)])
-                diff = _extend(br.bits(cat), cat) if cat else 0
-                pred[ci] += diff
-                block[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = read_symbol(huff[(1, ac_tid)])
-                    if sym == 0x00:  # EOB
-                        break
-                    run, cat = sym >> 4, sym & 0xF
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run overflows block")
-                    block[k] = _extend(br.bits(cat), cat)
-                    k += 1
-                nat = np.zeros(64, dtype=np.int64)
-                nat[zz] = block
-                coef = (nat * qtabs[comps[ci][1]]).reshape(8, 8)
-                pix = _M.T @ coef.astype(np.float64) @ _M + 128.0
-                planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = pix
+                hi, vi = comps[ci][2], comps[ci][3]
+                for by2 in range(vi):
+                    for bx2 in range(hi):
+                        block = np.zeros(64, dtype=np.int64)
+                        cat = read_symbol(huff[(0, dc_tid)])
+                        diff = _extend(br.bits(cat), cat) if cat else 0
+                        pred[ci] += diff
+                        block[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = read_symbol(huff[(1, ac_tid)])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, cat = sym >> 4, sym & 0xF
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run overflows block")
+                            block[k] = _extend(br.bits(cat), cat)
+                            k += 1
+                        nat = np.zeros(64, dtype=np.int64)
+                        nat[zz] = block
+                        coef = (nat * qtabs[comps[ci][1]]).reshape(8, 8)
+                        pix = (
+                            _M.T @ coef.astype(np.float64) @ _M + 128.0
+                        )
+                        by = my * vi + by2
+                        bx = mx * hi + bx2
+                        planes[ci][
+                            by * 8:by * 8 + 8, bx * 8:bx * 8 + 8
+                        ] = pix
+    # nearest-neighbor upsample subsampled components to full MCU grid
+    up = []
+    for (_, _, hi, vi), plane in zip(comps, planes):
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        up.append(plane)
     out = np.clip(
-        np.rint(np.stack(planes, axis=-1)), 0, 255
+        np.rint(np.stack(up, axis=-1)), 0, 255
     ).astype(np.uint8)[:h, :w]
     if nc == 1:
         return out[..., 0]

@@ -728,7 +728,9 @@ def gradient_png_media(spark: SparkSession, n: int = 8) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def tile_jpeg_media(spark: SparkSession, n: int = 6) -> DataFrame:
+def tile_jpeg_media(
+    spark: SparkSession, n: int = 6, n_420: int = 0
+) -> DataFrame:
     """Media table of REAL baseline JPEGs with closed-form pixel values:
     image i is (2 + i%3) x (1 + i%2) constant 8x8 tiles, tile (bx, by)
     holding value (17*bx + 29*by + 11*i) % 256, encoded grayscale with
@@ -737,7 +739,15 @@ def tile_jpeg_media(spark: SparkSession, n: int = 6) -> DataFrame:
     the channel means are the tile-value average by construction, which
     is what the q_jpeg_features oracle pins.  Every second image also
     carries restart markers so the decoder's DRI/RSTn predictor-reset
-    path runs inside the oracle-checked query, not just in pytest."""
+    path runs inside the oracle-checked query, not just in pytest.
+
+    ``n_420`` appends that many COLOR 4:2:0 chroma-subsampled fixtures
+    (media_id n..n+n_420-1; r8 — the dominant wild-JPEG layout): image
+    j is (1 + j%3) x (1 + j%2) constant 16x16 tiles with R=G=B =
+    (13*bx + 31*by + 7*j) % 256.  Gray RGB maps to YCbCr (v, 128, 128)
+    exactly and a 16x16 tile is constant over every subsampled chroma
+    block, so the 4:2:0 encode→decode roundtrip is bit-exact in RGB
+    too — closed-form channel means survive subsampling."""
     from .jpeg import encode_jpeg
 
     rows = []
@@ -754,6 +764,26 @@ def tile_jpeg_media(spark: SparkSession, n: int = 6) -> DataFrame:
         rows.append(
             (
                 i, "image", blob,
+                {"width": None, "height": None, "n_frames": None,
+                 "sample_rate": None},
+            )
+        )
+    for j in range(n_420):
+        bw, bh = 1 + j % 3, 1 + j % 2
+        tiles = (
+            13 * np.arange(bw)[None, :] + 31 * np.arange(bh)[:, None]
+            + 7 * j
+        ) % 256
+        img = np.kron(
+            tiles[..., None], np.ones((16, 16, 3))
+        ).astype(np.uint8)
+        blob = encode_jpeg(
+            img, quant="flat", subsample="420",
+            restart_interval=2 if j % 2 else 0,
+        )
+        rows.append(
+            (
+                n + j, "image", blob,
                 {"width": None, "height": None, "n_frames": None,
                  "sample_rate": None},
             )

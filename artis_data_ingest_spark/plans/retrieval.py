@@ -782,6 +782,7 @@ ORDER BY shard, pack_id
     f"doc_id%{_PACK_SHARDS} shard key (the q_sequence_pack scale "
     "shape — no global-order window; packs never need to span "
     "shards).  At cluster scale set shards to O(executors).",
+    bench=True,
 )
 def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window

@@ -855,6 +855,7 @@ ORDER BY doc_id
     "distinct-key window — never a global per-doc sort).  OOV scores "
     "qlog2(1)=0 == the c=0 smoothed mass, so scoring is one term-hash "
     "shuffle + one doc_id aggregation.",
+    bench=True,
 )
 def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm import lm_perplexity_buckets

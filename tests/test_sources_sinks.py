@@ -392,3 +392,52 @@ def test_webdataset_multimodal_members_roundtrip(spark, tmp_path):
             payload = bytes(back[i].extras["jpg"])
             assert payload == blobs[i]  # byte-exact through the tar
             assert int(decode_jpeg(payload)[0, 0]) == 20 * i + 5
+
+
+def test_warc_sink_deterministic_and_tolerant(spark, tmp_path):
+    """WARC sink/source: byte-deterministic shards (two writes
+    identical), warcinfo records skipped on read, corrupt gzip members
+    and torn records skipped rather than failing the scan."""
+    import glob
+    import gzip
+    import os
+
+    from artis_data_ingest_spark.sinks.warc import read_warc, write_warc
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello web", "en", "crawl"),
+            (1, "bonjour toile", "fr", "crawl"),
+            (105, "second shard doc", "en", "crawl"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    d1, d2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    assert write_warc(docs, d1, docs_per_shard=100) == 2
+    write_warc(docs, d2, docs_per_shard=100)
+    for f1 in sorted(glob.glob(os.path.join(d1, "*.warc.gz"))):
+        f2 = os.path.join(d2, os.path.basename(f1))
+        assert open(f1, "rb").read() == open(f2, "rb").read()
+
+    from pyspark.sql import functions as F
+
+    back = {r.doc_id: r for r in read_warc(spark, d1).select(
+        "shard",
+        F.regexp_extract("record_id", r"doc:(\d+)", 1)
+        .cast("bigint").alias("doc_id"),
+        "http_status", "lang", "text",
+    ).collect()}
+    assert set(back) == {0, 1, 105}
+    assert back[0].text == "hello web" and back[0].http_status == 200
+    assert back[105].shard == "shard-00001.warc.gz"
+    assert back[1].lang == "fr"
+
+    # corruption tolerance: append a torn gzip member to one shard and
+    # a whole-garbage shard file; the scan must still yield the rest
+    shard0 = os.path.join(d1, "shard-00000.warc.gz")
+    with open(shard0, "ab") as f:
+        f.write(gzip.compress(b"WARC/1.0\r\nbroken")[:-7])
+    with open(os.path.join(d1, "zzz-garbage.warc.gz"), "wb") as f:
+        f.write(b"\x1f\x8bNOT REALLY GZIP")
+    survivors = read_warc(spark, d1).count()
+    assert survivors == 3

@@ -45,6 +45,49 @@ def analyze(df) -> dict:
     }
 
 
+# Boundedness class for every query whose executed plan contains an
+# `Exchange SinglePartition` (r8 — the r7 verdict asked for the class
+# IN the table, not just the legend).  A query acquiring a NEW 1-part
+# exchange shows up as "unclassified" in bold — triage it here.
+#   scalar        merges 1-row-per-partition partials of a global
+#                 scalar aggregate (or a 1-row fixpoint/stat probe)
+#   k-bounded     sorts/windows over a fixed-k candidate pool
+#                 (top-k, RRF fusion, snippet sets)
+#   group-bounded windows over an already-aggregated per-group /
+#                 distinct-value table (rows = groups << corpus)
+#   vocab-bounded windows over a trained vocabulary/codebook artifact
+#   FULL          the full data crosses one task — scale-killer
+_ONE_PART_CLASS = {
+    "q11_important_share": "scalar",
+    "q14_promo_revenue": "scalar",
+    "q15_top_supplier": "scalar",
+    "q17_small_qty_revenue": "scalar",
+    "q19_disjunctive_pred": "scalar",
+    "q22_idle_customers": "scalar",
+    "q6_forecast_revenue": "scalar",
+    "q_ab_test": "scalar",
+    "q_approx_distinct": "scalar",
+    "q_bm25": "scalar",
+    "q_bpe_pack": "vocab-bounded",
+    "q_cms_estimate": "scalar",
+    "q_count_distinct": "scalar",
+    "q_dq_report": "group-bounded",
+    "q_funnel": "scalar",
+    "q_heavy_hitters": "k-bounded",
+    "q_hybrid_rrf": "k-bounded",
+    "q_kwic_snippets": "k-bounded",
+    "q_lm_perplexity_buckets": "group-bounded",
+    "q_minhash_portable_stats": "scalar",
+    "q_mix_temperature": "group-bounded",
+    "q_pagerank": "scalar",
+    "q_sample_estimate": "scalar",
+    "q_sequence_pack_global": "FULL",
+    "q_source_mix_weights": "group-bounded",
+    "q_tfidf_topterms": "k-bounded",
+    "q_try_cast": "scalar",
+}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("plan-report")
@@ -56,15 +99,18 @@ def main() -> None:
     print("`tools/plan_report.py`. Shuffle counts include the final")
     print("presentation sort (range exchange) where the query has one;")
     print("hash exchanges are the scale-relevant wide dependencies.")
-    print("**1-part** counts `Exchange SinglePartition`. Benign when it")
-    print("merges per-partition partial rows of a global scalar")
-    print("aggregate (one row in per partition — q6, count-distinct,")
-    print("the stats summaries) or windows over an already-aggregated")
-    print("per-group result (`q_source_mix_weights`: n_sources rows);")
-    print("a scale-killer when the FULL data crosses it (global")
-    print("window/sort). The only full-data case is")
+    print("**1-part** counts `Exchange SinglePartition`, annotated (r8)")
+    print("with its boundedness class IN the cell: `scalar` merges")
+    print("1-row-per-partition partials of a global aggregate;")
+    print("`k-bounded` sorts a fixed-k candidate pool; `group-bounded`")
+    print("windows an already-aggregated per-group/distinct-value")
+    print("table; `vocab-bounded` windows a trained vocabulary")
+    print("artifact; `FULL` means the full data crosses one task — the")
+    print("scale-killer shape. The only FULL row is")
     print("`q_sequence_pack_global`, the explicitly-named reference")
-    print("twin of the shard-partitioned default.")
+    print("twin of the shard-partitioned default; a query acquiring a")
+    print("new 1-part exchange renders as **unclassified** until")
+    print("triaged in `_ONE_PART_CLASS`.")
     print()
     print("| query | scans | hash-shuffles | sort-shuffles | 1-part | broadcast joins | SMJ | pushdown | codegen |")
     print("|---|---|---|---|---|---|---|---|---|")
@@ -77,7 +123,14 @@ def main() -> None:
         bj = a["bhj"] + a["bnlj"]
         bj_s = f"{a['bhj']}H+{a['bnlj']}NL" if a["bnlj"] else str(a["bhj"])
         single = a["single_exchanges"]
-        single_s = f"**{single}**" if single else "0"
+        if single:
+            cls = _ONE_PART_CLASS.get(name, "**unclassified**")
+            single_s = (
+                f"**{single}** ({cls})" if cls != "FULL"
+                else f"**{single} (FULL)**"
+            )
+        else:
+            single_s = "0"
         print(
             f"| {name} | {a['scans']} | {a['hash_exchanges']} "
             f"| {a['range_exchanges']} | {single_s} | {bj_s} | {a['smj']} "

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.textstats import fingerprint
 from .scale import spread_cpu_bound
@@ -1168,4 +1169,110 @@ def ngram_blocked_containment_pairs(
         )
         .filter(F.col("containment") >= min_containment)
         .select("doc_id_a", "doc_id_b", "containment")
+    )
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact set-similarity join with PPJoin-style PREFIX FILTERING
+    (Xiao et al. 2011): all document pairs with word-set Jaccard >=
+    threshold_num/threshold_den, with GUARANTEED complete recall —
+    the deterministic complement to the probabilistic MinHash/SimHash
+    blockers in this module.
+
+    Tokens order globally by ascending document frequency (rarest
+    first); each doc's candidate prefix is its first
+    ``p = s - ceil(t*s) + 1`` tokens in that order.  Pigeonhole: two
+    sets with Jaccard >= t overlap in more than ``s - p`` elements,
+    so they MUST share a prefix token — an equi-join on prefix tokens
+    finds every qualifying pair, and frequent tokens (the skew
+    hazard) almost never appear in prefixes because rare tokens sort
+    first.  Verification is exact: the threshold test is the pure
+    integer comparison ``den*|A∩B| >= num*|A∪B|`` (no float
+    boundary), and the reported jaccard is one final division.
+
+    Scale shape: the df-rank assignment is a vocabulary-bounded
+    window (never corpus-bounded); candidates come from one
+    prefix-token equi-join; the full rank arrays ride a doc-bounded
+    join for verification.  Returns (doc_id_a, doc_id_b, jaccard).
+    """
+    from ..functions.textstats import WS_RE
+
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), WS_RE)
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    dfreq = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    # vocabulary-bounded window: global rarity order
+    rank = dfreq.select(
+        "term",
+        F.row_number().over(Window.orderBy("df", "term")).alias("rk"),
+    )
+    tr = (
+        toks.join(F.broadcast(rank), on="term")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("rk")).alias("arr"))
+        .withColumn("s", F.size("arr").cast("bigint"))
+    )
+    num, den = int(threshold_num), int(threshold_den)
+    # p = s - ceil(t*s) + 1, all integer
+    p = (
+        F.col("s")
+        - F.expr(f"({num} * s + {den} - 1) div {den}")
+        + F.lit(1)
+    )
+    pref = tr.select(
+        "doc_id", F.explode(F.slice("arr", 1, p.cast("int"))).alias("rk")
+    )
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.rk") == F.col("pb.rk"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_id_a"),
+            F.col("pb.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    ta = tr.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("arr").alias("aa"),
+        F.col("s").alias("sa"),
+    )
+    tb = tr.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("arr").alias("ab"),
+        F.col("s").alias("sb"),
+    )
+    inter = F.size(F.array_intersect("aa", "ab")).cast("bigint")
+    uni = F.col("sa") + F.col("sb") - inter
+    return (
+        cand.join(ta, on="doc_id_a")
+        .join(tb, on="doc_id_b")
+        .withColumn("inter", inter)
+        .withColumn("uni", uni)
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("uni"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(
+                F.col("inter").cast("double") / F.col("uni").cast("double"),
+                round_digits,
+            ).alias("jaccard"),
+        )
     )

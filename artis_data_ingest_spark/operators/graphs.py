@@ -86,3 +86,73 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             pr = pr.localCheckpoint()
     return pr
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an undirected edge
+    set ``(x, y)`` (distinct, x != y) — the classic graph statistic
+    behind clustering coefficients and community/spam signals.
+
+    Degree-oriented wedge closing (the published distributed recipe):
+    every edge orients from its (degree, node)-smaller endpoint to the
+    larger, turning the graph into a DAG where each triangle appears
+    EXACTLY once as an oriented wedge (a->b, a->c) closed by b->c.
+    The orientation is the load-balancing step: a wedge apex fans out
+    only over its HIGHER-degree neighbors, so a celebrity node of
+    degree d contributes O(d) oriented wedges instead of O(d^2) — the
+    difference between a shuffle and a meltdown on a power-law graph.
+
+    All joins are equi-joins on node keys (no windows, no global
+    structure); the total order used everywhere is the lexicographic
+    (degree, node) pair, computed distributively — never a global
+    rank assignment.  Returns (node, n_triangles), every triangle
+    crediting all three corners.
+    """
+    deg = (
+        edges.select(F.col("x").alias("node"))
+        .unionAll(edges.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    e = (
+        edges.join(
+            deg.select(F.col("node").alias("x"), F.col("deg").alias("dx")),
+            on="x",
+        )
+        .join(
+            deg.select(F.col("node").alias("y"), F.col("deg").alias("dy")),
+            on="y",
+        )
+    )
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    oriented = e.select(
+        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("src"),
+        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("dst"),
+        F.when(x_first, F.col("dy")).otherwise(F.col("dx")).alias("ddst"),
+    )
+    a, b = oriented.alias("a"), oriented.alias("b")
+    wedge_lt = (F.col("a.ddst") < F.col("b.ddst")) | (
+        (F.col("a.ddst") == F.col("b.ddst"))
+        & (F.col("a.dst") < F.col("b.dst"))
+    )
+    wedges = a.join(
+        b, (F.col("a.src") == F.col("b.src")) & wedge_lt
+    ).select(
+        F.col("a.src").alias("apex"),
+        F.col("a.dst").alias("w1"),
+        F.col("b.dst").alias("w2"),
+    )
+    closing = oriented.select(
+        F.col("src").alias("w1"), F.col("dst").alias("w2")
+    )
+    tri = wedges.join(closing, on=["w1", "w2"])
+    corners = (
+        tri.select(F.col("apex").alias("node"))
+        .unionAll(tri.select(F.col("w1").alias("node")))
+        .unionAll(tri.select(F.col("w2").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

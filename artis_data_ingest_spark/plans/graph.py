@@ -148,3 +148,89 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pr_fixed").desc(), "nation_name")
     )
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT x AS node FROM e UNION ALL SELECT y AS node FROM e)
+  GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN (dx.deg < dy.deg)
+                OR (dx.deg = dy.deg AND e.x < e.y)
+              THEN e.x ELSE e.y END AS src,
+         CASE WHEN (dx.deg < dy.deg)
+                OR (dx.deg = dy.deg AND e.x < e.y)
+              THEN e.y ELSE e.x END AS dst
+  FROM e
+  JOIN deg dx ON dx.node = e.x
+  JOIN deg dy ON dy.node = e.y
+),
+o2 AS (
+  SELECT o.src, o.dst, d.deg AS ddst FROM o JOIN deg d ON d.node = o.dst
+),
+tri AS (
+  SELECT a.src AS n1, a.dst AS n2, b.dst AS n3
+  FROM o2 a
+  JOIN o2 b ON a.src = b.src
+           AND ((a.ddst < b.ddst)
+                OR (a.ddst = b.ddst AND a.dst < b.dst))
+  JOIN o2 c ON c.src = a.dst AND c.dst = b.dst
+),
+n AS (
+  SELECT n1 AS node FROM tri
+  UNION ALL SELECT n2 FROM tri
+  UNION ALL SELECT n3 FROM tri
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM n GROUP BY node
+ORDER BY n_triangles DESC, node
+LIMIT 20
+""",
+    doc="Triangle counting over the co-purchase graph (parts sharing "
+    "an order — the aggregation-to-graph shape of any co-occurrence "
+    "analysis), via DEGREE-ORIENTED wedge closing: edges orient from "
+    "the (degree,node)-smaller endpoint, each triangle appears "
+    "exactly once as an oriented wedge closed by a third oriented "
+    "edge.  The orientation is the scale move — a power-law hub of "
+    "degree d fans out O(d) oriented wedges, not O(d^2): the "
+    "difference between a shuffle and a meltdown on real graphs.  "
+    "Every step is an equi-join on node keys computed distributively "
+    "(the (deg,node) total order needs no global rank).  Output is "
+    "the top-20 triangle-heaviest parts; the oracle mirrors the "
+    "orientation algebra so a wedge-order or closing-direction bug "
+    "hash-mismatches.",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+        )
+        .distinct()
+    )
+    return (
+        triangle_counts(edges)
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(20)
+    )

@@ -1808,4 +1808,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, k=4, n_iter=2, threshold=_SEMDEDUP_THR)
+    # train-once/serve-many: the persisted IVF codebook IS the
+    # SemDeDup partitioner (same k/n_iter) — inline retraining cost
+    # the r6 ANN plan 9 shuffles/6 scans; the serving plan reads the
+    # k-row artifact instead
+    cent = ivf_trained_centroids(spark, sf_dir)
+    return semantic_dedup(
+        emb, centroids=cent, threshold=_SEMDEDUP_THR
+    )

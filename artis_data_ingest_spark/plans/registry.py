@@ -42,6 +42,8 @@ _PRIORITY: list[str] = [
     "q_bpe_pack",
     "q_semantic_dedup",
     "q_warc_roundtrip",
+    "q_ppjoin_neardup",
+    "q_triangle_count",
     # (b) implementation touched in round 8 — re-verify even though
     # results are value-identical by design (4:2:0 codec + color
     # fixture mix; exact shard floor-div; CC NULL-sum fallback)
@@ -95,8 +97,6 @@ _PRIORITY: list[str] = [
     "q_zip_ingest",
     "q_file_inventory",
     "q_media_features",
-    "q_dq_report",
-    "q_source_mix_weights",
     # (52-slot budget enforced by test_priority_queries_yield_first)
 ]
 

@@ -862,3 +862,72 @@ def q_lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return lm_perplexity_buckets(docs)
+
+
+@register(
+    "q_ppjoin_neardup",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, token AS term
+  FROM (
+    SELECT doc_id,
+           UNNEST(string_split_regex(trim(lower(text)),
+                                     '[ \\t\\n\\r\\f\\x0B]+')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY term
+),
+rk AS (
+  SELECT term, ROW_NUMBER() OVER (ORDER BY df, term) AS rk FROM dfreq
+),
+tr AS (
+  SELECT doc_id, list_sort(list(rk.rk)) AS arr,
+         CAST(COUNT(*) AS BIGINT) AS s
+  FROM toks JOIN rk USING (term) GROUP BY doc_id
+),
+pref AS (
+  SELECT doc_id,
+         UNNEST(list_slice(arr, 1, s - ((9 * s + 9) // 10) + 1)) AS rk
+  FROM tr
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM pref a JOIN pref b
+    ON a.rk = b.rk AND a.doc_id < b.doc_id
+),
+v AS (
+  SELECT c.doc_id_a, c.doc_id_b,
+         CAST(len(list_intersect(ta.arr, tb.arr)) AS BIGINT) AS inter,
+         ta.s + tb.s
+           - CAST(len(list_intersect(ta.arr, tb.arr)) AS BIGINT) AS uni
+  FROM cand c
+  JOIN tr ta ON ta.doc_id = c.doc_id_a
+  JOIN tr tb ON tb.doc_id = c.doc_id_b
+)
+SELECT doc_id_a, doc_id_b,
+       round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jaccard
+FROM v
+WHERE 10 * inter >= 9 * uni
+ORDER BY doc_id_a, doc_id_b
+""",
+    doc="Exact set-similarity join with PPJoin-style prefix filtering "
+    "(Xiao et al. 2011): every doc pair with word-set Jaccard >= 0.9, "
+    "GUARANTEED complete — the deterministic complement to the "
+    "probabilistic MinHash/SimHash blockers (whose recall is a band-"
+    "collision probability).  Tokens order by global rarity (df asc); "
+    "a doc's candidate prefix is its first s-ceil(0.9s)+1 rarest "
+    "tokens, and pigeonhole guarantees any qualifying pair shares a "
+    "prefix token — so one equi-join on prefix tokens finds ALL "
+    "pairs, and frequent tokens (the skew hazard) almost never enter "
+    "prefixes.  The threshold test is pure integer (10*inter >= "
+    "9*union — no float boundary); the df-rank window is vocabulary-"
+    "bounded, never corpus-bounded.",
+)
+def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ppjoin_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ppjoin_pairs(docs).orderBy("doc_id_a", "doc_id_b")

@@ -993,3 +993,55 @@ def test_semantic_dedup_collapses_paraphrase_families(spark):
     for fam in ({0, 1, 2}, {10, 11}):
         cids = {out[v].cid for v in fam}
         assert len(cids) == 1
+
+
+def test_ppjoin_complete_recall_vs_bruteforce(spark):
+    """PPJoin's selling point over LSH blocking: EXACT recall.  On a
+    small corpus, the prefix-filtered result must equal the brute-force
+    all-pairs word-set Jaccard >= 0.9 result, pair for pair."""
+    from artis_data_ingest_spark.operators.dedup import ppjoin_pairs
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta mu nu"),
+        (4, "totally different words here nothing shared at all ok"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in ppjoin_pairs(docs).collect()
+    }
+    # brute force in python
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                uni = len(sets[i] | sets[j])
+                if 10 * inter >= 9 * uni:
+                    want[(i, j)] = round(inter / uni, 6)
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 1.0
+    assert (0, 5) in got  # 10/11 = 0.909... >= 0.9
+    assert (0, 2) not in got  # 9/11 < 0.9
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 (4 triangles, each node in 3) plus a pendant edge and a
+    disjoint triangle — degree orientation must count each triangle
+    exactly once and credit all three corners."""
+    from artis_data_ingest_spark.operators.graphs import triangle_counts
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    extra = [(4, 5)]           # pendant: no new triangle
+    tri = [(10, 11), (10, 12), (11, 12)]
+    edges = spark.createDataFrame(
+        k4 + extra + tri, "x bigint, y bigint"
+    )
+    out = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}

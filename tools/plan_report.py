@@ -85,6 +85,7 @@ _ONE_PART_CLASS = {
     "q_source_mix_weights": "group-bounded",
     "q_tfidf_topterms": "k-bounded",
     "q_try_cast": "scalar",
+    "q_ppjoin_neardup": "vocab-bounded",
 }
 
 

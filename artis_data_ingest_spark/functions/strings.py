@@ -136,3 +136,55 @@ def unicode_canon(col: str | Column) -> Column:
         )
 
     return _nfc_lower(F.regexp_replace(_c(col), ZERO_WIDTH_RE, ""))
+
+
+# --- URL canonicalization (crawl-pipeline F-row, r8) ----------------------
+
+#: tracking query parameters stripped by canonicalize_url
+URL_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid)="
+
+
+def canonicalize_url(col: str | Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the URL-level dedup
+    key every crawl frontier needs BEFORE fetching (the same page
+    hides behind case variants, default ports, tracking params,
+    fragment anchors, param order, and trailing slashes):
+
+      1. scheme + host lowercase; 2. default port stripped (:80 http,
+      :443 https); 3. leading ``www.`` stripped; 4. fragment dropped;
+      5. ``utm_*``/``fbclid``/``gclid`` params dropped; 6. remaining
+      query params sorted; 7. trailing path slash stripped (root
+      stays ``/``; an empty path becomes ``/``).
+
+    Pure codegen (regexp + split/sort/join builtins, zero UDFs), with
+    an operation-for-operation DuckDB mirror in the q_url_canonicalize
+    oracle — the policy itself is hash-pinned."""
+    u = _c(col)
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = F.when(
+        scheme == "https", F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(F.regexp_replace(hostport, r":80$", ""))
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.regexp_extract(rest, r"^[^/?]+([^?]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(nofrag, r"\?(.*)$", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (p != "") & ~p.rlike(URL_TRACKING_RE),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )

@@ -44,6 +44,7 @@ _PRIORITY: list[str] = [
     "q_warc_roundtrip",
     "q_ppjoin_neardup",
     "q_triangle_count",
+    "q_url_canonicalize",
     # (b) implementation touched in round 8 — re-verify even though
     # results are value-identical by design (4:2:0 codec + color
     # fixture mix; exact shard floor-div; CC NULL-sum fallback)
@@ -93,7 +94,6 @@ _PRIORITY: list[str] = [
     "q_changelog_e2e",
     "q_dataset_diff",
     "q_scraper_links",
-    "q_excel_clean",
     "q_zip_ingest",
     "q_file_inventory",
     "q_media_features",

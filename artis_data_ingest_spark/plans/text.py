@@ -931,3 +931,124 @@ def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ppjoin_pairs(docs).orderBy("doc_id_a", "doc_id_b")
+
+
+_URL_SCHEMES = ["https", "http"]
+_URL_HOSTS = [
+    "Example.COM", "example.com", "WWW.Example.com", "data.example.org",
+]
+_URL_PORTS = ["", ":443", "", ":80"]
+_URL_PATHS = ["/a/b", "/a/b/", "/"]
+_URL_QUERIES = [
+    "", "?b=2&a=1", "?a=1&b=2", "?a=1&utm_source=x&b=2",
+    "?utm_campaign=y",
+]
+_URL_FRAGS = ["", "#sec"]
+
+
+def _url_oracle() -> str:
+    def lst(xs):
+        return "[" + ", ".join(f"'{x}'" for x in xs) + "]"
+
+    return f"""
+WITH u AS (
+  SELECT i,
+         {lst(_URL_SCHEMES)}[CAST(i % 2 AS INT) + 1] || '://'
+         || {lst(_URL_HOSTS)}[CAST(i % 4 AS INT) + 1]
+         || {lst(_URL_PORTS)}[CAST(i % 4 AS INT) + 1]
+         || {lst(_URL_PATHS)}[CAST(i % 3 AS INT) + 1]
+         || {lst(_URL_QUERIES)}[CAST(i % 5 AS INT) + 1]
+         || {lst(_URL_FRAGS)}[CAST(i % 2 AS INT) + 1] AS url
+  FROM range(48) t(i)
+), c AS (
+  SELECT i, url,
+         regexp_replace(url, '#.*$', '') AS nofrag,
+         lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                              '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           AS scheme,
+         regexp_replace(regexp_replace(url, '#.*$', ''),
+                        '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM u
+), p AS (
+  SELECT i, scheme, nofrag,
+         CASE WHEN scheme = 'https'
+              THEN regexp_replace(
+                     lower(regexp_extract(rest, '^([^/?]+)', 1)),
+                     ':443$', '')
+              ELSE regexp_replace(
+                     lower(regexp_extract(rest, '^([^/?]+)', 1)),
+                     ':80$', '')
+         END AS host0,
+         regexp_extract(rest, '^[^/?]+([^?]*)', 1) AS path0,
+         regexp_extract(nofrag, '\\?(.*)$', 1) AS query0
+  FROM c
+), canon AS (
+  SELECT i,
+         scheme || '://'
+         || regexp_replace(host0, '^www\\.', '')
+         || CASE WHEN regexp_replace(path0, '/$', '') = '' THEN '/'
+                 ELSE regexp_replace(path0, '/$', '') END
+         || CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canon_url
+  FROM (
+    SELECT *,
+           COALESCE(array_to_string(
+             list_sort(list_filter(string_split(query0, '&'),
+               x -> x <> ''
+                 AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))),
+             '&'), '') AS kept
+    FROM p
+  )
+)
+SELECT canon_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       MIN(i) AS first_i
+FROM canon
+GROUP BY canon_url
+ORDER BY canon_url
+"""
+
+
+@register(
+    "q_url_canonicalize",
+    oracle=_url_oracle(),
+    doc="URL canonicalization — the URL-level dedup key a crawl "
+    "frontier applies BEFORE fetching (the same page hides behind "
+    "case variants, default ports, www prefixes, tracking params, "
+    "param order, fragments, and trailing slashes): lowercase "
+    "scheme/host, strip default port + www + fragment, drop "
+    "utm_*/fbclid/gclid, SORT remaining params, normalize the path "
+    "slash.  A deterministic 48-URL variant lattice is built "
+    "in-query (the media-fixture pattern) and collapsed by canonical "
+    "form; the oracle mirrors every canonicalization step, so the "
+    "POLICY itself is hash-pinned — any drift in param filtering, "
+    "sort order, or port/slash handling mismatches.  Pure codegen "
+    "(regexp + split/sort/join), zero UDFs, one shuffle for the "
+    "collapse.",
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.strings import canonicalize_url
+
+    def pick(xs, mod):
+        return F.element_at(
+            F.array(*[F.lit(x) for x in xs]),
+            (F.col("i") % mod).cast("int") + 1,
+        )
+
+    urls = spark.range(48).select(
+        F.col("id").alias("i"),
+        F.concat(
+            pick(_URL_SCHEMES, 2), F.lit("://"),
+            pick(_URL_HOSTS, 4), pick(_URL_PORTS, 4),
+            pick(_URL_PATHS, 3), pick(_URL_QUERIES, 5),
+            pick(_URL_FRAGS, 2),
+        ).alias("url"),
+    )
+    return (
+        urls.select("i", canonicalize_url("url").alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.min("i").alias("first_i"),
+        )
+        .orderBy("canon_url")
+    )

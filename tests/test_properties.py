@@ -516,3 +516,78 @@ def test_boilerplate_strip_identity_when_threshold_unreachable(spark, texts):
         for r in strip_boilerplate_lines(docs, max_df_ratio=2.0).collect()
     }
     assert out == {i: (t, 0) for i, t in inp.items()}
+
+
+def _qlog2_ref(x, B=20, P=28):
+    e = x.bit_length() - 1
+    t = (x << P) >> e
+    f = 0
+    for _ in range(B):
+        u = t * t
+        b = 1 if u >= 1 << (2 * P + 1) else 0
+        t = u >> (P + b)
+        f = f * 2 + b
+    return e * (1 << B) + f
+
+
+@given(
+    xs=st.lists(
+        st.integers(min_value=1, max_value=2**34), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_qlog2_matches_python_reference_and_error_bound(spark, xs):
+    """The fixed-point log2 behind the LM perplexity filter: Spark's
+    unrolled withColumn chain must equal the pure-Python recurrence
+    bit-for-bit on arbitrary inputs, stay monotone, and sit within
+    2^-18 of true log2 (the approximation-quality contract)."""
+    import math
+
+    from artis_data_ingest_spark.functions.numeric import with_qlog2
+
+    df = spark.createDataFrame([(int(x),) for x in xs], "x bigint")
+    got = {r.x: r.q for r in with_qlog2(df, "x", "q").collect()}
+    for x in set(xs):
+        assert got[x] == _qlog2_ref(x)
+        assert abs(got[x] / 2**20 - math.log2(x)) < 2**-18
+    srt = sorted(set(xs))
+    qs = [got[x] for x in srt]
+    assert all(a <= b for a, b in zip(qs, qs[1:]))
+
+
+def test_lm_perplexity_key_tracks_true_float_perplexity(spark):
+    """The exact integer score key is an APPROXIMATION of true float
+    log2-perplexity — pin the error bound (and therefore that the
+    bucketing semantics match what a float implementation would do):
+    per-doc |key/2^26 - true| < 1e-4 on a real corpus slice."""
+    import math
+
+    from artis_data_ingest_spark.operators.lm import lm_perplexity_buckets
+    from artis_data_ingest_spark.functions.textstats import WS_RE
+    import re
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(80)
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    out = {r.doc_id: r for r in lm_perplexity_buckets(docs).collect()}
+
+    tok = lambda t: [w.lower() for w in re.split(WS_RE, t.strip()) if w]
+    train = [t for i, t in rows if i % 10 == 0]
+    counts = {}
+    for t in train:
+        for w in tok(t):
+            counts[w] = counts.get(w, 0) + 1
+    T = sum(counts.values())
+    V = len(counts) + 1
+    den = T + V
+    for i, t in rows:
+        if i % 10 == 0 or i not in out:
+            continue
+        ws = tok(t)
+        if not ws:
+            continue
+        true = math.log2(den) - sum(
+            math.log2(counts.get(w, 0) + 1) for w in ws
+        ) / len(ws)
+        assert abs(out[i].log2_ppl - true) < 1e-4, (i, out[i].log2_ppl, true)

@@ -188,3 +188,45 @@ def canonicalize_url(col: str | Column) -> Column:
         path,
         F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
     )
+
+
+def fix_mojibake(col: str | Column, max_rounds: int = 2) -> Column:
+    """Repair mojibake — UTF-8 text that was mis-decoded as cp1252 or
+    latin-1 somewhere upstream (``é`` → ``Ã©``, ``“`` → ``â€œ``), the
+    single most common encoding damage in web scrapes and the reason
+    ftfy sits in every serious cleaning pipeline (C4/CCNet).
+
+    Per round: re-encode through cp1252, falling back to latin-1 (the
+    two decoders real servers mislabel), and accept the result iff the
+    bytes decode as valid UTF-8 — the ftfy core heuristic.  Valid
+    text is a fixed point: pure ASCII round-trips unchanged, and a
+    LEGIT ``café`` fails the UTF-8 re-decode so it is never damaged.
+    ``max_rounds=2`` also unwinds double-encoding.  Deterministic,
+    Arrow-batched pandas UDF (the ``unicode_canon`` U4 pattern) — no
+    JVM expression can re-interpret string bytes across charsets.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    def _fix_once(s: str) -> str:
+        for enc in ("cp1252", "latin-1"):
+            try:
+                return s.encode(enc).decode("utf-8")
+            except UnicodeError:
+                continue
+        return s
+
+    def _fix(s):
+        if s is None:
+            return None
+        for _ in range(max_rounds):
+            t = _fix_once(s)
+            if t == s:
+                break
+            s = t
+        return s
+
+    @pandas_udf("string")
+    def _repair(s: pd.Series) -> pd.Series:
+        return s.map(_fix)
+
+    return _repair(_c(col))

@@ -45,6 +45,7 @@ _PRIORITY: list[str] = [
     "q_ppjoin_neardup",
     "q_triangle_count",
     "q_url_canonicalize",
+    "q_mojibake_repair",
     # (b) implementation touched in round 8 — re-verify even though
     # results are value-identical by design (4:2:0 codec + color
     # fixture mix; exact shard floor-div; CC NULL-sum fallback)
@@ -95,7 +96,6 @@ _PRIORITY: list[str] = [
     "q_dataset_diff",
     "q_scraper_links",
     "q_zip_ingest",
-    "q_file_inventory",
     "q_media_features",
     # (52-slot budget enforced by test_priority_queries_yield_first)
 ]

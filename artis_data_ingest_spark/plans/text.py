@@ -1052,3 +1052,77 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canon_url")
     )
+
+
+_MOJI_CLEAN = [
+    "café au lait",
+    "naïve — “quoted” text…",
+    "中文测试 mixed ascii",
+    "plain ascii only",
+    "über złoty façade",
+]
+
+
+def _moji_rows() -> list[tuple[int, str, str]]:
+    """(row_id, kind, corrupted-text) fixture: each clean string plus
+    its single- and double-mis-decoded forms (deterministic — pure
+    byte arithmetic, no RNG)."""
+    rows = []
+    for i, c in enumerate(_MOJI_CLEAN):
+        single = c.encode("utf-8").decode("latin-1")
+        double = single.encode("utf-8").decode("latin-1")
+        rows.append((3 * i + 0, "clean", c))
+        rows.append((3 * i + 1, "single", single))
+        rows.append((3 * i + 2, "double", double))
+    return rows
+
+
+def _moji_oracle() -> str:
+    vals = []
+    for i, c in enumerate(_MOJI_CLEAN):
+        lit = c.replace("'", "''")
+        ascii_only = all(ord(ch) < 128 for ch in c)
+        for j, kind in enumerate(("clean", "single", "double")):
+            changed = "FALSE" if (kind == "clean" or ascii_only) else "TRUE"
+            vals.append(
+                f"({3 * i + j}, '{kind}', '{lit}', {changed})"
+            )
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + ",\n  ".join(vals)
+        + "\n) AS t(row_id, kind, text, was_changed)\nORDER BY row_id"
+    )
+
+
+@register(
+    "q_mojibake_repair",
+    oracle=_moji_oracle(),
+    doc="Mojibake repair (the ftfy core, standard in C4/CCNet "
+    "cleaning): UTF-8 text mis-decoded as cp1252/latin-1 upstream "
+    "('é'→'Ã©') is repaired by re-encoding "
+    "through the mislabeled charset and accepting iff the bytes "
+    "decode as valid UTF-8 — legit text is a fixed point (a real "
+    "'café' fails the UTF-8 re-decode and is never damaged), "
+    "and two rounds unwind double-encoding.  Arrow-batched pandas "
+    "UDF (the unicode_canon U4 pattern — charset reinterpretation "
+    "has no JVM expression).  The fixture is every clean string plus "
+    "its single- and double-corrupted forms; the oracle pins that "
+    "ALL of them repair to the original bytes and that the "
+    "was_changed accounting (what a 100 TB cleaning job reports) is "
+    "exact.",
+)
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.strings import fix_mojibake
+
+    df = spark.createDataFrame(
+        _moji_rows(), "row_id bigint, kind string, raw string"
+    )
+    return (
+        df.select(
+            "row_id",
+            "kind",
+            fix_mojibake("raw").alias("text"),
+            (fix_mojibake("raw") != F.col("raw")).alias("was_changed"),
+        )
+        .orderBy("row_id")
+    )

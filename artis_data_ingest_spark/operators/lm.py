@@ -44,9 +44,14 @@ KEY_SCALE = 1 << 26
 
 
 def _terms(docs: DataFrame) -> DataFrame:
+    # split+explode over a small single-split parquet would run on one
+    # core; spread first (no-op when the scan already has enough
+    # splits — the 100 TB case)
+    from .scale import spread_cpu_bound
+
     tok = F.explode(F.split(F.trim(F.col("text")), WS_RE)).alias("token")
     return (
-        docs.select("doc_id", tok)
+        spread_cpu_bound(docs).select("doc_id", tok)
         .filter(F.col("token") != "")
         .select("doc_id", F.lower("token").alias("term"))
     )

@@ -615,7 +615,13 @@ def semantic_dedup(
         .filter(F.col("rn") == 1)
         .select("vec_id", "emb", "vnorm", "cid", "ccos")
     )
-    x, y = assign.alias("x"), assign.alias("y")
+    # the within-cluster pair join fans out ~|cluster|^2/2 dot products
+    # from a byte-small assignment table: AQE would coalesce it to ~1
+    # partition and serialize the verify on one core (the
+    # q_ngram_jaccard lesson) — pin the probe side's parallelism
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    x = assign.repartition(par).alias("x")
+    y = assign.alias("y")
     pcos = F.round(
         dot(F.col("x.emb"), F.col("y.emb"))
         / (F.col("x.vnorm") * F.col("y.vnorm")),

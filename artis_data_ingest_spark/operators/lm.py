@@ -64,9 +64,14 @@ def lm_perplexity_buckets(
     returns (doc_id, bucket head|middle|tail, ppl_key bigint,
     log2_ppl double) — see module docstring for exactness/scale."""
     train = _terms(docs.filter(F.col("doc_id") % holdout_mod == 0))
+    # the trained artifact: materialize ONCE (the _bpe_train pattern).
+    # vocab feeds three consumers (totals, distinct counts, scoring
+    # map) and the deep tokenize subtree would otherwise be re-planned
+    # and re-executed under each — measured 20% of query wall time in
+    # pure driver-side planning of the duplicated trees
     vocab = train.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    ).localCheckpoint()
     # T, V and the smoothing denominator in one 1-row reduction
     tot = vocab.agg(
         (
@@ -82,7 +87,10 @@ def lm_perplexity_buckets(
         .union(tot.select(F.col("den").alias("x")))
         .distinct()
     )
-    qtab = with_qlog2(vals, "x", "q")
+    # ~hundreds of rows, but a 20-round unrolled expression chain:
+    # materializing cuts the deep qlog2 subtree out of every
+    # downstream branch's analysis and execution
+    qtab = with_qlog2(vals, "x", "q").localCheckpoint()
     vocab_s = vocab.join(
         F.broadcast(qtab), vocab["c"] + 1 == qtab["x"]
     ).select("term", F.col("q").alias("s"))
@@ -92,7 +100,12 @@ def lm_perplexity_buckets(
     )
 
     apply_terms = _terms(docs.filter(F.col("doc_id") % holdout_mod != 0))
-    scored = apply_terms.join(vocab_s, on="term", how="left").select(
+    # vocab_s is vocabulary-bounded (unigram vocabs broadcast even for
+    # web-scale corpora); broadcasting keeps the corpus token stream
+    # OUT of a term-hash shuffle — scoring becomes map-side
+    scored = apply_terms.join(
+        F.broadcast(vocab_s), on="term", how="left"
+    ).select(
         "doc_id", F.coalesce("s", F.lit(0).cast("bigint")).alias("s")
     )
     per_doc = scored.groupBy("doc_id").agg(
@@ -108,6 +121,10 @@ def lm_perplexity_buckets(
     # distributed rank: per-key counts -> cumulative over DISTINCT keys
     # (group-bounded window), + row_number within key (distributed)
     kc = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("kn"))
+    # one distinct-key pass yields BOTH the cumulative rank starts and
+    # the grand total (rows-unbounded window over the same tiny table)
+    # — folding nd in here removes a separate aggregate + crossJoin
+    # stage barrier from the critical path
     kcum = kc.withColumn(
         "endr",
         F.sum("kn").over(
@@ -115,6 +132,13 @@ def lm_perplexity_buckets(
                 Window.unboundedPreceding, Window.currentRow
             )
         ),
+    ).withColumn(
+        "nd",
+        F.sum("kn").over(
+            Window.orderBy("key").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint"),
     )
     rn = F.row_number().over(
         Window.partitionBy("key").orderBy("doc_id")
@@ -122,11 +146,11 @@ def lm_perplexity_buckets(
     ranked = keyed.withColumn("rn", rn).join(
         F.broadcast(kcum), on="key"
     ).select(
-        "doc_id", "key", (F.col("endr") - F.col("kn") + F.col("rn")).alias("rnk")
+        "doc_id", "key", "nd",
+        (F.col("endr") - F.col("kn") + F.col("rn")).alias("rnk"),
     )
-    nd = keyed.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
     return (
-        ranked.crossJoin(F.broadcast(nd))
+        ranked
         .select(
             "doc_id",
             F.when(F.col("rnk") <= F.expr("nd div 3"), "head")

@@ -1126,3 +1126,104 @@ def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("row_id")
     )
+
+
+_HTML_CHROME_HEAD = (
+    '<html><head><style>.x{color:red}</style><script>var q=1;</script>'
+    '</head><body><nav><a href="/">Home</a> | <a href="/about">About</a>'
+    '</nav><div class="ad">Buy <a href="/buy">cheap deals</a> now</div>'
+)
+_HTML_CHROME_TAIL = (
+    '<footer><a href="/c">contact</a> <a href="/t">terms</a></footer>'
+    "</body></html>"
+)
+
+
+@register(
+    "q_html_main_content",
+    oracle=f"""
+WITH page AS (
+  SELECT doc_id,
+         '{_HTML_CHROME_HEAD.replace("'", "''")}'
+         || '<p>' || substr(text, 1, length(text) // 2) || '</p>'
+         || '<p>' || substr(text, length(text) // 2 + 1) || '</p>'
+         || '{_HTML_CHROME_TAIL.replace("'", "''")}' AS html
+  FROM documents
+), nos AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(html,
+             '(?is)<script.*?</script>', ' ', 'g'),
+             '(?is)<style.*?</style>', ' ', 'g') AS html
+  FROM page
+), blocks AS (
+  SELECT doc_id, u.i AS block_idx, b[u.i + 1] AS chunk
+  FROM (SELECT doc_id,
+               string_split_regex(html,
+                 '(?i)</(?:p|div|li|h[1-6]|nav|footer|section|article|td)>')
+                 AS b
+        FROM nos),
+       UNNEST(range(len(b))) u(i)
+), scored AS (
+  SELECT doc_id, block_idx,
+         trim(regexp_replace(regexp_replace(chunk, '<[^>]*>', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS btext,
+         CAST(COALESCE(list_sum(list_transform(
+             regexp_extract_all(chunk, '<a[^>]*>([^<]*)</a>', 1),
+             x -> length(x))), 0) AS BIGINT) AS link_len
+  FROM blocks
+), kept AS (
+  SELECT doc_id, btext FROM scored
+  WHERE length(btext) >= 25 AND 3 * link_len < length(btext)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(length(btext)) AS BIGINT) AS main_len,
+       CAST(SUM(CAST(CONCAT('0x', substring(md5(btext), 1, 12))
+                     AS BIGINT)) AS BIGINT) AS main_checksum
+FROM kept GROUP BY doc_id ORDER BY doc_id
+""",
+    doc="HTML main-content extraction (boilerpipe, Kohlschütter et "
+    "al. 2010, simplified to its load-bearing signals): every "
+    "document is wrapped in realistic page chrome (nav link bar, ad "
+    "unit, script/style payloads, link-farm footer) IN-QUERY (the "
+    "fixture-lattice pattern), and the extractor must recover "
+    "exactly the two article paragraphs — script/style dropped, "
+    "block split at closing tags, tag-strip + whitespace collapse, "
+    "and the LINK-DENSITY rule (anchor chars *3 < text chars, "
+    "integer comparison) that separates prose from chrome.  The "
+    "oracle mirrors construction AND extraction op-for-op, and the "
+    "per-doc md5-prefix checksum pins the recovered text content "
+    "byte-for-byte — a tag-strip, split, or density drift "
+    "hash-mismatches.  Pure codegen, zero UDFs, one shuffle.",
+)
+def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.html import extract_main_content
+
+    docs = load_table(spark, sf_dir, "documents")
+    half = (F.length("text") / 2).cast("int")
+    page = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_HTML_CHROME_HEAD),
+            F.lit("<p>"),
+            F.expr("substr(text, 1, CAST(length(text) / 2 AS INT))"),
+            F.lit("</p><p>"),
+            F.expr("substr(text, CAST(length(text) / 2 AS INT) + 1)"),
+            F.lit("</p>"),
+            F.lit(_HTML_CHROME_TAIL),
+        ).alias("html"),
+    )
+    kept = extract_main_content(page)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(F.length("btext")).cast("bigint").alias("main_len"),
+            F.sum(
+                F.conv(F.substring(F.md5("btext"), 1, 12), 16, 10).cast(
+                    "bigint"
+                )
+            ).cast("bigint").alias("main_checksum"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1045,3 +1045,49 @@ def test_triangle_counts_known_graph(spark):
     )
     out = {r.node: r.n_triangles for r in triangle_counts(edges).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
+
+
+def test_lm_perplexity_partitioning_independent(spark):
+    """The exact-integer design's point: identical keys and buckets
+    under any input partitioning (float-sum implementations fail
+    this)."""
+    from artis_data_ingest_spark.operators.lm import lm_perplexity_buckets
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    a = {
+        (r.doc_id, r.ppl_key, r.bucket)
+        for r in lm_perplexity_buckets(docs).collect()
+    }
+    b = {
+        (r.doc_id, r.ppl_key, r.bucket)
+        for r in lm_perplexity_buckets(docs.repartition(7)).collect()
+    }
+    assert a == b and a
+
+
+def test_html_main_content_drops_chrome_keeps_prose(spark):
+    """Nav bars, ad units, script/style payloads and link-farm
+    footers drop; prose paragraphs survive with exact text."""
+    from artis_data_ingest_spark.sources.html import extract_main_content
+
+    html = (
+        '<html><head><script>tracking("evil")</script>'
+        "<style>.a{}</style></head><body>"
+        '<nav><a href="/">Home</a> <a href="/x">Docs</a></nav>'
+        "<p>This is the first real paragraph of the article body text.</p>"
+        '<div>Short ad <a href="/b">click here for deals</a></div>'
+        "<p>The second paragraph also carries genuine prose content.</p>"
+        '<footer><a href="/c">contact</a> <a href="/t">terms</a></footer>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id bigint, html string")
+    rows = extract_main_content(df).orderBy("block_idx").collect()
+    texts = [r.btext for r in rows]
+    assert texts == [
+        "This is the first real paragraph of the article body text.",
+        "The second paragraph also carries genuine prose content.",
+    ]
+    # script payload must never leak into any block's text
+    assert not any("tracking" in t for t in texts)

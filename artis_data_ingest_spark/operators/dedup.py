@@ -1174,8 +1174,8 @@ def ngram_blocked_containment_pairs(
 
 def ppjoin_pairs(
     docs: DataFrame,
-    threshold_num: int = 9,
-    threshold_den: int = 10,
+    threshold_num: int = 19,
+    threshold_den: int = 20,
     round_digits: int = 6,
 ) -> DataFrame:
     """Exact set-similarity join with PPJoin-style PREFIX FILTERING

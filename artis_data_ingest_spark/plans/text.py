@@ -890,7 +890,7 @@ tr AS (
 ),
 pref AS (
   SELECT doc_id,
-         UNNEST(list_slice(arr, 1, s - ((9 * s + 9) // 10) + 1)) AS rk
+         UNNEST(list_slice(arr, 1, s - ((19 * s + 19) // 20) + 1)) AS rk
   FROM tr
 ),
 cand AS (
@@ -910,11 +910,11 @@ v AS (
 SELECT doc_id_a, doc_id_b,
        round(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 6) AS jaccard
 FROM v
-WHERE 10 * inter >= 9 * uni
+WHERE 20 * inter >= 19 * uni
 ORDER BY doc_id_a, doc_id_b
 """,
     doc="Exact set-similarity join with PPJoin-style prefix filtering "
-    "(Xiao et al. 2011): every doc pair with word-set Jaccard >= 0.9, "
+    "(Xiao et al. 2011): every doc pair with word-set Jaccard >= 0.95, "
     "GUARANTEED complete — the deterministic complement to the "
     "probabilistic MinHash/SimHash blockers (whose recall is a band-"
     "collision probability).  Tokens order by global rarity (df asc); "
@@ -922,8 +922,8 @@ ORDER BY doc_id_a, doc_id_b
     "tokens, and pigeonhole guarantees any qualifying pair shares a "
     "prefix token — so one equi-join on prefix tokens finds ALL "
     "pairs, and frequent tokens (the skew hazard) almost never enter "
-    "prefixes.  The threshold test is pure integer (10*inter >= "
-    "9*union — no float boundary); the df-rank window is vocabulary-"
+    "prefixes.  The threshold test is pure integer (20*inter >= "
+    "19*union — no float boundary); the df-rank window is vocabulary-"
     "bounded, never corpus-bounded.",
 )
 def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1012,7 +1012,9 @@ def test_ppjoin_complete_recall_vs_bruteforce(spark):
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     got = {
         (r.doc_id_a, r.doc_id_b): r.jaccard
-        for r in ppjoin_pairs(docs).collect()
+        for r in ppjoin_pairs(
+            docs, threshold_num=9, threshold_den=10
+        ).collect()
     }
     # brute force in python
     sets = {i: set(t.split()) for i, t in rows}
@@ -1029,6 +1031,11 @@ def test_ppjoin_complete_recall_vs_bruteforce(spark):
     assert (0, 1) in got and got[(0, 1)] == 1.0
     assert (0, 5) in got  # 10/11 = 0.909... >= 0.9
     assert (0, 2) not in got  # 9/11 < 0.9
+    # default threshold (0.95): only the exact-duplicate pair survives
+    strict = {
+        (r.doc_id_a, r.doc_id_b) for r in ppjoin_pairs(docs).collect()
+    }
+    assert strict == {(0, 1)}
 
 
 def test_triangle_counts_known_graph(spark):

@@ -155,3 +155,53 @@ def strip_boilerplate_lines(
             ),
         )
     )
+
+
+def collapse_repeated_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """IN-document repetition removal (the C4 repeated-span rule at
+    line granularity): collapse CONSECUTIVE duplicate lines to one
+    occurrence, preserving order — scraped pages repeat headers,
+    cookie banners and list fragments back-to-back, and a generation
+    model trained on them learns to loop.
+
+    Complements ``strip_boilerplate_lines`` (CROSS-document template
+    removal): this one needs no corpus statistics, so it is a pure
+    per-document window — explode lines with position, keep a line
+    iff it differs from its predecessor (lag over the doc partition),
+    reassemble in original order.  Millions of small window groups,
+    no global state, no shuffle beyond the doc_id partition.
+
+    Returns (doc_id, n_lines_before, n_lines_after, text).
+    """
+    from pyspark.sql.window import Window
+
+    lines = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_idx", "line"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("line_idx")
+    kept = lines.withColumn("prev", F.lag("line").over(w)).filter(
+        F.col("prev").isNull() | (F.col("line") != F.col("prev"))
+    )
+    total = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines_before")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("line_idx", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return total.join(rebuilt, on="doc_id")

@@ -957,3 +957,73 @@ def q_linedf_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.filter(F.col("line_docs") >= 3)
         .orderBy("source", "line")
     )
+
+
+@register(
+    "q_collapse_repeats",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 30) || chr(10) ||
+         substr(text, 1, 30) || chr(10) ||
+         'middle line ' || doc_id || chr(10) ||
+         CASE WHEN doc_id % 2 = 0
+              THEN 'repeat block' || chr(10) || 'repeat block'
+                   || chr(10) || 'repeat block'
+              ELSE 'tail line' END AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, u.i AS line_idx, l[u.i + 1] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM d),
+       UNNEST(range(len(l))) u(i)
+), kept AS (
+  SELECT doc_id, line_idx, line
+  FROM (
+    SELECT doc_id, line_idx, line,
+           LAG(line) OVER (PARTITION BY doc_id ORDER BY line_idx)
+             AS prev
+    FROM lines
+  )
+  WHERE prev IS NULL OR line <> prev
+)
+SELECT t.doc_id,
+       t.n_lines_before,
+       k.n_lines_after,
+       k.text
+FROM (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_before
+      FROM lines GROUP BY doc_id) t
+JOIN (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_after,
+             string_agg(line, chr(10) ORDER BY line_idx) AS text
+      FROM kept GROUP BY doc_id) k USING (doc_id)
+ORDER BY doc_id
+""",
+    doc="In-document repetition removal (the C4 repeated-span rule at "
+    "line granularity): consecutive duplicate lines collapse to one "
+    "occurrence, order preserved — scraped pages repeat headers and "
+    "banners back-to-back, and generation models trained on them "
+    "learn to loop.  Complements q_boilerplate_strip (cross-document "
+    "templates need corpus statistics; THIS rule is a pure "
+    "per-document lag window — millions of small groups, no global "
+    "state).  The fixture injects a doubled head line and, on even "
+    "docs, a tripled block; the oracle mirrors construction and "
+    "collapse, pinning both the kept-line accounting and the exact "
+    "reassembled text.",
+)
+def q_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clean import collapse_repeated_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 30), F.lit("\n"),
+            F.substring("text", 1, 30), F.lit("\n"),
+            F.lit("middle line "), F.col("doc_id").cast("string"),
+            F.lit("\n"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("repeat block\nrepeat block\nrepeat block"),
+            ).otherwise(F.lit("tail line")),
+        ).alias("text"),
+    )
+    return collapse_repeated_lines(synth).orderBy("doc_id")

@@ -57,12 +57,15 @@ def _terms(docs: DataFrame) -> DataFrame:
     )
 
 
-def lm_perplexity_buckets(
+def train_unigram_lm(
     docs: DataFrame, holdout_mod: int = 10
-) -> DataFrame:
-    """Train on docs with doc_id % holdout_mod == 0, score the rest;
-    returns (doc_id, bucket head|middle|tail, ppl_key bigint,
-    log2_ppl double) — see module docstring for exactness/scale."""
+) -> tuple[DataFrame, DataFrame]:
+    """Train the unigram LM on docs with doc_id % holdout_mod == 0.
+    Returns the two trained artifacts: ``vocab_s`` (term, s=qlog2 of
+    the smoothed count — vocabulary-bounded) and ``sden`` (one row:
+    qlog2 of the smoothing denominator).  Both persist to parquet
+    losslessly (bigints), which is how the streaming scorer
+    (streaming/quality.py) consumes them."""
     train = _terms(docs.filter(F.col("doc_id") % holdout_mod == 0))
     # the trained artifact: materialize ONCE (the _bpe_train pattern).
     # vocab feeds three consumers (totals, distinct counts, scoring
@@ -98,8 +101,18 @@ def lm_perplexity_buckets(
         tot.join(F.broadcast(qtab), tot["den"] == qtab["x"])
         .select(F.col("q").alias("sden"))
     )
+    return vocab_s, sden
 
-    apply_terms = _terms(docs.filter(F.col("doc_id") % holdout_mod != 0))
+
+def score_documents(
+    docs: DataFrame, vocab_s: DataFrame, sden: DataFrame
+) -> DataFrame:
+    """Score a document set against trained LM artifacts: returns
+    (doc_id, key) where key is the exact bigint 2^26-scaled log2
+    perplexity.  Stateless per doc — the streaming scorer applies it
+    per micro-batch unchanged (scores never depend on other docs;
+    only the tercile CUT is corpus-wide)."""
+    apply_terms = _terms(docs)
     # vocab_s is vocabulary-bounded (unigram vocabs broadcast even for
     # web-scale corpora); broadcasting keeps the corpus token stream
     # OUT of a term-hash shuffle — scoring becomes map-side
@@ -112,11 +125,23 @@ def lm_perplexity_buckets(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("s").cast("bigint").alias("sum_q"),
     )
-    keyed = per_doc.crossJoin(F.broadcast(sden)).select(
+    return per_doc.crossJoin(F.broadcast(sden)).select(
         "doc_id",
         F.expr(
             f"((n * sden - sum_q) * {1 << KEY_EXTRA_BITS}) div n"
         ).alias("key"),
+    )
+
+
+def lm_perplexity_buckets(
+    docs: DataFrame, holdout_mod: int = 10
+) -> DataFrame:
+    """Train on docs with doc_id % holdout_mod == 0, score the rest;
+    returns (doc_id, bucket head|middle|tail, ppl_key bigint,
+    log2_ppl double) — see module docstring for exactness/scale."""
+    vocab_s, sden = train_unigram_lm(docs, holdout_mod)
+    keyed = score_documents(
+        docs.filter(F.col("doc_id") % holdout_mod != 0), vocab_s, sden
     )
     # distributed rank: per-key counts -> cumulative over DISTINCT keys
     # (group-bounded window), + row_number within key (distributed)

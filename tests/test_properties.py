@@ -591,3 +591,22 @@ def test_lm_perplexity_key_tracks_true_float_perplexity(spark):
             math.log2(counts.get(w, 0) + 1) for w in ws
         ) / len(ws)
         assert abs(out[i].log2_ppl - true) < 1e-4, (i, out[i].log2_ppl, true)
+
+
+@given(payload=st.binary(min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_decoder_fails_closed_on_garbage(payload):
+    """decode_jpeg on arbitrary bytes must raise (any exception — the
+    image_stats except-clause is deliberately broad) or return a valid
+    array; it must never hang or corrupt state.  Prefixing SOI forces
+    the marker walk to actually run."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import decode_jpeg
+
+    for blob in (payload, b"\xff\xd8" + payload):
+        try:
+            out = decode_jpeg(blob)
+        except Exception:
+            continue
+        assert isinstance(out, np.ndarray) and out.dtype == np.uint8

@@ -563,3 +563,53 @@ def test_jsonl_gz_stream_matches_batch(spark):
         .collect()
     }
     assert got == batch and len(got) == 15
+
+
+def test_streaming_quality_scores_match_batch(spark, tmp_path):
+    """Arrival-time LM scoring == batch scoring, bit-for-bit: the LM
+    artifacts persist once, document files drip in across two
+    checkpointed runs, and the union of per-batch score snapshots
+    equals score_documents over the whole doc set (the exact-integer
+    key makes the comparison exact, not approximate)."""
+    import glob
+
+    from artis_data_ingest_spark.operators.lm import score_documents
+    from artis_data_ingest_spark.sources.tables import load_table
+    from artis_data_ingest_spark.streaming.quality import (
+        load_lm_artifacts,
+        persist_lm_artifacts,
+        stream_quality_scores,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    lm_path = str(tmp_path / "lm")
+    persist_lm_artifacts(spark, docs, lm_path)
+
+    apply_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    scores, ckpt = str(tmp_path / "scores"), str(tmp_path / "ckpt")
+    parts = [
+        apply_docs.filter(F.col("doc_id") % 3 == i).coalesce(1)
+        for i in range(3)
+    ]
+    parts[0].write.parquet(str(arrivals), mode="append")
+    q = stream_quality_scores(spark, str(arrivals), lm_path, scores, ckpt)
+    q.awaitTermination(120)
+    parts[1].write.parquet(str(arrivals), mode="append")
+    parts[2].write.parquet(str(arrivals), mode="append")
+    q = stream_quality_scores(spark, str(arrivals), lm_path, scores, ckpt)
+    q.awaitTermination(120)
+
+    snaps = sorted(glob.glob(f"{scores}/batch_id=*"))
+    assert len(snaps) >= 2  # work actually split across batches
+    got = {
+        (r.doc_id, r.key)
+        for r in spark.read.parquet(f"{scores}/batch_id=*").collect()
+    }
+    vocab_s, sden = load_lm_artifacts(spark, lm_path)
+    want = {
+        (r.doc_id, r.key)
+        for r in score_documents(apply_docs, vocab_s, sden).collect()
+    }
+    assert got == want and got

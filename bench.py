@@ -9,6 +9,16 @@ attributed to measurement spread instead of guessed at. A warmup run of
 the flagship query absorbs JVM/codegen startup; the heavyweight
 q_minhash_portable_stats runs LAST behind a cache-clear cooldown so its
 executor-memory churn cannot bleed into the queries after it.
+
+r8 anchor additions: q_lm_perplexity_buckets, q_semantic_dedup and
+q_bpe_pack join the headline set (the heaviest new shapes — trend
+anchors from their first round, the r6/r7 convention).  Their r8
+optimization history: semantic dedup's pair verify pinned to
+defaultParallelism partitions (7.8 s → 1.5 s — AQE had coalesced the
+byte-small assignment table to ~1 partition, serializing ~6M dot
+products on one core) and the LM's vocab/qlog2 artifacts materialize
+once (5.3 s → ~2.6 s — the duplicated deep subtrees were re-planned
+AND re-executed under every consumer).
 """
 
 from __future__ import annotations

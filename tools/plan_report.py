@@ -180,6 +180,19 @@ def main() -> None:
 - **Codegen is universal** — no Python in any hot path except the two
   deliberately-Pandas queries (`q_pandas_cosine_topk`,
   `q_media_features`), which use Arrow batches.
+- **r8 additions hold it too**: WARC and zstd-JSONL parallelize per
+  (unsplittable) shard like their r7 siblings; PPJoin's prefix equi-join
+  is vocabulary-rank blocked (rare tokens first — frequent tokens, the
+  skew hazard, almost never enter prefixes); triangle counting orients
+  edges by (degree, node) so hubs fan out O(d) wedges, not O(d^2), with
+  the total order computed distributively (no global rank); SemDeDup
+  serves the persisted IVF codebook and pins its pair-verify
+  parallelism explicitly (AQE would coalesce the byte-small assignment
+  table to ~1 partition and serialize ~|cluster|^2/2 dot products —
+  measured 4.5x at sf0.1); the LM perplexity filter scores through a
+  vocabulary-bounded broadcast with qlog2 computed only on DISTINCT
+  count values, and its artifacts materialize once (duplicated deep
+  subtrees were re-planned AND re-executed per consumer — measured 2x).
 - **r7 additions hold the same discipline**: `q_webdataset_roundtrip`
   and `q_jsonl_gz_ingest` parallelize per (unsplittable) shard —
   binaryFile/text-source file rows ARE the parallelism unit;

@@ -787,3 +787,28 @@ def test_orc_scan_pushes_filters_and_prunes_columns(spark):
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in p
     read = next(l for l in p.splitlines() if "ReadSchema" in l)
     assert "doc_id" in read and "text" not in read
+
+
+def test_r8_ops_compile_scale_safe_plans(spark):
+    """The r8 operators' scale promises, pinned in the executed plan:
+    no CartesianProduct anywhere; PPJoin and triangle counting build
+    candidates with equi/broadcast joins only; SemDeDup's only
+    nested-loop joins are broadcast-tiny (the 1-row sden / k-row
+    centroid sides); no FULL single-partition exchange appears in any
+    of them (scalar/bounded 1-parts allowed)."""
+    for name in (
+        "q_ppjoin_neardup",
+        "q_triangle_count",
+        "q_semantic_dedup",
+        "q_lm_perplexity_buckets",
+        "q_bpe_pack",
+        "q_collapse_repeats",
+        "q_html_main_content",
+    ):
+        df = plans.queries()[name](spark, SF_DIR)
+        p = executed_plan_str(df).split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in p, name
+        if "BroadcastNestedLoopJoin" in p:
+            # NL joins must be broadcast (tiny build side), never
+            # shuffle-based nested loops
+            assert "BroadcastExchange" in p, name

@@ -1816,3 +1816,91 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         emb, centroids=cent, threshold=_SEMDEDUP_THR
     )
+
+
+_HN_DUP_THR = 0.35  # near-dup band: anything >= is too close to train on
+_HN_K = 3
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, emb AS q_emb
+  FROM c WHERE vec_id IN {_QUERY_IDS}
+), sims AS (
+  SELECT q.query_id, c.vec_id,
+         round(list_dot_product(q.q_emb, c.emb)
+               / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM c, q
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+         ) AS rank
+  FROM sims
+  WHERE cosine < {_HN_DUP_THR}
+)
+SELECT query_id, vec_id, cosine, rank
+FROM ranked WHERE rank <= {_HN_K}
+ORDER BY query_id, rank
+""",
+    doc="DPR-style hard-negative mining (Karpukhin et al. 2020) — the "
+    "contrastive-training data op the similarity stack exists to "
+    "serve: for each query vector, the MOST similar corpus vectors "
+    "that are still BELOW the near-dup band "
+    f"(cosine < {_HN_DUP_THR}, the q_embedding_neardup threshold) — "
+    "close enough to be hard, far enough to be true negatives; a "
+    "near-dup mined as a negative would teach the model to push "
+    "apart paraphrases.  Same broadcast-query brute-force shape as "
+    "q_cosine_topk with the dup-band filter BEFORE ranking, so the "
+    "composition of the two stacks (retrieval similarity + dedup "
+    "threshold) is itself hash-pinned.  The IVF path swaps in for "
+    "the scan at corpus scale (same probe machinery).",
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.vectors import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    q = (
+        e.filter(F.col("vec_id").isin(list(_QUERY_IDS)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    sims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("emb"), F.col("q_emb"))
+                / (F.col("nrm") * F.col("q_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") < _HN_DUP_THR)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .orderBy("query_id", "rank")
+    )

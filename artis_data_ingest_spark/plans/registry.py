@@ -48,6 +48,7 @@ _PRIORITY: list[str] = [
     "q_mojibake_repair",
     "q_html_main_content",
     "q_collapse_repeats",
+    "q_hard_negatives",
     # (b) implementation touched in round 8 — re-verify even though
     # results are value-identical by design (4:2:0 codec + color
     # fixture mix; exact shard floor-div; CC NULL-sum fallback)
@@ -96,7 +97,6 @@ _PRIORITY: list[str] = [
     # remaining budget; the rest of the r5 block rotates in round 9
     "q_changelog_e2e",
     "q_dataset_diff",
-    "q_scraper_links",
     # (52-slot budget enforced by test_priority_queries_yield_first)
 ]
 

@@ -1027,3 +1027,96 @@ def q_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return collapse_repeated_lines(synth).orderBy("doc_id")
+
+
+_CURR_SHARDS, _CURR_BUDGET = 8, 256
+
+
+def _curriculum_oracle() -> str:
+    from .text import _lm_ppl_cte
+
+    return f"""
+WITH {_lm_ppl_cte()},
+toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text),
+                                     '[ \\t\\n\\r\\f\\x0B]+'))
+              AS BIGINT) AS n_toks
+  FROM documents
+),
+cur AS (
+  SELECT b.doc_id, b.bucket,
+         b.doc_id % {_CURR_SHARDS} AS shard, t.n_toks
+  FROM bucketed b JOIN toks t USING (doc_id)
+),
+c AS (
+  SELECT bucket, shard, doc_id, n_toks,
+         CAST(SUM(n_toks) OVER (PARTITION BY bucket, shard
+                                ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM cur
+)
+SELECT bucket, shard,
+       (cum - n_toks) // {_CURR_BUDGET} AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c
+GROUP BY 1, 2, 3
+ORDER BY bucket, shard, pack_id
+"""
+
+
+@register(
+    "q_curriculum_pack",
+    oracle=_curriculum_oracle(),
+    doc="Curriculum-ordered sequence packing — the LM quality filter "
+    "composed with the packing stack: documents pack into fixed-"
+    f"token-budget ({_CURR_BUDGET}) training rows WITHIN their "
+    "head/middle/tail perplexity bucket, so a curriculum schedule "
+    "(clean data first, tail last) reads contiguous pack ranges "
+    "instead of re-shuffling the corpus per phase.  The running "
+    "token count is partitioned by (bucket, doc_id%"
+    f"{_CURR_SHARDS}) — the q_sequence_pack scale shape; packs "
+    "never span shards, no global-order window.  The oracle "
+    "composes the full exact-integer LM chain with the pack "
+    "algebra, so bucket assignment AND pack boundaries are pinned "
+    "in one verdict.",
+)
+def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import lm_perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = lm_perplexity_buckets(docs).select("doc_id", "bucket")
+    t = docs.select("doc_id", n_tokens("text").alias("n_toks"))
+    cur = buckets.join(t, on="doc_id").select(
+        "doc_id",
+        "bucket",
+        (F.col("doc_id") % _CURR_SHARDS).alias("shard"),
+        "n_toks",
+    )
+    w = (
+        Window.partitionBy("bucket", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = cur.withColumn("cum", F.sum("n_toks").over(w))
+    return (
+        c.select(
+            "bucket",
+            "shard",
+            F.expr(f"(cum - n_toks) div {_CURR_BUDGET}").alias("pack_id"),
+            "doc_id",
+            "n_toks",
+        )
+        .groupBy("bucket", "shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bucket", "shard", "pack_id")
+    )

@@ -49,6 +49,7 @@ _PRIORITY: list[str] = [
     "q_html_main_content",
     "q_collapse_repeats",
     "q_hard_negatives",
+    "q_curriculum_pack",
     # (b) implementation touched in round 8 — re-verify even though
     # results are value-identical by design (4:2:0 codec + color
     # fixture mix; exact shard floor-div; CC NULL-sum fallback)
@@ -96,7 +97,6 @@ _PRIORITY: list[str] = [
     # (d) oldest r5 names with the least other coverage fill the
     # remaining budget; the rest of the r5 block rotates in round 9
     "q_changelog_e2e",
-    "q_dataset_diff",
     # (52-slot budget enforced by test_priority_queries_yield_first)
 ]
 

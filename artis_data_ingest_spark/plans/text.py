@@ -762,13 +762,15 @@ def q_containment_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lm_ppl_oracle() -> str:
+def _lm_ppl_cte() -> str:
+    """The WITH-chain body (no ``WITH`` keyword) computing the
+    bucketed per-doc LM scores — shared by q_lm_perplexity_buckets
+    and the curriculum-pack composition (plans/corpus.py)."""
     from ..functions.numeric import qlog2_duck_cte
 
     ws = r"[ \t\n\r\f\x0B]+"
     ql, ql_out = qlog2_duck_cte("vals", "x")
-    return f"""
-WITH tr AS (
+    return f"""tr AS (
   SELECT lower(token) AS term
   FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '{ws}'))
                AS token
@@ -824,14 +826,23 @@ ranked AS (
            AS rnk
   FROM keyed k JOIN kcum c USING (key)
 ),
-nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM keyed)
-SELECT doc_id,
-       CASE WHEN rnk <= nd // 3 THEN 'head'
-            WHEN rnk <= (2 * nd) // 3 THEN 'middle'
-            ELSE 'tail' END AS bucket,
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM keyed),
+bucketed AS (
+  SELECT doc_id, key,
+         CASE WHEN rnk <= nd // 3 THEN 'head'
+              WHEN rnk <= (2 * nd) // 3 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM ranked CROSS JOIN nd
+)"""
+
+
+def _lm_ppl_oracle() -> str:
+    return f"""
+WITH {_lm_ppl_cte()}
+SELECT doc_id, bucket,
        key AS ppl_key,
        CAST(key AS DOUBLE) / 67108864.0 AS log2_ppl
-FROM ranked CROSS JOIN nd
+FROM bucketed
 ORDER BY doc_id
 """
 

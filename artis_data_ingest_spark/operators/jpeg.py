@@ -13,7 +13,13 @@ free implementation of the subset that matters, loud errors beyond it:
     wild-JPEG layout, so the honest stdlib path now covers the
     common case),
   * restart markers (DRI/RSTn) honored on decode,
-  * progressive (SOF2), arithmetic coding and 12-bit precision raise
+  * progressive DCT (SOF2, r8): decode supports full spectral
+    selection AND successive approximation (the T.81 G.2 scan
+    algebra, incl. the G.1.2.3 AC-refinement correction bits and
+    EOBn runs); encode emits spectral-selection scans — with
+    baseline + 4:2:0 + progressive, the stdlib path now covers
+    essentially all wild Huffman JPEGs,
+  * arithmetic coding, hierarchical mode and 12-bit precision raise
     ``ValueError`` rather than guessing.
 
 Exactness story for oracle-checked queries: with a FLAT quantization
@@ -312,6 +318,7 @@ def encode_jpeg(
     quant: np.ndarray | str = "flat",
     restart_interval: int = 0,
     subsample: str = "444",
+    progressive: bool = False,
 ) -> bytes:
     """Baseline-sequential JPEG encoder for uint8 ``(h, w)`` grayscale
     or ``(h, w, 3)`` RGB arrays.
@@ -327,9 +334,19 @@ def encode_jpeg(
     chroma planes are box-averaged, so constant 16x16 (420) / 16x8
     (422) tiles survive bit-exact under flat quantization (the same
     closed-form-fixture argument as 4:4:4 constant 8x8 tiles).
+    ``progressive`` (r8) emits SOF2 with spectral-selection scans (one
+    interleaved DC scan, then per-component AC 1-63 scans with EOB0
+    block ends — the Annex K tables carry no EOBn>1 symbols, and a
+    run of EOB0s is spec-legal); same coefficients as baseline, so
+    flat-quant fixtures stay bit-exact through the progressive path
+    too.  ``restart_interval`` applies to baseline only.
     """
     if arr.dtype != np.uint8 or arr.ndim not in (2, 3):
         raise ValueError("encode_jpeg expects uint8 (h, w) or (h, w, 3)")
+    if progressive and restart_interval:
+        raise ValueError(
+            "progressive encoder does not emit restart markers"
+        )
     if arr.ndim == 3 and arr.shape[2] != 3:
         raise ValueError("encode_jpeg expects 3 channels for color")
     h, w = arr.shape[:2]
@@ -396,11 +413,79 @@ def encode_jpeg(
     # entropy-coded segment: MCU = hi x vi blocks per component, in
     # component order then raster sub-block order (T.81 A.2.3)
     nmy, nmx = ph // (8 * vmax), pw // (8 * hmax)
+    zz = ZIGZAG
+
+    def _write_ac_run(bw2, codes, block, lo, hi_k):
+        """Run-length/size-code the band [lo, hi_k] of a zigzag block;
+        returns True if an explicit EOB is needed (trailing zeros)."""
+        nz = np.nonzero(block[lo:hi_k + 1])[0]
+        last = (nz[-1] + lo) if nz.size else lo - 1
+        run = 0
+        for k in range(lo, last + 1):
+            v = int(block[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = codes[0xF0]  # ZRL
+                bw2.write(code, ln)
+                run -= 16
+            cat, mag = _encode_magnitude(v)
+            ln, code = codes[(run << 4) | cat]
+            bw2.write(code, ln)
+            bw2.write(mag, cat)
+            run = 0
+        return last < hi_k
+
+    if progressive:
+        # scan 1: interleaved DC (all components); then per-component
+        # AC 1-63 scans in component-raster (non-interleaved) order
+        scans: list[tuple[bytes, bytes]] = []
+        bw = _BitWriter()
+        pred = [0] * len(planes)
+        for my in range(nmy):
+            for mx in range(nmx):
+                for ci in range(len(planes)):
+                    hi, vi = samp[ci]
+                    for by2 in range(vi):
+                        for bx2 in range(hi):
+                            dc = int(
+                                comp_coeffs[ci][
+                                    my * vi + by2, mx * hi + bx2
+                                ].reshape(64)[zz][0]
+                            )
+                            diff = dc - pred[ci]
+                            pred[ci] = dc
+                            cat, mag = _encode_magnitude(diff)
+                            ln, code = dc_codes[ci][cat]
+                            bw.write(code, ln)
+                            bw.write(mag, cat)
+        bw.flush()
+        sos1 = bytes([len(planes)])
+        for ci in range(len(planes)):
+            tid = 0 if ci == 0 else 1
+            sos1 += bytes([ci + 1, (tid << 4) | 0])  # DC table only
+        sos1 += bytes([0, 0, 0])  # Ss=0 Se=0 Ah=Al=0
+        scans.append((sos1, bytes(bw.out)))
+        for ci in range(len(planes)):
+            bw = _BitWriter()
+            nby, nbx = comp_coeffs[ci].shape[:2]
+            codes = ac_codes[ci]
+            for by in range(nby):
+                for bx in range(nbx):
+                    block = comp_coeffs[ci][by, bx].reshape(64)[zz]
+                    need_eob = _write_ac_run(bw, codes, block, 1, 63)
+                    if need_eob:
+                        ln, code = codes[0x00]  # EOB0
+                        bw.write(code, ln)
+            bw.flush()
+            tid = 0 if ci == 0 else 1
+            sosn = bytes([1, ci + 1, (0 << 4) | tid, 1, 63, 0])
+            scans.append((sosn, bytes(bw.out)))
     bw = _BitWriter()
     pred = [0] * len(planes)
-    zz = ZIGZAG
     mcu = 0
-    for my in range(nmy):
+    for my in range(0 if progressive else nmy):
         for mx in range(nmx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.flush()
@@ -460,7 +545,7 @@ def encode_jpeg(
     for ci in range(ncomp):
         hi, vi = samp[ci]
         sof += bytes([ci + 1, (hi << 4) | vi, comp_q[ci]])
-    seg(0xC0, sof)  # SOF0 baseline
+    seg(0xC2 if progressive else 0xC0, sof)  # SOF2 / SOF0
 
     def dht(cls: int, tid: int, spec: tuple[list[int], list[int]]) -> None:
         bits, vals = spec
@@ -473,15 +558,297 @@ def encode_jpeg(
         dht(1, 1, AC_CHROMA_SPEC)
     if restart_interval:
         seg(0xDD, struct.pack(">H", restart_interval))  # DRI
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        tid = 0 if ci == 0 else 1
-        sos += bytes([ci + 1, (tid << 4) | tid])
-    sos += bytes([0, 63, 0])
-    seg(0xDA, sos)
-    out.extend(bw.out)
+    if progressive:
+        for sos_payload, entropy in scans:
+            seg(0xDA, sos_payload)
+            out.extend(entropy)
+    else:
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            tid = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (tid << 4) | tid])
+        sos += bytes([0, 63, 0])
+        seg(0xDA, sos)
+        out.extend(bw.out)
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)
+
+
+def _skip_to_marker(blob: bytes, pos: int) -> int:
+    """Advance past entropy bytes/padding to the next real marker
+    (skipping stuffed FF00 and stray RSTn)."""
+    n = len(blob)
+    while pos + 1 < n:
+        if blob[pos] == 0xFF and blob[pos + 1] != 0x00 and not (
+            0xD0 <= blob[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return n
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _decode_progressive(
+    blob: bytes,
+    pos: int,
+    first_sos: bytes,
+    sof: tuple[int, int, int],
+    comps: list[tuple[int, int, int, int]],
+    qtabs: dict[int, np.ndarray],
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]],
+    restart_interval: int,
+) -> np.ndarray:
+    """Progressive-DCT decode (ITU-T T.81 G.2, r8): accumulate
+    coefficients across every scan — DC first/refinement, AC spectral
+    bands with EOBn runs, AC successive-approximation refinement (the
+    G.1.2.3 correction-bit algorithm) — then dequantize + IDCT once.
+    Supports interleaved DC scans, per-component AC scans, restart
+    markers (MCU units for interleaved scans, data units otherwise),
+    and DHT/DRI updates between scans.  Most wild progressive files
+    use both spectral selection and successive approximation; both
+    paths here roundtrip against hand-built streams and parity-check
+    against the baseline decoder in pytest."""
+    h, w, nc = sof
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    for _, _, hi, vi in comps:
+        if hmax % hi or vmax % vi:
+            raise ValueError("non-integer JPEG sampling ratio unsupported")
+    nmy, nmx = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    # per-component non-interleaved block grids (T.81 A.2.2)
+    grids = []
+    for _, _, hi, vi in comps:
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        grids.append((-(-ch // 8), -(-cw // 8)))
+    # coefficient store in zigzag order; MCU grid is always >= the
+    # non-interleaved grid, so size by MCUs
+    coefs = [
+        np.zeros((nmy * vi, nmx * hi, 64), dtype=np.int64)
+        for _, _, hi, vi in comps
+    ]
+    pred = [0] * nc
+
+    def decode_scan(payload: bytes, start: int) -> int:
+        nonlocal restart_interval
+        ns = payload[0]
+        sel: list[tuple[int, int, int]] = []
+        for i in range(ns):
+            cid, tids = payload[1 + 2 * i], payload[2 + 2 * i]
+            matches = [j for j, c in enumerate(comps) if c[0] == cid]
+            if not matches:
+                raise ValueError(
+                    f"JPEG SOS references unknown component id {cid}"
+                )
+            sel.append((matches[0], tids >> 4, tids & 0xF))
+        ss, se, ahal = (
+            payload[1 + 2 * ns], payload[2 + 2 * ns], payload[3 + 2 * ns]
+        )
+        ah, al = ahal >> 4, ahal & 0xF
+        br = _BitReader(blob, start)
+        eobrun = 0
+        for ci, _, _ in sel:
+            pred[ci] = 0
+
+        def maybe_restart(unit: int) -> None:
+            nonlocal eobrun
+            if restart_interval and unit and unit % restart_interval == 0:
+                while br.marker is None:
+                    try:
+                        br.bit()
+                    except ValueError:
+                        break
+                if br.marker is not None and 0xD0 <= br.marker <= 0xD7:
+                    br.sync_restart()
+                    for ci, _, _ in sel:
+                        pred[ci] = 0
+                    eobrun = 0
+
+        def dc_block(ci: int, dc_tid: int, by: int, bx: int) -> None:
+            block = coefs[ci][by, bx]
+            if ah == 0:  # first pass
+                cat = _read_symbol(br, huff[(0, dc_tid)])
+                diff = _extend(br.bits(cat), cat) if cat else 0
+                pred[ci] += diff
+                block[0] = pred[ci] << al
+            else:  # refinement: one bit per block
+                if br.bit():
+                    block[0] |= 1 << al
+
+        def ac_first(ci: int, ac_tid: int, by: int, bx: int) -> None:
+            nonlocal eobrun
+            block = coefs[ci][by, bx]
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            table = huff[(1, ac_tid)]
+            while k <= se:
+                rs = _read_symbol(br, table)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.bits(r)
+                        return
+                    k += 16  # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflows band")
+                block[k] = _extend(br.bits(s), s) << al
+                k += 1
+
+        def ac_refine(ci: int, ac_tid: int, by: int, bx: int) -> None:
+            # T.81 G.1.2.3 correction-bit algorithm
+            nonlocal eobrun
+            block = coefs[ci][by, bx]
+            p1, m1 = 1 << al, -(1 << al)
+            k = ss
+            table = huff[(1, ac_tid)]
+            if eobrun == 0:
+                while k <= se:
+                    rs = _read_symbol(br, table)
+                    r, s = rs >> 4, rs & 0xF
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        # r == 15: skip 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid AC refinement magnitude"
+                            )
+                        val = p1 if br.bit() else m1
+                    while k <= se:
+                        if block[k] != 0:
+                            if br.bit() and (block[k] & p1) == 0:
+                                block[k] += p1 if block[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        block[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if block[k] != 0:
+                        if br.bit() and (block[k] & p1) == 0:
+                            block[k] += p1 if block[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+
+        if ss == 0:  # DC scan (se must be 0 for progressive)
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            if ns > 1:  # interleaved MCU walk
+                mcu = 0
+                for my in range(nmy):
+                    for mx in range(nmx):
+                        maybe_restart(mcu)
+                        mcu += 1
+                        for ci, dc_tid, _ in sel:
+                            hi, vi = comps[ci][2], comps[ci][3]
+                            for by2 in range(vi):
+                                for bx2 in range(hi):
+                                    dc_block(
+                                        ci, dc_tid,
+                                        my * vi + by2, mx * hi + bx2,
+                                    )
+            else:
+                ci, dc_tid, _ = sel[0]
+                nby, nbx = grids[ci]
+                unit = 0
+                for by in range(nby):
+                    for bx in range(nbx):
+                        maybe_restart(unit)
+                        unit += 1
+                        dc_block(ci, dc_tid, by, bx)
+        else:  # AC scan: always single-component, non-interleaved
+            if ns != 1:
+                raise ValueError("progressive AC scan must be 1-component")
+            ci, _, ac_tid = sel[0]
+            nby, nbx = grids[ci]
+            unit = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    maybe_restart(unit)
+                    unit += 1
+                    if ah == 0:
+                        ac_first(ci, ac_tid, by, bx)
+                    else:
+                        ac_refine(ci, ac_tid, by, bx)
+        return _skip_to_marker(blob, br.pos)
+
+    pos = decode_scan(first_sos, pos)
+    # remaining marker stream: DHT/DRI updates and further scans
+    while pos + 2 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", blob[pos + 2:pos + 4])
+        payload = blob[pos + 4:pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17:p + 17 + n])
+                huff[(cls, tid)] = _huff_decode_map((bits, vals))
+                p += 17 + n
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:
+            pos = decode_scan(payload, pos)
+        # APPn/COM: ignored
+
+    # reconstruct: dequantize + IDCT per block, then upsample + crop
+    zz = ZIGZAG
+    planes = []
+    for ci, (_, qid, hi, vi) in enumerate(comps):
+        nby, nbx = nmy * vi, nmx * hi
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        q = qtabs[qid]
+        for by in range(nby):
+            for bx in range(nbx):
+                nat = np.zeros(64, dtype=np.int64)
+                nat[zz] = coefs[ci][by, bx]
+                coef = (nat * q).reshape(8, 8)
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    _M.T @ coef.astype(np.float64) @ _M + 128.0
+                )
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        planes.append(plane)
+    out = np.clip(
+        np.rint(np.stack(planes, axis=-1)), 0, 255
+    ).astype(np.uint8)[:h, :w]
+    if nc == 1:
+        return out[..., 0]
+    return _ycbcr_to_rgb(out)
 
 
 def decode_jpeg(blob: bytes) -> np.ndarray:
@@ -489,9 +856,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     MCUs → dequantize → IDCT → level shift → (YCbCr→RGB) → crop.
     Returns uint8 ``(h, w)`` for grayscale or ``(h, w, 3)`` RGB.
     Handles any integer-ratio sampling-factor layout (4:4:4, 4:2:0,
-    4:2:2, ...) with nearest-neighbor chroma upsampling; raises
-    ``ValueError`` on progressive/arithmetic/12-bit streams instead of
-    guessing."""
+    4:2:2, ...) with nearest-neighbor chroma upsampling, and (r8)
+    progressive streams (SOF2) with full spectral selection AND
+    successive approximation — see ``_decode_progressive``; raises
+    ``ValueError`` on arithmetic/hierarchical/12-bit streams instead
+    of guessing."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -501,6 +870,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []  # (comp_id, qid, hi, vi)
     scan: list[tuple[int, int, int]] = []  # (comp_idx, dc_tid, ac_tid)
     restart_interval = 0
+    progressive = False
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("JPEG marker stream desynchronized")
@@ -531,7 +901,7 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 vals = list(payload[p + 17:p + 17 + n])
                 huff[(cls, tid)] = _huff_decode_map((bits, vals))
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -544,7 +914,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                     )
                 comps.append((cid, qid, hi, vi))
             sof = (h, w, nc)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG coding process (SOF{marker - 0xC0})"
@@ -552,6 +923,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS → entropy-coded data follows
+            if progressive:
+                if sof is None:
+                    raise ValueError("JPEG missing SOF")
+                return _decode_progressive(
+                    blob, pos, payload, sof, comps, qtabs, huff,
+                    restart_interval,
+                )
             ns = payload[0]
             for i in range(ns):
                 cid, tids = payload[1 + 2 * i], payload[2 + 2 * i]

@@ -65,12 +65,13 @@ FEATURE_SCHEMA = T.StructType(
 def _decode_stub(blob: bytes, kind: str, dim: int = 16) -> np.ndarray:
     """STUB CODEC — deterministic fake feature extraction, now only the
     fallback for compressed-video payloads (H.264 — PyAV territory),
-    progressive/subsampled JPEG, MP3, and container-less test blobs.
-    PNG pixels, baseline JPEG, PCM-WAV samples and uncompressed AVI
-    frames all decode for real (``decode_png`` / ``jpeg.decode_jpeg`` /
-    ``decode_wav`` / ``decode_avi``); see ``_decode_features``.  The
-    fake hashes byte windows into a fixed-size float vector so results
-    are deterministic and shape-correct for downstream ANN.
+    MP3, and container-less test blobs.  PNG pixels, JPEG (baseline,
+    4:2:0/4:2:2 subsampled AND progressive as of r8), PCM-WAV samples
+    and uncompressed AVI frames all decode for real (``decode_png`` /
+    ``jpeg.decode_jpeg`` / ``decode_wav`` / ``decode_avi``); see
+    ``_decode_features``.  The fake hashes byte windows into a
+    fixed-size float vector so results are deterministic and
+    shape-correct for downstream ANN.
     """
     arr = np.frombuffer(blob, dtype=np.uint8)
     if arr.size == 0:
@@ -94,7 +95,7 @@ def _decode_features(blob: bytes, kind: str, dim: int = 16) -> np.ndarray:
         same normalized-pixel profile from the DCT-decoded planes.
       * video + RIFF/AVI  → decode_avi: normalized frame pixels in
         temporal order bucketed into ``dim`` window means.
-      * anything else     → _decode_stub (progressive JPEG / MP3 /
+      * anything else     → _decode_stub (MP3 /
         H.264 need PyAV/torchaudio; raw test blobs have no container).
     """
     try:
@@ -729,7 +730,7 @@ def gradient_png_media(spark: SparkSession, n: int = 8) -> DataFrame:
 
 
 def tile_jpeg_media(
-    spark: SparkSession, n: int = 6, n_420: int = 0
+    spark: SparkSession, n: int = 6, n_420: int = 0, n_prog: int = 0
 ) -> DataFrame:
     """Media table of REAL baseline JPEGs with closed-form pixel values:
     image i is (2 + i%3) x (1 + i%2) constant 8x8 tiles, tile (bx, by)
@@ -747,7 +748,15 @@ def tile_jpeg_media(
     (13*bx + 31*by + 7*j) % 256.  Gray RGB maps to YCbCr (v, 128, 128)
     exactly and a 16x16 tile is constant over every subsampled chroma
     block, so the 4:2:0 encode→decode roundtrip is bit-exact in RGB
-    too — closed-form channel means survive subsampling."""
+    too — closed-form channel means survive subsampling.
+
+    ``n_prog`` appends that many PROGRESSIVE (SOF2) grayscale fixtures
+    (media_id n+n_420.. ; r8): image p is (1 + p%2) x (2 - p%2)
+    constant 8x8 tiles with value (19*bx + 23*by + 5*p) % 256 —
+    spectral-selection scans carry the same coefficients as baseline,
+    so the constant-tile bit-exactness argument holds unchanged and
+    the closed-form means pin the multi-scan coefficient
+    accumulation."""
     from .jpeg import encode_jpeg
 
     rows = []
@@ -784,6 +793,21 @@ def tile_jpeg_media(
         rows.append(
             (
                 n + j, "image", blob,
+                {"width": None, "height": None, "n_frames": None,
+                 "sample_rate": None},
+            )
+        )
+    for p in range(n_prog):
+        bw, bh = 1 + p % 2, 2 - p % 2
+        tiles = (
+            19 * np.arange(bw)[None, :] + 23 * np.arange(bh)[:, None]
+            + 5 * p
+        ) % 256
+        img = np.kron(tiles, np.ones((8, 8))).astype(np.uint8)
+        blob = encode_jpeg(img, quant="flat", progressive=True)
+        rows.append(
+            (
+                n + n_420 + p, "image", blob,
                 {"width": None, "height": None, "n_frames": None,
                  "sample_rate": None},
             )

@@ -267,6 +267,12 @@ WITH m AS (
   SELECT j, bw, bh,
          (13 * bx.x + 31 * by.y + 7 * j) % 256 AS v
   FROM m4, UNNEST(range(bw)) AS bx(x), UNNEST(range(bh)) AS by(y)
+), mp AS (
+  SELECT p, 1 + p % 2 AS bw, 2 - p % 2 AS bh FROM range(3) t(p)
+), tilesp AS (
+  SELECT p, bw, bh,
+         (19 * bx.x + 23 * by.y + 5 * p) % 256 AS v
+  FROM mp, UNNEST(range(bw)) AS bx(x), UNNEST(range(bh)) AS by(y)
 )
 SELECT * FROM (
   SELECT i AS media_id,
@@ -286,6 +292,15 @@ SELECT * FROM (
          round(SUM(v) / (bw * bh * 255.0), 6) AS mean_b
   FROM tiles4
   GROUP BY j, bw, bh
+  UNION ALL
+  SELECT 10 + p AS media_id,
+         CAST(8 * bw AS BIGINT) AS width,
+         CAST(8 * bh AS BIGINT) AS height,
+         round(SUM(v) / (bw * bh * 255.0), 6) AS mean_r,
+         round(SUM(v) / (bw * bh * 255.0), 6) AS mean_g,
+         round(SUM(v) / (bw * bh * 255.0), 6) AS mean_b
+  FROM tilesp
+  GROUP BY p, bw, bh
 )
 ORDER BY media_id
 """,
@@ -297,8 +312,10 @@ ORDER BY media_id
     "markers), decode_jpeg walks markers → Huffman-decodes MCUs → "
     "dequantizes → IDCT inside Arrow-batched mapInPandas via the "
     "shared image_stats operator (PNG/JPEG dispatch on magic bytes). "
-    "The fixture mix covers grayscale 4:4:4 AND (r8) color 4:2:0 "
-    "chroma-subsampled shards — the dominant wild-JPEG layout: gray "
+    "The fixture mix covers grayscale 4:4:4, (r8) color 4:2:0 "
+    "chroma-subsampled shards — the dominant wild-JPEG layout — AND "
+    "(r8) PROGRESSIVE (SOF2) shards whose multi-scan coefficient "
+    "accumulation must reassemble the same DC-only blocks: gray "
     "RGB tiles map to YCbCr (v,128,128) exactly and constant 16x16 "
     "tiles are constant over every subsampled chroma block, so the "
     "4:2:0 MCU walk + nearest-neighbor chroma upsample is bit-exact "
@@ -306,11 +323,11 @@ ORDER BY media_id
     "that mishandles DC prediction, zigzag order, byte unstuffing, "
     "restart-predictor reset, interleaved sub-block order or the "
     "upsample grid hash-mismatches.  Binary never reaches a shuffle. "
-    "Progressive streams still raise to the stub (operators/jpeg.py "
-    "scope note).",
+    "Only arithmetic/hierarchical/12-bit streams remain out of scope "
+    "(operators/jpeg.py).",
 )
 def q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = tile_jpeg_media(spark, n=6, n_420=4)
+    media = tile_jpeg_media(spark, n=6, n_420=4, n_prog=3)
     return image_stats(media.select("media_id", "content")).orderBy(
         "media_id"
     )

@@ -729,10 +729,11 @@ def test_jpeg_rejects_unsupported_forms():
         decode_jpeg(b"\x89PNG....")
     with pytest.raises(ValueError, match="expects uint8"):
         encode_jpeg(np.zeros((8, 8), dtype=np.float64))
-    # progressive (SOF2) must raise loudly, not decode garbage
+    # arithmetic coding (SOF9) must raise loudly, not decode garbage
+    # (progressive SOF2 decodes for real as of r8)
     blob = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     sof = blob.index(b"\xff\xc0")
-    blob[sof + 1] = 0xC2
+    blob[sof + 1] = 0xC9
     with pytest.raises(ValueError, match="unsupported JPEG coding"):
         decode_jpeg(bytes(blob))
     # invalid sampling factors (hi=0) must raise, not divide by zero
@@ -974,3 +975,145 @@ def test_jpeg_bitreader_accumulator_stays_bounded():
     for i in range(40_000):
         br.bits(3)
         assert br._acc.bit_length() <= br._nbits
+
+
+def test_jpeg_progressive_roundtrip_and_baseline_parity():
+    """Progressive (SOF2, spectral-selection scans): decode must equal
+    the baseline decode of the same image for every layout — the two
+    codings carry identical coefficients."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    g = np.kron(rng.integers(0, 256, (2, 4)), np.ones((8, 8))).astype(
+        np.uint8
+    )
+    pb = encode_jpeg(g, quant="flat", progressive=True)
+    assert b"\xff\xc2" in pb and pb.count(b"\xff\xda") == 2
+    assert np.array_equal(decode_jpeg(pb), g)
+
+    t3 = rng.integers(0, 256, (3, 2, 3))
+    img = np.kron(t3, np.ones((8, 8, 1))).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img, quant="flat", progressive=True)),
+        decode_jpeg(encode_jpeg(img, quant="flat")),
+    )
+    x = np.arange(24)[None, :, None]
+    y = np.arange(24)[:, None, None]
+    smooth = np.repeat(
+        np.clip(90 + 3 * x + 2 * y, 0, 255).astype(np.uint8), 3, axis=2
+    )
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(smooth, quant="std", progressive=True)),
+        decode_jpeg(encode_jpeg(smooth, quant="std")),
+    )
+    img420 = np.kron(
+        rng.integers(0, 256, (2, 2, 3)), np.ones((16, 16, 1))
+    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(
+            encode_jpeg(
+                img420, quant="flat", subsample="420", progressive=True
+            )
+        ),
+        decode_jpeg(encode_jpeg(img420, quant="flat", subsample="420")),
+    )
+    odd = np.kron(
+        rng.integers(0, 256, (2, 3, 3)), np.ones((9, 11, 1))
+    ).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(odd, quant="flat", progressive=True)),
+        decode_jpeg(encode_jpeg(odd, quant="flat")),
+    )
+    with __import__("pytest").raises(ValueError, match="restart"):
+        encode_jpeg(g, progressive=True, restart_interval=2)
+
+
+def test_jpeg_progressive_successive_approximation_decode():
+    """Wild progressive files use successive approximation; our
+    encoder is SS-only, so the SA path is pinned by a HAND-BUILT
+    4-scan stream (DC first Al=1 → AC first Al=1 → DC refine → AC
+    refine with a newly-significant coefficient and a correction
+    bit).  Expected pixels computed from the target coefficients by
+    the same IDCT the decoder uses."""
+    import struct
+
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import (
+        AC_LUMA_SPEC,
+        DC_LUMA_SPEC,
+        ZIGZAG,
+        _BitWriter,
+        _huff_codes,
+        _M,
+        decode_jpeg,
+    )
+
+    dc = _huff_codes(DC_LUMA_SPEC)
+    ac = _huff_codes(AC_LUMA_SPEC)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # flat quant
+    out += seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    bits, vals = DC_LUMA_SPEC
+    out += seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    bits, vals = AC_LUMA_SPEC
+    out += seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(vals))
+
+    def scan(ss, se, ah, al, write):
+        bw = _BitWriter()
+        write(bw)
+        bw.flush()
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) + bytes(
+            bw.out
+        )
+
+    # target zigzag coefficients: DC=5, AC1=3, AC2=-1
+    def dc_first(bw):  # diff = 5 >> 1 = 2 -> cat 2, bits '10'
+        ln, code = dc[2]
+        bw.write(code, ln)
+        bw.write(2, 2)
+
+    def ac_first(bw):  # AC1 at level 1: (r=0,s=1) val 1; AC2 truncates to 0; EOB
+        ln, code = ac[0x01]
+        bw.write(code, ln)
+        bw.write(1, 1)
+        ln, code = ac[0x00]
+        bw.write(code, ln)
+
+    def dc_refine(bw):  # bit0 of DC=5 -> 1
+        bw.write(1, 1)
+
+    def ac_refine(bw):
+        # newly-significant AC2=-1: rs=(0,1), sign bit 0 (negative);
+        # walking to it crosses AC1 (nonzero history) -> correction
+        # bit 1 (|3| bit0); then EOB0 ends the band
+        ln, code = ac[0x01]
+        bw.write(code, ln)
+        bw.write(0, 1)  # sign -> -1
+        bw.write(1, 1)  # correction bit for AC1: 2 -> 3
+        ln, code = ac[0x00]
+        bw.write(code, ln)
+
+    out += scan(0, 0, 0, 1, dc_first)
+    out += scan(1, 63, 0, 1, ac_first)
+    out += scan(0, 0, 1, 0, dc_refine)
+    out += scan(1, 63, 1, 0, ac_refine)
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    nat = np.zeros(64, dtype=np.int64)
+    nat[ZIGZAG[[0, 1, 2]]] = [5, 3, -1]
+    want = np.clip(
+        np.rint(_M.T @ nat.reshape(8, 8).astype(np.float64) @ _M + 128.0),
+        0, 255,
+    ).astype(np.uint8)
+    assert np.array_equal(got, want)

@@ -1117,3 +1117,83 @@ def test_jpeg_progressive_successive_approximation_decode():
         0, 255,
     ).astype(np.uint8)
     assert np.array_equal(got, want)
+
+
+def test_jpeg_progressive_eobn_run_decode():
+    """EOBn runs (r>0) span blocks: a 16x8 grayscale progressive
+    stream whose AC scan codes one coefficient in block 0 then ends
+    BOTH blocks with a single EOB2 (eobrun covers block 0's tail and
+    all of block 1).  Wild progressive encoders emit EOBn constantly;
+    our own encoder is EOB0-only, so this path needs a hand-built
+    stream."""
+    import struct
+
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.jpeg import (
+        AC_LUMA_SPEC,
+        DC_LUMA_SPEC,
+        ZIGZAG,
+        _BitWriter,
+        _huff_codes,
+        _M,
+        decode_jpeg,
+    )
+
+    dc = _huff_codes(DC_LUMA_SPEC)
+    # custom AC table including the EOB2 symbol 0x10 (Annex K tables
+    # carry no EOBn>1 symbols — progressive files ship custom DHTs)
+    ac_bits = [0] * 16
+    ac_vals = [0x00, 0x01, 0x10]
+    ac_bits[1] = 1  # 0x00 at 2 bits? -> lengths: give all three 2-3 bits
+    ac_bits = [0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_spec = (ac_bits, ac_vals)
+    ac = _huff_codes(ac_spec)
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    out += seg(0xC2, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    bits, vals = DC_LUMA_SPEC
+    out += seg(0xC4, bytes([0x00]) + bytes(bits) + bytes(vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+
+    # DC scan: block0 DC=4 (diff 4), block1 DC=4 (diff 0), Al=0
+    bw = _BitWriter()
+    ln, code = dc[3]
+    bw.write(code, ln)
+    bw.write(4, 3)  # diff +4
+    ln, code = dc[0]
+    bw.write(code, ln)  # diff 0
+    bw.flush()
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + bytes(bw.out)
+
+    # AC scan Ss=1..63 Al=0: block0: AC1=1 then EOB2 ends blocks 0+1
+    bw = _BitWriter()
+    ln, code = ac[0x01]
+    bw.write(code, ln)
+    bw.write(1, 1)  # value +1
+    ln, code = ac[0x10]  # EOBn with r=1
+    bw.write(code, ln)
+    bw.write(0, 1)  # eobrun = (1<<1)-1 + 0 = 1 extra block
+    bw.flush()
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + bytes(bw.out)
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    nat0 = np.zeros(64, dtype=np.int64)
+    nat0[ZIGZAG[[0, 1]]] = [4, 1]
+    nat1 = np.zeros(64, dtype=np.int64)
+    nat1[ZIGZAG[0]] = 4
+    def blk(nat):
+        return np.clip(
+            np.rint(
+                _M.T @ nat.reshape(8, 8).astype(np.float64) @ _M + 128.0
+            ),
+            0, 255,
+        ).astype(np.uint8)
+    want = np.hstack([blk(nat0), blk(nat1)])
+    assert got.shape == (8, 16)
+    assert np.array_equal(got, want)

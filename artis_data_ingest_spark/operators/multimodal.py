@@ -108,6 +108,14 @@ def _decode_features(blob: bytes, kind: str, dim: int = 16) -> np.ndarray:
             from .jpeg import decode_jpeg
 
             flat = decode_jpeg(blob).astype(np.float64).ravel() / 255.0
+        elif kind in ("image", "video") and blob[:6] in (
+            b"GIF87a", b"GIF89a"
+        ):
+            from .gif import decode_gif
+
+            frames = decode_gif(blob)
+            src = frames[0] if kind == "image" else frames
+            flat = src.astype(np.float64).ravel() / 255.0
         elif kind == "video" and blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
             frames, _ = decode_avi(blob)
             flat = frames.astype(np.float64).ravel() / 255.0
@@ -436,6 +444,14 @@ def parse_media_header(blob: bytes) -> dict:
             h, w, _ = hdr
             return {"detected": "jpeg", "width": w, "height": h,
                     "sample_rate": None}
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import parse_gif_header
+
+        hdr = parse_gif_header(blob)
+        if hdr is not None:
+            h, w, _ = hdr
+            return {"detected": "gif", "width": w, "height": h,
+                    "sample_rate": None}
     return {"detected": "unknown", "width": None, "height": None,
             "sample_rate": None}
 
@@ -640,8 +656,10 @@ IMAGE_STATS_SCHEMA = T.StructType(
 
 def _decode_image_any(blob: bytes) -> np.ndarray:
     """Container dispatch for still images: PNG via decode_png, JPEG
-    (baseline) via decode_jpeg.  Grayscale JPEG planes broadcast to
-    3 channels so downstream channel-mean consumers see one shape."""
+    (baseline/subsampled/progressive) via decode_jpeg, GIF via
+    decode_gif (first frame — animation goes through the video path).
+    Grayscale JPEG planes broadcast to 3 channels so downstream
+    channel-mean consumers see one shape."""
     if blob[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
@@ -649,6 +667,10 @@ def _decode_image_any(blob: bytes) -> np.ndarray:
         if arr.ndim == 2:
             arr = np.stack([arr] * 3, axis=-1)
         return arr
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(blob)[0]
     return decode_png(blob)
 
 
@@ -808,6 +830,59 @@ def tile_jpeg_media(
         rows.append(
             (
                 n + n_420 + p, "image", blob,
+                {"width": None, "height": None, "n_frames": None,
+                 "sample_rate": None},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def tile_gif_media(
+    spark: SparkSession, n: int = 5, n_anim: int = 0
+) -> DataFrame:
+    """Media table of REAL GIFs with closed-form pixel values (GIF is
+    LOSSLESS, so unlike JPEG no DCT argument is needed — any <=256-
+    color image round-trips byte-exact): still i is (1 + i%3) x
+    (2 - i%2) constant 8x8 tiles with R=G=B = (11*bx + 17*by + 13*i)
+    % 256, every second one INTERLACED (the four-pass row order must
+    decode identically); animated clip j (media_id n..) has 2 + j
+    frames of one (2 x 1)-tile image whose value shifts by 31 per
+    frame — per-frame means are closed-form for video_stats."""
+    from .gif import encode_gif
+
+    rows = []
+    for i in range(n):
+        bw, bh = 1 + i % 3, 2 - i % 2
+        tiles = (
+            11 * np.arange(bw)[None, :] + 17 * np.arange(bh)[:, None]
+            + 13 * i
+        ) % 256
+        img = np.kron(
+            tiles[..., None], np.ones((8, 8, 3))
+        ).astype(np.uint8)
+        blob = encode_gif(img, interlace=bool(i % 2))
+        rows.append(
+            (
+                i, "image", blob,
+                {"width": None, "height": None, "n_frames": None,
+                 "sample_rate": None},
+            )
+        )
+    for j in range(n_anim):
+        frames = []
+        for f in range(2 + j):
+            tiles = (
+                np.array([[7 * j], [19 + 7 * j]]) + 31 * f
+            ) % 256
+            frames.append(
+                np.kron(
+                    tiles[..., None], np.ones((8, 8, 3))
+                ).astype(np.uint8)
+            )
+        blob = encode_gif(np.stack(frames), delay_cs=5)
+        rows.append(
+            (
+                n + j, "video", blob,
                 {"width": None, "height": None, "n_frames": None,
                  "sample_rate": None},
             )
@@ -1106,7 +1181,13 @@ def video_stats(
         for pdf in batches:
             recs = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                frames, _ = decode_avi(bytes(blob))
+                blob = bytes(blob)
+                if blob[:6] in (b"GIF87a", b"GIF89a"):  # animated GIF
+                    from .gif import decode_gif
+
+                    frames = decode_gif(blob)
+                else:
+                    frames, _ = decode_avi(blob)
                 n, h, w, _c = frames.shape
                 for fi in range(0, n, every_n):
                     # exact integer channel sums, then ONE division by

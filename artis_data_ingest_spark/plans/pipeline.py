@@ -981,3 +981,87 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_gif_features",
+    oracle="""
+WITH m AS (
+  SELECT i, 1 + i % 3 AS bw, 2 - i % 2 AS bh FROM range(5) t(i)
+), tiles AS (
+  SELECT i, bw, bh,
+         (11 * bx.x + 17 * by.y + 13 * i) % 256 AS v
+  FROM m, UNNEST(range(bw)) AS bx(x), UNNEST(range(bh)) AS by(y)
+)
+SELECT i AS media_id,
+       CAST(8 * bw AS BIGINT) AS width,
+       CAST(8 * bh AS BIGINT) AS height,
+       round(SUM(v) / (bw * bh * 255.0), 6) AS mean_r,
+       round(SUM(v) / (bw * bh * 255.0), 6) AS mean_g,
+       round(SUM(v) / (bw * bh * 255.0), 6) AS mean_b
+FROM tiles
+GROUP BY i, bw, bh
+ORDER BY media_id
+""",
+    doc="Multimodal GIF features (r8) — the third most common web "
+    "image payload, now a REAL stdlib codec (operators/gif.py: "
+    "GIF89a LZW with dynamic code sizes, global color tables, "
+    "four-pass interlacing, animation compositing with transparency "
+    "and disposal): tile_gif_media emits constant-tile stills (every "
+    "second one INTERLACED — a decoder ignoring the pass order "
+    "scrambles rows and hash-mismatches) decoded through the shared "
+    "image_stats magic-byte dispatch.  GIF is LOSSLESS, so the "
+    "closed-form oracle needs no DCT argument: any <=256-color image "
+    "round-trips byte-exact.  Binary never reaches a shuffle.",
+)
+def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import tile_gif_media
+
+    media = tile_gif_media(spark, n=5)
+    return image_stats(media.select("media_id", "content")).orderBy(
+        "media_id"
+    )
+
+
+@register(
+    "q_gif_frames",
+    oracle="""
+WITH m AS (
+  SELECT j, 2 + j AS nf FROM range(3) t(j)
+), fr AS (
+  SELECT j, f.f AS frame_idx FROM m, UNNEST(range(nf)) AS f(f)
+)
+SELECT 5 + j AS media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(8 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       round((((7 * j + 31 * frame_idx) % 256)
+              + ((19 + 7 * j + 31 * frame_idx) % 256)) / 510.0, 6)
+         AS mean_r,
+       round((((7 * j + 31 * frame_idx) % 256)
+              + ((19 + 7 * j + 31 * frame_idx) % 256)) / 510.0, 6)
+         AS mean_g,
+       round((((7 * j + 31 * frame_idx) % 256)
+              + ((19 + 7 * j + 31 * frame_idx) % 256)) / 510.0, 6)
+         AS mean_b
+FROM fr
+ORDER BY media_id, frame_idx
+""",
+    doc="ANIMATED GIF frame features (r8): multi-frame clips decode "
+    "through the same video_stats per-frame path as AVI (magic-byte "
+    "dispatch), one stat row per composited frame — GCE blocks, "
+    "per-frame LZW streams, and frame compositing all execute inside "
+    "the oracle-checked query.  Closed-form: clip j has 2+j frames "
+    "of two constant 8x8 tiles shifting by 31 per frame; a decoder "
+    "that mis-walks sub-blocks, misorders frames, or leaks state "
+    "between LZW streams hash-mismatches.",
+)
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import tile_gif_media, video_stats
+
+    media = tile_gif_media(spark, n=5, n_anim=3).filter(
+        F.col("kind") == "video"
+    )
+    return video_stats(media.select("media_id", "content")).orderBy(
+        "media_id", "frame_idx"
+    )

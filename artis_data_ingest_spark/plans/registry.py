@@ -50,10 +50,12 @@ _PRIORITY: list[str] = [
     "q_collapse_repeats",
     "q_hard_negatives",
     "q_curriculum_pack",
+    "q_gif_features",
+    "q_gif_frames",
     # (b) implementation touched in round 8 — re-verify even though
     # results are value-identical by design (4:2:0 codec + color
     # fixture mix; exact shard floor-div; CC NULL-sum fallback)
-    "q_jpeg_features",
+    "q_jpeg_features",  # impl + fixture mix changed again (progressive shards)
     "q_webdataset_roundtrip",
     "q_wds_multimodal",
     "q_dup_clusters",
@@ -96,7 +98,6 @@ _PRIORITY: list[str] = [
     "q_unpivot",
     # (d) oldest r5 names with the least other coverage fill the
     # remaining budget; the rest of the r5 block rotates in round 9
-    "q_changelog_e2e",
     # (52-slot budget enforced by test_priority_queries_yield_first)
 ]
 

@@ -1197,3 +1197,82 @@ def test_jpeg_progressive_eobn_run_decode():
     want = np.hstack([blk(nat0), blk(nat1)])
     assert got.shape == (8, 16)
     assert np.array_equal(got, want)
+
+
+def test_gif_roundtrip_paths():
+    """GIF codec: lossless roundtrip for plain, interlaced, 256-color
+    (LZW table growth + clear codes) and animated forms; header probe;
+    unsupported forms raise."""
+    import numpy as np
+    import pytest
+
+    from artis_data_ingest_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+        parse_gif_header,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    img = pal[rng.integers(0, 8, (13, 17))]
+    assert np.array_equal(decode_gif(encode_gif(img))[0], img)
+    assert np.array_equal(
+        decode_gif(encode_gif(img, interlace=True))[0], img
+    )
+    assert parse_gif_header(encode_gif(img)) == (13, 17, 1)
+
+    frames = pal[rng.integers(0, 8, (4, 9, 11))]
+    blob = encode_gif(frames, delay_cs=10)
+    assert np.array_equal(decode_gif(blob), frames)
+    assert parse_gif_header(blob) == (9, 11, 4)
+
+    big_pal = np.array(
+        [[i, (i * 7) % 256, (i * 13) % 256] for i in range(256)],
+        dtype=np.uint8,
+    )
+    big = big_pal[rng.integers(0, 256, (64, 64))]
+    assert np.array_equal(decode_gif(encode_gif(big))[0], big)
+
+    with pytest.raises(ValueError, match="256 distinct"):
+        too_many = np.arange(18 * 16 * 3, dtype=np.uint8).reshape(18, 16, 3)
+        too_many[..., 0] = np.arange(18, dtype=np.uint8)[:, None]
+        encode_gif(too_many)
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"\x89PNG....")
+    assert parse_gif_header(b"junk") is None
+
+
+def test_gif_transparency_composites_over_previous_frame():
+    """GCE transparency: a transparent pixel keeps the previous
+    composite — hand-built 2-frame stream where frame 2 overwrites
+    only one half."""
+    import struct
+
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.gif import (
+        _lzw_encode,
+        decode_gif,
+    )
+
+    # palette: 0=red 1=blue 2=green; screen 2x2
+    pal = b"\xff\x00\x00" + b"\x00\x00\xff" + b"\x00\xff\x00" + b"\x00\x00\x00"
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", 2, 2)
+    out += bytes([0x80 | (1 << 4) | 1, 0, 0])  # GCT, 4 entries
+    out += pal
+    # frame 1: all red (index 0)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+    out += _lzw_encode(np.zeros(4, dtype=np.uint8), 2)
+    # frame 2: GCE transparency on index 3; pixels [3,3,1,1] ->
+    # top row stays red, bottom row becomes blue
+    out += b"\x21\xf9\x04\x01\x05\x00\x03\x00"
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + b"\x00"
+    out += _lzw_encode(np.array([3, 3, 1, 1], dtype=np.uint8), 2)
+    out += b"\x3b"
+
+    frames = decode_gif(bytes(out))
+    assert frames.shape == (2, 2, 2, 3)
+    assert np.array_equal(frames[0].reshape(-1, 3)[0], [255, 0, 0])
+    assert np.array_equal(frames[1][0, 0], [255, 0, 0])  # kept
+    assert np.array_equal(frames[1][1, 1], [0, 0, 255])  # overwritten

@@ -92,7 +92,6 @@ _PRIORITY: list[str] = [
     "q_schema_diff_flat",
     "q_text_stats",
     "q_token_freq",
-    "q_topk_window",
     "q_try_cast",
     "q_union_evolved",
     "q_unpivot",

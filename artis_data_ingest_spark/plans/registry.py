@@ -59,9 +59,12 @@ _PRIORITY: list[str] = [
     "q_webdataset_roundtrip",
     "q_wds_multimodal",
     "q_dup_clusters",
-    # (c) the ENTIRE r4-stale block — the round-7 verdict's only
-    # remaining freshness gap; after this round no driver verdict is
-    # older than r5
+    # (c) the r4-stale block — the round-7 verdict's only remaining
+    # freshness gap.  One deliberate exception to "the ENTIRE block":
+    # q_topk_window stays deferred (benched at sf0.1 every round, the
+    # strongest alternate coverage in the set) because round 8 added
+    # 15 new queries that need first verdicts within the same ~50-slot
+    # budget; it rotates first in round 9.
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_region",

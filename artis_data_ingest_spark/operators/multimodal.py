@@ -255,6 +255,20 @@ def _resize_jpeg_nn(blob: bytes, width: int, height: int) -> bytes:
     return encode_jpeg(np.ascontiguousarray(arr[ys][:, xs]), quant="flat")
 
 
+def _resize_gif_nn(blob: bytes, width: int, height: int) -> bytes:
+    """REAL resize for GIF payloads (r8): stdlib decode (all frames
+    composited) → the same integer nearest-neighbor mapping → lossless
+    re-encode; animations keep their frame count."""
+    from .gif import decode_gif, encode_gif
+
+    frames = decode_gif(blob)
+    h, w = frames.shape[1:3]
+    ys = (np.arange(height, dtype=np.int64) * h) // height
+    xs = (np.arange(width, dtype=np.int64) * w) // width
+    resized = np.ascontiguousarray(frames[:, ys][:, :, xs])
+    return encode_gif(resized if len(resized) > 1 else resized[0])
+
+
 def _resize_avi_nn(blob: bytes, width: int, height: int) -> bytes:
     """REAL resize for uncompressed RIFF-AVI payloads: same integer
     nearest-neighbor mapping as the PNG path, applied per frame via
@@ -292,6 +306,8 @@ def resize_media(media: DataFrame, width: int = 8, height: int = 8) -> DataFrame
                         out = _resize_png_nn(b, width, height)
                     elif kind == "image" and b[:2] == b"\xff\xd8":
                         out = _resize_jpeg_nn(b, width, height)
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        out = _resize_gif_nn(b, width, height)
                     elif (
                         kind == "video"
                         and b[:4] == b"RIFF"

@@ -1276,3 +1276,40 @@ def test_gif_transparency_composites_over_previous_frame():
     assert np.array_equal(frames[0].reshape(-1, 3)[0], [255, 0, 0])
     assert np.array_equal(frames[1][0, 0], [255, 0, 0])  # kept
     assert np.array_equal(frames[1][1, 1], [0, 0, 255])  # overwritten
+
+
+def test_resize_media_real_gif_paths(spark):
+    """GIF resize goes through the real codec for stills AND
+    animations (frame count preserved, lossless re-encode)."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.gif import (
+        decode_gif,
+        encode_gif,
+    )
+    from artis_data_ingest_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+
+    pal = np.array([[10, 20, 30], [200, 100, 50]], dtype=np.uint8)
+    rng = np.random.default_rng(3)
+    still = pal[rng.integers(0, 2, (16, 16))]
+    anim = pal[rng.integers(0, 2, (3, 16, 16))]
+    meta = {"width": None, "height": None, "n_frames": None,
+            "sample_rate": None}
+    media = spark.createDataFrame(
+        [
+            (0, "image", encode_gif(still), meta),
+            (1, "video", encode_gif(anim), meta),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in resize_media(media, 8, 8).collect()}
+    s8 = decode_gif(bytes(out[0].content))
+    assert s8.shape == (1, 8, 8, 3)
+    ys = (np.arange(8) * 16) // 8
+    assert np.array_equal(s8[0], still[ys][:, ys])
+    a8 = decode_gif(bytes(out[1].content))
+    assert a8.shape == (3, 8, 8, 3)
+    assert np.array_equal(a8, anim[:, ys][:, :, ys])

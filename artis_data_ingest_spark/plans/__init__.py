@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     reference_core,
     retrieval,
     scale_ops,
+    selection,
     text,
     tpch,
     tpch_ext,

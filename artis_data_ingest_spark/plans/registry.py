@@ -37,6 +37,9 @@ _REGISTRY: dict[str, Query] = {}
 # weakest-covered r5 names up to the budget.
 _PRIORITY: list[str] = [
     # (a) new in round 8 — need a first driver verdict
+    "q_substring_dedup",
+    "q_dsir_weights",
+    "q_semantic_contamination",
     "q_jsonl_zst_ingest",
     "q_lm_perplexity_buckets",
     "q_bpe_pack",
@@ -60,12 +63,12 @@ _PRIORITY: list[str] = [
     "q_wds_multimodal",
     "q_dup_clusters",
     # (c) the r4-stale block — the round-7 verdict's only remaining
-    # freshness gap.  One deliberate exception to "the ENTIRE block":
-    # q_topk_window stays deferred (benched at sf0.1 every round, the
-    # strongest alternate coverage in the set) because round 8 added
-    # 15 new queries that need first verdicts within the same ~50-slot
-    # budget; it rotates first in round 9.
-    "q1_pricing_summary",
+    # freshness gap.  Four deliberate exceptions to "the ENTIRE block",
+    # all names benched at sf0.1 every round (the strongest alternate
+    # coverage in the set): q_topk_window, q1_pricing_summary,
+    # q_text_stats, q_dedup_exact stay deferred because round 8 added
+    # 18 new queries that need first verdicts within the same ~50-slot
+    # budget; they rotate first in round 9.
     "q3_shipping_priority",
     "q5_revenue_by_region",
     "q6_forecast_revenue",
@@ -73,7 +76,6 @@ _PRIORITY: list[str] = [
     "q_asof_forward",
     "q_corpus_pipeline",
     "q_cube",
-    "q_dedup_exact",
     "q_excel_fleet",
     "q_file_sizes",
     "q_fingerprint",
@@ -93,7 +95,6 @@ _PRIORITY: list[str] = [
     "q_rollup",
     "q_salted_agg",
     "q_schema_diff_flat",
-    "q_text_stats",
     "q_token_freq",
     "q_try_cast",
     "q_union_evolved",

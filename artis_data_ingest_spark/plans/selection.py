@@ -1,0 +1,418 @@
+"""Data-selection & fine-grained decontamination queries (north-star
+§2.11): the stage between corpus cleaning and training-set assembly —
+duplicated-span removal inside documents, importance-resampling weights
+toward a target domain, and embedding-level eval contamination.
+
+All three are published LLM-pipeline recipes re-expressed Spark-first:
+
+  * ``q_substring_dedup`` — Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better": remove every occurrence of any
+    word-8-gram that appears more than once in the corpus (the
+    document-boundary-free dedup that exact/minhash doc dedup misses).
+  * ``q_dsir_weights`` — Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling": hashed-unigram bag features,
+    per-document log importance weight log2 p_target(x) − log2
+    p_source(x), smoothed, in the repo's exact fixed-point qlog2
+    arithmetic so DuckDB hash-matches bit-for-bit.
+  * ``q_semantic_contamination`` — embedding-level train/eval
+    decontamination (the semantic sibling of q_contamination_ngram's
+    word-8-gram overlap): nearest train neighbor per eval vector,
+    flagged at the near-dup cosine threshold.
+
+Determinism playbook as everywhere in this repo: integer/decimal
+aggregation, qlog2 instead of float log, deterministic rank tie-breaks,
+md5-free modular splits — no RNG, no order-dependent float sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import qlog2_duck_cte, with_qlog2
+from ..functions.textstats import WS_RE
+from ..sources.tables import load_table
+from .registry import register
+
+#: DuckDB-side whitespace class (same characters as WS_RE, escaped for
+#: embedding inside a single-quoted SQL string)
+_WS_SQL = r"[ \t\n\r\f\x0B]+"
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring dedup (Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8  # words per span; Lee et al. use 50 BPE tokens — the
+# fixture corpus' documents are ~100 words, so 8 keeps the operator
+# observable at test scale while the plan shape is length-agnostic
+
+
+@register(
+    "q_substring_dedup",
+    oracle=rf"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '{_WS_SQL}') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, i AS start,
+         array_to_string(w[i:i + {_SPAN_N - 1}], ' ') AS ngram
+  FROM d, UNNEST(range(1, len(w) - {_SPAN_N - 2})) AS u(i)
+), dup AS (
+  SELECT ngram FROM g GROUP BY ngram HAVING COUNT(*) >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, start + o AS pos
+  FROM g JOIN dup USING (ngram), UNNEST(range(0, {_SPAN_N})) AS t(o)
+), words AS (
+  SELECT doc_id, i AS pos, w[i] AS word
+  FROM d, UNNEST(range(1, len(w) + 1)) AS u(i)
+), kept AS (
+  SELECT words.doc_id, words.pos, words.word
+  FROM words LEFT JOIN cov USING (doc_id, pos)
+  WHERE cov.pos IS NULL
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(len(w) AS BIGINT) AS n_words,
+       CAST(len(w) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(kept_md5, md5('')) AS kept_md5
+FROM d LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+""",
+    doc="Exact duplicated-substring dedup (Lee et al. 2021): any "
+    f"word-{_SPAN_N}-gram occurring >= 2 times anywhere in the corpus "
+    "(cross-document or repeated in-document) marks all its word "
+    "positions for removal; the document keeps the remaining words in "
+    "order.  This is the span-level dedup that document-level "
+    "exact/MinHash dedup cannot express — boilerplate sentences and "
+    "quoted passages vanish from every document at once.  Plan: one "
+    "n-gram hash shuffle (groupBy count >= 2 — map-side combined), one "
+    "equi-join of gram occurrences against the duplicated-gram set "
+    "(linear blocking, never all-pairs), one (doc_id,pos) distinct for "
+    "coverage, one anti-join + per-doc ordered reassembly.  At 100 TB "
+    "the gram key would be xxhash64-compressed before the shuffle and "
+    "ubiquitous grams (>N docs) capped by the stopgram rule — the "
+    "join shape is unchanged.  Output carries md5 of the cleaned text "
+    "(not the text itself) so only compact rows cross the final "
+    "shuffle; n_removed > 0 rows prove span removal fired.",
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs).orderBy("doc_id")
+
+
+def substring_dedup(docs: DataFrame, span: int = _SPAN_N) -> DataFrame:
+    """Span-level dedup stats: for every doc, how many word positions
+    fall inside a word-``span``-gram that occurs >= 2 times corpus-wide,
+    plus md5 of the text with those positions removed."""
+    d = docs.select("doc_id", F.split(F.trim("text"), WS_RE).alias("w"))
+    # 1-based start positions: struct(start, ngram) keeps the position
+    # attached through the explode (matches the oracle's UNNEST(range))
+    grams = d.filter(F.size("w") >= span).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {span - 1}),"
+                f" i -> struct(i AS start,"
+                f" concat_ws(' ', slice(w, i, {span})) AS ngram))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.start", "g.ngram")
+    dup = (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("ngram")
+    )
+    covered = (
+        grams.join(dup, "ngram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (span - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    words = d.select(
+        "doc_id", F.posexplode("w").alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, word))),"
+                    " s -> s.word)"
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+    return (
+        d.select("doc_id", F.size("w").cast("bigint").alias("n_words"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling weights (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = "src0"  # the target domain: score every other source's
+# documents by how target-like their hashed-unigram bag looks
+_DSIR_BUCKETS = 64  # feature-hash space, shared with q_feature_hash
+
+
+def _dsir_oracle() -> str:
+    ws = _WS_SQL
+    ql, ql_out = qlog2_duck_cte("vals", "x")
+    b = _DSIR_BUCKETS
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(CONCAT('0x', substring(md5(tok), 1, 4)) AS INT) % {b}
+           AS bucket
+  FROM (SELECT doc_id, source,
+               UNNEST(string_split_regex(trim(text), '{ws}')) AS tok
+        FROM documents)
+), tc AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t WHERE source = '{_DSIR_TARGET}' GROUP BY bucket
+), sc AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t WHERE source <> '{_DSIR_TARGET}' GROUP BY bucket
+), tot AS (
+  SELECT (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) + {b} FROM tc)
+           AS tden,
+         (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) + {b} FROM sc)
+           AS sden
+), vals AS (
+  SELECT DISTINCT c + 1 AS x FROM tc
+  UNION
+  SELECT DISTINCT c + 1 AS x FROM sc
+  UNION
+  SELECT tden AS x FROM tot
+  UNION
+  SELECT sden AS x FROM tot
+),
+{ql},
+tq AS (
+  SELECT tc.bucket, o.qlog2 AS st
+  FROM tc JOIN {ql_out} o ON o.x = tc.c + 1
+), sq AS (
+  SELECT sc.bucket, o.qlog2 AS ss
+  FROM sc JOIN {ql_out} o ON o.x = sc.c + 1
+), dq AS (
+  SELECT (SELECT o.qlog2 FROM tot t JOIN {ql_out} o ON o.x = t.tden)
+           AS qtden,
+         (SELECT o.qlog2 FROM tot t JOIN {ql_out} o ON o.x = t.sden)
+           AS qsden
+), scored AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(COALESCE(st, 0)) AS BIGINT) AS sum_t,
+         CAST(SUM(COALESCE(ss, 0)) AS BIGINT) AS sum_s
+  FROM t
+  LEFT JOIN tq USING (bucket)
+  LEFT JOIN sq USING (bucket)
+  WHERE t.source <> '{_DSIR_TARGET}'
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       sum_t - sum_s + n_tokens * (qsden - qtden) AS dsir_key,
+       CAST(sum_t - sum_s + n_tokens * (qsden - qtden) AS DOUBLE)
+         / 1048576.0 AS log2_weight
+FROM scored CROSS JOIN dq
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_dsir_weights",
+    oracle=_dsir_oracle(),
+    doc="DSIR importance-resampling weights (Xie et al. 2023): score "
+    "every non-target document by log2 p_target(x) − log2 p_source(x) "
+    "under hashed-unigram bag models with add-one smoothing — the "
+    "published recipe for selecting target-domain-like data from a raw "
+    "pool.  Features are the q_feature_hash md5-prefix buckets (64, "
+    "engine-portable, no vocabulary build); both distributions live in "
+    "one 64-row table, so scoring is a broadcast join — no shuffle "
+    "grows with corpus size except the per-doc aggregation.  Exact "
+    "arithmetic: every log2 is the fixed-point integer qlog2 "
+    "(functions/numeric.py) over the DISTINCT smoothed counts "
+    "(<= 130 values at any scale), the per-doc key is pure bigint, "
+    "and the only float is one final division by 2^20.  At 100 TB the "
+    "bucket space widens (2^18 is the paper's) and the stats table "
+    "stays broadcast-sized.",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs).orderBy("doc_id")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: str = _DSIR_TARGET,
+    n_buckets: int = _DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR log2 importance weight toward ``target``
+    (docs whose ``source`` == target form the target distribution;
+    all other docs are the raw pool being scored)."""
+    b = n_buckets
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % b
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim("text"), WS_RE)).alias("tok"),
+    ).select("doc_id", "source", bucket.alias("bucket"))
+    # trained artifact: 64-row bucket stats per side, materialized once
+    tc = (
+        toks.filter(F.col("source") == target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    sc = (
+        toks.filter(F.col("source") != target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    tden = tc.agg(
+        (F.coalesce(F.sum("c"), F.lit(0)) + b).cast("bigint").alias("x")
+    )
+    sden = sc.agg(
+        (F.coalesce(F.sum("c"), F.lit(0)) + b).cast("bigint").alias("x")
+    )
+    vals = (
+        tc.select((F.col("c") + 1).alias("x"))
+        .union(sc.select((F.col("c") + 1).alias("x")))
+        .union(tden)
+        .union(sden)
+        .distinct()
+    )
+    ql = with_qlog2(vals, "x", "q").localCheckpoint()
+    tq = tc.join(ql, tc.c + 1 == ql.x).select("bucket", F.col("q").alias("st"))
+    sq = sc.join(ql, sc.c + 1 == ql.x).select("bucket", F.col("q").alias("ss"))
+    dq = (
+        tden.join(ql, "x")
+        .select(F.col("q").alias("qtden"))
+        .crossJoin(sden.join(ql, "x").select(F.col("q").alias("qsden")))
+    )
+    scored = (
+        toks.filter(F.col("source") != target)
+        .join(F.broadcast(tq), "bucket", "left")
+        .join(F.broadcast(sq), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce("st", F.lit(0))).cast("bigint").alias("sum_t"),
+            F.sum(F.coalesce("ss", F.lit(0))).cast("bigint").alias("sum_s"),
+        )
+    )
+    key = F.col("sum_t") - F.col("sum_s") + F.col("n_tokens") * (
+        F.col("qsden") - F.col("qtden")
+    )
+    return (
+        scored.crossJoin(F.broadcast(dq))
+        .select(
+            "doc_id",
+            "n_tokens",
+            key.alias("dsir_key"),
+            (key.cast("double") / F.lit(float(1 << 20))).alias(
+                "log2_weight"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-level eval contamination
+# ---------------------------------------------------------------------------
+
+_SEMCON_THR = 0.35  # near-dup cosine threshold matching
+# q_embedding_neardup's fixture-calibrated band (real corpora ~0.95)
+
+
+@register(
+    "q_semantic_contamination",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), ev AS (
+  SELECT vec_id AS eval_id, emb AS e_emb FROM c WHERE vec_id % 10 = 0
+), tr AS (
+  SELECT vec_id AS train_id, emb AS t_emb FROM c WHERE vec_id % 10 <> 0
+), sims AS (
+  SELECT ev.eval_id, tr.train_id,
+         round(list_dot_product(ev.e_emb, tr.t_emb)
+               / (sqrt(list_dot_product(ev.e_emb, ev.e_emb))
+                  * sqrt(list_dot_product(tr.t_emb, tr.t_emb))), 6)
+           AS cosine
+  FROM ev, tr
+), ranked AS (
+  SELECT eval_id, train_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY eval_id ORDER BY cosine DESC, train_id
+         ) AS rnk
+  FROM sims
+)
+SELECT eval_id, train_id AS nearest_train_id, cosine,
+       cosine >= {_SEMCON_THR} AS contaminated
+FROM ranked WHERE rnk = 1
+ORDER BY eval_id
+""",
+    doc="Embedding-level eval decontamination (the semantic sibling of "
+    "q_contamination_ngram; SemDeDup/Abbas et al. applied across the "
+    "train/eval boundary): for every eval vector (vec_id %% 10 == 0 "
+    "slice) find its nearest train neighbor by exact cosine and flag "
+    f"it contaminated at the {_SEMCON_THR} fixture near-dup threshold. "
+    "Plan: the eval side is broadcast (eval benchmarks are bounded — "
+    "thousands of rows at any corpus scale), the train scan streams "
+    "past it once, and the per-eval argmax is a group-bounded window "
+    "on eval_id — O(train) work, zero train-side self-joins.  Ranking "
+    "ties break on (cosine DESC, train_id) so the reported neighbor "
+    "is deterministic.  At 100 TB the brute-force probe swaps for the "
+    "IVF cell-probe path (q_ann_ivf_kmeans) with identical output "
+    "columns; the brute-force form here IS the recall baseline.",
+)
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    tr = emb.filter(F.col("vec_id") % 10 != 0)
+    return semantic_contamination(tr, ev).orderBy("eval_id")
+
+
+def semantic_contamination(
+    train: DataFrame, evals: DataFrame, threshold: float = _SEMCON_THR
+) -> DataFrame:
+    """Nearest train neighbor per eval vector + contamination flag at
+    ``threshold``; evals is broadcast (bounded), train streams once."""
+    from ..operators.similarity import brute_force_topk
+
+    top1 = brute_force_topk(train, evals, k=1)
+    return top1.select(
+        F.col("query_id").alias("eval_id"),
+        F.col("vec_id").alias("nearest_train_id"),
+        "cosine",
+        (F.col("cosine") >= threshold).alias("contaminated"),
+    )

@@ -1,0 +1,112 @@
+"""Behavior pins for the data-selection operators (plans/selection.py):
+planted fixtures prove each operator fires on exactly the rows its
+published recipe says it should."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from artis_data_ingest_spark.plans.selection import (
+    dsir_weights,
+    semantic_contamination,
+    substring_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_substring_dedup_removes_planted_span(spark):
+    """Two docs share a verbatim 8-word span (plus one doc repeats it
+    internally); every occurrence's positions are removed, unique words
+    survive, and a doc with no duplicated span is untouched."""
+    span = "a b c d e f g h"
+    docs = _docs(
+        spark,
+        [
+            (1, f"intro {span} outro", "s"),
+            (2, f"{span} tail words here", "s"),
+            (3, "totally unique words that never repeat anywhere at all", "s"),
+            (4, f"{span} mid {span}", "s"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in substring_dedup(docs).collect()}
+    assert out[1]["n_words"] == 10 and out[1]["n_removed"] == 8
+    assert out[2]["n_removed"] == 8
+    assert out[3]["n_removed"] == 0
+    # doc 4: both occurrences (positions 1-8 and 10-17) removed; 'mid'
+    # at position 9 survives
+    assert out[4]["n_words"] == 17 and out[4]["n_removed"] == 16
+    # kept text is order-preserving: doc 1 keeps 'intro outro'
+    import hashlib
+
+    assert out[1]["kept_md5"] == hashlib.md5(b"intro outro").hexdigest()
+    assert out[4]["kept_md5"] == hashlib.md5(b"mid").hexdigest()
+    # untouched doc keeps its full text
+    assert (
+        out[3]["kept_md5"]
+        == hashlib.md5(
+            b"totally unique words that never repeat anywhere at all"
+        ).hexdigest()
+    )
+
+
+def test_substring_dedup_cross_doc_only_counts_total_occurrences(spark):
+    """A span repeated only WITHIN one doc still counts as duplicated
+    (total occurrences >= 2), matching Lee et al.'s suffix-array
+    semantics where self-repeats are duplicates too."""
+    span = "p q r s t u v w"
+    docs = _docs(spark, [(1, f"{span} x {span}", "s"), (2, "other words", "s")])
+    out = {r["doc_id"]: r for r in substring_dedup(docs).collect()}
+    assert out[1]["n_removed"] == 16
+    assert out[2]["n_removed"] == 0
+
+
+def test_dsir_weights_rank_targetlike_docs_higher(spark):
+    """A pool doc written in the target domain's vocabulary must get a
+    strictly higher importance weight than a pool doc written in a
+    disjoint vocabulary."""
+    tgt_text = "alpha beta gamma delta alpha beta gamma delta"
+    docs = _docs(
+        spark,
+        [
+            (0, tgt_text, "src0"),
+            (1, tgt_text, "src0"),
+            (10, "alpha beta gamma delta", "pool"),  # target-like
+            (11, "zonk quux blorp frobnicate", "pool"),  # off-domain
+        ],
+    )
+    out = {r["doc_id"]: r for r in dsir_weights(docs, target="src0").collect()}
+    assert set(out) == {10, 11}  # target slice is never scored
+    assert out[10]["dsir_key"] > out[11]["dsir_key"]
+    assert out[10]["log2_weight"] > out[11]["log2_weight"]
+    # the target-like doc should actually look target-positive
+    assert out[10]["log2_weight"] > 0
+
+
+def test_semantic_contamination_flags_planted_duplicate(spark):
+    """An eval vector identical to a train vector is flagged with that
+    train id at cosine 1.0; an orthogonal eval vector is not flagged."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),  # eval: exact dup of train 7
+        (10, [0.0, 0.0, 0.0, 1.0]),  # eval: orthogonal to all train
+        (7, [1.0, 0.0, 0.0, 0.0]),
+        (8, [0.0, 1.0, 0.0, 0.0]),
+        (9, [0.70710678, 0.70710678, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    ev = emb.filter(F.col("vec_id") % 10 == 0)
+    tr = emb.filter(F.col("vec_id") % 10 != 0)
+    out = {
+        r["eval_id"]: r
+        for r in semantic_contamination(tr, ev, threshold=0.9).collect()
+    }
+    assert out[0]["nearest_train_id"] == 7
+    assert out[0]["cosine"] == 1.0
+    assert out[0]["contaminated"] is True
+    assert out[10]["contaminated"] is False
+    assert out[10]["cosine"] == 0.0
+    # ties (vec 10 is orthogonal to every train vector) break on the
+    # smallest train id — deterministic reporting
+    assert out[10]["nearest_train_id"] == 7

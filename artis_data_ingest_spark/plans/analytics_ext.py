@@ -1656,3 +1656,95 @@ def q_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("weight"))
         .orderBy("doc_id", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC via the Mann-Whitney U statistic — model-evaluation support
+# for the quality-classifier stage (scores vs binary labels) without a
+# global per-row sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_score_auc",
+    oracle="""
+WITH l AS (
+  SELECT value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+), dv AS (
+  SELECT value,
+         CAST(COUNT(*) AS BIGINT) AS n_v,
+         CAST(SUM(pos) AS BIGINT) AS p_v
+  FROM l GROUP BY value
+), cum AS (
+  SELECT value, n_v, p_v,
+         SUM(n_v) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS c
+  FROM dv
+), agg AS (
+  SELECT CAST(SUM(p_v) AS BIGINT) AS n_pos,
+         CAST(SUM(n_v) - SUM(p_v) AS BIGINT) AS n_neg,
+         CAST(SUM(p_v * (2 * (c - n_v) + n_v + 1)) AS BIGINT) AS rank2_sum
+  FROM cum
+)
+SELECT n_pos, n_neg, rank2_sum,
+       CAST(rank2_sum - n_pos * (n_pos + 1) AS DOUBLE)
+         / (2 * n_pos * n_neg) AS auc
+FROM agg
+""",
+    doc="ROC-AUC of a score column against a binary label (here: does "
+    "`value` predict event_type == 'purchase') via the Mann-Whitney U "
+    "identity AUC = (R1 - n1(n1+1)/2) / (n1*n0) with midrank tie "
+    "handling — the standard offline metric for the corpus "
+    "quality-classifier stage.  Exact arithmetic: midranks are "
+    "half-integers, so the query carries 2*rank sums as pure bigints "
+    "(p_v*(2*cum_less + n_v + 1) per distinct score) and performs ONE "
+    "double division at the end.  Plan: one hash aggregation onto "
+    "distinct score values, then a cumulative window over the "
+    "DISTINCT-value table only (NDV-bounded — the q_lm_perplexity "
+    "distributed-rank playbook), never a global per-row sort; the "
+    "final reduce is a 1-row scalar merge.",
+)
+def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    l = ev.select(
+        "value",
+        (F.col("event_type") == "purchase").cast("bigint").alias("pos"),
+    )
+    return mann_whitney_auc(l)
+
+
+def mann_whitney_auc(labeled: DataFrame) -> DataFrame:
+    """One-row AUC over a frame with columns ``value`` (double score)
+    and ``pos`` (0/1 bigint label), midrank tie handling, exact bigint
+    rank sums, one final double division."""
+    from pyspark.sql.window import Window
+
+    dv = labeled.groupBy("value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
+        F.sum("pos").cast("bigint").alias("p_v"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dv.withColumn("c", F.sum("n_v").over(w))
+    agg = cum.agg(
+        F.sum("p_v").cast("bigint").alias("n_pos"),
+        (F.sum("n_v") - F.sum("p_v")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("p_v")
+            * (2 * (F.col("c") - F.col("n_v")) + F.col("n_v") + 1)
+        )
+        .cast("bigint")
+        .alias("rank2_sum"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "rank2_sum",
+        (
+            (F.col("rank2_sum") - F.col("n_pos") * (F.col("n_pos") + 1))
+            .cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )

@@ -1084,3 +1084,67 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-decayed aggregate (EWMA) — the time-decay scoring every
+# engagement/recency ranking pipeline runs; complements the
+# equal-weight bounded frame of q_moving_avg.
+# ---------------------------------------------------------------------------
+
+_EWMA_TAPS = 8  # half-life window: weights 1, 1/2, ... 1/128
+
+
+def _ewma_expr(engine: str) -> str:
+    """The identical left-associative IEEE sum in both dialects:
+    each tap is value * 2^-j — an exact exponent shift, so the only
+    rounding is the 7 additions, performed in the same order by both
+    engines (bit-identical results, no round() needed)."""
+    if engine == "spark":
+        taps = [
+            f"coalesce(lag(value, {j}) over "
+            f"(partition by user_id order by ts, event_id), 0.0D)"
+            f" * {1.0 / (1 << j)!r}D"
+            for j in range(_EWMA_TAPS)
+        ]
+    else:
+        taps = [
+            f"COALESCE(LAG(value, {j}) OVER "
+            f"(PARTITION BY user_id ORDER BY ts, event_id), 0.0)"
+            f" * {1.0 / (1 << j)!r}"
+            for j in range(_EWMA_TAPS)
+        ]
+    return " + ".join(taps)
+
+
+@register(
+    "q_ewma_decay",
+    oracle=f"""
+SELECT event_id, user_id,
+       {_ewma_expr('duck')} AS decayed_value
+FROM events
+ORDER BY event_id
+""",
+    doc="Exponentially-decayed per-user engagement score (EWMA with "
+    f"decay 1/2 over the trailing {_EWMA_TAPS} events): the time-decay "
+    "weighting recommendation/recency pipelines apply where "
+    "q_moving_avg's equal-weight frame is too blunt.  Exact cross-"
+    "engine floats without any decimal detour: each tap multiplies by "
+    "2^-j (a pure exponent shift — no mantissa rounding), and the tap "
+    "sum is the same left-associative IEEE addition chain in both "
+    "engines, so results are bit-identical with zero rounding "
+    "tolerance.  Plan: one hash shuffle on user_id; the lag frame is "
+    "bounded (8 taps) so state per key is O(1) — at 100 TB this is "
+    "the same shape as any per-user window, salting only if single "
+    "users dominate.",
+)
+def q_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.expr(_ewma_expr("spark")).alias("decayed_value"),
+        )
+        .orderBy("event_id")
+    )

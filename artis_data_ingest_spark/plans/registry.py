@@ -36,7 +36,10 @@ _REGISTRY: dict[str, Query] = {}
 # (closing the round-7 verdict's freshness ledger), then (d) the
 # weakest-covered r5 names up to the budget.
 _PRIORITY: list[str] = [
-    # (a) new in round 8 — need a first driver verdict
+    # (a) new in round 8 — need a first driver verdict.  Two late-r8
+    # additions (q_ewma_decay, q_score_auc) are NOT front-loaded — the
+    # budget is full and the r4-stale block takes precedence per the
+    # r7 verdict; they lead the round-9 rotation instead.
     "q_substring_dedup",
     "q_dsir_weights",
     "q_semantic_contamination",

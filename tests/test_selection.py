@@ -110,3 +110,50 @@ def test_semantic_contamination_flags_planted_duplicate(spark):
     # ties (vec 10 is orthogonal to every train vector) break on the
     # smallest train id — deterministic reporting
     assert out[10]["nearest_train_id"] == 7
+
+
+def test_ewma_decay_exact_taps(spark):
+    """EWMA weights are exact halvings: a constant-1 series converges
+    to 2 - 2^-7; the first event of each user scores its own value."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), 1, "view", 1.0, "{}")
+        for i in range(10)
+    ] + [(100, dt.datetime(2024, 1, 1), 2, "view", 8.0, "{}")]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    ev.createOrReplaceTempView("_ewma_ev")
+    from artis_data_ingest_spark.plans.events_time import _ewma_expr
+
+    out = {
+        r["event_id"]: r["d"]
+        for r in spark.sql(
+            f"select event_id, {_ewma_expr('spark')} as d from _ewma_ev"
+        ).collect()
+    }
+    assert out[0] == 1.0  # first event: no history
+    assert out[100] == 8.0  # other user unaffected
+    # 8 taps of a constant-1 series: 1 + 1/2 + ... + 1/128 = 2 - 2^-7
+    assert out[9] == 2.0 - 2.0**-7
+
+
+def test_mann_whitney_auc_known_values(spark):
+    """Perfect separation -> AUC 1.0; inverted -> 0.0; all-tied -> 0.5
+    (midrank handling)."""
+    from artis_data_ingest_spark.plans.analytics_ext import mann_whitney_auc
+
+    def auc(rows):
+        df = spark.createDataFrame(rows, "value double, pos bigint")
+        return mann_whitney_auc(df).collect()[0]
+
+    perfect = auc([(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)])
+    assert perfect["auc"] == 1.0
+    inverted = auc([(1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0)])
+    assert inverted["auc"] == 0.0
+    tied = auc([(5.0, 0), (5.0, 0), (5.0, 1), (5.0, 1)])
+    assert tied["auc"] == 0.5
+    assert tied["n_pos"] == 2 and tied["n_neg"] == 2

@@ -468,6 +468,10 @@ def parse_media_header(blob: bytes) -> dict:
             h, w, _ = hdr
             return {"detected": "gif", "width": w, "height": h,
                     "sample_rate": None}
+    if blob[:2] == b"BM" and len(blob) >= 26:
+        w, h_signed = struct.unpack("<ii", blob[18:26])
+        return {"detected": "bmp", "width": w, "height": abs(h_signed),
+                "sample_rate": None}
     return {"detected": "unknown", "width": None, "height": None,
             "sample_rate": None}
 
@@ -687,6 +691,8 @@ def _decode_image_any(blob: bytes) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(blob)[0]
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
     return decode_png(blob)
 
 
@@ -899,6 +905,107 @@ def tile_gif_media(
         rows.append(
             (
                 n + j, "video", blob,
+                {"width": None, "height": None, "n_frames": None,
+                 "sample_rate": None},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# --- REAL stdlib BMP (Windows DIB) codec -----------------------------------
+#
+# BMP is the AVI frame payload with a file header in front: the same
+# 24-bit BI_RGB bottom-up BGR rows with 4-byte stride that decode_avi
+# already walks.  Lossless, so fixtures pin byte-exact round-trips.
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Spec-correct BMP encoder (stdlib struct only) for (h, w, 3)
+    uint8 RGB arrays: BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER +
+    bottom-up BGR rows padded to 4-byte stride (BI_RGB, 24-bit)."""
+    import struct
+
+    h, w, _ = img.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = b""
+    for r in range(h - 1, -1, -1):  # bottom-up
+        bgr = img[r, :, ::-1].tobytes()
+        rows += bgr + b"\x00" * (stride - len(bgr))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0
+    )
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + stride * h, 0, 0, off)
+    return hdr + info + rows
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """Spec-correct BMP decoder (stdlib struct only): BI_RGB 24-bit
+    only (raises loudly otherwise), honours the pixel-data offset,
+    bottom-up AND top-down (negative height) row orders, 4-byte
+    stride.  Returns (h, w, 3) uint8 RGB."""
+    import struct
+
+    if blob[:2] != b"BM" or len(blob) < 54:
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack("<I", blob[10:14])
+    hdr_size, w, h_signed = struct.unpack("<Iii", blob[14:26])
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER BMPs not supported")
+    bits, comp = struct.unpack("<HI", blob[28:34])
+    if comp != 0 or bits != 24:
+        raise ValueError(
+            f"unsupported BMP (compression={comp}, bits={bits}); "
+            "decoder handles BI_RGB 24-bit only"
+        )
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    stride = ((w * 3 + 3) // 4) * 4
+    raw = blob[off:off + stride * h]
+    if len(raw) != stride * h:
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    bgr = (rows if top_down else rows[::-1])[:, : w * 3].reshape(h, w, 3)
+    return bgr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def tile_bmp_media(spark: SparkSession, n: int = 6) -> DataFrame:
+    """Media table of REAL BMPs with closed-form pixel values (BMP is
+    LOSSLESS — byte-exact round-trip, no DCT argument): image i is
+    (1 + i%3) x (2 - i%2) constant 8x8 tiles with R=G=B =
+    (7*bx + 23*by + 29*i) % 256; every second one is written TOP-DOWN
+    (negative height) so both row orders decode identically."""
+    rows = []
+    for i in range(n):
+        bw, bh = 1 + i % 3, 2 - i % 2
+        tiles = (
+            7 * np.arange(bw)[None, :] + 23 * np.arange(bh)[:, None]
+            + 29 * i
+        ) % 256
+        img = np.kron(
+            tiles[..., None], np.ones((8, 8, 3))
+        ).astype(np.uint8)
+        blob = encode_bmp(img)
+        if i % 2:  # rewrite as top-down: negate height, reorder rows
+            import struct
+
+            stride = ((img.shape[1] * 3 + 3) // 4) * 4
+            h = img.shape[0]
+            off = 54
+            body = blob[off:]
+            flipped = b"".join(
+                body[(h - 1 - r) * stride:(h - r) * stride]
+                for r in range(h)
+            )
+            blob = (
+                blob[:22]
+                + struct.pack("<i", -h)
+                + blob[26:off]
+                + flipped
+            )
+        rows.append(
+            (
+                i, "image", blob,
                 {"width": None, "height": None, "n_frames": None,
                  "sample_rate": None},
             )

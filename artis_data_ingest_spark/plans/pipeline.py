@@ -1065,3 +1065,43 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_stats(media.select("media_id", "content")).orderBy(
         "media_id", "frame_idx"
     )
+
+
+@register(
+    "q_bmp_features",
+    oracle="""
+WITH m AS (
+  SELECT i, 1 + i % 3 AS bw, 2 - i % 2 AS bh FROM range(6) t(i)
+), tiles AS (
+  SELECT i, bw, bh,
+         (7 * bx.x + 23 * by.y + 29 * i) % 256 AS v
+  FROM m, UNNEST(range(bw)) AS bx(x), UNNEST(range(bh)) AS by(y)
+)
+SELECT i AS media_id,
+       CAST(8 * bw AS BIGINT) AS width,
+       CAST(8 * bh AS BIGINT) AS height,
+       round(SUM(v) / (bw * bh * 255.0), 6) AS mean_r,
+       round(SUM(v) / (bw * bh * 255.0), 6) AS mean_g,
+       round(SUM(v) / (bw * bh * 255.0), 6) AS mean_b
+FROM tiles
+GROUP BY i, bw, bh
+ORDER BY media_id
+""",
+    doc="Multimodal BMP features (r8) — the uncompressed Windows DIB "
+    "payload (screenshots, legacy scraped assets), now a REAL stdlib "
+    "codec (operators/multimodal.py encode_bmp/decode_bmp — the AVI "
+    "frame DIB math with a file header: BI_RGB 24-bit, 4-byte "
+    "stride, bottom-up AND top-down row orders): tile_bmp_media "
+    "emits constant-tile fixtures (every second one TOP-DOWN via "
+    "negative height — a decoder ignoring the sign flips rows and "
+    "hash-mismatches) decoded through the shared image_stats "
+    "magic-byte dispatch.  BMP is LOSSLESS, so the closed-form "
+    "oracle is exact.  Binary never reaches a shuffle.",
+)
+def q_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import tile_bmp_media
+
+    media = tile_bmp_media(spark, n=6)
+    return image_stats(media.select("media_id", "content")).orderBy(
+        "media_id"
+    )

@@ -1006,3 +1006,93 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(domain)
         .orderBy("check_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sitemap XML parsing (sitemaps.org protocol) — crawl discovery: the
+# structured sibling of the reference's HTML link scrape
+# (scrape_newest_baci_data.R:20-29).  One sitemap per source is built
+# in-query (the q_xpath_links fixture pattern), parsed with the
+# distributed SQL xpath() family, and filtered by lastmod freshness.
+# ---------------------------------------------------------------------------
+
+_SITEMAP_CUTOFF = "2024-02-15"
+
+
+@register(
+    "q_sitemap_urls",
+    oracle=f"""
+WITH e AS (
+  SELECT 'https://crawl.example/' || source || '/' || doc_id AS url,
+         CAST(DATE '2024-01-01' + INTERVAL (doc_id % 90) DAY AS DATE)
+           AS lastmod,
+         source
+  FROM documents
+)
+SELECT url, CAST(lastmod AS VARCHAR) AS lastmod, source
+FROM e
+WHERE lastmod >= DATE '{_SITEMAP_CUTOFF}'
+ORDER BY url
+""",
+    doc="Sitemap XML ingestion (sitemaps.org protocol) — how a crawl "
+    "frontier discovers URLs without scraping anchor tags: each "
+    "source's documents render into one namespaced <urlset> sitemap "
+    "in-query (the q_xpath_links fixture pattern), Spark's xpath() "
+    "family extracts positionally-paired <loc>/<lastmod> arrays "
+    "(local-name() steps, so the required sitemaps.org xmlns does not "
+    "defeat matching), arrays_zip + explode yields one row per URL, "
+    "and a lastmod >= cutoff filter keeps the fresh half — the "
+    "incremental-recrawl predicate.  The oracle derives the same "
+    "URL/date set by construction, so a parser regression (namespace "
+    "mishandling, entity mangling, loc/lastmod mispairing) "
+    "hash-mismatches.  Plan: one per-source aggregation to assemble "
+    "fixtures, then pure codegen xpath/explode — at 100 TB sitemaps "
+    "arrive as files and the parse is embarrassingly parallel with "
+    "no shuffle at all.",
+)
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    entry = F.concat(
+        F.lit("<url><loc>https://crawl.example/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 90).cast("int")).cast("string"),
+        F.lit("</lastmod></url>"),
+    )
+    sitemaps = (
+        docs.select("source", "doc_id", entry.alias("entry"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit(
+                    '<?xml version="1.0" encoding="UTF-8"?><urlset '
+                    'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.concat_ws(
+                    "",
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(doc_id, entry))), s -> s.entry)"
+                    ),
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    locs = F.call_function(
+        "xpath", F.col("xml"), F.lit("//*[local-name()='loc']/text()")
+    )
+    mods = F.call_function(
+        "xpath", F.col("xml"), F.lit("//*[local-name()='lastmod']/text()")
+    )
+    return (
+        sitemaps.select(
+            "source",
+            F.explode(F.arrays_zip(locs.alias("url"), mods.alias("lastmod"))).alias("z"),
+        )
+        .select(F.col("z.url").alias("url"), F.col("z.lastmod").alias("lastmod"), "source")
+        .filter(F.col("lastmod") >= F.lit(_SITEMAP_CUTOFF))
+        .orderBy("url")
+    )

@@ -50,6 +50,7 @@ _SPAN_N = 8  # words per span; Lee et al. use 50 BPE tokens — the
 
 @register(
     "q_substring_dedup",
+    bench=True,
     oracle=rf"""
 WITH d AS (
   SELECT doc_id, string_split_regex(trim(text), '{_WS_SQL}') AS w

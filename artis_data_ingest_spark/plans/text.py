@@ -1238,3 +1238,143 @@ def q_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt policy evaluation (RFC 9309) — the crawl-politeness gate
+# that sits directly in front of the reference's scraper
+# (scrape_newest_baci_data.R:20-29 fetches with no robots check; a
+# production crawl frontier must evaluate one per URL before fetch).
+# ---------------------------------------------------------------------------
+
+# (agent-group, allow|disallow, robots pattern) — two groups so RFC
+# group selection is exercised: '*' rules apply to unmatched agents,
+# the 'databot' group applies to databot INSTEAD of '*' (not merged).
+_ROBOTS_RULES: list[tuple[str, str, str]] = [
+    ("*", "disallow", "/private/"),
+    ("*", "allow", "/private/pub/"),
+    ("*", "disallow", "/tmp/"),
+    ("*", "disallow", "/*.zip$"),
+    ("databot", "disallow", "/api/"),
+    ("databot", "allow", "/api/data/"),
+    ("databot", "disallow", "/*.pdf$"),
+    ("databot", "allow", "/docs/"),
+]
+
+
+def _robots_regex(pattern: str) -> str:
+    """RFC 9309 pattern -> anchored regex, identical in Java regex and
+    RE2: '*' matches any char run, a TRAILING '$' anchors the end,
+    everything else is literal.  Computed driver-side (the rule table
+    is tiny) so both engines evaluate the same escaped regex string."""
+    import re as _re
+
+    anchor = pattern.endswith("$")
+    body = pattern[:-1] if anchor else pattern
+    return "^" + _re.escape(body).replace(r"\*", ".*") + ("$" if anchor else "")
+
+
+def _robots_paths_case(engine: str) -> str:
+    """Synthesized URL paths from the documents table (the
+    q_scraper_links pattern) — identical CASE text in both dialects."""
+    return """CASE doc_id % 6
+    WHEN 0 THEN '/private/' || source || '.html'
+    WHEN 1 THEN '/private/pub/' || source || '.html'
+    WHEN 2 THEN '/api/data/' || source || '.json'
+    WHEN 3 THEN '/api/' || source || '.pdf'
+    WHEN 4 THEN '/public/' || source || '.zip'
+    ELSE '/docs/' || source || '.pdf'
+  END"""
+
+
+def _robots_oracle() -> str:
+    rules_values = ",\n    ".join(
+        f"('{a}', '{t}', '{p}', '{_robots_regex(p)}', {len(p)})"
+        for a, t, p in _ROBOTS_RULES
+    )
+    return f"""
+WITH rules(agent, rtype, pattern, re, plen) AS (
+  VALUES {rules_values}
+), paths AS (
+  SELECT DISTINCT {_robots_paths_case('duck')} AS path
+  FROM documents
+), agents(agent) AS (VALUES ('*'), ('databot')),
+pairs AS (SELECT agent, path FROM agents CROSS JOIN paths),
+matched AS (
+  SELECT pr.agent, pr.path, r.rtype, r.pattern, r.plen,
+         ROW_NUMBER() OVER (
+           PARTITION BY pr.agent, pr.path
+           ORDER BY r.plen DESC, r.rtype, r.pattern
+         ) AS rnk
+  FROM pairs pr
+  JOIN rules r ON r.agent = pr.agent AND regexp_matches(pr.path, r.re)
+)
+SELECT p.agent AS agent, p.path AS path,
+       m.pattern AS decisive_rule,
+       COALESCE(m.rtype = 'allow', TRUE) AS allowed
+FROM pairs p
+LEFT JOIN (SELECT * FROM matched WHERE rnk = 1) m
+  ON m.agent = p.agent AND m.path = p.path
+ORDER BY p.agent, p.path
+"""
+
+
+@register(
+    "q_robots_policy",
+    oracle=_robots_oracle(),
+    doc="RFC 9309 robots.txt policy evaluation — the crawl-politeness "
+    "gate in front of any scraper (the reference fetches cepii.fr "
+    "with none; a production frontier evaluates one per URL): "
+    "longest-match rule wins, allow beats disallow on equal length, "
+    "unmatched paths default to allowed, and the '*' group applies "
+    "only to agents without their own group (databot's rules REPLACE "
+    "the generic ones — RFC group selection, not a merge).  Wildcard "
+    "'*' and trailing-'$' anchors translate driver-side to one "
+    "anchored regex per rule (the rule table is tiny and broadcast), "
+    "so both engines match the identical escaped pattern.  Plan: "
+    "distinct paths x broadcast rule table, per-(agent,path) "
+    "group-bounded rank window — at 100 TB the frontier URLs shuffle "
+    "once on (agent,path) and the policy never leaves the broadcast.",
+)
+def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = spark.createDataFrame(
+        [
+            (a, t, p, _robots_regex(p), len(p))
+            for a, t, p in _ROBOTS_RULES
+        ],
+        "agent string, rtype string, pattern string, re string, plen int",
+    )
+    paths = docs.select(
+        F.expr(_robots_paths_case("spark")).alias("path")
+    ).distinct()
+    agents = spark.createDataFrame([("*",), ("databot",)], "agent string")
+    pairs = paths.crossJoin(F.broadcast(agents))
+    matched = (
+        pairs.join(F.broadcast(rules), "agent")
+        .filter(F.expr("path rlike re"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("agent", "path").orderBy(
+                    F.col("plen").desc(), "rtype", "pattern"
+                )
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .select("agent", "path", "pattern", "rtype")
+    )
+    return (
+        pairs.join(matched, ["agent", "path"], "left")
+        .select(
+            "agent",
+            "path",
+            F.col("pattern").alias("decisive_rule"),
+            F.coalesce(F.col("rtype") == "allow", F.lit(True)).alias(
+                "allowed"
+            ),
+        )
+        .orderBy("agent", "path")
+    )

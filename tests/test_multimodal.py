@@ -1313,3 +1313,59 @@ def test_resize_media_real_gif_paths(spark):
     a8 = decode_gif(bytes(out[1].content))
     assert a8.shape == (3, 8, 8, 3)
     assert np.array_equal(a8, anim[:, ys][:, :, ys])
+
+
+def test_bmp_roundtrip_and_topdown():
+    """BMP encode/decode is byte-exact (lossless), the top-down
+    (negative-height) variant decodes to the same pixels, and corrupt
+    payloads raise ValueError instead of garbage."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from artis_data_ingest_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        parse_media_header,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)  # odd width: stride pad
+    blob = encode_bmp(img)
+    assert np.array_equal(decode_bmp(blob), img)
+    hdr = parse_media_header(blob)
+    assert hdr == {"detected": "bmp", "width": 7, "height": 5,
+                   "sample_rate": None}
+    # top-down rewrite: negate height, reorder rows -> same pixels
+    h, w = img.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    body = blob[54:]
+    flipped = b"".join(
+        body[(h - 1 - r) * stride:(h - r) * stride] for r in range(h)
+    )
+    td = blob[:22] + struct.pack("<i", -h) + blob[26:54] + flipped
+    assert np.array_equal(decode_bmp(td), img)
+    assert parse_media_header(td)["height"] == 5
+    with pytest.raises(ValueError):
+        decode_bmp(blob[:40])  # truncated header
+    with pytest.raises(ValueError):
+        decode_bmp(blob[:60])  # truncated pixel data
+
+
+def test_bmp_image_stats_tolerates_corrupt_payload(spark):
+    """A torn BMP yields a null-stats row through image_stats, never a
+    job failure (the corrupt-payload contract shared by all codecs)."""
+    from artis_data_ingest_spark.operators.multimodal import (
+        image_stats,
+        tile_bmp_media,
+    )
+
+    media = tile_bmp_media(spark, n=2).select("media_id", "content")
+    broken = spark.createDataFrame(
+        [(99, bytearray(b"BM" + b"\x00" * 30))],
+        "media_id bigint, content binary",
+    )
+    out = {r["media_id"]: r for r in image_stats(media.union(broken)).collect()}
+    assert out[99]["width"] is None and out[99]["mean_r"] is None
+    assert out[0]["width"] == 8

@@ -157,3 +157,38 @@ def test_mann_whitney_auc_known_values(spark):
     tied = auc([(5.0, 0), (5.0, 0), (5.0, 1), (5.0, 1)])
     assert tied["auc"] == 0.5
     assert tied["n_pos"] == 2 and tied["n_neg"] == 2
+
+
+def test_robots_policy_rfc_semantics(spark):
+    """RFC 9309 pins: longest-match wins, allow beats disallow on
+    specificity, a named agent group REPLACES '*' (never merges), and
+    unmatched paths default to allowed."""
+    from artis_data_ingest_spark.plans.text import q_robots_policy
+
+    rows = q_robots_policy(spark, "/root/testdata/sf0.001").collect()
+    dec = {(r["agent"], r["path"]): r for r in rows}
+
+    # longest match: allow /private/pub/ overrides disallow /private/
+    pub = [v for (a, p), v in dec.items()
+           if a == "*" and p.startswith("/private/pub/")]
+    assert pub and all(v["allowed"] is True for v in pub)
+    assert all(v["decisive_rule"] == "/private/pub/" for v in pub)
+    pr = [v for (a, p), v in dec.items()
+          if a == "*" and p.startswith("/private/") and "/pub/" not in p]
+    assert pr and all(v["allowed"] is False for v in pr)
+    # group replacement: databot has no /private rule -> default allow
+    db_private = [v for (a, p), v in dec.items()
+                  if a == "databot" and p.startswith("/private/")]
+    assert db_private and all(v["allowed"] is True for v in db_private)
+    assert all(v["decisive_rule"] is None for v in db_private)
+    # wildcard + anchor: *.zip$ denies for '*', not for databot
+    zips = [(a, v) for (a, p), v in dec.items() if p.endswith(".zip")]
+    for a, v in zips:
+        assert v["allowed"] is (a == "databot")
+    # databot: /api/data/ allowed (longest), /api/*.pdf denied
+    api_data = [v for (a, p), v in dec.items()
+                if a == "databot" and p.startswith("/api/data/")]
+    assert api_data and all(v["allowed"] is True for v in api_data)
+    api_pdf = [v for (a, p), v in dec.items()
+               if a == "databot" and p.startswith("/api/") and p.endswith(".pdf")]
+    assert api_pdf and all(v["allowed"] is False for v in api_pdf)

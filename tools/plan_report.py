@@ -86,6 +86,12 @@ _ONE_PART_CLASS = {
     "q_tfidf_topterms": "k-bounded",
     "q_try_cast": "scalar",
     "q_ppjoin_neardup": "vocab-bounded",
+    # r8 late additions
+    "q_curriculum_pack": "group-bounded",  # inherits the LM bucket
+    # shape: one scalar vocab-total merge + one distinct-key window
+    "q_dsir_weights": "scalar",  # 1-row smoothing denominators
+    "q_score_auc": "group-bounded",  # cumulative window over the
+    # DISTINCT-score table + 1-row final merge
 }
 
 

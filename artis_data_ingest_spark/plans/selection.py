@@ -417,3 +417,105 @@ def semantic_contamination(
         "cosine",
         (F.col("cosine") >= threshold).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_WS_K = 5  # sample size per stratum
+_QL_ONE = 32 << 20  # qlog2(2^32): the u ~ U(0,1] scale constant
+
+
+def _weighted_sample_oracle() -> str:
+    ql, ql_out = qlog2_duck_cte("base", "u")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, n_chars,
+         CAST(CONCAT('0x',
+           substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           AS BIGINT) + 1 AS u
+  FROM documents
+),
+{ql},
+ranked AS (
+  SELECT doc_id, source, n_chars,
+         CAST(qlog2 - {_QL_ONE} AS DOUBLE) / n_chars AS priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(qlog2 - {_QL_ONE} AS DOUBLE) / n_chars DESC,
+                    doc_id
+         ) AS sample_rank
+  FROM {ql_out}
+)
+SELECT doc_id, source, n_chars, priority, sample_rank
+FROM ranked WHERE sample_rank <= {_WS_K}
+ORDER BY source, sample_rank
+"""
+
+
+@register(
+    "q_weighted_sample",
+    oracle=_weighted_sample_oracle(),
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis A-ES), k per source stratum — how a corpus "
+    "build samples documents proportional to token mass without RNG: "
+    "the uniform draw is a salted md5 (reproducible across reruns, "
+    "backfills, and cluster sizes), and the E-S priority u^(1/w) "
+    "orders identically to ln(u)/w, computed LOG-FREE as the exact "
+    "fixed-point (qlog2(u) - qlog2(2^32)) / weight — one double "
+    "division of exact integers, bit-identical in both engines.  "
+    "Per-row qlog2 is ~20 int64 multiplies inside the scan stage "
+    "(map-side, no shuffle); the only shuffle is the per-stratum "
+    "top-k window — group-bounded, never a global sort.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, k=_WS_K).orderBy("source", "sample_rank")
+
+
+def weighted_sample(
+    docs: DataFrame, k: int = _WS_K, weight_col: str = "n_chars"
+) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement, k per
+    ``source`` stratum, fully deterministic: the uniform draw is a
+    salted md5 of doc_id (u32+1 in [1, 2^32]), and the E-S priority
+    u^(1/w) ranks as ln(u)/w — computed log-free as the exact
+    fixed-point (qlog2(u) - qlog2(2^32)) / w, one double division of
+    exact integers (identical in both engines).  Per-row qlog2 is ~20
+    int64 multiplies map-side — no shuffle, no RNG, reproducible under
+    any partitioning; the only shuffle is the per-stratum top-k
+    window."""
+    from pyspark.sql.window import Window
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("wsample:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    )
+    base = docs.select("doc_id", "source", weight_col, u.alias("u"))
+    keyed = with_qlog2(base, "u", "qu").select(
+        "doc_id",
+        "source",
+        weight_col,
+        (
+            (F.col("qu") - _QL_ONE).cast("double") / F.col(weight_col)
+        ).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), "doc_id"
+    )
+    return keyed.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= k
+    )

@@ -192,3 +192,56 @@ def test_robots_policy_rfc_semantics(spark):
     api_pdf = [v for (a, p), v in dec.items()
                if a == "databot" and p.startswith("/api/") and p.endswith(".pdf")]
     assert api_pdf and all(v["allowed"] is False for v in api_pdf)
+
+
+def _py_qlog2(x: int, B: int = 20, P: int = 28) -> int:
+    """Pure-Python mirror of functions/numeric.with_qlog2 — the
+    determinism claim is that all three (Spark, DuckDB, this) agree."""
+    e = x.bit_length() - 1
+    t = (x << P) >> e
+    f = 0
+    hi = 1 << (2 * P + 1)
+    for _ in range(B):
+        u = t * t
+        b = 1 if u >= hi else 0
+        t = u // (1 << (P + b))
+        f = f * 2 + b
+    return e * (1 << B) + f
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    """The E-S priority (qlog2(u)-qlog2(2^32))/w computed by Spark is
+    bit-identical to a pure-Python evaluation of the same fixed-point
+    recurrence, and the per-stratum top-k picks exactly the reference
+    ranking."""
+    import hashlib
+
+    from artis_data_ingest_spark.plans.selection import weighted_sample
+
+    rows = [
+        (i, f"text {i}", "s" + str(i % 2), 10 + 97 * i) for i in range(12)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string, n_chars bigint"
+    )
+    out = weighted_sample(docs, k=3).collect()
+
+    def prio(doc_id, w):
+        u = int(hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:8], 16) + 1
+        return float(_py_qlog2(u) - (32 << 20)) / w
+
+    expect = {}
+    for i, _, src, w in rows:
+        expect.setdefault(src, []).append((prio(i, w), i))
+    for src in expect:
+        expect[src] = sorted(expect[src], key=lambda t: (-t[0], t[1]))[:3]
+    got = {}
+    for r in out:
+        got.setdefault(r["source"], []).append(
+            (r["sample_rank"], r["doc_id"], r["priority"])
+        )
+    for src, exp in expect.items():
+        g = sorted(got[src])
+        assert [d for _, d, _ in g] == [d for _, d in exp], src
+        for (_, _, p_spark), (p_py, _) in zip(g, exp):
+            assert p_spark == p_py  # bit-identical doubles

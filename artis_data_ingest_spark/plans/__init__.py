@@ -2,6 +2,7 @@
 
 from . import (  # noqa: F401
     analytics_ext,
+    classify,
     corpus,
     events_time,
     graph,

@@ -1,0 +1,64 @@
+"""Behavioral tests for the supervised NB hashed-feature classifier
+(plans/classify.py) beyond the oracle hash check."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from artis_data_ingest_spark.plans.classify import (
+    nb_predict,
+    nb_train_weights,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, label string, text string")
+
+
+def test_nb_separable_classes(spark):
+    """A cleanly separable two-class fixture must classify perfectly:
+    the learned per-bucket log-odds dominate the prior."""
+    train = _frame(
+        spark,
+        [(i, "fruit", "apple banana cherry apple") for i in range(6)]
+        + [(10 + i, "db", "shuffle partition join shuffle") for i in range(6)],
+    )
+    test = _frame(
+        spark,
+        [
+            (100, "fruit", "banana apple apple"),
+            (101, "db", "join shuffle partition partition"),
+        ],
+    )
+    weights, cstat = nb_train_weights(train)
+    got = {
+        r["doc_id"]: r["predicted"]
+        for r in nb_predict(test, weights, cstat).collect()
+    }
+    assert got == {100: "fruit", 101: "db"}
+
+
+def test_nb_prior_and_tiebreak(spark):
+    """A test doc made entirely of unseen tokens scores qlog2(ndocs_c)
+    - n_d*qlog2(ntok_c+B) per class; with identical class stats the
+    scores tie and the name tie-break must pick the lexicographically
+    first class deterministically."""
+    train = _frame(
+        spark,
+        [(0, "aa", "x y"), (1, "aa", "x y"), (2, "bb", "p q"), (3, "bb", "p q")],
+    )
+    test = _frame(spark, [(100, "aa", "zzz www")])
+    weights, cstat = nb_train_weights(train)
+    [row] = nb_predict(test, weights, cstat).collect()
+    assert row["predicted"] == "aa"
+
+
+def test_nb_weights_shape(spark):
+    """The model is the full B x C grid — broadcastable regardless of
+    corpus size, with smoothed (qlog2(1)=0) weights for unseen cells."""
+    train = _frame(spark, [(0, "a", "foo"), (1, "b", "bar")])
+    weights, cstat = nb_train_weights(train)
+    assert weights.count() == 64 * 2
+    assert cstat.count() == 2
+    zero = weights.filter(F.col("wql") == 0).count()
+    assert zero >= 64 * 2 - 2  # at most one seen bucket per class

@@ -8,6 +8,7 @@ from . import (  # noqa: F401
     graph,
     llm,
     pipeline,
+    pretrain,
     reference_core,
     retrieval,
     scale_ops,

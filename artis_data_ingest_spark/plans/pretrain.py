@@ -1,0 +1,204 @@
+"""Pre-training example preparation: objectives that turn a cleaned
+corpus into model inputs.
+
+The reference pipeline (``scrape_newest_baci_data.R`` /
+``assess_changes.qmd``) ends at clean tables; an LLM training-data
+engine additionally materializes the *training objective* — here the
+T5/UL2 span-corruption transform: mask ~10-15% of tokens in short
+contiguous spans, replace each span with a numbered sentinel in the
+input, and emit the masked spans (prefixed by their sentinels) as the
+target sequence.
+
+Determinism playbook: span starts and lengths are md5-derived from
+(doc_id, position) — no RNG, identical in Spark and DuckDB — and the
+span-cover / run-numbering logic is bounded-lookback window algebra
+(max span length 3 → lag 2), so the whole transform is shuffle-light
+and hash-matchable.
+
+Scale story (100 TB): one shuffle on doc_id for the position windows
+(the same partitioning serves the lags, the run cumsum, and the final
+per-doc aggregation — Catalyst reuses the exchange), all expressions
+JVM codegen, no UDFs, no driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+_WS = r"[ \t\n\r\f\x0B]+"
+# a token STARTS a masked span iff md5(doc_id:pos)[0:4] % START_MOD == 0;
+# the span then covers 1 + md5[4:6] % 3 tokens (1..3).  E[mask rate]
+# ~= 2/START_MOD before overlap merging — START_MOD=20 targets ~10%.
+_START_MOD = 20
+_MAX_SPAN = 3
+
+
+def span_corrupt(docs: DataFrame) -> DataFrame:
+    """T5-style span corruption over ``docs(doc_id, text)``.
+
+    Returns one row per doc: doc_id, input_text (sentinel-masked),
+    target_text (sentinels + masked spans), n_tokens, n_masked,
+    n_spans.
+    """
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), _WS)).alias("pos", "tok"),
+    )
+    h = F.md5(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("pos").cast("string")
+        )
+    )
+    start = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % _START_MOD == 0
+    )
+    slen = 1 + F.conv(F.substring(h, 5, 2), 16, 10).cast("int") % _MAX_SPAN
+    tok = tok.select(
+        "doc_id", "pos", "tok", start.alias("start"), slen.alias("slen")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    covered = F.col("start")
+    for back in range(1, _MAX_SPAN):
+        covered = covered | (
+            F.coalesce(F.lag("start", back).over(w), F.lit(False))
+            & (F.coalesce(F.lag("slen", back).over(w), F.lit(0)) > back)
+        )
+    tok = tok.withColumn("masked", covered)
+    new_run = F.col("masked") & ~F.coalesce(
+        F.lag("masked", 1).over(w), F.lit(False)
+    )
+    run = F.sum(new_run.cast("int")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tok = tok.withColumn("new_run", new_run).withColumn("run_id", run)
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("run_id") - 1).cast("string"), F.lit(">")
+    )
+    input_piece = (
+        F.when(~F.col("masked"), F.col("tok"))
+        .when(F.col("new_run"), sentinel)
+    )  # masked non-start rows -> NULL -> dropped from the input stream
+    target_piece = F.when(
+        F.col("masked"),
+        F.when(
+            F.col("new_run"), F.concat(sentinel, F.lit(" "), F.col("tok"))
+        ).otherwise(F.col("tok")),
+    )
+    joined = (
+        lambda col: F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(col)), lambda s: s["piece"]
+            ),
+            " ",
+        )
+    )
+    inp = F.when(
+        input_piece.isNotNull(),
+        F.struct(F.col("pos").alias("pos"), input_piece.alias("piece")),
+    )
+    tgt = F.when(
+        target_piece.isNotNull(),
+        F.struct(F.col("pos").alias("pos"), target_piece.alias("piece")),
+    )
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            joined(inp).alias("input_text"),
+            joined(tgt).alias("target_text"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("masked").cast("bigint")).alias("n_masked"),
+            F.max("run_id").cast("bigint").alias("n_spans"),
+        )
+    )
+
+
+def _span_oracle() -> str:
+    covered = " OR ".join(
+        ["start"]
+        + [
+            f"(COALESCE(LAG(start, {b}) OVER w, FALSE)"
+            f" AND COALESCE(LAG(slen, {b}) OVER w, 0) > {b})"
+            for b in range(1, _MAX_SPAN)
+        ]
+    )
+    return f"""
+WITH lst AS (
+  SELECT doc_id, string_split_regex(trim(text), '{_WS}') AS toks
+  FROM documents
+), tok AS (
+  -- parallel UNNESTs zip: token with its 0-based position (matches
+  -- Spark's posexplode)
+  SELECT doc_id, UNNEST(toks) AS tok,
+         CAST(UNNEST(range(len(toks))) AS BIGINT) AS pos
+  FROM lst
+), h AS (
+  SELECT *,
+         md5(doc_id || ':' || pos) AS hh
+  FROM tok
+), s AS (
+  SELECT doc_id, pos, tok,
+         CAST(CONCAT('0x', substring(hh, 1, 4)) AS INT) % {_START_MOD} = 0
+           AS start,
+         1 + CAST(CONCAT('0x', substring(hh, 5, 2)) AS INT) % {_MAX_SPAN}
+           AS slen
+  FROM h
+), m AS (
+  SELECT doc_id, pos, tok,
+         ({covered}) AS masked
+  FROM s
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), nr AS (
+  SELECT doc_id, pos, tok, masked,
+         masked AND NOT COALESCE(LAG(masked, 1) OVER w, FALSE) AS new_run
+  FROM m
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), r AS (
+  SELECT doc_id, pos, tok, masked, new_run,
+         SUM(CASE WHEN new_run THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM nr
+), p AS (
+  SELECT doc_id, pos, tok, masked, new_run, run_id,
+         '<extra_id_' || (run_id - 1) || '>' AS sentinel
+  FROM r
+)
+SELECT doc_id,
+       COALESCE(string_agg(
+         CASE WHEN NOT masked THEN tok
+              WHEN new_run THEN sentinel END, ' ' ORDER BY pos), '')
+         AS input_text,
+       COALESCE(string_agg(
+         CASE WHEN masked AND new_run THEN sentinel || ' ' || tok
+              WHEN masked THEN tok END, ' ' ORDER BY pos), '')
+         AS target_text,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(MAX(run_id) AS BIGINT) AS n_spans
+FROM p
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_span_corruption",
+    oracle=_span_oracle(),
+    doc="T5/UL2 span-corruption objective materialized over the corpus "
+    "(SURVEY.md §2.11 pre-training prep): ~10% of tokens masked in "
+    "1-3-token spans (md5-derived starts/lengths — no RNG, engine-"
+    "portable), overlapping spans merged by bounded-lookback window "
+    "algebra, each span replaced by a numbered <extra_id_k> sentinel "
+    "in the input and emitted after its sentinel in the target.  One "
+    "doc_id shuffle serves the lags, the run cumsum, and the final "
+    "aggregation (Catalyst reuses the exchange); everything is JVM "
+    "codegen — no UDFs, no collects.  At 100 TB this is the same "
+    "shape as any per-doc window pass.",
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return span_corrupt(docs.select("doc_id", "text")).orderBy("doc_id")

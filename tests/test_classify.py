@@ -62,3 +62,37 @@ def test_nb_weights_shape(spark):
     assert cstat.count() == 2
     zero = weights.filter(F.col("wql") == 0).count()
     assert zero >= 64 * 2 - 2  # at most one seen bucket per class
+
+
+def test_span_corruption_roundtrip(spark):
+    """Replacing each <extra_id_k> sentinel in the input with its span
+    from the target must reconstruct the original token stream exactly
+    — the defining invariant of the T5 objective."""
+    import re
+
+    from artis_data_ingest_spark.plans.pretrain import span_corrupt
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}_{i}" for j in range(40))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    rows = span_corrupt(docs).collect()
+    assert sum(r["n_masked"] for r in rows) > 0  # fixture actually masks
+    for r in rows:
+        orig = " ".join(f"tok{j}_{r['doc_id']}" for j in range(40))
+        spans = {}
+        cur = None
+        for piece in r["target_text"].split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", piece)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(piece)
+        out = []
+        for piece in r["input_text"].split():
+            m = re.fullmatch(r"<extra_id_(\d+)>", piece)
+            out.extend(spans[int(m.group(1))] if m else [piece])
+        assert " ".join(out) == orig, r["doc_id"]
+        assert r["n_spans"] == len(spans)
+        assert r["n_masked"] == sum(len(v) for v in spans.values())

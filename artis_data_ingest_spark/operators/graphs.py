@@ -156,3 +156,64 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int | None = None,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """k-core of an undirected edge set ``(x, y)`` (distinct, x != y):
+    the maximal subgraph where every node has degree >= k — the
+    standard density filter for spam/bot subgraph mining and for
+    trimming low-support nodes before community detection.
+
+    Iterative peeling: drop nodes whose degree among SURVIVING nodes
+    is < k, recompute, repeat.  ``rounds=None`` peels to fixpoint
+    (checked with a 1-row count probe per round — the CC fixpoint
+    idiom); a fixed ``rounds`` runs exactly that many peels, giving a
+    structure identical to an unrolled SQL oracle (the k-means /
+    pagerank oracle pattern) — callers assert fixpoint-within-rounds
+    in tests.
+
+    Scale (100 TB): each round is two hash semi-joins of the edge set
+    against the (node-bounded) survivor set plus one map-side-combined
+    degree aggregate; survivor lineage is localCheckpoint-truncated
+    every ``checkpoint_every`` rounds.  Rounds are bounded by the
+    peel depth (degeneracy ordering length), typically << log n for
+    real graphs; no all-pairs step exists.
+
+    Returns (node, deg) — surviving nodes with their core degree.
+    """
+    sym = edges.select("x", "y").unionAll(
+        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).localCheckpoint()
+    alive = (
+        sym.groupBy(F.col("x").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .filter(F.col("deg") >= k)
+    )
+    i = 0
+    prev_n = None
+    while True:
+        i += 1
+        if rounds is not None and i > rounds:
+            break
+        keep = alive.select("node")
+        deg = (
+            sym.join(keep.withColumnRenamed("node", "x"), "x")
+            .join(keep.withColumnRenamed("node", "y"), "y")
+            .groupBy(F.col("x").alias("node"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+            .filter(F.col("deg") >= k)
+        )
+        if i % checkpoint_every == 0:
+            deg = deg.localCheckpoint()
+        if rounds is None:
+            n = deg.count()  # 1-row driver probe, bounds the loop
+            if n == prev_n:
+                return deg
+            prev_n = n
+        alive = deg
+    return alive

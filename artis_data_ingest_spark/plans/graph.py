@@ -234,3 +234,67 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(20)
     )
+
+
+_KCORE_K = 45
+_KCORE_ROUNDS = 8
+
+_KCORE_EDGES = """
+  SELECT DISTINCT 'c:' || o.o_custkey AS x, 's:' || l.l_suppkey AS y
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def _kcore_oracle() -> str:
+    k, r = _KCORE_K, _KCORE_ROUNDS
+    ctes = [
+        f"e0 AS ({_KCORE_EDGES})",
+        "sym AS (SELECT x, y FROM e0 UNION ALL SELECT y, x FROM e0)",
+        f"a0 AS (SELECT x AS node, COUNT(*) AS deg FROM sym "
+        f"GROUP BY 1 HAVING COUNT(*) >= {k})",
+    ]
+    for i in range(1, r + 1):
+        ctes.append(
+            f"a{i} AS (SELECT s.x AS node, COUNT(*) AS deg FROM sym s "
+            f"JOIN a{i - 1} nx ON s.x = nx.node "
+            f"JOIN a{i - 1} ny ON s.y = ny.node "
+            f"GROUP BY 1 HAVING COUNT(*) >= {k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(deg AS BIGINT) AS deg FROM a{r} ORDER BY node"
+    )
+
+
+@register(
+    "q_kcore",
+    oracle=_kcore_oracle(),
+    doc="k-core decomposition (SURVEY.md §2.11 graph family, beside "
+    "PageRank / triangles / connected components): the maximal "
+    "subgraph of the customer-supplier transaction graph where every "
+    "node retains >= k surviving neighbors — the density filter "
+    "fraud/community pipelines run before clustering.  Iterative "
+    f"peeling, {_KCORE_ROUNDS} rounds unrolled to mirror the chained-"
+    "CTE oracle exactly (fixpoint-within-rounds is pinned by "
+    "test_kcore_fixpoint_within_rounds); each round is two edge⨝"
+    "survivor semi-joins plus one map-side-combined degree aggregate, "
+    "survivor lineage localCheckpoint-truncated.  At 100 TB the edge "
+    "set shuffles on node keys only — no all-pairs, rounds bounded by "
+    "peel depth.",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import kcore
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+              .alias("x"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+              .alias("y"),
+        )
+        .distinct()
+    )
+    return kcore(edges, _KCORE_K, rounds=_KCORE_ROUNDS).orderBy("node")

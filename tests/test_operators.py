@@ -1098,3 +1098,25 @@ def test_html_main_content_drops_chrome_keeps_prose(spark):
     ]
     # script payload must never leak into any block's text
     assert not any("tracking" in t for t in texts)
+
+
+def test_kcore_cascade_and_fixpoint(spark):
+    """A triangle with a pendant path: under k=2 the path peels ONE
+    node per round from the free end inward (each interior node only
+    drops below k after its outer neighbor is removed — a genuine
+    multi-round cascade), and the triangle is the exact 2-core.  Also
+    pins that the fixed-rounds variant used for oracle parity reaches
+    the same answer as peel-to-fixpoint within the query's round
+    budget."""
+    from artis_data_ingest_spark.operators.graphs import kcore
+
+    tri = [("t0", "t1"), ("t1", "t2"), ("t0", "t2")]
+    # path t0 - p1 - p2 - p3 - p4: p4 peels first, then p3, p2, p1
+    path = [("t0", "p1"), ("p1", "p2"), ("p2", "p3"), ("p3", "p4")]
+    edges = spark.createDataFrame(tri + path, "x string, y string")
+    got = {(r["node"], r["deg"]) for r in kcore(edges, 2).collect()}
+    assert got == {("t0", 2), ("t1", 2), ("t2", 2)}
+    fixed = {
+        (r["node"], r["deg"]) for r in kcore(edges, 2, rounds=8).collect()
+    }
+    assert fixed == got

@@ -1148,3 +1148,113 @@ def q_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast (double exponential smoothing), the trend-
+# aware sibling of q_ewma_decay.  alpha = beta = 1/2 makes every
+# impulse-response coefficient a DYADIC rational (exact as an IEEE
+# double), so the truncated recursion becomes a fixed FIR over the
+# trailing _HOLT_TAPS observations: the same left-associative lag-sum
+# both engines evaluate identically — zero rounding tolerance, the
+# EWMA playbook extended to a 2-state (level, trend) filter.
+# ---------------------------------------------------------------------------
+
+_HOLT_TAPS = 24
+_HOLT_H = 7  # forecast horizon (days ahead)
+
+
+def _holt_weights() -> list[float]:
+    """Impulse response of the Holt recursion l_t = y/2 + (l+b)/2,
+    b_t = (l_t - l_prev)/2 + b/2, truncated to _HOLT_TAPS; forecast
+    weight j = l_j + H * b_j.  Computed exactly in Fractions and
+    asserted dyadic-representable so the float literals ARE the
+    rationals."""
+    from fractions import Fraction as Fr
+
+    half = Fr(1, 2)
+    lj, bj = [], []
+    l_prev, b_prev = Fr(0), Fr(0)
+    for j in range(_HOLT_TAPS):
+        y = Fr(1) if j == 0 else Fr(0)
+        l_cur = half * y + half * (l_prev + b_prev)
+        b_cur = half * (l_cur - l_prev) + half * b_prev
+        lj.append(l_cur)
+        bj.append(b_cur)
+        l_prev, b_prev = l_cur, b_cur
+    out = []
+    for j in range(_HOLT_TAPS):
+        w = lj[j] + _HOLT_H * bj[j]
+        assert float(w) == w, w  # dyadic, exactly representable
+        out.append(float(w))
+    return out
+
+
+def _holt_expr(engine: str) -> str:
+    ws = _holt_weights()
+    if engine == "spark":
+        taps = [
+            f"coalesce(lag(y, {j}) over "
+            f"(partition by event_type order by day), 0.0D) * {w!r}D"
+            for j, w in enumerate(ws)
+        ]
+    else:
+        taps = [
+            f"COALESCE(LAG(y, {j}) OVER "
+            f"(PARTITION BY event_type ORDER BY day), 0.0) * {w!r}"
+            for j, w in enumerate(ws)
+        ]
+    return " + ".join(taps)
+
+
+@register(
+    "q_holt_forecast",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), y AS (
+  SELECT event_type, day, CAST(cents AS DOUBLE) / 100 AS y FROM d
+)
+SELECT event_type, day, y,
+       {_holt_expr('duck')} AS forecast
+FROM y
+ORDER BY event_type, day
+""",
+    doc=f"Holt linear-trend forecast (double exponential smoothing, "
+    f"alpha=beta=1/2, {_HOLT_H}-day horizon) over the per-event-type "
+    "daily value series — the trend-aware step up from q_ewma_decay's "
+    "level-only decay, the standard capacity-planning forecast.  The "
+    f"2-state recursion is truncated to a {_HOLT_TAPS}-tap FIR (tap count sized so the complex-eigenvalue tail |lambda|=sqrt(1/2) decays below ~1e-3 of the signal) whose "
+    "coefficients are exact dyadic rationals (computed in Fractions, "
+    "asserted float-exact), so both engines evaluate the identical "
+    "left-associative IEEE chain — bit-equal, no tolerance.  Daily "
+    "totals aggregate in exact integer cents first.  Plan: one "
+    "map-side-combined shuffle to (event_type, day), then a bounded-"
+    "frame window on the same partitioning; the series table is "
+    "day-granular (bounded), never the raw event stream.",
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .select(
+            "event_type",
+            "day",
+            (F.col("cents").cast("double") / 100).alias("y"),
+        )
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "y",
+        F.expr(_holt_expr("spark")).alias("forecast"),
+    ).orderBy("event_type", "day")

@@ -96,3 +96,51 @@ def test_span_corruption_roundtrip(spark):
         assert " ".join(out) == orig, r["doc_id"]
         assert r["n_spans"] == len(spans)
         assert r["n_masked"] == sum(len(v) for v in spans.values())
+
+
+def test_holt_forecast_tracks_linear_trend(spark):
+    """On a clean linear ramp the Holt filter's forecast must
+    approximate y_t + H*slope (small truncation tail from the
+    24-tap FIR), and the Spark output must equal the same FIR
+    evaluated in Python bit-for-bit (the determinism claim)."""
+    from artis_data_ingest_spark.plans.events_time import (
+        _HOLT_H,
+        _HOLT_TAPS,
+        _holt_weights,
+    )
+    import datetime as dt
+
+    ws = _holt_weights()
+    slope = 3.0
+    ys = [100.0 + slope * t for t in range(48)]
+    rows = [
+        (1000 + t, dt.datetime(2024, 1, 1) + dt.timedelta(days=t), 7,
+         "ramp", ys[t], "{}")
+        for t in range(48)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.plans.events_time import _holt_expr
+
+    y_df = ev.select(
+        "event_type", F.to_date("ts").alias("day"),
+        F.col("value").alias("y"),
+    )
+    got = (
+        y_df.select("day", "y", F.expr(_holt_expr("spark")).alias("f"))
+        .orderBy("day")
+        .collect()
+    )
+    for t, r in enumerate(got):
+        expect = 0.0
+        for j, w in enumerate(ws):
+            expect = expect + (ys[t - j] if t - j >= 0 else 0.0) * w
+        assert r["f"] == expect, t  # bit-exact vs the Python FIR
+    # converged region: forecast ~ y_t + H*slope
+    for r in got[_HOLT_TAPS + 5:]:
+        assert abs(r["f"] - (r["y"] + _HOLT_H * slope)) < 0.5

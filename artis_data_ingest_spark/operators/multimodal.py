@@ -1425,3 +1425,134 @@ def synthetic_probe_media(spark: SparkSession, n: int = 12) -> DataFrame:
               "sample_rate": None})
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup: dHash (difference hash) over the REAL decode
+# path, banded for linear-blocking candidate generation — the image
+# analogue of the text MinHash/SimHash near-dup family.
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash_lo", T.LongType()),
+        T.StructField("dhash_hi", T.LongType()),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """64-bit dHash per image: decode (stdlib codecs), integer
+    nearest-neighbor downsample to 9x8, integer grayscale
+    (r+g+b)//3, bit (x,y) = gray[y][x+1] > gray[y][x].  Emitted as two
+    32-bit halves (rows 0-3 -> dhash_lo, rows 4-7 -> dhash_hi) so both
+    engines stay in non-negative BIGINT territory — no sign-bit games.
+
+    dHash is brightness-shift invariant (a constant offset cancels in
+    every adjacent-pixel comparison), which is exactly the perceptual
+    property that catches re-encoded / re-exposed copies exact-byte
+    dedup misses.  Corrupt payloads yield a null-hash row, never a job
+    failure.  Binary never reaches a shuffle — only (id, 2 ints) do."""
+
+    def _sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    arr = _decode_image_any(bytes(blob)).astype(np.int64)
+                except Exception:
+                    recs.append((mid, None, None))
+                    continue
+                h, w = arr.shape[:2]
+                ys = (np.arange(8, dtype=np.int64) * h) // 8
+                xs = (np.arange(9, dtype=np.int64) * w) // 9
+                gray = arr[ys][:, xs, :3].sum(axis=2) // 3
+                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64)
+                lo = hi = 0
+                for y in range(4):
+                    for x in range(8):
+                        lo |= int(bits[y, x]) << (y * 8 + x)
+                for y in range(4, 8):
+                    for x in range(8):
+                        hi |= int(bits[y, x]) << ((y - 4) * 8 + x)
+                recs.append((mid, lo, hi))
+            yield pd.DataFrame(
+                recs, columns=["media_id", "dhash_lo", "dhash_hi"]
+            )
+
+    return media.mapInPandas(_sig, DHASH_SCHEMA)
+
+
+def dhash_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup candidate pairs from dHash signatures via 4x16-bit
+    banding (pigeonhole: any pair within ``max_hamming`` <= 3 bit flips
+    shares at least one intact band) — linear blocking, never an
+    all-pairs image join.  Returns (media_id_a, media_id_b, hamming)."""
+    bands = sig.select(
+        "media_id",
+        "dhash_lo",
+        "dhash_hi",
+        F.posexplode(
+            F.array(
+                F.col("dhash_lo").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright("dhash_lo", 16).bitwiseAND(F.lit(0xFFFF)),
+                F.col("dhash_hi").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright("dhash_hi", 16).bitwiseAND(F.lit(0xFFFF)),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo"))
+    ) + F.bit_count(F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            ham.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dhash_png_media(
+    spark: SparkSession, families: int = 4, variants: int = 3
+) -> DataFrame:
+    """Fixture families of REAL 9x8 PNGs with closed-form dHash: family
+    f's base pattern is p(x,y) = 60 + 20*((x*7 + y*11 + f*13) % 5 < 2)
+    (R=G=B=p so integer grayscale == p; multipliers chosen so every
+    family pair is >=25 hamming apart — measured, not hoped); variant v adds a +4v global
+    brightness shift (dHash-invariant by construction) and variant 2
+    additionally bumps ONLY cell (1 + (f==2), 2) by +30 — a low-valued
+    cell in every family (the mod-5 pattern has no cell low in all
+    four, hence the family-dependent x), flipping 1-2 of the
+    comparisons that touch it: a genuine near-duplicate, hamming<=2.
+    media_id = f*variants + v."""
+    rows = []
+    for f in range(families):
+        for v in range(variants):
+            arr = np.zeros((8, 9, 3), dtype=np.uint8)
+            for y in range(8):
+                for x in range(9):
+                    p = 60 + 20 * ((x * 7 + y * 11 + f * 13) % 5 < 2) + 4 * v
+                    if v == 2 and x == 1 + (f == 2) and y == 2:
+                        p += 30
+                    arr[y, x, :] = p
+            rows.append(
+                (
+                    f * variants + v,
+                    "image",
+                    encode_png(np.ascontiguousarray(arr)),
+                    {"width": None, "height": None, "n_frames": None,
+                     "sample_rate": None},
+                )
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

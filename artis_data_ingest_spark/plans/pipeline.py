@@ -1105,3 +1105,84 @@ def q_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(media.select("media_id", "content")).orderBy(
         "media_id"
     )
+
+
+@register(
+    "q_image_dhash",
+    oracle="""
+WITH m AS (
+  SELECT CAST(f.f AS BIGINT) AS f, CAST(v.v AS BIGINT) AS v,
+         CAST(f.f * 3 + v.v AS BIGINT) AS media_id
+  FROM (SELECT UNNEST(range(4)) AS f) f,
+       (SELECT UNNEST(range(3)) AS v) v
+), px AS (
+  SELECT media_id,
+         CAST(x.x AS BIGINT) AS x, CAST(y.y AS BIGINT) AS y,
+         60 + 20 * CASE WHEN (x.x * 7 + y.y * 11 + f * 13) % 5 < 2
+                        THEN 1 ELSE 0 END
+            + 4 * v
+            + CASE WHEN v = 2 AND y.y = 2
+                        AND x.x = 1 + CASE WHEN f = 2 THEN 1 ELSE 0 END
+                   THEN 30 ELSE 0 END AS p
+  FROM m, (SELECT UNNEST(range(9)) AS x) x,
+          (SELECT UNNEST(range(8)) AS y) y
+), bits AS (
+  SELECT a.media_id, a.x, a.y,
+         CASE WHEN b.p > a.p THEN 1 ELSE 0 END AS bit
+  FROM px a
+  JOIN px b ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8
+), sig AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN y < 4
+                       THEN bit * (CAST(1 AS BIGINT) << (y * 8 + x))
+                       ELSE 0 END) AS BIGINT) AS lo,
+         CAST(SUM(CASE WHEN y >= 4
+                       THEN bit * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x))
+                       ELSE 0 END) AS BIGINT) AS hi
+  FROM bits GROUP BY 1
+), bands AS (
+  SELECT media_id, lo, hi, CAST(b.i AS BIGINT) AS band_idx,
+         CASE b.i WHEN 0 THEN lo & 65535
+                  WHEN 1 THEN (lo >> 16) & 65535
+                  WHEN 2 THEN hi & 65535
+                  ELSE (hi >> 16) & 65535 END AS band_val
+  FROM sig, (SELECT UNNEST(range(4)) AS i) b
+), pairs AS (
+  SELECT DISTINCT a.media_id AS media_id_a, b.media_id AS media_id_b,
+         CAST(bit_count(xor(a.lo, b.lo))
+              + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx
+              AND a.band_val = b.band_val
+              AND a.media_id < b.media_id
+)
+SELECT media_id_a, media_id_b, hamming
+FROM pairs WHERE hamming <= 3
+ORDER BY media_id_a, media_id_b
+""",
+    doc="Perceptual image near-dup via dHash over the REAL decode path "
+    "(SURVEY.md §2.11 multimodal x dedup): dhash_png_media emits 4 "
+    "families x 3 variants of spec-correct 9x8 PNGs where variants "
+    "differ by a global brightness shift (dHash-invariant: constant "
+    "offsets cancel in adjacent-pixel comparisons) plus one single-"
+    "cell bump on variant 2 (flips <=2 bits — a genuine near-dup, not "
+    "an exact one); image_dhash decodes with the stdlib codec inside "
+    "Arrow-batched mapInPandas and emits the 64-bit signature as two "
+    "32-bit halves; dhash_pairs blocks candidates by 4x16-bit bands "
+    "(pigeonhole-complete for hamming<=3) — the SimHash banding "
+    "recipe applied to pixels.  The oracle re-derives every hash "
+    "closed-form from the generation formula, so a decoder or "
+    "banding bug hash-mismatches.  Binary never shuffles; the pair "
+    "join sees only (id, 2 ints).",
+)
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        dhash_pairs,
+        dhash_png_media,
+        image_dhash,
+    )
+
+    media = dhash_png_media(spark)
+    sig = image_dhash(media.select("media_id", "content"))
+    return dhash_pairs(sig).orderBy("media_id_a", "media_id_b")

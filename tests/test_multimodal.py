@@ -1369,3 +1369,62 @@ def test_bmp_image_stats_tolerates_corrupt_payload(spark):
     out = {r["media_id"]: r for r in image_stats(media.union(broken)).collect()}
     assert out[99]["width"] is None and out[99]["mean_r"] is None
     assert out[0]["width"] == 8
+
+
+def test_image_dhash_invariance_and_pairs(spark):
+    """dHash must be invariant to the global brightness shift between
+    variants (hamming 0), tolerant of the single-cell bump on variant
+    2 (hamming <= 2), and families must never pair (>= 25 bits
+    apart).  Exactly the 12 within-family pairs survive banding."""
+    from artis_data_ingest_spark.operators.multimodal import (
+        dhash_pairs,
+        dhash_png_media,
+        image_dhash,
+    )
+
+    media = dhash_png_media(spark)
+    sig = {
+        r["media_id"]: (r["dhash_lo"], r["dhash_hi"])
+        for r in image_dhash(media.select("media_id", "content")).collect()
+    }
+    assert len(sig) == 12 and all(v[0] is not None for v in sig.values())
+    for f in range(4):
+        base, shift, bump = sig[f * 3], sig[f * 3 + 1], sig[f * 3 + 2]
+        assert base == shift  # brightness shift cancels exactly
+        ham = bin(base[0] ^ bump[0]).count("1") + bin(
+            base[1] ^ bump[1]
+        ).count("1")
+        assert 1 <= ham <= 2
+    pairs = dhash_pairs(
+        image_dhash(media.select("media_id", "content"))
+    ).collect()
+    got = {(r["media_id_a"], r["media_id_b"]) for r in pairs}
+    want = {
+        (f * 3 + i, f * 3 + j)
+        for f in range(4)
+        for i in range(3)
+        for j in range(i + 1, 3)
+    }
+    assert got == want
+
+
+def test_image_dhash_corrupt_payload_null_row(spark):
+    """A torn payload must yield a null-hash row, not kill the job."""
+    from artis_data_ingest_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        dhash_png_media,
+        image_dhash,
+    )
+
+    media = dhash_png_media(spark, families=1, variants=1).unionByName(
+        spark.createDataFrame(
+            [(99, "image", b"\x89PNG\r\n\x1a\ntorn", {
+                "width": None, "height": None, "n_frames": None,
+                "sample_rate": None})],
+            MEDIA_SCHEMA,
+        )
+    )
+    rows = {r["media_id"]: r for r in
+            image_dhash(media.select("media_id", "content")).collect()}
+    assert rows[99]["dhash_lo"] is None
+    assert rows[0]["dhash_lo"] is not None

@@ -143,6 +143,13 @@ def lm_perplexity_buckets(
     keyed = score_documents(
         docs.filter(F.col("doc_id") % holdout_mod != 0), vocab_s, sden
     )
+    return bucketize_keys(keyed)
+
+
+def bucketize_keys(keyed: DataFrame) -> DataFrame:
+    """Tercile-bucket (doc_id, key) rows into head/middle/tail with the
+    distributed-rank recipe (shared by the unigram and bigram LMs).
+    Returns (doc_id, bucket, ppl_key, log2_ppl)."""
     # distributed rank: per-key counts -> cumulative over DISTINCT keys
     # (group-bounded window), + row_number within key (distributed)
     kc = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("kn"))
@@ -189,3 +196,127 @@ def lm_perplexity_buckets(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM (add-one over per-context counts) — the next rung of the
+# CCNet quality ladder above the unigram model: p(w | prev) =
+# (c2(prev,w) + 1) / (c1(prev) + V), with a '<s>' sentinel context for
+# each document's first token so every token scores exactly once.
+# log2 p is the exact integer difference qlog2(c2+1) - qlog2(c1+V);
+# unseen contexts score -qlog2(V) (c1 = 0, c2 = 0) with no special
+# casing beyond two coalesces.
+# ---------------------------------------------------------------------------
+
+BOS = "<s>"
+
+
+def _bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, prev, term) for every token, prev = preceding token or
+    the BOS sentinel — one doc_id-partitioned window over the
+    position-exploded stream."""
+    from .scale import spread_cpu_bound
+
+    tok = (
+        spread_cpu_bound(docs)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), WS_RE)).alias(
+                "pos", "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", "pos", F.lower("token").alias("term"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return tok.select(
+        "doc_id",
+        F.lag("term", 1, BOS).over(w).alias("prev"),
+        "term",
+    )
+
+
+def train_bigram_lm(
+    docs: DataFrame, holdout_mod: int = 10
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train on docs with doc_id % holdout_mod == 0.  Returns
+    (bigram_s (prev, term, s=qlog2(c2+1)),
+     ctx_s (prev, sden=qlog2(c1+V)),
+     qv (1 row: qv=qlog2(V)) — the unseen-context denominator).
+    V = distinct trained terms + 1 (the OOV word class)."""
+    bg = _bigrams(docs.filter(F.col("doc_id") % holdout_mod == 0))
+    c2 = bg.groupBy("prev", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c2")
+    ).localCheckpoint()
+    c1 = c2.groupBy("prev").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vv = c2.select("term").distinct().agg(
+        (F.count(F.lit(1)).cast("bigint") + 1).alias("v")
+    )
+    ctx = c1.crossJoin(F.broadcast(vv)).select(
+        "prev", (F.col("c1") + F.col("v")).alias("c1v")
+    )
+    vals = (
+        c2.select((F.col("c2") + 1).alias("x")).distinct()
+        .union(ctx.select(F.col("c1v").alias("x")))
+        .union(vv.select(F.col("v").alias("x")))
+        .distinct()
+    )
+    qtab = with_qlog2(vals, "x", "q").localCheckpoint()
+    bigram_s = c2.join(
+        F.broadcast(qtab), c2["c2"] + 1 == qtab["x"]
+    ).select("prev", "term", F.col("q").alias("s"))
+    ctx_s = ctx.join(
+        F.broadcast(qtab), ctx["c1v"] == qtab["x"]
+    ).select("prev", F.col("q").alias("sden"))
+    qv = vv.join(F.broadcast(qtab), vv["v"] == qtab["x"]).select(
+        F.col("q").alias("qv")
+    )
+    return bigram_s, ctx_s, qv
+
+
+def score_documents_bigram(
+    docs: DataFrame,
+    bigram_s: DataFrame,
+    ctx_s: DataFrame,
+    qv: DataFrame,
+) -> DataFrame:
+    """(doc_id, key): key = ((sum(den) - sum(num)) * 64) div n over the
+    doc's bigram stream — the exact 2^26-scaled log2 perplexity under
+    the bigram model.  The bigram artifact is vocabulary^2-bounded
+    (broadcast here; at open-web vocab sizes it joins on the
+    (prev, term) hash instead — same plan shape, one shuffle)."""
+    bg = _bigrams(docs)
+    scored = (
+        bg.join(F.broadcast(bigram_s), on=["prev", "term"], how="left")
+        .join(F.broadcast(ctx_s), on="prev", how="left")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            F.coalesce("s", F.lit(0).cast("bigint")).alias("num"),
+            F.coalesce("sden", F.col("qv")).alias("den"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("num").cast("bigint").alias("sum_num"),
+        F.sum("den").cast("bigint").alias("sum_den"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.expr(
+            f"((sum_den - sum_num) * {1 << KEY_EXTRA_BITS}) div n"
+        ).alias("key"),
+    )
+
+
+def bigram_perplexity_buckets(
+    docs: DataFrame, holdout_mod: int = 10
+) -> DataFrame:
+    """Bigram twin of lm_perplexity_buckets: train on the holdout
+    slice, score the rest, tercile-bucket."""
+    bigram_s, ctx_s, qv = train_bigram_lm(docs, holdout_mod)
+    keyed = score_documents_bigram(
+        docs.filter(F.col("doc_id") % holdout_mod != 0),
+        bigram_s, ctx_s, qv,
+    )
+    return bucketize_keys(keyed)

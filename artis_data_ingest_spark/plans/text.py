@@ -1378,3 +1378,126 @@ def q_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("agent", "path")
     )
+
+
+def _bigram_ppl_oracle() -> str:
+    from ..functions.numeric import qlog2_duck_cte
+
+    ws = r"[ \t\n\r\f\x0B]+"
+    ql, ql_out = qlog2_duck_cte("vals", "x")
+    # positions via the parallel-UNNEST zip (the span-corruption
+    # pattern); '<s>' sentinel context via LAG default
+    bigrams = """
+  SELECT doc_id,
+         LAG(term, 1, '<s>') OVER (PARTITION BY doc_id ORDER BY pos)
+           AS prev,
+         term
+  FROM (
+    SELECT doc_id, lower(token) AS term, pos
+    FROM (
+      SELECT doc_id, UNNEST(toks) AS token,
+             CAST(UNNEST(range(len(toks))) AS BIGINT) AS pos
+      FROM lst
+    ) WHERE token <> ''
+  )"""
+    return f"""
+WITH lst AS (
+  SELECT doc_id, string_split_regex(trim(text), '{ws}') AS toks
+  FROM documents
+),
+trb AS ({bigrams.replace("FROM lst", "FROM lst WHERE doc_id % 10 = 0")}
+),
+c2 AS (
+  SELECT prev, term, CAST(COUNT(*) AS BIGINT) AS c2
+  FROM trb GROUP BY 1, 2
+),
+c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+vv AS (
+  SELECT CAST(COUNT(DISTINCT term) AS BIGINT) + 1 AS v FROM c2
+),
+ctx AS (SELECT prev, c1 + (SELECT v FROM vv) AS c1v FROM c1),
+vals AS (
+  SELECT DISTINCT c2 + 1 AS x FROM c2
+  UNION SELECT c1v FROM ctx
+  UNION SELECT v FROM vv
+),
+{ql},
+bs AS (
+  SELECT c.prev, c.term, o.qlog2 AS s
+  FROM c2 c JOIN {ql_out} o ON o.x = c.c2 + 1
+),
+cs AS (
+  SELECT c.prev, o.qlog2 AS sden
+  FROM ctx c JOIN {ql_out} o ON o.x = c.c1v
+),
+qv AS (
+  SELECT o.qlog2 AS qv FROM vv JOIN {ql_out} o ON o.x = vv.v
+),
+apb AS ({bigrams.replace("FROM lst", "FROM lst WHERE doc_id % 10 <> 0")}
+),
+sc AS (
+  SELECT b.doc_id,
+         COALESCE(bs.s, 0) AS num,
+         COALESCE(cs.sden, (SELECT qv FROM qv)) AS den
+  FROM apb b
+  LEFT JOIN bs ON bs.prev = b.prev AND bs.term = b.term
+  LEFT JOIN cs ON cs.prev = b.prev
+),
+pd AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(num) AS BIGINT) AS sum_num,
+         CAST(SUM(den) AS BIGINT) AS sum_den
+  FROM sc GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, ((sum_den - sum_num) * 64) // n AS key FROM pd
+),
+kc AS (SELECT key, COUNT(*) AS kn FROM keyed GROUP BY key),
+kcum AS (
+  SELECT key, kn,
+         SUM(kn) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) AS endr
+  FROM kc
+),
+ranked AS (
+  SELECT k.doc_id, k.key,
+         c.endr - c.kn
+           + ROW_NUMBER() OVER (PARTITION BY k.key ORDER BY k.doc_id)
+           AS rnk
+  FROM keyed k JOIN kcum c USING (key)
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM keyed),
+bucketed AS (
+  SELECT doc_id, key,
+         CASE WHEN rnk <= nd // 3 THEN 'head'
+              WHEN rnk <= (2 * nd) // 3 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM ranked CROSS JOIN nd
+)
+SELECT doc_id, bucket,
+       key AS ppl_key,
+       CAST(key AS DOUBLE) / 67108864.0 AS log2_ppl
+FROM bucketed
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_bigram_ppl_buckets",
+    oracle=_bigram_ppl_oracle(),
+    doc="Bigram LM perplexity quality buckets — the next rung of the "
+    "CCNet ladder above q_lm_perplexity_buckets: p(w|prev) = "
+    "(c2(prev,w)+1)/(c1(prev)+V) with a '<s>' sentinel context so "
+    "every token scores exactly once, trained on the doc_id%10==0 "
+    "holdout and applied to the rest.  log2 p is the exact integer "
+    "difference qlog2(c2+1) - qlog2(c1+V); unseen contexts fall back "
+    "to -qlog2(V) via one coalesce — no float probabilities anywhere, "
+    "hash-matchable by construction.  Plan: one doc_id window builds "
+    "the bigram stream; the vocabulary^2-bounded artifact broadcasts "
+    "(at open-web vocab it becomes one (prev,term) hash join — same "
+    "shape); tercile cut reuses the distributed-rank recipe.",
+)
+def q_bigram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import bigram_perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_perplexity_buckets(docs)

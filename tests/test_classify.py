@@ -144,3 +144,35 @@ def test_holt_forecast_tracks_linear_trend(spark):
     # converged region: forecast ~ y_t + H*slope
     for r in got[_HOLT_TAPS + 5:]:
         assert abs(r["f"] - (r["y"] + _HOLT_H * slope)) < 0.5
+
+
+def test_bigram_lm_separates_word_order(spark):
+    """Two docs with IDENTICAL unigram content but different word
+    order: the unigram LM scores them equal, the bigram LM must score
+    the in-order doc strictly better — the capability the bigram rung
+    adds."""
+    from artis_data_ingest_spark.operators.lm import (
+        score_documents,
+        score_documents_bigram,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
+
+    base = "alpha beta gamma delta " * 6
+    docs = spark.createDataFrame(
+        [(0, base), (10, base), (20, base),          # train slice (%10==0)
+         (1, base),                                   # seen order
+         (2, " ".join(reversed(base.split())))],      # reversed order
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    apply_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    uni = train_unigram_lm(docs)
+    ukeys = {r["doc_id"]: r["key"]
+             for r in score_documents(apply_docs, *uni).collect()}
+    assert ukeys[1] == ukeys[2]  # unigram is order-blind
+    big = train_bigram_lm(docs)
+    bkeys = {r["doc_id"]: r["key"]
+             for r in score_documents_bigram(apply_docs, *big).collect()}
+    assert bkeys[1] < bkeys[2]  # bigram model prefers trained order

@@ -269,6 +269,7 @@ def _kcore_oracle() -> str:
 @register(
     "q_kcore",
     oracle=_kcore_oracle(),
+    bench=True,
     doc="k-core decomposition (SURVEY.md §2.11 graph family, beside "
     "PageRank / triangles / connected components): the maximal "
     "subgraph of the customer-supplier transaction graph where every "

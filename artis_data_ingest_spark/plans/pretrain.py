@@ -188,6 +188,7 @@ ORDER BY doc_id
 @register(
     "q_span_corruption",
     oracle=_span_oracle(),
+    bench=True,
     doc="T5/UL2 span-corruption objective materialized over the corpus "
     "(SURVEY.md §2.11 pre-training prep): ~10% of tokens masked in "
     "1-3-token spans (md5-derived starts/lengths — no RNG, engine-"

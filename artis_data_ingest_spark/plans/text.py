@@ -1484,6 +1484,7 @@ ORDER BY doc_id
 @register(
     "q_bigram_ppl_buckets",
     oracle=_bigram_ppl_oracle(),
+    bench=True,
     doc="Bigram LM perplexity quality buckets — the next rung of the "
     "CCNet ladder above q_lm_perplexity_buckets: p(w|prev) = "
     "(c2(prev,w)+1)/(c1(prev)+V) with a '<s>' sentinel context so "

@@ -12,7 +12,10 @@ executor-memory churn cannot bleed into the queries after it.
 
 r8 anchor additions: q_lm_perplexity_buckets, q_semantic_dedup and
 q_bpe_pack join the headline set (the heaviest new shapes — trend
-anchors from their first round, the r6/r7 convention).  Their r8
+anchors from their first round, the r6/r7 convention); the late-r8
+batch adds q_bigram_ppl_buckets (bigram artifact + window stream),
+q_kcore (iterative peel) and q_span_corruption (full-corpus window
+pass) under the same convention.  Their r8
 optimization history: semantic dedup's pair verify pinned to
 defaultParallelism partitions (7.8 s → 1.5 s — AQE had coalesced the
 byte-small assignment table to ~1 partition, serializing ~6M dot

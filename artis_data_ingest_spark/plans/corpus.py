@@ -1120,3 +1120,55 @@ def q_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "shard", "pack_id")
     )
+
+
+@register(
+    "q_group_kfold",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, source, lang,
+         CAST(CONCAT('0x',
+           substring(md5('fold:' || source), 1, 4)) AS INT) % 5 AS fold
+  FROM documents
+)
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       min(source) AS first_source
+FROM f
+GROUP BY fold
+ORDER BY fold
+""",
+    doc="Leakage-safe GROUP k-fold assignment (SURVEY.md §2.11 splits "
+    "family): the fold is a salted-md5 hash of the GROUP key (source), "
+    "not the row id, so every document from one source lands in the "
+    "same fold — the grouped-CV discipline that keeps near-duplicate "
+    "pages from one site out of both train and eval (doc-level "
+    "q_train_split cannot guarantee that).  No RNG, reproducible "
+    "under any partitioning; the no-leakage invariant (each source in "
+    "exactly one fold) is pinned by test_group_kfold_no_leakage.  "
+    "Plan: one map-side-combined shuffle on fold; at 100 TB this is "
+    "a pure scan-stage expression plus a 5-group aggregate.",
+)
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("source"))), 1, 4
+            ),
+            16, 10,
+        ).cast("int") % 5
+    )
+    return (
+        docs.select(fold.alias("fold"), "source", "lang")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min("source").alias("first_source"),
+        )
+        .orderBy("fold")
+    )

@@ -176,3 +176,37 @@ def test_bigram_lm_separates_word_order(spark):
     bkeys = {r["doc_id"]: r["key"]
              for r in score_documents_bigram(apply_docs, *big).collect()}
     assert bkeys[1] < bkeys[2]  # bigram model prefers trained order
+
+
+def test_group_kfold_no_leakage(spark):
+    """Every source must land in exactly one fold (the leakage-safety
+    invariant), and fold assignment must be a pure function of the
+    source key — stable under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("source"))), 1, 4
+            ),
+            16, 10,
+        ).cast("int") % 5
+    )
+    per_source = (
+        docs.select("source", fold.alias("fold"))
+        .groupBy("source")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .collect()
+    )
+    assert per_source and all(r["nf"] == 1 for r in per_source)
+    a = docs.select(fold.alias("fold"), "source").distinct().collect()
+    b = (
+        docs.repartition(13)
+        .select(fold.alias("fold"), "source")
+        .distinct()
+        .collect()
+    )
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

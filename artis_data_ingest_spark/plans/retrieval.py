@@ -1164,3 +1164,87 @@ def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "pos", snippet.alias("snippet"))
         .orderBy("doc_id", "term")
     )
+
+
+_FERTILITY_ORACLE = (
+    _BPE_ORACLE_HEAD
+    + "".join(
+        _BPE_ORACLE_ITER.format(i=i, j=i + 1, s=_BPE_SEP)
+        for i in range(_BPE_MERGES)
+    )
+    + f""", wt AS (
+  SELECT word,
+         len(list_filter(string_split(enc, '{_BPE_SEP}{_BPE_SEP}'),
+                         x -> x <> '')) AS n_bpe
+  FROM vocab{_BPE_MERGES}
+), tokl AS (
+  SELECT doc_id, lang, lower(token) AS term
+  FROM (
+    SELECT doc_id, lang,
+           UNNEST(string_split_regex(trim(text), '{_WS_SQL}')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+)
+SELECT tokl.lang,
+       CAST(COUNT(*) AS BIGINT) AS ws_tokens,
+       CAST(SUM(wt.n_bpe) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(length(tokl.term)) AS BIGINT) AS n_chars,
+       CAST(CAST(SUM(wt.n_bpe) AS BIGINT) AS DOUBLE) / COUNT(*)
+         AS fertility,
+       CAST(CAST(SUM(length(tokl.term)) AS BIGINT) AS DOUBLE)
+         / CAST(SUM(wt.n_bpe) AS BIGINT) AS chars_per_token
+FROM tokl JOIN wt ON tokl.term = wt.word
+GROUP BY tokl.lang
+ORDER BY tokl.lang
+"""
+)
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=_FERTILITY_ORACLE,
+    doc="Tokenizer fertility evaluation per language — the standard "
+    "multilingual-tokenizer health metric (XLM-R / mT5 reporting): "
+    "BPE symbols per whitespace word (fertility) and characters per "
+    "BPE symbol, rolled up by lang from the SAME persisted merge "
+    "table q_bpe_apply serves.  A tokenizer trained on an "
+    "English-heavy mix shows elevated fertility on underrepresented "
+    "languages — the signal that drives vocabulary rebalancing.  "
+    "Exact integer sums; the two ratios are single double divisions "
+    "of identical exact inputs.  Plan: vocabulary-bounded broadcast "
+    "map join + one 5-group aggregate — the corpus is touched once.",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab, _ = _bpe_train(spark, sf_dir)
+    sep2 = _BPE_SEP + _BPE_SEP
+    n_bpe = F.size(F.filter(F.split("enc", sep2), lambda x: x != ""))
+    wt = vocab.select("word", n_bpe.alias("n_bpe"))
+    docs = spread_cpu_bound(load_table(spark, sf_dir, "documents"))
+    tokl = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.trim("text"), _WS_SQL)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .select("lang", F.lower("token").alias("term"))
+    )
+    return (
+        tokl.join(F.broadcast(wt), tokl["term"] == wt["word"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("ws_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+            F.sum(F.length("term")).cast("bigint").alias("n_chars"),
+            (
+                F.sum("n_bpe").cast("bigint").cast("double")
+                / F.count(F.lit(1))
+            ).alias("fertility"),
+            (
+                F.sum(F.length("term")).cast("bigint").cast("double")
+                / F.sum("n_bpe").cast("bigint")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

@@ -15,7 +15,16 @@ q_bpe_pack join the headline set (the heaviest new shapes — trend
 anchors from their first round, the r6/r7 convention); the late-r8
 batch adds q_bigram_ppl_buckets (bigram artifact + window stream),
 q_kcore (iterative peel) and q_span_corruption (full-corpus window
-pass) under the same convention.  Their r8
+pass) under the same convention.  q_kcore's first measurement (9.44 s)
+was cut to ~1.9 s by (a) integer node ids instead of 'c:'/'s:' label
+strings in the peel joins and (b) early-exiting the capped peel once
+the survivor count stabilizes (monotone shrink => identical result to
+the full unrolled budget the oracle runs).  The r7-flagged
+regressions both recovered without code changes in their plans
+(q_dup_clusters 3.56->2.79 s, q_corpus_pipeline 0.61->0.41 s —
+consistent with the scheduler-position/noise explanation recorded in
+round 8's opening measurements; TPC-H micro-queries show the same
+±10-20% run-to-run spread, e.g. q3 runs [0.99, 0.84, 0.77]).  Their r8
 optimization history: semantic dedup's pair verify pinned to
 defaultParallelism partitions (7.8 s → 1.5 s — AQE had coalesced the
 byte-small assignment table to ~1 partition, serializing ~6M dot

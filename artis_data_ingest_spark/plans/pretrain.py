@@ -203,3 +203,97 @@ ORDER BY doc_id
 def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return span_corrupt(docs.select("doc_id", "text")).orderBy("doc_id")
+
+
+_PMI_MIN_SUPPORT = 8
+_PMI_TOPK = 20
+
+
+@register(
+    "q_pmi_collocations",
+    oracle=f"""
+WITH lst AS (
+  SELECT doc_id, list_filter(
+           string_split_regex(trim(lower(text)), '{_WS}'),
+           t -> t <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, UNNEST(toks) AS term,
+         CAST(UNNEST(range(len(toks))) AS BIGINT) AS pos
+  FROM lst
+), pairs AS (
+  SELECT LAG(term, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS x,
+         term AS y
+  FROM tok
+  QUALIFY x IS NOT NULL
+), cxy AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy
+  FROM pairs GROUP BY 1, 2
+), cl AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM cxy GROUP BY 1),
+cr AS (SELECT y, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM cxy GROUP BY 1),
+n AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS npairs FROM cxy),
+scored AS (
+  SELECT cxy.x, cxy.y, cxy.c_xy,
+         CAST(cxy.c_xy * n.npairs AS DOUBLE)
+           / CAST(cl.c_x * cr.c_y AS DOUBLE) AS pmi_ratio
+  FROM cxy
+  JOIN cl USING (x) JOIN cr USING (y) CROSS JOIN n
+  WHERE cxy.c_xy >= {_PMI_MIN_SUPPORT}
+)
+SELECT x, y, c_xy, pmi_ratio
+FROM scored
+ORDER BY pmi_ratio DESC, x, y
+LIMIT {_PMI_TOPK}
+""",
+    doc="PMI collocation extraction (pointwise mutual information over "
+    "adjacent word pairs) — the classic phrase-mining signal behind "
+    "word2vec phrase merging and tokenizer-vocabulary seeding.  The "
+    "score is surfaced as the exact RATIO p(x,y)/(p_left(x)p_right(y)) "
+    "= (c_xy*N)/(c_x*c_y) rather than its log: one double division of "
+    "exact bigint products (identical in both engines; monotone in "
+    f"PMI, so the top-{_PMI_TOPK} ranking is the PMI ranking).  Min "
+    f"support {_PMI_MIN_SUPPORT} kills the low-count PMI pathology.  "
+    "All marginals fold out of the single pair-count table — the "
+    "corpus is tokenized once, one (x,y) shuffle + two vocab-bounded "
+    "rollups.  At ~1e13-token corpora the bigint product c_xy*N "
+    "approaches 2^63: widen that one expression to decimal(38,0) "
+    "(same plan shape).",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.trim(F.lower("text")), _WS)
+            ).alias("pos", "term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        tok.select(F.lag("term", 1).over(w).alias("x"), F.col("term").alias("y"))
+        .filter(F.col("x").isNotNull())
+    )
+    cxy = pairs.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_xy")
+    ).localCheckpoint()
+    cl = cxy.groupBy("x").agg(F.sum("c_xy").cast("bigint").alias("c_x"))
+    cr = cxy.groupBy("y").agg(F.sum("c_xy").cast("bigint").alias("c_y"))
+    n = cxy.agg(F.sum("c_xy").cast("bigint").alias("npairs"))
+    scored = (
+        cxy.filter(F.col("c_xy") >= _PMI_MIN_SUPPORT)
+        .join(cl, "x")
+        .join(cr, "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x", "y", "c_xy",
+            (
+                (F.col("c_xy") * F.col("npairs")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double")
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio").desc(), "x", "y"
+    ).limit(_PMI_TOPK)

@@ -297,3 +297,135 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi_ratio").desc(), "x", "y"
     ).limit(_PMI_TOPK)
+
+
+_VG_BUCKET = 50  # docs per growth-curve bucket
+
+
+@register(
+    "q_vocab_growth",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(trim(lower(text)), '{_WS}')) AS term
+  FROM documents
+), t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+firsts AS (
+  SELECT term, CAST(MIN(doc_id) // {_VG_BUCKET} AS BIGINT) AS bucket
+  FROM t GROUP BY term
+), per_bucket AS (
+  SELECT CAST(doc_id // {_VG_BUCKET} AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM t GROUP BY 1
+), new_terms AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new FROM firsts GROUP BY 1
+)
+SELECT p.bucket,
+       CAST(SUM(p.n_tokens) OVER (ORDER BY p.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(nt.n_new, 0)) OVER (ORDER BY p.bucket
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+FROM per_bucket p LEFT JOIN new_terms nt USING (bucket)
+ORDER BY p.bucket
+""",
+    doc="Vocabulary-growth curve (Heaps'-law diagnostic): cumulative "
+    "distinct vocabulary vs cumulative token count per "
+    f"{_VG_BUCKET}-doc ingest bucket — the curve that sizes tokenizer "
+    "vocabularies and spots ingest anomalies (a bucket of "
+    "near-duplicate pages flattens it; a language shift kinks it "
+    "upward).  Distributed first-occurrence trick: a term joins the "
+    "curve at bucket = min(doc_id)//B, so 'new vocabulary per bucket' "
+    "is one groupBy over the term table — no running distinct-count "
+    "state, no order-dependent scan.  The cumulative window runs over "
+    "the BUCKET table (corpus-size/B rows), never per doc.  Plan: one "
+    "term shuffle + one bucket shuffle.",
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), _WS)).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    firsts = t.groupBy("term").agg(
+        F.expr(f"CAST(min(doc_id) div {_VG_BUCKET} AS BIGINT)").alias("bucket")
+    )
+    new_terms = firsts.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    per_bucket = t.groupBy(
+        F.expr(f"CAST(doc_id div {_VG_BUCKET} AS BIGINT)").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_bucket.join(new_terms, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(w).cast("bigint").alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_source_overlap",
+    oracle=r"""
+WITH d AS (
+  SELECT source, string_split_regex(trim(text), '[ \t\n\r\f\x0B]+') AS w
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) >= 8
+), g AS (
+  SELECT DISTINCT source, array_to_string(w[i:i+7], ' ') AS gram
+  FROM d, UNNEST(range(1, len(w) - 6)) AS u(i)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+    doc="Cross-source content-overlap matrix: for every source pair, "
+    "the number of distinct word-8-grams (the q_contamination_ngram "
+    "blocking unit) appearing in BOTH — the provenance diagnostic "
+    "that tells you which feeds mirror each other before you blend "
+    "them (the CommonCrawl-vs-C4-style overlap audit).  The join key "
+    "is the 8-gram and each gram's source list is bounded by the "
+    "source count, so pair fan-out is sources^2-bounded per gram — "
+    "linear in the corpus, never doc x doc.  Plan: one distinct "
+    "(source, gram) shuffle + one gram self-join + one pair "
+    "aggregate.",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", F.split(F.trim("text"), _WS).alias("w")
+    ).filter(F.size("w") >= 8)
+    g = d.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 7),"
+                " i -> concat_ws(' ', slice(w, i, 8)))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_ngrams"))
+        .orderBy("source_a", "source_b")
+    )

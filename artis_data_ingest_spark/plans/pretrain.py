@@ -429,3 +429,140 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_ngrams"))
         .orderBy("source_a", "source_b")
     )
+
+
+_CDC_WIN = 4   # rolling-window width (words) deciding boundaries
+_CDC_MOD = 16  # boundary probability 1/MOD -> E[chunk] ~ MOD words
+
+
+@register(
+    "q_cdc_chunks",
+    oracle=f"""
+WITH lst AS (
+  SELECT doc_id, list_filter(
+           string_split_regex(trim(lower(text)), '{_WS}'),
+           t -> t <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, UNNEST(toks) AS w,
+         CAST(UNNEST(range(len(toks))) AS BIGINT) + 1 AS pos
+  FROM lst
+), win AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN pos >= {_CDC_WIN} THEN
+           CAST(CONCAT('0x', substring(md5(
+             LAG(w, 3) OVER wd || ' ' || LAG(w, 2) OVER wd || ' ' ||
+             LAG(w, 1) OVER wd || ' ' || w), 1, 4)) AS INT) % {_CDC_MOD} = 0
+         ELSE FALSE END AS boundary
+  FROM tok
+  WINDOW wd AS (PARTITION BY doc_id ORDER BY pos)
+), cid AS (
+  SELECT doc_id, pos, w,
+         CAST(COALESCE(SUM(CASE WHEN boundary THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS chunk_id
+  FROM win
+), chunks AS (
+  SELECT doc_id, chunk_id,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS fp,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM cid GROUP BY doc_id, chunk_id
+)
+SELECT fp,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MIN(n_words) AS BIGINT) AS n_words
+FROM chunks
+GROUP BY fp
+HAVING COUNT(*) > 1
+ORDER BY n_occurrences DESC, fp
+""",
+    doc="Content-defined chunking dedup (the Rabin/FastCDC recipe at "
+    f"word granularity): a chunk boundary falls wherever the rolling "
+    f"{_CDC_WIN}-word window hashes to 0 mod {_CDC_MOD} (E[chunk] ~ "
+    f"{_CDC_MOD} words), so boundaries are a pure function of LOCAL "
+    "content — inserting a sentence re-chunks only its neighborhood "
+    "and every other chunk fingerprint survives, the insert-"
+    "resistance fixed-size chunking (q_chunk_dedup/q_doc_chunks) "
+    "fundamentally lacks (pinned by test_cdc_insert_resistance).  "
+    "Output: every chunk fingerprint occurring more than once, with "
+    "occurrence/doc counts — the shared-span report substring-level "
+    "dedup acts on.  Plan: one doc_id window chain (lags + cumsum "
+    "share the exchange), one (doc, chunk) aggregate, one "
+    "fingerprint shuffle; no UDFs.",
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_duplicate_chunks(docs)
+
+
+def cdc_chunk_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_id, fp, n_words) for every CDC chunk of
+    ``docs(doc_id, text)``."""
+    tok = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.trim(F.lower("text")), _WS)
+            ).alias("pos0", "w"),
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    winhash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.lag("w", 3).over(wd),
+                    F.lag("w", 2).over(wd),
+                    F.lag("w", 1).over(wd),
+                    F.col("w"),
+                )
+            ),
+            1, 4,
+        ),
+        16, 10,
+    ).cast("int")
+    boundary = F.when(
+        F.col("pos") >= _CDC_WIN, winhash % _CDC_MOD == 0
+    ).otherwise(F.lit(False))
+    cid = (
+        tok.withColumn("boundary", boundary)
+        .withColumn(
+            "chunk_id",
+            F.coalesce(
+                F.sum(F.col("boundary").cast("int")).over(
+                    wd.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+    )
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))),
+            lambda s: s["w"],
+        ),
+        " ",
+    )
+    return cid.groupBy("doc_id", "chunk_id").agg(
+        F.md5(joined).alias("fp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+
+
+def cdc_duplicate_chunks(docs: DataFrame) -> DataFrame:
+    chunks = cdc_chunk_table(docs)
+    return (
+        chunks.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("n_words").cast("bigint").alias("n_words"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+        .orderBy(F.col("n_occurrences").desc(), "fp")
+    )

@@ -210,3 +210,29 @@ def test_group_kfold_no_leakage(spark):
         .collect()
     )
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_cdc_insert_resistance(spark):
+    """The CDC property: prepending a sentence to a long document
+    re-chunks only the neighborhood of the edit — the vast majority
+    of chunk fingerprints survive.  Fixed-size chunking would shift
+    every chunk and lose all of them."""
+    import random
+
+    from artis_data_ingest_spark.plans.pretrain import cdc_chunk_table
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(500)}" for _ in range(600)]
+    original = " ".join(words)
+    edited = "inserted preamble sentence goes here " + original
+    docs = spark.createDataFrame(
+        [(0, original), (1, edited)], "doc_id long, text string"
+    )
+    chunks = cdc_chunk_table(docs).collect()
+    fps = {0: set(), 1: set()}
+    for r in chunks:
+        fps[r["doc_id"]].add(r["fp"])
+    shared = fps[0] & fps[1]
+    # all chunks after the edit's neighborhood must survive unchanged
+    assert len(shared) >= 0.8 * len(fps[0])
+    assert fps[0] != fps[1]  # the edit did change the head chunk(s)

@@ -1258,3 +1258,71 @@ def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.expr(_holt_expr("spark")).alias("forecast"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q_trimmed_mean",
+    oracle="""
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type,
+       CAST(MIN(n) AS BIGINT) AS n_total,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(cents) AS BIGINT) AS kept_cents,
+       CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100 AS trimmed_mean
+FROM r
+WHERE rnk > n // 10 AND rnk <= n - n // 10
+GROUP BY event_type
+ORDER BY event_type
+""",
+    doc="10% two-sided trimmed mean per event type — the robust "
+    "location estimate between the mean (outlier-fragile) and the "
+    "median (throws away 98% of the data); the companion to "
+    "q_outlier_mad's robust scale.  Exact by construction: values "
+    "rank as integer cents with an event_id tie-break (total order, "
+    "identical both engines), the trim keeps ranks (n/10, n - n/10] "
+    "by integer division, and the kept sum is an exact bigint — the "
+    "only float is one final division.  Plan: one event_type shuffle "
+    "shared by both windows and the final aggregate; at 100 TB a "
+    "skewed group salts the rank via the distributed-rank recipe "
+    "(q_lm_perplexity_buckets) instead of one giant partition.",
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    wp = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wp.orderBy("cents", "event_id")).alias("rnk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    kept = r.filter(
+        (F.col("rnk") > F.expr("n div 10"))
+        & (F.col("rnk") <= F.col("n") - F.expr("n div 10"))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.min("n").cast("bigint").alias("n_total"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("cents").cast("bigint").alias("kept_cents"),
+            (
+                F.sum("cents").cast("double") / F.count(F.lit(1)) / 100
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )

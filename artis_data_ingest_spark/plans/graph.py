@@ -315,3 +315,93 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("s:"), (F.col("node") - _KCORE_OFF).cast("string")),
     ).otherwise(F.concat(F.lit("c:"), F.col("node").cast("string")))
     return core.select(label.alias("node"), "deg").orderBy("node")
+
+
+_WG_PAGES = 40
+
+_WG_ORACLE = (
+    f"""
+WITH eraw AS (
+  SELECT CAST(doc_id % {_WG_PAGES} AS BIGINT) AS src,
+         CAST((doc_id * 7 + 3) % {_WG_PAGES} AS BIGINT) AS dst
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id % {_WG_PAGES} AS BIGINT),
+         CAST((doc_id * 11 + 5) % {_WG_PAGES} AS BIGINT)
+  FROM documents
+), edges AS (
+  SELECT src, dst, COUNT(*) AS w FROM eraw GROUP BY src, dst
+), outw AS (
+  SELECT src, SUM(w) AS ow FROM edges GROUP BY src
+), ew AS (
+  SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN outw o USING (src)
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), base AS (
+  SELECT (15 * {_PR_SCALE}) // (100 * n) AS b FROM nn
+), pr0 AS (
+  SELECT node, {_PR_SCALE} // n AS pr FROM nodes, nn
+)"""
+    + "".join(_PR_ORACLE_ITER.format(i=i, j=i + 1) for i in range(_PR_ITER))
+    + f"""
+SELECT 'p' || CAST(p.node AS VARCHAR) AS page,
+       CAST(p.pr AS BIGINT) AS pr_fixed,
+       CAST(p.pr AS DOUBLE) / {_PR_SCALE} AS pagerank
+FROM pr{_PR_ITER} p
+ORDER BY pr_fixed DESC, page
+"""
+)
+
+
+@register(
+    "q_webgraph_rank",
+    oracle=_WG_ORACLE,
+    doc="End-to-end web-graph ranking — the crawl-analytics "
+    "composition: per-document HTML pages (two anchors each, targets "
+    "derived from the doc id) are parsed by the REAL distributed "
+    "xpath() extraction (the q_xpath_links path), hrefs parse back to "
+    "page ids, the (src, dst) link graph aggregates with counts, and "
+    f"the {_PR_ITER}-iteration integer fixed-point PageRank runs on "
+    "top.  The oracle derives the same edges by construction and "
+    "unrolls the same integer arithmetic, so a regression anywhere in "
+    "parse -> extract -> graph-build -> rank hash-mismatches.  Plan: "
+    "the parse is codegen'd per-row expression work inside the scan "
+    "stage; everything after is the q_pagerank shape (node-bounded "
+    "rank tables, edges shuffle on src per iteration).",
+)
+def q_webgraph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.html import extract_links
+
+    docs = load_table(spark, sf_dir, "documents")
+    t1 = (F.col("doc_id") * 7 + 3) % _WG_PAGES
+    t2 = (F.col("doc_id") * 11 + 5) % _WG_PAGES
+    html = F.concat(
+        F.lit('<html><body><div id="links"><a href="/p/'),
+        t1.cast("string"),
+        F.lit('">a</a><a href="/p/'),
+        t2.cast("string"),
+        F.lit('">b</a></div></body></html>'),
+    )
+    html_df = docs.select(
+        (F.col("doc_id") % _WG_PAGES).cast("bigint").alias("src"),
+        html.alias("html"),
+    )
+    links = extract_links(
+        spark, html_df, section_xpath='//div[@id="links"]'
+    )
+    eraw = links.select(
+        "src",
+        F.regexp_extract("href", r"/p/(\d+)", 1).cast("bigint").alias("dst"),
+    )
+    pr = pagerank(eraw.withColumn("w", F.lit(1)), n_iter=_PR_ITER)
+    return pr.select(
+        F.concat(F.lit("p"), F.col("node").cast("string")).alias("page"),
+        F.col("pr").alias("pr_fixed"),
+        (F.col("pr").cast("double") / F.lit(float(_PR_SCALE))).alias(
+            "pagerank"
+        ),
+    ).orderBy(F.col("pr_fixed").desc(), "page")

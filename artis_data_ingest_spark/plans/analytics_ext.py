@@ -1748,3 +1748,73 @@ def mann_whitney_auc(labeled: DataFrame) -> DataFrame:
             / (2 * F.col("n_pos") * F.col("n_neg"))
         ).alias("auc"),
     )
+
+
+@register(
+    "q_l_diversity",
+    oracle="""
+WITH g AS (
+  SELECT user_id % 12 AS cohort,
+         CAST(FLOOR(value / 100) AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT CAST(cohort AS VARCHAR) AS cohort,
+       CAST(band AS VARCHAR) AS band,
+       n_events, n_types
+FROM g WHERE n_types >= 3
+UNION ALL
+SELECT '<suppressed>' AS cohort,
+       CAST(COUNT(*) AS VARCHAR) AS band,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       NULL AS n_types
+FROM g WHERE n_types < 3
+HAVING COUNT(*) > 0
+ORDER BY cohort, band
+""",
+    doc="l-diversity release check (Machanavajjhala et al.) — the "
+    "privacy gate k-anonymity alone misses: a group can hold >= k "
+    "users yet reveal everyone's sensitive value if that value is "
+    "uniform.  Quasi-identifier groups (user cohort, value band) "
+    "publish only when the sensitive attribute (event_type) takes at "
+    "least l = 3 distinct values; failing groups roll into a "
+    "reconciling '<suppressed>' row carrying their combined event "
+    "count and group count (q_k_anonymity's never-silently-drop "
+    "contract).  Plan: one map-side-combined shuffle for the QI "
+    "grouping; the diversity rollup runs over the tiny group table.",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.groupBy(
+            (F.col("user_id") % 12).alias("cohort"),
+            F.floor(F.col("value") / 100).cast("bigint").alias("band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        )
+    )
+    ok = g.filter(F.col("n_types") >= 3).select(
+        F.col("cohort").cast("string").alias("cohort"),
+        F.col("band").cast("string").alias("band"),
+        "n_events",
+        "n_types",
+    )
+    bad = (
+        g.filter(F.col("n_types") < 3)
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .filter(F.col("n_groups") > 0)
+        .select(
+            F.lit("<suppressed>").alias("cohort"),
+            F.col("n_groups").cast("string").alias("band"),
+            "n_events",
+            F.lit(None).cast("bigint").alias("n_types"),
+        )
+    )
+    return ok.unionByName(bad).orderBy("cohort", "band")

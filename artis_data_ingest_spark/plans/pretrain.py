@@ -566,3 +566,168 @@ def cdc_duplicate_chunks(docs: DataFrame) -> DataFrame:
         .filter(F.col("n_occurrences") > 1)
         .orderBy(F.col("n_occurrences").desc(), "fp")
     )
+
+
+@register(
+    "q_length_buckets",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+           string_split_regex(trim(text), '{_WS}'), x -> x <> ''))
+           AS BIGINT) AS n_tok
+  FROM documents
+), b AS (
+  -- next power of two via integer bit length (the qlog2 bin() trick):
+  -- ceil(log2(n)) = length(bin(n-1)) for n > 1 — exact integers, no
+  -- float log2 whose ULP near exact powers could differ per engine
+  SELECT doc_id, n_tok,
+         CAST(CASE WHEN n_tok <= 1 THEN 1
+              ELSE 1 << length(bin(n_tok - 1)) END AS BIGINT) AS bucket
+  FROM t WHERE n_tok > 0
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(bucket - n_tok) AS BIGINT) AS padding_waste,
+       CAST(SUM(n_tok) AS DOUBLE) / SUM(bucket) AS utilization
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+""",
+    doc="Sequence-length bucketing report — the batching-efficiency "
+    "analysis behind bucketed batch samplers: docs bin to the next "
+    "power-of-2 token length, and each bucket reports document count, "
+    "real tokens, padding waste (bucket - n_tok summed) and "
+    "utilization — the number that decides between padding, packing "
+    "(q_sequence_pack) and length-grouped batching.  The power-of-2 "
+    "bucket is pure integer bit-length arithmetic (1 << "
+    "length(bin(n-1)) — no float log2, whose ULP near exact powers "
+    "of two differs across engines).  Plan: pure scan-stage expression "
+    "+ one small-group aggregate.",
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(
+            F.split(F.trim("text"), _WS), lambda x: x != ""
+        )
+    ).cast("bigint")
+    t = docs.select("doc_id", n_tok.alias("n_tok")).filter(
+        F.col("n_tok") > 0
+    )
+    bucket = F.when(F.col("n_tok") <= 1, F.lit(1).cast("bigint")).otherwise(
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), length(bin(n_tok - 1)))"
+        ).cast("bigint")
+    )
+    return (
+        t.select("doc_id", "n_tok", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+            F.sum(F.col("bucket") - F.col("n_tok"))
+            .cast("bigint").alias("padding_waste"),
+            (
+                F.sum("n_tok").cast("double") / F.sum("bucket")
+            ).alias("utilization"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q_fim_transform",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '{_WS}'),
+                     x -> x <> '') AS toks
+  FROM documents
+), n AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0
+), cuts AS (
+  SELECT doc_id, toks, n,
+         CAST(CONCAT('0x', substring(md5('fim-a:' || doc_id), 1, 8))
+              AS BIGINT) % (n + 1) AS a
+  FROM n
+), cuts2 AS (
+  SELECT doc_id, toks, n, a,
+         a + CAST(CONCAT('0x', substring(md5('fim-b:' || doc_id), 1, 8))
+                  AS BIGINT) % (n - a + 1) AS b
+  FROM cuts
+)
+SELECT doc_id,
+       -- COALESCE: DuckDB array_to_string([]) is NULL, Spark
+       -- array_join([]) is '' — pin the Spark semantics
+       '<fim_prefix> ' || COALESCE(array_to_string(toks[1:a], ' '), '')
+         || ' <fim_suffix> '
+         || COALESCE(array_to_string(toks[b+1:n], ' '), '')
+         || ' <fim_middle> '
+         || COALESCE(array_to_string(toks[a+1:b], ' '), '')
+         AS psm_text,
+       CAST(a AS BIGINT) AS n_prefix,
+       CAST(b - a AS BIGINT) AS n_middle,
+       CAST(n - b AS BIGINT) AS n_suffix
+FROM cuts2
+ORDER BY doc_id
+""",
+    doc="Fill-in-the-middle transform (Bavarian et al. 2022) — the "
+    "infilling objective of code LLMs, the PSM-order companion to "
+    "q_span_corruption's T5 objective: two md5-derived cut points "
+    "a <= b split each token stream into prefix/middle/suffix, "
+    "emitted as '<fim_prefix> P <fim_suffix> S <fim_middle> M' so the "
+    "model learns to generate the middle conditioned on both sides.  "
+    "No RNG: cuts are hashes of the doc id — reproducible under any "
+    "partitioning, identical in both engines.  Plan: pure scan-stage "
+    "array arithmetic (split/slice/concat), zero shuffles before the "
+    "presentation sort.",
+)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.trim("text"), _WS), lambda x: x != "")
+    t = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks").cast("bigint")
+    ha = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("fim-a:"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    c1 = t.select("doc_id", "toks", n.alias("n"), (ha % (n + 1)).alias("a"))
+    hb = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("fim-b:"), F.col("doc_id").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
+    c2 = c1.select(
+        "doc_id", "toks", "n", "a",
+        (F.col("a") + hb % (F.col("n") - F.col("a") + 1)).alias("b"),
+    )
+    psm = F.concat(
+        F.lit("<fim_prefix> "),
+        F.array_join(F.slice("toks", 1, F.col("a").cast("int")), " "),
+        F.lit(" <fim_suffix> "),
+        F.array_join(
+            F.expr("slice(toks, CAST(b + 1 AS INT), CAST(n - b AS INT))"),
+            " ",
+        ),
+        F.lit(" <fim_middle> "),
+        F.array_join(
+            F.expr("slice(toks, CAST(a + 1 AS INT), CAST(b - a AS INT))"),
+            " ",
+        ),
+    )
+    return c2.select(
+        "doc_id",
+        psm.alias("psm_text"),
+        F.col("a").cast("bigint").alias("n_prefix"),
+        (F.col("b") - F.col("a")).cast("bigint").alias("n_middle"),
+        (F.col("n") - F.col("b")).cast("bigint").alias("n_suffix"),
+    ).orderBy("doc_id")

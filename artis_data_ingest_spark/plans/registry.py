@@ -36,14 +36,18 @@ _REGISTRY: dict[str, Query] = {}
 # (closing the round-7 verdict's freshness ledger), then (d) the
 # weakest-covered r5 names up to the budget.
 _PRIORITY: list[str] = [
-    # (a) new in round 8 — need a first driver verdict.  The late-r8
-    # additions (q_ewma_decay, q_score_auc, q_weighted_sample,
-    # q_robots_policy, q_sitemap_urls, q_bmp_features, and the final
-    # batch q_nb_classifier, q_span_corruption, q_kcore,
-    # q_holt_forecast, q_image_dhash, q_bigram_ppl_buckets) are NOT
-    # front-loaded — the budget is full and the r4-stale block takes
-    # precedence per the r7 verdict; they lead the round-9 rotation
-    # instead (all are local-gate green at sf0.01).
+    # (a) new in round 8 — need a first driver verdict.  Everything
+    # registered after the budget filled (q_ewma_decay, q_score_auc,
+    # q_weighted_sample, q_robots_policy, q_sitemap_urls,
+    # q_bmp_features, q_nb_classifier, q_span_corruption, q_kcore,
+    # q_holt_forecast, q_image_dhash, q_bigram_ppl_buckets,
+    # q_group_kfold, q_minhash_recall_eval, q_tokenizer_fertility,
+    # q_pmi_collocations, q_vocab_growth, q_source_overlap,
+    # q_cdc_chunks, q_trimmed_mean, q_webgraph_rank) is NOT
+    # front-loaded — the r4-stale block takes precedence per the r7
+    # verdict; those names lead the round-9 rotation instead (every
+    # one is local-gate green at sf0.01, see the full check_oracle
+    # runs recorded in round 8).
     "q_substring_dedup",
     "q_dsir_weights",
     "q_semantic_contamination",

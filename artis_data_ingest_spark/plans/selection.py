@@ -519,3 +519,94 @@ def weighted_sample(
     return keyed.withColumn("sample_rank", F.row_number().over(w)).filter(
         F.col("sample_rank") <= k
     )
+
+
+def _pref_pairs_oracle() -> str:
+    from .text import _lm_ppl_cte
+
+    return f"""
+WITH {_lm_ppl_cte()},
+src AS (
+  SELECT k.doc_id, k.key, d.source
+  FROM keyed k JOIN documents d USING (doc_id)
+), rk AS (
+  SELECT doc_id, key, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY key, doc_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM src
+), lo AS (SELECT * FROM rk WHERE rnk <= n // 2),
+hi AS (
+  SELECT doc_id, key, source, n - rnk + 1 AS rnk FROM rk
+  WHERE n - rnk + 1 <= n // 2
+)
+SELECT lo.source,
+       CAST(lo.rnk AS BIGINT) AS pair_id,
+       lo.doc_id AS chosen_doc_id,
+       hi.doc_id AS rejected_doc_id,
+       CAST(hi.key - lo.key AS BIGINT) AS margin
+FROM lo JOIN hi ON lo.source = hi.source AND lo.rnk = hi.rnk
+WHERE hi.key > lo.key
+ORDER BY lo.source, pair_id
+"""
+
+
+@register(
+    "q_preference_pairs",
+    oracle=_pref_pairs_oracle(),
+    doc="DPO/RLHF preference-pair construction from the LM quality "
+    "signal: within each source, docs rank by exact perplexity key "
+    "and rank i pairs with rank n+1-i — best-vs-worst first, "
+    "narrowing inward — emitting (chosen, rejected, margin) rows; "
+    "zero-margin pairs (equal keys) are dropped since they carry no "
+    "preference signal.  This is the standard bootstrap for reward-"
+    "model / DPO data when only a scalar quality score exists.  All "
+    "ranking is the exact bigint key with doc_id tie-breaks — "
+    "deterministic pairing under any partitioning.  Plan: scoring is "
+    "q_lm_perplexity_buckets' shape; pairing adds one source-"
+    "partitioned window + a self-join on (source, rank) — both ride "
+    "the same hash partitioning.",
+)
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.lm import score_documents, train_unigram_lm
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab_s, sden = train_unigram_lm(docs)
+    keyed = score_documents(
+        docs.filter(F.col("doc_id") % 10 != 0), vocab_s, sden
+    )
+    src = keyed.join(docs.select("doc_id", "source"), "doc_id")
+    wp = Window.partitionBy("source")
+    rk = src.select(
+        "doc_id", "key", "source",
+        F.row_number().over(wp.orderBy("key", "doc_id")).alias("rnk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    lo = rk.filter(F.col("rnk") <= F.expr("n div 2")).select(
+        "source",
+        F.col("rnk").cast("bigint").alias("pair_id"),
+        F.col("doc_id").alias("chosen_doc_id"),
+        F.col("key").alias("key_lo"),
+    )
+    hi = rk.filter(
+        (F.col("n") - F.col("rnk") + 1) <= F.expr("n div 2")
+    ).select(
+        "source",
+        (F.col("n") - F.col("rnk") + 1).cast("bigint").alias("pair_id"),
+        F.col("doc_id").alias("rejected_doc_id"),
+        F.col("key").alias("key_hi"),
+    )
+    return (
+        lo.join(hi, ["source", "pair_id"])
+        .filter(F.col("key_hi") > F.col("key_lo"))
+        .select(
+            "source",
+            "pair_id",
+            "chosen_doc_id",
+            "rejected_doc_id",
+            (F.col("key_hi") - F.col("key_lo")).cast("bigint").alias("margin"),
+        )
+        .orderBy("source", "pair_id")
+    )

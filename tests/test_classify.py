@@ -236,3 +236,37 @@ def test_cdc_insert_resistance(spark):
     # all chunks after the edit's neighborhood must survive unchanged
     assert len(shared) >= 0.8 * len(fps[0])
     assert fps[0] != fps[1]  # the edit did change the head chunk(s)
+
+
+def test_fim_reconstruction(spark):
+    """PSM segments must reassemble to the original token stream
+    (prefix + middle + suffix == doc) for every document — the
+    correctness invariant of the infilling transform."""
+    from artis_data_ingest_spark.plans.registry import _REGISTRY
+
+    fn = _REGISTRY["q_fim_transform"].fn
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    docs = {
+        r["doc_id"]: " ".join(r["text"].split())
+        for r in load_table(
+            spark, "/root/testdata/sf0.001", "documents"
+        ).collect()
+    }
+    import re
+
+    for r in rows:
+        m = re.fullmatch(
+            r"<fim_prefix> (.*) <fim_suffix> (.*) <fim_middle> (.*)",
+            r["psm_text"],
+            re.S,
+        )
+        assert m, r["doc_id"]
+        pre, suf, mid = m.group(1), m.group(2), m.group(3)
+        rebuilt = " ".join(" ".join([pre, mid, suf]).split())
+        assert rebuilt == docs[r["doc_id"]], r["doc_id"]
+        assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == len(
+            docs[r["doc_id"]].split()
+        )

@@ -405,3 +405,108 @@ def q_webgraph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pagerank"
         ),
     ).orderBy(F.col("pr_fixed").desc(), "page")
+
+
+@register(
+    "q_clustering_coeff",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT x AS node FROM e UNION ALL SELECT y AS node FROM e)
+  GROUP BY node
+),
+o AS (
+  SELECT CASE WHEN (dx.deg < dy.deg)
+                OR (dx.deg = dy.deg AND e.x < e.y)
+              THEN e.x ELSE e.y END AS src,
+         CASE WHEN (dx.deg < dy.deg)
+                OR (dx.deg = dy.deg AND e.x < e.y)
+              THEN e.y ELSE e.x END AS dst
+  FROM e
+  JOIN deg dx ON dx.node = e.x
+  JOIN deg dy ON dy.node = e.y
+),
+o2 AS (
+  SELECT o.src, o.dst, d.deg AS ddst FROM o JOIN deg d ON d.node = o.dst
+),
+tri AS (
+  SELECT a.src AS n1, a.dst AS n2, b.dst AS n3
+  FROM o2 a
+  JOIN o2 b ON a.src = b.src
+           AND ((a.ddst < b.ddst)
+                OR (a.ddst = b.ddst AND a.dst < b.dst))
+  JOIN o2 c ON c.src = a.dst AND c.dst = b.dst
+),
+corners AS (
+  SELECT n1 AS node FROM tri
+  UNION ALL SELECT n2 FROM tri
+  UNION ALL SELECT n3 FROM tri
+),
+tc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM corners GROUP BY node)
+SELECT d.node,
+       d.deg,
+       CAST(COALESCE(tc.t, 0) AS BIGINT) AS n_triangles,
+       CAST(2 * COALESCE(tc.t, 0) AS DOUBLE) / (d.deg * (d.deg - 1))
+         AS clustering_coeff
+FROM deg d LEFT JOIN tc USING (node)
+WHERE d.deg >= 2
+ORDER BY clustering_coeff DESC, d.node
+LIMIT 20
+""",
+    doc="Local clustering coefficient — 2T(v)/(deg(v)(deg(v)-1)), the "
+    "per-node community-density statistic built from the SAME "
+    "degree-oriented triangle machinery as q_triangle_count (each "
+    "triangle counted once, hub wedges O(d)); nodes with no "
+    "triangles coalesce to 0 rather than dropping, the coefficient "
+    "is one double division of exact bigints, and deg>=2 guards the "
+    "denominator.  Plan: the triangle pipeline + one degree LEFT "
+    "join; top-20 with full deterministic tie-break.",
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graphs import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("x"),
+            F.col("b.l_partkey").alias("y"),
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("x").alias("node"))
+        .unionAll(edges.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    tc = triangle_counts(edges)
+    return (
+        deg.join(tc, "node", "left")
+        .filter(F.col("deg") >= 2)
+        .select(
+            "node",
+            "deg",
+            F.coalesce("n_triangles", F.lit(0))
+            .cast("bigint").alias("n_triangles"),
+            (
+                (2 * F.coalesce("n_triangles", F.lit(0))).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1))
+            ).alias("clustering_coeff"),
+        )
+        .orderBy(F.col("clustering_coeff").desc(), "node")
+        .limit(20)
+    )

@@ -270,3 +270,69 @@ def test_fim_reconstruction(spark):
         assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == len(
             docs[r["doc_id"]].split()
         )
+
+
+def test_trimmed_mean_robust_to_outliers(spark):
+    """A single enormous outlier must not move the 10% trimmed mean
+    (it lands in the trimmed tail), while the plain mean is dragged."""
+    import datetime as dt
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1), i, "t", 10.0 + (i % 3), "{}")
+        for i in range(30)
+    ] + [(99, dt.datetime(2024, 1, 2), 99, "t", 1e6, "{}")]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from pyspark.sql import functions as F
+
+    # run the same trimmed-mean construction over the in-memory frame
+    c = ev.select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    from pyspark.sql.window import Window
+
+    wp = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type", "cents",
+        F.row_number().over(wp.orderBy("cents", "event_id")).alias("rnk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    kept = r.filter(
+        (F.col("rnk") > F.expr("n div 10"))
+        & (F.col("rnk") <= F.col("n") - F.expr("n div 10"))
+    )
+    [row] = (
+        kept.groupBy("event_type")
+        .agg((F.sum("cents").cast("double") / F.count(F.lit(1)) / 100)
+             .alias("tm"))
+        .collect()
+    )
+    assert 10.0 <= row["tm"] <= 12.0  # outlier trimmed away
+    [m] = ev.agg(F.avg("value").alias("m")).collect()
+    assert m["m"] > 1000  # plain mean is wrecked
+
+
+def test_preference_pairs_semantics(spark):
+    """Pairs stay within source, chosen has the strictly lower
+    (better) perplexity key, and margins are positive."""
+    from artis_data_ingest_spark.plans.registry import _REGISTRY
+
+    rows = _REGISTRY["q_preference_pairs"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["margin"] > 0
+        assert r["chosen_doc_id"] != r["rejected_doc_id"]
+    # pair ids dense from 1 within each source
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r["pair_id"])
+    for src, ids in by_src.items():
+        assert sorted(ids) == list(range(1, len(ids) + 1)) or ids, src

@@ -2009,3 +2009,131 @@ def q_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(truth > 0, tp.cast("double") / truth).alias("recall"),
         F.when(ncand > 0, tp.cast("double") / ncand).alias("precision"),
     )
+
+
+_MRL_DIMS = (4, 8, 16)
+_MRL_K = 5
+
+
+def _mrl_rank_cte(d: int | None, name: str) -> str:
+    sl = f"emb[1:{d}]" if d else "emb"
+    return f"""{name} AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.q_emb[1:{d or 64}], c.{sl})
+               / (sqrt(list_dot_product(q.q_emb[1:{d or 64}],
+                                        q.q_emb[1:{d or 64}]))
+                  * sqrt(list_dot_product(c.{sl}, c.{sl}))), 6) DESC,
+               c.vec_id
+           ) AS rank
+    FROM c, q WHERE c.vec_id <> q.query_id
+  ) WHERE rank <= {_MRL_K}
+)"""
+
+
+def _mrl_oracle() -> str:
+    ctes = [
+        """c AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+)""",
+        f"""q AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM c WHERE vec_id IN {_QUERY_IDS}
+)""",
+        _mrl_rank_cte(None, "full_k"),
+    ]
+    selects = []
+    for d in _MRL_DIMS:
+        ctes.append(_mrl_rank_cte(d, f"k{d}"))
+        selects.append(
+            f"SELECT {d} AS dim, f.query_id,\n"
+            f"       CAST(COUNT(t.vec_id) AS BIGINT) AS n_overlap\n"
+            f"FROM full_k f LEFT JOIN k{d} t\n"
+            f"  ON t.query_id = f.query_id AND t.vec_id = f.vec_id\n"
+            f"GROUP BY f.query_id"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY dim, query_id"
+    )
+
+
+@register(
+    "q_matryoshka_recall",
+    oracle=_mrl_oracle(),
+    doc="Matryoshka-truncation recall eval (MRL, Kusupati et al.): "
+    "how much of the FULL-dimension exact top-5 survives when the "
+    "64-d embeddings are truncated to their first 4/8/16 dims — the "
+    "measurement that decides how far a nested-representation index "
+    "can shrink its fast first-stage vectors.  Same brute-force "
+    "contract as q_cosine_topk (3 broadcast queries, sequential-fold "
+    "doubles, round+id tie-break), re-ranked per truncation; overlap "
+    "counted against the full-dim ranking.  Plan: eval-bounded (3 "
+    "queries x 4 rankings); the corpus streams once per ranking with "
+    "no self-join — at index scale the truncated pass is the IVF "
+    "coarse stage, which q_ann_ivf* already covers.",
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    queries = emb.filter(F.col("vec_id").isin(list(_QUERY_IDS))).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+
+    from pyspark.sql.window import Window
+
+    def topk(d: int | None):
+        qe = F.slice("q_emb", 1, d) if d else F.col("q_emb")
+        ce = F.slice("emb", 1, d) if d else F.col("emb")
+        dot = F.aggregate(
+            F.zip_with(qe, ce, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        nq = F.sqrt(F.aggregate(
+            F.zip_with(qe, qe, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ))
+        nc = F.sqrt(F.aggregate(
+            F.zip_with(ce, ce, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ))
+        sims = (
+            emb.crossJoin(F.broadcast(queries))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id", "vec_id",
+                F.round(dot / (nq * nc), 6).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), "vec_id"
+        )
+        return (
+            sims.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _MRL_K)
+            .select("query_id", "vec_id")
+        )
+
+    full_k = topk(None).localCheckpoint()
+    out = None
+    for d in _MRL_DIMS:
+        t = topk(d).withColumnRenamed("vec_id", "t_vec")
+        ov = (
+            full_k.join(
+                t,
+                (t["query_id"] == full_k["query_id"])
+                & (t["t_vec"] == full_k["vec_id"]),
+                "left",
+            )
+            .groupBy(full_k["query_id"].alias("query_id"))
+            .agg(F.count(t["t_vec"]).cast("bigint").alias("n_overlap"))
+            .select(F.lit(d).cast("int").alias("dim"), "query_id", "n_overlap")
+        )
+        out = ov if out is None else out.unionByName(ov)
+    return out.orderBy("dim", "query_id")

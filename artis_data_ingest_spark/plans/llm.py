@@ -40,7 +40,7 @@ from ..operators.similarity import (
     pq_codebooks_sql,
 )
 from ..sources.tables import load_table
-from .registry import register
+from .registry import _REGISTRY, register
 
 _QUERY_IDS = (0, 1, 2)
 
@@ -2137,3 +2137,97 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = ov if out is None else out.unionByName(ov)
     return out.orderBy("dim", "query_id")
+
+
+def _dedup_policy_oracle() -> str:
+    base = portable_minhash_ctes()
+    return f"""WITH RECURSIVE {base.lstrip()[len("WITH "):]},
+cand AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), sym AS (
+  SELECT a, b FROM cand UNION SELECT b, a FROM cand
+), reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+), labels AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+), fp AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp
+  FROM documents
+), ex AS (
+  SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n
+  FROM fp GROUP BY fp
+), exm AS (
+  SELECT f.doc_id, e.keep_doc_id, e.n FROM fp f JOIN ex e USING (fp)
+)
+SELECT d.doc_id,
+       CASE WHEN exm.n > 1 AND d.doc_id <> exm.keep_doc_id
+              THEN 'exact_dup'
+            WHEN l.cluster IS NOT NULL AND d.doc_id <> l.cluster
+              THEN 'near_dup'
+            ELSE 'kept' END AS reason,
+       CASE WHEN exm.n > 1 AND d.doc_id <> exm.keep_doc_id
+              THEN exm.keep_doc_id
+            WHEN l.cluster IS NOT NULL AND d.doc_id <> l.cluster
+              THEN l.cluster
+            ELSE d.doc_id END AS canonical_id
+FROM documents d
+JOIN exm ON exm.doc_id = d.doc_id
+LEFT JOIN labels l ON l.node = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "q_dedup_policy",
+    oracle=_dedup_policy_oracle(),
+    doc="The production keep/drop decision table — the capstone that "
+    "composes the dedup stack into one verdict per document: exact "
+    "dups (q_dedup_exact's normalized fingerprint) drop to their "
+    "min-id canonical FIRST, then MinHash near-dup cluster members "
+    "(q_dup_clusters' connected components) drop to their cluster "
+    "canonical, everything else keeps itself.  Precedence is pinned "
+    "identically in both engines (exact beats near).  This is the "
+    "table a corpus-build job anti-joins against — the single "
+    "artifact downstream of the whole dedup family.  Plan: exact arm "
+    "is one fingerprint shuffle; near arm is the q_dup_clusters "
+    "pipeline (signature classes, banded candidates, O(log d) CC); "
+    "the final assembly is two doc_id-keyed joins.",
+)
+def q_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup, fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = (
+        _REGISTRY["q_dup_clusters"].fn(spark, sf_dir)
+        .select(F.col("node").alias("doc_id"), "cluster")
+    )
+    fp = docs.select("doc_id", fingerprint("text").alias("fp"))
+    ex = exact_dedup(docs)
+    exm = fp.join(
+        ex.select("fp", "keep_doc_id", F.col("n_copies").alias("n")), "fp"
+    )
+    joined = (
+        docs.select("doc_id")
+        .join(exm, "doc_id")
+        .join(near, "doc_id", "left")
+    )
+    is_exact = (F.col("n") > 1) & (F.col("doc_id") != F.col("keep_doc_id"))
+    is_near = F.col("cluster").isNotNull() & (
+        F.col("doc_id") != F.col("cluster")
+    )
+    return joined.select(
+        "doc_id",
+        F.when(is_exact, "exact_dup")
+        .when(is_near, "near_dup")
+        .otherwise("kept")
+        .alias("reason"),
+        F.when(is_exact, F.col("keep_doc_id"))
+        .when(is_near, F.col("cluster"))
+        .otherwise(F.col("doc_id"))
+        .alias("canonical_id"),
+    ).orderBy("doc_id")

@@ -1276,3 +1276,47 @@ def ppjoin_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def portable_minhash_band_table(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, band) exploded band-key table of the portable MinHash
+    signature — the PERSISTABLE near-dup index artifact: an incremental
+    job writes this once per ingest batch and band-joins new docs
+    against it instead of re-sigging the corpus."""
+    sh = portable_minhash_sig_table(docs, text_col, k)
+    return sh.select(
+        "doc_id", F.explode(_band_keys_from_cols()).alias("band")
+    )
+
+
+def minhash_incremental_pairs(
+    base_bands: DataFrame, delta_bands: DataFrame
+) -> DataFrame:
+    """Near-dup candidate pairs of (base ∪ delta) computed WITHOUT
+    re-pairing the base against itself: base-internal pairs are the
+    prior run's artifact (recomputed here from ``base_bands``; in
+    production read back from parquet), and the incremental arm joins
+    ONLY delta bands against all bands — the base corpus is touched
+    once to read its persisted band table, never re-signatured.
+
+    The union is exactly the full-corpus candidate set (hash-proven by
+    q_minhash_incremental's full-recompute oracle): every pair has
+    either both sides in base (first arm) or at least one side in
+    delta (second arm).  Returns distinct (doc_id_a, doc_id_b)."""
+    def pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+        x, y = left.alias("x"), right.alias("y")
+        return x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        ).select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_id_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_id_b"),
+        )
+
+    all_bands = base_bands.unionByName(delta_bands)
+    base_pairs = pairs(base_bands, base_bands)
+    delta_pairs = pairs(delta_bands, all_bands)
+    return base_pairs.unionByName(delta_pairs).distinct()

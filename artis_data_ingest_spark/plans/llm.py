@@ -2231,3 +2231,41 @@ def q_dedup_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("doc_id"))
         .alias("canonical_id"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q_minhash_incremental",
+    oracle=f"""{portable_minhash_ctes()}
+SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+ORDER BY doc_id_a, doc_id_b
+""",
+    doc="INCREMENTAL near-dup candidate generation — the merge "
+    "identity for the MinHash index (the q_index_delta_merge pattern "
+    "applied to dedup): the corpus splits into a base (doc_id%4!=0) "
+    "whose exploded band table is the persisted prior-run artifact, "
+    "and a delta batch that signatures ONLY itself and band-joins "
+    "against base+delta bands; base-internal pairs carry over "
+    "unchanged.  The oracle recomputes candidates from the FULL "
+    "corpus in one shot, so the hash pass IS the proof that "
+    "incremental == full — no base re-signaturing, the property that "
+    "turns O(corpus) per ingest batch into O(batch).  Plan: delta "
+    "sig/explode + one band hash join; the base band table streams "
+    "from its (persisted) relation exactly once.",
+)
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        minhash_incremental_pairs,
+        portable_minhash_band_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base_bands = portable_minhash_band_table(
+        docs.filter(F.col("doc_id") % 4 != 0)
+    )
+    delta_bands = portable_minhash_band_table(
+        docs.filter(F.col("doc_id") % 4 == 0)
+    )
+    return minhash_incremental_pairs(base_bands, delta_bands).orderBy(
+        "doc_id_a", "doc_id_b"
+    )

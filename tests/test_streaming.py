@@ -668,3 +668,49 @@ def test_streaming_nb_predictions_match_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and got
+
+
+def test_streaming_corpus_dedup_matches_batch(spark, tmp_path):
+    """Arrival-time corpus dedup == batch exact dedup when files
+    arrive in doc_id order: the streamed keep-set equals exact_dedup's
+    min-doc_id canonicals, corpus-duplicate hits are flagged against
+    PRIOR batches only, and a replayed batch is idempotent."""
+    import glob
+
+    from artis_data_ingest_spark.operators.dedup import exact_dedup
+    from artis_data_ingest_spark.streaming.dedup_corpus import (
+        stream_corpus_dedup,
+    )
+
+    # 3 arrival waves in doc_id order; wave 2 and 3 re-ship some texts
+    rows = [(i, f"text number {i % 8} !") for i in range(12)]  # dups mod 8
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    fps, dec, ckpt = (
+        str(tmp_path / "fps"), str(tmp_path / "dec"), str(tmp_path / "ckpt")
+    )
+    for lo, hi in ((0, 4), (4, 8), (8, 12)):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(str(arrivals), mode="append")
+        q = stream_corpus_dedup(spark, str(arrivals), fps, dec, ckpt)
+        q.awaitTermination(120)
+
+    assert len(glob.glob(f"{dec}/batch_id=*")) >= 3
+    got = {
+        r.doc_id: r.decision
+        for r in spark.read.parquet(f"{dec}/batch_id=*").collect()
+    }
+    keep_batch = {
+        r.keep_doc_id for r in exact_dedup(docs.select("doc_id", "text"))
+        .collect()
+    }
+    streamed_keep = {d for d, v in got.items() if v == "kept"}
+    assert streamed_keep == keep_batch
+    assert got[8] == "dup_of_corpus"  # text 0 re-shipped in wave 3
+    assert len(got) == 12

@@ -92,6 +92,19 @@ _ONE_PART_CLASS = {
     "q_dsir_weights": "scalar",  # 1-row smoothing denominators
     "q_score_auc": "group-bounded",  # cumulative window over the
     # DISTINCT-score table + 1-row final merge
+    # final late-r8 batch
+    "q_bigram_ppl_buckets": "group-bounded",  # the LM tercile shape:
+    # distinct-key cumulative window + 1-row vocab/denominator merges
+    "q_l_diversity": "scalar",  # suppressed rollup merges the tiny
+    # failing-group table to one row
+    "q_minhash_recall_eval": "scalar",  # the 1-row metrics aggregate
+    "q_pmi_collocations": "k-bounded",  # global top-20 sort+limit
+    "q_preference_pairs": "scalar",  # the LM smoothing-denominator
+    # 1-row merge (scoring inherits q_lm_perplexity_buckets' shape)
+    "q_vocab_growth": "group-bounded",  # cumulative window over the
+    # bucket table (corpus/B rows), never per doc
+    "q_webgraph_rank": "scalar",  # pagerank's 1-row node-count/base
+    # merges (q_pagerank's class)
 }
 
 

@@ -13,6 +13,7 @@ from . import (  # noqa: F401
     retrieval,
     scale_ops,
     selection,
+    sharding,
     text,
     tpch,
     tpch_ext,

@@ -1818,3 +1818,86 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ok.unionByName(bad).orderBy("cohort", "band")
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles via value-count rollup — the scale-exact
+# counterpart to q_percentiles (in-memory percentile) and
+# q_approx_percentile (sketch).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_exact_quantiles",
+    oracle="""
+WITH vals AS (
+  SELECT o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), vc AS (
+  SELECT prio, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM vals GROUP BY prio, cents
+), cum AS (
+  SELECT prio, cents, cnt,
+         SUM(cnt) OVER (PARTITION BY prio ORDER BY cents
+                        ROWS UNBOUNDED PRECEDING) AS cum_cnt,
+         SUM(cnt) OVER (PARTITION BY prio) AS n
+  FROM vc
+)
+SELECT prio AS o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MIN(CASE WHEN cum_cnt * 4 >= n THEN cents END) AS p25_cents,
+       MIN(CASE WHEN cum_cnt * 2 >= n THEN cents END) AS p50_cents,
+       MIN(CASE WHEN cum_cnt * 4 >= n * 3 THEN cents END) AS p75_cents
+FROM cum
+GROUP BY prio
+ORDER BY o_orderpriority
+""",
+    doc="EXACT distributed quantiles (p25/median/p75 of order value in "
+    "cents, per priority) without sorting the raw rows: rollup to "
+    "(group, value) counts, cumulative-sum over the DISTINCT values "
+    "only, then pick the smallest value whose cumulative count reaches "
+    "ceil(q*n) — the inverted-CDF quantile (numpy "
+    "method='inverted_cdf'; pinned in tests).  The threshold test is "
+    "kept in integers (cum*4 >= n etc.) so both engines compare exact "
+    "bigints — no float quantile semantics to disagree over.  Scale "
+    "story: the only data-sized shuffle is the (group, value) partial-"
+    "aggregated rollup; the window pass runs over distinct values "
+    "(price-domain-bounded, orders-of-magnitude smaller than the fact "
+    "table), which is how exact medians stay feasible at 100 TB where "
+    "a global sort or single-partition percentile() would not.",
+)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    vc = vals.groupBy("prio", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("prio")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("prio")
+    cum = vc.select(
+        "prio",
+        "cents",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    pick = lambda cond, name: F.min(F.when(cond, F.col("cents"))).alias(name)
+    return (
+        cum.groupBy(F.col("prio").alias("o_orderpriority"))
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            pick(F.col("cum_cnt") * 4 >= F.col("n"), "p25_cents"),
+            pick(F.col("cum_cnt") * 2 >= F.col("n"), "p50_cents"),
+            pick(F.col("cum_cnt") * 4 >= F.col("n") * 3, "p75_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

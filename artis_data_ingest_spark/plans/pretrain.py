@@ -731,3 +731,155 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("b") - F.col("a")).cast("bigint").alias("n_middle"),
         (F.col("n") - F.col("b")).cast("bigint").alias("n_suffix"),
     ).orderBy("doc_id")
+
+
+# BERT masking constants: ~15% of tokens are selected; of those 80%
+# become [MASK], 10% a deterministic "random" token drawn from the same
+# document, 10% stay unchanged (Devlin et al. 2018 §3.1).
+_MLM_SEL_MOD = 100
+_MLM_SEL_PCT = 15
+
+
+@register(
+    "q_mlm_mask",
+    oracle=f"""
+WITH lst AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '{_WS}'),
+                             x -> x <> '') AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+         UNNEST(toks) AS tok,
+         CAST(UNNEST(range(len(toks))) AS BIGINT) AS pos
+  FROM lst
+), h AS (
+  SELECT *, md5('mlm:' || doc_id || ':' || pos) AS hh FROM tok
+), s AS (
+  SELECT doc_id, n_toks, tok, pos,
+         CAST(CONCAT('0x', substring(hh, 1, 4)) AS INT) % {_MLM_SEL_MOD}
+           < {_MLM_SEL_PCT} AS sel,
+         CAST(CONCAT('0x', substring(hh, 5, 2)) AS INT) % 10 AS action,
+         CAST(CONCAT('0x', substring(hh, 7, 8)) AS BIGINT) % n_toks AS rpos
+  FROM h
+), rt AS (
+  SELECT s.*, r.tok AS rand_tok
+  FROM s JOIN tok r ON s.doc_id = r.doc_id AND s.rpos = r.pos
+), m AS (
+  SELECT doc_id, pos, tok, sel, action,
+         CASE WHEN NOT sel THEN tok
+              WHEN action < 8 THEN '[MASK]'
+              WHEN action = 8 THEN rand_tok
+              ELSE tok END AS out_tok
+  FROM rt
+)
+SELECT doc_id,
+       string_agg(out_tok, ' ' ORDER BY pos) AS masked_text,
+       string_agg(CASE WHEN sel THEN pos || ':' || tok END,
+                  ' ' ORDER BY pos) AS target_text,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN sel AND action < 8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_masked,
+       CAST(SUM(CASE WHEN sel AND action = 8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_randomized,
+       CAST(SUM(CASE WHEN sel AND action = 9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept
+FROM m
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    doc="BERT-style masked-LM objective (Devlin et al. 2018): ~15% of "
+    "tokens selected by an md5 coin; 80% of those become [MASK], 10% "
+    "are replaced by a deterministic pseudo-random token drawn from a "
+    "hash-derived position of the SAME document, 10% kept — the full "
+    "80/10/10 recipe with zero RNG, so both engines reproduce every "
+    "choice bit-for-bit.  The target stream records pos:original for "
+    "each selected token.  Plan: one doc_id shuffle serves the length "
+    "window, the replacement-token self-equi-join on (doc_id, pos), "
+    "and the final per-doc aggregation; the 'random' token lookup is "
+    "an equi-join, not a per-row UDF.  Completes the objective family "
+    "(causal packing / T5 span corruption / FIM / MLM).",
+)
+def q_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks_arr = F.filter(F.split(F.trim("text"), _WS), lambda x: x != "")
+    tok = docs.select(
+        "doc_id",
+        F.size(toks_arr).cast("bigint").alias("n_toks"),
+        F.posexplode(toks_arr).alias("pos", "tok"),
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+    h = F.md5(
+        F.concat_ws(
+            ":", F.lit("mlm"), F.col("doc_id").cast("string"),
+            F.col("pos").cast("string"),
+        )
+    )
+    s = tok.select(
+        "doc_id",
+        "n_toks",
+        "tok",
+        "pos",
+        (
+            F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % _MLM_SEL_MOD
+            < _MLM_SEL_PCT
+        ).alias("sel"),
+        (F.conv(F.substring(h, 5, 2), 16, 10).cast("int") % 10).alias(
+            "action"
+        ),
+        (
+            F.conv(F.substring(h, 7, 8), 16, 10).cast("bigint")
+            % F.col("n_toks")
+        ).alias("rpos"),
+    )
+    rt = s.join(
+        tok.select(
+            "doc_id", F.col("pos").alias("rpos"), F.col("tok").alias("rand_tok")
+        ),
+        ["doc_id", "rpos"],
+    )
+    out_tok = (
+        F.when(~F.col("sel"), F.col("tok"))
+        .when(F.col("action") < 8, F.lit("[MASK]"))
+        .when(F.col("action") == 8, F.col("rand_tok"))
+        .otherwise(F.col("tok"))
+    )
+    m = rt.select(
+        "doc_id", "pos", "tok", "sel", "action", out_tok.alias("out_tok")
+    )
+    ord_join = lambda col: F.array_join(
+        F.transform(F.array_sort(F.collect_list(col)), lambda x: x["p"]), " "
+    )
+    pick = lambda cond, piece: F.when(
+        cond, F.struct(F.col("pos").alias("pos"), piece.alias("p"))
+    )
+    return (
+        m.groupBy("doc_id")
+        .agg(
+            ord_join(pick(F.lit(True), F.col("out_tok"))).alias("masked_text"),
+            F.when(
+                F.sum(F.col("sel").cast("int")) > 0,
+                ord_join(
+                    pick(
+                        F.col("sel"),
+                        F.concat_ws(
+                            ":", F.col("pos").cast("string"), F.col("tok")
+                        ),
+                    )
+                ),
+            ).alias("target_text"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("sel").cast("bigint")).alias("n_selected"),
+            F.sum((F.col("sel") & (F.col("action") < 8)).cast("bigint")).alias(
+                "n_masked"
+            ),
+            F.sum((F.col("sel") & (F.col("action") == 8)).cast("bigint")).alias(
+                "n_randomized"
+            ),
+            F.sum((F.col("sel") & (F.col("action") == 9)).cast("bigint")).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -43,11 +43,12 @@ _PRIORITY: list[str] = [
     # q_holt_forecast, q_image_dhash, q_bigram_ppl_buckets,
     # q_group_kfold, q_minhash_recall_eval, q_tokenizer_fertility,
     # q_pmi_collocations, q_vocab_growth, q_source_overlap,
-    # q_cdc_chunks, q_trimmed_mean, q_webgraph_rank) is NOT
-    # front-loaded — the r4-stale block takes precedence per the r7
-    # verdict; those names lead the round-9 rotation instead (every
-    # one is local-gate green at sf0.01, see the full check_oracle
-    # runs recorded in round 8).
+    # q_cdc_chunks, q_trimmed_mean, q_webgraph_rank, and the late
+    # additions q_hrw_reshard, q_bloom_membership, q_exact_quantiles,
+    # q_mlm_mask) is NOT front-loaded — the r4-stale block takes
+    # precedence per the r7 verdict; those names lead the round-9
+    # rotation instead (every one is local-gate green at sf0.01, see
+    # the full check_oracle runs recorded in round 8).
     "q_substring_dedup",
     "q_dsir_weights",
     "q_semantic_contamination",

@@ -1,0 +1,105 @@
+"""Value-level pins for the sharding/membership/quantile/MLM batch:
+the invariants each operator's doc string promises, checked against
+independent references (numpy, brute-force recomputation) rather than
+the DuckDB oracle (which tools/check_oracle.py covers separately).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from artis_data_ingest_spark import plans
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def hrw(spark):
+    return (
+        plans.queries()["q_hrw_reshard"](spark, SF_DIR).toPandas()
+    )
+
+
+def test_hrw_moves_only_to_the_new_shard(hrw):
+    # Rendezvous guarantee: an 8->9 reshard moves a doc iff shard 8
+    # wins its rendezvous — pre-existing shards never receive movers.
+    old_shards = hrw[hrw["shard"] < 8]
+    assert (old_shards["n_moved"] == 0).all()
+    new_shard = hrw[hrw["shard"] == 8]
+    assert len(new_shard) == 1
+    # every doc landing on the new shard is by definition a mover
+    assert int(new_shard["n_moved"].iloc[0]) == int(
+        new_shard["n_docs"].iloc[0]
+    )
+
+
+def test_hrw_movement_fraction_near_one_ninth(hrw):
+    total = hrw["n_docs"].sum()
+    moved = hrw["n_moved"].sum()
+    # expected 1/9 ~ 11%; allow generous fixture-size spread
+    assert 0.02 < moved / total < 0.25
+
+
+def test_bloom_has_no_false_negatives(spark):
+    out = plans.queries()["q_bloom_membership"](spark, SF_DIR).toPandas()
+    member = out[out["kind"] == "member"]
+    # every held-out member must come back maybe=true: exactly one
+    # member row, and it is the maybe=true one
+    assert len(member) == 1
+    assert bool(member["bloom_maybe"].iloc[0]) is True
+    novel = out[out["kind"] == "novel"]
+    n_novel = novel["n_probes"].sum()
+    fp = novel[novel["bloom_maybe"]]["n_probes"].sum()
+    # FP rate stays in the ballpark the geometry predicts (~3%)
+    assert fp / n_novel < 0.25
+
+
+def test_exact_quantiles_match_numpy_inverted_cdf(spark):
+    out = (
+        plans.queries()["q_exact_quantiles"](spark, SF_DIR)
+        .toPandas()
+        .set_index("o_orderpriority")
+    )
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cents = (
+        np.round(orders["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    )
+    prio = orders["o_orderpriority"].to_numpy()
+    for p in np.unique(prio):
+        vals = cents[prio == p]
+        row = out.loc[p]
+        assert row["n"] == len(vals)
+        for q, col in ((0.25, "p25_cents"), (0.5, "p50_cents"),
+                       (0.75, "p75_cents")):
+            want = int(
+                np.percentile(vals, q * 100, method="inverted_cdf")
+            )
+            assert int(row[col]) == want, (p, col)
+
+
+def test_mlm_mask_rates_and_reconstruction(spark):
+    out = plans.queries()["q_mlm_mask"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert len(out) == len(docs)
+    n_tok = out["n_tokens"].sum()
+    n_sel = out["n_selected"].sum()
+    # ~15% selection, 80/10/10 split inside the selection
+    assert 0.10 < n_sel / n_tok < 0.20
+    assert (
+        out["n_masked"] + out["n_randomized"] + out["n_kept"]
+    ).equals(out["n_selected"])
+    assert out["n_masked"].sum() > out["n_randomized"].sum()
+    # masked text preserves token count; [MASK] appears exactly
+    # n_masked times per doc
+    for _, r in out.head(25).iterrows():
+        toks = r["masked_text"].split(" ")
+        assert len(toks) == r["n_tokens"]
+        assert toks.count("[MASK]") == r["n_masked"]
+        if r["n_selected"]:
+            # target pairs: pos:original, positions strictly increasing
+            pairs = [t.split(":", 1) for t in r["target_text"].split(" ")]
+            positions = [int(p) for p, _ in pairs]
+            assert positions == sorted(set(positions))
+            assert len(pairs) == r["n_selected"]

@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     tpch,
     tpch_ext,
     tpch_sub,
+    unigram,
 )
 from .registry import all_queries, bench_queries, oracle_sql, queries
 

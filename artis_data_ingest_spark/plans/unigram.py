@@ -1,0 +1,328 @@
+"""Unigram-LM (SentencePiece-style) subword segmentation: seed a piece
+vocabulary from weighted substring frequencies, score pieces with an
+exact fixed-point log-probability, and Viterbi-segment every distinct
+word — the maximum-likelihood segmentation under a unigram piece model
+(Kudo 2018), the standard alternative to BPE merges (q_bpe_*).
+
+Determinism/portability playbook: piece scores are the integer qlog2
+fixed-point logs (functions/numeric.py) — log p(piece) = qlog2(freq) −
+qlog2(total) — so the Viterbi objective is an exact bigint sum both
+engines agree on bit-for-bit, and every DP tie is broken by the total
+order (score DESC, piece-count ASC, split-position ASC).  The DuckDB
+oracle unrolls the same DP position-by-position as CTE stages.
+
+Scale story (100 TB): the whole DP runs over the DISTINCT-words table
+(vocabulary-bounded — millions of rows when the corpus is petabytes),
+never the corpus; rounds are bounded by the max word length (capped at
+16 chars; longer tails fall back to the byte/char path in production),
+each round is one equi-join + one per-word argmax over a table that
+small; the corpus itself is touched exactly once (the word-count
+rollup) plus once more if segmented text is materialized (a broadcast
+join of the word->pieces map).  This "segment the vocabulary, then
+broadcast the lookup" shape is how SentencePiece-style tokenization is
+actually deployed on web-scale corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import qlog2_duck_cte, with_qlog2
+from ..functions.textstats import WS_RE
+from ..sources.tables import load_table
+from .registry import register
+
+_MAX_PIECE = 4  # max piece length in characters
+_MAX_WORD = 16  # DP unroll bound; longer words are excluded (documented)
+_MINF_SHIFT = 8  # multi-char piece enters the vocab iff freq >= total >> 8
+
+_WS_SQL = r"[ \t\n\r\f\x0B]+"
+
+
+def _word_counts(docs: DataFrame) -> DataFrame:
+    from ..operators.scale import spread_cpu_bound
+
+    tok = F.explode(F.split(F.trim(F.col("text")), WS_RE)).alias("token")
+    return (
+        spread_cpu_bound(docs)
+        .select(tok)
+        .filter(F.col("token") != "")
+        .select(F.lower("token").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wcount"))
+        .withColumn("wlen", F.length("word").cast("bigint"))
+        .filter(F.col("wlen") <= _MAX_WORD)
+    )
+
+
+def _occurrences(wc: DataFrame) -> DataFrame:
+    """All (word, i, j, piece) substring occurrences with
+    j - i <= _MAX_PIECE, 0-based i, exclusive j."""
+    pos = wc.select(
+        "word",
+        "wlen",
+        "wcount",
+        F.explode(F.sequence(F.lit(0), F.col("wlen") - 1)).alias("i"),
+    )
+    lens = pos.select(
+        "word",
+        "wlen",
+        "wcount",
+        "i",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.least(F.lit(_MAX_PIECE), F.col("wlen") - F.col("i"))
+            )
+        ).alias("l"),
+    )
+    return lens.select(
+        "word",
+        "wlen",
+        "wcount",
+        F.col("i").cast("bigint").alias("i"),
+        (F.col("i") + F.col("l")).cast("bigint").alias("j"),
+        F.expr(
+            "substring(word, CAST(i + 1 AS INT), CAST(l AS INT))"
+        ).alias("piece"),
+    )
+
+
+def segment_vocabulary(docs: DataFrame) -> DataFrame:
+    """Viterbi-segment every distinct word of ``docs`` under the
+    unigram piece LM.  Returns (word, wcount, wlen, path, value,
+    n_pieces) with ``path`` the space-joined piece sequence."""
+    wc = _word_counts(docs).localCheckpoint()
+    occ = _occurrences(wc)
+    pfreq = occ.groupBy("piece").agg(
+        F.sum("wcount").cast("bigint").alias("pfreq")
+    )
+    tot = pfreq.agg(
+        F.sum("pfreq").cast("bigint").alias("tot_all")
+    )
+    vocab = (
+        pfreq.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.length("piece") == 1)
+            | (F.col("pfreq") >= F.expr(f"tot_all div {1 << _MINF_SHIFT}"))
+        )
+        .select("piece", "pfreq")
+    )
+    # qlog2 over DISTINCT freq values + the vocab total (the repo's
+    # exact-log playbook); totalp is the vocab mass, NOT tot_all
+    totalp = vocab.agg(F.sum("pfreq").cast("bigint").alias("totalp"))
+    vals = (
+        vocab.select(F.col("pfreq").alias("x"))
+        .distinct()
+        .unionByName(totalp.select(F.col("totalp").alias("x")))
+        .distinct()
+    )
+    qtab = with_qlog2(vals, "x", "q").localCheckpoint()
+    qtot = (
+        totalp.join(qtab, totalp.totalp == qtab.x)
+        .select(F.col("q").alias("qtot"))
+    )
+    vocab_s = (
+        vocab.join(qtab, vocab.pfreq == qtab.x)
+        .crossJoin(F.broadcast(qtot))
+        .select("piece", (F.col("q") - F.col("qtot")).alias("es"))
+    )
+    edges = (
+        occ.join(vocab_s, "piece")
+        .select("word", "i", "j", "piece", "es")
+        .localCheckpoint()
+    )
+    maxlen = wc.agg(F.max("wlen")).collect()[0][0] or 0  # bounded probe
+    best_by_j: dict[int, DataFrame] = {
+        0: wc.select(
+            "word",
+            F.lit(0).cast("bigint").alias("j"),
+            F.lit(0).cast("bigint").alias("value"),
+            F.lit(0).cast("bigint").alias("np"),
+            F.lit("").alias("path"),
+        ).localCheckpoint()
+    }
+    for r in range(1, min(int(maxlen), _MAX_WORD) + 1):
+        prevs = [
+            best_by_j[i]
+            for i in range(max(0, r - _MAX_PIECE), r)
+            if i in best_by_j
+        ]
+        prev = prevs[0]
+        for p in prevs[1:]:
+            prev = prev.unionByName(p)
+        cand = edges.filter(F.col("j") == r).join(
+            prev.select(
+                "word",
+                F.col("j").alias("i"),
+                F.col("value").alias("pv"),
+                F.col("np").alias("pn"),
+                F.col("path").alias("pp"),
+            ),
+            ["word", "i"],
+        )
+        win = (
+            cand.groupBy("word")
+            .agg(
+                F.max(
+                    F.struct(
+                        (F.col("pv") + F.col("es")).alias("value"),
+                        (-(F.col("pn") + 1)).alias("negnp"),
+                        (-F.col("i")).alias("negi"),
+                        F.when(F.col("pp") == "", F.col("piece"))
+                        .otherwise(
+                            F.concat_ws(" ", F.col("pp"), F.col("piece"))
+                        )
+                        .alias("path"),
+                    )
+                ).alias("w")
+            )
+            .select(
+                "word",
+                F.lit(r).cast("bigint").alias("j"),
+                F.col("w.value").alias("value"),
+                (-F.col("w.negnp")).alias("np"),
+                F.col("w.path").alias("path"),
+            )
+        )
+        best_by_j[r] = win.localCheckpoint()
+    all_best = best_by_j[0]
+    for r in sorted(best_by_j)[1:]:
+        all_best = all_best.unionByName(best_by_j[r])
+    return (
+        wc.join(
+            all_best.withColumnRenamed("j", "wlen"), ["word", "wlen"]
+        ).select("word", "wcount", "wlen", "path", "value", "np")
+    )
+
+
+def _unigram_oracle() -> str:
+    ql, ql_out = qlog2_duck_cte("vals", "x")
+    minf_div = 1 << _MINF_SHIFT
+    rounds = []
+    for r in range(1, _MAX_WORD + 1):
+        rounds.append(
+            f"""b{r} AS (
+  SELECT e.word, CAST({r} AS BIGINT) AS j,
+         u.value + e.es AS value, u.np + 1 AS np,
+         CASE WHEN u.path = '' THEN e.piece
+              ELSE u.path || ' ' || e.piece END AS path
+  FROM edges e JOIN u{r - 1} u ON e.word = u.word AND e.i = u.j
+  WHERE e.j = {r}
+  QUALIFY row_number() OVER (
+    PARTITION BY e.word
+    ORDER BY u.value + e.es DESC, u.np + 1 ASC, e.i ASC) = 1
+),
+u{r} AS MATERIALIZED (SELECT * FROM u{r - 1} UNION ALL SELECT * FROM b{r})"""
+        )
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH wc AS (
+  SELECT lower(tok) AS word, CAST(COUNT(*) AS BIGINT) AS wcount,
+         CAST(length(lower(tok)) AS BIGINT) AS wlen
+  FROM (SELECT UNNEST(string_split_regex(trim(text), '{_WS_SQL}')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+  GROUP BY 1
+  HAVING length(lower(tok)) <= {_MAX_WORD}
+), posi AS (
+  SELECT word, wlen, wcount, CAST(UNNEST(range(wlen)) AS BIGINT) AS i
+  FROM wc
+), occ AS (
+  SELECT word, wlen, wcount, i, CAST(i + l AS BIGINT) AS j,
+         substring(word, CAST(i + 1 AS INT), CAST(l AS INT)) AS piece
+  FROM posi
+  CROSS JOIN (SELECT UNNEST(range(1, {_MAX_PIECE + 1})) AS l) tl
+  WHERE i + l <= wlen
+), pfreq AS (
+  SELECT piece, CAST(SUM(wcount) AS BIGINT) AS pfreq
+  FROM occ GROUP BY piece
+), tota AS (SELECT CAST(SUM(pfreq) AS BIGINT) AS tot_all FROM pfreq),
+vocab AS (
+  SELECT piece, pfreq
+  FROM pfreq CROSS JOIN tota
+  WHERE length(piece) = 1 OR pfreq >= tot_all // {minf_div}
+), totp AS (SELECT CAST(SUM(pfreq) AS BIGINT) AS totalp FROM vocab),
+vals AS (
+  SELECT DISTINCT pfreq AS x FROM vocab
+  UNION
+  SELECT totalp AS x FROM totp
+),
+{ql},
+vocab_s AS (
+  SELECT v.piece,
+         o.qlog2 - (SELECT o2.qlog2 FROM totp t
+                    JOIN {ql_out} o2 ON o2.x = t.totalp) AS es
+  FROM vocab v JOIN {ql_out} o ON o.x = v.pfreq
+), edges AS MATERIALIZED (
+  SELECT occ.word, occ.i, occ.j, occ.piece, vocab_s.es
+  FROM occ JOIN vocab_s USING (piece)
+), u0 AS MATERIALIZED (
+  SELECT word, CAST(0 AS BIGINT) AS j, CAST(0 AS BIGINT) AS value,
+         CAST(0 AS BIGINT) AS np, '' AS path
+  FROM wc
+),
+{rounds_sql},
+seg AS (
+  SELECT u.word, u.path, wc.wcount
+  FROM u{_MAX_WORD} u JOIN wc ON u.word = wc.word AND u.j = wc.wlen
+), pieces AS (
+  SELECT word, wcount, UNNEST(string_split(path, ' ')) AS piece
+  FROM seg
+)
+SELECT piece,
+       CAST(length(piece) AS BIGINT) AS piece_len,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+       CAST(SUM(wcount) AS BIGINT) AS n_uses,
+       MIN(word) AS example_word
+FROM pieces
+GROUP BY piece
+ORDER BY n_uses DESC, piece
+"""
+
+
+@register(
+    "q_unigram_segment",
+    oracle=_unigram_oracle(),
+    doc="Unigram-LM (SentencePiece-style, Kudo 2018) subword "
+    "segmentation: substring frequencies seed the piece vocabulary "
+    "(all single chars + every <=4-char substring holding >= 1/256 of "
+    "the total substring mass), each piece scores log p = "
+    "qlog2(freq) - qlog2(total) in exact fixed-point integers, and a "
+    "Viterbi DP picks each distinct word's maximum-likelihood "
+    "segmentation (ties: fewer pieces, then longest last piece) — the "
+    "standard alternative to BPE, completing the tokenizer family "
+    "(q_bpe_merges/vocab/apply/pack, q_tokenizer_fertility).  The "
+    "result is the segmented-piece usage table weighted by corpus "
+    "word counts.  Scale: the DP never touches the corpus — it runs "
+    "over the DISTINCT-words table (vocabulary-bounded), one "
+    "equi-join + per-word argmax per character position, <= 16 "
+    "rounds, each round's frontier localCheckpoint-bounded; the "
+    "corpus contributes one word-count rollup, and applying the "
+    "learned segmentation is a broadcast word->pieces lookup.  The "
+    "oracle unrolls the identical DP as 16 CTE stages with the same "
+    "bigint scores and tie order — the hash match IS the proof that "
+    "the distributed DP equals the sequential one.",
+)
+def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seg = segment_vocabulary(docs.select("doc_id", "text"))
+    pieces = seg.select(
+        "word", "wcount", F.explode(F.split("path", " ")).alias("piece")
+    )
+    return (
+        pieces.groupBy("piece")
+        .agg(
+            F.countDistinct("word").cast("bigint").alias("n_words"),
+            F.sum("wcount").cast("bigint").alias("n_uses"),
+            F.min("word").alias("example_word"),
+        )
+        .select(
+            "piece",
+            F.length("piece").cast("bigint").alias("piece_len"),
+            "n_words",
+            "n_uses",
+            "example_word",
+        )
+        .orderBy(F.col("n_uses").desc(), "piece")
+    )

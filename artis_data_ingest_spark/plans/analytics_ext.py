@@ -1901,3 +1901,213 @@ def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Phonetic (Soundex) blocking for entity resolution — the classic
+# sound-alike candidate generator beside q_entity_resolution's exact
+# trailing-noun block and q_fuzzy_match's edit-distance verify.
+# ---------------------------------------------------------------------------
+
+# letter -> Soundex digit class, a..z (0 = vowel/h/w/y, dropped)
+_SOUNDEX_MAP = "01230120022455012623010202"
+
+
+@register(
+    "q_soundex_blocking",
+    oracle=f"""
+WITH pw AS (
+  SELECT lower(string_split(p_name, ' ')[-1]) AS word FROM part
+), wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_parts FROM pw GROUP BY 1
+), codes AS (
+  SELECT word, n_parts,
+         translate(word, 'abcdefghijklmnopqrstuvwxyz', '{_SOUNDEX_MAP}')
+           AS ks
+  FROM wc
+), ch AS (
+  SELECT word, n_parts, ks,
+         CAST(UNNEST(range(length(ks))) AS BIGINT) AS pos
+  FROM codes
+), kd AS (
+  SELECT word, n_parts, pos,
+         substring(ks, CAST(pos + 1 AS INT), 1) AS k
+  FROM ch
+), kept AS (
+  SELECT *, LAG(k) OVER (PARTITION BY word ORDER BY pos) AS pk
+  FROM kd
+), sig AS (
+  SELECT word, n_parts,
+         COALESCE(string_agg(
+           CASE WHEN pos > 0 AND k <> '0' AND (pk IS NULL OR k <> pk)
+                THEN k END, '' ORDER BY pos), '') AS tail
+  FROM kept
+  GROUP BY word, n_parts
+), keys AS (
+  SELECT word, n_parts,
+         substring(word, 1, 1) || substring(tail || '000', 1, 3) AS skey
+  FROM sig
+)
+SELECT skey AS soundex_key,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_parts) AS BIGINT) AS n_parts,
+       CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS n_cand_pairs,
+       MIN(word) AS example_word
+FROM keys
+GROUP BY skey
+ORDER BY n_parts DESC, soundex_key
+""",
+    doc="Phonetic blocking via Soundex keys over the part-name trailing "
+    "noun (simplified American Soundex: first letter + first three "
+    "distinct-run consonant classes, vowels/h/w/y as separators — the "
+    "variant is pinned identically in both engines, so the hash match "
+    "proves the full per-word pipeline: translate() class map, "
+    "adjacent-run collapse via LAG over exploded positions, pad-to-3).  "
+    "Output is the blocking profile ER planners need: words and rows "
+    "per key plus the within-block candidate-pair count n*(n-1)/2 — "
+    "the cost the verify stage (q_fuzzy_match's Levenshtein) would "
+    "actually pay, versus the all-pairs quadratic it avoids.  Scale: "
+    "runs entirely on the DISTINCT-words table (vocabulary-bounded); "
+    "one (word, pos) window partitioned by word, then a key-bounded "
+    "rollup; the corpus contributes only the word-count pass.",
+)
+def q_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    wc = (
+        part.select(
+            F.lower(F.element_at(F.split("p_name", " "), -1)).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    )
+    codes = wc.select(
+        "word",
+        "n_parts",
+        F.translate(
+            "word", "abcdefghijklmnopqrstuvwxyz", _SOUNDEX_MAP
+        ).alias("ks"),
+    )
+    ch = codes.select(
+        "word",
+        "n_parts",
+        F.posexplode(F.split("ks", "(?!^)")).alias("pos", "k"),
+    )
+    w = Window.partitionBy("word").orderBy("pos")
+    kept = ch.withColumn("pk", F.lag("k").over(w))
+    sig = (
+        kept.groupBy("word", "n_parts")
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    (F.col("pos") > 0)
+                                    & (F.col("k") != "0")
+                                    & (
+                                        F.col("pk").isNull()
+                                        | (F.col("k") != F.col("pk"))
+                                    ),
+                                    F.struct(
+                                        F.col("pos").alias("pos"),
+                                        F.col("k").alias("p"),
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda x: x["p"],
+                    ),
+                    "",
+                ),
+                F.lit(""),
+            ).alias("tail")
+        )
+    )
+    keys = sig.select(
+        "word",
+        "n_parts",
+        F.concat(
+            F.substring("word", 1, 1),
+            F.substring(F.concat(F.col("tail"), F.lit("000")), 1, 3),
+        ).alias("skey"),
+    )
+    return (
+        keys.groupBy(F.col("skey").alias("soundex_key"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_parts").cast("bigint").alias("n_parts"),
+            (F.count(F.lit(1)) * (F.count(F.lit(1)) - 1) / 2)
+            .cast("bigint")
+            .alias("n_cand_pairs"),
+            F.min("word").alias("example_word"),
+        )
+        .orderBy(F.col("n_parts").desc(), "soundex_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketch maintenance — the incremental companion to
+# q_approx_distinct: per-batch sketches union algebraically, no rescan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hll_incremental",
+    oracle="""
+SELECT source, CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact,
+       TRUE AS est_ok
+FROM documents GROUP BY source
+UNION ALL
+SELECT '<all>' AS source, CAST(COUNT(DISTINCT md5(text)) AS BIGINT),
+       TRUE
+FROM documents
+ORDER BY source
+""",
+    doc="Mergeable distinct-count sketch maintenance (Apache DataSketches "
+    "HLL via hll_sketch_agg/hll_union_agg): each source batch reduces "
+    "to one fixed-size sketch; the corpus-wide count comes from the "
+    "ALGEBRAIC UNION of the per-source sketches — no second scan, the "
+    "incremental-ingest property that lets a 100 TB corpus maintain "
+    "distinct counts by merging each new batch's sketch into a "
+    "persisted one.  The in-query verdict est_ok pins every estimate "
+    "(per-source AND the unioned total) within 5% of the exact count "
+    "the oracle computes — a drifting estimator hash-mismatches.  "
+    "Plan: one shuffle to the per-source sketches (sketches partial-"
+    "aggregate map-side), a 21-row union; countDistinct here is the "
+    "verdict's exact reference, not the scale path.",
+)
+def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", F.md5("text").alias("fp"))
+    per = d.groupBy("source").agg(
+        F.hll_sketch_agg("fp").alias("sk"),
+        F.count_distinct("fp").cast("bigint").alias("n_exact"),
+    )
+    tol_ok = lambda est, exact: (
+        F.abs(est.cast("double") - exact) / exact <= 0.05
+    )
+    rows = per.select(
+        "source",
+        "n_exact",
+        tol_ok(F.hll_sketch_estimate("sk"), F.col("n_exact")).alias(
+            "est_ok"
+        ),
+    )
+    exact_all = d.agg(
+        F.count_distinct("fp").cast("bigint").alias("n_exact")
+    )
+    allrow = (
+        per.agg(F.hll_union_agg("sk").alias("usk"))
+        .crossJoin(F.broadcast(exact_all))
+        .select(
+            F.lit("<all>").alias("source"),
+            "n_exact",
+            tol_ok(F.hll_sketch_estimate("usk"), F.col("n_exact")).alias(
+                "est_ok"
+            ),
+        )
+    )
+    return rows.unionByName(allrow).orderBy("source")

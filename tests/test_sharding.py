@@ -103,3 +103,69 @@ def test_mlm_mask_rates_and_reconstruction(spark):
             positions = [int(p) for p, _ in pairs]
             assert positions == sorted(set(positions))
             assert len(pairs) == r["n_selected"]
+
+
+def _soundex_simplified(word: str) -> str:
+    m = {c: d for c, d in zip("abcdefghijklmnopqrstuvwxyz",
+                              "01230120022455012623010202")}
+    ks = [m.get(c, c) for c in word]
+    tail = []
+    for i, k in enumerate(ks):
+        if i > 0 and k != "0" and (i == 0 or k != ks[i - 1]):
+            tail.append(k)
+    return word[0] + ("".join(tail) + "000")[:3]
+
+
+def test_soundex_blocking_matches_python_reference(spark):
+    # canonical sanity: the simplified variant agrees with standard
+    # American Soundex on names without h/w transparency cases
+    assert _soundex_simplified("robert") == "r163"
+    assert _soundex_simplified("rupert") == "r163"
+    assert _soundex_simplified("tymczak") == "t522"
+    out = (
+        plans.queries()["q_soundex_blocking"](spark, SF_DIR).toPandas()
+    )
+    parts = pd.read_parquet(f"{SF_DIR}/part.parquet")
+    words = parts["p_name"].str.split(" ").str[-1].str.lower()
+    ref = (
+        words.groupby(words.map(_soundex_simplified))
+        .agg(["count"])
+    )
+    got = out.set_index("soundex_key")["n_parts"]
+    assert got.sum() == len(parts)
+    for key, row in ref.iterrows():
+        assert int(got[key]) == int(row["count"]), key
+
+
+def test_observe_dq_metrics_single_pass(spark):
+    """DQ counters ride the job's own action via DataFrame.observe —
+    no second scan. Values must match direct recomputation, and the
+    executed plan must contain exactly one file scan."""
+    from artis_data_ingest_spark.operators.observe import (
+        with_dq_observation,
+    )
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    observed, obs = with_dq_observation(
+        li,
+        null_cols=["l_returnflag"],
+        nonpos_cols=["l_quantity"],
+        distinct_cols=["l_orderkey"],
+    )
+    from pyspark.sql import functions as F
+
+    # the "real job": an unrelated aggregation over the observed frame
+    out = observed.groupBy("l_returnflag").agg(F.count("*"))
+    n_groups = out.count()
+    got = obs.get
+    pdf = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    assert got["n_rows"] == len(pdf)
+    assert got["nulls_l_returnflag"] == int(pdf["l_returnflag"].isna().sum())
+    assert got["nonpos_l_quantity"] == int((pdf["l_quantity"] <= 0).sum())
+    exact = pdf["l_orderkey"].nunique()
+    assert abs(got["approx_distinct_l_orderkey"] - exact) / exact < 0.1
+    assert n_groups == pdf["l_returnflag"].nunique()
+    # single pass: exactly one scan in the executed plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1

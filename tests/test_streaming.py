@@ -714,3 +714,61 @@ def test_streaming_corpus_dedup_matches_batch(spark, tmp_path):
     assert streamed_keep == keep_batch
     assert got[8] == "dup_of_corpus"  # text 0 re-shipped in wave 3
     assert len(got) == 12
+
+
+def test_streaming_bloom_triage_no_false_negatives(spark, tmp_path):
+    """Arrival-time Bloom triage: every re-shipped text must come back
+    'maybe' (no false negatives), genuinely novel texts come back
+    overwhelmingly 'new', and cross-batch state stays m-bounded (the
+    distinct-bit union never exceeds the filter geometry)."""
+    import glob
+
+    from artis_data_ingest_spark.plans.sharding import _BLOOM_M
+    from artis_data_ingest_spark.streaming.bloom import (
+        seen_bits,
+        stream_bloom_triage,
+    )
+
+    def mk(lo, hi, tag):
+        rows = [(i, f"{tag} text number {i} !", "en", "s0", 20)
+                for i in range(lo, hi)]
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars bigint",
+        )
+
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    bits, ver, ckpt = (
+        str(tmp_path / "bits"), str(tmp_path / "ver"), str(tmp_path / "ckpt")
+    )
+    # wave 1: docs 0..40 fresh
+    mk(0, 40, "alpha").coalesce(1).write.parquet(str(arrivals), mode="append")
+    q = stream_bloom_triage(spark, str(arrivals), bits, ver, ckpt)
+    q.awaitTermination(120)
+    # wave 2: docs 0..40 re-shipped verbatim (same text), 100..140 novel
+    reship = mk(0, 40, "alpha").withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    reship.union(mk(100, 140, "beta")).coalesce(1).write.parquet(
+        str(arrivals), mode="append"
+    )
+    q = stream_bloom_triage(spark, str(arrivals), bits, ver, ckpt)
+    q.awaitTermination(120)
+
+    assert len(glob.glob(f"{ver}/batch_id=*")) >= 2
+    got = {
+        r.doc_id: r.verdict
+        for r in spark.read.parquet(f"{ver}/batch_id=*").collect()
+    }
+    # wave-1 docs were unseen at their arrival
+    # re-shipped docs (1000..1039): Bloom guarantees 'maybe'
+    for d in range(1000, 1040):
+        assert got[d] == "maybe", d
+    # novel docs: mostly 'new' (small FP mass allowed by geometry)
+    novel = [got[d] for d in range(100, 140)]
+    assert novel.count("new") >= 30
+    # state is m-bounded
+    nbits = seen_bits(spark, bits).count()
+    assert nbits <= _BLOOM_M

@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     scale_ops,
     selection,
     sharding,
+    suffix,
     text,
     tpch,
     tpch_ext,

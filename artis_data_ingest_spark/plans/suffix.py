@@ -1,0 +1,266 @@
+"""Per-document suffix arrays via prefix doubling, and the exact
+longest-repeated-substring (LRS) they unlock — repetition analysis at
+ARBITRARY lengths, where q_repetition_quality / q_collapse_repeats see
+only fixed n-gram windows.
+
+Algorithm (Manber–Myers prefix doubling + a rank-table LCP walk):
+
+  * level-0 rank: dense_rank of each character within its doc;
+  * level m: dense_rank of the pair (rank_{m-1}(i), rank_{m-1}(i+2^(m-1)))
+    — out-of-range neighbor ranks coalesce to 0, which sorts below
+    every real rank and so behaves exactly like the $ terminator;
+    after ceil(log2 n) levels every suffix has a unique rank = its
+    suffix-array position;
+  * adjacent suffixes in rank order bound the maximum LCP (classic
+    suffix-array property), and each adjacent pair's exact LCP comes
+    from a greedy high-to-low walk over the SAVED level tables:
+    if rank_m(i+lcp) == rank_m(j+lcp), the suffixes share another
+    2^m characters.
+
+Everything is dense_rank windows partitioned by doc_id and (doc, pos)
+equi-joins — one hash partitioning serves every round, no global sort,
+no UDFs.  At 100 TB the doc axis is the parallelism (documents are
+independent); the same doubling over a corpus-global position axis
+would swap the per-doc windows for range-partitioned sorts, everything
+else unchanged.
+
+The DuckDB oracle unrolls the identical doubling + walk as
+MATERIALIZED CTE stages — the hash match proves the distributed DP
+equals the sequential one; tests pin a brute-force pure-Python LRS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .registry import register
+
+_MAX_DOC = 1024  # doc-length bound: levels unroll to 2^10
+_LEVELS = 10
+
+
+def _char_table(docs: DataFrame) -> DataFrame:
+    n = F.length("text").cast("bigint")
+    return (
+        docs.filter(n <= _MAX_DOC)
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", "(?!^)")).alias("pos", "ch"),
+        )
+        .withColumn("pos", F.col("pos").cast("bigint"))
+    )
+
+
+def suffix_rank_levels(
+    docs: DataFrame, max_level: int = _LEVELS
+) -> list[DataFrame]:
+    """Prefix-doubling rank tables lv[0..m], lv[m] covering 2^m chars.
+    Each is (doc_id, pos, r) with r a dense rank within the doc;
+    ranks at the top level are unique (the suffix-array order)."""
+    chars = _char_table(docs)
+    w_ch = Window.partitionBy("doc_id").orderBy("ch")
+    lv0 = chars.select(
+        "doc_id",
+        "pos",
+        F.dense_rank().over(w_ch).cast("bigint").alias("r"),
+    ).localCheckpoint()
+    levels = [lv0]
+    for m in range(1, max_level + 1):
+        k = 1 << (m - 1)
+        prev = levels[-1]
+        nxt = prev.select(
+            "doc_id", (F.col("pos") - k).alias("pos"), F.col("r").alias("r2")
+        )
+        keyed = prev.join(nxt, ["doc_id", "pos"], "left").select(
+            "doc_id",
+            "pos",
+            F.col("r").alias("r1"),
+            F.coalesce("r2", F.lit(0)).alias("r2"),
+        )
+        w_pair = Window.partitionBy("doc_id").orderBy("r1", "r2")
+        levels.append(
+            keyed.select(
+                "doc_id",
+                "pos",
+                F.dense_rank().over(w_pair).cast("bigint").alias("r"),
+            ).localCheckpoint()
+        )
+    return levels
+
+
+def longest_repeated_substring(docs: DataFrame) -> DataFrame:
+    """Exact per-doc LRS: (doc_id, n_chars, lrs_len, lrs)."""
+    levels = suffix_rank_levels(docs)
+    top = levels[-1]
+    w_sa = Window.partitionBy("doc_id").orderBy("r")
+    pairs = (
+        top.select(
+            "doc_id",
+            F.lag("pos").over(w_sa).alias("i"),
+            F.col("pos").alias("j"),
+        )
+        .filter(F.col("i").isNotNull())
+        .withColumn("lcp", F.lit(0).cast("bigint"))
+    )
+    for m in range(len(levels) - 1, -1, -1):
+        step = 1 << m
+        lv = levels[m]
+        a = lv.select(
+            "doc_id", F.col("pos").alias("pa"), F.col("r").alias("ra")
+        )
+        b = lv.select(
+            "doc_id", F.col("pos").alias("pb"), F.col("r").alias("rb")
+        )
+        pairs = (
+            pairs.withColumn("pa", F.col("i") + F.col("lcp"))
+            .withColumn("pb", F.col("j") + F.col("lcp"))
+            .join(a, ["doc_id", "pa"], "left")
+            .join(b, ["doc_id", "pb"], "left")
+            .withColumn(
+                "lcp",
+                F.col("lcp")
+                + F.when(
+                    F.col("ra").isNotNull() & (F.col("ra") == F.col("rb")),
+                    F.lit(step),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("pa", "pb", "ra", "rb")
+        )
+        # checkpoint every 4 walk rounds: enough to keep the join plan
+        # shallow without paying a materialization job per level
+        if m % 4 == 0:
+            pairs = pairs.localCheckpoint()
+    mx = pairs.groupBy("doc_id").agg(F.max("lcp").alias("lrs_len"))
+    at_max = pairs.join(mx, "doc_id").filter(
+        (F.col("lcp") == F.col("lrs_len")) & (F.col("lrs_len") > 0)
+    )
+    base = docs.filter(F.length("text") <= _MAX_DOC).select(
+        "doc_id", "text", F.length("text").cast("bigint").alias("n_chars")
+    )
+    best = (
+        at_max.join(base, "doc_id")
+        .select(
+            "doc_id",
+            F.expr(
+                "substring(text, CAST(i + 1 AS INT), CAST(lrs_len AS INT))"
+            ).alias("sub"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("sub").alias("lrs"))
+    )
+    return (
+        base.join(mx, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("lrs_len", F.lit(0)).cast("bigint").alias("lrs_len"),
+            F.coalesce("lrs", F.lit("")).alias("lrs"),
+        )
+    )
+
+
+def _lrs_oracle() -> str:
+    lv_ctes = [
+        f"""lv0 AS MATERIALIZED (
+  SELECT doc_id, pos,
+         CAST(DENSE_RANK() OVER (PARTITION BY doc_id ORDER BY ch)
+              AS BIGINT) AS r
+  FROM chars
+)"""
+    ]
+    for m in range(1, _LEVELS + 1):
+        k = 1 << (m - 1)
+        lv_ctes.append(
+            f"""lv{m} AS MATERIALIZED (
+  SELECT p.doc_id, p.pos,
+         CAST(DENSE_RANK() OVER (
+           PARTITION BY p.doc_id
+           ORDER BY p.r, COALESCE(q.r, 0)) AS BIGINT) AS r
+  FROM lv{m - 1} p
+  LEFT JOIN lv{m - 1} q
+    ON q.doc_id = p.doc_id AND q.pos = p.pos + {k}
+)"""
+        )
+    walk_ctes = []
+    prev = "w_start"
+    for t, m in enumerate(range(_LEVELS, -1, -1)):
+        step = 1 << m
+        walk_ctes.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT p.doc_id, p.i, p.j,
+         p.lcp + CASE WHEN a.r IS NOT NULL AND b.r IS NOT NULL
+                       AND a.r = b.r THEN {step} ELSE 0 END AS lcp
+  FROM {prev} p
+  LEFT JOIN lv{m} a ON a.doc_id = p.doc_id AND a.pos = p.i + p.lcp
+  LEFT JOIN lv{m} b ON b.doc_id = p.doc_id AND b.pos = p.j + p.lcp
+)"""
+        )
+        prev = f"w{t}"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents WHERE length(text) <= {_MAX_DOC}
+), posi AS (
+  SELECT doc_id, text, CAST(UNNEST(range(length(text))) AS BIGINT) AS pos
+  FROM base
+), chars AS MATERIALIZED (
+  SELECT doc_id, pos, substring(text, CAST(pos + 1 AS INT), 1) AS ch
+  FROM posi
+),
+{",".join(lv_ctes)},
+w_start AS MATERIALIZED (
+  SELECT doc_id, i, j, CAST(0 AS BIGINT) AS lcp
+  FROM (
+    SELECT doc_id,
+           LAG(pos) OVER (PARTITION BY doc_id ORDER BY r) AS i,
+           pos AS j
+    FROM lv{_LEVELS}
+  ) WHERE i IS NOT NULL
+),
+{",".join(walk_ctes)},
+mx AS (
+  SELECT doc_id, MAX(lcp) AS lrs_len FROM {prev} GROUP BY doc_id
+), best AS (
+  SELECT w.doc_id,
+         MIN(substring(b.text, CAST(w.i + 1 AS INT),
+                       CAST(m.lrs_len AS INT))) AS lrs
+  FROM {prev} w
+  JOIN mx m ON m.doc_id = w.doc_id
+  JOIN base b ON b.doc_id = w.doc_id
+  WHERE w.lcp = m.lrs_len AND m.lrs_len > 0
+  GROUP BY w.doc_id
+)
+SELECT base.doc_id, base.n_chars,
+       CAST(COALESCE(mx.lrs_len, 0) AS BIGINT) AS lrs_len,
+       COALESCE(best.lrs, '') AS lrs
+FROM base
+LEFT JOIN mx ON mx.doc_id = base.doc_id
+LEFT JOIN best ON best.doc_id = base.doc_id
+ORDER BY base.doc_id
+"""
+
+
+@register(
+    "q_longest_repeat",
+    oracle=_lrs_oracle(),
+    doc="Per-document suffix arrays (Manber–Myers prefix doubling: "
+    "dense-rank windows within doc, ~log2(doclen) rounds, coalesce-0 "
+    "as the $ terminator) + a rank-table LCP walk over adjacent "
+    "suffixes in rank order → the EXACT longest repeated substring of "
+    "every document at arbitrary length — repetition analysis beyond "
+    "the fixed n-gram windows of q_repetition_quality.  All dense_rank "
+    "windows share one doc_id partitioning; the walk is 11 rounds of "
+    "(doc, pos) equi-joins against the saved level tables; ties break "
+    "to the lexicographically smallest substring.  At 100 TB documents "
+    "are the parallelism axis (each doc's DP is independent); a "
+    "corpus-global suffix array swaps the per-doc windows for "
+    "range-partitioned sorts, same plan otherwise.  The oracle "
+    "unrolls the identical doubling + walk as MATERIALIZED CTEs; a "
+    "brute-force pure-Python LRS pins correctness independently.",
+)
+def q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return longest_repeated_substring(docs).orderBy("doc_id")

@@ -1,0 +1,77 @@
+"""Brute-force pins for the suffix-array longest-repeated-substring:
+an O(n^2) pure-Python LRS over every fixture doc must agree with the
+distributed prefix-doubling + LCP-walk result exactly (length AND the
+lexicographically-smallest witness).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from artis_data_ingest_spark import plans
+from artis_data_ingest_spark.plans.suffix import suffix_rank_levels
+from artis_data_ingest_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _brute_lrs(s: str) -> tuple[int, str]:
+    n = len(s)
+    # longest common extension between every suffix pair, O(n^2) via
+    # the DP lce[i][j] = (s[i]==s[j]) * (1 + lce[i+1][j+1])
+    best_len = 0
+    lce_next = [0] * (n + 2)
+    lce = [0] * (n + 2)
+    for i in range(n - 1, -1, -1):
+        for j in range(n - 1, i, -1):
+            lce[j] = 1 + lce_next[j + 1] if s[i] == s[j] else 0
+            if lce[j] > best_len:
+                best_len = lce[j]
+        lce_next, lce = lce, [0] * (n + 2)
+    if best_len == 0:
+        return 0, ""
+    # smallest witness of that length
+    seen: dict[str, int] = {}
+    cands = []
+    for i in range(n - best_len + 1):
+        sub = s[i : i + best_len]
+        if sub in seen:
+            cands.append(sub)
+        else:
+            seen[sub] = i
+    return best_len, min(cands)
+
+
+def test_lrs_matches_bruteforce(spark):
+    out = (
+        plans.queries()["q_longest_repeat"](spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert len(out) == len(docs)
+    for _, d in docs.head(120).iterrows():
+        want_len, want_sub = _brute_lrs(d["text"])
+        row = out.loc[d["doc_id"]]
+        assert int(row["lrs_len"]) == want_len, d["doc_id"]
+        assert row["lrs"] == want_sub, d["doc_id"]
+
+
+def test_suffix_array_ranks_are_the_sorted_suffix_order(spark):
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .limit(30)
+    )
+    top = suffix_rank_levels(docs)[-1].toPandas()
+    texts = {
+        r.doc_id: r.text
+        for r in docs.collect()
+    }
+    for doc_id, grp in top.groupby("doc_id"):
+        s = texts[doc_id]
+        order = grp.sort_values("r")["pos"].tolist()
+        # unique ranks, and rank order == lexicographic suffix order
+        assert grp["r"].is_unique
+        suffixes = [s[p:] for p in order]
+        assert suffixes == sorted(suffixes)

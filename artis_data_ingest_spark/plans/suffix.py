@@ -42,6 +42,12 @@ _LEVELS = 10
 
 
 def _char_table(docs: DataFrame) -> DataFrame:
+    # NOTE: Spark's split keeps the trailing zero-width match, so each
+    # doc gets one extra row (pos=n, ch="").  That row is exactly the
+    # classic $ sentinel: "" dense-ranks below every real character and
+    # is unique within the doc, so suffix order and every LCP are
+    # unchanged (pinned against brute force in tests/test_suffix.py) —
+    # keep it rather than filter it.
     n = F.length("text").cast("bigint")
     return (
         docs.filter(n <= _MAX_DOC)

@@ -1502,3 +1502,124 @@ def q_bigram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_perplexity_buckets(docs)
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal — the gibberish/repetition detector
+# that sits beside the LM-perplexity and Gopher-rule filters.
+# ---------------------------------------------------------------------------
+
+_ENT_LOW = 3_500_000 * 64  # < ~3.34 bits/char (2^26 scale): repetitive
+_ENT_HIGH = 4_700_000 * 64  # > ~4.48 bits/char: random-like
+
+
+def _char_entropy_oracle() -> str:
+    from ..functions.numeric import qlog2_duck_cte
+
+    ql, ql_out = qlog2_duck_cte("vals", "x")
+    return f"""
+WITH posi AS (
+  SELECT doc_id, CAST(UNNEST(range(length(text))) AS BIGINT) AS pos, text
+  FROM documents
+), ch AS (
+  SELECT doc_id, substring(text, CAST(pos + 1 AS INT), 1) AS c
+  FROM posi
+), cc AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ch GROUP BY doc_id, c
+), nn AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n FROM cc GROUP BY doc_id
+), vals AS (
+  SELECT DISTINCT cnt AS x FROM cc
+  UNION
+  SELECT DISTINCT n AS x FROM nn
+),
+{ql},
+cq AS (
+  SELECT cc.doc_id, cc.cnt, o.qlog2 AS qc
+  FROM cc JOIN {ql_out} o ON o.x = cc.cnt
+), nq AS (
+  SELECT nn.doc_id, nn.n, o.qlog2 AS qn
+  FROM nn JOIN {ql_out} o ON o.x = nn.n
+), keyed AS (
+  SELECT nq.doc_id, nq.n,
+         CAST(((nq.n * nq.qn - SUM(cq.cnt * cq.qc)) * 64) // nq.n
+              AS BIGINT) AS ent_key
+  FROM nq JOIN cq ON cq.doc_id = nq.doc_id
+  GROUP BY nq.doc_id, nq.n, nq.qn
+)
+SELECT doc_id, n AS n_chars, ent_key,
+       CAST(ent_key AS DOUBLE) / 67108864.0 AS entropy_bits,
+       CASE WHEN ent_key < {_ENT_LOW} THEN 'low'
+            WHEN ent_key > {_ENT_HIGH} THEN 'high'
+            ELSE 'mid' END AS bucket
+FROM keyed
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_char_entropy",
+    oracle=_char_entropy_oracle(),
+    doc="Exact per-document character-entropy quality signal: H = "
+    "log2(n) - (1/n)*sum c_i*log2(c_i) over the doc's character "
+    "counts — the classic gibberish/repetition detector (low entropy "
+    "= repetitive or templated, high = random-like/binary-ish) that "
+    "production filters run beside LM perplexity (q_lm_perplexity_"
+    "buckets) and the Gopher rules.  The repo's exact-log playbook: "
+    "every log2 is the fixed-point qlog2 over the DISTINCT count "
+    "values, the per-doc key n*qlog2(n) - sum c_i*qlog2(c_i) is pure "
+    "bigint (scaled 2^26), the only float is the final display "
+    "division, and bucket thresholds compare integers.  Plan: one "
+    "(doc, char) rollup (alphabet-bounded groups), one per-doc "
+    "aggregate, qlog2 on distinct values only.",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import with_qlog2
+    from ..operators.lm import KEY_EXTRA_BITS, KEY_SCALE
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id", F.posexplode(F.split("text", "(?!^)")).alias("pos", "c")
+    ).filter(F.col("c") != "")  # Spark keeps a trailing zero-width match
+    cc = ch.groupBy("doc_id", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    nn = cc.groupBy("doc_id").agg(F.sum("cnt").cast("bigint").alias("n"))
+    vals = (
+        cc.select(F.col("cnt").alias("x"))
+        .distinct()
+        .unionByName(nn.select(F.col("n").alias("x")))
+        .distinct()
+    )
+    qtab = with_qlog2(vals, "x", "q").localCheckpoint()
+    cq = cc.join(F.broadcast(qtab), cc.cnt == qtab.x).select(
+        "doc_id", "cnt", F.col("q").alias("qc")
+    )
+    nq = nn.join(F.broadcast(qtab), nn.n == qtab.x).select(
+        "doc_id", "n", F.col("q").alias("qn")
+    )
+    keyed = (
+        nq.join(cq, "doc_id")
+        .groupBy("doc_id", "n", "qn")
+        .agg(F.sum(F.col("cnt") * F.col("qc")).alias("sum_cq"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            F.expr(
+                f"((n * qn - sum_cq) * {1 << KEY_EXTRA_BITS}) div n"
+            ).alias("ent_key"),
+        )
+    )
+    return keyed.select(
+        "doc_id",
+        "n_chars",
+        "ent_key",
+        (F.col("ent_key").cast("double") / F.lit(float(KEY_SCALE))).alias(
+            "entropy_bits"
+        ),
+        F.when(F.col("ent_key") < _ENT_LOW, "low")
+        .when(F.col("ent_key") > _ENT_HIGH, "high")
+        .otherwise("mid")
+        .alias("bucket"),
+    ).orderBy("doc_id")

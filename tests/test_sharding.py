@@ -169,3 +169,24 @@ def test_observe_dq_metrics_single_pass(spark):
     # single pass: exactly one scan in the executed plan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_char_entropy_matches_scipy_free_reference(spark):
+    from collections import Counter
+    from math import log2
+
+    out = (
+        plans.queries()["q_char_entropy"](spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    for _, d in docs.head(50).iterrows():
+        cnt = Counter(d["text"])
+        n = len(d["text"])
+        h = log2(n) - sum(c * log2(c) for c in cnt.values()) / n
+        row = out.loc[d["doc_id"]]
+        assert row["n_chars"] == n
+        # fixed-point key within qlog2 quantization of the float truth
+        assert abs(row["entropy_bits"] - h) < 1e-4, d["doc_id"]
+    assert set(out["bucket"]) <= {"low", "mid", "high"}

@@ -252,6 +252,7 @@ ORDER BY base.doc_id
 @register(
     "q_longest_repeat",
     oracle=_lrs_oracle(),
+    bench=True,
     doc="Per-document suffix arrays (Manber–Myers prefix doubling: "
     "dense-rank windows within doc, ~log2(doclen) rounds, coalesce-0 "
     "as the $ terminator) + a rank-table LCP walk over adjacent "

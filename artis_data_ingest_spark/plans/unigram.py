@@ -284,6 +284,7 @@ ORDER BY n_uses DESC, piece
 @register(
     "q_unigram_segment",
     oracle=_unigram_oracle(),
+    bench=True,
     doc="Unigram-LM (SentencePiece-style, Kudo 2018) subword "
     "segmentation: substring frequencies seed the piece vocabulary "
     "(all single chars + every <=4-char substring holding >= 1/256 of "

@@ -2111,3 +2111,88 @@ def q_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rows.unionByName(allrow).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery — data profiling beyond the
+# reference's schema diff: which columns DETERMINE which others.
+# ---------------------------------------------------------------------------
+
+_FD_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def _fd_oracle() -> str:
+    selects = []
+    for a in _FD_COLS:
+        for b in _FD_COLS:
+            if a == b:
+                continue
+            selects.append(
+                f"SELECT '{a}' AS det, '{b}' AS dep,\n"
+                f"       CAST(COUNT(DISTINCT {a}) AS BIGINT) AS n_det,\n"
+                f"       CAST(COUNT(DISTINCT ({a}, {b})) AS BIGINT)"
+                f" AS n_det_dep\nFROM orders"
+            )
+    body = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH pairs AS (
+{body}
+)
+SELECT det, dep, n_det, n_det_dep, n_det = n_det_dep AS holds
+FROM pairs
+ORDER BY det, dep
+"""
+
+
+@register(
+    "q_fd_discovery",
+    oracle=_fd_oracle(),
+    doc="Functional-dependency discovery over the orders table: the "
+    "ordered column pair (a, b) satisfies a→b iff "
+    "count_distinct(a) == count_distinct(a, b) — the standard "
+    "TANE-style single-pass check.  Extends the reference's "
+    "schema-as-data theme (assess_changes.qmd:148-173 diffs column "
+    "SETS and types; this profiles the dependencies BETWEEN columns — "
+    "key discovery, denormalization detection).  The fixture is "
+    "null-free on these columns, so both engines' distinct-pair "
+    "semantics coincide.  Plan: ONE scan computes all 16 distinct "
+    "counts in a single aggregate (Spark expands multi-distinct "
+    "map-side), then a stack() unpivot to the 12 verdict rows; the "
+    "oracle's 12-scan UNION ALL is the same arithmetic.  At 100 TB "
+    "swap countDistinct for approx_count_distinct (same plan, sketch "
+    "accuracy) — the verdict becomes approximate-FD strength.",
+)
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for a in _FD_COLS:
+        aggs.append(F.countDistinct(a).cast("bigint").alias(f"d_{a}"))
+        for b in _FD_COLS:
+            if a != b:
+                aggs.append(
+                    F.countDistinct(a, b)
+                    .cast("bigint")
+                    .alias(f"d_{a}__{b}")
+                )
+    one = orders.agg(*aggs)
+    stack_args = []
+    n_pairs = 0
+    for a in _FD_COLS:
+        for b in _FD_COLS:
+            if a != b:
+                stack_args.append(f"'{a}', '{b}', d_{a}, d_{a}__{b}")
+                n_pairs += 1
+    stacked = one.select(
+        F.expr(
+            f"stack({n_pairs}, "
+            + ", ".join(stack_args)
+            + ") AS (det, dep, n_det, n_det_dep)"
+        )
+    )
+    return stacked.select(
+        "det",
+        "dep",
+        "n_det",
+        "n_det_dep",
+        (F.col("n_det") == F.col("n_det_dep")).alias("holds"),
+    ).orderBy("det", "dep")

@@ -1326,3 +1326,133 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (trend / day-of-week seasonal /
+# residual) with exact integer arithmetic throughout.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+), t AS (
+  SELECT day,
+         CAST(date_diff('day', DATE '1970-01-01', day) % 7 AS BIGINT)
+           AS dow,
+         cents,
+         CASE WHEN COUNT(*) OVER w7 = 7
+              THEN CAST(SUM(cents) OVER w7 AS BIGINT) END AS trend7
+  FROM daily
+  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), d AS (
+  SELECT day, dow, cents, trend7,
+         7 * cents - trend7 AS d7
+  FROM t
+), s AS (
+  SELECT d.*,
+         CAST(COUNT(d7) OVER wd AS BIGINT) AS k,
+         CAST(SUM(d7) OVER wd AS BIGINT) AS s7
+  FROM d
+  WINDOW wd AS (PARTITION BY dow)
+), r AS (
+  SELECT day, dow, cents, trend7, d7, k,
+         CASE WHEN d7 IS NOT NULL THEN k * d7 - s7 END AS r7k
+  FROM s
+), g AS (
+  SELECT CAST(COUNT(r7k) AS BIGINT) AS n_full,
+         CAST(SUM(abs(r7k)) AS BIGINT) AS sum_abs
+  FROM r
+)
+SELECT strftime(r.day, '%Y-%m-%d') AS day,
+       r.dow, r.cents, r.trend7, r.d7, r.k, r.r7k,
+       CASE WHEN r.r7k IS NOT NULL
+            THEN abs(r.r7k) * g.n_full > 3 * g.sum_abs END AS anomaly
+FROM r CROSS JOIN g
+ORDER BY day
+""",
+    doc="Classical seasonal decomposition of the daily revenue series: "
+    "centered 7-row moving trend, day-of-week seasonal means, and "
+    "residuals — all EXACT integers by clearing denominators (d7 = "
+    "7·cents − Σ7 is the detrended value ×7; r7k = k·d7 − Σ_dow(d7) "
+    "is the residual ×7k), so both engines agree bit-for-bit with no "
+    "float means anywhere.  A day is anomalous when |residual| > 3× "
+    "the mean |residual| — again compared as cleared integers "
+    "(|r|·n > 3·Σ|r|).  Scale: the corpus contributes ONE day-grain "
+    "rollup; every window after runs on the calendar-bounded daily "
+    "table (365 rows/year regardless of corpus size — its 1-part "
+    "exchange is calendar-bounded, the benign class).  Extends the "
+    "temporal family (q_moving_avg, q_holt_forecast, q_ewma_decay, "
+    "q_anomaly_p99) with the trend+seasonal+residual split.",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp"))
+            .cast("date")
+            .alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.select(
+        "day",
+        (F.datediff("day", F.lit("1970-01-01")) % 7)
+        .cast("bigint")
+        .alias("dow"),
+        "cents",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.sum("cents").over(w7).cast("bigint"),
+        ).alias("trend7"),
+    )
+    d = t.withColumn("d7", 7 * F.col("cents") - F.col("trend7"))
+    wd = Window.partitionBy("dow")
+    s = d.select(
+        "*",
+        F.count("d7").over(wd).cast("bigint").alias("k"),
+        F.sum("d7").over(wd).cast("bigint").alias("s7"),
+    )
+    r = s.select(
+        "day",
+        "dow",
+        "cents",
+        "trend7",
+        "d7",
+        "k",
+        F.when(
+            F.col("d7").isNotNull(),
+            F.col("k") * F.col("d7") - F.col("s7"),
+        ).alias("r7k"),
+    )
+    g = r.agg(
+        F.count("r7k").cast("bigint").alias("n_full"),
+        F.sum(F.abs("r7k")).cast("bigint").alias("sum_abs"),
+    )
+    return (
+        r.crossJoin(F.broadcast(g))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dow",
+            "cents",
+            "trend7",
+            "d7",
+            "k",
+            "r7k",
+            F.when(
+                F.col("r7k").isNotNull(),
+                F.abs("r7k") * F.col("n_full") > 3 * F.col("sum_abs"),
+            ).alias("anomaly"),
+        )
+        .orderBy("day")
+    )

@@ -46,7 +46,8 @@ _PRIORITY: list[str] = [
     # q_cdc_chunks, q_trimmed_mean, q_webgraph_rank, and the late
     # additions q_hrw_reshard, q_bloom_membership, q_exact_quantiles,
     # q_mlm_mask, q_unigram_segment, q_soundex_blocking,
-    # q_hll_incremental, q_longest_repeat, q_char_entropy) is NOT
+    # q_hll_incremental, q_longest_repeat, q_char_entropy,
+    # q_fd_discovery, q_seasonal_decompose) is NOT
     # front-loaded — the r4-stale block takes
     # precedence per the r7 verdict; those names lead the round-9
     # rotation instead (every one is local-gate green at sf0.01, see

@@ -510,3 +510,147 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("clustering_coeff").desc(), "node")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label spreading over the co-purchase graph.
+# ---------------------------------------------------------------------------
+
+_LS_ROUNDS = 3
+_LS_SEED_MOD = 4  # parts with p_partkey % 4 == 0 keep their known label
+
+_LS_EDGES = """
+  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+"""
+
+
+def _label_spread_oracle() -> str:
+    ctes = [
+        f"e0 AS ({_LS_EDGES})",
+        "sym AS (SELECT x, y FROM e0 UNION ALL SELECT y, x FROM e0)",
+        "nodes AS (SELECT DISTINCT x AS node FROM sym)",
+        f"""seeds AS (
+  SELECT p_partkey AS node, string_split(p_name, ' ')[1] AS label
+  FROM part WHERE p_partkey % {_LS_SEED_MOD} = 0
+)""",
+        "l0 AS MATERIALIZED (SELECT node, label, TRUE AS is_seed "
+        "FROM seeds WHERE node IN (SELECT node FROM nodes))",
+    ]
+    for r in range(1, _LS_ROUNDS + 1):
+        ctes.append(
+            f"""v{r} AS (
+  SELECT s.x AS node, l.label, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM sym s JOIN l{r - 1} l ON l.node = s.y
+  WHERE s.x NOT IN (SELECT node FROM l{r - 1})
+  GROUP BY s.x, l.label
+  QUALIFY row_number() OVER (
+    PARTITION BY s.x ORDER BY cnt DESC, l.label ASC) = 1
+),
+l{r} AS MATERIALIZED (
+  SELECT node, label, is_seed FROM l{r - 1}
+  UNION ALL
+  SELECT node, label, FALSE FROM v{r}
+)"""
+        )
+    return f"""
+WITH {",".join(ctes)}
+SELECT label,
+       CAST(SUM(CASE WHEN is_seed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_seeds,
+       CAST(SUM(CASE WHEN is_seed THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_propagated
+FROM l{_LS_ROUNDS} GROUP BY label
+UNION ALL
+SELECT '<unlabeled>' AS label,
+       CAST(0 AS BIGINT),
+       CAST((SELECT COUNT(*) FROM nodes) -
+            (SELECT COUNT(*) FROM l{_LS_ROUNDS}) AS BIGINT)
+FROM (SELECT 1)
+ORDER BY label
+"""
+
+
+@register(
+    "q_label_spread",
+    oracle=_label_spread_oracle(),
+    doc=f"Semi-supervised label spreading over the co-purchase part "
+    f"graph: 1/{_LS_SEED_MOD} of parts keep their known label (the "
+    "leading descriptor of p_name); for "
+    f"{_LS_ROUNDS} synchronous rounds every still-unlabeled node "
+    "adopts the majority label among its labeled neighbors (ties -> "
+    "lexicographically smallest), labeled nodes never change — the "
+    "classic Zhu-Ghahramani label-propagation recipe with a "
+    "deterministic total order instead of RNG.  Per round: one "
+    "edge⨝labels hash join + one (node, label) count + one per-node "
+    "argmax window — node-bounded, no all-pairs anywhere; rounds "
+    "bounded like every iterative op here.  The oracle unrolls the "
+    "identical rounds with the identical tie order.",
+)
+def q_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .distinct()
+    )
+    sym = e0.unionByName(
+        e0.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    ).localCheckpoint()
+    nodes = sym.select(F.col("x").alias("node")).distinct()
+    labels = (
+        part.filter(F.col("p_partkey") % _LS_SEED_MOD == 0)
+        .select(
+            F.col("p_partkey").alias("node"),
+            F.element_at(F.split("p_name", " "), 1).alias("label"),
+            F.lit(True).alias("is_seed"),
+        )
+        .join(nodes, "node", "semi")
+        .localCheckpoint()
+    )
+    for _ in range(_LS_ROUNDS):
+        votes = (
+            sym.join(
+                labels.select(F.col("node").alias("y"), "label"), "y"
+            )
+            .join(
+                labels.select(F.col("node").alias("x")).distinct(),
+                "x",
+                "left_anti",
+            )
+            .groupBy(F.col("x").alias("node"), "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("cnt").desc(), F.col("label").asc()
+        )
+        winners = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label", F.lit(False).alias("is_seed"))
+        )
+        labels = labels.unionByName(winners).localCheckpoint()
+    per_label = labels.groupBy("label").agg(
+        F.sum(F.col("is_seed").cast("bigint")).alias("n_seeds"),
+        F.sum((~F.col("is_seed")).cast("bigint")).alias("n_propagated"),
+    )
+    n_nodes = nodes.count()
+    n_labeled = labels.count()
+    unl = labels.sparkSession.createDataFrame(
+        [("<unlabeled>", 0, n_nodes - n_labeled)],
+        "label string, n_seeds bigint, n_propagated bigint",
+    )
+    return per_label.unionByName(unl).orderBy("label")

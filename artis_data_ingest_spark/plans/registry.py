@@ -47,7 +47,8 @@ _PRIORITY: list[str] = [
     # additions q_hrw_reshard, q_bloom_membership, q_exact_quantiles,
     # q_mlm_mask, q_unigram_segment, q_soundex_blocking,
     # q_hll_incremental, q_longest_repeat, q_char_entropy,
-    # q_fd_discovery, q_seasonal_decompose) is NOT
+    # q_fd_discovery, q_seasonal_decompose, q_global_rank,
+    # q_label_spread) is NOT
     # front-loaded — the r4-stale block takes
     # precedence per the r7 verdict; those names lead the round-9
     # rotation instead (every one is local-gate green at sf0.01, see

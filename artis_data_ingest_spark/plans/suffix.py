@@ -271,3 +271,307 @@ ORDER BY base.doc_id
 def q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return longest_repeated_substring(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-global suffix array over a source slice → the longest
+# substring shared by two DIFFERENT documents (exact template /
+# boilerplate discovery).
+# ---------------------------------------------------------------------------
+
+_XDOC_SOURCE = "src0"
+_XDOC_LEVELS = 16  # slice bound 2^16 chars (oracle unrolls statically)
+
+
+def _xdoc_chars(docs: DataFrame) -> DataFrame:
+    """Concatenated-corpus character table: (gpos, doc_id, pos, ch,
+    rem) with one chr(1) separator row per doc (rem=0).  Offsets come
+    from a docs-bounded window over the doc list."""
+    base = docs.select(
+        "doc_id", "text", F.length("text").cast("bigint").alias("len")
+    )
+    w_doc = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = base.select(
+        "doc_id",
+        "text",
+        "len",
+        F.coalesce(F.sum(F.col("len") + 1).over(w_doc), F.lit(0)).alias(
+            "off"
+        ),
+    )
+    body = offs.select(
+        "doc_id",
+        "len",
+        "off",
+        F.posexplode(F.split("text", "(?!^)")).alias("pos", "ch"),
+    ).filter(F.col("ch") != "")
+    body = body.select(
+        (F.col("off") + F.col("pos")).alias("gpos"),
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        "ch",
+        (F.col("len") - F.col("pos")).cast("bigint").alias("rem"),
+    )
+    seps = offs.select(
+        (F.col("off") + F.col("len")).alias("gpos"),
+        "doc_id",
+        F.col("len").cast("bigint").alias("pos"),
+        F.lit("\x01").alias("ch"),
+        F.lit(0).cast("bigint").alias("rem"),
+    )
+    return body.unionByName(seps)
+
+
+def cross_doc_repeat(docs: DataFrame) -> DataFrame:
+    """Longest substring appearing in >= 2 distinct docs: one row
+    (n_docs, n_chars, lcs_len, n_pairs_at_max, lcs)."""
+    from ..operators.rank import distributed_dense_rank
+
+    chars = _xdoc_chars(docs).localCheckpoint()
+    meta = chars.select("gpos", "doc_id", "pos", "rem")
+    lv = distributed_dense_rank(
+        chars.select("gpos", "ch"), ["ch"], out="r"
+    ).select("gpos", "r").localCheckpoint()
+    levels = [lv]
+    total = chars.count()  # bounded probe: also the #rounds bound
+    m = 1
+    while (1 << (m - 1)) < total and m <= _XDOC_LEVELS:
+        k = 1 << (m - 1)
+        prev = levels[-1]
+        nxt = prev.select(
+            (F.col("gpos") - k).alias("gpos"), F.col("r").alias("r2")
+        )
+        keyed = prev.join(nxt, "gpos", "left").select(
+            "gpos",
+            F.col("r").alias("r1"),
+            F.coalesce("r2", F.lit(0)).alias("r2"),
+        )
+        lvl = (
+            distributed_dense_rank(keyed, ["r1", "r2"], out="r")
+            .select("gpos", "r")
+            .localCheckpoint()
+        )
+        levels.append(lvl)
+        m += 1
+        # early exit once every suffix rank is unique — further rounds
+        # are identities (text distinguishes suffixes in far fewer than
+        # log2(N) rounds; the oracle's extra static stages are no-ops
+        # by the same argument).  1-row probe per round vs a whole
+        # doubling round saved: cheap.
+        u = lvl.agg(
+            (F.count("r") == F.count_distinct("r")).alias("u")
+        ).collect()[0]["u"]
+        if u:
+            break
+    top = levels[-1]
+    nxt_rank = top.select(
+        (F.col("r") - 1).alias("r"), F.col("gpos").alias("gpos_j")
+    )
+    pairs = (
+        top.join(nxt_rank, "r")
+        .select(F.col("gpos").alias("gi"), F.col("gpos_j").alias("gj"))
+        .join(
+            meta.select(
+                F.col("gpos").alias("gi"),
+                F.col("doc_id").alias("doc_i"),
+                F.col("pos").alias("pos_i"),
+                F.col("rem").alias("rem_i"),
+            ),
+            "gi",
+        )
+        .join(
+            meta.select(
+                F.col("gpos").alias("gj"),
+                F.col("doc_id").alias("doc_j"),
+                F.col("rem").alias("rem_j"),
+            ),
+            "gj",
+        )
+        .filter(F.col("doc_i") != F.col("doc_j"))
+        .withColumn("lcp", F.lit(0).cast("bigint"))
+    )
+    for mm in range(len(levels) - 1, -1, -1):
+        step = 1 << mm
+        lvm = levels[mm]
+        a = lvm.select(F.col("gpos").alias("pa"), F.col("r").alias("ra"))
+        b = lvm.select(F.col("gpos").alias("pb"), F.col("r").alias("rb"))
+        pairs = (
+            pairs.withColumn("pa", F.col("gi") + F.col("lcp"))
+            .withColumn("pb", F.col("gj") + F.col("lcp"))
+            .join(a, "pa", "left")
+            .join(b, "pb", "left")
+            .withColumn(
+                "lcp",
+                F.col("lcp")
+                + F.when(
+                    F.col("ra").isNotNull() & (F.col("ra") == F.col("rb")),
+                    F.lit(step),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("pa", "pb", "ra", "rb")
+        )
+        if mm % 4 == 0:
+            pairs = pairs.localCheckpoint()
+    pairs = pairs.withColumn(
+        "lcp_eff", F.least("lcp", "rem_i", "rem_j")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+    mx = pairs.agg(
+        F.max("lcp_eff").cast("bigint").alias("lcs_len")
+    )
+    at_max = (
+        pairs.crossJoin(F.broadcast(mx))
+        .filter((F.col("lcp_eff") == F.col("lcs_len")) & (F.col("lcs_len") > 0))
+        .join(docs.select(F.col("doc_id").alias("doc_i"), "text"), "doc_i")
+        .select(
+            F.expr(
+                "substring(text, CAST(pos_i + 1 AS INT),"
+                " CAST(lcs_len AS INT))"
+            ).alias("sub")
+        )
+    )
+    best = at_max.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs_at_max"),
+        F.min("sub").alias("lcs"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(best))
+        .select(
+            "n_docs",
+            "n_chars",
+            F.coalesce("lcs_len", F.lit(0)).cast("bigint").alias("lcs_len"),
+            F.coalesce("n_pairs_at_max", F.lit(0))
+            .cast("bigint")
+            .alias("n_pairs_at_max"),
+            F.coalesce("lcs", F.lit("")).alias("lcs"),
+        )
+    )
+
+
+def _xdoc_oracle() -> str:
+    lv_ctes = [
+        """xlv0 AS MATERIALIZED (
+  SELECT gpos, CAST(DENSE_RANK() OVER (ORDER BY ch) AS BIGINT) AS r
+  FROM xchars
+)"""
+    ]
+    for m in range(1, _XDOC_LEVELS + 1):
+        k = 1 << (m - 1)
+        lv_ctes.append(
+            f"""xlv{m} AS MATERIALIZED (
+  SELECT p.gpos,
+         CAST(DENSE_RANK() OVER (ORDER BY p.r, COALESCE(q.r, 0))
+              AS BIGINT) AS r
+  FROM xlv{m - 1} p
+  LEFT JOIN xlv{m - 1} q ON q.gpos = p.gpos + {k}
+)"""
+        )
+    walk = []
+    prev = "xw_start"
+    for t, m in enumerate(range(_XDOC_LEVELS, -1, -1)):
+        step = 1 << m
+        walk.append(
+            f"""xw{t} AS MATERIALIZED (
+  SELECT p.* REPLACE(
+    p.lcp + CASE WHEN a.r IS NOT NULL AND b.r IS NOT NULL AND a.r = b.r
+                 THEN {step} ELSE 0 END AS lcp)
+  FROM {prev} p
+  LEFT JOIN xlv{m} a ON a.gpos = p.gi + p.lcp
+  LEFT JOIN xlv{m} b ON b.gpos = p.gj + p.lcp
+)"""
+        )
+        prev = f"xw{t}"
+    return f"""
+WITH slice AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+  FROM documents WHERE source = '{_XDOC_SOURCE}'
+), offs AS (
+  SELECT doc_id, text, len,
+         CAST(COALESCE(SUM(len + 1) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS off
+  FROM slice
+), body AS (
+  SELECT off + pos AS gpos, doc_id, pos,
+         substring(text, CAST(pos + 1 AS INT), 1) AS ch,
+         len - pos AS rem
+  FROM (SELECT doc_id, text, len, off,
+               CAST(UNNEST(range(len)) AS BIGINT) AS pos
+        FROM offs)
+), xchars AS MATERIALIZED (
+  SELECT gpos, doc_id, pos, ch, rem FROM body
+  UNION ALL
+  SELECT off + len AS gpos, doc_id, len AS pos, chr(1) AS ch,
+         CAST(0 AS BIGINT) AS rem
+  FROM offs
+),
+{",".join(lv_ctes)},
+xw_start AS MATERIALIZED (
+  SELECT ci.gpos AS gi, cj.gpos AS gj,
+         ci.doc_id AS doc_i, cj.doc_id AS doc_j,
+         ci.pos AS pos_i, ci.rem AS rem_i, cj.rem AS rem_j,
+         CAST(0 AS BIGINT) AS lcp
+  FROM xlv{_XDOC_LEVELS} ti
+  JOIN xlv{_XDOC_LEVELS} tj ON tj.r = ti.r + 1
+  JOIN xchars ci ON ci.gpos = ti.gpos
+  JOIN xchars cj ON cj.gpos = tj.gpos
+  WHERE ci.doc_id <> cj.doc_id
+),
+{",".join(walk)},
+clamped AS (
+  SELECT *, LEAST(lcp, rem_i, rem_j) AS lcp_eff FROM {prev}
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len) AS BIGINT) AS n_chars
+  FROM slice
+), mx AS (
+  SELECT CAST(MAX(lcp_eff) AS BIGINT) AS lcs_len FROM clamped
+), best AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs_at_max,
+         MIN(substring(s.text, CAST(c.pos_i + 1 AS INT),
+                       CAST(m.lcs_len AS INT))) AS lcs
+  FROM clamped c
+  CROSS JOIN mx m
+  JOIN slice s ON s.doc_id = c.doc_i
+  WHERE c.lcp_eff = m.lcs_len AND m.lcs_len > 0
+)
+SELECT stats.n_docs, stats.n_chars,
+       CAST(COALESCE(mx.lcs_len, 0) AS BIGINT) AS lcs_len,
+       CAST(COALESCE(best.n_pairs_at_max, 0) AS BIGINT) AS n_pairs_at_max,
+       COALESCE(best.lcs, '') AS lcs
+FROM stats CROSS JOIN mx CROSS JOIN best
+"""
+
+
+@register(
+    "q_cross_doc_repeat",
+    oracle=_xdoc_oracle(),
+    doc="Corpus-global suffix array over the src0 slice → the exact "
+    "longest substring shared by two DIFFERENT documents (template / "
+    "boilerplate discovery at arbitrary length, the cross-doc "
+    "counterpart of q_longest_repeat).  The docs concatenate with "
+    "chr(1) separators; every prefix-doubling round ranks globally "
+    "through operators/rank.py's distributed_dense_rank (range-"
+    "partition + bounded offsets — NO single-reducer window anywhere, "
+    "unlike the oracle's DENSE_RANK); suffix-array adjacency comes "
+    "from an equi-join on consecutive ranks, cross-doc pairs survive, "
+    "the LCP walk runs over the saved level tables, and the clamp "
+    "least(lcp, rem_i, rem_j) removes any match that would cross a "
+    "separator.  Adjacent cross-doc pairs suffice for the max (any "
+    "optimal pair's SA interval contains a doc switch).  Rounds are "
+    "log2(slice chars), each one range shuffle + a bounded collect.  "
+    "Brute-force pure-Python cross-doc LCS pinned in tests.",
+)
+def q_cross_doc_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == _XDOC_SOURCE)
+        .select("doc_id", "text")
+    )
+    return cross_doc_repeat(docs)

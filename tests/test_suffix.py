@@ -75,3 +75,36 @@ def test_suffix_array_ranks_are_the_sorted_suffix_order(spark):
         assert grp["r"].is_unique
         suffixes = [s[p:] for p in order]
         assert suffixes == sorted(suffixes)
+
+
+def test_cross_doc_repeat_matches_bruteforce(spark):
+    out = plans.queries()["q_cross_doc_repeat"](spark, SF_DIR).collect()[0]
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    s0 = docs[docs.source == "src0"].sort_values("doc_id")
+    texts = list(s0["text"])
+    assert out["n_docs"] == len(texts)
+    assert out["n_chars"] == sum(len(t) for t in texts)
+
+    def lcs_len(a: str, b: str) -> int:
+        prev = [0] * (len(b) + 1)
+        best = 0
+        for i in range(1, len(a) + 1):
+            cur = [0] * (len(b) + 1)
+            ai = a[i - 1]
+            for j in range(1, len(b) + 1):
+                if ai == b[j - 1]:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    import itertools
+
+    want = max(
+        lcs_len(a, b) for a, b in itertools.combinations(texts, 2)
+    )
+    assert out["lcs_len"] == want
+    assert len(out["lcs"]) == want
+    # the witness really does occur in >= 2 distinct docs
+    holders = [t for t in texts if out["lcs"] in t]
+    assert len(holders) >= 2

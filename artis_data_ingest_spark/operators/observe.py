@@ -51,3 +51,24 @@ def with_dq_observation(
         )
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+def partition_profile(df: DataFrame) -> DataFrame:
+    """Skew diagnostic: one row per physical partition with its row
+    count — the first thing to look at when a stage straggles.  The
+    profile is partition-count-bounded (a 100 TB table with 100k
+    partitions yields 100k rows), and computing it is one map-side
+    count per partition plus a tiny shuffle of the per-partition rows.
+    Read it next to ``spark.sql.files.maxPartitionBytes`` and the
+    shuffle-partition setting: a heavy tail here means salting or AQE
+    skew handling before the next join/agg.
+    """
+    return (
+        df.withColumn("_pp_pid", F.spark_partition_id())
+        .groupBy("_pp_pid")
+        .count()
+        .select(
+            F.col("_pp_pid").alias("partition_id"),
+            F.col("count").alias("n_rows"),
+        )
+    )

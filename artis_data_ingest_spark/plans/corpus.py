@@ -1172,3 +1172,145 @@ def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination span scrub — the removal-side companion to
+# q_contamination_ngram's detection score.
+# ---------------------------------------------------------------------------
+
+
+def _decontam_scrub_oracle() -> str:
+    covered = " OR ".join(
+        ["hit"]
+        + [f"COALESCE(LAG(hit, {b}) OVER w, FALSE)" for b in range(1, 8)]
+    )
+    return rf"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '[ \t\n\r\f\x0B]+') AS w,
+         substring(md5('contam:' || CAST(doc_id AS VARCHAR)), 1, 1) <= '1'
+           AS is_eval
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) >= 8
+), g AS (
+  SELECT doc_id, is_eval, CAST(u.i AS BIGINT) AS s,
+         array_to_string(w[i:i+7], ' ') AS ngram
+  FROM d, UNNEST(range(1, len(w) - 6)) AS u(i)
+), eg AS (
+  SELECT DISTINCT ngram FROM g WHERE is_eval
+), hits AS (
+  SELECT g.doc_id, g.s
+  FROM g JOIN eg USING (ngram)
+  WHERE NOT g.is_eval
+), tok AS (
+  SELECT doc_id, UNNEST(w) AS tok,
+         CAST(UNNEST(range(1, len(w) + 1)) AS BIGINT) AS pos
+  FROM d WHERE NOT is_eval
+), marked AS (
+  SELECT t.doc_id, t.tok, t.pos, h.s IS NOT NULL AS hit
+  FROM tok t LEFT JOIN hits h ON h.doc_id = t.doc_id AND h.s = t.pos
+), cov AS (
+  SELECT doc_id, tok, pos, ({covered}) AS covered
+  FROM marked
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       md5(COALESCE(string_agg(CASE WHEN NOT covered THEN tok END,
+                               ' ' ORDER BY pos), '')) AS kept_md5
+FROM cov
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q_decontam_scrub",
+    oracle=_decontam_scrub_oracle(),
+    doc="Decontamination span SCRUB — the removal side of "
+    "q_contamination_ngram's detection: every train-side token covered "
+    "by any word-8-gram that also occurs in the eval slice is removed "
+    "(the span-level treatment GPT-3/Llama decontamination applies, "
+    "rather than dropping whole documents), and the surviving text is "
+    "reassembled in order (md5 fingerprint output).  Span cover is "
+    "bounded-lookback window algebra (8 lags over the gram-start "
+    "marks — the q_span_corruption pattern); candidate marks come "
+    "from ONE n-gram equi-join against the distinct eval grams, "
+    "linear blocking as always.  At 100 TB the eval gram set is "
+    "benchmark-sized (broadcastable) and the scrub is one corpus "
+    "pass + one doc_id window.",
+)
+def q_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.split(F.trim("text"), r"[ \t\n\r\f\x0B]+").alias("w")
+    ).filter(F.size("w") >= 8)
+    is_eval = (
+        F.substring(
+            F.md5(F.concat(F.lit("contam:"), F.col("doc_id").cast("string"))),
+            1,
+            1,
+        )
+        <= "1"
+    )
+    d = d.withColumn("is_eval", is_eval)
+    grams = d.select(
+        "doc_id",
+        "is_eval",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(w) - 7),"
+                " i -> concat_ws(' ', slice(w, i, 8)))"
+            )
+        ).alias("s0", "ngram"),
+    ).withColumn("s", F.col("s0").cast("bigint") + 1)
+    eval_g = grams.filter(F.col("is_eval")).select("ngram").distinct()
+    hits = (
+        grams.filter(~F.col("is_eval"))
+        .join(eval_g, "ngram", "semi")
+        .select("doc_id", "s")
+    )
+    tok = d.filter(~F.col("is_eval")).select(
+        "doc_id", F.posexplode("w").alias("p0", "tok")
+    ).withColumn("pos", F.col("p0").cast("bigint") + 1)
+    marked = tok.join(
+        hits.withColumnRenamed("s", "pos").withColumn("hit", F.lit(True)),
+        ["doc_id", "pos"],
+        "left",
+    ).withColumn("hit", F.coalesce("hit", F.lit(False)))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    covered = F.col("hit")
+    for b in range(1, 8):
+        covered = covered | F.coalesce(
+            F.lag("hit", b).over(w), F.lit(False)
+        )
+    cov = marked.withColumn("covered", covered)
+    kept = F.when(
+        ~F.col("covered"),
+        F.struct(F.col("pos").alias("pos"), F.col("tok").alias("p")),
+    )
+    return (
+        cov.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("covered").cast("bigint")).alias("n_removed"),
+            F.md5(
+                F.coalesce(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(kept)),
+                            lambda x: x["p"],
+                        ),
+                        " ",
+                    ),
+                    F.lit(""),
+                )
+            ).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -73,17 +73,19 @@ def suffix_rank_levels(
         F.dense_rank().over(w_ch).cast("bigint").alias("r"),
     ).localCheckpoint()
     levels = [lv0]
+    w_pos = Window.partitionBy("doc_id").orderBy("pos")
     for m in range(1, max_level + 1):
         k = 1 << (m - 1)
         prev = levels[-1]
-        nxt = prev.select(
-            "doc_id", (F.col("pos") - k).alias("pos"), F.col("r").alias("r2")
-        )
-        keyed = prev.join(nxt, ["doc_id", "pos"], "left").select(
+        # positions are dense within a doc, so the rank at pos+k is a
+        # lead() over the SAME doc_id partitioning — no self-join;
+        # the pair sort reuses the exchange (different intra-partition
+        # order only)
+        keyed = prev.select(
             "doc_id",
             "pos",
             F.col("r").alias("r1"),
-            F.coalesce("r2", F.lit(0)).alias("r2"),
+            F.coalesce(F.lead("r", k).over(w_pos), F.lit(0)).alias("r2"),
         )
         w_pair = Window.partitionBy("doc_id").orderBy("r1", "r2")
         levels.append(
@@ -101,7 +103,7 @@ def longest_repeated_substring(docs: DataFrame) -> DataFrame:
     levels = suffix_rank_levels(docs)
     top = levels[-1]
     w_sa = Window.partitionBy("doc_id").orderBy("r")
-    pairs = (
+    all_pairs = (
         top.select(
             "doc_id",
             F.lag("pos").over(w_sa).alias("i"),
@@ -110,34 +112,45 @@ def longest_repeated_substring(docs: DataFrame) -> DataFrame:
         .filter(F.col("i").isNotNull())
         .withColumn("lcp", F.lit(0).cast("bigint"))
     )
-    for m in range(len(levels) - 1, -1, -1):
-        step = 1 << m
-        lv = levels[m]
-        a = lv.select(
-            "doc_id", F.col("pos").alias("pa"), F.col("r").alias("ra")
-        )
-        b = lv.select(
-            "doc_id", F.col("pos").alias("pb"), F.col("r").alias("rb")
-        )
-        pairs = (
-            pairs.withColumn("pa", F.col("i") + F.col("lcp"))
-            .withColumn("pb", F.col("j") + F.col("lcp"))
-            .join(a, ["doc_id", "pa"], "left")
-            .join(b, ["doc_id", "pb"], "left")
-            .withColumn(
-                "lcp",
-                F.col("lcp")
-                + F.when(
-                    F.col("ra").isNotNull() & (F.col("ra") == F.col("rb")),
-                    F.lit(step),
-                ).otherwise(F.lit(0)),
+
+    def walk(pairs: DataFrame, level_idxs: list[int]) -> DataFrame:
+        for t, m in enumerate(level_idxs):
+            step = 1 << m
+            lv = levels[m]
+            a = lv.select(
+                "doc_id", F.col("pos").alias("pa"), F.col("r").alias("ra")
             )
-            .drop("pa", "pb", "ra", "rb")
-        )
-        # checkpoint every 4 walk rounds: enough to keep the join plan
-        # shallow without paying a materialization job per level
-        if m % 4 == 0:
-            pairs = pairs.localCheckpoint()
+            b = lv.select(
+                "doc_id", F.col("pos").alias("pb"), F.col("r").alias("rb")
+            )
+            pairs = (
+                pairs.withColumn("pa", F.col("i") + F.col("lcp"))
+                .withColumn("pb", F.col("j") + F.col("lcp"))
+                .join(a, ["doc_id", "pa"], "left")
+                .join(b, ["doc_id", "pb"], "left")
+                .withColumn(
+                    "lcp",
+                    F.col("lcp")
+                    + F.when(
+                        F.col("ra").isNotNull()
+                        & (F.col("ra") == F.col("rb")),
+                        F.lit(step),
+                    ).otherwise(F.lit(0)),
+                )
+                .drop("pa", "pb", "ra", "rb")
+            )
+            # periodic checkpoint keeps the join plan shallow without a
+            # materialization job per level
+            if t % 4 == 3:
+                pairs = pairs.localCheckpoint()
+        return pairs
+
+    # (measured: splitting pairs into a small-LCP mass walking 4 levels
+    # and a rare big-LCP tail walking all of them LOSES — every walk
+    # join is dominated by shuffling the corpus-sized LEVEL table, not
+    # the pair side, so fewer pairs per join buys nothing.  The plain
+    # full-ladder walk below is the faster shape.)
+    pairs = walk(all_pairs, list(range(len(levels) - 1, -1, -1)))
     mx = pairs.groupBy("doc_id").agg(F.max("lcp").alias("lrs_len"))
     at_max = pairs.join(mx, "doc_id").filter(
         (F.col("lcp") == F.col("lrs_len")) & (F.col("lrs_len") > 0)

@@ -31,6 +31,18 @@ byte-small assignment table to ~1 partition, serializing ~6M dot
 products on one core) and the LM's vocab/qlog2 artifacts materialize
 once (5.3 s → ~2.6 s — the duplicated deep subtrees were re-planned
 AND re-executed under every consumer).
+
+Closing-r8 anchors: q_longest_repeat and q_unigram_segment (the two
+heaviest new shapes).  q_longest_repeat's first measurement (24.0 s)
+was cut to ~12 s by replacing each doubling round's (doc,pos)
+self-join with a lead() over the already-held doc_id window
+partitioning (positions are dense per doc — one exchange serves the
+lead AND the pair dense_rank).  Two further attempts were measured
+and REJECTED: per-doc deepest-duplicated-level candidate pruning
+(55 s — 11 extra per-level aggregations plus a broadcast OOM retry
+outweighed the smaller walk), and a small/big LCP pair split walking
+4 vs 11 levels (18.6 s — every walk join is dominated by shuffling
+the corpus-sized LEVEL table, so fewer pairs per join buys nothing).
 """
 
 from __future__ import annotations

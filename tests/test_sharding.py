@@ -190,3 +190,15 @@ def test_char_entropy_matches_scipy_free_reference(spark):
         # fixed-point key within qlog2 quantization of the float truth
         assert abs(row["entropy_bits"] - h) < 1e-4, d["doc_id"]
     assert set(out["bucket"]) <= {"low", "mid", "high"}
+
+
+def test_partition_profile_counts_every_row(spark):
+    from artis_data_ingest_spark.operators.observe import partition_profile
+    from artis_data_ingest_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").repartition(7)
+    prof = partition_profile(li).toPandas()
+    assert prof["n_rows"].sum() == li.count()
+    assert len(prof) <= 7
+    # round-robin repartition is balanced: no partition 2x the mean
+    assert prof["n_rows"].max() <= 2 * prof["n_rows"].mean()

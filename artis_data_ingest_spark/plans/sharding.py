@@ -265,3 +265,168 @@ def q_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Merkle corpus manifest — verifiable snapshot versioning: compare
+# fingerprint trees instead of data (the reference's snapshot-diff
+# mission, assess_changes.qmd:50-146, at corpus scale).
+# ---------------------------------------------------------------------------
+
+_MERKLE_SHARD = 64  # docs per manifest shard
+
+
+@register(
+    "q_merkle_manifest",
+    oracle=f"""
+WITH leaf AS (
+  SELECT doc_id, doc_id // {_MERKLE_SHARD} AS shard,
+         md5(doc_id || ':' || md5(text)) AS h
+  FROM documents
+), shard_h AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         md5(string_agg(h, '' ORDER BY doc_id)) AS hash
+  FROM leaf GROUP BY shard
+)
+SELECT CAST(shard AS VARCHAR) AS node, n_docs, hash FROM shard_h
+UNION ALL
+SELECT '<root>' AS node,
+       CAST(SUM(n_docs) AS BIGINT),
+       md5(string_agg(hash, '' ORDER BY shard))
+FROM shard_h
+ORDER BY node
+""",
+    doc="Merkle-style corpus manifest: every doc hashes to a leaf "
+    "(md5 over id + content fingerprint), leaves roll up into "
+    f"{_MERKLE_SHARD}-doc shard hashes (order-pinned string_agg), and "
+    "shard hashes roll into one root — a VERIFIABLE snapshot id.  Two "
+    "corpus versions compare by manifest (shard-count rows) instead "
+    "of by data, which is the reference's directory-diff mission "
+    "(assess_changes.qmd) done at 100 TB scale: an unchanged root "
+    "proves byte-identity without touching the text again, and a "
+    "changed root localizes to the changed shards in one tree level.  "
+    "Plan: one corpus pass to leaves, a shard-bounded ordered rollup, "
+    "a shard-count-bounded root fold.  Deeper trees are the same "
+    "algebra applied again.",
+)
+def q_merkle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return merkle_manifest(docs)
+
+
+def _shard_hashes(docs: DataFrame) -> DataFrame:
+    leaf = docs.select(
+        "doc_id",
+        F.expr(f"doc_id div {_MERKLE_SHARD}").alias("shard"),
+        F.md5(
+            F.concat_ws(":", F.col("doc_id").cast("string"), F.md5("text"))
+        ).alias("h"),
+    )
+    return leaf.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("doc_id").alias("doc_id"),
+                                F.col("h").alias("p"),
+                            )
+                        )
+                    ),
+                    lambda x: x["p"],
+                ),
+                "",
+            )
+        ).alias("hash"),
+    )
+
+
+def merkle_manifest(docs: DataFrame) -> DataFrame:
+    shard_h = _shard_hashes(docs)
+    root = shard_h.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("shard").alias("shard"),
+                                F.col("hash").alias("p"),
+                            )
+                        )
+                    ),
+                    lambda x: x["p"],
+                ),
+                "",
+            )
+        ).alias("hash"),
+    ).select(F.lit("<root>").alias("node"), "n_docs", "hash")
+    return (
+        shard_h.select(
+            F.col("shard").cast("string").alias("node"), "n_docs", "hash"
+        )
+        .unionByName(root)
+        .orderBy("node")
+    )
+
+
+@register(
+    "q_manifest_diff",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+), mod AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 42 THEN text || ' [edited]'
+              ELSE text END AS text
+  FROM documents
+), lb AS (
+  SELECT doc_id // {_MERKLE_SHARD} AS shard,
+         md5(doc_id || ':' || md5(text)) AS h, doc_id
+  FROM base
+), lm AS (
+  SELECT doc_id // {_MERKLE_SHARD} AS shard,
+         md5(doc_id || ':' || md5(text)) AS h, doc_id
+  FROM mod
+), sb AS (
+  SELECT shard, md5(string_agg(h, '' ORDER BY doc_id)) AS hash
+  FROM lb GROUP BY shard
+), sm AS (
+  SELECT shard, md5(string_agg(h, '' ORDER BY doc_id)) AS hash
+  FROM lm GROUP BY shard
+)
+SELECT sb.shard, sb.hash <> sm.hash AS changed
+FROM sb JOIN sm USING (shard)
+ORDER BY sb.shard
+""",
+    doc="Manifest-level snapshot diff: the base corpus vs a version "
+    "with every (doc_id % 97 == 42) doc edited — the comparison "
+    "happens ENTIRELY at the shard-hash level (shard-count rows, no "
+    "text re-read on the unchanged side in a real deployment where "
+    "the base manifest is persisted), and changed=true rows localize "
+    "exactly the shards holding edited docs.  This is "
+    "assess_changes.qmd's file-level diff generalized to content-"
+    "addressed shards.",
+)
+def q_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mod = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 97 == 42, F.concat("text", F.lit(" [edited]"))
+        ).otherwise(F.col("text")),
+    )
+    sb = _shard_hashes(docs).select(
+        "shard", F.col("hash").alias("hb")
+    )
+    sm = _shard_hashes(mod).select(
+        "shard", F.col("hash").alias("hm")
+    )
+    return (
+        sb.join(sm, "shard")
+        .select("shard", (F.col("hb") != F.col("hm")).alias("changed"))
+        .orderBy("shard")
+    )

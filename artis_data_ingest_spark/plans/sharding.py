@@ -430,3 +430,95 @@ def q_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shard", (F.col("hb") != F.col("hm")).alias("changed"))
         .orderBy("shard")
     )
+
+
+@register(
+    "q_manifest_incremental",
+    oracle=f"""
+WITH mod AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 42 THEN text || ' [edited]'
+              ELSE text END AS text
+  FROM documents
+), lm AS (
+  SELECT doc_id // {_MERKLE_SHARD} AS shard,
+         md5(doc_id || ':' || md5(text)) AS h, doc_id
+  FROM mod
+), sm AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         md5(string_agg(h, '' ORDER BY doc_id)) AS hash
+  FROM lm GROUP BY shard
+)
+SELECT CAST(shard AS VARCHAR) AS node, n_docs, hash FROM sm
+UNION ALL
+SELECT '<root>', CAST(SUM(n_docs) AS BIGINT),
+       md5(string_agg(hash, '' ORDER BY shard))
+FROM sm
+ORDER BY node
+""",
+    doc="Incremental Merkle-manifest maintenance: given the BASE "
+    "manifest and a delta of edited docs (doc_id % 97 == 42), only "
+    "the shards containing a delta doc re-hash — their doc texts are "
+    "re-read, every untouched shard's hash carries over from the base "
+    "manifest unread — and the root re-folds from the merged shard "
+    "list.  The oracle is the FULL manifest rebuild of the modified "
+    "corpus, so the hash pass IS the proof of the O(delta) maintenance "
+    "identity (the q_index_delta_merge / q_agg_delta_update playbook "
+    "applied to content addressing).  At 100 TB a daily 0.1% delta "
+    "touches ~0.1% of shards; manifest upkeep costs that, not a "
+    "corpus rescan.",
+)
+def q_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # the arriving delta: the edited docs only
+    delta = docs.filter(F.col("doc_id") % 97 == 42).withColumn(
+        "text", F.concat("text", F.lit(" [edited]"))
+    )
+    base_manifest = _shard_hashes(docs).localCheckpoint()  # persisted base
+    touched = delta.select(
+        F.expr(f"doc_id div {_MERKLE_SHARD}").alias("shard")
+    ).distinct()
+    # re-read ONLY the touched shards' docs, applying the delta edits
+    mod_docs = (
+        docs.withColumn(
+            "shard", F.expr(f"doc_id div {_MERKLE_SHARD}")
+        )
+        .join(F.broadcast(touched), "shard")
+        .join(
+            delta.select("doc_id", F.col("text").alias("new_text")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("new_text", F.col("text")).alias("text")
+        )
+    )
+    recomputed = _shard_hashes(mod_docs)
+    untouched = base_manifest.join(touched, "shard", "left_anti")
+    shard_h = untouched.unionByName(recomputed)
+    root = shard_h.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("shard").alias("shard"),
+                                F.col("hash").alias("p"),
+                            )
+                        )
+                    ),
+                    lambda x: x["p"],
+                ),
+                "",
+            )
+        ).alias("hash"),
+    ).select(F.lit("<root>").alias("node"), "n_docs", "hash")
+    return (
+        shard_h.select(
+            F.col("shard").cast("string").alias("node"), "n_docs", "hash"
+        )
+        .unionByName(root)
+        .orderBy("node")
+    )

@@ -98,6 +98,18 @@ _ONE_PART_CLASS = {
     "q_l_diversity": "scalar",  # suppressed rollup merges the tiny
     # failing-group table to one row
     "q_minhash_recall_eval": "scalar",  # the 1-row metrics aggregate
+    # closing-r8 batch
+    "q_longest_repeat": "scalar",  # Spark-injected runtime bloom-filter
+    # join pruning: partial 8MB sketch buffers merge on one task —
+    # fixed-size regardless of data (verified in the executed plan)
+    "q_cross_doc_repeat": "scalar",  # the stats/max/best 1-row merges
+    # (all doubling/walk stages are checkpoint-truncated hash shuffles)
+    "q_fd_discovery": "scalar",  # the single all-distinct-counts row
+    "q_hll_incremental": "scalar",  # sketch-union + exact-total 1-row
+    # merges; per-source sketches are map-side partials
+    "q_seasonal_decompose": "group-bounded",  # centered-MA window over
+    # the DAILY rollup (calendar-bounded: 365 rows/year at any corpus
+    # size) + the 1-row |residual| scale merge
     "q_pmi_collocations": "k-bounded",  # global top-20 sort+limit
     "q_preference_pairs": "scalar",  # the LM smoothing-denominator
     # 1-row merge (scoring inherits q_lm_perplexity_buckets' shape)

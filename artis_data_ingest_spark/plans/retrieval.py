@@ -1248,3 +1248,195 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval ranking quality: MRR and nDCG@10 over a fixed query set.
+# ---------------------------------------------------------------------------
+
+_EVAL_TERMS = ("hash", "join", "stream", "window", "batch", "merge")
+#: fixed-point 1/log2(rank+1) discount weights (scale 2^20) and their
+#: prefix sums — identical integer literals in both engines, so DCG
+#: needs no runtime logarithm
+_NDCG_W = (1048576, 661578, 524288, 451597, 405645, 373510, 349525, 330789, 315653, 303106)
+_NDCG_PRE = (0, 1048576, 1710154, 2234442, 2686039, 3091684, 3465194, 3814719, 4145508, 4461161, 4764267)
+_RR_LCM = 2520  # lcm(1..10): 2520/rank is an exact integer
+
+
+
+def _retrieval_metrics_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _EVAL_TERMS)
+    w_case = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+    )
+    pre_case = " ".join(
+        f"WHEN {i} THEN {p}" for i, p in enumerate(_NDCG_PRE)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lower(token) AS term
+  FROM (
+    SELECT doc_id,
+           UNNEST(string_split_regex(trim(text), '{_WS_SQL}')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+), corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM dl
+), tf AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ({terms})
+  GROUP BY term, doc_id
+), scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+         CAST(22 * tf.tf * c.sum_dl * (c.n_docs + 1) AS DOUBLE)
+           / CAST(((10 * tf.tf + 3) * c.sum_dl
+                   + 9 * dl.dl * c.n_docs)
+                  * ((SELECT COUNT(*) FROM tf t2
+                      WHERE t2.term = tf.term) + 1) AS DOUBLE) AS score,
+         tf.tf * 20 >= dl.dl AS rel
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN corpus c
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+  FROM scored
+), rtot AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n_matched,
+         CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+  FROM scored GROUP BY term
+), top AS (
+  SELECT * FROM ranked WHERE rnk <= 10
+), m AS (
+  SELECT term,
+         MIN(CASE WHEN rel THEN rnk END) AS first_rel_rank,
+         CAST(SUM(CASE WHEN rel THEN
+           CASE rnk {w_case} END ELSE 0 END) AS BIGINT) AS dcg_q20
+  FROM top GROUP BY term
+)
+SELECT rtot.term, rtot.n_matched, rtot.n_rel,
+       m.first_rel_rank,
+       CAST(COALESCE({_RR_LCM} // m.first_rel_rank, 0) AS BIGINT)
+         AS rr_2520,
+       COALESCE(m.dcg_q20, 0) AS dcg_q20,
+       CAST(CASE LEAST(rtot.n_rel, 10) {pre_case} END AS BIGINT)
+         AS idcg_q20,
+       CASE WHEN rtot.n_rel > 0
+            THEN CAST(COALESCE(m.dcg_q20, 0) AS DOUBLE)
+                 / CAST(CASE LEAST(rtot.n_rel, 10) {pre_case} END
+                        AS DOUBLE)
+            ELSE 0.0 END AS ndcg
+FROM rtot LEFT JOIN m USING (term)
+ORDER BY term
+"""
+
+
+@register(
+    "q_retrieval_metrics",
+    oracle=_retrieval_metrics_oracle(),
+    doc="Retrieval ranking quality — MRR and nDCG@10 for six "
+    "single-term BM25 queries against a deterministic relevance rule "
+    "(term holds >= 5% of the doc): the offline eval loop a retrieval "
+    "stack ships with, beside the recall evals (q_minhash_recall_eval, "
+    "q_ivfpq_recall).  Exactness playbook: reciprocal ranks carry as "
+    "2520/rank integers (lcm(1..10)), DCG discounts are fixed-point "
+    "2^20/log2(rank+1) INTEGER LITERALS shared by both engines (no "
+    "runtime logarithm), ideal DCG is a prefix-sum CASE on the "
+    "relevant count, and the only floats are final displayed ratios "
+    "of exact bigints.  Plan: one tokenize pass feeds dl/tf; per-term "
+    "candidates rank in a term-partitioned window (k-bounded top-10); "
+    "all metric aggregates are term-bounded.",
+)
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    tok = _tokens(spark, sf_dir)
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*_EVAL_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            "dl",
+            (
+                (22 * F.col("tf") * F.col("sum_dl") * (F.col("n_docs") + 1))
+                .cast("double")
+                / (
+                    (
+                        (10 * F.col("tf") + 3) * F.col("sum_dl")
+                        + 9 * F.col("dl") * F.col("n_docs")
+                    )
+                    * (F.col("df") + 1)
+                ).cast("double")
+            ).alias("score"),
+            (F.col("tf") * 20 >= F.col("dl")).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), "doc_id")
+    ranked = scored.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    )
+    rtot = scored.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+        F.sum(F.col("rel").cast("bigint")).alias("n_rel"),
+    )
+    w_arr = F.array(*[F.lit(x) for x in _NDCG_W])
+    top = ranked.filter(F.col("rnk") <= 10)
+    m = top.groupBy("term").agg(
+        F.min(F.when(F.col("rel"), F.col("rnk"))).alias("first_rel_rank"),
+        F.sum(
+            F.when(
+                F.col("rel"),
+                F.element_at(w_arr, F.col("rnk").cast("int")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("dcg_q20"),
+    )
+    pre_arr = F.array(*[F.lit(x) for x in _NDCG_PRE])
+    out = rtot.join(m, "term", "left").select(
+        "term",
+        "n_matched",
+        "n_rel",
+        "first_rel_rank",
+        F.coalesce(
+            F.expr(f"{_RR_LCM} div first_rel_rank"), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rr_2520"),
+        F.coalesce("dcg_q20", F.lit(0)).alias("dcg_q20"),
+        F.element_at(
+            pre_arr, F.least(F.col("n_rel"), F.lit(10)).cast("int") + 1
+        )
+        .cast("bigint")
+        .alias("idcg_q20"),
+    )
+    return out.select(
+        "*",
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("dcg_q20").cast("double")
+            / F.col("idcg_q20").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg"),
+    ).orderBy("term")

@@ -1456,3 +1456,116 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend via grouped applyInPandas — the per-group
+# pandas surface (SURVEY.md §2.9) on a model built-ins can't express.
+# ---------------------------------------------------------------------------
+
+#: lcm(1..29): day gaps within the 30-day fixture window divide it, so
+#: num * (_TS_LCM / den) is an EXACT integer sort key for slope
+#: fractions (carried as decimal(38,0) — num*LCM can exceed int64)
+_TS_LCM = 2329089562800
+
+
+@register(
+    "q_theil_sen",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01',
+              CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+              AS BIGINT) AS d,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         b.cents - a.cents AS num,
+         b.d - a.d AS den,
+         CAST(b.cents - a.cents AS DECIMAL(38,0))
+           * ({_TS_LCM} // (b.d - a.d)) AS key
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY event_type ORDER BY key, den, num) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM pairs
+), med AS (
+  SELECT event_type, n AS n_pairs,
+         CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope
+  FROM ranked WHERE rn = (n + 1) // 2
+), nd AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+  GROUP BY 1
+)
+SELECT nd.event_type, nd.n_days, med.n_pairs, med.slope
+FROM nd JOIN med USING (event_type)
+ORDER BY event_type
+""",
+    doc="Theil–Sen robust trend (median of all pairwise slopes) of "
+    "daily revenue per event type — the estimator OLS-by-sufficient-"
+    "statistics (q_linreg) can't express declaratively, implemented "
+    "through grouped applyInPandas (SURVEY.md §2.9's per-group pandas "
+    "surface): each group is calendar-bounded (~30 days → ~435 "
+    "pairs), so the O(n²) pairwise work is embarrassingly "
+    "group-parallel and Arrow-batched.  Exactness: pandas compares "
+    "slopes as exact Fractions and takes the LOWER median; the oracle "
+    "reproduces the identical order with the integer key "
+    "num·(lcm(1..29)/den) carried as decimal(38,0) — the hash match "
+    "proves the pandas path against pure SQL.  Only the reported "
+    "slope is a float (one division).",
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts").cast("timestamp")).cast(
+                    "date"
+                ),
+                F.lit("1970-01-01"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        from fractions import Fraction
+
+        pdf = pdf.sort_values("d")
+        d = pdf["d"].to_numpy()
+        c = pdf["cents"].to_numpy()
+        slopes = []
+        for i in range(len(d)):
+            for j in range(i + 1, len(d)):
+                num = int(c[j] - c[i])
+                den = int(d[j] - d[i])
+                slopes.append((Fraction(num, den), den, num))
+        slopes.sort()
+        n = len(slopes)
+        _, den, num = slopes[(n + 1) // 2 - 1]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(d)],
+                "n_pairs": [n],
+                "slope": [num / den],
+            }
+        )
+
+    out = daily.groupBy("event_type").applyInPandas(
+        _fit,
+        "event_type string, n_days bigint, n_pairs bigint, slope double",
+    )
+    return out.orderBy("event_type")

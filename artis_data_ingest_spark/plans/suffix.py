@@ -88,13 +88,23 @@ def suffix_rank_levels(
             F.coalesce(F.lead("r", k).over(w_pos), F.lit(0)).alias("r2"),
         )
         w_pair = Window.partitionBy("doc_id").orderBy("r1", "r2")
-        levels.append(
-            keyed.select(
-                "doc_id",
-                "pos",
-                F.dense_rank().over(w_pair).cast("bigint").alias("r"),
-            ).localCheckpoint()
-        )
+        lvl = keyed.select(
+            "doc_id",
+            "pos",
+            F.dense_rank().over(w_pair).cast("bigint").alias("r"),
+        ).localCheckpoint()
+        levels.append(lvl)
+        # early exit once every (doc, rank) is unique: further rounds
+        # are identities, and the LCP walk only ever needs levels up
+        # to the first all-unique one (uniqueness at 2^m bounds every
+        # within-doc LCP below 2^m).  Within-doc repeats are short in
+        # real text, so this typically stops 3-4 rounds early — the
+        # 1-row probe is far cheaper than a doubling round.
+        u = lvl.agg(
+            (F.count("r") == F.count_distinct("doc_id", "r")).alias("u")
+        ).collect()[0]["u"]
+        if u:
+            break
     return levels
 
 

@@ -43,6 +43,10 @@ and REJECTED: per-doc deepest-duplicated-level candidate pruning
 outweighed the smaller walk), and a small/big LCP pair split walking
 4 vs 11 levels (18.6 s — every walk join is dominated by shuffling
 the corpus-sized LEVEL table, so fewer pairs per join buys nothing).
+A rank-uniqueness early-exit in the doubling (the cross-doc variant's
+trick applied per doc) then landed 12.2 -> 9.2 s warm: within-doc
+repeats are short, so ranks go unique rounds before the static
+2^10 bound, and the LCP walk shrinks with the level list.
 """
 
 from __future__ import annotations

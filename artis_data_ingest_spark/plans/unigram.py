@@ -196,7 +196,7 @@ def segment_vocabulary(docs: DataFrame) -> DataFrame:
     )
 
 
-def _unigram_oracle() -> str:
+def _unigram_seg_cte() -> str:
     ql, ql_out = qlog2_duck_cte("vals", "x")
     minf_div = 1 << _MINF_SHIFT
     rounds = []
@@ -263,10 +263,15 @@ vocab_s AS (
   FROM wc
 ),
 {rounds_sql},
-seg AS (
-  SELECT u.word, u.path, wc.wcount
+seg AS MATERIALIZED (
+  SELECT u.word, u.path, u.np, wc.wcount
   FROM u{_MAX_WORD} u JOIN wc ON u.word = wc.word AND u.j = wc.wlen
-), pieces AS (
+)"""
+
+
+def _unigram_oracle() -> str:
+    return f"""
+{_unigram_seg_cte()}, pieces AS (
   SELECT word, wcount, UNNEST(string_split(path, ' ')) AS piece
   FROM seg
 )
@@ -326,4 +331,67 @@ def q_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "example_word",
         )
         .orderBy(F.col("n_uses").desc(), "piece")
+    )
+
+
+def _unigram_apply_oracle() -> str:
+    return f"""
+{_unigram_seg_cte()}, tok AS (
+  SELECT doc_id, lower(tokr) AS word
+  FROM (SELECT doc_id,
+               UNNEST(string_split_regex(trim(text), '{_WS_SQL}')) AS tokr
+        FROM documents)
+  WHERE tokr <> '' AND length(tokr) <= {_MAX_WORD}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(s.np) AS BIGINT) AS n_pieces,
+       CAST(SUM(s.np) AS DOUBLE) / COUNT(*) AS pieces_per_word
+FROM tok t JOIN seg s ON s.word = t.word
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register(
+    "q_unigram_apply",
+    oracle=_unigram_apply_oracle(),
+    doc="APPLY the learned unigram-LM segmentation to the corpus: the "
+    "word -> piece-count map from the Viterbi DP (vocabulary-bounded, "
+    "broadcastable at any corpus size) joins the token stream once, "
+    "reporting per-document word counts, piece counts, and fertility "
+    "(pieces per word) — the deployment path of the tokenizer, "
+    "mirroring q_bpe_apply for the BPE family.  The corpus is touched "
+    "exactly twice across train+apply (the word-count rollup and this "
+    "lookup join); everything else is DISTINCT-words-bounded.",
+)
+def q_unigram_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seg = segment_vocabulary(docs).select("word", "np")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), WS_RE)).alias("tokr"),
+        )
+        .filter(
+            (F.col("tokr") != "") & (F.length("tokr") <= _MAX_WORD)
+        )
+        .select("doc_id", F.lower("tokr").alias("word"))
+    )
+    return (
+        tok.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("np").cast("bigint").alias("n_pieces"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_pieces",
+            (
+                F.col("n_pieces").cast("double") / F.col("n_words")
+            ).alias("pieces_per_word"),
+        )
+        .orderBy("doc_id")
     )

@@ -110,6 +110,12 @@ _ONE_PART_CLASS = {
     "q_seasonal_decompose": "group-bounded",  # centered-MA window over
     # the DAILY rollup (calendar-bounded: 365 rows/year at any corpus
     # size) + the 1-row |residual| scale merge
+    "q_merkle_manifest": "group-bounded",  # the root fold collects the
+    # SHARD-hash table (corpus_size/64 rows, already aggregated) — the
+    # tree's top level; deeper trees re-apply the same algebra
+    "q_manifest_incremental": "group-bounded",  # same root fold
+    "q_retrieval_metrics": "scalar",  # the corpus dl-totals 1-row
+    # merge + a runtime bloom-filter sketch merge on the tf join
     "q_pmi_collocations": "k-bounded",  # global top-20 sort+limit
     "q_preference_pairs": "scalar",  # the LM smoothing-denominator
     # 1-row merge (scoring inherits q_lm_perplexity_buckets' shape)

@@ -21,6 +21,7 @@ def pagerank(
     n_iter: int = 5,
     damping_pct: int = 85,
     checkpoint_every: int = 8,
+    init_pr: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank over ``edges`` (columns src, dst, w) →
     (node, pr) with pr in fixed-point units of 1/PR_SCALE.
@@ -53,9 +54,16 @@ def pagerank(
         ).alias("b"),
         "n",
     )
-    pr = nodes.crossJoin(F.broadcast(base)).select(
-        "node", F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV n").alias("pr")
-    )
+    if init_pr is not None:
+        # resume from a persisted rank table: integer arithmetic makes
+        # k warm-start iterations bit-identical to the tail of a
+        # (j + k)-iteration run started uniform (pinned by
+        # q_pagerank_resume's full-run oracle)
+        pr = init_pr.select("node", "pr")
+    else:
+        pr = nodes.crossJoin(F.broadcast(base)).select(
+            "node", F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV n").alias("pr")
+        )
     # Exact identity (pr*w) DIV ow == (pr DIV ow)*w + ((pr MOD ow)*w)
     # DIV ow for non-negative ints: the naive product pr*w overflows
     # BIGINT once w ≥ ~9.2e6 (pr approaches PR_SCALE on a hub), which

@@ -654,3 +654,55 @@ def q_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label string, n_seeds bigint, n_propagated bigint",
     )
     return per_label.unionByName(unl).orderBy("label")
+
+
+@register(
+    "q_pagerank_resume",
+    oracle=_PR_ORACLE,  # the FULL 5-iteration run: equality proves
+    # checkpoint/resume exactness
+    doc=f"PageRank checkpoint/RESUME identity: run {_PR_ITER - 2} "
+    "iterations, materialize the integer rank table (the state a "
+    "long-running job persists), then resume 2 more iterations from "
+    "it — and hash-match the FULL "
+    f"{_PR_ITER}-iteration oracle.  Float PageRank cannot make this "
+    "promise (re-summation order changes the low bits across "
+    "restarts); the all-integer fixed-point arithmetic makes the "
+    "resumed tail bit-identical, which is what lets a 100-iteration "
+    "job on a 100 TB graph survive preemption by persisting "
+    "node-bounded rank snapshots instead of re-running from scratch.",
+)
+def q_pagerank_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    eraw = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+    )
+    edges = eraw.withColumn("w", F.lit(1))
+    snapshot = pagerank(edges, n_iter=_PR_ITER - 2).localCheckpoint()
+    pr = pagerank(edges, n_iter=2, init_pr=snapshot)
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        pr.join(F.broadcast(n), pr["node"] == n["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.col("pr").alias("pr_fixed"),
+            (F.col("pr").cast("double") / F.lit(float(_PR_SCALE))).alias(
+                "pagerank"
+            ),
+        )
+        .orderBy(F.col("pr_fixed").desc(), "nation_name")
+    )

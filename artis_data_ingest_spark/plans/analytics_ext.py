@@ -2196,3 +2196,91 @@ def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_det_dep",
         (F.col("n_det") == F.col("n_det_dep")).alias("holds"),
     ).orderBy("det", "dep")
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood ER blocking — the third blocking regime beside
+# exact trailing-noun blocks (q_entity_resolution) and phonetic keys
+# (q_soundex_blocking), built on the distributed rank primitive.
+# ---------------------------------------------------------------------------
+
+_SN_WINDOW = 2  # pair records within rank distance <= 2
+
+
+@register(
+    "q_sorted_neighborhood",
+    oracle=f"""
+WITH ranked AS (
+  SELECT p_partkey, p_name,
+         CAST(row_number() OVER (ORDER BY p_name, p_partkey) AS BIGINT)
+           AS r
+  FROM part
+), pairs AS (
+  SELECT d.d AS win_offset, a.p_name AS name_a, b.p_name AS name_b,
+         levenshtein(a.p_name, b.p_name) <= 2 AS is_match
+  FROM (SELECT UNNEST(range(1, {_SN_WINDOW + 1})) AS d) d
+  JOIN ranked a ON TRUE
+  JOIN ranked b ON b.r = a.r + d.d
+)
+SELECT CAST(win_offset AS BIGINT) AS win_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matches,
+       MIN(CASE WHEN is_match THEN name_a || '|' || name_b END)
+         AS example_match
+FROM pairs
+GROUP BY win_offset
+ORDER BY win_offset
+""",
+    doc="Sorted-neighborhood entity-resolution blocking (Hernández & "
+    "Stolfo): sort all records by the blocking key and verify only "
+    f"pairs within {_SN_WINDOW} positions — the sliding-window regime "
+    "that catches prefix-sharing variants exact blocks and phonetic "
+    "keys both miss.  The global sort position comes from "
+    "operators/rank.py's distributed_dense_rank (unique composite key "
+    "→ dense rank IS the row number) — no single-reducer window, "
+    "unlike the oracle's textbook row_number; neighbors then pair by "
+    "TWO consecutive-rank equi-joins (offset 1 and 2), and Levenshtein "
+    "runs only on those O(n·w) candidates.  Output: candidate volume, "
+    "verified matches, and the smallest witness pair per offset.",
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import distributed_dense_rank
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    ranked = distributed_dense_rank(
+        part, ["p_name", "p_partkey"], out="r"
+    ).select("p_name", "r")
+    parts = []
+    for d in range(1, _SN_WINDOW + 1):
+        b = ranked.select(
+            (F.col("r") - d).alias("r"), F.col("p_name").alias("name_b")
+        )
+        parts.append(
+            ranked.join(b, "r")
+            .select(
+                F.lit(d).cast("bigint").alias("win_offset"),
+                F.col("p_name").alias("name_a"),
+                "name_b",
+            )
+        )
+    pairs = parts[0]
+    for p in parts[1:]:
+        pairs = pairs.unionByName(p)
+    pairs = pairs.withColumn(
+        "is_match", F.levenshtein("name_a", "name_b") <= 2
+    )
+    return (
+        pairs.groupBy("win_offset")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("is_match").cast("bigint")).alias("n_matches"),
+            F.min(
+                F.when(
+                    F.col("is_match"),
+                    F.concat_ws("|", "name_a", "name_b"),
+                )
+            ).alias("example_match"),
+        )
+        .orderBy("win_offset")
+    )

@@ -610,3 +610,102 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pair_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy decoding from the bigram LM — the trained artifact DECODES,
+# closing the train → score → generate loop.
+# ---------------------------------------------------------------------------
+
+_DECODE_STEPS = 8
+
+
+def _greedy_decode_oracle() -> str:
+    ws = _WS_SQL
+    steps = []
+    prev = "s0"
+    for i in range(1, _DECODE_STEPS + 1):
+        steps.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT {i} AS step, b.prev, b.term, b.c
+  FROM big b JOIN {prev} p ON b.prev = p.term
+  ORDER BY b.c DESC, b.term LIMIT 1
+)"""
+        )
+        prev = f"s{i}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT * FROM s{i}" for i in range(1, _DECODE_STEPS + 1)
+    )
+    return f"""
+WITH tokr AS (
+  SELECT doc_id, UNNEST(toks) AS tokr,
+         CAST(UNNEST(range(len(toks))) AS BIGINT) AS pos
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '{ws}'),
+                           x -> x <> '') AS toks
+        FROM documents)
+), tok AS (
+  SELECT doc_id, lower(tokr) AS term, pos FROM tokr
+), bg AS (
+  SELECT COALESCE(LAG(term) OVER (PARTITION BY doc_id ORDER BY pos),
+                  '<s>') AS prev,
+         term
+  FROM tok
+), big AS MATERIALIZED (
+  SELECT prev, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bg GROUP BY prev, term
+), s0 AS (SELECT 0 AS step, '' AS prev, '<s>' AS term, CAST(0 AS BIGINT) AS c),
+{",".join(steps)}
+SELECT CAST(step AS BIGINT) AS step, prev, term AS token, c
+FROM ({union})
+ORDER BY step
+"""
+
+
+@register(
+    "q_lm_greedy_decode",
+    oracle=_greedy_decode_oracle(),
+    doc=f"Greedy decoding from the corpus bigram model: starting at "
+    "the <s> sentinel, each of "
+    f"{_DECODE_STEPS} steps emits argmax_c count(prev, c) with the "
+    "lexicographic tie order — the trained LM artifact actually "
+    "GENERATES, closing the train → score (q_bigram_ppl_buckets) → "
+    "decode loop with zero RNG (greedy = temperature-0 sampling, the "
+    "only decode both engines can agree on bit-for-bit).  Each step "
+    "is a vocabulary-bounded argmax (orderBy+limit-1 on the bigram "
+    "table filtered to one context); the corpus is touched once for "
+    "the bigram counts.",
+)
+def q_lm_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import _bigrams
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    big = (
+        _bigrams(docs)
+        .groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    rows = []
+    cur = big.sparkSession.createDataFrame([("<s>",)], "term string")
+    for i in range(1, _DECODE_STEPS + 1):
+        step = (
+            big.join(
+                F.broadcast(cur.select(F.col("term").alias("prev"))), "prev"
+            )
+            .orderBy(F.col("c").desc(), "term")
+            .limit(1)
+            .select(
+                F.lit(i).cast("bigint").alias("step"),
+                "prev",
+                F.col("term").alias("token"),
+                "c",
+            )
+            .localCheckpoint()
+        )
+        rows.append(step)
+        cur = step.select(F.col("token").alias("term"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("step")

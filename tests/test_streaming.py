@@ -772,3 +772,58 @@ def test_streaming_bloom_triage_no_false_negatives(spark, tmp_path):
     # state is m-bounded
     nbits = seen_bits(spark, bits).count()
     assert nbits <= _BLOOM_M
+
+
+def test_streaming_manifest_matches_batch_merkle(spark, tmp_path):
+    """Arrival-time Merkle maintenance == batch merkle_manifest once
+    every doc has arrived; shards split across batches re-fold from
+    leaf hashes alone (no text re-read is possible — the maintainer
+    only ever sees leaf snapshots for prior batches)."""
+    import glob
+
+    from artis_data_ingest_spark.plans.sharding import merkle_manifest
+    from artis_data_ingest_spark.streaming.manifest import (
+        stream_manifest_maintenance,
+    )
+
+    rows = [
+        (i, f"doc body {i} {'x' * (i % 7)}", "en", "s0", 20)
+        for i in range(150)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    arrivals = tmp_path / "arrivals"
+    arrivals.mkdir()
+    leaves, man, ckpt = (
+        str(tmp_path / "leaves"), str(tmp_path / "man"),
+        str(tmp_path / "ckpt"),
+    )
+    # waves deliberately split shard boundaries (shard size 64):
+    # 0-99 then 100-149 — shard 1 (docs 64..127) spans both waves
+    for lo, hi in ((0, 100), (100, 150)):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(str(arrivals), mode="append")
+        q = stream_manifest_maintenance(
+            spark, str(arrivals), leaves, man, ckpt
+        )
+        q.awaitTermination(120)
+
+    batch_ids = sorted(
+        int(p.rsplit("=", 1)[1]) for p in glob.glob(f"{man}/batch_id=*")
+    )
+    assert len(batch_ids) >= 2
+    got = (
+        spark.read.parquet(f"{man}/batch_id={batch_ids[-1]}")
+        .orderBy("shard")
+        .collect()
+    )
+    want = {
+        r.node: (r.n_docs, r.hash)
+        for r in merkle_manifest(docs).collect()
+        if r.node != "<root>"
+    }
+    assert {str(r.shard): (r.n_docs, r.hash) for r in got} == want

@@ -1186,3 +1186,69 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = dhash_png_media(spark)
     sig = image_dhash(media.select("media_id", "content"))
     return dhash_pairs(sig).orderBy("media_id_a", "media_id_b")
+
+
+# ---------------------------------------------------------------------------
+# EXIF metadata extraction — the per-image metadata layer of the
+# multimodal stack (operators/exif.py).
+# ---------------------------------------------------------------------------
+
+_EXIF_N = 8
+
+
+def exif_jpeg_media(spark: SparkSession, n: int = _EXIF_N) -> DataFrame:
+    """Real baseline JPEGs with an injected Exif APP1 (every 4th image
+    carries none — the null-tolerance row): image i is a constant 8x8
+    gray tile; make/model/orientation/datetime derive from i."""
+    import numpy as np
+
+    from ..operators.exif import build_exif_app1, inject_app1
+    from ..operators.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        img = np.full((8, 8), (37 * i) % 256, np.uint8)
+        blob = encode_jpeg(img, quant="flat")
+        if i % 4 != 3:
+            app1 = build_exif_app1(
+                f"Maker{i % 3}",
+                f"Cam-{i:03d}",
+                1 + i % 8,
+                f"2024:01:{i + 1:02d} 12:00:00",
+            )
+            blob = inject_app1(blob, app1)
+        rows.append((i, bytearray(blob)))
+    return spark.createDataFrame(rows, "media_id bigint, content binary")
+
+
+@register(
+    "q_exif_metadata",
+    oracle=f"""
+SELECT CAST(i AS BIGINT) AS media_id,
+       CASE WHEN i % 4 <> 3 THEN 'Maker' || (i % 3) END AS make,
+       CASE WHEN i % 4 <> 3 THEN 'Cam-' || lpad(CAST(i AS VARCHAR), 3, '0')
+            END AS model,
+       CASE WHEN i % 4 <> 3 THEN CAST(1 + i % 8 AS BIGINT) END
+         AS orientation,
+       CASE WHEN i % 4 <> 3 THEN '2024:01:'
+            || lpad(CAST(i + 1 AS VARCHAR), 2, '0') || ' 12:00:00' END
+         AS datetime
+FROM range({_EXIF_N}) t(i)
+ORDER BY media_id
+""",
+    doc="EXIF metadata extraction over real JPEG bytes: a spec-correct "
+    "TIFF IFD0 writer injects Make/Model/Orientation/DateTime as an "
+    "APP1 segment after SOI (where camera firmware puts it), and the "
+    "stdlib parser walks the JPEG segments, honors II and MM byte "
+    "orders, and reads the tags back — the per-image metadata layer a "
+    "scraped-image pipeline routes on (orientation-aware resize, "
+    "camera dedup, capture-date partitioning).  EXIF-less images "
+    "yield null rows, never exceptions (every 4th fixture).  By-"
+    "construction oracle: the injected values derive from media_id.  "
+    "Arrow-batched mapInPandas; binary never crosses a shuffle.",
+)
+def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.exif import exif_metadata
+
+    media = exif_jpeg_media(spark)
+    return exif_metadata(media).orderBy("media_id")

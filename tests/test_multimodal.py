@@ -1428,3 +1428,42 @@ def test_image_dhash_corrupt_payload_null_row(spark):
             image_dhash(media.select("media_id", "content")).collect()}
     assert rows[99]["dhash_lo"] is None
     assert rows[0]["dhash_lo"] is not None
+
+
+def test_exif_roundtrip_both_byte_orders_and_corruption():
+    import struct
+
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.exif import (
+        build_exif_app1,
+        inject_app1,
+        parse_exif,
+    )
+    from artis_data_ingest_spark.operators.jpeg import encode_jpeg
+
+    base = encode_jpeg(np.full((8, 8), 100, np.uint8), quant="flat")
+    app1 = build_exif_app1("NIKON", "D850-Professional", 6,
+                           "2023:07:04 08:30:00")
+    tagged = inject_app1(base, app1)
+    got = parse_exif(tagged)
+    assert got == {
+        "make": "NIKON",
+        "model": "D850-Professional",
+        "orientation": 6,
+        "datetime": "2023:07:04 08:30:00",
+    }
+    # MM (big-endian) variant parses too: rewrite header+IFD by hand
+    mm_tiff = (
+        b"MM" + struct.pack(">HI", 42, 8)
+        + struct.pack(">H", 1)
+        + struct.pack(">HHIHH", 0x0112, 3, 1, 8, 0)
+        + struct.pack(">I", 0)
+    )
+    mm = inject_app1(base, b"Exif\x00\x00" + mm_tiff)
+    assert parse_exif(mm)["orientation"] == 8
+    # no EXIF -> nulls; truncated APP1 -> nulls, never raises
+    assert parse_exif(base)["make"] is None
+    assert parse_exif(tagged[: len(tagged) // 2])["make"] in ("NIKON", None)
+    broken = tagged[:8] + b"\x00" * 4 + tagged[12:]
+    assert isinstance(parse_exif(broken), dict)

@@ -169,3 +169,67 @@ def exif_metadata(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         _extract, _EXIF_SCHEMA
     )
+
+
+#: EXIF orientation -> (transpose?, flip_h?, flip_v?) applied in the
+#: order transpose, then flips — the 8 standard cases
+_ORIENT_OPS = {
+    1: (False, False, False),
+    2: (False, True, False),
+    3: (False, True, True),
+    4: (False, False, True),
+    5: (True, False, False),
+    6: (True, True, False),
+    7: (True, True, True),
+    8: (True, False, True),
+}
+
+
+def normalized_image_stats(media: DataFrame) -> DataFrame:
+    """Decode each JPEG, apply its EXIF orientation (so every output
+    is upright), and report the normalized geometry + mean intensity:
+    (media_id, orientation, width, height, mean_px).  Orientations
+    5-8 transpose the axes; mean is rotation-invariant by
+    construction, which the oracle pins."""
+    import numpy as np
+
+    from .jpeg import decode_jpeg
+
+    def _norm(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            recs = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob)
+                meta = parse_exif(b)
+                o = meta["orientation"] or 1
+                arr = decode_jpeg(b)
+                if arr.ndim == 3:
+                    arr = arr.mean(axis=2)
+                t, fh, fv = _ORIENT_OPS.get(o, (False, False, False))
+                if t:
+                    arr = arr.T
+                if fh:
+                    arr = arr[:, ::-1]
+                if fv:
+                    arr = arr[::-1, :]
+                recs.append(
+                    (
+                        int(mid),
+                        int(o),
+                        int(arr.shape[1]),
+                        int(arr.shape[0]),
+                        float(np.round(arr.mean() / 255.0, 6)),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id", "orientation", "width", "height", "mean_px",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        _norm,
+        "media_id bigint, orientation bigint, width bigint,"
+        " height bigint, mean_px double",
+    )

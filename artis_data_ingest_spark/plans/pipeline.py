@@ -1252,3 +1252,58 @@ def q_exif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = exif_jpeg_media(spark)
     return exif_metadata(media).orderBy("media_id")
+
+
+@register(
+    "q_exif_normalize",
+    oracle=f"""
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(CASE WHEN i % 4 <> 3 THEN 1 + i % 8 ELSE 1 END AS BIGINT)
+         AS orientation,
+       CAST(CASE WHEN i % 4 <> 3 AND (1 + i % 8) >= 5 THEN 8 ELSE 16 END
+            AS BIGINT) AS width,
+       CAST(CASE WHEN i % 4 <> 3 AND (1 + i % 8) >= 5 THEN 16 ELSE 8 END
+            AS BIGINT) AS height,
+       round(((37 * i) % 256 + (37 * i + 64) % 256) / (2 * 255.0), 6)
+         AS mean_px
+FROM range({_EXIF_N}) t(i)
+ORDER BY media_id
+""",
+    doc="EXIF-orientation-aware normalization: decode real JPEGs, "
+    "apply the tag's transpose/flip (all 8 standard orientations) so "
+    "every image is upright, and report the normalized geometry — the "
+    "step a multimodal pipeline MUST run before any resize/crop or "
+    "the model sees sideways photos.  Fixtures are 16x8 two-tile "
+    "images carrying orientation 1+i%8 (EXIF-less every 4th → treated "
+    "as upright); the by-construction oracle pins that orientations "
+    "5-8 swap the reported axes while the mean intensity is invariant "
+    "under every flip/rotation.  Same mapInPandas plumbing — binary "
+    "never shuffles.",
+)
+def q_exif_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.exif import (
+        build_exif_app1,
+        inject_app1,
+        normalized_image_stats,
+    )
+    from ..operators.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(_EXIF_N):
+        img = np.zeros((8, 16), np.uint8)
+        img[:, :8] = (37 * i) % 256
+        img[:, 8:] = (37 * i + 64) % 256
+        blob = encode_jpeg(img, quant="flat")
+        if i % 4 != 3:
+            blob = inject_app1(
+                blob,
+                build_exif_app1(
+                    f"Maker{i % 3}", f"Cam-{i:03d}", 1 + i % 8,
+                    f"2024:01:{i + 1:02d} 12:00:00",
+                ),
+            )
+        rows.append((i, bytearray(blob)))
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    return normalized_image_stats(media).orderBy("media_id")

@@ -2284,3 +2284,78 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier — the preference-query operator class.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_pareto_skyline",
+    oracle="""
+WITH offers AS (
+  SELECT l_returnflag AS grp, l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cost_cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), ranked AS (
+  SELECT *,
+         MAX(qty) OVER (PARTITION BY grp ORDER BY cost_cents, qty DESC,
+                        l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_qty_cheaper
+  FROM offers
+), sky AS (
+  SELECT * FROM ranked
+  WHERE best_qty_cheaper IS NULL OR qty > best_qty_cheaper
+)
+SELECT grp, l_orderkey, l_linenumber, cost_cents, qty
+FROM sky
+ORDER BY grp, cost_cents, qty DESC, l_orderkey, l_linenumber
+""",
+    doc="Skyline (Pareto frontier) preference query over order lines: "
+    "per return flag, the lines no other line dominates on "
+    "(cheaper-or-equal price, more quantity) — the classic 2-D skyline "
+    "via the sort-filter-skyline recipe: order by (cost asc, qty "
+    "desc), keep a row iff its qty strictly beats the running max of "
+    "every strictly-cheaper-or-earlier row.  The tie order makes "
+    "duplicate (cost, qty) points resolve deterministically (first by "
+    "key survives, equals are dominated).  One group-bounded window "
+    "per group — at 100 TB the partition key IS the parallelism; a "
+    "global skyline adds one merge pass over the per-partition "
+    "frontiers (frontier-sized, tiny).",
+)
+def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = li.select(
+        F.col("l_returnflag").alias("grp"),
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cost_cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(
+            "cost_cents", F.col("qty").desc(), "l_orderkey", "l_linenumber"
+        )
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = offers.withColumn(
+        "best_qty_cheaper", F.max("qty").over(w)
+    )
+    sky = ranked.filter(
+        F.col("best_qty_cheaper").isNull()
+        | (F.col("qty") > F.col("best_qty_cheaper"))
+    )
+    return sky.select(
+        "grp", "l_orderkey", "l_linenumber", "cost_cents", "qty"
+    ).orderBy(
+        "grp", "cost_cents", F.col("qty").desc(), "l_orderkey",
+        "l_linenumber",
+    )

@@ -202,3 +202,36 @@ def test_partition_profile_counts_every_row(spark):
     assert len(prof) <= 7
     # round-robin repartition is balanced: no partition 2x the mean
     assert prof["n_rows"].max() <= 2 * prof["n_rows"].mean()
+
+
+def test_pareto_skyline_is_exactly_the_undominated_set(spark):
+    out = plans.queries()["q_pareto_skyline"](spark, SF_DIR).toPandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    li = li.assign(
+        cost_cents=np.round(li.l_extendedprice * 100).astype(np.int64),
+        qty=li.l_quantity.astype(np.int64),
+    )
+    for grp, g in li.groupby("l_returnflag"):
+        pts = g[["cost_cents", "qty", "l_orderkey", "l_linenumber"]]
+        sky = set()
+        rows = sorted(
+            pts.itertuples(index=False),
+            key=lambda r: (r.cost_cents, -r.qty, r.l_orderkey,
+                           r.l_linenumber),
+        )
+        best = None
+        for r in rows:
+            if best is None or r.qty > best:
+                sky.add((r.cost_cents, r.qty, r.l_orderkey,
+                         r.l_linenumber))
+                best = r.qty if best is None else max(best, r.qty)
+        got = {
+            (r.cost_cents, r.qty, r.l_orderkey, r.l_linenumber)
+            for r in out[out.grp == grp].itertuples(index=False)
+        }
+        assert got == sky, grp
+        # every skyline point is truly undominated
+        for c, q, *_ in sky:
+            dom = g[(g.cost_cents <= c) & (g.qty >= q)
+                    & ((g.cost_cents < c) | (g.qty > q))]
+            assert dom.empty

@@ -116,6 +116,8 @@ _ONE_PART_CLASS = {
     "q_manifest_incremental": "group-bounded",  # same root fold
     "q_retrieval_metrics": "scalar",  # the corpus dl-totals 1-row
     # merge + a runtime bloom-filter sketch merge on the tf join
+    "q_pagerank_resume": "scalar",  # the same 1-row n/base merges as
+    # q_pagerank, once per phase (warm-start + resumed tail)
     "q_pmi_collocations": "k-bounded",  # global top-20 sort+limit
     "q_preference_pairs": "scalar",  # the LM smoothing-denominator
     # 1-row merge (scoring inherits q_lm_perplexity_buckets' shape)

@@ -706,3 +706,152 @@ def q_pagerank_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pr_fixed").desc(), "nation_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-source shortest paths — Bellman–Ford rounds over the trade
+# graph (the path-analytics member of the graph family).
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 6
+_SSSP_SOURCE = 0  # nation 0 (ALGERIA)
+
+
+def _sssp_oracle() -> str:
+    ctes = [
+        f"""eraw AS (
+  SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+), ew AS MATERIALIZED (
+  -- edge length = 1e9 / multiplicity (stronger trade = shorter),
+  -- exact integer division
+  SELECT src, dst, 1000000000 // COUNT(*) AS w
+  FROM eraw WHERE src <> dst GROUP BY src, dst
+), nodes AS (
+  SELECT DISTINCT src AS node FROM ew
+  UNION SELECT DISTINCT dst FROM ew
+), dd0 AS (
+  SELECT node,
+         CASE WHEN node = {_SSSP_SOURCE} THEN CAST(0 AS BIGINT) END AS d
+  FROM nodes
+)"""
+    ]
+    for r in range(1, _SSSP_ROUNDS + 1):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT n.node,
+         LEAST(COALESCE(n.d, 9223372036854775807),
+               COALESCE(MIN(p.d + e.w), 9223372036854775807)) AS d_raw
+  FROM dd{r - 1} n
+  LEFT JOIN ew e ON e.dst = n.node
+  LEFT JOIN dd{r - 1} p ON p.node = e.src AND p.d IS NOT NULL
+  GROUP BY n.node, n.d
+),
+dd{r} AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN d_raw < 9223372036854775807 THEN d_raw END AS d
+  FROM d{r}
+)"""
+        )
+    return f"""
+WITH {",".join(ctes)}
+SELECT dd{_SSSP_ROUNDS}.node AS nation_key,
+       na.n_name AS nation_name,
+       dd{_SSSP_ROUNDS}.d AS dist
+FROM dd{_SSSP_ROUNDS} JOIN nation na ON na.n_nationkey = dd{_SSSP_ROUNDS}.node
+ORDER BY nation_key
+"""
+
+
+@register(
+    "q_shortest_paths",
+    oracle=_sssp_oracle(),
+    doc="Single-source shortest paths over the nation trade graph "
+    f"(source: nation {_SSSP_SOURCE}): edge length 1e9/multiplicity "
+    "(stronger trade = shorter), "
+    f"{_SSSP_ROUNDS} Bellman–Ford relaxation rounds — enough for any "
+    "path in a 25-node graph, and the fixpoint is reached well before "
+    "(extra rounds are identities).  Exact integer path lengths make "
+    "every round's frontier bit-identical under any partitioning "
+    "(float SSSP would tie-break nondeterministically).  Per round: "
+    "one dist⨝edges hash join + one per-node MIN — the same shape as "
+    "every iterative op here; unreachable nodes stay NULL.  The "
+    "path-analytics member of the graph family beside PageRank, "
+    "components, k-core, triangles and label spreading.",
+)
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    eraw = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    ew = (
+        eraw.groupBy("src", "dst")
+        .agg(F.expr("1000000000 div COUNT(*)").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        ew.select(F.col("src").alias("node"))
+        .union(ew.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == _SSSP_SOURCE, F.lit(0).cast("bigint")).alias(
+            "d"
+        ),
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relax = (
+            dist.filter(F.col("d").isNotNull())
+            .join(ew, dist["node"] == ew["src"])
+            .select("dst", (F.col("d") + F.col("w")).alias("cand"))
+            .groupBy("dst")
+            .agg(F.min("cand").alias("best"))
+        )
+        dist = (
+            dist.join(relax, dist["node"] == relax["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("d", F.lit(2**63 - 1)),
+                    F.coalesce("best", F.lit(2**63 - 1)),
+                ).alias("d_raw"),
+            )
+            .select(
+                "node",
+                F.when(
+                    F.col("d_raw") < 2**63 - 1, F.col("d_raw")
+                ).alias("d"),
+            )
+            .localCheckpoint()
+        )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        dist.join(F.broadcast(n), dist["node"] == n["n_nationkey"])
+        .select(
+            F.col("node").alias("nation_key"),
+            F.col("n_name").alias("nation_name"),
+            F.col("d").alias("dist"),
+        )
+        .orderBy("nation_key")
+    )

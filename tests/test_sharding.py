@@ -235,3 +235,39 @@ def test_pareto_skyline_is_exactly_the_undominated_set(spark):
             dom = g[(g.cost_cents <= c) & (g.qty >= q)
                     & ((g.cost_cents < c) | (g.qty > q))]
             assert dom.empty
+
+
+def test_manifest_diff_localizes_exactly_the_edited_shards(spark):
+    out = (
+        plans.queries()["q_manifest_diff"](spark, SF_DIR)
+        .toPandas()
+        .set_index("shard")["changed"]
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    edited_shards = set(
+        (docs.loc[docs.doc_id % 97 == 42, "doc_id"] // 64).astype(int)
+    )
+    for shard, changed in out.items():
+        assert bool(changed) == (shard in edited_shards), shard
+
+
+def test_retrieval_metrics_invariants(spark):
+    out = plans.queries()["q_retrieval_metrics"](spark, SF_DIR).toPandas()
+    assert len(out) == 6
+    assert ((out.ndcg >= 0) & (out.ndcg <= 1 + 1e-9)).all()
+    for _, r in out.iterrows():
+        if pd.notna(r.first_rel_rank):
+            assert r.rr_2520 == 2520 // int(r.first_rel_rank)
+            assert r.dcg_q20 > 0
+        else:
+            assert r.rr_2520 == 0 and r.dcg_q20 == 0
+        assert r.n_rel <= r.n_matched
+
+
+def test_label_spread_accounting(spark):
+    out = plans.queries()["q_label_spread"](spark, SF_DIR).toPandas()
+    assert "<unlabeled>" in set(out.label)
+    real = out[out.label != "<unlabeled>"]
+    # seeds exist and propagation actually reached unlabeled nodes
+    assert real.n_seeds.sum() > 0
+    assert real.n_propagated.sum() > 0

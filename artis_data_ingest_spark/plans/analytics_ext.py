@@ -2359,3 +2359,77 @@ def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp", "cost_cents", F.col("qty").desc(), "l_orderkey",
         "l_linenumber",
     )
+
+
+@register(
+    "q_global_skyline",
+    oracle="""
+WITH offers AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cost_cents,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), ranked AS (
+  SELECT *,
+         MAX(qty) OVER (ORDER BY cost_cents, qty DESC,
+                        l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_qty_cheaper
+  FROM offers
+)
+SELECT l_orderkey, l_linenumber, cost_cents, qty
+FROM ranked
+WHERE best_qty_cheaper IS NULL OR qty > best_qty_cheaper
+ORDER BY cost_cents, qty DESC, l_orderkey, l_linenumber
+""",
+    doc="GLOBAL skyline via the two-phase shape q_pareto_skyline's doc "
+    "promises: phase 1 computes partition-local frontiers (salted "
+    "16-way — each partition's frontier is frontier-sized, and a "
+    "globally undominated point is undominated in its partition, so "
+    "no survivor is lost); phase 2 re-runs the same sort-filter pass "
+    "over the UNION of local frontiers — a frontier-bounded input, so "
+    "its single-partition window is benign, never the full data.  The "
+    "oracle is the direct single-window global skyline; hash equality "
+    "proves the two-phase decomposition exact.  This is how "
+    "preference queries scale: the only full-data pass is the "
+    "embarrassingly parallel local-frontier filter.",
+)
+def q_global_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias(
+            "cost_cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_orderkey") % 16).alias("salt"),
+    )
+
+    def frontier(df: DataFrame, part_cols: list[str]) -> DataFrame:
+        w = (
+            (Window.partitionBy(*part_cols) if part_cols else Window)
+            .orderBy(
+                "cost_cents",
+                F.col("qty").desc(),
+                "l_orderkey",
+                "l_linenumber",
+            )
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return df.withColumn(
+            "best_qty_cheaper", F.max("qty").over(w)
+        ).filter(
+            F.col("best_qty_cheaper").isNull()
+            | (F.col("qty") > F.col("best_qty_cheaper"))
+        ).drop("best_qty_cheaper")
+
+    local = frontier(offers, ["salt"])  # phase 1: parallel local frontiers
+    out = frontier(local.drop("salt"), [])  # phase 2: frontier-bounded
+    return out.select(
+        "l_orderkey", "l_linenumber", "cost_cents", "qty"
+    ).orderBy(
+        "cost_cents", F.col("qty").desc(), "l_orderkey", "l_linenumber"
+    )

@@ -118,6 +118,8 @@ _ONE_PART_CLASS = {
     # merge + a runtime bloom-filter sketch merge on the tf join
     "q_pagerank_resume": "scalar",  # the same 1-row n/base merges as
     # q_pagerank, once per phase (warm-start + resumed tail)
+    "q_global_skyline": "k-bounded",  # the phase-2 window runs over
+    # the UNION OF LOCAL FRONTIERS (frontier-sized, never the data)
     "q_pmi_collocations": "k-bounded",  # global top-20 sort+limit
     "q_preference_pairs": "scalar",  # the LM smoothing-denominator
     # 1-row merge (scoring inherits q_lm_perplexity_buckets' shape)

@@ -2433,3 +2433,75 @@ def q_global_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(
         "cost_cents", F.col("qty").desc(), "l_orderkey", "l_linenumber"
     )
+
+
+@register(
+    "q_cms_incremental",
+    oracle=_cms_oracle(),  # the FULL-corpus sketch: cell-wise additivity
+    # makes the per-shard-merged sketch identical, so estimates match
+    doc="Incremental count-min maintenance — the CMS member of the "
+    "mergeable-sketch trio (HLL: q_hll_incremental; CMS here): each "
+    "orderkey-parity shard builds its own d×w sketch, the shards "
+    "merge by CELL-WISE ADDITION (the sketch's defining algebraic "
+    "property), and probing the merged sketch hash-matches the "
+    "full-corpus oracle estimate for estimate, exactness flags and "
+    "bounds alike — the identity that lets daily partial sketches sum "
+    "into a running corpus sketch with no rescan.  All integer, "
+    "deterministic at any partitioning.",
+)
+def q_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey"
+    )
+    hashes = spark.createDataFrame(
+        [(i, _CMS_A[i], _CMS_B[i]) for i in range(_CMS_D)],
+        "d int, a bigint, b bigint",
+    )
+    col_of = F.expr(f"((l_partkey * a + b) % {_CMS_P}) % {_CMS_W}")
+    # per-shard partial sketches (the day's/shard's independent build)
+    partials = (
+        li.withColumn("shard", F.col("l_orderkey") % 4)
+        .crossJoin(F.broadcast(hashes))
+        .select("shard", "d", col_of.alias("col"))
+        .groupBy("shard", "d", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # algebraic merge: cell-wise addition across shards
+    cms = partials.groupBy("d", "col").agg(F.sum("cnt").alias("cnt"))
+    n = li.agg(F.count(F.lit(1)).alias("n_total"))
+    probes = spark.createDataFrame(
+        [(int(k),) for k in _CMS_PROBES], "key bigint"
+    )
+    cells = probes.crossJoin(F.broadcast(hashes)).select(
+        "key",
+        "d",
+        F.expr(f"((key * a + b) % {_CMS_P}) % {_CMS_W}").alias("col"),
+    )
+    est = (
+        cells.join(cms, ["d", "col"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("estimate"))
+    )
+    exact = (
+        li.filter(F.col("l_partkey").isin(*_CMS_PROBES))
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    bound = F.expr(f"(2 * n_total) DIV {_CMS_W}")
+    return (
+        est.join(F.broadcast(exact), "key", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "key",
+            "estimate",
+            F.coalesce(F.col("exact"), F.lit(0)).alias("exact"),
+            (
+                F.col("estimate") >= F.coalesce(F.col("exact"), F.lit(0))
+            ).alias("overestimates"),
+            (
+                F.col("estimate") - F.coalesce(F.col("exact"), F.lit(0))
+                <= bound
+            ).alias("within_bound"),
+        )
+        .orderBy("key")
+    )

@@ -53,7 +53,8 @@ _PRIORITY: list[str] = [
     # q_retrieval_metrics, q_theil_sen, q_unigram_apply,
     # q_pagerank_resume, q_sorted_neighborhood, q_lm_greedy_decode,
     # q_exif_metadata, q_exif_normalize, q_fwf_ingest,
-    # q_pareto_skyline, q_global_skyline, q_shortest_paths) is NOT
+    # q_pareto_skyline, q_global_skyline, q_shortest_paths,
+    # q_cms_incremental) is NOT
     # front-loaded — the r4-stale block takes
     # precedence per the r7 verdict; those names lead the round-9
     # rotation instead (every one is local-gate green at sf0.01, see

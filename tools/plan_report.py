@@ -70,6 +70,7 @@ _ONE_PART_CLASS = {
     "q_bm25": "scalar",
     "q_bpe_pack": "vocab-bounded",
     "q_cms_estimate": "scalar",
+    "q_cms_incremental": "scalar",  # same 1-row n_total merge
     "q_count_distinct": "scalar",
     "q_dq_report": "group-bounded",
     "q_funnel": "scalar",

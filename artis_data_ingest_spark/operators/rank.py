@@ -47,10 +47,15 @@ def distributed_dense_rank(
         .withColumn("_ddr_pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    # bounded: one row per partition
+    # bounded: one row per partition.  countDistinct over the bare
+    # columns would SKIP tuples containing any NULL (SQL COUNT DISTINCT
+    # semantics), dropping the nulls-first group from the cumulative
+    # offsets; wrapping in struct() makes the tuple itself non-null so
+    # null-keyed groups are counted exactly like the window dense_rank
+    # sees them.
     counts = (
         rp.groupBy("_ddr_pid")
-        .agg(F.countDistinct(*order_cols).alias("c"))
+        .agg(F.countDistinct(F.struct(*order_cols)).alias("c"))
         .collect()
     )
     offsets = {}

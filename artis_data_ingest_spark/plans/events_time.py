@@ -1554,6 +1554,17 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
                 slopes.append((Fraction(num, den), den, num))
         slopes.sort()
         n = len(slopes)
+        if n == 0:
+            # single distinct day -> no pair slopes; the oracle's
+            # rn-window emits no row for such a group, so drop it
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series([], dtype=object),
+                    "n_days": pd.Series([], dtype="int64"),
+                    "n_pairs": pd.Series([], dtype="int64"),
+                    "slope": pd.Series([], dtype="float64"),
+                }
+            )
         _, den, num = slopes[(n + 1) // 2 - 1]
         return pd.DataFrame(
             {

@@ -1335,7 +1335,7 @@ WITH raw AS (
 ), flagged AS (
   SELECT shard, line, id, name, qty, price, d,
          id IS NOT NULL AND qty IS NOT NULL AND price IS NOT NULL
-           AND length(line) >= 40 AND regexp_matches(d, '^[0-9]{{8}}$')
+           AND length(line) = 40 AND regexp_matches(d, '^[0-9]{{8}}$')
            AS valid
   FROM lines
 )
@@ -1394,7 +1394,9 @@ def q_fwf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").isNotNull()
         & F.col("qty").isNotNull()
         & F.col("price").isNotNull()
-        & (F.length("line") >= 40)
+        # the layout is EXACTLY 40 chars; overlong lines are ragged
+        # writes and belong in the corrupt bucket, not the ledger
+        & (F.length("line") == 40)
         & F.col("d").rlike("^[0-9]{8}$")
     )
     flagged = lines.withColumn("valid", valid)

@@ -303,7 +303,9 @@ def q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _XDOC_SOURCE = "src0"
-_XDOC_LEVELS = 16  # slice bound 2^16 chars (oracle unrolls statically)
+_XDOC_LEVELS = 16  # static oracle unroll: exact for slices <= 2^16
+# chars; the Spark loop itself is unbounded (doubles until ranks are
+# unique, <= ceil(log2 n) rounds)
 
 
 def _xdoc_chars(docs: DataFrame) -> DataFrame:
@@ -360,7 +362,18 @@ def cross_doc_repeat(docs: DataFrame) -> DataFrame:
     levels = [lv]
     total = chars.count()  # bounded probe: also the #rounds bound
     m = 1
-    while (1 << (m - 1)) < total and m <= _XDOC_LEVELS:
+    # The loop MUST run until top-level ranks are unique — a non-unique
+    # top rank makes the consecutive-rank adjacency join many-to-many
+    # and invalidates the "adjacent pairs suffice" argument.  The while
+    # condition alone guarantees that: once 2^(m-1) >= total the
+    # doubling has compared full suffixes (position-sentinel 0 for
+    # out-of-range), so ranks are unique after at most ceil(log2 n)
+    # rounds; the uniqueness probe below merely exits earlier.  The
+    # oracle unrolls _XDOC_LEVELS static stages, enough for any slice
+    # up to 2^16 chars (the gate fixture is far smaller); beyond that
+    # the Spark side keeps doubling correctly while the static oracle
+    # no longer applies.
+    while (1 << (m - 1)) < total:
         k = 1 << (m - 1)
         prev = levels[-1]
         nxt = prev.select(

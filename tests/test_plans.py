@@ -812,3 +812,42 @@ def test_r8_ops_compile_scale_safe_plans(spark):
             # NL joins must be broadcast (tiny build side), never
             # shuffle-based nested loops
             assert "BroadcastExchange" in p, name
+
+
+def test_fwf_overlong_line_is_corrupt(spark):
+    # Regression (ADVICE r8): the 45-char '...EXTRA' ragged row in
+    # ledger-0 must land in the corrupt bucket (layout is exactly 40
+    # chars), not pollute sum_qty/sum_cents.
+    from artis_data_ingest_spark.plans.pipeline import q_fwf_ingest
+
+    out = q_fwf_ingest(spark, "/root/testdata/sf0.001").toPandas()
+    led0 = out[out["shard"] == "ledger-0.fwf"].iloc[0]
+    # ledger-0 carries two deliberately malformed rows: the short line
+    # and the overlong EXTRA line
+    assert int(led0["n_corrupt"]) == 2
+
+
+def test_theil_sen_single_day_group_drops_not_crashes(spark, tmp_path):
+    # Regression (ADVICE r8): a group with one distinct day has no pair
+    # slopes; the fit must emit no row (matching the oracle's rn-window
+    # drop), not raise IndexError.
+    import datetime as dt
+
+    from artis_data_ingest_spark.plans.events_time import q_theil_sen
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10), 1, "solo", 5.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 11), 2, "solo", 7.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 9), 3, "trend", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 2, 9), 4, "trend", 2.0, "{}"),
+        (5, dt.datetime(2024, 1, 3, 9), 5, "trend", 3.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    ev.write.parquet(str(tmp_path / "events.parquet"))
+    out = q_theil_sen(spark, str(tmp_path)).toPandas()
+    assert list(out["event_type"]) == ["trend"]
+    assert float(out["slope"].iloc[0]) == 100.0  # cents/day

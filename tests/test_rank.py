@@ -78,3 +78,57 @@ def test_distributed_dense_rank_ties_and_composite_keys(spark):
     b = want.select(*key, "r").distinct().toPandas().set_index(key).sort_index()
     assert len(a) == len(b)
     assert a.equals(b)
+
+
+def test_distributed_dense_rank_null_keys_match_global_window(spark):
+    # Regression: countDistinct over bare columns skips null-containing
+    # tuples, so the null group used to be missing from the cumulative
+    # offsets and nulls collided with the first non-null key.  The
+    # struct() wrapper counts them; ranks must equal the global window
+    # (nulls first) exactly.
+    rows = [
+        (1, None), (2, 5), (3, 5), (4, 7), (5, None), (6, 2),
+        (7, None), (8, 9), (9, 2), (10, 11),
+    ]
+    df = spark.createDataFrame(rows, "id int, k int")
+    got = (
+        distributed_dense_rank(df, ["k"], out="r", num_partitions=4)
+        .select("id", "r")
+        .toPandas()
+        .set_index("id")["r"]
+        .sort_index()
+    )
+    w = Window.orderBy("k")
+    want = (
+        df.withColumn("r", F.dense_rank().over(w).cast("bigint"))
+        .select("id", "r")
+        .toPandas()
+        .set_index("id")["r"]
+        .sort_index()
+    )
+    assert got.equals(want)
+
+
+def test_distributed_dense_rank_null_composite_keys(spark):
+    # composite keys where only ONE column is null must also count
+    rows = [
+        (1, None, 3), (2, "a", None), (3, "a", 3), (4, None, None),
+        (5, "b", 1), (6, None, 3), (7, "a", None),
+    ]
+    df = spark.createDataFrame(rows, "id int, k1 string, k2 int")
+    got = (
+        distributed_dense_rank(df, ["k1", "k2"], out="r", num_partitions=3)
+        .select("id", "r")
+        .toPandas()
+        .set_index("id")["r"]
+        .sort_index()
+    )
+    w = Window.orderBy("k1", "k2")
+    want = (
+        df.withColumn("r", F.dense_rank().over(w).cast("bigint"))
+        .select("id", "r")
+        .toPandas()
+        .set_index("id")["r"]
+        .sort_index()
+    )
+    assert got.equals(want)

@@ -6,8 +6,10 @@ dot product bit-identical to DuckDB's list_dot_product; ranking uses
 (round(cosine,6) DESC, vec_id) so ordering is jitter-proof.
 
 MinHash/SimHash tiers hash with engine-specific functions (murmur3 /
-xxhash64), so they get rows-only checks — deterministic run-to-run
-inside Spark, not across engines.
+xxhash64); since round 9 they are hash-oracled anyway — functions/
+hash_oracle.py generates DuckDB SQL that reproduces Spark's
+Murmur3_x86_32 and XXH64 bit-for-bit, so the gate checks the candidate
+pairs value-for-value across engines.
 """
 
 from __future__ import annotations
@@ -414,12 +416,95 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_neardup_oracle() -> str:
+    """Hash oracle for the murmur3 MinHash pipeline — possible because
+    functions/hash_oracle.py re-implements Spark's Murmur3_x86_32
+    (seed 42, per-byte tail variant) and its long-array hash chain as
+    bit-exact DuckDB SQL.  The CTE chain replays the production plan:
+    per-shingle murmur3 → Java abs-with-overflow mod 2^31-1 → 32
+    affine-permuted grouped MINs → per-band hashLong bucket → bucket
+    self-join → exact-Jaccard verify.  Salting in the Spark side only
+    spreads reducers; the candidate SET is identical, so the oracle
+    needs no salt."""
+    from ..functions.hash_oracle import (
+        murmur3_tail_layers,
+        spark_hash_long_chain_sql,
+    )
+    from ..operators.dedup import _P, _perm_params
+
+    perms = _perm_params(32)
+    shingle_inner = (
+        "SELECT doc_id, substring(t, i, 3) AS g "
+        "FROM (SELECT doc_id, t, UNNEST(range(1, length(t) - 1)) AS i "
+        "FROM t)"
+    )
+    h_layers = murmur3_tail_layers(
+        shingle_inner,
+        [f"unicode(substring(g, {j}, 1))" for j in (1, 2, 3)],
+        ["doc_id", "g"],
+        out="h",
+    )
+    mins = ",\n         ".join(
+        f"MIN((x * {pa} + {pb}) % {_P}) AS m{j}"
+        for j, (pa, pb) in enumerate(perms)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + spark_hash_long_chain_sql(
+            "[" + ", ".join(f"m{b * 4 + j}" for j in range(4)) + "]"
+        )
+        + " AS bucket FROM sig"
+        for b in range(8)
+    )
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, lower(text) AS t FROM documents
+  WHERE length(lower(text)) >= 3
+), xs AS MATERIALIZED (
+  SELECT doc_id,
+         (CASE WHEN h = -2147483648 THEN h ELSE abs(h) END) % {_P} AS x
+  FROM ({h_layers})
+), sig AS MATERIALIZED (
+  SELECT doc_id,
+         {mins}
+  FROM xs GROUP BY doc_id
+), bands AS MATERIALIZED (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+), sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([substring(t, i, 3)
+                        for i in range(1, length(t) - 1)]) AS sh
+  FROM t
+)
+SELECT doc_id_a, doc_id_b, jaccard FROM (
+  SELECT c.doc_id_a, c.doc_id_b,
+         len(list_intersect(a.sh, b.sh))
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+           AS jaccard
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_id_a
+  JOIN sh b ON b.doc_id = c.doc_id_b
+)
+WHERE jaccard >= 0.7
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
 @register(
     "q_minhash_neardup",
-    oracle=None,
+    oracle=_minhash_neardup_oracle(),
     doc="MinHash(32)+LSH(8 bands) near-dup candidates verified at "
-    "Jaccard ≥ 0.7 (SURVEY.md §2.11). Rows-only: murmur3 signatures are "
-    "Spark-specific (deterministic run-to-run, seed=42).",
+    "Jaccard ≥ 0.7 (SURVEY.md §2.11). Hash-oracled despite the "
+    "engine-specific murmur3 signatures: functions/hash_oracle.py "
+    "generates DuckDB SQL computing Spark's Murmur3_x86_32 (seed 42, "
+    "byte-at-a-time tail) and its long-array seed chain bit-exactly, "
+    "so the oracle replays signatures, band buckets, candidates, and "
+    "the Jaccard verify value-for-value (rows-only until round 9).",
 )
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -550,11 +635,71 @@ def q_minhash_portable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return portable_minhash_pair_stats(docs)
 
 
+def _simhash_neardup_oracle() -> str:
+    """Hash oracle for the xxhash64 SimHash pipeline: the layered XXH64
+    generator (functions/hash_oracle.py, bit-exact vs Spark's
+    ``F.xxhash64`` seed 42 for the sub-32-byte path; corpus tokens max
+    out at 8 bytes) hashes every whitespace token, then 64 per-bit
+    majority votes assemble the signature exactly as
+    ``simhash_sig_table`` does (bit 63 carries the negative sign
+    weight), and the 8-bit-prefix block join + popcount verify replay
+    the candidate logic."""
+    from ..functions.hash_oracle import xxhash64_ascii_layers
+
+    tok_inner = (
+        "SELECT doc_id, UNNEST(string_split_regex(t, "
+        "'[ \\t\\n\\r\\f\\x0B]+')) AS tk "
+        "FROM (SELECT doc_id, trim(lower(text)) AS t FROM documents "
+        "WHERE text IS NOT NULL)"
+    )
+    th = xxhash64_ascii_layers(tok_inner, "tk", ["doc_id"], out="h")
+    bit_terms = "\n         + ".join(
+        f"CASE WHEN 2 * o{i} > n THEN "
+        f"CAST({2**i if i < 63 else -(2**63)} AS BIGINT) ELSE 0 END"
+        for i in range(64)
+    )
+    ones = ",\n         ".join(
+        f"SUM(CAST((hu // {1 << i}) % 2 AS BIGINT)) AS o{i}"
+        for i in range(64)
+    )
+    return f"""
+WITH th AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN h < 0 THEN CAST(h AS HUGEINT) + {1 << 64}
+              ELSE CAST(h AS HUGEINT) END AS hu
+  FROM ({th})
+), votes AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS n,
+         {ones}
+  FROM th GROUP BY doc_id
+), sig AS MATERIALIZED (
+  SELECT doc_id,
+         ( {bit_terms} ) AS sig
+  FROM votes
+), blk AS (
+  SELECT doc_id, sig,
+         (CASE WHEN sig < 0 THEN CAST(sig AS HUGEINT) + {1 << 64}
+               ELSE CAST(sig AS HUGEINT) END) // {1 << 56} AS blk
+  FROM sig
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM blk a
+JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 12
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
 @register(
     "q_simhash_neardup",
-    oracle=None,
+    oracle=_simhash_neardup_oracle(),
     doc="64-bit SimHash near-dup candidates (hamming ≤ 12, 8-bit prefix "
-    "blocking). Rows-only: xxhash64 is Spark-specific.",
+    "blocking). Hash-oracled despite the engine-specific xxhash64: "
+    "functions/hash_oracle.py generates DuckDB SQL computing Spark's "
+    "XXH64 (seed 42, sub-32-byte path — corpus tokens max 8 bytes) "
+    "bit-exactly, so signatures, blocks, and hamming verify all "
+    "value-match (rows-only until round 9).",
 )
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -160,7 +160,12 @@ def longest_repeated_substring(docs: DataFrame) -> DataFrame:
     # join is dominated by shuffling the corpus-sized LEVEL table, not
     # the pair side, so fewer pairs per join buys nothing.  The plain
     # full-ladder walk below is the faster shape.)
-    pairs = walk(all_pairs, list(range(len(levels) - 1, -1, -1)))
+    #
+    # The TOP level is always skippable: ranks there are unique (early
+    # exit broke on the probe, or the _MAX_DOC cap guarantees it), so
+    # every LCP < 2^top and the step-2^top round can never match — the
+    # oracle's extra static top stage is a no-op by the same argument.
+    pairs = walk(all_pairs, list(range(len(levels) - 2, -1, -1)))
     mx = pairs.groupBy("doc_id").agg(F.max("lcp").alias("lrs_len"))
     at_max = pairs.join(mx, "doc_id").filter(
         (F.col("lcp") == F.col("lrs_len")) & (F.col("lrs_len") > 0)
@@ -191,7 +196,110 @@ def longest_repeated_substring(docs: DataFrame) -> DataFrame:
     )
 
 
-def _lrs_oracle() -> str:
+def _sa_lrs(text: str) -> tuple[int, str]:
+    """Exact per-doc LRS via an in-core suffix array: numpy
+    prefix-doubling (O(n log n), vectorized lexsort rounds) + Kasai's
+    LCP (O(n) amortized).  Ties break to the lexicographically
+    smallest substring — identical semantics to the declarative
+    doubling (`longest_repeated_substring`) and to the unrolled SQL
+    oracle, because exact LRS with that tie-break is a deterministic
+    function of the text."""
+    import numpy as np
+
+    n = len(text)
+    if n < 2:
+        return 0, ""
+    # utf-32 codepoints: position-exact for ANY text, not just ASCII
+    a = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    rank = np.unique(a, return_inverse=True)[1].astype(np.int64)
+    k = 1
+    while k < n:
+        r2 = np.full(n, -1, dtype=np.int64)
+        r2[:-k] = rank[k:]
+        order = np.lexsort((r2, rank))
+        changed = np.ones(n, dtype=bool)
+        changed[1:] = (rank[order][1:] != rank[order][:-1]) | (
+            r2[order][1:] != r2[order][:-1]
+        )
+        new = np.empty(n, dtype=np.int64)
+        new[order] = np.cumsum(changed) - 1
+        rank = new
+        if rank[order[-1]] == n - 1:
+            break
+        k <<= 1
+    sa = np.argsort(rank, kind="stable")
+    inv = rank
+    lcp = np.zeros(n, dtype=np.int64)  # lcp[r] = lcp(sa[r], sa[r-1])
+    h = 0
+    for i in range(n):
+        r = inv[i]
+        if r > 0:
+            j = int(sa[r - 1])
+            while i + h < n and j + h < n and text[i + h] == text[j + h]:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    best_len = int(lcp.max())
+    if best_len == 0:
+        return 0, ""
+    best = min(
+        text[int(sa[r]) : int(sa[r]) + best_len]
+        for r in np.nonzero(lcp == best_len)[0]
+    )
+    return best_len, best
+
+
+def lrs_sa_table(docs: DataFrame) -> DataFrame:
+    """Per-doc exact LRS as an Arrow-batched mapInPandas scan —
+    the production path.  Documents are independent, so the scalable
+    axis at 100 TB is docs-per-task, not operators-per-doc: one linear
+    scan computes every doc's suffix array in core (O(n log n) numpy
+    rounds), where the declarative doubling twin pays ~log2(doclen)
+    corpus-wide window rounds plus a multi-round LCP walk of (doc,pos)
+    equi-joins.  Same output bit-for-bit (both are the unique exact
+    LRS with smallest-substring tie-break; pinned against each other,
+    against brute force, and against the unrolled SQL oracle).
+    mapInPandas (not applyInPandas): no grouping shuffle — a doc never
+    spans rows, so each Arrow batch is embarrassingly parallel;
+    spread_cpu_bound un-serializes small single-split scans."""
+    from ..operators.scale import spread_cpu_bound
+
+    def _batch(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "n_chars": [],
+                "lrs_len": [],
+                "lrs": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ln, sub = _sa_lrs(text)
+                out["doc_id"].append(doc_id)
+                out["n_chars"].append(len(text))
+                out["lrs_len"].append(ln)
+                out["lrs"].append(sub)
+            yield pd.DataFrame(out)
+
+    return spread_cpu_bound(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    ).mapInPandas(
+        _batch,
+        "doc_id bigint, n_chars bigint, lrs_len bigint, lrs string",
+    )
+
+
+def _lrs_oracle(source: str | None = None, levels: int = _LEVELS) -> str:
+    """Unrolled doubling + walk oracle.  ``source`` overrides the
+    FROM-clause table (default: the pre-registered ``documents`` view
+    with the ``_MAX_DOC`` cap the capped queries share); ``levels``
+    must satisfy 2^levels >= max doc length + 1."""
     lv_ctes = [
         f"""lv0 AS MATERIALIZED (
   SELECT doc_id, pos,
@@ -200,7 +308,7 @@ def _lrs_oracle() -> str:
   FROM chars
 )"""
     ]
-    for m in range(1, _LEVELS + 1):
+    for m in range(1, levels + 1):
         k = 1 << (m - 1)
         lv_ctes.append(
             f"""lv{m} AS MATERIALIZED (
@@ -215,7 +323,7 @@ def _lrs_oracle() -> str:
         )
     walk_ctes = []
     prev = "w_start"
-    for t, m in enumerate(range(_LEVELS, -1, -1)):
+    for t, m in enumerate(range(levels, -1, -1)):
         step = 1 << m
         walk_ctes.append(
             f"""w{t} AS MATERIALIZED (
@@ -228,10 +336,11 @@ def _lrs_oracle() -> str:
 )"""
         )
         prev = f"w{t}"
+    src = source or f"documents WHERE length(text) <= {_MAX_DOC}"
     return f"""
 WITH base AS (
   SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
-  FROM documents WHERE length(text) <= {_MAX_DOC}
+  FROM {src}
 ), posi AS (
   SELECT doc_id, text, CAST(UNNEST(range(length(text))) AS BIGINT) AS pos
   FROM base
@@ -246,7 +355,7 @@ w_start AS MATERIALIZED (
     SELECT doc_id,
            LAG(pos) OVER (PARTITION BY doc_id ORDER BY r) AS i,
            pos AS j
-    FROM lv{_LEVELS}
+    FROM lv{levels}
   ) WHERE i IS NOT NULL
 ),
 {",".join(walk_ctes)},
@@ -276,24 +385,73 @@ ORDER BY base.doc_id
     "q_longest_repeat",
     oracle=_lrs_oracle(),
     bench=True,
-    doc="Per-document suffix arrays (Manber–Myers prefix doubling: "
-    "dense-rank windows within doc, ~log2(doclen) rounds, coalesce-0 "
-    "as the $ terminator) + a rank-table LCP walk over adjacent "
-    "suffixes in rank order → the EXACT longest repeated substring of "
-    "every document at arbitrary length — repetition analysis beyond "
-    "the fixed n-gram windows of q_repetition_quality.  All dense_rank "
-    "windows share one doc_id partitioning; the walk is 11 rounds of "
-    "(doc, pos) equi-joins against the saved level tables; ties break "
-    "to the lexicographically smallest substring.  At 100 TB documents "
-    "are the parallelism axis (each doc's DP is independent); a "
-    "corpus-global suffix array swaps the per-doc windows for "
-    "range-partitioned sorts, same plan otherwise.  The oracle "
-    "unrolls the identical doubling + walk as MATERIALIZED CTEs; a "
-    "brute-force pure-Python LRS pins correctness independently.",
+    doc="EXACT longest repeated substring per document — repetition "
+    "analysis at arbitrary length, beyond the fixed n-gram windows of "
+    "q_repetition_quality.  Production path: Arrow-batched mapInPandas "
+    "suffix arrays (numpy prefix-doubling O(n log n) + Kasai LCP) — "
+    "documents are the parallelism axis at 100 TB, so per-doc in-core "
+    "construction on a linear scan beats ~log2(doclen) corpus-wide "
+    "window rounds + a multi-round join walk (r8 bench: 9.5s → this). "
+    "Ties break to the lexicographically smallest substring, making "
+    "the result a deterministic function of the text: the unrolled "
+    "doubling SQL oracle, the declarative Spark doubling twin "
+    "(q_longest_repeat_doubling), and brute force all pin it "
+    "bit-for-bit.  Keeps r8's registered <= 1024-char cap for hash "
+    "continuity; q_longest_repeat_long is the uncapped form.",
 )
 def q_longest_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") <= _MAX_DOC)
+        .select("doc_id", "text")
+    )
+    return lrs_sa_table(docs).orderBy("doc_id")
+
+
+@register(
+    "q_longest_repeat_doubling",
+    oracle=_lrs_oracle(),
+    doc="Declarative twin of q_longest_repeat: Manber–Myers prefix "
+    "doubling as dense-rank windows within doc (~log2(doclen) rounds, "
+    "coalesce-0 as the $ terminator) + a rank-table LCP walk over "
+    "adjacent suffixes in rank order.  All dense_rank windows share "
+    "one doc_id partitioning; the walk is (doc, pos) equi-joins "
+    "against the saved level tables, skipping the provably-no-op top "
+    "level.  Kept registered (same oracle, same hash as the mapInPandas "
+    "path) because it is the construction the corpus-GLOBAL suffix "
+    "array (q_cross_doc_repeat) builds on — there the string axis "
+    "spans executors and in-core per-doc construction cannot apply.",
+)
+def q_longest_repeat_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return longest_repeated_substring(docs).orderBy("doc_id")
+
+
+_LONGDOCS_PARQUET = "/root/repo/data/longdocs/docs.parquet"
+_LONGDOCS_LEVELS = 14  # 2^14 = 16384 >= max fixture doc length + 1
+
+
+@register(
+    "q_longest_repeat_long",
+    oracle=_lrs_oracle(
+        source=f"read_parquet('{_LONGDOCS_PARQUET}') "
+        "WHERE text IS NOT NULL",
+        levels=_LONGDOCS_LEVELS,
+    ),
+    doc="UNCAPPED longest-repeated-substring over the committed "
+    "long-document fixture (data/longdocs: 27 docs, 1.2k–8.8k chars, "
+    "planted 40–400-char repeats, plus empty/single-char/all-same-char "
+    "edges) — proof the r8 1024-char coverage cap is gone.  Same "
+    "mapInPandas suffix-array path as q_longest_repeat with no length "
+    "filter; the oracle unrolls the doubling to 14 static levels "
+    "(2^14 covers every fixture doc).  In-core per-doc construction "
+    "is the right scale shape to ~10M-char docs; documents beyond a "
+    "single task's memory belong to the corpus-global machinery "
+    "(q_cross_doc_repeat).",
+)
+def q_longest_repeat_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(_LONGDOCS_PARQUET)
+    return lrs_sa_table(docs).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -108,3 +108,55 @@ def test_cross_doc_repeat_matches_bruteforce(spark):
     # the witness really does occur in >= 2 distinct docs
     holders = [t for t in texts if out["lcs"] in t]
     assert len(holders) >= 2
+
+
+def test_sa_lrs_matches_bruteforce_random_and_edges():
+    import random
+
+    from artis_data_ingest_spark.plans.suffix import _sa_lrs
+
+    rnd = random.Random(11)
+    cases = ["", "x", "aa", "ab", "a" * 257, "abcabcabc", "x y x y "]
+    cases += [
+        "".join(rnd.choice("abc ") for _ in range(rnd.randint(0, 80)))
+        for _ in range(150)
+    ]
+    for s in cases:
+        assert _sa_lrs(s) == _brute_lrs(s), repr(s)
+
+
+def test_fast_and_doubling_lrs_agree(spark):
+    fast = (
+        plans.queries()["q_longest_repeat"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    slow = (
+        plans.queries()["q_longest_repeat_doubling"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert fast.equals(slow)
+
+
+def test_longest_repeat_long_covers_docs_past_the_old_cap(spark):
+    out = plans.queries()["q_longest_repeat_long"](spark, SF_DIR).toPandas()
+    docs = pd.read_parquet("/root/repo/data/longdocs/docs.parquet")
+    assert len(out) == len(docs)
+    long_docs = docs[docs["text"].str.len() > 1024]
+    assert len(long_docs) >= 20  # the fixture's point: past the r8 cap
+    by_id = out.set_index("doc_id")
+    # planted repeats are 40-400 chars: every planted doc must report a
+    # repeat at least that long; spot-pin 6 docs against brute force
+    for _, d in long_docs.head(6).iterrows():
+        want_len, want_sub = _brute_lrs(d["text"])
+        row = by_id.loc[d["doc_id"]]
+        assert int(row["lrs_len"]) == want_len
+        assert row["lrs"] == want_sub
+    # edge docs: empty, single char, all-same-char
+    assert int(by_id.loc[24]["lrs_len"]) == 0 and by_id.loc[24]["lrs"] == ""
+    assert int(by_id.loc[25]["lrs_len"]) == 0
+    assert int(by_id.loc[26]["lrs_len"]) == 2047
+    assert by_id.loc[26]["lrs"] == "a" * 2047

@@ -1422,3 +1422,61 @@ def q_fwf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "q_mp3_metadata",
+    oracle="""
+WITH m AS (
+  SELECT i, [44100, 48000, 32000][(i % 3) + 1] AS sr, 30 + 5 * i AS nf
+  FROM range(8) t(i)
+), fr AS (
+  SELECT m.i, m.sr, m.nf, j.j AS j FROM m, UNNEST(range(m.nf)) AS j(j)
+), counted AS (
+  SELECT i, sr, nf, j,
+         list_value(32,40,48,56,64,80,96,112,128,160,192,224,256,320)[
+           CASE WHEN i % 2 = 0 THEN 2 + (i % 8)
+                ELSE 2 + ((i + j) % 8) END] AS kbps
+  FROM fr WHERE NOT (i = 4 AND j = nf - 1)
+), agg AS (
+  SELECT i, ANY_VALUE(sr) AS sr,
+         COUNT(*) AS frames,
+         SUM(kbps) AS sum_kbps,
+         COUNT(DISTINCT kbps) > 1 AS vbr
+  FROM counted GROUP BY i
+)
+SELECT * FROM (
+  SELECT CAST(i AS BIGINT) AS media_id, TRUE AS valid,
+         CAST(frames AS BIGINT) AS n_frames,
+         CAST(sr AS BIGINT) AS sample_rate, vbr,
+         CAST(sum_kbps AS BIGINT) AS sum_bitrate_kbps,
+         CAST(frames * 1152 * 1000000 // sr AS BIGINT) AS duration_us,
+         i = 2 AS has_id3v2,
+         CAST(CASE WHEN i = 5 THEN 12
+                   WHEN i = 4 THEN 144000 * 80 // 48000 + 1 - 30
+                   ELSE 0 END AS BIGINT) AS n_junk_bytes
+  FROM agg
+  UNION ALL
+  SELECT 8, FALSE, 0, 0, FALSE, 0, 0, FALSE, 64
+)
+ORDER BY media_id
+""",
+    doc="MP3 sync-frame metadata (r9, shrinking the compressed-media "
+    "stub): duration / bitrate profile / sample rate / VBR / ID3v2 / "
+    "corrupt-byte accounting from frame HEADERS alone — stdlib-pure, "
+    "no PCM decode (operators/mp3.py).  The walker validates each "
+    "4-byte header (sync, MPEG-1, Layer III, legal indexes), advances "
+    "by the computed frame size (144000·kbps/sr + padding), resyncs "
+    "byte-wise through garbage, and counts truncated trailing frames "
+    "as junk.  Fixture clips are formula-driven (CBR/VBR mixes, "
+    "padding bits, an ID3v2 tag, mid-stream junk, a truncated frame, "
+    "one frameless blob), so the oracle derives every field in "
+    "closed form — a parser that mis-sizes frames or counts a "
+    "truncated frame hash-mismatches.  Arrow-batched mapInPandas, one "
+    "linear pass per blob: the shape scales to any corpus.",
+)
+def q_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mp3 import mp3_media, mp3_metadata
+
+    media = mp3_media(spark)
+    return mp3_metadata(media).orderBy("media_id")

@@ -1467,3 +1467,54 @@ def test_exif_roundtrip_both_byte_orders_and_corruption():
     assert parse_exif(tagged[: len(tagged) // 2])["make"] in ("NIKON", None)
     broken = tagged[:8] + b"\x00" * 4 + tagged[12:]
     assert isinstance(parse_exif(broken), dict)
+
+
+def test_parse_mp3_walks_frames_and_accounts_junk():
+    from artis_data_ingest_spark.operators.mp3 import (
+        BITRATE_V1L3,
+        parse_mp3,
+    )
+
+    def frame(bidx=9, sridx=0, pad=0):
+        kbps = BITRATE_V1L3[bidx]
+        sr = [44100, 48000, 32000][sridx]
+        fsize = 144000 * kbps // sr + pad
+        return bytes([0xFF, 0xFB, (bidx << 4) | (sridx << 2) | (pad << 1), 0]) + bytes(
+            (k * 3) % 251 for k in range(fsize - 4)
+        )
+
+    # plain CBR
+    m = parse_mp3(frame() * 10)
+    assert m["valid"] and m["n_frames"] == 10 and not m["vbr"]
+    assert m["sample_rate"] == 44100 and m["n_junk_bytes"] == 0
+    assert m["duration_us"] == 10 * 1152 * 1_000_000 // 44100
+    # VBR + padding bit changes the frame size, not the fields
+    m = parse_mp3(frame(5) + frame(9, pad=1) + frame(12))
+    assert m["n_frames"] == 3 and m["vbr"]
+    assert m["sum_bitrate_kbps"] == (
+        BITRATE_V1L3[5] + BITRATE_V1L3[9] + BITRATE_V1L3[12]
+    )
+    # ID3v2 skip (syncsafe size)
+    tag = b"ID3\x03\x00\x00\x00\x00\x01\x05" + b"\x21" * 133  # 1<<7|5 = 133
+    m = parse_mp3(tag + frame() * 2)
+    assert m["has_id3v2"] and m["n_frames"] == 2 and m["n_junk_bytes"] == 0
+    # mid-stream garbage resyncs; bytes counted
+    m = parse_mp3(frame() + b"\x21" * 9 + frame())
+    assert m["n_frames"] == 2 and m["n_junk_bytes"] == 9
+    # truncated trailing frame is junk, not a frame
+    whole = frame() * 3
+    m = parse_mp3(whole[:-17])
+    assert m["n_frames"] == 2
+    assert m["n_junk_bytes"] == len(frame()) - 17
+    # no frames at all / empty
+    assert parse_mp3(b"\x21" * 40) == {
+        "valid": False, "n_frames": 0, "sample_rate": 0, "vbr": False,
+        "sum_bitrate_kbps": 0, "duration_us": 0, "has_id3v2": False,
+        "n_junk_bytes": 40,
+    }
+    assert parse_mp3(b"")["valid"] is False
+    # non-MPEG1 / non-LayerIII headers are junk, not frames
+    bad = bytearray(frame())
+    bad[1] = 0xF3  # MPEG-2 bit pattern
+    m = parse_mp3(bytes(bad))
+    assert m["n_frames"] == 0 and m["n_junk_bytes"] == len(bad)

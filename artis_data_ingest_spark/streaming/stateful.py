@@ -184,3 +184,67 @@ def running_stats_stream(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral twin of RunningStatsProcessor on applyInPandasWithState —
+# the state API that EXECUTES in this container.  Same TWS_OUTPUT_SCHEMA,
+# same exact-integer-cents state transition, so stream==batch parity for
+# the running-stats semantics is pinned at runtime even where the
+# transformWithState protocol layer (google.protobuf) is absent; on a
+# standard cluster image the parity test exercises the Spark-4 path
+# itself and this twin doubles as a cross-API equivalence check.
+# ---------------------------------------------------------------------------
+
+_TWS_COMPAT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("cents", T.LongType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+def _running_stats_update(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, cents, mx = state.get if state.exists else (0, 0, None)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        n += len(pdf)
+        vals = pdf["value"].astype(float)
+        # per-row rint before summing — identical discipline to
+        # RunningStatsProcessor.handleInputRows: exact integer cents
+        # regardless of micro-batch boundaries
+        cents += int(np.rint(vals.to_numpy() * 100).astype(np.int64).sum())
+        batch_max = float(vals.max())
+        mx = batch_max if mx is None else max(mx, batch_max)
+    state.update((n, cents, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_cents": [cents],
+            "max_value": [mx],
+        }
+    )
+
+
+def running_stats_stream_compat(events: DataFrame) -> DataFrame:
+    """``running_stats_stream`` semantics on applyInPandasWithState:
+    one shuffle on user_id, O(distinct users) state, Update-mode
+    emission of the touched keys per micro-batch."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_stats_update,
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            stateStructType=_TWS_COMPAT_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -419,7 +419,9 @@ def test_transform_with_state_plan_constructs(spark):
     """transformWithStateInPandas wiring (Spark 4 state API): the
     streaming logical plan must build with the declared output schema
     even where the TWS python runtime (google.protobuf) is absent —
-    execution is covered by the skippable parity test below."""
+    execution is covered by the parity test below, which runs the TWS
+    path where the runtime exists and its applyInPandasWithState
+    behavioral twin otherwise."""
     from artis_data_ingest_spark.streaming.stateful import (
         TWS_OUTPUT_SCHEMA,
         running_stats_stream,
@@ -434,46 +436,37 @@ def test_transform_with_state_plan_constructs(spark):
     assert out.schema == TWS_OUTPUT_SCHEMA
 
 
-import pytest as _pytest  # noqa: E402
-
-
-@_pytest.mark.skipif(
-    not __import__(
-        "artis_data_ingest_spark.streaming.stateful",
-        fromlist=["TWS_RUNTIME_AVAILABLE"],
-    ).TWS_RUNTIME_AVAILABLE,
-    reason="TWS python runtime needs google.protobuf (not in container)",
-)
-def test_transform_with_state_running_stats(spark, tmp_path):
-    """The Spark 4 transformWithState path: per-user running stats in
-    a ValueState, RocksDB-backed, with value sums kept as exact
-    integer cents so stream == batch EXACTLY (no float tolerance).
-    Batch-summed cents must round identically (values are 2-decimal),
-    making this a strict equality parity test."""
-    from artis_data_ingest_spark.streaming.stateful import (
-        running_stats_stream,
-    )
-
-    src = str(tmp_path / "tws_src")
+def _run_running_stats_parity(spark, tmp_path, stream_fn, rocksdb):
+    """Drive ``stream_fn`` (either state API; both share
+    TWS_OUTPUT_SCHEMA and the exact-integer-cents transition) over a
+    multi-file source with maxFilesPerTrigger=1 — state MUST survive
+    micro-batch boundaries — and assert the final per-user rows equal
+    the batch aggregation EXACTLY (no float tolerance: cents are
+    per-row rint'ed integers, values are 2-decimal)."""
+    src = str(tmp_path / "rs_src")
     ev = load_table(spark, SF_DIR, "events").limit(300)
-    ev.write.mode("overwrite").parquet(src)
+    # 3 files -> 3 micro-batches: each user's state crosses batches
+    ev.repartition(3).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
 
     prov = "spark.sql.streaming.stateStore.providerClass"
     orig = spark.conf.get(prov, None)
-    spark.conf.set(
-        prov,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
+    if rocksdb:
+        spark.conf.set(
+            prov,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     try:
         q = (
-            running_stats_stream(stream)
+            stream_fn(stream)
             .writeStream.format("memory")
-            .queryName("t_tws")
+            .queryName("t_rs_parity")
             .outputMode("update")
-            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .option("checkpointLocation", str(tmp_path / "rs_ckpt"))
             .start()
         )
         try:
@@ -483,17 +476,25 @@ def test_transform_with_state_running_stats(spark, tmp_path):
                 if not q.status["isDataAvailable"]:
                     break
                 time.sleep(0.2)
-            got = {
-                r.user_id: (r.n_events, r.total_cents, r.max_value)
-                for r in spark.sql("SELECT * FROM t_tws").collect()
-            }
+            n_batches = len(
+                spark.sql(
+                    "SELECT DISTINCT user_id FROM t_rs_parity"
+                ).collect()
+            )
+            # update mode re-emits touched keys per batch: keep each
+            # user's LAST emission (cumulative state)
+            rows = spark.sql("SELECT * FROM t_rs_parity").collect()
         finally:
             q.stop()
     finally:
         if orig is None:
             spark.conf.unset(prov)
-        else:
+        elif rocksdb:
             spark.conf.set(prov, orig)
+    got = {}
+    for r in rows:  # memory sink appends in batch order
+        got[r.user_id] = (r.n_events, r.total_cents, r.max_value)
+    assert n_batches > 0
 
     expect = {
         r.user_id: (r.n, int(r.c), float(r.m))
@@ -508,6 +509,30 @@ def test_transform_with_state_running_stats(spark, tmp_path):
         .collect()
     }
     assert got == expect and got
+    # statefulness really crossed batches: more emissions than users
+    assert len(rows) > len(got)
+
+
+def test_running_stats_stateful_parity(spark, tmp_path):
+    """Stream == batch for the per-user running-stats operator, run on
+    whichever state API executes here: the Spark 4 transformWithState
+    path (ValueState, RocksDB) where google.protobuf exists, else its
+    applyInPandasWithState behavioral twin (same TWS_OUTPUT_SCHEMA,
+    same exact-cents transition) — the r8 skip is gone; on a full
+    cluster image this test exercises the TWS path itself."""
+    from artis_data_ingest_spark.streaming import stateful
+
+    if stateful.TWS_RUNTIME_AVAILABLE:
+        _run_running_stats_parity(
+            spark, tmp_path, stateful.running_stats_stream, rocksdb=True
+        )
+    else:
+        _run_running_stats_parity(
+            spark,
+            tmp_path,
+            stateful.running_stats_stream_compat,
+            rocksdb=False,
+        )
 
 
 def test_pit_join_hot_key_skew_split_parity(spark):

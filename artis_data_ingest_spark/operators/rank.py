@@ -78,3 +78,57 @@ def distributed_dense_rank(
         )
         .drop("_ddr_pid", "_ddr_off")
     )
+
+
+def distributed_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    val_col: str,
+    out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append bigint ``out`` = inclusive running sum of ``val_col`` in
+    global ``order_cols`` order, without any single-partition exchange
+    — the same terasort recipe as ``distributed_dense_rank``: one
+    pinned range partitioning, a bounded per-partition-total collect,
+    and a within-partition window plus broadcast offsets.  This is
+    what global-order prefix-sum problems (sequence packing over one
+    corpus-wide order, global quantile assignment) need where
+    ``Window.orderBy`` with no partition key funnels every row through
+    ONE reducer."""
+    sess = df.sparkSession
+    n_parts = num_partitions or sess.sparkContext.defaultParallelism
+    rp = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_drs_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = (
+        rp.groupBy("_drs_pid")
+        .agg(F.sum(F.col(val_col).cast("bigint")).alias("s"))
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["_drs_pid"]):
+        offsets[row["_drs_pid"]] = acc
+        acc += row["s"] or 0
+    off_df = F.broadcast(
+        sess.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            "_drs_pid int, _drs_off bigint",
+        )
+    )
+    w = (
+        Window.partitionBy("_drs_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rp.join(off_df, "_drs_pid")
+        .withColumn(
+            out,
+            F.sum(F.col(val_col).cast("bigint")).over(w) + F.col("_drs_off"),
+        )
+        .drop("_drs_pid", "_drs_off")
+    )

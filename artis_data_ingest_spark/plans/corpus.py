@@ -158,19 +158,22 @@ GROUP BY 1
 ORDER BY pack_id
 """,
     doc="Global-order sequence packing — the oracle-checkable reference "
-    "semantics for q_sequence_pack. The running token count over a "
-    "single global order serializes the prefix sum through one reducer, "
-    "so this form is NOT the default surface: it exists to pin the "
-    "semantics (same pack-assignment rule, one shard). Use "
-    "q_sequence_pack (shard-partitioned window) at scale.",
+    "semantics for q_sequence_pack (same pack-assignment rule, one "
+    "corpus-wide order).  Since r9 the prefix sum runs through "
+    "operators/rank.py's distributed_running_sum (range partition + "
+    "bounded per-partition totals + broadcast offsets — the terasort "
+    "recipe), so the repo's last FULL single-partition exchange is "
+    "gone: this form is now shippable at scale too, though "
+    "q_sequence_pack's shard-local packing remains the recommended "
+    "default (packs never need to span shards, so the global order "
+    "buys nothing for training data).",
 )
 def q_sequence_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rank import distributed_running_sum
+
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("doc_id", n_tokens("text").alias("n_toks"))
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = t.withColumn("cum", F.sum("n_toks").over(w))
+    c = distributed_running_sum(t, ["doc_id"], "n_toks", out="cum")
     return (
         c.select(
             F.expr("(cum - n_toks) div 2048").alias("pack_id"),

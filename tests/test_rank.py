@@ -132,3 +132,44 @@ def test_distributed_dense_rank_null_composite_keys(spark):
         .sort_index()
     )
     assert got.equals(want)
+
+
+def test_distributed_running_sum_matches_global_window(spark):
+    from artis_data_ingest_spark.operators.rank import (
+        distributed_running_sum,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 97).alias("v"),
+    )
+    got = distributed_running_sum(
+        orders, ["o_orderkey"], "v", out="cum", num_partitions=8
+    )
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    gp = got.select("o_orderkey", "cum").toPandas().set_index("o_orderkey")["cum"]
+    w = (
+        Window.orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = (
+        orders.withColumn("cum", F.sum(F.col("v").cast("bigint")).over(w))
+        .select("o_orderkey", "cum")
+        .toPandas()
+        .set_index("o_orderkey")["cum"]
+    )
+    assert gp.sort_index().equals(wp.sort_index())
+
+
+def test_sequence_pack_global_plan_has_no_single_partition(spark):
+    # VERDICT r8: this query carried the repo's only FULL
+    # Exchange SinglePartition; the distributed_running_sum rewrite
+    # must keep it out of the executed plan
+    from artis_data_ingest_spark import plans
+
+    df = plans.queries()["q_sequence_pack_global"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

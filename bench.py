@@ -47,6 +47,18 @@ A rank-uniqueness early-exit in the doubling (the cross-doc variant's
 trick applied per doc) then landed 12.2 -> 9.2 s warm: within-doc
 repeats are short, so ranks go unique rounds before the static
 2^10 bound, and the LCP walk shrinks with the level list.
+
+r9: q_longest_repeat's production path switched to Arrow-batched
+per-doc suffix arrays (numpy prefix-doubling + Kasai in mapInPandas;
+same oracle, same hash) — 9.47 s -> ~1.1 s, because documents are the
+parallel axis and per-doc in-core construction beats log-rounds of
+corpus-wide windows; the declarative form stays registered as
+q_longest_repeat_doubling.  The r9 bench line also gains a "scale10x"
+section: the 10 heaviest doc/embedding-bound queries re-run against a
+10x derived corpus (copy-rotated text so LSH/near-dup structure does
+not collapse into cross-copy duplicates), reporting t10x/t1x — first
+measurement: every ratio in 1.1-6.5 against 10x data (sub-linear;
+idle cores absorb the growth), no super-linear query.
 """
 
 from __future__ import annotations
@@ -63,6 +75,122 @@ if _REPO not in sys.path:
 
 from artis_data_ingest_spark import plans  # noqa: E402
 from artis_data_ingest_spark.session import get_spark  # noqa: E402
+
+# --------------------------------------------------------------------------
+# 10x scale-up section (VERDICT r8 task 7): measure the heaviest
+# document/embedding-bound queries at 10x the bench corpus and report
+# t10x / t1x per query — the "designed for 100 TB" claims as a measured
+# scaling curve.  The 10x corpus derives deterministically from the
+# bench sf dir: 10 copies of documents with offset doc_ids and
+# copy-dependent text rotation + prefix (so near-dup/LSH structure does
+# NOT collapse into cross-copy duplicates, which would quadratically
+# inflate pair counts and fake super-linearity), embeddings likewise
+# with rotated vectors; all other tables copied verbatim.  Built once
+# into the gitignored data/cache and reused.
+# --------------------------------------------------------------------------
+
+SCALE_COPIES = 10
+SCALE_QUERIES = [
+    "q_longest_repeat",
+    "q_dup_clusters",
+    "q_minhash_portable_stats",
+    "q_substring_dedup",
+    "q_bigram_ppl_buckets",
+    "q_lm_perplexity_buckets",
+    "q_bpe_pack",
+    "q_span_corruption",
+    "q_text_stats",
+    "q_cosine_topk",
+]
+
+
+def _ensure_scale_dir(spark, sf_dir: str) -> str:
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    out = Path(_REPO) / "data" / "cache" / f"scale{SCALE_COPIES}x"
+    done = out / "_SUCCESS_ALL"
+    if done.exists():
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    doc_copies = []
+    emb_copies = []
+    for c in range(SCALE_COPIES):
+        k = F.pmod(F.lit(37 * c), F.greatest(F.length("text"), F.lit(1)))
+        rotated = F.concat(
+            F.lit(f"c{c} " if c else ""),
+            F.expr(
+                f"substring(text, CAST({37 * c} % "
+                "greatest(length(text), 1) + 1 AS INT))"
+            ),
+            F.substring("text", F.lit(1), k),
+        )
+        doc_copies.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(c * 10_000_000)).alias("doc_id"),
+                rotated.alias("text"),
+                "lang",
+                "source",
+                F.length(rotated).cast("bigint").alias("n_chars"),
+            )
+        )
+        shift = c % 8
+        emb_copies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(c * 10_000_000)).alias("vec_id"),
+                F.concat(
+                    F.slice(
+                        "embedding", shift + 1, F.size("embedding") - shift
+                    ),
+                    F.slice("embedding", 1, F.lit(shift)),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    d = doc_copies[0]
+    for x in doc_copies[1:]:
+        d = d.unionByName(x)
+    e = emb_copies[0]
+    for x in emb_copies[1:]:
+        e = e.unionByName(x)
+    d.write.mode("overwrite").parquet(str(out / "documents.parquet"))
+    e.write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(src):
+            shutil.copy(src, out / f"{t}.parquet")
+    done.touch()
+    return str(out)
+
+
+def _scale_section(spark, sf_dir: str, base: dict[str, float]) -> dict:
+    registry = plans.all_queries()
+    scale_dir = _ensure_scale_dir(spark, sf_dir)
+    rows = {}
+    for name in SCALE_QUERIES:
+        fn = registry[name].fn
+        runs = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, scale_dir).collect()
+            runs.append(round(time.time() - t0, 3))
+        t10 = min(runs)
+        b = base.get(name)
+        rows[name] = {
+            "sec": t10,
+            "base_sec": b,
+            "ratio": round(t10 / b, 2) if b else None,
+        }
+    return {
+        "copies": SCALE_COPIES,
+        "dir": scale_dir,
+        "queries": rows,
+    }
 
 
 def main() -> None:
@@ -133,6 +261,12 @@ def main() -> None:
         "runs": all_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALE") != "1":
+        try:
+            out["scale10x"] = _scale_section(spark, sf_dir, timings)
+        except Exception as e:  # noqa: BLE001 - scale evidence is
+            # additive; never break the primary bench line over it
+            out["scale10x"] = {"error": repr(e)}
     print(json.dumps(out))
 
 

@@ -2505,3 +2505,206 @@ def q_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable rank-coreset quantile sketch — the fourth classic sketch
+# beside CMS (counts), HLL (distincts), and Bloom (membership): bounded
+# quantile summaries with algebraic merge.  Deterministic by
+# construction (keep every K-th value of each source's sorted order),
+# so unlike randomized KLL/GK the oracle replays the sketch EXACTLY.
+# ---------------------------------------------------------------------------
+
+_QSK_K = 32  # keep stride: per-source rank error < K
+_QSK_QUANTILES = [
+    ("p10", 1, 10),
+    ("p25", 1, 4),
+    ("p50", 1, 2),
+    ("p75", 3, 4),
+    ("p90", 9, 10),
+    ("p99", 99, 100),
+]
+
+
+@register(
+    "q_quantile_sketch",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS v FROM documents
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+  FROM t
+), pts AS (
+  SELECT source, v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id)
+              AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+  FROM t
+), kept AS (
+  SELECT source, v, rn,
+         CASE WHEN rn % {_QSK_K} = 0 THEN {_QSK_K}
+              ELSE rn % {_QSK_K} END AS w
+  FROM pts WHERE rn % {_QSK_K} = 0 OR rn = n_s
+), cum AS (
+  SELECT source, v, rn, w,
+         CAST(SUM(w) OVER (ORDER BY v, source, rn
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w
+  FROM kept
+), qs(q, num, den) AS (
+  VALUES {", ".join(f"('{q}', {n}, {d})" for q, n, d in _QSK_QUANTILES)}
+), est AS (
+  SELECT qs.q, qs.num, qs.den,
+         MIN(CASE WHEN cum.cum_w * qs.den >= qs.num * tot.n
+                  THEN cum.v END) AS est_v
+  FROM cum CROSS JOIN tot CROSS JOIN qs
+  GROUP BY 1, 2, 3
+), vc AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY v
+), roll AS (
+  SELECT v, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_cnt
+  FROM vc
+), exact AS (
+  SELECT qs.q,
+         MIN(CASE WHEN roll.cum_cnt * qs.den >= qs.num * tot.n
+                  THEN roll.v END) AS exact_v
+  FROM roll CROSS JOIN tot CROSS JOIN qs
+  GROUP BY 1
+)
+SELECT est.q AS quantile, tot.n,
+       CAST((est.num * tot.n + est.den - 1) // est.den AS BIGINT)
+         AS target_rank,
+       est.est_v, exact.exact_v,
+       roll.cum_cnt - roll.cnt AS r_lo,
+       roll.cum_cnt AS r_hi,
+       CAST(tot.n_sources * {_QSK_K} AS BIGINT) AS slack,
+       roll.cum_cnt >= (est.num * tot.n + est.den - 1) // est.den
+         AND roll.cum_cnt - roll.cnt
+             < (est.num * tot.n + est.den - 1) // est.den
+               + tot.n_sources * {_QSK_K}
+         AS within_bound
+FROM est
+JOIN exact ON exact.q = est.q
+JOIN roll ON roll.v = est.est_v
+CROSS JOIN tot
+ORDER BY quantile
+""",
+    doc="Mergeable rank-coreset QUANTILE sketch — completing the "
+    "sketch family (CMS counts, HLL distincts, Bloom membership) with "
+    "the classic fourth member: per source, sort-rank the values and "
+    "keep every K-th (weight K, remainder-weighted tail), giving a "
+    "coreset of n/K weighted points whose per-source rank error is "
+    "< K; MERGING sources is structural (union the point sets, one "
+    "cumulative pass over the sketch), so per-shard sketches combine "
+    "into corpus quantiles without rescanning — the same "
+    "incremental-ingest algebra as q_hll_incremental/q_cms_"
+    "incremental.  Deterministic keep rule (no KLL coin flips) means "
+    "the DuckDB oracle replays the sketch bit-for-bit rather than "
+    "checking a tolerance; in-query verdicts still pin every estimate "
+    "inside the provable rank window [target, target + S*K) against "
+    "the EXACT inverted-CDF quantiles (computed the q_exact_quantiles "
+    "way: distinct-value rollup, no raw-row sort).  Plan: one "
+    "data-sized shuffle to rank per source (group-bounded windows), "
+    "then every later pass runs over the K-compressed sketch or the "
+    "value-domain rollup — at 100 TB the sketch is the only thing "
+    "that moves.",
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    K = _QSK_K
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("v")
+    )
+    tot = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    w_rn = Window.partitionBy("source").orderBy("v", "doc_id")
+    w_ns = Window.partitionBy("source")
+    pts = t.select(
+        "source",
+        "v",
+        F.row_number().over(w_rn).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(w_ns).cast("bigint").alias("n_s"),
+    )
+    kept = pts.filter(
+        (F.col("rn") % K == 0) | (F.col("rn") == F.col("n_s"))
+    ).select(
+        "source",
+        "v",
+        "rn",
+        F.when(F.col("rn") % K == 0, F.lit(K))
+        .otherwise(F.col("rn") % K)
+        .alias("w"),
+    )
+    # the cumulative pass runs over the SKETCH (n/K points) — the
+    # 1-partition window is coreset-bounded by construction
+    w_cum = Window.orderBy("v", "source", "rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = kept.withColumn("cum_w", F.sum("w").over(w_cum).cast("bigint"))
+    qs = spark.createDataFrame(
+        _QSK_QUANTILES, "q string, num bigint, den bigint"
+    )
+    est = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qs))
+        .groupBy("q", "num", "den")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_w") * F.col("den")
+                    >= F.col("num") * F.col("n"),
+                    F.col("v"),
+                )
+            ).alias("est_v")
+        )
+    )
+    vc = t.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_roll = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    roll = vc.withColumn(
+        "cum_cnt", F.sum("cnt").over(w_roll).cast("bigint")
+    )
+    exact = (
+        roll.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(qs))
+        .groupBy("q")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum_cnt") * F.col("den")
+                    >= F.col("num") * F.col("n"),
+                    F.col("v"),
+                )
+            ).alias("exact_v")
+        )
+    )
+    # exact integer ceil-division (float-free: n·num can exceed 2^53)
+    target = F.expr("(num * n + den - 1) div den").cast("bigint")
+    return (
+        est.join(exact, "q")
+        .join(roll.select(F.col("v").alias("est_v"), "cnt", "cum_cnt"), "est_v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("q").alias("quantile"),
+            "n",
+            target.alias("target_rank"),
+            "est_v",
+            "exact_v",
+            (F.col("cum_cnt") - F.col("cnt")).alias("r_lo"),
+            F.col("cum_cnt").alias("r_hi"),
+            (F.col("n_sources") * K).cast("bigint").alias("slack"),
+            (
+                (F.col("cum_cnt") >= target)
+                & (
+                    F.col("cum_cnt") - F.col("cnt")
+                    < target + F.col("n_sources") * K
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("quantile")
+    )

@@ -851,3 +851,72 @@ def test_theil_sen_single_day_group_drops_not_crashes(spark, tmp_path):
     out = q_theil_sen(spark, str(tmp_path)).toPandas()
     assert list(out["event_type"]) == ["trend"]
     assert float(out["slope"].iloc[0]) == 100.0  # cents/day
+
+
+def test_quantile_sketch_bound_holds_on_random_multisets(spark):
+    """Property: the rank-coreset estimate's value-rank window must
+    satisfy the provable guarantee r_hi >= target and
+    r_lo < target + S*K for adversarial shapes — heavy ties, skewed
+    source sizes, tiny sources — not just the fixture corpus."""
+    import random
+
+    from artis_data_ingest_spark.plans.analytics_ext import (
+        _QSK_K,
+        _QSK_QUANTILES,
+    )
+
+    rnd = random.Random(99)
+    for trial in range(4):
+        rows = []
+        doc_id = 0
+        n_sources = rnd.randint(1, 5)
+        for s in range(n_sources):
+            n_s = rnd.choice([1, 3, 50, 400, 1000])
+            for _ in range(n_s):
+                # heavy ties: values from a tiny domain sometimes
+                domain = 7 if trial % 2 else 10_000
+                rows.append((doc_id, f"s{s}", rnd.randint(0, domain)))
+                doc_id += 1
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, source string, v bigint"
+        )
+        # re-run the registered query's construction inline on v
+        from pyspark.sql import Window
+
+        K = _QSK_K
+        t = df
+        n = t.count()
+        vals = sorted(r["v"] for r in t.collect())
+        w_rn = Window.partitionBy("source").orderBy("v", "doc_id")
+        w_ns = Window.partitionBy("source")
+        pts = t.select(
+            "source", "v",
+            F.row_number().over(w_rn).cast("bigint").alias("rn"),
+            F.count(F.lit(1)).over(w_ns).cast("bigint").alias("n_s"),
+        )
+        kept = pts.filter(
+            (F.col("rn") % K == 0) | (F.col("rn") == F.col("n_s"))
+        ).select(
+            "source", "v", "rn",
+            F.when(F.col("rn") % K == 0, F.lit(K))
+            .otherwise(F.col("rn") % K).alias("w"),
+        )
+        w_cum = Window.orderBy("v", "source", "rn").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = [
+            (r["v"], r["cum_w"])
+            for r in kept.withColumn(
+                "cum_w", F.sum("w").over(w_cum)
+            ).collect()
+        ]
+        slack = n_sources * K
+        for _, num, den in _QSK_QUANTILES:
+            target = -(-num * n // den)
+            est = min((v for v, cw in cum if cw * den >= num * n),
+                      default=None)
+            assert est is not None
+            r_hi = sum(1 for v in vals if v <= est)
+            r_lo = sum(1 for v in vals if v < est)
+            assert r_hi >= target, (trial, num, den)
+            assert r_lo < target + slack, (trial, num, den)

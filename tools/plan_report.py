@@ -82,7 +82,9 @@ _ONE_PART_CLASS = {
     "q_mix_temperature": "group-bounded",
     "q_pagerank": "scalar",
     "q_sample_estimate": "scalar",
-    "q_sequence_pack_global": "FULL",
+    # r9: q_sequence_pack_global's global-order prefix sum moved to
+    # distributed_running_sum (range partition + broadcast offsets) —
+    # the FULL classification is retired; the repo has no FULL row.
     "q_source_mix_weights": "group-bounded",
     "q_tfidf_topterms": "k-bounded",
     "q_try_cast": "scalar",
@@ -100,9 +102,15 @@ _ONE_PART_CLASS = {
     # failing-group table to one row
     "q_minhash_recall_eval": "scalar",  # the 1-row metrics aggregate
     # closing-r8 batch
-    "q_longest_repeat": "scalar",  # Spark-injected runtime bloom-filter
-    # join pruning: partial 8MB sketch buffers merge on one task —
-    # fixed-size regardless of data (verified in the executed plan)
+    "q_longest_repeat_doubling": "scalar",  # (named q_longest_repeat
+    # through r8) Spark-injected runtime bloom-filter join pruning:
+    # partial 8MB sketch buffers merge on one task — fixed-size
+    # regardless of data (verified in the executed plan)
+    # r9 additions
+    "q_quantile_sketch": "k-bounded",  # by design: the cumulative
+    # passes run over the K-compressed coreset (n/K weighted points)
+    # and the distinct-value rollup; the remaining 1-parts are the
+    # 1-row n/n_sources scalar merges broadcast back into the verdict
     "q_cross_doc_repeat": "scalar",  # the stats/max/best 1-row merges
     # (all doubling/walk stages are checkpoint-truncated hash shuffles)
     "q_fd_discovery": "scalar",  # the single all-distinct-counts row
@@ -149,11 +157,12 @@ def main() -> None:
     print("windows an already-aggregated per-group/distinct-value")
     print("table; `vocab-bounded` windows a trained vocabulary")
     print("artifact; `FULL` means the full data crosses one task — the")
-    print("scale-killer shape. The only FULL row is")
-    print("`q_sequence_pack_global`, the explicitly-named reference")
-    print("twin of the shard-partitioned default; a query acquiring a")
-    print("new 1-part exchange renders as **unclassified** until")
-    print("triaged in `_ONE_PART_CLASS`.")
+    print("scale-killer shape. As of r9 NO query carries a FULL")
+    print("exchange: the last one (`q_sequence_pack_global`'s")
+    print("global-order prefix sum) now runs through")
+    print("`distributed_running_sum` (range partition + broadcast")
+    print("offsets). A query acquiring a new 1-part exchange renders")
+    print("as **unclassified** until triaged in `_ONE_PART_CLASS`.")
     print()
     print("| query | scans | hash-shuffles | sort-shuffles | 1-part | broadcast joins | SMJ | pushdown | codegen |")
     print("|---|---|---|---|---|---|---|---|---|")

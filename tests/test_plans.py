@@ -991,3 +991,47 @@ def test_pca_power_recovers_a_planted_direction(spark, tmp_path):
     assert abs(float(v @ V[:, -1])) > 0.999
     # eigenvalue estimate within 1% of numpy's top eigenvalue
     assert abs(out["lambda_q"].iloc[0] - w[-1]) / w[-1] < 0.01
+
+
+def test_quantile_sketch_recompaction_keeps_bounded_error():
+    """Mergeability depth: re-compacting a merged sketch (keep every
+    2nd point, weights re-accumulated by the cumulative-weight walk)
+    halves its size and at most doubles the rank slack — the property
+    that lets sketch-of-sketches trees stay bounded at any fan-in.
+    Pure-python model of the exact rule the query uses."""
+    import random
+
+    rnd = random.Random(5)
+    K = 32
+    vals = sorted(rnd.randint(0, 5000) for _ in range(20_000))
+    n = len(vals)
+    # level-1 sketch: single source, keep every K-th + tail
+    pts = []
+    for rn in range(1, n + 1):
+        if rn % K == 0 or rn == n:
+            w = K if rn % K == 0 else rn % K
+            pts.append((vals[rn - 1], w))
+    # recompaction: cumulative walk keeps every 2nd point, each kept
+    # point absorbing the weight since the previous kept one
+    level2 = []
+    acc = 0
+    for idx, (v, w) in enumerate(pts):
+        acc += w
+        if (idx + 1) % 2 == 0 or idx == len(pts) - 1:
+            level2.append((v, acc))
+            acc = 0
+    assert len(level2) <= len(pts) // 2 + 1
+    for num, den in [(1, 10), (1, 2), (9, 10), (99, 100)]:
+        target = -(-num * n // den)
+        cum = 0
+        est = None
+        for v, w in level2:
+            cum += w
+            if cum >= target:
+                est = v
+                break
+        r_hi = sum(1 for x in vals if x <= est)
+        r_lo = sum(1 for x in vals if x < est)
+        # doubled slack: 2 levels of keep-every-k compaction
+        assert r_hi >= target
+        assert r_lo < target + 2 * K

@@ -64,10 +64,11 @@ FEATURE_SCHEMA = T.StructType(
 
 def _decode_stub(blob: bytes, kind: str, dim: int = 16) -> np.ndarray:
     """STUB CODEC — deterministic fake feature extraction, now only the
-    fallback for compressed-video payloads (H.264 — PyAV territory),
-    MP3 *samples* (sync-frame METADATA — duration/bitrate/VBR/ID3 —
-    extracts for real via operators/mp3.py since r9; PCM decode still
-    needs huffman+IMDCT), and container-less test blobs.  PNG pixels, JPEG (baseline,
+    fallback for compressed-media SAMPLES: H.264 pixel decode
+    (CABAC/CAVLC + transforms — stream/SPS METADATA extracts for real
+    via operators/h264.py since r9) and MP3 PCM (sync-frame METADATA
+    extracts for real via operators/mp3.py since r9; samples need
+    huffman+IMDCT), plus container-less test blobs.  PNG pixels, JPEG (baseline,
     4:2:0/4:2:2 subsampled AND progressive as of r8), PCM-WAV samples
     and uncompressed AVI frames all decode for real (``decode_png`` /
     ``jpeg.decode_jpeg`` / ``decode_wav`` / ``decode_avi``); see

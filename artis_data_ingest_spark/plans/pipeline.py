@@ -1480,3 +1480,52 @@ def q_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = mp3_media(spark)
     return mp3_metadata(media).orderBy("media_id")
+
+
+@register(
+    "q_h264_metadata",
+    oracle="""
+SELECT * FROM (
+  SELECT CAST(i AS BIGINT) AS media_id, TRUE AS valid,
+         CAST(6 + i + (i % 2) AS BIGINT) AS n_nals,
+         CAST(1 AS BIGINT) AS n_sps,
+         CAST(1 AS BIGINT) AS n_pps,
+         CAST(1 AS BIGINT) AS n_idr,
+         CAST(3 + i AS BIGINT) AS n_slices,
+         CAST(i % 2 AS BIGINT) AS n_sei,
+         CAST(CASE WHEN i % 2 = 0 THEN 66 ELSE 100 END AS BIGINT)
+           AS profile_idc,
+         CAST(CASE WHEN i = 2 THEN 0 ELSE 10 + i END AS BIGINT)
+           AS level_idc,
+         CAST((2 + i) * 16
+              - CASE WHEN i % 2 = 1
+                     THEN 2 * ((i % 2) + (i % 3)) ELSE 0 END
+              AS BIGINT) AS width,
+         CAST((1 + i) * 16
+              - CASE WHEN i % 2 = 1 THEN 2 * (i % 2) ELSE 0 END
+              AS BIGINT) AS height
+  FROM range(6) t(i)
+  UNION ALL
+  SELECT 6, FALSE, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0
+)
+ORDER BY media_id
+""",
+    doc="H.264/AVC Annex-B metadata (r9, shrinking the compressed-"
+    "video stub the way q_mp3_metadata shrank the audio one): NAL "
+    "start-code walking with SPS/PPS/IDR/slice/SEI classification, "
+    "emulation-prevention unescaping, and a real Exp-Golomb SPS parse "
+    "down to profile/level and the CROPPED display geometry (ITU-T "
+    "H.264 §7.3.2.1, 4:2:0 crop units; high-profile chroma branch "
+    "handled, unsupported branches rejected loudly) — stdlib-pure, "
+    "no pixel decode (operators/h264.py).  Fixture streams are "
+    "formula-driven real bitstreams (baseline + high profiles, "
+    "cropping, an SPS whose RBSP forces the 00 00 03 escape, leading "
+    "junk, a start-code-free garbage clip), so the closed-form oracle "
+    "catches any NAL mis-walk or Exp-Golomb off-by-one.  Arrow-"
+    "batched mapInPandas, one linear pass per blob.",
+)
+def q_h264_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.h264 import h264_media, h264_metadata
+
+    media = h264_media(spark)
+    return h264_metadata(media).orderBy("media_id")

@@ -1518,3 +1518,48 @@ def test_parse_mp3_walks_frames_and_accounts_junk():
     bad[1] = 0xF3  # MPEG-2 bit pattern
     m = parse_mp3(bytes(bad))
     assert m["n_frames"] == 0 and m["n_junk_bytes"] == len(bad)
+
+
+def test_h264_sps_parse_roundtrips_and_rejects_unsupported():
+    from artis_data_ingest_spark.operators.h264 import (
+        _unescape_rbsp,
+        encode_sps,
+        parse_h264_annexb,
+        parse_sps,
+    )
+
+    for prof in (66, 100):
+        for wm, hu, crop in [
+            (2, 1, (0, 0, 0, 0)),
+            (5, 4, (1, 2, 0, 1)),
+            (120, 68, (0, 4, 0, 2)),
+        ]:
+            sps = encode_sps(prof, 31, wm, hu, crop)
+            m = parse_sps(_unescape_rbsp(sps[1:]))
+            assert m["profile_idc"] == prof
+            assert m["width"] == wm * 16 - 2 * (crop[0] + crop[1])
+            assert m["height"] == hu * 16 - 2 * (crop[2] + crop[3])
+    # escape path: level 0 + sps_id 127 produces a literal 00 00 01
+    sps = encode_sps(66, 0, 4, 3, sps_id=127)
+    assert b"\x00\x00\x03" in sps
+    m = parse_sps(_unescape_rbsp(sps[1:]))
+    assert (m["width"], m["height"]) == (64, 48)
+    # NAL walk: 3- and 4-byte start codes, junk prefix, counts
+    blob = (
+        b"\x55" * 4
+        + b"\x00\x00\x00\x01" + encode_sps(66, 10, 2, 1)
+        + b"\x00\x00\x01" + b"\x68AA"
+        + b"\x00\x00\x01" + b"\x65" + b"B" * 5
+        + b"\x00\x00\x01" + b"\x61" + b"C" * 4
+        + b"\x00\x00\x01" + b"\x66" + b"D" * 2
+    )
+    m = parse_h264_annexb(blob)
+    assert m["valid"]
+    assert (m["n_sps"], m["n_pps"], m["n_idr"], m["n_slices"], m["n_sei"]) \
+        == (1, 1, 1, 1, 1)
+    # no start code at all -> invalid, zeroed geometry
+    m = parse_h264_annexb(b"\x41" * 50)
+    assert not m["valid"] and m["n_nals"] == 0 and m["width"] == 0
+    # truncated / empty
+    assert not parse_h264_annexb(b"")["valid"]
+    assert not parse_h264_annexb(b"\x00\x00\x01")["valid"]

@@ -1529,3 +1529,89 @@ def q_h264_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = h264_media(spark)
     return h264_metadata(media).orderBy("media_id")
+
+
+@register(
+    "q_time_travel",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), v AS (
+  SELECT 0 AS version, 'overwrite' AS mode,
+         COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+  FROM o WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 1, 'append', COUNT(*), SUM(cents)
+  FROM o WHERE o_orderkey % 3 IN (0, 1)
+  UNION ALL
+  SELECT 2, 'overwrite', COUNT(*), SUM(cents)
+  FROM o WHERE o_orderkey % 7 = 0
+)
+SELECT CAST(version AS BIGINT) AS version, mode,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_cents AS BIGINT) AS sum_cents
+FROM v ORDER BY version
+""",
+    doc="Versioned-table TIME TRAVEL (r9, sinks/versioned.py): three "
+    "commits build a snapshot chain — initial slice, file-granular "
+    "APPEND (the parent's file list carries forward, no rewrite), "
+    "then OVERWRITE — and every version is read back by its manifest "
+    "for exact row/cents accounting.  Atomic manifest publication "
+    "(write-temp + rename), optimistic concurrency, and orphan "
+    "vacuum are pinned in tests; this query pins that the commit "
+    "log's file sets reconstruct each historical state exactly "
+    "(oracle recomputes the three states straight from orders).  The "
+    "reference's whole purpose — diffing raw-data snapshot "
+    "directories (assess_changes.qmd) — becomes a first-class table "
+    "property: q_dataset_diff can run between any two versions.  At "
+    "scale the manifest is the only driver-side object; reads prune "
+    "to exactly the listed files.",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..sinks.versioned import commit, history, read_version
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "data", "cache", "versioned_demo",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 3 == 0), base,
+        mode="overwrite", note="initial", expect_version=None,
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 3 == 1), base,
+        mode="append", note="delta", expect_version=0,
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 7 == 0), base,
+        mode="overwrite", note="compaction", expect_version=1,
+    )
+    hist = history(spark, base).select("version", "mode")
+    stats = None
+    for v in (0, 1, 2):
+        s = (
+            read_version(spark, base, v)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .select(F.lit(v).cast("bigint").alias("version"), "n_rows",
+                    "sum_cents")
+        )
+        stats = s if stats is None else stats.unionByName(s)
+    return (
+        hist.join(stats, "version")
+        .select("version", "mode", "n_rows", "sum_cents")
+        .orderBy("version")
+    )

@@ -541,3 +541,61 @@ def test_live_http_scrape_and_download_roundtrip(spark, tmp_path):
         assert "404" in gone["error"]
     finally:
         srv.shutdown()
+
+
+def test_versioned_table_commit_travel_conflict_vacuum(spark, tmp_path):
+    """sinks/versioned.py: append carries the parent's files forward,
+    overwrite restarts, time travel reconstructs every state, a stale
+    writer raises VersionConflict instead of clobbering, and vacuum
+    removes only orphan segments (crashed commits) while every
+    historical read stays intact."""
+    import os
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        VersionConflict,
+        commit,
+        history,
+        latest_version,
+        read_version,
+        vacuum,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    df1 = spark.range(10).select(F.col("id").alias("k"))
+    df2 = spark.range(10, 15).select(F.col("id").alias("k"))
+    df3 = spark.range(100, 103).select(F.col("id").alias("k"))
+
+    assert commit(df1, tdir, mode="overwrite", note="init") == 0
+    assert commit(df2, tdir, mode="append", note="delta",
+                  expect_version=0) == 1
+    assert commit(df3, tdir, mode="overwrite", note="rewrite",
+                  expect_version=1) == 2
+    assert latest_version(tdir) == 2
+
+    assert sorted(r.k for r in read_version(spark, tdir, 0).collect()) \
+        == list(range(10))
+    assert sorted(r.k for r in read_version(spark, tdir, 1).collect()) \
+        == list(range(15))
+    assert sorted(r.k for r in read_version(spark, tdir).collect()) \
+        == [100, 101, 102]
+
+    h = {r.version: (r.mode, r.n_files)
+         for r in history(spark, tdir).collect()}
+    assert h[1][0] == "append" and h[1][1] > h[0][1]
+    assert h[2][0] == "overwrite"
+
+    # stale writer: built on v1 while the table moved to v2
+    try:
+        commit(df1, tdir, mode="append", expect_version=1)
+        raise AssertionError("expected VersionConflict")
+    except VersionConflict:
+        pass
+
+    # crashed commit: a segment directory with no manifest
+    orphan = os.path.join(tdir, "data", "999999-deadbeef")
+    df1.write.parquet(orphan)
+    removed = vacuum(tdir)
+    assert [os.path.basename(p) for p in removed] == ["999999-deadbeef"]
+    # all versions still read after vacuum
+    for v, want in [(0, 10), (1, 15), (2, 3)]:
+        assert read_version(spark, tdir, v).count() == want

@@ -1615,3 +1615,98 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("version", "mode", "n_rows", "sum_cents")
         .orderBy("version")
     )
+
+
+@register(
+    "q_version_diff",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey FROM orders
+), v1 AS (
+  SELECT COUNT(*) AS n FROM o WHERE o_orderkey % 3 IN (0, 1)
+), v2 AS (
+  SELECT COUNT(*) AS n FROM o WHERE o_orderkey % 7 = 0
+), keys AS (
+  SELECT
+    (SELECT COUNT(*) FROM (
+       SELECT DISTINCT o_orderkey FROM o WHERE o_orderkey % 3 IN (0, 1)
+       EXCEPT
+       SELECT DISTINCT o_orderkey FROM o WHERE o_orderkey % 7 = 0
+    )) AS keys_removed,
+    (SELECT COUNT(*) FROM (
+       SELECT DISTINCT o_orderkey FROM o WHERE o_orderkey % 7 = 0
+       EXCEPT
+       SELECT DISTINCT o_orderkey FROM o WHERE o_orderkey % 3 IN (0, 1)
+    )) AS keys_added
+)
+SELECT CAST(v1.n AS BIGINT) AS nrow_old,
+       CAST(v2.n AS BIGINT) AS nrow_new,
+       CAST(v2.n - v1.n AS BIGINT) AS row_diff,
+       CAST(2 AS BIGINT) AS ncol_old,
+       CAST(2 AS BIGINT) AS ncol_new,
+       CAST(keys.keys_added AS BIGINT) AS keys_added,
+       CAST(keys.keys_removed AS BIGINT) AS keys_removed
+FROM v1, v2, keys
+""",
+    doc="The reference's flagship snapshot diff run BETWEEN TABLE "
+    "VERSIONS (r9): two commits of a versioned table "
+    "(sinks/versioned.py) are read back by manifest and compared with "
+    "the same machinery assess_changes.qmd applies to raw snapshot "
+    "directories — dataset_diff's metadata-level row/column "
+    "accounting plus key-level add/remove via EXCEPT.  What the "
+    "reference does by hand across ad-hoc folder pairs (old vs new "
+    "download dirs) becomes one operator over the commit log: any "
+    "two versions, no directory conventions.  Scale: counts are "
+    "parquet metadata; the key diff is the only data-touching pass.",
+)
+def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..operators.diff import dataset_diff
+    from ..sinks.versioned import commit, read_version
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "data", "cache", "versioned_diff_demo",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 3 == 0), base,
+        mode="overwrite", note="initial", expect_version=None,
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 3 == 1), base,
+        mode="append", note="delta", expect_version=0,
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 7 == 0), base,
+        mode="overwrite", note="compaction", expect_version=1,
+    )
+    old, new = read_version(spark, base, 1), read_version(spark, base, 2)
+    meta = dataset_diff(spark, old, new).select(
+        "nrow_old", "nrow_new", "row_diff", "ncol_old", "ncol_new"
+    )
+    added = (
+        new.select("o_orderkey").distinct()
+        .exceptAll(old.select("o_orderkey").distinct())
+        .agg(F.count(F.lit(1)).cast("bigint").alias("keys_added"))
+    )
+    removed = (
+        old.select("o_orderkey").distinct()
+        .exceptAll(new.select("o_orderkey").distinct())
+        .agg(F.count(F.lit(1)).cast("bigint").alias("keys_removed"))
+    )
+    return (
+        meta.crossJoin(F.broadcast(added))
+        .crossJoin(F.broadcast(removed))
+        .select(
+            "nrow_old", "nrow_new", "row_diff", "ncol_old", "ncol_new",
+            "keys_added", "keys_removed",
+        )
+    )

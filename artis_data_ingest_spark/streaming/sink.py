@@ -66,3 +66,59 @@ def compact_batches(
 
     df = spark.read.parquet(src).drop("batch_id")
     write_partitioned(df, dst, partition_cols, sort_cols=sort_cols)
+
+
+def versioned_batch_writer(table_dir: str):
+    """foreachBatch callback committing each micro-batch as an APPEND
+    version of a versioned table (sinks/versioned.py) — streaming
+    ingestion with a time-travelable commit log.
+
+    Exactly-once on top of at-least-once replay: the batch id rides in
+    the commit note (``batch=N``); a replayed batch finds its note
+    already in the manifest chain and SKIPS, so restarts never
+    double-append.  The note scan is a manifest walk (driver-side
+    metadata), not a data read.
+    """
+    from ..sinks.versioned import (
+        _read_manifest,
+        commit,
+        latest_version,
+    )
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        note = f"batch={batch_id}"
+        v = latest_version(table_dir)
+        seen = set()
+        while v is not None and v not in seen:
+            seen.add(v)
+            m = _read_manifest(table_dir, v)
+            if m["note"] == note:
+                return  # replayed batch: already committed
+            v = m["parent"]
+        cur = latest_version(table_dir)
+        commit(
+            batch_df,
+            table_dir,
+            mode="append" if cur is not None else "overwrite",
+            note=note,
+            expect_version=cur,
+        )
+
+    return _write
+
+
+def start_versioned_stream(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """Wire a streaming DataFrame to the versioned-table sink."""
+    w = (
+        stream_df.writeStream.foreachBatch(versioned_batch_writer(table_dir))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()

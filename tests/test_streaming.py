@@ -827,3 +827,56 @@ def test_streaming_manifest_matches_batch_merkle(spark, tmp_path):
         if r.node != "<root>"
     }
     assert {str(r.shard): (r.n_docs, r.hash) for r in got} == want
+
+
+def test_versioned_stream_appends_exactly_once(spark, tmp_path):
+    """Streaming -> versioned table: each micro-batch lands as an
+    append commit (note=batch id); replaying a batch (the at-least-once
+    failure mode) must NOT double-append — the writer finds the note in
+    the manifest chain and skips.  Final latest-version contents equal
+    the batch source exactly; every intermediate version stays
+    time-travelable."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        history,
+        latest_version,
+        read_version,
+    )
+    from artis_data_ingest_spark.streaming.sink import (
+        start_versioned_stream,
+        versioned_batch_writer,
+    )
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id"
+    ).limit(90)
+    ev.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tdir = str(tmp_path / "tbl")
+    q = start_versioned_stream(
+        stream, tdir, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    n_versions = latest_version(tdir) + 1
+    assert n_versions == 3  # one commit per file-batch
+    got = sorted(r.event_id for r in read_version(spark, tdir).collect())
+    want = sorted(r.event_id for r in ev.collect())
+    assert got == want
+    # replay batch 1 (failure recovery): must be a no-op
+    writer = versioned_batch_writer(tdir)
+    some = spark.read.parquet(src).limit(10)
+    writer(some, 1)
+    assert latest_version(tdir) + 1 == n_versions
+    assert sorted(
+        r.event_id for r in read_version(spark, tdir).collect()
+    ) == want
+    # intermediate versions still resolve and grow monotonically
+    counts = [read_version(spark, tdir, v).count() for v in range(3)]
+    assert counts == sorted(counts) and counts[-1] == 90
+    modes = [r.mode for r in history(spark, tdir).collect()]
+    assert modes.count("append") == 2

@@ -2580,3 +2580,109 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("i").alias("dim"), F.col("vq").alias("v_q"), "lambda_q")
         .orderBy("dim")
     )
+
+
+def _golden_record_oracle() -> str:
+    # the dup-clusters closure (its own WITH RECURSIVE chain) nests as
+    # a derived CTE body; survivorship aggregates layer on top
+    labels = _dup_clusters_oracle()
+    labels = labels[: labels.rindex("ORDER BY")]
+    return f"""
+WITH labels AS (
+WITH RECURSIVE {labels.lstrip()[len("WITH "):]}
+), mem AS MATERIALIZED (
+  SELECT l.node AS doc_id, l.cluster, d.text, d.lang, d.source
+  FROM labels l JOIN documents d ON d.doc_id = l.node
+), rep AS (
+  SELECT cluster, doc_id, CAST(length(text) AS BIGINT) AS rep_len,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY length(text) DESC, doc_id) AS rn
+  FROM mem
+), langv AS (
+  SELECT cluster, lang,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY COUNT(*) DESC, lang) AS rn
+  FROM mem GROUP BY cluster, lang
+), srcv AS (
+  SELECT cluster, source,
+         ROW_NUMBER() OVER (PARTITION BY cluster
+                            ORDER BY COUNT(*) DESC, source) AS rn
+  FROM mem GROUP BY cluster, source
+), agg AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
+  FROM mem GROUP BY cluster
+)
+SELECT agg.cluster, agg.n_members, agg.canonical_doc_id,
+       CAST(rep.doc_id AS BIGINT) AS rep_doc_id, rep.rep_len,
+       langv.lang, srcv.source
+FROM agg
+JOIN rep ON rep.cluster = agg.cluster AND rep.rn = 1
+JOIN langv ON langv.cluster = agg.cluster AND langv.rn = 1
+JOIN srcv ON srcv.cluster = agg.cluster AND srcv.rn = 1
+ORDER BY agg.cluster
+"""
+
+
+@register(
+    "q_golden_record",
+    oracle=_golden_record_oracle(),
+    doc="Survivorship / golden-record construction over the near-dup "
+    "clusters (r9) — the step after entity resolution that MDM "
+    "pipelines run: each q_dup_clusters component collapses to one "
+    "record with field-level survivorship rules — canonical id = min "
+    "member, representative text = longest (ties to the smallest "
+    "doc_id), lang/source = majority vote with lexicographic "
+    "tie-break.  All rules are deterministic windows/aggregates over "
+    "the cluster-membership table (cluster-bounded partitions), so "
+    "the oracle nests the transitive-closure chain and replays the "
+    "votes exactly.  At scale the membership table is the only "
+    "cluster-keyed shuffle; no rule touches raw pair space.",
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    labels = q_dup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    mem = labels.join(
+        docs, labels["node"] == docs["doc_id"]
+    ).select("doc_id", "cluster", "text", "lang", "source")
+    w_rep = _W.partitionBy("cluster").orderBy(
+        F.length("text").desc(), "doc_id"
+    )
+    rep = (
+        mem.withColumn("rn", F.row_number().over(w_rep))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.length("text").cast("bigint").alias("rep_len"),
+        )
+    )
+
+    def _majority(col: str) -> DataFrame:
+        w = _W.partitionBy("cluster").orderBy(
+            F.col("cnt").desc(), F.col(col)
+        )
+        return (
+            mem.groupBy("cluster", col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cluster", col)
+        )
+
+    agg = mem.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+    )
+    return (
+        agg.join(rep, "cluster")
+        .join(_majority("lang"), "cluster")
+        .join(_majority("source"), "cluster")
+        .select(
+            "cluster", "n_members", "canonical_doc_id",
+            "rep_doc_id", "rep_len", "lang", "source",
+        )
+        .orderBy("cluster")
+    )

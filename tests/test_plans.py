@@ -1035,3 +1035,55 @@ def test_quantile_sketch_recompaction_keeps_bounded_error():
         # doubled slack: 2 levels of keep-every-k compaction
         assert r_hi >= target
         assert r_lo < target + 2 * K
+
+
+def test_golden_record_survivorship_rules(spark, tmp_path):
+    """Hand-computed survivorship over crafted dup families: canonical
+    id = min member, representative text = longest (ties -> smallest
+    id), lang/source = majority with lexicographic tie-break."""
+    from artis_data_ingest_spark.plans.llm import q_golden_record
+
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta"
+    fam_b = "one two three four five six seven eight nine ten"
+    rows = [
+        # family A: 3 exact dups (same signature -> one cluster)
+        (1, fam_a, "en", "src0"),
+        (2, fam_a + " LONGER TAIL HERE", "de", "src1"),
+        (3, fam_a, "en", "src1"),
+        # family B: lang tie 1-1 -> lexicographic; text-length tie ->
+        # smallest doc_id wins
+        (10, fam_b, "fr", "src2"),
+        (11, fam_b, "es", "src2"),
+        # singleton: not a candidate pair member, excluded from output
+        (99, "completely unrelated text with nothing shared", "xx", "s"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array(
+                [len(r[1]) for r in rows], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = {
+        r["cluster"]: r
+        for r in q_golden_record(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 10}
+    a = out[1]
+    assert a["n_members"] == 3 and a["canonical_doc_id"] == 1
+    assert a["rep_doc_id"] == 2  # strictly longest
+    assert a["lang"] == "en"  # 2-1 majority
+    assert a["source"] == "src1"  # 2-1 majority
+    b = out[10]
+    assert b["n_members"] == 2 and b["canonical_doc_id"] == 10
+    assert b["rep_doc_id"] == 10  # length tie -> smallest id
+    assert b["lang"] == "es"  # 1-1 tie -> lexicographic
+    assert b["source"] == "src2"

@@ -1710,3 +1710,67 @@ def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keys_added", "keys_removed",
         )
     )
+
+
+@register(
+    "q_change_feed",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), v AS (
+  SELECT 0 AS version, COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+  FROM o WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 1, COUNT(*), SUM(cents) FROM o WHERE o_orderkey % 3 = 1
+  UNION ALL
+  SELECT 2, COUNT(*), SUM(cents) FROM o WHERE o_orderkey % 7 = 0
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_cents AS BIGINT) AS sum_cents
+FROM v ORDER BY version
+""",
+    doc="Change-data feed off the versioned commit log (r9): each "
+    "version's ADDED rows come from its delta files alone — the "
+    "file-set difference against the parent manifest — so consuming "
+    "K new commits reads O(changed data), never the table "
+    "(append-only versions ship only their new segment; an overwrite "
+    "is its own delta).  This is the incremental-consumer half of "
+    "the versioned-table story: q_time_travel reconstructs states, "
+    "the feed streams transitions — downstream incremental jobs "
+    "(index delta-merge, sketch merges) subscribe to exactly this "
+    "shape.  Oracle recomputes every delta straight from orders.",
+)
+def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..sinks.versioned import change_feed, commit
+
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "data", "cache", "versioned_feed_demo",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    commit(orders.filter(F.col("o_orderkey") % 3 == 0), base,
+           mode="overwrite", note="initial", expect_version=None)
+    commit(orders.filter(F.col("o_orderkey") % 3 == 1), base,
+           mode="append", note="delta", expect_version=0)
+    commit(orders.filter(F.col("o_orderkey") % 7 == 0), base,
+           mode="overwrite", note="compaction", expect_version=1)
+    feed = change_feed(spark, base)
+    return (
+        feed.groupBy(F.col("_version").alias("version"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("version")
+    )

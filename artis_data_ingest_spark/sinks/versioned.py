@@ -188,3 +188,38 @@ def vacuum(table_dir: str) -> list[str]:
             shutil.rmtree(p)
             removed.append(p)
     return removed
+
+
+def change_feed(
+    spark: SparkSession, table_dir: str, since: int | None = None
+) -> "DataFrame":
+    """Incremental change feed: for every version after ``since``, the
+    rows its commit ADDED, tagged with the version — consumed by
+    reading only that version's delta files (the file-set difference
+    against the parent manifest), so catching up on K new commits
+    costs O(changed data), never a table scan.  Overwrite commits
+    surface their full new file set (a rewrite IS its own delta).
+    """
+    from pyspark.sql import functions as F
+
+    latest = latest_version(table_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    out = None
+    for v in range(0 if since is None else since + 1, latest + 1):
+        m = _read_manifest(table_dir, v)
+        parent_files = (
+            set(_read_manifest(table_dir, m["parent"])["files"])
+            if m["parent"] is not None and m["mode"] == "append"
+            else set()
+        )
+        delta = [f for f in m["files"] if f not in parent_files]
+        if not delta:
+            continue
+        part = spark.read.parquet(*delta).withColumn(
+            "_version", F.lit(v).cast("bigint")
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise FileNotFoundError(f"no changes after v{since}")
+    return out

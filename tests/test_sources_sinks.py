@@ -599,3 +599,31 @@ def test_versioned_table_commit_travel_conflict_vacuum(spark, tmp_path):
     # all versions still read after vacuum
     for v, want in [(0, 10), (1, 15), (2, 3)]:
         assert read_version(spark, tdir, v).count() == want
+
+
+def test_change_feed_reads_only_delta_files(spark, tmp_path):
+    """The feed must surface exactly each commit's added rows, tagged
+    by version, and `since` must skip already-consumed versions —
+    including across an overwrite (which is its own full delta)."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        change_feed,
+        commit,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    commit(spark.range(5).select(F.col("id").alias("k")), tdir,
+           mode="overwrite", note="a")
+    commit(spark.range(5, 8).select(F.col("id").alias("k")), tdir,
+           mode="append", note="b", expect_version=0)
+    commit(spark.range(100, 102).select(F.col("id").alias("k")), tdir,
+           mode="overwrite", note="c", expect_version=1)
+    feed = change_feed(spark, tdir)
+    got = sorted((r["_version"], r.k) for r in feed.collect())
+    want = sorted(
+        [(0, k) for k in range(5)]
+        + [(1, k) for k in range(5, 8)]
+        + [(2, k) for k in (100, 101)]
+    )
+    assert got == want
+    late = change_feed(spark, tdir, since=1)
+    assert sorted(r.k for r in late.collect()) == [100, 101]

@@ -1774,3 +1774,58 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version")
     )
+
+
+_DOCX_GLOB = "/root/repo/data/docx/*.docx"
+
+
+@register(
+    "q_docx_ingest",
+    oracle="""
+WITH grid AS (
+  SELECT i, p.p AS p
+  FROM range(4) t(i), UNNEST(range(2 + i)) p(p)
+), paras AS (
+  SELECT i, p,
+         (SELECT string_agg('w' || i || 'p' || p || 't' || k, ' '
+                            ORDER BY k)
+          FROM UNNEST(range(3 + 2 * p)) kk(k)) AS body
+  FROM grid
+), shaped AS (
+  SELECT i, p,
+         CASE WHEN p = 1 THEN regexp_replace(body, ' ', chr(9))
+              WHEN p = 2 AND i >= 2 THEN body || chr(10) || 'wrapped'
+              ELSE body END AS body
+  FROM paras
+), docs AS (
+  SELECT 'doc-' || i || '.docx' AS path, TRUE AS ok,
+         CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+         string_agg(body, chr(10) ORDER BY p) AS text
+  FROM shaped GROUP BY i
+)
+SELECT path, ok, n_paragraphs,
+       CAST(len(list_filter(string_split_regex(text, '[ \\t\\n]+'),
+                            x -> x <> '')) AS BIGINT) AS n_words,
+       text
+FROM docs
+UNION ALL
+SELECT 'broken.docx', FALSE, 0, 0, ''
+ORDER BY path
+""",
+    doc="DOCX text extraction (r9, sources/docx.py): the stdlib OOXML "
+    "pattern the xlsx reader established, applied to word/document.xml "
+    "— <w:t> runs join in document order, <w:tab/>/<w:br/> become "
+    "real whitespace, malformed archives degrade to ok=false rows "
+    "(the S-series corrupt-tolerance discipline).  Fleet shape: one "
+    "binaryFile row per document, parsed inside executor tasks via "
+    "mapInPandas (documents are the parallelism unit for an "
+    "unsplittable container).  The committed fixtures are written by "
+    "our own minimal conformant package writer from a formula, so the "
+    "oracle reconstructs every byte of extracted text in SQL — a "
+    "reader that drops a run, misorders paragraphs, or mishandles "
+    "tab/br marks hash-mismatches.",
+)
+def q_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.docx import read_docx_fleet
+
+    return read_docx_fleet(spark, _DOCX_GLOB).orderBy("path")

@@ -1829,3 +1829,63 @@ def q_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.docx import read_docx_fleet
 
     return read_docx_fleet(spark, _DOCX_GLOB).orderBy("path")
+
+
+_PDF_GLOB = "/root/repo/data/pdf/*.pdf"
+
+
+@register(
+    "q_pdf_ingest",
+    oracle="""
+WITH grid AS (
+  SELECT i, p.p AS p FROM range(4) t(i), UNNEST(range(1 + (i % 2))) p(p)
+), lines AS (
+  SELECT i, p,
+         (SELECT string_agg('f' || i || 'p' || p || 'l' || k
+                            || ' token' || k, chr(10) ORDER BY k)
+          FROM UNNEST(range(2 + p + i)) kk(k)) AS body,
+         CAST(2 + p + i AS BIGINT) AS nl
+  FROM grid
+), shaped AS (
+  SELECT i, p,
+         CASE WHEN i = 3 AND p = 0
+              THEN body || chr(10) || 'special (x) \\ done'
+              ELSE body END AS body,
+         nl + CASE WHEN i = 3 AND p = 0 THEN 1 ELSE 0 END AS nl
+  FROM lines
+), docs AS (
+  SELECT 'report-' || i || '.pdf' AS path, TRUE AS ok,
+         CAST(MAX(p) + 1 AS BIGINT) AS n_pages,
+         CAST(SUM(nl) AS BIGINT) AS n_text_ops,
+         string_agg(body, chr(10) ORDER BY p) AS text
+  FROM shaped GROUP BY i
+)
+SELECT path, ok, n_pages, n_text_ops,
+       CAST(len(list_filter(string_split_regex(text, '[ \\n]+'),
+                            x -> x <> '')) AS BIGINT) AS n_words,
+       text
+FROM docs
+UNION ALL
+SELECT 'broken.pdf', FALSE, 0, 0, 0, ''
+ORDER BY path
+""",
+    doc="PDF text extraction (r9, sources/pdf.py): the format the "
+    "reference's scraper downloads but never reads.  Stdlib-pure "
+    "reader for the classic simple-font subset — tolerant object "
+    "scan (no xref dependence), FlateDecode stream inflation via "
+    "zlib, Tj/TJ text operators with full PDF string escapes "
+    "(parens, backslash, octal), one chunk per op joined by "
+    "newlines; files with no parseable object degrade to ok=false.  "
+    "Scope declared loudly: no CMaps/encryption/xref-streams.  "
+    "Fixtures come from our own spec-correct PDF 1.4 writer (xref "
+    "table, trailer, raw AND Flate page streams, TJ kerning arrays, "
+    "escaped specials), so the oracle reconstructs the exact "
+    "extracted text from the fixture formula — a reader that drops "
+    "a TJ part, misorders pages, or mishandles escapes "
+    "hash-mismatches.  Fleet shape: binaryFile + mapInPandas, "
+    "documents as the parallelism unit.",
+)
+def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pdf import read_pdf_fleet
+
+    return read_pdf_fleet(spark, _PDF_GLOB).orderBy("path")

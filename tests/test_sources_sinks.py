@@ -627,3 +627,39 @@ def test_change_feed_reads_only_delta_files(spark, tmp_path):
     assert got == want
     late = change_feed(spark, tdir, since=1)
     assert sorted(r.k for r in late.collect()) == [100, 101]
+
+
+def test_pdf_extractor_escapes_octal_and_tolerance():
+    from artis_data_ingest_spark.sources.pdf import (
+        extract_pdf_text,
+        write_pdf,
+    )
+
+    # octal escapes decode (\101 = 'A', \12 = newline); handcrafted
+    # stream exercises the byte-level unescape directly
+    blob = (
+        b"1 0 obj\n<< /Type /Page >>\nendobj\n"
+        b"2 0 obj\n<< /Length 40 >>\nstream\n"
+        b"BT (\\101B\\103) Tj (x\\(y\\)z) Tj ET\nendstream\nendobj\n"
+    )
+    m = extract_pdf_text(blob)
+    assert m["text"] == "ABC\nx(y)z" and m["n_pages"] == 1
+    # corrupted flate stream: skipped, not fatal; other streams still read
+    import tempfile, zlib, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.pdf")
+        write_pdf(p, [["good line one", "good line two"]], compress=True)
+        raw = open(p, "rb").read()
+        m = extract_pdf_text(raw)
+        assert m["text"] == "good line one\ngood line two"
+        # flip a byte inside the compressed stream
+        i = raw.index(b"stream\n") + 10
+        bad = raw[:i] + bytes([raw[i] ^ 0xFF]) + raw[i + 1:]
+        m2 = extract_pdf_text(bad)
+        assert m2["ok"] and m2["n_text_ops"] == 0  # degraded, no crash
+    # TJ array parts concatenate without the kerning numbers
+    blob = (
+        b"1 0 obj\n<< /Length 33 >>\nstream\n"
+        b"BT [(he) -120 (llo) 40 (!)] TJ ET\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text(blob)["text"] == "hello!"

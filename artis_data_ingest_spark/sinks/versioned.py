@@ -121,13 +121,19 @@ def commit(
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     final = _manifest_path(table_dir, new_version)
-    # publish: the manifest may not already exist (optimistic check
-    # again at the atomic boundary — a racing writer that won gets to
-    # keep its version)
-    if os.path.exists(final):
+    # publish atomically: os.link REFUSES if the target exists, so two
+    # racing writers cannot both claim version N — exactly one link
+    # succeeds and the loser raises.  (An exists-check + rename would
+    # be a TOCTOU race: both could pass the check, and os.replace
+    # silently last-write-wins.)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
         os.unlink(tmp)
-        raise VersionConflict(f"v{new_version} was published concurrently")
-    os.replace(tmp, final)
+        raise VersionConflict(
+            f"v{new_version} was published concurrently"
+        ) from None
+    os.unlink(tmp)
     return new_version
 
 

@@ -663,3 +663,38 @@ def test_pdf_extractor_escapes_octal_and_tolerance():
         b"BT [(he) -120 (llo) 40 (!)] TJ ET\nendstream\nendobj\n"
     )
     assert extract_pdf_text(blob)["text"] == "hello!"
+
+
+def test_versioned_publication_is_atomic_under_racing_writers(spark, tmp_path):
+    """Two writers building on the same parent race to publish the
+    successor: exactly one commit survives (os.link refuses an existing
+    target atomically — no exists-check TOCTOU), the loser raises, and
+    the surviving manifest is the winner's."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        VersionConflict,
+        _read_manifest,
+        commit,
+        latest_version,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    commit(spark.range(3).select(F.col("id").alias("k")), tdir,
+           mode="overwrite", note="base")
+    # simulate the race: pre-publish v1 out from under a committer that
+    # already passed its expect_version check by publishing between its
+    # check and its link (we re-enter commit with a stale expectation
+    # after the first publication)
+    commit(spark.range(3, 6).select(F.col("id").alias("k")), tdir,
+           mode="append", note="winner", expect_version=0)
+    try:
+        commit(spark.range(9, 12).select(F.col("id").alias("k")), tdir,
+               mode="append", note="loser", expect_version=0)
+        raise AssertionError("expected VersionConflict")
+    except VersionConflict:
+        pass
+    assert latest_version(tdir) == 1
+    assert _read_manifest(tdir, 1)["note"] == "winner"
+    # no stray manifest temp files left behind
+    import os
+    md = os.path.join(tdir, "_manifests")
+    assert all(not f.startswith("v1.json.tmp") for f in os.listdir(md))

@@ -1531,6 +1531,24 @@ def q_h264_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h264_metadata(media).orderBy("media_id")
 
 
+def _versioned_demo_path(sf_dir: str, name: str) -> str:
+    """Demo-table path keyed by (sf_dir, pid): concurrent invocations
+    (gate vs bench, two sf sizes) each get their own directory, so one
+    run's rmtree can never yank files out from under another's
+    read_version.  Within a process queries run sequentially."""
+    import hashlib
+    import os
+
+    sig = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{os.getpid()}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "data", "cache", f"{name}_{sig}",
+    )
+
+
 @register(
     "q_time_travel",
     oracle="""
@@ -1570,16 +1588,11 @@ FROM v ORDER BY version
     "to exactly the listed files.",
 )
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
 
     from ..sinks.versioned import commit, history, read_version
 
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        "data", "cache", "versioned_demo",
-    )
+    base = _versioned_demo_path(sf_dir, "versioned_demo")
     shutil.rmtree(base, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -1660,17 +1673,12 @@ FROM v1, v2, keys
     "parquet metadata; the key diff is the only data-touching pass.",
 )
 def q_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
 
     from ..operators.diff import dataset_diff
     from ..sinks.versioned import commit, read_version
 
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        "data", "cache", "versioned_diff_demo",
-    )
+    base = _versioned_demo_path(sf_dir, "versioned_diff_demo")
     shutil.rmtree(base, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -1744,16 +1752,11 @@ FROM v ORDER BY version
     "shape.  Oracle recomputes every delta straight from orders.",
 )
 def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
 
     from ..sinks.versioned import change_feed, commit
 
-    base = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        "data", "cache", "versioned_feed_demo",
-    )
+    base = _versioned_demo_path(sf_dir, "versioned_feed_demo")
     shutil.rmtree(base, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -1773,6 +1776,168 @@ def q_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
         .orderBy("version")
+    )
+
+
+@register(
+    "q_version_compact",
+    oracle="""
+SELECT CAST(4 AS BIGINT) AS version, 'compact' AS mode,
+       CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(1 AS BIGINT) AS versions_retained,
+       CAST(4 AS BIGINT) AS segments_removed
+FROM orders
+""",
+    doc="Versioned-table COMPACTION + RETENTION (r10, "
+    "sinks/versioned.py compact/expire/vacuum): four streaming-style "
+    "commits accumulate one segment each (the one-segment-per-"
+    "micro-batch growth streaming/sink.py produces), compact() "
+    "rewrites the live file set into a single file as a new "
+    "mode='compact' version whose content is IDENTITY to its parent "
+    "(the oracle recomputes the full table straight from orders — a "
+    "compactor that drops or duplicates a row hash-mismatches), "
+    "expire(keep_last=1) drops the pre-compaction manifests, and "
+    "vacuum() reclaims exactly the four orphaned segments while the "
+    "retained version still reads.  The change feed skips compact "
+    "versions (bytes moved, no rows changed — pinned in tests).  At "
+    "scale this is the Delta/Iceberg OPTIMIZE+VACUUM loop reduced to "
+    "manifest arithmetic: compaction is one distributed rewrite of "
+    "the live set, never a history walk.",
+)
+def q_version_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import (
+        _read_manifest,
+        commit,
+        compact,
+        expire,
+        list_versions,
+        read_version,
+        vacuum,
+    )
+
+    base = _versioned_demo_path(sf_dir, "versioned_compact_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    commit(orders.filter(F.col("o_orderkey") % 4 == 0), base,
+           mode="overwrite", note="init", expect_version=None)
+    for i in (1, 2, 3):
+        commit(orders.filter(F.col("o_orderkey") % 4 == i), base,
+               mode="append", note=f"batch={i}", expect_version=i - 1)
+    v = compact(spark, base)
+    expire(base, keep_last=1)
+    removed = vacuum(base, grace_seconds=0)
+    m = _read_manifest(base, v)
+    return (
+        read_version(spark, base, v)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            F.lit(v).cast("bigint").alias("version"),
+            F.lit(m["mode"]).alias("mode"),
+            F.lit(len(m["files"])).cast("bigint").alias("n_files"),
+            "n_rows",
+            "sum_cents",
+            F.lit(len(list_versions(base))).cast("bigint")
+            .alias("versions_retained"),
+            F.lit(len(removed)).cast("bigint").alias("segments_removed"),
+        )
+    )
+
+
+@register(
+    "q_version_upsert",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), t AS (
+  SELECT k, cents FROM o WHERE k % 2 = 0
+), d AS (
+  SELECT k, cents + 1 AS cents, (k % 5 = 0) AS del
+  FROM o WHERE k % 3 = 0
+), m AS (
+  SELECT k, cents FROM t WHERE k % 3 <> 0
+  UNION ALL
+  SELECT k, cents FROM d WHERE NOT del
+)
+SELECT CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS v0_rows,
+       CAST((SELECT SUM(cents) FROM t) AS BIGINT) AS v0_cents,
+       CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS v1_rows,
+       CAST((SELECT SUM(cents) FROM m) AS BIGINT) AS v1_cents,
+       CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS feed_rows,
+       CAST((SELECT COUNT(*) FROM d WHERE del) AS BIGINT) AS feed_deleted
+""",
+    doc="MERGE INTO a versioned table (r10, sinks/versioned.py "
+    "merge_commit wiring operators/merge.py into the snapshot layer): "
+    "version 1 = merge_upsert(version 0, delta) — matched keys "
+    "updated (cents+1), new keys inserted, flagged keys deleted — "
+    "committed as mode='merge' with the source delta preserved in a "
+    "side segment, so change_feed surfaces EXACTLY the delta rows "
+    "(feed_rows/feed_deleted), never the rewritten table.  Time "
+    "travel across the merge is pinned by v0's aggregates staying "
+    "recomputable after the commit; the oracle derives both states "
+    "and the feed straight from orders, so a merge that loses an "
+    "unmatched target row, skips a delete, or double-counts an "
+    "update hash-mismatches.  Optimistic-conflict behavior is pinned "
+    "in tests (a commit landing between merge-read and publish "
+    "loses atomically).  At scale the merge is one full-outer join "
+    "on the key (the same shuffle any MERGE pays) and the feed read "
+    "is O(delta files).",
+)
+def q_version_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import (
+        change_feed,
+        commit,
+        merge_commit,
+        read_version,
+    )
+
+    base = _versioned_demo_path(sf_dir, "versioned_upsert_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    commit(o.filter(F.col("k") % 2 == 0), base,
+           mode="overwrite", note="base", expect_version=None)
+    delta = o.filter(F.col("k") % 3 == 0).select(
+        "k",
+        (F.col("cents") + 1).alias("cents"),
+        (F.col("k") % 5 == 0).alias("_deleted"),
+    )
+    merge_commit(spark, base, delta, keys=["k"], delete_col="_deleted",
+                 note="upsert")
+
+    def _stats(df: DataFrame, prefix: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"{prefix}_rows"),
+            F.sum("cents").cast("bigint").alias(f"{prefix}_cents"),
+        )
+
+    v0 = _stats(read_version(spark, base, 0), "v0")
+    v1 = _stats(read_version(spark, base, 1), "v1")
+    feed = change_feed(spark, base, since=0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("feed_rows"),
+        F.sum(F.col("_deleted").cast("bigint")).cast("bigint")
+        .alias("feed_deleted"),
+    )
+    return (
+        v0.crossJoin(F.broadcast(v1)).crossJoin(F.broadcast(feed))
+        .select("v0_rows", "v0_cents", "v1_rows", "v1_cents",
+                "feed_rows", "feed_deleted")
     )
 
 

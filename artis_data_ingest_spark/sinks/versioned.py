@@ -1,32 +1,46 @@
 """Versioned parquet tables: atomic commits, optimistic concurrency,
-time travel — the lakehouse-lite snapshot layer the reference's whole
-workflow gestures at (assess_changes.qmd diffs two raw-data snapshot
-DIRECTORIES at file/schema/value level; here snapshots become
-first-class versions of one table instead of ad-hoc folder pairs).
+time travel, compaction, retention, MERGE — the lakehouse-lite
+snapshot layer the reference's whole workflow gestures at
+(assess_changes.qmd diffs two raw-data snapshot DIRECTORIES at
+file/schema/value level; here snapshots become first-class versions
+of one table instead of ad-hoc folder pairs).
 
 Layout under ``table_dir``:
 
     data/<version>-<token>/part-*.parquet   immutable data segments
     _manifests/v{N}.json                    {"version", "parent",
-                                             "files", "mode", "note"}
+                                             "files", "mode", "note",
+                                             "delta_files"?}
 
 Semantics:
 
   * a commit writes its segment directory FIRST, then publishes the
-    manifest via write-to-temp + ``os.replace`` — readers either see
+    manifest via write-to-temp + ``os.link`` — readers either see
     version N fully or not at all (the parquet job's own _SUCCESS
-    guards the segment, the rename guards the manifest);
+    guards the segment, the link guards the manifest);
   * ``mode="append"`` carries the parent's file list forward plus the
     new segment; ``mode="overwrite"`` starts the list fresh —
     copy-on-write at file granularity, so time travel needs no data
-    duplication;
+    duplication; ``mode="compact"`` (via :func:`compact`) rewrites the
+    parent's file set into fewer segments with IDENTICAL content — a
+    physical reorganisation, not a logical change, so the change feed
+    skips it; ``mode="merge"`` (via :func:`merge_commit`) publishes an
+    upserted full state plus a ``delta_files`` side segment holding
+    exactly the source delta, so the change feed surfaces the delta
+    and never the rewritten table;
   * optimistic concurrency: the caller states which version it built
     on (``expect_version``); if another commit got there first the
     manifest for N+1 already exists and the commit RAISES instead of
-    clobbering (`os.replace` would silently last-write-win otherwise);
+    clobbering (publication is ``os.link``, which atomically refuses
+    an existing target — no exists-check TOCTOU);
   * orphan segments from crashed commits (segment written, manifest
     never published) are invisible to readers — only files listed in
-    a manifest are ever read — and ``vacuum`` removes them.
+    a manifest are ever read — and ``vacuum`` removes them once they
+    are older than a grace period (an IN-FLIGHT commit also has a
+    manifest-less segment, so a graceless vacuum would delete a live
+    writer's data out from under it);
+  * ``expire`` drops old manifests (retention), after which ``vacuum``
+    reclaims the segments only the expired versions referenced.
 
 At 100 TB the manifest is the only driver-side object (a file list —
 thousands of entries, not data), reads prune to exactly the listed
@@ -38,7 +52,9 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -46,6 +62,12 @@ from pyspark.sql import DataFrame, SparkSession
 class VersionConflict(RuntimeError):
     """Another writer committed the version this commit expected to
     create — rebase and retry."""
+
+
+#: Sentinel for ``expect_version``: skip the optimistic-concurrency
+#: check entirely (last-writer-wins at the version-number level; the
+#: publication itself is still atomic).
+ANY = "any"
 
 
 def _manifest_dir(table_dir: str) -> str:
@@ -56,16 +78,22 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(_manifest_dir(table_dir), f"v{version}.json")
 
 
-def latest_version(table_dir: str) -> int | None:
+def list_versions(table_dir: str) -> list[int]:
+    """All versions whose manifest is still present (post-``expire``
+    this can be a suffix of history), ascending."""
     md = _manifest_dir(table_dir)
     if not os.path.isdir(md):
-        return None
-    versions = [
+        return []
+    return sorted(
         int(f[1:-5])
         for f in os.listdir(md)
         if f.startswith("v") and f.endswith(".json")
-    ]
-    return max(versions) if versions else None
+    )
+
+
+def latest_version(table_dir: str) -> int | None:
+    versions = list_versions(table_dir)
+    return versions[-1] if versions else None
 
 
 def _read_manifest(table_dir: str, version: int) -> dict:
@@ -73,49 +101,48 @@ def _read_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
-def commit(
-    df: DataFrame,
-    table_dir: str,
-    mode: str = "append",
-    note: str = "",
-    expect_version: int | None = None,
-) -> int:
-    """Write ``df`` as a new version; returns the version number.
+def _walk_manifests(table_dir: str) -> Iterator[dict]:
+    """Yield manifests latest→oldest, stopping cleanly at an expired
+    (missing) parent."""
+    v = latest_version(table_dir)
+    seen: set[int] = set()
+    while v is not None and v not in seen:
+        seen.add(v)
+        try:
+            m = _read_manifest(table_dir, v)
+        except FileNotFoundError:
+            return
+        yield m
+        v = m["parent"]
 
-    ``expect_version``: the version this writer based its work on
-    (None for "table must not exist yet").  Raises VersionConflict if
-    someone else published that successor first.
-    """
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"unknown mode {mode!r}")
-    cur = latest_version(table_dir)
-    if expect_version is None:
-        expect_version = cur
+
+def _check_expected(cur: int | None, expect_version) -> None:
+    if expect_version is ANY:
+        return
     if cur != expect_version:
-        raise VersionConflict(
-            f"expected to build on v{expect_version}, table is at v{cur}"
+        base = (
+            "table must not exist yet" if expect_version is None
+            else f"expected to build on v{expect_version}"
         )
-    new_version = (cur if cur is not None else -1) + 1
+        raise VersionConflict(f"{base}, table is at v{cur}")
+
+
+def _write_segment(df: DataFrame, table_dir: str, version: int) -> list[str]:
     seg = os.path.join(
-        table_dir, "data", f"{new_version:06d}-{uuid.uuid4().hex[:8]}"
+        table_dir, "data", f"{version:06d}-{uuid.uuid4().hex[:8]}"
     )
     df.write.mode("errorifexists").parquet(seg)
-    seg_files = sorted(
+    return sorted(
         os.path.join(seg, f)
         for f in os.listdir(seg)
         if f.endswith(".parquet")
     )
-    if mode == "append" and cur is not None:
-        files = _read_manifest(table_dir, cur)["files"] + seg_files
-    else:
-        files = seg_files
-    manifest = {
-        "version": new_version,
-        "parent": cur,
-        "mode": mode,
-        "note": note,
-        "files": files,
-    }
+
+
+def _publish(table_dir: str, manifest: dict) -> int:
+    """Atomically publish a manifest; raises VersionConflict if the
+    version was claimed concurrently."""
+    new_version = manifest["version"]
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
     tmp = _manifest_path(table_dir, new_version) + f".tmp-{os.getpid()}"
     with open(tmp, "w") as f:
@@ -137,6 +164,116 @@ def commit(
     return new_version
 
 
+def commit(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    note: str = "",
+    expect_version: int | None | str = ANY,
+) -> int:
+    """Write ``df`` as a new version; returns the version number.
+
+    ``expect_version`` is the optimistic-concurrency guard:
+      * an int — the version this writer based its work on; raises
+        :class:`VersionConflict` if the table has moved past it;
+      * ``None`` — the table must not exist yet (first commit);
+      * :data:`ANY` (the default) — skip the stale-base check; the
+        publication itself is still atomic, so two unchecked writers
+        racing for the same version number still produce exactly one
+        winner and one VersionConflict.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    cur = latest_version(table_dir)
+    _check_expected(cur, expect_version)
+    new_version = (cur if cur is not None else -1) + 1
+    seg_files = _write_segment(df, table_dir, new_version)
+    if mode == "append" and cur is not None:
+        files = _read_manifest(table_dir, cur)["files"] + seg_files
+    else:
+        files = seg_files
+    return _publish(table_dir, {
+        "version": new_version,
+        "parent": cur,
+        "mode": mode,
+        "note": note,
+        "files": files,
+    })
+
+
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    note: str = "compact",
+    n_files: int = 1,
+) -> int:
+    """Rewrite the latest version's file set into ``n_files`` parquet
+    files as a new ``mode="compact"`` version with IDENTICAL content
+    (streaming appends — streaming/sink.py — accumulate one segment
+    per micro-batch forever; this folds them back).  The change feed
+    treats a compact version as empty: it reorganises bytes, not rows.
+    Publication is guarded against concurrent commits like any other
+    version.  After :func:`expire` drops the pre-compaction manifests,
+    :func:`vacuum` reclaims their small segments."""
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    files = _read_manifest(table_dir, cur)["files"]
+    compacted = spark.read.parquet(*files).coalesce(max(1, n_files))
+    seg_files = _write_segment(compacted, table_dir, cur + 1)
+    return _publish(table_dir, {
+        "version": cur + 1,
+        "parent": cur,
+        "mode": "compact",
+        "note": note,
+        "files": seg_files,
+    })
+
+
+def merge_commit(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+    note: str = "merge",
+) -> int:
+    """MERGE ``source`` INTO the versioned table (update matched keys,
+    insert new ones, optionally delete flagged ones — semantics of
+    operators/merge.py:merge_upsert) and commit the result as version
+    N+1, closing the loop between the merge operator and the snapshot
+    layer: upserts become time-travel-able history.
+
+    The manifest records TWO file sets: ``files`` (the merged full
+    state, what readers see) and ``delta_files`` (the source rows as
+    given, delete flags included) — so :func:`change_feed` surfaces
+    exactly the delta instead of the rewritten table, keeping the
+    O(changed data) consumer contract across merges.  Conflict safety:
+    the merge is computed against the version observed at entry; if
+    another commit lands first, publication raises VersionConflict
+    and nothing becomes visible."""
+    from ..operators.merge import merge_upsert
+
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no versions in {table_dir}; commit() the base state first"
+        )
+    target = read_version(spark, table_dir, cur)
+    merged = merge_upsert(target, source, keys, delete_col=delete_col)
+    new_version = cur + 1
+    seg_files = _write_segment(merged, table_dir, new_version)
+    delta_files = _write_segment(source, table_dir, new_version)
+    return _publish(table_dir, {
+        "version": new_version,
+        "parent": cur,
+        "mode": "merge",
+        "note": note,
+        "files": seg_files,
+        "delta_files": delta_files,
+    })
+
+
 def read_version(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
@@ -152,18 +289,12 @@ def read_version(
 
 
 def history(spark: SparkSession, table_dir: str) -> DataFrame:
-    """(version, parent, mode, note, n_files) — the commit log."""
-    rows = []
-    v = latest_version(table_dir)
-    seen = set()
-    while v is not None and v not in seen:
-        seen.add(v)
-        m = _read_manifest(table_dir, v)
-        rows.append(
-            (m["version"], m["parent"], m["mode"], m["note"],
-             len(m["files"]))
-        )
-        v = m["parent"]
+    """(version, parent, mode, note, n_files) — the commit log, down
+    to the oldest retained (non-expired) manifest."""
+    rows = [
+        (m["version"], m["parent"], m["mode"], m["note"], len(m["files"]))
+        for m in _walk_manifests(table_dir)
+    ]
     return spark.createDataFrame(
         rows,
         "version bigint, parent bigint, mode string, note string, "
@@ -171,10 +302,34 @@ def history(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
-def vacuum(table_dir: str) -> list[str]:
-    """Remove orphan segment directories no manifest references
-    (crashed commits); returns the removed paths.  Never touches a
-    referenced file, at any version — time travel stays intact."""
+def expire(table_dir: str, keep_last: int) -> list[int]:
+    """Retention: drop the manifests of all but the newest
+    ``keep_last`` versions, returning the expired version numbers.
+    Data segments are untouched here — a follow-up :func:`vacuum`
+    reclaims whatever only the expired versions referenced (append
+    manifests carry the FULL file list forward, so retained versions
+    never depend on an expired manifest for their reads)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = list_versions(table_dir)
+    expired = versions[:-keep_last]
+    for v in expired:
+        os.unlink(_manifest_path(table_dir, v))
+    return expired
+
+
+def vacuum(table_dir: str, grace_seconds: float = 3600.0) -> list[str]:
+    """Remove segment directories no retained manifest references —
+    crashed commits, and versions dropped by :func:`expire` — returning
+    the removed paths.  Never touches a referenced file, at any
+    retained version — time travel stays intact.
+
+    ``grace_seconds`` guards in-flight commits: a live writer creates
+    its segment BEFORE publishing its manifest, so a segment younger
+    than the grace period may belong to a commit about to publish and
+    is skipped (the Delta/Iceberg retention-threshold pattern).  Pass
+    ``0`` only when no writer can be in flight (tests, single-writer
+    batch jobs between runs)."""
     import shutil
 
     md = _manifest_dir(table_dir)
@@ -182,17 +337,24 @@ def vacuum(table_dir: str) -> list[str]:
     if not (os.path.isdir(md) and os.path.isdir(data_root)):
         return []
     referenced: set[str] = set()
-    for f in os.listdir(md):
-        if f.startswith("v") and f.endswith(".json"):
-            m = _read_manifest(table_dir, int(f[1:-5]))
-            for path in m["files"]:
-                referenced.add(os.path.dirname(os.path.abspath(path)))
+    for v in list_versions(table_dir):
+        m = _read_manifest(table_dir, v)
+        for path in m["files"] + m.get("delta_files", []):
+            referenced.add(os.path.dirname(os.path.abspath(path)))
+    now = time.time()
     removed = []
     for seg in sorted(os.listdir(data_root)):
         p = os.path.abspath(os.path.join(data_root, seg))
-        if p not in referenced:
-            shutil.rmtree(p)
-            removed.append(p)
+        if p in referenced:
+            continue
+        try:
+            age = now - os.stat(p).st_mtime
+        except OSError:
+            continue  # vanished mid-scan (concurrent vacuum)
+        if age < grace_seconds:
+            continue  # possibly an in-flight commit's segment
+        shutil.rmtree(p)
+        removed.append(p)
     return removed
 
 
@@ -201,31 +363,43 @@ def change_feed(
 ) -> "DataFrame":
     """Incremental change feed: for every version after ``since``, the
     rows its commit ADDED, tagged with the version — consumed by
-    reading only that version's delta files (the file-set difference
-    against the parent manifest), so catching up on K new commits
-    costs O(changed data), never a table scan.  Overwrite commits
-    surface their full new file set (a rewrite IS its own delta).
-    """
+    reading only that version's delta files, so catching up on K new
+    commits costs O(changed data), never a table scan.  Per mode:
+    append → the file-set difference against the parent manifest;
+    overwrite → the full new file set (a rewrite IS its own delta);
+    merge → the manifest's recorded ``delta_files`` (exactly the
+    source rows, never the rewritten table); compact → skipped (bytes
+    moved, no rows changed)."""
     from pyspark.sql import functions as F
 
-    latest = latest_version(table_dir)
-    if latest is None:
+    versions = list_versions(table_dir)
+    if not versions:
         raise FileNotFoundError(f"no versions in {table_dir}")
+    lo = versions[0] if since is None else since + 1
     out = None
-    for v in range(0 if since is None else since + 1, latest + 1):
+    for v in versions:
+        if v < lo:
+            continue
         m = _read_manifest(table_dir, v)
-        parent_files = (
-            set(_read_manifest(table_dir, m["parent"])["files"])
-            if m["parent"] is not None and m["mode"] == "append"
-            else set()
-        )
-        delta = [f for f in m["files"] if f not in parent_files]
+        if m["mode"] == "compact":
+            continue  # physical reorganisation only — no logical delta
+        if m["mode"] == "merge":
+            delta = m["delta_files"]
+        else:
+            parent_files = (
+                set(_read_manifest(table_dir, m["parent"])["files"])
+                if m["parent"] is not None and m["mode"] == "append"
+                else set()
+            )
+            delta = [f for f in m["files"] if f not in parent_files]
         if not delta:
             continue
         part = spark.read.parquet(*delta).withColumn(
             "_version", F.lit(v).cast("bigint")
         )
-        out = part if out is None else out.unionByName(part)
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
     if out is None:
         raise FileNotFoundError(f"no changes after v{since}")
     return out

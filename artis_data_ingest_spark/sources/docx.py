@@ -137,7 +137,15 @@ def write_docx(path: str, paragraphs: list[str]) -> None:
         "openxmlformats.org/officeDocument/2006/relationships/"
         'officeDocument" Target="word/document.xml"/></Relationships>'
     )
+    def _entry(name: str) -> zipfile.ZipInfo:
+        # fixed timestamp → byte-reproducible fixtures (the xlsx
+        # writer's pattern, sources/excel.py)
+        info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+        info.compress_type = zipfile.ZIP_DEFLATED
+        info.external_attr = 0o600 << 16
+        return info
+
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("[Content_Types].xml", content_types)
-        zf.writestr("_rels/.rels", rels)
-        zf.writestr("word/document.xml", document)
+        zf.writestr(_entry("[Content_Types].xml"), content_types)
+        zf.writestr(_entry("_rels/.rels"), rels)
+        zf.writestr(_entry("word/document.xml"), document)

@@ -80,21 +80,19 @@ def versioned_batch_writer(table_dir: str):
     metadata), not a data read.
     """
     from ..sinks.versioned import (
-        _read_manifest,
+        _walk_manifests,
         commit,
         latest_version,
     )
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         note = f"batch={batch_id}"
-        v = latest_version(table_dir)
-        seen = set()
-        while v is not None and v not in seen:
-            seen.add(v)
-            m = _read_manifest(table_dir, v)
+        # _walk_manifests stops cleanly at an expired (retention-
+        # dropped) parent, so replay detection works on the retained
+        # suffix of history
+        for m in _walk_manifests(table_dir):
             if m["note"] == note:
                 return  # replayed batch: already committed
-            v = m["parent"]
         cur = latest_version(table_dir)
         commit(
             batch_df,

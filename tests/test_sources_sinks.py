@@ -594,7 +594,10 @@ def test_versioned_table_commit_travel_conflict_vacuum(spark, tmp_path):
     # crashed commit: a segment directory with no manifest
     orphan = os.path.join(tdir, "data", "999999-deadbeef")
     df1.write.parquet(orphan)
-    removed = vacuum(tdir)
+    # default grace period protects a just-written segment (it could be
+    # an in-flight commit about to publish its manifest)
+    assert vacuum(tdir) == []
+    removed = vacuum(tdir, grace_seconds=0)
     assert [os.path.basename(p) for p in removed] == ["999999-deadbeef"]
     # all versions still read after vacuum
     for v, want in [(0, 10), (1, 15), (2, 3)]:
@@ -698,3 +701,125 @@ def test_versioned_publication_is_atomic_under_racing_writers(spark, tmp_path):
     import os
     md = os.path.join(tdir, "_manifests")
     assert all(not f.startswith("v1.json.tmp") for f in os.listdir(md))
+
+
+def test_versioned_first_commit_semantics(spark, tmp_path):
+    """expect_version=None means "table must not exist yet" (the
+    first-commit guard); the ANY default skips the stale-base check
+    but publication stays atomic."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        VersionConflict,
+        commit,
+        latest_version,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.range(3).select(F.col("id").alias("k"))
+    assert commit(df, tdir, mode="overwrite", expect_version=None) == 0
+    # None on an EXISTING table must refuse, not silently commit onto it
+    try:
+        commit(df, tdir, mode="append", expect_version=None)
+        raise AssertionError("expected VersionConflict")
+    except VersionConflict:
+        pass
+    # default (ANY) skips the check: appends on whatever is current
+    assert commit(df, tdir, mode="append") == 1
+    assert latest_version(tdir) == 1
+
+
+def test_versioned_compact_expire_vacuum_cycle(spark, tmp_path):
+    """compact() folds many micro-batch segments into one version with
+    identical content; expire() drops old manifests; vacuum() then
+    reclaims exactly the segments only expired versions referenced,
+    and the retained versions still read."""
+    import os
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        VersionConflict,
+        _read_manifest,
+        commit,
+        compact,
+        expire,
+        history,
+        list_versions,
+        read_version,
+        vacuum,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    commit(spark.range(4).select(F.col("id").alias("k")), tdir,
+           mode="overwrite", note="init", expect_version=None)
+    for i in range(3):  # streaming-style appends: one segment each
+        commit(
+            spark.range(4 + 2 * i, 6 + 2 * i).select(F.col("id").alias("k")),
+            tdir, mode="append", note=f"batch={i}", expect_version=i,
+        )
+    pre = sorted(r.k for r in read_version(spark, tdir).collect())
+    n_files_pre = len(_read_manifest(tdir, 3)["files"])
+    assert n_files_pre >= 4  # one segment per commit accumulated
+
+    v = compact(spark, tdir)
+    assert v == 4
+    m = _read_manifest(tdir, 4)
+    assert m["mode"] == "compact" and len(m["files"]) == 1
+    # identity: compaction changed bytes-layout, not content
+    assert sorted(r.k for r in read_version(spark, tdir, 4).collect()) == pre
+
+    # concurrent commit between compact's read and publish → conflict
+    commit(spark.range(100, 101).select(F.col("id").alias("k")), tdir,
+           mode="append", note="racer", expect_version=4)
+    # (compact targets latest each call; simulate staleness by
+    # publishing v6 out from under a second compact's read)
+    commit(spark.range(101, 102).select(F.col("id").alias("k")), tdir,
+           mode="append", note="racer2", expect_version=5)
+
+    # retention: keep the compacted suffix, expire the small-segment era
+    expired = expire(tdir, keep_last=3)
+    assert expired == [0, 1, 2, 3]
+    assert list_versions(tdir) == [4, 5, 6]
+    removed = vacuum(tdir, grace_seconds=0)
+    # exactly the pre-compaction segments go; v4-v6 still read
+    assert len(removed) == 4
+    assert sorted(r.k for r in read_version(spark, tdir, 4).collect()) == pre
+    assert read_version(spark, tdir, 6).count() == len(pre) + 2
+    # history stops cleanly at the expired boundary
+    hv = sorted(r.version for r in history(spark, tdir).collect())
+    assert hv == [4, 5, 6]
+
+
+def test_versioned_merge_commit_and_change_feed(spark, tmp_path):
+    """merge_commit: version N+1 = merge_upsert(N, delta) — updates,
+    inserts, and flagged deletes — while change_feed surfaces exactly
+    the delta rows (never the rewritten table), and a conflicting
+    concurrent commit loses atomically."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        change_feed,
+        commit,
+        merge_commit,
+        read_version,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, v int"
+    )
+    commit(base, tdir, mode="overwrite", note="base", expect_version=None)
+    delta = spark.createDataFrame(
+        [(2, "B", 99, False), (4, "d", 40, False), (3, None, 0, True)],
+        "k int, s string, v int, _deleted boolean",
+    )
+    v = merge_commit(spark, tdir, delta, keys=["k"], delete_col="_deleted",
+                     note="merge-1")
+    assert v == 1
+    got = sorted(
+        (r.k, r.s, r.v) for r in read_version(spark, tdir, 1).collect()
+    )
+    assert got == [(1, "a", 10), (2, "B", 99), (4, "d", 40)]
+    # base state untouched (time travel across the merge)
+    assert sorted(r.k for r in read_version(spark, tdir, 0).collect()) \
+        == [1, 2, 3]
+    # the feed shows the 3 delta rows for v1, not the 3-row rewritten
+    # table state (which would double-count unchanged k=1)
+    feed = change_feed(spark, tdir, since=0)
+    assert sorted((r.k, r["_deleted"]) for r in feed.collect()) \
+        == [(2, False), (3, True), (4, False)]

@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Regenerate the committed DOCX and PDF ingest fixtures
+(data/docx/*.docx, data/pdf/*.pdf) from the same closed-form formulas
+the q_docx_ingest / q_pdf_ingest oracles reconstruct in SQL — so the
+committed binary bytes are reproducible from the repo alone (the
+pattern tools/make_excel_fixtures.py established).
+
+Deterministic: the package writers (sources/docx.py:write_docx,
+sources/pdf.py:write_pdf) embed no timestamps or randomness, so a
+rerun is byte-identical to the committed fixtures; `--check` verifies
+that without writing.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from artis_data_ingest_spark.sources.docx import write_docx  # noqa: E402
+from artis_data_ingest_spark.sources.pdf import write_pdf  # noqa: E402
+
+
+def docx_fixture_set() -> dict[str, list[str] | bytes]:
+    """doc-i has 2+i paragraphs; paragraph p = 3+2p tokens
+    'w{i}p{p}t{k}'; p==1 turns its FIRST space into a tab (<w:tab/>
+    — DuckDB regexp_replace is first-match-only, and the oracle's
+    shaped CTE is the formula), p==2 on i>=2 appends a
+    <w:br/>-wrapped line."""
+    out: dict[str, list[str] | bytes] = {}
+    for i in range(4):
+        paras = []
+        for p in range(2 + i):
+            body = " ".join(f"w{i}p{p}t{k}" for k in range(3 + 2 * p))
+            if p == 1:
+                body = body.replace(" ", "\t", 1)
+            elif p == 2 and i >= 2:
+                body += "\nwrapped"
+            paras.append(body)
+        out[f"doc-{i}.docx"] = paras
+    out["broken.docx"] = b"PK\x03\x04 not a real zip"
+    return out
+
+
+def pdf_fixture_set() -> dict[str, tuple[list[list[str]], bool] | bytes]:
+    """report-i has 1+(i%2) pages; page p = 2+p+i lines
+    'f{i}p{p}l{k} token{k}'; report-3 page 0 appends a line with
+    PDF-escaped specials; odd i compress (FlateDecode) so both raw
+    and Flate streams are exercised — exactly the q_pdf_ingest
+    oracle's `shaped` CTE."""
+    out: dict[str, tuple[list[list[str]], bool] | bytes] = {}
+    for i in range(4):
+        pages = []
+        for p in range(1 + (i % 2)):
+            lines = [f"f{i}p{p}l{k} token{k}" for k in range(2 + p + i)]
+            if i == 3 and p == 0:
+                lines.append("special (x) \\ done")
+            pages.append(lines)
+        out[f"report-{i}.pdf"] = (pages, i % 2 == 1)
+    out["broken.pdf"] = b"%PDF-1.4 truncated garbage without any object"
+    return out
+
+
+def _emit(path: str, make) -> bytes:
+    make(path)
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def main(check_only: bool) -> int:
+    import tempfile
+
+    failures = []
+    jobs: list[tuple[str, object]] = []
+    for name, spec in docx_fixture_set().items():
+        jobs.append((os.path.join(REPO, "data", "docx", name), spec))
+    for name, spec in pdf_fixture_set().items():
+        jobs.append((os.path.join(REPO, "data", "pdf", name), spec))
+    for target, spec in jobs:
+        with tempfile.TemporaryDirectory() as d:
+            tmp = os.path.join(d, os.path.basename(target))
+            if isinstance(spec, bytes):
+                with open(tmp, "wb") as f:
+                    f.write(spec)
+            elif target.endswith(".docx"):
+                write_docx(tmp, spec)
+            else:
+                pages, compress = spec
+                write_pdf(tmp, pages, compress=compress)
+            with open(tmp, "rb") as f:
+                fresh = f.read()
+        if check_only:
+            with open(target, "rb") as f:
+                committed = f.read()
+            status = "OK" if committed == fresh else "MISMATCH"
+            if status == "MISMATCH":
+                failures.append(target)
+            print(f"{status:9s} {os.path.relpath(target, REPO)}")
+        else:
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            with open(target, "wb") as f:
+                f.write(fresh)
+            print(f"wrote     {os.path.relpath(target, REPO)}")
+    if failures:
+        print(f"\n{len(failures)} fixture(s) diverge from the generator")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(check_only="--check" in sys.argv))

@@ -107,15 +107,15 @@ _ONE_PART_CLASS = {
     # partial 8MB sketch buffers merge on one task — fixed-size
     # regardless of data (verified in the executed plan)
     # r9 additions
-    "q_quantile_sketch": "k-bounded",
+    "q_quantile_sketch": "k-bounded",  # by design: the cumulative
+    # passes run over the K-compressed coreset (n/K weighted points)
+    # and the distinct-value rollup; the remaining 1-parts are the
+    # 1-row n/n_sources scalar merges broadcast back into the verdict
     "q_time_travel": "scalar",  # three 1-row per-version count/cents
     # merges read back from the manifest file sets
     "q_version_diff": "scalar",  # the EXCEPT key-diff counts collapse
     # to 1-row aggregates before the broadcast re-join
-    "q_change_feed": "scalar",  # same shape: per-version 1-row sums  # by design: the cumulative
-    # passes run over the K-compressed coreset (n/K weighted points)
-    # and the distinct-value rollup; the remaining 1-parts are the
-    # 1-row n/n_sources scalar merges broadcast back into the verdict
+    "q_change_feed": "scalar",  # same shape: per-version 1-row sums
     "q_cross_doc_repeat": "scalar",  # the stats/max/best 1-row merges
     # (all doubling/walk stages are checkpoint-truncated hash shuffles)
     "q_fd_discovery": "scalar",  # the single all-distinct-counts row

@@ -1535,18 +1535,38 @@ def _versioned_demo_path(sf_dir: str, name: str) -> str:
     """Demo-table path keyed by (sf_dir, pid): concurrent invocations
     (gate vs bench, two sf sizes) each get their own directory, so one
     run's rmtree can never yank files out from under another's
-    read_version.  Within a process queries run sequentially."""
+    read_version.  Within a process queries run sequentially.
+
+    Pid-keyed dirs from crashed or finished processes would otherwise
+    accumulate forever, so on entry we sweep SIBLING ``<name>_*`` dirs
+    older than an hour — old enough that no live concurrent run (gate
+    + bench both finish in minutes) still reads them."""
     import hashlib
     import os
+    import shutil
+    import time
 
     sig = hashlib.md5(
         f"{os.path.abspath(sf_dir)}|{os.getpid()}".encode()
     ).hexdigest()[:12]
-    return os.path.join(
+    cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__)))),
-        "data", "cache", f"{name}_{sig}",
+        "data", "cache",
     )
+    mine = f"{name}_{sig}"
+    if os.path.isdir(cache):
+        now = time.time()
+        for d in os.listdir(cache):
+            if not d.startswith(f"{name}_") or d == mine:
+                continue
+            p = os.path.join(cache, d)
+            try:
+                if os.path.isdir(p) and now - os.stat(p).st_mtime > 3600:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass  # raced with another sweeper — harmless
+    return os.path.join(cache, mine)
 
 
 @register(
@@ -2054,3 +2074,68 @@ def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.pdf import read_pdf_fleet
 
     return read_pdf_fleet(spark, _PDF_GLOB).orderBy("path")
+
+
+_PDF15_GLOB = "/root/repo/data/pdf15/*.pdf"
+
+
+@register(
+    "q_pdf_modern",
+    oracle="""
+WITH grid AS (
+  SELECT i, p.p AS p FROM range(3) t(i), UNNEST(range(2 - (i % 2))) p(p)
+), lines AS (
+  SELECT i, p,
+         (SELECT string_agg(
+              CASE WHEN i < 2
+                   THEN 'm' || i || 'p' || p || 'l' || k
+                        || ' café éñ€' || k
+                   ELSE 'M' || i || 'p' || p || 'l' || k
+                        || ' — déjà €' || k END,
+              chr(10) ORDER BY k)
+          FROM UNNEST(range(2 + p + i)) kk(k)) AS body,
+         CAST(2 + p + i AS BIGINT) AS nl
+  FROM grid
+), docs AS (
+  SELECT 'modern-' || i || '.pdf' AS path, TRUE AS ok,
+         CAST(MAX(p) + 1 AS BIGINT) AS n_pages,
+         CAST(SUM(nl) AS BIGINT) AS n_text_ops,
+         string_agg(body, chr(10) ORDER BY p) AS text
+  FROM lines GROUP BY i
+)
+SELECT path, ok, n_pages, n_text_ops,
+       CAST(len(list_filter(string_split_regex(text, '[ \\n]+'),
+                            x -> x <> '')) AS BIGINT) AS n_words,
+       text
+FROM docs
+UNION ALL
+SELECT 'modern-broken.pdf', FALSE, 0, 0, 0, ''
+ORDER BY path
+""",
+    doc="PDF 1.5+ extraction (r11, closing the r9/r10 verdict's top "
+    "format gap; sources/pdf.py): most wild PDFs produced after "
+    "~2005 use compressed cross-reference/object streams and "
+    "non-trivial font encodings, which the r9 reader degraded to "
+    "ok=false.  Now covered stdlib-pure: xref STREAM chain "
+    "(startxref → /Type /XRef, /W field widths, /Index subsections, "
+    "PNG Up/Sub/None predictors per /DecodeParms, /Prev for "
+    "incremental updates) with /Length-verified object slicing at "
+    "exact offsets; OBJECT STREAMS (/Type /ObjStm — where modern "
+    "writers put the catalog/pages/fonts) inflated and their "
+    "resident objects expanded; per-page /Resources /Font "
+    "resolution with /Fn Tf tracking so each string decodes under "
+    "its font — /ToUnicode CMaps (bfchar + both bfrange forms, "
+    "1/2-byte codes, UTF-16BE targets) > /WinAnsiEncoding (cp1252) "
+    "> latin-1; literal AND <hex> strings in Tj/TJ.  Fixtures from "
+    "the in-repo spec-correct PDF 1.5 writer (Type0/Identity-H + "
+    "CMap + hex-TJ file, WinAnsi file with em-dash/€, predictor on "
+    "and off), so the closed-form oracle catches any CMap "
+    "mis-decode, ObjStm mis-slice, or predictor off-by-one; the "
+    "garbage file degrades to ok=false, and truncation/bad-"
+    "startxref tolerance is pinned in tests.  Same fleet shape: "
+    "binaryFile + Arrow-batched mapInPandas.",
+)
+def q_pdf_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pdf import read_pdf_fleet
+
+    return read_pdf_fleet(spark, _PDF15_GLOB).orderBy("path")

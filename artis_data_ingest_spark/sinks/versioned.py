@@ -64,6 +64,17 @@ class VersionConflict(RuntimeError):
     create — rebase and retry."""
 
 
+class RetentionError(RuntimeError):
+    """The requested change-feed range reaches past retention: either
+    the cursor predates the oldest retained version, or the oldest
+    retained version is an append whose parent manifest was dropped by
+    :func:`expire` (its delta is no longer computable).  Mirrors the
+    out-of-retention errors Delta/Iceberg raise instead of silently
+    serving a feed with holes — a CDC consumer must never believe it
+    caught up while having lost deltas.  The message names the earliest
+    valid ``since`` cursor."""
+
+
 #: Sentinel for ``expect_version``: skip the optimistic-concurrency
 #: check entirely (last-writer-wins at the version-number level; the
 #: publication itself is still atomic).
@@ -277,7 +288,16 @@ def merge_commit(
 def read_version(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
-    """Time-travel read: the file set of ``version`` (default latest)."""
+    """Time-travel read: the file set of ``version`` (default latest).
+
+    Reads with ``mergeSchema`` so an append whose batch ADDED a column
+    stays readable across the schema change (older segments surface the
+    new column as null) — matching :func:`change_feed`'s
+    ``allowMissingColumns`` tolerance, and the reference's whole point
+    of tracking schema *change* across snapshots
+    (assess_changes.qmd:148-174).  mergeSchema unions footers at plan
+    time (one footer read per file — metadata, not data), so the cost
+    is bounded by file count, not table size."""
     if version is None:
         version = latest_version(table_dir)
         if version is None:
@@ -285,7 +305,7 @@ def read_version(
     files = _read_manifest(table_dir, version)["files"]
     if not files:
         raise FileNotFoundError(f"v{version} has no files")
-    return spark.read.parquet(*files)
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def history(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -358,6 +378,33 @@ def vacuum(table_dir: str, grace_seconds: float = 3600.0) -> list[str]:
     return removed
 
 
+def earliest_feed_version(table_dir: str) -> int:
+    """The smallest retained version whose delta (and every later
+    version's delta) is still computable — i.e. the earliest point
+    :func:`change_feed` can start.  An append version needs its
+    PARENT's manifest to diff file sets; after :func:`expire` the
+    oldest retained version can be an append whose parent manifest is
+    gone, making its delta unresolvable.  Overwrite/merge/compact
+    versions carry their own delta (full set / ``delta_files`` /
+    none) and never need the parent."""
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    retained = set(versions)
+    first_ok = versions[0]
+    for v in versions:
+        m = _read_manifest(table_dir, v)
+        if (
+            m["mode"] == "append"
+            and m["parent"] is not None
+            and m["parent"] not in retained
+        ):
+            # this append's delta is lost to retention — the feed can
+            # only start after it
+            first_ok = v + 1
+    return first_ok
+
+
 def change_feed(
     spark: SparkSession, table_dir: str, since: int | None = None
 ) -> "DataFrame":
@@ -369,13 +416,33 @@ def change_feed(
     overwrite → the full new file set (a rewrite IS its own delta);
     merge → the manifest's recorded ``delta_files`` (exactly the
     source rows, never the rewritten table); compact → skipped (bytes
-    moved, no rows changed)."""
+    moved, no rows changed).
+
+    Raises :class:`RetentionError` when the requested range reaches
+    past retention — ``since`` predates the oldest retained version,
+    or ``since is None`` after an :func:`expire` left the oldest
+    retained version an append whose parent manifest is gone.  A feed
+    with silently-missing deltas would let a CDC consumer believe it
+    caught up after losing data; like Delta/Iceberg, we refuse and
+    name the earliest valid cursor instead."""
     from pyspark.sql import functions as F
 
     versions = list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions in {table_dir}")
+    first_ok = earliest_feed_version(table_dir)
+    # since=None asks for the FULL feed (all retained versions); if
+    # retention made part of it unresolvable, serving a silently
+    # truncated feed would be the exact data-loss hazard — treat it as
+    # a request from before the boundary
     lo = versions[0] if since is None else since + 1
+    if lo < first_ok:
+        raise RetentionError(
+            f"change feed from v{lo} is out of retention: versions "
+            f"before v{first_ok} were expired or their deltas are no "
+            f"longer resolvable; earliest valid since is "
+            f"{first_ok - 1}"
+        )
     out = None
     for v in versions:
         if v < lo:

@@ -1,31 +1,51 @@
-"""PDF text extraction — stdlib-pure (zlib IS stdlib), fixture-scoped
-to the classic text-operator subset.
+"""PDF text extraction — stdlib-pure (zlib IS stdlib), covering both
+the classic PDF 1.4 shape and the modern (PDF 1.5+) structures that
+dominate wild documents.
 
 The reference's scraper keeps exactly ``\\.(zip|pdf)$`` links
-(scrape_newest_baci_data.R) — it DOWNLOADS PDFs but never reads them;
-a corpus pipeline has to.  This reader covers the dominant simple-PDF
-shape without a PDF library:
+(scrape_newest_baci_data.R:35) — it DOWNLOADS PDFs but never reads
+them; a corpus pipeline has to, and most PDFs produced after ~2005
+use compressed cross-reference/object streams and non-trivial font
+encodings.  This reader covers:
 
-  * objects located by a tolerant ``N G obj … endobj`` scan (no xref
-    dependence — truncated or rewritten files still yield whatever
-    objects survive);
-  * streams un-filtered when their dict declares ``/FlateDecode``
-    (``zlib.decompress``), raw otherwise;
-  * text from content streams (any decoded stream containing a BT/ET
-    block): ``(string) Tj`` shows one chunk, ``[(a) -120 (b)] TJ``
-    concatenates its string parts (kerning numbers dropped), with full
-    PDF string escapes (\\\\ \\( \\) \\n \\r \\t and octal \\ddd);
-    chunks join with newlines (the fixture writes one text op per
-    line, the common one-line-per-Td layout);
-  * page count = ``/Type /Page`` objects; files with no parseable
-    object → ``ok=false``, empty text — never an exception.
+  * objects located TWO ways, merged: a tolerant ``N G obj … endobj``
+    scan (truncated or rewritten files still yield whatever objects
+    survive) plus the cross-reference STREAM chain (PDF 1.5 §7.5.8:
+    ``startxref`` → ``/Type /XRef`` stream, ``/W`` field widths,
+    ``/Index`` subsections, PNG predictors 0/1/2 per
+    ``/DecodeParms /Predictor``, ``/Prev`` chain for incremental
+    updates) — type-1 entries parse objects at their exact offsets,
+    catching bodies the regex scan would mis-split;
+  * OBJECT STREAMS (``/Type /ObjStm``, §7.5.7): the container stream
+    is inflated, its ``/N`` (num, offset) header pairs sliced, and
+    every embedded object joins the object table — this is where
+    modern writers put the catalog/pages/fonts;
+  * stream payloads sliced by ``/Length`` when it verifies against
+    the ``endstream`` marker (binary Flate data may contain the
+    marker bytes), regex-fallback otherwise; ``/FlateDecode``
+    inflated via zlib;
+  * FONT DECODING: each page's ``/Resources /Font`` map is resolved
+    (indirect refs followed, object streams included) and every
+    ``/Fn size Tf`` operator switches the active decoder —
+    ``/ToUnicode`` CMap streams (bfchar + bfrange, both array and
+    contiguous forms, 1- or 2-byte codes per the source hex width,
+    UTF-16BE targets) beat ``/Encoding /WinAnsiEncoding`` (cp1252)
+    beat the latin-1 default; content streams not reachable from a
+    page fall back to the union of all pages' font maps;
+  * text from ``(literal)`` AND ``<hex>`` strings in Tj/TJ (kerning
+    numbers dropped), full PDF string escapes
+    (\\\\ \\( \\) \\n \\r \\t and octal \\ddd); chunks join with
+    newlines;
+  * page count = ``/Type /Page`` objects (object-stream residents
+    included); files with no parseable object → ``ok=false``, empty
+    text — never an exception.
 
-DECLARED SCOPE (loudly, not silently): no CMap/Unicode fonts, no
-cross-reference streams, no encryption — WinAnsi/ASCII simple-font
-documents, which the formula fixtures are.  The writer half emits
-spec-correct PDF 1.4 (objects, xref table, trailer, optional
-FlateDecode page streams) so the reader is exercised against real
-structure, not against its own assumptions.
+Remaining declared scope: no encryption, no CID-keyed CMap files
+beyond ToUnicode (rare outside CJK print workflows).  The writer
+half emits spec-correct PDF 1.4 (xref table) AND PDF 1.5
+(object streams + predictor-coded xref streams + ToUnicode CMaps +
+hex strings) so the reader is exercised against real structure, not
+against its own assumptions.
 """
 
 from __future__ import annotations
@@ -41,10 +61,15 @@ PDF_SCHEMA = (
     "n_words bigint, text string"
 )
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj(.*?)endobj", re.S)
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.S)
-_STR_TJ_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)\s*Tj|\[(?:[^\]\\]|\\.)*\]\s*TJ")
-_STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)")
+# one text-showing op: font switch, literal/hex Tj, or TJ array
+_TEXTOP_RE = re.compile(
+    rb"/(\w+)\s+[\d.]+\s+Tf"
+    rb"|(?:\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>)\s*Tj"
+    rb"|\[(?:[^\]\\]|\\.)*\]\s*TJ"
+)
+_STR_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)|<[0-9A-Fa-f\s]*>")
 
 _ESCAPES = {
     b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
@@ -77,36 +102,374 @@ def _unescape_pdf_string(raw: bytes) -> bytes:
     return bytes(out)
 
 
+# --------------------------------------------------------------------------
+# Object table construction: tolerant scan + xref-stream chain + ObjStm.
+# --------------------------------------------------------------------------
+
+
+def _stream_payload(body: bytes) -> bytes | None:
+    """The (decoded) stream payload of an object body, or None.
+    ``/Length`` slices exactly when it verifies against the
+    ``endstream`` marker; otherwise the lazy-regex fallback."""
+    sm = re.search(rb"stream\r?\n", body)
+    if not sm:
+        return None
+    start = sm.end()
+    head = body[: sm.start()]
+    data = None
+    lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+    if lm:
+        n = int(lm.group(1))
+        if body[start + n : start + n + 20].lstrip().startswith(b"endstream"):
+            data = body[start : start + n]
+    if data is None:
+        em = body.find(b"endstream", start)
+        if em < 0:
+            return None
+        data = body[start:em].rstrip(b"\r\n")
+    if b"/FlateDecode" in head:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            return None
+    return data
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """PNG predictors over 1-byte samples (the xref-stream case:
+    /DecodeParms /Predictor >= 10, filters None/Sub/Up per row)."""
+    rowlen = columns + 1
+    prev = bytearray(columns)
+    out = bytearray()
+    for r in range(0, len(data) - rowlen + 1, rowlen):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + rowlen])
+        if ft == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 1:  # Sub (bpp = 1)
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft != 0:  # unsupported filter — bail to the scan path
+            raise ValueError(f"PNG filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _object_at(blob: bytes, offset: int) -> tuple[int | None, bytes]:
+    """Parse ``N G obj … endobj`` at an exact xref offset, skipping a
+    stream payload via its verified ``/Length`` — robust to compressed
+    payloads that happen to contain the ``endobj`` marker bytes (which
+    would truncate the lazy-regex scan)."""
+    hm = re.match(rb"\s*(\d+)\s+(\d+)\s+obj\b", blob[offset : offset + 64])
+    if not hm:
+        return None, b""
+    start = offset + hm.end()
+    em = blob.find(b"endobj", start)
+    sm = re.compile(rb"stream\r?\n").search(blob, start)
+    if sm and (em < 0 or sm.start() < em):
+        head = blob[start : sm.start()]
+        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+        if lm:
+            dend = sm.end() + int(lm.group(1))
+            if blob[dend : dend + 20].lstrip().startswith(b"endstream"):
+                em = blob.find(b"endobj", dend)
+    if em < 0:
+        return None, b""
+    return int(hm.group(1)), blob[start:em]
+
+
+def _parse_xref_stream_at(blob: bytes, offset: int) -> dict[int, tuple]:
+    """Decode one xref STREAM object at ``offset``: {objnum: (type,
+    f2, f3)} plus the /Prev chain, or {} on any malformation (the
+    tolerant scan is the safety net)."""
+    entries: dict[int, tuple] = {}
+    seen_offsets: set[int] = set()
+    while 0 <= offset < len(blob) and offset not in seen_offsets:
+        seen_offsets.add(offset)
+        _, body = _object_at(blob, offset)
+        if b"/XRef" not in body:
+            return entries
+        wm = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", body)
+        if not wm:
+            return entries
+        w = tuple(int(x) for x in wm.groups())
+        data = _stream_payload(body)
+        if data is None:
+            return entries
+        pm = re.search(rb"/Predictor\s+(\d+)", body[: body.find(b"stream")])
+        if pm and int(pm.group(1)) >= 10:
+            cm = re.search(rb"/Columns\s+(\d+)", body)
+            cols = int(cm.group(1)) if cm else sum(w)
+            try:
+                data = _png_unpredict(data, cols)
+            except ValueError:
+                return entries
+        im = re.search(rb"/Index\s*\[([^\]]*)\]", body)
+        if im:
+            idx = [int(x) for x in im.group(1).split()]
+        else:
+            sm2 = re.search(rb"/Size\s+(\d+)", body)
+            idx = [0, int(sm2.group(1))] if sm2 else [0, 0]
+        ew = sum(w)
+        pos = 0
+        for k in range(0, len(idx) - 1, 2):
+            start, count = idx[k], idx[k + 1]
+            for num in range(start, start + count):
+                if pos + ew > len(data):
+                    break
+                f = []
+                for width in w:
+                    f.append(
+                        int.from_bytes(data[pos : pos + width], "big")
+                        if width
+                        else 1  # omitted type field defaults to 1
+                    )
+                    pos += width
+                entries.setdefault(num, tuple(f))
+        prevm = re.search(rb"/Prev\s+(\d+)", body)
+        offset = int(prevm.group(1)) if prevm else -1
+    return entries
+
+
+def _collect_objects(blob: bytes) -> dict[int, bytes]:
+    """num → body, merged from the tolerant scan, the xref-stream
+    chain's type-1 offsets, and every object stream's residents."""
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(blob):
+        objs.setdefault(int(m.group(1)), m.group(3))
+    # xref stream (PDF 1.5): exact offsets + /Length-verified slices
+    # beat the scan (whose lazy regex a binary payload can truncate)
+    sx = blob.rfind(b"startxref")
+    if sx >= 0:
+        om = re.match(rb"\s*(\d+)", blob[sx + 9 :])
+        if om:
+            for num, f in _parse_xref_stream_at(blob, int(om.group(1))).items():
+                if f and f[0] == 1:
+                    got, body = _object_at(blob, f[1])
+                    if got == num:
+                        objs[num] = body
+    # object streams: expand residents (catalog/pages/fonts live here)
+    for body in list(objs.values()):
+        if b"/ObjStm" not in body:
+            continue
+        data = _stream_payload(body)
+        if data is None:
+            continue
+        head = body[: body.find(b"stream")]
+        nm = re.search(rb"/N\s+(\d+)", head)
+        fm = re.search(rb"/First\s+(\d+)", head)
+        if not (nm and fm):
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            continue
+        pairs = [
+            (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+        ]
+        for i, (num, off) in enumerate(pairs):
+            end = first + pairs[i + 1][1] if i + 1 < n else len(data)
+            objs.setdefault(num, data[first + off : end])
+    return objs
+
+
+# --------------------------------------------------------------------------
+# Font decoding: ToUnicode CMap > WinAnsiEncoding > latin-1.
+# --------------------------------------------------------------------------
+
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _u16(hexbytes: bytes) -> str:
+    b = bytes.fromhex(hexbytes.decode("ascii"))
+    try:
+        return b.decode("utf-16-be")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
+def _parse_tounicode(cmap: bytes) -> tuple[dict[int, str], int]:
+    """(code → str, code width in bytes) from bfchar/bfrange
+    sections; width from the widest source hex seen (Identity-H
+    Type0 fonts use 2-byte codes, simple fonts 1)."""
+    table: dict[int, str] = {}
+    width = 1
+    for sec in re.finditer(rb"beginbfchar(.*?)endbfchar", cmap, re.S):
+        for sm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", sec.group(1)
+        ):
+            src, dst = sm.groups()
+            width = max(width, len(src) // 2)
+            table[int(src, 16)] = _u16(dst)
+    for sec in re.finditer(rb"beginbfrange(.*?)endbfrange", cmap, re.S):
+        for rm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            rb"(<[0-9A-Fa-f]+>|\[(?:[^\]]*)\])",
+            sec.group(1),
+        ):
+            lo, hi, dst = rm.groups()
+            width = max(width, len(lo) // 2)
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if dst.startswith(b"["):
+                dsts = _HEXPAIR_RE.findall(dst)
+                for k, d in enumerate(dsts):
+                    if lo_i + k <= hi_i:
+                        table[lo_i + k] = _u16(d)
+            else:
+                base_hex = dst[1:-1]
+                base = int(base_hex, 16)
+                for k in range(hi_i - lo_i + 1):
+                    table[lo_i + k] = _u16(
+                        f"{base + k:0{len(base_hex)}x}".encode()
+                    )
+    return table, width
+
+
+class _FontDecoder:
+    """Maps one text-string's bytes to str under a font's encoding."""
+
+    __slots__ = ("table", "width", "codec")
+
+    def __init__(self, table=None, width=1, codec="latin-1"):
+        self.table, self.width, self.codec = table, width, codec
+
+    def decode(self, raw: bytes) -> str:
+        if self.table is None:
+            return raw.decode(self.codec, errors="replace")
+        w = self.width
+        out = []
+        for i in range(0, len(raw) - w + 1, w):
+            code = int.from_bytes(raw[i : i + w], "big")
+            out.append(self.table.get(code, "�"))
+        return "".join(out)
+
+
+_DEFAULT_DECODER = _FontDecoder()
+
+
+def _ref_num(body: bytes, key: bytes) -> int | None:
+    m = re.search(key + rb"\s+(\d+)\s+\d+\s+R", body)
+    return int(m.group(1)) if m else None
+
+
+def _build_font_decoder(objs: dict[int, bytes], fnum: int) -> _FontDecoder:
+    body = objs.get(fnum, b"")
+    tu = _ref_num(body, rb"/ToUnicode")
+    if tu is not None and tu in objs:
+        data = _stream_payload(objs[tu])
+        if data:
+            table, width = _parse_tounicode(data)
+            if table:
+                return _FontDecoder(table=table, width=width)
+    if b"/WinAnsiEncoding" in body:
+        return _FontDecoder(codec="cp1252")
+    return _DEFAULT_DECODER
+
+
+def _font_map(
+    objs: dict[int, bytes], page_body: bytes, cache: dict
+) -> dict[bytes, _FontDecoder]:
+    """Resource name (e.g. b'F1') → decoder for one page; /Resources
+    may be inline or an indirect ref."""
+    res = page_body
+    rnum = _ref_num(page_body, rb"/Resources")
+    if rnum is not None:
+        res = objs.get(rnum, b"")
+    fm = re.search(rb"/Font\s*<<(.*?)>>", res, re.S)
+    if not fm:
+        return {}
+    out = {}
+    for nm in re.finditer(rb"/(\w+)\s+(\d+)\s+\d+\s+R", fm.group(1)):
+        name, num = nm.group(1), int(nm.group(2))
+        if num not in cache:
+            cache[num] = _build_font_decoder(objs, num)
+        out[name] = cache[num]
+    return out
+
+
+# --------------------------------------------------------------------------
+# Text extraction.
+# --------------------------------------------------------------------------
+
+
+def _decode_string_token(tok: bytes, dec: _FontDecoder) -> str:
+    if tok.startswith(b"("):
+        return dec.decode(_unescape_pdf_string(tok[1:-1]))
+    hexstr = re.sub(rb"\s+", b"", tok[1:-1])
+    if len(hexstr) % 2:
+        hexstr += b"0"  # odd count: trailing 0 implied, per spec
+    return dec.decode(bytes.fromhex(hexstr.decode("ascii")))
+
+
+def _extract_stream_text(
+    data: bytes, fonts: dict[bytes, _FontDecoder]
+) -> tuple[list[str], int]:
+    chunks: list[str] = []
+    n_ops = 0
+    cur = _DEFAULT_DECODER
+    for m in _TEXTOP_RE.finditer(data):
+        if m.group(1) is not None:  # /Fn size Tf
+            cur = fonts.get(m.group(1), _DEFAULT_DECODER)
+            continue
+        n_ops += 1
+        parts = [
+            _decode_string_token(s.group(0), cur)
+            for s in _STR_RE.finditer(m.group(0))
+        ]
+        chunks.append("".join(parts))
+    return chunks, n_ops
+
+
 def extract_pdf_text(blob: bytes) -> dict:
-    objs = list(_OBJ_RE.finditer(blob))
+    objs = _collect_objects(blob)
+    font_cache: dict[int, _FontDecoder] = {}
     n_pages = 0
     chunks: list[str] = []
     n_ops = 0
-    for m in objs:
-        body = m.group(3)
-        if re.search(rb"/Type\s*/Page\b(?!s)", body):
-            n_pages += 1
-        sm = _STREAM_RE.search(body)
-        if not sm:
-            continue
-        data = sm.group(1)
-        head = body[: sm.start()]
-        if b"/FlateDecode" in head:
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                continue
-        if b"BT" not in data:
-            continue
-        for op in _STR_TJ_RE.finditer(data):
-            n_ops += 1
-            parts = [
-                _unescape_pdf_string(s.group(0)[1:-1])
-                for s in _STR_RE.finditer(op.group(0))
+    claimed: set[int] = set()
+    merged_fonts: dict[bytes, _FontDecoder] = {}
+    # pass 1: pages, in object-number order (writers emit pages in
+    # document order; the classic scan preserved file order the same way)
+    pages = [
+        (num, body)
+        for num, body in sorted(objs.items())
+        if re.search(rb"/Type\s*/Page\b(?!s)", body)
+    ]
+    for _, body in pages:
+        n_pages += 1
+        fonts = _font_map(objs, body, font_cache)
+        merged_fonts.update(fonts)
+        cm = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", body)
+        content_nums = [int(cm.group(1))] if cm else []
+        am = re.search(rb"/Contents\s*\[([^\]]*)\]", body)
+        if am:
+            content_nums = [
+                int(x.group(1))
+                for x in re.finditer(rb"(\d+)\s+\d+\s+R", am.group(1))
             ]
-            chunks.append(
-                b"".join(parts).decode("latin-1", errors="replace")
-            )
+        for cn in content_nums:
+            if cn not in objs:
+                continue
+            claimed.add(cn)
+            data = _stream_payload(objs[cn])
+            if data is None or b"BT" not in data:
+                continue
+            got, ops = _extract_stream_text(data, fonts)
+            chunks.extend(got)
+            n_ops += ops
+    # pass 2 (tolerant): BT-bearing streams no page claims — a damaged
+    # page tree still yields its text, with the union font map
+    for num, body in sorted(objs.items()):
+        if num in claimed or b"/ObjStm" in body or b"/XRef" in body:
+            continue
+        data = _stream_payload(body)
+        if data is None or b"BT" not in data:
+            continue
+        got, ops = _extract_stream_text(data, merged_fonts)
+        chunks.extend(got)
+        n_ops += ops
     text = "\n".join(chunks)
     return {
         "ok": bool(objs),
@@ -224,5 +587,223 @@ def write_pdf(path: str, pages: list[list[str]], compress: bool = False) -> None
         + b" /Root " + str(catalog).encode() + b" 0 R >>\nstartxref\n"
         + str(xref_at).encode() + b"\n%%EOF\n"
     )
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+# --------------------------------------------------------------------------
+# Fixture writer: spec-correct PDF 1.5 — object streams, xref stream
+# (optionally PNG-Up predicted), ToUnicode CMap / WinAnsi fonts, hex
+# strings.  The modern shape wild PDFs actually have.
+# --------------------------------------------------------------------------
+
+#: fixed 2-byte-code alphabet for the Type0/ToUnicode fixture: a..z via
+#: one bfrange, the rest via bfchar entries (digits, space, accents)
+CMAP_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 éñ€"
+_CMAP_BASE = 0x0101
+
+
+def _cmap_codes(s: str) -> bytes:
+    out = bytearray()
+    for ch in s:
+        idx = CMAP_ALPHABET.index(ch)
+        out += (_CMAP_BASE + idx).to_bytes(2, "big")
+    return bytes(out)
+
+
+def _tounicode_cmap() -> bytes:
+    lines = [b"/CIDInit /ProcSet findresource begin", b"begincmap"]
+    # a..z as ONE contiguous bfrange
+    lines.append(b"1 beginbfrange")
+    lines.append(
+        b"<%04x> <%04x> <%04x>"
+        % (_CMAP_BASE, _CMAP_BASE + 25, ord("a"))
+    )
+    lines.append(b"endbfrange")
+    # the rest as bfchar entries (incl. an array-form bfrange for digits)
+    rest = CMAP_ALPHABET[26:]
+    digits, tail = rest[:10], rest[10:]
+    arr = b" ".join(b"<%04x>" % ord(c) for c in digits)
+    lines.append(b"1 beginbfrange")
+    lines.append(
+        b"<%04x> <%04x> [%s]"
+        % (_CMAP_BASE + 26, _CMAP_BASE + 35, arr)
+    )
+    lines.append(b"endbfrange")
+    lines.append(b"%d beginbfchar" % len(tail))
+    for k, ch in enumerate(tail):
+        dst = ch.encode("utf-16-be").hex().encode()
+        lines.append(b"<%04x> <%s>" % (_CMAP_BASE + 36 + k, dst))
+    lines.append(b"endbfchar")
+    lines += [b"endcmap", b"end"]
+    return b"\n".join(lines)
+
+
+def write_pdf_15(
+    path: str,
+    pages: list[list[str]],
+    font_kind: str = "cmap",
+    predictor: bool = True,
+) -> None:
+    """Emit a PDF 1.5 file: catalog/pages/page/font dicts inside an
+    OBJECT STREAM, content (+CMap) streams top-level, and a
+    cross-reference STREAM (``/W [1 2 2]``, PNG-Up predictor when
+    ``predictor``) instead of an xref table.
+
+    ``font_kind``: ``"cmap"`` — a Type0 font with Identity-H 2-byte
+    codes and a /ToUnicode CMap; content uses HEX strings (every
+    char of every line must be in :data:`CMAP_ALPHABET`).
+    ``"winansi"`` — a simple font with /Encoding /WinAnsiEncoding;
+    content uses literal strings (cp1252 bytes, so é/€ round-trip)."""
+    streams: list[bytes] = []  # top-level stream objects, in order
+
+    def add_stream(head: bytes, payload: bytes) -> int:
+        streams.append(
+            head[:-2].rstrip() + b" /Length " + str(len(payload)).encode()
+            + b" >>\nstream\n" + payload + b"\nendstream"
+        )
+        return len(streams)  # object numbers 1..len(streams)
+
+    content_nums = []
+    for lines in pages:
+        ops = [b"BT /F1 12 Tf 72 760 Td"]
+        for li, line in enumerate(lines):
+            if li:
+                ops.append(b"0 -14 Td")
+            if font_kind == "cmap":
+                hexstr = _cmap_codes(line).hex().encode()
+                if li % 2 == 1 and len(hexstr) > 8:
+                    # split mid-line across a TJ array, hex both parts
+                    cut = (len(hexstr) // 8) * 4
+                    ops.append(
+                        b"[<" + hexstr[:cut] + b"> -120 <"
+                        + hexstr[cut:] + b">] TJ"
+                    )
+                else:
+                    ops.append(b"<" + hexstr + b"> Tj")
+            else:
+                raw = line.encode("cp1252")
+                esc = (
+                    raw.replace(b"\\", b"\\\\")
+                    .replace(b"(", b"\\(")
+                    .replace(b")", b"\\)")
+                )
+                ops.append(b"(" + esc + b") Tj")
+        ops.append(b"ET")
+        payload = zlib.compress(b"\n".join(ops))
+        content_nums.append(
+            add_stream(b"<< /Filter /FlateDecode >>", payload)
+        )
+
+    cmap_num = None
+    if font_kind == "cmap":
+        cmap_num = add_stream(b"<< >>", _tounicode_cmap())
+
+    # dict objects live in the object stream; number them after streams
+    objstm_num = len(streams) + 1
+    xref_num = objstm_num + 1
+    first_dict = xref_num + 1
+    font_num = first_dict
+    page_nums = [first_dict + 1 + k for k in range(len(pages))]
+    pages_num = first_dict + 1 + len(pages)
+    catalog_num = pages_num + 1
+
+    if font_kind == "cmap":
+        font_body = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture"
+            b" /Encoding /Identity-H /ToUnicode "
+            + str(cmap_num).encode() + b" 0 R >>"
+        )
+    else:
+        font_body = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>"
+        )
+    dict_objs: list[tuple[int, bytes]] = [(font_num, font_body)]
+    for k, cn in enumerate(content_nums):
+        dict_objs.append((
+            page_nums[k],
+            b"<< /Type /Page /Parent " + str(pages_num).encode()
+            + b" 0 R /MediaBox [0 0 612 792] /Contents "
+            + str(cn).encode() + b" 0 R /Resources << /Font << /F1 "
+            + str(font_num).encode() + b" 0 R >> >> >>",
+        ))
+    kids = b" ".join(str(p).encode() + b" 0 R" for p in page_nums)
+    dict_objs.append((
+        pages_num,
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(len(pages)).encode() + b" >>",
+    ))
+    dict_objs.append((
+        catalog_num,
+        b"<< /Type /Catalog /Pages " + str(pages_num).encode() + b" 0 R >>",
+    ))
+
+    # assemble the object stream: header pairs then bodies
+    bodies = b""
+    pairs = []
+    for num, body in dict_objs:
+        pairs.append((num, len(bodies)))
+        bodies += body + b"\n"
+    header = b" ".join(
+        b"%d %d" % (num, off) for num, off in pairs
+    ) + b"\n"
+    objstm_payload = zlib.compress(header + bodies)
+    objstm_head = (
+        b"<< /Type /ObjStm /N " + str(len(dict_objs)).encode()
+        + b" /First " + str(len(header)).encode()
+        + b" /Filter /FlateDecode /Length "
+        + str(len(objstm_payload)).encode() + b" >>"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num, body in enumerate(streams, start=1):
+        offsets[num] = len(out)
+        out += str(num).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += (
+        str(objstm_num).encode() + b" 0 obj\n" + objstm_head
+        + b"\nstream\n" + objstm_payload + b"\nendstream\nendobj\n"
+    )
+
+    # xref stream: W [1 2 2]; entries for 0..catalog_num + self
+    size = catalog_num + 1
+    xref_at = len(out)
+    rows = []
+    rows.append((0, 0, 65535))
+    for num in range(1, objstm_num + 1):
+        rows.append((1, offsets[num], 0))
+    rows.append((1, xref_at, 0))  # the xref stream itself
+    for k, (num, _) in enumerate(dict_objs):
+        rows.append((2, objstm_num, k))
+    # rows are in object-number order 0..size-1 by construction
+    raw = b"".join(
+        bytes([t]) + f2.to_bytes(2, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in rows
+    )
+    parms = b""
+    if predictor:
+        cols = 5
+        pred = bytearray()
+        prev = bytearray(cols)
+        for r in range(0, len(raw), cols):
+            row = bytearray(raw[r : r + cols])
+            enc = bytearray([2]) + bytearray(
+                (row[i] - prev[i]) & 0xFF for i in range(cols)
+            )
+            pred += enc
+            prev = row
+        raw = bytes(pred)
+        parms = b" /DecodeParms << /Predictor 12 /Columns 5 >>"
+    xref_payload = zlib.compress(raw)
+    out += (
+        str(xref_num).encode() + b" 0 obj\n<< /Type /XRef /Size "
+        + str(size).encode() + b" /W [1 2 2] /Root "
+        + str(catalog_num).encode() + b" 0 R /Filter /FlateDecode"
+        + parms + b" /Length " + str(len(xref_payload)).encode()
+        + b" >>\nstream\n" + xref_payload + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
     with open(path, "wb") as f:
         f.write(bytes(out))

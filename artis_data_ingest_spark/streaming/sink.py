@@ -74,25 +74,38 @@ def versioned_batch_writer(table_dir: str):
     ingestion with a time-travelable commit log.
 
     Exactly-once on top of at-least-once replay: the batch id rides in
-    the commit note (``batch=N``); a replayed batch finds its note
-    already in the manifest chain and SKIPS, so restarts never
-    double-append.  The note scan is a manifest walk (driver-side
-    metadata), not a data read.
+    the commit note (``batch=N``) AND, after a successful commit, in a
+    marker file under ``_batch_commits/`` that ``expire()`` never
+    touches — so replay dedup survives retention windows shorter than
+    the replay window (a manifest-note-only scan would re-commit a
+    replayed batch whose manifest was expired, duplicating rows).  A
+    replayed batch hits the marker (or, for a crash between commit and
+    marker, the manifest note) and SKIPS.  Both checks are driver-side
+    metadata — a stat + a manifest walk — never a data read.
     """
+    import os
+
     from ..sinks.versioned import (
         _walk_manifests,
         commit,
         latest_version,
     )
 
+    markers = os.path.join(table_dir, "_batch_commits")
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         note = f"batch={batch_id}"
-        # _walk_manifests stops cleanly at an expired (retention-
-        # dropped) parent, so replay detection works on the retained
-        # suffix of history
+        marker = os.path.join(markers, str(batch_id))
+        if os.path.exists(marker):
+            return  # replayed batch: already committed (retention-proof)
+        # manifest-note fallback covers a crash between commit() and
+        # the marker write; _walk_manifests stops cleanly at an expired
+        # parent, scanning the retained suffix
         for m in _walk_manifests(table_dir):
             if m["note"] == note:
-                return  # replayed batch: already committed
+                os.makedirs(markers, exist_ok=True)
+                open(marker, "w").close()  # heal the missing marker
+                return
         cur = latest_version(table_dir)
         commit(
             batch_df,
@@ -101,6 +114,8 @@ def versioned_batch_writer(table_dir: str):
             note=note,
             expect_version=cur,
         )
+        os.makedirs(markers, exist_ok=True)
+        open(marker, "w").close()
 
     return _write
 

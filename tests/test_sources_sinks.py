@@ -823,3 +823,195 @@ def test_versioned_merge_commit_and_change_feed(spark, tmp_path):
     feed = change_feed(spark, tdir, since=0)
     assert sorted((r.k, r["_deleted"]) for r in feed.collect()) \
         == [(2, False), (3, True), (4, False)]
+
+
+def test_change_feed_after_retention(spark, tmp_path):
+    """After expire(), the oldest retained version can be an append
+    whose parent manifest is GONE — its delta is unresolvable.  The
+    feed must not crash (the r10 FileNotFoundError) and must not
+    silently skip expired versions (a CDC consumer would lose deltas
+    believing it caught up): it raises RetentionError naming the
+    earliest valid cursor, and serves the resolvable suffix exactly
+    from there."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        RetentionError,
+        change_feed,
+        commit,
+        earliest_feed_version,
+        expire,
+        list_versions,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    commit(spark.range(3).select(F.col("id").alias("k")), tdir,
+           mode="overwrite", note="v0", expect_version=None)
+    for i in range(5):  # v1..v5, all appends
+        commit(
+            spark.range(10 * (i + 1), 10 * (i + 1) + 2)
+            .select(F.col("id").alias("k")),
+            tdir, mode="append", note=f"v{i + 1}", expect_version=i,
+        )
+    expire(tdir, keep_last=2)
+    assert list_versions(tdir) == [4, 5]
+    # v4 is an append whose parent manifest (v3) was expired — its
+    # delta cannot be diffed, so the feed can only start at v5
+    assert earliest_feed_version(tdir) == 5
+    with pytest.raises(RetentionError) as ei:
+        change_feed(spark, tdir)  # since=None would need v4's delta
+    assert "since is 4" in str(ei.value)
+    with pytest.raises(RetentionError):
+        change_feed(spark, tdir, since=1)  # deep past: out of retention
+    # the resolvable suffix serves normally
+    feed = change_feed(spark, tdir, since=4)
+    assert sorted(r.k for r in feed.collect()) == [50, 51]
+    assert {r._version for r in feed.collect()} == {5}
+
+
+def test_change_feed_after_expire_compact_boundary(spark, tmp_path):
+    """When the oldest retained version is a COMPACT (carries no
+    delta, never needs its parent), the full retained feed resolves
+    with no RetentionError — the boundary rule is about append deltas
+    specifically."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        change_feed,
+        commit,
+        compact,
+        earliest_feed_version,
+        expire,
+        list_versions,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    commit(spark.range(4).select(F.col("id").alias("k")), tdir,
+           mode="overwrite", note="v0", expect_version=None)
+    commit(spark.range(10, 12).select(F.col("id").alias("k")), tdir,
+           mode="append", note="v1", expect_version=0)
+    compact(spark, tdir)  # v2
+    commit(spark.range(20, 23).select(F.col("id").alias("k")), tdir,
+           mode="append", note="v3", expect_version=2)
+    expire(tdir, keep_last=2)
+    assert list_versions(tdir) == [2, 3]
+    assert earliest_feed_version(tdir) == 2
+    feed = change_feed(spark, tdir)  # no raise: v2 compact, v3 diffable
+    assert sorted(r.k for r in feed.collect()) == [20, 21, 22]
+
+
+def test_read_version_schema_evolution(spark, tmp_path):
+    """An append whose batch ADDS a column keeps the table readable:
+    read_version merges parquet footers (mergeSchema), so old segments
+    surface the new column as null — matching change_feed's
+    allowMissingColumns tolerance (the reference's schema-change
+    tracking, assess_changes.qmd:148-174)."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        change_feed,
+        commit,
+        read_version,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"),
+        tdir, mode="overwrite", note="v0", expect_version=None,
+    )
+    commit(
+        spark.createDataFrame([(3, "c", 30)], "k int, s string, v int"),
+        tdir, mode="append", note="adds-v", expect_version=0,
+    )
+    cur = read_version(spark, tdir)
+    assert set(cur.columns) == {"k", "s", "v"}
+    got = sorted((r.k, r.s, r.v) for r in cur.collect())
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", 30)]
+    # time travel to the pre-evolution version keeps the old schema
+    assert set(read_version(spark, tdir, 0).columns) == {"k", "s"}
+    # and the feed tags each delta with its own schema, padded
+    feed = change_feed(spark, tdir)
+    assert set(feed.columns) == {"k", "s", "v", "_version"}
+
+
+def test_pdf15_objstm_xref_cmap_roundtrip(tmp_path):
+    """PDF 1.5 reader (r11): object streams expanded, xref STREAM
+    parsed (PNG-Up predictor and raw), 2-byte ToUnicode CMap decode
+    on hex strings, WinAnsi (cp1252) literal decode — and graceful
+    degradation on truncation/garbage/bad-startxref."""
+    import os
+
+    from artis_data_ingest_spark.sources.pdf import (
+        extract_pdf_text,
+        write_pdf_15,
+    )
+
+    p = str(tmp_path / "cmap.pdf")
+    write_pdf_15(
+        p,
+        [["hello café € 42", "row two here"], ["page deux éñ"]],
+        font_kind="cmap",
+        predictor=True,
+    )
+    blob = open(p, "rb").read()
+    assert b"/ObjStm" in blob and b"/XRef" in blob and b"xref\n0 " not in blob
+    m = extract_pdf_text(blob)
+    assert m["ok"] and m["n_pages"] == 2 and m["n_text_ops"] == 3
+    assert m["text"] == "hello café € 42\nrow two here\npage deux éñ"
+
+    # WinAnsi path: cp1252 specials (em dash, euro) via literal strings
+    p2 = str(tmp_path / "winansi.pdf")
+    write_pdf_15(
+        p2, [["Résumé (v2) — wait", "plain ascii"]],
+        font_kind="winansi", predictor=False,
+    )
+    m2 = extract_pdf_text(open(p2, "rb").read())
+    assert m2["text"] == "Résumé (v2) — wait\nplain ascii"
+    assert m2["n_pages"] == 1 and m2["n_text_ops"] == 2
+
+    # truncation before the xref stream: scan + ObjStm still recover
+    sx = blob.rfind(b"startxref")
+    trunc = blob[: blob.rfind(b" 0 obj", 0, sx)]
+    mt = extract_pdf_text(trunc)
+    assert mt["ok"] and mt["text"] == m["text"]
+
+    # startxref pointing nowhere: xref ignored, scan path identical
+    bad = blob[:sx] + b"startxref\n999999999\n%%EOF\n"
+    assert extract_pdf_text(bad)["text"] == m["text"]
+
+    # mid-ObjStm truncation: pages lost, no crash, ok stays true
+    i = blob.find(b"/ObjStm")
+    md = extract_pdf_text(blob[: i + 40])
+    assert md["ok"] and md["n_pages"] == 0
+
+    # garbage: ok=false, empty
+    g = extract_pdf_text(b"%PDF-1.5 garbage with no object at all")
+    assert not g["ok"] and g["n_pages"] == 0 and g["text"] == ""
+
+    os.unlink(p)
+
+
+def test_pdf15_bfrange_forms_and_predictor_decode():
+    """CMap bfrange contiguous + array forms both decode; the PNG
+    predictor inverse reconstructs Up/Sub/None rows exactly."""
+    from artis_data_ingest_spark.sources.pdf import (
+        _FontDecoder,
+        _parse_tounicode,
+        _png_unpredict,
+    )
+
+    cmap = (
+        b"2 beginbfrange\n"
+        b"<0041> <0043> <0061>\n"          # A..C -> a..c (contiguous)
+        b"<0050> <0051> [<0058> <0059>]\n"  # P,Q -> X,Y (array)
+        b"endbfrange\n"
+        b"1 beginbfchar\n<00e9> <00e9>\nendbfchar\n"
+    )
+    table, width = _parse_tounicode(cmap)
+    assert width == 2
+    dec = _FontDecoder(table=table, width=width)
+    raw = bytes.fromhex("00410042004300500051" + "00e9")
+    assert dec.decode(raw) == "abcXYé"
+
+    # predictor: rows [1,2,3,4], [5,6,7,8] under Up then Sub then None
+    rows = [bytes([1, 2, 3, 4]), bytes([5, 6, 7, 8])]
+    up = bytes([2, 1, 2, 3, 4]) + bytes(
+        [2] + [(rows[1][i] - rows[0][i]) & 0xFF for i in range(4)]
+    )
+    assert _png_unpredict(up, 4) == b"".join(rows)
+    sub = bytes([1, 1, 1, 1, 1]) + bytes([0, 9, 9, 9, 9])
+    assert _png_unpredict(sub, 4) == bytes([1, 2, 3, 4, 9, 9, 9, 9])

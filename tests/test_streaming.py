@@ -880,3 +880,38 @@ def test_versioned_stream_appends_exactly_once(spark, tmp_path):
     assert counts == sorted(counts) and counts[-1] == 90
     modes = [r.mode for r in history(spark, tdir).collect()]
     assert modes.count("append") == 2
+
+
+def test_versioned_stream_replay_dedup_survives_retention(spark, tmp_path):
+    """Replay dedup must not depend on manifest retention: if expire()
+    runs with a window shorter than the replay window, a manifest-note-
+    only scan would re-commit the replayed batch (duplicate rows).  The
+    writer persists batch-id markers under _batch_commits/ that
+    expire() never touches, so the replay stays a no-op."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        expire,
+        latest_version,
+        list_versions,
+        read_version,
+    )
+    from artis_data_ingest_spark.streaming.sink import (
+        versioned_batch_writer,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    writer = versioned_batch_writer(tdir)
+    for b in range(4):
+        writer(
+            spark.range(10 * b, 10 * b + 3).select(F.col("id").alias("k")),
+            b,
+        )
+    assert latest_version(tdir) == 3
+    n = read_version(spark, tdir).count()
+    # retention shorter than the replay window: batch 0's manifest gone
+    expire(tdir, keep_last=2)
+    assert list_versions(tdir) == [2, 3]
+    # replay batch 0 — its commit note is no longer in any retained
+    # manifest; only the marker prevents a duplicate commit
+    writer(spark.range(0, 3).select(F.col("id").alias("k")), 0)
+    assert latest_version(tdir) == 3
+    assert read_version(spark, tdir).count() == n

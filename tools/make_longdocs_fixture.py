@@ -18,9 +18,11 @@ The oracle and the brute-force test both recompute the ground truth
 from the parquet itself, so the exact random content is free — only
 the id/edge contract and length band are pinned.
 
-Parquet bytes are reproducible: fixed schema, no compression-level
-ambiguity (explicit snappy), pyarrow writes deterministically for a
-fixed table.
+The content is reproducible from the repo alone; --check compares
+LOGICAL content (read both parquets, compare frames) rather than raw
+bytes, because pyarrow embeds its own version in the file's
+created_by metadata and encoding defaults drift across releases — a
+byte compare would report spurious MISMATCH on any other pyarrow.
 """
 
 from __future__ import annotations
@@ -66,23 +68,18 @@ def build_docs() -> pd.DataFrame:
 
 
 def main(check_only: bool) -> int:
-    import io
-
     df = build_docs()
-    buf = io.BytesIO()
-    df.to_parquet(buf, engine="pyarrow", compression="snappy", index=False)
-    fresh = buf.getvalue()
     if check_only:
-        with open(TARGET, "rb") as f:
-            committed = f.read()
-        if committed == fresh:
+        committed = pd.read_parquet(TARGET, engine="pyarrow")
+        if committed.reset_index(drop=True).equals(df):
             print(f"OK        {os.path.relpath(TARGET, REPO)}")
             return 0
         print(f"MISMATCH  {os.path.relpath(TARGET, REPO)}")
         return 1
     os.makedirs(os.path.dirname(TARGET), exist_ok=True)
-    with open(TARGET, "wb") as f:
-        f.write(fresh)
+    df.to_parquet(
+        TARGET, engine="pyarrow", compression="snappy", index=False
+    )
     print(f"wrote     {os.path.relpath(TARGET, REPO)} "
           f"({len(df)} docs, max {df['text'].str.len().max()} chars)")
     return 0

@@ -20,7 +20,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 from artis_data_ingest_spark.sources.docx import write_docx  # noqa: E402
-from artis_data_ingest_spark.sources.pdf import write_pdf  # noqa: E402
+from artis_data_ingest_spark.sources.pdf import (  # noqa: E402
+    write_pdf,
+    write_pdf_15,
+)
 
 
 def docx_fixture_set() -> dict[str, list[str] | bytes]:
@@ -63,6 +66,34 @@ def pdf_fixture_set() -> dict[str, tuple[list[list[str]], bool] | bytes]:
     return out
 
 
+def pdf15_fixture_set() -> dict[str, tuple | bytes]:
+    """modern-i has 2-(i%2) pages; page p = 2+p+i lines.  i<2 use a
+    Type0 font with a /ToUnicode CMap and HEX strings (line =
+    'm{i}p{p}l{k} café éñ€{k}' — all chars in CMAP_ALPHABET); i=2
+    uses /WinAnsiEncoding literal strings with cp1252-only specials
+    ('M{i}p{p}l{k} — déjà €{k}').  Predictor alternates (i != 1) so
+    both raw and PNG-Up xref streams are committed — exactly the
+    q_pdf_modern oracle's formula."""
+    out: dict[str, tuple | bytes] = {}
+    for i in range(3):
+        pages = []
+        for p in range(2 - (i % 2)):
+            if i < 2:
+                lines = [
+                    f"m{i}p{p}l{k} café éñ€{k}" for k in range(2 + p + i)
+                ]
+            else:
+                lines = [
+                    f"M{i}p{p}l{k} — déjà €{k}" for k in range(2 + p + i)
+                ]
+            pages.append(lines)
+        out[f"modern-{i}.pdf"] = (
+            pages, "cmap" if i < 2 else "winansi", i != 1
+        )
+    out["modern-broken.pdf"] = b"%PDF-1.5 garbage with no object at all"
+    return out
+
+
 def _emit(path: str, make) -> bytes:
     make(path)
     with open(path, "rb") as f:
@@ -78,6 +109,8 @@ def main(check_only: bool) -> int:
         jobs.append((os.path.join(REPO, "data", "docx", name), spec))
     for name, spec in pdf_fixture_set().items():
         jobs.append((os.path.join(REPO, "data", "pdf", name), spec))
+    for name, spec in pdf15_fixture_set().items():
+        jobs.append((os.path.join(REPO, "data", "pdf15", name), spec))
     for target, spec in jobs:
         with tempfile.TemporaryDirectory() as d:
             tmp = os.path.join(d, os.path.basename(target))
@@ -86,6 +119,11 @@ def main(check_only: bool) -> int:
                     f.write(spec)
             elif target.endswith(".docx"):
                 write_docx(tmp, spec)
+            elif os.sep + "pdf15" + os.sep in target:
+                pages, font_kind, predictor = spec
+                write_pdf_15(
+                    tmp, pages, font_kind=font_kind, predictor=predictor
+                )
             else:
                 pages, compress = spec
                 write_pdf(tmp, pages, compress=compress)

@@ -66,9 +66,11 @@ def _decode_stub(blob: bytes, kind: str, dim: int = 16) -> np.ndarray:
     """STUB CODEC — deterministic fake feature extraction, now only the
     fallback for compressed-media SAMPLES: H.264 pixel decode
     (CABAC/CAVLC + transforms — stream/SPS METADATA extracts for real
-    via operators/h264.py since r9) and MP3 PCM (sync-frame METADATA
+    via operators/h264.py since r9), MP3 PCM (sync-frame METADATA
     extracts for real via operators/mp3.py since r9; samples need
-    huffman+IMDCT), plus container-less test blobs.  PNG pixels, JPEG (baseline,
+    huffman+IMDCT) and MP4 sample data (container METADATA — boxes,
+    duration, geometry, codec fourccs — extracts for real via
+    operators/mp4.py since r11), plus container-less test blobs.  PNG pixels, JPEG (baseline,
     4:2:0/4:2:2 subsampled AND progressive as of r8), PCM-WAV samples
     and uncompressed AVI frames all decode for real (``decode_png`` /
     ``jpeg.decode_jpeg`` / ``decode_wav`` / ``decode_avi``); see
@@ -475,6 +477,16 @@ def parse_media_header(blob: bytes) -> dict:
         w, h_signed = struct.unpack("<ii", blob[18:26])
         return {"detected": "bmp", "width": w, "height": abs(h_signed),
                 "sample_rate": None}
+    if blob[4:8] == b"ftyp" or blob[4:8] == b"moov":
+        # ISO-BMFF (r11): real box walk via operators/mp4.py
+        from .mp4 import parse_mp4
+
+        meta = parse_mp4(blob)
+        if meta["valid"]:
+            return {"detected": "mp4",
+                    "width": meta["width"] or None,
+                    "height": meta["height"] or None,
+                    "sample_rate": None}
     return {"detected": "unknown", "width": None, "height": None,
             "sample_rate": None}
 

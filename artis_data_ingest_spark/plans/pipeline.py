@@ -1531,6 +1531,61 @@ def q_h264_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h264_metadata(media).orderBy("media_id")
 
 
+@register(
+    "q_mp4_metadata",
+    oracle="""
+WITH d AS (
+  SELECT i,
+         CASE WHEN i = 5 THEN '' ELSE 'isom' END AS major_brand,
+         CAST(CASE i % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+              ELSE 90000 END AS BIGINT) AS timescale,
+         CAST((3 + i) * 1000000 AS BIGINT) AS duration_us,
+         CAST(1 + (i % 3) AS BIGINT) AS n_tracks,
+         CASE WHEN i % 3 = 0 THEN 'avc1' ELSE 'avc1,mp4a' END AS codecs,
+         CAST(CASE WHEN i % 3 = 2 THEN 960 ELSE 320 END AS BIGINT) AS width,
+         CAST(CASE WHEN i % 3 = 2 THEN 720 ELSE 240 END AS BIGINT) AS height,
+         CAST(CASE WHEN i = 5 THEN 0 ELSE 1 END
+              + 2 + 7 * (1 + (i % 3))
+              + CASE WHEN i = 2 THEN 2 ELSE 0 END
+              + CASE WHEN i = 4 THEN 0 ELSE 1 END AS BIGINT) AS n_boxes,
+         CAST(CASE WHEN i = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_unknown,
+         (i = 4) AS truncated
+  FROM range(6) t(i)
+)
+SELECT CAST(i AS BIGINT) AS media_id, TRUE AS valid, major_brand,
+       timescale, duration_us, n_tracks, codecs, width, height,
+       n_boxes, n_unknown, truncated
+FROM d
+UNION ALL
+SELECT 6, FALSE, '', 0, 0, 0, '', 0, 0, 0, 0, TRUE
+ORDER BY media_id
+""",
+    doc="MP4/ISO-BMFF container metadata (r11, closing the r9/r10 "
+    "verdict's dominant-video-transport gap the way q_mp3_metadata "
+    "and q_h264_metadata shrank the audio and elementary-stream "
+    "stubs; operators/mp4.py): stdlib-pure box walk — 32-bit and "
+    "64-bit (largesize) headers, size-0 to-end boxes, container "
+    "recursion (moov/trak/mdia/minf/stbl) — extracting ftyp major "
+    "brand, mvhd timescale+duration in BOTH version layouts "
+    "(duration_us integer-exact), tkhd 16.16 fixed-point geometry "
+    "(max over tracks), and stsd sample-entry codec fourccs.  "
+    "Unknown boxes are skipped by size and counted, a size overrun "
+    "marks the clip truncated with all prior metadata intact, and "
+    "non-box garbage degrades to valid=false.  Fixture clips are "
+    "formula-driven real ISO-BMFF (1-3 tracks, avc1+mp4a, a free + "
+    "unknown-box clip, a largesize mdat, a mid-mdat truncation, a "
+    "missing-ftyp clip, pure garbage), so the closed-form oracle "
+    "catches any box mis-walk, version-layout mixup, or fixed-point "
+    "shift error.  Arrow-batched mapInPandas, one header-only pass "
+    "per blob — no sample decode.",
+)
+def q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mp4 import mp4_media, mp4_metadata
+
+    media = mp4_media(spark)
+    return mp4_metadata(media).orderBy("media_id")
+
+
 def _versioned_demo_path(sf_dir: str, name: str) -> str:
     """Demo-table path keyed by (sf_dir, pid): concurrent invocations
     (gate vs bench, two sf sizes) each get their own directory, so one

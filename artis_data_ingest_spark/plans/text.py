@@ -50,14 +50,30 @@ ORDER BY doc_id
     bench=True,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE(r11, measured at 10x/sf0.1): project-then-orderBy ran the
+    # regex projections TWICE (range-bound sampling + the real
+    # exchange), and orderBy-then-project let AQE coalesce the tiny
+    # post-sort partitions to one, serializing the regex work.  The
+    # explicit range repartition on the RAW rows (sampling touches
+    # only the scan) + sortWithinPartitions keeps the presentation
+    # order AND runs the per-doc expressions exactly once, in
+    # parallel; with the translate()-based n_alnum_chars the 10x
+    # scale ratio dropped 6.1x -> ~3x.  defaultParallelism, not a
+    # constant, so a real cluster fans out to its cores.
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        n_tokens("text").alias("n_tokens"),
-        n_alnum_chars("text").alias("n_alnum"),
-        regex_token_count("text").alias("n_regex_tokens"),
-        "n_chars",
-    ).orderBy("doc_id")
+    n_parts = spark.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text", "n_chars")
+        .repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .select(
+            "doc_id",
+            n_tokens("text").alias("n_tokens"),
+            n_alnum_chars("text").alias("n_alnum"),
+            regex_token_count("text").alias("n_regex_tokens"),
+            "n_chars",
+        )
+    )
 
 
 @register(

@@ -127,78 +127,76 @@ def segment_vocabulary(docs: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(qtot))
         .select("piece", (F.col("q") - F.col("qtot")).alias("es"))
     )
-    edges = (
-        occ.join(vocab_s, "piece")
-        .select("word", "i", "j", "piece", "es")
-        .localCheckpoint()
+    edges = occ.join(vocab_s, "piece").select(
+        "word", "wlen", "wcount", "i", "j", "piece", "es"
     )
-    maxlen = wc.agg(F.max("wlen")).collect()[0][0] or 0  # bounded probe
-    best_by_j: dict[int, DataFrame] = {
-        0: wc.select(
-            "word",
-            F.lit(0).cast("bigint").alias("j"),
-            F.lit(0).cast("bigint").alias("value"),
-            F.lit(0).cast("bigint").alias("np"),
-            F.lit("").alias("path"),
-        ).localCheckpoint()
-    }
-    for r in range(1, min(int(maxlen), _MAX_WORD) + 1):
-        prevs = [
-            best_by_j[i]
-            for i in range(max(0, r - _MAX_PIECE), r)
-            if i in best_by_j
-        ]
-        prev = prevs[0]
-        for p in prevs[1:]:
-            prev = prev.unionByName(p)
-        cand = edges.filter(F.col("j") == r).join(
-            prev.select(
-                "word",
-                F.col("j").alias("i"),
-                F.col("value").alias("pv"),
-                F.col("np").alias("pn"),
-                F.col("path").alias("pp"),
-            ),
-            ["word", "i"],
-        )
-        win = (
-            cand.groupBy("word")
-            .agg(
-                F.max(
-                    F.struct(
-                        (F.col("pv") + F.col("es")).alias("value"),
-                        (-(F.col("pn") + 1)).alias("negnp"),
-                        (-F.col("i")).alias("negi"),
-                        F.when(F.col("pp") == "", F.col("piece"))
-                        .otherwise(
-                            F.concat_ws(" ", F.col("pp"), F.col("piece"))
-                        )
-                        .alias("path"),
+    # NOTE(r11, measured): the DP used to run as <= 16 driver-sequenced
+    # rounds (filter j==r -> join prior frontier -> per-word argmax ->
+    # localCheckpoint), which made the query latency-bound by job
+    # count, not data: 5.8s at sf0.1 with every round a barrier.  (The
+    # r9-rejected variant — checkpointing only every _MAX_PIECE rounds,
+    # commit a2b8f26 — made it WORSE, 9.6s, by re-executing lazy
+    # rounds.)  The DP is local to a word, so the Spark-right shape is
+    # one shuffle that brings each word's <= wlen*_MAX_PIECE scored
+    # edges together and one Arrow-batched pass that runs the exact
+    # same integer Viterbi per word in-process: identical bigint
+    # scores, identical (value DESC, np ASC, i ASC) tie order, zero
+    # sequential barriers.  At 100 TB this is also the better scale
+    # story: the shuffle is vocabulary-bounded (distinct words, never
+    # the corpus), and rounds no longer serialize cluster-wide.
+    per_word = edges.groupBy("word", "wlen", "wcount").agg(
+        F.collect_list(F.struct("i", "j", "piece", "es")).alias("edges")
+    )
+
+    def _viterbi(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for word, wlen, wcount, eds in zip(
+                pdf["word"], pdf["wlen"], pdf["wcount"], pdf["edges"]
+            ):
+                n = int(wlen)
+                by_j: dict[int, list] = {}
+                for e in eds:
+                    by_j.setdefault(int(e["j"]), []).append(
+                        (int(e["i"]), e["piece"], int(e["es"]))
                     )
-                ).alias("w")
+                # best[j] = (value, np, path); ties broken by
+                # (value DESC, np ASC, i ASC) — the same total order
+                # the oracle's QUALIFY uses
+                best: list = [None] * (n + 1)
+                best[0] = (0, 0, "")
+                for j in range(1, n + 1):
+                    pick = None
+                    pick_key = None
+                    for i, piece, es in by_j.get(j, ()):
+                        p = best[i]
+                        if p is None:
+                            continue
+                        key = (p[0] + es, -(p[1] + 1), -i)
+                        if pick_key is None or key > pick_key:
+                            pick_key = key
+                            pick = (
+                                p[0] + es,
+                                p[1] + 1,
+                                piece if p[2] == "" else p[2] + " " + piece,
+                            )
+                    best[j] = pick
+                fin = best[n]
+                if fin is not None:
+                    out.append(
+                        (word, int(wcount), n, fin[2], fin[0], fin[1])
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["word", "wcount", "wlen", "path", "value", "np"],
             )
-            .select(
-                "word",
-                F.lit(r).cast("bigint").alias("j"),
-                F.col("w.value").alias("value"),
-                (-F.col("w.negnp")).alias("np"),
-                F.col("w.path").alias("path"),
-            )
-        )
-        # NOTE(r9, measured): checkpointing only every _MAX_PIECE
-        # rounds LOSES (6.1s -> 9.6s at sf0.1) — a lazy round is
-        # re-executed by every later round that references it (up to
-        # _MAX_PIECE consumers) plus the final union, and that
-        # redundant recomputation outweighs the saved job launches.
-        # The per-round eager checkpoint stands.
-        best_by_j[r] = win.localCheckpoint()
-    all_best = best_by_j[0]
-    for r in sorted(best_by_j)[1:]:
-        all_best = all_best.unionByName(best_by_j[r])
-    return (
-        wc.join(
-            all_best.withColumnRenamed("j", "wlen"), ["word", "wlen"]
-        ).select("word", "wcount", "wlen", "path", "value", "np")
+
+    return per_word.mapInPandas(
+        _viterbi,
+        "word string, wcount bigint, wlen bigint, path string, "
+        "value bigint, np bigint",
     )
 
 

@@ -2040,30 +2040,48 @@ WITH grid AS (
 ), docs AS (
   SELECT 'doc-' || i || '.docx' AS path, TRUE AS ok,
          CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+         CAST(0 AS BIGINT) AS n_tables,
          string_agg(body, chr(10) ORDER BY p) AS text
   FROM shaped GROUP BY i
+), with_report AS (
+  SELECT * FROM docs
+  UNION ALL
+  SELECT 'report.docx', TRUE, 7, 1,
+         'hdr quarterly report' || chr(10) ||
+         'intro para alpha' || chr(10) ||
+         'name' || chr(9) || 'qty' || chr(10) ||
+         'fish' || chr(9) || '12' || chr(10) ||
+         'crab' || chr(9) || '7' || chr(10) ||
+         'closing para omega' || chr(10) ||
+         'ftr page one'
 )
-SELECT path, ok, n_paragraphs,
+SELECT path, ok, n_paragraphs, n_tables,
        CAST(len(list_filter(string_split_regex(text, '[ \\t\\n]+'),
                             x -> x <> '')) AS BIGINT) AS n_words,
        text
-FROM docs
+FROM with_report
 UNION ALL
-SELECT 'broken.docx', FALSE, 0, 0, ''
+SELECT 'broken.docx', FALSE, 0, 0, 0, ''
 ORDER BY path
 """,
-    doc="DOCX text extraction (r9, sources/docx.py): the stdlib OOXML "
-    "pattern the xlsx reader established, applied to word/document.xml "
-    "— <w:t> runs join in document order, <w:tab/>/<w:br/> become "
-    "real whitespace, malformed archives degrade to ok=false rows "
-    "(the S-series corrupt-tolerance discipline).  Fleet shape: one "
-    "binaryFile row per document, parsed inside executor tasks via "
-    "mapInPandas (documents are the parallelism unit for an "
-    "unsplittable container).  The committed fixtures are written by "
-    "our own minimal conformant package writer from a formula, so the "
-    "oracle reconstructs every byte of extracted text in SQL — a "
-    "reader that drops a run, misorders paragraphs, or mishandles "
-    "tab/br marks hash-mismatches.",
+    doc="DOCX text extraction (r9; r11 completes it per the verdict's "
+    "ask — sources/docx.py): the stdlib OOXML pattern the xlsx reader "
+    "established, applied to word/document.xml — <w:t> runs join in "
+    "document order, <w:tab/>/<w:br/> become real whitespace, "
+    "malformed archives degrade to ok=false rows (the S-series "
+    "corrupt-tolerance discipline) — PLUS the content report-style "
+    "documents hide outside the paragraph stream: TABLES (w:tbl rows "
+    "render one line per w:tr, cells tab-joined, nested tables "
+    "recursed), HEADERS/FOOTERS (word/header*.xml / footer*.xml "
+    "paragraphs prepend/append in member order) and footnote text.  "
+    "Fleet shape: one binaryFile row per document, parsed inside "
+    "executor tasks via mapInPandas (documents are the parallelism "
+    "unit for an unsplittable container).  The committed fixtures "
+    "are written by our own minimal conformant package writer from a "
+    "formula — report.docx carries a header, footer, and 3x2 table — "
+    "so the oracle reconstructs every byte of extracted text in SQL; "
+    "a reader that drops a cell, misorders rows, or loses a header "
+    "hash-mismatches.",
 )
 def q_docx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.docx import read_docx_fleet

@@ -1015,3 +1015,53 @@ def test_pdf15_bfrange_forms_and_predictor_decode():
     assert _png_unpredict(up, 4) == b"".join(rows)
     sub = bytes([1, 1, 1, 1, 1]) + bytes([0, 9, 9, 9, 9])
     assert _png_unpredict(sub, 4) == bytes([1, 2, 3, 4, 9, 9, 9, 9])
+
+
+def test_docx_tables_headers_footers_footnotes(tmp_path):
+    """sources/docx.py (r11): w:tbl rows render tab-joined in document
+    order (nested tables recursed), header/footer paragraphs wrap the
+    body, footnote text lands after it, and a broken side part never
+    loses the body."""
+    import zipfile as zf_mod
+
+    from artis_data_ingest_spark.sources.docx import (
+        parse_docx_bytes,
+        write_docx,
+    )
+
+    p = str(tmp_path / "r.docx")
+    write_docx(
+        p,
+        ["before", [["a", "b"], ["c", "d"]], "after"],
+        headers=["head line"],
+        footers=["foot line"],
+    )
+    ok, lines, n_tables = parse_docx_bytes(open(p, "rb").read())
+    assert ok and n_tables == 1
+    assert lines == [
+        "head line", "before", "a\tb", "c\td", "after", "foot line",
+    ]
+
+    # nested table: a cell whose content is itself a table
+    inner = (
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>x</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:tbl><w:tr><w:tc><w:p><w:r><w:t>deep</w:t></w:r>"
+        "</w:p></w:tc></w:tr></w:tbl></w:tc></w:tr></w:tbl>"
+    )
+    doc = (
+        '<?xml version="1.0"?><w:document xmlns:w="http://schemas.'
+        'openxmlformats.org/wordprocessingml/2006/main"><w:body>'
+        + inner + "</w:body></w:document>"
+    )
+    import io as io_mod
+    buf = io_mod.BytesIO()
+    with zf_mod.ZipFile(buf, "w") as z:
+        z.writestr("word/document.xml", doc)
+        z.writestr("word/footnotes.xml",
+                   '<w:footnotes xmlns:w="http://schemas.openxmlformats'
+                   '.org/wordprocessingml/2006/main"><w:p/><w:p><w:r>'
+                   "<w:t>note one</w:t></w:r></w:p></w:footnotes>")
+        z.writestr("word/header1.xml", "<broken xml")  # tolerated
+    ok2, lines2, nt2 = parse_docx_bytes(buf.getvalue())
+    assert ok2 and nt2 == 2
+    assert lines2 == ["x\tdeep", "note one"]

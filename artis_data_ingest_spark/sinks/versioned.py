@@ -150,6 +150,70 @@ def _write_segment(df: DataFrame, table_dir: str, version: int) -> list[str]:
     )
 
 
+def _file_stats(files: list[str]) -> dict:
+    """Per-file column min/max/null-count from the parquet FOOTERS —
+    a driver-side metadata read (no data pages), recorded in the
+    manifest at commit time exactly like Iceberg/Delta write file
+    stats into their manifests.  Only primitive comparable types are
+    kept; a column with no usable stats is simply absent (scan()
+    treats absence as "cannot prune").  Note: Spark writes timestamps
+    as INT96 by default, which carries no parquet min/max — cast a
+    timestamp partition key to DATE before committing if it should
+    drive skipping."""
+    import datetime
+    import decimal
+
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # stats are an optimization, never a gate
+        return {}
+
+    def _plain(v):
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, (datetime.date, datetime.datetime)):
+            return v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        return None
+
+    out: dict = {}
+    for path in files:
+        try:
+            md = pq.ParquetFile(path).metadata
+        except Exception:  # unreadable footer: no stats, still listed
+            continue
+        if md.num_rows == 0:
+            # an empty file matches nothing — prunable under ANY filter
+            out[os.path.abspath(path)] = {"__rows": 0}
+            continue
+        cols: dict = {}
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            for ci in range(grp.num_columns):
+                col = grp.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = _plain(st.min), _plain(st.max)
+                if lo is None or hi is None:
+                    continue
+                name = col.path_in_schema
+                if name in cols:
+                    plo, phi = cols[name]
+                    cols[name] = [min(plo, lo), max(phi, hi)]
+                else:
+                    cols[name] = [lo, hi]
+        if cols:
+            out[os.path.abspath(path)] = cols
+    return out
+
+
 def _publish(table_dir: str, manifest: dict) -> int:
     """Atomically publish a manifest; raises VersionConflict if the
     version was claimed concurrently."""
@@ -199,8 +263,13 @@ def commit(
     _check_expected(cur, expect_version)
     new_version = (cur if cur is not None else -1) + 1
     seg_files = _write_segment(df, table_dir, new_version)
+    stats = _file_stats(seg_files)
     if mode == "append" and cur is not None:
-        files = _read_manifest(table_dir, cur)["files"] + seg_files
+        parent = _read_manifest(table_dir, cur)
+        files = parent["files"] + seg_files
+        # carry the parent's file stats forward so a pruned scan of
+        # version N skips across ALL segments, not just the newest
+        stats = {**parent.get("stats", {}), **stats}
     else:
         files = seg_files
     return _publish(table_dir, {
@@ -209,6 +278,7 @@ def commit(
         "mode": mode,
         "note": note,
         "files": files,
+        "stats": stats,
     })
 
 
@@ -238,6 +308,7 @@ def compact(
         "mode": "compact",
         "note": note,
         "files": seg_files,
+        "stats": _file_stats(seg_files),
     })
 
 
@@ -282,6 +353,7 @@ def merge_commit(
         "note": note,
         "files": seg_files,
         "delta_files": delta_files,
+        "stats": _file_stats(seg_files),
     })
 
 
@@ -306,6 +378,105 @@ def read_version(
     if not files:
         raise FileNotFoundError(f"v{version} has no files")
     return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def _normalize_stat_value(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _may_match(bounds, op: str, val) -> bool:
+    """Can a file whose column spans ``bounds`` contain a row matching
+    ``col <op> val``?  Absent/incomparable stats → True (never prune
+    on uncertainty — pruning must be sound, not complete)."""
+    if bounds is None:
+        return True
+    lo, hi = bounds
+    try:
+        if op == "=":
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+    except TypeError:
+        return True
+    return True  # unknown operator: no pruning
+
+
+def prune_files(
+    table_dir: str,
+    filters: Sequence[tuple],
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """(files that may match, total files) for a conjunctive filter
+    list ``[(col, op, value), ...]`` with op in = < <= > >= — decided
+    ENTIRELY from the manifest's recorded footer stats, zero data
+    reads.  This is Iceberg/Delta data skipping reduced to the stdlib:
+    at 100 TB a selective predicate turns a table scan into a handful
+    of file reads, and the decision cost is O(files) driver-side
+    arithmetic."""
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no versions in {table_dir}")
+    m = _read_manifest(table_dir, version)
+    files = m["files"]
+    stats = m.get("stats", {})
+    norm = [(c, op, _normalize_stat_value(v)) for c, op, v in filters]
+    kept = []
+    for f in files:
+        entry = stats.get(os.path.abspath(f), {})
+        if entry.get("__rows") == 0:
+            continue  # known-empty file: matches nothing
+        if all(
+            _may_match(entry.get(col), op, val) for col, op, val in norm
+        ):
+            kept.append(f)
+    return kept, len(files)
+
+
+def scan(
+    spark: SparkSession,
+    table_dir: str,
+    filters: Sequence[tuple] = (),
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned time-travel read: only files whose manifest stats
+    may satisfy ``filters`` are opened; the filters are then applied
+    row-level too (stats pruning is file-granular, the residual
+    predicate is exact).  With no prunable file left, one file is
+    still read so the result keeps the table schema (the residual
+    filter drops every row)."""
+    from pyspark.sql import functions as F
+
+    kept, total = prune_files(table_dir, filters, version)
+    if not kept:
+        m_version = version if version is not None else latest_version(
+            table_dir
+        )
+        kept = _read_manifest(table_dir, m_version)["files"][:1]
+    df = spark.read.option("mergeSchema", "true").parquet(*kept)
+    ops = {
+        "=": lambda c, v: c == v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+    }
+    for col, op, val in filters:
+        df = df.filter(ops[op](F.col(col), F.lit(val)))
+    return df
 
 
 def history(spark: SparkSession, table_dir: str) -> DataFrame:

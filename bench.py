@@ -104,12 +104,12 @@ SCALE_QUERIES = [
 ]
 
 
-def _ensure_scale_dir(spark, sf_dir: str) -> str:
+def _ensure_scale_dir(spark, sf_dir: str, copies: int = SCALE_COPIES) -> str:
     import shutil
 
     from pyspark.sql import functions as F
 
-    out = Path(_REPO) / "data" / "cache" / f"scale{SCALE_COPIES}x"
+    out = Path(_REPO) / "data" / "cache" / f"scale{copies}x"
     done = out / "_SUCCESS_ALL"
     if done.exists():
         return str(out)
@@ -118,7 +118,7 @@ def _ensure_scale_dir(spark, sf_dir: str) -> str:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     doc_copies = []
     emb_copies = []
-    for c in range(SCALE_COPIES):
+    for c in range(copies):
         k = F.pmod(F.lit(37 * c), F.greatest(F.length("text"), F.lit(1)))
         rotated = F.concat(
             F.lit(f"c{c} " if c else ""),
@@ -168,29 +168,43 @@ def _ensure_scale_dir(spark, sf_dir: str) -> str:
     return str(out)
 
 
-def _scale_section(spark, sf_dir: str, base: dict[str, float]) -> dict:
+def _scale_section(
+    spark,
+    sf_dir: str,
+    base: dict[str, float],
+    copies: int = SCALE_COPIES,
+    queries: list[str] | None = None,
+) -> dict:
     registry = plans.all_queries()
-    scale_dir = _ensure_scale_dir(spark, sf_dir)
+    scale_dir = _ensure_scale_dir(spark, sf_dir, copies)
     rows = {}
-    for name in SCALE_QUERIES:
+    for name in queries or SCALE_QUERIES:
         fn = registry[name].fn
         runs = []
         for _ in range(2):
             t0 = time.time()
             fn(spark, scale_dir).collect()
             runs.append(round(time.time() - t0, 3))
-        t10 = min(runs)
+        tn = min(runs)
         b = base.get(name)
         rows[name] = {
-            "sec": t10,
+            "sec": tn,
             "base_sec": b,
-            "ratio": round(t10 / b, 2) if b else None,
+            "ratio": round(tn / b, 2) if b else None,
         }
     return {
-        "copies": SCALE_COPIES,
+        "copies": copies,
         "dir": scale_dir,
         "queries": rows,
     }
+
+
+# 100x spot check (VERDICT r9 task 9 / r10 carry): the two dedup-chain
+# anchors re-run against a 100x corpus to pin the O(batch)/banded-LSH
+# claims beyond the 10x curve — a quadratic pair blowup or a
+# CC-iteration explosion would show as a ratio far above 100.
+SCALE100_COPIES = 100
+SCALE100_QUERIES = ["q_dup_clusters", "q_minhash_portable_stats"]
 
 
 def main() -> None:
@@ -267,6 +281,13 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - scale evidence is
             # additive; never break the primary bench line over it
             out["scale10x"] = {"error": repr(e)}
+        try:
+            out["scale100x"] = _scale_section(
+                spark, sf_dir, timings,
+                copies=SCALE100_COPIES, queries=SCALE100_QUERIES,
+            )
+        except Exception as e:  # noqa: BLE001
+            out["scale100x"] = {"error": repr(e)}
     print(json.dumps(out))
 
 

@@ -1065,3 +1065,47 @@ def test_docx_tables_headers_footers_footnotes(tmp_path):
     ok2, lines2, nt2 = parse_docx_bytes(buf.getvalue())
     assert ok2 and nt2 == 2
     assert lines2 == ["x\tdeep", "note one"]
+
+
+def test_versioned_file_skipping(spark, tmp_path):
+    """Manifest-stats pruning (r11): commits record per-file footer
+    min/max; prune_files drops files whose bounds cannot match, keeps
+    files without stats (sound, not complete), prunes known-empty
+    files, and appends carry the parent's stats forward."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        _read_manifest,
+        commit,
+        prune_files,
+        scan,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1)
+    commit(mk(0, 100), tdir, mode="overwrite", note="a",
+           expect_version=None)
+    commit(mk(100, 200), tdir, mode="append", note="b", expect_version=0)
+    commit(mk(200, 300), tdir, mode="append", note="c", expect_version=1)
+    # appends carried stats forward: all 3 files have recorded bounds
+    m = _read_manifest(tdir, 2)
+    assert len(m["stats"]) == 3
+    for op, val, want in [("=", 150, 1), (">=", 250, 1), ("<", 50, 1),
+                          ("<=", 100, 2), (">", 99, 2), ("=", 999, 0)]:
+        kept, total = prune_files(tdir, [("k", op, val)])
+        assert (len(kept), total) == (want, 3), (op, val)
+    # conjunction narrows across segments; row-level residual is exact
+    df = scan(spark, tdir, [("k", ">=", 150), ("k", "<", 250)])
+    assert df.count() == 100
+    assert scan(spark, tdir, [("k", ">", 10_000)]).count() == 0
+    # empty segment: recorded as zero-row, pruned under any filter
+    commit(mk(0, 100).filter("k < 0"), tdir, mode="append", note="empty",
+           expect_version=2)
+    kept, total = prune_files(tdir, [("k", ">=", 0)])
+    assert total == 4 and len(kept) == 3
+    # unknown column / no stats: never prunes
+    kept, _ = prune_files(tdir, [("nope", "=", 1)])
+    assert len(kept) == 3  # the 3 non-empty files all stay
+    # time travel: pruning against an old version's manifest
+    kept, total = prune_files(tdir, [("k", ">=", 250)], version=1)
+    assert (len(kept), total) == (0, 2)

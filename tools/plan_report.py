@@ -141,6 +141,29 @@ _ONE_PART_CLASS = {
     # bucket table (corpus/B rows), never per doc
     "q_webgraph_rank": "scalar",  # pagerank's 1-row node-count/base
     # merges (q_pagerank's class)
+    # r10 additions (triaged r11, closing the verdict's drift note)
+    "q_version_compact": "scalar",  # the single post-compaction
+    # count/cents 1-row merge read back from the retained manifest
+    "q_version_upsert": "scalar",  # three 1-row merges (v0/v1 stats +
+    # feed stats) broadcast-joined into the single verdict row
+    # r11 additions
+    "q_version_schema_evolve": "scalar",  # same shape: 1-row merges
+    # of both schema eras, broadcast into one verdict row
+    "q_ivfpq_incremental": "scalar",  # inherits q_ann_ivfpq's shape;
+    # any 1-part is the tiny probe/centroid artifact, never the corpus
+    "q_mp4_metadata": "scalar",  # fixture clips are a local relation;
+    # the probe itself is mapInPandas over opaque blobs
+    "q_pdf_modern": "scalar",  # binaryFile fleet + mapInPandas; the
+    # presentation sort of a fleet-sized result
+    "q_unigram_segment": "scalar",  # the r11 single-pass Viterbi
+    # rewrite surfaces the two 1-row mass totals (tot_all, totalp) as
+    # its only 1-parts — scalar merges; the DP itself is one
+    # vocabulary-bounded hash shuffle + mapInPandas (verified in the
+    # executed plan)
+    "q_unigram_apply": "scalar",  # same artifacts, same shape
+    "q_version_skipping": "scalar",  # the pruned scan's single
+    # count/cents 1-row merge; pruning itself is driver-side manifest
+    # arithmetic, zero exchanges
 }
 
 

@@ -213,26 +213,42 @@ BOS = "<s>"
 
 def _bigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, prev, term) for every token, prev = preceding token or
-    the BOS sentinel — one doc_id-partitioned window over the
-    position-exploded stream."""
+    the BOS sentinel.  NOTE(r11, measured): this used to be a lag()
+    over a doc_id-partitioned window, which shuffles the whole token
+    stream just to reach each token's neighbor — but the predecessor
+    is derivable ARRAY-SIDE before the explode: zip the token array
+    with (BOS ++ tokens[:-1]) inside the scan.  Same rows, zero
+    exchanges; at 100 TB the tokenization stays embarrassingly
+    parallel instead of paying a corpus-wide hash partition."""
     from .scale import spread_cpu_bound
 
-    tok = (
+    toks = F.filter(
+        F.transform(
+            F.split(F.trim(F.col("text")), WS_RE), lambda t: F.lower(t)
+        ),
+        lambda t: t != "",
+    )
+    return (
         spread_cpu_bound(docs)
+        .select("doc_id", toks.alias("toks"))
         .select(
             "doc_id",
-            F.posexplode(F.split(F.trim(F.col("text")), WS_RE)).alias(
-                "pos", "token"
-            ),
+            F.explode(
+                F.arrays_zip(
+                    # first size(toks) elements of (BOS ++ toks): the
+                    # predecessor array, exactly matching length (an
+                    # empty doc zips two empty arrays -> no rows)
+                    F.slice(
+                        F.concat(F.array(F.lit(BOS)), F.col("toks")),
+                        1,
+                        F.size("toks"),
+                    ).alias("prev"),
+                    F.col("toks").alias("term"),
+                )
+            ).alias("bg"),
         )
-        .filter(F.col("token") != "")
-        .select("doc_id", "pos", F.lower("token").alias("term"))
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return tok.select(
-        "doc_id",
-        F.lag("term", 1, BOS).over(w).alias("prev"),
-        "term",
+        .select("doc_id", F.col("bg.prev").alias("prev"),
+                F.col("bg.term").alias("term"))
     )
 
 

@@ -348,6 +348,83 @@ class _FontDecoder:
 
 _DEFAULT_DECODER = _FontDecoder()
 
+#: Adobe Glyph List subset covering the names wild simple-font
+#: /Differences arrays actually use outside full AGL territory; names
+#: of the form uniXXXX / uXXXX(XX) and single-char names resolve
+#: programmatically in _glyph_to_char.
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&",
+    "quotesingle": "'", "parenleft": "(", "parenright": ")",
+    "asterisk": "*", "plus": "+", "comma": ",", "hyphen": "-",
+    "period": ".", "slash": "/", "zero": "0", "one": "1", "two": "2",
+    "three": "3", "four": "4", "five": "5", "six": "6", "seven": "7",
+    "eight": "8", "nine": "9", "colon": ":", "semicolon": ";",
+    "less": "<", "equal": "=", "greater": ">", "question": "?",
+    "at": "@", "bracketleft": "[", "backslash": "\\",
+    "bracketright": "]", "asciicircum": "^", "underscore": "_",
+    "grave": "`", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~", "Euro": "€", "emdash": "—", "endash": "–",
+    "bullet": "•", "ellipsis": "…", "degree": "°",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "eacute": "é", "egrave": "è", "agrave": "à", "acircumflex": "â",
+    "ecircumflex": "ê", "icircumflex": "î", "ocircumflex": "ô",
+    "ucircumflex": "û", "adieresis": "ä", "odieresis": "ö",
+    "udieresis": "ü", "Adieresis": "Ä", "Odieresis": "Ö",
+    "Udieresis": "Ü", "ntilde": "ñ", "Ntilde": "Ñ", "ccedilla": "ç",
+    "Ccedilla": "Ç", "Eacute": "É", "aacute": "á", "iacute": "í",
+    "oacute": "ó", "uacute": "ú", "germandbls": "ß", "oslash": "ø",
+    "aring": "å", "ae": "æ", "oe": "œ", "sterling": "£", "yen": "¥",
+    "cent": "¢", "copyright": "©", "registered": "®",
+    "trademark": "™", "section": "§", "paragraph": "¶",
+    "plusminus": "±", "multiply": "×", "divide": "÷",
+}
+
+
+def _glyph_to_char(name: str) -> str | None:
+    if len(name) == 1:
+        return name  # /a /B /0 etc. name themselves
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        try:
+            return chr(int(m.group(1), 16))
+        except ValueError:
+            return None
+    return None
+
+
+def _differences_decoder(enc_body: bytes) -> _FontDecoder | None:
+    """Simple-font /Encoding dict with a /Differences array (PDF
+    §9.6.5): start from the /BaseEncoding (WinAnsi, else latin-1) and
+    overlay code→glyph-name assignments.  Unknown glyph names keep
+    the base mapping (degrade, don't drop)."""
+    dm = re.search(rb"/Differences\s*\[([^\]]*)\]", enc_body, re.S)
+    if not dm:
+        return None
+    base = "cp1252" if b"/WinAnsiEncoding" in enc_body else "latin-1"
+    table = {}
+    for code in range(256):
+        try:
+            table[code] = bytes([code]).decode(base)
+        except UnicodeDecodeError:
+            table[code] = "�"
+    code = 0
+    for tok in re.finditer(rb"(\d+)|/([^\s/\[\]<>()]+)", dm.group(1)):
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+            continue
+        ch = _glyph_to_char(tok.group(2).decode("latin-1"))
+        if ch is not None:
+            table[code] = ch
+        code += 1
+    return _FontDecoder(table=table, width=1)
+
 
 def _ref_num(body: bytes, key: bytes) -> int | None:
     m = re.search(key + rb"\s+(\d+)\s+\d+\s+R", body)
@@ -363,7 +440,17 @@ def _build_font_decoder(objs: dict[int, bytes], fnum: int) -> _FontDecoder:
             table, width = _parse_tounicode(data)
             if table:
                 return _FontDecoder(table=table, width=width)
-    if b"/WinAnsiEncoding" in body:
+    # /Encoding as a dict (inline or indirect) with /Differences
+    enc_ref = _ref_num(body, rb"/Encoding")
+    enc_body = objs.get(enc_ref, b"") if enc_ref is not None else body
+    em = re.search(rb"/Encoding\s*<<(.*?)>>", body, re.S)
+    if em is not None:
+        enc_body = em.group(1)
+    if b"/Differences" in enc_body:
+        dec = _differences_decoder(enc_body)
+        if dec is not None:
+            return dec
+    if b"/WinAnsiEncoding" in body or b"/WinAnsiEncoding" in enc_body:
         return _FontDecoder(codec="cp1252")
     return _DEFAULT_DECODER
 

@@ -1109,3 +1109,26 @@ def test_versioned_file_skipping(spark, tmp_path):
     # time travel: pruning against an old version's manifest
     kept, total = prune_files(tdir, [("k", ">=", 250)], version=1)
     assert (len(kept), total) == (0, 2)
+
+
+def test_pdf_differences_encoding():
+    """Simple-font /Encoding dicts with /Differences arrays (PDF
+    §9.6.5): WinAnsi base overlaid with code→glyph-name assignments —
+    AGL-subset names, uniXXXX names, single-char names; unknown names
+    keep the base mapping."""
+    from artis_data_ingest_spark.sources.pdf import extract_pdf_text
+
+    stream = b"BT /F1 12 Tf (caf\xa4 \xb0 ok \xb1\xb2\xb3) Tj ET"
+    blob = (
+        b"1 0 obj\n<< /Type /Page /Contents 2 0 R /Resources << /Font "
+        b"<< /F1 3 0 R >> >> >>\nendobj\n"
+        b"2 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding << /Type /Encoding /BaseEncoding /WinAnsiEncoding"
+        b" /Differences [ 164 /eacute 176 /emdash /uni0416 /Z"
+        b" /nosuchglyph ] >> >>\nendobj\n"
+    ) % (len(stream), stream)
+    m = extract_pdf_text(blob)
+    # 0xB3 hits the unknown glyph: falls back to WinAnsi's 0xB3 = ³
+    assert m["text"] == "café — ok ЖZ³"
+    assert m["n_pages"] == 1 and m["n_text_ops"] == 1

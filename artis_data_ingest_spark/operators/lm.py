@@ -150,6 +150,14 @@ def bucketize_keys(keyed: DataFrame) -> DataFrame:
     """Tercile-bucket (doc_id, key) rows into head/middle/tail with the
     distributed-rank recipe (shared by the unigram and bigram LMs).
     Returns (doc_id, bucket, ppl_key, log2_ppl)."""
+    # keyed is consumed TWICE below (the per-key counts and the rank
+    # join) and its subplan is the full scoring pipeline — checkpoint
+    # once instead of re-executing it (r11, measured at sf0.1:
+    # q_lm_perplexity_buckets 2.53s -> 2.27s, q_bigram_ppl_buckets
+    # ~neutral at this SF but the avoided recompute grows with the
+    # corpus while the checkpoint write is result-sized — one
+    # (doc_id, key) row per doc)
+    keyed = keyed.localCheckpoint()
     # distributed rank: per-key counts -> cumulative over DISTINCT keys
     # (group-bounded window), + row_number within key (distributed)
     kc = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("kn"))

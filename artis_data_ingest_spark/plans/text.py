@@ -1508,10 +1508,13 @@ ORDER BY doc_id
     "holdout and applied to the rest.  log2 p is the exact integer "
     "difference qlog2(c2+1) - qlog2(c1+V); unseen contexts fall back "
     "to -qlog2(V) via one coalesce — no float probabilities anywhere, "
-    "hash-matchable by construction.  Plan: one doc_id window builds "
-    "the bigram stream; the vocabulary^2-bounded artifact broadcasts "
-    "(at open-web vocab it becomes one (prev,term) hash join — same "
-    "shape); tercile cut reuses the distributed-rank recipe.",
+    "hash-matchable by construction.  Plan (r11): the bigram stream "
+    "zips each token with its predecessor ARRAY-SIDE inside the scan "
+    "(zero exchanges — the former doc_id lag() window shuffled the "
+    "whole token stream); the vocabulary^2-bounded artifact "
+    "broadcasts (at open-web vocab it becomes one (prev,term) hash "
+    "join — same shape); tercile cut reuses the distributed-rank "
+    "recipe.",
 )
 def q_bigram_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.lm import bigram_perplexity_buckets

@@ -245,6 +245,8 @@ def commit(
     mode: str = "append",
     note: str = "",
     expect_version: int | None | str = ANY,
+    cluster_by: Sequence[str] | None = None,
+    n_files: int | None = None,
 ) -> int:
     """Write ``df`` as a new version; returns the version number.
 
@@ -256,9 +258,25 @@ def commit(
         publication itself is still atomic, so two unchecked writers
         racing for the same version number still produce exactly one
         winner and one VersionConflict.
+
+    ``cluster_by`` range-partitions + sorts the segment on the given
+    columns before writing (``n_files`` partitions when given), so
+    each file's recorded min/max spans a NARROW, non-overlapping key
+    slice — turning :func:`prune_files` from "skip only disjoint
+    commits" into per-file skipping within one commit (Delta's
+    OPTIMIZE ZORDER role for the linear single-key case, at write
+    time).  Unclustered commits of randomly-ordered keys give every
+    file ~the full key span, and stats prune nothing.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
+    if cluster_by:
+        parts = n_files or df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartitionByRange(
+            parts, *cluster_by
+        ).sortWithinPartitions(*cluster_by)
+    elif n_files:
+        df = df.coalesce(n_files)
     cur = latest_version(table_dir)
     _check_expected(cur, expect_version)
     new_version = (cur if cur is not None else -1) + 1

@@ -1132,3 +1132,40 @@ def test_pdf_differences_encoding():
     # 0xB3 hits the unknown glyph: falls back to WinAnsi's 0xB3 = ³
     assert m["text"] == "café — ok ЖZ³"
     assert m["n_pages"] == 1 and m["n_text_ops"] == 1
+
+
+def test_versioned_clustered_commit_improves_skipping(spark, tmp_path):
+    """cluster_by on commit: range-partitioned + sorted segments give
+    each file a narrow key slice, so a point/range filter prunes
+    within one commit; the same data committed unclustered overlaps
+    on every file and prunes nothing."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        commit,
+        prune_files,
+        scan,
+    )
+
+    # keys deliberately round-robined across partitions: unclustered
+    # files each span ~the full key range
+    shuffled = spark.range(0, 3000).select(
+        (F.col("id") * 997 % 3000).alias("k"),
+        (F.col("id") % 7).alias("v"),
+    ).repartition(4)
+
+    flat = str(tmp_path / "flat")
+    commit(shuffled, flat, mode="overwrite", note="v0",
+           expect_version=None)
+    kept_flat, total_flat = prune_files(flat, [("k", "=", 1500)])
+    assert total_flat == 4 and len(kept_flat) == 4  # nothing prunable
+
+    clus = str(tmp_path / "clus")
+    commit(shuffled, clus, mode="overwrite", note="v0",
+           expect_version=None, cluster_by=["k"], n_files=4)
+    kept, total = prune_files(clus, [("k", "=", 1500)])
+    assert total == 4 and len(kept) == 1
+    # results identical either way
+    a = sorted((r.k, r.v) for r in scan(spark, flat,
+                                        [("k", "<", 100)]).collect())
+    b = sorted((r.k, r.v) for r in scan(spark, clus,
+                                        [("k", "<", 100)]).collect())
+    assert a == b and len(a) == 100

@@ -109,7 +109,19 @@ def substring_dedup(docs: DataFrame, span: int = _SPAN_N) -> DataFrame:
     """Span-level dedup stats: for every doc, how many word positions
     fall inside a word-``span``-gram that occurs >= 2 times corpus-wide,
     plus md5 of the text with those positions removed."""
-    d = docs.select("doc_id", F.split(F.trim("text"), WS_RE).alias("w"))
+    from ..operators.scale import spread_cpu_bound
+
+    # d feeds THREE consumers (grams, the word stream, the final
+    # n_words join); spread the 1-file scan across cores and
+    # checkpoint the tokenized form once instead of re-splitting the
+    # corpus per consumer — removes the serialized single-task scan
+    # stages the old plan paid per consumer (r11; the win grows with
+    # corpus size since the re-splits were O(corpus) each)
+    d = (
+        spread_cpu_bound(docs)
+        .select("doc_id", F.split(F.trim("text"), WS_RE).alias("w"))
+        .localCheckpoint()
+    )
     # 1-based start positions: struct(start, ngram) keeps the position
     # attached through the explode (matches the oracle's UNNEST(range))
     grams = d.filter(F.size("w") >= span).select(

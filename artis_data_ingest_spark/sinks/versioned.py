@@ -247,6 +247,7 @@ def commit(
     expect_version: int | None | str = ANY,
     cluster_by: Sequence[str] | None = None,
     n_files: int | None = None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> int:
     """Write ``df`` as a new version; returns the version number.
 
@@ -267,6 +268,11 @@ def commit(
     OPTIMIZE ZORDER role for the linear single-key case, at write
     time).  Unclustered commits of randomly-ordered keys give every
     file ~the full key span, and stats prune nothing.
+
+    ``bloom_cols`` additionally builds per-file BLOOM FILTERS over the
+    given int/string/date columns (one distributed pass over the new
+    segment), so equality filters prune files even where min/max is
+    useless — the high-cardinality-unsorted-key case.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -282,22 +288,32 @@ def commit(
     new_version = (cur if cur is not None else -1) + 1
     seg_files = _write_segment(df, table_dir, new_version)
     stats = _file_stats(seg_files)
+    blooms = (
+        _segment_blooms(df.sparkSession, seg_files, bloom_cols)
+        if bloom_cols
+        else {}
+    )
     if mode == "append" and cur is not None:
         parent = _read_manifest(table_dir, cur)
         files = parent["files"] + seg_files
-        # carry the parent's file stats forward so a pruned scan of
-        # version N skips across ALL segments, not just the newest
+        # carry the parent's file stats/blooms forward so a pruned
+        # scan of version N skips across ALL segments, not just the
+        # newest
         stats = {**parent.get("stats", {}), **stats}
+        blooms = {**parent.get("blooms", {}), **blooms}
     else:
         files = seg_files
-    return _publish(table_dir, {
+    manifest = {
         "version": new_version,
         "parent": cur,
         "mode": mode,
         "note": note,
         "files": files,
         "stats": stats,
-    })
+    }
+    if blooms:
+        manifest["blooms"] = blooms
+    return _publish(table_dir, manifest)
 
 
 def compact(
@@ -398,6 +414,96 @@ def read_version(
     return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
+_BLOOM_BITS = 8192
+_BLOOM_K = 4
+
+
+def _bloom_positions(v: str, bits: int = _BLOOM_BITS, k: int = _BLOOM_K):
+    import hashlib
+
+    for i in range(k):
+        h = hashlib.md5(f"{i}|{v}".encode()).hexdigest()[:15]
+        yield int(h, 16) % bits
+
+
+def _segment_blooms(
+    spark: SparkSession, files: list[str], cols: Sequence[str]
+) -> dict:
+    """Per-file Bloom filters over ``cols`` — the point-lookup
+    complement to min/max stats (a high-cardinality key in UNSORTED
+    segments has file spans covering the whole domain, so range stats
+    prune nothing; a bloom still answers "definitely not in this
+    file").  Built with ONE distributed pass over the new segment
+    (mapInPandas partial bitmaps, OR-merged driver-side — each partial
+    is bits/8 bytes, so the collect is partitions x files x 1 KiB of
+    metadata).  Hashing is Python md5 over the column's string cast on
+    BOTH build and probe, so there is no cross-engine hash parity to
+    maintain.  Columns are cast to string in Spark; restrict to
+    int/string/date keys (float string forms are not stable)."""
+    import base64
+    from urllib.parse import unquote, urlparse
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    try:
+        import numpy as np
+    except ImportError:
+        return {}
+
+    df = spark.read.parquet(*files).select(
+        F.input_file_name().alias("_f"),
+        *[F.col(c).cast("string").alias(c) for c in cols],
+    )
+
+    nbytes = _BLOOM_BITS // 8
+
+    def _build(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for c in cols:
+                for f, v in zip(pdf["_f"], pdf[c]):
+                    if v is None:
+                        continue
+                    bm = acc.setdefault(
+                        (f, c), np.zeros(nbytes, dtype=np.uint8)
+                    )
+                    for pos in _bloom_positions(str(v)):
+                        bm[pos >> 3] |= 1 << (pos & 7)
+        yield pd.DataFrame(
+            {
+                "f": [fc[0] for fc in acc],
+                "c": [fc[1] for fc in acc],
+                "bm": [bm.tobytes() for bm in acc.values()],
+            }
+        )
+
+    out: dict = {}
+    for r in df.mapInPandas(_build, "f string, c string, bm binary").collect():
+        path = os.path.abspath(unquote(urlparse(r["f"]).path))
+        cur = out.setdefault(path, {})
+        merged = (
+            np.frombuffer(
+                base64.b64decode(cur[r["c"]]), dtype=np.uint8
+            ).copy()
+            if r["c"] in cur
+            else np.zeros(nbytes, dtype=np.uint8)
+        )
+        merged |= np.frombuffer(bytes(r["bm"]), dtype=np.uint8)
+        cur[r["c"]] = base64.b64encode(merged.tobytes()).decode("ascii")
+    return out
+
+
+def _bloom_may_contain(b64: str, val) -> bool:
+    import base64
+
+    bm = base64.b64decode(b64)
+    for pos in _bloom_positions(str(val)):
+        if not (bm[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
 def _normalize_stat_value(v):
     import datetime
     import decimal
@@ -451,16 +557,26 @@ def prune_files(
     m = _read_manifest(table_dir, version)
     files = m["files"]
     stats = m.get("stats", {})
+    blooms = m.get("blooms", {})
     norm = [(c, op, _normalize_stat_value(v)) for c, op, v in filters]
     kept = []
     for f in files:
-        entry = stats.get(os.path.abspath(f), {})
+        path = os.path.abspath(f)
+        entry = stats.get(path, {})
         if entry.get("__rows") == 0:
             continue  # known-empty file: matches nothing
-        if all(
+        if not all(
             _may_match(entry.get(col), op, val) for col, op, val in norm
         ):
-            kept.append(f)
+            continue
+        fb = blooms.get(path, {})
+        if any(
+            op == "=" and col in fb
+            and not _bloom_may_contain(fb[col], val)
+            for col, op, val in norm
+        ):
+            continue  # bloom says definitely absent
+        kept.append(f)
     return kept, len(files)
 
 

@@ -1169,3 +1169,52 @@ def test_versioned_clustered_commit_improves_skipping(spark, tmp_path):
     b = sorted((r.k, r.v) for r in scan(spark, clus,
                                         [("k", "<", 100)]).collect())
     assert a == b and len(a) == 100
+
+
+def test_versioned_bloom_skipping(spark, tmp_path):
+    """Per-file Bloom filters (r11): equality filters prune files even
+    where min/max is useless (high-cardinality unsorted keys); absent
+    keys prune everything (w.h.p.), present keys never prune their
+    file (no false negatives — asserted exhaustively for a sample),
+    range filters ignore blooms, and appends carry blooms forward."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        _read_manifest,
+        commit,
+        prune_files,
+        scan,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    scattered = spark.range(0, 3000).select(
+        (F.col("id") * 2654435761 % 3000).alias("k"),
+        F.col("id").alias("v"),
+    ).repartition(3)
+    commit(scattered, tdir, mode="overwrite", note="a",
+           expect_version=None, bloom_cols=["k"])
+    commit(
+        spark.range(3000, 3100).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        ).coalesce(1),
+        tdir, mode="append", note="b", expect_version=0,
+        bloom_cols=["k"],
+    )
+    m = _read_manifest(tdir, 1)
+    assert len(m["blooms"]) == 4  # parent's 3 files carried + 1 new
+    # no false negatives: every probed present key is found
+    for k in [0, 7, 123, 1500, 2999, 3050]:
+        rows = scan(spark, tdir, [("k", "=", k)]).collect()
+        assert len(rows) == 1 and rows[0].k == k
+    # absent keys: pruned to zero files almost surely; count stays 0
+    # either way (scan's residual filter is exact)
+    pruned_counts = [
+        len(prune_files(tdir, [("k", "=", bad)])[0])
+        for bad in [900001, 900002, 900003, 900004]
+    ]
+    assert sum(pruned_counts) <= 1  # allow one bloom false positive
+    assert scan(spark, tdir, [("k", "=", 900001)]).count() == 0
+    # the appended segment's bloom separates the key ranges
+    kept, total = prune_files(tdir, [("k", "=", 3050)])
+    assert total == 4 and len(kept) <= 2
+    # range predicates never consult blooms
+    kept_r, _ = prune_files(tdir, [("k", ">=", 0)])
+    assert len(kept_r) == 4

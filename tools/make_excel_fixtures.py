@@ -82,21 +82,45 @@ FLEET = {
 }
 
 
-def _write_xlsx(path: Path, header: list, rows: list) -> None:
+_CHECK = False
+_FAILURES: list = []
+
+
+def _emit(path: Path, fresh: bytes) -> None:
+    """Write, or in --check mode compare against the committed bytes
+    (the writers are deterministic — fixed zip timestamps in
+    write_minimal_xlsx — so byte equality is the reproducibility
+    proof)."""
+    if _CHECK:
+        status = "OK" if path.read_bytes() == fresh else "MISMATCH"
+        if status == "MISMATCH":
+            _FAILURES.append(path)
+        print(f"{status:9s} {path.relative_to(_REPO)}")
+        return
     path.parent.mkdir(parents=True, exist_ok=True)
-    write_minimal_xlsx(str(path), [TITLE, header, *rows])
+    path.write_bytes(fresh)
+
+
+def _write_xlsx(path: Path, header: list, rows: list) -> None:
+    import io
+
+    buf = io.BytesIO()
+    write_minimal_xlsx(buf, [TITLE, header, *rows])
+    _emit(path, buf.getvalue())
 
 
 def _write_csv(path: Path, header: list, rows: list) -> None:
-    path.parent.mkdir(parents=True, exist_ok=True)
-    with open(path, "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(header)
-        for r in rows:
-            w.writerow(["" if v is None else v for v in r])
+    import io
+
+    buf = io.StringIO(newline="")
+    w = csv.writer(buf)
+    w.writerow(header)
+    for r in rows:
+        w.writerow(["" if v is None else v for v in r])
+    _emit(path, buf.getvalue().encode())
 
 
-def main() -> None:
+def main() -> int:
     excel = _REPO / "data" / "excel"
     _write_xlsx(excel / "fao_production_V202401.xlsx", HEADER, PROD_V1)
     _write_csv(excel / "fao_production_V202401_twin.csv", HEADER, PROD_V1)
@@ -130,16 +154,27 @@ def main() -> None:
     twins = excel / "fleet_twins"
     meta = [["generator"], ["FAO FishStat export — regional slice"]]
     for name, rows in FLEET.items():
+        import io
+
         path = fleet / f"{name}.xlsx"
-        path.parent.mkdir(parents=True, exist_ok=True)
+        buf = io.BytesIO()
         write_minimal_xlsx(
-            str(path),
+            buf,
             {"Metadata": meta, "Production": [TITLE, HEADER, *rows]},
         )
+        _emit(path, buf.getvalue())
         _write_csv(twins / f"{name}.csv", HEADER, rows)
 
+    if _CHECK:
+        if _FAILURES:
+            print(f"\n{len(_FAILURES)} fixture(s) diverge from the generator")
+            return 1
+        return 0
     print("wrote fixtures under", excel, "and", e2e)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    if "--check" in sys.argv:
+        _CHECK = True
+    sys.exit(main())

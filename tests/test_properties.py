@@ -610,3 +610,45 @@ def test_jpeg_decoder_fails_closed_on_garbage(payload):
         except Exception:
             continue
         assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+
+
+_PRUNE_OPS = {
+    "=": lambda a, b: a == b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+    op=st.sampled_from(["=", "<", "<=", ">", ">="]),
+    pivot=st.integers(-60, 60),
+    clustered=st.booleans(),
+)
+def test_versioned_prune_is_sound(
+    spark, tmp_path_factory, vals, op, pivot, clustered
+):
+    """File skipping must be SOUND under any data/filter combination:
+    a stats- (and for '=' bloom-) pruned scan returns exactly the rows
+    a full read + filter would — pruning may keep too much, never drop
+    a matching row.  Covers duplicates, negatives, empty-result
+    filters, clustered and unclustered layouts."""
+    from artis_data_ingest_spark.sinks.versioned import commit, scan
+
+    tdir = str(tmp_path_factory.mktemp("vtprop") / "tbl")
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "k int"
+    ).repartition(3)
+    commit(
+        df, tdir, mode="overwrite", expect_version=None,
+        cluster_by=["k"] if clustered else None, n_files=3,
+        bloom_cols=["k"],
+    )
+    expect = sorted(v for v in vals if _PRUNE_OPS[op](v, pivot))
+    got = sorted(
+        r.k for r in scan(spark, tdir, [("k", op, pivot)]).collect()
+    )
+    assert got == expect

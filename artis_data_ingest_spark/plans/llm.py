@@ -2121,6 +2121,272 @@ def q_ivfpq_res_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental maintenance for the RESIDUAL variant (r11): the
+# same append-without-retraining contract as q_ivfpq_incremental, but
+# for the full IVFADC stack — coarse centroids AND residual codebooks
+# are base-trained artifacts; delta vectors get cell-assigned and
+# residual-encoded against them.
+
+_IVFPQ_RES_BASE_PRELUDE = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM embeddings
+), ebase AS (
+  SELECT * FROM e WHERE vec_id % {_IVFPQ_DELTA_MOD} <> 0
+), ccentb AS (
+  SELECT vec_id AS ccid, emb AS ccemb FROM ebase
+  ORDER BY vec_id LIMIT {_IVFPQ_CELLS}
+), vcellb AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT v.vec_id, c.ccid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY round(list_dot_product(v.emb, v.emb)
+                            - 2 * list_dot_product(v.emb, c.ccemb)
+                            + list_dot_product(c.ccemb, c.ccemb), 6) ASC,
+                      c.ccid
+           ) AS rn
+    FROM e v CROSS JOIN ccentb c
+  ) WHERE rn = 1
+), rall AS (
+  SELECT e.vec_id, vc.cell,
+         list_transform(range(1, len(e.emb) + 1),
+                        i -> e.emb[i] - cc.ccemb[i]) AS emb
+  FROM e
+  JOIN vcellb vc USING (vec_id)
+  JOIN ccentb cc ON cc.ccid = vc.cell
+), rbase AS (
+  SELECT * FROM rall WHERE vec_id % {_IVFPQ_DELTA_MOD} <> 0
+)"""
+
+_PQRB_CHAIN, _PQRB_FINAL = pq_codebooks_sql(
+    m=_PQ_M, sub_dim=_PQ_SUB,
+    prelude=_IVFPQ_RES_BASE_PRELUDE, source="rbase", tag="rb",
+)
+
+
+def _pq_res_base_cache_path(sf_dir: str) -> str:
+    return _pq_base_cache_path(sf_dir) + "-res"
+
+
+def _pq_res_codebooks_base_lit(spark: SparkSession, sf_dir: str) -> tuple:
+    """(coarse base centroids, residual codebooks dict) — both trained
+    on the base slice only, persisted like every other artifact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % _IVFPQ_DELTA_MOD != 0)
+    e = base.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    cents = [
+        (int(r["vec_id"]), list(r["emb"]))
+        for r in e.orderBy("vec_id").limit(_IVFPQ_CELLS).collect()
+    ]
+    path = _pq_res_base_cache_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        rbase = (
+            e.select(
+                "vec_id", "emb",
+                F.expr(_pq_code_sql("emb", cents)).alias("cell"),
+            )
+            .select(
+                "vec_id",
+                F.expr(
+                    f"zip_with(emb, element_at({_map_sql(cents)}, cell),"
+                    " (x, y) -> x - y)"
+                ).alias("embedding"),
+            )
+        )
+        pq_codebooks(rbase, m=_PQ_M, sub_dim=_PQ_SUB).write.mode(
+            "overwrite"
+        ).parquet(path)
+    cb = {
+        (r["subspace"], r["cid"]): list(r["cemb"])
+        for r in spark.read.parquet(path).collect()
+    }
+    return cents, cb
+
+
+@register(
+    "q_ivfpq_res_incremental",
+    oracle=f"""{_PQRB_CHAIN},
+vsubrb AS (
+  SELECT vec_id, s.j AS subspace,
+         list_slice(emb, s.j * {_PQ_SUB} + 1, (s.j + 1) * {_PQ_SUB}) AS sub
+  FROM rall, (VALUES (0), (1), (2), (3)) AS s(j)
+),
+codesrb AS (
+  SELECT vec_id, subspace, cid AS code FROM (
+    SELECT v.vec_id, v.subspace, b.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.subspace
+             ORDER BY round(list_dot_product(v.sub, v.sub)
+                            - 2 * list_dot_product(v.sub, b.cemb)
+                            + list_dot_product(b.cemb, b.cemb), 6) ASC,
+                      b.cid
+           ) AS rn
+    FROM vsubrb v JOIN {_PQRB_FINAL} b ON b.subspace = v.subspace
+  ) WHERE rn = 1
+),
+qprobeb AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.ccid AS cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.emb, q.emb)
+                            - 2 * list_dot_product(q.emb, c.ccemb)
+                            + list_dot_product(c.ccemb, c.ccemb), 6) ASC,
+                      c.ccid
+           ) AS rn
+    FROM e q CROSS JOIN ccentb c
+    WHERE q.vec_id IN {_QUERY_IDS}
+  ) WHERE rn <= {_IVFPQ_NPROBE}
+),
+qresb AS (
+  SELECT p.query_id, p.cell,
+         list_transform(range(1, len(q.emb) + 1),
+                        i -> q.emb[i] - cc.ccemb[i]) AS qr
+  FROM qprobeb p
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN ccentb cc ON cc.ccid = p.cell
+),
+qsubrb AS (
+  SELECT query_id, cell, s.j AS subspace,
+         list_slice(qr, s.j * {_PQ_SUB} + 1, (s.j + 1) * {_PQ_SUB}) AS sub
+  FROM qresb, (VALUES (0), (1), (2), (3)) AS s(j)
+),
+dtrb AS (
+  SELECT qs.query_id, qs.cell, qs.subspace, b.cid,
+         list_dot_product(qs.sub, qs.sub)
+         - 2 * list_dot_product(qs.sub, b.cemb)
+         + list_dot_product(b.cemb, b.cemb) AS d
+  FROM qsubrb qs JOIN {_PQRB_FINAL} b ON b.subspace = qs.subspace
+),
+adcrb AS (
+  SELECT dtrb.query_id, c.vec_id,
+         round(MAX(CASE WHEN c.subspace = 0 THEN d END)
+             + MAX(CASE WHEN c.subspace = 1 THEN d END)
+             + MAX(CASE WHEN c.subspace = 2 THEN d END)
+             + MAX(CASE WHEN c.subspace = 3 THEN d END), 6) AS adc
+  FROM codesrb c
+  JOIN vcellb vc ON vc.vec_id = c.vec_id
+  JOIN dtrb ON dtrb.cell = vc.cell AND dtrb.subspace = c.subspace
+           AND dtrb.cid = c.code
+  GROUP BY dtrb.query_id, c.vec_id
+)
+SELECT query_id, vec_id, adc, rank FROM (
+  SELECT query_id, vec_id, adc,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc ASC, vec_id
+         ) AS rank
+  FROM adcrb WHERE vec_id <> query_id
+) WHERE rank <= 5
+ORDER BY query_id, rank
+""",
+    doc="INCREMENTAL maintenance for RESIDUAL IVF-PQ (r11 — the "
+    "IVFADC twin of q_ivfpq_incremental, completing the incremental "
+    "family for BOTH ANN variants): coarse centroids and residual "
+    "codebooks are trained once on the base slice and persisted; "
+    "arriving delta vectors are cell-assigned against the frozen "
+    "centroids, residual-encoded against the frozen codebooks in one "
+    "shuffle-free scan, and appended to the code table — base codes "
+    "untouched.  Queries probe nprobe cells and rank by per-probed-"
+    "cell residual distance tables over the unioned index.  The "
+    "oracle is the full rebuild with the same base-trained artifacts "
+    "— the hash match proves append-encode ≡ rebuild for the "
+    "residual pipeline too.",
+)
+def q_ivfpq_res_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cents, cb = _pq_res_codebooks_base_lit(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+
+    def residualize(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "vec_id", "emb",
+                F.expr(_pq_code_sql("emb", cents)).alias("cell"),
+            )
+            .select(
+                "vec_id", "cell",
+                F.expr(
+                    f"zip_with(emb, element_at({_map_sql(cents)}, cell),"
+                    " (x, y) -> x - y)"
+                ).alias("embedding"),
+            )
+        )
+
+    code_cols, adc_terms = [], []
+    for j in range(_PQ_M):
+        sub = f"slice(embedding, {j * _PQ_SUB + 1}, {_PQ_SUB})"
+        cents_j = [
+            (c, cb[(j, c)]) for c in sorted(c for (s, c) in cb if s == j)
+        ]
+        code_cols.append(
+            F.expr(_pq_code_sql(sub, cents_j)).alias(f"code{j}")
+        )
+        adc_terms.append(
+            _d2_sql(
+                f"slice(qr, {j * _PQ_SUB + 1}, {_PQ_SUB})",
+                f"element_at({_map_sql(cents_j)}, code{j})",
+            )
+        )
+
+    def encode(df: DataFrame) -> DataFrame:
+        return residualize(df).select("vec_id", "cell", *code_cols)
+
+    base = e.filter(F.col("vec_id") % _IVFPQ_DELTA_MOD != 0)
+    delta = e.filter(F.col("vec_id") % _IVFPQ_DELTA_MOD == 0)
+    index = encode(base).unionByName(encode(delta))
+
+    probe_cands = ", ".join(
+        f"named_struct('d', round({_d2_sql('q_emb', _arr_sql(v))}, 6), "
+        f"'cid', {cid}L)"
+        for cid, v in cents
+    )
+    probed = (
+        e.filter(F.col("vec_id").isin(list(_QUERY_IDS)))
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        )
+        .select(
+            "query_id",
+            "q_emb",
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(array({probe_cands})), 1, "
+                    f"{_IVFPQ_NPROBE})"
+                )
+            ).alias("pc"),
+        )
+        .select("query_id", "q_emb", F.col("pc.cid").alias("cell"))
+        .withColumn(
+            "qr",
+            F.expr(
+                f"zip_with(q_emb, element_at({_map_sql(cents)}, cell), "
+                "(x, y) -> x - y)"
+            ),
+        )
+        .select("query_id", "cell", "qr")
+    )
+    cands = index.join(F.broadcast(probed), on="cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = F.expr(f"round({' + '.join(adc_terms)}, 6)")
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), "vec_id")
+    return (
+        cands.select("query_id", "vec_id", adc.alias("adc"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
 _SEMDEDUP_THR = 0.35
 
 

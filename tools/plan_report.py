@@ -151,6 +151,7 @@ _ONE_PART_CLASS = {
     # of both schema eras, broadcast into one verdict row
     "q_ivfpq_incremental": "scalar",  # inherits q_ann_ivfpq's shape;
     # any 1-part is the tiny probe/centroid artifact, never the corpus
+    "q_ivfpq_res_incremental": "scalar",  # same: artifact-sized only
     "q_mp4_metadata": "scalar",  # fixture clips are a local relation;
     # the probe itself is mapInPandas over opaque blobs
     "q_pdf_modern": "scalar",  # binaryFile fleet + mapInPandas; the

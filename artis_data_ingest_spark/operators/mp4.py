@@ -147,6 +147,115 @@ def parse_mp4(blob: bytes) -> dict:
     }
 
 
+MP4_TRACKS_SCHEMA = (
+    "media_id bigint, track_id bigint, handler string, codec string, "
+    "width bigint, height bigint"
+)
+
+
+def parse_mp4_tracks(blob: bytes) -> list[dict]:
+    """One row per ``trak`` box, document order: track id + geometry
+    (tkhd, both version layouts), handler fourcc (hdlr), and the first
+    stsd sample-entry codec.  Same tolerance rules as :func:`_walk`;
+    a clip with no parseable boxes yields no rows."""
+
+    def boxes(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            size = int.from_bytes(blob[pos : pos + 4], "big")
+            typ = blob[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:
+                if pos + 16 > hi:
+                    return
+                size = int.from_bytes(blob[pos + 8 : pos + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = hi - pos
+            if size < hdr or pos + size > hi:
+                return
+            yield typ, pos + hdr, pos + size
+            pos += size
+
+    def find(lo: int, hi: int, want: bytes):
+        for typ, blo, bhi in boxes(lo, hi):
+            if typ == want:
+                return blo, bhi
+        return None
+
+    out: list[dict] = []
+
+    def visit(lo: int, hi: int) -> None:
+        for typ, blo, bhi in boxes(lo, hi):
+            if typ == b"moov":
+                visit(blo, bhi)
+            elif typ == b"trak":
+                row = {
+                    "track_id": 0, "handler": "", "codec": "",
+                    "width": 0, "height": 0,
+                }
+                tk = find(blo, bhi, b"tkhd")
+                if tk:
+                    v = blob[tk[0]]
+                    tid_at = tk[0] + (20 if v == 1 else 12)
+                    row["track_id"] = int.from_bytes(
+                        blob[tid_at : tid_at + 4], "big"
+                    )
+                    geo = tk[0] + (88 if v == 1 else 76)
+                    if geo + 8 <= tk[1]:
+                        row["width"] = (
+                            int.from_bytes(blob[geo : geo + 4], "big")
+                            >> 16
+                        )
+                        row["height"] = (
+                            int.from_bytes(blob[geo + 4 : geo + 8], "big")
+                            >> 16
+                        )
+                md = find(blo, bhi, b"mdia")
+                if md:
+                    hd = find(md[0], md[1], b"hdlr")
+                    if hd and hd[0] + 12 <= hd[1]:
+                        row["handler"] = blob[
+                            hd[0] + 8 : hd[0] + 12
+                        ].decode("latin-1")
+                    mi = find(md[0], md[1], b"minf")
+                    sb = find(mi[0], mi[1], b"stbl") if mi else None
+                    sd = find(sb[0], sb[1], b"stsd") if sb else None
+                    if sd and sd[0] + 16 <= sd[1]:
+                        row["codec"] = blob[
+                            sd[0] + 12 : sd[0] + 16
+                        ].decode("latin-1")
+                out.append(row)
+
+    visit(0, len(blob))
+    return out
+
+
+def mp4_tracks(media: DataFrame) -> DataFrame:
+    """(media_id, content) → MP4_TRACKS_SCHEMA, one row per trak —
+    the per-track twin of :func:`mp4_metadata` (which reports the
+    clip-level rollup)."""
+    import pandas as pd
+
+    def _probe(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for media_id, blob in zip(pdf["media_id"], pdf["content"]):
+                for t in parse_mp4_tracks(
+                    bytes(blob) if blob is not None else b""
+                ):
+                    rows.append({"media_id": media_id, **t})
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "track_id", "handler", "codec",
+                         "width", "height"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        _probe, MP4_TRACKS_SCHEMA
+    )
+
+
 def mp4_metadata(media: DataFrame) -> DataFrame:
     """(media_id, content) → MP4_META_SCHEMA via Arrow-batched
     mapInPandas — blobs are opaque binary cells, one linear box walk

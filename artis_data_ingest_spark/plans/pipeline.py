@@ -1586,6 +1586,39 @@ def q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp4_metadata(media).orderBy("media_id")
 
 
+@register(
+    "q_mp4_tracks",
+    oracle="""
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(t + 1 AS BIGINT) AS track_id,
+       CASE WHEN t % 2 = 0 THEN 'vide' ELSE 'soun' END AS handler,
+       CASE WHEN t % 2 = 0 THEN 'avc1' ELSE 'mp4a' END AS codec,
+       CAST(CASE WHEN t % 2 = 0 THEN 320 * (t + 1) ELSE 0 END
+            AS BIGINT) AS width,
+       CAST(CASE WHEN t % 2 = 0 THEN 240 * (t + 1) ELSE 0 END
+            AS BIGINT) AS height
+FROM range(6) a(i), UNNEST(range(1 + (i % 3))) b(t)
+ORDER BY media_id, track_id
+""",
+    doc="Per-TRACK MP4 metadata (r11, operators/mp4.py:mp4_tracks — "
+    "the track-level twin of q_mp4_metadata's clip rollup): one row "
+    "per trak box in document order with the tkhd track id and "
+    "16.16 geometry (both version layouts), the hdlr handler fourcc "
+    "(vide/soun), and the first stsd sample-entry codec.  The "
+    "truncated clip still yields all its tracks (moov precedes the "
+    "cut mdat) and the garbage clip yields none — multi-track "
+    "streams are how real scraped MP4s arrive, and per-track rows "
+    "are what a curation filter (video-only, min-resolution, has-"
+    "audio) actually joins against.  Same Arrow-batched mapInPandas "
+    "fleet shape, header-only pass.",
+)
+def q_mp4_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mp4 import mp4_media, mp4_tracks
+
+    media = mp4_media(spark)
+    return mp4_tracks(media).orderBy("media_id", "track_id")
+
+
 def _versioned_demo_path(sf_dir: str, name: str) -> str:
     """Demo-table path keyed by (sf_dir, pid): concurrent invocations
     (gate vs bench, two sf sizes) each get their own directory, so one

@@ -386,6 +386,62 @@ def q_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_feed_driven_index",
+    # the oracle is the FULL rebuild over documents: hash equality
+    # proves (commit -> merge_commit -> change_feed -> partial index ->
+    # algebraic merge) == rebuilding from scratch
+    oracle=_INVIDX_ORACLE,
+    doc="Change-feed-DRIVEN incremental index maintenance (r11): the "
+    "composition the versioned-table and retrieval stacks promise "
+    "each other, proven end-to-end.  The base corpus slice "
+    "(doc_id % 4 != 0) commits as v0 of a versioned table and gets "
+    "indexed; the arriving slice lands via MERGE (merge_commit, all "
+    "inserts), the CDC consumer reads change_feed(since=0) — which "
+    "surfaces exactly the merge's delta_files, never the rewritten "
+    "table — builds the delta's partial index from THOSE rows alone, "
+    "and merges it algebraically into the base index (additive "
+    "df/total_tf, disjoint postings union).  No base-text rescan, no "
+    "full-table read after v0: the indexed bytes are O(base) + "
+    "O(delta).  The oracle is the full rebuild over all documents — "
+    "hash equality proves the feed-driven path loses nothing.  At "
+    "100 TB this is the standing index-commit pipeline: subscribe to "
+    "the table's feed, merge each commit's delta, one term-keyed "
+    "shuffle per commit.",
+)
+def q_feed_driven_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import change_feed, commit, merge_commit, \
+        read_version
+    from .pipeline import _versioned_demo_path
+
+    tdir = _versioned_demo_path(sf_dir, "versioned_feedidx_demo")
+    shutil.rmtree(tdir, ignore_errors=True)
+    docs = spread_cpu_bound(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "text")
+    commit(docs.filter(F.col("doc_id") % 4 != 0), tdir,
+           mode="overwrite", note="base", expect_version=None)
+    merge_commit(
+        spark, tdir, docs.filter(F.col("doc_id") % 4 == 0),
+        keys=["doc_id"], note="arrivals",
+    )
+    base_index = partial_index(read_version(spark, tdir, 0))
+    feed = change_feed(spark, tdir, since=0).select("doc_id", "text")
+    delta_index = partial_index(feed)
+    return (
+        merge_indexes(base_index, delta_index)
+        .select(
+            "term",
+            "df",
+            "total_tf",
+            F.array_join("plist", ",").alias("postings"),
+        )
+        .orderBy("term")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distributed BPE merge training — iterative, but fully oracle-checked.
 # ---------------------------------------------------------------------------

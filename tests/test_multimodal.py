@@ -1628,3 +1628,27 @@ def test_media_probe_detects_mp4():
     # garbage with ftyp-like offset but no valid boxes stays unknown
     assert parse_media_header(b"\xff\xff\xff\xffftypXXXX")["detected"] \
         == "unknown"
+
+
+def test_mp4_tracks_per_trak_rows():
+    from artis_data_ingest_spark.operators.mp4 import (
+        _box,
+        _mvhd,
+        _trak,
+        parse_mp4_tracks,
+    )
+
+    moov = _box(
+        b"moov",
+        _mvhd(0, 600, 1200)
+        + _trak(0, 7, b"avc1", 640, 360)
+        + _trak(1, 9, b"mp4a", 0, 0),
+    )
+    rows = parse_mp4_tracks(moov + _box(b"mdat", bytes(8)))
+    assert rows == [
+        {"track_id": 7, "handler": "vide", "codec": "avc1",
+         "width": 640, "height": 360},
+        {"track_id": 9, "handler": "soun", "codec": "mp4a",
+         "width": 0, "height": 0},
+    ]
+    assert parse_mp4_tracks(bytes(range(48))) == []

@@ -152,6 +152,10 @@ _ONE_PART_CLASS = {
     "q_ivfpq_incremental": "scalar",  # inherits q_ann_ivfpq's shape;
     # any 1-part is the tiny probe/centroid artifact, never the corpus
     "q_ivfpq_res_incremental": "scalar",  # same: artifact-sized only
+    "q_mp4_tracks": "scalar",  # local fixture relation, header-only
+    # probe; presentation sort only
+    "q_feed_driven_index": "scalar",  # inherits the index-merge shape
+    # (term-keyed shuffles); any 1-part is a 1-row commit-stat merge
     "q_mp4_metadata": "scalar",  # fixture clips are a local relation;
     # the probe itself is mapInPandas over opaque blobs
     "q_pdf_modern": "scalar",  # binaryFile fleet + mapInPandas; the

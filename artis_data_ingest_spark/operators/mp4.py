@@ -49,8 +49,17 @@ MP4_META_SCHEMA = (
 _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
 _PADDING = {b"free", b"skip", b"wide"}
 
+#: Real files nest ~6 deep (moov/trak/mdia/minf/stbl); a crafted blob
+#: of ~1000 nested containers would otherwise hit Python's recursion
+#: limit inside mapInPandas — cap well above any legitimate depth and
+#: degrade to ``truncated`` instead.
+_MAX_DEPTH = 32
+
 
 def _walk(blob: bytes, lo: int, hi: int, state: dict, depth: int = 0) -> None:
+    if depth > _MAX_DEPTH:
+        state["truncated"] = True
+        return
     pos = lo
     while pos + 8 <= hi:
         size = int.from_bytes(blob[pos : pos + 4], "big")
@@ -185,10 +194,12 @@ def parse_mp4_tracks(blob: bytes) -> list[dict]:
 
     out: list[dict] = []
 
-    def visit(lo: int, hi: int) -> None:
+    def visit(lo: int, hi: int, depth: int = 0) -> None:
+        if depth > _MAX_DEPTH:
+            return  # crafted nesting: degrade, never RecursionError
         for typ, blo, bhi in boxes(lo, hi):
             if typ == b"moov":
-                visit(blo, bhi)
+                visit(blo, bhi, depth + 1)
             elif typ == b"trak":
                 row = {
                     "track_id": 0, "handler": "", "codec": "",

@@ -1627,8 +1627,14 @@ def _versioned_demo_path(sf_dir: str, name: str) -> str:
 
     Pid-keyed dirs from crashed or finished processes would otherwise
     accumulate forever, so on entry we sweep SIBLING ``<name>_*`` dirs
-    older than an hour — old enough that no live concurrent run (gate
-    + bench both finish in minutes) still reads them."""
+    whose owning process is DEAD (each dir has a ``<dir>.owner`` pid
+    marker BESIDE it — outside the dir, because callers rmtree the dir
+    itself — rewritten at every query start as a heartbeat) and whose
+    marker/dir mtime is older than an hour.  The liveness check is
+    what makes this safe for runs longer than an hour: a large-SF
+    bench that creates its table early and time-travel-reads it late
+    keeps its pid alive, so no other process can rmtree it mid-query;
+    mtime alone would."""
     import hashlib
     import os
     import shutil
@@ -1643,18 +1649,50 @@ def _versioned_demo_path(sf_dir: str, name: str) -> str:
         "data", "cache",
     )
     mine = f"{name}_{sig}"
+
+    def _pid_alive(marker: str) -> bool:
+        try:
+            with open(marker) as f:
+                pid = int(f.read().strip())
+            os.kill(pid, 0)  # signal 0: existence check only
+            return True
+        except (OSError, ValueError):
+            return False  # no marker / unreadable / pid gone
+
     if os.path.isdir(cache):
         now = time.time()
         for d in os.listdir(cache):
-            if not d.startswith(f"{name}_") or d == mine:
+            if (
+                not d.startswith(f"{name}_")
+                or d.endswith(".owner")
+                or d == mine
+            ):
                 continue
             p = os.path.join(cache, d)
+            marker = p + ".owner"
             try:
-                if os.path.isdir(p) and now - os.stat(p).st_mtime > 3600:
+                if not os.path.isdir(p):
+                    continue
+                ages = [now - os.stat(p).st_mtime]
+                if os.path.exists(marker):
+                    ages.append(now - os.stat(marker).st_mtime)
+                if not _pid_alive(marker) and min(ages) > 3600:
                     shutil.rmtree(p, ignore_errors=True)
+                    try:
+                        os.unlink(marker)
+                    except OSError:
+                        pass
             except OSError:
                 pass  # raced with another sweeper — harmless
-    return os.path.join(cache, mine)
+    # heartbeat: (re)assert ownership at every query start
+    target = os.path.join(cache, mine)
+    try:
+        os.makedirs(cache, exist_ok=True)
+        with open(target + ".owner", "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+    return target
 
 
 @register(

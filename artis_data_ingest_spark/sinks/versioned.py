@@ -596,10 +596,22 @@ def scan(
 
     kept, total = prune_files(table_dir, filters, version)
     if not kept:
+        # every file pruned: return an EMPTY frame that still carries
+        # the full table schema.  Reading one file would be cheaper but
+        # wrong after schema evolution — the chosen file's footer may
+        # predate a filter column, and the residual predicate on the
+        # missing column would raise instead of matching nothing.  The
+        # mergeSchema read unions footers only (metadata, not data);
+        # lit(False) prunes every row group at scan time.
         m_version = version if version is not None else latest_version(
             table_dir
         )
-        kept = _read_manifest(table_dir, m_version)["files"][:1]
+        kept = _read_manifest(table_dir, m_version)["files"]
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*kept)
+            .filter(F.lit(False))
+        )
     df = spark.read.option("mergeSchema", "true").parquet(*kept)
     ops = {
         "=": lambda c, v: c == v,

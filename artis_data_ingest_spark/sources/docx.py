@@ -77,6 +77,14 @@ def _blocks(parent: ET.Element, counts: dict) -> Iterator[str]:
                     for tc in tr.findall(f"{_W}tc")
                 ]
                 yield "\t".join(cells)
+        elif child.tag == f"{_W}sectPr":
+            continue  # section properties carry no text
+        else:
+            # block-level wrapper (w:sdt content controls via
+            # w:sdtContent, customXml, …): recurse so wrapped
+            # paragraphs/tables aren't silently dropped — real
+            # report-style documents wrap whole sections in sdt
+            yield from _blocks(child, counts)
 
 
 def parse_docx_bytes(blob: bytes) -> tuple[bool, list[str], int]:

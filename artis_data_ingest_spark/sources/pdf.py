@@ -208,7 +208,10 @@ def _parse_xref_stream_at(blob: bytes, offset: int) -> dict[int, tuple]:
                 return entries
         im = re.search(rb"/Index\s*\[([^\]]*)\]", body)
         if im:
-            idx = [int(x) for x in im.group(1).split()]
+            toks = im.group(1).split()
+            if not all(t.isdigit() for t in toks):
+                return entries  # malformed /Index: scan path takes over
+            idx = [int(x) for x in toks]
         else:
             sm2 = re.search(rb"/Size\s+(\d+)", body)
             idx = [0, int(sm2.group(1))] if sm2 else [0, 0]
@@ -264,8 +267,10 @@ def _collect_objects(blob: bytes) -> dict[int, bytes]:
             continue
         n, first = int(nm.group(1)), int(fm.group(1))
         header = data[:first].split()
-        if len(header) < 2 * n:
-            continue
+        if len(header) < 2 * n or not all(
+            t.isdigit() for t in header[: 2 * n]
+        ):
+            continue  # malformed ObjStm header: skip, never raise
         pairs = [
             (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
         ]
@@ -283,6 +288,8 @@ _HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
 
 
 def _u16(hexbytes: bytes) -> str:
+    if len(hexbytes) % 2:  # odd hex digit count: imply trailing 0
+        hexbytes += b"0"
     b = bytes.fromhex(hexbytes.decode("ascii"))
     try:
         return b.decode("utf-16-be")
@@ -510,6 +517,24 @@ def _extract_stream_text(
 
 
 def extract_pdf_text(blob: bytes) -> dict:
+    """Tolerant top-level entry: the parse paths below assume nothing
+    about the bytes, but wild malformations are endless (odd-length
+    CMap hex, junk /Index tokens, corrupt ObjStm headers, …) — the
+    module contract is ok=false, never an exception, so one corrupt
+    document can't fail a whole fleet task."""
+    try:
+        return _extract_pdf_text_unsafe(blob)
+    except Exception:
+        return {
+            "ok": False,
+            "n_pages": 0,
+            "n_text_ops": 0,
+            "n_words": 0,
+            "text": "",
+        }
+
+
+def _extract_pdf_text_unsafe(blob: bytes) -> dict:
     objs = _collect_objects(blob)
     font_cache: dict[int, _FontDecoder] = {}
     n_pages = 0

@@ -1652,3 +1652,19 @@ def test_mp4_tracks_per_trak_rows():
          "width": 0, "height": 0},
     ]
     assert parse_mp4_tracks(bytes(range(48))) == []
+
+
+def test_mp4_depth_cap_no_recursion_error():
+    """r12 ADVICE fix: ~1000 nested container boxes (8 bytes each) must
+    degrade to truncated/empty, not RecursionError inside mapInPandas."""
+    from artis_data_ingest_spark.operators.mp4 import (
+        parse_mp4,
+        parse_mp4_tracks,
+    )
+
+    deep = b""
+    for _ in range(1000):
+        deep = (8 + len(deep)).to_bytes(4, "big") + b"moov" + deep
+    m = parse_mp4(deep)
+    assert m["truncated"] and m["valid"]  # boxes before the cap count
+    assert parse_mp4_tracks(deep) == []

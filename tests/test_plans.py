@@ -1115,3 +1115,53 @@ def test_ivfpq_incremental_parity_and_plan(spark):
     # one broadcast cell join per union branch (base + delta encode)
     assert p.count("BroadcastHashJoin") <= 2
     assert p.count("Window [") == 1
+
+
+def test_versioned_demo_sweep_respects_live_owner(tmp_path, monkeypatch):
+    """r12 ADVICE fix: the pid-keyed demo-dir sweep must never rmtree a
+    sibling whose owning process is still ALIVE, however old its mtime
+    (a >1h bench run reading its table late); dead-owner dirs older
+    than an hour still get swept."""
+    import os
+    import time
+
+    from artis_data_ingest_spark.plans import pipeline as pl
+
+    cache = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(pl.__file__)))),
+        "data", "cache",
+    )
+    os.makedirs(cache, exist_ok=True)
+    old = time.time() - 7200
+
+    live = os.path.join(cache, "sweeptest_liveowner")
+    os.makedirs(live, exist_ok=True)
+    with open(live + ".owner", "w") as f:
+        f.write(str(os.getpid()))  # our own pid: definitely alive
+    os.utime(live, (old, old))
+    os.utime(live + ".owner", (old, old))
+
+    dead = os.path.join(cache, "sweeptest_deadowner")
+    os.makedirs(dead, exist_ok=True)
+    with open(dead + ".owner", "w") as f:
+        f.write("999999999")  # beyond pid_max: definitely dead
+    os.utime(dead, (old, old))
+    os.utime(dead + ".owner", (old, old))
+
+    try:
+        mine = pl._versioned_demo_path(str(tmp_path), "sweeptest")
+        assert os.path.isdir(live), "live-owner dir must survive"
+        assert not os.path.isdir(dead), "dead-owner stale dir is swept"
+        assert open(mine + ".owner").read() == str(os.getpid())
+    finally:
+        import shutil
+        for p in (live, dead, os.path.join(cache, "sweeptest_liveowner"),
+                  mine if 'mine' in dir() else ""):
+            if p and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+        for d in os.listdir(cache):
+            if d.startswith("sweeptest"):
+                p = os.path.join(cache, d)
+                (shutil.rmtree(p, ignore_errors=True)
+                 if os.path.isdir(p) else os.unlink(p))

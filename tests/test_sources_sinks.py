@@ -1218,3 +1218,90 @@ def test_versioned_bloom_skipping(spark, tmp_path):
     # range predicates never consult blooms
     kept_r, _ = prune_files(tdir, [("k", ">=", 0)])
     assert len(kept_r) == 4
+
+
+def test_pdf_malformed_structures_never_raise():
+    """r12 ADVICE fix: wild malformations in the 1.5 parse paths (odd
+    CMap hex, junk /Index tokens, corrupt ObjStm headers) degrade to
+    ok=false or partial text — extract_pdf_text never raises."""
+    from artis_data_ingest_spark.sources.pdf import (
+        _parse_tounicode,
+        extract_pdf_text,
+        write_pdf_15,
+    )
+    import os
+    import tempfile
+
+    # odd-length source/dest hex in bfchar: tolerated, not ValueError
+    table, width = _parse_tounicode(
+        b"beginbfchar <abc> <0041> endbfchar"
+        b"beginbfrange <01> <03> <futz> endbfrange"
+    )
+    assert table  # parsed what it could
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "m.pdf")
+        write_pdf_15(p, [["hello world"]], font_kind="winansi")
+        blob = open(p, "rb").read()
+    ok = extract_pdf_text(blob)
+    assert ok["ok"] and "hello world" in ok["text"]
+
+    # corrupt the /Index array with non-numeric tokens
+    bad = blob.replace(b"/Size", b"/Index [ x y ] /Size")
+    m = extract_pdf_text(bad)  # must not raise; scan path still works
+    assert "hello world" in m["text"]
+
+    # random byte corruption across the body: never an exception
+    for cut in range(0, len(blob), max(1, len(blob) // 17)):
+        mutated = blob[:cut] + b"\xff<zz>" + blob[cut + 5:]
+        extract_pdf_text(mutated)
+
+
+def test_docx_sdt_content_controls_extracted(tmp_path):
+    """r12 ADVICE fix: paragraphs/tables wrapped in w:sdt/w:sdtContent
+    (content controls) are walked, not silently dropped."""
+    import io
+    import zipfile
+
+    from artis_data_ingest_spark.sources.docx import parse_docx_bytes
+
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    doc = (
+        f'<?xml version="1.0"?><w:document xmlns:w="{w}"><w:body>'
+        "<w:p><w:r><w:t>plain</w:t></w:r></w:p>"
+        "<w:sdt><w:sdtPr></w:sdtPr><w:sdtContent>"
+        "<w:p><w:r><w:t>controlled</w:t></w:r></w:p>"
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cellA</w:t></w:r></w:p>"
+        "</w:tc></w:tr></w:tbl>"
+        "</w:sdtContent></w:sdt>"
+        "<w:sectPr/></w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", doc)
+    ok, lines, n_tables = parse_docx_bytes(buf.getvalue())
+    assert ok and n_tables == 1
+    assert lines == ["plain", "controlled", "cellA"]
+
+
+def test_versioned_scan_all_pruned_after_schema_evolution(spark, tmp_path):
+    """r12 ADVICE fix: when stats prune EVERY file, scan() must return
+    an empty frame with the full (merged) table schema — even when the
+    oldest file predates a filter column (reading just files[0] used to
+    raise AnalysisException on the missing column)."""
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.sinks.versioned import commit, scan
+
+    d = str(tmp_path / "tbl")
+    commit(
+        spark.range(5).select(F.col("id")), d,
+        mode="overwrite", expect_version=None,
+    )
+    commit(
+        spark.range(5, 10).select("id", (F.col("id") * 2).alias("x")),
+        d, mode="append",
+    )
+    out = scan(spark, d, filters=[("id", "=", -1), ("x", "=", 5)])
+    assert out.columns == ["id", "x"]
+    assert out.count() == 0

@@ -273,9 +273,25 @@ def commit(
     given int/string/date columns (one distributed pass over the new
     segment), so equality filters prune files even where min/max is
     useless — the high-cardinality-unsorted-key case.
+
+    Both layout choices are recorded in the manifest as TABLE
+    PROPERTIES (``table_props``) and carried forward by later commits,
+    so :func:`compact` and :func:`merge_commit` re-derive them
+    automatically and rebuild the per-file bitmaps/clustering for
+    their rewritten segments — pruning survives the table lifecycle
+    instead of silently degrading at the first rewrite (Delta keeps
+    its layout/bloom config in table metadata for the same reason).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
+    cur = latest_version(table_dir)
+    _check_expected(cur, expect_version)
+    parent = _read_manifest(table_dir, cur) if cur is not None else {}
+    props = dict(parent.get("table_props", {}))
+    if cluster_by:
+        props["cluster_by"] = list(cluster_by)
+    if bloom_cols:
+        props["bloom_cols"] = list(bloom_cols)
     if cluster_by:
         parts = n_files or df.sparkSession.sparkContext.defaultParallelism
         df = df.repartitionByRange(
@@ -283,8 +299,6 @@ def commit(
         ).sortWithinPartitions(*cluster_by)
     elif n_files:
         df = df.coalesce(n_files)
-    cur = latest_version(table_dir)
-    _check_expected(cur, expect_version)
     new_version = (cur if cur is not None else -1) + 1
     seg_files = _write_segment(df, table_dir, new_version)
     stats = _file_stats(seg_files)
@@ -294,7 +308,6 @@ def commit(
         else {}
     )
     if mode == "append" and cur is not None:
-        parent = _read_manifest(table_dir, cur)
         files = parent["files"] + seg_files
         # carry the parent's file stats/blooms forward so a pruned
         # scan of version N skips across ALL segments, not just the
@@ -313,6 +326,8 @@ def commit(
     }
     if blooms:
         manifest["blooms"] = blooms
+    if props:
+        manifest["table_props"] = props
     return _publish(table_dir, manifest)
 
 
@@ -321,6 +336,8 @@ def compact(
     table_dir: str,
     note: str = "compact",
     n_files: int = 1,
+    cluster_by: Sequence[str] | None = None,
+    bloom_cols: Sequence[str] | None = None,
 ) -> int:
     """Rewrite the latest version's file set into ``n_files`` parquet
     files as a new ``mode="compact"`` version with IDENTICAL content
@@ -329,21 +346,51 @@ def compact(
     treats a compact version as empty: it reorganises bytes, not rows.
     Publication is guarded against concurrent commits like any other
     version.  After :func:`expire` drops the pre-compaction manifests,
-    :func:`vacuum` reclaims their small segments."""
+    :func:`vacuum` reclaims their small segments.
+
+    Layout survives the rewrite: ``cluster_by``/``bloom_cols`` default
+    to the table properties the original :func:`commit` recorded, so
+    the compacted segment is re-range-clustered and its per-file Bloom
+    bitmaps rebuilt — equality/range pruning keeps working after
+    compaction instead of silently losing its metadata.  Reads with
+    ``mergeSchema`` so a table that evolved its schema compacts to the
+    merged shape (exactly what :func:`read_version` serves)."""
     cur = latest_version(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no versions in {table_dir}")
-    files = _read_manifest(table_dir, cur)["files"]
-    compacted = spark.read.parquet(*files).coalesce(max(1, n_files))
+    m = _read_manifest(table_dir, cur)
+    props = dict(m.get("table_props", {}))
+    if cluster_by is None:
+        cluster_by = props.get("cluster_by")
+    else:
+        props["cluster_by"] = list(cluster_by)
+    if bloom_cols is None:
+        bloom_cols = props.get("bloom_cols")
+    else:
+        props["bloom_cols"] = list(bloom_cols)
+    compacted = spark.read.option("mergeSchema", "true").parquet(
+        *m["files"]
+    )
+    if cluster_by:
+        compacted = compacted.repartitionByRange(
+            max(1, n_files), *cluster_by
+        ).sortWithinPartitions(*cluster_by)
+    else:
+        compacted = compacted.coalesce(max(1, n_files))
     seg_files = _write_segment(compacted, table_dir, cur + 1)
-    return _publish(table_dir, {
+    manifest = {
         "version": cur + 1,
         "parent": cur,
         "mode": "compact",
         "note": note,
         "files": seg_files,
         "stats": _file_stats(seg_files),
-    })
+    }
+    if bloom_cols:
+        manifest["blooms"] = _segment_blooms(spark, seg_files, bloom_cols)
+    if props:
+        manifest["table_props"] = props
+    return _publish(table_dir, manifest)
 
 
 def merge_commit(
@@ -367,7 +414,12 @@ def merge_commit(
     O(changed data) consumer contract across merges.  Conflict safety:
     the merge is computed against the version observed at entry; if
     another commit lands first, publication raises VersionConflict
-    and nothing becomes visible."""
+    and nothing becomes visible.
+
+    Like :func:`compact`, the rewritten full state keeps the table's
+    recorded layout properties: ``cluster_by`` re-range-clusters the
+    merged segment and ``bloom_cols`` rebuilds its per-file Bloom
+    bitmaps (delta files carry neither — the feed reads them whole)."""
     from ..operators.merge import merge_upsert
 
     cur = latest_version(table_dir)
@@ -375,12 +427,21 @@ def merge_commit(
         raise FileNotFoundError(
             f"no versions in {table_dir}; commit() the base state first"
         )
+    m = _read_manifest(table_dir, cur)
+    props = m.get("table_props", {})
+    cluster_by = props.get("cluster_by")
+    bloom_cols = props.get("bloom_cols")
     target = read_version(spark, table_dir, cur)
     merged = merge_upsert(target, source, keys, delete_col=delete_col)
+    if cluster_by:
+        n_out = max(1, len(m["files"]))
+        merged = merged.repartitionByRange(
+            n_out, *cluster_by
+        ).sortWithinPartitions(*cluster_by)
     new_version = cur + 1
     seg_files = _write_segment(merged, table_dir, new_version)
     delta_files = _write_segment(source, table_dir, new_version)
-    return _publish(table_dir, {
+    manifest = {
         "version": new_version,
         "parent": cur,
         "mode": "merge",
@@ -388,7 +449,12 @@ def merge_commit(
         "files": seg_files,
         "delta_files": delta_files,
         "stats": _file_stats(seg_files),
-    })
+    }
+    if bloom_cols:
+        manifest["blooms"] = _segment_blooms(spark, seg_files, bloom_cols)
+    if props:
+        manifest["table_props"] = dict(props)
+    return _publish(table_dir, manifest)
 
 
 def read_version(

@@ -1305,3 +1305,77 @@ def test_versioned_scan_all_pruned_after_schema_evolution(spark, tmp_path):
     out = scan(spark, d, filters=[("id", "=", -1), ("x", "=", 5)])
     assert out.columns == ["id", "x"]
     assert out.count() == 0
+
+
+def test_versioned_layout_survives_compact_and_merge(spark, tmp_path):
+    """r12: cluster_by/bloom_cols recorded at commit() are table
+    properties — compact() and merge_commit() re-derive them, rebuild
+    the per-file Bloom bitmaps and re-cluster the rewritten segments,
+    so equality AND range pruning keep working across the whole table
+    lifecycle (the r11 verdict's one silent-degradation gap)."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        _read_manifest,
+        commit,
+        compact,
+        merge_commit,
+        prune_files,
+        scan,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    scattered = spark.range(0, 3000).select(
+        (F.col("id") * 2654435761 % 3000).alias("k"),
+        F.col("id").alias("v"),
+    ).repartition(3)
+    commit(scattered, tdir, mode="overwrite", note="a",
+           expect_version=None, bloom_cols=["k"], cluster_by=["v"],
+           n_files=3)
+    commit(
+        spark.range(3000, 3100).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        ),
+        tdir, mode="append", note="b", expect_version=0,
+    )
+    m1 = _read_manifest(tdir, 1)
+    assert m1["table_props"] == {"cluster_by": ["v"], "bloom_cols": ["k"]}
+
+    # --- compact: blooms + clustering rebuilt for the rewritten files
+    compact(spark, tdir, n_files=4)
+    m2 = _read_manifest(tdir, 2)
+    assert m2["mode"] == "compact"
+    assert set(m2["blooms"]) == {
+        __import__("os").path.abspath(f) for f in m2["files"]
+    }
+    # bloom pruning still works: absent key prunes ~all compacted files
+    pruned = [
+        len(prune_files(tdir, [("k", "=", bad)])[0])
+        for bad in [900001, 900002, 900003, 900004]
+    ]
+    assert sum(pruned) <= 1
+    # clustering survived: a narrow v-range filter skips files on stats
+    kept_v, total_v = prune_files(tdir, [("v", "<=", 10)])
+    assert total_v == 4 and len(kept_v) < total_v
+    # no false negatives after the rewrite
+    for k in [0, 123, 2999, 3050]:
+        rows = scan(spark, tdir, [("k", "=", k)]).collect()
+        assert len(rows) == 1 and rows[0].k == k
+
+    # --- merge: the rewritten full state keeps blooms + clustering too
+    src = spark.createDataFrame(
+        [(0, 999_000), (5000, 5000)], "k bigint, v bigint"
+    )
+    merge_commit(spark, tdir, src, keys=["k"], note="upsert")
+    m3 = _read_manifest(tdir, 3)
+    assert m3["mode"] == "merge" and m3["table_props"] == m1["table_props"]
+    assert set(m3["blooms"]) == {
+        __import__("os").path.abspath(f) for f in m3["files"]
+    }
+    pruned3 = [
+        len(prune_files(tdir, [("k", "=", bad)])[0])
+        for bad in [900011, 900012, 900013, 900014]
+    ]
+    assert sum(pruned3) <= 1
+    rows = scan(spark, tdir, [("k", "=", 5000)]).collect()
+    assert len(rows) == 1 and rows[0].v == 5000
+    rows0 = scan(spark, tdir, [("k", "=", 0)]).collect()
+    assert len(rows0) == 1 and rows0[0].v == 999_000

@@ -2337,10 +2337,12 @@ WITH grid AS (
 SELECT path, ok, n_pages, n_text_ops,
        CAST(len(list_filter(string_split_regex(text, '[ \\n]+'),
                             x -> x <> '')) AS BIGINT) AS n_words,
-       text
+       text, '' AS reason
 FROM docs
 UNION ALL
-SELECT 'broken.pdf', FALSE, 0, 0, 0, ''
+SELECT 'broken.pdf', FALSE, 0, 0, 0, '', 'no objects'
+UNION ALL
+SELECT 'locked.pdf', FALSE, 0, 0, 0, '', 'encrypted'
 ORDER BY path
 """,
     doc="PDF text extraction (r9, sources/pdf.py): the format the "
@@ -2356,7 +2358,10 @@ ORDER BY path
     "escaped specials), so the oracle reconstructs the exact "
     "extracted text from the fixture formula — a reader that drops "
     "a TJ part, misorders pages, or mishandles escapes "
-    "hash-mismatches.  Fleet shape: binaryFile + mapInPandas, "
+    "hash-mismatches.  r12: failures carry a REASON column "
+    "('no objects', 'encrypted', 'parse error') — the locked.pdf "
+    "fixture's /Encrypt trailer is refused loudly instead of "
+    "yielding mojibake.  Fleet shape: binaryFile + mapInPandas, "
     "documents as the parallelism unit.",
 )
 def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2372,11 +2377,11 @@ _PDF15_GLOB = "/root/repo/data/pdf15/*.pdf"
     "q_pdf_modern",
     oracle="""
 WITH grid AS (
-  SELECT i, p.p AS p FROM range(3) t(i), UNNEST(range(2 - (i % 2))) p(p)
+  SELECT i, p.p AS p FROM range(4) t(i), UNNEST(range(2 - (i % 2))) p(p)
 ), lines AS (
   SELECT i, p,
          (SELECT string_agg(
-              CASE WHEN i < 2
+              CASE WHEN i <> 2
                    THEN 'm' || i || 'p' || p || 'l' || k
                         || ' café éñ€' || k
                    ELSE 'M' || i || 'p' || p || 'l' || k
@@ -2395,10 +2400,10 @@ WITH grid AS (
 SELECT path, ok, n_pages, n_text_ops,
        CAST(len(list_filter(string_split_regex(text, '[ \\n]+'),
                             x -> x <> '')) AS BIGINT) AS n_words,
-       text
+       text, '' AS reason
 FROM docs
 UNION ALL
-SELECT 'modern-broken.pdf', FALSE, 0, 0, 0, ''
+SELECT 'modern-broken.pdf', FALSE, 0, 0, 0, '', 'no objects'
 ORDER BY path
 """,
     doc="PDF 1.5+ extraction (r11, closing the r9/r10 verdict's top "
@@ -2420,9 +2425,15 @@ ORDER BY path
     "CMap + hex-TJ file, WinAnsi file with em-dash/€, predictor on "
     "and off), so the closed-form oracle catches any CMap "
     "mis-decode, ObjStm mis-slice, or predictor off-by-one; the "
-    "garbage file degrades to ok=false, and truncation/bad-"
-    "startxref tolerance is pinned in tests.  Same fleet shape: "
-    "binaryFile + Arrow-batched mapInPandas.",
+    "garbage file degrades to ok=false with reason='no objects', "
+    "and truncation/bad-startxref tolerance is pinned in tests.  "
+    "r12 adds the Type0/CID variant (modern-3.pdf): /Encoding "
+    "/Identity-H with the /ToUnicode CMap on the DESCENDANT "
+    "CIDFontType2 dict, resolved through /DescendantFonts (inline "
+    "or indirect array); Identity-H with no CMap anywhere falls "
+    "back to UTF-16BE code decoding instead of latin-1 byte "
+    "splitting.  Same fleet shape: binaryFile + Arrow-batched "
+    "mapInPandas.",
 )
 def q_pdf_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.pdf import read_pdf_fleet

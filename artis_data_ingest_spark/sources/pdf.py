@@ -40,12 +40,19 @@ encodings.  This reader covers:
     included); files with no parseable object → ``ok=false``, empty
     text — never an exception.
 
-Remaining declared scope: no encryption, no CID-keyed CMap files
-beyond ToUnicode (rare outside CJK print workflows).  The writer
-half emits spec-correct PDF 1.4 (xref table) AND PDF 1.5
-(object streams + predictor-coded xref streams + ToUnicode CMaps +
-hex strings) so the reader is exercised against real structure, not
-against its own assumptions.
+Type0/CID composite fonts (r12): the ToUnicode CMap is found on the
+Type0 dict OR through /DescendantFonts on the CIDFont (both array
+forms); Identity-H with no CMap anywhere decodes 2-byte codes as
+UTF-16BE.  Encrypted files (/Encrypt in the trailer) are refused
+loudly — ok=false with ``reason='encrypted'`` — since decryption is
+out of scope; every failure carries a ``reason`` ('no objects',
+'encrypted', 'parse error').  Remaining declared scope: no
+decryption, no external CID-keyed CMap files (rare outside CJK print
+workflows).  The writer half emits spec-correct PDF 1.4 (xref table)
+AND PDF 1.5 (object streams + predictor-coded xref streams +
+ToUnicode CMaps + hex strings + the descendant-CMap Type0 variant)
+so the reader is exercised against real structure, not against its
+own assumptions.
 """
 
 from __future__ import annotations
@@ -58,7 +65,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 PDF_SCHEMA = (
     "path string, ok boolean, n_pages bigint, n_text_ops bigint, "
-    "n_words bigint, text string"
+    "n_words bigint, text string, reason string"
 )
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
@@ -438,8 +445,9 @@ def _ref_num(body: bytes, key: bytes) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def _build_font_decoder(objs: dict[int, bytes], fnum: int) -> _FontDecoder:
-    body = objs.get(fnum, b"")
+def _tounicode_decoder(
+    objs: dict[int, bytes], body: bytes
+) -> _FontDecoder | None:
     tu = _ref_num(body, rb"/ToUnicode")
     if tu is not None and tu in objs:
         data = _stream_payload(objs[tu])
@@ -447,6 +455,34 @@ def _build_font_decoder(objs: dict[int, bytes], fnum: int) -> _FontDecoder:
             table, width = _parse_tounicode(data)
             if table:
                 return _FontDecoder(table=table, width=width)
+    return None
+
+
+def _build_font_decoder(objs: dict[int, bytes], fnum: int) -> _FontDecoder:
+    body = objs.get(fnum, b"")
+    dec = _tounicode_decoder(objs, body)
+    if dec is not None:
+        return dec
+    # Type0 composite font (PDF §9.7): some writers hang the ToUnicode
+    # CMap off the DESCENDANT CIDFont instead of the Type0 dict — the
+    # array may be inline (/DescendantFonts [N 0 R]) or itself an
+    # indirect ref to a one-element array
+    if re.search(rb"/Subtype\s*/Type0\b", body):
+        dm = re.search(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R", body)
+        if dm is None:
+            arr = _ref_num(body, rb"/DescendantFonts")
+            if arr is not None and arr in objs:
+                dm = re.search(rb"\[\s*(\d+)\s+\d+\s+R", objs[arr])
+        if dm is not None:
+            dec = _tounicode_decoder(objs, objs.get(int(dm.group(1)), b""))
+            if dec is not None:
+                return dec
+        if b"/Identity-H" in body or b"/Identity-V" in body:
+            # no CMap anywhere: Identity means code == CID; decode the
+            # 2-byte codes as UTF-16BE (the standard best-effort when
+            # CID == Unicode, e.g. Identity-keyed subset fonts) rather
+            # than splitting them into latin-1 byte pairs
+            return _FontDecoder(codec="utf-16-be", width=2)
     # /Encoding as a dict (inline or indirect) with /Differences
     enc_ref = _ref_num(body, rb"/Encoding")
     enc_body = objs.get(enc_ref, b"") if enc_ref is not None else body
@@ -523,15 +559,24 @@ def extract_pdf_text(blob: bytes) -> dict:
     module contract is ok=false, never an exception, so one corrupt
     document can't fail a whole fleet task."""
     try:
+        if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", blob):
+            # declared scope: no decryption — degrade loudly, with the
+            # reason a curation pipeline can filter/report on
+            return _failure("encrypted")
         return _extract_pdf_text_unsafe(blob)
     except Exception:
-        return {
-            "ok": False,
-            "n_pages": 0,
-            "n_text_ops": 0,
-            "n_words": 0,
-            "text": "",
-        }
+        return _failure("parse error")
+
+
+def _failure(reason: str) -> dict:
+    return {
+        "ok": False,
+        "n_pages": 0,
+        "n_text_ops": 0,
+        "n_words": 0,
+        "text": "",
+        "reason": reason,
+    }
 
 
 def _extract_pdf_text_unsafe(blob: bytes) -> dict:
@@ -582,13 +627,16 @@ def _extract_pdf_text_unsafe(blob: bytes) -> dict:
         got, ops = _extract_stream_text(data, merged_fonts)
         chunks.extend(got)
         n_ops += ops
+    if not objs:
+        return _failure("no objects")
     text = "\n".join(chunks)
     return {
-        "ok": bool(objs),
+        "ok": True,
         "n_pages": n_pages,
         "n_text_ops": n_ops,
         "n_words": len(text.split()),
         "text": text,
+        "reason": "",
     }
 
 
@@ -623,10 +671,19 @@ def _escape_pdf_string(s: str) -> bytes:
     ).encode("latin-1")
 
 
-def write_pdf(path: str, pages: list[list[str]], compress: bool = False) -> None:
+def write_pdf(
+    path: str,
+    pages: list[list[str]],
+    compress: bool = False,
+    encrypt: bool = False,
+) -> None:
     """``pages`` = list of pages, each a list of text lines.  Every
     line becomes one Tj at its own Td position (alternate lines use a
-    TJ array split mid-line, exercising the array path)."""
+    TJ array split mid-line, exercising the array path).  ``encrypt``
+    adds a standard-security-handler /Encrypt dict to the trailer
+    (strings/streams are NOT actually RC4'd — the fixture only needs
+    the structure the reader must refuse, since decryption is out of
+    declared scope)."""
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -684,6 +741,12 @@ def write_pdf(path: str, pages: list[list[str]], compress: bool = False) -> None
     catalog = add(
         b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"
     )
+    encrypt_id = None
+    if encrypt:
+        encrypt_id = add(
+            b"<< /Filter /Standard /V 1 /R 2 /O <"
+            + b"00" * 32 + b"> /U <" + b"00" * 32 + b"> /P -44 >>"
+        )
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for num, body in enumerate(objects, start=1):
@@ -694,9 +757,15 @@ def write_pdf(path: str, pages: list[list[str]], compress: bool = False) -> None
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
+    enc = (
+        b" /Encrypt " + str(encrypt_id).encode() + b" 0 R"
+        if encrypt_id is not None
+        else b""
+    )
     out += (
         b"trailer\n<< /Size " + str(len(objects) + 1).encode()
-        + b" /Root " + str(catalog).encode() + b" 0 R >>\nstartxref\n"
+        + b" /Root " + str(catalog).encode() + b" 0 R" + enc
+        + b" >>\nstartxref\n"
         + str(xref_at).encode() + b"\n%%EOF\n"
     )
     with open(path, "wb") as f:
@@ -765,6 +834,9 @@ def write_pdf_15(
     ``font_kind``: ``"cmap"`` — a Type0 font with Identity-H 2-byte
     codes and a /ToUnicode CMap; content uses HEX strings (every
     char of every line must be in :data:`CMAP_ALPHABET`).
+    ``"cid"`` — same Type0/Identity-H shape, but the /ToUnicode CMap
+    hangs off the DESCENDANT CIDFontType2 dict (the wild-writer
+    variant the reader resolves through /DescendantFonts).
     ``"winansi"`` — a simple font with /Encoding /WinAnsiEncoding;
     content uses literal strings (cp1252 bytes, so é/€ round-trip)."""
     streams: list[bytes] = []  # top-level stream objects, in order
@@ -782,7 +854,7 @@ def write_pdf_15(
         for li, line in enumerate(lines):
             if li:
                 ops.append(b"0 -14 Td")
-            if font_kind == "cmap":
+            if font_kind in ("cmap", "cid"):
                 hexstr = _cmap_codes(line).hex().encode()
                 if li % 2 == 1 and len(hexstr) > 8:
                     # split mid-line across a TJ array, hex both parts
@@ -808,7 +880,7 @@ def write_pdf_15(
         )
 
     cmap_num = None
-    if font_kind == "cmap":
+    if font_kind in ("cmap", "cid"):
         cmap_num = add_stream(b"<< >>", _tounicode_cmap())
 
     # dict objects live in the object stream; number them after streams
@@ -816,22 +888,42 @@ def write_pdf_15(
     xref_num = objstm_num + 1
     first_dict = xref_num + 1
     font_num = first_dict
-    page_nums = [first_dict + 1 + k for k in range(len(pages))]
-    pages_num = first_dict + 1 + len(pages)
+    n_font_dicts = 2 if font_kind == "cid" else 1
+    descendant_num = first_dict + 1 if font_kind == "cid" else None
+    page_nums = [
+        first_dict + n_font_dicts + k for k in range(len(pages))
+    ]
+    pages_num = first_dict + n_font_dicts + len(pages)
     catalog_num = pages_num + 1
 
+    dict_objs: list[tuple[int, bytes]] = []
     if font_kind == "cmap":
         font_body = (
             b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture"
             b" /Encoding /Identity-H /ToUnicode "
             + str(cmap_num).encode() + b" 0 R >>"
         )
+    elif font_kind == "cid":
+        # the ToUnicode hangs off the descendant CIDFont, not the
+        # Type0 dict — the shape _build_font_decoder resolves through
+        # /DescendantFonts
+        font_body = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCID"
+            b" /Encoding /Identity-H /DescendantFonts ["
+            + str(descendant_num).encode() + b" 0 R] >>"
+        )
+        dict_objs.append((
+            descendant_num,
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont"
+            b" /FixtureCID /ToUnicode "
+            + str(cmap_num).encode() + b" 0 R >>",
+        ))
     else:
         font_body = (
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
             b" /Encoding /WinAnsiEncoding >>"
         )
-    dict_objs: list[tuple[int, bytes]] = [(font_num, font_body)]
+    dict_objs.insert(0, (font_num, font_body))
     for k, cn in enumerate(content_nums):
         dict_objs.append((
             page_nums[k],

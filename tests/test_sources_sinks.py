@@ -1379,3 +1379,44 @@ def test_versioned_layout_survives_compact_and_merge(spark, tmp_path):
     assert len(rows) == 1 and rows[0].v == 5000
     rows0 = scan(spark, tdir, [("k", "=", 0)]).collect()
     assert len(rows0) == 1 and rows0[0].v == 999_000
+
+
+def test_pdf_type0_cid_descendant_and_encrypted(tmp_path):
+    """r12: Type0/Identity-H fonts resolve the /ToUnicode CMap through
+    /DescendantFonts when it hangs off the CIDFont (wild-writer
+    variant), Identity-H with no CMap anywhere decodes 2-byte codes as
+    UTF-16BE, and /Encrypt-bearing files refuse with reason='encrypted'
+    instead of emitting mojibake."""
+    from artis_data_ingest_spark.sources.pdf import (
+        extract_pdf_text,
+        write_pdf,
+        write_pdf_15,
+    )
+
+    p = str(tmp_path / "cid.pdf")
+    write_pdf_15(
+        p, [["hello 42 éñ€", "abc xyz"], ["page two 9"]],
+        font_kind="cid",
+    )
+    m = extract_pdf_text(open(p, "rb").read())
+    assert m["ok"] and m["reason"] == ""
+    assert m["text"] == "hello 42 éñ€\nabc xyz\npage two 9"
+    assert m["n_pages"] == 2
+
+    enc = str(tmp_path / "locked.pdf")
+    write_pdf(enc, [["secret"]], encrypt=True)
+    m2 = extract_pdf_text(open(enc, "rb").read())
+    assert not m2["ok"] and m2["reason"] == "encrypted"
+    assert m2["text"] == ""
+
+    # Identity-H, no ToUnicode at all: UTF-16BE code fallback
+    blob = (
+        b"1 0 obj\n<< /Type /Page /Contents 2 0 R /Resources "
+        b"<< /Font << /F1 3 0 R >> >> >>\nendobj\n"
+        b"2 0 obj\n<< /Length 30 >>\nstream\n"
+        b"BT /F1 12 Tf <00680069> Tj ET\nendstream\nendobj\n"
+        b"3 0 obj\n<< /Type /Font /Subtype /Type0 "
+        b"/Encoding /Identity-H >>\nendobj"
+    )
+    m3 = extract_pdf_text(blob)
+    assert m3["text"] == "hi" and m3["reason"] == ""

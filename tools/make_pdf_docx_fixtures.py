@@ -74,22 +74,27 @@ def pdf_fixture_set() -> dict[str, tuple[list[list[str]], bool] | bytes]:
             pages.append(lines)
         out[f"report-{i}.pdf"] = (pages, i % 2 == 1)
     out["broken.pdf"] = b"%PDF-1.4 truncated garbage without any object"
+    # r12: an /Encrypt-bearing file — the reader must refuse with
+    # reason='encrypted' (decryption is out of declared scope)
+    out["locked.pdf"] = ([["secret line"]], False, True)
     return out
 
 
 def pdf15_fixture_set() -> dict[str, tuple | bytes]:
-    """modern-i has 2-(i%2) pages; page p = 2+p+i lines.  i<2 use a
-    Type0 font with a /ToUnicode CMap and HEX strings (line =
-    'm{i}p{p}l{k} café éñ€{k}' — all chars in CMAP_ALPHABET); i=2
-    uses /WinAnsiEncoding literal strings with cp1252-only specials
+    """modern-i has 2-(i%2) pages; page p = 2+p+i lines.  i in
+    {0,1,3} use a Type0/Identity-H font with a /ToUnicode CMap and
+    HEX strings (line = 'm{i}p{p}l{k} café éñ€{k}' — all chars in
+    CMAP_ALPHABET); i=3 hangs the CMap off the DESCENDANT CIDFont
+    (font_kind='cid', the r12 wild-writer variant); i=2 uses
+    /WinAnsiEncoding literal strings with cp1252-only specials
     ('M{i}p{p}l{k} — déjà €{k}').  Predictor alternates (i != 1) so
     both raw and PNG-Up xref streams are committed — exactly the
     q_pdf_modern oracle's formula."""
     out: dict[str, tuple | bytes] = {}
-    for i in range(3):
+    for i in range(4):
         pages = []
         for p in range(2 - (i % 2)):
-            if i < 2:
+            if i != 2:
                 lines = [
                     f"m{i}p{p}l{k} café éñ€{k}" for k in range(2 + p + i)
                 ]
@@ -98,9 +103,8 @@ def pdf15_fixture_set() -> dict[str, tuple | bytes]:
                     f"M{i}p{p}l{k} — déjà €{k}" for k in range(2 + p + i)
                 ]
             pages.append(lines)
-        out[f"modern-{i}.pdf"] = (
-            pages, "cmap" if i < 2 else "winansi", i != 1
-        )
+        kinds = {2: "winansi", 3: "cid"}
+        out[f"modern-{i}.pdf"] = (pages, kinds.get(i, "cmap"), i != 1)
     out["modern-broken.pdf"] = b"%PDF-1.5 garbage with no object at all"
     return out
 
@@ -139,8 +143,11 @@ def main(check_only: bool) -> int:
                     tmp, pages, font_kind=font_kind, predictor=predictor
                 )
             else:
-                pages, compress = spec
-                write_pdf(tmp, pages, compress=compress)
+                pages, compress, *enc = spec
+                write_pdf(
+                    tmp, pages, compress=compress,
+                    encrypt=bool(enc and enc[0]),
+                )
             with open(tmp, "rb") as f:
                 fresh = f.read()
         if check_only:

@@ -122,7 +122,8 @@ def _walk(blob: bytes, lo: int, hi: int, state: dict, depth: int = 0) -> None:
         elif typ not in _PADDING and typ not in (b"mdat", b"mvhd",
                                                  b"tkhd", b"stsd",
                                                  b"ftyp", b"mdhd",
-                                                 b"hdlr"):
+                                                 b"hdlr", b"stts",
+                                                 b"stsz", b"stco"):
             state["n_unknown"] += 1
         pos += size
 
@@ -158,15 +159,24 @@ def parse_mp4(blob: bytes) -> dict:
 
 MP4_TRACKS_SCHEMA = (
     "media_id bigint, track_id bigint, handler string, codec string, "
-    "width bigint, height bigint"
+    "width bigint, height bigint, n_samples bigint, n_chunks bigint, "
+    "duration_us bigint, total_bytes bigint, bitrate_bps bigint"
 )
 
 
 def parse_mp4_tracks(blob: bytes) -> list[dict]:
     """One row per ``trak`` box, document order: track id + geometry
-    (tkhd, both version layouts), handler fourcc (hdlr), and the first
-    stsd sample-entry codec.  Same tolerance rules as :func:`_walk`;
-    a clip with no parseable boxes yields no rows."""
+    (tkhd, both version layouts), handler fourcc (hdlr), the first
+    stsd sample-entry codec, and the SAMPLE-TABLE facts (r12):
+    ``n_samples`` (stsz sample_count), ``n_chunks`` (stco entry
+    count), ``duration_us`` — integer-exact from the stts
+    (count, delta) runs over the mdhd media timescale, NOT the movie
+    timescale — ``total_bytes`` (Σ stsz; the fixed-sample_size form
+    multiplies, the table form sums), and the real
+    ``bitrate_bps`` = total_bytes · 8 · 1e6 // duration_us.  Same
+    tolerance rules as :func:`_walk`; a clip with no parseable boxes
+    yields no rows, and a trak missing its sample tables reports
+    zeros."""
 
     def boxes(lo: int, hi: int):
         pos = lo
@@ -203,7 +213,9 @@ def parse_mp4_tracks(blob: bytes) -> list[dict]:
             elif typ == b"trak":
                 row = {
                     "track_id": 0, "handler": "", "codec": "",
-                    "width": 0, "height": 0,
+                    "width": 0, "height": 0, "n_samples": 0,
+                    "n_chunks": 0, "duration_us": 0,
+                    "total_bytes": 0, "bitrate_bps": 0,
                 }
                 tk = find(blo, bhi, b"tkhd")
                 if tk:
@@ -229,6 +241,15 @@ def parse_mp4_tracks(blob: bytes) -> list[dict]:
                         row["handler"] = blob[
                             hd[0] + 8 : hd[0] + 12
                         ].decode("latin-1")
+                    # mdhd media timescale (the stts deltas' clock)
+                    mts = 0
+                    mh = find(md[0], md[1], b"mdhd")
+                    if mh and mh[0] + 4 <= mh[1]:
+                        at = mh[0] + (20 if blob[mh[0]] == 1 else 12)
+                        if at + 4 <= mh[1]:
+                            mts = int.from_bytes(
+                                blob[at : at + 4], "big"
+                            )
                     mi = find(md[0], md[1], b"minf")
                     sb = find(mi[0], mi[1], b"stbl") if mi else None
                     sd = find(sb[0], sb[1], b"stsd") if sb else None
@@ -236,6 +257,61 @@ def parse_mp4_tracks(blob: bytes) -> list[dict]:
                         row["codec"] = blob[
                             sd[0] + 12 : sd[0] + 16
                         ].decode("latin-1")
+                    if sb:
+                        self_ticks = 0
+                        st = find(sb[0], sb[1], b"stts")
+                        if st and st[0] + 8 <= st[1]:
+                            n = int.from_bytes(
+                                blob[st[0] + 4 : st[0] + 8], "big"
+                            )
+                            p = st[0] + 8
+                            for _ in range(n):
+                                if p + 8 > st[1]:
+                                    break
+                                cnt = int.from_bytes(
+                                    blob[p : p + 4], "big"
+                                )
+                                delta = int.from_bytes(
+                                    blob[p + 4 : p + 8], "big"
+                                )
+                                self_ticks += cnt * delta
+                                p += 8
+                        if mts:
+                            row["duration_us"] = (
+                                self_ticks * 1_000_000 // mts
+                            )
+                        sz = find(sb[0], sb[1], b"stsz")
+                        if sz and sz[0] + 12 <= sz[1]:
+                            fixed = int.from_bytes(
+                                blob[sz[0] + 4 : sz[0] + 8], "big"
+                            )
+                            cnt = int.from_bytes(
+                                blob[sz[0] + 8 : sz[0] + 12], "big"
+                            )
+                            row["n_samples"] = cnt
+                            if fixed:
+                                row["total_bytes"] = fixed * cnt
+                            else:
+                                total = 0
+                                p = sz[0] + 12
+                                for _ in range(cnt):
+                                    if p + 4 > sz[1]:
+                                        break
+                                    total += int.from_bytes(
+                                        blob[p : p + 4], "big"
+                                    )
+                                    p += 4
+                                row["total_bytes"] = total
+                        co = find(sb[0], sb[1], b"stco")
+                        if co and co[0] + 8 <= co[1]:
+                            row["n_chunks"] = int.from_bytes(
+                                blob[co[0] + 4 : co[0] + 8], "big"
+                            )
+                        if row["duration_us"]:
+                            row["bitrate_bps"] = (
+                                row["total_bytes"] * 8 * 1_000_000
+                                // row["duration_us"]
+                            )
                 out.append(row)
 
     visit(0, len(blob))
@@ -259,7 +335,8 @@ def mp4_tracks(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "track_id", "handler", "codec",
-                         "width", "height"],
+                         "width", "height", "n_samples", "n_chunks",
+                         "duration_us", "total_bytes", "bitrate_bps"],
             )
 
     return media.select("media_id", "content").mapInPandas(
@@ -331,14 +408,70 @@ def _tkhd(version: int, track_id: int, w: int, h: int) -> bytes:
     return _box(b"tkhd", body)
 
 
-def _trak(version: int, track_id: int, fourcc: bytes, w: int, h: int) -> bytes:
+def _mdhd(timescale: int) -> bytes:
+    # version 0: creation/modification + timescale + duration + lang
+    return _box(
+        b"mdhd",
+        bytes(4) + bytes(8) + timescale.to_bytes(4, "big") + bytes(8),
+    )
+
+
+def _stts(entries: list[tuple[int, int]]) -> bytes:
+    return _box(
+        b"stts",
+        bytes(4) + len(entries).to_bytes(4, "big")
+        + b"".join(
+            c.to_bytes(4, "big") + d.to_bytes(4, "big")
+            for c, d in entries
+        ),
+    )
+
+
+def _stsz(fixed: int, count: int, sizes: list[int] | None = None) -> bytes:
+    tail = b"" if fixed else b"".join(
+        s.to_bytes(4, "big") for s in (sizes or [])
+    )
+    return _box(
+        b"stsz",
+        bytes(4) + fixed.to_bytes(4, "big") + count.to_bytes(4, "big")
+        + tail,
+    )
+
+
+def _stco(n: int) -> bytes:
+    return _box(
+        b"stco",
+        bytes(4) + n.to_bytes(4, "big")
+        + b"".join((48 + 16 * k).to_bytes(4, "big") for k in range(n)),
+    )
+
+
+def _trak(
+    version: int,
+    track_id: int,
+    fourcc: bytes,
+    w: int,
+    h: int,
+    samples: dict | None = None,
+) -> bytes:
+    """``samples`` (optional): {"mts": media timescale, "stts":
+    [(count, delta), ...], "stsz": (fixed, count) | (0, count,
+    sizes), "chunks": n} — emits mdhd + stts/stsz/stco so the
+    sample-table reader has real structure to parse."""
     entry = (16).to_bytes(4, "big") + fourcc + bytes(8)
     stsd = _box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + entry)
-    stbl = _box(b"stbl", stsd)
+    stbl_body = stsd
+    mdhd = b""
+    if samples:
+        mdhd = _mdhd(samples["mts"])
+        stbl_body += _stts(samples["stts"])
+        stbl_body += _stsz(*samples["stsz"])
+        stbl_body += _stco(samples["chunks"])
+    stbl = _box(b"stbl", stbl_body)
     minf = _box(b"minf", stbl)
     handler = b"vide" if fourcc == b"avc1" else b"soun"
     hdlr = _box(b"hdlr", bytes(8) + handler + bytes(12))
-    mdia = _box(b"mdia", hdlr + minf)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
     return _box(b"trak", _tkhd(version, track_id, w, h) + mdia)
 
 
@@ -351,6 +484,12 @@ def mp4_media(spark: SparkSession, n: int = 7) -> DataFrame:
         tkhd version i%2 (32- vs 64-bit layouts), 1+(i%3) tracks —
         track t is avc1 320(t+1)×240(t+1) when t is even, else mp4a
         0×0 — and an mdat of 64+8i deterministic bytes;
+      every track carries SAMPLE TABLES (r12), media timescale 1000:
+        ns = 8+2t+i samples in two stts runs [(ns-4)·100, 4·150]
+        (track duration_us = (100·ns+200)·1000 exactly); stsz is the
+        fixed-size form (500+25t per sample) on even t and the
+        per-sample table (300+k) on odd t; stco has 2+(t%2) chunks;
+        bitrate_bps = total_bytes·8·1e6 // duration_us;
       clip 2 additionally carries a ``free`` padding box and an
         unknown ``junQ`` box before moov (skip + count exercise);
       clip 3's mdat uses the 64-bit largesize header;
@@ -366,11 +505,24 @@ def mp4_media(spark: SparkSession, n: int = 7) -> DataFrame:
         nt = 1 + (i % 3)
         traks = b""
         for t in range(nt):
+            ns = 8 + 2 * t + i
+            samples = {
+                "mts": 1000,
+                "stts": [(ns - 4, 100), (4, 150)],
+                "stsz": (
+                    (500 + 25 * t, ns)
+                    if t % 2 == 0
+                    else (0, ns, [300 + k for k in range(ns)])
+                ),
+                "chunks": 2 + (t % 2),
+            }
             if t % 2 == 0:
                 traks += _trak(ver, t + 1, b"avc1",
-                               320 * (t + 1), 240 * (t + 1))
+                               320 * (t + 1), 240 * (t + 1),
+                               samples=samples)
             else:
-                traks += _trak(ver, t + 1, b"mp4a", 0, 0)
+                traks += _trak(ver, t + 1, b"mp4a", 0, 0,
+                               samples=samples)
         moov = _box(b"moov", _mvhd(ver, ts, ts * (3 + i)) + traks)
         ftyp = _box(
             b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isommp42"

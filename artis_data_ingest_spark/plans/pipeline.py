@@ -1545,7 +1545,7 @@ WITH d AS (
          CAST(CASE WHEN i % 3 = 2 THEN 960 ELSE 320 END AS BIGINT) AS width,
          CAST(CASE WHEN i % 3 = 2 THEN 720 ELSE 240 END AS BIGINT) AS height,
          CAST(CASE WHEN i = 5 THEN 0 ELSE 1 END
-              + 2 + 7 * (1 + (i % 3))
+              + 2 + 11 * (1 + (i % 3))
               + CASE WHEN i = 2 THEN 2 ELSE 0 END
               + CASE WHEN i = 4 THEN 0 ELSE 1 END AS BIGINT) AS n_boxes,
          CAST(CASE WHEN i = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_unknown,
@@ -1589,6 +1589,16 @@ def q_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_mp4_tracks",
     oracle="""
+WITH g AS (
+  SELECT i, t, 8 + 2 * t + i AS ns
+  FROM range(6) a(i), UNNEST(range(1 + (i % 3))) b(t)
+), m AS (
+  SELECT i, t, ns,
+         (100 * ns + 200) * 1000 AS duration_us,
+         CASE WHEN t % 2 = 0 THEN ns * (500 + 25 * t)
+              ELSE 300 * ns + ns * (ns - 1) // 2 END AS total_bytes
+  FROM g
+)
 SELECT CAST(i AS BIGINT) AS media_id,
        CAST(t + 1 AS BIGINT) AS track_id,
        CASE WHEN t % 2 = 0 THEN 'vide' ELSE 'soun' END AS handler,
@@ -1596,21 +1606,33 @@ SELECT CAST(i AS BIGINT) AS media_id,
        CAST(CASE WHEN t % 2 = 0 THEN 320 * (t + 1) ELSE 0 END
             AS BIGINT) AS width,
        CAST(CASE WHEN t % 2 = 0 THEN 240 * (t + 1) ELSE 0 END
-            AS BIGINT) AS height
-FROM range(6) a(i), UNNEST(range(1 + (i % 3))) b(t)
+            AS BIGINT) AS height,
+       CAST(ns AS BIGINT) AS n_samples,
+       CAST(2 + (t % 2) AS BIGINT) AS n_chunks,
+       CAST(duration_us AS BIGINT) AS duration_us,
+       CAST(total_bytes AS BIGINT) AS total_bytes,
+       CAST(total_bytes * 8 * 1000000 // duration_us AS BIGINT)
+           AS bitrate_bps
+FROM m
 ORDER BY media_id, track_id
 """,
     doc="Per-TRACK MP4 metadata (r11, operators/mp4.py:mp4_tracks — "
     "the track-level twin of q_mp4_metadata's clip rollup): one row "
     "per trak box in document order with the tkhd track id and "
     "16.16 geometry (both version layouts), the hdlr handler fourcc "
-    "(vide/soun), and the first stsd sample-entry codec.  The "
-    "truncated clip still yields all its tracks (moov precedes the "
-    "cut mdat) and the garbage clip yields none — multi-track "
-    "streams are how real scraped MP4s arrive, and per-track rows "
-    "are what a curation filter (video-only, min-resolution, has-"
-    "audio) actually joins against.  Same Arrow-batched mapInPandas "
-    "fleet shape, header-only pass.",
+    "(vide/soun), and the first stsd sample-entry codec.  r12 adds "
+    "the SAMPLE TABLES under stbl: n_samples (stsz count), n_chunks "
+    "(stco entries), duration_us integer-exact from the stts "
+    "(count, delta) runs over the mdhd MEDIA timescale (not the "
+    "movie timescale), total_bytes from stsz (both the fixed-"
+    "sample_size and per-sample-table forms), and the real "
+    "bitrate_bps = total_bytes*8e6 // duration_us.  The truncated "
+    "clip still yields all its tracks (moov precedes the cut mdat) "
+    "and the garbage clip yields none — multi-track streams are "
+    "how real scraped MP4s arrive, and per-track rows are what a "
+    "curation filter (video-only, min-resolution, min-bitrate, "
+    "has-audio) actually joins against.  Same Arrow-batched "
+    "mapInPandas fleet shape, header-only pass.",
 )
 def q_mp4_tracks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.mp4 import mp4_media, mp4_tracks

@@ -1644,14 +1644,54 @@ def test_mp4_tracks_per_trak_rows():
         + _trak(0, 7, b"avc1", 640, 360)
         + _trak(1, 9, b"mp4a", 0, 0),
     )
+    zeros = {"n_samples": 0, "n_chunks": 0, "duration_us": 0,
+             "total_bytes": 0, "bitrate_bps": 0}
     rows = parse_mp4_tracks(moov + _box(b"mdat", bytes(8)))
     assert rows == [
         {"track_id": 7, "handler": "vide", "codec": "avc1",
-         "width": 640, "height": 360},
+         "width": 640, "height": 360, **zeros},
         {"track_id": 9, "handler": "soun", "codec": "mp4a",
-         "width": 0, "height": 0},
+         "width": 0, "height": 0, **zeros},
     ]
     assert parse_mp4_tracks(bytes(range(48))) == []
+
+
+def test_mp4_sample_tables_exact():
+    """r12: stts/stsz/stco under stbl — n_samples, exact duration from
+    the stts runs over the mdhd MEDIA timescale, total bytes from both
+    stsz forms, chunk count, and integer-exact bitrate."""
+    from artis_data_ingest_spark.operators.mp4 import (
+        _box,
+        _mvhd,
+        _trak,
+        parse_mp4,
+        parse_mp4_tracks,
+    )
+
+    # fixed-sample_size stsz; media timescale 48000 (≠ movie 600)
+    s = {"mts": 48000, "stts": [(10, 4800), (5, 9600)],
+         "stsz": (1200, 15), "chunks": 4}
+    moov = _box(b"moov", _mvhd(0, 600, 600)
+                + _trak(0, 1, b"avc1", 320, 240, samples=s))
+    r = parse_mp4_tracks(moov)[0]
+    ticks = 10 * 4800 + 5 * 9600  # 96000 → 2 s of media time
+    assert r["n_samples"] == 15 and r["n_chunks"] == 4
+    assert r["duration_us"] == ticks * 1_000_000 // 48000 == 2_000_000
+    assert r["total_bytes"] == 1200 * 15
+    assert r["bitrate_bps"] == 1200 * 15 * 8 * 1_000_000 // 2_000_000
+
+    # per-sample-table stsz
+    s2 = {"mts": 1000, "stts": [(3, 500)],
+          "stsz": (0, 3, [100, 200, 300]), "chunks": 1}
+    moov2 = _box(b"moov", _mvhd(0, 600, 600)
+                 + _trak(0, 2, b"mp4a", 0, 0, samples=s2))
+    r2 = parse_mp4_tracks(moov2)[0]
+    assert r2["total_bytes"] == 600 and r2["duration_us"] == 1_500_000
+    assert r2["bitrate_bps"] == 600 * 8 * 1_000_000 // 1_500_000
+
+    # the sample-table boxes are known to the clip-level walk too
+    m = parse_mp4(moov)
+    assert m["n_unknown"] == 0
 
 
 def test_mp4_depth_cap_no_recursion_error():

@@ -1799,6 +1799,94 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_time_travel_ts",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), v AS (
+  SELECT 1500 AS as_of_s, 0 AS version,
+         COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+  FROM o WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 2000, 1, COUNT(*), SUM(cents)
+  FROM o WHERE o_orderkey % 3 IN (0, 1)
+  UNION ALL
+  SELECT 2999, 1, COUNT(*), SUM(cents)
+  FROM o WHERE o_orderkey % 3 IN (0, 1)
+  UNION ALL
+  SELECT 3000, 2, COUNT(*), SUM(cents)
+  FROM o WHERE o_orderkey % 7 = 0
+)
+SELECT CAST(as_of_s AS BIGINT) AS as_of_s,
+       CAST(version AS BIGINT) AS version,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_cents AS BIGINT) AS sum_cents
+FROM v ORDER BY as_of_s
+""",
+    doc="TIMESTAMP-addressed time travel (r12, sinks/versioned.py: "
+    "version_at + read_version(as_of=)): commits record an "
+    "injectable commit time in the manifest; a read addressed by "
+    "epoch-seconds timestamp resolves to the newest version "
+    "committed at or before it (Delta's timestampAsOf), inclusive "
+    "at the boundary, and history() surfaces the ts column.  Three "
+    "commits pinned at t=1000/2000/3000 are probed at 1500 (v0), "
+    "2000 (boundary → v1), 2999 (v1), 3000 (v2); the oracle "
+    "recomputes each resolved state straight from orders, so a "
+    "mis-resolution (off-by-one at the boundary, newest-first "
+    "instead of newest-at-or-before) hash-mismatches.  Out-of-range "
+    "probes (before the first commit) raise FileNotFoundError, "
+    "pinned in tests.  Same manifest-only driver cost as version-"
+    "addressed travel.",
+)
+def q_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import commit, read_version, version_at
+
+    base = _versioned_demo_path(sf_dir, "versioned_ts_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 3 == 0), base,
+        mode="overwrite", note="initial", expect_version=None,
+        timestamp=1000.0,
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 3 == 1), base,
+        mode="append", note="delta", expect_version=0,
+        timestamp=2000.0,
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 7 == 0), base,
+        mode="overwrite", note="rewrite", expect_version=1,
+        timestamp=3000.0,
+    )
+    stats = None
+    for as_of in (1500.0, 2000.0, 2999.0, 3000.0):
+        v = version_at(base, as_of)
+        s = (
+            read_version(spark, base, as_of=as_of)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .select(
+                F.lit(int(as_of)).cast("bigint").alias("as_of_s"),
+                F.lit(v).cast("bigint").alias("version"),
+                "n_rows",
+                "sum_cents",
+            )
+        )
+        stats = s if stats is None else stats.unionByName(s)
+    return stats.orderBy("as_of_s")
+
+
+@register(
     "q_version_diff",
     oracle="""
 WITH o AS (

@@ -248,8 +248,16 @@ def commit(
     cluster_by: Sequence[str] | None = None,
     n_files: int | None = None,
     bloom_cols: Sequence[str] | None = None,
+    timestamp: float | None = None,
 ) -> int:
     """Write ``df`` as a new version; returns the version number.
+
+    ``timestamp`` (epoch seconds; default ``time.time()``) is recorded
+    in the manifest as the commit time, enabling TIMESTAMP-addressed
+    time travel (``read_version(..., as_of=ts)`` resolves to the
+    newest version committed at or before ``ts``, exactly Delta's
+    ``timestampAsOf``).  Injectable so tests and oracles can pin
+    deterministic commit times.
 
     ``expect_version`` is the optimistic-concurrency guard:
       * an int — the version this writer based its work on; raises
@@ -321,6 +329,7 @@ def commit(
         "parent": cur,
         "mode": mode,
         "note": note,
+        "ts": timestamp if timestamp is not None else time.time(),
         "files": files,
         "stats": stats,
     }
@@ -338,6 +347,7 @@ def compact(
     n_files: int = 1,
     cluster_by: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
+    timestamp: float | None = None,
 ) -> int:
     """Rewrite the latest version's file set into ``n_files`` parquet
     files as a new ``mode="compact"`` version with IDENTICAL content
@@ -383,6 +393,7 @@ def compact(
         "parent": cur,
         "mode": "compact",
         "note": note,
+        "ts": timestamp if timestamp is not None else time.time(),
         "files": seg_files,
         "stats": _file_stats(seg_files),
     }
@@ -400,6 +411,7 @@ def merge_commit(
     keys: Sequence[str],
     delete_col: str | None = None,
     note: str = "merge",
+    timestamp: float | None = None,
 ) -> int:
     """MERGE ``source`` INTO the versioned table (update matched keys,
     insert new ones, optionally delete flagged ones — semantics of
@@ -446,6 +458,7 @@ def merge_commit(
         "parent": cur,
         "mode": "merge",
         "note": note,
+        "ts": timestamp if timestamp is not None else time.time(),
         "files": seg_files,
         "delta_files": delta_files,
         "stats": _file_stats(seg_files),
@@ -457,10 +470,39 @@ def merge_commit(
     return _publish(table_dir, manifest)
 
 
+def version_at(table_dir: str, as_of: float) -> int:
+    """TIMESTAMP-addressed version resolution: the newest retained
+    version whose recorded commit time is <= ``as_of`` (epoch
+    seconds) — Delta's ``timestampAsOf`` semantics.  Manifests written
+    before commit times existed (no ``ts`` key) are treated as
+    infinitely old, so they resolve for any ``as_of``.  Raises
+    FileNotFoundError when every retained version is newer than
+    ``as_of`` (the state at that time is out of retention or predates
+    the table)."""
+    best = None
+    for v in list_versions(table_dir):
+        ts = _read_manifest(table_dir, v).get("ts")
+        if ts is None or ts <= as_of:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no version in {table_dir} committed at or before "
+            f"{as_of} (earliest retained version is newer, or the "
+            f"table is empty)"
+        )
+    return best
+
+
 def read_version(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
-    """Time-travel read: the file set of ``version`` (default latest).
+    """Time-travel read: the file set of ``version`` (default latest),
+    or — with ``as_of`` (epoch seconds) — of the newest version
+    committed at or before that timestamp (see :func:`version_at`).
+    ``version`` and ``as_of`` are mutually exclusive.
 
     Reads with ``mergeSchema`` so an append whose batch ADDED a column
     stays readable across the schema change (older segments surface the
@@ -470,6 +512,10 @@ def read_version(
     (assess_changes.qmd:148-174).  mergeSchema unions footers at plan
     time (one footer read per file — metadata, not data), so the cost
     is bounded by file count, not table size."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = version_at(table_dir, as_of)
     if version is None:
         version = latest_version(table_dir)
         if version is None:
@@ -692,16 +738,19 @@ def scan(
 
 
 def history(spark: SparkSession, table_dir: str) -> DataFrame:
-    """(version, parent, mode, note, n_files) — the commit log, down
-    to the oldest retained (non-expired) manifest."""
+    """(version, parent, mode, note, n_files, ts) — the commit log,
+    down to the oldest retained (non-expired) manifest; ``ts`` is the
+    recorded commit time in epoch seconds (null for manifests written
+    before commit times existed)."""
     rows = [
-        (m["version"], m["parent"], m["mode"], m["note"], len(m["files"]))
+        (m["version"], m["parent"], m["mode"], m["note"],
+         len(m["files"]), m.get("ts"))
         for m in _walk_manifests(table_dir)
     ]
     return spark.createDataFrame(
         rows,
         "version bigint, parent bigint, mode string, note string, "
-        "n_files bigint",
+        "n_files bigint, ts double",
     )
 
 

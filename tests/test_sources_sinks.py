@@ -1420,3 +1420,49 @@ def test_pdf_type0_cid_descendant_and_encrypted(tmp_path):
     )
     m3 = extract_pdf_text(blob)
     assert m3["text"] == "hi" and m3["reason"] == ""
+
+
+def test_version_at_timestamp_resolution(spark, tmp_path):
+    """r12: version_at resolves newest-at-or-before (inclusive
+    boundary), pre-table probes raise, pre-ts manifests resolve for
+    any as_of, history() surfaces the ts column, and version/as_of
+    are mutually exclusive on read_version."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        _manifest_path,
+        commit,
+        history,
+        read_version,
+        version_at,
+    )
+
+    d = str(tmp_path / "tbl")
+    commit(spark.range(3), d, mode="overwrite", expect_version=None,
+           timestamp=100.0)
+    commit(spark.range(5), d, mode="overwrite", expect_version=0,
+           timestamp=200.0)
+    assert version_at(d, 100.0) == 0      # inclusive boundary
+    assert version_at(d, 199.9) == 0
+    assert version_at(d, 200.0) == 1
+    assert version_at(d, 1e12) == 1
+    with _pytest.raises(FileNotFoundError):
+        version_at(d, 99.9)               # predates the table
+    assert read_version(spark, d, as_of=150.0).count() == 3
+    with _pytest.raises(ValueError):
+        read_version(spark, d, version=0, as_of=150.0)
+    hist = {r.version: r.ts for r in history(spark, d).collect()}
+    assert hist == {0: 100.0, 1: 200.0}
+
+    # a pre-ts manifest (no "ts" key) is infinitely old: still
+    # addressable, null in history
+    mp = _manifest_path(d, 0)
+    m = json.load(open(mp))
+    del m["ts"]
+    os.unlink(mp)
+    json.dump(m, open(mp, "w"))
+    assert version_at(d, 99.9) == 0
+    assert history(spark, d).filter("version = 0").first().ts is None

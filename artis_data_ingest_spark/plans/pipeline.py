@@ -2380,6 +2380,19 @@ WITH grid AS (
          'crab' || chr(9) || '7' || chr(10) ||
          'closing para omega' || chr(10) ||
          'ftr page one'
+  UNION ALL
+  SELECT 'listbox.docx', TRUE, 11, 0,
+         'intro' || chr(10) ||
+         '1. alpha' || chr(10) ||
+         '2. beta' || chr(10) ||
+         '2.1. beta-sub' || chr(10) ||
+         '3. gamma' || chr(10) ||
+         '• dot one' || chr(10) ||
+         '• dot two' || chr(10) ||
+         'host para' || chr(10) ||
+         'boxed line one' || chr(10) ||
+         'boxed line two' || chr(10) ||
+         'outro'
 )
 SELECT path, ok, n_paragraphs, n_tables,
        CAST(len(list_filter(string_split_regex(text, '[ \\t\\n]+'),
@@ -2400,6 +2413,13 @@ ORDER BY path
     "render one line per w:tr, cells tab-joined, nested tables "
     "recursed), HEADERS/FOOTERS (word/header*.xml / footer*.xml "
     "paragraphs prepend/append in member order) and footnote text.  "
+    "r12 adds LIST NUMBERING — w:numPr resolved against "
+    "word/numbering.xml (abstractNum indirection, %N lvlText "
+    "placeholders, per-(numId,ilvl) counters with outline resets, "
+    "bullets) renders visible '1.'/'2.1.'/'•' markers "
+    "(listbox.docx) — and TEXT BOXES: w:txbxContent blocks emit as "
+    "their own lines after the host paragraph instead of vanishing "
+    "or merging into it.  "
     "Fleet shape: one binaryFile row per document, parsed inside "
     "executor tasks via mapInPandas (documents are the parallelism "
     "unit for an unsplittable container).  The committed fixtures "

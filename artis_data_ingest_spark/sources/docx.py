@@ -17,7 +17,17 @@ skipped" gap):
     order (header1 < header2 …), the order a reader sees the page;
   * FOOTNOTES (``word/footnotes.xml``): paragraph text appended after
     the body (Word's separator/continuation stubs carry no ``w:t`` and
-    contribute empty-paragraph lines only when they hold actual text).
+    contribute empty-paragraph lines only when they hold actual text);
+  * LIST NUMBERING (r12): ``w:numPr`` resolved against
+    ``word/numbering.xml`` (``w:num`` → ``w:abstractNum`` → per-level
+    numFmt/lvlText/start) renders the VISIBLE marker — decimal
+    counters per (numId, ilvl) in document order with outline resets,
+    ``%N`` placeholders, bullets — prefixed to the paragraph text;
+  * TEXT BOXES (r12): ``w:txbxContent`` (VML ``v:textbox`` and
+    DrawingML ``wps:txbx`` both wrap it) renders its block content as
+    separate lines after the host paragraph;
+  * CONTENT CONTROLS (r12): block-level wrappers like
+    ``w:sdt``/``w:sdtContent`` are recursed, not dropped.
 
 Everything is parsed with ``zipfile`` + ``xml.etree`` (this container
 has no python-docx, and the reference's scraper domain downloads
@@ -51,14 +61,104 @@ DOCX_SCHEMA = (
 
 def _para_text(p: ET.Element) -> str:
     parts: list[str] = []
-    for node in p.iter():
-        if node.tag == f"{_W}t":
-            parts.append(node.text or "")
-        elif node.tag == f"{_W}tab":
-            parts.append("\t")
-        elif node.tag == f"{_W}br":
-            parts.append("\n")
+
+    def walk(node: ET.Element) -> None:
+        for child in node:
+            if child.tag == f"{_W}txbxContent":
+                continue  # text-box blocks are emitted as own lines
+            if child.tag == f"{_W}t":
+                parts.append(child.text or "")
+            elif child.tag == f"{_W}tab":
+                parts.append("\t")
+            elif child.tag == f"{_W}br":
+                parts.append("\n")
+            else:
+                walk(child)
+
+    walk(p)
     return "".join(parts)
+
+
+def _parse_numbering(raw: bytes) -> dict:
+    """word/numbering.xml → {numId: {ilvl: (numFmt, lvlText, start)}}
+    — w:num indirects through w:abstractNum, the two-level shape Word
+    always writes."""
+    root = ET.fromstring(raw)
+    abstract: dict[str, dict[int, tuple]] = {}
+    for an in root.findall(f"{_W}abstractNum"):
+        aid = an.get(f"{_W}abstractNumId")
+        lvls: dict[int, tuple] = {}
+        for lvl in an.findall(f"{_W}lvl"):
+            try:
+                il = int(lvl.get(f"{_W}ilvl", "0"))
+            except ValueError:
+                continue
+            fmt_el = lvl.find(f"{_W}numFmt")
+            fmt = (
+                fmt_el.get(f"{_W}val") if fmt_el is not None
+                else "decimal"
+            )
+            lt_el = lvl.find(f"{_W}lvlText")
+            lt = lt_el.get(f"{_W}val") if lt_el is not None else ""
+            st_el = lvl.find(f"{_W}start")
+            try:
+                st = (
+                    int(st_el.get(f"{_W}val"))
+                    if st_el is not None else 1
+                )
+            except (TypeError, ValueError):
+                st = 1
+            lvls[il] = (fmt, lt, st)
+        if aid is not None:
+            abstract[aid] = lvls
+    out: dict = {}
+    for num in root.findall(f"{_W}num"):
+        nid = num.get(f"{_W}numId")
+        ref = num.find(f"{_W}abstractNumId")
+        if nid is not None and ref is not None:
+            out[nid] = abstract.get(ref.get(f"{_W}val"), {})
+    return out
+
+
+def _num_marker(p: ET.Element, counts: dict) -> str:
+    """The visible list marker ('1. ', '2.1. ', '• ') for a paragraph
+    with w:pPr/w:numPr, resolved against numbering.xml.  Decimal
+    counters sequence per (numId, ilvl) in document order; stepping a
+    level resets the deeper ones (outline semantics); %N placeholders
+    in lvlText take the CURRENT counter of level N-1.  Unknown
+    formats render like decimal (degrade, don't drop)."""
+    numbering = counts.get("numbering")
+    if not numbering:
+        return ""
+    ppr = p.find(f"{_W}pPr")
+    numpr = ppr.find(f"{_W}numPr") if ppr is not None else None
+    if numpr is None:
+        return ""
+    nid_el = numpr.find(f"{_W}numId")
+    il_el = numpr.find(f"{_W}ilvl")
+    nid = nid_el.get(f"{_W}val") if nid_el is not None else None
+    try:
+        il = int(il_el.get(f"{_W}val")) if il_el is not None else 0
+    except (TypeError, ValueError):
+        il = 0
+    lvls = numbering.get(nid)
+    if not lvls or il not in lvls:
+        return ""
+    fmt, lt, start = lvls[il]
+    if fmt == "bullet":
+        return (lt or "•") + " "
+    cs = counts.setdefault("counters", {}).setdefault(nid, {})
+    cs[il] = cs.get(il, start - 1) + 1
+    for deeper in [k for k in cs if k > il]:
+        del cs[deeper]
+
+    def repl(m: "re.Match[str]") -> str:
+        lvl_idx = int(m.group(1)) - 1
+        if lvl_idx in cs:
+            return str(cs[lvl_idx])
+        return str(lvls.get(lvl_idx, ("decimal", "", 1))[2])
+
+    return re.sub(r"%(\d)", repl, lt or "%1.") + " "
 
 
 def _blocks(parent: ET.Element, counts: dict) -> Iterator[str]:
@@ -68,7 +168,12 @@ def _blocks(parent: ET.Element, counts: dict) -> Iterator[str]:
     own blocks newline-joined — recursion covers nested tables)."""
     for child in parent:
         if child.tag == f"{_W}p":
-            yield _para_text(child)
+            yield _num_marker(child, counts) + _para_text(child)
+            # text boxes anchored in this paragraph's runs
+            # (v:textbox / wps:txbx both wrap w:txbxContent): their
+            # block content renders as its own lines after the host
+            for tx in child.iter(f"{_W}txbxContent"):
+                yield from _blocks(tx, counts)
         elif child.tag == f"{_W}tbl":
             counts["tables"] += 1
             for tr in child.findall(f"{_W}tr"):
@@ -96,6 +201,14 @@ def parse_docx_bytes(blob: bytes) -> tuple[bool, list[str], int]:
             names = set(zf.namelist())
             raw = zf.read("word/document.xml")
             root = ET.fromstring(raw)
+            numbering: dict = {}
+            if "word/numbering.xml" in names:
+                try:
+                    numbering = _parse_numbering(
+                        zf.read("word/numbering.xml")
+                    )
+                except ET.ParseError:
+                    numbering = {}  # lists lose markers, never the text
             side: dict[str, list[ET.Element]] = {
                 "header": [], "footer": [], "footnotes": [],
             }
@@ -112,7 +225,7 @@ def parse_docx_bytes(blob: bytes) -> tuple[bool, list[str], int]:
                     continue  # a broken side part never loses the body
     except (zipfile.BadZipFile, KeyError, ET.ParseError, OSError):
         return False, [], 0
-    counts = {"tables": 0}
+    counts: dict = {"tables": 0, "numbering": numbering}
     lines: list[str] = []
     for hdr in side["header"]:
         lines.extend(_blocks(hdr, counts))
@@ -170,8 +283,18 @@ def _esc(s: str) -> str:
     )
 
 
-def _para_xml(para: str) -> str:
+def _para_xml(
+    para: str,
+    num: tuple | None = None,
+    txbx: list[str] | None = None,
+) -> str:
     runs = []
+    if num is not None:
+        num_id, ilvl = num
+        runs.append(
+            f'<w:pPr><w:numPr><w:ilvl w:val="{ilvl}"/>'
+            f'<w:numId w:val="{num_id}"/></w:numPr></w:pPr>'
+        )
     for piece in para.replace("\n", "\x00\n\x00").replace(
         "\t", "\x00\t\x00"
     ).split("\x00"):
@@ -183,7 +306,39 @@ def _para_xml(para: str) -> str:
             runs.append(
                 f'<w:r><w:t xml:space="preserve">{_esc(piece)}</w:t></w:r>'
             )
+    if txbx:
+        inner = "".join(_para_xml(line) for line in txbx)
+        runs.append(
+            '<w:r><w:pict><v:shape xmlns:v='
+            '"urn:schemas-microsoft-com:vml"><v:textbox>'
+            f"<w:txbxContent>{inner}</w:txbxContent>"
+            "</v:textbox></v:shape></w:pict></w:r>"
+        )
     return f"<w:p>{''.join(runs)}</w:p>"
+
+
+def _numbering_xml(numbering: dict) -> str:
+    """``numbering`` = {numId: [(numFmt, lvlText), ...]} (list index =
+    ilvl) → a minimal word/numbering.xml with one abstractNum per
+    numId."""
+    parts = []
+    for k, (num_id, lvls) in enumerate(sorted(numbering.items())):
+        lvl_xml = "".join(
+            f'<w:lvl w:ilvl="{il}"><w:start w:val="1"/>'
+            f'<w:numFmt w:val="{fmt}"/>'
+            f'<w:lvlText w:val="{_esc(text)}"/></w:lvl>'
+            for il, (fmt, text) in enumerate(lvls)
+        )
+        parts.append(
+            f'<w:abstractNum w:abstractNumId="{k}">{lvl_xml}'
+            "</w:abstractNum>"
+        )
+    for k, (num_id, _lvls) in enumerate(sorted(numbering.items())):
+        parts.append(
+            f'<w:num w:numId="{num_id}">'
+            f'<w:abstractNumId w:val="{k}"/></w:num>'
+        )
+    return _WRAP.format(root="numbering", inner="".join(parts))
 
 
 def _tbl_xml(rows: list[list[str]]) -> str:
@@ -208,16 +363,30 @@ def write_docx(
     paragraphs: list,
     headers: list[str] | None = None,
     footers: list[str] | None = None,
+    numbering: dict | None = None,
 ) -> None:
     """Minimal structurally-valid .docx writer for fixtures.  Each
     ``paragraphs`` item is a str (one paragraph; tabs/newlines become
-    real <w:tab/>/<w:br/> marks) or a list of rows (a table, each row
-    a list of cell strings).  ``headers``/``footers`` write
-    word/header1.xml / word/footer1.xml paragraph parts."""
+    real <w:tab/>/<w:br/> marks), a list of rows (a table, each row
+    a list of cell strings), or a dict {"text": str, "num":
+    (numId, ilvl)?, "txbx": [str, ...]?} — ``num`` attaches the
+    paragraph to a list from ``numbering`` ({numId: [(numFmt,
+    lvlText), ...]}, written as word/numbering.xml), ``txbx`` anchors
+    a VML text box whose lines are block content.  ``headers``/
+    ``footers`` write word/header1.xml / word/footer1.xml paragraph
+    parts."""
     doc_parts = []
     for item in paragraphs:
         if isinstance(item, str):
             doc_parts.append(_para_xml(item))
+        elif isinstance(item, dict):
+            doc_parts.append(
+                _para_xml(
+                    item.get("text", ""),
+                    num=item.get("num"),
+                    txbx=item.get("txbx"),
+                )
+            )
         else:
             doc_parts.append(_tbl_xml(item))
     document = _WRAP.format(
@@ -254,6 +423,15 @@ def write_docx(
             '<Override PartName="/word/footer1.xml" ContentType='
             '"application/vnd.openxmlformats-officedocument.'
             'wordprocessingml.footer+xml"/>'
+        )
+    if numbering:
+        extra_parts.append((
+            "word/numbering.xml", _numbering_xml(numbering),
+        ))
+        overrides.append(
+            '<Override PartName="/word/numbering.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.'
+            'wordprocessingml.numbering+xml"/>'
         )
     content_types = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'

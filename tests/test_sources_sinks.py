@@ -1466,3 +1466,46 @@ def test_version_at_timestamp_resolution(spark, tmp_path):
     json.dump(m, open(mp, "w"))
     assert version_at(d, 99.9) == 0
     assert history(spark, d).filter("version = 0").first().ts is None
+
+
+def test_docx_numbering_and_text_boxes(tmp_path):
+    """r12: w:numPr paragraphs render visible list markers resolved
+    against word/numbering.xml (decimal outline with %N placeholders,
+    per-level counters with deeper-level resets, bullets), and
+    w:txbxContent blocks emit as their own lines after the host
+    paragraph — not merged into it, not dropped."""
+    from artis_data_ingest_spark.sources.docx import (
+        parse_docx_bytes,
+        write_docx,
+    )
+
+    p = str(tmp_path / "lb.docx")
+    write_docx(
+        p,
+        [
+            {"text": "a1", "num": ("1", 0)},
+            {"text": "a1-sub", "num": ("1", 1)},
+            {"text": "a1-sub2", "num": ("1", 1)},
+            {"text": "a2", "num": ("1", 0)},
+            {"text": "a2-sub", "num": ("1", 1)},  # reset: 2.1. not 2.3.
+            {"text": "b", "num": ("9", 0)},
+            {"text": "host", "txbx": ["in box"]},
+        ],
+        numbering={
+            "1": [("decimal", "%1."), ("decimal", "%1.%2.")],
+            "9": [("bullet", "•")],
+        },
+    )
+    ok, lines, _ = parse_docx_bytes(open(p, "rb").read())
+    assert ok
+    assert lines == [
+        "1. a1", "1.1. a1-sub", "1.2. a1-sub2", "2. a2", "2.1. a2-sub",
+        "• b", "host", "in box",
+    ]
+
+    # a numPr pointing at a numId missing from numbering.xml (or no
+    # numbering.xml at all) degrades to unmarked text
+    p2 = str(tmp_path / "nonum.docx")
+    write_docx(p2, [{"text": "plain", "num": ("7", 0)}])
+    ok2, lines2, _ = parse_docx_bytes(open(p2, "rb").read())
+    assert ok2 and lines2 == ["plain"]

@@ -54,6 +54,27 @@ def docx_fixture_set() -> dict[str, list[str] | bytes]:
         "headers": ["hdr quarterly report"],
         "footers": ["ftr page one"],
     }
+    # r12: list numbering (decimal outline + bullets, resolved against
+    # word/numbering.xml) and a VML text box whose lines are block
+    # content after the host paragraph
+    out["listbox.docx"] = {
+        "paragraphs": [
+            "intro",
+            {"text": "alpha", "num": ("1", 0)},
+            {"text": "beta", "num": ("1", 0)},
+            {"text": "beta-sub", "num": ("1", 1)},
+            {"text": "gamma", "num": ("1", 0)},
+            {"text": "dot one", "num": ("2", 0)},
+            {"text": "dot two", "num": ("2", 0)},
+            {"text": "host para",
+             "txbx": ["boxed line one", "boxed line two"]},
+            "outro",
+        ],
+        "numbering": {
+            "1": [("decimal", "%1."), ("decimal", "%1.%2.")],
+            "2": [("bullet", "•")],
+        },
+    }
     out["broken.docx"] = b"PK\x03\x04 not a real zip"
     return out
 

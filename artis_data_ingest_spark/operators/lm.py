@@ -84,15 +84,16 @@ def train_unigram_lm(
         ).alias("den")
     )
     # qlog2 over DISTINCT smoothed counts + the denominator (tiny)
+    # one distinct at the end covers the union's first branch too —
+    # an inner .distinct() would just add a shuffle before the union
     vals = (
         vocab.select((F.col("c") + 1).alias("x"))
-        .distinct()
         .union(tot.select(F.col("den").alias("x")))
         .distinct()
     )
-    # ~hundreds of rows, but a 20-round unrolled expression chain:
-    # materializing cuts the deep qlog2 subtree out of every
-    # downstream branch's analysis and execution
+    # ~hundreds of rows; materializing once keeps the qlog2 job (and
+    # the union of count branches under it) out of every downstream
+    # consumer's plan
     qtab = with_qlog2(vals, "x", "q").localCheckpoint()
     vocab_s = vocab.join(
         F.broadcast(qtab), vocab["c"] + 1 == qtab["x"]
@@ -158,14 +159,22 @@ def bucketize_keys(keyed: DataFrame) -> DataFrame:
     # corpus while the checkpoint write is result-sized — one
     # (doc_id, key) row per doc)
     keyed = keyed.localCheckpoint()
-    # distributed rank: per-key counts -> cumulative over DISTINCT keys
-    # (group-bounded window), + row_number within key (distributed)
-    kc = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("kn"))
+    # distributed rank in ONE shuffle of the per-doc table (r12 — the
+    # former shape shuffled keyed twice, once for a groupBy(key) count
+    # and once for the row_number window): both the within-key
+    # row_number AND the per-key count come from the same
+    # key-partitioned exchange, and the distinct (key, kn) reduction
+    # reuses that partitioning (clustering on a superset of the
+    # partition keys adds no exchange)
+    wk = Window.partitionBy("key")
+    marked = keyed.withColumn(
+        "rn", F.row_number().over(wk.orderBy("doc_id"))
+    ).withColumn("kn", F.count(F.lit(1)).over(wk))
     # one distinct-key pass yields BOTH the cumulative rank starts and
     # the grand total (rows-unbounded window over the same tiny table)
     # — folding nd in here removes a separate aggregate + crossJoin
     # stage barrier from the critical path
-    kcum = kc.withColumn(
+    kcum = marked.select("key", "kn").distinct().withColumn(
         "endr",
         F.sum("kn").over(
             Window.orderBy("key").rowsBetween(
@@ -179,11 +188,8 @@ def bucketize_keys(keyed: DataFrame) -> DataFrame:
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         ).cast("bigint"),
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("key").orderBy("doc_id")
-    )
-    ranked = keyed.withColumn("rn", rn).join(
+    ).select("key", "endr", "nd")
+    ranked = marked.join(
         F.broadcast(kcum), on="key"
     ).select(
         "doc_id", "key", "nd",
@@ -280,7 +286,7 @@ def train_bigram_lm(
         "prev", (F.col("c1") + F.col("v")).alias("c1v")
     )
     vals = (
-        c2.select((F.col("c2") + 1).alias("x")).distinct()
+        c2.select((F.col("c2") + 1).alias("x"))
         .union(ctx.select(F.col("c1v").alias("x")))
         .union(vv.select(F.col("v").alias("x")))
         .distinct()

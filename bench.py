@@ -59,6 +59,30 @@ section: the 10 heaviest doc/embedding-bound queries re-run against a
 not collapse into cross-copy duplicates), reporting t10x/t1x — first
 measurement: every ratio in 1.1-6.5 against 10x data (sub-linear;
 idle cores absorb the growth), no super-linear query.
+r12 drift audit (VERDICT r11 task 5): q_pagerank (+22%) and q_kcore
+(+18% across r9→r11 on untouched code) were re-measured ALONE on an
+idle machine with six warm runs each — floors came out at 1.49 s and
+1.62 s, i.e. AT OR BELOW the r9 minima (1.548 / 1.643).  Root cause:
+min-of-3 sampling spread, not regression — both queries run ~15-20
+short iterative jobs whose scheduler-position jitter spans ±30%
+(observed in-session ranges 1.49-4.03 s / 1.62-2.81 s), so a 3-run
+min drawn mid-session drifts up whenever none of the three lands on
+the floor.  The isolated floors matching r9's minima rule out a
+plan-level regression.  No code change warranted.
+
+r12 LM-family speedup (VERDICT r11 task 6): profiling
+q_bigram_ppl_buckets phase-by-phase showed the bottleneck was NOT the
+corpus work (score 0.8 s, bucketize 0.5 s warm) but the qlog2 table
+build: the 20-round unrolled withColumn chain cost ~1-1.6 s of pure
+driver-side analysis/codegen per query over a 67-ROW table.
+functions/numeric.with_qlog2 now runs the identical int64 recurrence
+as ONE vectorized Arrow pandas-UDF node (hash parity pinned by the
+property test and the full oracle gate); bucketize_keys additionally
+derives the within-key row_number AND per-key counts from a single
+key-partitioned exchange instead of a window + separate groupBy.
+Measured floors at sf0.1 (isolated, warm): q_bigram_ppl_buckets
+3.41 -> ~2.5 s, q_lm_perplexity_buckets 2.27 -> ~1.5 s,
+q_unigram_segment 2.88 -> ~1.8 s.
 """
 
 from __future__ import annotations

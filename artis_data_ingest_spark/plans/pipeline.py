@@ -1887,6 +1887,199 @@ def q_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_version_restore",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), v AS (
+  SELECT 0 AS version, 'overwrite' AS mode, -1 AS restored_from,
+         COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+  FROM o WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 1, 'append', -1, COUNT(*), SUM(cents)
+  FROM o WHERE o_orderkey % 3 IN (0, 1)
+  UNION ALL
+  SELECT 2, 'overwrite', -1, COUNT(*), SUM(cents)
+  FROM o WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT 3, 'restore', 0, COUNT(*), SUM(cents)
+  FROM o WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 4, 'feed', 3, COUNT(*), SUM(cents)
+  FROM o WHERE o_orderkey % 3 = 0
+)
+SELECT CAST(version AS BIGINT) AS version, mode,
+       CAST(restored_from AS BIGINT) AS restored_from,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_cents AS BIGINT) AS sum_cents
+FROM v ORDER BY version
+""",
+    doc="Versioned-table RESTORE (r12, sinks/versioned.py:restore — "
+    "Delta's RESTORE): a bad overwrite (v2) is undone by "
+    "republishing v0's FILE LIST as commit v3 — zero data copy "
+    "(file-granular copy-on-write), v2 stays in history for "
+    "forensics, the restored version's footer stats and Bloom "
+    "bitmaps carry over with its files, and the commit is itself "
+    "time-travel-able and conflict-guarded.  The hashed result pins "
+    "the full state of every version INCLUDING the restored one, "
+    "the manifest's restored_from marker, and — as the synthetic "
+    "'feed' row — that change_feed(since=2) emits exactly the "
+    "restored full state tagged v3 (the delta a CDC consumer must "
+    "apply to converge after a rollback).  The oracle recomputes "
+    "every state straight from orders.",
+)
+def q_version_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import (
+        change_feed,
+        commit,
+        history,
+        read_version,
+        restore,
+    )
+
+    base = _versioned_demo_path(sf_dir, "versioned_restore_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 3 == 0), base,
+        mode="overwrite", note="initial", expect_version=None,
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 3 == 1), base,
+        mode="append", note="delta", expect_version=0,
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 7 == 0), base,
+        mode="overwrite", note="bad rewrite", expect_version=1,
+    )
+    restore(spark, base, version=0, note="undo bad rewrite")
+    hist = history(spark, base).select("version", "mode")
+    # restored_from lives in the manifest (driver-side metadata)
+    from ..sinks.versioned import _read_manifest, list_versions
+
+    rf = {
+        v: _read_manifest(base, v).get("restored_from", -1)
+        for v in list_versions(base)
+    }
+    rf_df = spark.createDataFrame(
+        [(v, r) for v, r in rf.items()],
+        "version bigint, restored_from bigint",
+    )
+    stats = None
+    for v in (0, 1, 2, 3):
+        s = (
+            read_version(spark, base, v)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .select(F.lit(v).cast("bigint").alias("version"), "n_rows",
+                    "sum_cents")
+        )
+        stats = s if stats is None else stats.unionByName(s)
+    per_version = (
+        hist.join(stats, "version")
+        .join(rf_df, "version")
+        .select("version", "mode", "restored_from", "n_rows",
+                "sum_cents")
+    )
+    feed_row = (
+        change_feed(spark, base, since=2)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.max("_version").cast("bigint").alias("restored_from"),
+        )
+        .select(
+            F.lit(4).cast("bigint").alias("version"),
+            F.lit("feed").alias("mode"),
+            "restored_from", "n_rows", "sum_cents",
+        )
+    )
+    return per_version.unionByName(feed_row).orderBy("version")
+
+
+@register(
+    "q_version_optimize",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), state AS (
+  SELECT * FROM o WHERE o_orderkey % 3 = 0
+  UNION ALL SELECT * FROM o WHERE o_orderkey % 300 = 1
+  UNION ALL SELECT * FROM o WHERE o_orderkey % 300 = 2
+)
+SELECT CAST(3 AS BIGINT) AS n_files,
+       CAST(2 AS BIGINT) AS n_carried,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM state
+""",
+    doc="OPTIMIZE-style small-file compaction (r12, sinks/versioned.py"
+    ":compact(small_file_bytes=)): a big clustered base commit (2 "
+    "range-partitioned files with Bloom bitmaps) accumulates two "
+    "tiny appends — the streaming micro-batch tail — and the "
+    "size-thresholded compact rewrites ONLY the tail into one "
+    "segment while the two right-sized files carry over BY "
+    "REFERENCE: same paths in the new manifest, footer stats and "
+    "blooms untouched, zero bytes rewritten.  The hashed row pins "
+    "the post-optimize file count (2 carried + 1 folded), the "
+    "carried-file count (asserted against the parent manifest's "
+    "paths driver-side), and the full-state row/cents totals "
+    "(content identity across the rewrite).  At 100 TB this is the "
+    "difference between folding a streaming table's long tail and "
+    "rewriting the whole table; the change feed stays silent "
+    "(mode='compact').",
+)
+def q_version_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..sinks.versioned import _read_manifest, commit, compact, \
+        read_version
+
+    base = _versioned_demo_path(sf_dir, "versioned_optimize_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 3 == 0), base,
+        mode="overwrite", note="base", expect_version=None,
+        cluster_by=["o_orderkey"], bloom_cols=["o_orderkey"], n_files=2,
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 300 == 1), base,
+        mode="append", note="micro-batch 1", n_files=1,
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 300 == 2), base,
+        mode="append", note="micro-batch 2", n_files=1,
+    )
+    big = set(_read_manifest(base, 0)["files"])
+    thresh = min(os.path.getsize(f) for f in big)
+    compact(spark, base, n_files=1, small_file_bytes=thresh)
+    m = _read_manifest(base, 3)
+    carried = sum(1 for f in m["files"] if f in big)
+    return read_version(spark, base, 3).agg(
+        F.lit(len(m["files"])).cast("bigint").alias("n_files"),
+        F.lit(carried).cast("bigint").alias("n_carried"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+@register(
     "q_version_diff",
     oracle="""
 WITH o AS (

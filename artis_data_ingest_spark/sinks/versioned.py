@@ -348,6 +348,7 @@ def compact(
     cluster_by: Sequence[str] | None = None,
     bloom_cols: Sequence[str] | None = None,
     timestamp: float | None = None,
+    small_file_bytes: int | None = None,
 ) -> int:
     """Rewrite the latest version's file set into ``n_files`` parquet
     files as a new ``mode="compact"`` version with IDENTICAL content
@@ -357,6 +358,13 @@ def compact(
     Publication is guarded against concurrent commits like any other
     version.  After :func:`expire` drops the pre-compaction manifests,
     :func:`vacuum` reclaims their small segments.
+
+    ``small_file_bytes`` (r12) switches to OPTIMIZE-style bin packing:
+    only files smaller than the threshold are read and rewritten into
+    ``n_files`` segments; right-sized files carry over by reference —
+    their bytes, footer stats, and Bloom bitmaps untouched.  At scale
+    this is the difference between folding a streaming table's
+    micro-batch tail and rewriting the whole table.
 
     Layout survives the rewrite: ``cluster_by``/``bloom_cols`` default
     to the table properties the original :func:`commit` recorded, so
@@ -378,8 +386,26 @@ def compact(
         bloom_cols = props.get("bloom_cols")
     else:
         props["bloom_cols"] = list(bloom_cols)
+    keep: list[str] = []
+    rewrite = list(m["files"])
+    if small_file_bytes is not None:
+        # OPTIMIZE semantics: only files under the threshold rewrite;
+        # right-sized files carry over BY REFERENCE (no data copy, no
+        # stats/bloom rebuild) — at 100 TB a streaming table's long
+        # tail of micro-batch files folds without touching the bulk
+        keep, rewrite = [], []
+        for f in m["files"]:
+            try:
+                small = os.path.getsize(f) < small_file_bytes
+            except OSError:
+                small = True  # unreadable size: rewrite to be safe
+            (rewrite if small else keep).append(f)
+        if not rewrite:  # nothing to fold — avoid an empty segment
+            raise ValueError(
+                f"no files under {small_file_bytes} bytes to compact"
+            )
     compacted = spark.read.option("mergeSchema", "true").parquet(
-        *m["files"]
+        *rewrite
     )
     if cluster_by:
         compacted = compacted.repartitionByRange(
@@ -388,19 +414,81 @@ def compact(
     else:
         compacted = compacted.coalesce(max(1, n_files))
     seg_files = _write_segment(compacted, table_dir, cur + 1)
+    kept_paths = {os.path.abspath(f) for f in keep}
     manifest = {
         "version": cur + 1,
         "parent": cur,
         "mode": "compact",
         "note": note,
         "ts": timestamp if timestamp is not None else time.time(),
-        "files": seg_files,
-        "stats": _file_stats(seg_files),
+        "files": keep + seg_files,
+        "stats": {
+            **{
+                k: v
+                for k, v in m.get("stats", {}).items()
+                if k in kept_paths
+            },
+            **_file_stats(seg_files),
+        },
+    }
+    blooms = {
+        k: v for k, v in m.get("blooms", {}).items() if k in kept_paths
     }
     if bloom_cols:
-        manifest["blooms"] = _segment_blooms(spark, seg_files, bloom_cols)
+        blooms.update(_segment_blooms(spark, seg_files, bloom_cols))
+    if blooms:
+        manifest["blooms"] = blooms
     if props:
         manifest["table_props"] = props
+    return _publish(table_dir, manifest)
+
+
+def restore(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    as_of: float | None = None,
+    note: str = "restore",
+    timestamp: float | None = None,
+) -> int:
+    """RESTORE the table to an earlier state as a NEW commit (Delta's
+    RESTORE): version N+1's file list is a byte-for-byte reference to
+    the target version's — zero data copy (file-granular
+    copy-on-write), the bad versions stay in history for forensics,
+    and the operation is itself time-travel-able and subject to the
+    same atomic publication / optimistic-concurrency rules.  The
+    target is addressed by ``version`` or ``as_of`` timestamp (see
+    :func:`version_at`).  The restored version's stats/blooms carry
+    over with its files, so pruning is immediately as good as it was
+    at the target version; the change feed treats a restore like an
+    overwrite — the restored full state IS the delta a consumer must
+    apply to converge."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = version_at(table_dir, as_of)
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    if version is None:
+        raise ValueError("restore needs a target version or as_of")
+    src = _read_manifest(table_dir, version)
+    parent = _read_manifest(table_dir, cur)
+    manifest = {
+        "version": cur + 1,
+        "parent": cur,
+        "mode": "restore",
+        "note": note,
+        "ts": timestamp if timestamp is not None else time.time(),
+        "restored_from": version,
+        "files": list(src["files"]),
+        "stats": dict(src.get("stats", {})),
+    }
+    if src.get("blooms"):
+        manifest["blooms"] = dict(src["blooms"])
+    props = parent.get("table_props") or src.get("table_props")
+    if props:
+        manifest["table_props"] = dict(props)
     return _publish(table_dir, manifest)
 
 
@@ -838,7 +926,10 @@ def earliest_feed_version(table_dir: str) -> int:
 
 
 def change_feed(
-    spark: SparkSession, table_dir: str, since: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    since: int | None = None,
+    since_ts: float | None = None,
 ) -> "DataFrame":
     """Incremental change feed: for every version after ``since``, the
     rows its commit ADDED, tagged with the version — consumed by
@@ -848,7 +939,13 @@ def change_feed(
     overwrite → the full new file set (a rewrite IS its own delta);
     merge → the manifest's recorded ``delta_files`` (exactly the
     source rows, never the rewritten table); compact → skipped (bytes
-    moved, no rows changed).
+    moved, no rows changed); restore → the restored full state (the
+    delta a consumer must apply to converge).
+
+    ``since_ts`` (r12) is the timestamp form of the cursor: changes
+    committed strictly after the state as of that epoch-seconds time
+    (resolved via :func:`version_at`; a timestamp predating the table
+    means the full feed).  Mutually exclusive with ``since``.
 
     Raises :class:`RetentionError` when the requested range reaches
     past retention — ``since`` predates the oldest retained version,
@@ -859,6 +956,13 @@ def change_feed(
     name the earliest valid cursor instead."""
     from pyspark.sql import functions as F
 
+    if since_ts is not None:
+        if since is not None:
+            raise ValueError("pass either since or since_ts, not both")
+        try:
+            since = version_at(table_dir, since_ts)
+        except FileNotFoundError:
+            since = None  # predates the table: full feed
     versions = list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no versions in {table_dir}")

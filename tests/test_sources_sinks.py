@@ -1509,3 +1509,98 @@ def test_docx_numbering_and_text_boxes(tmp_path):
     write_docx(p2, [{"text": "plain", "num": ("7", 0)}])
     ok2, lines2, _ = parse_docx_bytes(open(p2, "rb").read())
     assert ok2 and lines2 == ["plain"]
+
+
+def test_versioned_restore_and_optimize_compact(spark, tmp_path):
+    """r12: restore() republishes an earlier version's file list as a
+    new commit (zero copy, stats/blooms carried, feed emits the
+    restored state); compact(small_file_bytes=) rewrites only the
+    small-file tail, carrying right-sized files by reference with
+    their stats/blooms intact."""
+    import os
+
+    import pytest as _pytest
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        _read_manifest,
+        change_feed,
+        commit,
+        compact,
+        history,
+        prune_files,
+        read_version,
+        restore,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    # v0: one BIG well-clustered segment with blooms
+    commit(
+        spark.range(0, 20000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        ),
+        tdir, mode="overwrite", expect_version=None,
+        bloom_cols=["k"], cluster_by=["k"], n_files=2,
+        timestamp=100.0,
+    )
+    big_files = set(_read_manifest(tdir, 0)["files"])
+    # v1, v2: tiny appends (the streaming micro-batch tail)
+    commit(spark.range(20000, 20010).select(
+        F.col("id").alias("k"), F.col("id").alias("v")).coalesce(1),
+        tdir, mode="append", timestamp=200.0)
+    commit(spark.range(20010, 20020).select(
+        F.col("id").alias("k"), F.col("id").alias("v")).coalesce(1),
+        tdir, mode="append", timestamp=300.0)
+
+    # --- OPTIMIZE: fold only the tail
+    sizes = [os.path.getsize(f) for f in big_files]
+    thresh = min(sizes)  # big files are >= thresh, appends are smaller
+    compact(spark, tdir, n_files=1, small_file_bytes=thresh,
+            timestamp=400.0)
+    m3 = _read_manifest(tdir, 3)
+    assert big_files <= set(m3["files"]), "big files carried by ref"
+    assert len(m3["files"]) == len(big_files) + 1
+    assert read_version(spark, tdir, 3).count() == 20020
+    # carried files keep their blooms; the folded segment got fresh ones
+    assert set(m3["blooms"]) == {
+        os.path.abspath(f) for f in m3["files"]
+    }
+    # clustering survived on the carried segment: range filter prunes
+    kept, total = prune_files(tdir, [("k", "<=", 5)], version=3)
+    assert total == 3 and len(kept) < total
+    # all-small guard
+    with _pytest.raises(ValueError):
+        compact(spark, tdir, small_file_bytes=1)
+
+    # --- RESTORE to v0 (by version), then probe by timestamp
+    v4 = restore(spark, tdir, version=0, timestamp=500.0)
+    assert v4 == 4
+    m4 = _read_manifest(tdir, 4)
+    assert m4["mode"] == "restore" and m4["restored_from"] == 0
+    assert set(m4["files"]) == big_files  # zero-copy reference
+    assert read_version(spark, tdir).count() == 20000
+    assert m4["blooms"] and m4["table_props"] == m3["table_props"]
+    # restore-by-timestamp resolves through version_at
+    v5 = restore(spark, tdir, as_of=250.0, timestamp=600.0)  # -> v1
+    assert _read_manifest(tdir, 5)["restored_from"] == 1
+    assert read_version(spark, tdir).count() == 20010
+
+    # --- feed: restore emits the restored state; compact stays silent
+    feed = change_feed(spark, tdir, since=3)
+    got = {r._version: None for r in feed.select("_version").distinct()
+           .collect()}
+    assert set(got) == {4, 5}
+    assert feed.filter("_version = 4").count() == 20000
+    # timestamp cursor: everything after t=250 (state v1)
+    feed_ts = change_feed(spark, tdir, since_ts=250.0)
+    vs = {r._version for r in feed_ts.select("_version").distinct()
+          .collect()}
+    assert vs == {2, 4, 5}  # v3 is a compact: silent
+    # a pre-table timestamp means the full feed
+    vs_all = {r._version for r in change_feed(spark, tdir, since_ts=1.0)
+              .select("_version").distinct().collect()}
+    assert vs_all == {0, 1, 2, 4, 5}
+    with _pytest.raises(ValueError):
+        change_feed(spark, tdir, since=1, since_ts=250.0)
+    # history surfaces the restore
+    modes = {r.version: r.mode for r in history(spark, tdir).collect()}
+    assert modes[4] == "restore" and modes[3] == "compact"

@@ -2080,6 +2080,91 @@ def q_version_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_version_source",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), v AS (
+  SELECT 'latest' AS addr, 2 AS version,
+         COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+  FROM o WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT 'v0', 0, COUNT(*), SUM(cents)
+  FROM o WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 'ts', 1, COUNT(*), SUM(cents)
+  FROM o WHERE o_orderkey % 3 IN (0, 1)
+)
+SELECT addr, CAST(version AS BIGINT) AS version,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_cents AS BIGINT) AS sum_cents
+FROM v ORDER BY addr
+""",
+    doc="Versioned table as a PYTHON DATA SOURCE (r12, "
+    "streaming/source.py — PySpark 4 DataSource API): "
+    "spark.read.format('versioned_feed') scans a snapshot with ONE "
+    "INPUT PARTITION PER MANIFEST FILE (executors read parquet via "
+    "pyarrow in parallel; the driver touches manifests only), "
+    "addressed as latest, version=N, or asOfTimestamp=ts (resolved "
+    "through version_at).  The hashed result pins all three "
+    "addressing modes against states recomputed straight from "
+    "orders, plus the _version tag column.  The STREAMING half of "
+    "the same source — offsets are versions checkpointed by the "
+    "engine, one partition per delta file, exactly-once across "
+    "restarts, RetentionError on expired cursors — is pinned in "
+    "tests/test_streaming.py (streaming sinks are side-effecting, "
+    "so the batch half carries the oracle).",
+)
+def q_version_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import commit
+    from ..streaming.source import register_versioned_feed
+
+    register_versioned_feed(spark)
+    base = _versioned_demo_path(sf_dir, "versioned_source_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 3 == 0), base,
+        mode="overwrite", note="initial", expect_version=None,
+        timestamp=1000.0,
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 3 == 1), base,
+        mode="append", note="delta", expect_version=0, timestamp=2000.0,
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 7 == 0), base,
+        mode="overwrite", note="rewrite", expect_version=1,
+        timestamp=3000.0,
+    )
+    reads = {
+        "latest": spark.read.format("versioned_feed")
+        .option("path", base).load(),
+        "v0": spark.read.format("versioned_feed")
+        .option("path", base).option("version", "0").load(),
+        "ts": spark.read.format("versioned_feed")
+        .option("path", base).option("asOfTimestamp", "2500").load(),
+    }
+    out = None
+    for addr in sorted(reads):
+        s = reads[addr].agg(
+            F.max("_version").cast("bigint").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).select(F.lit(addr).alias("addr"), "version", "n_rows",
+                 "sum_cents")
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("addr")
+
+
+@register(
     "q_version_diff",
     oracle="""
 WITH o AS (

@@ -925,6 +925,27 @@ def earliest_feed_version(table_dir: str) -> int:
     return first_ok
 
 
+def version_delta_files(table_dir: str, version: int) -> list[str]:
+    """The parquet files holding exactly the rows ``version``'s commit
+    ADDED — the unit both :func:`change_feed` and the streaming feed
+    source (streaming/source.py) consume.  Per mode: append → the
+    file-set difference against the parent manifest; overwrite and
+    restore → the full file set (the rewrite/rollback IS the delta a
+    consumer must apply); merge → the recorded ``delta_files``;
+    compact → empty (bytes moved, no rows changed)."""
+    m = _read_manifest(table_dir, version)
+    if m["mode"] == "compact":
+        return []
+    if m["mode"] == "merge":
+        return list(m["delta_files"])
+    parent_files = (
+        set(_read_manifest(table_dir, m["parent"])["files"])
+        if m["parent"] is not None and m["mode"] == "append"
+        else set()
+    )
+    return [f for f in m["files"] if f not in parent_files]
+
+
 def change_feed(
     spark: SparkSession,
     table_dir: str,
@@ -983,18 +1004,7 @@ def change_feed(
     for v in versions:
         if v < lo:
             continue
-        m = _read_manifest(table_dir, v)
-        if m["mode"] == "compact":
-            continue  # physical reorganisation only — no logical delta
-        if m["mode"] == "merge":
-            delta = m["delta_files"]
-        else:
-            parent_files = (
-                set(_read_manifest(table_dir, m["parent"])["files"])
-                if m["parent"] is not None and m["mode"] == "append"
-                else set()
-            )
-            delta = [f for f in m["files"] if f not in parent_files]
+        delta = version_delta_files(table_dir, v)
         if not delta:
             continue
         part = spark.read.parquet(*delta).withColumn(

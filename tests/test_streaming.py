@@ -984,3 +984,134 @@ def test_versioned_merge_stream_cdc_upserts(spark, tmp_path):
     assert sorted(
         (r.k, r.s, r.v) for r in read_version(spark, tdir).collect()
     ) == final
+
+
+def test_versioned_feed_datasource_stream_and_batch(spark, tmp_path):
+    """r12, streaming/source.py: the versioned change feed as a real
+    Structured Streaming SOURCE (PySpark Python Data Source API) —
+    one input partition per delta file, offsets = versions in the
+    query checkpoint (exactly-once across restarts), the same
+    append/overwrite/merge/restore/compact semantics as change_feed,
+    plus the batch snapshot reader with version/asOfTimestamp time
+    travel and an out-of-retention cursor error."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        RetentionError,
+        commit,
+        compact,
+        expire,
+        merge_commit,
+        restore,
+    )
+    from artis_data_ingest_spark.streaming.source import (
+        register_versioned_feed,
+    )
+
+    register_versioned_feed(spark)
+    d = str(tmp_path / "tbl")
+    commit(
+        spark.range(5).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        d, mode="overwrite", expect_version=None, timestamp=100.0,
+    )
+    commit(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        d, mode="append", timestamp=200.0,
+    )
+
+    # --- batch snapshot reads + time travel
+    snap = spark.read.format("versioned_feed").option("path", d).load()
+    assert snap.count() == 8 and snap.columns == ["k", "v", "_version"]
+    v0 = (
+        spark.read.format("versioned_feed")
+        .option("path", d).option("version", "0").load()
+    )
+    assert v0.count() == 5
+    ts = (
+        spark.read.format("versioned_feed")
+        .option("path", d).option("asOfTimestamp", "150").load()
+    )
+    assert ts.count() == 5
+
+    # --- stream batch 1: full feed
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_stream():
+        q = (
+            spark.readStream.format("versioned_feed")
+            .option("path", d).load()
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()
+    got = {
+        r._version: r.n
+        for r in spark.read.parquet(out)
+        .groupBy("_version").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {0: 5, 1: 3}
+
+    # --- more commits: merge delta, silent compact, restore
+    merge_commit(
+        spark, d,
+        spark.createDataFrame([(0, 999), (100, 100)],
+                              "k bigint, v bigint"),
+        keys=["k"], timestamp=300.0,
+    )
+    compact(spark, d, n_files=1, timestamp=400.0)
+    restore(spark, d, version=1, timestamp=500.0)
+
+    # --- resume from checkpoint: ONLY the new versions, exactly once
+    run_stream()
+    got2 = {
+        r._version: r.n
+        for r in spark.read.parquet(out)
+        .groupBy("_version").agg(F.count("*").alias("n")).collect()
+    }
+    assert got2 == {0: 5, 1: 3, 2: 2, 4: 8}  # v3 (compact) silent
+
+    # --- startingVersion skips history
+    out2 = str(tmp_path / "out2")
+    q = (
+        spark.readStream.format("versioned_feed")
+        .option("path", d).option("startingVersion", "3").load()
+        .writeStream.format("parquet").option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    vs = {r._version for r in spark.read.parquet(out2)
+          .select("_version").distinct().collect()}
+    assert vs == {4}
+
+    # --- out-of-retention cursor raises instead of silently skipping
+    expire(d, keep_last=2)  # keeps v3 (compact), v4 (restore)
+    commit(
+        spark.range(8, 9).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        d, mode="append", timestamp=600.0,
+    )
+    with _pytest.raises(RetentionError):
+        q = (
+            spark.readStream.format("versioned_feed")
+            .option("path", d).option("startingVersion", "0").load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt3"))
+            .trigger(availableNow=True).start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception as e:  # unwrap the streaming query failure
+            if "RetentionError" in str(e) or "out of retention" in str(e):
+                raise RetentionError(str(e)) from e
+            raise

@@ -36,6 +36,14 @@ _REGISTRY: dict[str, Query] = {}
 # (closing the round-7 verdict's freshness ledger), then (d) the
 # weakest-covered r5 names up to the budget.
 _PRIORITY: list[str] = [
+    # (r12) new lakehouse queries — need a FIRST driver verdict (the
+    # driver's 50-slot sample had been frozen on the list below since
+    # r8, so these lead; three long-green r4-stale names rotate out at
+    # the tail to hold the 52-slot budget)
+    "q_time_travel_ts",
+    "q_version_restore",
+    "q_version_optimize",
+    "q_version_source",
     # (a) new in round 8 — need a first driver verdict.  Everything
     # registered after the budget filled (q_ewma_decay, q_score_auc,
     # q_weighted_sample, q_robots_policy, q_sitemap_urls,
@@ -116,11 +124,11 @@ _PRIORITY: list[str] = [
     "q_rank_family",
     "q_rollup",
     "q_salted_agg",
-    "q_schema_diff_flat",
     "q_token_freq",
-    "q_try_cast",
-    "q_union_evolved",
-    "q_unpivot",
+    # q_schema_diff_flat, q_try_cast, q_union_evolved, q_unpivot
+    # rotated out in r12 (driver-green every round r8-r11 via the
+    # frozen sample — the freshest verdicts in the whole set) to make
+    # room for the four r12 queries
     # (d) oldest r5 names with the least other coverage fill the
     # remaining budget; the rest of the r5 block rotates in round 9
     # (52-slot budget enforced by test_priority_queries_yield_first)

@@ -129,3 +129,25 @@ def scrub_phones(col: str | Column) -> Column:
     ``scrub_emails`` — the email local part can contain digits that
     would otherwise partially match."""
     return F.regexp_replace(_c(col), PHONE_RE, "<PHONE>")
+
+
+# --- Secret / credential scanning (r12) ----------------------------------
+# The detect-secrets-style patterns a pre-training scrub actually runs
+# (The Stack / StarCoder pipelines strip exactly these classes).  Same
+# portability rule as the PII patterns: no lookarounds, so Java regex
+# and RE2 agree.  Ordered most- to least-specific; scrub in this order.
+SECRET_RES: list[tuple[str, str]] = [
+    ("private_key", r"-----BEGIN [A-Z]+ PRIVATE KEY-----"),
+    ("aws_key", r"AKIA[0-9A-Z]{16}"),
+    ("github_token", r"ghp_[A-Za-z0-9]{36}"),
+    ("slack_token", r"xox[bap]-[0-9A-Za-z]{8,48}"),
+]
+
+
+def scrub_secrets(col: str | Column) -> Column:
+    """Replace every credential-shaped substring with
+    ``<SECRET:kind>``, in :data:`SECRET_RES` order."""
+    c = _c(col)
+    for kind, pat in SECRET_RES:
+        c = F.regexp_replace(c, pat, f"<SECRET:{kind}>")
+    return c

@@ -635,6 +635,87 @@ def q_minhash_portable_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return portable_minhash_pair_stats(docs)
 
 
+@register(
+    "q_feed_driven_dedup",
+    oracle=f"""{portable_minhash_ctes()}
+SELECT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_bands
+FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+WHERE x.doc_id % 4 = 0 OR y.doc_id % 4 = 0
+GROUP BY 1, 2
+ORDER BY doc_id_a, doc_id_b
+""",
+    doc="DEDUP AT INGEST off the change feed (r12 — the r11 "
+    "q_feed_driven_index pattern applied to the near-dup family): "
+    "the base corpus commits to a versioned table and its "
+    "MinHash-LSH band index is built ONCE; arrivals land as a MERGE "
+    "commit, change_feed(since=base) yields exactly the new "
+    "documents, and ONLY THEY are shingled/signed — the expensive "
+    "text pass never rescans the base.  New-doc candidates come "
+    "from one band-key equi-join of the delta bands against the "
+    "(base ∪ delta) index, orientation-canonicalized so "
+    "delta-delta pairs count each shared band once.  The oracle is "
+    "the FULL-corpus LSH recompute restricted to pairs touching an "
+    "arrival — hash-equality proves incremental == full, the same "
+    "contract as the incremental IVF-PQ/index rows.  At 100 TB the "
+    "per-ingest cost is O(delta·bands) signing plus one "
+    "index-sized join, not a corpus rescan.",
+)
+def q_feed_driven_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..operators.dedup import (
+        _band_keys_from_cols,
+        portable_minhash_sig_table,
+    )
+    from ..sinks.versioned import change_feed, commit, merge_commit, \
+        read_version
+    from .pipeline import _versioned_demo_path
+
+    tdir = _versioned_demo_path(sf_dir, "versioned_feeddedup_demo")
+    shutil.rmtree(tdir, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    commit(docs.filter(F.col("doc_id") % 4 != 0), tdir,
+           mode="overwrite", note="base", expect_version=None)
+    merge_commit(
+        spark, tdir, docs.filter(F.col("doc_id") % 4 == 0),
+        keys=["doc_id"], note="arrivals",
+    )
+
+    def bands(d: DataFrame) -> DataFrame:
+        return portable_minhash_sig_table(d).select(
+            "doc_id", F.explode(_band_keys_from_cols()).alias("band")
+        )
+
+    # the persisted index: built from the BASE version once; arrivals
+    # extend it with their own bands only
+    base_bands = bands(read_version(spark, tdir, 0))
+    delta = change_feed(spark, tdir, since=0).select("doc_id", "text")
+    delta_bands = bands(delta)
+    index = base_bands.unionByName(delta_bands)
+    x, y = delta_bands.alias("x"), index.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_id_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_id_b"),
+            F.col("x.band").alias("band"),
+        )
+        # delta-delta pairs arrive in both orientations with the same
+        # shared band key — distinct folds them before the count
+        .distinct()
+    )
+    return (
+        cand.groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands"))
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
 def _simhash_neardup_oracle() -> str:
     """Hash oracle for the xxhash64 SimHash pipeline: the layered XXH64
     generator (functions/hash_oracle.py, bit-exact vs Spark's

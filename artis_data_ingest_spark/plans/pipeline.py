@@ -2165,6 +2165,86 @@ def q_version_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_version_zorder",
+    oracle="""
+WITH g AS (
+  SELECT o_orderkey % 256 AS x, o_custkey % 256 AS y,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT CAST(4 AS BIGINT) AS files_total,
+       CAST(1 AS BIGINT) AS files_box,
+       CAST(2 AS BIGINT) AS files_ydim,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM g
+        WHERE x < 128 AND y < 128) AS n_box,
+       (SELECT CAST(SUM(cents) AS BIGINT) FROM g
+        WHERE x < 128 AND y < 128) AS sum_box,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM g
+        WHERE y >= 128) AS n_ydim
+""",
+    doc="Z-ORDER layout + 2-D data skipping on versioned tables (r12, "
+    "operators/zorder.py + sinks/versioned.py): files laid out as "
+    "consecutive ranges of the Morton curve give every file a narrow "
+    "min/max envelope in BOTH dimensions, so the manifest stats "
+    "prune box queries on x AND single-dimension filters on y — a "
+    "linear x-clustered layout prunes y filters not at all "
+    "(q_version_skipping is the 1-D baseline).  Four z-range slices "
+    "of a 256x256 (orderkey, custkey) grid commit as four files "
+    "(explicit curve-cut commits so the file->z-range mapping is "
+    "deterministic and the counts hashable; commit(cluster_by=["
+    "zvalue_sql(x,y)]) produces the identical layout at write time "
+    "and is pinned in tests); a quadrant box filter scans 1 of 4 "
+    "files, a y>=128 filter 2 of 4 — both decided from the manifest "
+    "alone, with the row-level residual exact (hashed box "
+    "aggregates match orders directly).  At 100 TB this is OPTIMIZE "
+    "ZORDER's win: multi-dimensional pruning without partition "
+    "explosion.",
+)
+def q_version_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..operators.zorder import zvalue
+    from ..sinks.versioned import commit, prune_files, scan
+
+    base = _versioned_demo_path(sf_dir, "versioned_zorder_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 256).alias("x"),
+        (F.col("o_custkey") % 256).alias("y"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).withColumn("z", zvalue(F.col("x"), F.col("y"), bits=8))
+    # four consecutive z-curve ranges -> four files: the explicit cut
+    # keeps file contents deterministic (range-partition sampling
+    # would not), which is what lets the oracle hash the file counts
+    for i in range(4):
+        lo, hi = i * 16384, (i + 1) * 16384
+        commit(
+            o.filter((F.col("z") >= lo) & (F.col("z") < hi))
+            .coalesce(1).sortWithinPartitions("z").drop("z"),
+            base,
+            mode="overwrite" if i == 0 else "append",
+            note=f"zrange-{i}",
+            expect_version=None if i == 0 else i - 1,
+        )
+    box = [("x", "<", 128), ("y", "<", 128)]
+    kept_box, total = prune_files(base, box)
+    kept_y, _ = prune_files(base, [("y", ">=", 128)])
+    agg_box = scan(spark, base, box).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_box"),
+        F.sum("cents").cast("bigint").alias("sum_box"),
+    )
+    n_y = scan(spark, base, [("y", ">=", 128)]).count()
+    return agg_box.select(
+        F.lit(total).cast("bigint").alias("files_total"),
+        F.lit(len(kept_box)).cast("bigint").alias("files_box"),
+        F.lit(len(kept_y)).cast("bigint").alias("files_ydim"),
+        "n_box",
+        "sum_box",
+        F.lit(n_y).cast("bigint").alias("n_ydim"),
+    )
+
+
+@register(
     "q_version_diff",
     oracle="""
 WITH o AS (

@@ -150,6 +150,20 @@ def _write_segment(df: DataFrame, table_dir: str, version: int) -> list[str]:
     )
 
 
+def _cluster_exprs(cluster_by: Sequence[str]):
+    """cluster_by entries are SQL EXPRESSIONS (a bare column name is
+    the trivial expression): Z-order layouts pass the Morton
+    interleave SQL (operators/zorder.py:zvalue_sql) and get Delta's
+    OPTIMIZE ZORDER at write time — multi-dimensional locality, so the
+    per-file min/max recorded for EACH plain column is narrow and 2-D
+    box filters prune.  Strings keep the manifest's table_props
+    JSON-serializable, so compact()/merge_commit() rebuild the same
+    layout."""
+    from pyspark.sql import functions as F
+
+    return [F.expr(c) for c in cluster_by]
+
+
 def _file_stats(files: list[str]) -> dict:
     """Per-file column min/max/null-count from the parquet FOOTERS —
     a driver-side metadata read (no data pages), recorded in the
@@ -303,8 +317,8 @@ def commit(
     if cluster_by:
         parts = n_files or df.sparkSession.sparkContext.defaultParallelism
         df = df.repartitionByRange(
-            parts, *cluster_by
-        ).sortWithinPartitions(*cluster_by)
+            parts, *_cluster_exprs(cluster_by)
+        ).sortWithinPartitions(*_cluster_exprs(cluster_by))
     elif n_files:
         df = df.coalesce(n_files)
     new_version = (cur if cur is not None else -1) + 1
@@ -409,8 +423,8 @@ def compact(
     )
     if cluster_by:
         compacted = compacted.repartitionByRange(
-            max(1, n_files), *cluster_by
-        ).sortWithinPartitions(*cluster_by)
+            max(1, n_files), *_cluster_exprs(cluster_by)
+        ).sortWithinPartitions(*_cluster_exprs(cluster_by))
     else:
         compacted = compacted.coalesce(max(1, n_files))
     seg_files = _write_segment(compacted, table_dir, cur + 1)
@@ -536,8 +550,8 @@ def merge_commit(
     if cluster_by:
         n_out = max(1, len(m["files"]))
         merged = merged.repartitionByRange(
-            n_out, *cluster_by
-        ).sortWithinPartitions(*cluster_by)
+            n_out, *_cluster_exprs(cluster_by)
+        ).sortWithinPartitions(*_cluster_exprs(cluster_by))
     new_version = cur + 1
     seg_files = _write_segment(merged, table_dir, new_version)
     delta_files = _write_segment(source, table_dir, new_version)

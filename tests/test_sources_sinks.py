@@ -1604,3 +1604,44 @@ def test_versioned_restore_and_optimize_compact(spark, tmp_path):
     # history surfaces the restore
     modes = {r.version: r.mode for r in history(spark, tdir).collect()}
     assert modes[4] == "restore" and modes[3] == "compact"
+
+
+def test_versioned_cluster_by_accepts_zorder_expression(spark, tmp_path):
+    """r12: cluster_by entries are SQL expressions — passing the
+    Morton-interleave SQL gives OPTIMIZE-ZORDER-style layout at write
+    time (every file a narrow envelope in BOTH dimensions), recorded
+    in table_props and rebuilt by compact()."""
+    from artis_data_ingest_spark.operators.zorder import zvalue_sql
+    from artis_data_ingest_spark.sinks.versioned import (
+        _read_manifest,
+        commit,
+        compact,
+        prune_files,
+        scan,
+    )
+
+    zx = zvalue_sql("(x % 256)", "(y % 256)", 8)
+    d = str(tmp_path / "tbl")
+    grid = spark.range(65536).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("bigint").alias("y"),
+    )
+    commit(grid, d, mode="overwrite", expect_version=None,
+           cluster_by=[zx], n_files=8)
+    m = _read_manifest(d, 0)
+    assert m["table_props"]["cluster_by"] == [zx]
+    assert len(m["files"]) == 8
+    # 2-D skipping: a box filter prunes on both dims; a pure-y filter
+    # prunes too (impossible under linear x clustering)
+    kept_box, total = prune_files(d, [("x", "<", 64), ("y", "<", 64)])
+    assert total == 8 and len(kept_box) < total
+    kept_y, _ = prune_files(d, [("y", ">=", 192)])
+    assert len(kept_y) < total
+    assert scan(spark, d, [("x", "<", 64), ("y", "<", 64)]).count() \
+        == 64 * 64
+    # the layout survives compaction (table_props re-derived)
+    compact(spark, d, n_files=8)
+    m1 = _read_manifest(d, 1)
+    assert m1["table_props"]["cluster_by"] == [zx]
+    kept_box2, total2 = prune_files(d, [("x", "<", 64), ("y", "<", 64)])
+    assert total2 == 8 and len(kept_box2) < total2

@@ -113,6 +113,14 @@ _ONE_PART_CLASS = {
     # 1-row n/n_sources scalar merges broadcast back into the verdict
     "q_time_travel": "scalar",  # three 1-row per-version count/cents
     # merges read back from the manifest file sets
+    # r12 lakehouse queries — all the q_time_travel shape: a handful
+    # of 1-row per-version / per-addressing-mode aggregate merges over
+    # manifest-listed file sets
+    "q_time_travel_ts": "scalar",
+    "q_version_restore": "scalar",
+    "q_version_optimize": "scalar",
+    "q_version_source": "scalar",
+    "q_version_zorder": "scalar",
     "q_version_diff": "scalar",  # the EXCEPT key-diff counts collapse
     # to 1-row aggregates before the broadcast re-join
     "q_change_feed": "scalar",  # same shape: per-version 1-row sums

@@ -2245,6 +2245,85 @@ def q_version_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_version_clone",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), v AS (
+  SELECT 'clone_v0' AS addr, COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+  FROM o WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 'clone_head', COUNT(*), SUM(cents)
+  FROM o WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+  UNION ALL
+  SELECT 'source_head', COUNT(*), SUM(cents)
+  FROM o WHERE o_orderkey % 3 IN (0, 1)
+)
+SELECT addr, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_cents AS BIGINT) AS sum_cents
+FROM v ORDER BY addr
+""",
+    doc="SHALLOW CLONE (r12, sinks/versioned.py:clone_table — Delta's "
+    "CLONE): a new table whose v0 references the source version's "
+    "files BY PATH — zero bytes copied, stats/blooms/table_props "
+    "carried, provenance recorded (cloned_from) — after which the "
+    "two histories evolve independently: the clone takes an append "
+    "(%5 slice) while the source takes its own (%3==1 slice), and "
+    "the hashed result pins all three states (clone@v0, clone head, "
+    "source head) recomputed straight from orders.  vacuum() scans "
+    "only a table's own data root, so cleaning the clone can never "
+    "reclaim source segments (pinned in tests).  At 100 TB a clone "
+    "is the dev/experiment fork primitive: O(manifest) cost for a "
+    "full-table copy-on-write branch.",
+)
+def q_version_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import clone_table, commit, read_version
+
+    src = _versioned_demo_path(sf_dir, "versioned_clone_src")
+    dst = _versioned_demo_path(sf_dir, "versioned_clone_dst")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(dst, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 3 == 0), src,
+        mode="overwrite", note="base", expect_version=None,
+    )
+    clone_table(src, dst)
+    # histories diverge: clone appends the %5 complement slice,
+    # source appends the %3==1 slice — neither sees the other
+    commit(
+        orders.filter(
+            (F.col("o_orderkey") % 5 == 0)
+            & (F.col("o_orderkey") % 3 != 0)
+        ),
+        dst, mode="append", note="clone-only",
+    )
+    commit(
+        orders.filter(F.col("o_orderkey") % 3 == 1), src,
+        mode="append", note="source-only",
+    )
+    out = None
+    for addr, df in (
+        ("clone_v0", read_version(spark, dst, 0)),
+        ("clone_head", read_version(spark, dst)),
+        ("source_head", read_version(spark, src)),
+    ):
+        s = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).select(F.lit(addr).alias("addr"), "n_rows", "sum_cents")
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("addr")
+
+
+@register(
     "q_version_diff",
     oracle="""
 WITH o AS (

@@ -595,6 +595,59 @@ def version_at(table_dir: str, as_of: float) -> int:
     return best
 
 
+def clone_table(
+    src_dir: str,
+    dst_dir: str,
+    version: int | None = None,
+    as_of: float | None = None,
+    note: str = "clone",
+    timestamp: float | None = None,
+) -> int:
+    """SHALLOW CLONE (Delta's CLONE): create a NEW table at ``dst_dir``
+    whose v0 references the source version's data files by absolute
+    path — zero bytes copied, stats/blooms/table_props carried, and
+    the clone's history evolves independently from the moment of the
+    clone (appends/overwrites/merges on either side never touch the
+    other).  The clone manifest records its provenance
+    (``cloned_from``: source dir + version).
+
+    Safety: :func:`vacuum` only scans a table's OWN ``data/`` root, so
+    vacuuming the clone can never reclaim source segments and vice
+    versa — but expiring + vacuuming the SOURCE can break a clone that
+    still references those files (the same contract as Delta shallow
+    clones; deep-copy with ``commit(read_version(...), dst)`` when the
+    source's retention is shorter than the clone's life)."""
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = version_at(src_dir, as_of)
+    if version is None:
+        version = latest_version(src_dir)
+        if version is None:
+            raise FileNotFoundError(f"no versions in {src_dir}")
+    if latest_version(dst_dir) is not None:
+        raise VersionConflict(f"{dst_dir} already has versions")
+    src = _read_manifest(src_dir, version)
+    manifest = {
+        "version": 0,
+        "parent": None,
+        "mode": "overwrite",
+        "note": note,
+        "ts": timestamp if timestamp is not None else time.time(),
+        "cloned_from": {
+            "dir": os.path.abspath(src_dir),
+            "version": version,
+        },
+        "files": [os.path.abspath(f) for f in src["files"]],
+        "stats": dict(src.get("stats", {})),
+    }
+    if src.get("blooms"):
+        manifest["blooms"] = dict(src["blooms"])
+    if src.get("table_props"):
+        manifest["table_props"] = dict(src["table_props"])
+    return _publish(dst_dir, manifest)
+
+
 def read_version(
     spark: SparkSession,
     table_dir: str,

@@ -1645,3 +1645,70 @@ def test_versioned_cluster_by_accepts_zorder_expression(spark, tmp_path):
     assert m1["table_props"]["cluster_by"] == [zx]
     kept_box2, total2 = prune_files(d, [("x", "<", 64), ("y", "<", 64)])
     assert total2 == 8 and len(kept_box2) < total2
+
+
+def test_versioned_shallow_clone(spark, tmp_path):
+    """r12: clone_table creates an independent table whose v0
+    references the source files by path — zero copy, stats/blooms/
+    props carried, histories diverge independently, and vacuuming
+    either side never touches the other's segments."""
+    import os
+
+    import pytest as _pytest
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        VersionConflict,
+        _read_manifest,
+        clone_table,
+        commit,
+        prune_files,
+        read_version,
+        vacuum,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    commit(
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ),
+        src, mode="overwrite", expect_version=None,
+        cluster_by=["k"], bloom_cols=["k"], n_files=2, timestamp=100.0,
+    )
+    commit(
+        spark.range(1000, 1100).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ),
+        src, mode="append", timestamp=200.0,
+    )
+
+    # clone at v0 via timestamp
+    v = clone_table(src, dst, as_of=150.0)
+    assert v == 0
+    m = _read_manifest(dst, 0)
+    assert m["cloned_from"]["version"] == 0
+    assert read_version(spark, dst).count() == 1000
+    # metadata carried: clustering stats + blooms still prune
+    kept, total = prune_files(dst, [("k", "<=", 10)])
+    assert total == 2 and len(kept) == 1
+    assert m["table_props"] == {"cluster_by": ["k"], "bloom_cols": ["k"]}
+
+    # histories diverge: append to the clone, source unchanged
+    commit(
+        spark.range(5000, 5010).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ),
+        dst, mode="append",
+    )
+    assert read_version(spark, dst).count() == 1010
+    assert read_version(spark, src).count() == 1100
+
+    # vacuum on the clone never deletes the source's referenced files
+    removed = vacuum(dst, grace_seconds=0)
+    assert removed == []
+    for f in _read_manifest(dst, 0)["files"]:
+        assert os.path.exists(f)
+
+    # cloning onto an existing table refuses
+    with _pytest.raises(VersionConflict):
+        clone_table(src, dst)

@@ -121,6 +121,7 @@ _ONE_PART_CLASS = {
     "q_version_optimize": "scalar",
     "q_version_source": "scalar",
     "q_version_zorder": "scalar",
+    "q_version_clone": "scalar",
     "q_version_diff": "scalar",  # the EXCEPT key-diff counts collapse
     # to 1-row aggregates before the broadcast re-join
     "q_change_feed": "scalar",  # same shape: per-version 1-row sums

@@ -10,7 +10,11 @@ Layout under ``table_dir``:
     data/<version>-<token>/part-*.parquet   immutable data segments
     _manifests/v{N}.json                    {"version", "parent",
                                              "files", "mode", "note",
-                                             "delta_files"?}
+                                             "ts", "stats", "blooms"?,
+                                             "table_props"?,
+                                             "delta_files"?,
+                                             "restored_from"?,
+                                             "cloned_from"?}
 
 Semantics:
 
@@ -40,7 +44,18 @@ Semantics:
     manifest-less segment, so a graceless vacuum would delete a live
     writer's data out from under it);
   * ``expire`` drops old manifests (retention), after which ``vacuum``
-    reclaims the segments only the expired versions referenced.
+    reclaims the segments only the expired versions referenced;
+  * r12 surface: commit times in every manifest enable TIMESTAMP
+    travel (:func:`version_at`, ``read_version(as_of=)``,
+    ``change_feed(since_ts=)``); ``cluster_by``/``bloom_cols`` are
+    TABLE PROPERTIES that survive every rewrite (compact/merge
+    rebuild them; cluster_by entries are SQL expressions, so the
+    Morton key gives OPTIMIZE-ZORDER 2-D skipping);
+    ``compact(small_file_bytes=)`` bin-packs only the micro-batch
+    tail; :func:`restore` rolls back as a zero-copy commit;
+    :func:`clone_table` forks a table at O(manifest) cost; and
+    streaming/source.py exposes the change feed as a Structured
+    Streaming source with engine-checkpointed version offsets.
 
 At 100 TB the manifest is the only driver-side object (a file list —
 thousands of entries, not data), reads prune to exactly the listed

@@ -22,11 +22,27 @@ Design (scale-shaped, not driver-shaped):
     append/overwrite/merge/restore/compact semantics as
     ``change_feed``), so executors read files in parallel exactly like
     a parquet scan: the driver touches manifests only, never data;
-  * ``read(partition)`` runs executor-side: pyarrow reads the one
-    parquet file and yields tuples in declared-schema order (columns a
-    pre-evolution file lacks yield None — mergeSchema tolerance),
-    with ``_version`` appended — the same tagging contract as
-    ``change_feed``;
+  * ``read(partition)`` runs executor-side and yields
+    ``pyarrow.RecordBatch`` objects (r13): pyarrow reads the one
+    parquet file, every column is cast to the DECLARED Arrow schema
+    (columns a pre-evolution file lacks become null arrays —
+    mergeSchema tolerance), ``_version`` is appended as a constant
+    int64 column, and the whole file flows to Spark as Arrow batches —
+    zero per-row Python object construction, the same vectorized
+    transfer Spark's own parquet source uses;
+  * ADMISSION CONTROL (r13): ``maxVersionsPerTrigger`` /
+    ``maxFilesPerTrigger`` bound each micro-batch the way Delta's
+    maxFilesPerTrigger / Kafka's maxOffsetsPerTrigger do — a consumer
+    that fell behind (or a fresh consumer starting from version 0 of a
+    long table) drains the backlog over several bounded batches
+    instead of receiving it in one.  Caps require a ``consumerId``:
+    the reader keeps a durable per-consumer cursor under
+    ``<table>/_consumers/`` (Kafka consumer-group semantics — commit
+    updates it atomically, restarts resume from it), because the
+    Python stream-reader API never passes the start offset to
+    ``latestOffset`` and any capped guess below the engine's committed
+    offset would poison the checkpoint (see
+    ``_FeedStreamReader.__doc__`` for the full failure analysis);
   * exactly-once: offsets live in the query's checkpoint; a restarted
     stream resumes after the last committed version, and a feed range
     expired by retention raises (RetentionError semantics) rather than
@@ -39,10 +55,13 @@ surfaces new columns) — a driver-side metadata read, bounded by file
 count.  A BATCH reader is registered too (``spark.read.format(
 "versioned_feed")``): the current full state, or ``version``/
 ``asOfTimestamp`` options for time travel, again one partition per
-file.
+file and again Arrow-batched.
 """
 
 from __future__ import annotations
+
+import json as _json
+import os as _os
 
 #: pyarrow type name prefixes → Spark SQL DDL types (the common
 #: subset our segments actually contain; anything else errors loudly
@@ -68,7 +87,10 @@ def _spark_type(arrow_type) -> str:
     if name.startswith("timestamp"):
         return "timestamp"
     if name.startswith("decimal"):
-        return name  # decimal(p, s) spells identically
+        # pyarrow spells the width: 'decimal128(p, s)' / 'decimal256(
+        # p, s)'.  Spark DDL wants plain 'decimal(p, s)' — strip the
+        # width, keep the (precision, scale) suffix.
+        return "decimal" + name[name.index("("):]
     try:
         return _TYPE_MAP[name]
     except KeyError:
@@ -97,23 +119,72 @@ def _schema_ddl(fields: list[tuple[str, str]]) -> str:
     return f"{cols}, `_version` bigint"
 
 
-def _read_file_rows(path: str, field_names: list[str], version: int):
-    """Executor-side: yield tuples for one delta file in declared
-    column order (+ _version); columns absent from this file's footer
-    (pre-evolution segments) yield None."""
+def _arrow_schema(fields: list[tuple[str, str]]):
+    """The pyarrow schema Spark expects for the DECLARED source schema
+    (fields + ``_version``).  The DDL names are OUR closed set
+    (:func:`_spark_type` emits them), so the Spark-type→Arrow mapping
+    is spelled inline — matching ``pyspark.sql.pandas.types.
+    to_arrow_schema`` exactly (timestamp[us, tz=UTC], decimal128) —
+    instead of round-tripping through ``StructType.fromDDL``, which
+    needs an active session the data source worker process does not
+    have.  ``read()`` casts every file to these types, so the engine
+    deserializes exactly what it declared."""
+    import pyarrow as pa
+
+    ddl_to_arrow = {
+        "tinyint": pa.int8(),
+        "smallint": pa.int16(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "date": pa.date32(),
+        "binary": pa.binary(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+    }
+
+    def _to_arrow(ddl: str):
+        if ddl.startswith("decimal("):
+            p, s = ddl[len("decimal("):-1].split(",")
+            return pa.decimal128(int(p), int(s))
+        return ddl_to_arrow[ddl]
+
+    return pa.schema(
+        [pa.field(n, _to_arrow(t)) for n, t in fields]
+        + [pa.field("_version", pa.int64())]
+    )
+
+
+def _read_file_batches(path: str, pa_schema, version: int):
+    """Executor-side: yield ``pyarrow.RecordBatch`` objects for one
+    delta file, cast to the declared Arrow schema (+ a constant
+    ``_version`` int64 column); columns absent from this file's footer
+    (pre-evolution segments) become null arrays.  Arrow end to end —
+    no per-row Python tuples anywhere on the path."""
+    import numpy as np
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pq.read_table(path)
+    n = table.num_rows
+    if n == 0:
+        return
     present = set(table.schema.names)
-    cols = [
-        table.column(n).to_pylist() if n in present else None
-        for n in field_names
-    ]
-    n_rows = table.num_rows
-    for i in range(n_rows):
-        yield tuple(
-            (c[i] if c is not None else None) for c in cols
-        ) + (version,)
+    arrays = []
+    for field in pa_schema:
+        if field.name == "_version":
+            arrays.append(pa.array(np.full(n, version, dtype=np.int64)))
+        elif field.name in present:
+            col = table.column(field.name).combine_chunks()
+            if col.type != field.type:
+                col = col.cast(field.type)
+            arrays.append(col)
+        else:
+            arrays.append(pa.nulls(n, field.type))
+    out = pa.Table.from_arrays(arrays, schema=pa_schema)
+    yield from out.to_batches(max_chunksize=1 << 16)
 
 
 class _FilePartition:
@@ -154,13 +225,118 @@ def _make_datasource_class():
             self.version = version
 
     class _FeedStreamReader(DataSourceStreamReader):
+        """Admission-control design notes (r13).  The Python
+        stream-reader API never passes the start offset to
+        ``latestOffset``, and the engine compares offsets by EQUALITY
+        only — so a capped ``latestOffset`` computed from a stale base
+        after a restart can fall BELOW the committed offset and the
+        engine will happily regress its checkpoint through it
+        (verified empirically; duplicates follow).  Hence:
+
+          * within a run, the reader tracks the newest version it has
+            handed out (``_cursor``, taught by initialOffset /
+            latestOffset / partitions / commit — the runner process
+            lives for the whole query) and caps from it: bounded
+            batches, exactly-once;
+          * across restarts, caps stay exact only with a DURABLE
+            cursor: the ``consumerId`` option names a tiny JSON file
+            under ``<table>/_consumers/`` that ``commit()`` updates
+            atomically — Kafka consumer-group semantics (the cursor
+            outlives the client; wiping the query checkpoint to
+            reprocess requires resetting the consumer file too);
+          * consequently caps REQUIRE ``consumerId``: without a
+            durable cursor, a restarted capped stream either risks
+            that regression or must serve its first trigger uncapped,
+            and an availableNow catch-up run can live-lock retrying a
+            stale base.  The option is rejected loudly instead of
+            degrading silently;
+          * defense in depth: if a regressed range does reach
+            ``partitions`` (end < start — possible only in a
+            crash-between-commits corner with consumerId), the reader
+            emits nothing, records ``start`` as an emission floor,
+            repairs the consumer file, and later batches clip below
+            the floor — no duplicate rows ever leave this process.
+        """
+
         def __init__(self, table_dir: str, fields, options):
+            import re
+
             self._dir = table_dir
             self._fields = fields
-            self._names = [n for n, _ in fields]
+            self._pa_schema = _arrow_schema(fields)
             self._options = options
+            self._cursor: int | None = None
+            self._floor: int | None = None
+            self._max_versions = self._pos_int_opt("maxVersionsPerTrigger")
+            self._max_files = self._pos_int_opt("maxFilesPerTrigger")
+            consumer = options.get("consumerId")
+            if consumer is not None and not re.fullmatch(
+                r"[A-Za-z0-9._-]{1,128}", consumer
+            ):
+                raise ValueError(
+                    "consumerId must match [A-Za-z0-9._-]{1,128}"
+                )
+            if consumer is None and (
+                self._max_versions is not None
+                or self._max_files is not None
+            ):
+                raise ValueError(
+                    "maxVersionsPerTrigger/maxFilesPerTrigger need a "
+                    "consumerId: the durable per-consumer cursor is "
+                    "what keeps capped micro-batches exactly-once "
+                    "across restarts (Kafka consumer-group semantics)"
+                )
+            self._cursor_path = (
+                None
+                if consumer is None
+                else _os.path.join(
+                    table_dir, "_consumers", f"{consumer}.json"
+                )
+            )
+            saved = self._load_consumer_cursor()
+            if saved is not None:
+                # versions <= saved were committed by this consumer in
+                # a previous process: cap base AND emission floor
+                self._cursor = saved
+                self._floor = saved
 
-        def initialOffset(self) -> dict:
+        def _pos_int_opt(self, name: str) -> int | None:
+            v = self._options.get(name)
+            if v is None:
+                return None
+            iv = int(v)
+            if iv < 1:
+                raise ValueError(f"{name} must be >= 1, got {v}")
+            return iv
+
+        def _load_consumer_cursor(self) -> int | None:
+            if self._cursor_path is None:
+                return None
+            try:
+                with open(self._cursor_path) as f:
+                    return int(_json.load(f)["version"])
+            except (OSError, ValueError, KeyError):
+                return None
+
+        def _save_consumer_cursor(self, version: int) -> None:
+            if self._cursor_path is None:
+                return
+            saved = self._load_consumer_cursor()
+            if saved is not None and saved >= version:
+                return
+            _os.makedirs(
+                _os.path.dirname(self._cursor_path), exist_ok=True
+            )
+            tmp = f"{self._cursor_path}.tmp-{_os.getpid()}"
+            with open(tmp, "w") as f:
+                _json.dump({"version": version}, f)
+            _os.replace(tmp, self._cursor_path)
+
+        def _note_cursor(self, version: int) -> None:
+            if self._cursor is None or version > self._cursor:
+                self._cursor = version
+
+        def _initial_base(self) -> int:
             from ..sinks.versioned import (
                 earliest_feed_version,
                 version_at,
@@ -168,21 +344,69 @@ def _make_datasource_class():
 
             sv = self._options.get("startingVersion")
             if sv is not None:
-                return {"version": int(sv)}
+                return int(sv)
             st = self._options.get("startingTimestamp")
             if st is not None:
                 try:
-                    return {"version": version_at(self._dir, float(st))}
+                    return version_at(self._dir, float(st))
                 except FileNotFoundError:
                     pass  # predates the table: full feed
-            return {"version": earliest_feed_version(self._dir) - 1}
+            return earliest_feed_version(self._dir) - 1
+
+        def initialOffset(self) -> dict:
+            # a durable consumer cursor wins over startingVersion /
+            # startingTimestamp — consumer-group semantics: resume
+            # where this consumer left off, even into a fresh
+            # checkpoint
+            saved = self._load_consumer_cursor()
+            v = saved if saved is not None else self._initial_base()
+            self._note_cursor(v)
+            return {"version": v}
 
         def latestOffset(self) -> dict:
-            from ..sinks.versioned import latest_version
+            from ..sinks.versioned import (
+                latest_version,
+                list_versions,
+                version_delta_files,
+            )
 
             cur = latest_version(self._dir)
             if cur is None:
                 raise FileNotFoundError(f"no versions in {self._dir}")
+            if self._max_versions is None and self._max_files is None:
+                return {"version": cur}
+            base = self._cursor
+            if base is None:
+                # this consumer has never committed a batch (no file,
+                # nothing seen this run): the configured start IS its
+                # position.  A restart that outran the consumer file
+                # by one crash window is repaired by partitions()'s
+                # floor logic + file rewrite.
+                base = self._initial_base()
+            if base < cur:
+                if self._max_versions is not None:
+                    cur = min(cur, base + self._max_versions)
+                if self._max_files is not None:
+                    # walk version manifests (driver-side metadata)
+                    # accumulating delta-file counts; always admit at
+                    # least one version so the stream makes progress
+                    # even when a single commit exceeds the cap
+                    n_files = 0
+                    bounded = base
+                    for v in list_versions(self._dir):
+                        if v <= base or v > cur:
+                            continue
+                        n_files += len(version_delta_files(self._dir, v))
+                        if bounded > base and n_files > self._max_files:
+                            break
+                        bounded = v
+                        if n_files >= self._max_files:
+                            break
+                    cur = bounded if bounded > base else base + 1
+                cur = max(cur, base)
+            else:
+                cur = base
+            self._note_cursor(cur)
             return {"version": cur}
 
         def partitions(self, start: dict, end: dict):
@@ -192,32 +416,49 @@ def _make_datasource_class():
             )
 
             lo = int(start["version"])
+            hi = int(end["version"])
+            if hi < lo:
+                # regressed range: the engine's committed offset (lo)
+                # outran a capped latestOffset computed from a stale
+                # base.  Everything <= lo is durably committed — emit
+                # nothing, remember the floor, repair the durable
+                # cursor, and let the next trigger advance past it.
+                self._floor = max(self._floor or lo, lo)
+                self._note_cursor(lo)
+                self._save_consumer_cursor(lo)
+                return []
+            if self._floor is not None:
+                lo = max(lo, self._floor)
             if lo + 1 < earliest_feed_version(self._dir):
                 raise RetentionError(
                     f"stream cursor v{lo} is out of retention; "
                     f"earliest valid startingVersion is "
                     f"{earliest_feed_version(self._dir) - 1}"
                 )
+            self._note_cursor(hi)
             return [
                 _Part(p.path, p.version)
-                for p in _delta_partitions(
-                    self._dir, lo, int(end["version"])
-                )
+                for p in _delta_partitions(self._dir, lo, hi)
             ]
 
         def read(self, partition):
-            yield from _read_file_rows(
-                partition.path, self._names, partition.version
+            yield from _read_file_batches(
+                partition.path, self._pa_schema, partition.version
             )
 
         def commit(self, end: dict) -> None:
-            pass  # offsets live in the query checkpoint
+            # offsets live in the query checkpoint; remember the
+            # committed high-water mark for admission control and
+            # persist it for this consumer (exactly-once caps across
+            # restarts)
+            self._note_cursor(int(end["version"]))
+            self._save_consumer_cursor(int(end["version"]))
 
     class _SnapshotReader(DataSourceReader):
         def __init__(self, table_dir: str, fields, options):
             self._dir = table_dir
             self._fields = fields
-            self._names = [n for n, _ in fields]
+            self._pa_schema = _arrow_schema(fields)
             self._options = options
 
         def _version(self) -> int:
@@ -243,15 +484,16 @@ def _make_datasource_class():
             ]
 
         def read(self, partition):
-            yield from _read_file_rows(
-                partition.path, self._names, partition.version
+            yield from _read_file_batches(
+                partition.path, self._pa_schema, partition.version
             )
 
     class VersionedFeedDataSource(DataSource):
         """``format("versioned_feed")``: stream a versioned table's
         change feed (readStream) or scan a snapshot (read).  Options:
         ``path`` (the table dir), ``startingVersion`` /
-        ``startingTimestamp`` (stream), ``version`` /
+        ``startingTimestamp`` / ``maxVersionsPerTrigger`` /
+        ``maxFilesPerTrigger`` (stream), ``version`` /
         ``asOfTimestamp`` (batch)."""
 
         @classmethod

@@ -83,6 +83,18 @@ key-partitioned exchange instead of a window + separate groupBy.
 Measured floors at sf0.1 (isolated, warm): q_bigram_ppl_buckets
 3.41 -> ~2.5 s, q_lm_perplexity_buckets 2.27 -> ~1.5 s,
 q_unigram_segment 2.88 -> ~1.8 s.
+
+r13 versioned_feed Arrow path (VERDICT r12 task 1): the DataSource's
+read() now yields pyarrow RecordBatches cast to the declared Arrow
+schema instead of per-row Python tuples (streaming/source.py:
+_read_file_batches), for BOTH the stream reader and the batch
+snapshot reader.  A/B on an 8-file versioned table, full-scan
+aggregate through the DataSource, min-of-3 warm (local[8]): 4M rows x
+4 cols = 0.75 s Arrow vs 2.34 s tuples (3.1x); at 500k rows the two
+tie (~2.7 s) because worker startup + plan overhead dominates — the
+per-row path is O(rows) Python object construction, so the gap widens
+with scale.  Existing stream/resume/retention hashes unchanged
+(tests/test_streaming.py:989,1120).
 """
 
 from __future__ import annotations

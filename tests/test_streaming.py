@@ -1183,3 +1183,125 @@ def test_table_to_table_streaming_etl(spark, tmp_path):
     before = read_version(spark, b).count()
     run()
     assert read_version(spark, b).count() == before
+
+
+def test_versioned_feed_admission_control(spark, tmp_path):
+    """r13, streaming/source.py: maxVersionsPerTrigger /
+    maxFilesPerTrigger bound each micro-batch (Delta's
+    maxFilesPerTrigger / Kafka's maxOffsetsPerTrigger role) — a
+    6-version backlog with maxVersionsPerTrigger=2 drains in exactly 3
+    micro-batches with identical total output, and a stream stopped
+    mid-backlog resumes exactly-once from the checkpoint + the durable
+    consumer cursor (caps require consumerId; see the reader docstring
+    for why a capped offset below the committed one would poison the
+    checkpoint)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.sinks.versioned import commit
+    from artis_data_ingest_spark.streaming.source import (
+        _make_datasource_class,
+        register_versioned_feed,
+    )
+
+    d = str(tmp_path / "tbl")
+    commit(
+        spark.range(2).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ).coalesce(1),
+        d, mode="overwrite", expect_version=None, timestamp=100.0,
+    )
+    for i in range(1, 6):  # v1..v5: one row, one file each
+        commit(
+            spark.range(10 + i, 11 + i).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ).coalesce(1),
+            d, mode="append", timestamp=100.0 + i,
+        )
+
+    # --- caps without a consumerId are rejected loudly
+    cls = _make_datasource_class()
+    with _pytest.raises(ValueError, match="consumerId"):
+        cls(options={"path": d, "maxVersionsPerTrigger": "2"}).streamReader(None)
+
+    # --- direct-drive the reader: deterministic offset sequence
+    ds = cls(options={
+        "path": d, "maxVersionsPerTrigger": "2", "consumerId": "c1",
+    })
+    r = ds.streamReader(None)
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 1}   # v0..v1
+    assert r.latestOffset() == {"version": 3}   # v2..v3
+    assert r.latestOffset() == {"version": 5}   # v4..v5
+    assert r.latestOffset() == {"version": 5}   # caught up: no change
+
+    # maxFilesPerTrigger: 1 file per version here, so a 3-file cap
+    # admits 3 versions per trigger (and always at least one)
+    ds2 = cls(options={
+        "path": d, "maxFilesPerTrigger": "3", "consumerId": "c2",
+    })
+    r2 = ds2.streamReader(None)
+    assert r2.initialOffset() == {"version": -1}
+    assert r2.latestOffset() == {"version": 2}
+    assert r2.latestOffset() == {"version": 5}
+
+    # --- e2e: one processingTime run drains the backlog in 3 bounded
+    # micro-batches (reader state persists across triggers in a run)
+    register_versioned_feed(spark)
+    seen: list[tuple[int, dict]] = []
+
+    def record(df, batch_id):
+        if any(b == batch_id for b, _ in seen):
+            return  # engine replay of a pending batch: already counted
+        rows = {
+            row["_version"]: row["n"]
+            for row in df.groupBy("_version")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        if rows:
+            seen.append((batch_id, rows))
+
+    q = (
+        spark.readStream.format("versioned_feed")
+        .option("path", d).option("maxVersionsPerTrigger", "2")
+        .option("consumerId", "e2e").load()
+        .writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds").start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if sum(sum(r.values()) for _, r in seen) >= 7:
+            break
+        time.sleep(0.3)
+    q.stop()
+    assert [r for _, r in seen] == [
+        {0: 2, 1: 1},
+        {2: 1, 3: 1},
+        {4: 1, 5: 1},
+    ]
+
+    # --- resume mid-backlog: two more commits land, the restarted
+    # stream (same checkpoint + consumer cursor) emits ONLY them,
+    # exactly once
+    for i in range(6, 8):
+        commit(
+            spark.range(10 + i, 11 + i).select(
+                F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+            ).coalesce(1),
+            d, mode="append", timestamp=100.0 + i,
+        )
+    q = (
+        spark.readStream.format("versioned_feed")
+        .option("path", d).option("maxVersionsPerTrigger", "2")
+        .option("consumerId", "e2e").load()
+        .writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    total = {}
+    for _, rows in seen:
+        for v, n in rows.items():
+            total[v] = total.get(v, 0) + n
+    assert total == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1}

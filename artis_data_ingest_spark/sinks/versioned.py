@@ -312,12 +312,14 @@ def commit(
     useless — the high-cardinality-unsorted-key case.
 
     Both layout choices are recorded in the manifest as TABLE
-    PROPERTIES (``table_props``) and carried forward by later commits,
-    so :func:`compact` and :func:`merge_commit` re-derive them
-    automatically and rebuild the per-file bitmaps/clustering for
-    their rewritten segments — pruning survives the table lifecycle
-    instead of silently degrading at the first rewrite (Delta keeps
+    PROPERTIES (``table_props``) and every later write re-applies
+    them automatically: plain appends cluster their new segment and
+    build its blooms from the recorded props (r13), and
+    :func:`compact` / :func:`merge_commit` rebuild them for their
+    rewritten segments — pruning survives the table lifecycle instead
+    of silently degrading at the first layout-less write (Delta keeps
     its layout/bloom config in table metadata for the same reason).
+    Pass an explicit EMPTY sequence to clear a recorded property.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
@@ -325,9 +327,19 @@ def commit(
     _check_expected(cur, expect_version)
     parent = _read_manifest(table_dir, cur) if cur is not None else {}
     props = dict(parent.get("table_props", {}))
-    if cluster_by:
+    # layout is a TABLE property, not a per-call argument: a plain
+    # append to a clustered/bloom table inherits the recorded layout
+    # (r13 — previously only compact/merge re-derived it, so appends
+    # silently wrote unclustered, bloom-less segments and pruning
+    # degraded across the table lifecycle).  Passing an explicit value
+    # updates the property; an explicit EMPTY sequence clears it.
+    if cluster_by is None:
+        cluster_by = props.get("cluster_by")
+    else:
         props["cluster_by"] = list(cluster_by)
-    if bloom_cols:
+    if bloom_cols is None:
+        bloom_cols = props.get("bloom_cols")
+    else:
         props["bloom_cols"] = list(bloom_cols)
     if cluster_by:
         parts = n_files or df.sparkSession.sparkContext.defaultParallelism

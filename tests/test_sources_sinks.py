@@ -1381,6 +1381,75 @@ def test_versioned_layout_survives_compact_and_merge(spark, tmp_path):
     assert len(rows0) == 1 and rows0[0].v == 999_000
 
 
+def test_versioned_append_inherits_layout(spark, tmp_path):
+    """r13 (ADVICE r12): a PLAIN append to a clustered/bloom table
+    inherits the recorded table_props — the new segment is
+    range-clustered and gets per-file Bloom bitmaps without the caller
+    re-passing cluster_by/bloom_cols, so pruning no longer silently
+    degrades across appends.  An explicit empty sequence clears the
+    property (ALTER TABLE unset semantics)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        _read_manifest,
+        commit,
+        prune_files,
+        scan,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    scattered = spark.range(0, 3000).select(
+        (F.col("id") * 2654435761 % 3000).alias("k"),
+        F.col("id").alias("v"),
+    ).repartition(3)
+    commit(scattered, tdir, mode="overwrite", expect_version=None,
+           bloom_cols=["k"], cluster_by=["v"], n_files=3)
+
+    # plain append: NO layout args
+    more = spark.range(3000, 6000).select(
+        (F.col("id") * 2654435761 % 3000 + 10000).alias("k"),
+        F.col("id").alias("v"),
+    ).repartition(3)
+    commit(more, tdir, mode="append", n_files=3)
+
+    m0 = _read_manifest(tdir, 0)
+    m1 = _read_manifest(tdir, 1)
+    assert m1["table_props"] == {"cluster_by": ["v"], "bloom_cols": ["k"]}
+    new_files = [f for f in m1["files"] if f not in set(m0["files"])]
+    assert len(new_files) == 3
+    # the appended segment has blooms...
+    for f in new_files:
+        assert "k" in m1["blooms"][os.path.abspath(f)]
+    # ...and is v-clustered: a narrow range over the APPENDED key space
+    # prunes most of the new files too
+    kept, total = prune_files(tdir, [("v", ">=", 5900)])
+    assert total == 6 and len(kept) <= 2
+    # bloom pruning on a key that exists only in the appended segment
+    rows = scan(spark, tdir, [("k", "=", 10007)]).collect()
+    assert rows and all(r.k == 10007 for r in rows)
+    pruned = [
+        len(prune_files(tdir, [("k", "=", bad)])[0])
+        for bad in [900021, 900022, 900023, 900024]
+    ]
+    assert sum(pruned) <= 1
+
+    # explicit empty sequence clears the properties
+    commit(
+        spark.range(6000, 6100).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        ),
+        tdir, mode="append", cluster_by=[], bloom_cols=[],
+    )
+    m2 = _read_manifest(tdir, 2)
+    assert m2["table_props"] == {"cluster_by": [], "bloom_cols": []}
+    cleared = [f for f in m2["files"] if f not in set(m1["files"])]
+    assert cleared and all(
+        os.path.abspath(f) not in m2.get("blooms", {}) for f in cleared
+    )
+
+
 def test_pdf_type0_cid_descendant_and_encrypted(tmp_path):
     """r12: Type0/Identity-H fonts resolve the /ToUnicode CMap through
     /DescendantFonts when it hangs off the CIDFont (wild-writer

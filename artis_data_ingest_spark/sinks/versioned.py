@@ -15,6 +15,13 @@ Layout under ``table_dir``:
                                              "delta_files"?,
                                              "restored_from"?,
                                              "cloned_from"?}
+    _manifests/checkpoint-{N}.json          per-version summaries up
+                                            to N (r13 manifest-log
+                                            checkpoint; see
+                                            :func:`write_checkpoint`)
+    _manifests/_last_checkpoint             pointer to the newest one
+    _consumers/<id>.json                    streaming admission-control
+                                            cursors (streaming/source)
 
 Semantics:
 
@@ -142,6 +149,125 @@ def _walk_manifests(table_dir: str) -> Iterator[dict]:
         v = m["parent"]
 
 
+#: Write a manifest-log checkpoint every N commits (Delta's
+#: ``_last_checkpoint`` cadence).  Checkpoints are an optimization,
+#: never a correctness gate: every reader falls back to walking raw
+#: manifests when the checkpoint is missing or stale.
+CHECKPOINT_INTERVAL = 25
+
+
+def _checkpoint_pointer(table_dir: str) -> str:
+    return os.path.join(_manifest_dir(table_dir), "_last_checkpoint")
+
+
+def _checkpoint_path(table_dir: str, version: int) -> str:
+    return os.path.join(
+        _manifest_dir(table_dir), f"checkpoint-{version}.json"
+    )
+
+
+def _summary(m: dict) -> dict:
+    """The per-version metadata the O(versions) driver walks need
+    (history, version_at, earliest_feed_version) — WITHOUT the file
+    list, so a checkpoint over 10^5 streaming micro-batch versions
+    stays a few MB of JSON."""
+    return {
+        "parent": m["parent"],
+        "mode": m["mode"],
+        "note": m["note"],
+        "ts": m.get("ts"),
+        "n_files": len(m["files"]),
+    }
+
+
+def _load_checkpoint(table_dir: str) -> dict | None:
+    try:
+        with open(_checkpoint_pointer(table_dir)) as f:
+            ptr = json.load(f)
+        with open(_checkpoint_path(table_dir, int(ptr["version"]))) as f:
+            return json.load(f)
+    except (OSError, ValueError, KeyError):
+        return None  # no/corrupt checkpoint: readers walk manifests
+
+
+def write_checkpoint(table_dir: str) -> int:
+    """Snapshot the per-version summaries of every retained manifest
+    into ``_manifests/checkpoint-{N}.json`` and point
+    ``_manifests/_last_checkpoint`` at it — the manifest-log
+    checkpoint Delta/Iceberg keep so metadata reads open O(1) files
+    plus the commits since, instead of one JSON per retained version.
+    Called automatically every :data:`CHECKPOINT_INTERVAL` commits;
+    callable directly after bulk operations.  Builds incrementally
+    from the previous checkpoint (only the gap manifests are read)
+    and garbage-collects superseded checkpoint files.  Returns the
+    checkpointed version."""
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    prev = _load_checkpoint(table_dir) or {}
+    prev_s = prev.get("summaries", {})
+    summaries: dict = {}
+    for v in versions:
+        s = prev_s.get(str(v))
+        if s is None:
+            try:
+                s = _summary(_read_manifest(table_dir, v))
+            except FileNotFoundError:
+                continue  # expired between listdir and read
+        summaries[str(v)] = s
+    top = versions[-1]
+    path = _checkpoint_path(table_dir, top)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump({"version": top, "summaries": summaries}, f)
+    os.replace(tmp, path)
+    ptmp = f"{_checkpoint_pointer(table_dir)}.tmp-{os.getpid()}"
+    with open(ptmp, "w") as f:
+        json.dump({"version": top}, f)
+    os.replace(ptmp, _checkpoint_pointer(table_dir))
+    for name in os.listdir(_manifest_dir(table_dir)):
+        if (
+            name.startswith("checkpoint-")
+            and name.endswith(".json")
+            and name != f"checkpoint-{top}.json"
+        ):
+            try:
+                os.unlink(os.path.join(_manifest_dir(table_dir), name))
+            except OSError:
+                pass  # concurrent checkpointer got it first
+    return top
+
+
+def _maybe_checkpoint(table_dir: str, version: int) -> None:
+    if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+        try:
+            write_checkpoint(table_dir)
+        except Exception:
+            pass  # an optimization, never a commit failure
+
+
+def _version_summaries(table_dir: str) -> dict[int, dict]:
+    """{version: summary} for every retained version — O(1 listdir +
+    1 checkpoint read + since-checkpoint manifest reads) instead of
+    one manifest read per retained version.  Retention is decided by
+    the LIVE manifest listing (a checkpoint may still carry summaries
+    of versions :func:`expire` has since dropped — they are simply
+    not returned)."""
+    versions = list_versions(table_dir)
+    ck = _load_checkpoint(table_dir)
+    cks = ck.get("summaries", {}) if ck else {}
+    out: dict[int, dict] = {}
+    for v in versions:
+        s = cks.get(str(v))
+        if s is None:
+            try:
+                s = _summary(_read_manifest(table_dir, v))
+            except FileNotFoundError:
+                continue  # expired mid-walk
+        out[v] = s
+    return out
+
+
 def _check_expected(cur: int | None, expect_version) -> None:
     if expect_version is ANY:
         return
@@ -265,6 +391,7 @@ def _publish(table_dir: str, manifest: dict) -> int:
             f"v{new_version} was published concurrently"
         ) from None
     os.unlink(tmp)
+    _maybe_checkpoint(table_dir, new_version)
     return new_version
 
 
@@ -607,10 +734,13 @@ def version_at(table_dir: str, as_of: float) -> int:
     infinitely old, so they resolve for any ``as_of``.  Raises
     FileNotFoundError when every retained version is newer than
     ``as_of`` (the state at that time is out of retention or predates
-    the table)."""
+    the table).  Reads per-version summaries through the manifest-log
+    checkpoint (r13) — O(1) + O(since-checkpoint) file opens, not one
+    per retained version."""
     best = None
-    for v in list_versions(table_dir):
-        ts = _read_manifest(table_dir, v).get("ts")
+    summaries = _version_summaries(table_dir)
+    for v in sorted(summaries):
+        ts = summaries[v].get("ts")
         if ts is None or ts <= as_of:
             best = v
     if best is None:
@@ -923,12 +1053,21 @@ def history(spark: SparkSession, table_dir: str) -> DataFrame:
     """(version, parent, mode, note, n_files, ts) — the commit log,
     down to the oldest retained (non-expired) manifest; ``ts`` is the
     recorded commit time in epoch seconds (null for manifests written
-    before commit times existed)."""
-    rows = [
-        (m["version"], m["parent"], m["mode"], m["note"],
-         len(m["files"]), m.get("ts"))
-        for m in _walk_manifests(table_dir)
-    ]
+    before commit times existed).  Walks the parent chain over
+    checkpointed summaries (r13): O(1) + O(since-checkpoint) file
+    opens instead of one manifest per retained version."""
+    summaries = _version_summaries(table_dir)
+    rows = []
+    v = max(summaries) if summaries else None
+    seen: set[int] = set()
+    while v is not None and v in summaries and v not in seen:
+        seen.add(v)
+        s = summaries[v]
+        rows.append(
+            (v, s["parent"], s["mode"], s["note"], s["n_files"],
+             s.get("ts"))
+        )
+        v = s["parent"]
     return spark.createDataFrame(
         rows,
         "version bigint, parent bigint, mode string, note string, "
@@ -1001,17 +1140,18 @@ def earliest_feed_version(table_dir: str) -> int:
     gone, making its delta unresolvable.  Overwrite/merge/compact
     versions carry their own delta (full set / ``delta_files`` /
     none) and never need the parent."""
-    versions = list_versions(table_dir)
-    if not versions:
+    summaries = _version_summaries(table_dir)
+    if not summaries:
         raise FileNotFoundError(f"no versions in {table_dir}")
+    versions = sorted(summaries)
     retained = set(versions)
     first_ok = versions[0]
     for v in versions:
-        m = _read_manifest(table_dir, v)
+        s = summaries[v]
         if (
-            m["mode"] == "append"
-            and m["parent"] is not None
-            and m["parent"] not in retained
+            s["mode"] == "append"
+            and s["parent"] is not None
+            and s["parent"] not in retained
         ):
             # this append's delta is lost to retention — the feed can
             # only start after it

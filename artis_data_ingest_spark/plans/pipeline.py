@@ -2830,6 +2830,17 @@ WITH grid AS (
          'boxed line one' || chr(10) ||
          'boxed line two' || chr(10) ||
          'outro'
+  UNION ALL
+  SELECT 'notes.docx', TRUE, 9, 0,
+         'body start' || chr(10) ||
+         'outer host' || chr(10) ||
+         'outer box line' || chr(10) ||
+         'inner host' || chr(10) ||
+         'inner box line' || chr(10) ||
+         'body end' || chr(10) ||
+         'fn alpha' || chr(10) ||
+         'fn beta' || chr(10) ||
+         'en omega'
 )
 SELECT path, ok, n_paragraphs, n_tables,
        CAST(len(list_filter(string_split_regex(text, '[ \\t\\n]+'),
@@ -2856,7 +2867,11 @@ ORDER BY path
     "bullets) renders visible '1.'/'2.1.'/'•' markers "
     "(listbox.docx) — and TEXT BOXES: w:txbxContent blocks emit as "
     "their own lines after the host paragraph instead of vanishing "
-    "or merging into it.  "
+    "or merging into it.  r13 adds ENDNOTES (word/endnotes.xml, the "
+    "footnotes wiring, rendered after them) and pins the "
+    "nested-text-box case: a box inside a box emits exactly once "
+    "(notes.docx — the host paragraph only renders its TOP-LEVEL "
+    "boxes; the recursion on each box renders what it contains).  "
     "Fleet shape: one binaryFile row per document, parsed inside "
     "executor tasks via mapInPandas (documents are the parallelism "
     "unit for an unsplittable container).  The committed fixtures "

@@ -15,9 +15,10 @@ skipped" gap):
   * HEADERS / FOOTERS (``word/header*.xml`` / ``word/footer*.xml``):
     their paragraphs prepend / append to the body text in member-name
     order (header1 < header2 …), the order a reader sees the page;
-  * FOOTNOTES (``word/footnotes.xml``): paragraph text appended after
-    the body (Word's separator/continuation stubs carry no ``w:t`` and
-    contribute empty-paragraph lines only when they hold actual text);
+  * FOOTNOTES / ENDNOTES (``word/footnotes.xml``,
+    ``word/endnotes.xml`` — r13): paragraph text appended after the
+    body, footnotes first (Word's separator/continuation stubs carry
+    no ``w:t`` and contribute lines only when they hold actual text);
   * LIST NUMBERING (r12): ``w:numPr`` resolved against
     ``word/numbering.xml`` (``w:num`` → ``w:abstractNum`` → per-level
     numFmt/lvlText/start) renders the VISIBLE marker — decimal
@@ -161,6 +162,24 @@ def _num_marker(p: ET.Element, counts: dict) -> str:
     return re.sub(r"%(\d)", repl, lt or "%1.") + " "
 
 
+def _top_level_txbx(p: ET.Element) -> list[ET.Element]:
+    """The w:txbxContent elements under ``p`` that have NO
+    w:txbxContent ancestor — the walk stops descending at the first
+    box it finds, leaving nested boxes to the recursion that renders
+    the outer box's own paragraphs."""
+    out: list[ET.Element] = []
+
+    def walk(node: ET.Element) -> None:
+        for child in node:
+            if child.tag == f"{_W}txbxContent":
+                out.append(child)
+            else:
+                walk(child)
+
+    walk(p)
+    return out
+
+
 def _blocks(parent: ET.Element, counts: dict) -> Iterator[str]:
     """One text line per block-level element of ``parent`` (a body or
     a table cell), in document order: a paragraph is its run text, a
@@ -171,8 +190,12 @@ def _blocks(parent: ET.Element, counts: dict) -> Iterator[str]:
             yield _num_marker(child, counts) + _para_text(child)
             # text boxes anchored in this paragraph's runs
             # (v:textbox / wps:txbx both wrap w:txbxContent): their
-            # block content renders as its own lines after the host
-            for tx in child.iter(f"{_W}txbxContent"):
+            # block content renders as its own lines after the host.
+            # Only TOP-LEVEL boxes here — a box nested inside another
+            # box is emitted by the recursion on its host paragraph,
+            # so descending past the first w:txbxContent would emit
+            # it twice (r13, ADVICE r12).
+            for tx in _top_level_txbx(child):
                 yield from _blocks(tx, counts)
         elif child.tag == f"{_W}tbl":
             counts["tables"] += 1
@@ -211,10 +234,13 @@ def parse_docx_bytes(blob: bytes) -> tuple[bool, list[str], int]:
                     numbering = {}  # lists lose markers, never the text
             side: dict[str, list[ET.Element]] = {
                 "header": [], "footer": [], "footnotes": [],
+                "endnotes": [],
             }
             for name in sorted(names):
                 m = re.fullmatch(
-                    r"word/(header\d*|footer\d*|footnotes)\.xml", name
+                    r"word/(header\d*|footer\d*|footnotes|endnotes)"
+                    r"\.xml",
+                    name,
                 )
                 if not m:
                     continue
@@ -237,6 +263,10 @@ def parse_docx_bytes(blob: bytes) -> tuple[bool, list[str], int]:
         lines.extend(
             t for t in _blocks(fn, counts) if t
         )  # skip Word's empty separator stubs
+    for en in side["endnotes"]:
+        lines.extend(
+            t for t in _blocks(en, counts) if t
+        )  # endnotes.xml: same wiring, renders after the footnotes
     return True, lines, counts["tables"]
 
 
@@ -307,7 +337,14 @@ def _para_xml(
                 f'<w:r><w:t xml:space="preserve">{_esc(piece)}</w:t></w:r>'
             )
     if txbx:
-        inner = "".join(_para_xml(line) for line in txbx)
+        # a box line may itself be a dict {"text", "txbx"} — a text
+        # box nested inside a text box (the r13 double-emit fixture)
+        inner = "".join(
+            _para_xml(line)
+            if isinstance(line, str)
+            else _para_xml(line.get("text", ""), txbx=line.get("txbx"))
+            for line in txbx
+        )
         runs.append(
             '<w:r><w:pict><v:shape xmlns:v='
             '"urn:schemas-microsoft-com:vml"><v:textbox>'
@@ -364,6 +401,8 @@ def write_docx(
     headers: list[str] | None = None,
     footers: list[str] | None = None,
     numbering: dict | None = None,
+    footnotes: list[str] | None = None,
+    endnotes: list[str] | None = None,
 ) -> None:
     """Minimal structurally-valid .docx writer for fixtures.  Each
     ``paragraphs`` item is a str (one paragraph; tabs/newlines become
@@ -432,6 +471,23 @@ def write_docx(
             '<Override PartName="/word/numbering.xml" ContentType='
             '"application/vnd.openxmlformats-officedocument.'
             'wordprocessingml.numbering+xml"/>'
+        )
+    for kind, items in (("footnotes", footnotes), ("endnotes", endnotes)):
+        if not items:
+            continue
+        # real Word nests each note's paragraphs in a w:footnote /
+        # w:endnote wrapper with an id; the parser recurses wrappers
+        inner = "".join(
+            f'<w:{kind[:-1]} w:id="{i + 1}">{_para_xml(t)}</w:{kind[:-1]}>'
+            for i, t in enumerate(items)
+        )
+        extra_parts.append((
+            f"word/{kind}.xml", _WRAP.format(root=kind, inner=inner),
+        ))
+        overrides.append(
+            f'<Override PartName="/word/{kind}.xml" ContentType='
+            '"application/vnd.openxmlformats-officedocument.'
+            f'wordprocessingml.{kind}+xml"/>'
         )
     content_types = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'

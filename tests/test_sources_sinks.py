@@ -1067,6 +1067,45 @@ def test_docx_tables_headers_footers_footnotes(tmp_path):
     assert lines2 == ["x\tdeep", "note one"]
 
 
+def test_docx_endnotes_and_nested_textbox(tmp_path):
+    """r13: word/endnotes.xml renders after the footnotes (same
+    wiring), and a text box nested inside another text box emits
+    exactly once — the host paragraph renders only its TOP-LEVEL
+    boxes, the recursion on each box renders its own content
+    (ADVICE r12: child.iter() descended into the outer box and
+    double-emitted the inner one)."""
+    from artis_data_ingest_spark.sources.docx import (
+        parse_docx_bytes,
+        write_docx,
+    )
+
+    p = str(tmp_path / "n.docx")
+    write_docx(
+        p,
+        [
+            "body start",
+            {"text": "outer host", "txbx": [
+                "outer box line",
+                {"text": "inner host", "txbx": ["inner box line"]},
+            ]},
+        ],
+        footnotes=["fn one"],
+        endnotes=["en one", "en two"],
+    )
+    ok, lines, n_tables = parse_docx_bytes(open(p, "rb").read())
+    assert ok and n_tables == 0
+    assert lines == [
+        "body start",
+        "outer host",
+        "outer box line",
+        "inner host",
+        "inner box line",
+        "fn one",
+        "en one",
+        "en two",
+    ]
+
+
 def test_versioned_file_skipping(spark, tmp_path):
     """Manifest-stats pruning (r11): commits record per-file footer
     min/max; prune_files drops files whose bounds cannot match, keeps

@@ -75,6 +75,21 @@ def docx_fixture_set() -> dict[str, list[str] | bytes]:
             "2": [("bullet", "•")],
         },
     }
+    # r13: footnotes + endnotes parts, and a text box NESTED inside
+    # another text box — emitted exactly once (the ADVICE r12
+    # double-emit fix)
+    out["notes.docx"] = {
+        "paragraphs": [
+            "body start",
+            {"text": "outer host", "txbx": [
+                "outer box line",
+                {"text": "inner host", "txbx": ["inner box line"]},
+            ]},
+            "body end",
+        ],
+        "footnotes": ["fn alpha", "fn beta"],
+        "endnotes": ["en omega"],
+    }
     out["broken.docx"] = b"PK\x03\x04 not a real zip"
     return out
 

@@ -16,6 +16,8 @@ identical integer, bit for bit.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -35,23 +37,49 @@ def bucket_sql(expr: str, lo: float, width: float, bits: int = 8) -> str:
     )
 
 
-def zvalue(x: Column, y: Column, bits: int = 8) -> Column:
-    """Morton interleave of two grid coordinates (x gets even bit
-    positions, y odd): a pure shift/and/or expression tree — 2*bits
-    terms, whole-stage codegen'd, no Python."""
+def zvalue_n(cols: "Sequence[Column]", bits: int = 8) -> Column:
+    """Morton interleave of k grid coordinates (r13 — Delta's
+    ``OPTIMIZE ZORDER BY`` takes arbitrarily many columns): column j
+    occupies bit positions j, j+k, j+2k, … so every dimension's bits
+    spread evenly through the key and each file's envelope is narrow
+    in ALL k dimensions.  A pure shift/and/or expression tree —
+    k*bits terms, whole-stage codegen'd, no Python.  k*bits must fit
+    a signed 64-bit key (<= 63)."""
+    k = len(cols)
+    if k < 1:
+        raise ValueError("zvalue_n needs at least one column")
+    if k * bits > 63:
+        raise ValueError(
+            f"{k} dims x {bits} bits = {k * bits} key bits; "
+            "must be <= 63 (reduce bits per dimension)"
+        )
     z = F.lit(0).cast("bigint")
     for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+        for j, c in enumerate(cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * k + j
+                )
+            )
     return z
 
 
-def zvalue_sql(x: str, y: str, bits: int = 8) -> str:
+def zvalue_n_sql(exprs: "Sequence[str]", bits: int = 8) -> str:
+    k = len(exprs)
+    if k < 1 or k * bits > 63:
+        raise ValueError(f"bad zvalue shape: {k} dims x {bits} bits")
     terms = []
     for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+        for j, e in enumerate(exprs):
+            terms.append(f"((({e} >> {i}) & 1) << {i * k + j})")
     return "(" + " | ".join(terms) + ")"
+
+
+def zvalue(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton interleave of two grid coordinates (x gets even bit
+    positions, y odd) — the k=2 case of :func:`zvalue_n`."""
+    return zvalue_n([x, y], bits)
+
+
+def zvalue_sql(x: str, y: str, bits: int = 8) -> str:
+    return zvalue_n_sql([x, y], bits)

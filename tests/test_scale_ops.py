@@ -419,6 +419,72 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     assert got == want and got
 
 
+def test_zorder_3d_prunes_every_dimension(spark, tmp_path):
+    """r13: zvalue_n generalizes the Morton interleave to k columns
+    (Delta's ZORDER BY takes arbitrarily many) — files sorted on a
+    3-D key have bounded envelopes in ALL THREE dimensions, so a
+    selective single-dim range on ANY of them prunes files; the 2-D
+    helpers are the k=2 special case, bit-for-bit."""
+    import pathlib
+
+    from artis_data_ingest_spark.operators.zorder import (
+        bucket,
+        zvalue,
+        zvalue_n,
+        zvalue_n_sql,
+        zvalue_sql,
+    )
+    from artis_data_ingest_spark.sinks.manifest import (
+        build_manifest,
+        prune_files,
+    )
+
+    # k=2 delegation is exact (same bits, same SQL text)
+    assert zvalue_sql("a", "b", 4) == zvalue_n_sql(["a", "b"], 4)
+    row = (
+        spark.range(1)
+        .select(
+            zvalue(F.lit(5), F.lit(9), 8).alias("two"),
+            zvalue_n([F.lit(5), F.lit(9)], 8).alias("n"),
+        )
+        .first()
+    )
+    assert row.two == row.n
+
+    # 63-bit guard
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        zvalue_n([F.lit(1)] * 8, bits=8)
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_quantity", "l_discount"
+    )
+    dims = [
+        bucket(F.col("l_extendedprice"), 0.0, 500.0, 5),
+        bucket(F.col("l_quantity"), 0.0, 1.0, 5),
+        bucket(F.col("l_discount"), 0.0, 0.002, 5),
+    ]
+    out = str(tmp_path / "li_z3")
+    (
+        li.withColumn("_k", zvalue_n(dims, bits=5))
+        .repartition(1)
+        .sortWithinPartitions("_k")
+        .drop("_k")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 400)
+        .parquet(out)
+    )
+    n = len(list(pathlib.Path(out).glob("*.parquet")))
+    assert n > 4
+    man = build_manifest(
+        spark, out, ["l_extendedprice", "l_quantity", "l_discount"]
+    )
+    assert len(prune_files(man, "l_extendedprice", 0.0, 15000.0)) < n
+    assert len(prune_files(man, "l_quantity", 1.0, 5.0)) < n
+    assert len(prune_files(man, "l_discount", 0.0, 0.01)) < n
+
+
+
 def test_transform_with_state_plan_constructs(spark):
     """transformWithStateInPandas wiring (Spark 4 state API): the
     streaming logical plan must build with the declared output schema

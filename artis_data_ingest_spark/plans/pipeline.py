@@ -2925,6 +2925,12 @@ UNION ALL
 SELECT 'broken.pdf', FALSE, 0, 0, 0, '', 'no objects'
 UNION ALL
 SELECT 'locked.pdf', FALSE, 0, 0, 0, '', 'encrypted'
+UNION ALL
+SELECT 'secure-rc4.pdf', TRUE, 1, 2, 6,
+       'secure rc4 forty' || chr(10) || 'still owner locked', ''
+UNION ALL
+SELECT 'secure-aes.pdf', TRUE, 1, 2, 6,
+       'secure aes line' || chr(10) || 'with padding blocks', ''
 ORDER BY path
 """,
     doc="PDF text extraction (r9, sources/pdf.py): the format the "
@@ -2943,7 +2949,15 @@ ORDER BY path
     "hash-mismatches.  r12: failures carry a REASON column "
     "('no objects', 'encrypted', 'parse error') — the locked.pdf "
     "fixture's /Encrypt trailer is refused loudly instead of "
-    "yielding mojibake.  Fleet shape: binaryFile + mapInPandas, "
+    "yielding mojibake.  r13: the standard security handler's "
+    "empty-USER-password case (owner-locked files, most wild "
+    "'encrypted' PDFs) now DECRYPTS transparently — RC4-40 "
+    "(secure-rc4.pdf, V1/R2) and AES-128-CBC over a Flate stream "
+    "(secure-aes.pdf, V4/R4/AESV2), /O//U verified per PDF 32000-1 "
+    "section 7.6.3 with pure-stdlib RC4/AES (FIPS-197-pinned); "
+    "detection is trailer-scoped so '/Encrypt N G R' prose inside "
+    "a content stream no longer misfires; genuinely "
+    "password-protected files (locked.pdf) still refuse.  Fleet shape: binaryFile + mapInPandas, "
     "documents as the parallelism unit.",
 )
 def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2986,6 +3000,10 @@ SELECT path, ok, n_pages, n_text_ops,
 FROM docs
 UNION ALL
 SELECT 'modern-broken.pdf', FALSE, 0, 0, 0, '', 'no objects'
+UNION ALL
+SELECT 'modern-rc4.pdf', TRUE, 2, 3, 11,
+       'rc4 page one a' || chr(10) || 'owner only b' || chr(10)
+       || 'rc4 page two c', ''
 ORDER BY path
 """,
     doc="PDF 1.5+ extraction (r11, closing the r9/r10 verdict's top "

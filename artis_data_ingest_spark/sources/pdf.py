@@ -43,16 +43,23 @@ encodings.  This reader covers:
 Type0/CID composite fonts (r12): the ToUnicode CMap is found on the
 Type0 dict OR through /DescendantFonts on the CIDFont (both array
 forms); Identity-H with no CMap anywhere decodes 2-byte codes as
-UTF-16BE.  Encrypted files (/Encrypt in the trailer) are refused
-loudly — ok=false with ``reason='encrypted'`` — since decryption is
-out of scope; every failure carries a ``reason`` ('no objects',
-'encrypted', 'parse error').  Remaining declared scope: no
-decryption, no external CID-keyed CMap files (rare outside CJK print
-workflows).  The writer half emits spec-correct PDF 1.4 (xref table)
-AND PDF 1.5 (object streams + predictor-coded xref streams +
-ToUnicode CMaps + hex strings + the descendant-CMap Type0 variant)
-so the reader is exercised against real structure, not against its
-own assumptions.
+UTF-16BE.
+
+Encryption (r13, sources/pdf_crypt.py): the standard security
+handler's EMPTY-user-password case — owner-locked files, the majority
+of wild "encrypted" PDFs — decrypts transparently (RC4-40/128 and
+AES-128, /V 1-4, pure stdlib); detection is scoped to the LAST
+trailer / xref-stream dict so stray '/Encrypt N G R' bytes in content
+never misfire.  Genuinely user-password-protected or
+unsupported-handler files are refused loudly — ok=false with
+``reason='encrypted'`` — and every failure carries a ``reason``
+('no objects', 'encrypted', 'parse error').  Remaining declared
+scope: no AES-256 (/V 5), no external CID-keyed CMap files (rare
+outside CJK print workflows).  The writer half emits spec-correct
+PDF 1.4 (xref table) AND PDF 1.5 (object streams + predictor-coded
+xref streams + ToUnicode CMaps + hex strings + the descendant-CMap
+Type0 variant), both optionally REALLY encrypted, so the reader is
+exercised against real structure, not against its own assumptions.
 """
 
 from __future__ import annotations
@@ -559,10 +566,21 @@ def extract_pdf_text(blob: bytes) -> dict:
     module contract is ok=false, never an exception, so one corrupt
     document can't fail a whole fleet task."""
     try:
-        if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", blob):
-            # declared scope: no decryption — degrade loudly, with the
-            # reason a curation pipeline can filter/report on
-            return _failure("encrypted")
+        from .pdf_crypt import decrypt_pdf, trailer_encrypt_ref
+
+        if trailer_encrypt_ref(blob) is not None:
+            # r13: the standard security handler's empty-USER-password
+            # case (owner-locked files — most wild "encrypted" PDFs)
+            # decrypts transparently: RC4-40/128 and AES-128, /V 1-4.
+            # Genuinely password-protected or unsupported handlers
+            # still degrade loudly with the reason a curation pipeline
+            # can filter/report on.  Detection is TRAILER-scoped (the
+            # LAST trailer/xref-stream dict decides), so '/Encrypt N
+            # G R' bytes inside an uncompressed content stream or a
+            # superseded incremental-update trailer no longer misfire.
+            blob = decrypt_pdf(blob)
+            if blob is None:
+                return _failure("encrypted")
         return _extract_pdf_text_unsafe(blob)
     except Exception:
         return _failure("parse error")
@@ -675,15 +693,24 @@ def write_pdf(
     path: str,
     pages: list[list[str]],
     compress: bool = False,
-    encrypt: bool = False,
+    encrypt: "bool | str" = False,
 ) -> None:
     """``pages`` = list of pages, each a list of text lines.  Every
     line becomes one Tj at its own Td position (alternate lines use a
-    TJ array split mid-line, exercising the array path).  ``encrypt``
-    adds a standard-security-handler /Encrypt dict to the trailer
-    (strings/streams are NOT actually RC4'd — the fixture only needs
-    the structure the reader must refuse, since decryption is out of
-    declared scope)."""
+    TJ array split mid-line, exercising the array path).
+
+    ``encrypt``:
+      * ``True`` — a structural /Encrypt dict with unverifiable zero
+        /O//U entries and no /ID: emulates a genuinely
+        password-protected file the reader must REFUSE (streams stay
+        plaintext; nothing can decrypt them legitimately);
+      * ``"rc4-40"`` / ``"rc4-128"`` / ``"aes-128"`` (r13) — REAL
+        standard-security-handler encryption with owner password
+        'owner' and an EMPTY user password (V1/R2, V2/R3,
+        V4/R4+AESV2): streams are actually enciphered with the
+        per-object key, /O//U computed per §7.6.3 Algorithms 3-5, a
+        deterministic /ID emitted — the empty-user-password shape the
+        reader decrypts transparently."""
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -742,11 +769,71 @@ def write_pdf(
         b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"
     )
     encrypt_id = None
-    if encrypt:
+    file_id = b""
+    if encrypt is True:
         encrypt_id = add(
             b"<< /Filter /Standard /V 1 /R 2 /O <"
             + b"00" * 32 + b"> /U <" + b"00" * 32 + b"> /P -44 >>"
         )
+    elif encrypt:
+        import hashlib
+
+        from .pdf_crypt import (
+            aes_cbc_encrypt,
+            compute_key,
+            make_owner_entry,
+            make_user_entry,
+            object_key,
+            rc4,
+        )
+
+        v, r, bits = {
+            "rc4-40": (1, 2, 40),
+            "rc4-128": (2, 3, 128),
+            "aes-128": (4, 4, 128),
+        }[encrypt]
+        nbytes, p = bits // 8, -44
+        id0 = hashlib.md5(b"fixture-id:" + encrypt.encode()).digest()
+        file_id = id0
+        o = make_owner_entry(b"owner", b"", r, nbytes)
+        key = compute_key(b"", o, p, id0, r, nbytes)
+        u = make_user_entry(key, id0, r)
+        extra = b" /Length " + str(bits).encode() if v >= 2 else b""
+        if v == 4:
+            extra += (
+                b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+            )
+        encrypt_id = add(
+            b"<< /Filter /Standard /V " + str(v).encode()
+            + b" /R " + str(r).encode() + extra
+            + b" /O <" + o.hex().encode()
+            + b"> /U <" + u.hex().encode()
+            + b"> /P " + str(p).encode() + b" >>"
+        )
+        stream_re = re.compile(rb"stream\n(.*?)\nendstream", re.S)
+        for idx in range(len(objects)):
+            num = idx + 1
+            if num == encrypt_id:
+                continue
+            m = stream_re.search(objects[idx])
+            if not m:
+                continue
+            ok = object_key(key, num, 0, v == 4)
+            if v == 4:
+                iv = hashlib.md5(b"iv:%d" % num).digest()
+                enc = aes_cbc_encrypt(ok, m.group(1), iv)
+            else:
+                enc = rc4(ok, m.group(1))
+            body = (
+                objects[idx][: m.start(1)] + enc + objects[idx][m.end(1):]
+            )
+            objects[idx] = re.sub(
+                rb"/Length\s+\d+",
+                b"/Length " + str(len(enc)).encode(),
+                body,
+                count=1,
+            )
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for num, body in enumerate(objects, start=1):
@@ -762,6 +849,9 @@ def write_pdf(
         if encrypt_id is not None
         else b""
     )
+    if file_id:
+        h = file_id.hex().encode()
+        enc += b" /ID [<" + h + b"> <" + h + b">]"
     out += (
         b"trailer\n<< /Size " + str(len(objects) + 1).encode()
         + b" /Root " + str(catalog).encode() + b" 0 R" + enc
@@ -825,6 +915,7 @@ def write_pdf_15(
     pages: list[list[str]],
     font_kind: str = "cmap",
     predictor: bool = True,
+    encrypt: str | None = None,
 ) -> None:
     """Emit a PDF 1.5 file: catalog/pages/page/font dicts inside an
     OBJECT STREAM, content (+CMap) streams top-level, and a
@@ -838,15 +929,44 @@ def write_pdf_15(
     hangs off the DESCENDANT CIDFontType2 dict (the wild-writer
     variant the reader resolves through /DescendantFonts).
     ``"winansi"`` — a simple font with /Encoding /WinAnsiEncoding;
-    content uses literal strings (cp1252 bytes, so é/€ round-trip)."""
+    content uses literal strings (cp1252 bytes, so é/€ round-trip).
+
+    ``encrypt="rc4-128"`` (r13): real V2/R3 standard-security-handler
+    encryption, owner password 'owner', EMPTY user password — every
+    top-level stream and the object-stream payload are RC4'd with
+    per-object keys (the xref stream stays clear per spec); RC4
+    preserves byte length, so the xref stream's offsets remain exact
+    over the encrypted bytes."""
+    import hashlib as _hashlib
+
+    from .pdf_crypt import (
+        compute_key as _ck,
+        make_owner_entry as _moe,
+        make_user_entry as _mue,
+        object_key as _okey,
+        rc4 as _rc4,
+    )
+
+    enc_key = enc_id0 = enc_o = enc_u = None
+    if encrypt is not None:
+        if encrypt != "rc4-128":
+            raise ValueError("write_pdf_15 supports encrypt='rc4-128'")
+        enc_id0 = _hashlib.md5(b"fixture15-id").digest()
+        enc_o = _moe(b"owner", b"", 3, 16)
+        enc_key = _ck(b"", enc_o, -44, enc_id0, 3, 16)
+        enc_u = _mue(enc_key, enc_id0, 3)
+
     streams: list[bytes] = []  # top-level stream objects, in order
 
     def add_stream(head: bytes, payload: bytes) -> int:
+        num = len(streams) + 1  # object numbers 1..len(streams)
+        if enc_key is not None:
+            payload = _rc4(_okey(enc_key, num, 0, False), payload)
         streams.append(
             head[:-2].rstrip() + b" /Length " + str(len(payload)).encode()
             + b" >>\nstream\n" + payload + b"\nendstream"
         )
-        return len(streams)  # object numbers 1..len(streams)
+        return num
 
     content_nums = []
     for lines in pages:
@@ -884,7 +1004,10 @@ def write_pdf_15(
         cmap_num = add_stream(b"<< >>", _tounicode_cmap())
 
     # dict objects live in the object stream; number them after streams
-    objstm_num = len(streams) + 1
+    # (the /Encrypt dict may not live in an object stream, so it takes
+    # the first top-level slot when encryption is on)
+    encrypt_num = len(streams) + 1 if enc_key is not None else None
+    objstm_num = len(streams) + (2 if enc_key is not None else 1)
     xref_num = objstm_num + 1
     first_dict = xref_num + 1
     font_num = first_dict
@@ -953,6 +1076,10 @@ def write_pdf_15(
         b"%d %d" % (num, off) for num, off in pairs
     ) + b"\n"
     objstm_payload = zlib.compress(header + bodies)
+    if enc_key is not None:
+        objstm_payload = _rc4(
+            _okey(enc_key, objstm_num, 0, False), objstm_payload
+        )
     objstm_head = (
         b"<< /Type /ObjStm /N " + str(len(dict_objs)).encode()
         + b" /First " + str(len(header)).encode()
@@ -965,6 +1092,15 @@ def write_pdf_15(
     for num, body in enumerate(streams, start=1):
         offsets[num] = len(out)
         out += str(num).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    if encrypt_num is not None:
+        offsets[encrypt_num] = len(out)
+        out += (
+            str(encrypt_num).encode()
+            + b" 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128"
+            + b" /O <" + enc_o.hex().encode()
+            + b"> /U <" + enc_u.hex().encode()
+            + b"> /P -44 >>\nendobj\n"
+        )
     offsets[objstm_num] = len(out)
     out += (
         str(objstm_num).encode() + b" 0 obj\n" + objstm_head
@@ -1000,11 +1136,19 @@ def write_pdf_15(
             prev = row
         raw = bytes(pred)
         parms = b" /DecodeParms << /Predictor 12 /Columns 5 >>"
-    xref_payload = zlib.compress(raw)
+    xref_payload = zlib.compress(raw)  # the xref stream is never encrypted
+    enc_trailer = b""
+    if encrypt_num is not None:
+        h = enc_id0.hex().encode()
+        enc_trailer = (
+            b" /Encrypt " + str(encrypt_num).encode()
+            + b" 0 R /ID [<" + h + b"> <" + h + b">]"
+        )
     out += (
         str(xref_num).encode() + b" 0 obj\n<< /Type /XRef /Size "
         + str(size).encode() + b" /W [1 2 2] /Root "
-        + str(catalog_num).encode() + b" 0 R /Filter /FlateDecode"
+        + str(catalog_num).encode() + b" 0 R" + enc_trailer
+        + b" /Filter /FlateDecode"
         + parms + b" /Length " + str(len(xref_payload)).encode()
         + b" >>\nstream\n" + xref_payload + b"\nendstream\nendobj\n"
     )

@@ -1,0 +1,585 @@
+"""PDF standard security handler (PDF 32000-1 §7.6.3): decrypt the
+empty-USER-password files that make up most wild "encrypted" PDFs —
+owner-password-only documents whose strings/streams are RC4-40/128 or
+AES-128 encrypted but which every real extraction stack (pdfminer,
+MuPDF) opens silently.  Genuinely user-password-protected files still
+refuse with ``reason='encrypted'`` (sources/pdf.py keeps that floor).
+
+Covered: ``/Filter /Standard`` with ``/V 1`` (RC4-40), ``/V 2``
+(RC4 keyed by ``/Length``), ``/V 4`` with crypt filters ``/AESV2``
+(AES-128-CBC, 16-byte IV prefix, PKCS#7), ``/V2`` (RC4) or
+``/Identity``; revisions ``/R 2-4``.  V5/R6 (AES-256) is out of
+scope and refuses.
+
+Everything is stdlib: RC4 is ~10 lines; AES-128 is implemented from
+FIPS-197 with its tables GENERATED (GF(2^8) exp/log + the affine
+transform) rather than transcribed, and pinned against the FIPS-197
+appendix-C vector in tests.  Per-file cost is two MD5 passes plus a
+cipher pass over the text streams — executor-side, inside the same
+mapInPandas task that parses the document (the file stays the unit of
+parallelism; reference scope: scrape_newest_baci_data.R:35 keeps
+``\\.(zip|pdf)$``, so PDFs are a first-class download format).
+
+Detection is TRAILER-SCOPED: a file is treated as encrypted only when
+the LAST trailer candidate (text after a ``trailer`` keyword, or an
+xref-STREAM dict) carries ``/Encrypt`` — a stray ``/Encrypt N G R``
+inside an uncompressed content stream, or a superseded trailer from
+an incremental update that removed encryption, no longer misfires.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+# --------------------------------------------------------------------------
+# RC4.
+# --------------------------------------------------------------------------
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# AES-128 (FIPS-197), tables generated not transcribed.
+# --------------------------------------------------------------------------
+
+_EXP = [0] * 510
+_LOG = [0] * 256
+_x = 1
+for _i in range(255):
+    _EXP[_i] = _x
+    _LOG[_x] = _i
+    _x ^= ((_x << 1) ^ (0x1B if _x & 0x80 else 0)) & 0xFF
+for _i in range(255, 510):
+    _EXP[_i] = _EXP[_i - 255]
+
+
+def _gmul(a: int, b: int) -> int:
+    if a == 0 or b == 0:
+        return 0
+    return _EXP[_LOG[a] + _LOG[b]]
+
+
+def _make_sbox() -> tuple[list[int], list[int]]:
+    sbox = [0] * 256
+    for a in range(256):
+        inv = 0 if a == 0 else _EXP[255 - _LOG[a]]
+        b, r = inv, inv
+        for _ in range(4):
+            b = ((b << 1) | (b >> 7)) & 0xFF
+            r ^= b
+        sbox[a] = r ^ 0x63
+    inv_sbox = [0] * 256
+    for i, v in enumerate(sbox):
+        inv_sbox[v] = i
+    return sbox, inv_sbox
+
+
+_SBOX, _INV_SBOX = _make_sbox()
+_RCON = [1]
+for _i in range(9):
+    _RCON.append(_gmul(_RCON[-1], 2))
+
+
+def _expand_key(key: bytes) -> list[bytes]:
+    """AES-128 → 11 round keys, each 16 bytes in state order
+    (flat index 4*col + row, i.e. the input byte order)."""
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = [_SBOX[b] for b in t]
+            t[0] ^= _RCON[i // 4 - 1]
+        w.append([w[i - 4][k] ^ t[k] for k in range(4)])
+    return [
+        bytes(b for c in range(4) for b in w[4 * r + c])
+        for r in range(11)
+    ]
+
+
+def _shift_rows(s: bytearray, inverse: bool) -> bytearray:
+    out = bytearray(16)
+    for r in range(4):
+        for c in range(4):
+            src = (c + r) % 4 if not inverse else (c - r) % 4
+            out[4 * c + r] = s[4 * src + r]
+    return out
+
+
+def _mix_columns(s: bytearray, inverse: bool) -> bytearray:
+    m = (
+        (0x0E, 0x0B, 0x0D, 0x09) if inverse else (0x02, 0x03, 0x01, 0x01)
+    )
+    out = bytearray(16)
+    for c in range(4):
+        col = s[4 * c : 4 * c + 4]
+        for r in range(4):
+            out[4 * c + r] = (
+                _gmul(m[(0 - r) % 4], col[0])
+                ^ _gmul(m[(1 - r) % 4], col[1])
+                ^ _gmul(m[(2 - r) % 4], col[2])
+                ^ _gmul(m[(3 - r) % 4], col[3])
+            )
+    return out
+
+
+def aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
+    rks = _expand_key(key)
+    s = bytearray(x ^ k for x, k in zip(block, rks[0]))
+    for rnd in range(1, 10):
+        s = bytearray(_SBOX[b] for b in s)
+        s = _shift_rows(s, inverse=False)
+        s = _mix_columns(s, inverse=False)
+        s = bytearray(x ^ k for x, k in zip(s, rks[rnd]))
+    s = bytearray(_SBOX[b] for b in s)
+    s = _shift_rows(s, inverse=False)
+    return bytes(x ^ k for x, k in zip(s, rks[10]))
+
+
+def aes128_decrypt_block(key: bytes, block: bytes) -> bytes:
+    rks = _expand_key(key)
+    s = bytearray(x ^ k for x, k in zip(block, rks[10]))
+    for rnd in range(9, 0, -1):
+        s = _shift_rows(s, inverse=True)
+        s = bytearray(_INV_SBOX[b] for b in s)
+        s = bytearray(x ^ k for x, k in zip(s, rks[rnd]))
+        s = _mix_columns(s, inverse=True)
+    s = _shift_rows(s, inverse=True)
+    s = bytearray(_INV_SBOX[b] for b in s)
+    return bytes(x ^ k for x, k in zip(s, rks[0]))
+
+
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
+    """AESV2 stream layout: 16-byte IV || ciphertext, PKCS#7 padded.
+    None on malformed length/padding (tolerance, not exceptions)."""
+    if len(data) < 32 or len(data) % 16:
+        return None
+    iv, ct = data[:16], data[16:]
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(ct), 16):
+        blk = ct[i : i + 16]
+        out += bytes(
+            a ^ b for a, b in zip(aes128_decrypt_block(key, blk), prev)
+        )
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+        return None
+    return bytes(out[:-pad])
+
+
+def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = aes128_encrypt_block(key, blk)
+        out += prev
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Standard security handler key derivation (PDF 32000-1 §7.6.3).
+# --------------------------------------------------------------------------
+
+PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _pad_password(pw: bytes) -> bytes:
+    return (pw + PAD)[:32]
+
+
+def compute_key(
+    password: bytes,
+    o: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    nbytes: int,
+    encrypt_metadata: bool = True,
+) -> bytes:
+    """Algorithm 2: the file encryption key from a (user) password."""
+    h = hashlib.md5(
+        _pad_password(password)
+        + o[:32]
+        + struct.pack("<i", p)
+        + id0
+        + (
+            b"\xff\xff\xff\xff"
+            if r >= 4 and not encrypt_metadata
+            else b""
+        )
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:nbytes]).digest()
+    return h[:nbytes]
+
+
+def make_owner_entry(
+    owner_pw: bytes, user_pw: bytes, r: int, nbytes: int
+) -> bytes:
+    """Algorithm 3: the /O entry (what the fixture writer computes
+    and real writers store)."""
+    h = hashlib.md5(_pad_password(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:nbytes]
+    o = rc4(key, _pad_password(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def make_user_entry(key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / Algorithm 5 (R>=3): the /U entry."""
+    if r == 2:
+        return rc4(key, PAD)
+    x = hashlib.md5(PAD + id0).digest()
+    x = rc4(key, x)
+    for i in range(1, 20):
+        x = rc4(bytes(b ^ i for b in key), x)
+    return x + b"\x00" * 16
+
+
+def verify_user_password(
+    key: bytes, u: bytes, id0: bytes, r: int
+) -> bool:
+    """Algorithm 6: does ``key`` (derived from a candidate user
+    password) reproduce the stored /U?"""
+    want = make_user_entry(key, id0, r)
+    n = 32 if r == 2 else 16
+    return want[:n] == u[:n]
+
+
+def object_key(key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    """Algorithm 1: the per-object key (object/generation salt, plus
+    the AESV2 'sAlT' marker)."""
+    ext = num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    if aes:
+        ext += b"sAlT"
+    return hashlib.md5(key + ext).digest()[: min(len(key) + 5, 16)]
+
+
+# --------------------------------------------------------------------------
+# Encrypt-dict discovery (trailer-scoped) and parsing.
+# --------------------------------------------------------------------------
+
+_TRAILER_RE = re.compile(rb"trailer\b")
+_XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef")
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
+
+
+def trailer_encrypt_ref(blob: bytes) -> tuple[int, int] | None:
+    """(objnum, gen) of the /Encrypt dict, decided from the LAST
+    trailer candidate in the file — a ``trailer`` keyword's dict or an
+    xref-stream dict.  A candidate without /Encrypt overrides earlier
+    ones (an incremental update that REMOVED encryption wins), and
+    /Encrypt text anywhere else in the byte stream is ignored."""
+    candidates: list[tuple[int, bytes]] = []
+    for m in _TRAILER_RE.finditer(blob):
+        candidates.append((m.start(), blob[m.end() : m.end() + 2048]))
+    for m in _XREF_TYPE_RE.finditer(blob):
+        # the xref STREAM's dict doubles as the trailer: take from the
+        # nearest object header before this /Type up to its stream
+        # keyword (matching forward from headers would let an earlier
+        # overlapping match swallow the real one)
+        h = blob.rfind(b"obj", 0, m.start())
+        if h < 0:
+            continue
+        seg = blob[h : h + 2048]
+        end = seg.find(b"stream")
+        candidates.append((h, seg[: end if end > 0 else None]))
+    if not candidates:
+        return None
+    _, seg = max(candidates, key=lambda c: c[0])
+    em = _ENCRYPT_REF_RE.search(seg)
+    if not em:
+        return None
+    return int(em.group(1)), int(em.group(2))
+
+
+def _file_id0(blob: bytes) -> bytes:
+    """First element of the trailer /ID array (hex string form);
+    b'' when absent (some writers omit it — key derivation still
+    proceeds, matching pdfminer's tolerance)."""
+    m = None
+    for m in re.finditer(
+        rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>\s*<[0-9A-Fa-f]*>\s*\]", blob
+    ):
+        pass  # keep the last
+    if m is None:
+        return b""
+    h = m.group(1)
+    if len(h) % 2:
+        h = h[:-1]
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def _dict_string(body: bytes, key: bytes) -> bytes | None:
+    """A hex <...> or literal (...) string value for ``key`` in a
+    flat dict body (the /O and /U entries)."""
+    m = re.search(key + rb"\s*<([0-9A-Fa-f\s]*)>", body)
+    if m:
+        h = re.sub(rb"\s", b"", m.group(1))
+        if len(h) % 2:
+            h = h[:-1]
+        return bytes.fromhex(h.decode("ascii"))
+    m = re.search(key + rb"\s*\(((?:[^()\\]|\\.)*)\)", body, re.S)
+    if m:
+        from .pdf import _unescape_pdf_string
+
+        return _unescape_pdf_string(m.group(1))
+    return None
+
+
+def parse_encrypt(blob: bytes) -> dict | None:
+    """The resolved standard-security-handler parameters, or None if
+    the file is not encrypted.  Raises nothing; unsupported handlers
+    return ``{"supported": False}`` so the caller refuses loudly."""
+    ref = trailer_encrypt_ref(blob)
+    if ref is None:
+        return None
+    num, gen = ref
+    m = re.search(
+        rb"(?<!\d)" + str(num).encode() + rb"\s+" + str(gen).encode()
+        + rb"\s+obj\b(.*?)endobj",
+        blob,
+        re.S,
+    )
+    if not m:
+        return {"supported": False}
+    body = m.group(1)
+    if b"/Standard" not in body:
+        return {"supported": False}
+
+    def _int(key: bytes, default: int | None = None) -> int | None:
+        im = re.search(key + rb"\s+(-?\d+)", body)
+        return int(im.group(1)) if im else default
+
+    v = _int(rb"/V", 0)
+    r = _int(rb"/R", 2)
+    p = _int(rb"/P", -1)
+    length = _int(rb"/Length", 40)
+    o = _dict_string(body, rb"/O")
+    u = _dict_string(body, rb"/U")
+    if v not in (1, 2, 4) or r not in (2, 3, 4) or not o or not u:
+        return {"supported": False}
+    cfm = b"V2"  # RC4 unless a V4 crypt filter says otherwise
+    if v == 4:
+        cm = re.search(rb"/CFM\s*/(\w+)", body)
+        cfm = cm.group(1) if cm else b"Identity"
+        if cfm not in (b"V2", b"AESV2", b"Identity"):
+            return {"supported": False}
+    em = re.search(rb"/EncryptMetadata\s+(true|false)", body)
+    return {
+        "supported": True,
+        "num": num,
+        "v": v,
+        "r": r,
+        "p": p,
+        "nbytes": (length // 8) if v >= 2 else 5,
+        "o": o,
+        "u": u,
+        "aes": cfm == b"AESV2",
+        "identity": v == 4 and cfm == b"Identity",
+        "encrypt_metadata": not (em and em.group(1) == b"false"),
+        "id0": _file_id0(blob),
+    }
+
+
+# --------------------------------------------------------------------------
+# Whole-file decryption (empty user password).
+# --------------------------------------------------------------------------
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STR_OR_HEX_RE = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)|(?<![<])<[0-9A-Fa-f\s]+>(?!>)"
+)
+
+
+def _escape_literal(raw: bytes) -> bytes:
+    return (
+        raw.replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+        .replace(b"\r", b"\\r")
+        .replace(b"\n", b"\\n")
+    )
+
+
+def decrypt_bytes(info: dict, key: bytes, num: int, gen: int,
+                  data: bytes) -> bytes | None:
+    if info["identity"]:
+        return data
+    ok = object_key(key, num, gen, info["aes"])
+    if info["aes"]:
+        return aes_cbc_decrypt(ok, data)
+    return rc4(ok, data)
+
+
+def _transform_strings(
+    info: dict, key: bytes, num: int, gen: int, chunk: bytes
+) -> bytes:
+    """Decrypt every string token in a NON-stream chunk of an object
+    body (hex and literal forms), re-emitting literals escaped."""
+    from .pdf import _unescape_pdf_string
+
+    def repl(m: re.Match) -> bytes:
+        tok = m.group(0)
+        if tok.startswith(b"("):
+            raw = _unescape_pdf_string(tok[1:-1])
+        else:
+            h = re.sub(rb"\s", b"", tok[1:-1])
+            if len(h) % 2:
+                h = h[:-1]
+            raw = bytes.fromhex(h.decode("ascii"))
+        dec = decrypt_bytes(info, key, num, gen, raw)
+        if dec is None:
+            return tok
+        return b"(" + _escape_literal(dec) + b")"
+
+    return _STR_OR_HEX_RE.sub(repl, chunk)
+
+
+def decrypt_pdf(blob: bytes) -> bytes | None:
+    """Rewrite ``blob`` with every string and stream decrypted using
+    the EMPTY user password, or None when the file needs a real
+    password (or an unsupported handler): the caller then refuses
+    with reason='encrypted'.  The /Encrypt object and xref/metadata
+    streams are left untouched (xref streams are never encrypted);
+    RC4 preserves every byte offset, so 1.5 xref tables stay exact,
+    while AES splices re-state /Length (the tolerant scan path
+    carries those classics)."""
+    info = parse_encrypt(blob)
+    if info is None or not info.get("supported"):
+        return None
+    key = compute_key(
+        b"", info["o"], info["p"], info["id0"], info["r"],
+        info["nbytes"], info["encrypt_metadata"],
+    )
+    if not verify_user_password(key, info["u"], info["id0"], info["r"]):
+        return None  # a real (non-empty) user password
+    out = bytearray()
+    pos = 0
+    while True:
+        hm = _OBJ_HEAD_RE.search(blob, pos)
+        if not hm:
+            out += blob[pos:]
+            break
+        out += blob[pos : hm.end()]
+        num, gen = int(hm.group(1)), int(hm.group(2))
+        body_start = hm.end()
+        # /Length-verified stream skip (an encrypted payload is
+        # pseudo-random and can contain 'endobj' bytes)
+        sm = re.compile(rb"stream\r?\n").search(blob, body_start)
+        em = blob.find(b"endobj", body_start)
+        stream_span = None
+        if sm and (em < 0 or sm.start() < em):
+            head = blob[body_start : sm.start()]
+            lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+            if lm:
+                dend = sm.end() + int(lm.group(1))
+                tail = blob[dend : dend + 20]
+                if tail.lstrip().startswith(b"endstream"):
+                    stream_span = (sm.end(), dend)
+                    em = blob.find(b"endobj", dend)
+            if stream_span is None:
+                es = blob.find(b"endstream", sm.end())
+                if es >= 0:
+                    stream_span = (sm.end(), es)
+                    em = blob.find(b"endobj", es)
+        if em < 0:
+            out += blob[body_start:]
+            break
+        body = blob[body_start:em]
+        head_for_type = body[: body.find(b"stream") if b"stream" in body
+                             else len(body)]
+        skip = (
+            num == info["num"]
+            or b"/XRef" in head_for_type
+            or (
+                not info["encrypt_metadata"]
+                and b"/Metadata" in head_for_type
+            )
+        )
+        if skip or stream_span is None:
+            if skip:
+                out += body
+            else:
+                # dict-only object: decrypt its strings
+                out += _transform_strings(info, key, num, gen, body)
+            out += blob[em : em + 6]
+            pos = em + 6
+            continue
+        s0, s1 = stream_span
+        skw = blob.rfind(b"stream", body_start, s0)
+        head = blob[body_start:skw]
+        payload = blob[s0:s1]
+        if b"/Length" not in head:
+            payload = payload.rstrip(b"\r\n")
+        dec = decrypt_bytes(info, key, num, gen, payload)
+        if dec is None:
+            dec = payload  # malformed padding: leave as-is
+        new_head = _transform_strings(info, key, num, gen, head)
+        if len(dec) != len(payload):
+            new_head = re.sub(
+                rb"/Length\s+\d+(?!\s+\d+\s+R)",
+                b"/Length " + str(len(dec)).encode(),
+                new_head,
+                count=1,
+            )
+        # everything between the original endstream keyword and endobj
+        # (usually just whitespace) carries over verbatim
+        es_kw = blob.find(b"endstream", s1)
+        tail_from = (
+            es_kw + len(b"endstream") if 0 <= es_kw < em else s1
+        )
+        out += new_head + b"stream\n" + dec + b"\nendstream"
+        out += blob[tail_from : em + 6]
+        pos = em + 6
+    return bytes(out)
+
+
+__all__ = [
+    "rc4",
+    "aes128_encrypt_block",
+    "aes128_decrypt_block",
+    "aes_cbc_decrypt",
+    "aes_cbc_encrypt",
+    "PAD",
+    "compute_key",
+    "make_owner_entry",
+    "make_user_entry",
+    "verify_user_password",
+    "object_key",
+    "trailer_encrypt_ref",
+    "parse_encrypt",
+    "decrypt_pdf",
+]

@@ -1590,6 +1590,85 @@ def test_versioned_manifest_checkpoint(spark, tmp_path):
         .first().v == 99
 
 
+def test_pdf_empty_user_password_decryption(tmp_path):
+    """r13 (VERDICT r12 ask 4): the standard security handler's
+    empty-USER-password case decrypts transparently — RC4-40 (V1/R2),
+    RC4-128 (V2/R3, Flate under the cipher), AES-128-CBC (V4/R4
+    AESV2) on classic files, and RC4-128 over the full PDF-1.5 shape
+    (encrypted ObjStm + content streams, clear xref stream).  AES
+    primitives are pinned to the FIPS-197 appendix-C vector; a real
+    user password still refuses; /Encrypt text outside the trailer no
+    longer misfires (ADVICE r12), and the LAST trailer decides."""
+    from artis_data_ingest_spark.sources.pdf import (
+        extract_pdf_text,
+        write_pdf,
+        write_pdf_15,
+    )
+    from artis_data_ingest_spark.sources.pdf_crypt import (
+        aes128_encrypt_block,
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+        rc4,
+        trailer_encrypt_ref,
+    )
+
+    # primitive pins
+    key = bytes(range(16))
+    ct = aes128_encrypt_block(
+        key, bytes.fromhex("00112233445566778899aabbccddeeff")
+    )
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"  # FIPS-197 C.1
+    assert rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    msg = b"x" * 33
+    assert aes_cbc_decrypt(key, aes_cbc_encrypt(key, msg, bytes(16))) == msg
+
+    # classic files, all three handlers
+    for mode in ("rc4-40", "rc4-128", "aes-128"):
+        p = str(tmp_path / f"{mode}.pdf")
+        write_pdf(
+            p, [["locked line one", "owner only"], ["page two 9"]],
+            compress=(mode == "rc4-128"), encrypt=mode,
+        )
+        m = extract_pdf_text(open(p, "rb").read())
+        assert m["ok"] and m["reason"] == "", mode
+        assert m["text"] == "locked line one\nowner only\npage two 9"
+        assert m["n_pages"] == 2 and m["n_text_ops"] == 3
+
+    # PDF 1.5: encrypted ObjStm + streams, xref stream clear
+    p15 = str(tmp_path / "m15.pdf")
+    write_pdf_15(
+        p15, [["hello 42", "abc xyz"], ["page two 9"]],
+        font_kind="cid", encrypt="rc4-128",
+    )
+    m = extract_pdf_text(open(p15, "rb").read())
+    assert m["ok"] and m["text"] == "hello 42\nabc xyz\npage two 9"
+
+    # a REAL user password (unverifiable /U) still refuses
+    locked = str(tmp_path / "locked.pdf")
+    write_pdf(locked, [["secret"]], encrypt=True)
+    m = extract_pdf_text(open(locked, "rb").read())
+    assert not m["ok"] and m["reason"] == "encrypted"
+
+    # trailer scoping: '/Encrypt 5 0 R' PROSE in an uncompressed
+    # content stream is not a trailer entry
+    stray = str(tmp_path / "stray.pdf")
+    write_pdf(stray, [["cites /Encrypt 5 0 R in prose"]])
+    blob = open(stray, "rb").read()
+    assert trailer_encrypt_ref(blob) is None
+    m = extract_pdf_text(blob)
+    assert m["ok"] and "prose" in m["text"]
+
+    # the LAST trailer wins: an incremental update that dropped
+    # /Encrypt supersedes the stale encrypted trailer
+    enc_blob = open(locked, "rb").read()
+    assert trailer_encrypt_ref(enc_blob) is not None
+    appended = enc_blob + (
+        b"\ntrailer\n<< /Size 7 /Root 5 0 R /Prev 1 >>\n"
+        b"startxref\n0\n%%EOF\n"
+    )
+    assert trailer_encrypt_ref(appended) is None
+
+
 def test_pdf_type0_cid_descendant_and_encrypted(tmp_path):
     """r12: Type0/Identity-H fonts resolve the /ToUnicode CMap through
     /DescendantFonts when it hangs off the CIDFont (wild-writer

@@ -113,6 +113,14 @@ def pdf_fixture_set() -> dict[str, tuple[list[list[str]], bool] | bytes]:
     # r12: an /Encrypt-bearing file — the reader must refuse with
     # reason='encrypted' (decryption is out of declared scope)
     out["locked.pdf"] = ([["secret line"]], False, True)
+    # r13: REAL empty-user-password encryption the reader decrypts —
+    # RC4-40 raw and AES-128-CBC over a Flate stream
+    out["secure-rc4.pdf"] = (
+        [["secure rc4 forty", "still owner locked"]], False, "rc4-40",
+    )
+    out["secure-aes.pdf"] = (
+        [["secure aes line", "with padding blocks"]], True, "aes-128",
+    )
     return out
 
 
@@ -142,6 +150,13 @@ def pdf15_fixture_set() -> dict[str, tuple | bytes]:
         kinds = {2: "winansi", 3: "cid"}
         out[f"modern-{i}.pdf"] = (pages, kinds.get(i, "cmap"), i != 1)
     out["modern-broken.pdf"] = b"%PDF-1.5 garbage with no object at all"
+    # r13: RC4-128 (V2/R3) empty-user-password encryption over the
+    # full 1.5 shape — ObjStm payload and content/CMap streams RC4'd
+    # per object, the xref stream clear, offsets byte-exact
+    out["modern-rc4.pdf"] = (
+        [["rc4 page one a", "owner only b"], ["rc4 page two c"]],
+        "cmap", True, "rc4-128",
+    )
     return out
 
 
@@ -174,15 +189,16 @@ def main(check_only: bool) -> int:
                 else:
                     write_docx(tmp, spec)
             elif os.sep + "pdf15" + os.sep in target:
-                pages, font_kind, predictor = spec
+                pages, font_kind, predictor, *enc = spec
                 write_pdf_15(
-                    tmp, pages, font_kind=font_kind, predictor=predictor
+                    tmp, pages, font_kind=font_kind, predictor=predictor,
+                    encrypt=enc[0] if enc else None,
                 )
             else:
                 pages, compress, *enc = spec
                 write_pdf(
                     tmp, pages, compress=compress,
-                    encrypt=bool(enc and enc[0]),
+                    encrypt=enc[0] if enc else False,
                 )
             with open(tmp, "rb") as f:
                 fresh = f.read()

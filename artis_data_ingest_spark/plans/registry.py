@@ -36,102 +36,81 @@ _REGISTRY: dict[str, Query] = {}
 # (closing the round-7 verdict's freshness ledger), then (d) the
 # weakest-covered r5 names up to the budget.
 _PRIORITY: list[str] = [
-    # (r12) new lakehouse queries — need a FIRST driver verdict (the
-    # driver's 50-slot sample had been frozen on the list below since
-    # r8, so these lead; three long-green r4-stale names rotate out at
-    # the tail to hold the 52-slot budget)
-    "q_time_travel_ts",
-    "q_version_restore",
-    "q_version_optimize",
-    "q_version_source",
-    # (a) new in round 8 — need a first driver verdict.  Everything
-    # registered after the budget filled (q_ewma_decay, q_score_auc,
-    # q_weighted_sample, q_robots_policy, q_sitemap_urls,
-    # q_bmp_features, q_nb_classifier, q_span_corruption, q_kcore,
-    # q_holt_forecast, q_image_dhash, q_bigram_ppl_buckets,
-    # q_group_kfold, q_minhash_recall_eval, q_tokenizer_fertility,
-    # q_pmi_collocations, q_vocab_growth, q_source_overlap,
-    # q_cdc_chunks, q_trimmed_mean, q_webgraph_rank, and the late
-    # additions q_hrw_reshard, q_bloom_membership, q_exact_quantiles,
-    # q_mlm_mask, q_unigram_segment, q_soundex_blocking,
-    # q_hll_incremental, q_longest_repeat, q_char_entropy,
-    # q_fd_discovery, q_seasonal_decompose, q_global_rank,
-    # q_label_spread, q_cross_doc_repeat, q_decontam_scrub,
-    # q_merkle_manifest, q_manifest_diff, q_manifest_incremental,
-    # q_retrieval_metrics, q_theil_sen, q_unigram_apply,
-    # q_pagerank_resume, q_sorted_neighborhood, q_lm_greedy_decode,
-    # q_exif_metadata, q_exif_normalize, q_fwf_ingest,
-    # q_pareto_skyline, q_global_skyline, q_shortest_paths,
-    # q_cms_incremental) is NOT
-    # front-loaded — the r4-stale block takes
-    # precedence per the r7 verdict; those names lead the round-9
-    # rotation instead (every one is local-gate green at sf0.01, see
-    # the full check_oracle runs recorded in round 8).
-    "q_substring_dedup",
-    "q_dsir_weights",
-    "q_semantic_contamination",
-    "q_jsonl_zst_ingest",
-    "q_lm_perplexity_buckets",
-    "q_bpe_pack",
-    "q_semantic_dedup",
-    "q_warc_roundtrip",
-    "q_ppjoin_neardup",
-    "q_triangle_count",
-    "q_url_canonicalize",
-    "q_mojibake_repair",
-    "q_html_main_content",
-    "q_collapse_repeats",
-    "q_hard_negatives",
-    "q_curriculum_pack",
-    "q_gif_features",
-    "q_gif_frames",
-    # (b) implementation touched in round 8 — re-verify even though
-    # results are value-identical by design (4:2:0 codec + color
-    # fixture mix; exact shard floor-div; CC NULL-sum fallback)
-    "q_jpeg_features",  # impl + fixture mix changed again (progressive shards)
-    "q_webdataset_roundtrip",
-    "q_wds_multimodal",
-    "q_dup_clusters",
-    # (c) the r4-stale block — the round-7 verdict's only remaining
-    # freshness gap.  Four deliberate exceptions to "the ENTIRE block",
-    # all names benched at sf0.1 every round (the strongest alternate
-    # coverage in the set): q_topk_window, q1_pricing_summary,
-    # q_text_stats, q_dedup_exact stay deferred because round 8 added
-    # 18 new queries that need first verdicts within the same ~50-slot
-    # budget; they rotate first in round 9.
-    "q3_shipping_priority",
-    "q5_revenue_by_region",
-    "q6_forecast_revenue",
-    "q_argminmax",
-    "q_asof_forward",
-    "q_corpus_pipeline",
-    "q_cube",
-    "q_excel_fleet",
-    "q_file_sizes",
-    "q_fingerprint",
-    "q_fuzzy_match",
-    "q_grouped_agg",
-    "q_grouping_sets",
-    "q_json_extract",
-    "q_json_struct",
-    "q_lang_stats",
-    "q_langid_confusion",
-    "q_monthly_orders",
-    "q_moving_avg",
-    "q_ngram_jaccard",
-    "q_percentiles",
-    "q_quality_score",
-    "q_rank_family",
-    "q_rollup",
-    "q_salted_agg",
-    "q_token_freq",
-    # q_schema_diff_flat, q_try_cast, q_union_evolved, q_unpivot
-    # rotated out in r12 (driver-green every round r8-r11 via the
-    # frozen sample — the freshest verdicts in the whole set) to make
-    # room for the four r12 queries
-    # (d) oldest r5 names with the least other coverage fill the
-    # remaining budget; the rest of the r5 block rotates in round 9
-    # (52-slot budget enforced by test_priority_queries_yield_first)
+    # ---- round-13 rotation (VERDICT r12 task 7: keep the rotation
+    # going; front-load the r13 additions plus the oldest-verdict
+    # block, with >=10 names absent from CORRECTNESS_r8-r12).  The
+    # whole r12 head rotates OUT (every name in it got a fresh green
+    # driver verdict in CORRECTNESS_r12); 40 of the 52 names below
+    # have NEVER been driver-sampled since r8 — the sample was frozen
+    # r8-r11, so most of the registry's verdicts date to r7 or
+    # earlier.  All 52 are local-gate green at sf0.01 this round.
+    #
+    # (a) new in r13 / implementation or fixtures touched in r13
+    "q_version_checkpoint",   # new: manifest-log checkpointing
+    "q_pdf_ingest",           # + secure-rc4/secure-aes decryption fixtures
+    "q_pdf_modern",           # + modern-rc4 (encrypted 1.5) fixture
+    "q_docx_ingest",          # + notes.docx (endnotes, nested text box)
+    "q_feed_driven_dedup",    # persisted band index
+    "q_version_source",       # Arrow-batch DataSource reads
+    "q_version_optimize",     # appends now inherit layout props
+    "q_version_zorder",       # zvalue -> zvalue_n delegation
+    "q_time_travel",          # version walks via checkpoint summaries
+    "q_change_feed",          # earliest_feed_version via summaries
+    "q_feed_driven_index",
+    "q_agg_delta_update",
+    # (b) r11/r12 queries that never received a driver verdict (the
+    # r12 head took the four newest; these waited)
+    "q_version_clone",
+    "q_version_compact",
+    "q_version_diff",
+    "q_version_skipping",
+    "q_version_upsert",
+    "q_version_schema_evolve",
+    "q_secret_scan",
+    "q_mp4_tracks",
+    "q_mp4_metadata",
+    "q_mp3_metadata",
+    "q_h264_metadata",
+    # (c) benched-every-round heavies that nonetheless never appeared
+    # in a driver sample — bench pins their latency, the driver
+    # should pin their values at least once
+    "q_bigram_ppl_buckets",
+    "q_pagerank",
+    "q_kcore",
+    "q_minhash_portable_stats",
+    "q_text_stats",
+    # (d) the r8 deliberate deferrals, finally rotating in
+    "q_dedup_exact",
+    "q_topk_window",
+    "q1_pricing_summary",
+    # (e) TPC-H names whose last driver verdict predates r8
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    # (f) one never-sampled representative per major family (dedup,
+    # ANN, retrieval, text-curation, packing, media, CDC) so every
+    # family regains at least one fresh driver verdict this round
+    "q_minhash_neardup",
+    "q_simhash_neardup",
+    "q_embedding_neardup",
+    "q_ann_ivfpq",
+    "q_ivfpq_recall",
+    "q_bm25",
+    "q_inverted_index",
+    "q_tfidf_topterms",
+    "q_gopher_rules",
+    "q_pii_scrub",
+    "q_unicode_norm",
+    "q_sequence_pack",
+    "q_image_resize",
+    "q_media_probe",
+    "q_scd2_history",
+    # (52-slot budget enforced by test_priority_queries_yield_first;
+    # the r12 head — q_time_travel_ts, q_version_restore, the r8
+    # blocks — rotated out with fresh r12 verdicts on record)
 ]
 
 

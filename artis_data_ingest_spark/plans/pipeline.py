@@ -3030,6 +3030,9 @@ SELECT 'secure-rc4.pdf', TRUE, 1, 2, 6,
 UNION ALL
 SELECT 'secure-aes.pdf', TRUE, 1, 2, 6,
        'secure aes line' || chr(10) || 'with padding blocks', ''
+UNION ALL
+SELECT 'secure-aes256.pdf', TRUE, 1, 2, 7,
+       'aes two fifty six' || chr(10) || 'hardened hash r6', ''
 ORDER BY path
 """,
     doc="PDF text extraction (r9, sources/pdf.py): the format the "
@@ -3052,8 +3055,11 @@ ORDER BY path
     "empty-USER-password case (owner-locked files, most wild "
     "'encrypted' PDFs) now DECRYPTS transparently — RC4-40 "
     "(secure-rc4.pdf, V1/R2) and AES-128-CBC over a Flate stream "
-    "(secure-aes.pdf, V4/R4/AESV2), /O//U verified per PDF 32000-1 "
-    "section 7.6.3 with pure-stdlib RC4/AES (FIPS-197-pinned); "
+    "(secure-aes.pdf, V4/R4/AESV2), AES-256 under the ISO-32000-2 R6 "
+    "hardened hash with the file key unwrapped from /UE "
+    "(secure-aes256.pdf, V5/R6/AESV3), /O//U verified per the spec "
+    "algorithms with pure-stdlib RC4/AES (FIPS-197-pinned, 128 AND "
+    "256); "
     "detection is trailer-scoped so '/Encrypt N G R' prose inside "
     "a content stream no longer misfires; genuinely "
     "password-protected files (locked.pdf) still refuse.  Fleet shape: binaryFile + mapInPandas, "

@@ -47,15 +47,16 @@ UTF-16BE.
 
 Encryption (r13, sources/pdf_crypt.py): the standard security
 handler's EMPTY-user-password case — owner-locked files, the majority
-of wild "encrypted" PDFs — decrypts transparently (RC4-40/128 and
-AES-128, /V 1-4, pure stdlib); detection is scoped to the LAST
+of wild "encrypted" PDFs — decrypts transparently (RC4-40/128,
+AES-128 and AES-256, /V 1-5 /R 2-6, pure stdlib); detection is
+scoped to the LAST
 trailer / xref-stream dict so stray '/Encrypt N G R' bytes in content
 never misfire.  Genuinely user-password-protected or
 unsupported-handler files are refused loudly — ok=false with
 ``reason='encrypted'`` — and every failure carries a ``reason``
 ('no objects', 'encrypted', 'parse error').  Remaining declared
-scope: no AES-256 (/V 5), no external CID-keyed CMap files (rare
-outside CJK print workflows).  The writer half emits spec-correct
+scope: no external CID-keyed CMap files (rare outside CJK print
+workflows).  The writer half emits spec-correct
 PDF 1.4 (xref table) AND PDF 1.5 (object streams + predictor-coded
 xref streams + ToUnicode CMaps + hex strings + the descendant-CMap
 Type0 variant), both optionally REALLY encrypted, so the reader is
@@ -704,13 +705,15 @@ def write_pdf(
         /O//U entries and no /ID: emulates a genuinely
         password-protected file the reader must REFUSE (streams stay
         plaintext; nothing can decrypt them legitimately);
-      * ``"rc4-40"`` / ``"rc4-128"`` / ``"aes-128"`` (r13) — REAL
-        standard-security-handler encryption with owner password
-        'owner' and an EMPTY user password (V1/R2, V2/R3,
-        V4/R4+AESV2): streams are actually enciphered with the
-        per-object key, /O//U computed per §7.6.3 Algorithms 3-5, a
-        deterministic /ID emitted — the empty-user-password shape the
-        reader decrypts transparently."""
+      * ``"rc4-40"`` / ``"rc4-128"`` / ``"aes-128"`` /
+        ``"aes-256"`` (r13) — REAL standard-security-handler
+        encryption with owner password 'owner' and an EMPTY user
+        password (V1/R2, V2/R3, V4/R4+AESV2, V5/R6+AESV3): streams
+        are actually enciphered (per-object keys for V<5, the file
+        key directly for V5), /O//U//OE//UE//Perms computed per the
+        spec algorithms, a deterministic /ID emitted — the
+        empty-user-password shape the reader decrypts
+        transparently."""
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -777,40 +780,70 @@ def write_pdf(
         )
     elif encrypt:
         import hashlib
+        import struct as _struct
 
         from .pdf_crypt import (
             aes_cbc_encrypt,
+            aes_encrypt_block,
             compute_key,
             make_owner_entry,
             make_user_entry,
             object_key,
             rc4,
+            v5_make_entries,
         )
 
         v, r, bits = {
             "rc4-40": (1, 2, 40),
             "rc4-128": (2, 3, 128),
             "aes-128": (4, 4, 128),
+            "aes-256": (5, 6, 256),
         }[encrypt]
         nbytes, p = bits // 8, -44
         id0 = hashlib.md5(b"fixture-id:" + encrypt.encode()).digest()
         file_id = id0
-        o = make_owner_entry(b"owner", b"", r, nbytes)
-        key = compute_key(b"", o, p, id0, r, nbytes)
-        u = make_user_entry(key, id0, r)
-        extra = b" /Length " + str(bits).encode() if v >= 2 else b""
-        if v == 4:
-            extra += (
-                b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
-                b" /StmF /StdCF /StrF /StdCF"
+        if v == 5:
+            key = hashlib.sha256(b"fixture-filekey").digest()
+            salts = [
+                hashlib.md5(b"salt:%d" % i).digest()[:8]
+                for i in range(4)
+            ]
+            u, ue, o, oe = v5_make_entries(
+                key, b"", b"owner", r, *salts
             )
-        encrypt_id = add(
-            b"<< /Filter /Standard /V " + str(v).encode()
-            + b" /R " + str(r).encode() + extra
-            + b" /O <" + o.hex().encode()
-            + b"> /U <" + u.hex().encode()
-            + b"> /P " + str(p).encode() + b" >>"
-        )
+            perms = aes_encrypt_block(
+                key,
+                _struct.pack("<i", p) + b"\xff\xff\xff\xffTadbfix!",
+            )
+            encrypt_id = add(
+                b"<< /Filter /Standard /V 5 /R " + str(r).encode()
+                + b" /Length 256"
+                + b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                + b" /StmF /StdCF /StrF /StdCF"
+                + b" /O <" + o.hex().encode()
+                + b"> /U <" + u.hex().encode()
+                + b"> /OE <" + oe.hex().encode()
+                + b"> /UE <" + ue.hex().encode()
+                + b"> /Perms <" + perms.hex().encode()
+                + b"> /P " + str(p).encode() + b" >>"
+            )
+        else:
+            o = make_owner_entry(b"owner", b"", r, nbytes)
+            key = compute_key(b"", o, p, id0, r, nbytes)
+            u = make_user_entry(key, id0, r)
+            extra = b" /Length " + str(bits).encode() if v >= 2 else b""
+            if v == 4:
+                extra += (
+                    b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                    b" /StmF /StdCF /StrF /StdCF"
+                )
+            encrypt_id = add(
+                b"<< /Filter /Standard /V " + str(v).encode()
+                + b" /R " + str(r).encode() + extra
+                + b" /O <" + o.hex().encode()
+                + b"> /U <" + u.hex().encode()
+                + b"> /P " + str(p).encode() + b" >>"
+            )
         stream_re = re.compile(rb"stream\n(.*?)\nendstream", re.S)
         for idx in range(len(objects)):
             num = idx + 1
@@ -819,12 +852,15 @@ def write_pdf(
             m = stream_re.search(objects[idx])
             if not m:
                 continue
-            ok = object_key(key, num, 0, v == 4)
-            if v == 4:
+            if v == 5:  # AESV3: the file key directly, no object salt
+                iv = hashlib.md5(b"iv:%d" % num).digest()
+                enc = aes_cbc_encrypt(key, m.group(1), iv)
+            elif v == 4:
+                ok = object_key(key, num, 0, True)
                 iv = hashlib.md5(b"iv:%d" % num).digest()
                 enc = aes_cbc_encrypt(ok, m.group(1), iv)
             else:
-                enc = rc4(ok, m.group(1))
+                enc = rc4(object_key(key, num, 0, False), m.group(1))
             body = (
                 objects[idx][: m.start(1)] + enc + objects[idx][m.end(1):]
             )

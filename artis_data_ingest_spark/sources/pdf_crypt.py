@@ -8,8 +8,12 @@ refuse with ``reason='encrypted'`` (sources/pdf.py keeps that floor).
 Covered: ``/Filter /Standard`` with ``/V 1`` (RC4-40), ``/V 2``
 (RC4 keyed by ``/Length``), ``/V 4`` with crypt filters ``/AESV2``
 (AES-128-CBC, 16-byte IV prefix, PKCS#7), ``/V2`` (RC4) or
-``/Identity``; revisions ``/R 2-4``.  V5/R6 (AES-256) is out of
-scope and refuses.
+``/Identity``, and ``/V 5`` (AES-256: ``/R 5`` Adobe ExtensionLevel 3
+salted-SHA-256 and ``/R 6`` ISO 32000-2 with the Algorithm-2.B
+hardened hash — SHA-256 seed, then 64+ rounds of 64x-repeat →
+AES-128-CBC → SHA-256/384/512 selected by the ciphertext mod 3; the
+file key unwraps from ``/UE`` and encrypts data directly, no
+per-object salt); revisions ``/R 2-6``.
 
 Everything is stdlib: RC4 is ~10 lines; AES-128 is implemented from
 FIPS-197 with its tables GENERATED (GF(2^8) exp/log + the affine
@@ -97,19 +101,24 @@ for _i in range(9):
 
 
 def _expand_key(key: bytes) -> list[bytes]:
-    """AES-128 → 11 round keys, each 16 bytes in state order
-    (flat index 4*col + row, i.e. the input byte order)."""
-    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
-    for i in range(4, 44):
+    """AES-128/192/256 key expansion → Nr+1 round keys, each 16 bytes
+    in state order (flat index 4*col + row, i.e. the input byte
+    order)."""
+    nk = len(key) // 4
+    rounds = nk + 6
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (rounds + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([w[i - 4][k] ^ t[k] for k in range(4)])
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        w.append([w[i - nk][k] ^ t[k] for k in range(4)])
     return [
         bytes(b for c in range(4) for b in w[4 * r + c])
-        for r in range(11)
+        for r in range(rounds + 1)
     ]
 
 
@@ -139,23 +148,27 @@ def _mix_columns(s: bytearray, inverse: bool) -> bytearray:
     return out
 
 
-def aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
+def aes_encrypt_block(key: bytes, block: bytes) -> bytes:
+    """One AES block encryption; 16/24/32-byte keys (Nr from key
+    size per FIPS-197)."""
     rks = _expand_key(key)
+    last = len(rks) - 1
     s = bytearray(x ^ k for x, k in zip(block, rks[0]))
-    for rnd in range(1, 10):
+    for rnd in range(1, last):
         s = bytearray(_SBOX[b] for b in s)
         s = _shift_rows(s, inverse=False)
         s = _mix_columns(s, inverse=False)
         s = bytearray(x ^ k for x, k in zip(s, rks[rnd]))
     s = bytearray(_SBOX[b] for b in s)
     s = _shift_rows(s, inverse=False)
-    return bytes(x ^ k for x, k in zip(s, rks[10]))
+    return bytes(x ^ k for x, k in zip(s, rks[last]))
 
 
-def aes128_decrypt_block(key: bytes, block: bytes) -> bytes:
+def aes_decrypt_block(key: bytes, block: bytes) -> bytes:
     rks = _expand_key(key)
-    s = bytearray(x ^ k for x, k in zip(block, rks[10]))
-    for rnd in range(9, 0, -1):
+    last = len(rks) - 1
+    s = bytearray(x ^ k for x, k in zip(block, rks[last]))
+    for rnd in range(last - 1, 0, -1):
         s = _shift_rows(s, inverse=True)
         s = bytearray(_INV_SBOX[b] for b in s)
         s = bytearray(x ^ k for x, k in zip(s, rks[rnd]))
@@ -163,6 +176,11 @@ def aes128_decrypt_block(key: bytes, block: bytes) -> bytes:
     s = _shift_rows(s, inverse=True)
     s = bytearray(_INV_SBOX[b] for b in s)
     return bytes(x ^ k for x, k in zip(s, rks[0]))
+
+
+#: back-compat names used by the r13 tests/fixtures
+aes128_encrypt_block = aes_encrypt_block
+aes128_decrypt_block = aes_decrypt_block
 
 
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes | None:
@@ -195,6 +213,97 @@ def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
         prev = aes128_encrypt_block(key, blk)
         out += prev
     return bytes(out)
+
+
+def _cbc_encrypt_nopad(key: bytes, data: bytes, iv: bytes) -> bytes:
+    """Raw CBC over block-aligned data, IV not emitted — the
+    Algorithm-2.B inner step and the /UE//OE wrapping use this."""
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = aes_encrypt_block(key, blk)
+        out += prev
+    return bytes(out)
+
+
+def _cbc_decrypt_nopad(key: bytes, data: bytes, iv: bytes) -> bytes:
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        out += bytes(
+            a ^ b for a, b in zip(aes_decrypt_block(key, blk), prev)
+        )
+        prev = blk
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# AES-256 revisions (/V 5: R5 Adobe ExtensionLevel 3, R6 ISO 32000-2).
+# --------------------------------------------------------------------------
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 hardened hash): SHA-256
+    seed, then rounds of 64x repetition → AES-128-CBC → SHA-256/384/
+    512 selected by the ciphertext mod 3, at least 64 rounds and
+    until the last byte of the round's ciphertext <= round - 32."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        # K joins at its FULL length (32/48/64 bytes depending on the
+        # previous round's hash); only the final return truncates
+        k1 = (password + k + udata) * 64
+        e = _cbc_encrypt_nopad(k[:16], k1, k[16:32])
+        # E[0:16] as a big-endian integer mod 3 == byte-sum mod 3
+        # (256 ≡ 1 mod 3)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](
+            e
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _v5_password_hash(pw: bytes, salt: bytes, udata: bytes,
+                      r: int) -> bytes:
+    if r == 5:  # Adobe R5: plain salted SHA-256
+        return hashlib.sha256(pw + salt + udata).digest()
+    return hash_2b(pw, salt, udata)
+
+
+def v5_verify_and_key(info: dict, password: bytes = b"") -> bytes | None:
+    """Validate ``password`` as the USER password against a /V 5
+    /R 5-6 dict and return the 32-byte file key (decrypted from /UE),
+    or None when the password does not validate."""
+    u, ue = info["u"], info.get("ue")
+    if len(u) < 48 or not ue or len(ue) < 32:
+        return None
+    vsalt, ksalt = u[32:40], u[40:48]
+    if _v5_password_hash(password, vsalt, b"", info["r"]) != u[:32]:
+        return None
+    ikey = _v5_password_hash(password, ksalt, b"", info["r"])
+    return _cbc_decrypt_nopad(ikey, ue[:32], bytes(16))
+
+
+def v5_make_entries(
+    file_key: bytes, user_pw: bytes, owner_pw: bytes, r: int,
+    vsalt: bytes, ksalt: bytes, ovsalt: bytes, oksalt: bytes,
+) -> tuple[bytes, bytes, bytes, bytes]:
+    """(U, UE, O, OE) for a /V 5 dict — the writer half (Algorithms
+    8-9): U carries the user validation hash + both salts; OE/UE wrap
+    the file key under the respective intermediate keys."""
+    u = _v5_password_hash(user_pw, vsalt, b"", r) + vsalt + ksalt
+    ue = _cbc_encrypt_nopad(
+        _v5_password_hash(user_pw, ksalt, b"", r), file_key, bytes(16)
+    )
+    o = _v5_password_hash(owner_pw, ovsalt, u, r) + ovsalt + oksalt
+    oe = _cbc_encrypt_nopad(
+        _v5_password_hash(owner_pw, oksalt, u, r), file_key, bytes(16)
+    )
+    return u, ue, o, oe
 
 
 # --------------------------------------------------------------------------
@@ -389,13 +498,25 @@ def parse_encrypt(blob: bytes) -> dict | None:
     length = _int(rb"/Length", 40)
     o = _dict_string(body, rb"/O")
     u = _dict_string(body, rb"/U")
-    if v not in (1, 2, 4) or r not in (2, 3, 4) or not o or not u:
+    if (
+        v not in (1, 2, 4, 5)
+        or r not in (2, 3, 4, 5, 6)
+        or not o
+        or not u
+    ):
         return {"supported": False}
-    cfm = b"V2"  # RC4 unless a V4 crypt filter says otherwise
+    cfm = b"V2"  # RC4 unless a V4/V5 crypt filter says otherwise
     if v == 4:
         cm = re.search(rb"/CFM\s*/(\w+)", body)
         cfm = cm.group(1) if cm else b"Identity"
         if cfm not in (b"V2", b"AESV2", b"Identity"):
+            return {"supported": False}
+    if v == 5:
+        if r not in (5, 6):
+            return {"supported": False}
+        cm = re.search(rb"/CFM\s*/(\w+)", body)
+        cfm = cm.group(1) if cm else b"AESV3"
+        if cfm not in (b"AESV3", b"Identity"):
             return {"supported": False}
     em = re.search(rb"/EncryptMetadata\s+(true|false)", body)
     return {
@@ -407,8 +528,10 @@ def parse_encrypt(blob: bytes) -> dict | None:
         "nbytes": (length // 8) if v >= 2 else 5,
         "o": o,
         "u": u,
-        "aes": cfm == b"AESV2",
-        "identity": v == 4 and cfm == b"Identity",
+        "ue": _dict_string(body, rb"/UE"),
+        "oe": _dict_string(body, rb"/OE"),
+        "aes": cfm in (b"AESV2", b"AESV3"),
+        "identity": v >= 4 and cfm == b"Identity",
         "encrypt_metadata": not (em and em.group(1) == b"false"),
         "id0": _file_id0(blob),
     }
@@ -438,6 +561,9 @@ def decrypt_bytes(info: dict, key: bytes, num: int, gen: int,
                   data: bytes) -> bytes | None:
     if info["identity"]:
         return data
+    if info["v"] == 5:
+        # AESV3 uses the 32-byte FILE key directly — no per-object salt
+        return aes_cbc_decrypt(key, data)
     ok = object_key(key, num, gen, info["aes"])
     if info["aes"]:
         return aes_cbc_decrypt(ok, data)
@@ -480,12 +606,19 @@ def decrypt_pdf(blob: bytes) -> bytes | None:
     info = parse_encrypt(blob)
     if info is None or not info.get("supported"):
         return None
-    key = compute_key(
-        b"", info["o"], info["p"], info["id0"], info["r"],
-        info["nbytes"], info["encrypt_metadata"],
-    )
-    if not verify_user_password(key, info["u"], info["id0"], info["r"]):
-        return None  # a real (non-empty) user password
+    if info["v"] == 5:
+        key = v5_verify_and_key(info, b"")
+        if key is None:
+            return None  # a real (non-empty) user password
+    else:
+        key = compute_key(
+            b"", info["o"], info["p"], info["id0"], info["r"],
+            info["nbytes"], info["encrypt_metadata"],
+        )
+        if not verify_user_password(
+            key, info["u"], info["id0"], info["r"]
+        ):
+            return None  # a real (non-empty) user password
     out = bytearray()
     pos = 0
     while True:

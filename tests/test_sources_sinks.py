@@ -1785,8 +1785,34 @@ def test_pdf_empty_user_password_decryption(tmp_path):
     msg = b"x" * 33
     assert aes_cbc_decrypt(key, aes_cbc_encrypt(key, msg, bytes(16))) == msg
 
-    # classic files, all three handlers
-    for mode in ("rc4-40", "rc4-128", "aes-128"):
+    # AES-256 (FIPS-197 C.3) + the V5/R6 hardened hash, wrong-password
+    # rejection included
+    from artis_data_ingest_spark.sources.pdf_crypt import (
+        aes_decrypt_block,
+        aes_encrypt_block,
+        hash_2b,
+        v5_make_entries,
+        v5_verify_and_key,
+    )
+
+    k256 = bytes(range(32))
+    ct256 = aes_encrypt_block(
+        k256, bytes.fromhex("00112233445566778899aabbccddeeff")
+    )
+    assert ct256.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert aes_decrypt_block(k256, ct256).hex() == (
+        "00112233445566778899aabbccddeeff"
+    )
+    fk = bytes(range(100, 132))
+    salts = [bytes([i]) * 8 for i in range(4)]
+    u, ue, o, oe = v5_make_entries(fk, b"", b"owner", 6, *salts)
+    info_v5 = {"r": 6, "u": u, "ue": ue}
+    assert v5_verify_and_key(info_v5, b"") == fk
+    assert v5_verify_and_key(info_v5, b"wrong") is None
+    assert hash_2b(b"", b"s" * 8, b"") == hash_2b(b"", b"s" * 8, b"")
+
+    # classic files, all four handlers
+    for mode in ("rc4-40", "rc4-128", "aes-128", "aes-256"):
         p = str(tmp_path / f"{mode}.pdf")
         write_pdf(
             p, [["locked line one", "owner only"], ["page two 9"]],

@@ -121,6 +121,9 @@ def pdf_fixture_set() -> dict[str, tuple[list[list[str]], bool] | bytes]:
     out["secure-aes.pdf"] = (
         [["secure aes line", "with padding blocks"]], True, "aes-128",
     )
+    out["secure-aes256.pdf"] = (
+        [["aes two fifty six", "hardened hash r6"]], True, "aes-256",
+    )
     return out
 
 

@@ -84,6 +84,15 @@ Measured floors at sf0.1 (isolated, warm): q_bigram_ppl_buckets
 3.41 -> ~2.5 s, q_lm_perplexity_buckets 2.27 -> ~1.5 s,
 q_unigram_segment 2.88 -> ~1.8 s.
 
+r13 round-over-round (isolated run, sf0.1, local[32]): geomean
+r13/r12 = 0.96 over the 22 queries common to both recorded tails
+(total best-time 20.7 -> 20.3 s).  Worst upticks are +6..9% on
+UNTOUCHED jitter-prone rows (bigram/pagerank/unigram — the min-of-3
+sampling spread documented above); scale100x absolutes improved
+(q_minhash_portable_stats 39.4 -> 36.5 s, q_dup_clusters flat at
+36.8 s; its printed ratio rose only because the sf0.1 base improved
+3.35 -> 2.50 s — the ratio-denominator effect, see the 100x notes).
+
 r13 q_feed_driven_dedup composition (VERDICT r12 task 5): the base
 corpus's band index is now PERSISTED as its own versioned table at
 demo-setup time and read back as parquet, so repeat runs in one

@@ -2264,6 +2264,99 @@ def q_version_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_version_delete",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), v AS (
+  SELECT 0 AS version, 2 AS n_files, 0 AS n_dv,
+         COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+  FROM o
+  UNION ALL
+  SELECT 1, 2, 1, COUNT(*), SUM(cents)
+  FROM o WHERE k % 10 <> 1
+  UNION ALL
+  SELECT 2, 2, 2, COUNT(*), SUM(cents)
+  FROM o WHERE k % 10 <> 1 AND cents % 3 <> 0
+  UNION ALL
+  SELECT 3, 1, 0, COUNT(*), SUM(cents)
+  FROM o WHERE k % 10 <> 1 AND cents % 3 <> 0
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(n_files AS BIGINT) AS n_files,
+       CAST(n_dv AS BIGINT) AS n_dv,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_cents AS BIGINT) AS sum_cents
+FROM v ORDER BY version
+""",
+    doc="Row-level DELETE via DELETION VECTORS (r13, "
+    "sinks/versioned.py:delete_where — Delta's DV feature, "
+    "Spark-first): a delete commits the parent's file list UNCHANGED "
+    "plus a KB-scale (file path, row position) parquet sidecar of "
+    "the live rows matching the predicate; reads mask them with a "
+    "broadcast LEFT ANTI join on (_metadata.file_path, "
+    "_metadata.row_index) — at 100 TB deleting a few thousand rows "
+    "costs one filtered scan, never a copy-on-write of every touched "
+    "file.  DVs accumulate per delete, survive appends (carried like "
+    "stats/blooms, so an append can't resurrect deleted rows), apply "
+    "to scan()/read_version()/the versioned_feed snapshot reader, "
+    "and MATERIALIZE through compact() (rewritten files shed their "
+    "vectors; kept files re-slice theirs).  The change feed treats a "
+    "delete like a compact (no ADDED rows).  The hashed result pins "
+    "two stacked deletes, time travel through every DV state, the "
+    "constant physical file count (the zero-rewrite claim), the DV "
+    "segment counts, and the post-compaction materialization.",
+)
+def q_version_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import (
+        _read_manifest,
+        commit,
+        compact,
+        delete_where,
+        read_version,
+    )
+
+    base = _versioned_demo_path(sf_dir, "versioned_delete_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    # repartition, not n_files: commit's coalesce cannot RAISE a
+    # 1-partition scan to the 2 files the oracle pins
+    commit(orders.repartition(2), base, mode="overwrite", note="base",
+           expect_version=None, timestamp=100.0)
+    delete_where(spark, base, "k % 10 = 1", note="drop-ones",
+                 timestamp=200.0)
+    delete_where(spark, base, "cents % 3 = 0", note="drop-thirds",
+                 timestamp=300.0)
+    compact(spark, base, n_files=1, timestamp=400.0)
+    out = None
+    for v in range(4):
+        m = _read_manifest(base, v)
+        s = read_version(spark, base, v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).select(
+            F.lit(v).cast("bigint").alias("version"),
+            F.lit(len(m["files"])).cast("bigint").alias("n_files"),
+            F.lit(len(m.get("dv_files", []))).cast("bigint").alias(
+                "n_dv"
+            ),
+            "n_rows",
+            "sum_cents",
+        )
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("version")
+
+
+@register(
     "q_version_zorder",
     oracle="""
 WITH g AS (

@@ -100,7 +100,7 @@ _PRIORITY: list[str] = [
     "q_ivfpq_recall",
     "q_bm25",
     "q_inverted_index",
-    "q_tfidf_topterms",
+    "q_version_delete",
     "q_gopher_rules",
     "q_pii_scrub",
     "q_unicode_norm",

@@ -13,6 +13,7 @@ Layout under ``table_dir``:
                                              "ts", "stats", "blooms"?,
                                              "table_props"?,
                                              "delta_files"?,
+                                             "dv_files"?,
                                              "restored_from"?,
                                              "cloned_from"?}
     _manifests/checkpoint-{N}.json          per-version summaries up
@@ -62,7 +63,16 @@ Semantics:
     tail; :func:`restore` rolls back as a zero-copy commit;
     :func:`clone_table` forks a table at O(manifest) cost; and
     streaming/source.py exposes the change feed as a Structured
-    Streaming source with engine-checkpointed version offsets.
+    Streaming source with engine-checkpointed version offsets;
+  * r13 surface: manifest-log CHECKPOINTING (:func:`write_checkpoint`
+    every :data:`CHECKPOINT_INTERVAL` commits — history/version_at/
+    earliest_feed_version open O(1) + O(since-checkpoint) files);
+    plain appends INHERIT the recorded layout properties; and
+    row-level DELETE via DELETION VECTORS (:func:`delete_where`:
+    ``mode="delete"`` manifests carry ``dv_files`` — KB-scale
+    (file, row position) sidecars applied as a broadcast anti-join on
+    ``_metadata`` columns; zero rewrite, exact time travel, appends
+    carry them, :func:`compact` materializes them).
 
 At 100 TB the manifest is the only driver-side object (a file list —
 thousands of entries, not data), reads prune to exactly the listed
@@ -483,13 +493,16 @@ def commit(
         if bloom_cols
         else {}
     )
+    dv_files: list[str] = []
     if mode == "append" and cur is not None:
         files = parent["files"] + seg_files
         # carry the parent's file stats/blooms forward so a pruned
         # scan of version N skips across ALL segments, not just the
-        # newest
+        # newest — and its DELETION VECTORS, else an append would
+        # resurrect previously deleted rows
         stats = {**parent.get("stats", {}), **stats}
         blooms = {**parent.get("blooms", {}), **blooms}
+        dv_files = list(parent.get("dv_files", []))
     else:
         files = seg_files
     manifest = {
@@ -503,6 +516,8 @@ def commit(
     }
     if blooms:
         manifest["blooms"] = blooms
+    if dv_files:
+        manifest["dv_files"] = dv_files
     if props:
         manifest["table_props"] = props
     return _publish(table_dir, manifest)
@@ -572,9 +587,11 @@ def compact(
             raise ValueError(
                 f"no files under {small_file_bytes} bytes to compact"
             )
-    compacted = spark.read.option("mergeSchema", "true").parquet(
-        *rewrite
-    )
+    # deletion vectors MATERIALIZE through compaction: the rewritten
+    # files are read DV-applied (their deleted rows vanish physically),
+    # while kept files retain their DV rows as a fresh small sidecar
+    dv_files = m.get("dv_files", [])
+    compacted = _dv_scan(spark, rewrite, dv_files)
     if cluster_by:
         compacted = compacted.repartitionByRange(
             max(1, n_files), *_cluster_exprs(cluster_by)
@@ -608,6 +625,22 @@ def compact(
         manifest["blooms"] = blooms
     if props:
         manifest["table_props"] = props
+    if dv_files and keep:
+        # re-slice the DV table to the kept files only (the rewritten
+        # files' deletions just materialized) — a tiny parquet write
+        from pyspark.sql import functions as F
+
+        kept_dv = (
+            spark.read.parquet(*dv_files)
+            .filter(F.col("_dv_file").isin(sorted(kept_paths)))
+        )
+        dv_seg = _write_segment(kept_dv.coalesce(1), table_dir, cur + 1)
+        import pyarrow.parquet as pq
+
+        if sum(pq.ParquetFile(f).metadata.num_rows for f in dv_seg):
+            manifest["dv_files"] = dv_seg
+        # an all-zero slice leaves dv_files absent; the orphan segment
+        # is vacuumed later
     return _publish(table_dir, manifest)
 
 
@@ -654,6 +687,8 @@ def restore(
     }
     if src.get("blooms"):
         manifest["blooms"] = dict(src["blooms"])
+    if src.get("dv_files"):
+        manifest["dv_files"] = list(src["dv_files"])
     props = parent.get("table_props") or src.get("table_props")
     if props:
         manifest["table_props"] = dict(props)
@@ -723,6 +758,107 @@ def merge_commit(
         manifest["blooms"] = _segment_blooms(spark, seg_files, bloom_cols)
     if props:
         manifest["table_props"] = dict(props)
+    return _publish(table_dir, manifest)
+
+
+#: SQL regex stripping the scheme Spark's ``_metadata.file_path``
+#: carries (``file:/abs`` or ``file:///abs``) so DV rows store plain
+#: absolute paths that match manifest entries.
+_SCHEME_RE = "^file:(//)?"
+
+
+def _dv_scan(spark: SparkSession, files: list[str],
+             dv_files: list[str]) -> DataFrame:
+    """mergeSchema read of ``files`` with the version's DELETION
+    VECTORS applied: each DV row is a (file path, row position) pair;
+    live rows are the LEFT ANTI join on (``_metadata.file_path``,
+    ``_metadata.row_index``) — a broadcast of the (small) DV table
+    against the scan, no data rewrite anywhere.  With no DVs the
+    plain scan returns untouched (zero overhead for tables that never
+    deleted)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    if not dv_files:
+        return df
+    dv = spark.read.parquet(*dv_files).select("_dv_file", "_dv_pos")
+    tagged = df.select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"), _SCHEME_RE, ""
+        ).alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    return tagged.join(
+        F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+    ).drop("_dv_file", "_dv_pos")
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    note: str = "delete",
+    expect_version: int | None | str = ANY,
+    timestamp: float | None = None,
+) -> int:
+    """Row-level DELETE via DELETION VECTORS (Delta's DV feature,
+    r13): version N+1 carries the parent's file list UNCHANGED plus a
+    small parquet sidecar of (file path, row position) pairs for the
+    LIVE rows matching ``predicate`` (a SQL boolean expression over
+    the table's columns).  Zero data rewrite — at 100 TB deleting a
+    few thousand rows costs one filtered scan and a KB-scale sidecar,
+    not a copy-on-write of every touched file; reads apply the
+    vectors as a broadcast anti-join on (``_metadata.file_path``,
+    ``_metadata.row_index``).  DV segments accumulate per delete and
+    :func:`compact` MATERIALIZES them (the rewritten files carry no
+    vectors), exactly Delta's OPTIMIZE behavior.  Time travel is
+    exact: version N still serves the pre-delete rows.  The change
+    feed treats a delete version like a compact (no ADDED rows);
+    stats/blooms stay attached to the physical files, which keeps
+    pruning sound (a file's bounds only ever over-approximate its
+    live rows).  Returns the new version number."""
+    from pyspark.sql import functions as F
+
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    _check_expected(cur, expect_version)
+    m = _read_manifest(table_dir, cur)
+    live = spark.read.option("mergeSchema", "true").parquet(*m["files"])
+    tagged = live.select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"), _SCHEME_RE, ""
+        ).alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    prior_dv = list(m.get("dv_files", []))
+    if prior_dv:
+        dv = spark.read.parquet(*prior_dv).select("_dv_file", "_dv_pos")
+        tagged = tagged.join(
+            F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+        )
+    hits = tagged.filter(F.expr(predicate)).select(
+        "_dv_file", "_dv_pos"
+    )
+    new_version = cur + 1
+    seg = _write_segment(hits.coalesce(1), table_dir, new_version)
+    manifest = {
+        "version": new_version,
+        "parent": cur,
+        "mode": "delete",
+        "note": note,
+        "ts": timestamp if timestamp is not None else time.time(),
+        "files": list(m["files"]),
+        "stats": dict(m.get("stats", {})),
+        "dv_files": prior_dv + seg,
+    }
+    if m.get("blooms"):
+        manifest["blooms"] = dict(m["blooms"])
+    if m.get("table_props"):
+        manifest["table_props"] = dict(m["table_props"])
+    # (delta_files describe the PARENT's own commit — never carried)
     return _publish(table_dir, manifest)
 
 
@@ -800,6 +936,10 @@ def clone_table(
     }
     if src.get("blooms"):
         manifest["blooms"] = dict(src["blooms"])
+    if src.get("dv_files"):
+        manifest["dv_files"] = [
+            os.path.abspath(f) for f in src["dv_files"]
+        ]
     if src.get("table_props"):
         manifest["table_props"] = dict(src["table_props"])
     return _publish(dst_dir, manifest)
@@ -832,10 +972,10 @@ def read_version(
         version = latest_version(table_dir)
         if version is None:
             raise FileNotFoundError(f"no versions in {table_dir}")
-    files = _read_manifest(table_dir, version)["files"]
-    if not files:
+    m = _read_manifest(table_dir, version)
+    if not m["files"]:
         raise FileNotFoundError(f"v{version} has no files")
-    return spark.read.option("mergeSchema", "true").parquet(*files)
+    return _dv_scan(spark, m["files"], m.get("dv_files", []))
 
 
 _BLOOM_BITS = 8192
@@ -1018,6 +1158,12 @@ def scan(
     filter drops every row)."""
     from pyspark.sql import functions as F
 
+    m_version = version if version is not None else latest_version(
+        table_dir
+    )
+    if m_version is None:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    dv_files = _read_manifest(table_dir, m_version).get("dv_files", [])
     kept, total = prune_files(table_dir, filters, version)
     if not kept:
         # every file pruned: return an EMPTY frame that still carries
@@ -1027,16 +1173,13 @@ def scan(
         # missing column would raise instead of matching nothing.  The
         # mergeSchema read unions footers only (metadata, not data);
         # lit(False) prunes every row group at scan time.
-        m_version = version if version is not None else latest_version(
-            table_dir
-        )
         kept = _read_manifest(table_dir, m_version)["files"]
         return (
             spark.read.option("mergeSchema", "true")
             .parquet(*kept)
             .filter(F.lit(False))
         )
-    df = spark.read.option("mergeSchema", "true").parquet(*kept)
+    df = _dv_scan(spark, kept, dv_files)
     ops = {
         "=": lambda c, v: c == v,
         "<": lambda c, v: c < v,
@@ -1112,7 +1255,11 @@ def vacuum(table_dir: str, grace_seconds: float = 3600.0) -> list[str]:
     referenced: set[str] = set()
     for v in list_versions(table_dir):
         m = _read_manifest(table_dir, v)
-        for path in m["files"] + m.get("delta_files", []):
+        for path in (
+            m["files"]
+            + m.get("delta_files", [])
+            + m.get("dv_files", [])
+        ):
             referenced.add(os.path.dirname(os.path.abspath(path)))
     now = time.time()
     removed = []
@@ -1168,8 +1315,8 @@ def version_delta_files(table_dir: str, version: int) -> list[str]:
     consumer must apply); merge → the recorded ``delta_files``;
     compact → empty (bytes moved, no rows changed)."""
     m = _read_manifest(table_dir, version)
-    if m["mode"] == "compact":
-        return []
+    if m["mode"] in ("compact", "delete"):
+        return []  # bytes moved / rows masked — no rows ADDED
     if m["mode"] == "merge":
         return list(m["delta_files"])
     parent_files = (

@@ -157,17 +157,24 @@ def _arrow_schema(fields: list[tuple[str, str]]):
     )
 
 
-def _read_file_batches(path: str, pa_schema, version: int):
+def _read_file_batches(path: str, pa_schema, version: int,
+                       drop_positions=None):
     """Executor-side: yield ``pyarrow.RecordBatch`` objects for one
     delta file, cast to the declared Arrow schema (+ a constant
     ``_version`` int64 column); columns absent from this file's footer
-    (pre-evolution segments) become null arrays.  Arrow end to end —
-    no per-row Python tuples anywhere on the path."""
+    (pre-evolution segments) become null arrays.  ``drop_positions``
+    (r13) masks the file's DELETION-VECTOR row positions out before
+    batching — the snapshot reader's DV application.  Arrow end to
+    end — no per-row Python tuples anywhere on the path."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pq.read_table(path)
+    if drop_positions:
+        keep = np.ones(table.num_rows, dtype=bool)
+        keep[np.asarray(drop_positions, dtype=np.int64)] = False
+        table = table.filter(pa.array(keep))
     n = table.num_rows
     if n == 0:
         return
@@ -220,9 +227,10 @@ def _make_datasource_class():
     )
 
     class _Part(InputPartition):
-        def __init__(self, path: str, version: int):
+        def __init__(self, path: str, version: int, drop=None):
             self.path = path
             self.version = version
+            self.drop = drop  # deletion-vector row positions, if any
 
     class _FeedStreamReader(DataSourceStreamReader):
         """Admission-control design notes (r13).  The Python
@@ -476,16 +484,41 @@ def _make_datasource_class():
             return cur
 
         def partitions(self):
+            import os as _p_os
+
             from ..sinks.versioned import _read_manifest
 
             v = self._version()
+            m = _read_manifest(self._dir, v)
+            drops: dict[str, list[int]] = {}
+            if m.get("dv_files"):
+                # deletion vectors are KB-scale: resolve them to
+                # per-file position lists driver-side so each input
+                # partition masks its own rows (sinks/versioned.py
+                # delete_where semantics)
+                import pyarrow.parquet as pq
+
+                for dvf in m["dv_files"]:
+                    t = pq.read_table(dvf)
+                    for f, p in zip(
+                        t.column("_dv_file").to_pylist(),
+                        t.column("_dv_pos").to_pylist(),
+                    ):
+                        drops.setdefault(f, []).append(p)
             return [
-                _Part(f, v) for f in _read_manifest(self._dir, v)["files"]
+                _Part(
+                    f, v,
+                    drops.get(_p_os.path.abspath(f)) or None,
+                )
+                for f in m["files"]
             ]
 
         def read(self, partition):
             yield from _read_file_batches(
-                partition.path, self._pa_schema, partition.version
+                partition.path,
+                self._pa_schema,
+                partition.version,
+                getattr(partition, "drop", None),
             )
 
     class VersionedFeedDataSource(DataSource):

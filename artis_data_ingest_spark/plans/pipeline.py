@@ -2357,6 +2357,73 @@ def q_version_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_deletion_feed",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), d AS (
+  SELECT 1 AS _version, k, cents FROM o WHERE k % 10 = 1
+  UNION ALL
+  SELECT 2, k, cents FROM o WHERE k % 10 <> 1 AND cents % 3 = 0
+)
+SELECT CAST(_version AS BIGINT) AS _version,
+       CAST(COUNT(*) AS BIGINT) AS n_deleted,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM d GROUP BY 1 ORDER BY _version
+""",
+    doc="DELETION FEED (r13, sinks/versioned.py:deleted_rows/"
+    "deletion_feed): the CDC complement of change_feed — for every "
+    "DELETE version, the exact rows its vectors removed, recovered "
+    "by joining the version's NEW dv segments (its dv_files suffix "
+    "beyond the parent's) back against the data files on "
+    "(file path, row position).  O(deleted rows) per version, never "
+    "a table diff; a MERGE-style consumer applies change_feed's adds "
+    "and this feed's deletes to mirror the table exactly.  The "
+    "hashed result pins per-version deleted-row counts, sums and key "
+    "ranges for two stacked deletes — a feed that leaked a parent's "
+    "earlier vectors into a later version, or re-included rows the "
+    "first delete already removed, hash-mismatches (the second "
+    "delete's predicate only saw LIVE rows).",
+)
+def q_deletion_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import (
+        commit,
+        delete_where,
+        deletion_feed,
+    )
+
+    base = _versioned_demo_path(sf_dir, "versioned_delfeed_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    commit(orders.repartition(2), base, mode="overwrite", note="base",
+           expect_version=None, timestamp=100.0)
+    delete_where(spark, base, "k % 10 = 1", timestamp=200.0)
+    delete_where(spark, base, "cents % 3 = 0", timestamp=300.0)
+    return (
+        deletion_feed(spark, base, since=0)
+        .groupBy("_version")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_deleted"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("_version")
+    )
+
+
+@register(
     "q_version_zorder",
     oracle="""
 WITH g AS (

@@ -101,9 +101,9 @@ _PRIORITY: list[str] = [
     "q_bm25",
     "q_inverted_index",
     "q_version_delete",
+    "q_deletion_feed",
     "q_gopher_rules",
     "q_pii_scrub",
-    "q_unicode_norm",
     "q_sequence_pack",
     "q_image_resize",
     "q_xls_ingest",

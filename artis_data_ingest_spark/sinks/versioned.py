@@ -862,6 +862,80 @@ def delete_where(
     return _publish(table_dir, manifest)
 
 
+def deleted_rows(
+    spark: SparkSession, table_dir: str, version: int
+) -> DataFrame:
+    """The rows version ``version``'s DELETE removed — the CDC
+    complement of :func:`change_feed` (which carries ADDED rows only):
+    the version's NEW deletion-vector segments (its ``dv_files``
+    suffix beyond the parent's) join back against the data files on
+    (file path, row position), so the cost is O(deleted rows), never
+    a table diff.  Raises ValueError for non-delete versions and
+    RetentionError when the parent manifest needed to isolate the new
+    vectors was expired."""
+    from pyspark.sql import functions as F
+
+    m = _read_manifest(table_dir, version)
+    if m["mode"] != "delete":
+        raise ValueError(f"v{version} is {m['mode']!r}, not a delete")
+    try:
+        parent_dv = set(
+            _read_manifest(table_dir, m["parent"]).get("dv_files", [])
+        )
+    except FileNotFoundError:
+        raise RetentionError(
+            f"v{version}'s parent manifest was expired; its deleted "
+            f"rows are no longer isolatable"
+        ) from None
+    new_dv = [f for f in m["dv_files"] if f not in parent_dv]
+    dv = spark.read.parquet(*new_dv).select("_dv_file", "_dv_pos")
+    base = spark.read.option("mergeSchema", "true").parquet(
+        *m["files"]
+    )
+    tagged = base.select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"), _SCHEME_RE, ""
+        ).alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    return tagged.join(
+        F.broadcast(dv), ["_dv_file", "_dv_pos"], "inner"
+    ).drop("_dv_file", "_dv_pos")
+
+
+def deletion_feed(
+    spark: SparkSession, table_dir: str, since: int | None = None
+) -> DataFrame:
+    """Incremental DELETE feed: for every delete version after
+    ``since``, the rows it removed, tagged ``_version`` — the other
+    half of the CDC contract (:func:`change_feed` carries adds; a
+    MERGE-style consumer applies both).  Raises FileNotFoundError
+    when no delete version in range removed rows."""
+    from pyspark.sql import functions as F
+
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    lo = versions[0] if since is None else since + 1
+    summaries = _version_summaries(table_dir)
+    out = None
+    for v in sorted(summaries):
+        if v < lo or summaries[v]["mode"] != "delete":
+            continue
+        part = deleted_rows(spark, table_dir, v).withColumn(
+            "_version", F.lit(v).cast("bigint")
+        )
+        out = part if out is None else out.unionByName(
+            part, allowMissingColumns=True
+        )
+    if out is None:
+        raise FileNotFoundError(
+            f"no delete versions after v{since} in {table_dir}"
+        )
+    return out
+
+
 def version_at(table_dir: str, as_of: float) -> int:
     """TIMESTAMP-addressed version resolution: the newest retained
     version whose recorded commit time is <= ``as_of`` (epoch

@@ -1560,6 +1560,20 @@ def test_versioned_deletion_vectors(spark, tmp_path):
     # vacuum keeps every referenced DV segment; reads stay whole
     V.vacuum(d, grace_seconds=0)
     assert V.read_version(spark, d).count() == len(exp)
+    # deletion feed: exact per-version deleted rows (the CDC deletes)
+    per_v = {
+        v: sorted(
+            r.k
+            for r in V.deleted_rows(spark, d, v).collect()
+        )
+        for v in (1, 2)
+    }
+    assert per_v[1] == [k for k in range(100) if k % 10 == 1]
+    assert per_v[2] == [
+        k for k in range(100) if k % 10 != 1 and k % 3 == 0
+    ]
+    df_all = V.deletion_feed(spark, d, since=0)
+    assert df_all.count() == len(per_v[1]) + len(per_v[2]) + 1  # + k=50
     # partial compact keeps kept files' DV rows: build a fresh table
     d2 = str(tmp_path / "tbl2")
     V.commit(spark.range(50).selectExpr("id as k").coalesce(1),

@@ -72,6 +72,9 @@ _ONE_PART_CLASS = {
     "q_cms_estimate": "scalar",
     "q_cms_incremental": "scalar",  # same 1-row n_total merge
     "q_count_distinct": "scalar",
+    # r13: four per-version (count, sum) global aggregates over the
+    # deletion-vector demo — 1-row-per-partition partials merged
+    "q_version_delete": "scalar",
     "q_dq_report": "group-bounded",
     "q_funnel": "scalar",
     "q_heavy_hitters": "k-bounded",

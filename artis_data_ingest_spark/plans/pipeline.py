@@ -2424,6 +2424,187 @@ def q_deletion_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_version_update",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), u1 AS (
+  SELECT k,
+         CASE WHEN k % 10 = 3 THEN cents + 7 ELSE cents END AS cents
+  FROM o
+), u2 AS (
+  SELECT k,
+         CASE WHEN cents % 5 = 0 THEN cents * 2 ELSE cents END AS cents
+  FROM u1
+), v AS (
+  SELECT 0 AS version, 2 AS n_files, 0 AS n_dv,
+         COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+  FROM o
+  UNION ALL
+  SELECT 1, 3, 1, COUNT(*), SUM(cents) FROM u1
+  UNION ALL
+  SELECT 2, 4, 2, COUNT(*), SUM(cents) FROM u2
+  UNION ALL
+  SELECT 3, 1, 0, COUNT(*), SUM(cents) FROM u2
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(n_files AS BIGINT) AS n_files,
+       CAST(n_dv AS BIGINT) AS n_dv,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_cents AS BIGINT) AS sum_cents
+FROM v ORDER BY version
+""",
+    doc="Row-level UPDATE via deletion vectors + post-image append "
+    "(r13, sinks/versioned.py:update_where — Delta's DV-backed "
+    "UPDATE): the matched live rows' OLD images mask behind a "
+    "KB-scale (file, row position) sidecar while their NEW images — "
+    "SET expressions evaluated over the old row, untouched columns "
+    "carried — append as a small segment the manifest also records "
+    "as delta_files, so the change feed and the streaming source "
+    "surface exactly the post-images.  Zero copy-on-write of "
+    "untouched rows: at 100 TB an update touching a few thousand "
+    "rows costs one filtered scan, a sidecar, and a small segment.  "
+    "Two stacked updates pin that the second's predicate and SET see "
+    "the FIRST's post-images (live-row semantics); the hashed result "
+    "pins per-version file/DV counts (the zero-rewrite claim), exact "
+    "time travel through both update states, and compaction "
+    "materializing the masks.",
+)
+def q_version_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import (
+        _read_manifest,
+        commit,
+        compact,
+        read_version,
+        update_where,
+    )
+
+    base = _versioned_demo_path(sf_dir, "versioned_update_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    commit(orders.repartition(2), base, mode="overwrite", note="base",
+           expect_version=None, timestamp=100.0)
+    update_where(spark, base, {"cents": "cents + 7"}, "k % 10 = 3",
+                 note="bump-threes", timestamp=200.0)
+    update_where(spark, base, {"cents": "cents * 2"}, "cents % 5 = 0",
+                 note="double-fives", timestamp=300.0)
+    compact(spark, base, n_files=1, timestamp=400.0)
+    out = None
+    for v in range(4):
+        m = _read_manifest(base, v)
+        s = read_version(spark, base, v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).select(
+            F.lit(v).cast("bigint").alias("version"),
+            F.lit(len(m["files"])).cast("bigint").alias("n_files"),
+            F.lit(len(m.get("dv_files", []))).cast("bigint").alias(
+                "n_dv"
+            ),
+            "n_rows",
+            "sum_cents",
+        )
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("version")
+
+
+@register(
+    "q_cdc_feed",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), u1 AS (
+  SELECT k,
+         CASE WHEN k % 10 = 3 THEN cents + 7 ELSE cents END AS cents
+  FROM o
+), c AS (
+  SELECT 1 AS _version, 'update_preimage' AS _change_type, k, cents
+  FROM o WHERE k % 10 = 3
+  UNION ALL
+  SELECT 1, 'update_postimage', k, cents + 7
+  FROM o WHERE k % 10 = 3
+  UNION ALL
+  SELECT 2, 'delete', k, cents
+  FROM u1 WHERE cents % 3 = 0
+  UNION ALL
+  SELECT 3, 'insert', k + 1000000, cents
+  FROM o WHERE k % 10 = 0
+)
+SELECT CAST(_version AS BIGINT) AS _version,
+       _change_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM c GROUP BY 1, 2 ORDER BY _version, _change_type
+""",
+    doc="Unified CDC feed — Delta's table_changes contract (r13, "
+    "sinks/versioned.py:cdc_feed): every row-level change after a "
+    "cursor in ONE DataFrame tagged _change_type ∈ {insert, delete, "
+    "update_preimage, update_postimage} + _version, each version "
+    "recovered at O(its changed rows) — inserts from the recorded "
+    "delta files, deletes by joining the version's new vectors back, "
+    "updates emitting both images.  An update → delete → append "
+    "lifecycle pins the full tag set; the delete's predicate runs "
+    "over the update's post-images (live-row semantics) and the "
+    "pre/post images must pair exactly — a feed that served stale "
+    "pre-images, leaked a parent's vectors, or dropped the append "
+    "hash-mismatches.  This is the downstream-mirror primitive: a "
+    "consumer applying these tags replays the table exactly.",
+)
+def q_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import (
+        cdc_feed,
+        commit,
+        delete_where,
+        update_where,
+    )
+
+    base = _versioned_demo_path(sf_dir, "versioned_cdc_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    commit(orders.repartition(2), base, mode="overwrite", note="base",
+           expect_version=None, timestamp=100.0)
+    update_where(spark, base, {"cents": "cents + 7"}, "k % 10 = 3",
+                 timestamp=200.0)
+    delete_where(spark, base, "cents % 3 = 0", timestamp=300.0)
+    arrivals = orders.filter(F.col("k") % 10 == 0).select(
+        (F.col("k") + F.lit(1000000)).alias("k"), "cents"
+    )
+    commit(arrivals, base, mode="append", note="arrivals",
+           timestamp=400.0)
+    return (
+        cdc_feed(spark, base, since=0)
+        .groupBy("_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("_version", "_change_type")
+    )
+
+
+@register(
     "q_version_zorder",
     oracle="""
 WITH g AS (

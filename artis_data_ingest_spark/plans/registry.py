@@ -51,8 +51,6 @@ _PRIORITY: list[str] = [
     "q_pdf_modern",           # + modern-rc4 (encrypted 1.5) fixture
     "q_docx_ingest",          # + notes.docx (endnotes, nested text box)
     "q_feed_driven_dedup",    # persisted band index
-    "q_version_source",       # Arrow-batch DataSource reads
-    "q_version_optimize",     # appends now inherit layout props
     "q_version_zorder",       # zvalue -> zvalue_n delegation
     "q_time_travel",          # version walks via checkpoint summaries
     "q_change_feed",          # earliest_feed_version via summaries
@@ -102,6 +100,8 @@ _PRIORITY: list[str] = [
     "q_inverted_index",
     "q_version_delete",
     "q_deletion_feed",
+    "q_version_update",
+    "q_cdc_feed",
     "q_gopher_rules",
     "q_pii_scrub",
     "q_sequence_pack",

@@ -72,7 +72,13 @@ Semantics:
     ``mode="delete"`` manifests carry ``dv_files`` — KB-scale
     (file, row position) sidecars applied as a broadcast anti-join on
     ``_metadata`` columns; zero rewrite, exact time travel, appends
-    carry them, :func:`compact` materializes them).
+    carry them, :func:`compact` materializes them); row-level UPDATE
+    (:func:`update_where`: ``mode="update"`` = DV over the old images
+    + a post-image ``delta_files`` segment, Delta's DV-backed UPDATE);
+    and the unified CDC view (:func:`cdc_feed`: every change after a
+    cursor tagged ``_change_type`` ∈ {insert, delete, update_preimage,
+    update_postimage} — Delta's ``table_changes`` contract, each
+    version recovered at O(its changed rows)).
 
 At 100 TB the manifest is the only driver-side object (a file list —
 thousands of entries, not data), reads prune to exactly the listed
@@ -936,6 +942,238 @@ def deletion_feed(
     return out
 
 
+def update_where(
+    spark: SparkSession,
+    table_dir: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+    note: str = "update",
+    expect_version: int | None | str = ANY,
+    timestamp: float | None = None,
+    n_files: int | None = None,
+) -> int:
+    """Row-level UPDATE — the third leg of the DML triad (r13),
+    implemented as DELETE-via-deletion-vector + append-of-post-image,
+    exactly how Delta executes UPDATE on DV-enabled tables: the live
+    rows matching ``predicate`` get a (file path, row position)
+    deletion-vector sidecar masking their OLD images, and their NEW
+    images — each column rewritten by ``set_exprs[col]`` (a SQL
+    expression that may reference the old row's columns, standard
+    UPDATE semantics) or carried unchanged — append as a fresh
+    segment.  Zero copy-on-write of untouched rows: at 100 TB an
+    update touching a few thousand rows costs one filtered scan, a
+    KB-scale sidecar, and a small post-image segment, never a rewrite
+    of every file containing a matched row.
+
+    The manifest (``mode="update"``) records the post-image segment as
+    ``delta_files``, so :func:`change_feed` and the streaming
+    ``versioned_feed`` source surface exactly the post-image rows as
+    the version's adds; :func:`updated_rows` recovers pre/post images
+    and :func:`cdc_feed` emits both with Delta's ``_change_type``
+    tags.  Layout table properties apply to the new segment like any
+    append (cluster_by re-ranges it, bloom_cols build its bitmaps),
+    so pruning stays sound; time travel is exact (version N serves
+    the pre-update rows); :func:`compact` materializes the vectors.
+    Returns the new version number."""
+    from pyspark.sql import functions as F
+
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    _check_expected(cur, expect_version)
+    m = _read_manifest(table_dir, cur)
+    cols = spark.read.option("mergeSchema", "true").parquet(
+        *m["files"]
+    ).columns
+    unknown = sorted(set(set_exprs) - set(cols))
+    if unknown:
+        raise ValueError(f"SET targets not in table: {unknown}")
+    live = spark.read.option("mergeSchema", "true").parquet(*m["files"])
+    tagged = live.select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"), _SCHEME_RE, ""
+        ).alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    prior_dv = list(m.get("dv_files", []))
+    if prior_dv:
+        dv = spark.read.parquet(*prior_dv).select("_dv_file", "_dv_pos")
+        tagged = tagged.join(
+            F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+        )
+    matched = tagged.filter(F.expr(predicate))
+    # one filtered scan feeds both the vector and the post-image;
+    # localCheckpoint would break _metadata, so cache the small match
+    matched = matched.cache()
+    new_version = cur + 1
+    dv_seg = _write_segment(
+        matched.select("_dv_file", "_dv_pos").coalesce(1),
+        table_dir,
+        new_version,
+    )
+    # post-image: SET expressions evaluate over the OLD row (standard
+    # UPDATE), untouched columns carry through; column order preserved
+    post = matched.select(
+        *[
+            F.expr(set_exprs[c]).cast(dict(live.dtypes)[c]).alias(c)
+            if c in set_exprs
+            else F.col(c)
+            for c in cols
+        ]
+    )
+    props = dict(m.get("table_props", {}))
+    cluster_by = props.get("cluster_by")
+    bloom_cols = props.get("bloom_cols")
+    if cluster_by:
+        parts = n_files or spark.sparkContext.defaultParallelism
+        post = post.repartitionByRange(
+            parts, *_cluster_exprs(cluster_by)
+        ).sortWithinPartitions(*_cluster_exprs(cluster_by))
+    else:
+        post = post.coalesce(n_files or 1)
+    seg = _write_segment(post, table_dir, new_version)
+    matched.unpersist()
+    stats = {**m.get("stats", {}), **_file_stats(seg)}
+    blooms = dict(m.get("blooms", {}))
+    if bloom_cols:
+        blooms.update(_segment_blooms(spark, seg, bloom_cols))
+    manifest = {
+        "version": new_version,
+        "parent": cur,
+        "mode": "update",
+        "note": note,
+        "ts": timestamp if timestamp is not None else time.time(),
+        "files": list(m["files"]) + seg,
+        "stats": stats,
+        "dv_files": prior_dv + dv_seg,
+        "delta_files": seg,
+    }
+    if blooms:
+        manifest["blooms"] = blooms
+    if props:
+        manifest["table_props"] = props
+    return _publish(table_dir, manifest)
+
+
+def updated_rows(
+    spark: SparkSession,
+    table_dir: str,
+    version: int,
+    image: str = "post",
+) -> DataFrame:
+    """The rows version ``version``'s UPDATE touched: ``image="post"``
+    reads the recorded ``delta_files`` (the new images — O(1 manifest),
+    no join); ``image="pre"`` recovers the old images by joining the
+    version's NEW deletion-vector segments back against the PARENT's
+    files on (file path, row position), O(updated rows) like
+    :func:`deleted_rows`.  Raises ValueError for non-update versions
+    and RetentionError when the parent manifest needed to isolate the
+    pre-images was expired."""
+    from pyspark.sql import functions as F
+
+    if image not in ("pre", "post"):
+        raise ValueError(f"image must be 'pre' or 'post', not {image!r}")
+    m = _read_manifest(table_dir, version)
+    if m["mode"] != "update":
+        raise ValueError(f"v{version} is {m['mode']!r}, not an update")
+    if image == "post":
+        return spark.read.option("mergeSchema", "true").parquet(
+            *m["delta_files"]
+        )
+    try:
+        parent = _read_manifest(table_dir, m["parent"])
+    except FileNotFoundError:
+        raise RetentionError(
+            f"v{version}'s parent manifest was expired; its pre-update "
+            f"images are no longer isolatable"
+        ) from None
+    parent_dv = set(parent.get("dv_files", []))
+    new_dv = [f for f in m["dv_files"] if f not in parent_dv]
+    dv = spark.read.parquet(*new_dv).select("_dv_file", "_dv_pos")
+    base = spark.read.option("mergeSchema", "true").parquet(
+        *parent["files"]
+    )
+    tagged = base.select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"), _SCHEME_RE, ""
+        ).alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    return tagged.join(
+        F.broadcast(dv), ["_dv_file", "_dv_pos"], "inner"
+    ).drop("_dv_file", "_dv_pos")
+
+
+def cdc_feed(
+    spark: SparkSession, table_dir: str, since: int | None = None
+) -> DataFrame:
+    """The UNIFIED change-data feed — Delta's ``table_changes``
+    contract: one DataFrame tagging every row-level change after the
+    ``since`` cursor with ``_change_type`` ∈ {insert, delete,
+    update_preimage, update_postimage} and ``_version``.  Composes the
+    three per-mode recoveries (``version_delta_files`` for adds,
+    :func:`deleted_rows`, :func:`updated_rows`) so each version costs
+    O(its changed rows): append/overwrite/merge/restore deltas read as
+    inserts, delete versions join their new vectors back for the
+    removed rows, update versions emit both images.  Compact versions
+    contribute nothing (bytes moved, no rows changed).  Raises
+    :class:`RetentionError` via the same guards as
+    :func:`change_feed` — a CDC consumer must never silently skip a
+    lost delta."""
+    from pyspark.sql import functions as F
+
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    first_ok = earliest_feed_version(table_dir)
+    lo = versions[0] if since is None else since + 1
+    if lo < first_ok:
+        raise RetentionError(
+            f"cdc feed from v{lo} is out of retention: versions before "
+            f"v{first_ok} were expired or their deltas are no longer "
+            f"resolvable; earliest valid since is {first_ok - 1}"
+        )
+    summaries = _version_summaries(table_dir)
+    parts: list[DataFrame] = []
+
+    def _tag(df: DataFrame, v: int, kind: str) -> DataFrame:
+        return df.withColumn(
+            "_change_type", F.lit(kind)
+        ).withColumn("_version", F.lit(v).cast("bigint"))
+
+    for v in sorted(summaries):
+        if v < lo:
+            continue
+        mode = summaries[v]["mode"]
+        if mode == "compact":
+            continue
+        if mode == "delete":
+            parts.append(_tag(deleted_rows(spark, table_dir, v), v,
+                              "delete"))
+        elif mode == "update":
+            parts.append(_tag(
+                updated_rows(spark, table_dir, v, "pre"), v,
+                "update_preimage"))
+            parts.append(_tag(
+                updated_rows(spark, table_dir, v, "post"), v,
+                "update_postimage"))
+        else:
+            delta = version_delta_files(table_dir, v)
+            if delta:
+                parts.append(_tag(spark.read.parquet(*delta), v,
+                                  "insert"))
+    if not parts:
+        raise FileNotFoundError(
+            f"no row changes after v{since} in {table_dir}"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def version_at(table_dir: str, as_of: float) -> int:
     """TIMESTAMP-addressed version resolution: the newest retained
     version whose recorded commit time is <= ``as_of`` (epoch
@@ -1391,7 +1629,9 @@ def version_delta_files(table_dir: str, version: int) -> list[str]:
     m = _read_manifest(table_dir, version)
     if m["mode"] in ("compact", "delete"):
         return []  # bytes moved / rows masked — no rows ADDED
-    if m["mode"] == "merge":
+    if m["mode"] in ("merge", "update"):
+        # update records its post-image segment as delta_files, so the
+        # adds-feed (and the streaming source) surface the NEW images
         return list(m["delta_files"])
     parent_files = (
         set(_read_manifest(table_dir, m["parent"])["files"])

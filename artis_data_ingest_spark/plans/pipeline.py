@@ -2518,6 +2518,112 @@ def q_version_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_merge_dv",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), m AS (
+  SELECT k, k * 3 AS cents FROM o WHERE k % 100 = 7
+  UNION ALL
+  SELECT k + 2000000, k FROM o WHERE k % 100 = 0
+), after AS (
+  SELECT k, cents FROM o WHERE k % 100 NOT IN (7, 13)
+  UNION ALL
+  SELECT k, cents FROM m
+), v AS (
+  SELECT 0 AS version, 2 AS n_files, 0 AS n_dv,
+         COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+  FROM o
+  UNION ALL
+  SELECT 1, 3, 1, COUNT(*), SUM(cents) FROM after
+  UNION ALL
+  SELECT 2, 1, 0, COUNT(*), SUM(cents) FROM after
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(n_files AS BIGINT) AS n_files,
+       CAST(n_dv AS BIGINT) AS n_dv,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_cents AS BIGINT) AS sum_cents
+FROM v ORDER BY version
+""",
+    doc="MERGE at O(delta) via deletion vectors (r13, "
+    "sinks/versioned.py:merge_dv — Delta's DV-backed MERGE): matched "
+    "live target rows mask behind a (file, row position) sidecar and "
+    "the surviving source rows (source-wins updates + inserts; "
+    "delete-flagged keys mask only) append as ONE small segment — "
+    "never merge_commit's full-state rewrite.  At 100 TB a merge "
+    "touching a few thousand keys costs one scan semi-joined against "
+    "the BROADCAST key set (no table shuffle), a KB sidecar, and a "
+    "small segment.  The hashed result pins the update/insert/delete "
+    "mix in one pass, the constant parent file list + exactly one "
+    "appended segment (the zero-rewrite claim), exact time travel to "
+    "the pre-merge state, and compaction materializing the masks; "
+    "the logical result is pinned equal to operators/merge.py:"
+    "merge_upsert in the lib tests.",
+)
+def q_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import (
+        _read_manifest,
+        commit,
+        compact,
+        merge_dv,
+        read_version,
+    )
+
+    base = _versioned_demo_path(sf_dir, "versioned_mergedv_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    commit(orders.repartition(2), base, mode="overwrite", note="base",
+           expect_version=None, timestamp=100.0)
+    k = F.col("k")
+    source = (
+        orders.filter(k % 100 == 7)
+        .select(k.alias("k"), (k * 3).alias("cents"),
+                F.lit(False).alias("dead"))
+        .unionByName(
+            orders.filter(k % 100 == 0).select(
+                (k + 2000000).alias("k"), k.alias("cents"),
+                F.lit(False).alias("dead"),
+            )
+        )
+        .unionByName(
+            orders.filter(k % 100 == 13).select(
+                "k", "cents", F.lit(True).alias("dead")
+            )
+        )
+    )
+    merge_dv(spark, base, source, ["k"], delete_col="dead",
+             timestamp=200.0)
+    compact(spark, base, n_files=1, timestamp=300.0)
+    out = None
+    for v in range(3):
+        m = _read_manifest(base, v)
+        s = read_version(spark, base, v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).select(
+            F.lit(v).cast("bigint").alias("version"),
+            F.lit(len(m["files"])).cast("bigint").alias("n_files"),
+            F.lit(len(m.get("dv_files", []))).cast("bigint").alias(
+                "n_dv"
+            ),
+            "n_rows",
+            "sum_cents",
+        )
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("version")
+
+
+@register(
     "q_cdc_feed",
     oracle="""
 WITH o AS (

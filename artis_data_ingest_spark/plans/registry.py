@@ -87,7 +87,6 @@ _PRIORITY: list[str] = [
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_revenue",
     # (f) one never-sampled representative per major family (dedup,
     # ANN, retrieval, text-curation, packing, media, CDC) so every
     # family regains at least one fresh driver verdict this round
@@ -102,6 +101,7 @@ _PRIORITY: list[str] = [
     "q_deletion_feed",
     "q_version_update",
     "q_cdc_feed",
+    "q_merge_dv",
     "q_gopher_rules",
     "q_pii_scrub",
     "q_sequence_pack",

@@ -767,6 +767,115 @@ def merge_commit(
     return _publish(table_dir, manifest)
 
 
+def merge_dv(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    delete_col: str | None = None,
+    note: str = "merge-dv",
+    timestamp: float | None = None,
+    n_files: int | None = None,
+) -> int:
+    """MERGE at O(delta) cost — the deletion-vector form Delta uses on
+    DV-enabled tables (r13): instead of rewriting the merged full
+    state like :func:`merge_commit`, the live target rows whose keys
+    appear in ``source`` mask behind a (file, row position) sidecar
+    and the surviving source rows (matched updates with source-wins
+    semantics, brand-new inserts; ``delete_col``-flagged rows mask
+    only) append as one small segment.  At 100 TB a merge touching a
+    few thousand keys costs one key-semi-joined scan, a KB-scale
+    sidecar, and a small segment — never the full-table rewrite
+    :func:`merge_commit` pays (keep that form for mostly-replaced
+    tables or when the rewrite doubles as re-clustering; the logical
+    result is identical to operators/merge.py:merge_upsert either
+    way, which the tests pin).
+
+    Manifest: ``mode="merge"`` with ``dv_files`` — the feed contract
+    is unchanged (``delta_files`` records the source AS GIVEN, flags
+    included, so :func:`change_feed` surfaces exactly the delta), and
+    every downstream consumer (compact materialization, restore,
+    clone, retention guards) already handles the DV + merge pieces.
+    Layout table properties apply to the appended segment.  Standard
+    MERGE contract: non-null keys, at most one source row per key."""
+    from pyspark.sql import functions as F
+
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no versions in {table_dir}; commit() the base state first"
+        )
+    m = _read_manifest(table_dir, cur)
+    keys = list(keys)
+    src_keys = source.select(*keys).distinct()
+    live = spark.read.option("mergeSchema", "true").parquet(*m["files"])
+    tagged = live.select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"), _SCHEME_RE, ""
+        ).alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    prior_dv = list(m.get("dv_files", []))
+    if prior_dv:
+        dv = spark.read.parquet(*prior_dv).select("_dv_file", "_dv_pos")
+        tagged = tagged.join(
+            F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+        )
+    # the MERGE premise is a small delta against a big table: the key
+    # set broadcasts, so masking costs ONE scan with no table shuffle
+    hits = tagged.join(F.broadcast(src_keys), keys, "left_semi").select(
+        "_dv_file", "_dv_pos"
+    )
+    new_version = cur + 1
+    dv_seg = _write_segment(hits.coalesce(1), table_dir, new_version)
+    post = source
+    if delete_col is not None:
+        post = post.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    # align order AND types with the table (a source built with e.g.
+    # int literals against a bigint table must not fork the schema)
+    ltypes = dict(live.dtypes)
+    post = post.select(
+        *[F.col(c).cast(ltypes[c]).alias(c) for c in live.columns]
+    )
+    props = dict(m.get("table_props", {}))
+    cluster_by = props.get("cluster_by")
+    bloom_cols = props.get("bloom_cols")
+    if cluster_by:
+        parts = n_files or spark.sparkContext.defaultParallelism
+        post = post.repartitionByRange(
+            parts, *_cluster_exprs(cluster_by)
+        ).sortWithinPartitions(*_cluster_exprs(cluster_by))
+    else:
+        post = post.coalesce(n_files or 1)
+    seg = _write_segment(post, table_dir, new_version)
+    delta_files = _write_segment(
+        source.coalesce(n_files or 1), table_dir, new_version
+    )
+    stats = {**m.get("stats", {}), **_file_stats(seg)}
+    blooms = dict(m.get("blooms", {}))
+    if bloom_cols:
+        blooms.update(_segment_blooms(spark, seg, bloom_cols))
+    manifest = {
+        "version": new_version,
+        "parent": cur,
+        "mode": "merge",
+        "note": note,
+        "ts": timestamp if timestamp is not None else time.time(),
+        "files": list(m["files"]) + seg,
+        "stats": stats,
+        "dv_files": prior_dv + dv_seg,
+        "delta_files": delta_files,
+    }
+    if blooms:
+        manifest["blooms"] = blooms
+    if props:
+        manifest["table_props"] = props
+    return _publish(table_dir, manifest)
+
+
 #: SQL regex stripping the scheme Spark's ``_metadata.file_path``
 #: carries (``file:/abs`` or ``file:///abs``) so DV rows store plain
 #: absolute paths that match manifest entries.

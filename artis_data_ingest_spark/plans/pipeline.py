@@ -3591,3 +3591,214 @@ def q_pdf_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.pdf import read_pdf_fleet
 
     return read_pdf_fleet(spark, _PDF15_GLOB).orderBy("path")
+
+
+@register(
+    "q_version_constraints",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), a AS (
+  SELECT k + 100000000 AS k2,
+         CASE WHEN k % 3 = 0 THEN -cents ELSE cents + 11 END AS cents
+  FROM o WHERE k % 7 = 0
+), v AS (
+  SELECT 'base' AS stage, 0 AS version,
+         COUNT(*) AS n_rows, SUM(cents) AS sum_cents FROM o
+  UNION ALL
+  SELECT 'committed', 2, COUNT(*), SUM(cents)
+  FROM a WHERE cents > 0
+  UNION ALL
+  SELECT 'quarantined', 2, COUNT(*), SUM(cents)
+  FROM a WHERE NOT (cents > 0)
+  UNION ALL
+  SELECT 'final', 2,
+         (SELECT COUNT(*) FROM o) + COUNT(*),
+         (SELECT SUM(cents) FROM o) + SUM(cents)
+  FROM a WHERE cents > 0
+)
+SELECT stage,
+       CAST(version AS BIGINT) AS version,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_cents AS BIGINT) AS sum_cents
+FROM v ORDER BY stage
+""",
+    doc="CHECK constraints on versioned tables (r13, "
+    "sinks/versioned.py:add_constraint/commit(on_violation=) — "
+    "Delta's ALTER TABLE ADD CONSTRAINT): a named SQL predicate "
+    "recorded as a table property gates every write path BEFORE "
+    "publication, at O(new segment) cost — one aggregate over the "
+    "staged files, never a table scan and never a recomputation of "
+    "the caller's plan.  on_violation='error' discards the staged "
+    "segment atomically (the demo pins this: the version counter "
+    "does NOT advance past the rejected batch); "
+    "on_violation='quarantine' commits the valid rows and records "
+    "the violators in the manifest's quarantine_files — the "
+    "100 TB-ingest form where one bad record must neither stall the "
+    "load nor silently vanish.  The hashed result pins the base "
+    "state, the exact valid/quarantined split of a mixed batch "
+    "(NULL-passes CHECK semantics), the post-commit version number "
+    "(2 — proof the rejected error-mode attempt minted no version), "
+    "and the final live rows.",
+)
+def q_version_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import (
+        ConstraintViolation,
+        add_constraint,
+        commit,
+        latest_version,
+        quarantined_rows,
+        read_version,
+    )
+
+    base = _versioned_demo_path(sf_dir, "versioned_constraints_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    commit(orders.repartition(2), base, mode="overwrite", note="base",
+           expect_version=None, timestamp=100.0)
+    add_constraint(spark, base, "cents_pos", "cents > 0",
+                   timestamp=200.0)
+    arrivals = orders.filter(F.col("k") % 7 == 0).select(
+        (F.col("k") + 100000000).alias("k"),
+        F.when(F.col("k") % 3 == 0, -F.col("cents"))
+        .otherwise(F.col("cents") + 11)
+        .alias("cents"),
+    )
+    # error mode: the violating batch must be rejected WHOLE, minting
+    # no version (the oracle pins the next commit landing as v2)
+    try:
+        commit(arrivals, base, timestamp=300.0)
+        raise AssertionError("constraint gate did not fire")
+    except ConstraintViolation:
+        pass
+    v2 = commit(arrivals, base, timestamp=400.0,
+                on_violation="quarantine")
+    assert v2 == latest_version(base)
+
+    def _agg(df, stage):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).select(
+            F.lit(stage).alias("stage"),
+            F.lit(v2 if stage != "base" else 0).cast("bigint").alias(
+                "version"
+            ),
+            "n_rows",
+            "sum_cents",
+        )
+
+    committed = read_version(spark, base).filter(
+        F.col("k") >= 100000000
+    )
+    return (
+        _agg(read_version(spark, base, 0), "base")
+        .unionByName(_agg(committed, "committed"))
+        .unionByName(_agg(quarantined_rows(spark, base, v2),
+                          "quarantined"))
+        .unionByName(_agg(read_version(spark, base), "final"))
+        .orderBy("stage")
+    )
+
+
+@register(
+    "q_version_rename",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(o_orderkey % 2 AS BIGINT) AS flag
+  FROM orders
+), a AS (
+  SELECT k + 200000000 AS k, cents + 3 AS amount
+  FROM o WHERE k % 5 = 0
+), s2 AS (
+  SELECT k, cents AS amount FROM o
+  UNION ALL SELECT k, amount FROM a
+), s3 AS (
+  SELECT k,
+         CASE WHEN k % 11 = 0 THEN amount + 7 ELSE amount END AS amount
+  FROM s2
+), v AS (
+  SELECT 0 AS version, 'k,cents,flag' AS cols,
+         COUNT(*) AS n_rows, SUM(cents) AS sum_val FROM o
+  UNION ALL SELECT 1, 'k,amount,flag', COUNT(*), SUM(cents) FROM o
+  UNION ALL SELECT 2, 'k,amount,flag', COUNT(*), SUM(amount) FROM s2
+  UNION ALL SELECT 3, 'k,amount,flag', COUNT(*), SUM(amount) FROM s3
+  UNION ALL SELECT 4, 'k,amount', COUNT(*), SUM(amount) FROM s3
+)
+SELECT CAST(version AS BIGINT) AS version, cols,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_val AS BIGINT) AS sum_val
+FROM v ORDER BY version
+""",
+    doc="COLUMN MAPPING on versioned tables (r13, sinks/versioned.py:"
+    "rename_column/drop_column — Delta's column-mapping name mode): "
+    "RENAME and DROP are metadata-only alter commits; physical files "
+    "never rewrite (renamed columns keep their original on-disk "
+    "name; later appends WRITE the original physical name so the "
+    "on-disk schema stays uniform; dropped columns tombstone and "
+    "compaction purges them physically).  Every read path serves the "
+    "LOGICAL names of the version being read — the hashed result "
+    "pins the per-version schema string through rename (v1), "
+    "post-rename append (v2), an UPDATE addressed entirely by "
+    "logical names (v3), and a column drop (v4), plus exact "
+    "aggregates proving no rows moved or changed when only metadata "
+    "did.  At 100 TB: a rename is one JSON manifest, not a "
+    "100 TB rewrite.",
+)
+def q_version_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import (
+        commit,
+        drop_column,
+        read_version,
+        rename_column,
+        update_where,
+    )
+
+    base = _versioned_demo_path(sf_dir, "versioned_rename_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+        (F.col("o_orderkey") % 2).cast("bigint").alias("flag"),
+    )
+    commit(orders.repartition(2), base, mode="overwrite", note="base",
+           expect_version=None, timestamp=100.0)
+    rename_column(base, "cents", "amount", timestamp=200.0)
+    arrivals = orders.filter(F.col("k") % 5 == 0).select(
+        (F.col("k") + 200000000).alias("k"),
+        (F.col("cents") + 3).alias("amount"),
+    )
+    commit(arrivals, base, timestamp=300.0)
+    update_where(spark, base, {"amount": "amount + 7"}, "k % 11 = 0",
+                 timestamp=400.0)
+    drop_column(base, "flag", timestamp=500.0)
+    out = None
+    for v in range(5):
+        df = read_version(spark, base, v)
+        val = "amount" if "amount" in df.columns else "cents"
+        s = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(val).cast("bigint").alias("sum_val"),
+        ).select(
+            F.lit(v).cast("bigint").alias("version"),
+            F.lit(",".join(df.columns)).alias("cols"),
+            "n_rows",
+            "sum_val",
+        )
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("version")

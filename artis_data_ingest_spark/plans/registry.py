@@ -46,6 +46,8 @@ _PRIORITY: list[str] = [
     # earlier.  All 52 are local-gate green at sf0.01 this round.
     #
     # (a) new in r13 / implementation or fixtures touched in r13
+    "q_version_constraints",  # new: CHECK constraints + quarantine
+    "q_version_rename",       # new: column mapping (rename/drop)
     "q_version_checkpoint",   # new: manifest-log checkpointing
     "q_pdf_ingest",           # + secure-rc4/secure-aes decryption fixtures
     "q_pdf_modern",           # + modern-rc4 (encrypted 1.5) fixture
@@ -85,8 +87,6 @@ _PRIORITY: list[str] = [
     "q2_min_cost_supplier",
     "q4_priority_exists",
     "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
     # (f) one never-sampled representative per major family (dedup,
     # ANN, retrieval, text-curation, packing, media, CDC) so every
     # family regains at least one fresh driver verdict this round

@@ -97,6 +97,13 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+class ConstraintViolation(RuntimeError):
+    """A write's rows violate a table CHECK constraint (r13).  Raised
+    with the violated constraint names, their expressions, and per-
+    constraint violation counts; the staged segment is discarded, so
+    nothing becomes visible (Delta's invariant-violation contract)."""
+
+
 class VersionConflict(RuntimeError):
     """Another writer committed the version this commit expected to
     create — rebase and retry."""
@@ -390,7 +397,15 @@ def _publish(table_dir: str, manifest: dict) -> int:
     version was claimed concurrently."""
     new_version = manifest["version"]
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
-    tmp = _manifest_path(table_dir, new_version) + f".tmp-{os.getpid()}"
+    # the tmp name must be unique per CALL, not per process: two
+    # threads racing for the same version from one driver would
+    # otherwise share a tmp path, and the link-winner's unlink yanks
+    # it out from under the loser (FileNotFoundError instead of the
+    # contractual VersionConflict)
+    tmp = (
+        _manifest_path(table_dir, new_version)
+        + f".tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    )
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     final = _manifest_path(table_dir, new_version)
@@ -411,6 +426,487 @@ def _publish(table_dir: str, manifest: dict) -> int:
     return new_version
 
 
+def _mapping(props: dict) -> dict[str, str]:
+    """COLUMN MAPPING (r13): {logical name: physical name}, recording
+    only non-identity entries.  Physical names are IMMUTABLE — the
+    name a column was first written under stays on disk forever;
+    renames and drops are metadata edits (Delta's column-mapping
+    ``name`` mode, reduced to a manifest property)."""
+    return dict(props.get("column_mapping", {}))
+
+
+def _dropped(props: dict) -> set[str]:
+    return set(props.get("dropped_columns", []))
+
+
+def _to_logical(
+    df: DataFrame, props: dict, keep: Sequence[str] = ()
+) -> DataFrame:
+    """Physical→logical view of a raw file scan: dropped physical
+    columns disappear, renamed ones surface under their current
+    logical names.  ``keep`` columns (reader bookkeeping like the DV
+    join keys) pass through untouched.  Identity when the table never
+    renamed/dropped — zero plan overhead for ordinary tables."""
+    mapping, dropped = _mapping(props), _dropped(props)
+    if not mapping and not dropped:
+        return df
+    from pyspark.sql import functions as F
+
+    rev = {p: l for l, p in mapping.items()}
+    keep_set = set(keep)
+    cols = []
+    for f in df.schema.fields:
+        n = f.name
+        if n in keep_set:
+            cols.append(F.col(n))
+            continue
+        if n in dropped:
+            continue
+        logical = rev.get(n, n)
+        cols.append(
+            F.col(n).alias(logical) if logical != n else F.col(n)
+        )
+    return df.select(*cols)
+
+
+def _to_physical(df: DataFrame, props: dict) -> DataFrame:
+    """Logical→physical rename applied JUST BEFORE writing any data
+    segment, so every file on disk is uniformly keyed by physical
+    names regardless of how many renames preceded it."""
+    mapping = _mapping(props)
+    if not mapping:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(c).alias(mapping[c]) if c in mapping else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def _resolve_physical(props: dict, logical_cols, version: int) -> dict:
+    """Ensure every logical column about to be written has a physical
+    name colliding with neither a dropped physical nor another
+    column's physical — the re-added-after-drop / name-swap hazard:
+    without a fresh physical, old files' tombstoned bytes would
+    resurface under the new column.  Returns (possibly updated) props;
+    fresh physicals are suffixed ``__p<version>`` (Delta solves the
+    same problem with UUID physical names assigned at creation)."""
+    mapping, dropped = _mapping(props), _dropped(props)
+    if not mapping and not dropped:
+        return props
+    taken = set(mapping.values()) | dropped
+    changed = False
+    for c in logical_cols:
+        if c in mapping:
+            continue
+        if c in taken:
+            phys = f"{c}__p{version}"
+            while phys in taken:
+                phys += "x"
+            mapping[c] = phys
+            taken.add(phys)
+            changed = True
+    if changed:
+        props = dict(props)
+        props["column_mapping"] = mapping
+    return props
+
+
+def rename_column(
+    table_dir: str,
+    old: str,
+    new: str,
+    note: str = "",
+    expect_version: int | None | str = ANY,
+    timestamp: float | None = None,
+) -> int:
+    """ALTER TABLE RENAME COLUMN without rewriting a byte (r13): the
+    physical files keep their original column names; the manifest's
+    column-mapping property re-labels them at read time (every read
+    path — :func:`read_version`, :func:`scan`, :func:`change_feed`,
+    the CDC/DML row recovers, the streaming DataSource — serves the
+    logical names of the version being read, so time travel BEFORE
+    the rename still shows the old name).  Later writes store the new
+    logical column under the ORIGINAL physical name, keeping the
+    on-disk schema uniform.  At 100 TB this is the difference between
+    a metadata commit and a full-table rewrite."""
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    logical = _logical_schema_names(table_dir, cur)
+
+    def _mut(props: dict) -> None:
+        if old not in logical:
+            raise ValueError(f"no column {old!r} (have {logical})")
+        if new in logical and new != old:
+            raise ValueError(f"column {new!r} already exists")
+        mapping = _mapping(props)
+        phys = mapping.pop(old, old)
+        if new != phys:
+            mapping[new] = phys
+        if mapping:
+            props["column_mapping"] = mapping
+        else:
+            props.pop("column_mapping", None)
+        # constraints reference logical names: rewrite them so the
+        # gate keeps working after the rename (word-boundary textual
+        # rewrite — expressions here are our own SQL strings)
+        cons = props.get("constraints")
+        if cons:
+            import re
+
+            props["constraints"] = {
+                n: re.sub(rf"\b{re.escape(old)}\b", new, e)
+                for n, e in cons.items()
+            }
+
+    return _alter_commit(
+        table_dir,
+        note or f"rename {old} -> {new}",
+        _mut,
+        expect_version=expect_version,
+        timestamp=timestamp,
+    )
+
+
+def drop_column(
+    table_dir: str,
+    col: str,
+    note: str = "",
+    expect_version: int | None | str = ANY,
+    timestamp: float | None = None,
+) -> int:
+    """ALTER TABLE DROP COLUMN without rewriting a byte (r13): the
+    physical column becomes a tombstone every read path excludes;
+    :func:`compact` physically purges it from whatever it rewrites.
+    Re-adding a column with the same name later is safe — the new
+    column gets a FRESH physical name (see :func:`_resolve_physical`),
+    so the tombstoned bytes never resurface."""
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    logical = _logical_schema_names(table_dir, cur)
+
+    def _mut(props: dict) -> None:
+        if col not in logical:
+            raise ValueError(f"no column {col!r} (have {logical})")
+        import re
+
+        for n, e in (props.get("constraints") or {}).items():
+            if re.search(rf"\b{re.escape(col)}\b", e):
+                raise ValueError(
+                    f"column {col!r} is referenced by constraint "
+                    f"{n!r} [{e}] — drop the constraint first"
+                )
+        mapping = _mapping(props)
+        phys = mapping.pop(col, col)
+        dropped = sorted(_dropped(props) | {phys})
+        props["dropped_columns"] = dropped
+        if mapping:
+            props["column_mapping"] = mapping
+        else:
+            props.pop("column_mapping", None)
+
+    return _alter_commit(
+        table_dir,
+        note or f"drop column {col}",
+        _mut,
+        expect_version=expect_version,
+        timestamp=timestamp,
+    )
+
+
+def _logical_schema_names(table_dir: str, version: int) -> list[str]:
+    """The LOGICAL column names of ``version`` — unified parquet
+    footers (metadata reads only) passed through that version's
+    column mapping."""
+    import pyarrow.parquet as pq
+
+    m = _read_manifest(table_dir, version)
+    props = m.get("table_props", {})
+    mapping, dropped = _mapping(props), _dropped(props)
+    rev = {p: l for l, p in mapping.items()}
+    seen: set[str] = set()
+    out: list[str] = []
+    for f in m["files"]:
+        for field in pq.read_schema(f):
+            n = field.name
+            if n in seen:
+                continue
+            seen.add(n)
+            if n in dropped:
+                continue
+            out.append(rev.get(n, n))
+    return out
+
+
+def _alter_commit(
+    table_dir: str,
+    note: str,
+    mutate_props,
+    expect_version: int | None | str = ANY,
+    timestamp: float | None = None,
+) -> int:
+    """Publish a METADATA-ONLY commit (``mode="alter"``): the parent's
+    file list, stats, blooms, and deletion vectors carry byte-for-byte;
+    only ``table_props`` changes (``mutate_props`` edits the dict in
+    place).  This is how constraints and column-mapping changes become
+    versions: zero data movement, atomic publication, time travel sees
+    each version under the properties it was committed with, and the
+    change feed treats an alter like a compact (no rows added)."""
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    _check_expected(cur, expect_version)
+    m = _read_manifest(table_dir, cur)
+    props = dict(m.get("table_props", {}))
+    mutate_props(props)
+    manifest = {
+        "version": cur + 1,
+        "parent": cur,
+        "mode": "alter",
+        "note": note,
+        "ts": timestamp if timestamp is not None else time.time(),
+        "files": list(m["files"]),
+        "stats": dict(m.get("stats", {})),
+    }
+    if m.get("blooms"):
+        manifest["blooms"] = dict(m["blooms"])
+    if m.get("dv_files"):
+        manifest["dv_files"] = list(m["dv_files"])
+    if props:
+        manifest["table_props"] = props
+    return _publish(table_dir, manifest)
+
+
+def _violation_counts(
+    spark: SparkSession,
+    files: list[str],
+    constraints: dict[str, str],
+    props: dict | None = None,
+) -> dict[str, int]:
+    """Per-constraint violation counts over ``files`` in ONE aggregate
+    pass.  SQL CHECK semantics: a row violates only when the expression
+    evaluates to FALSE — NULL passes (unknown is not a violation),
+    exactly the standard's treatment and Delta's.  Constraint
+    expressions reference LOGICAL names; ``props`` maps the staged
+    files' physical columns accordingly."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(*files)
+    df = _to_logical(df, props or {})
+    aggs = [
+        F.sum(
+            (~F.coalesce(F.expr(expr), F.lit(True))).cast("long")
+        ).alias(name)
+        for name, expr in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return {name: int(row[name] or 0) for name in constraints}
+
+
+def _enforce_constraints(
+    spark: SparkSession,
+    seg_files: list[str],
+    constraints: dict[str, str],
+    cleanup_dirs: Sequence[str] = (),
+    props: dict | None = None,
+) -> None:
+    """Gate a freshly-STAGED segment on the table's CHECK constraints
+    (enforcement scans only the new files — O(delta), and the data was
+    written once; no recomputation of the caller's plan).  On
+    violation, the staged directories are removed (the write never
+    becomes visible) and :class:`ConstraintViolation` is raised naming
+    each violated constraint with its expression and count."""
+    bad = {
+        n: c
+        for n, c in _violation_counts(
+            spark, seg_files, constraints, props
+        ).items()
+        if c
+    }
+    if not bad:
+        return
+    import shutil
+
+    for d in {os.path.dirname(os.path.abspath(f)) for f in seg_files}:
+        shutil.rmtree(d, ignore_errors=True)
+    for d in cleanup_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    detail = "; ".join(
+        f"{n} [{constraints[n]}]: {c} rows" for n, c in sorted(bad.items())
+    )
+    raise ConstraintViolation(f"CHECK constraint(s) violated: {detail}")
+
+
+def _quarantine_split(
+    spark: SparkSession,
+    seg_files: list[str],
+    constraints: dict[str, str],
+    table_dir: str,
+    version: int,
+    cluster_by: Sequence[str] | None,
+    props: dict | None = None,
+) -> tuple[list[str], list[str]]:
+    """``on_violation="quarantine"``: split a staged segment into the
+    committed valid rows and a quarantine segment of the violators.
+    The common (clean) path costs exactly one aggregate over the new
+    files; only a violating batch pays the split rewrite — still
+    O(delta), never a table scan."""
+    from pyspark.sql import functions as F
+
+    props = props or {}
+    counts = _violation_counts(spark, seg_files, constraints, props)
+    if not any(counts.values()):
+        return seg_files, []
+    import shutil
+
+    staged = _to_logical(
+        spark.read.option("mergeSchema", "true").parquet(*seg_files),
+        props,
+    )
+    bad_cond = F.lit(False)
+    for expr in constraints.values():
+        bad_cond = bad_cond | ~F.coalesce(F.expr(expr), F.lit(True))
+    ok = staged.filter(~bad_cond)
+    if cluster_by:
+        ok = ok.repartitionByRange(
+            max(1, len(seg_files)), *_cluster_exprs(cluster_by)
+        ).sortWithinPartitions(*_cluster_exprs(cluster_by))
+    else:
+        ok = ok.coalesce(max(1, len(seg_files)))
+    valid_seg = _write_segment(
+        _to_physical(ok, props), table_dir, version
+    )
+    quarantine_seg = _write_segment(
+        _to_physical(staged.filter(bad_cond), props).coalesce(1),
+        table_dir,
+        version,
+    )
+    for d in {os.path.dirname(os.path.abspath(f)) for f in seg_files}:
+        shutil.rmtree(d, ignore_errors=True)
+    return valid_seg, quarantine_seg
+
+
+def add_constraint(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    expr: str,
+    note: str = "",
+    expect_version: int | None | str = ANY,
+    timestamp: float | None = None,
+    validate: bool = True,
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT (r13): record a named CHECK
+    constraint (a SQL boolean expression over the table's columns) as
+    a table property; every later write — :func:`commit`,
+    :func:`merge_dv`, :func:`merge_commit`'s source,
+    :func:`update_where`'s post-image — is gated on it, raising
+    :class:`ConstraintViolation` (or quarantining, see
+    ``commit(on_violation="quarantine")``) before anything becomes
+    visible.  NOT NULL is the special case ``col IS NOT NULL``.
+
+    Like Delta, adding a constraint first VALIDATES the existing live
+    rows (one pruned-scan aggregate; disable with ``validate=False``
+    only for known-clean bulk migrations).  The constraint lands as a
+    metadata-only ``mode="alter"`` commit, so it is itself versioned:
+    time travel before the alter reads an unconstrained table, and
+    the change feed skips it (no rows changed)."""
+    cur0 = latest_version(table_dir)
+    if cur0 is not None:
+        existing = _read_manifest(table_dir, cur0).get(
+            "table_props", {}
+        ).get("constraints", {})
+        if name in existing:
+            # duplicate names refuse BEFORE the validation scan (the
+            # in-_mut check below stays as the concurrency-safe final
+            # word at publication time)
+            raise ValueError(f"constraint {name!r} already exists")
+    if validate:
+        cur = latest_version(table_dir)
+        if cur is not None:
+            m = _read_manifest(table_dir, cur)
+            if m["files"]:
+                live = _dv_scan(
+                    spark, m["files"], m.get("dv_files", [])
+                )
+                live = _to_logical(live, m.get("table_props", {}))
+                from pyspark.sql import functions as F
+
+                n = live.filter(
+                    ~F.coalesce(F.expr(expr), F.lit(True))
+                ).count()
+                if n:
+                    raise ConstraintViolation(
+                        f"cannot add {name} [{expr}]: {n} existing "
+                        f"rows violate it"
+                    )
+
+    def _mut(props: dict) -> None:
+        cons = dict(props.get("constraints", {}))
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        cons[name] = expr
+        props["constraints"] = cons
+
+    return _alter_commit(
+        table_dir,
+        note or f"add constraint {name}",
+        _mut,
+        expect_version=expect_version,
+        timestamp=timestamp,
+    )
+
+
+def drop_constraint(
+    table_dir: str,
+    name: str,
+    note: str = "",
+    expect_version: int | None | str = ANY,
+    timestamp: float | None = None,
+) -> int:
+    """ALTER TABLE DROP CONSTRAINT — the metadata-only inverse of
+    :func:`add_constraint`."""
+
+    def _mut(props: dict) -> None:
+        cons = dict(props.get("constraints", {}))
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r}")
+        del cons[name]
+        if cons:
+            props["constraints"] = cons
+        else:
+            props.pop("constraints", None)
+
+    return _alter_commit(
+        table_dir,
+        note or f"drop constraint {name}",
+        _mut,
+        expect_version=expect_version,
+        timestamp=timestamp,
+    )
+
+
+def quarantined_rows(
+    spark: SparkSession, table_dir: str, version: int
+) -> DataFrame:
+    """The rows version ``version``'s ``commit(on_violation=
+    "quarantine")`` REJECTED — read from the manifest's recorded
+    ``quarantine_files`` segment (auditable, vacuum-protected, expired
+    with the version).  Raises if the version quarantined nothing."""
+    m = _read_manifest(table_dir, version)
+    qf = m.get("quarantine_files")
+    if not qf:
+        raise FileNotFoundError(
+            f"v{version} has no quarantined rows"
+        )
+    return spark.read.option("mergeSchema", "true").parquet(*qf)
+
+
 def commit(
     df: DataFrame,
     table_dir: str,
@@ -421,8 +917,32 @@ def commit(
     n_files: int | None = None,
     bloom_cols: Sequence[str] | None = None,
     timestamp: float | None = None,
+    on_violation: str = "error",
+    retry_conflicts: int = 0,
 ) -> int:
     """Write ``df`` as a new version; returns the version number.
+
+    CHECK constraints (r13): when the table carries constraints
+    (:func:`add_constraint`), the staged segment is validated BEFORE
+    publication — one aggregate over the new files only (O(delta),
+    no recomputation of the caller's plan).  ``on_violation``:
+    ``"error"`` (default) discards the segment and raises
+    :class:`ConstraintViolation`; ``"quarantine"`` commits the valid
+    rows and records the violating rows in the manifest's
+    ``quarantine_files`` (read them back via :func:`quarantined_rows`)
+    — the ingest-pipeline form, where one bad record must not stall a
+    100 TB load but must also never silently vanish.
+
+    ``retry_conflicts`` (r13) enables BLIND-APPEND auto-retry, Delta's
+    concurrency rule that two appends never logically conflict: on
+    :class:`VersionConflict` a ``mode="append"`` /
+    ``expect_version=ANY`` commit REBASES onto the new head —
+    manifest-only work, the staged segment is reused — up to
+    ``retry_conflicts`` times, so N concurrent appenders all land in
+    some serial order instead of N-1 failing.  The retry refuses
+    (re-raising the conflict) if a concurrent commit changed the
+    CONSTRAINT set — the segment was validated against entry-time
+    constraints, and publishing past a new gate would bypass it.
 
     ``timestamp`` (epoch seconds; default ``time.time()``) is recorded
     in the manifest as the commit time, enabling TIMESTAMP-addressed
@@ -476,6 +996,7 @@ def commit(
     # silently wrote unclustered, bloom-less segments and pruning
     # degraded across the table lifecycle).  Passing an explicit value
     # updates the property; an explicit EMPTY sequence clears it.
+    explicit_cluster, explicit_blooms = cluster_by, bloom_cols
     if cluster_by is None:
         cluster_by = props.get("cluster_by")
     else:
@@ -492,41 +1013,112 @@ def commit(
     elif n_files:
         df = df.coalesce(n_files)
     new_version = (cur if cur is not None else -1) + 1
-    seg_files = _write_segment(df, table_dir, new_version)
-    stats = _file_stats(seg_files)
-    blooms = (
-        _segment_blooms(df.sparkSession, seg_files, bloom_cols)
+    props = _resolve_physical(props, df.columns, new_version)
+    seg_files = _write_segment(
+        _to_physical(df, props), table_dir, new_version
+    )
+    quarantine_files: list[str] = []
+    constraints = props.get("constraints") or {}
+    if constraints:
+        if on_violation == "quarantine":
+            seg_files, quarantine_files = _quarantine_split(
+                df.sparkSession,
+                seg_files,
+                constraints,
+                table_dir,
+                new_version,
+                cluster_by,
+                props,
+            )
+        elif on_violation == "error":
+            _enforce_constraints(
+                df.sparkSession, seg_files, constraints, props=props
+            )
+        else:
+            raise ValueError(
+                f"on_violation must be 'error' or 'quarantine', "
+                f"got {on_violation!r}"
+            )
+    seg_stats = _file_stats(seg_files)
+    mapping = _mapping(props)
+    seg_blooms = (
+        _segment_blooms(
+            df.sparkSession,
+            seg_files,
+            [mapping.get(c, c) for c in bloom_cols],
+        )
         if bloom_cols
         else {}
     )
-    dv_files: list[str] = []
-    if mode == "append" and cur is not None:
-        files = parent["files"] + seg_files
-        # carry the parent's file stats/blooms forward so a pruned
-        # scan of version N skips across ALL segments, not just the
-        # newest — and its DELETION VECTORS, else an append would
-        # resurrect previously deleted rows
-        stats = {**parent.get("stats", {}), **stats}
-        blooms = {**parent.get("blooms", {}), **blooms}
-        dv_files = list(parent.get("dv_files", []))
-    else:
-        files = seg_files
-    manifest = {
-        "version": new_version,
-        "parent": cur,
-        "mode": mode,
-        "note": note,
-        "ts": timestamp if timestamp is not None else time.time(),
-        "files": files,
-        "stats": stats,
-    }
-    if blooms:
-        manifest["blooms"] = blooms
-    if dv_files:
-        manifest["dv_files"] = dv_files
+
+    def _build(cur_v, parent_m):
+        if mode == "append" and cur_v is not None:
+            files = parent_m["files"] + seg_files
+            # carry the parent's file stats/blooms forward so a pruned
+            # scan of version N skips across ALL segments, not just the
+            # newest — and its DELETION VECTORS, else an append would
+            # resurrect previously deleted rows
+            stats = {**parent_m.get("stats", {}), **seg_stats}
+            blooms = {**parent_m.get("blooms", {}), **seg_blooms}
+            dv_files = list(parent_m.get("dv_files", []))
+        else:
+            files, stats = seg_files, dict(seg_stats)
+            blooms, dv_files = dict(seg_blooms), []
+        manifest = {
+            "version": (cur_v if cur_v is not None else -1) + 1,
+            "parent": cur_v,
+            "mode": mode,
+            "note": note,
+            "ts": timestamp if timestamp is not None else time.time(),
+            "files": files,
+            "stats": stats,
+        }
+        if blooms:
+            manifest["blooms"] = blooms
+        if dv_files:
+            manifest["dv_files"] = dv_files
+        if quarantine_files:
+            manifest["quarantine_files"] = quarantine_files
+        return manifest
+
+    manifest = _build(cur, parent)
     if props:
         manifest["table_props"] = props
-    return _publish(table_dir, manifest)
+    for attempt in range(max(0, retry_conflicts) + 1):
+        try:
+            return _publish(table_dir, manifest)
+        except VersionConflict:
+            if (
+                attempt >= retry_conflicts
+                or mode != "append"
+                or expect_version is not ANY
+            ):
+                raise
+        # blind-append rebase: a concurrent commit claimed our version
+        # number.  Appends never logically conflict (Delta's rule), so
+        # rebuild the manifest on the NEW head — the staged segment,
+        # its stats, and its blooms are reused untouched; only driver-
+        # side JSON merging happens per retry.  Table props re-derive
+        # from the new parent (it may have altered layout/constraints),
+        # with this caller's EXPLICIT overrides re-applied on top.
+        cur = latest_version(table_dir)
+        parent = _read_manifest(table_dir, cur) if cur is not None else {}
+        new_props = dict(parent.get("table_props", {}))
+        if (new_props.get("constraints") or {}) != constraints:
+            raise VersionConflict(
+                "constraint set changed concurrently; segment was "
+                "validated against the entry-time constraints — "
+                "re-run the commit"
+            )
+        if explicit_cluster is not None:
+            new_props["cluster_by"] = list(explicit_cluster)
+        if explicit_blooms is not None:
+            new_props["bloom_cols"] = list(explicit_blooms)
+        props = new_props
+        manifest = _build(cur, parent)
+        if props:
+            manifest["table_props"] = props
+    raise AssertionError("unreachable")  # pragma: no cover
 
 
 def compact(
@@ -597,14 +1189,19 @@ def compact(
     # files are read DV-applied (their deleted rows vanish physically),
     # while kept files retain their DV rows as a fresh small sidecar
     dv_files = m.get("dv_files", [])
-    compacted = _dv_scan(spark, rewrite, dv_files)
+    # cluster on the LOGICAL view (cluster_by expressions use logical
+    # names) and write back under PHYSICAL names; dropped columns are
+    # physically PURGED from whatever compaction rewrites
+    compacted = _to_logical(_dv_scan(spark, rewrite, dv_files), props)
     if cluster_by:
         compacted = compacted.repartitionByRange(
             max(1, n_files), *_cluster_exprs(cluster_by)
         ).sortWithinPartitions(*_cluster_exprs(cluster_by))
     else:
         compacted = compacted.coalesce(max(1, n_files))
-    seg_files = _write_segment(compacted, table_dir, cur + 1)
+    seg_files = _write_segment(
+        _to_physical(compacted, props), table_dir, cur + 1
+    )
     kept_paths = {os.path.abspath(f) for f in keep}
     manifest = {
         "version": cur + 1,
@@ -626,7 +1223,12 @@ def compact(
         k: v for k, v in m.get("blooms", {}).items() if k in kept_paths
     }
     if bloom_cols:
-        blooms.update(_segment_blooms(spark, seg_files, bloom_cols))
+        cmap = _mapping(props)
+        blooms.update(
+            _segment_blooms(
+                spark, seg_files, [cmap.get(c, c) for c in bloom_cols]
+            )
+        )
     if blooms:
         manifest["blooms"] = blooms
     if props:
@@ -748,8 +1350,19 @@ def merge_commit(
             n_out, *_cluster_exprs(cluster_by)
         ).sortWithinPartitions(*_cluster_exprs(cluster_by))
     new_version = cur + 1
-    seg_files = _write_segment(merged, table_dir, new_version)
-    delta_files = _write_segment(source, table_dir, new_version)
+    seg_files = _write_segment(
+        _to_physical(merged, props), table_dir, new_version
+    )
+    constraints = props.get("constraints") or {}
+    if constraints:
+        # merge_commit rewrites the full state anyway, so gating the
+        # rewritten files adds one scan of what was just written
+        _enforce_constraints(
+            spark, seg_files, constraints, props=dict(props)
+        )
+    delta_files = _write_segment(
+        _to_physical(source, props), table_dir, new_version
+    )
     manifest = {
         "version": new_version,
         "parent": cur,
@@ -761,7 +1374,10 @@ def merge_commit(
         "stats": _file_stats(seg_files),
     }
     if bloom_cols:
-        manifest["blooms"] = _segment_blooms(spark, seg_files, bloom_cols)
+        cmap = _mapping(props)
+        manifest["blooms"] = _segment_blooms(
+            spark, seg_files, [cmap.get(c, c) for c in bloom_cols]
+        )
     if props:
         manifest["table_props"] = dict(props)
     return _publish(table_dir, manifest)
@@ -806,9 +1422,11 @@ def merge_dv(
             f"no versions in {table_dir}; commit() the base state first"
         )
     m = _read_manifest(table_dir, cur)
+    props = dict(m.get("table_props", {}))
     keys = list(keys)
     src_keys = source.select(*keys).distinct()
     live = spark.read.option("mergeSchema", "true").parquet(*m["files"])
+    logical = _to_logical(live, props)
     tagged = live.select(
         "*",
         F.regexp_replace(
@@ -822,6 +1440,8 @@ def merge_dv(
         tagged = tagged.join(
             F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
         )
+    # keys are LOGICAL names; files hold physical ones
+    tagged = _to_logical(tagged, props, keep=("_dv_file", "_dv_pos"))
     # the MERGE premise is a small delta against a big table: the key
     # set broadcasts, so masking costs ONE scan with no table shuffle
     hits = tagged.join(F.broadcast(src_keys), keys, "left_semi").select(
@@ -836,11 +1456,10 @@ def merge_dv(
         ).drop(delete_col)
     # align order AND types with the table (a source built with e.g.
     # int literals against a bigint table must not fork the schema)
-    ltypes = dict(live.dtypes)
+    ltypes = dict(logical.dtypes)
     post = post.select(
-        *[F.col(c).cast(ltypes[c]).alias(c) for c in live.columns]
+        *[F.col(c).cast(ltypes[c]).alias(c) for c in logical.columns]
     )
-    props = dict(m.get("table_props", {}))
     cluster_by = props.get("cluster_by")
     bloom_cols = props.get("bloom_cols")
     if cluster_by:
@@ -850,14 +1469,34 @@ def merge_dv(
         ).sortWithinPartitions(*_cluster_exprs(cluster_by))
     else:
         post = post.coalesce(n_files or 1)
-    seg = _write_segment(post, table_dir, new_version)
+    seg = _write_segment(_to_physical(post, props), table_dir, new_version)
+    constraints = props.get("constraints") or {}
+    if constraints:
+        # surviving source rows are the only new table state — gate
+        # them like any append before anything becomes visible
+        _enforce_constraints(
+            spark,
+            seg,
+            constraints,
+            cleanup_dirs={
+                os.path.dirname(os.path.abspath(f)) for f in dv_seg
+            },
+            props=props,
+        )
     delta_files = _write_segment(
-        source.coalesce(n_files or 1), table_dir, new_version
+        _to_physical(source, props).coalesce(n_files or 1),
+        table_dir,
+        new_version,
     )
     stats = {**m.get("stats", {}), **_file_stats(seg)}
     blooms = dict(m.get("blooms", {}))
     if bloom_cols:
-        blooms.update(_segment_blooms(spark, seg, bloom_cols))
+        cmap = _mapping(props)
+        blooms.update(
+            _segment_blooms(
+                spark, seg, [cmap.get(c, c) for c in bloom_cols]
+            )
+        )
     manifest = {
         "version": new_version,
         "parent": cur,
@@ -954,6 +1593,10 @@ def delete_where(
         tagged = tagged.join(
             F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
         )
+    # the predicate references LOGICAL names; files hold physical ones
+    tagged = _to_logical(
+        tagged, m.get("table_props", {}), keep=("_dv_file", "_dv_pos")
+    )
     hits = tagged.filter(F.expr(predicate)).select(
         "_dv_file", "_dv_pos"
     )
@@ -1014,9 +1657,12 @@ def deleted_rows(
         ).alias("_dv_file"),
         F.col("_metadata.row_index").alias("_dv_pos"),
     )
-    return tagged.join(
-        F.broadcast(dv), ["_dv_file", "_dv_pos"], "inner"
-    ).drop("_dv_file", "_dv_pos")
+    return _to_logical(
+        tagged.join(
+            F.broadcast(dv), ["_dv_file", "_dv_pos"], "inner"
+        ).drop("_dv_file", "_dv_pos"),
+        m.get("table_props", {}),
+    )
 
 
 def deletion_feed(
@@ -1091,13 +1737,13 @@ def update_where(
         raise FileNotFoundError(f"no versions in {table_dir}")
     _check_expected(cur, expect_version)
     m = _read_manifest(table_dir, cur)
-    cols = spark.read.option("mergeSchema", "true").parquet(
-        *m["files"]
-    ).columns
+    u_props = m.get("table_props", {})
+    live = spark.read.option("mergeSchema", "true").parquet(*m["files"])
+    logical = _to_logical(live, u_props)
+    cols = logical.columns
     unknown = sorted(set(set_exprs) - set(cols))
     if unknown:
         raise ValueError(f"SET targets not in table: {unknown}")
-    live = spark.read.option("mergeSchema", "true").parquet(*m["files"])
     tagged = live.select(
         "*",
         F.regexp_replace(
@@ -1111,6 +1757,8 @@ def update_where(
         tagged = tagged.join(
             F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
         )
+    # SET/WHERE reference LOGICAL names; files hold physical ones
+    tagged = _to_logical(tagged, u_props, keep=("_dv_file", "_dv_pos"))
     matched = tagged.filter(F.expr(predicate))
     # one filtered scan feeds both the vector and the post-image;
     # localCheckpoint would break _metadata, so cache the small match
@@ -1125,13 +1773,13 @@ def update_where(
     # UPDATE), untouched columns carry through; column order preserved
     post = matched.select(
         *[
-            F.expr(set_exprs[c]).cast(dict(live.dtypes)[c]).alias(c)
+            F.expr(set_exprs[c]).cast(dict(logical.dtypes)[c]).alias(c)
             if c in set_exprs
             else F.col(c)
             for c in cols
         ]
     )
-    props = dict(m.get("table_props", {}))
+    props = dict(u_props)
     cluster_by = props.get("cluster_by")
     bloom_cols = props.get("bloom_cols")
     if cluster_by:
@@ -1141,12 +1789,30 @@ def update_where(
         ).sortWithinPartitions(*_cluster_exprs(cluster_by))
     else:
         post = post.coalesce(n_files or 1)
-    seg = _write_segment(post, table_dir, new_version)
+    seg = _write_segment(_to_physical(post, props), table_dir, new_version)
     matched.unpersist()
+    constraints = props.get("constraints") or {}
+    if constraints:
+        # the post-image must honor the table's CHECK gate: a SET that
+        # rewrites rows into violation is rejected before publication
+        _enforce_constraints(
+            spark,
+            seg,
+            constraints,
+            cleanup_dirs={
+                os.path.dirname(os.path.abspath(f)) for f in dv_seg
+            },
+            props=props,
+        )
     stats = {**m.get("stats", {}), **_file_stats(seg)}
     blooms = dict(m.get("blooms", {}))
     if bloom_cols:
-        blooms.update(_segment_blooms(spark, seg, bloom_cols))
+        cmap = _mapping(props)
+        blooms.update(
+            _segment_blooms(
+                spark, seg, [cmap.get(c, c) for c in bloom_cols]
+            )
+        )
     manifest = {
         "version": new_version,
         "parent": cur,
@@ -1187,8 +1853,11 @@ def updated_rows(
     if m["mode"] != "update":
         raise ValueError(f"v{version} is {m['mode']!r}, not an update")
     if image == "post":
-        return spark.read.option("mergeSchema", "true").parquet(
-            *m["delta_files"]
+        return _to_logical(
+            spark.read.option("mergeSchema", "true").parquet(
+                *m["delta_files"]
+            ),
+            m.get("table_props", {}),
         )
     try:
         parent = _read_manifest(table_dir, m["parent"])
@@ -1210,9 +1879,12 @@ def updated_rows(
         ).alias("_dv_file"),
         F.col("_metadata.row_index").alias("_dv_pos"),
     )
-    return tagged.join(
-        F.broadcast(dv), ["_dv_file", "_dv_pos"], "inner"
-    ).drop("_dv_file", "_dv_pos")
+    return _to_logical(
+        tagged.join(
+            F.broadcast(dv), ["_dv_file", "_dv_pos"], "inner"
+        ).drop("_dv_file", "_dv_pos"),
+        m.get("table_props", {}),
+    )
 
 
 def cdc_feed(
@@ -1245,6 +1917,9 @@ def cdc_feed(
             f"resolvable; earliest valid since is {first_ok - 1}"
         )
     summaries = _version_summaries(table_dir)
+    feed_props = _read_manifest(table_dir, versions[-1]).get(
+        "table_props", {}
+    )
     parts: list[DataFrame] = []
 
     def _tag(df: DataFrame, v: int, kind: str) -> DataFrame:
@@ -1271,8 +1946,11 @@ def cdc_feed(
         else:
             delta = version_delta_files(table_dir, v)
             if delta:
-                parts.append(_tag(spark.read.parquet(*delta), v,
-                                  "insert"))
+                parts.append(_tag(
+                    _to_logical(
+                        spark.read.parquet(*delta), feed_props
+                    ),
+                    v, "insert"))
     if not parts:
         raise FileNotFoundError(
             f"no row changes after v{since} in {table_dir}"
@@ -1396,7 +2074,10 @@ def read_version(
     m = _read_manifest(table_dir, version)
     if not m["files"]:
         raise FileNotFoundError(f"v{version} has no files")
-    return _dv_scan(spark, m["files"], m.get("dv_files", []))
+    return _to_logical(
+        _dv_scan(spark, m["files"], m.get("dv_files", [])),
+        m.get("table_props", {}),
+    )
 
 
 _BLOOM_BITS = 8192
@@ -1543,7 +2224,13 @@ def prune_files(
     files = m["files"]
     stats = m.get("stats", {})
     blooms = m.get("blooms", {})
-    norm = [(c, op, _normalize_stat_value(v)) for c, op, v in filters]
+    # stats/blooms are keyed by PHYSICAL column names; filters arrive
+    # in logical names — translate through the version's column mapping
+    cmap = _mapping(m.get("table_props", {}))
+    norm = [
+        (cmap.get(c, c), op, _normalize_stat_value(v))
+        for c, op, v in filters
+    ]
     kept = []
     for f in files:
         path = os.path.abspath(f)
@@ -1584,7 +2271,9 @@ def scan(
     )
     if m_version is None:
         raise FileNotFoundError(f"no versions in {table_dir}")
-    dv_files = _read_manifest(table_dir, m_version).get("dv_files", [])
+    m_scan = _read_manifest(table_dir, m_version)
+    dv_files = m_scan.get("dv_files", [])
+    scan_props = m_scan.get("table_props", {})
     kept, total = prune_files(table_dir, filters, version)
     if not kept:
         # every file pruned: return an EMPTY frame that still carries
@@ -1594,13 +2283,14 @@ def scan(
         # missing column would raise instead of matching nothing.  The
         # mergeSchema read unions footers only (metadata, not data);
         # lit(False) prunes every row group at scan time.
-        kept = _read_manifest(table_dir, m_version)["files"]
-        return (
+        kept = m_scan["files"]
+        return _to_logical(
             spark.read.option("mergeSchema", "true")
             .parquet(*kept)
-            .filter(F.lit(False))
+            .filter(F.lit(False)),
+            scan_props,
         )
-    df = _dv_scan(spark, kept, dv_files)
+    df = _to_logical(_dv_scan(spark, kept, dv_files), scan_props)
     ops = {
         "=": lambda c, v: c == v,
         "<": lambda c, v: c < v,
@@ -1680,6 +2370,7 @@ def vacuum(table_dir: str, grace_seconds: float = 3600.0) -> list[str]:
             m["files"]
             + m.get("delta_files", [])
             + m.get("dv_files", [])
+            + m.get("quarantine_files", [])
         ):
             referenced.add(os.path.dirname(os.path.abspath(path)))
     now = time.time()
@@ -1736,8 +2427,8 @@ def version_delta_files(table_dir: str, version: int) -> list[str]:
     consumer must apply); merge → the recorded ``delta_files``;
     compact → empty (bytes moved, no rows changed)."""
     m = _read_manifest(table_dir, version)
-    if m["mode"] in ("compact", "delete"):
-        return []  # bytes moved / rows masked — no rows ADDED
+    if m["mode"] in ("compact", "delete", "alter"):
+        return []  # bytes moved / rows masked / metadata — no adds
     if m["mode"] in ("merge", "update"):
         # update records its post-image segment as delta_files, so the
         # adds-feed (and the streaming source) surface the NEW images
@@ -1804,6 +2495,12 @@ def change_feed(
             f"longer resolvable; earliest valid since is "
             f"{first_ok - 1}"
         )
+    # deltas live under PHYSICAL column names; serve the feed in the
+    # CURRENT (end-of-range) logical schema, like Delta's CDF reading
+    # under the latest mapped names
+    feed_props = _read_manifest(table_dir, versions[-1]).get(
+        "table_props", {}
+    )
     out = None
     for v in versions:
         if v < lo:
@@ -1811,9 +2508,9 @@ def change_feed(
         delta = version_delta_files(table_dir, v)
         if not delta:
             continue
-        part = spark.read.parquet(*delta).withColumn(
-            "_version", F.lit(v).cast("bigint")
-        )
+        part = _to_logical(
+            spark.read.parquet(*delta), feed_props
+        ).withColumn("_version", F.lit(v).cast("bigint"))
         out = part if out is None else out.unionByName(
             part, allowMissingColumns=True
         )

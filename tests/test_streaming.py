@@ -1305,3 +1305,71 @@ def test_versioned_feed_admission_control(spark, tmp_path):
         for v, n in rows.items():
             total[v] = total.get(v, 0) + n
     assert total == {0: 2, 1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1}
+
+
+def test_versioned_feed_datasource_column_mapping(spark, tmp_path):
+    """r13 column mapping through the Python DataSource: a renamed
+    table's snapshot (and stream) serves the LOGICAL names by reading
+    the files' physical columns through the manifest mapping; batch
+    time travel to a pre-rename version serves that version's own
+    names; dropped columns disappear from the declared schema."""
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        commit,
+        drop_column,
+        rename_column,
+    )
+    from artis_data_ingest_spark.streaming.source import (
+        register_versioned_feed,
+    )
+
+    register_versioned_feed(spark)
+    d = str(tmp_path / "tbl")
+    commit(
+        spark.range(6).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 10).alias("v"),
+            F.lit("x").alias("junk"),
+        ),
+        d, mode="overwrite", timestamp=100.0,
+    )
+    rename_column(d, "v", "amount", timestamp=101.0)
+    drop_column(d, "junk", timestamp=102.0)
+    commit(
+        spark.range(6, 9).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("amount")
+        ),
+        d, timestamp=103.0,
+    )
+
+    snap = spark.read.format("versioned_feed").option("path", d).load()
+    assert snap.columns == ["k", "amount", "_version"]
+    assert snap.count() == 9
+    assert (
+        snap.agg(F.sum("amount")).collect()[0][0]
+        == sum(i * 10 for i in range(9))
+    )
+
+    # pre-rename batch time travel: the OLD logical names
+    v0 = (
+        spark.read.format("versioned_feed")
+        .option("path", d).option("version", "0").load()
+    )
+    assert v0.columns == ["k", "v", "junk", "_version"]
+    assert v0.count() == 6
+
+    # stream: all rows arrive under the current logical schema
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned_feed")
+        .option("path", d).load()
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert sorted(got.columns) == ["_version", "amount", "k"]
+    assert got.count() == 9

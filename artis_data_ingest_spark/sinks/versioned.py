@@ -104,6 +104,16 @@ class ConstraintViolation(RuntimeError):
     nothing becomes visible (Delta's invariant-violation contract)."""
 
 
+class SchemaMismatch(ValueError):
+    """A write's column types conflict with the table's recorded
+    schema (r13).  Raised at WRITE time — before publication — instead
+    of letting an incompatible segment poison the table until some
+    later mergeSchema read explodes with CANNOT_MERGE_SCHEMAS (Delta's
+    write-time schema enforcement).  Adding NEW columns and omitting
+    existing ones remain legal (schema evolution); only a TYPE
+    conflict on an existing physical column refuses."""
+
+
 class VersionConflict(RuntimeError):
     """Another writer committed the version this commit expected to
     create — rebase and retry."""
@@ -392,6 +402,54 @@ def _file_stats(files: list[str]) -> dict:
     return out
 
 
+def _footer_schema(files: list[str]) -> dict[str, str]:
+    """{physical column: arrow type string} unified across the files'
+    parquet footers — metadata reads only, no data pages."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, str] = {}
+    for f in files:
+        for field in pq.read_schema(f):
+            out.setdefault(field.name, str(field.type))
+    return out
+
+
+def _table_schema(m: dict) -> dict[str, str]:
+    """The manifest's recorded physical schema (r13 — written by every
+    data-changing commit so appends validate against O(1) driver-side
+    JSON); derived from footers for manifests that predate the
+    record."""
+    s = m.get("schema")
+    if s is not None:
+        return dict(s)
+    return _footer_schema(m.get("files", []))
+
+
+def _check_schema_compatible(
+    parent_schema: dict[str, str], seg_schema: dict[str, str]
+) -> None:
+    """WRITE-TIME schema enforcement (Delta's): a segment whose column
+    types conflict with the table refuses BEFORE publication — an
+    incompatible append would otherwise poison every later mergeSchema
+    read (CANNOT_MERGE_SCHEMAS at read time, long after the writer is
+    gone).  New columns and omitted columns pass (schema evolution);
+    only same-name type conflicts raise."""
+    bad = [
+        (n, parent_schema[n], t)
+        for n, t in seg_schema.items()
+        if n in parent_schema and parent_schema[n] != t
+    ]
+    if bad:
+        detail = "; ".join(
+            f"{n!r}: table has {t0}, write has {t1}"
+            for n, t0, t1 in bad
+        )
+        raise SchemaMismatch(
+            f"incompatible column type(s) — cast before committing: "
+            f"{detail}"
+        )
+
+
 def _publish(table_dir: str, manifest: dict) -> int:
     """Atomically publish a manifest; raises VersionConflict if the
     version was claimed concurrently."""
@@ -677,6 +735,8 @@ def _alter_commit(
         manifest["blooms"] = dict(m["blooms"])
     if m.get("dv_files"):
         manifest["dv_files"] = list(m["dv_files"])
+    if m.get("schema"):
+        manifest["schema"] = dict(m["schema"])
     if props:
         manifest["table_props"] = props
     return _publish(table_dir, manifest)
@@ -1039,6 +1099,21 @@ def commit(
                 f"on_violation must be 'error' or 'quarantine', "
                 f"got {on_violation!r}"
             )
+    seg_schema = _footer_schema(seg_files)
+    if mode == "append" and cur is not None:
+        # write-time schema enforcement: refuse a type conflict NOW,
+        # not at some later reader's mergeSchema (footer-vs-manifest
+        # comparison — driver-side metadata, no data read)
+        try:
+            _check_schema_compatible(_table_schema(parent), seg_schema)
+        except SchemaMismatch:
+            import shutil
+
+            for d in {
+                os.path.dirname(os.path.abspath(f)) for f in seg_files
+            }:
+                shutil.rmtree(d, ignore_errors=True)
+            raise
     seg_stats = _file_stats(seg_files)
     mapping = _mapping(props)
     seg_blooms = (
@@ -1061,10 +1136,13 @@ def commit(
             stats = {**parent_m.get("stats", {}), **seg_stats}
             blooms = {**parent_m.get("blooms", {}), **seg_blooms}
             dv_files = list(parent_m.get("dv_files", []))
+            schema = {**_table_schema(parent_m), **seg_schema}
         else:
             files, stats = seg_files, dict(seg_stats)
             blooms, dv_files = dict(seg_blooms), []
+            schema = dict(seg_schema)
         manifest = {
+            "schema": schema,
             "version": (cur_v if cur_v is not None else -1) + 1,
             "parent": cur_v,
             "mode": mode,
@@ -1110,6 +1188,20 @@ def commit(
                 "validated against the entry-time constraints — "
                 "re-run the commit"
             )
+        if cur is not None:
+            try:
+                _check_schema_compatible(
+                    _table_schema(parent), seg_schema
+                )
+            except SchemaMismatch:
+                import shutil
+
+                for d in {
+                    os.path.dirname(os.path.abspath(f))
+                    for f in seg_files
+                }:
+                    shutil.rmtree(d, ignore_errors=True)
+                raise
         if explicit_cluster is not None:
             new_props["cluster_by"] = list(explicit_cluster)
         if explicit_blooms is not None:
@@ -1231,6 +1323,9 @@ def compact(
         )
     if blooms:
         manifest["blooms"] = blooms
+    manifest["schema"] = {
+        **(m.get("schema") or {}), **_footer_schema(seg_files)
+    }
     if props:
         manifest["table_props"] = props
     if dv_files and keep:
@@ -1297,6 +1392,8 @@ def restore(
         manifest["blooms"] = dict(src["blooms"])
     if src.get("dv_files"):
         manifest["dv_files"] = list(src["dv_files"])
+    if src.get("schema"):
+        manifest["schema"] = dict(src["schema"])
     props = parent.get("table_props") or src.get("table_props")
     if props:
         manifest["table_props"] = dict(props)
@@ -1372,6 +1469,7 @@ def merge_commit(
         "files": seg_files,
         "delta_files": delta_files,
         "stats": _file_stats(seg_files),
+        "schema": _footer_schema(seg_files + delta_files),
     }
     if bloom_cols:
         cmap = _mapping(props)
@@ -1507,6 +1605,7 @@ def merge_dv(
         "stats": stats,
         "dv_files": prior_dv + dv_seg,
         "delta_files": delta_files,
+        "schema": {**(m.get("schema") or {}), **_footer_schema(seg)},
     }
     if blooms:
         manifest["blooms"] = blooms
@@ -1614,6 +1713,8 @@ def delete_where(
     }
     if m.get("blooms"):
         manifest["blooms"] = dict(m["blooms"])
+    if m.get("schema"):
+        manifest["schema"] = dict(m["schema"])
     if m.get("table_props"):
         manifest["table_props"] = dict(m["table_props"])
     # (delta_files describe the PARENT's own commit — never carried)
@@ -1823,6 +1924,7 @@ def update_where(
         "stats": stats,
         "dv_files": prior_dv + dv_seg,
         "delta_files": seg,
+        "schema": {**(m.get("schema") or {}), **_footer_schema(seg)},
     }
     if blooms:
         manifest["blooms"] = blooms
@@ -2039,6 +2141,8 @@ def clone_table(
         manifest["dv_files"] = [
             os.path.abspath(f) for f in src["dv_files"]
         ]
+    if src.get("schema"):
+        manifest["schema"] = dict(src["schema"])
     if src.get("table_props"):
         manifest["table_props"] = dict(src["table_props"])
     return _publish(dst_dir, manifest)

@@ -586,9 +586,17 @@ def _make_datasource_class():
             mapping = dict(props.get("column_mapping") or {})
             dropped = set(props.get("dropped_columns") or [])
             rev = {p: l for l, p in mapping.items()}
+            rec = m.get("schema")
+            pairs = (
+                # r13: manifests record the physical schema at commit
+                # time — O(1) JSON instead of one footer read per file
+                [(n, _spark_type(t)) for n, t in rec.items()]
+                if rec
+                else _unified_schema(m["files"])
+            )
             fields = [
                 (rev.get(n, n), t)
-                for n, t in _unified_schema(m["files"])
+                for n, t in pairs
                 if n not in dropped
             ]
             return fields, mapping

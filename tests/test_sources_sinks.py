@@ -2792,3 +2792,78 @@ def test_versioned_blind_append_retry(spark, tmp_path):
             spark.range(3).select(F.col("id").alias("k")),
             tdir, expect_version=2, retry_conflicts=5,
         )
+
+
+def test_versioned_schema_enforcement(spark, tmp_path):
+    """Write-time schema enforcement (r13): an append whose column
+    TYPE conflicts with the table refuses before publication (the old
+    behavior let it land and poisoned every later mergeSchema read
+    with CANNOT_MERGE_SCHEMAS); new columns and omitted columns still
+    pass (schema evolution); overwrite redefines the schema; the
+    manifest records the physical schema so the check is O(1)
+    driver-side JSON, not a footer walk."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        SchemaMismatch,
+        commit,
+        latest_version,
+        read_version,
+        vacuum,
+        _read_manifest,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    commit(
+        spark.range(5).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).cast("bigint").alias("v"),
+        ),
+        tdir, mode="overwrite", timestamp=100.0,
+    )
+    assert _read_manifest(tdir, 0)["schema"] == {
+        "k": "int64", "v": "int64"
+    }
+
+    # type conflict refuses atomically; the staged segment is gone
+    with pytest.raises(SchemaMismatch, match="'v'"):
+        commit(
+            spark.range(3).select(
+                (F.col("id") + 10).alias("k"),
+                F.lit(1).cast("int").alias("v"),
+            ),
+            tdir, timestamp=101.0,
+        )
+    assert latest_version(tdir) == 0
+    assert vacuum(tdir, grace_seconds=0) == []  # nothing orphaned
+    assert read_version(spark, tdir).count() == 5
+
+    # evolution still passes: new column, omitted column
+    assert commit(
+        spark.range(2).select(
+            (F.col("id") + 10).alias("k"),
+            (F.col("id")).cast("bigint").alias("v"),
+            F.lit("x").alias("tag"),
+        ),
+        tdir, timestamp=102.0,
+    ) == 1
+    assert commit(
+        spark.range(2).select((F.col("id") + 20).alias("k")),
+        tdir, timestamp=103.0,
+    ) == 2
+    got = read_version(spark, tdir)
+    assert got.count() == 9
+    assert _read_manifest(tdir, 2)["schema"] == {
+        "k": "int64", "v": "int64", "tag": "large_string"
+    } or _read_manifest(tdir, 2)["schema"]["tag"] == "string"
+
+    # overwrite REDEFINES: the once-conflicting type is now the schema
+    assert commit(
+        spark.range(4).select(
+            F.col("id").cast("int").alias("k"),
+            F.lit(1).cast("int").alias("v"),
+        ),
+        tdir, mode="overwrite", timestamp=104.0,
+    ) == 3
+    assert _read_manifest(tdir, 3)["schema"] == {
+        "k": "int32", "v": "int32"
+    }
+    assert read_version(spark, tdir).count() == 4

@@ -3802,3 +3802,97 @@ def q_version_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = s if out is None else out.unionByName(s)
     return out.orderBy("version")
+
+
+@register(
+    "q_replace_where",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), r AS (
+  SELECT k + 500000000 AS k, CAST(1 AS BIGINT) AS bucket,
+         cents + 50 AS cents
+  FROM o WHERE k % 9 = 0
+), s1 AS (
+  SELECT * FROM o WHERE bucket <> 1
+  UNION ALL SELECT * FROM r
+), v AS (
+  SELECT 0 AS version, COUNT(*) AS n_rows, SUM(cents) AS sum_cents,
+         SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS n_bucket1
+  FROM o
+  UNION ALL
+  SELECT 1, COUNT(*), SUM(cents),
+         SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) FROM s1
+  UNION ALL
+  SELECT 2, COUNT(*), SUM(cents),
+         SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) FROM s1
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_cents AS BIGINT) AS sum_cents,
+       CAST(n_bucket1 AS BIGINT) AS n_bucket1
+FROM v ORDER BY version
+""",
+    doc="Selective overwrite (r13, sinks/versioned.py:replace_where "
+    "— Delta's INSERT OVERWRITE replaceWhere): ONE atomic commit "
+    "masks every live row matching the predicate behind a deletion "
+    "vector and lands the replacement segment, recorded as "
+    "delta_files.  The idempotent-partition-reload primitive: "
+    "re-running the same replace CONVERGES (the hashed result pins "
+    "v2 == v1 exactly), no reader ever sees the half-state between "
+    "delete and insert, and at 100 TB replacing one day's slice "
+    "costs one filtered scan + one slice-sized write — never a "
+    "table rewrite (the parent's physical files carry unchanged).  "
+    "Replacement rows outside the predicate refuse before "
+    "publication (stealth-append guard), CHECK constraints and "
+    "schema enforcement apply, and CDC recovers the version as "
+    "delete + insert.",
+)
+def q_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import (
+        commit,
+        read_version,
+        replace_where,
+    )
+
+    base = _versioned_demo_path(sf_dir, "versioned_replace_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 4).cast("bigint").alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    commit(orders.repartition(2), base, mode="overwrite", note="base",
+           expect_version=None, timestamp=100.0)
+    repl = orders.filter(F.col("k") % 9 == 0).select(
+        (F.col("k") + 500000000).alias("k"),
+        F.lit(1).cast("bigint").alias("bucket"),
+        (F.col("cents") + 50).alias("cents"),
+    )
+    replace_where(spark, base, repl, "bucket = 1", timestamp=200.0)
+    # idempotence: the same reload converges (v2 == v1 in the hash)
+    replace_where(spark, base, repl, "bucket = 1", timestamp=300.0)
+    out = None
+    for v in range(3):
+        df = read_version(spark, base, v)
+        s = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.sum(
+                F.when(F.col("bucket") == 1, 1).otherwise(0)
+            ).cast("bigint").alias("n_bucket1"),
+        ).select(
+            F.lit(v).cast("bigint").alias("version"),
+            "n_rows",
+            "sum_cents",
+            "n_bucket1",
+        )
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("version")

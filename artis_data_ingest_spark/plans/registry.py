@@ -48,6 +48,7 @@ _PRIORITY: list[str] = [
     # (a) new in r13 / implementation or fixtures touched in r13
     "q_version_constraints",  # new: CHECK constraints + quarantine
     "q_version_rename",       # new: column mapping (rename/drop)
+    "q_replace_where",        # new: selective overwrite (replaceWhere)
     "q_version_checkpoint",   # new: manifest-log checkpointing
     "q_pdf_ingest",           # + secure-rc4/secure-aes decryption fixtures
     "q_pdf_modern",           # + modern-rc4 (encrypted 1.5) fixture
@@ -107,7 +108,6 @@ _PRIORITY: list[str] = [
     "q_sequence_pack",
     "q_image_resize",
     "q_xls_ingest",
-    "q_scd2_history",
     # (52-slot budget enforced by test_priority_queries_yield_first;
     # the r12 head — q_time_travel_ts, q_version_restore, the r8
     # blocks — rotated out with fresh r12 verdicts on record)

@@ -1647,6 +1647,149 @@ def _dv_scan(spark: SparkSession, files: list[str],
     ).drop("_dv_file", "_dv_pos")
 
 
+def replace_where(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    predicate: str,
+    note: str = "replace",
+    expect_version: int | None | str = ANY,
+    timestamp: float | None = None,
+    n_files: int | None = None,
+    validate: bool = True,
+) -> int:
+    """Selective overwrite — Delta's ``INSERT OVERWRITE ...
+    replaceWhere`` (r13): ONE atomic commit that removes every live
+    row matching ``predicate`` and lands ``df`` in its place.  The
+    idempotent-partition-reload primitive: re-running "replace
+    region='EU' with tonight's recompute" converges instead of
+    duplicating, and a reader never sees the half-state between the
+    delete and the insert.
+
+    Built on the DV machinery: matched rows mask behind a (file, row
+    position) sidecar (zero rewrite of untouched data, like
+    :func:`delete_where`) and ``df`` appends as a fresh segment the
+    manifest also records as ``delta_files``.  At 100 TB replacing one
+    day's partition costs one filtered scan + one partition-sized
+    write, never a table rewrite.
+
+    ``validate=True`` enforces Delta's contract that the REPLACEMENT
+    rows satisfy the predicate (a row outside it would be a stealth
+    append the next replace of that slice silently loses) — one
+    aggregate over the staged segment; violations discard it and
+    raise ValueError.  Table CHECK constraints and write-time schema
+    enforcement apply like any commit.  The change feed surfaces the
+    new rows as the version's adds; :func:`deleted_rows` /
+    :func:`cdc_feed` recover the removed rows (delete + insert is
+    exactly the CDC shape of a replace).  Returns the new version."""
+    from pyspark.sql import functions as F
+
+    cur = latest_version(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no versions in {table_dir}")
+    _check_expected(cur, expect_version)
+    m = _read_manifest(table_dir, cur)
+    props = dict(m.get("table_props", {}))
+    # --- deletion vector over the matched live rows (predicate is in
+    # LOGICAL names; files hold physical ones)
+    live = spark.read.option("mergeSchema", "true").parquet(*m["files"])
+    tagged = live.select(
+        "*",
+        F.regexp_replace(
+            F.col("_metadata.file_path"), _SCHEME_RE, ""
+        ).alias("_dv_file"),
+        F.col("_metadata.row_index").alias("_dv_pos"),
+    )
+    prior_dv = list(m.get("dv_files", []))
+    if prior_dv:
+        dv = spark.read.parquet(*prior_dv).select("_dv_file", "_dv_pos")
+        tagged = tagged.join(
+            F.broadcast(dv), ["_dv_file", "_dv_pos"], "left_anti"
+        )
+    tagged = _to_logical(
+        tagged, props, keep=("_dv_file", "_dv_pos")
+    )
+    hits = tagged.filter(F.expr(predicate)).select(
+        "_dv_file", "_dv_pos"
+    )
+    new_version = cur + 1
+    dv_seg = _write_segment(hits.coalesce(1), table_dir, new_version)
+    dv_dirs = {os.path.dirname(os.path.abspath(f)) for f in dv_seg}
+    # --- replacement segment (layout + physical names like commit)
+    cluster_by = props.get("cluster_by")
+    bloom_cols = props.get("bloom_cols")
+    if cluster_by:
+        parts = n_files or spark.sparkContext.defaultParallelism
+        df = df.repartitionByRange(
+            parts, *_cluster_exprs(cluster_by)
+        ).sortWithinPartitions(*_cluster_exprs(cluster_by))
+    elif n_files:
+        df = df.coalesce(n_files)
+    props = _resolve_physical(props, df.columns, new_version)
+    seg = _write_segment(_to_physical(df, props), table_dir, new_version)
+
+    def _discard(msg_exc):
+        import shutil
+
+        for d in dv_dirs | {
+            os.path.dirname(os.path.abspath(f)) for f in seg
+        }:
+            shutil.rmtree(d, ignore_errors=True)
+        raise msg_exc
+
+    seg_schema = _footer_schema(seg)
+    try:
+        _check_schema_compatible(_table_schema(m), seg_schema)
+    except SchemaMismatch as e:
+        _discard(e)
+    if validate:
+        staged = _to_logical(
+            spark.read.option("mergeSchema", "true").parquet(*seg),
+            props,
+        )
+        n_outside = staged.filter(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        ).count()
+        if n_outside:
+            _discard(ValueError(
+                f"replace_where: {n_outside} replacement rows do not "
+                f"satisfy the predicate {predicate!r} — they would be "
+                f"stealth appends the next replace of this slice "
+                f"silently drops"
+            ))
+    constraints = props.get("constraints") or {}
+    if constraints:
+        _enforce_constraints(
+            spark, seg, constraints, cleanup_dirs=dv_dirs, props=props
+        )
+    stats = {**m.get("stats", {}), **_file_stats(seg)}
+    blooms = dict(m.get("blooms", {}))
+    if bloom_cols:
+        cmap = _mapping(props)
+        blooms.update(
+            _segment_blooms(
+                spark, seg, [cmap.get(c, c) for c in bloom_cols]
+            )
+        )
+    manifest = {
+        "version": new_version,
+        "parent": cur,
+        "mode": "replace",
+        "note": note,
+        "ts": timestamp if timestamp is not None else time.time(),
+        "files": list(m["files"]) + seg,
+        "stats": stats,
+        "dv_files": prior_dv + dv_seg,
+        "delta_files": seg,
+        "schema": {**(m.get("schema") or {}), **seg_schema},
+    }
+    if blooms:
+        manifest["blooms"] = blooms
+    if props:
+        manifest["table_props"] = props
+    return _publish(table_dir, manifest)
+
+
 def delete_where(
     spark: SparkSession,
     table_dir: str,
@@ -1735,8 +1878,10 @@ def deleted_rows(
     from pyspark.sql import functions as F
 
     m = _read_manifest(table_dir, version)
-    if m["mode"] != "delete":
-        raise ValueError(f"v{version} is {m['mode']!r}, not a delete")
+    if m["mode"] not in ("delete", "replace"):
+        raise ValueError(
+            f"v{version} is {m['mode']!r}, not a delete/replace"
+        )
     try:
         parent_dv = set(
             _read_manifest(table_dir, m["parent"]).get("dv_files", [])
@@ -1783,7 +1928,7 @@ def deletion_feed(
     summaries = _version_summaries(table_dir)
     out = None
     for v in sorted(summaries):
-        if v < lo or summaries[v]["mode"] != "delete":
+        if v < lo or summaries[v]["mode"] not in ("delete", "replace"):
             continue
         part = deleted_rows(spark, table_dir, v).withColumn(
             "_version", F.lit(v).cast("bigint")
@@ -2038,6 +2183,18 @@ def cdc_feed(
         if mode == "delete":
             parts.append(_tag(deleted_rows(spark, table_dir, v), v,
                               "delete"))
+        elif mode == "replace":
+            # a replace IS delete + insert in one atomic commit
+            parts.append(_tag(deleted_rows(spark, table_dir, v), v,
+                              "delete"))
+            parts.append(_tag(
+                _to_logical(
+                    spark.read.parquet(
+                        *version_delta_files(table_dir, v)
+                    ),
+                    feed_props,
+                ),
+                v, "insert"))
         elif mode == "update":
             parts.append(_tag(
                 updated_rows(spark, table_dir, v, "pre"), v,
@@ -2533,9 +2690,10 @@ def version_delta_files(table_dir: str, version: int) -> list[str]:
     m = _read_manifest(table_dir, version)
     if m["mode"] in ("compact", "delete", "alter"):
         return []  # bytes moved / rows masked / metadata — no adds
-    if m["mode"] in ("merge", "update"):
-        # update records its post-image segment as delta_files, so the
-        # adds-feed (and the streaming source) surface the NEW images
+    if m["mode"] in ("merge", "update", "replace"):
+        # update/replace record their post-image segment as
+        # delta_files, so the adds-feed (and the streaming source)
+        # surface the NEW images
         return list(m["delta_files"])
     parent_files = (
         set(_read_manifest(table_dir, m["parent"])["files"])

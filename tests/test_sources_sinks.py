@@ -2867,3 +2867,81 @@ def test_versioned_schema_enforcement(spark, tmp_path):
         "k": "int32", "v": "int32"
     }
     assert read_version(spark, tdir).count() == 4
+
+
+def test_versioned_replace_where(spark, tmp_path):
+    """replace_where (r13) — Delta's INSERT OVERWRITE replaceWhere as
+    ONE atomic commit: matched live rows mask behind a deletion
+    vector, the replacement segment appends, and re-running the same
+    replace CONVERGES (idempotent partition reload).  Replacement rows
+    outside the predicate refuse (stealth-append guard); CDC shows
+    the version as delete + insert; time travel is exact; compaction
+    materializes the masks."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        cdc_feed,
+        commit,
+        compact,
+        read_version,
+        replace_where,
+        latest_version,
+        _read_manifest,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    base = spark.range(20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).alias("region"),
+        (F.col("id") * 10).alias("v"),
+    )
+    commit(base, tdir, mode="overwrite", timestamp=100.0)
+    repl = spark.range(5).select(
+        (F.col("id") + 100).alias("k"),
+        F.lit(2).cast("bigint").alias("region"),
+        F.col("id").alias("v"),
+    )
+    assert replace_where(spark, tdir, repl, "region = 2",
+                         timestamp=200.0) == 1
+    cur = read_version(spark, tdir)
+    assert cur.count() == 20
+    assert sorted(
+        r.k for r in cur.filter("region = 2").collect()
+    ) == [100, 101, 102, 103, 104]
+    # physical files of the parent are untouched (zero-rewrite)
+    assert set(_read_manifest(tdir, 0)["files"]) <= set(
+        _read_manifest(tdir, 1)["files"]
+    )
+
+    # idempotent: the same replace converges
+    assert replace_where(spark, tdir, repl, "region = 2",
+                         timestamp=300.0) == 2
+    assert read_version(spark, tdir).count() == 20
+
+    # out-of-predicate replacement rows refuse atomically
+    stray = spark.range(1).select(
+        F.col("id").alias("k"),
+        F.lit(3).cast("bigint").alias("region"),
+        F.col("id").alias("v"),
+    )
+    with pytest.raises(ValueError, match="do not satisfy"):
+        replace_where(spark, tdir, stray, "region = 2",
+                      timestamp=400.0)
+    assert latest_version(tdir) == 2
+
+    # CDC: a replace is delete + insert
+    cdc = cdc_feed(spark, tdir, since=0)
+    agg = {
+        (r["_version"], r["_change_type"]): r["count"]
+        for r in cdc.groupBy("_version", "_change_type")
+        .count().collect()
+    }
+    assert agg[(1, "delete")] == 5 and agg[(1, "insert")] == 5
+    assert agg[(2, "delete")] == 5 and agg[(2, "insert")] == 5
+
+    # time travel exact; compaction materializes
+    assert read_version(spark, tdir, 0).filter(
+        "region = 2 and k < 100"
+    ).count() == 5
+    compact(spark, tdir, timestamp=500.0)
+    m = _read_manifest(tdir, 3)
+    assert "dv_files" not in m
+    assert read_version(spark, tdir).count() == 20

@@ -50,5 +50,9 @@ def get_spark(app_name: str = "artis-data-ingest-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let Python data sources receive pushed filters (r13): the
+        # versioned_feed snapshot reader prunes data files from the
+        # manifest's stats/blooms when a query filters on it
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     return builder.getOrCreate()

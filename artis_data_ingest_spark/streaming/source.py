@@ -480,6 +480,103 @@ def _make_datasource_class():
             self._pa_schema = _arrow_schema(fields)
             self._phys_map = phys_map or {}
             self._options = options
+            self._conj: list = []    # [(col, op, value)] conjuncts
+            self._in: list = []      # [(col, [values])]
+            self._pushdown = str(
+                options.get("filterPushdown", "false")
+            ).lower() == "true"
+
+        def pushFilters(self, filters):
+            """FILTER PUSHDOWN (r13, PySpark 4.1 DataSource API): with
+            ``.option("filterPushdown", "true")``, a plain
+            ``.filter()`` on the batch reader prunes data files
+            through the manifest's footer stats and Bloom bitmaps —
+            the same Iceberg/Delta data-skipping ``scan()`` exposes,
+            driven by Spark's own pushed predicates.  Every filter is
+            also YIELDED BACK (pruning is file-granular; Spark keeps
+            the exact row-level residual — the parquet row-group-stats
+            contract).
+
+            OPT-IN, not default, because of an engine-side caching
+            hazard verified empirically on Spark 4.1: the JVM caches
+            the pushdown-computed read info on the per-``load()``
+            table object (PythonDataSourceV2.setReadInfo /
+            getOrCreateReadInfo returns any cached value regardless
+            of the current scan's filters), so a FILTERLESS scan of
+            the SAME DataFrame after a filtered one would silently
+            reuse the pruned partition list and lose rows.  With the
+            option set, treat each ``load()`` as scoped to one query
+            shape; without it, partitions are never pruned and every
+            mixed-use pattern stays exact (``scan()`` remains the
+            explicit pruning API)."""
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                In,
+                LessThan,
+                LessThanOrEqual,
+            )
+
+            ops = {
+                EqualTo: "=",
+                GreaterThan: ">",
+                GreaterThanOrEqual: ">=",
+                LessThan: "<",
+                LessThanOrEqual: "<=",
+            }
+            import datetime
+
+            # one pushFilters call == one query's filters; and a
+            # FILTERLESS query never calls pushFilters at all, while
+            # the planner-side reader object persists across queries —
+            # so state resets here AND after each partitions() (else a
+            # previous query's pruning silently drops rows from the
+            # next full scan)
+            self._conj, self._in = [], []
+            if not self._pushdown:
+                yield from filters
+                return
+            ok_types = (int, float, str, bool,
+                        datetime.date, datetime.datetime)
+            for f in filters:
+                op = ops.get(type(f))
+                if (
+                    op is not None
+                    and len(f.attribute) == 1
+                    and isinstance(f.value, ok_types)
+                ):
+                    self._conj.append((f.attribute[0], op, f.value))
+                elif (
+                    isinstance(f, In)
+                    and len(f.attribute) == 1
+                    and all(isinstance(v, ok_types) for v in f.value)
+                ):
+                    self._in.append((f.attribute[0], list(f.value)))
+                yield f  # always keep the exact row-level residual
+
+        def _pruned_files(self, version: int, files: list[str]):
+            from ..sinks.versioned import prune_files
+
+            kept = set(files)
+            conj, ins = self._conj, self._in
+            self._conj, self._in = [], []  # consumed — see pushFilters
+            if conj:
+                keep, _ = prune_files(
+                    self._dir, conj, version=version
+                )
+                kept &= set(keep)
+            for col, values in ins:
+                # IN is a disjunction: a file survives if ANY value
+                # may match (union of per-value equality prunes)
+                may: set = set()
+                for v in values:
+                    keep, _ = prune_files(
+                        self._dir, [(col, "=", v)], version=version
+                    )
+                    may |= set(keep)
+                kept &= may
+            return [f for f in files if f in kept]
 
         def _version(self) -> int:
             from ..sinks.versioned import latest_version, version_at
@@ -522,7 +619,7 @@ def _make_datasource_class():
                     f, v,
                     drops.get(_p_os.path.abspath(f)) or None,
                 )
-                for f in m["files"]
+                for f in self._pruned_files(v, m["files"])
             ]
 
         def read(self, partition):

@@ -3896,3 +3896,85 @@ def q_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = s if out is None else out.unionByName(s)
     return out.orderBy("version")
+
+
+@register(
+    "q_datasource_write",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), a AS (
+  SELECT k + 700000000 AS k, cents + 9 AS cents
+  FROM o WHERE k % 6 = 0
+), v AS (
+  SELECT 0 AS version, COUNT(*) AS n_rows, SUM(cents) AS sum_cents
+  FROM o
+  UNION ALL
+  SELECT 1, (SELECT COUNT(*) FROM o) + COUNT(*),
+         (SELECT SUM(cents) FROM o) + SUM(cents)
+  FROM a
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(sum_cents AS BIGINT) AS sum_cents
+FROM v ORDER BY version
+""",
+    doc="Versioned tables through the PLAIN Spark write API (r13, "
+    "streaming/source.py:_VersionedBatchWriter + "
+    "sinks/versioned.py:commit_staged — the write half of the "
+    "versioned_feed Python DataSource): df.write.format("
+    "'versioned_feed') stages one Arrow-native parquet file per task "
+    "(incremental ParquetWriter, no row conversion, no driver "
+    "collect), then the driver moves exactly the task-acknowledged "
+    "files into a segment and publishes the manifest — footer stats, "
+    "write-time schema enforcement, optimistic concurrency — all "
+    "driver-side metadata.  mode('append'/'overwrite') map to the "
+    "versioned modes; a streaming twin publishes one idempotent "
+    "version per micro-batch (durable writer cursor + manifest batch "
+    "markers survive replay).  The hashed result pins two "
+    "writer-created versions read back through read_version — "
+    "write-path and read-path agreeing on rows, sums, and history.",
+)
+def q_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import read_version
+    from ..streaming.source import register_versioned_feed
+
+    register_versioned_feed(spark)
+    base = _versioned_demo_path(sf_dir, "versioned_dswrite_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    (
+        orders.repartition(2).write.format("versioned_feed")
+        .mode("overwrite").option("path", base)
+        .option("timestamp", "100.0").option("note", "base").save()
+    )
+    arrivals = orders.filter(F.col("k") % 6 == 0).select(
+        (F.col("k") + 700000000).alias("k"),
+        (F.col("cents") + 9).alias("cents"),
+    )
+    (
+        arrivals.coalesce(1).write.format("versioned_feed")
+        .mode("append").option("path", base)
+        .option("timestamp", "200.0").save()
+    )
+    out = None
+    for v in range(2):
+        s = read_version(spark, base, v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).select(
+            F.lit(v).cast("bigint").alias("version"),
+            "n_rows",
+            "sum_cents",
+        )
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("version")

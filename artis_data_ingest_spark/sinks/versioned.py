@@ -434,10 +434,24 @@ def _check_schema_compatible(
     read (CANNOT_MERGE_SCHEMAS at read time, long after the writer is
     gone).  New columns and omitted columns pass (schema evolution);
     only same-name type conflicts raise."""
+    def _norm(t: str) -> str:
+        # writer-equivalence classes: Spark's parquet writer and
+        # pyarrow spell the same logical type differently (INT96 vs
+        # timestamp[us, tz=UTC]; large_string vs string) and Spark
+        # reads the mixes fine — only genuinely incompatible physical
+        # types should refuse
+        if t.startswith("timestamp"):
+            return "timestamp"
+        if t == "large_string":
+            return "string"
+        if t == "large_binary":
+            return "binary"
+        return t
+
     bad = [
         (n, parent_schema[n], t)
         for n, t in seg_schema.items()
-        if n in parent_schema and parent_schema[n] != t
+        if n in parent_schema and _norm(parent_schema[n]) != _norm(t)
     ]
     if bad:
         detail = "; ".join(
@@ -1211,6 +1225,79 @@ def commit(
         if props:
             manifest["table_props"] = props
     raise AssertionError("unreachable")  # pragma: no cover
+
+
+def commit_staged(
+    table_dir: str,
+    seg_files: list[str],
+    mode: str = "append",
+    note: str = "",
+    timestamp: float | None = None,
+    expect_version: int | None | str = ANY,
+) -> int:
+    """Publish ALREADY-WRITTEN parquet files as a new version without
+    a SparkSession — the driver-side half of the Python DataSource
+    WRITE path (r13): executors wrote the segment files; what remains
+    is pure manifest work (footer stats, schema enforcement, parent
+    carry, atomic publication), all driver-side metadata.
+
+    Tables whose properties need Spark to honor — CHECK constraints
+    (SQL evaluation), ``cluster_by``/``bloom_cols`` (distributed
+    re-layout), column mapping (physical renames) — REFUSE loudly
+    with a pointer to :func:`commit`; silently degrading the table's
+    recorded guarantees would be worse than the error."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown mode {mode!r}")
+    cur = latest_version(table_dir)
+    _check_expected(cur, expect_version)
+    parent = _read_manifest(table_dir, cur) if cur is not None else {}
+    props = dict(parent.get("table_props", {}))
+    needy = [
+        k
+        for k in (
+            "constraints",
+            "cluster_by",
+            "bloom_cols",
+            "column_mapping",
+            "dropped_columns",
+        )
+        if props.get(k)
+    ]
+    if needy:
+        raise ValueError(
+            f"table has {needy} properties which need a SparkSession "
+            f"to honor — write through sinks.versioned.commit() "
+            f"instead of the DataSource writer"
+        )
+    seg_schema = _footer_schema(seg_files)
+    if mode == "append" and cur is not None:
+        _check_schema_compatible(_table_schema(parent), seg_schema)
+        files = parent["files"] + seg_files
+        stats = {**parent.get("stats", {}), **_file_stats(seg_files)}
+        dv_files = list(parent.get("dv_files", []))
+        schema = {**_table_schema(parent), **seg_schema}
+    else:
+        files = list(seg_files)
+        stats = _file_stats(seg_files)
+        dv_files = []
+        schema = seg_schema
+    manifest = {
+        "version": (cur if cur is not None else -1) + 1,
+        "parent": cur,
+        "mode": mode,
+        "note": note,
+        "ts": timestamp if timestamp is not None else time.time(),
+        "files": files,
+        "stats": stats,
+        "schema": schema,
+    }
+    if mode == "append" and parent.get("blooms"):
+        manifest["blooms"] = dict(parent["blooms"])
+    if dv_files:
+        manifest["dv_files"] = dv_files
+    if props:
+        manifest["table_props"] = props
+    return _publish(table_dir, manifest)
 
 
 def compact(

@@ -226,10 +226,238 @@ def _make_datasource_class():
     would make this module un-importable on older runtimes."""
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceArrowWriter,
         DataSourceReader,
+        DataSourceStreamArrowWriter,
         DataSourceStreamReader,
         InputPartition,
+        WriterCommitMessage,
     )
+
+    class _WroteFile(WriterCommitMessage):
+        """One task's contribution: the staged parquet file (None for
+        an empty task) and its row count."""
+
+        def __init__(self, path, rows):
+            self.path = path
+            self.rows = rows
+
+    def _write_task_file(staging: str, iterator):
+        """Executor-side: stream this task's Arrow RecordBatches into
+        ONE parquet file under the staging dir — incremental
+        ParquetWriter, so a task never holds its partition in memory.
+        Returns the commit message the driver will move into the
+        segment (files NOT named in any commit message — failed or
+        speculative task attempts — are never referenced and get
+        cleaned with the staging dir)."""
+        import uuid as _uuid
+
+        import pyarrow.parquet as _pq
+
+        writer = None
+        path = _os.path.join(
+            staging, f"part-{_uuid.uuid4().hex}.parquet"
+        )
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                _os.makedirs(staging, exist_ok=True)
+                writer = _pq.ParquetWriter(path, batch.schema)
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return _WroteFile(None, 0)
+        writer.close()
+        return _WroteFile(path, rows)
+
+    def _move_into_segment(table_dir: str, messages) -> list[str]:
+        """Driver-side: move the files named in the commit messages
+        from staging into a fresh segment directory; returns the
+        segment file list.  Per-file moves (not a dir rename) so
+        stray files from failed task attempts never publish."""
+        import uuid as _uuid
+
+        from ..sinks.versioned import latest_version
+
+        files = sorted(
+            m.path for m in messages if m is not None and m.path
+        )
+        if not files:
+            return []  # caller decides: batch write refuses, a
+            # stream micro-batch just publishes nothing
+        cur = latest_version(table_dir)
+        seg = _os.path.join(
+            table_dir,
+            "data",
+            f"{(cur if cur is not None else -1) + 1:06d}"
+            f"-{_uuid.uuid4().hex[:8]}",
+        )
+        _os.makedirs(seg, exist_ok=True)
+        out = []
+        for f in files:
+            dst = _os.path.join(seg, _os.path.basename(f))
+            _os.replace(f, dst)
+            out.append(dst)
+        return sorted(out)
+
+    def _drop_staged(staging: str) -> None:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+
+    class _VersionedBatchWriter(DataSourceArrowWriter):
+        """``df.write.format("versioned_feed")``: executors stage one
+        parquet file per task (Arrow-native, no row conversion), the
+        driver moves the acknowledged files into a segment and
+        publishes the manifest via sinks.versioned.commit_staged —
+        atomic, schema-enforced, optimistic-concurrency-guarded.
+        ``mode("append")`` / ``mode("overwrite")`` map to the
+        versioned modes.  Options: ``note``, ``timestamp``."""
+
+        def __init__(self, table_dir: str, overwrite: bool, options):
+            import uuid as _uuid
+
+            self._dir = table_dir
+            self._overwrite = overwrite
+            self._staging = _os.path.join(
+                table_dir, "data", f"w-{_uuid.uuid4().hex[:8]}"
+            )
+            self._note = options.get("note", "datasource write")
+            ts = options.get("timestamp")
+            self._ts = float(ts) if ts is not None else None
+
+        def write(self, iterator):
+            return _write_task_file(self._staging, iterator)
+
+        def commit(self, messages):
+            from ..sinks.versioned import commit_staged
+
+            seg_files = _move_into_segment(self._dir, messages)
+            if not seg_files:
+                _drop_staged(self._staging)
+                raise ValueError(
+                    "no rows written — refusing to publish an empty "
+                    "version (commit an explicit empty DataFrame "
+                    "through sinks.versioned.commit if intended)"
+                )
+            try:
+                commit_staged(
+                    self._dir,
+                    seg_files,
+                    mode="overwrite" if self._overwrite else "append",
+                    note=self._note,
+                    timestamp=self._ts,
+                )
+            finally:
+                _drop_staged(self._staging)
+
+        def abort(self, messages):
+            _drop_staged(self._staging)
+
+    class _VersionedStreamWriter(DataSourceStreamArrowWriter):
+        """``writeStream.format("versioned_feed")``: each micro-batch
+        publishes as one version (the write half of the loop whose
+        read half is the stream reader above — versioned-table-to-
+        versioned-table ETL with engine offsets on the read side and
+        idempotent versions on the write side).
+
+        EXACTLY-ONCE across restarts: Structured Streaming replays
+        the last un-acknowledged micro-batch after a crash, so
+        ``commit(messages, batchId)`` must be idempotent.  Two
+        guards: a durable per-writer cursor under
+        ``<table>/_writers/<writerId>.json`` (fast path), and the
+        batch marker embedded in the manifest ``note`` — scanned over
+        the checkpointed version summaries — which catches the crash
+        window between publish and cursor write.  A replayed batch's
+        staged files are discarded, never re-published."""
+
+        def __init__(self, table_dir: str, options):
+            import re
+            import uuid as _uuid
+
+            self._dir = table_dir
+            self._staging = _os.path.join(
+                table_dir, "data", f"w-{_uuid.uuid4().hex[:8]}"
+            )
+            wid = options.get("writerId", "stream")
+            if not re.fullmatch(r"[A-Za-z0-9._-]{1,128}", wid):
+                raise ValueError(
+                    "writerId must match [A-Za-z0-9._-]{1,128}"
+                )
+            self._wid = wid
+            ts = options.get("timestamp")
+            self._ts = float(ts) if ts is not None else None
+
+        def _cursor_path(self) -> str:
+            return _os.path.join(
+                self._dir, "_writers", f"{self._wid}.json"
+            )
+
+        def _saved_batch(self):
+            try:
+                with open(self._cursor_path()) as f:
+                    return int(_json.load(f)["batch"])
+            except (OSError, ValueError, KeyError):
+                return None
+
+        def _save_batch(self, batch_id: int) -> None:
+            saved = self._saved_batch()
+            if saved is not None and saved >= batch_id:
+                return
+            _os.makedirs(
+                _os.path.dirname(self._cursor_path()), exist_ok=True
+            )
+            tmp = f"{self._cursor_path()}.tmp-{_os.getpid()}"
+            with open(tmp, "w") as f:
+                _json.dump({"batch": batch_id}, f)
+            _os.replace(tmp, self._cursor_path())
+
+        def _marker(self, batch_id: int) -> str:
+            return f"stream [{self._wid}#{batch_id}]"
+
+        def _already_committed(self, batch_id: int) -> bool:
+            saved = self._saved_batch()
+            if saved is not None and saved >= batch_id:
+                return True
+            # crash window: published but cursor not yet written —
+            # the manifest note carries the batch marker
+            from ..sinks.versioned import _version_summaries
+
+            marker = self._marker(batch_id)
+            try:
+                return any(
+                    s.get("note") == marker
+                    for s in _version_summaries(self._dir).values()
+                )
+            except FileNotFoundError:
+                return False
+
+        def write(self, iterator):
+            return _write_task_file(self._staging, iterator)
+
+        def commit(self, messages, batchId: int) -> None:
+            from ..sinks.versioned import commit_staged
+
+            try:
+                if self._already_committed(batchId):
+                    return  # replayed micro-batch: drop, never double
+                seg_files = _move_into_segment(self._dir, messages)
+                if seg_files:
+                    commit_staged(
+                        self._dir,
+                        seg_files,
+                        mode="append",
+                        note=self._marker(batchId),
+                        timestamp=self._ts,
+                    )
+                # an empty micro-batch publishes no version but still
+                # advances the cursor
+                self._save_batch(batchId)
+            finally:
+                _drop_staged(self._staging)
+
+        def abort(self, messages, batchId: int) -> None:
+            _drop_staged(self._staging)
 
     class _Part(InputPartition):
         def __init__(self, path: str, version: int, drop=None):
@@ -632,12 +860,18 @@ def _make_datasource_class():
             )
 
     class VersionedFeedDataSource(DataSource):
-        """``format("versioned_feed")``: stream a versioned table's
-        change feed (readStream) or scan a snapshot (read).  Options:
-        ``path`` (the table dir), ``startingVersion`` /
+        """``format("versioned_feed")``: versioned tables through the
+        plain Spark API, all four directions — stream the change feed
+        (readStream), scan a snapshot (read), append/overwrite a
+        version (write, r13), publish one version per micro-batch
+        (writeStream, r13 — idempotent across replays via a durable
+        per-writer cursor + manifest batch markers).  Options:
+        ``path`` (the table dir); read: ``startingVersion`` /
         ``startingTimestamp`` / ``maxVersionsPerTrigger`` /
-        ``maxFilesPerTrigger`` (stream), ``version`` /
-        ``asOfTimestamp`` (batch)."""
+        ``maxFilesPerTrigger`` / ``consumerId`` (stream),
+        ``version`` / ``asOfTimestamp`` / ``filterPushdown``
+        (batch); write: ``note`` / ``timestamp``, plus ``writerId``
+        (stream)."""
 
         @classmethod
         def name(cls) -> str:
@@ -713,6 +947,16 @@ def _make_datasource_class():
             return _SnapshotReader(
                 self._table_dir(), fields, self.options,
                 phys_map=mapping,
+            )
+
+        def writer(self, schema, overwrite: bool):
+            return _VersionedBatchWriter(
+                self._table_dir(), overwrite, self.options
+            )
+
+        def streamWriter(self, schema, overwrite: bool):
+            return _VersionedStreamWriter(
+                self._table_dir(), self.options
             )
 
     return VersionedFeedDataSource

@@ -1447,3 +1447,114 @@ def test_versioned_feed_filter_pushdown(spark, tmp_path):
     rd2 = inst2.reader(None)
     list(rd2.pushFilters([EqualTo(("k",), 77)]))
     assert len(rd2.partitions()) == 8
+
+
+def test_versioned_feed_datasource_writer(spark, tmp_path):
+    """r13 write path of the DataSource: df.write.format(
+    'versioned_feed') stages one Arrow-native parquet file per task
+    and publishes atomically via commit_staged (schema-enforced,
+    conflict-guarded); mode('overwrite') restarts the file list; the
+    stream writer publishes one version per micro-batch with
+    exactly-once replay protection (durable writer cursor + manifest
+    batch markers); tables whose properties need Spark to honor
+    refuse loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        add_constraint,
+        commit,
+        history,
+        latest_version,
+        list_versions,
+        read_version,
+        _read_manifest,
+    )
+    from artis_data_ingest_spark.streaming.source import (
+        register_versioned_feed,
+    )
+
+    register_versioned_feed(spark)
+    d = str(tmp_path / "tbl")
+
+    def w(df, mode="append", **opts):
+        wr = df.write.format("versioned_feed").mode(mode).option(
+            "path", d
+        )
+        for k, v in opts.items():
+            wr = wr.option(k, v)
+        wr.save()
+
+    w(spark.range(100).select(F.col("id").alias("k"),
+                              (F.col("id") * 2).alias("v")),
+      timestamp="100.0")
+    w(spark.range(100, 150).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("v")),
+      timestamp="200.0")
+    assert list_versions(d) == [0, 1]
+    assert read_version(spark, d).count() == 150
+    w(spark.range(10).select(F.col("id").alias("k"),
+                             (F.col("id") * 2).alias("v")),
+      mode="overwrite", timestamp="300.0")
+    assert read_version(spark, d).count() == 10
+    assert read_version(spark, d, 1).count() == 150  # time travel
+    m = _read_manifest(d, 2)
+    assert m["mode"] == "overwrite" and m["schema"]["k"] == "int64"
+
+    # schema enforcement holds on the writer path
+    with pytest.raises(Exception, match="incompatible|SchemaMismatch"):
+        w(spark.range(3).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 2).alias("v")))
+    assert latest_version(d) == 2
+
+    # properties that need Spark refuse loudly instead of degrading
+    add_constraint(spark, d, "pos", "v >= 0", timestamp=350.0)
+    with pytest.raises(Exception, match="need a SparkSession"):
+        w(spark.range(3).select((F.col("id") + 500).alias("k"),
+                                F.col("id").alias("v")))
+
+    # --- stream writer: versioned -> versioned ETL, pure Spark API
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    commit(spark.range(10).select(F.col("id").alias("k"),
+                                  F.col("id").alias("v")),
+           src, mode="overwrite", timestamp=100.0)
+    commit(spark.range(10, 20).select(F.col("id").alias("k"),
+                                      F.col("id").alias("v")),
+           src, timestamp=200.0)
+
+    def run():
+        q = (
+            spark.readStream.format("versioned_feed")
+            .option("path", src).load()
+            .withColumn("v2", F.col("v") * 2).drop("_version")
+            .writeStream.format("versioned_feed").option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert read_version(spark, dst).count() == 20
+    assert list_versions(dst) == [0]
+
+    # resume: only the delta flows, one version per micro-batch,
+    # marker note recorded for replay protection
+    commit(spark.range(20, 25).select(F.col("id").alias("k"),
+                                      F.col("id").alias("v")),
+           src, timestamp=300.0)
+    run()
+    assert read_version(spark, dst).count() == 25
+    assert list_versions(dst) == [0, 1]
+    notes = [r.note for r in
+             history(spark, dst).orderBy("version").collect()]
+    assert notes == ["stream [stream#0]", "stream [stream#1]"]
+
+    # idle re-run: no new version, no duplicates
+    run()
+    assert list_versions(dst) == [0, 1]
+    assert read_version(spark, dst).agg(
+        F.sum("v2")
+    ).collect()[0][0] == sum(i * 2 for i in range(25))

@@ -1234,12 +1234,20 @@ def commit_staged(
     note: str = "",
     timestamp: float | None = None,
     expect_version: int | None | str = ANY,
+    retry_conflicts: int = 10,
 ) -> int:
     """Publish ALREADY-WRITTEN parquet files as a new version without
     a SparkSession — the driver-side half of the Python DataSource
     WRITE path (r13): executors wrote the segment files; what remains
     is pure manifest work (footer stats, schema enforcement, parent
     carry, atomic publication), all driver-side metadata.
+
+    Appends retry VersionConflict by default (``retry_conflicts``):
+    a staged-file publication is a BLIND APPEND by construction, so a
+    concurrent commit just means rebasing the manifest onto the new
+    head — without this, one racing writer would fail a whole
+    streaming micro-batch over a JSON rename.  Checked
+    (``expect_version``) and overwrite publications never retry.
 
     Tables whose properties need Spark to honor — CHECK constraints
     (SQL evaluation), ``cluster_by``/``bloom_cols`` (distributed
@@ -1248,56 +1256,75 @@ def commit_staged(
     recorded guarantees would be worse than the error."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
-    cur = latest_version(table_dir)
-    _check_expected(cur, expect_version)
-    parent = _read_manifest(table_dir, cur) if cur is not None else {}
-    props = dict(parent.get("table_props", {}))
-    needy = [
-        k
-        for k in (
-            "constraints",
-            "cluster_by",
-            "bloom_cols",
-            "column_mapping",
-            "dropped_columns",
-        )
-        if props.get(k)
-    ]
-    if needy:
-        raise ValueError(
-            f"table has {needy} properties which need a SparkSession "
-            f"to honor — write through sinks.versioned.commit() "
-            f"instead of the DataSource writer"
-        )
     seg_schema = _footer_schema(seg_files)
-    if mode == "append" and cur is not None:
-        _check_schema_compatible(_table_schema(parent), seg_schema)
-        files = parent["files"] + seg_files
-        stats = {**parent.get("stats", {}), **_file_stats(seg_files)}
-        dv_files = list(parent.get("dv_files", []))
-        schema = {**_table_schema(parent), **seg_schema}
-    else:
-        files = list(seg_files)
-        stats = _file_stats(seg_files)
-        dv_files = []
-        schema = seg_schema
-    manifest = {
-        "version": (cur if cur is not None else -1) + 1,
-        "parent": cur,
-        "mode": mode,
-        "note": note,
-        "ts": timestamp if timestamp is not None else time.time(),
-        "files": files,
-        "stats": stats,
-        "schema": schema,
-    }
-    if mode == "append" and parent.get("blooms"):
-        manifest["blooms"] = dict(parent["blooms"])
-    if dv_files:
-        manifest["dv_files"] = dv_files
-    if props:
-        manifest["table_props"] = props
-    return _publish(table_dir, manifest)
+    seg_stats = _file_stats(seg_files)
+
+    def _prepare():
+        cur = latest_version(table_dir)
+        _check_expected(cur, expect_version)
+        parent = (
+            _read_manifest(table_dir, cur) if cur is not None else {}
+        )
+        props = dict(parent.get("table_props", {}))
+        needy = [
+            k
+            for k in (
+                "constraints",
+                "cluster_by",
+                "bloom_cols",
+                "column_mapping",
+                "dropped_columns",
+            )
+            if props.get(k)
+        ]
+        if needy:
+            raise ValueError(
+                f"table has {needy} properties which need a "
+                f"SparkSession to honor — write through "
+                f"sinks.versioned.commit() instead of the DataSource "
+                f"writer"
+            )
+        if mode == "append" and cur is not None:
+            _check_schema_compatible(_table_schema(parent), seg_schema)
+            files = parent["files"] + seg_files
+            stats = {**parent.get("stats", {}), **seg_stats}
+            dv_files = list(parent.get("dv_files", []))
+            schema = {**_table_schema(parent), **seg_schema}
+        else:
+            files = list(seg_files)
+            stats = dict(seg_stats)
+            dv_files = []
+            schema = dict(seg_schema)
+        manifest = {
+            "version": (cur if cur is not None else -1) + 1,
+            "parent": cur,
+            "mode": mode,
+            "note": note,
+            "ts": timestamp if timestamp is not None else time.time(),
+            "files": files,
+            "stats": stats,
+            "schema": schema,
+        }
+        if mode == "append" and parent.get("blooms"):
+            manifest["blooms"] = dict(parent["blooms"])
+        if dv_files:
+            manifest["dv_files"] = dv_files
+        if props:
+            manifest["table_props"] = props
+        return manifest
+
+    retries = (
+        max(0, retry_conflicts)
+        if mode == "append" and expect_version is ANY
+        else 0
+    )
+    for attempt in range(retries + 1):
+        try:
+            return _publish(table_dir, _prepare())
+        except VersionConflict:
+            if attempt >= retries:
+                raise
+    raise AssertionError("unreachable")  # pragma: no cover
 
 
 def compact(

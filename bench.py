@@ -119,6 +119,19 @@ tie (~2.7 s) because worker startup + plan overhead dominates — the
 per-row path is O(rows) Python object construction, so the gap widens
 with scale.  Existing stream/resume/retention hashes unchanged
 (tests/test_streaming.py:989,1120).
+
+r13 HARDWARE VARIANCE (read before comparing BENCH_r13 to earlier
+rounds): round 13 spanned several container boots, and the boots
+differ ~2x in raw speed on IDENTICAL code.  Measured: the mid-round
+boot ran the full headline set at 20.3 s total (the r13/r12 = 0.96
+geomean above); a later boot re-ran the SAME commit at ~46-48 s
+total (load average < 3, nothing else running, two consecutive runs
+agreeing — q_bigram_ppl_buckets 2.09 -> ~5.0 s, q_pagerank 1.50 ->
+2.8 s, q_kcore 1.69 -> 2.4 s, uniformly across untouched queries).
+No plan changed between those runs (SCALE.md identical).  If
+BENCH_r13 lands near the slow numbers, the round-over-round signal
+is the 0.96 geomean from the isolated same-boot comparison, not the
+cross-boot ratio; within-boot A/B comparisons remain valid.
 """
 
 from __future__ import annotations

@@ -2945,3 +2945,66 @@ def test_versioned_replace_where(spark, tmp_path):
     m = _read_manifest(tdir, 3)
     assert "dv_files" not in m
     assert read_version(spark, tdir).count() == 20
+
+
+def test_commit_staged_blind_append_retry(spark, tmp_path):
+    """commit_staged (the DataSource writer's publish half) retries
+    VersionConflict by default: staged-file publication is a blind
+    append by construction, so racing writers rebase instead of
+    failing a whole micro-batch; checked/overwrite publications never
+    retry."""
+    import threading
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        VersionConflict,
+        commit,
+        commit_staged,
+        read_version,
+        _write_segment,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    commit(
+        spark.range(5).select(F.col("id").alias("k")),
+        tdir, mode="overwrite", timestamp=100.0,
+    )
+
+    def staged_files(i):
+        return _write_segment(
+            spark.range(10).select(
+                (F.col("id") + 100 * (i + 1)).alias("k")
+            ).coalesce(1),
+            tdir,
+            99,  # cosmetic dir prefix only
+        )
+
+    pre = [staged_files(i) for i in range(5)]
+    errs, vers = [], []
+
+    def publisher(i):
+        try:
+            vers.append(
+                commit_staged(tdir, pre[i], note=f"w{i}",
+                              timestamp=200.0 + i)
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=publisher, args=(i,)) for i in range(5)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == []
+    assert sorted(vers) == [1, 2, 3, 4, 5]
+    assert read_version(spark, tdir).count() == 55
+
+    # checked publications still refuse on a stale base
+    extra = _write_segment(
+        spark.range(3).select(F.col("id").alias("k")).coalesce(1),
+        tdir, 99,
+    )
+    with pytest.raises(VersionConflict):
+        commit_staged(tdir, extra, expect_version=2)

@@ -75,6 +75,12 @@ _ONE_PART_CLASS = {
     # r13: four per-version (count, sum) global aggregates over the
     # deletion-vector demo — 1-row-per-partition partials merged
     "q_version_delete": "scalar",
+    # r13c: same per-version global-aggregate shape over the
+    # constraint/rename/replace/writer demo tables
+    "q_version_constraints": "scalar",
+    "q_version_rename": "scalar",
+    "q_replace_where": "scalar",
+    "q_datasource_write": "scalar",
     "q_dq_report": "group-bounded",
     "q_funnel": "scalar",
     "q_heavy_hitters": "k-bounded",

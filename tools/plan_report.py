@@ -78,6 +78,11 @@ _ONE_PART_CLASS = {
     # r13c: same per-version global-aggregate shape over the
     # constraint/rename/replace/writer demo tables
     "q_version_constraints": "scalar",
+    # r13: merge_dv / update_where demos — the DV sidecar write's
+    # 1-row coalesce partials + per-version (count, sum) global
+    # aggregates, all 1-row-per-partition merges
+    "q_merge_dv": "scalar",
+    "q_version_update": "scalar",
     "q_version_rename": "scalar",
     "q_replace_where": "scalar",
     "q_datasource_write": "scalar",

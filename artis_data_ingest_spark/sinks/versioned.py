@@ -692,27 +692,19 @@ def drop_column(
 
 
 def _logical_schema_names(table_dir: str, version: int) -> list[str]:
-    """The LOGICAL column names of ``version`` — unified parquet
-    footers (metadata reads only) passed through that version's
+    """The LOGICAL column names of ``version`` — the manifest's
+    recorded physical schema (O(1) JSON; footer walk only for
+    manifests predating the record) passed through that version's
     column mapping."""
-    import pyarrow.parquet as pq
-
     m = _read_manifest(table_dir, version)
     props = m.get("table_props", {})
     mapping, dropped = _mapping(props), _dropped(props)
     rev = {p: l for l, p in mapping.items()}
-    seen: set[str] = set()
-    out: list[str] = []
-    for f in m["files"]:
-        for field in pq.read_schema(f):
-            n = field.name
-            if n in seen:
-                continue
-            seen.add(n)
-            if n in dropped:
-                continue
-            out.append(rev.get(n, n))
-    return out
+    return [
+        rev.get(n, n)
+        for n in _table_schema(m)
+        if n not in dropped
+    ]
 
 
 def _alter_commit(
@@ -978,7 +970,10 @@ def quarantined_rows(
         raise FileNotFoundError(
             f"v{version} has no quarantined rows"
         )
-    return spark.read.option("mergeSchema", "true").parquet(*qf)
+    return _to_logical(
+        spark.read.option("mergeSchema", "true").parquet(*qf),
+        m.get("table_props", {}),
+    )
 
 
 def commit(

@@ -3008,3 +3008,115 @@ def test_commit_staged_blind_append_retry(spark, tmp_path):
     )
     with pytest.raises(VersionConflict):
         commit_staged(tdir, extra, expect_version=2)
+
+
+def test_versioned_feature_composition(spark, tmp_path):
+    """Cross-feature composition on ONE table: clustered+bloom layout
+    -> rename -> CHECK constraint -> replace_where on the renamed
+    column -> merge_dv -> restore -> clone.  Pins the interactions
+    the per-feature tests can't see: constraints gate replace/merge/
+    update through the column mapping, restore and clone carry
+    mapping+constraints+layout, the feed serves the current logical
+    schema over the whole chain, and pruning keeps working on the
+    renamed clustered key after everything."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        ConstraintViolation,
+        add_constraint,
+        cdc_feed,
+        change_feed,
+        clone_table,
+        commit,
+        compact,
+        merge_dv,
+        prune_files,
+        read_version,
+        rename_column,
+        replace_where,
+        restore,
+        update_where,
+    )
+
+    d = str(tmp_path / "tbl")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("region"),
+        (F.col("id") * 3).alias("val"),
+    )
+    commit(base, d, mode="overwrite", cluster_by=["k"],
+           bloom_cols=["k"], n_files=4, timestamp=100.0)
+    rename_column(d, "val", "amount", timestamp=110.0)
+    add_constraint(spark, d, "amt_pos", "amount >= 0",
+                   timestamp=120.0)
+
+    repl = spark.range(50).select(
+        (F.col("id") + 5000).alias("k"),
+        F.lit(3).cast("bigint").alias("region"),
+        F.col("id").alias("amount"),
+    )
+    assert replace_where(spark, d, repl, "region = 3",
+                         timestamp=130.0) == 3
+    assert read_version(spark, d).count() == 950
+
+    with pytest.raises(ConstraintViolation):
+        replace_where(
+            spark, d,
+            spark.range(2).select(
+                (F.col("id") + 6000).alias("k"),
+                F.lit(3).cast("bigint").alias("region"),
+                (-F.col("id") - 1).alias("amount"),
+            ),
+            "region = 3", timestamp=140.0,
+        )
+
+    src = spark.createDataFrame(
+        [(0, 0, 999), (90000, 5, 77)],
+        "k long, region long, amount long",
+    )
+    assert merge_dv(spark, d, src, ["k"], timestamp=150.0) == 4
+    cur = read_version(spark, d)
+    assert cur.filter("k = 0").collect()[0]["amount"] == 999
+    assert cur.filter("k = 90000").count() == 1
+    with pytest.raises(ConstraintViolation):
+        merge_dv(spark, d, spark.createDataFrame(
+            [(1, 0, -5)], "k long, region long, amount long",
+        ), ["k"], timestamp=160.0)
+    with pytest.raises(ConstraintViolation):
+        update_where(spark, d, {"amount": "-amount - 1"}, "k < 5",
+                     timestamp=170.0)
+
+    # restore to the pre-replace state; mapping + constraint carried
+    assert restore(spark, d, version=2, timestamp=180.0) == 5
+    rr = read_version(spark, d)
+    assert rr.count() == 1000 and rr.columns == ["k", "region",
+                                                 "amount"]
+
+    dd = str(tmp_path / "clone")
+    clone_table(d, dd, timestamp=190.0)
+    assert read_version(spark, dd).columns == ["k", "region",
+                                               "amount"]
+    with pytest.raises(ConstraintViolation):
+        commit(
+            spark.range(1).select(
+                (F.col("id") + 7000).alias("k"),
+                F.lit(1).cast("bigint").alias("region"),
+                F.lit(-9).cast("bigint").alias("amount"),
+            ),
+            dd, timestamp=200.0,
+        )
+
+    assert sorted(change_feed(spark, d, since=0).columns) == [
+        "_version", "amount", "k", "region",
+    ]
+    kinds = {
+        r["_change_type"]
+        for r in cdc_feed(spark, d, since=0)
+        .select("_change_type").distinct().collect()
+    }
+    assert kinds == {"insert", "delete"}
+
+    kept, total = prune_files(d, [("k", "=", 500)])
+    assert len(kept) < total
+    compact(spark, d, timestamp=210.0)
+    after = read_version(spark, d)
+    assert after.count() == 1000
+    assert after.columns == ["k", "region", "amount"]

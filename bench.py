@@ -342,13 +342,26 @@ def main() -> None:
             spark.catalog.clearCache()
             time.sleep(2)  # cooldown: let prior executors' GC settle
         runs = []
-        # 5 runs for the high-variance minhash stats query (r7 note
-        # above), 3 elsewhere
-        n_runs = 5 if name == "q_minhash_portable_stats" else 3
-        for _ in range(n_runs):
+        # minimum 5 runs for the high-variance minhash stats query
+        # (r7 note above), 3 elsewhere — then ADAPTIVE (r13): keep
+        # running while the latest run still improves the floor by
+        # >13%, up to 6 total.  On a fast boot the floor stabilizes
+        # within the minimum; on a slow boot (see the r13 hardware-
+        # variance note) JIT/page-cache warmup can take 4-5 runs on
+        # the heavies, and a 3-run min there reads as a phantom
+        # regression.
+        n_min = 5 if name == "q_minhash_portable_stats" else 3
+        while True:
             t0 = time.time()
             fn(spark, sf_dir).collect()
             runs.append(round(time.time() - t0, 3))
+            if len(runs) >= 6:
+                break
+            if (
+                len(runs) >= n_min
+                and not runs[-1] < 0.87 * min(runs[:-1])
+            ):
+                break
         all_runs[name] = runs
         timings[name] = min(runs)
 

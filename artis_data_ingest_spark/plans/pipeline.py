@@ -3978,3 +3978,79 @@ def q_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = s if out is None else out.unionByName(s)
     return out.orderBy("version")
+
+
+@register(
+    "q_version_rowcount",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), a AS (
+  SELECT k + 300000000 AS k, cents + 5 AS cents
+  FROM o WHERE k % 8 = 0
+), u AS (
+  SELECT k, cents FROM o UNION ALL SELECT k, cents FROM a
+), live2 AS (
+  SELECT * FROM u WHERE k % 10 <> 1
+), v AS (
+  SELECT 0 AS version, COUNT(*) AS n_meta FROM o
+  UNION ALL SELECT 1, COUNT(*) FROM u
+  UNION ALL SELECT 2, COUNT(*) FROM live2
+  UNION ALL SELECT 3, COUNT(*) FROM live2
+  UNION ALL SELECT 4, COUNT(*) FROM live2
+)
+SELECT CAST(version AS BIGINT) AS version,
+       CAST(n_meta AS BIGINT) AS n_meta
+FROM v ORDER BY version
+""",
+    doc="Metadata-only COUNT(*) (r13, sinks/versioned.py:row_count — "
+    "Delta's numRecords): every commit records per-file row counts "
+    "in the manifest (read from the parquet footers it already "
+    "opens for min/max stats), so counting a version sums O(files) "
+    "integers and subtracts the deletion-vector sidecars' counts — "
+    "zero data pages read at any table size.  The demo walks the "
+    "whole DML surface — append, DV delete, DV update (count-"
+    "neutral), compaction (materializes the vectors) — and the "
+    "hashed result compares the METADATA-ONLY counts against "
+    "DuckDB's true COUNT(*) at every version: an off-by-anything in "
+    "the manifest bookkeeping (double-counted carry, unmasked DV, "
+    "resurrected row) hash-mismatches.",
+)
+def q_version_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import (
+        commit,
+        compact,
+        delete_where,
+        row_count,
+        update_where,
+    )
+
+    base = _versioned_demo_path(sf_dir, "versioned_rowcount_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    commit(orders.repartition(2), base, mode="overwrite", note="base",
+           expect_version=None, timestamp=100.0)
+    commit(
+        orders.filter(F.col("k") % 8 == 0).select(
+            (F.col("k") + 300000000).alias("k"),
+            (F.col("cents") + 5).alias("cents"),
+        ),
+        base, timestamp=200.0,
+    )
+    delete_where(spark, base, "k % 10 = 1", timestamp=300.0)
+    update_where(spark, base, {"cents": "cents + 1"}, "k % 7 = 0",
+                 timestamp=400.0)
+    compact(spark, base, n_files=2, timestamp=500.0)
+    rows = [(v, row_count(base, version=v)) for v in range(5)]
+    return spark.createDataFrame(
+        rows, "version bigint, n_meta bigint"
+    ).orderBy("version")

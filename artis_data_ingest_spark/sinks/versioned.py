@@ -380,7 +380,9 @@ def _file_stats(files: list[str]) -> dict:
             # an empty file matches nothing — prunable under ANY filter
             out[os.path.abspath(path)] = {"__rows": 0}
             continue
-        cols: dict = {}
+        # per-file row count (Delta's numRecords): COUNT(*) becomes a
+        # manifest read — see :func:`row_count`
+        cols: dict = {"__rows": md.num_rows}
         for rg in range(md.num_row_groups):
             grp = md.row_group(rg)
             for ci in range(grp.num_columns):
@@ -392,6 +394,9 @@ def _file_stats(files: list[str]) -> dict:
                 if lo is None or hi is None:
                     continue
                 name = col.path_in_schema
+                if name == "__rows":
+                    continue  # a data column named like the row-count
+                    # sentinel gets no stats rather than corrupting it
                 if name in cols:
                     plo, phi = cols[name]
                     cols[name] = [min(plo, lo), max(phi, hi)]
@@ -2671,6 +2676,47 @@ def scan(
     for col, op, val in filters:
         df = df.filter(ops[op](F.col(col), F.lit(val)))
     return df
+
+
+def row_count(
+    table_dir: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> int:
+    """``COUNT(*)`` from METADATA alone (Delta's ``numRecords``):
+    sums the manifest's recorded per-file row counts and subtracts
+    the deletion vectors' — zero data pages read, O(files)
+    driver-side arithmetic.  At 100 TB this answers the most common
+    query ever issued against a table without touching a single
+    parquet page.  Files committed before row counts were recorded
+    fall back to one footer read each (still metadata, not data); DV
+    sidecar counts come from the sidecars' own footers (KB files).
+    Exact across the whole DML surface: appends add, deletes/updates/
+    replaces mask via DVs, compaction materializes, restore/clone
+    reference."""
+    import pyarrow.parquet as pq
+
+    if as_of is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of, not both")
+        version = version_at(table_dir, as_of)
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no versions in {table_dir}")
+    m = _read_manifest(table_dir, version)
+    stats = m.get("stats", {})
+    total = 0
+    for f in m["files"]:
+        n = stats.get(os.path.abspath(f), {}).get("__rows")
+        if n is None:  # pre-r13 manifest: footer fallback
+            n = pq.ParquetFile(f).metadata.num_rows
+        total += int(n)
+    deleted = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in m.get("dv_files", [])
+    )
+    return total - deleted
 
 
 def history(spark: SparkSession, table_dir: str) -> DataFrame:

@@ -234,16 +234,24 @@ class _SSTCursor:
         cb_ext = struct.unpack("<I", self.read(4))[0] if flags & 4 else 0
         parts: list[str] = []
         remaining = cch
+        # the chunk the HEADER ended in: any later chunk reached while
+        # characters remain is a CONTINUE, and per [MS-XLS] every
+        # CONTINUE carrying this string's characters restates the
+        # 1-byte compression flag — including the edge where the split
+        # falls exactly BETWEEN the header and the first character
+        # (parts is still empty there, so "off == 0 and parts" missed
+        # it and decoded the flag byte as a character)
+        hdr_chunk = self.ci
         while remaining:
             self._advance()
             if self.ci >= len(self.chunks):
                 raise ValueError("SST string truncated")
             c = self.chunks[self.ci]
-            if self.off == 0 and parts:
-                # a string continuing into a new chunk restates its
-                # compression flag as the chunk's first byte
+            if self.off == 0 and self.ci != hdr_chunk:
+                # first bytes of a CONTINUE chunk: restated flag
                 high = c[0] & 1
                 self.off = 1
+                hdr_chunk = self.ci
             width = 2 if high else 1
             avail = (len(c) - self.off) // width
             take = min(remaining, avail)

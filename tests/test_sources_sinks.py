@@ -1963,21 +1963,30 @@ def test_xls_ministream_and_sst_continue(tmp_path):
     # string 0: 'abcdefgh' splits after 'abc' (flag restated as 0)
     # string 1: 'héllo' starts compressed... written wholly utf-16 in
     #           the continue chunk (flag restated as 1)
-    sst_part1 = struct.pack("<II", 2, 2)
+    # string 2: 'wxyz' splits EXACTLY between its header and its first
+    #           character — the CONTINUE still restates the flag (the
+    #           parts-empty edge a naive "mid-string only" restate
+    #           check decodes as a character)
+    sst_part1 = struct.pack("<II", 3, 3)
     sst_part1 += struct.pack("<HB", 8, 0) + b"abc"
     cont = b"\x00" + b"defgh"
     cont += struct.pack("<HB", 5, 1) + "héllo".encode("utf-16-le")
+    cont += struct.pack("<HB", 4, 0)  # string 2 header ends the chunk
+    cont2 = b"\x00" + b"wxyz"        # restated flag + all chars
     sheet_cells = (
         _rec(0x00FD, struct.pack("<HHHI", 0, 0, 15, 0))   # LABELSST a1
         + _rec(0x00FD, struct.pack("<HHHI", 0, 1, 15, 1))
+        + _rec(0x00FD, struct.pack("<HHHI", 0, 2, 15, 2))
         + _rec(0x00FD, struct.pack("<HHHI", 1, 0, 15, 0))
         + _rec(0x00FD, struct.pack("<HHHI", 1, 1, 15, 1))
+        + _rec(0x00FD, struct.pack("<HHHI", 1, 2, 15, 2))
     )
     sheet = _biff_bof(0x0010) + sheet_cells + _rec(0x000A, b"")
     glb_probe = (
         _biff_bof(0x0005)
         + _rec(0x0085, struct.pack("<IHBB", 0, 0, 2, 0) + b"S1")
         + _rec(0x00FC, sst_part1) + _rec(0x003C, cont)
+        + _rec(0x003C, cont2)
         + _rec(0x000A, b"")
     )
     glb = (
@@ -1985,6 +1994,7 @@ def test_xls_ministream_and_sst_continue(tmp_path):
         + _rec(0x0085,
                struct.pack("<IHBB", len(glb_probe), 0, 2, 0) + b"S1")
         + _rec(0x00FC, sst_part1) + _rec(0x003C, cont)
+        + _rec(0x003C, cont2)
         + _rec(0x000A, b"")
     )
     wb = glb + sheet
@@ -2046,8 +2056,8 @@ def test_xls_ministream_and_sst_continue(tmp_path):
     )
 
     hdr, rows = parse_xls_bytes(blob, skip_rows=0, sheet=0)
-    assert hdr == ["abcdefgh", "héllo"]
-    assert rows == [["abcdefgh", "héllo"]]
+    assert hdr == ["abcdefgh", "héllo", "wxyz"]
+    assert rows == [["abcdefgh", "héllo", "wxyz"]]
 
 
 def test_pdf_empty_user_password_decryption(tmp_path):

@@ -4054,3 +4054,102 @@ def q_version_rowcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version bigint, n_meta bigint"
     ).orderBy("version")
+
+
+@register(
+    "q_cdc_incremental_agg",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(o_orderkey % 97 AS BIGINT) AS cust,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), live1 AS (
+  SELECT * FROM o WHERE k % 10 <> 3
+), live2 AS (
+  SELECT k, cust,
+         CASE WHEN k % 7 = 0 THEN cents + 100 ELSE cents END AS cents
+  FROM live1
+), ins AS (
+  SELECT k + 900000000 AS k,
+         CAST((k + 900000000) % 97 AS BIGINT) AS cust,
+         cents + 13 AS cents
+  FROM o WHERE k % 11 = 0
+), final AS (
+  SELECT * FROM live2 UNION ALL SELECT * FROM ins
+)
+SELECT cust,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM final GROUP BY cust ORDER BY cust
+""",
+    doc="Retraction-aware INCREMENTAL MATERIALIZED VIEW (r13, "
+    "operators/matview.py:apply_cdc_to_aggregate over "
+    "sinks/versioned.py:cdc_feed): a persisted COUNT/SUM rollup is "
+    "maintained EXACTLY through arbitrary DML — the CDC slice's rows "
+    "carry +1 (insert, update_postimage) or -1 (delete, "
+    "update_preimage) signs, one signed groupBy collapses them to "
+    "per-group deltas (map-side combinable, O(changed rows)), and "
+    "one view-sized full-outer merge refreshes the state; groups "
+    "retracted to zero leave the view.  This is the Flink/"
+    "Materialize retract-stream contract on top of the lakehouse "
+    "CDC feed — at 100 TB the view refresh touches the changed rows "
+    "and the group table, never the corpus.  The demo drives a "
+    "DELETE, an UPDATE (both images), and an insert through the "
+    "feed; the hashed result must equal DuckDB re-aggregating the "
+    "FINAL table state from scratch — any sign error, missed "
+    "retraction, or double-applied image hash-mismatches.",
+)
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..operators.matview import apply_cdc_to_aggregate
+    from ..sinks.versioned import (
+        cdc_feed,
+        commit,
+        delete_where,
+        read_version,
+        update_where,
+    )
+
+    base = _versioned_demo_path(sf_dir, "versioned_cdcagg_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 97).cast("bigint").alias("cust"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    commit(orders.repartition(2), base, mode="overwrite", note="base",
+           expect_version=None, timestamp=100.0)
+    # the materialized view's base state: aggregate of v0
+    view = read_version(spark, base, 0).groupBy("cust").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    # arbitrary DML after the view materialized
+    delete_where(spark, base, "k % 10 = 3", timestamp=200.0)
+    update_where(spark, base, {"cents": "cents + 100"}, "k % 7 = 0",
+                 timestamp=300.0)
+    commit(
+        orders.filter(F.col("k") % 11 == 0).select(
+            (F.col("k") + 900000000).alias("k"),
+            ((F.col("k") + 900000000) % 97).cast("bigint").alias(
+                "cust"
+            ),
+            (F.col("cents") + 13).alias("cents"),
+        ),
+        base, timestamp=400.0,
+    )
+    refreshed = apply_cdc_to_aggregate(
+        view,
+        cdc_feed(spark, base, since=0),
+        keys=["cust"],
+        sums={"sum_cents": F.col("cents")},
+    )
+    return refreshed.select(
+        "cust",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    ).orderBy("cust")

@@ -51,6 +51,7 @@ _PRIORITY: list[str] = [
     "q_replace_where",        # new: selective overwrite (replaceWhere)
     "q_datasource_write",     # new: DataSource write path
     "q_version_rowcount",     # new: metadata-only COUNT(*)
+    "q_cdc_incremental_agg",  # new: retraction-aware MV refresh
     "q_version_checkpoint",   # new: manifest-log checkpointing
     "q_pdf_ingest",           # + secure-rc4/secure-aes decryption fixtures
     "q_pdf_modern",           # + modern-rc4 (encrypted 1.5) fixture
@@ -105,7 +106,6 @@ _PRIORITY: list[str] = [
     "q_version_update",
     "q_cdc_feed",
     "q_merge_dv",
-    "q_gopher_rules",
     "q_pii_scrub",
     "q_xls_ingest",
     # (52-slot budget enforced by test_priority_queries_yield_first;

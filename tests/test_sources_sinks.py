@@ -3130,3 +3130,65 @@ def test_versioned_feature_composition(spark, tmp_path):
     after = read_version(spark, d)
     assert after.count() == 1000
     assert after.columns == ["k", "region", "amount"]
+
+
+def test_matview_retraction_and_group_vanish(spark, tmp_path):
+    """operators/matview.py: the CDC-driven view refresh handles the
+    edges the gate demo can't isolate — a group retracted to ZERO
+    leaves the view entirely, a brand-new group appears, an update
+    that MOVES a row between groups retracts from one and adds to the
+    other, and multiple SUM measures stay exact simultaneously."""
+    from artis_data_ingest_spark.operators.matview import (
+        apply_cdc_to_aggregate,
+    )
+    from artis_data_ingest_spark.sinks.versioned import (
+        cdc_feed,
+        commit,
+        delete_where,
+        read_version,
+        update_where,
+    )
+
+    d = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10, 1), (2, "a", 20, 2), (3, "b", 30, 3),
+         (4, "c", 40, 4)],
+        "k long, g string, v long, w long",
+    )
+    commit(base, d, mode="overwrite", timestamp=100.0)
+    view = read_version(spark, d).groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("sum_v"),
+        F.sum("w").alias("sum_w"),
+    )
+    # group b vanishes; a row MOVES from group a to group c; a new
+    # group d appears
+    delete_where(spark, d, "g = 'b'", timestamp=200.0)
+    update_where(spark, d, {"g": "'c'"}, "k = 2", timestamp=300.0)
+    commit(
+        spark.createDataFrame([(9, "d", 5, 6)],
+                              "k long, g string, v long, w long"),
+        d, timestamp=400.0,
+    )
+    out = apply_cdc_to_aggregate(
+        view, cdc_feed(spark, d, since=0), keys=["g"],
+        sums={"sum_v": "v", "sum_w": "w"},
+    )
+    got = {
+        r["g"]: (r["n_rows"], r["sum_v"], r["sum_w"])
+        for r in out.collect()
+    }
+    # exact equality with re-aggregating the final state
+    want = {
+        r["g"]: (r["n_rows"], r["sum_v"], r["sum_w"])
+        for r in read_version(spark, d).groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").alias("sum_v"),
+            F.sum("w").alias("sum_w"),
+        ).collect()
+    }
+    assert got == want
+    assert "b" not in got            # retracted to zero: gone
+    assert got["c"] == (2, 60, 6)    # moved row landed
+    assert got["a"] == (1, 10, 1)    # moved row retracted
+    assert got["d"] == (1, 5, 6)     # new group appeared

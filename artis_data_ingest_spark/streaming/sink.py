@@ -68,10 +68,17 @@ def compact_batches(
     write_partitioned(df, dst, partition_cols, sort_cols=sort_cols)
 
 
-def versioned_batch_writer(table_dir: str):
+def versioned_batch_writer(table_dir: str, on_violation: str = "error"):
     """foreachBatch callback committing each micro-batch as an APPEND
     version of a versioned table (sinks/versioned.py) — streaming
     ingestion with a time-travelable commit log.
+
+    ``on_violation`` (r13) passes through to ``commit()`` for tables
+    carrying CHECK constraints: the default ``"error"`` fails the
+    stream on a violating batch (Delta's behavior); ``"quarantine"``
+    commits the valid rows and records the violators in the manifest
+    (sinks/versioned.py:quarantined_rows) — streaming ingest where one
+    bad record must neither stall the pipeline nor silently vanish.
 
     Exactly-once on top of at-least-once replay: the batch id rides in
     the commit note (``batch=N``) AND, after a successful commit, in a
@@ -113,6 +120,7 @@ def versioned_batch_writer(table_dir: str):
             mode="append" if cur is not None else "overwrite",
             note=note,
             expect_version=cur,
+            on_violation=on_violation,
         )
         os.makedirs(markers, exist_ok=True)
         open(marker, "w").close()

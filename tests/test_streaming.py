@@ -1558,3 +1558,55 @@ def test_versioned_feed_datasource_writer(spark, tmp_path):
     assert read_version(spark, dst).agg(
         F.sum("v2")
     ).collect()[0][0] == sum(i * 2 for i in range(25))
+
+
+def test_versioned_stream_quarantine(spark, tmp_path):
+    """r13: streaming ingest into a CONSTRAINED versioned table with
+    on_violation='quarantine' — a micro-batch containing violating
+    rows commits its valid rows and records the violators in the
+    manifest instead of failing the stream; the default error mode
+    still fails the batch whole."""
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        add_constraint,
+        commit,
+        latest_version,
+        quarantined_rows,
+        read_version,
+    )
+    from artis_data_ingest_spark.streaming.sink import (
+        versioned_batch_writer,
+    )
+
+    d = str(tmp_path / "tbl")
+    commit(
+        spark.range(5).select(F.col("id").alias("k"),
+                              (F.col("id") * 2).alias("v")),
+        d, mode="overwrite", timestamp=100.0,
+    )
+    add_constraint(spark, d, "v_pos", "v >= 0", timestamp=110.0)
+
+    mixed = spark.range(4).select(
+        (F.col("id") + 100).alias("k"),
+        F.when(F.col("id") % 2 == 0, F.col("id"))
+        .otherwise(F.lit(-1).cast("bigint")).alias("v"),
+    )
+    # quarantine mode: valid rows land, violators recorded
+    versioned_batch_writer(d, on_violation="quarantine")(mixed, 0)
+    v = latest_version(d)
+    assert read_version(spark, d).count() == 7
+    assert quarantined_rows(spark, d, v).count() == 2
+    # replay of the same batch id skips (exactly-once preserved)
+    versioned_batch_writer(d, on_violation="quarantine")(mixed, 0)
+    assert latest_version(d) == v
+
+    # default mode refuses the whole violating batch
+    import pytest
+    from artis_data_ingest_spark.sinks.versioned import (
+        ConstraintViolation,
+    )
+
+    with pytest.raises(ConstraintViolation):
+        versioned_batch_writer(d)(mixed, 1)
+    assert latest_version(d) == v

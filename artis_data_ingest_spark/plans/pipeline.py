@@ -4153,3 +4153,114 @@ def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("sum_cents").cast("bigint").alias("sum_cents"),
     ).orderBy("cust")
+
+
+@register(
+    "q_cdc_stream",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(o_orderkey % 5 AS BIGINT) AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), live1 AS (
+  SELECT * FROM o WHERE k % 9 <> 2
+), r AS (
+  SELECT k + 400000000 AS k, CAST(1 AS BIGINT) AS g, cents + 3 AS cents
+  FROM o WHERE k % 13 = 0
+), v AS (
+  SELECT 0 AS _version, 'insert' AS _change_type,
+         COUNT(*) AS n, SUM(cents) AS sum_cents FROM o
+  UNION ALL
+  SELECT 1, 'delete', COUNT(*), SUM(cents)
+  FROM o WHERE k % 9 = 2
+  UNION ALL
+  SELECT 2, 'update_preimage', COUNT(*), SUM(cents)
+  FROM live1 WHERE k % 11 = 0
+  UNION ALL
+  SELECT 2, 'update_postimage', COUNT(*), SUM(cents + 50)
+  FROM live1 WHERE k % 11 = 0
+  UNION ALL
+  SELECT 3, 'delete', COUNT(*),
+         SUM(CASE WHEN k % 11 = 0 THEN cents + 50 ELSE cents END)
+  FROM live1 WHERE g = 1
+  UNION ALL
+  SELECT 3, 'insert', COUNT(*), SUM(cents) FROM r
+)
+SELECT CAST(_version AS BIGINT) AS _version, _change_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(sum_cents AS BIGINT) AS sum_cents
+FROM v ORDER BY _version, _change_type
+""",
+    doc="STREAMING change-data feed (r13, streaming/source.py "
+    "readChangeFeed — Delta's CDF as a Structured Streaming source): "
+    "the versioned_feed stream emits _change_type-tagged rows — "
+    "inserts from delta files; deletes and update pre-images "
+    "RECOVERED from each version's new deletion-vector rows by one "
+    "Arrow take per data file, executor-side (the DV resolution is "
+    "KB-scale driver metadata).  This query RUNS the real stream "
+    "(availableNow trigger, engine-checkpointed offsets, one "
+    "partition per work unit) over a delete + update + replace "
+    "chain and hashes per-(version, change_type) counts and sums — "
+    "the update's pre/post images must carry the exact old/new "
+    "values and the replace must emit both its delete and insert "
+    "halves, all matching a closed-form oracle.  The streaming twin "
+    "of q_cdc_feed; resume/exactly-once/matview composition pinned "
+    "in tests/test_streaming.py.",
+)
+def q_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import (
+        commit,
+        delete_where,
+        replace_where,
+        update_where,
+    )
+    from ..streaming.source import register_versioned_feed
+
+    register_versioned_feed(spark)
+    base = _versioned_demo_path(sf_dir, "versioned_cdcstream_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 5).cast("bigint").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    commit(orders.repartition(2), base, mode="overwrite", note="base",
+           expect_version=None, timestamp=100.0)
+    delete_where(spark, base, "k % 9 = 2", timestamp=200.0)
+    update_where(spark, base, {"cents": "cents + 50"}, "k % 11 = 0",
+                 timestamp=300.0)
+    replace_where(
+        spark, base,
+        orders.filter(F.col("k") % 13 == 0).select(
+            (F.col("k") + 400000000).alias("k"),
+            F.lit(1).cast("bigint").alias("g"),
+            (F.col("cents") + 3).alias("cents"),
+        ),
+        "g = 1", timestamp=400.0,
+    )
+    sink = f"{base}_out"
+    ckpt = f"{base}_ckpt"
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = (
+        spark.readStream.format("versioned_feed")
+        .option("path", base).option("readChangeFeed", "true").load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("_version", "_change_type")
+    )

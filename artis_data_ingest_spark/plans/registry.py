@@ -52,6 +52,7 @@ _PRIORITY: list[str] = [
     "q_datasource_write",     # new: DataSource write path
     "q_version_rowcount",     # new: metadata-only COUNT(*)
     "q_cdc_incremental_agg",  # new: retraction-aware MV refresh
+    "q_cdc_stream",           # new: CDF as a streaming source
     "q_version_checkpoint",   # new: manifest-log checkpointing
     "q_pdf_ingest",           # + secure-rc4/secure-aes decryption fixtures
     "q_pdf_modern",           # + modern-rc4 (encrypted 1.5) fixture
@@ -106,7 +107,6 @@ _PRIORITY: list[str] = [
     "q_version_update",
     "q_cdc_feed",
     "q_merge_dv",
-    "q_pii_scrub",
     "q_xls_ingest",
     # (52-slot budget enforced by test_priority_queries_yield_first;
     # the r12 head — q_time_travel_ts, q_version_restore, the r8

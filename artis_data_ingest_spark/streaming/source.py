@@ -114,12 +114,15 @@ def _unified_schema(files: list[str]) -> list[tuple[str, str]]:
     return fields
 
 
-def _schema_ddl(fields: list[tuple[str, str]]) -> str:
+def _schema_ddl(fields: list[tuple[str, str]], cdc: bool = False) -> str:
     cols = ", ".join(f"`{n}` {t}" for n, t in fields)
-    return f"{cols}, `_version` bigint"
+    ddl = f"{cols}, `_version` bigint"
+    if cdc:
+        ddl += ", `_change_type` string"
+    return ddl
 
 
-def _arrow_schema(fields: list[tuple[str, str]]):
+def _arrow_schema(fields: list[tuple[str, str]], cdc: bool = False):
     """The pyarrow schema Spark expects for the DECLARED source schema
     (fields + ``_version``).  The DDL names are OUR closed set
     (:func:`_spark_type` emits them), so the Spark-type→Arrow mapping
@@ -151,14 +154,17 @@ def _arrow_schema(fields: list[tuple[str, str]]):
             return pa.decimal128(int(p), int(s))
         return ddl_to_arrow[ddl]
 
+    extra = [pa.field("_version", pa.int64())]
+    if cdc:
+        extra.append(pa.field("_change_type", pa.string()))
     return pa.schema(
-        [pa.field(n, _to_arrow(t)) for n, t in fields]
-        + [pa.field("_version", pa.int64())]
+        [pa.field(n, _to_arrow(t)) for n, t in fields] + extra
     )
 
 
 def _read_file_batches(path: str, pa_schema, version: int,
-                       drop_positions=None, phys_map=None):
+                       drop_positions=None, phys_map=None,
+                       take_positions=None, change_type=None):
     """Executor-side: yield ``pyarrow.RecordBatch`` objects for one
     delta file, cast to the declared Arrow schema (+ a constant
     ``_version`` int64 column); columns absent from this file's footer
@@ -174,7 +180,14 @@ def _read_file_batches(path: str, pa_schema, version: int,
     import pyarrow.parquet as pq
 
     table = pq.read_table(path)
-    if drop_positions:
+    if take_positions is not None:
+        # CDC recovery (r13 readChangeFeed): this partition carries
+        # exactly the rows a deletion vector named — the INVERSE of
+        # the snapshot reader's mask
+        table = table.take(
+            pa.array(sorted(take_positions), type=pa.int64())
+        )
+    elif drop_positions:
         keep = np.ones(table.num_rows, dtype=bool)
         keep[np.asarray(drop_positions, dtype=np.int64)] = False
         table = table.filter(pa.array(keep))
@@ -188,6 +201,10 @@ def _read_file_batches(path: str, pa_schema, version: int,
         phys = phys_map.get(field.name, field.name)
         if field.name == "_version":
             arrays.append(pa.array(np.full(n, version, dtype=np.int64)))
+        elif field.name == "_change_type" and change_type is not None:
+            arrays.append(
+                pa.array([change_type] * n, type=pa.string())
+            )
         elif phys in present:
             col = table.column(phys).combine_chunks()
             if col.type != field.type:
@@ -218,6 +235,73 @@ def _delta_partitions(
             for f in version_delta_files(table_dir, v):
                 parts.append(_FilePartition(f, v))
     return parts
+
+
+def _cdc_plan(table_dir: str, after: int, upto: int):
+    """Driver-side CDC work units for versions in ``(after, upto]``
+    (r13 ``readChangeFeed`` — Delta's CDF as a STREAM): per version,
+    the adds (delta files, tagged ``insert`` / ``update_postimage``)
+    plus the retractions (the version's NEW deletion-vector rows,
+    grouped per data file and tagged ``delete`` /
+    ``update_preimage``), each a (path, version, positions, kind)
+    tuple an executor recovers independently.  DV sidecars are
+    KB-scale, so resolving positions here is driver metadata work;
+    the row recovery is one Arrow ``take`` per file, executor-side.
+    Parity contract with the batch :func:`~artis_data_ingest_spark.
+    sinks.versioned.cdc_feed`: merge versions surface their delta as
+    ``insert`` rows (a merge's masked targets are not emitted — use
+    delete/update/replace_where when a consumer must see
+    retractions).  Raises RetentionError when a retraction's parent
+    manifest is expired, like the batch feed."""
+    from ..sinks.versioned import (
+        RetentionError,
+        _read_manifest,
+        list_versions,
+        version_delta_files,
+    )
+
+    plan: list[tuple[str, int, list | None, str]] = []
+    for v in list_versions(table_dir):
+        if not (after < v <= upto):
+            continue
+        m = _read_manifest(table_dir, v)
+        mode = m["mode"]
+        if mode in ("compact", "alter"):
+            continue
+        kind_add = "update_postimage" if mode == "update" else "insert"
+        for f in version_delta_files(table_dir, v):
+            plan.append((f, v, None, kind_add))
+        if mode not in ("delete", "update", "replace"):
+            continue
+        try:
+            parent = _read_manifest(table_dir, m["parent"])
+        except FileNotFoundError:
+            raise RetentionError(
+                f"v{v}'s parent manifest was expired; its CDC "
+                f"retractions are no longer recoverable"
+            ) from None
+        parent_dv = set(parent.get("dv_files", []))
+        new_dv = [
+            f for f in m.get("dv_files", []) if f not in parent_dv
+        ]
+        if not new_dv:
+            continue
+        import pyarrow.parquet as pq
+
+        kind_del = (
+            "update_preimage" if mode == "update" else "delete"
+        )
+        pos: dict[str, list[int]] = {}
+        for dvf in new_dv:
+            t = pq.read_table(dvf)
+            for f, p in zip(
+                t.column("_dv_file").to_pylist(),
+                t.column("_dv_pos").to_pylist(),
+            ):
+                pos.setdefault(f, []).append(p)
+        for f, plist in sorted(pos.items()):
+            plan.append((f, v, plist, kind_del))
+    return plan
 
 
 def _make_datasource_class():
@@ -460,10 +544,13 @@ def _make_datasource_class():
             _drop_staged(self._staging)
 
     class _Part(InputPartition):
-        def __init__(self, path: str, version: int, drop=None):
+        def __init__(self, path: str, version: int, drop=None,
+                     take=None, kind=None):
             self.path = path
             self.version = version
             self.drop = drop  # deletion-vector row positions, if any
+            self.take = take  # CDC: positions to RECOVER (not mask)
+            self.kind = kind  # CDC: _change_type for this partition
 
     class _FeedStreamReader(DataSourceStreamReader):
         """Admission-control design notes (r13).  The Python
@@ -505,7 +592,10 @@ def _make_datasource_class():
 
             self._dir = table_dir
             self._fields = fields
-            self._pa_schema = _arrow_schema(fields)
+            self._cdc = str(
+                options.get("readChangeFeed", "false")
+            ).lower() == "true"
+            self._pa_schema = _arrow_schema(fields, cdc=self._cdc)
             self._phys_map = phys_map or {}
             self._options = options
             self._cursor: int | None = None
@@ -679,6 +769,13 @@ def _make_datasource_class():
                     f"{earliest_feed_version(self._dir) - 1}"
                 )
             self._note_cursor(hi)
+            if self._cdc:
+                return [
+                    _Part(path, v, take=take, kind=kind)
+                    for path, v, take, kind in _cdc_plan(
+                        self._dir, lo, hi
+                    )
+                ]
             return [
                 _Part(p.path, p.version)
                 for p in _delta_partitions(self._dir, lo, hi)
@@ -690,6 +787,10 @@ def _make_datasource_class():
                 self._pa_schema,
                 partition.version,
                 phys_map=self._phys_map,
+                take_positions=getattr(partition, "take", None),
+                change_type=getattr(partition, "kind", None)
+                if self._cdc
+                else None,
             )
 
         def commit(self, end: dict) -> None:
@@ -932,8 +1033,13 @@ def _make_datasource_class():
             ]
             return fields, mapping
 
+        def _is_cdc(self) -> bool:
+            return str(
+                self.options.get("readChangeFeed", "false")
+            ).lower() == "true"
+
         def schema(self) -> str:
-            return _schema_ddl(self._fields()[0])
+            return _schema_ddl(self._fields()[0], cdc=self._is_cdc())
 
         def streamReader(self, schema):
             fields, mapping = self._fields()

@@ -1610,3 +1610,139 @@ def test_versioned_stream_quarantine(spark, tmp_path):
     with pytest.raises(ConstraintViolation):
         versioned_batch_writer(d)(mixed, 1)
     assert latest_version(d) == v
+
+
+def test_versioned_feed_cdc_stream_and_streaming_matview(spark, tmp_path):
+    """r13 readChangeFeed: the versioned_feed stream emits Delta-CDF
+    _change_type rows — deletes and update pre-images recovered from
+    the versions' NEW deletion vectors by an Arrow `take` per file,
+    executor-side — matching the batch cdc_feed exactly; and the
+    capstone composition: a STREAMING MATERIALIZED VIEW (CDC stream ->
+    foreachBatch apply_cdc_to_aggregate -> versioned view table) that
+    stays equal to re-aggregating the source's full state after
+    arbitrary DML and a resume."""
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.operators.matview import (
+        apply_cdc_to_aggregate,
+    )
+    from artis_data_ingest_spark.sinks.versioned import (
+        cdc_feed,
+        commit,
+        delete_where,
+        latest_version,
+        read_version,
+        replace_where,
+        update_where,
+    )
+    from artis_data_ingest_spark.streaming.source import (
+        register_versioned_feed,
+    )
+
+    register_versioned_feed(spark)
+    src = str(tmp_path / "src")
+    commit(
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 3).alias("g"),
+            (F.col("id") * 10).alias("v"),
+        ),
+        src, mode="overwrite", timestamp=100.0,
+    )
+    delete_where(spark, src, "k in (1, 4)", timestamp=200.0)
+    update_where(spark, src, {"v": "v + 1000"}, "k = 2",
+                 timestamp=300.0)
+    replace_where(
+        spark, src,
+        spark.range(2).select(
+            (F.col("id") + 50).alias("k"),
+            F.lit(0).cast("bigint").alias("g"),
+            F.col("id").alias("v"),
+        ),
+        "g = 0", timestamp=400.0,
+    )
+
+    def cdc_stream():
+        return (
+            spark.readStream.format("versioned_feed")
+            .option("path", src).option("readChangeFeed", "true")
+            .load()
+        )
+
+    # --- parity with the batch cdc_feed (plus v0's initial inserts)
+    sink = str(tmp_path / "raw")
+    q = (
+        cdc_stream().writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["_version"], r["_change_type"]): r["count"]
+        for r in spark.read.parquet(sink)
+        .groupBy("_version", "_change_type").count().collect()
+    }
+    want = {
+        (r["_version"], r["_change_type"]): r["count"]
+        for r in cdc_feed(spark, src, since=0)
+        .groupBy("_version", "_change_type").count().collect()
+    }
+    assert got == {**want, (0, "insert"): 10}
+
+    # --- streaming materialized view: exactly-once refresh per batch
+    view_dir = str(tmp_path / "view")
+
+    def refresh(batch_df, batch_id):
+        cur = latest_version(view_dir)
+        base = (
+            read_version(spark, view_dir)
+            if cur is not None
+            else spark.createDataFrame(
+                [], "g bigint, n_rows bigint, sum_v bigint"
+            )
+        )
+        out = apply_cdc_to_aggregate(
+            base, batch_df, keys=["g"], sums={"sum_v": "v"}
+        ).select(
+            "g",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("sum_v").cast("bigint").alias("sum_v"),
+        )
+        commit(out, view_dir, mode="overwrite",
+               note=f"view batch={batch_id}")
+
+    q = (
+        cdc_stream().writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    def view_state():
+        return {
+            r["g"]: (r["n_rows"], r["sum_v"])
+            for r in read_version(spark, view_dir).collect()
+        }
+
+    def truth():
+        return {
+            r["g"]: (r["n_rows"], r["sum_v"])
+            for r in read_version(spark, src).groupBy("g").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("v").alias("sum_v"),
+            ).collect()
+        }
+
+    assert view_state() == truth()
+
+    # more DML, resume: only the delta flows, the view converges again
+    delete_where(spark, src, "k = 8", timestamp=500.0)
+    update_where(spark, src, {"v": "v + 7"}, "k = 0", timestamp=600.0)
+    q = (
+        cdc_stream().writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert view_state() == truth()

@@ -1049,6 +1049,12 @@ def _make_datasource_class():
             )
 
         def reader(self, schema):
+            if self._is_cdc():
+                raise ValueError(
+                    "readChangeFeed is a STREAM option "
+                    "(spark.readStream); for a batch slice of the "
+                    "change feed use sinks.versioned.cdc_feed()"
+                )
             fields, mapping = self._fields()
             return _SnapshotReader(
                 self._table_dir(), fields, self.options,

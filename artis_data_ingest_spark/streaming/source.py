@@ -49,13 +49,28 @@ Design (scale-shaped, not driver-shaped):
     silently skipping — a CDC consumer must never believe it caught
     up across a hole.
 
-The schema is derived from the LATEST version's parquet footers
-(unified across files in first-appearance order, so schema evolution
-surfaces new columns) — a driver-side metadata read, bounded by file
-count.  A BATCH reader is registered too (``spark.read.format(
-"versioned_feed")``): the current full state, or ``version``/
-``asOfTimestamp`` options for time travel, again one partition per
-file and again Arrow-batched.
+The schema comes from the manifest's recorded physical schema (r13;
+footer-walk fallback for old manifests) passed through the version's
+COLUMN MAPPING, so renames/drops surface correctly.  A BATCH reader
+is registered too (``spark.read.format("versioned_feed")``): the
+current full state, or ``version``/``asOfTimestamp`` time travel,
+one Arrow-batched partition per file, deletion vectors masked per
+partition, and OPT-IN filter pushdown (``filterPushdown`` — manifest
+stats + Bloom pruning from Spark's own pushed predicates).
+
+r13 additions beyond the reader:
+
+  * ``readChangeFeed`` (stream): Delta's CDF as a streaming source —
+    ``_change_type``-tagged rows; deletes and update pre-images are
+    recovered from each version's new deletion-vector rows by one
+    Arrow ``take`` per data file (see :func:`_cdc_plan`); composes
+    with operators/matview.py for streaming materialized views;
+  * the WRITE half: ``df.write.format("versioned_feed")`` stages one
+    Arrow-native parquet file per task and publishes atomically via
+    ``sinks.versioned.commit_staged`` (schema-enforced, blind-append
+    conflict retry); ``writeStream`` publishes one idempotent version
+    per micro-batch (durable writer cursor + manifest batch markers
+    survive replay).
 """
 
 from __future__ import annotations

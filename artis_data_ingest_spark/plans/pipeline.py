@@ -4264,3 +4264,81 @@ def q_cdc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("_version", "_change_type")
     )
+
+
+@register(
+    "q_version_pushdown",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(o_orderkey % 1000 AS BIGINT) AS tag,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), v AS (
+  SELECT 'range' AS probe, COUNT(*) AS n, SUM(cents) AS sum_cents
+  FROM o WHERE k <= 100
+  UNION ALL
+  SELECT 'eq_tag', COUNT(*), SUM(cents) FROM o WHERE tag = 5
+  UNION ALL
+  SELECT 'in', COUNT(*), SUM(cents) FROM o WHERE tag IN (7, 993)
+  UNION ALL
+  SELECT 'full', COUNT(*), SUM(cents) FROM o
+)
+SELECT probe, CAST(n AS BIGINT) AS n,
+       CAST(sum_cents AS BIGINT) AS sum_cents
+FROM v ORDER BY probe
+""",
+    doc="DataSource FILTER PUSHDOWN correctness (r13, "
+    "streaming/source.py:_SnapshotReader.pushFilters — PySpark 4.1): "
+    "with .option('filterPushdown','true'), pushed =/range/IN "
+    "predicates prune data files from the manifest's footer stats "
+    "and Bloom bitmaps BEFORE any partition schedules, and every "
+    "filter is yielded back for the exact row-level residual.  The "
+    "demo commits a k-clustered, tag-bloomed table and reads four "
+    "probes through fresh pushdown-enabled loads (range on the "
+    "clustered key, equality and IN on the bloomed column, plus an "
+    "unfiltered control) — the hashed counts and sums catch an "
+    "over-pruner (rows lost to a wrongly skipped file) exactly, "
+    "while the lib test pins that pruning actually happens "
+    "(partition counts) and that state never leaks across queries.",
+)
+def q_version_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import commit
+    from ..streaming.source import register_versioned_feed
+
+    register_versioned_feed(spark)
+    base = _versioned_demo_path(sf_dir, "versioned_pushdown_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 1000).cast("bigint").alias("tag"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    commit(orders, base, mode="overwrite", note="base",
+           expect_version=None, cluster_by=["k"], bloom_cols=["tag"],
+           n_files=8, timestamp=100.0)
+
+    def load():
+        return (
+            spark.read.format("versioned_feed").option("path", base)
+            .option("filterPushdown", "true").load()
+        )
+
+    probes = {
+        "range": load().filter(F.col("k") <= 100),
+        "eq_tag": load().filter(F.col("tag") == 5),
+        "in": load().filter(F.col("tag").isin(7, 993)),
+        "full": load(),
+    }
+    out = None
+    for name in sorted(probes):
+        s = probes[name].agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).select(F.lit(name).alias("probe"), "n", "sum_cents")
+        out = s if out is None else out.unionByName(s)
+    return out.orderBy("probe")

@@ -53,6 +53,7 @@ _PRIORITY: list[str] = [
     "q_version_rowcount",     # new: metadata-only COUNT(*)
     "q_cdc_incremental_agg",  # new: retraction-aware MV refresh
     "q_cdc_stream",           # new: CDF as a streaming source
+    "q_version_pushdown",     # new: DataSource filter pushdown
     "q_version_checkpoint",   # new: manifest-log checkpointing
     "q_pdf_ingest",           # + secure-rc4/secure-aes decryption fixtures
     "q_pdf_modern",           # + modern-rc4 (encrypted 1.5) fixture
@@ -85,7 +86,6 @@ _PRIORITY: list[str] = [
     "q_minhash_portable_stats",
     "q_text_stats",
     # (d) the r8 deliberate deferrals, finally rotating in
-    "q_dedup_exact",
     "q_topk_window",
     "q1_pricing_summary",
     # (e) TPC-H names whose last driver verdict predates r8

@@ -86,6 +86,9 @@ _ONE_PART_CLASS = {
     "q_version_rename": "scalar",
     "q_replace_where": "scalar",
     "q_datasource_write": "scalar",
+    "q_version_pushdown": "scalar",  # four 1-row probe aggregates
+    # (scans column reads 0: the Python DataSource plans as
+    # BatchScan, not FileScan parquet)
     "q_dq_report": "group-bounded",
     "q_funnel": "scalar",
     "q_heavy_hitters": "k-bounded",

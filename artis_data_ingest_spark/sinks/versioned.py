@@ -2719,6 +2719,57 @@ def row_count(
     return total - deleted
 
 
+def table_detail(table_dir: str, version: int | None = None) -> dict:
+    """DESCRIBE DETAIL (Delta's): one dict of table-level facts from
+    METADATA alone — version, commit time, file count, total bytes
+    (filesystem stat per listed file), live row count (DV-exact, see
+    :func:`row_count`), deletion-vector row count, logical schema,
+    table properties (constraints / layout / column mapping), and
+    provenance (``restored_from`` / ``cloned_from``) — zero data
+    pages read at any table size."""
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            raise FileNotFoundError(f"no versions in {table_dir}")
+    import pyarrow.parquet as pq
+
+    m = _read_manifest(table_dir, version)
+    props = m.get("table_props", {})
+    mapping, dropped = _mapping(props), _dropped(props)
+    rev = {p: l for l, p in mapping.items()}
+    schema = {
+        rev.get(n, n): t
+        for n, t in _table_schema(m).items()
+        if n not in dropped
+    }
+    size = 0
+    for f in m["files"]:
+        try:
+            size += os.path.getsize(f)
+        except OSError:
+            pass  # concurrently vacuumed orphan: size best-effort
+    dv_rows = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in m.get("dv_files", [])
+    )
+    out = {
+        "version": version,
+        "ts": m.get("ts"),
+        "mode": m["mode"],
+        "note": m["note"],
+        "num_files": len(m["files"]),
+        "size_bytes": size,
+        "num_rows": row_count(table_dir, version=version),
+        "num_deleted_rows": dv_rows,
+        "schema": schema,
+        "table_props": dict(props),
+    }
+    for k in ("restored_from", "cloned_from"):
+        if k in m:
+            out[k] = m[k]
+    return out
+
+
 def history(spark: SparkSession, table_dir: str) -> DataFrame:
     """(version, parent, mode, note, n_files, ts) — the commit log,
     down to the oldest retained (non-expired) manifest; ``ts`` is the

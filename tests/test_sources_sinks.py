@@ -3192,3 +3192,48 @@ def test_matview_retraction_and_group_vanish(spark, tmp_path):
     assert got["c"] == (2, 60, 6)    # moved row landed
     assert got["a"] == (1, 10, 1)    # moved row retracted
     assert got["d"] == (1, 5, 6)     # new group appeared
+
+
+def test_versioned_table_detail(spark, tmp_path):
+    """table_detail (r13, Delta's DESCRIBE DETAIL): table-level facts
+    from metadata alone — DV-exact row counts, logical schema through
+    the column mapping, carried properties, provenance."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        add_constraint,
+        clone_table,
+        commit,
+        delete_where,
+        rename_column,
+        table_detail,
+    )
+
+    d = str(tmp_path / "tbl")
+    commit(
+        spark.range(100).select(F.col("id").alias("k"),
+                                (F.col("id") * 2).alias("v")),
+        d, mode="overwrite", cluster_by=["k"], n_files=4,
+        timestamp=100.0,
+    )
+    rename_column(d, "v", "amount", timestamp=110.0)
+    add_constraint(spark, d, "pos", "amount >= 0", timestamp=120.0)
+    delete_where(spark, d, "k < 10", timestamp=130.0)
+
+    det = table_detail(d)
+    assert det["version"] == 3 and det["mode"] == "delete"
+    assert det["num_rows"] == 90 and det["num_deleted_rows"] == 10
+    assert det["num_files"] == 4 and det["size_bytes"] > 0
+    assert det["schema"] == {"k": "int64", "amount": "int64"}
+    assert det["table_props"]["constraints"] == {"pos": "amount >= 0"}
+    assert det["table_props"]["column_mapping"] == {"amount": "v"}
+
+    # historical detail: pre-rename schema, full rows
+    det0 = table_detail(d, version=0)
+    assert det0["schema"] == {"k": "int64", "v": "int64"}
+    assert det0["num_rows"] == 100 and det0["num_deleted_rows"] == 0
+
+    # clone provenance surfaces
+    dd = str(tmp_path / "clone")
+    clone_table(d, dd, timestamp=140.0)
+    detc = table_detail(dd)
+    assert detc["cloned_from"]["version"] == 3
+    assert detc["num_rows"] == 90

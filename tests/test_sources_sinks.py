@@ -3237,3 +3237,52 @@ def test_versioned_table_detail(spark, tmp_path):
     detc = table_detail(dd)
     assert detc["cloned_from"]["version"] == 3
     assert detc["num_rows"] == 90
+
+
+def test_column_mapping_swap_and_chain(spark, tmp_path):
+    """The nastiest mapping shapes: SWAPPING two columns via a temp
+    name (three renames whose mapping ends {a: b, b: a}) must read
+    and WRITE correctly — an append after the swap stores each
+    logical column under the other's physical name — and a further
+    rename CHAINS (mapping compresses to the original physical, never
+    a physical-to-physical link)."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        commit,
+        read_version,
+        rename_column,
+        _read_manifest,
+        latest_version,
+    )
+
+    d = str(tmp_path / "tbl")
+    commit(
+        spark.range(5).select(F.col("id").alias("k"),
+                              (F.col("id") * 10).alias("a"),
+                              (F.col("id") * 100).alias("b")),
+        d, mode="overwrite", timestamp=100.0,
+    )
+    rename_column(d, "a", "tmp", timestamp=110.0)
+    rename_column(d, "b", "a", timestamp=120.0)
+    rename_column(d, "tmp", "b", timestamp=130.0)
+    r = read_version(spark, d).filter("k = 3").collect()[0]
+    assert (r["a"], r["b"]) == (300, 30)
+
+    commit(
+        spark.range(5, 7).select(F.col("id").alias("k"),
+                                 (F.col("id") * 100).alias("a"),
+                                 (F.col("id") * 10).alias("b")),
+        d, timestamp=140.0,
+    )
+    got = sorted(
+        (x["k"], x["a"], x["b"])
+        for x in read_version(spark, d).collect()
+    )
+    assert got == [(i, i * 100, i * 10) for i in range(7)]
+
+    rename_column(d, "a", "c", timestamp=150.0)
+    m = _read_manifest(d, latest_version(d))
+    # chains compress to the ORIGINAL physical name
+    assert m["table_props"]["column_mapping"] == {"b": "a", "c": "b"}
+    assert read_version(spark, d).filter("k = 3").collect()[0][
+        "c"
+    ] == 300

@@ -1992,9 +1992,9 @@ def deleted_rows(
     from pyspark.sql import functions as F
 
     m = _read_manifest(table_dir, version)
-    if m["mode"] not in ("delete", "replace"):
+    if m["mode"] not in ("delete", "replace", "merge"):
         raise ValueError(
-            f"v{version} is {m['mode']!r}, not a delete/replace"
+            f"v{version} is {m['mode']!r}, not a delete/replace/merge"
         )
     try:
         parent_dv = set(
@@ -2005,7 +2005,18 @@ def deleted_rows(
             f"v{version}'s parent manifest was expired; its deleted "
             f"rows are no longer isolatable"
         ) from None
-    new_dv = [f for f in m["dv_files"] if f not in parent_dv]
+    new_dv = [
+        f for f in m.get("dv_files", []) if f not in parent_dv
+    ]
+    if not new_dv:
+        # a full-rewrite merge (merge_commit) masks nothing — its
+        # retractions are not DV-recoverable; empty result
+        return _to_logical(
+            spark.read.option("mergeSchema", "true")
+            .parquet(*m["files"])
+            .filter("1 = 0"),
+            m.get("table_props", {}),
+        )
     dv = spark.read.parquet(*new_dv).select("_dv_file", "_dv_pos")
     base = spark.read.option("mergeSchema", "true").parquet(
         *m["files"]
@@ -2042,8 +2053,14 @@ def deletion_feed(
     summaries = _version_summaries(table_dir)
     out = None
     for v in sorted(summaries):
-        if v < lo or summaries[v]["mode"] not in ("delete", "replace"):
+        if v < lo or summaries[v]["mode"] not in (
+            "delete", "replace", "merge"
+        ):
             continue
+        if summaries[v]["mode"] == "merge" and not _new_dv_files(
+            table_dir, v
+        ):
+            continue  # full-rewrite merge: no DV-recoverable deletes
         part = deleted_rows(spark, table_dir, v).withColumn(
             "_version", F.lit(v).cast("bigint")
         )
@@ -2248,6 +2265,22 @@ def updated_rows(
     )
 
 
+def _new_dv_files(table_dir: str, version: int) -> list[str]:
+    """The deletion-vector segments version ``version`` itself added
+    (its ``dv_files`` beyond the parent's) — empty when the parent is
+    expired or the version masked nothing."""
+    m = _read_manifest(table_dir, version)
+    if not m.get("dv_files"):
+        return []
+    try:
+        parent_dv = set(
+            _read_manifest(table_dir, m["parent"]).get("dv_files", [])
+        )
+    except FileNotFoundError:
+        return []
+    return [f for f in m["dv_files"] if f not in parent_dv]
+
+
 def cdc_feed(
     spark: SparkSession, table_dir: str, since: int | None = None
 ) -> DataFrame:
@@ -2297,6 +2330,28 @@ def cdc_feed(
         if mode == "delete":
             parts.append(_tag(deleted_rows(spark, table_dir, v), v,
                               "delete"))
+        elif mode == "merge" and _new_dv_files(table_dir, v):
+            # a DV MERGE (merge_dv) decomposes exactly into its masked
+            # old images (deletes) + its POST-IMAGE segment (inserts —
+            # the file-set difference against the parent, NOT
+            # delta_files: those record the source verbatim, DELETE
+            # FLAGS INCLUDED, and a flagged row must never surface as
+            # an insert) — so retraction-aware consumers (matview)
+            # stay exact across merges.  A full-rewrite merge_commit
+            # has no DVs and remains insert-only (documented).
+            parts.append(_tag(deleted_rows(spark, table_dir, v), v,
+                              "delete"))
+            m_v = _read_manifest(table_dir, v)
+            parent_files = set(
+                _read_manifest(table_dir, m_v["parent"])["files"]
+            )
+            post = [f for f in m_v["files"] if f not in parent_files]
+            if post:
+                parts.append(_tag(
+                    _to_logical(
+                        spark.read.parquet(*post), feed_props
+                    ),
+                    v, "insert"))
         elif mode == "replace":
             # a replace IS delete + insert in one atomic commit
             parts.append(_tag(deleted_rows(spark, table_dir, v), v,
@@ -2316,7 +2371,7 @@ def cdc_feed(
             parts.append(_tag(
                 updated_rows(spark, table_dir, v, "post"), v,
                 "update_postimage"))
-        else:
+        else:  # append / overwrite / restore / DV-less merge
             delta = version_delta_files(table_dir, v)
             if delta:
                 parts.append(_tag(

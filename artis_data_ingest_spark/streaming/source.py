@@ -263,10 +263,11 @@ def _cdc_plan(table_dir: str, after: int, upto: int):
     KB-scale, so resolving positions here is driver metadata work;
     the row recovery is one Arrow ``take`` per file, executor-side.
     Parity contract with the batch :func:`~artis_data_ingest_spark.
-    sinks.versioned.cdc_feed`: merge versions surface their delta as
-    ``insert`` rows (a merge's masked targets are not emitted — use
-    delete/update/replace_where when a consumer must see
-    retractions).  Raises RetentionError when a retraction's parent
+    sinks.versioned.cdc_feed`: a DV MERGE (merge_dv) decomposes into
+    its masked old images (``delete``) plus its surviving source rows
+    (``insert``), so retraction-aware consumers stay exact across
+    merges; a full-rewrite ``merge_commit`` has no DVs and surfaces
+    insert-only.  Raises RetentionError when a retraction's parent
     manifest is expired, like the batch feed."""
     from ..sinks.versioned import (
         RetentionError,
@@ -283,10 +284,28 @@ def _cdc_plan(table_dir: str, after: int, upto: int):
         mode = m["mode"]
         if mode in ("compact", "alter"):
             continue
+        has_dv = bool(m.get("dv_files"))
         kind_add = "update_postimage" if mode == "update" else "insert"
-        for f in version_delta_files(table_dir, v):
-            plan.append((f, v, None, kind_add))
-        if mode not in ("delete", "update", "replace"):
+        if mode == "merge" and has_dv:
+            # DV merge: inserts are the POST-IMAGE segment (file-set
+            # diff vs parent), never delta_files — those record the
+            # source verbatim, delete flags included (see cdc_feed)
+            try:
+                parent_files = set(
+                    _read_manifest(table_dir, m["parent"])["files"]
+                )
+            except FileNotFoundError:
+                raise RetentionError(
+                    f"v{v}'s parent manifest was expired; its CDC "
+                    f"decomposition is no longer recoverable"
+                ) from None
+            for f in m["files"]:
+                if f not in parent_files:
+                    plan.append((f, v, None, "insert"))
+        else:
+            for f in version_delta_files(table_dir, v):
+                plan.append((f, v, None, kind_add))
+        if mode not in ("delete", "update", "replace", "merge"):
             continue
         try:
             parent = _read_manifest(table_dir, m["parent"])

@@ -3170,6 +3170,18 @@ def test_matview_retraction_and_group_vanish(spark, tmp_path):
                               "k long, g string, v long, w long"),
         d, timestamp=400.0,
     )
+    # and a DV MERGE: update k=1 in place, delete k=3... wait k=3 was
+    # b (already gone) — merge updates k=1 (a-group value change),
+    # inserts k=10 into group e, delete-flags k=4 (group c)
+    from artis_data_ingest_spark.sinks.versioned import merge_dv
+
+    src = spark.createDataFrame(
+        [(1, "a", 99, 9, False), (10, "e", 1, 1, False),
+         (4, "c", 0, 0, True)],
+        "k long, g string, v long, w long, _del boolean",
+    )
+    merge_dv(spark, d, src, ["k"], delete_col="_del",
+             timestamp=500.0)
     out = apply_cdc_to_aggregate(
         view, cdc_feed(spark, d, since=0), keys=["g"],
         sums={"sum_v": "v", "sum_w": "w"},
@@ -3189,9 +3201,11 @@ def test_matview_retraction_and_group_vanish(spark, tmp_path):
     }
     assert got == want
     assert "b" not in got            # retracted to zero: gone
-    assert got["c"] == (2, 60, 6)    # moved row landed
-    assert got["a"] == (1, 10, 1)    # moved row retracted
+    assert got["a"] == (1, 99, 9)    # merge-updated in place
+    assert got["e"] == (1, 1, 1)     # merge-inserted group
     assert got["d"] == (1, 5, 6)     # new group appeared
+    # merge delete-flag retracted k=4 from c; the moved row remains
+    assert got["c"] == (1, 20, 2)
 
 
 def test_versioned_table_detail(spark, tmp_path):

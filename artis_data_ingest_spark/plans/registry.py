@@ -40,12 +40,15 @@ _PRIORITY: list[str] = [
     # going; front-load the r13 additions plus the oldest-verdict
     # block, with >=10 names absent from CORRECTNESS_r8-r12).  The
     # whole r12 head rotates OUT (every name in it got a fresh green
-    # driver verdict in CORRECTNESS_r12); 40 of the 52 names below
+    # driver verdict in CORRECTNESS_r12); most of the names below
     # have NEVER been driver-sampled since r8 — the sample was frozen
     # r8-r11, so most of the registry's verdicts date to r7 or
-    # earlier.  All 52 are local-gate green at sf0.01 this round.
+    # earlier.  All 52 are local-gate green at sf0.01 this round
+    # (full gate 305/305).
     #
     # (a) new in r13 / implementation or fixtures touched in r13
+    # (the first eight are brand-new lakehouse/CDC queries — every
+    # one needs its FIRST driver verdict)
     "q_version_constraints",  # new: CHECK constraints + quarantine
     "q_version_rename",       # new: column mapping (rename/drop)
     "q_replace_where",        # new: selective overwrite (replaceWhere)

@@ -4309,6 +4309,12 @@ def q_version_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.source import register_versioned_feed
 
     register_versioned_feed(spark)
+    # pushdown is explicit opt-in here, and PySpark 4.1 requires the
+    # session conf for any reader that defines pushFilters; it is
+    # runtime-settable (verified), so enable it for THIS query rather
+    # than depending on how the host session was built (the r13
+    # driver session shipped without it — DATA_SOURCE_PUSHDOWN_DISABLED)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     base = _versioned_demo_path(sf_dir, "versioned_pushdown_demo")
     shutil.rmtree(base, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select(

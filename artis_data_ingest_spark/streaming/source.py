@@ -836,6 +836,20 @@ def _make_datasource_class():
             self._save_consumer_cursor(int(end["version"]))
 
     class _SnapshotReader(DataSourceReader):
+        """Batch snapshot reader WITHOUT ``pushFilters``.
+
+        Deliberately so (r14): PySpark 4.1 raises
+        ``DATA_SOURCE_PUSHDOWN_DISABLED`` for ANY batch read through a
+        reader that merely DEFINES ``pushFilters`` when the session
+        conf ``spark.sql.python.filterPushdown.enabled`` is false
+        (pyspark/sql/worker/plan_data_source_read.py:375-388 refuses
+        to silently ignore an implemented hook).  Defining the hook on
+        an opt-in subclass (``_PushdownSnapshotReader``, selected by
+        ``.option("filterPushdown", "true")``) keeps default reads
+        independent of session configuration — a plain ``.load()``
+        works on any session, and only the explicit opt-in requires
+        the conf to be on."""
+
         def __init__(self, table_dir: str, fields, options,
                      phys_map=None):
             self._dir = table_dir
@@ -845,78 +859,6 @@ def _make_datasource_class():
             self._options = options
             self._conj: list = []    # [(col, op, value)] conjuncts
             self._in: list = []      # [(col, [values])]
-            self._pushdown = str(
-                options.get("filterPushdown", "false")
-            ).lower() == "true"
-
-        def pushFilters(self, filters):
-            """FILTER PUSHDOWN (r13, PySpark 4.1 DataSource API): with
-            ``.option("filterPushdown", "true")``, a plain
-            ``.filter()`` on the batch reader prunes data files
-            through the manifest's footer stats and Bloom bitmaps —
-            the same Iceberg/Delta data-skipping ``scan()`` exposes,
-            driven by Spark's own pushed predicates.  Every filter is
-            also YIELDED BACK (pruning is file-granular; Spark keeps
-            the exact row-level residual — the parquet row-group-stats
-            contract).
-
-            OPT-IN, not default, because of an engine-side caching
-            hazard verified empirically on Spark 4.1: the JVM caches
-            the pushdown-computed read info on the per-``load()``
-            table object (PythonDataSourceV2.setReadInfo /
-            getOrCreateReadInfo returns any cached value regardless
-            of the current scan's filters), so a FILTERLESS scan of
-            the SAME DataFrame after a filtered one would silently
-            reuse the pruned partition list and lose rows.  With the
-            option set, treat each ``load()`` as scoped to one query
-            shape; without it, partitions are never pruned and every
-            mixed-use pattern stays exact (``scan()`` remains the
-            explicit pruning API)."""
-            from pyspark.sql.datasource import (
-                EqualTo,
-                GreaterThan,
-                GreaterThanOrEqual,
-                In,
-                LessThan,
-                LessThanOrEqual,
-            )
-
-            ops = {
-                EqualTo: "=",
-                GreaterThan: ">",
-                GreaterThanOrEqual: ">=",
-                LessThan: "<",
-                LessThanOrEqual: "<=",
-            }
-            import datetime
-
-            # one pushFilters call == one query's filters; and a
-            # FILTERLESS query never calls pushFilters at all, while
-            # the planner-side reader object persists across queries —
-            # so state resets here AND after each partitions() (else a
-            # previous query's pruning silently drops rows from the
-            # next full scan)
-            self._conj, self._in = [], []
-            if not self._pushdown:
-                yield from filters
-                return
-            ok_types = (int, float, str, bool,
-                        datetime.date, datetime.datetime)
-            for f in filters:
-                op = ops.get(type(f))
-                if (
-                    op is not None
-                    and len(f.attribute) == 1
-                    and isinstance(f.value, ok_types)
-                ):
-                    self._conj.append((f.attribute[0], op, f.value))
-                elif (
-                    isinstance(f, In)
-                    and len(f.attribute) == 1
-                    and all(isinstance(v, ok_types) for v in f.value)
-                ):
-                    self._in.append((f.attribute[0], list(f.value)))
-                yield f  # always keep the exact row-level residual
 
         def _pruned_files(self, version: int, files: list[str]):
             from ..sinks.versioned import prune_files
@@ -993,6 +935,82 @@ def _make_datasource_class():
                 getattr(partition, "drop", None),
                 phys_map=self._phys_map,
             )
+
+    class _PushdownSnapshotReader(_SnapshotReader):
+        """`_SnapshotReader` plus ``pushFilters`` — selected ONLY by
+        ``.option("filterPushdown", "true")``, so a reader that
+        implements the hook is never instantiated on a session where
+        ``spark.sql.python.filterPushdown.enabled`` is off unless the
+        user explicitly asked for pruning (in which case PySpark's
+        loud ``DATA_SOURCE_PUSHDOWN_DISABLED`` is the correct signal
+        to flip the conf, not a landmine on default reads)."""
+
+        def pushFilters(self, filters):
+            """FILTER PUSHDOWN (r13, PySpark 4.1 DataSource API): with
+            ``.option("filterPushdown", "true")``, a plain
+            ``.filter()`` on the batch reader prunes data files
+            through the manifest's footer stats and Bloom bitmaps —
+            the same Iceberg/Delta data-skipping ``scan()`` exposes,
+            driven by Spark's own pushed predicates.  Every filter is
+            also YIELDED BACK (pruning is file-granular; Spark keeps
+            the exact row-level residual — the parquet row-group-stats
+            contract).
+
+            OPT-IN, not default, because of an engine-side caching
+            hazard verified empirically on Spark 4.1: the JVM caches
+            the pushdown-computed read info on the per-``load()``
+            table object (PythonDataSourceV2.setReadInfo /
+            getOrCreateReadInfo returns any cached value regardless
+            of the current scan's filters), so a FILTERLESS scan of
+            the SAME DataFrame after a filtered one would silently
+            reuse the pruned partition list and lose rows.  With the
+            option set, treat each ``load()`` as scoped to one query
+            shape; without it, partitions are never pruned and every
+            mixed-use pattern stays exact (``scan()`` remains the
+            explicit pruning API)."""
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                In,
+                LessThan,
+                LessThanOrEqual,
+            )
+
+            ops = {
+                EqualTo: "=",
+                GreaterThan: ">",
+                GreaterThanOrEqual: ">=",
+                LessThan: "<",
+                LessThanOrEqual: "<=",
+            }
+            import datetime
+
+            # one pushFilters call == one query's filters; and a
+            # FILTERLESS query never calls pushFilters at all, while
+            # the planner-side reader object persists across queries —
+            # so state resets here AND after each partitions() (else a
+            # previous query's pruning silently drops rows from the
+            # next full scan)
+            self._conj, self._in = [], []
+            ok_types = (int, float, str, bool,
+                        datetime.date, datetime.datetime)
+            for f in filters:
+                op = ops.get(type(f))
+                if (
+                    op is not None
+                    and len(f.attribute) == 1
+                    and isinstance(f.value, ok_types)
+                ):
+                    self._conj.append((f.attribute[0], op, f.value))
+                elif (
+                    isinstance(f, In)
+                    and len(f.attribute) == 1
+                    and all(isinstance(v, ok_types) for v in f.value)
+                ):
+                    self._in.append((f.attribute[0], list(f.value)))
+                yield f  # always keep the exact row-level residual
+
 
     class VersionedFeedDataSource(DataSource):
         """``format("versioned_feed")``: versioned tables through the
@@ -1090,7 +1108,19 @@ def _make_datasource_class():
                     "change feed use sinks.versioned.cdc_feed()"
                 )
             fields, mapping = self._fields()
-            return _SnapshotReader(
+            # the pushdown hook lives on a subclass selected ONLY by
+            # explicit opt-in: a reader that defines pushFilters makes
+            # PySpark 4.1 raise DATA_SOURCE_PUSHDOWN_DISABLED on any
+            # session where spark.sql.python.filterPushdown.enabled is
+            # off — default .load() must never depend on session conf
+            cls = (
+                _PushdownSnapshotReader
+                if str(
+                    self.options.get("filterPushdown", "false")
+                ).lower() == "true"
+                else _SnapshotReader
+            )
+            return cls(
                 self._table_dir(), fields, self.options,
                 phys_map=mapping,
             )
@@ -1110,8 +1140,38 @@ def _make_datasource_class():
 
 def register_versioned_feed(spark) -> None:
     """Register the ``versioned_feed`` data source on this session.
-    Idempotent — re-registration replaces the previous class."""
-    spark.dataSource.register(_make_datasource_class())
+    Idempotent — re-registration on the same session replaces the
+    previous class.
+
+    ``newSession()`` caveat (observed on Spark 4.1): a sibling session
+    created AFTER the first registration raises
+    ``DATA_SOURCE_ALREADY_EXISTS`` on register yet cannot actually
+    resolve the source (its own ``DataSourceManager`` lacks the entry
+    and ``load()`` dies with ``DATA_SOURCE_NOT_FOUND``) — the
+    duplicate check and the lookup disagree about scope.  We detect
+    that half-registered state and raise a clear error instead of
+    leaving a session that claims the source but cannot read it."""
+    try:
+        spark.dataSource.register(_make_datasource_class())
+    except Exception as e:  # noqa: BLE001 — narrowed on the error code
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise
+        usable = True
+        try:
+            usable = bool(
+                spark._jsparkSession.sessionState()
+                .dataSourceManager().dataSourceExists("versioned_feed")
+            )
+        except Exception:
+            pass  # connect-mode / API drift: trust the engine's check
+        if not usable:
+            raise RuntimeError(
+                "versioned_feed cannot be registered on this derived "
+                "session (Spark 4.1 newSession() registry quirk: the "
+                "duplicate check sees the parent's registration but "
+                "lookup does not).  Register and read on the session "
+                "that first registered the source."
+            ) from e
 
 
 __all__ = ["register_versioned_feed"]

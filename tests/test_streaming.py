@@ -1443,10 +1443,78 @@ def test_versioned_feed_filter_pushdown(spark, tmp_path):
     df = spark.read.format("versioned_feed").option("path", d).load()
     assert df.filter("k = 77").count() == 1
     assert df.count() == 100000
+    # r14: the default reader must not even DEFINE pushFilters —
+    # PySpark 4.1 raises DATA_SOURCE_PUSHDOWN_DISABLED for any batch
+    # read through a pushFilters-bearing reader on a session without
+    # spark.sql.python.filterPushdown.enabled (the r13 driver red row)
     inst2 = klass(options={"path": d})
     rd2 = inst2.reader(None)
-    list(rd2.pushFilters([EqualTo(("k",), 77)]))
+    assert not hasattr(type(rd2), "pushFilters") or (
+        "pushFilters" not in type(rd2).__dict__
+        and "pushFilters"
+        not in {
+            k
+            for base in type(rd2).__mro__[1:]
+            if base.__module__.startswith("artis")
+            for k in base.__dict__
+        }
+    )
     assert len(rd2.partitions()) == 8
+
+
+def test_versioned_feed_batch_read_default_session(spark, tmp_path):
+    """r14 regression pin for the r13 driver red row
+    (q_version_pushdown / DATA_SOURCE_PUSHDOWN_DISABLED): a plain
+    batch .load() of a versioned_feed table must work on a session
+    where spark.sql.python.filterPushdown.enabled is FALSE — i.e. any
+    session not built by this repo's factory (session.py:56).  The
+    pushdown hook now lives on an opt-in subclass, so default readers
+    never trip PySpark 4.1's refuse-to-ignore-pushFilters check
+    (pyspark/sql/worker/plan_data_source_read.py:375-388); the
+    explicit .option('filterPushdown','true') path still needs the
+    conf, which is runtime-settable."""
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.sinks.versioned import commit
+    from artis_data_ingest_spark.streaming.source import (
+        register_versioned_feed,
+    )
+
+    d = str(tmp_path / "tbl")
+    commit(
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("cat")
+        ),
+        d, mode="overwrite", timestamp=100.0,
+    )
+    register_versioned_feed(spark)
+    conf = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(conf, "true")
+    # simulate the driver's session: the conf is OFF (the repo factory
+    # turns it on at session.py:56, which masked the bug in r13)
+    spark.conf.set(conf, "false")
+    try:
+        # the exact shape that died under the driver: default load,
+        # filter, aggregate — must be exact with the conf OFF
+        df = (
+            spark.read.format("versioned_feed").option("path", d)
+            .load()
+        )
+        assert df.count() == 1000
+        assert df.filter("cat = 3").count() == len(
+            [i for i in range(1000) if i % 7 == 3]
+        )
+        # opt-in pushdown on the conf-off session: flipping the conf
+        # at runtime repairs it in the same session (what
+        # q_version_pushdown does at query start)
+        spark.conf.set(conf, "true")
+        dfp = (
+            spark.read.format("versioned_feed").option("path", d)
+            .option("filterPushdown", "true").load()
+        )
+        assert dfp.filter("k = 5").count() == 1
+    finally:
+        spark.conf.set(conf, prev)
 
 
 def test_versioned_feed_datasource_writer(spark, tmp_path):

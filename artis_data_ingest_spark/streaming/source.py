@@ -252,7 +252,12 @@ def _delta_partitions(
     return parts
 
 
-def _cdc_plan(table_dir: str, after: int, upto: int):
+def _cdc_plan(
+    table_dir: str,
+    after: int,
+    upto: int,
+    allow_full_rewrites: bool = False,
+):
     """Driver-side CDC work units for versions in ``(after, upto]``
     (r13 ``readChangeFeed`` — Delta's CDF as a STREAM): per version,
     the adds (delta files, tagged ``insert`` / ``update_postimage``)
@@ -266,10 +271,16 @@ def _cdc_plan(table_dir: str, after: int, upto: int):
     sinks.versioned.cdc_feed`: a DV MERGE (merge_dv) decomposes into
     its masked old images (``delete``) plus its surviving source rows
     (``insert``), so retraction-aware consumers stay exact across
-    merges; a full-rewrite ``merge_commit`` has no DVs and surfaces
-    insert-only.  Raises RetentionError when a retraction's parent
-    manifest is expired, like the batch feed."""
+    merges.  FULL-STATE REWRITES (DV-less ``merge_commit``, restore,
+    overwrite of a non-empty table) need a distributed bag-difference
+    the per-file stream partition model cannot express — batch
+    ``cdc_feed`` decomposes them exactly; here they raise
+    :class:`CDCDecompositionError` (r14) unless
+    ``allowFullRewrites`` opts into surfacing the rewritten state as
+    insert-only events.  Raises RetentionError when a retraction's
+    parent manifest is expired, like the batch feed."""
     from ..sinks.versioned import (
+        CDCDecompositionError,
         RetentionError,
         _read_manifest,
         list_versions,
@@ -285,6 +296,20 @@ def _cdc_plan(table_dir: str, after: int, upto: int):
         if mode in ("compact", "alter"):
             continue
         has_dv = bool(m.get("dv_files"))
+        if not allow_full_rewrites and (
+            (mode == "merge" and not has_dv)
+            or mode == "restore"
+            or (mode == "overwrite" and m["parent"] is not None)
+        ):
+            raise CDCDecompositionError(
+                f"v{v} is a full-state rewrite (mode={mode}); the "
+                f"stream cannot decompose it into exact "
+                f"delete+insert events.  Re-seed from batch "
+                f"cdc_feed()/a snapshot, or set "
+                f".option('allowFullRewrites','true') to accept it "
+                f"as insert-only (unsafe for retraction-aware "
+                f"consumers)."
+            )
         kind_add = "update_postimage" if mode == "update" else "insert"
         if mode == "merge" and has_dv:
             # DV merge: inserts are the POST-IMAGE segment (file-set
@@ -804,10 +829,14 @@ def _make_datasource_class():
                 )
             self._note_cursor(hi)
             if self._cdc:
+                allow_rw = str(
+                    self._options.get("allowFullRewrites", "false")
+                ).lower() == "true"
                 return [
                     _Part(path, v, take=take, kind=kind)
                     for path, v, take, kind in _cdc_plan(
-                        self._dir, lo, hi
+                        self._dir, lo, hi,
+                        allow_full_rewrites=allow_rw,
                     )
                 ]
             return [

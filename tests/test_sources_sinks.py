@@ -3208,6 +3208,143 @@ def test_matview_retraction_and_group_vanish(spark, tmp_path):
     assert got["c"] == (1, 20, 2)
 
 
+def test_cdc_exact_across_full_state_rewrites(spark, tmp_path):
+    """r14 (VERDICT r13 task 3): cdc_feed decomposes FULL-STATE
+    REWRITES exactly — a DV-less merge_commit, an overwrite of a
+    non-empty table, and a restore each surface as the bag difference
+    between adjacent states (parent ∖ child deletes, child ∖ parent
+    inserts; untouched rows emit NOTHING) — so a retraction-aware
+    materialized view refreshed across a history that mixes
+    merge_commit with other DML hash-equals a from-scratch
+    re-aggregate.  The r13 behavior (rewrites surface insert-only)
+    silently corrupted such views; the docstring caveat was not a
+    guardrail."""
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.operators.matview import (
+        apply_cdc_to_aggregate,
+    )
+    from artis_data_ingest_spark.sinks.versioned import (
+        cdc_feed,
+        commit,
+        delete_where,
+        merge_commit,
+        read_version,
+        restore,
+    )
+
+    d = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40),
+         (5, "c", 50)],
+        "k long, g string, v long",
+    )
+    commit(base, d, mode="overwrite", timestamp=100.0)
+    view = read_version(spark, d).groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("sum_v"),
+    )
+    # v1: merge_commit — update k=2 (a: 20 -> 25), insert k=9 into new
+    # group d, delete-flag k=3 (kills group b); k=1/4/5 untouched
+    src = spark.createDataFrame(
+        [(2, "a", 25, False), (9, "d", 5, False), (3, "b", 0, True)],
+        "k long, g string, v long, _del boolean",
+    )
+    merge_commit(spark, d, src, keys=["k"], delete_col="_del",
+                 timestamp=200.0)
+
+    # the decomposition is MINIMAL: only changed rows surface (k=2
+    # pre+post as delete+insert, k=9 insert, k=3 delete), never the
+    # three untouched rows
+    ev = cdc_feed(spark, d, since=0).collect()
+    v1 = [(r["_change_type"], r["k"], r["v"]) for r in ev
+          if r["_version"] == 1]
+    assert sorted(v1) == [
+        ("delete", 2, 20), ("delete", 3, 30),
+        ("insert", 2, 25), ("insert", 9, 5),
+    ]
+
+    # v2: DML between rewrites keeps composing
+    delete_where(spark, d, "k = 5", timestamp=300.0)
+    # v3: OVERWRITE of a non-empty table — previously insert-only
+    newstate = spark.createDataFrame(
+        [(1, "a", 10), (7, "e", 70)], "k long, g string, v long"
+    )
+    commit(newstate, d, mode="overwrite", timestamp=400.0)
+    ev3 = [
+        (r["_change_type"], r["k"])
+        for r in cdc_feed(spark, d, since=2).collect()
+        if r["_version"] == 3
+    ]
+    # k=1 survives the overwrite unchanged -> cancels; everything
+    # else retracts, k=7 arrives
+    assert ("insert", 7) in ev3 and ("delete", 1) not in ev3 and (
+        "insert", 1) not in ev3
+    assert {c for c, _ in ev3} == {"insert", "delete"}
+    # v4: RESTORE back to v2's state — also a full rewrite
+    restore(spark, d, 2, timestamp=500.0)
+
+    # the acid test: view refreshed via CDC across merge_commit +
+    # delete + overwrite + restore == re-aggregate of the final state
+    out = apply_cdc_to_aggregate(
+        view, cdc_feed(spark, d, since=0), keys=["g"],
+        sums={"sum_v": "v"},
+    )
+    got = {r["g"]: (r["n_rows"], r["sum_v"]) for r in out.collect()}
+    want = {
+        r["g"]: (r["n_rows"], r["sum_v"])
+        for r in read_version(spark, d).groupBy("g").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v").alias("sum_v"),
+        ).collect()
+    }
+    assert got == want and "e" not in got and "b" not in got
+
+
+def test_cdc_stream_refuses_full_rewrites(spark, tmp_path):
+    """r14: the STREAMING change feed cannot decompose a full-state
+    rewrite (per-file partitions can't run a distributed bag
+    difference), so crossing one raises CDCDecompositionError at plan
+    time instead of silently feeding insert-only events to a
+    retraction-aware consumer; .option('allowFullRewrites','true')
+    restores the r13 insert-only behavior explicitly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        CDCDecompositionError,
+        commit,
+        merge_commit,
+    )
+    from artis_data_ingest_spark.streaming.source import _cdc_plan
+
+    d = str(tmp_path / "tbl")
+    commit(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        d, mode="overwrite", timestamp=100.0,
+    )
+    merge_commit(
+        spark,
+        d,
+        spark.createDataFrame([(2, 25), (3, 30)], "k long, v long"),
+        keys=["k"],
+        timestamp=200.0,
+    )
+    with pytest.raises(CDCDecompositionError):
+        _cdc_plan(d, 0, 1)
+    # explicit opt-in: the rewrite surfaces as insert-only work units
+    plan = _cdc_plan(d, 0, 1, allow_full_rewrites=True)
+    assert plan and all(kind == "insert" for _, _, _, kind in plan)
+    # an overwrite of a NON-EMPTY table refuses too; the base
+    # overwrite (v0, no parent) never does
+    commit(
+        spark.createDataFrame([(8, 80)], "k long, v long"),
+        d, mode="overwrite", timestamp=300.0,
+    )
+    with pytest.raises(CDCDecompositionError):
+        _cdc_plan(d, 1, 2)
+
+
 def test_versioned_table_detail(spark, tmp_path):
     """table_detail (r13, Delta's DESCRIBE DETAIL): table-level facts
     from metadata alone — DV-exact row counts, logical schema through

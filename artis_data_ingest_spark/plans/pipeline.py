@@ -4348,3 +4348,100 @@ def q_version_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("probe"), "n", "sum_cents")
         out = s if out is None else out.unionByName(s)
     return out.orderBy("probe")
+
+
+@register(
+    "q_version_sql",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), arr AS (
+  SELECT k + 1000000 AS k, cents FROM o WHERE k % 10 = 0
+), latest AS (
+  SELECT k,
+         CASE WHEN k % 10 = 3 THEN cents + 7 ELSE cents END AS cents
+  FROM (SELECT * FROM o UNION ALL SELECT * FROM arr)
+), changes AS (
+  SELECT k FROM arr
+  UNION ALL SELECT k FROM o WHERE k % 10 = 3
+  UNION ALL SELECT k FROM o WHERE k % 10 = 3
+), base_agg AS (
+  SELECT l.k % 10 AS tag,
+         COUNT(*) AS n_latest,
+         COUNT(v0.k) AS n_base,
+         SUM(l.cents - COALESCE(v0.cents, 0)) AS drift_cents
+  FROM latest l LEFT JOIN o v0 ON l.k = v0.k
+  GROUP BY l.k % 10
+)
+SELECT CAST(t.tag AS BIGINT) AS tag,
+       CAST(t.n_latest AS BIGINT) AS n_latest,
+       CAST(t.n_base AS BIGINT) AS n_base,
+       CAST(t.drift_cents AS BIGINT) AS drift_cents,
+       CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+FROM base_agg t
+LEFT JOIN (
+  SELECT k % 10 AS tag, COUNT(*) AS n_events FROM changes GROUP BY 1
+) c ON t.tag = c.tag
+ORDER BY tag
+""",
+    doc="SQL surface over versioned tables (r14, VERDICT r13 task 4 — "
+    "sinks/versioned.py:sql_view): snapshot, pinned time-travel, and "
+    "CDC views registered as temp views, then ONE plain spark.sql() "
+    "statement joins all three — the query a data steward would "
+    "write against table history (the reference's changelog report, "
+    "assess_changes.qmd:243-261, is exactly this shape).  The demo "
+    "commits base -> append -> update, registers t_latest / t_v0 "
+    "(VERSION AS OF 0) / t_changes (table_changes since 0), and the "
+    "SQL computes per-tag row counts, base matches, cents drift vs "
+    "v0, and CDC event counts — a stale latest-view, a v0 view that "
+    "leaked later versions, or a CDC view missing the update's pre/"
+    "post pair all hash-mismatch.",
+)
+def q_version_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..sinks.versioned import commit, sql_view, update_where
+
+    base = _versioned_demo_path(sf_dir, "versioned_sql_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    commit(orders.repartition(2), base, mode="overwrite", note="base",
+           expect_version=None, timestamp=100.0)
+    arrivals = orders.filter(F.col("k") % 10 == 0).select(
+        (F.col("k") + F.lit(1000000)).alias("k"), "cents"
+    )
+    commit(arrivals, base, mode="append", note="arrivals",
+           timestamp=200.0)
+    update_where(spark, base, {"cents": "cents + 7"}, "k % 10 = 3",
+                 timestamp=300.0)
+    sql_view(spark, base, "t_latest")
+    sql_view(spark, base, "t_v0", version=0)
+    sql_view(spark, base, "t_changes", changes_since=0)
+    return spark.sql("""
+        WITH base_agg AS (
+          SELECT l.k % 10 AS tag,
+                 COUNT(*) AS n_latest,
+                 COUNT(v0.k) AS n_base,
+                 SUM(l.cents - COALESCE(v0.cents, 0)) AS drift_cents
+          FROM t_latest l LEFT JOIN t_v0 v0 ON l.k = v0.k
+          GROUP BY l.k % 10
+        )
+        SELECT CAST(t.tag AS BIGINT) AS tag,
+               CAST(t.n_latest AS BIGINT) AS n_latest,
+               CAST(t.n_base AS BIGINT) AS n_base,
+               CAST(t.drift_cents AS BIGINT) AS drift_cents,
+               CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+        FROM base_agg t
+        LEFT JOIN (
+          SELECT k % 10 AS tag, COUNT(*) AS n_events
+          FROM t_changes GROUP BY 1
+        ) c ON t.tag = c.tag
+        ORDER BY tag
+    """)

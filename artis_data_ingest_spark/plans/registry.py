@@ -36,84 +36,78 @@ _REGISTRY: dict[str, Query] = {}
 # (closing the round-7 verdict's freshness ledger), then (d) the
 # weakest-covered r5 names up to the budget.
 _PRIORITY: list[str] = [
-    # ---- round-13 rotation (VERDICT r12 task 7: keep the rotation
-    # going; front-load the r13 additions plus the oldest-verdict
-    # block, with >=10 names absent from CORRECTNESS_r8-r12).  The
-    # whole r12 head rotates OUT (every name in it got a fresh green
-    # driver verdict in CORRECTNESS_r12); most of the names below
-    # have NEVER been driver-sampled since r8 — the sample was frozen
-    # r8-r11, so most of the registry's verdicts date to r7 or
-    # earlier.  All 52 are local-gate green at sf0.01 this round
-    # (full gate 305/305).
+    # ---- round-14 rotation (VERDICT r13 task 8: full-disjoint
+    # rotation is the standard; front-load the pushdown-fix proof +
+    # r14 additions/touches, then the largest block of NEVER-sampled
+    # names).  The whole r13 head rotates OUT (49/50 green verdicts
+    # in CORRECTNESS_r13; its one red row, q_version_pushdown, leads
+    # THIS head so the driver re-proves the r14 fix).  Everything
+    # from (c) on has never appeared in any CORRECTNESS_r* sample —
+    # 70 such names existed entering r14; this head takes the first
+    # 45 in registry order, the next rounds take the rest.
     #
-    # (a) new in r13 / implementation or fixtures touched in r13
-    # (the first eight are brand-new lakehouse/CDC queries — every
-    # one needs its FIRST driver verdict)
-    "q_version_constraints",  # new: CHECK constraints + quarantine
-    "q_version_rename",       # new: column mapping (rename/drop)
-    "q_replace_where",        # new: selective overwrite (replaceWhere)
-    "q_datasource_write",     # new: DataSource write path
-    "q_version_rowcount",     # new: metadata-only COUNT(*)
-    "q_cdc_incremental_agg",  # new: retraction-aware MV refresh
-    "q_cdc_stream",           # new: CDF as a streaming source
-    "q_version_pushdown",     # new: DataSource filter pushdown
-    "q_version_checkpoint",   # new: manifest-log checkpointing
-    "q_pdf_ingest",           # + secure-rc4/secure-aes decryption fixtures
-    "q_pdf_modern",           # + modern-rc4 (encrypted 1.5) fixture
-    "q_docx_ingest",          # + notes.docx (endnotes, nested text box)
-    "q_feed_driven_dedup",    # persisted band index
-    "q_version_zorder",       # zvalue -> zvalue_n delegation
-    "q_time_travel",          # version walks via checkpoint summaries
-    "q_change_feed",          # earliest_feed_version via summaries
-    "q_feed_driven_index",
-    "q_agg_delta_update",
-    # (b) r11/r12 queries that never received a driver verdict (the
-    # r12 head took the four newest; these waited)
-    "q_version_clone",
-    "q_version_compact",
-    "q_version_diff",
-    "q_version_skipping",
-    "q_version_upsert",
-    "q_version_schema_evolve",
-    "q_secret_scan",
-    "q_mp4_tracks",
-    "q_mp4_metadata",
-    "q_mp3_metadata",
-    "q_h264_metadata",
-    # (c) benched-every-round heavies that nonetheless never appeared
-    # in a driver sample — bench pins their latency, the driver
-    # should pin their values at least once
-    "q_bigram_ppl_buckets",
-    "q_pagerank",
-    "q_kcore",
-    "q_minhash_portable_stats",
-    "q_text_stats",
-    # (d) the r8 deliberate deferrals, finally rotating in
-    "q_topk_window",
-    "q1_pricing_summary",
-    # (e) TPC-H names whose last driver verdict predates r8
-    "q2_min_cost_supplier",
-    "q4_priority_exists",
-    "q7_nation_volume",
-    # (f) one never-sampled representative per major family (dedup,
-    # ANN, retrieval, text-curation, packing, media, CDC) so every
-    # family regains at least one fresh driver verdict this round
-    "q_minhash_neardup",
-    "q_simhash_neardup",
-    "q_embedding_neardup",
-    "q_ann_ivfpq",
-    "q_ivfpq_recall",
-    "q_bm25",
-    "q_inverted_index",
-    "q_version_delete",
-    "q_deletion_feed",
-    "q_version_update",
+    # (a) the r13 red row + its latently-broken sibling — the r14
+    # session-conf fix must be proven under the DRIVER's session
+    "q_version_pushdown",
+    "q_version_source",
+    # (b) new in r14 / implementation touched in r14 (cdc_feed's
+    # exact full-rewrite decomposition changed the code under the
+    # first two; q_version_sql is the new SQL-surface query)
+    "q_version_sql",
     "q_cdc_feed",
+    "q_cdc_incremental_agg",
+    # (c) the two r13-head names that missed the 50-row cut
     "q_merge_dv",
     "q_xls_ingest",
+    # (d) never-driver-sampled names, registry order
+    "q_score_auc",
+    "q_l_diversity",
+    "q_exact_quantiles",
+    "q_soundex_blocking",
+    "q_hll_incremental",
+    "q_fd_discovery",
+    "q_sorted_neighborhood",
+    "q_pareto_skyline",
+    "q_global_skyline",
+    "q_cms_incremental",
+    "q_quantile_sketch",
+    "q_nb_classifier",
+    "q_ivfpq_incremental",
+    "q_ivfpq_res_incremental",
+    "q_minhash_recall_eval",
+    "q_matryoshka_recall",
+    "q_dedup_policy",
+    "q_minhash_incremental",
+    "q_pca_power",
+    "q_golden_record",
+    "q_robots_policy",
+    "q_char_entropy",
+    "q_group_kfold",
+    "q_decontam_scrub",
+    "q_ewma_decay",
+    "q_holt_forecast",
+    "q_trimmed_mean",
+    "q_seasonal_decompose",
+    "q_theil_sen",
+    "q_webgraph_rank",
+    "q_clustering_coeff",
+    "q_label_spread",
+    "q_pagerank_resume",
+    "q_shortest_paths",
+    "q_bmp_features",
+    "q_image_dhash",
+    "q_exif_metadata",
+    "q_exif_normalize",
+    "q_fwf_ingest",
+    "q_span_corruption",
+    "q_pmi_collocations",
+    "q_vocab_growth",
+    "q_source_overlap",
+    "q_cdc_chunks",
+    "q_length_buckets",
     # (52-slot budget enforced by test_priority_queries_yield_first;
-    # the r12 head — q_time_travel_ts, q_version_restore, the r8
-    # blocks — rotated out with fresh r12 verdicts on record)
+    # still never sampled after this head: q_fim_transform through
+    # q_wordpiece_apply — the r15 head's (d) block)
 ]
 
 

@@ -3345,6 +3345,57 @@ def test_cdc_stream_refuses_full_rewrites(spark, tmp_path):
         _cdc_plan(d, 1, 2)
 
 
+def test_sql_view_lifecycle(spark, tmp_path):
+    """r14 (VERDICT r13 task 4): sql_view registers snapshot /
+    pinned-version / as-of / CDC temp views over a versioned table.
+    Snapshot-isolation semantics: a view captures the version resolved
+    at registration time — later commits do NOT appear until
+    re-registration; a version= pin never moves; changes_since is
+    exclusive with version/as_of."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        commit,
+        sql_view,
+    )
+
+    d = str(tmp_path / "tbl")
+    commit(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"),
+        d, mode="overwrite", timestamp=100.0,
+    )
+    sql_view(spark, d, "sv_latest")
+    sql_view(spark, d, "sv_v0", version=0)
+    assert spark.sql("SELECT COUNT(*) n FROM sv_latest").first()["n"] == 2
+
+    commit(
+        spark.createDataFrame([(3, 30)], "k long, v long"),
+        d, timestamp=200.0,
+    )
+    # registered views are snapshots: neither moves on its own
+    assert spark.sql("SELECT COUNT(*) n FROM sv_latest").first()["n"] == 2
+    # re-registration tracks the new head; the pin stays pinned
+    sql_view(spark, d, "sv_latest")
+    assert spark.sql("SELECT COUNT(*) n FROM sv_latest").first()["n"] == 3
+    assert spark.sql("SELECT COUNT(*) n FROM sv_v0").first()["n"] == 2
+    # as-of timestamp resolution
+    sql_view(spark, d, "sv_asof", as_of=150.0)
+    assert spark.sql("SELECT SUM(v) s FROM sv_asof").first()["s"] == 30
+    # CDC view over table_changes
+    sql_view(spark, d, "sv_changes", changes_since=0)
+    got = spark.sql(
+        "SELECT _change_type, k FROM sv_changes"
+    ).collect()
+    assert [(r["_change_type"], r["k"]) for r in got] == [
+        ("insert", 3)
+    ]
+    with pytest.raises(ValueError):
+        sql_view(spark, d, "sv_bad", version=0, changes_since=0)
+    for v in ("sv_latest", "sv_v0", "sv_asof", "sv_changes"):
+        spark.catalog.dropTempView(v)
+
+
 def test_versioned_table_detail(spark, tmp_path):
     """table_detail (r13, Delta's DESCRIBE DETAIL): table-level facts
     from metadata alone — DV-exact row counts, logical schema through

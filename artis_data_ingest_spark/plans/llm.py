@@ -662,12 +662,23 @@ ORDER BY doc_id_a, doc_id_b
     "index-sized join, not a corpus rescan.",
 )
 def q_feed_driven_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _feed_driven_pairs(spark, sf_dir).orderBy(
+        "doc_id_a", "doc_id_b"
+    )
+
+
+def _feed_driven_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared steady-state pipeline of q_feed_driven_dedup and its
+    stats twin: persisted base band index + change-feed arrivals →
+    canonicalized candidate pairs grouped to (doc_id_a, doc_id_b,
+    n_bands), no presentation sort."""
     import shutil
 
     from ..operators.dedup import (
         _band_keys_from_cols,
         portable_minhash_sig_table,
     )
+    from ..operators.scale import spread_cpu_bound
     from ..sinks.versioned import (
         change_feed,
         commit,
@@ -682,7 +693,11 @@ def q_feed_driven_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def bands(d: DataFrame) -> DataFrame:
-        return portable_minhash_sig_table(d).select(
+        # a change-feed delta arrives as 1-2 parquet splits, so the
+        # CPU-bound shingle/sign pass would run on 1-2 cores no matter
+        # the cluster width — spread first (no-op when the input is
+        # already wide, i.e. the 100 TB case)
+        return portable_minhash_sig_table(spread_cpu_bound(d)).select(
             "doc_id", F.explode(_band_keys_from_cols()).alias("band")
         )
 
@@ -714,7 +729,11 @@ def q_feed_driven_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # steady state: the base index is a parquet READ, never a re-sign;
     # only the change feed's arrivals are shingled/signed
-    base_bands = read_version(spark, idir, 0)
+    # the persisted index is 1-2 parquet files, so the band join (and
+    # its 3.4M-row output at sf0.1) would ride on 1-2 tasks; spread
+    # the PROBE side so the join's map work uses the cluster (the
+    # delta side broadcasts — it stays tiny by construction)
+    base_bands = spread_cpu_bound(read_version(spark, idir, 0))
     delta = change_feed(spark, tdir, since=0).select("doc_id", "text")
     delta_bands = bands(delta)
     index = base_bands.unionByName(delta_bands)
@@ -730,14 +749,70 @@ def q_feed_driven_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("x.doc_id", "y.doc_id").alias("doc_id_b"),
             F.col("x.band").alias("band"),
         )
-        # delta-delta pairs arrive in both orientations with the same
-        # shared band key — distinct folds them before the count
-        .distinct()
     )
+    # delta-delta pairs arrive in both orientations with the same
+    # shared band key — count_distinct(band) folds them inside the
+    # one (doc_id_a, doc_id_b) aggregation instead of a separate
+    # whole-set .distinct() exchange (r14: one shuffle, not two)
     return (
         cand.groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands"))
-        .orderBy("doc_id_a", "doc_id_b")
+        .agg(
+            F.count_distinct("band").cast("bigint").alias("n_bands")
+        )
+    )
+
+
+@register(
+    "q_feed_driven_dedup_stats",
+    oracle=f"""{portable_minhash_ctes()}, pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b2, COUNT(*) AS n_bands
+  FROM b x JOIN b y ON x.band = y.band AND x.doc_id < y.doc_id
+  WHERE x.doc_id % 4 = 0 OR y.doc_id % 4 = 0
+  GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(n_bands), 0) AS BIGINT) AS sum_bands,
+       CAST((SELECT COUNT(DISTINCT d) FROM (
+          SELECT a AS d FROM pairs
+          UNION ALL SELECT b2 FROM pairs
+       )) AS BIGINT) AS n_docs_in_pairs
+FROM pairs
+""",
+    bench=True,
+    doc="Bench/stats twin of q_feed_driven_dedup (r14, VERDICT r13 "
+    "task 5): the SAME steady-state incremental pipeline — persisted "
+    "base band index read back as parquet, change-feed arrivals "
+    "signed O(delta), one band equi-join — but the candidate pairs "
+    "collapse to THREE aggregate scalars (pair count, shared-band "
+    "sum, distinct docs in pairs) instead of materializing and "
+    "collecting 3.4M pair rows at sf0.1.  That is the production "
+    "consumption shape (a dedup verdict feeds a filter or a sink, "
+    "never a driver collect) and makes the engine-side cost of the "
+    "feed-driven dedup chain benchable: the r13 recorded ~16 s "
+    "steady state was driver-collect-bound, not signing/join-bound. "
+    "Oracle: the full-corpus LSH recompute restricted to pairs "
+    "touching an arrival, aggregated the same way — hash equality "
+    "proves incremental == full at the statistics level.",
+)
+def q_feed_driven_dedup_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = _feed_driven_pairs(spark, sf_dir)
+    # ONE consumption of the pair pipeline: exploding each pair to its
+    # two endpoints lets a single aggregate produce all three stats
+    # (pair-level counts halve back out) — a stats branch + a
+    # distinct-docs branch would otherwise re-execute the band join
+    # twice (measured: 13.5 s two-branch vs ~5 s single-pass, sf0.1)
+    ex = pairs.select(
+        F.explode(F.array("doc_id_a", "doc_id_b")).alias("d"),
+        "n_bands",
+    )
+    return ex.agg(
+        (F.count(F.lit(1)) / 2).cast("bigint").alias("n_pairs"),
+        F.coalesce(F.sum("n_bands") / 2, F.lit(0)).cast(
+            "bigint"
+        ).alias("sum_bands"),
+        F.countDistinct("d").cast("bigint").alias("n_docs_in_pairs"),
     )
 
 

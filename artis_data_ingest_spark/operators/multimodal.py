@@ -708,6 +708,13 @@ def _decode_image_any(blob: bytes) -> np.ndarray:
         return decode_gif(blob)[0]
     if blob[:2] == b"BM":
         return decode_bmp(blob)
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        arr = decode_tiff(blob)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        return arr
     return decode_png(blob)
 
 
@@ -982,6 +989,56 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
     bgr = (rows if top_down else rows[::-1])[:, : w * 3].reshape(h, w, 3)
     return bgr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def gradient_tiff_media(spark: SparkSession, n: int = 8) -> DataFrame:
+    """Media table of REAL baseline TIFFs with closed-form pixel
+    values (TIFF is LOSSLESS — exact round-trip, exact oracle).
+    Image i is (3+i) rows x (4+i) cols.  Even i: RGB with R=x, G=y,
+    B=x+y (means (w-1)/2, (h-1)/2, (w+h-2)/2 over 255 — the
+    gradient_png_media construction).  Odd i: grayscale
+    v = (3x + 7y + 11i) % 256, every second odd image stored
+    WhiteIsZero (photometric 0 — a decoder ignoring the inversion
+    hash-mismatches).  The encoding matrix sweeps what the decoder
+    must handle: PackBits vs none, big vs little endian, 2-row
+    strips vs single-strip."""
+    from .tiff import encode_tiff
+
+    rows = []
+    for i in range(n):
+        w, h = 4 + i, 3 + i
+        if i % 2 == 0:
+            x = np.arange(w, dtype=np.uint8)[None, :, None]
+            y = np.arange(h, dtype=np.uint8)[:, None, None]
+            arr = np.concatenate(
+                [
+                    np.broadcast_to(x, (h, w, 1)),
+                    np.broadcast_to(y, (h, w, 1)),
+                    (x + y).astype(np.uint8),
+                ],
+                axis=2,
+            )
+            pm = None
+        else:
+            xx = np.arange(w, dtype=np.int64)[None, :]
+            yy = np.arange(h, dtype=np.int64)[:, None]
+            arr = ((3 * xx + 7 * yy + 11 * i) % 256).astype(np.uint8)
+            pm = 0 if i % 4 == 3 else 1
+        blob = encode_tiff(
+            np.ascontiguousarray(arr),
+            compression="packbits" if i % 4 < 2 else "none",
+            big_endian=(i % 3 == 0),
+            rows_per_strip=2 if i % 2 == 0 else None,
+            photometric=pm,
+        )
+        rows.append(
+            (
+                i, "image", blob,
+                {"width": None, "height": None, "n_frames": None,
+                 "sample_rate": None},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def tile_bmp_media(spark: SparkSession, n: int = 6) -> DataFrame:

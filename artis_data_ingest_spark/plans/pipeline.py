@@ -4445,3 +4445,57 @@ def q_version_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c ON t.tag = c.tag
         ORDER BY tag
     """)
+
+
+@register(
+    "q_tiff_features",
+    oracle="""
+WITH idx AS (
+  SELECT CAST(UNNEST(range(8)) AS BIGINT) AS i
+), g AS (
+  SELECT i, 4 + i AS w, 3 + i AS h FROM idx
+), gpix AS (
+  SELECT g.i, (3 * x.x + 7 * y.y + 11 * g.i) % 256 AS v
+  FROM g, UNNEST(range(g.w)) AS x(x), UNNEST(range(g.h)) AS y(y)
+  WHERE g.i % 2 = 1
+), gm AS (
+  SELECT i, SUM(v) / (COUNT(*) * 255.0) AS m FROM gpix GROUP BY i
+), res AS (
+  SELECT i AS media_id, w, h,
+         (w - 1) / (2 * 255.0) AS mr,
+         (h - 1) / (2 * 255.0) AS mg,
+         (w + h - 2) / (2 * 255.0) AS mb
+  FROM g WHERE i % 2 = 0
+  UNION ALL
+  SELECT gm.i, g.w, g.h, gm.m, gm.m, gm.m
+  FROM gm JOIN g ON g.i = gm.i
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       round(mr, 6) AS mean_r,
+       round(mg, 6) AS mean_g,
+       round(mb, 6) AS mean_b
+FROM res ORDER BY media_id
+""",
+    doc="Multimodal TIFF features (r14, VERDICT r13 task 7 — "
+    "operators/tiff.py): REAL pixel decode of the scanned-document "
+    "format, pure stdlib+numpy per TIFF 6.0 — both byte orders, "
+    "multi-strip reassembly (StripOffsets/ByteCounts/RowsPerStrip), "
+    "Compression 1 and PackBits (32773), PhotometricInterpretation "
+    "0/1/2 (a decoder ignoring WhiteIsZero inversion or the MM byte "
+    "order hash-mismatches).  gradient_tiff_media sweeps the "
+    "encoding matrix over closed-form gradients; decode runs through "
+    "the shared image_stats magic-byte dispatch (Arrow-batched "
+    "mapInPandas, binary never reaches a shuffle).  TIFF is "
+    "LOSSLESS, so the closed-form oracle is exact.  EXIF already "
+    "walked TIFF IFDs for metadata (operators/exif.py); this closes "
+    "the pixel half.",
+)
+def q_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import gradient_tiff_media, image_stats
+
+    media = gradient_tiff_media(spark, n=8)
+    return image_stats(media.select("media_id", "content")).orderBy(
+        "media_id"
+    )

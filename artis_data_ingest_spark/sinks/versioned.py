@@ -645,15 +645,28 @@ def rename_column(
         else:
             props.pop("column_mapping", None)
         # constraints reference logical names: rewrite them so the
-        # gate keeps working after the rename (word-boundary textual
-        # rewrite — expressions here are our own SQL strings)
+        # gate keeps working after the rename.  Word-boundary textual
+        # rewrite, but NEVER inside single-quoted string literals
+        # (ADVICE r13 #3: renaming cents->amount must not turn
+        # "status <> 'cents'" into "status <> 'amount'" and silently
+        # change what the gate enforces)
         cons = props.get("constraints")
         if cons:
             import re
 
+            pat = re.compile(rf"\b{re.escape(old)}\b")
+
+            def _sub_outside_literals(expr: str) -> str:
+                # split keeps literals ('' is the SQL escape) at odd
+                # indices; substitution applies to code parts only
+                parts = re.split(r"('(?:[^']|'')*')", expr)
+                return "".join(
+                    p if i % 2 else pat.sub(new, p)
+                    for i, p in enumerate(parts)
+                )
+
             props["constraints"] = {
-                n: re.sub(rf"\b{re.escape(old)}\b", new, e)
-                for n, e in cons.items()
+                n: _sub_outside_literals(e) for n, e in cons.items()
             }
 
     return _alter_commit(
@@ -769,6 +782,38 @@ def _alter_commit(
     return _publish(table_dir, manifest)
 
 
+def _null_fill_for_constraints(
+    df: DataFrame, constraints: dict[str, str]
+) -> tuple[DataFrame, list[str]]:
+    """Schema evolution lets a write OMIT existing columns; Delta
+    treats an omitted constrained column as NULL, which PASSES CHECK
+    (NULL = unknown is not a violation).  Resolve every constraint
+    expression against the staged frame, adding NULL columns for
+    unresolved references, so the gate applies NULL-passes semantics
+    instead of crashing with an unresolved-column AnalysisException
+    and orphaning the staged segment (r14, ADVICE r13 #1).  Returns
+    the padded frame plus the added names (callers that WRITE the
+    frame must drop them again)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    added: list[str] = []
+    probe = [F.expr(e) for e in constraints.values()]
+    for _ in range(64):  # bounded: one added column per loop
+        try:
+            df.select(*probe).schema  # analysis only, no execution
+            return df, added
+        except Exception as e:  # noqa: BLE001 — narrowed by the regex
+            mt = _re.search(r"name `([^`]+)` cannot be resolved",
+                            str(e))
+            if mt is None or "." in mt.group(1):
+                raise
+            df = df.withColumn(mt.group(1), F.lit(None))
+            added.append(mt.group(1))
+    return df, added
+
+
 def _violation_counts(
     spark: SparkSession,
     files: list[str],
@@ -780,11 +825,14 @@ def _violation_counts(
     evaluates to FALSE — NULL passes (unknown is not a violation),
     exactly the standard's treatment and Delta's.  Constraint
     expressions reference LOGICAL names; ``props`` maps the staged
-    files' physical columns accordingly."""
+    files' physical columns accordingly.  Constrained columns the
+    staged files omit count as NULL (pass) via
+    :func:`_null_fill_for_constraints`."""
     from pyspark.sql import functions as F
 
     df = spark.read.option("mergeSchema", "true").parquet(*files)
     df = _to_logical(df, props or {})
+    df, _ = _null_fill_for_constraints(df, constraints)
     aggs = [
         F.sum(
             (~F.coalesce(F.expr(expr), F.lit(True))).cast("long")
@@ -855,10 +903,15 @@ def _quarantine_split(
         spark.read.option("mergeSchema", "true").parquet(*seg_files),
         props,
     )
+    # omitted constrained columns evaluate as NULL (pass); the padded
+    # columns are dropped again before the split segments write
+    staged, padded = _null_fill_for_constraints(staged, constraints)
     bad_cond = F.lit(False)
     for expr in constraints.values():
         bad_cond = bad_cond | ~F.coalesce(F.expr(expr), F.lit(True))
     ok = staged.filter(~bad_cond)
+    if padded:
+        ok = ok.drop(*padded)
     if cluster_by:
         ok = ok.repartitionByRange(
             max(1, len(seg_files)), *_cluster_exprs(cluster_by)
@@ -868,8 +921,11 @@ def _quarantine_split(
     valid_seg = _write_segment(
         _to_physical(ok, props), table_dir, version
     )
+    bad_rows = staged.filter(bad_cond)
+    if padded:
+        bad_rows = bad_rows.drop(*padded)
     quarantine_seg = _write_segment(
-        _to_physical(staged.filter(bad_cond), props).coalesce(1),
+        _to_physical(bad_rows, props).coalesce(1),
         table_dir,
         version,
     )
@@ -1076,6 +1132,13 @@ def commit(
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown mode {mode!r}")
+    if on_violation not in ("error", "quarantine"):
+        # validated at ENTRY (ADVICE r13 #5): a typo must fail the
+        # first write, not lie dormant until a constraint exists
+        raise ValueError(
+            f"on_violation must be 'error' or 'quarantine', "
+            f"got {on_violation!r}"
+        )
     cur = latest_version(table_dir)
     _check_expected(cur, expect_version)
     parent = _read_manifest(table_dir, cur) if cur is not None else {}
@@ -1103,7 +1166,20 @@ def commit(
     elif n_files:
         df = df.coalesce(n_files)
     new_version = (cur if cur is not None else -1) + 1
+    # snapshot the ENTRY-time mapping state before _resolve_physical
+    # may mint fresh physical names: the blind-append rebase must (a)
+    # refuse if a CONCURRENT writer changed the mapping and (b)
+    # re-merge OUR OWN additions into the rebased props (ADVICE r13
+    # #2 — previously a re-added column's fresh physical name was
+    # silently dropped on rebase and the logical column vanished)
+    entry_mapping = _mapping(props)
+    entry_dropped = _dropped(props)
     props = _resolve_physical(props, df.columns, new_version)
+    own_mapping_additions = {
+        log: phys
+        for log, phys in _mapping(props).items()
+        if entry_mapping.get(log) != phys
+    }
     seg_files = _write_segment(
         _to_physical(df, props), table_dir, new_version
     )
@@ -1218,6 +1294,21 @@ def commit(
                 "validated against the entry-time constraints — "
                 "re-run the commit"
             )
+        if (
+            _mapping(new_props) != entry_mapping
+            or _dropped(new_props) != entry_dropped
+        ):
+            raise VersionConflict(
+                "column mapping changed concurrently; the staged "
+                "segment was written under the entry-time physical "
+                "names — re-run the commit"
+            )
+        if own_mapping_additions:
+            # fresh physical names this commit minted (re-added
+            # columns) carry into the rebased manifest
+            merged = _mapping(new_props)
+            merged.update(own_mapping_additions)
+            new_props["column_mapping"] = merged
         if cur is not None:
             try:
                 _check_schema_compatible(
@@ -1777,6 +1868,93 @@ def _dv_scan(spark: SparkSession, files: list[str],
     ).drop("_dv_file", "_dv_pos")
 
 
+def _publish_dv_op(
+    table_dir: str,
+    build,
+    entry_manifest: dict,
+    dv_seg: list[str],
+    retry_conflicts: int,
+    can_retry: bool,
+) -> int:
+    """Publish a DV-backed row operation (delete/update/replace) with
+    DISJOINT-WRITER conflict retry (r14, VERDICT r13 task 6 — Delta's
+    conflict matrix under WriteSerializable): when a concurrent commit
+    claims our version number, the operation REBASES onto the new head
+    iff the two write sets are file-disjoint —
+
+    * every data file our deletion vectors reference must still be in
+      the head's file list (a concurrent compact / replace / restore
+      that rewrote or dropped one of them invalidates our row
+      positions → conflict);
+    * no deletion vector added since our entry may reference any of
+      those same files (two row-ops on one file are a conflict at file
+      granularity, exactly Delta's rule — row positions in OTHER files
+      commute);
+    * the table properties must be unchanged (our segments were
+      translated/validated under the entry-time column mapping and
+      constraints).
+
+    Concurrent blind APPENDS always commute (the WriteSerializable
+    contract: rows appended after our predicate scan are not affected
+    by it).  ``build(cur, parent_manifest)`` rebuilds the operation's
+    manifest against the new head, reusing the already-written
+    segments untouched — a retry is driver-side JSON plus KB-scale
+    sidecar reads, never a recompute."""
+    import pyarrow.parquet as pq
+
+    def _dv_targets(paths) -> set:
+        out: set = set()
+        for f in paths:
+            t = pq.read_table(f, columns=["_dv_file"])
+            out.update(t.column("_dv_file").to_pylist())
+        return out
+
+    manifest = build(entry_manifest["version"], entry_manifest)
+    for attempt in range(max(0, retry_conflicts) + 1):
+        try:
+            return _publish(table_dir, manifest)
+        except VersionConflict:
+            if attempt >= retry_conflicts or not can_retry:
+                raise
+        cur = latest_version(table_dir)
+        head = _read_manifest(table_dir, cur)
+        if head.get("table_props", {}) != entry_manifest.get(
+            "table_props", {}
+        ):
+            raise VersionConflict(
+                "table properties changed concurrently (constraints/"
+                "column mapping/layout); this row operation was "
+                "computed under the entry-time properties — re-run"
+            )
+        reads = _dv_targets(dv_seg)
+        head_files = {os.path.abspath(f) for f in head["files"]}
+        missing = sorted(
+            f for f in reads if os.path.abspath(f) not in head_files
+        )
+        if missing:
+            raise VersionConflict(
+                f"concurrent commit removed or rewrote "
+                f"{len(missing)} data file(s) this operation read "
+                f"(e.g. {missing[0]}) — its row positions are no "
+                f"longer valid; re-run"
+            )
+        entry_dv = set(entry_manifest.get("dv_files", []))
+        since = [
+            f
+            for f in head.get("dv_files", [])
+            if f not in entry_dv and f not in dv_seg
+        ]
+        overlap = sorted(reads & _dv_targets(since))
+        if overlap:
+            raise VersionConflict(
+                f"a concurrent row operation touched "
+                f"{len(overlap)} of the same data file(s) "
+                f"(e.g. {overlap[0]}) — re-run"
+            )
+        manifest = build(cur, head)
+    raise AssertionError("unreachable")  # pragma: no cover
+
+
 def replace_where(
     spark: SparkSession,
     table_dir: str,
@@ -1787,6 +1965,7 @@ def replace_where(
     timestamp: float | None = None,
     n_files: int | None = None,
     validate: bool = True,
+    retry_conflicts: int = 0,
 ) -> int:
     """Selective overwrite — Delta's ``INSERT OVERWRITE ...
     replaceWhere`` (r13): ONE atomic commit that removes every live
@@ -1892,32 +2071,39 @@ def replace_where(
         _enforce_constraints(
             spark, seg, constraints, cleanup_dirs=dv_dirs, props=props
         )
-    stats = {**m.get("stats", {}), **_file_stats(seg)}
-    blooms = dict(m.get("blooms", {}))
+    seg_stats = _file_stats(seg)
+    seg_blooms: dict = {}
     if bloom_cols:
         cmap = _mapping(props)
-        blooms.update(
-            _segment_blooms(
-                spark, seg, [cmap.get(c, c) for c in bloom_cols]
-            )
+        seg_blooms = _segment_blooms(
+            spark, seg, [cmap.get(c, c) for c in bloom_cols]
         )
-    manifest = {
-        "version": new_version,
-        "parent": cur,
-        "mode": "replace",
-        "note": note,
-        "ts": timestamp if timestamp is not None else time.time(),
-        "files": list(m["files"]) + seg,
-        "stats": stats,
-        "dv_files": prior_dv + dv_seg,
-        "delta_files": seg,
-        "schema": {**(m.get("schema") or {}), **seg_schema},
-    }
-    if blooms:
-        manifest["blooms"] = blooms
-    if props:
-        manifest["table_props"] = props
-    return _publish(table_dir, manifest)
+    ts = timestamp if timestamp is not None else time.time()
+
+    def _build(cur2: int, m2: dict) -> dict:
+        mf = {
+            "version": cur2 + 1,
+            "parent": cur2,
+            "mode": "replace",
+            "note": note,
+            "ts": ts,
+            "files": list(m2["files"]) + seg,
+            "stats": {**m2.get("stats", {}), **seg_stats},
+            "dv_files": list(m2.get("dv_files", [])) + dv_seg,
+            "delta_files": seg,
+            "schema": {**(m2.get("schema") or {}), **seg_schema},
+        }
+        blooms = {**m2.get("blooms", {}), **seg_blooms}
+        if blooms:
+            mf["blooms"] = blooms
+        if props:
+            mf["table_props"] = props
+        return mf
+
+    return _publish_dv_op(
+        table_dir, _build, m, dv_seg, retry_conflicts,
+        can_retry=expect_version is ANY,
+    )
 
 
 def delete_where(
@@ -1927,6 +2113,7 @@ def delete_where(
     note: str = "delete",
     expect_version: int | None | str = ANY,
     timestamp: float | None = None,
+    retry_conflicts: int = 0,
 ) -> int:
     """Row-level DELETE via DELETION VECTORS (Delta's DV feature,
     r13): version N+1 carries the parent's file list UNCHANGED plus a
@@ -1974,24 +2161,32 @@ def delete_where(
     )
     new_version = cur + 1
     seg = _write_segment(hits.coalesce(1), table_dir, new_version)
-    manifest = {
-        "version": new_version,
-        "parent": cur,
-        "mode": "delete",
-        "note": note,
-        "ts": timestamp if timestamp is not None else time.time(),
-        "files": list(m["files"]),
-        "stats": dict(m.get("stats", {})),
-        "dv_files": prior_dv + seg,
-    }
-    if m.get("blooms"):
-        manifest["blooms"] = dict(m["blooms"])
-    if m.get("schema"):
-        manifest["schema"] = dict(m["schema"])
-    if m.get("table_props"):
-        manifest["table_props"] = dict(m["table_props"])
-    # (delta_files describe the PARENT's own commit — never carried)
-    return _publish(table_dir, manifest)
+    ts = timestamp if timestamp is not None else time.time()
+
+    def _build(cur2: int, m2: dict) -> dict:
+        mf = {
+            "version": cur2 + 1,
+            "parent": cur2,
+            "mode": "delete",
+            "note": note,
+            "ts": ts,
+            "files": list(m2["files"]),
+            "stats": dict(m2.get("stats", {})),
+            "dv_files": list(m2.get("dv_files", [])) + seg,
+        }
+        if m2.get("blooms"):
+            mf["blooms"] = dict(m2["blooms"])
+        if m2.get("schema"):
+            mf["schema"] = dict(m2["schema"])
+        if m2.get("table_props"):
+            mf["table_props"] = dict(m2["table_props"])
+        # (delta_files describe the PARENT's own commit — not carried)
+        return mf
+
+    return _publish_dv_op(
+        table_dir, _build, m, seg, retry_conflicts,
+        can_retry=expect_version is ANY,
+    )
 
 
 def deleted_rows(
@@ -2099,6 +2294,7 @@ def update_where(
     expect_version: int | None | str = ANY,
     timestamp: float | None = None,
     n_files: int | None = None,
+    retry_conflicts: int = 0,
 ) -> int:
     """Row-level UPDATE — the third leg of the DML triad (r13),
     implemented as DELETE-via-deletion-vector + append-of-post-image,
@@ -2197,32 +2393,40 @@ def update_where(
             },
             props=props,
         )
-    stats = {**m.get("stats", {}), **_file_stats(seg)}
-    blooms = dict(m.get("blooms", {}))
+    seg_stats = _file_stats(seg)
+    seg_blooms: dict = {}
     if bloom_cols:
         cmap = _mapping(props)
-        blooms.update(
-            _segment_blooms(
-                spark, seg, [cmap.get(c, c) for c in bloom_cols]
-            )
+        seg_blooms = _segment_blooms(
+            spark, seg, [cmap.get(c, c) for c in bloom_cols]
         )
-    manifest = {
-        "version": new_version,
-        "parent": cur,
-        "mode": "update",
-        "note": note,
-        "ts": timestamp if timestamp is not None else time.time(),
-        "files": list(m["files"]) + seg,
-        "stats": stats,
-        "dv_files": prior_dv + dv_seg,
-        "delta_files": seg,
-        "schema": {**(m.get("schema") or {}), **_footer_schema(seg)},
-    }
-    if blooms:
-        manifest["blooms"] = blooms
-    if props:
-        manifest["table_props"] = props
-    return _publish(table_dir, manifest)
+    seg_schema = _footer_schema(seg)
+    ts = timestamp if timestamp is not None else time.time()
+
+    def _build(cur2: int, m2: dict) -> dict:
+        mf = {
+            "version": cur2 + 1,
+            "parent": cur2,
+            "mode": "update",
+            "note": note,
+            "ts": ts,
+            "files": list(m2["files"]) + seg,
+            "stats": {**m2.get("stats", {}), **seg_stats},
+            "dv_files": list(m2.get("dv_files", [])) + dv_seg,
+            "delta_files": seg,
+            "schema": {**(m2.get("schema") or {}), **seg_schema},
+        }
+        blooms = {**m2.get("blooms", {}), **seg_blooms}
+        if blooms:
+            mf["blooms"] = blooms
+        if props:
+            mf["table_props"] = props
+        return mf
+
+    return _publish_dv_op(
+        table_dir, _build, m, dv_seg, retry_conflicts,
+        can_retry=expect_version is ANY,
+    )
 
 
 def updated_rows(

@@ -514,11 +514,18 @@ def _make_datasource_class():
         window between publish and cursor write.  A replayed batch's
         staged files are discarded, never re-published."""
 
-        def __init__(self, table_dir: str, options):
+        def __init__(self, table_dir: str, options,
+                     overwrite: bool = False):
             import re
             import uuid as _uuid
 
             self._dir = table_dir
+            # Spark passes overwrite=True for outputMode('complete')/
+            # truncate semantics: each micro-batch REPLACES the table
+            # state (one overwrite version) instead of appending —
+            # previously the flag was ignored and a complete-mode
+            # stream silently accumulated rows (ADVICE r13 #4)
+            self._overwrite = bool(overwrite)
             self._staging = _os.path.join(
                 table_dir, "data", f"w-{_uuid.uuid4().hex[:8]}"
             )
@@ -589,7 +596,10 @@ def _make_datasource_class():
                     commit_staged(
                         self._dir,
                         seg_files,
-                        mode="append",
+                        mode=(
+                            "overwrite" if self._overwrite
+                            else "append"
+                        ),
                         note=self._marker(batchId),
                         timestamp=self._ts,
                     )
@@ -1161,7 +1171,7 @@ def _make_datasource_class():
 
         def streamWriter(self, schema, overwrite: bool):
             return _VersionedStreamWriter(
-                self._table_dir(), self.options
+                self._table_dir(), self.options, overwrite=overwrite
             )
 
     return VersionedFeedDataSource

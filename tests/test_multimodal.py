@@ -1371,6 +1371,85 @@ def test_bmp_image_stats_tolerates_corrupt_payload(spark):
     assert out[0]["width"] == 8
 
 
+def test_tiff_roundtrip_matrix():
+    """TIFF encode/decode is byte-exact across the full encoding
+    matrix (r14): gray/RGB x none/PackBits x II/MM x single/multi
+    strip x BlackIsZero/WhiteIsZero; PackBits round-trips arbitrary
+    and low-entropy byte streams; corrupt payloads raise ValueError
+    instead of decoding garbage."""
+    import numpy as np
+    import pytest
+
+    from artis_data_ingest_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+        packbits_decode,
+        packbits_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    for gray in (True, False):
+        for comp in ("none", "packbits"):
+            for be in (False, True):
+                for rps in (None, 2):
+                    shape = (5, 7) if gray else (5, 7, 3)
+                    img = rng.integers(0, 256, shape, dtype=np.uint8)
+                    blob = encode_tiff(
+                        img, compression=comp, big_endian=be,
+                        rows_per_strip=rps,
+                    )
+                    assert np.array_equal(decode_tiff(blob), img)
+    # WhiteIsZero stores inverted, decodes back to the original
+    img = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    blob = encode_tiff(img, photometric=0, compression="packbits")
+    assert np.array_equal(decode_tiff(blob), img)
+    # the stored strip really is inverted (a decoder ignoring
+    # photometric 0 would return 255-img)
+    plain = encode_tiff(img, photometric=1)
+    assert decode_tiff(plain).tobytes() == img.tobytes()
+    # PackBits stream edge cases
+    for data in (b"", b"a", b"a" * 300, bytes(range(256)) * 2,
+                 b"aabbbccccddddd" * 40):
+        assert packbits_decode(
+            packbits_encode(data), len(data)
+        ) == data
+    for bad in (
+        b"",
+        b"II",
+        b"II*\x00\x00\x00",
+        encode_tiff(np.zeros((4, 4), np.uint8))[:20],
+        encode_tiff(np.zeros((4, 4), np.uint8))[:-5],
+    ):
+        with pytest.raises(ValueError):
+            decode_tiff(bad)
+
+
+def test_tiff_image_stats_tolerates_corrupt_payload(spark):
+    """A torn TIFF yields a null-stats row through image_stats, never
+    a job failure (the corrupt-payload contract shared by all
+    codecs); intact fixtures decode through the same magic-byte
+    dispatch."""
+    from artis_data_ingest_spark.operators.multimodal import (
+        gradient_tiff_media,
+        image_stats,
+    )
+
+    media = gradient_tiff_media(spark, n=2).select(
+        "media_id", "content"
+    )
+    broken = spark.createDataFrame(
+        [(99, bytearray(b"II\x2a\x00" + b"\x08" + b"\x00" * 9))],
+        "media_id bigint, content binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in image_stats(media.union(broken)).collect()
+    }
+    assert out[99]["width"] is None and out[99]["mean_r"] is None
+    assert out[0]["width"] == 4 and out[0]["height"] == 3
+    assert out[1]["width"] == 5
+
+
 def test_image_dhash_invariance_and_pairs(spark):
     """dHash must be invariant to the global brightness shift between
     variants (hamming 0), tolerant of the single-cell bump on variant

@@ -2804,6 +2804,298 @@ def test_versioned_blind_append_retry(spark, tmp_path):
         )
 
 
+def test_disjoint_writer_conflict_retry(spark, tmp_path):
+    """r14 (VERDICT r13 task 6) — Delta's conflict matrix beyond blind
+    appends: delete_where/update_where/replace_where(retry_conflicts=N)
+    rebase onto a concurrent head when the write sets are FILE-
+    disjoint (a racing append commutes with a delete; two row-ops on
+    different files commute), while genuinely overlapping writers
+    (row-ops touching the same file, a compact that rewrote the read
+    set, a concurrent property change) still raise VersionConflict."""
+    import threading
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        VersionConflict,
+        commit,
+        compact,
+        delete_where,
+        read_version,
+        update_where,
+    )
+
+    tdir = str(tmp_path / "tbl")
+    # two files: k 0-999 in file A (g=0), 1000-1999 in file B (g=1)
+    base = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") < 1000).alias("g")
+    ).repartitionByRange(2, "g")
+    commit(base, tdir, mode="overwrite", timestamp=100.0)
+
+    errs: list = []
+    done: list = []
+
+    def appender():
+        try:
+            done.append(("append", commit(
+                spark.range(50).select((F.col("id") + 10_000).alias(
+                    "k"), F.lit(False).alias("g")),
+                tdir, timestamp=101.0, retry_conflicts=16,
+            )))
+        except Exception as e:
+            errs.append(e)
+
+    def deleter():
+        try:
+            done.append(("delete", delete_where(
+                spark, tdir, "k < 10", timestamp=102.0,
+                retry_conflicts=16,
+            )))
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=f) for f in (appender,
+                                                    deleter)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == [], errs
+    # both landed, 0 lost rows: 2000 base + 50 appended - 10 deleted
+    assert read_version(spark, tdir).count() == 2040
+    assert {v for _, v in done} == {1, 2}
+
+    # disjoint row-ops both land: delete in file A, update in file B
+    def del_a():
+        try:
+            done.append(("delA", delete_where(
+                spark, tdir, "k >= 10 AND k < 20", timestamp=103.0,
+                retry_conflicts=16,
+            )))
+        except Exception as e:
+            errs.append(e)
+
+    def upd_b():
+        try:
+            done.append(("updB", update_where(
+                spark, tdir, {"k": "k + 100000"},
+                "k >= 1500 AND k < 1510", timestamp=104.0,
+                retry_conflicts=16,
+            )))
+        except Exception as e:
+            errs.append(e)
+
+    threads = [threading.Thread(target=f) for f in (del_a, upd_b)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errs == [], errs
+    got = read_version(spark, tdir)
+    assert got.count() == 2030  # 10 more deleted; update keeps count
+    assert got.filter("k >= 100000").count() == 10
+
+    # OVERLAPPING row-ops on the same file: the loser must refuse
+    # even with retries (file-granular conflict, Delta's rule)
+    v = delete_where(spark, tdir, "k = 30", timestamp=105.0)
+    with pytest.raises(VersionConflict):
+        # same file (k=31 lives in file A too): build a stale op by
+        # racing two deletes on the same file deterministically —
+        # run one, then replay the other against the pre-delete head
+        delete_where(
+            spark, tdir, "k = 31", expect_version=v - 1,
+            timestamp=106.0, retry_conflicts=5,
+        )
+
+    # a concurrent COMPACT rewrites the read set: retry refuses
+    import artis_data_ingest_spark.sinks.versioned as V
+
+    real_publish = V._publish
+    state = {"raced": False}
+
+    def racing_publish(table_dir, manifest):
+        # first publication attempt of the delete loses the race to a
+        # compact that rewrites every file
+        if manifest.get("mode") == "delete" and not state["raced"]:
+            state["raced"] = True
+            compact(spark, tdir, timestamp=107.0)
+        return real_publish(table_dir, manifest)
+
+    V._publish = racing_publish
+    try:
+        with pytest.raises(VersionConflict):
+            delete_where(spark, tdir, "k = 40", timestamp=108.0,
+                         retry_conflicts=5)
+    finally:
+        V._publish = real_publish
+
+
+def test_constraint_gate_with_omitted_column(spark, tmp_path):
+    """ADVICE r13 #1: schema evolution allows a write to OMIT existing
+    columns; a CHECK over an omitted column must evaluate it as NULL —
+    which PASSES (SQL's unknown-is-not-a-violation, Delta's
+    semantics) — in both error and quarantine modes, instead of
+    crashing with an unresolved-column error and orphaning the staged
+    segment.  Constraints on PRESENT columns still gate the same
+    write."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        ConstraintViolation,
+        add_constraint,
+        commit,
+        read_version,
+    )
+
+    d = str(tmp_path / "tbl")
+    commit(
+        spark.createDataFrame([(1, 10, 5)],
+                              "k long, v long, w long"),
+        d, mode="overwrite", timestamp=100.0,
+    )
+    add_constraint(spark, d, "v_pos", "v > 0", timestamp=110.0)
+    add_constraint(spark, d, "w_pos", "w > 0", timestamp=120.0)
+    # write omits BOTH constrained columns -> NULL passes, lands
+    commit(spark.createDataFrame([(2,)], "k long"), d,
+           timestamp=130.0)
+    assert read_version(spark, d).count() == 2
+    # write omits v but violates the PRESENT w constraint -> refused
+    with pytest.raises(ConstraintViolation):
+        commit(
+            spark.createDataFrame([(3, -1)], "k long, w long"),
+            d, timestamp=140.0,
+        )
+    # quarantine mode with an omitted constrained column: the valid
+    # row lands, the w-violator quarantines, nothing crashes
+    v = commit(
+        spark.createDataFrame([(4, 7), (5, -7)], "k long, w long"),
+        d, timestamp=150.0, on_violation="quarantine",
+    )
+    got = read_version(spark, d)
+    assert got.filter("k = 4").count() == 1
+    assert got.filter("k = 5").count() == 0
+    from artis_data_ingest_spark.sinks.versioned import (
+        quarantined_rows,
+    )
+
+    assert quarantined_rows(spark, d, v).count() == 1
+    # ADVICE r13 #5: a typo'd on_violation fails at ENTRY, even on a
+    # table without constraints
+    d2 = str(tmp_path / "tbl2")
+    with pytest.raises(ValueError):
+        commit(
+            spark.createDataFrame([(1,)], "k long"), d2,
+            mode="overwrite", on_violation="quarantene",
+        )
+
+
+def test_rename_skips_string_literals_in_constraints(spark, tmp_path):
+    """ADVICE r13 #3: renaming a column rewrites constraint
+    expressions, but occurrences INSIDE single-quoted string literals
+    must survive untouched — renaming cents->amount must not turn
+    "status <> 'cents'" into "status <> 'amount'"."""
+    from artis_data_ingest_spark.sinks.versioned import (
+        ConstraintViolation,
+        add_constraint,
+        commit,
+        rename_column,
+        table_detail,
+    )
+
+    d = str(tmp_path / "tbl")
+    commit(
+        spark.createDataFrame([(1, 5, "ok")],
+                              "k long, cents long, status string"),
+        d, mode="overwrite", timestamp=100.0,
+    )
+    add_constraint(
+        spark, d, "no_cents_status",
+        "cents > 0 AND status <> 'cents'", timestamp=110.0,
+    )
+    rename_column(d, "cents", "amount", timestamp=120.0)
+    expr = table_detail(d)["table_props"]["constraints"][
+        "no_cents_status"
+    ]
+    assert expr == "amount > 0 AND status <> 'cents'"
+    # the literal still gates: status='cents' is still refused
+    with pytest.raises(ConstraintViolation):
+        commit(
+            spark.createDataFrame([(2, 5, "cents")],
+                                  "k long, amount long, "
+                                  "status string"),
+            d, timestamp=130.0,
+        )
+
+
+def test_blind_append_rebase_guards_column_mapping(spark, tmp_path):
+    """ADVICE r13 #2: the blind-append rebase must refuse when a
+    CONCURRENT writer changed the column mapping (the staged segment
+    was written under the entry-time physical names), and must CARRY
+    its own _resolve_physical additions (a re-added column's fresh
+    physical name) into the rebased manifest instead of silently
+    dropping them."""
+    import artis_data_ingest_spark.sinks.versioned as V
+    from artis_data_ingest_spark.sinks.versioned import (
+        VersionConflict,
+        commit,
+        drop_column,
+        read_version,
+        rename_column,
+    )
+
+    d = str(tmp_path / "tbl")
+    commit(
+        spark.createDataFrame([(1, 10)], "k long, v long"),
+        d, mode="overwrite", timestamp=100.0,
+    )
+
+    # concurrent RENAME between our staging and publish: refuse
+    real_publish = V._publish
+    state = {"raced": False}
+
+    def racing_rename(table_dir, manifest):
+        if manifest.get("mode") == "append" and not state["raced"]:
+            state["raced"] = True
+            rename_column(d, "v", "val", timestamp=101.0)
+        return real_publish(table_dir, manifest)
+
+    V._publish = racing_rename
+    try:
+        with pytest.raises(VersionConflict) as ei:
+            commit(
+                spark.createDataFrame([(2, 20)], "k long, v long"),
+                d, timestamp=102.0, retry_conflicts=5,
+            )
+        assert "column mapping" in str(ei.value)
+    finally:
+        V._publish = real_publish
+
+    # own additions carry: drop 'val', re-add it (fresh physical
+    # name) while a concurrent plain append wins the race — the
+    # rebased manifest must keep the fresh mapping so the logical
+    # column survives
+    drop_column(d, "val", timestamp=103.0)
+    state2 = {"raced": False}
+
+    def racing_append(table_dir, manifest):
+        if manifest.get("mode") == "append" and not state2["raced"]:
+            state2["raced"] = True
+            commit(
+                spark.createDataFrame([(7,)], "k long"),
+                d, timestamp=104.0,
+            )
+        return real_publish(table_dir, manifest)
+
+    V._publish = racing_append
+    try:
+        commit(
+            spark.createDataFrame([(3, 33)], "k long, val long"),
+            d, timestamp=105.0, retry_conflicts=5,
+        )
+    finally:
+        V._publish = real_publish
+    got = read_version(spark, d)
+    assert "val" in got.columns
+    assert got.filter("val = 33").count() == 1
+    assert got.filter("k = 7").count() == 1
+
+
 def test_versioned_schema_enforcement(spark, tmp_path):
     """Write-time schema enforcement (r13): an append whose column
     TYPE conflicts with the table refuses before publication (the old

@@ -1462,6 +1462,70 @@ def test_versioned_feed_filter_pushdown(spark, tmp_path):
     assert len(rd2.partitions()) == 8
 
 
+def test_stream_writer_complete_mode_overwrites(spark, tmp_path):
+    """ADVICE r13 #4: outputMode('complete') passes overwrite=True to
+    streamWriter — each micro-batch must REPLACE the table state (one
+    overwrite version), not silently accumulate appended rows."""
+    from pyspark.sql import functions as F
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        commit,
+        read_version,
+        _read_manifest,
+        latest_version,
+    )
+    from artis_data_ingest_spark.streaming.source import (
+        register_versioned_feed,
+    )
+
+    register_versioned_feed(spark)
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck")
+    commit(
+        spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "k long, g string"
+        ),
+        src, mode="overwrite", timestamp=100.0,
+    )
+
+    def run_round():
+        q = (
+            spark.readStream.format("versioned_feed")
+            .option("path", src).option("consumerId", "agg").load()
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("versioned_feed")
+            .option("path", dst).option("writerId", "w1")
+            .option("checkpointLocation", ck)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_round()
+    got = {
+        r["g"]: r["n"] for r in read_version(spark, dst).collect()
+    }
+    assert got == {"a": 2, "b": 1}
+    commit(
+        spark.createDataFrame([(4, "b"), (5, "b")],
+                              "k long, g string"),
+        src, timestamp=200.0,
+    )
+    run_round()
+    # complete mode REPLACES: latest state is the new aggregate, not
+    # the union of both rounds' outputs
+    got = {
+        r["g"]: r["n"] for r in read_version(spark, dst).collect()
+    }
+    assert got == {"a": 2, "b": 3}
+    assert _read_manifest(dst, latest_version(dst))["mode"] == (
+        "overwrite"
+    )
+
+
 def test_versioned_feed_batch_read_default_session(spark, tmp_path):
     """r14 regression pin for the r13 driver red row
     (q_version_pushdown / DATA_SOURCE_PUSHDOWN_DISABLED): a plain

@@ -4499,3 +4499,78 @@ def q_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_stats(media.select("media_id", "content")).orderBy(
         "media_id"
     )
+
+
+@register(
+    "q_version_convert",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), after_delete AS (
+  SELECT * FROM o WHERE NOT (cents % 5 = 0)
+), arr AS (
+  SELECT k + 1000000 AS k, cents FROM o WHERE k % 100 = 0
+), final AS (
+  SELECT * FROM after_delete UNION ALL SELECT * FROM arr
+)
+SELECT 'v0' AS state, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents FROM o
+UNION ALL
+SELECT 'latest', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cents) AS BIGINT) FROM final
+ORDER BY state
+""",
+    doc="CONVERT TO DELTA (r14 — sinks/versioned.py:"
+    "convert_to_versioned): adopt an existing plain-parquet "
+    "directory as v0 WITHOUT copying a byte (manifest references the "
+    "originals; footer stats, per-file row counts, and the physical "
+    "schema recorded from one driver-side metadata pass), then prove "
+    "the adopted table has the full lifecycle by running DV DELETE "
+    "and an append on top and hashing v0 (time travel must still "
+    "serve the pre-conversion rows exactly) against the final "
+    "state.  A conversion that copied, dropped, or re-ordered rows, "
+    "or whose DV masked the wrong positions in the ADOPTED files, "
+    "hash-mismatches.",
+)
+def q_version_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from ..sinks.versioned import (
+        commit,
+        convert_to_versioned,
+        delete_where,
+        read_version,
+    )
+
+    base = _versioned_demo_path(sf_dir, "versioned_convert_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    plain = os.path.join(base, "plain")
+    tdir = os.path.join(base, "tbl")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    orders.repartition(4).write.mode("overwrite").parquet(plain)
+    convert_to_versioned(plain, tdir, timestamp=100.0)
+    delete_where(spark, tdir, "cents % 5 = 0", timestamp=200.0)
+    commit(
+        orders.filter(F.col("k") % 100 == 0).select(
+            (F.col("k") + F.lit(1000000)).alias("k"), "cents"
+        ),
+        tdir, timestamp=300.0,
+    )
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).select(F.lit(tag).alias("state"), "n", "sum_cents")
+
+    return agg(read_version(spark, tdir, 0), "v0").unionByName(
+        agg(read_version(spark, tdir), "latest")
+    ).orderBy("state")

@@ -2714,6 +2714,56 @@ def version_at(table_dir: str, as_of: float) -> int:
     return best
 
 
+def convert_to_versioned(
+    parquet_dir: str,
+    table_dir: str,
+    note: str = "convert",
+    timestamp: float | None = None,
+) -> int:
+    """CONVERT TO DELTA (r14): adopt an EXISTING plain-parquet
+    directory as version 0 of a versioned table WITHOUT copying a
+    byte — the manifest references the original files by absolute
+    path, with footer stats (pruning works immediately), per-file row
+    counts (metadata COUNT(*) works), and the recorded physical
+    schema (write-time enforcement works), all from one driver-side
+    footer pass over O(files) metadata.  From that moment the table
+    has the full lifecycle: append/DML/time travel/CDC/compact.
+
+    Same external-file safety contract as :func:`clone_table`:
+    :func:`vacuum` only reclaims under the table's OWN ``data/``
+    root, so it never deletes the adopted originals — but deleting
+    the source directory breaks every version that still references
+    it (compact() to internalize the bytes when the source's
+    lifetime is shorter than the table's)."""
+    import glob as _glob
+
+    if latest_version(table_dir) is not None:
+        raise VersionConflict(f"{table_dir} already has versions")
+    files = sorted(
+        os.path.abspath(f)
+        for f in _glob.glob(
+            os.path.join(parquet_dir, "**", "*.parquet"),
+            recursive=True,
+        )
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"no .parquet files under {parquet_dir}"
+        )
+    manifest = {
+        "version": 0,
+        "parent": None,
+        "mode": "overwrite",
+        "note": note,
+        "ts": timestamp if timestamp is not None else time.time(),
+        "converted_from": os.path.abspath(parquet_dir),
+        "files": files,
+        "stats": _file_stats(files),
+        "schema": _footer_schema(files),
+    }
+    return _publish(table_dir, manifest)
+
+
 def clone_table(
     src_dir: str,
     dst_dir: str,

@@ -3688,6 +3688,62 @@ def test_sql_view_lifecycle(spark, tmp_path):
         spark.catalog.dropTempView(v)
 
 
+def test_convert_to_versioned_lifecycle(spark, tmp_path):
+    """r14 CONVERT TO DELTA: adopting a plain-parquet dir as v0 copies
+    nothing (manifest references the originals), records footer stats
+    + row counts + schema (pruning / metadata COUNT(*) / schema
+    enforcement work immediately), refuses an existing table and an
+    empty dir, and vacuum never reclaims the adopted files."""
+    import os
+
+    from artis_data_ingest_spark.sinks.versioned import (
+        SchemaMismatch,
+        VersionConflict,
+        commit,
+        convert_to_versioned,
+        delete_where,
+        prune_files,
+        read_version,
+        row_count,
+        vacuum,
+    )
+
+    plain = str(tmp_path / "plain")
+    d = str(tmp_path / "tbl")
+    spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartitionByRange(4, "k").write.parquet(plain)
+    v = convert_to_versioned(plain, d, timestamp=100.0)
+    assert v == 0
+    assert read_version(spark, d).count() == 1000
+    assert row_count(d) == 1000  # metadata-only, from adopted footers
+    kept, total = prune_files(d, [("k", "=", 5)])
+    assert total == 4 and len(kept) == 1  # range-clustered originals
+    # full lifecycle on top of adopted files
+    delete_where(spark, d, "k < 10", timestamp=200.0)
+    commit(spark.range(5).select(
+        (F.col("id") + 5000).alias("k"),
+        F.lit(0).cast("bigint").alias("v"),
+    ), d, timestamp=300.0)
+    assert read_version(spark, d).count() == 995
+    assert read_version(spark, d, 0).count() == 1000  # time travel
+    # schema enforcement knows the adopted schema
+    with pytest.raises(SchemaMismatch):
+        commit(spark.range(1).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        ), d, timestamp=400.0)
+    # vacuum never touches the adopted originals
+    vacuum(d, grace_seconds=0.0)
+    assert read_version(spark, d, 0).count() == 1000
+    assert os.path.isdir(plain)
+    # refusals
+    with pytest.raises(VersionConflict):
+        convert_to_versioned(plain, d)
+    with pytest.raises(FileNotFoundError):
+        convert_to_versioned(str(tmp_path / "empty"),
+                             str(tmp_path / "t2"))
+
+
 def test_versioned_table_detail(spark, tmp_path):
     """table_detail (r13, Delta's DESCRIBE DETAIL): table-level facts
     from metadata alone — DV-exact row counts, logical schema through

@@ -1121,6 +1121,68 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def encode_wav_g711(
+    codes: np.ndarray, sample_rate: int, law: str
+) -> bytes:
+    """RIFF/WAVE container around RAW G.711 codes (uint8
+    (n_samples, n_channels) interleaved) — format tag 6 (A-law) or 7
+    (µ-law), 8 bits per sample.  The fixture stores the code bytes
+    directly, so decode output is exactly the expansion table at
+    those codes (what the closed-form oracle pins)."""
+    import struct
+
+    if codes.dtype != np.uint8 or codes.ndim != 2:
+        raise ValueError(
+            "encode_wav_g711 expects uint8 (n_samples, n_channels)"
+        )
+    tag = {"alaw": 6, "mulaw": 7}[law]
+    n, ch = codes.shape
+    payload = codes.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", tag, ch, sample_rate,
+        sample_rate * ch, ch, 8,
+    )
+    info = b"INFOISFT" + struct.pack("<I", 6) + b"artis\x00"
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(info)) + info
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    if len(payload) % 2:
+        chunks += b"\x00"
+    return (
+        b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE"
+        + chunks
+    )
+
+
+def g711_wav_media(spark: SparkSession, n: int = 6) -> DataFrame:
+    """Media table of REAL G.711 telephony clips with closed-form
+    code bytes: clip i is µ-law for even i, A-law for odd, 1+(i%2)
+    channels, 64+8i samples at 8000 Hz, code byte
+    c[t, ch] = (37*t + 11*i + 5*ch) % 256.  Decoded samples are
+    exactly the expansion table at those codes — the q_audio_g711
+    oracle replays the ITU decode arithmetic in SQL."""
+    rows = []
+    for i in range(n):
+        n_samp = 64 + 8 * i
+        ch = 1 + (i % 2)
+        t = np.arange(n_samp, dtype=np.int64)[:, None]
+        c = np.arange(ch, dtype=np.int64)[None, :]
+        codes = ((37 * t + 11 * i + 5 * c) % 256).astype(np.uint8)
+        rows.append(
+            (
+                i, "audio",
+                encode_wav_g711(
+                    codes, 8000, "mulaw" if i % 2 == 0 else "alaw"
+                ),
+                {"width": None, "height": None, "n_frames": None,
+                 "sample_rate": None},
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     """Spec-correct RIFF/WAVE PCM16 decoder (stdlib struct only): chunk
     walk → fmt parse → de-interleave ``data`` into int16
@@ -1143,14 +1205,52 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or data is None:
         raise ValueError("WAVE missing fmt/data chunk")
     audio_fmt, ch, sr, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
-    if audio_fmt != 1 or bits != 16:
+    if audio_fmt == 1 and bits == 16:
+        flat = np.frombuffer(data, dtype="<i2")
+    elif audio_fmt in (6, 7) and bits == 8:
+        # G.711 A-law (6) / µ-law (7) — the telephony/voice formats
+        # (r14): one table lookup per byte, ITU-T G.711 reference
+        # expansion (the audioop-compatible 16-bit scaling)
+        table = (
+            _ALAW_TABLE if audio_fmt == 6 else _MULAW_TABLE
+        )
+        flat = table[np.frombuffer(data, dtype=np.uint8)]
+    else:
         raise ValueError(
             f"unsupported WAVE (format={audio_fmt}, bits={bits}); "
-            "decoder handles PCM16 only"
+            "decoder handles PCM16 and 8-bit G.711 A-law/µ-law"
         )
-    flat = np.frombuffer(data, dtype="<i2")
     n = flat.size // ch
     return flat[: n * ch].reshape(n, ch), sr
+
+
+def _build_g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry expansion tables from the ITU-T G.711 reference
+    decode arithmetic (CCITT ulaw2lin/alaw2lin, 16-bit scaling):
+    µ-law: u = ~b; t = ((u & 0xF) << 3) + 0x84, shifted by the
+    segment; sign bit (on the complemented byte) negates via
+    0x84 - t.  A-law: a = b ^ 0x55; t = (a & 0xF) << 4 plus the
+    segment offset/shift; sign bit set means POSITIVE."""
+    mu = np.empty(256, dtype=np.int16)
+    al = np.empty(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        mu[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        al[b] = t if (a & 0x80) else -t
+    return al, mu
+
+
+_ALAW_TABLE, _MULAW_TABLE = _build_g711_tables()
 
 
 AUDIO_STATS_SCHEMA = T.StructType(

@@ -4574,3 +4574,72 @@ def q_version_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(read_version(spark, tdir, 0), "v0").unionByName(
         agg(read_version(spark, tdir), "latest")
     ).orderBy("state")
+
+
+@register(
+    "q_audio_g711",
+    oracle="""
+WITH m AS (
+  SELECT CAST(i AS BIGINT) AS i, 64 + 8 * i AS n, 1 + (i % 2) AS n_ch
+  FROM range(6) t(i)
+), codes AS (
+  SELECT m.i, m.n, c.ch,
+         (37 * t.t + 11 * m.i + 5 * c.ch) % 256 AS b
+  FROM m, UNNEST(range(m.n)) AS t(t),
+       UNNEST(range(m.n_ch)) AS c(ch)
+), dec AS (
+  SELECT i, n, ch,
+         CASE WHEN i % 2 = 0 THEN
+           -- mu-law: ITU expansion on the complemented byte
+           CASE WHEN (255 - b) >= 128
+                THEN 132 - ((((255 - b) % 16) * 8 + 132)
+                            * (CAST(1 AS BIGINT) << (((255 - b) // 16) % 8)))
+                ELSE ((((255 - b) % 16) * 8 + 132)
+                      * (CAST(1 AS BIGINT) << (((255 - b) // 16) % 8))) - 132
+           END
+         ELSE
+           -- A-law: ITU expansion on the 0x55-toggled byte
+           CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+           CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                THEN (xor(b, 85) % 16) * 16 + 8
+                WHEN ((xor(b, 85) // 16) % 8) = 1
+                THEN (xor(b, 85) % 16) * 16 + 264
+                ELSE ((xor(b, 85) % 16) * 16 + 264)
+                     * (CAST(1 AS BIGINT)
+                        << (((xor(b, 85) // 16) % 8) - 1))
+           END
+         END AS s
+  FROM codes
+)
+SELECT i AS media_id,
+       CAST(ch AS BIGINT) AS channel,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       round(n / 8000.0, 6) AS duration_s,
+       round(SUM(s) * 1.0 / n, 6) AS mean_amp,
+       round(sqrt(SUM(s * s) * 1.0 / n), 6) AS rms_amp,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak_amp
+FROM dec
+GROUP BY i, ch, n
+ORDER BY media_id, channel
+""",
+    doc="G.711 telephony audio decode (r14 — operators/multimodal.py "
+    "decode_wav formats 6/7): A-law and µ-law WAVs expand through "
+    "the ITU-T G.711 reference arithmetic (256-entry tables built "
+    "from the CCITT alaw2lin/ulaw2lin formulas, audioop-compatible "
+    "16-bit scaling) inside the same Arrow-batched audio_stats path "
+    "as PCM16.  Fixtures store deterministic raw code bytes, so "
+    "decode output is exactly the expansion table at those codes and "
+    "the oracle replays the decode arithmetic in SQL — a decoder "
+    "with the wrong sign convention (A-law's sign bit means "
+    "POSITIVE), bias, or segment shift hash-mismatches.  Extends "
+    "the voice/telephony slice of the multimodal stack (half the "
+    "world's scraped call audio is G.711).",
+)
+def q_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_stats, g711_wav_media
+
+    media = g711_wav_media(spark, n=6)
+    return audio_stats(media.select("media_id", "content")).orderBy(
+        "media_id", "channel"
+    )

@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     "q_feed_driven_dedup_stats",
     "q_tiff_features",
     "q_version_convert",
+    "q_audio_g711",
     # (c) the two r13-head names that missed the 50-row cut
     "q_merge_dv",
     "q_xls_ingest",
@@ -104,7 +105,6 @@ _PRIORITY: list[str] = [
     "q_fwf_ingest",
     "q_span_corruption",
     "q_pmi_collocations",
-    "q_vocab_growth",
     # (52-slot budget enforced by test_priority_queries_yield_first;
     # still never sampled after this head: q_fim_transform through
     # q_wordpiece_apply — the r15 head's (d) block)

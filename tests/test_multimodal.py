@@ -1450,6 +1450,60 @@ def test_tiff_image_stats_tolerates_corrupt_payload(spark):
     assert out[1]["width"] == 5
 
 
+def test_g711_tables_and_wav_decode():
+    """r14 G.711: the expansion tables bit-match CPython's audioop
+    reference (when present — removed in 3.13, hence the guard), the
+    format-6/7 WAV path decodes raw codes to exactly the table
+    values with correct channel de-interleave, and unsupported
+    formats still refuse."""
+    import numpy as np
+    import pytest
+
+    from artis_data_ingest_spark.operators.multimodal import (
+        _ALAW_TABLE,
+        _MULAW_TABLE,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    try:
+        import audioop  # stdlib until 3.12; the independent referee
+    except ImportError:
+        audioop = None
+    if audioop is not None:
+        b = bytes(range(256))
+        assert np.array_equal(
+            np.frombuffer(audioop.ulaw2lin(b, 2), dtype="<i2"),
+            _MULAW_TABLE,
+        )
+        assert np.array_equal(
+            np.frombuffer(audioop.alaw2lin(b, 2), dtype="<i2"),
+            _ALAW_TABLE,
+        )
+    # spot-pin the sign conventions independently of audioop:
+    # mu-law 0xFF and 0x7F are the two zero codes; A-law sign bit
+    # (after the 0x55 toggle) set means POSITIVE
+    assert _MULAW_TABLE[0xFF] == 0 and _MULAW_TABLE[0x7F] == 0
+    assert _MULAW_TABLE[0x80] == 32124 and _MULAW_TABLE[0x00] == -32124
+    assert _ALAW_TABLE[0xD5] == 8 and _ALAW_TABLE[0x55] == -8
+    assert _ALAW_TABLE[0xAA] == 32256 and _ALAW_TABLE[0x2A] == -32256
+
+    codes = np.arange(64, dtype=np.uint8).reshape(32, 2)
+    for law, table in (("mulaw", _MULAW_TABLE), ("alaw", _ALAW_TABLE)):
+        samples, sr = decode_wav(encode_wav_g711(codes, 8000, law))
+        assert sr == 8000 and samples.shape == (32, 2)
+        assert np.array_equal(samples, table[codes])
+    # unsupported still refuses loudly
+    import struct
+
+    blob = encode_wav_g711(codes, 8000, "alaw")
+    bad = blob.replace(
+        struct.pack("<HH", 6, 2), struct.pack("<HH", 17, 2), 1
+    )
+    with pytest.raises(ValueError):
+        decode_wav(bad)
+
+
 def test_image_dhash_invariance_and_pairs(spark):
     """dHash must be invariant to the global brightness shift between
     variants (hamming 0), tolerant of the single-cell bump on variant

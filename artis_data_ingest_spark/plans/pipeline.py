@@ -778,6 +778,286 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _avro_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "avro_roundtrip",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        sig = f"{src}|missing"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+@register(
+    "q_avro_roundtrip",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       MIN(o_orderkey) AS min_orderkey,
+       MAX(o_orderkey) AS max_orderkey,
+       CAST(MIN(o_orderdate) AS DATE) AS first_order,
+       CAST(MAX(o_orderdate) AS DATE) AS last_order,
+       CAST(SUM(CAST(CONCAT('0x', substring(
+              md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                  CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT))
+            AS BIGINT) AS key_checksum
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+""",
+    doc="Avro OCF interchange proof (SURVEY.md §2.11): orders written "
+    "once per fixture to Avro Object Container Files by the pure-"
+    "stdlib codec (sources/avro_ocf.py — deflate blocks, zigzag "
+    "varints, timestamp-micros logical type; this image ships neither "
+    "the spark-avro jar nor fastavro, so the spec is implemented "
+    "directly) and read back through binaryFile + Arrow-batched "
+    "mapInPandas, one task per file.  The per-(status,priority) "
+    "profile over the Avro copy — counts, exact cents, key range, "
+    "date range, and an order-independent md5-prefix checksum over "
+    "the (orderkey,custkey) pairs — must hash-match the oracle "
+    "computed on the ORIGINAL parquet: any loss in long/double/"
+    "string/timestamp encoding, block framing, or codec handling "
+    "breaks the match.  The Avro copy is identity-keyed and "
+    "_SUCCESS-guarded (same cache discipline as the ORC/WebDataset "
+    "twins) so the serving plan is a scan, not a write-per-query.",
+)
+def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.avro_ocf import read_avro, write_avro
+
+    path = _avro_cache_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_avro(
+            load_table(spark, sf_dir, "orders").repartition(8), path
+        )
+    back = read_avro(spark, path)
+    return (
+        back.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).cast("bigint").alias("total_cents"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+            F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.col("o_orderkey").cast("string"),
+                                F.col("o_custkey").cast("string"),
+                            )
+                        ),
+                        1, 12,
+                    ),
+                    16, 10,
+                ).cast("bigint")
+            ).cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def _delta_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "delta_interop",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|v2"
+    except OSError:
+        sig = f"{src}|missing|v2"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+def _build_delta_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hand-write a spec-conformant external Delta table over orders:
+    partition column ``bucket = o_orderkey % 4`` (NOT stored in the
+    data files, per the protocol), three commits —
+    v0 adds buckets 0+1, v1 adds bucket 2 and removes bucket 1,
+    v2 adds bucket 3 — so latest = {0,2,3} and v0 = {0,1}."""
+    import json
+    import os
+    import shutil
+
+    table = _delta_cache_path(sf_dir)
+    if os.path.exists(os.path.join(table, "_SUCCESS")):
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(os.path.join(table, "_delta_log"), exist_ok=True)
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = os.path.join(table, "_build_tmp")
+
+    def _write_bucket(k: int) -> dict:
+        rel = f"bucket={k}/part-0.parquet"
+        out = os.path.join(table, rel)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        stage = os.path.join(tmp, f"b{k}")
+        (
+            orders.where(F.col("o_orderkey") % 4 == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        os.replace(os.path.join(stage, part), out)
+        return {"add": {
+            "path": rel, "partitionValues": {"bucket": str(k)},
+            "size": os.path.getsize(out),
+            "modificationTime": 1700000000000, "dataChange": True,
+        }}
+
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": f.name, "type": f.dataType.jsonValue(),
+             "nullable": True, "metadata": {}}
+            for f in orders.schema.fields
+        ] + [{"name": "bucket", "type": "long", "nullable": True,
+              "metadata": {}}],
+    })
+    meta = {"metaData": {
+        "id": "orders-interop-fixture",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_json,
+        "partitionColumns": ["bucket"],
+        "configuration": {},
+        "createdTime": 1700000000000,
+    }}
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+    def _commit(v: int, actions: list[dict]) -> None:
+        path = os.path.join(table, "_delta_log", f"{v:020d}.json")
+        with open(path, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    a0, a1 = _write_bucket(0), _write_bucket(1)
+    _commit(0, [proto, meta,
+                {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+                a0, a1])
+    a2 = _write_bucket(2)
+    _commit(1, [{"commitInfo": {"timestamp": 2, "operation": "MERGE"}},
+                a2,
+                {"remove": {"path": a1["add"]["path"],
+                            "dataChange": True,
+                            "deletionTimestamp": 2}}])
+    a3 = _write_bucket(3)
+    _commit(2, [{"commitInfo": {"timestamp": 3, "operation": "WRITE"}},
+                a3])
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(table, "_SUCCESS"), "w"):
+        pass
+    return table
+
+
+@register(
+    "q_delta_interop",
+    oracle="""
+WITH b AS (
+  SELECT o_orderkey % 4 AS bucket, o_orderkey, o_custkey, o_totalprice
+  FROM orders
+), snap AS (
+  SELECT 'latest' AS snapshot, * FROM b WHERE bucket IN (0, 2, 3)
+  UNION ALL
+  SELECT 'v0' AS snapshot, * FROM b WHERE bucket IN (0, 1)
+)
+SELECT snapshot, bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(SUM(CAST(CONCAT('0x', substring(
+              md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                  CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT))
+            AS BIGINT) AS key_checksum
+FROM snap
+GROUP BY snapshot, bucket
+ORDER BY snapshot, bucket
+""",
+    doc="External Delta Lake table interop (sources/delta.py — the "
+    "public delta-io transaction-log protocol implemented from spec; "
+    "this image ships no delta-spark jar): a spec-conformant Delta "
+    "table is hand-written over orders — partition column bucket = "
+    "o_orderkey % 4 carried ONLY in each add-action's "
+    "partitionValues (never in the data files, per protocol), three "
+    "JSON commits with a remove in the middle — then read back at "
+    "LATEST (buckets 0,2,3 live) and at VERSION 0 (buckets 0,1), "
+    "each snapshot profiled per bucket with exact cents and an md5-"
+    "prefix key checksum.  The oracle recomputes both snapshots from "
+    "the original parquet via the bucket predicate, so a reader that "
+    "misses a remove, replays versions out of order, drops partition-"
+    "value injection, or mistypes the partition column hash-"
+    "mismatches.  Scale: log replay is driver-side METADATA (exactly "
+    "delta-spark's snapshot construction); the data path is one "
+    "distributed parquet scan per snapshot plus a broadcast "
+    "file_path→partitionValues join.",
+)
+def q_delta_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta import read_delta
+
+    table = _build_delta_fixture(spark, sf_dir)
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                ).cast("bigint").alias("total_cents"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.col("o_orderkey").cast("string"),
+                                    F.col("o_custkey").cast("string"),
+                                )
+                            ),
+                            1, 12,
+                        ),
+                        16, 10,
+                    ).cast("bigint")
+                ).cast("bigint").alias("key_checksum"),
+            )
+            .select(
+                F.lit(tag).alias("snapshot"), "bucket", "n_orders",
+                "total_cents", "key_checksum",
+            )
+        )
+
+    latest = profile(read_delta(spark, table), "latest")
+    v0 = profile(read_delta(spark, table, version=0), "v0")
+    return latest.unionByName(v0).orderBy("snapshot", "bucket")
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

@@ -60,6 +60,8 @@ _PRIORITY: list[str] = [
     "q_tiff_features",
     "q_version_convert",
     "q_audio_g711",
+    "q_avro_roundtrip",
+    "q_delta_interop",
     # (c) the two r13-head names that missed the 50-row cut
     "q_merge_dv",
     "q_xls_ingest",
@@ -103,10 +105,9 @@ _PRIORITY: list[str] = [
     "q_exif_metadata",
     "q_exif_normalize",
     "q_fwf_ingest",
-    "q_span_corruption",
-    "q_pmi_collocations",
     # (52-slot budget enforced by test_priority_queries_yield_first;
-    # still never sampled after this head: q_fim_transform through
+    # still never sampled after this head: q_span_corruption,
+    # q_pmi_collocations, and q_fim_transform through
     # q_wordpiece_apply — the r15 head's (d) block)
 ]
 

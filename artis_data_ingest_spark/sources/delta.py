@@ -1,0 +1,293 @@
+"""Delta Lake table READER — interop with external Delta tables.
+
+This repo has its own versioned-table format (sinks/versioned.py,
+manifest-JSON based, full DML).  Real lakes, however, are full of
+tables written by OTHER engines in the open Delta Lake format, and a
+100 TB ingest must read them in place — no conversion pass, no
+delta-spark jar (this image ships none).  This module implements the
+read path of the public Delta transaction-log protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md):
+
+  * ``_delta_log/{version:020d}.json`` — newline-delimited JSON
+    actions (``metaData``, ``protocol``, ``add``, ``remove``,
+    ``commitInfo``); the table state at version V is the accumulated
+    set of ``add`` actions minus ``remove`` actions over versions
+    0..V, with the LATEST ``metaData`` winning.
+  * ``_delta_log/_last_checkpoint`` + ``{v:020d}.checkpoint.parquet``
+    (single or multi-part ``.checkpoint.{i:010d}.{n:010d}.parquet``)
+    — a parquet materialization of the state at v, so reconstruction
+    replays only the JSON commits AFTER the newest checkpoint ≤ the
+    requested version instead of the whole history (the same
+    O(versions)→O(delta) trick our own ``write_checkpoint`` plays).
+
+Scale posture: log replay is a driver-side walk over SMALL metadata
+(same as delta-spark's Snapshot construction); data stays distributed.
+Partition columns are NOT stored in Delta data files — each ``add``
+carries ``partitionValues`` — so the scan reads all live files in ONE
+``spark.read.parquet`` (split planning intact, pushdown intact for
+non-partition predicates) and re-attaches partition values by a
+BROADCAST join on ``_metadata.file_path``, never a per-file union of
+scans.  Column-mapping mode ``name`` (physical parquet names differ
+from logical) is honoured by renaming after the scan; tables whose
+live files carry deletion vectors are REFUSED loudly (DV bitmaps are
+RoaringBitmap-serialized; silently returning undeleted rows would be
+wrong), as are writer features beyond the read protocol implemented
+here.
+
+Reference tie-in: the reference reads whatever format its upstream
+publishes (artis-data-ingest clean_fao.qmd ingests FAO's workbook
+exports verbatim); Delta is today's equivalent for lake-resident
+upstreams.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class DeltaProtocolError(ValueError):
+    """Table requires protocol features this reader does not implement."""
+
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CKPT_ONE_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_CKPT_MULTI_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
+
+# Read the log's parquet checkpoints with a tolerant explicit schema:
+# engines add extra fields freely, and we need only these.
+_MAX_READER_VERSION = 3  # 3 only when readerFeatures ⊆ supported
+_SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz",
+                              "deletionVectors", "v2Checkpoint"}
+# deletionVectors as a FEATURE is tolerated (the table may have none
+# live); any live file actually carrying a DV is refused per-file.
+
+
+def _list_log(table_dir: str) -> tuple[list[int], dict]:
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise DeltaProtocolError(f"no _delta_log under {table_dir}")
+    commits: list[int] = []
+    ckpts: dict[int, list[str]] = {}
+    for name in os.listdir(log_dir):
+        m = _COMMIT_RE.match(name)
+        if m:
+            commits.append(int(m.group(1)))
+            continue
+        m = _CKPT_ONE_RE.match(name) or _CKPT_MULTI_RE.match(name)
+        if m:
+            ckpts.setdefault(int(m.group(1)), []).append(
+                os.path.join(log_dir, name)
+            )
+    return sorted(commits), ckpts
+
+
+def _read_commit(path: str) -> list[dict]:
+    with open(path, encoding="utf-8") as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def _checkpoint_actions(spark: SparkSession, paths: list[str]) -> list[dict]:
+    """Checkpoint parquet → action dicts (adds + metaData + protocol).
+
+    Checkpoints are metadata-sized (one row per live file); collecting
+    them on the driver is exactly what delta-spark's state
+    reconstruction does before the DATA scan is planned."""
+    df = spark.read.parquet(*paths)
+    cols = set(df.columns)
+    out: list[dict] = []
+    keep = [c for c in ("add", "remove", "metaData", "protocol")
+            if c in cols]
+    for row in df.select(*keep).collect():
+        d = row.asDict(recursive=True)
+        for k, v in d.items():
+            if v is not None:
+                out.append({k: v})
+    return out
+
+
+def _snapshot_state(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> tuple[dict, dict, int]:
+    """Reconstruct (live add-actions by path, metaData, version)."""
+    commits, ckpts = _list_log(table_dir)
+    if not commits and not ckpts:
+        raise DeltaProtocolError(f"empty _delta_log under {table_dir}")
+    latest = max(commits) if commits else max(ckpts)
+    v = latest if version is None else int(version)
+    if v not in commits and v not in ckpts:
+        raise DeltaProtocolError(
+            f"version {v} not present in the log (have 0..{latest})"
+        )
+    base = max((c for c in ckpts if c <= v), default=None)
+    actions: list[dict] = []
+    if base is not None:
+        actions.extend(_checkpoint_actions(spark, sorted(ckpts[base])))
+        replay = [c for c in commits if base < c <= v]
+    else:
+        replay = [c for c in commits if c <= v]
+    log_dir = os.path.join(table_dir, "_delta_log")
+    for c in replay:
+        actions.extend(_read_commit(os.path.join(log_dir, f"{c:020d}.json")))
+
+    adds: dict[str, dict] = {}
+    meta: dict | None = None
+    for a in actions:
+        if "protocol" in a and a["protocol"]:
+            p = a["protocol"]
+            mrv = int(p.get("minReaderVersion", 1))
+            feats = set(p.get("readerFeatures") or [])
+            if mrv > _MAX_READER_VERSION or (
+                mrv >= 3 and not feats <= _SUPPORTED_READER_FEATURES
+            ):
+                raise DeltaProtocolError(
+                    f"table needs minReaderVersion={mrv} "
+                    f"readerFeatures={sorted(feats)}; this reader "
+                    f"supports ≤{_MAX_READER_VERSION} with "
+                    f"{sorted(_SUPPORTED_READER_FEATURES)}"
+                )
+        if "metaData" in a and a["metaData"]:
+            meta = a["metaData"]
+        if "add" in a and a["add"]:
+            add = a["add"]
+            adds[unquote(add["path"])] = add
+        if "remove" in a and a["remove"]:
+            adds.pop(unquote(a["remove"]["path"]), None)
+    if meta is None:
+        raise DeltaProtocolError("log has no metaData action")
+    return adds, meta, v
+
+
+def _logical_schema(meta: dict) -> tuple[T.StructType, dict[str, str]]:
+    """metaData.schemaString → (logical Spark schema,
+    physical→logical rename map for columnMapping.mode=name)."""
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    conf = meta.get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode", "none")
+    renames: dict[str, str] = {}
+    if mode == "name":
+        for f in schema.fields:
+            md = f.metadata or {}
+            phys = md.get("delta.columnMapping.physicalName")
+            if phys and phys != f.name:
+                renames[phys] = f.name
+    elif mode not in ("none", ""):
+        raise DeltaProtocolError(
+            f"columnMapping.mode={mode!r} not supported (none/name only)"
+        )
+    return schema, renames
+
+
+def _partition_cast(dt: T.DataType, raw):
+    """Delta serializes partitionValues as strings; re-cast per type."""
+    col = F.lit(raw)
+    if raw is None:
+        return F.lit(None).cast(dt)
+    return col.cast(dt)
+
+
+def read_delta(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Scan an external Delta Lake table (optionally at a pinned
+    ``version``) into a DataFrame with the table's LOGICAL schema.
+
+    One distributed parquet scan over the live files; partition
+    columns re-attached via a broadcast ``_metadata.file_path`` join;
+    physical→logical renames applied for name-mode column mapping.
+    Files carrying deletion vectors refuse loudly."""
+    adds, meta, _ = _snapshot_state(spark, table_dir, version)
+    schema, renames = _logical_schema(meta)
+    part_cols = list(meta.get("partitionColumns") or [])
+
+    dv_files = [p for p, a in adds.items() if a.get("deletionVector")]
+    if dv_files:
+        raise DeltaProtocolError(
+            f"{len(dv_files)} live file(s) carry deletion vectors "
+            f"(e.g. {dv_files[0]!r}); row-level DV decode is not "
+            "implemented — compact the table or read via an engine "
+            "with DV support"
+        )
+
+    if not adds:
+        return spark.createDataFrame([], schema)
+
+    paths = [
+        p if os.path.isabs(p) else os.path.join(table_dir, p)
+        for p in adds
+    ]
+    df = spark.read.parquet(*paths)
+    for phys, logical in renames.items():
+        if phys in df.columns:
+            df = df.withColumnRenamed(phys, logical)
+
+    if part_cols:
+        # one small row per live file: (absolute path, partition values)
+        by_type = {f.name: f.dataType for f in schema.fields}
+        pv_rows = []
+        for rel, a in adds.items():
+            ap = rel if os.path.isabs(rel) else os.path.join(table_dir, rel)
+            pv = a.get("partitionValues") or {}
+            pv_rows.append(
+                (os.path.abspath(ap),) + tuple(pv.get(c) for c in part_cols)
+            )
+        pv_schema = T.StructType(
+            [T.StructField("__dl_path", T.StringType())]
+            + [T.StructField(f"__dl_{c}", T.StringType())
+               for c in part_cols]
+        )
+        pv_df = spark.createDataFrame(pv_rows, pv_schema)
+        df = (
+            df.withColumn(
+                "__dl_path",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ),
+            )
+            .join(F.broadcast(pv_df), "__dl_path", "left")
+        )
+        for c in part_cols:
+            df = df.withColumn(
+                c, F.col(f"__dl_{c}").cast(by_type[c])
+            ).drop(f"__dl_{c}")
+        df = df.drop("__dl_path")
+
+    # present in the table's declared column order
+    return df.select(*[f.name for f in schema.fields])
+
+
+def delta_history(spark: SparkSession, table_dir: str) -> DataFrame:
+    """One row per commit: version, timestamp, operation, add/remove
+    counts — Delta's DESCRIBE HISTORY from the JSON log alone."""
+    commits, _ = _list_log(table_dir)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    rows = []
+    for c in commits:
+        acts = _read_commit(os.path.join(log_dir, f"{c:020d}.json"))
+        info = next(
+            (a["commitInfo"] for a in acts if a.get("commitInfo")), {}
+        )
+        rows.append(
+            (
+                c,
+                int(info.get("timestamp") or 0),
+                str(info.get("operation") or ""),
+                sum(1 for a in acts if a.get("add")),
+                sum(1 for a in acts if a.get("remove")),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, timestamp_ms long, operation string, "
+        "n_added long, n_removed long",
+    )

@@ -1,0 +1,256 @@
+"""Delta Lake interop reader tests (sources/delta.py).
+
+Every fixture table here is assembled BY HAND per the public Delta
+protocol (JSON actions written literally, checkpoint parquet built
+row-by-row) — none of the reader's own code writes any of it, so a
+self-consistent-but-wrong reader cannot pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from artis_data_ingest_spark.sources.delta import (
+    DeltaProtocolError,
+    delta_history,
+    read_delta,
+)
+
+_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType(), True),
+    T.StructField("name", T.StringType(), True),
+])
+
+
+def _commit(table_dir: str, v: int, actions: list[dict]) -> None:
+    log = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _meta(schema: T.StructType, part_cols=(), conf=None) -> dict:
+    return {"metaData": {
+        "id": "fixture-table",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema.json(),
+        "partitionColumns": list(part_cols),
+        "configuration": conf or {},
+        "createdTime": 1700000000000,
+    }}
+
+
+_PROTO = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def _data_file(table_dir: str, rel: str, pdf: pd.DataFrame) -> dict:
+    path = os.path.join(table_dir, rel)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pdf.to_parquet(path, index=False)
+    return {"add": {
+        "path": rel, "partitionValues": {},
+        "size": os.path.getsize(path),
+        "modificationTime": 1700000000000, "dataChange": True,
+    }}
+
+
+def _basic_table(tmp_path) -> str:
+    t = str(tmp_path / "dl")
+    os.makedirs(t, exist_ok=True)
+    a = _data_file(t, "part-a.parquet",
+                   pd.DataFrame({"id": [1, 2], "name": ["x", "y"]}))
+    b = _data_file(t, "part-b.parquet",
+                   pd.DataFrame({"id": [3], "name": ["z"]}))
+    _commit(t, 0, [_PROTO, _meta(_SCHEMA),
+                   {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+                   a, b])
+    c = _data_file(t, "part-c.parquet",
+                   pd.DataFrame({"id": [4, 5], "name": ["u", "v"]}))
+    _commit(t, 1, [
+        {"commitInfo": {"timestamp": 2, "operation": "MERGE"}},
+        c,
+        {"remove": {"path": "part-b.parquet", "dataChange": True,
+                    "deletionTimestamp": 2}},
+    ])
+    return t
+
+
+def test_latest_snapshot_applies_adds_and_removes(spark, tmp_path):
+    t = _basic_table(tmp_path)
+    got = {tuple(r) for r in read_delta(spark, t).collect()}
+    assert got == {(1, "x"), (2, "y"), (4, "u"), (5, "v")}
+
+
+def test_time_travel_to_version_zero(spark, tmp_path):
+    t = _basic_table(tmp_path)
+    got = {tuple(r) for r in read_delta(spark, t, version=0).collect()}
+    assert got == {(1, "x"), (2, "y"), (3, "z")}
+
+
+def test_unknown_version_raises(spark, tmp_path):
+    t = _basic_table(tmp_path)
+    with pytest.raises(DeltaProtocolError, match="version 7"):
+        read_delta(spark, t, version=7)
+
+
+def test_history_counts_operations(spark, tmp_path):
+    t = _basic_table(tmp_path)
+    h = {r["version"]: r for r in delta_history(spark, t).collect()}
+    assert h[0]["operation"] == "WRITE" and h[0]["n_added"] == 2
+    assert h[1]["operation"] == "MERGE"
+    assert h[1]["n_added"] == 1 and h[1]["n_removed"] == 1
+
+
+def test_partition_values_reattach_with_types(spark, tmp_path):
+    t = str(tmp_path / "dlp")
+    os.makedirs(t, exist_ok=True)
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("p", T.LongType(), True),   # partition col (long)
+        T.StructField("s", T.StringType(), True), # partition col (str)
+    ])
+    # data files hold ONLY id — partition cols live in partitionValues
+    a = _data_file(t, "p=0/s=aa/f1.parquet", pd.DataFrame({"id": [1, 2]}))
+    a["add"]["partitionValues"] = {"p": "0", "s": "aa"}
+    b = _data_file(t, "p=1/s=bb/f2.parquet", pd.DataFrame({"id": [3]}))
+    b["add"]["partitionValues"] = {"p": "1", "s": "bb"}
+    _commit(t, 0, [_PROTO, _meta(schema, part_cols=("p", "s")), a, b])
+    df = read_delta(spark, t)
+    assert df.schema["p"].dataType == T.LongType()
+    got = {tuple(r) for r in df.collect()}
+    assert got == {(1, 0, "aa"), (2, 0, "aa"), (3, 1, "bb")}
+    assert df.columns == ["id", "p", "s"]  # declared column order
+
+
+def test_checkpoint_is_actually_used(spark, tmp_path):
+    """Build v0+v1, checkpoint at v1, add v2 — then DELETE the v0/v1
+    JSON commits.  Reconstruction must come from the checkpoint plus
+    the v2 replay alone."""
+    t = _basic_table(tmp_path)
+    log = os.path.join(t, "_delta_log")
+    # hand-built checkpoint parquet for the v1 state (adds a, c)
+    add_t = T.StructType([
+        T.StructField("path", T.StringType()),
+        T.StructField("partitionValues",
+                      T.MapType(T.StringType(), T.StringType())),
+        T.StructField("size", T.LongType()),
+        T.StructField("modificationTime", T.LongType()),
+        T.StructField("dataChange", T.BooleanType()),
+    ])
+    meta_t = T.StructType([
+        T.StructField("id", T.StringType()),
+        T.StructField("schemaString", T.StringType()),
+        T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+        T.StructField("configuration",
+                      T.MapType(T.StringType(), T.StringType())),
+    ])
+    proto_t = T.StructType([
+        T.StructField("minReaderVersion", T.IntegerType()),
+        T.StructField("minWriterVersion", T.IntegerType()),
+    ])
+    ck_schema = T.StructType([
+        T.StructField("add", add_t),
+        T.StructField("metaData", meta_t),
+        T.StructField("protocol", proto_t),
+    ])
+    rows = [
+        Row(add=None,
+            metaData=Row(id="fixture-table",
+                         schemaString=_SCHEMA.json(),
+                         partitionColumns=[], configuration={}),
+            protocol=None),
+        Row(add=None, metaData=None, protocol=Row(1, 2)),
+        Row(add=Row("part-a.parquet", {}, 1, 1, True),
+            metaData=None, protocol=None),
+        Row(add=Row("part-c.parquet", {}, 1, 1, True),
+            metaData=None, protocol=None),
+    ]
+    ck_dir = str(tmp_path / "_ck")
+    spark.createDataFrame(rows, ck_schema).coalesce(1).write.parquet(ck_dir)
+    part = next(f for f in os.listdir(ck_dir) if f.endswith(".parquet"))
+    os.replace(os.path.join(ck_dir, part),
+               os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 1, "size": 4}, fh)
+    d = _data_file(t, "part-d.parquet",
+                   pd.DataFrame({"id": [9], "name": ["w"]}))
+    _commit(t, 2, [d, {"commitInfo": {"timestamp": 3,
+                                      "operation": "WRITE"}}])
+    # burn the pre-checkpoint commits: replay CANNOT use them
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    got = {tuple(r) for r in read_delta(spark, t).collect()}
+    assert got == {(1, "x"), (2, "y"), (4, "u"), (5, "v"), (9, "w")}
+    # pinned read AT the checkpoint version still works, commit-less
+    got1 = {tuple(r) for r in read_delta(spark, t, version=1).collect()}
+    assert got1 == {(1, "x"), (2, "y"), (4, "u"), (5, "v")}
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    t = str(tmp_path / "dlcm")
+    os.makedirs(t, exist_ok=True)
+    # logical id/name; physical col-1/col-2 (what Delta writers emit
+    # after a RENAME under columnMapping.mode=name)
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-1"}},
+        {"name": "name", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-2"}},
+    ]
+    schema_json = json.dumps(
+        {"type": "struct", "fields": fields})
+    a = _data_file(t, "f.parquet",
+                   pd.DataFrame({"col-1": [10], "col-2": ["q"]}))
+    meta = {"metaData": {
+        "id": "cm", "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_json, "partitionColumns": [],
+        "configuration": {"delta.columnMapping.mode": "name"},
+    }}
+    _commit(t, 0, [_PROTO, meta, a])
+    df = read_delta(spark, t)
+    assert df.columns == ["id", "name"]
+    assert [tuple(r) for r in df.collect()] == [(10, "q")]
+
+
+def test_live_deletion_vector_refused(spark, tmp_path):
+    t = _basic_table(tmp_path)
+    dv = _data_file(t, "part-e.parquet", pd.DataFrame({"id": [6],
+                                                       "name": ["d"]}))
+    dv["add"]["deletionVector"] = {
+        "storageType": "u", "pathOrInlineDv": "xyz", "offset": 1,
+        "sizeInBytes": 40, "cardinality": 1,
+    }
+    _commit(t, 2, [dv])
+    with pytest.raises(DeltaProtocolError, match="deletion vector"):
+        read_delta(spark, t)
+    # time travel BEFORE the DV version still reads fine
+    assert read_delta(spark, t, version=1).count() == 4
+
+
+def test_unsupported_protocol_refused(spark, tmp_path):
+    t = str(tmp_path / "dlproto")
+    os.makedirs(t, exist_ok=True)
+    a = _data_file(t, "f.parquet", pd.DataFrame({"id": [1],
+                                                 "name": ["x"]}))
+    _commit(t, 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["weirdFutureFeature"]}},
+        _meta(_SCHEMA), a,
+    ])
+    with pytest.raises(DeltaProtocolError, match="weirdFutureFeature"):
+        read_delta(spark, t)
+
+
+def test_missing_log_raises(spark, tmp_path):
+    with pytest.raises(DeltaProtocolError, match="_delta_log"):
+        read_delta(spark, str(tmp_path))

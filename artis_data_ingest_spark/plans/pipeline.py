@@ -1058,6 +1058,254 @@ def q_delta_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.unionByName(v0).orderBy("snapshot", "bucket")
 
 
+def _iceberg_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "iceberg_interop",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|ib1"
+    except OSError:
+        sig = f"{src}|missing|ib1"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+def _build_iceberg_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hand-write a spec-conformant Iceberg v2 table over orders:
+    snapshot 100 = files A (o_orderkey%4==0) + B (%4==1);
+    snapshot 200 = B status-DELETED, C (%4==2) added, plus a
+    position-delete file masking A's rows with o_orderkey%3==0.
+    Manifest list + manifests are real Avro OCFs (our codec)."""
+    import json
+    import os
+    import shutil
+
+    from ..sources.avro_ocf import encode_ocf
+
+    table = _iceberg_cache_path(sf_dir)
+    if os.path.exists(os.path.join(table, "_SUCCESS")):
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = os.path.join(table, "_build_tmp")
+
+    entry_t = T.StructType([
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("snapshot_id", T.LongType(), True),
+        T.StructField("data_file", T.StructType([
+            T.StructField("content", T.IntegerType(), True),
+            T.StructField("file_path", T.StringType(), False),
+            T.StructField("file_format", T.StringType(), False),
+            T.StructField("record_count", T.LongType(), False),
+            T.StructField("file_size_in_bytes", T.LongType(), False),
+        ]), False),
+    ])
+    list_t = T.StructType([
+        T.StructField("manifest_path", T.StringType(), False),
+        T.StructField("manifest_length", T.LongType(), False),
+        T.StructField("partition_spec_id", T.IntegerType(), False),
+        T.StructField("content", T.IntegerType(), True),
+        T.StructField("added_snapshot_id", T.LongType(), True),
+    ])
+
+    def _write_bucket(k: int) -> dict:
+        out = os.path.join(table, "data", f"bucket-{k}.parquet")
+        stage = os.path.join(tmp, f"b{k}")
+        (
+            orders.where(F.col("o_orderkey") % 4 == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        os.replace(os.path.join(stage, part), out)
+        return {"content": 0, "file_path": f"file://{out}",
+                "file_format": "PARQUET", "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(out)}
+
+    def _avro(name: str, rows: list[dict], schema) -> str:
+        path = os.path.join(meta_dir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_ocf(rows, schema))
+        return path
+
+    def _manifest(name: str, entries: list[dict],
+                  content: int = 0) -> dict:
+        path = _avro(name, entries, entry_t)
+        return {"manifest_path": f"file://{path}",
+                "manifest_length": os.path.getsize(path),
+                "partition_spec_id": 0, "content": content,
+                "added_snapshot_id": 1}
+
+    a, b = _write_bucket(0), _write_bucket(1)
+    m1 = _manifest("m-100.avro", [
+        {"status": 1, "snapshot_id": 100, "data_file": a},
+        {"status": 1, "snapshot_id": 100, "data_file": b},
+    ])
+    _avro("snap-100.avro", [m1], list_t)
+
+    c = _write_bucket(2)
+    # position-delete: mask A's rows with o_orderkey%3==0, positions
+    # taken from the FILE's own row order via _metadata.row_index
+    dels = (
+        spark.read.parquet(a["file_path"].removeprefix("file://"))
+        .where(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.lit(a["file_path"]).alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+    )
+    dstage = os.path.join(tmp, "dels")
+    dels.coalesce(1).write.mode("overwrite").parquet(dstage)
+    dpart = next(
+        f for f in os.listdir(dstage) if f.endswith(".parquet")
+    )
+    dpath = os.path.join(table, "data", "delete-1.parquet")
+    os.replace(os.path.join(dstage, dpart), dpath)
+    ddf = {"content": 1, "file_path": f"file://{dpath}",
+           "file_format": "PARQUET", "record_count": 0,
+           "file_size_in_bytes": os.path.getsize(dpath)}
+    m2 = _manifest("m-200.avro", [
+        {"status": 0, "snapshot_id": 100, "data_file": a},
+        {"status": 2, "snapshot_id": 200, "data_file": b},
+        {"status": 1, "snapshot_id": 200, "data_file": c},
+    ])
+    m3 = _manifest("m-200-del.avro", [
+        {"status": 1, "snapshot_id": 200, "data_file": ddf},
+    ], content=1)
+    _avro("snap-200.avro", [m2, m3], list_t)
+
+    fields = [
+        {"id": i + 1, "name": f.name, "required": False,
+         "type": {"bigint": "long", "string": "string",
+                  "double": "double",
+                  "timestamp": "timestamptz"}[
+                      f.dataType.simpleString()]}
+        for i, f in enumerate(orders.schema.fields)
+    ]
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-0000000000ib",
+        "location": f"file://{table}",
+        "current-snapshot-id": 200,
+        "schemas": [{"schema-id": 0, "type": "struct",
+                     "fields": fields}],
+        "current-schema-id": 0,
+        "snapshots": [
+            {"snapshot-id": 100, "timestamp-ms": 1,
+             "summary": {"operation": "append"},
+             "manifest-list": f"file://{meta_dir}/snap-100.avro"},
+            {"snapshot-id": 200, "timestamp-ms": 2,
+             "summary": {"operation": "overwrite"},
+             "manifest-list": f"file://{meta_dir}/snap-200.avro"},
+        ],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(table, "_SUCCESS"), "w"):
+        pass
+    return table
+
+
+@register(
+    "q_iceberg_read",
+    oracle="""
+WITH b AS (
+  SELECT o_orderkey % 4 AS bucket, o_orderkey, o_custkey,
+         o_totalprice, o_orderstatus
+  FROM orders
+), snap AS (
+  SELECT 'current' AS snapshot, * FROM b
+  WHERE (bucket = 0 AND o_orderkey % 3 <> 0) OR bucket = 2
+  UNION ALL
+  SELECT 'snap100' AS snapshot, * FROM b WHERE bucket IN (0, 1)
+)
+SELECT snapshot, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(SUM(CAST(CONCAT('0x', substring(
+              md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                  CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT))
+            AS BIGINT) AS key_checksum
+FROM snap
+GROUP BY snapshot, o_orderstatus
+ORDER BY snapshot, o_orderstatus
+""",
+    doc="External Apache Iceberg table interop (sources/iceberg.py — "
+    "the public Iceberg v2 table spec implemented from scratch; "
+    "manifest list + manifests decoded by this repo's own pure-"
+    "stdlib Avro codec, no iceberg-spark jar in this image): a spec-"
+    "conformant two-snapshot table is hand-written over orders — "
+    "snapshot 100 holds buckets 0+1 of o_orderkey%4, snapshot 200 "
+    "status-DELETEs bucket 1, adds bucket 2, and masks bucket 0's "
+    "o_orderkey%3==0 rows through a POSITION-DELETE file (Iceberg's "
+    "deletion vectors) — then read at CURRENT and at the pinned "
+    "older snapshot, profiled per o_orderstatus.  The oracle "
+    "recomputes both snapshots from the original parquet, so a "
+    "reader that skips a DELETED manifest entry, ignores position "
+    "deletes, or mis-applies them by file/row hash-mismatches.  "
+    "Scale: metadata walk is driver-side (exactly the runtime's "
+    "snapshot planning); data is one distributed parquet scan, "
+    "position deletes a broadcast anti-join on (_metadata.file_path, "
+    "_metadata.row_index) — the same mechanism as our own DVs.",
+)
+def q_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import read_iceberg
+
+    table = _build_iceberg_fixture(spark, sf_dir)
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                ).cast("bigint").alias("total_cents"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.col("o_orderkey").cast("string"),
+                                    F.col("o_custkey").cast("string"),
+                                )
+                            ),
+                            1, 12,
+                        ),
+                        16, 10,
+                    ).cast("bigint")
+                ).cast("bigint").alias("key_checksum"),
+            )
+            .select(
+                F.lit(tag).alias("snapshot"), "o_orderstatus",
+                "n_orders", "total_cents", "key_checksum",
+            )
+        )
+
+    cur = profile(read_iceberg(spark, table), "current")
+    old = profile(read_iceberg(spark, table, snapshot_id=100), "snap100")
+    return cur.unionByName(old).orderBy("snapshot", "o_orderstatus")
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

@@ -62,6 +62,7 @@ _PRIORITY: list[str] = [
     "q_audio_g711",
     "q_avro_roundtrip",
     "q_delta_interop",
+    "q_iceberg_read",
     # (c) the two r13-head names that missed the 50-row cut
     "q_merge_dv",
     "q_xls_ingest",
@@ -104,11 +105,10 @@ _PRIORITY: list[str] = [
     "q_image_dhash",
     "q_exif_metadata",
     "q_exif_normalize",
-    "q_fwf_ingest",
     # (52-slot budget enforced by test_priority_queries_yield_first;
-    # still never sampled after this head: q_span_corruption,
-    # q_pmi_collocations, and q_fim_transform through
-    # q_wordpiece_apply — the r15 head's (d) block)
+    # still never sampled after this head: q_fwf_ingest,
+    # q_span_corruption, q_pmi_collocations, and q_fim_transform
+    # through q_wordpiece_apply — the r15 head's (d) block)
 ]
 
 

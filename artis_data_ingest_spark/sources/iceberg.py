@@ -1,0 +1,285 @@
+"""Apache Iceberg table READER — snapshot scans of external tables.
+
+The second open table format a 100 TB lake ingest meets in the wild.
+Implemented from the public Iceberg table spec
+(https://iceberg.apache.org/spec/) with no iceberg-spark runtime jar
+(this image ships none): table metadata is JSON, and the manifest
+list + manifest files are Avro Object Container Files — decoded by
+this repo's own pure-stdlib Avro codec (sources/avro_ocf.py), which
+is exactly why that codec handles named-type references and
+multi-branch unions the Spark writer never emits.
+
+Spec recap (format-version 1 and 2):
+
+  * ``metadata/v{N}.metadata.json`` (current version named by
+    ``version-hint.text`` when present) — schemas, partition specs,
+    the snapshot log; each snapshot names a ``manifest-list`` Avro.
+  * The manifest list has one row per manifest file
+    (``manifest_path``, ``content``: 0=data / 1=deletes).
+  * Each manifest has one ``manifest_entry`` per data file:
+    ``status`` (0 EXISTING / 1 ADDED / 2 DELETED) and a ``data_file``
+    record (``content``: 0=data / 1=position deletes / 2=equality
+    deletes, ``file_path``, ``file_format``, ``record_count``).
+  * A snapshot's live rows = rows of its non-DELETED data files minus
+    the (file_path, pos) pairs in its position-delete files.
+
+Scale posture: metadata walk is driver-side and metadata-sized (the
+same Snapshot planning the iceberg-spark runtime does); the data path
+is ONE distributed parquet scan over all live files, position deletes
+applied as a broadcast anti-join on (``_metadata.file_path``,
+``_metadata.row_index``) — the identical mechanism our own deletion
+vectors use (sinks/versioned.py), because Iceberg position deletes
+ARE deletion vectors by another name.  Equality deletes and non-
+parquet data files refuse loudly rather than returning wrong rows.
+
+Column resolution is by NAME against the snapshot's current schema
+(the spec's name-mapping fallback); fixtures and the vast majority of
+real tables never rename, and a renamed-column table read through
+name mapping fails visibly (missing column) rather than silently.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .avro_ocf import decode_ocf
+
+
+class IcebergProtocolError(ValueError):
+    """Table uses spec features this reader does not implement."""
+
+
+_DEC_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
+_FIXED_RE = re.compile(r"^fixed\[(\d+)\]$")
+
+
+def _iceberg_type_to_spark(t) -> T.DataType:
+    if isinstance(t, dict):
+        kind = t.get("type")
+        if kind == "struct":
+            return T.StructType([
+                T.StructField(
+                    f["name"], _iceberg_type_to_spark(f["type"]),
+                    not f.get("required", False),
+                )
+                for f in t["fields"]
+            ])
+        if kind == "list":
+            return T.ArrayType(
+                _iceberg_type_to_spark(t["element"]),
+                containsNull=not t.get("element-required", False),
+            )
+        if kind == "map":
+            return T.MapType(
+                _iceberg_type_to_spark(t["key"]),
+                _iceberg_type_to_spark(t["value"]),
+                valueContainsNull=not t.get("value-required", False),
+            )
+        raise IcebergProtocolError(f"unknown complex type {kind!r}")
+    simple = {
+        "boolean": T.BooleanType(), "int": T.IntegerType(),
+        "long": T.LongType(), "float": T.FloatType(),
+        "double": T.DoubleType(), "date": T.DateType(),
+        "timestamp": T.TimestampNTZType(),
+        "timestamptz": T.TimestampType(),
+        "string": T.StringType(), "uuid": T.StringType(),
+        "binary": T.BinaryType(), "time": T.LongType(),
+    }
+    if t in simple:
+        return simple[t]
+    m = _DEC_RE.match(t)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    if _FIXED_RE.match(t):
+        return T.BinaryType()
+    raise IcebergProtocolError(f"unknown Iceberg type {t!r}")
+
+
+def _norm_path(p: str, table_dir: str) -> str:
+    """Spec paths are full URIs; strip file: and re-root relative ones."""
+    if p.startswith("file:"):
+        p = re.sub(r"^file:/+", "/", p)
+    if not os.path.isabs(p):
+        p = os.path.join(table_dir, p)
+    return p
+
+
+def _load_table_metadata(table_dir: str) -> dict:
+    meta_dir = os.path.join(table_dir, "metadata")
+    if not os.path.isdir(meta_dir):
+        raise IcebergProtocolError(f"no metadata/ under {table_dir}")
+    hint = os.path.join(meta_dir, "version-hint.text")
+    path = None
+    if os.path.exists(hint):
+        with open(hint) as fh:
+            v = fh.read().strip()
+        cand = os.path.join(meta_dir, f"v{v}.metadata.json")
+        if os.path.exists(cand):
+            path = cand
+    if path is None:
+        cands = sorted(
+            f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")
+        )
+        if not cands:
+            raise IcebergProtocolError(
+                f"no *.metadata.json under {meta_dir}"
+            )
+        path = os.path.join(meta_dir, cands[-1])
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _current_schema(meta: dict) -> T.StructType:
+    if "schemas" in meta:  # format-version 2
+        sid = meta.get("current-schema-id", 0)
+        node = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == sid
+        )
+    else:  # format-version 1
+        node = meta["schema"]
+    st = _iceberg_type_to_spark(
+        {"type": "struct", "fields": node["fields"]}
+    )
+    return st
+
+
+def _avro_rows(path: str) -> list[dict]:
+    with open(path, "rb") as fh:
+        _, rows = decode_ocf(fh.read())
+    return rows
+
+
+def _snapshot_files(
+    meta: dict, table_dir: str, snapshot_id: int | None
+) -> tuple[list[str], list[str]]:
+    """→ (live data-file paths, position-delete-file paths)."""
+    snaps = meta.get("snapshots") or []
+    if not snaps:
+        return [], []
+    sid = snapshot_id
+    if sid is None:
+        sid = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in snaps if s.get("snapshot-id") == sid), None
+    )
+    if snap is None:
+        have = [s.get("snapshot-id") for s in snaps]
+        raise IcebergProtocolError(
+            f"snapshot {sid} not in the log (have {have})"
+        )
+    if "manifest-list" in snap:  # v2 (and v1 with a list file)
+        manifests = _avro_rows(
+            _norm_path(snap["manifest-list"], table_dir)
+        )
+    else:  # v1 inline manifests
+        manifests = [
+            {"manifest_path": p, "content": 0}
+            for p in snap.get("manifests", [])
+        ]
+    data_files: list[str] = []
+    delete_files: list[str] = []
+    for m in manifests:
+        entries = _avro_rows(_norm_path(m["manifest_path"], table_dir))
+        for e in entries:
+            if e.get("status") == 2:  # DELETED
+                continue
+            dfile = e["data_file"]
+            fmt = str(dfile.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise IcebergProtocolError(
+                    f"data file format {fmt} not supported (parquet only)"
+                )
+            content = dfile.get("content") or 0
+            path = _norm_path(dfile["file_path"], table_dir)
+            if content == 0:
+                data_files.append(path)
+            elif content == 1:
+                delete_files.append(path)
+            else:
+                raise IcebergProtocolError(
+                    "equality deletes (content=2) not supported — "
+                    "rewrite/compact the table or read via the "
+                    "iceberg runtime"
+                )
+    return data_files, delete_files
+
+
+def iceberg_snapshots(spark: SparkSession, table_dir: str) -> DataFrame:
+    """One row per snapshot in the table's log — the spec's
+    ``snapshots`` metadata table, driver-side metadata only."""
+    meta = _load_table_metadata(table_dir)
+    rows = [
+        (
+            int(s.get("snapshot-id")),
+            int(s.get("timestamp-ms") or 0),
+            str((s.get("summary") or {}).get("operation", "")),
+            int(s.get("snapshot-id")) == meta.get("current-snapshot-id"),
+        )
+        for s in meta.get("snapshots") or []
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, timestamp_ms long, operation string, "
+        "is_current boolean",
+    )
+
+
+def read_iceberg(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Scan an external Iceberg table at its current (or a pinned)
+    snapshot.  One distributed parquet scan over the live data files;
+    position deletes applied as a broadcast anti-join on
+    (file, row position)."""
+    meta = _load_table_metadata(table_dir)
+    schema = _current_schema(meta)
+    data_files, delete_files = _snapshot_files(
+        meta, table_dir, snapshot_id
+    )
+    if not data_files:
+        return spark.createDataFrame([], schema)
+
+    df = spark.read.parquet(*data_files)
+
+    if delete_files:
+        dels = (
+            spark.read.parquet(*delete_files)
+            .select(
+                F.regexp_replace(
+                    F.col("file_path"), "^file:/+", "/"
+                ).alias("__ib_path"),
+                F.col("pos").cast("long").alias("__ib_pos"),
+            )
+        )
+        df = (
+            df.withColumn(
+                "__ib_path",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ),
+            )
+            .withColumn("__ib_pos", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(dels),
+                ["__ib_path", "__ib_pos"],
+                "left_anti",
+            )
+            .drop("__ib_path", "__ib_pos")
+        )
+
+    missing = [f.name for f in schema.fields if f.name not in df.columns]
+    if missing:
+        raise IcebergProtocolError(
+            f"columns {missing} absent from the data files — the table "
+            "likely renamed columns (field-id resolution not "
+            "implemented; this reader resolves by name)"
+        )
+    return df.select(*[f.name for f in schema.fields])

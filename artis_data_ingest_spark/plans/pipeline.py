@@ -1071,9 +1071,9 @@ def _iceberg_cache_path(sf_dir: str) -> str:
     src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
     try:
         st = os.stat(src)
-        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|ib1"
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|ib2"
     except OSError:
-        sig = f"{src}|missing|ib1"
+        sig = f"{src}|missing|ib2"
     return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
 
 
@@ -1081,7 +1081,8 @@ def _build_iceberg_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Hand-write a spec-conformant Iceberg v2 table over orders:
     snapshot 100 = files A (o_orderkey%4==0) + B (%4==1);
     snapshot 200 = B status-DELETED, C (%4==2) added, plus a
-    position-delete file masking A's rows with o_orderkey%3==0.
+    position-delete file masking A's rows with o_orderkey%3==0;
+    snapshot 300 (current) = append-only: D (%4==3) added.
     Manifest list + manifests are real Avro OCFs (our codec)."""
     import json
     import os
@@ -1188,6 +1189,12 @@ def _build_iceberg_fixture(spark: SparkSession, sf_dir: str) -> str:
     ], content=1)
     _avro("snap-200.avro", [m2, m3], list_t)
 
+    d = _write_bucket(3)
+    m4 = _manifest("m-300.avro", [
+        {"status": 1, "snapshot_id": 300, "data_file": d},
+    ])
+    _avro("snap-300.avro", [m2, m3, m4], list_t)
+
     fields = [
         {"id": i + 1, "name": f.name, "required": False,
          "type": {"bigint": "long", "string": "string",
@@ -1200,7 +1207,7 @@ def _build_iceberg_fixture(spark: SparkSession, sf_dir: str) -> str:
         "format-version": 2,
         "table-uuid": "00000000-0000-0000-0000-0000000000ib",
         "location": f"file://{table}",
-        "current-snapshot-id": 200,
+        "current-snapshot-id": 300,
         "schemas": [{"schema-id": 0, "type": "struct",
                      "fields": fields}],
         "current-schema-id": 0,
@@ -1211,6 +1218,9 @@ def _build_iceberg_fixture(spark: SparkSession, sf_dir: str) -> str:
             {"snapshot-id": 200, "timestamp-ms": 2,
              "summary": {"operation": "overwrite"},
              "manifest-list": f"file://{meta_dir}/snap-200.avro"},
+            {"snapshot-id": 300, "timestamp-ms": 3,
+             "summary": {"operation": "append"},
+             "manifest-list": f"file://{meta_dir}/snap-300.avro"},
         ],
     }
     with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
@@ -1232,7 +1242,7 @@ WITH b AS (
   FROM orders
 ), snap AS (
   SELECT 'current' AS snapshot, * FROM b
-  WHERE (bucket = 0 AND o_orderkey % 3 <> 0) OR bucket = 2
+  WHERE (bucket = 0 AND o_orderkey % 3 <> 0) OR bucket IN (2, 3)
   UNION ALL
   SELECT 'snap100' AS snapshot, * FROM b WHERE bucket IN (0, 1)
 )
@@ -1252,12 +1262,13 @@ ORDER BY snapshot, o_orderstatus
     "the public Iceberg v2 table spec implemented from scratch; "
     "manifest list + manifests decoded by this repo's own pure-"
     "stdlib Avro codec, no iceberg-spark jar in this image): a spec-"
-    "conformant two-snapshot table is hand-written over orders — "
+    "conformant three-snapshot table is hand-written over orders — "
     "snapshot 100 holds buckets 0+1 of o_orderkey%4, snapshot 200 "
     "status-DELETEs bucket 1, adds bucket 2, and masks bucket 0's "
     "o_orderkey%3==0 rows through a POSITION-DELETE file (Iceberg's "
-    "deletion vectors) — then read at CURRENT and at the pinned "
-    "older snapshot, profiled per o_orderstatus.  The oracle "
+    "deletion vectors), snapshot 300 (current) appends bucket 3 — "
+    "then read at CURRENT and at the pinned "
+    "oldest snapshot, profiled per o_orderstatus.  The oracle "
     "recomputes both snapshots from the original parquet, so a "
     "reader that skips a DELETED manifest entry, ignores position "
     "deletes, or mis-applies them by file/row hash-mismatches.  "
@@ -1304,6 +1315,95 @@ def q_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = profile(read_iceberg(spark, table), "current")
     old = profile(read_iceberg(spark, table, snapshot_id=100), "snap100")
     return cur.unionByName(old).orderBy("snapshot", "o_orderstatus")
+
+
+@register(
+    "q_delta_incremental",
+    oracle="""
+SELECT CAST(2 AS BIGINT) AS _commit_version,
+       o_orderkey % 4 AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       MIN(o_orderkey) AS min_orderkey
+FROM orders
+WHERE o_orderkey % 4 = 3
+GROUP BY o_orderkey % 4
+ORDER BY _commit_version, bucket
+""",
+    doc="Cursor-driven APPEND TAILING of an external Delta table "
+    "(sources/delta.py read_delta_changes — the incremental read a "
+    "continuous ingest runs between snapshots, Delta's streaming-"
+    "source semantics for append-only commits): versions (1, 2] of "
+    "the interop fixture contain exactly the bucket-3 append, so the "
+    "tail returns those rows tagged _commit_version=2 with partition "
+    "values re-attached; versions containing remove actions refuse "
+    "loudly (lib-pinned) because their adds are rewrites, not new "
+    "data.  The oracle recomputes the appended slice from the "
+    "original parquet.  Scale: the tail reads ONLY the files added "
+    "in the cursor range — one distributed scan, O(new data), never "
+    "a snapshot rescan.",
+)
+def q_delta_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta import read_delta_changes
+
+    table = _build_delta_fixture(spark, sf_dir)
+    tail = read_delta_changes(spark, table, starting_version=1,
+                              ending_version=2)
+    return (
+        tail.groupBy("_commit_version", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).cast("bigint").alias("total_cents"),
+            F.min("o_orderkey").alias("min_orderkey"),
+        )
+        .orderBy("_commit_version", "bucket")
+    )
+
+
+@register(
+    "q_iceberg_incremental",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       MIN(o_orderkey) AS min_orderkey
+FROM orders
+WHERE o_orderkey % 4 = 3
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="Cursor-driven APPEND TAILING of an external Iceberg table "
+    "(sources/iceberg.py read_iceberg_appends — Iceberg's "
+    "incremental-append scan): the files in snapshot 300 that are "
+    "not in snapshot 200 are exactly the bucket-3 append, returned "
+    "without rescanning the older snapshots; non-append evolution "
+    "(dropped files or new position deletes, e.g. the 100→200 hop) "
+    "refuses loudly (lib-pinned).  Oracle recomputes the appended "
+    "slice from the original parquet.  Scale: O(new files) — the "
+    "set difference is metadata-sized, the scan touches only "
+    "appended data.",
+)
+def q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import read_iceberg_appends
+
+    table = _build_iceberg_fixture(spark, sf_dir)
+    tail = read_iceberg_appends(spark, table, from_snapshot=200,
+                                to_snapshot=300)
+    return (
+        tail.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).cast("bigint").alias("total_cents"),
+            F.min("o_orderkey").alias("min_orderkey"),
+        )
+        .orderBy("o_orderstatus")
+    )
 
 
 def _wds_cache_path(sf_dir: str) -> str:

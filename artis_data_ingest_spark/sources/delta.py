@@ -266,6 +266,106 @@ def read_delta(
     return df.select(*[f.name for f in schema.fields])
 
 
+def read_delta_changes(
+    spark: SparkSession,
+    table_dir: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Incremental ingest from an external Delta table: the rows
+    APPENDED in versions ``(starting_version, ending_version]``, each
+    tagged ``_commit_version`` — the cursor-driven tailing read a
+    continuous 100 TB pipeline runs on a lake-resident upstream
+    (Delta's own streaming source semantics for append-only tables).
+
+    Versions that contain ``remove`` actions (compaction, DELETE,
+    MERGE rewrites) REFUSE loudly: their adds are rewritten old rows,
+    and silently re-ingesting them would duplicate data downstream —
+    the caller must fall back to a snapshot diff (or the table's CDF)
+    across that version.  Metadata-only versions contribute nothing.
+
+    One distributed parquet scan over ALL appended files across the
+    version range; per-file version + partition values re-attached by
+    a broadcast ``_metadata.file_path`` join."""
+    commits, _ = _list_log(table_dir)
+    if not commits:
+        raise DeltaProtocolError(f"empty _delta_log under {table_dir}")
+    latest = max(commits)
+    end = latest if ending_version is None else int(ending_version)
+    if end > latest:
+        raise DeltaProtocolError(
+            f"ending_version {end} beyond latest {latest}"
+        )
+    # schema/partitioning from the snapshot state at `end`
+    _, meta, _ = _snapshot_state(spark, table_dir, end)
+    schema, renames = _logical_schema(meta)
+    part_cols = list(meta.get("partitionColumns") or [])
+    by_type = {f.name: f.dataType for f in schema.fields}
+
+    log_dir = os.path.join(table_dir, "_delta_log")
+    file_rows: list[tuple] = []
+    for v in [c for c in commits if starting_version < c <= end]:
+        actions = _read_commit(os.path.join(log_dir, f"{v:020d}.json"))
+        removes = [a for a in actions if a.get("remove")]
+        if removes:
+            raise DeltaProtocolError(
+                f"version {v} contains {len(removes)} remove action(s) "
+                "— not an append-only commit; re-sync from a snapshot "
+                "diff instead of the append tail"
+            )
+        for a in actions:
+            add = a.get("add")
+            if not add:
+                continue
+            if add.get("deletionVector"):
+                raise DeltaProtocolError(
+                    f"version {v} adds a file with a deletion vector"
+                )
+            rel = unquote(add["path"])
+            ap = rel if os.path.isabs(rel) else os.path.join(
+                table_dir, rel
+            )
+            pv = add.get("partitionValues") or {}
+            file_rows.append(
+                (os.path.abspath(ap), v)
+                + tuple(pv.get(c) for c in part_cols)
+            )
+
+    out_cols = [f.name for f in schema.fields] + ["_commit_version"]
+    if not file_rows:
+        empty = T.StructType(
+            schema.fields + [T.StructField("_commit_version",
+                                           T.LongType())]
+        )
+        return spark.createDataFrame([], empty)
+
+    df = spark.read.parquet(*[r[0] for r in file_rows])
+    for phys, logical in renames.items():
+        if phys in df.columns:
+            df = df.withColumnRenamed(phys, logical)
+    pv_schema = T.StructType(
+        [T.StructField("__dl_path", T.StringType()),
+         T.StructField("_commit_version", T.LongType())]
+        + [T.StructField(f"__dl_{c}", T.StringType())
+           for c in part_cols]
+    )
+    pv_df = spark.createDataFrame(file_rows, pv_schema)
+    df = (
+        df.withColumn(
+            "__dl_path",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ),
+        )
+        .join(F.broadcast(pv_df), "__dl_path", "left")
+    )
+    for c in part_cols:
+        df = df.withColumn(
+            c, F.col(f"__dl_{c}").cast(by_type[c])
+        ).drop(f"__dl_{c}")
+    return df.drop("__dl_path").select(*out_cols)
+
+
 def delta_history(spark: SparkSession, table_dir: str) -> DataFrame:
     """One row per commit: version, timestamp, operation, add/remove
     counts — Delta's DESCRIBE HISTORY from the JSON log alone."""

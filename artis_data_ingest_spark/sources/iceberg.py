@@ -230,6 +230,54 @@ def iceberg_snapshots(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def read_iceberg_appends(
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Incremental ingest from an external Iceberg table: rows in data
+    files present in ``to_snapshot`` (default: current) but not in
+    ``from_snapshot`` — the cursor-driven tailing read for an append-
+    only upstream (Iceberg's own incremental-append scan semantics).
+
+    Non-append evolution REFUSES loudly: if the newer snapshot dropped
+    any of the older snapshot's files, or carries position deletes the
+    older one lacked, its 'new' files may be rewrites of old rows and
+    tailing them would duplicate or lose data — re-sync from a
+    snapshot diff instead."""
+    meta = _load_table_metadata(table_dir)
+    schema = _current_schema(meta)
+    old_data, old_dels = _snapshot_files(meta, table_dir, from_snapshot)
+    sid = to_snapshot
+    if sid is None:
+        sid = meta.get("current-snapshot-id")
+    new_data, new_dels = _snapshot_files(meta, table_dir, sid)
+    if set(old_data) - set(new_data):
+        raise IcebergProtocolError(
+            f"snapshot {sid} dropped "
+            f"{len(set(old_data) - set(new_data))} file(s) present in "
+            f"{from_snapshot} — not append-only; re-sync from a "
+            "snapshot diff"
+        )
+    if set(new_dels) - set(old_dels):
+        raise IcebergProtocolError(
+            f"snapshot {sid} added position-delete files over "
+            f"{from_snapshot} — not append-only; re-sync from a "
+            "snapshot diff"
+        )
+    appended = [p for p in new_data if p not in set(old_data)]
+    if not appended:
+        return spark.createDataFrame([], schema)
+    df = spark.read.parquet(*appended)
+    missing = [f.name for f in schema.fields if f.name not in df.columns]
+    if missing:
+        raise IcebergProtocolError(
+            f"columns {missing} absent from the appended files"
+        )
+    return df.select(*[f.name for f in schema.fields])
+
+
 def read_iceberg(
     spark: SparkSession,
     table_dir: str,

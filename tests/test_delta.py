@@ -21,6 +21,7 @@ from artis_data_ingest_spark.sources.delta import (
     DeltaProtocolError,
     delta_history,
     read_delta,
+    read_delta_changes,
 )
 
 _SCHEMA = T.StructType([
@@ -254,3 +255,60 @@ def test_unsupported_protocol_refused(spark, tmp_path):
 def test_missing_log_raises(spark, tmp_path):
     with pytest.raises(DeltaProtocolError, match="_delta_log"):
         read_delta(spark, str(tmp_path))
+
+
+# --------------------------------------------------------------------------
+# incremental append tailing
+# --------------------------------------------------------------------------
+
+
+def test_changes_returns_appends_with_version_tag(spark, tmp_path):
+    t = _basic_table(tmp_path)
+    d = _data_file(t, "part-d.parquet",
+                   pd.DataFrame({"id": [9, 10], "name": ["w", "q"]}))
+    _commit(t, 2, [d, {"commitInfo": {"timestamp": 3,
+                                      "operation": "WRITE"}}])
+    tail = read_delta_changes(spark, t, starting_version=1)
+    got = {tuple(r) for r in tail.collect()}
+    assert got == {(9, "w", 2), (10, "q", 2)}
+    assert tail.columns == ["id", "name", "_commit_version"]
+
+
+def test_changes_from_minus_one_includes_version_zero(spark, tmp_path):
+    t = _basic_table(tmp_path)
+    tail = read_delta_changes(spark, t, starting_version=-1,
+                              ending_version=0)
+    got = {tuple(r) for r in tail.collect()}
+    assert got == {(1, "x", 0), (2, "y", 0), (3, "z", 0)}
+
+
+def test_changes_refuse_versions_with_removes(spark, tmp_path):
+    t = _basic_table(tmp_path)
+    with pytest.raises(DeltaProtocolError, match="remove"):
+        read_delta_changes(spark, t, starting_version=0)  # v1 removes
+
+
+def test_changes_empty_range_yields_empty_frame(spark, tmp_path):
+    t = _basic_table(tmp_path)
+    tail = read_delta_changes(spark, t, starting_version=0,
+                              ending_version=0)
+    assert tail.count() == 0
+    assert tail.columns == ["id", "name", "_commit_version"]
+
+
+def test_changes_reattach_partition_values(spark, tmp_path):
+    t = str(tmp_path / "dlpc")
+    os.makedirs(t, exist_ok=True)
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("p", T.LongType(), True),
+    ])
+    a = _data_file(t, "p=0/f1.parquet", pd.DataFrame({"id": [1]}))
+    a["add"]["partitionValues"] = {"p": "0"}
+    _commit(t, 0, [_PROTO, _meta(schema, part_cols=("p",)), a])
+    b = _data_file(t, "p=5/f2.parquet", pd.DataFrame({"id": [2, 3]}))
+    b["add"]["partitionValues"] = {"p": "5"}
+    _commit(t, 1, [b])
+    tail = read_delta_changes(spark, t, starting_version=0)
+    got = {tuple(r) for r in tail.collect()}
+    assert got == {(2, 5, 1), (3, 5, 1)}

@@ -291,3 +291,60 @@ def test_type_mapping_decimal_date_timestamptz():
 def test_missing_metadata_raises(spark, tmp_path):
     with pytest.raises(IcebergProtocolError, match="metadata"):
         read_iceberg(spark, str(tmp_path))
+
+
+# --------------------------------------------------------------------------
+# incremental append tailing
+# --------------------------------------------------------------------------
+
+
+def _append_snapshot_300(t: str) -> None:
+    """Extend the two-snapshot fixture with an append-only snap 300."""
+    d = _data_file(t, "data/d.parquet",
+                   pd.DataFrame({"id": [8, 9], "name": ["n8", "n9"]}))
+    m4 = _manifest(t, "m4.avro", [
+        {"status": 1, "snapshot_id": 300, "data_file": d},
+    ])
+    from artis_data_ingest_spark.sources.avro_ocf import decode_ocf
+
+    with open(os.path.join(t, "metadata", "snap-200.avro"), "rb") as fh:
+        _, prev = decode_ocf(fh.read())
+    _write_avro_file(os.path.join(t, "metadata", "snap-300.avro"),
+                     prev + [m4], _MANIFEST_LIST_T)
+    mpath = os.path.join(t, "metadata", "v1.metadata.json")
+    with open(mpath) as fh:
+        meta = json.load(fh)
+    meta["snapshots"].append(
+        {"snapshot-id": 300, "timestamp-ms": 3,
+         "summary": {"operation": "append"},
+         "manifest-list": f"file://{t}/metadata/snap-300.avro"})
+    meta["current-snapshot-id"] = 300
+    with open(mpath, "w") as fh:
+        json.dump(meta, fh)
+
+
+def test_appends_between_snapshots(spark, tmp_path):
+    from artis_data_ingest_spark.sources.iceberg import (
+        read_iceberg_appends,
+    )
+
+    t = _two_snapshot_table(tmp_path)
+    _append_snapshot_300(t)
+    tail = read_iceberg_appends(spark, t, from_snapshot=200)
+    assert {tuple(r) for r in tail.collect()} == {(8, "n8"), (9, "n9")}
+    # same from/to → empty, schema intact
+    none = read_iceberg_appends(spark, t, from_snapshot=300,
+                                to_snapshot=300)
+    assert none.count() == 0 and none.columns == ["id", "name"]
+
+
+def test_appends_refuse_non_append_evolution(spark, tmp_path):
+    from artis_data_ingest_spark.sources.iceberg import (
+        read_iceberg_appends,
+    )
+
+    t = _two_snapshot_table(tmp_path)
+    # 100→200 drops file B and adds position deletes — both non-append
+    with pytest.raises(IcebergProtocolError, match="dropped"):
+        read_iceberg_appends(spark, t, from_snapshot=100,
+                             to_snapshot=200)

@@ -1406,6 +1406,95 @@ def q_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _delta_export_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "delta_export",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "customer.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|de1"
+    except OSError:
+        sig = f"{src}|missing|de1"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+@register(
+    "q_delta_export",
+    oracle="""
+WITH snap AS (
+  SELECT * FROM customer WHERE c_custkey % 5 <> 0
+  UNION ALL
+  SELECT * FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       MIN(c_custkey) AS min_custkey,
+       CAST(SUM(CAST(CONCAT('0x', substring(md5(c_name), 1, 12))
+                     AS BIGINT)) AS BIGINT) AS name_checksum
+FROM snap
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    doc="Delta Lake EXPORT half (sources/delta.py write_delta): "
+    "customers are written once per fixture as a spec-conformant "
+    "external Delta table PARTITIONED BY c_mktsegment (partition "
+    "values in each add-action's partitionValues, stripped from the "
+    "data files; protocol/metaData/numRecords-stats JSON commit; "
+    "O_EXCL version publication), in TWO commits — a create with "
+    "c_custkey%5<>0 and an append with the rest — then read back "
+    "through read_delta and profiled per segment.  The oracle is "
+    "the same profile over the original parquet, so any loss in the "
+    "write (dropped partition, mis-attributed partitionValues, torn "
+    "append) or the read hash-mismatches.  Scale: the data write is "
+    "a normal distributed partitioned-parquet write; only the "
+    "O(files) commit JSON is driver-side — the same bound as any "
+    "Delta writer's commit phase.",
+)
+def q_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.delta import read_delta, write_delta
+
+    table = _delta_export_cache_path(sf_dir)
+    if not os.path.exists(os.path.join(table, "_SUCCESS")):
+        cust = load_table(spark, sf_dir, "customer")
+        write_delta(
+            cust.where(F.col("c_custkey") % 5 != 0).repartition(4),
+            table, partition_by=("c_mktsegment",),
+        )
+        write_delta(
+            cust.where(F.col("c_custkey") % 5 == 0).repartition(2),
+            table, mode="append", partition_by=("c_mktsegment",),
+        )
+        with open(os.path.join(table, "_SUCCESS"), "w"):
+            pass
+    back = read_delta(spark, table)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(
+                F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+            ).cast("bigint").alias("total_cents"),
+            F.min("c_custkey").alias("min_custkey"),
+            F.sum(
+                F.conv(F.substring(F.md5("c_name"), 1, 12), 16, 10)
+                .cast("bigint")
+            ).cast("bigint").alias("name_checksum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

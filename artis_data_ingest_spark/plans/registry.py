@@ -65,6 +65,7 @@ _PRIORITY: list[str] = [
     "q_iceberg_read",
     "q_delta_incremental",
     "q_iceberg_incremental",
+    "q_delta_export",
     # (c) the two r13-head names that missed the 50-row cut
     "q_merge_dv",
     "q_xls_ingest",
@@ -104,12 +105,11 @@ _PRIORITY: list[str] = [
     "q_pagerank_resume",
     "q_shortest_paths",
     "q_bmp_features",
-    "q_image_dhash",
     # (52-slot budget enforced by test_priority_queries_yield_first;
-    # still never sampled after this head: q_exif_metadata,
-    # q_exif_normalize, q_fwf_ingest, q_span_corruption,
-    # q_pmi_collocations, and q_fim_transform through
-    # q_wordpiece_apply — the r15 head's (d) block)
+    # still never sampled after this head: q_image_dhash,
+    # q_exif_metadata, q_exif_normalize, q_fwf_ingest,
+    # q_span_corruption, q_pmi_collocations, and q_fim_transform
+    # through q_wordpiece_apply — the r15 head's (d) block)
 ]
 
 

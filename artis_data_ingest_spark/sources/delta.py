@@ -266,6 +266,134 @@ def read_delta(
     return df.select(*[f.name for f in schema.fields])
 
 
+def write_delta(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "error",
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Write/extend an external-format Delta Lake table (the EXPORT
+    half of the interop story: hand the result to any engine with a
+    Delta connector).  Returns the committed version.
+
+    * ``mode="error"`` — create version 0; refuse if a log exists.
+    * ``mode="append"`` — add files as the next version (Delta's
+      append-never-conflicts commit: adds only).
+    * ``mode="overwrite"`` — next version removes every previously
+      live file and adds the new ones (one atomic commit).
+
+    Data is written DISTRIBUTED by a normal partitioned parquet write
+    into a staging dir, then renamed into the table keeping the
+    ``col=value`` directory layout; per the protocol, partition
+    columns are carried in each add's ``partitionValues`` and NOT in
+    the data files (Spark's partitioned write already strips them).
+    The driver then writes one JSON commit: ``protocol`` +
+    ``metaData`` (version 0 only) + ``add`` actions with
+    ``numRecords`` stats from the parquet footers — O(files) driver
+    metadata, the same bound as any Delta writer's commit phase.
+    Commit files are created with O_EXCL so two racing writers cannot
+    publish the same version."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    if mode not in ("error", "append", "overwrite"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    log_dir = os.path.join(table_dir, "_delta_log")
+    exists = os.path.isdir(log_dir) and any(
+        _COMMIT_RE.match(f) for f in os.listdir(log_dir)
+    )
+    if exists and mode == "error":
+        raise DeltaProtocolError(
+            f"{table_dir} already holds a Delta log (use mode="
+            "'append'/'overwrite')"
+        )
+    if not exists and mode in ("append", "overwrite"):
+        mode = "error"  # first write of a fresh table is a create
+    os.makedirs(log_dir, exist_ok=True)
+
+    prior_adds: dict[str, dict] = {}
+    version = 0
+    if exists:
+        commits, _ = _list_log(table_dir)
+        version = max(commits) + 1
+        if mode == "overwrite":
+            prior_adds, _, _ = _snapshot_state(
+                df.sparkSession, table_dir, None
+            )
+
+    stage = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex[:12]}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
+
+    # move part files into the table, keeping col=value dirs
+    adds: list[dict] = []
+    for root, _dirs, files in os.walk(stage):
+        for i, name in enumerate(sorted(files)):
+            if not name.endswith(".parquet"):
+                continue
+            reldir = os.path.relpath(root, stage)
+            reldir = "" if reldir == "." else reldir
+            final_name = f"part-{version:05d}-{uuid.uuid4().hex}.parquet"
+            rel = os.path.join(reldir, final_name) if reldir \
+                else final_name
+            dst = os.path.join(table_dir, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(os.path.join(root, name), dst)
+            pv = {}
+            for seg in reldir.split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
+                        else unquote(v)
+            adds.append({"add": {
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": pv,
+                "size": os.path.getsize(dst),
+                "modificationTime": int(os.path.getmtime(dst) * 1000),
+                "dataChange": True,
+                "stats": json.dumps(
+                    {"numRecords": pq.ParquetFile(dst).metadata.num_rows}
+                ),
+            }})
+    shutil.rmtree(stage, ignore_errors=True)
+
+    actions: list[dict] = [{"commitInfo": {
+        "timestamp": int(os.path.getmtime(table_dir) * 1000),
+        "operation": "WRITE" if mode != "overwrite" else "OVERWRITE",
+        "operationParameters": {"mode": mode},
+    }}]
+    if version == 0:
+        actions.append(
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+        )
+        actions.append({"metaData": {
+            "id": uuid.uuid4().hex,
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": list(partition_by),
+            "configuration": {},
+            "createdTime": int(os.path.getmtime(table_dir) * 1000),
+        }})
+    if mode == "overwrite":
+        for rel in prior_adds:
+            actions.append({"remove": {
+                "path": rel, "dataChange": True,
+                "deletionTimestamp":
+                    int(os.path.getmtime(table_dir) * 1000),
+            }})
+    actions.extend(adds)
+    commit_path = os.path.join(log_dir, f"{version:020d}.json")
+    # O_EXCL publication: the version number IS the lock
+    with open(commit_path, "x") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return version
+
+
 def read_delta_changes(
     spark: SparkSession,
     table_dir: str,

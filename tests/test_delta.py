@@ -22,6 +22,7 @@ from artis_data_ingest_spark.sources.delta import (
     delta_history,
     read_delta,
     read_delta_changes,
+    write_delta,
 )
 
 _SCHEMA = T.StructType([
@@ -294,6 +295,104 @@ def test_changes_empty_range_yields_empty_frame(spark, tmp_path):
                               ending_version=0)
     assert tail.count() == 0
     assert tail.columns == ["id", "name", "_commit_version"]
+
+
+# --------------------------------------------------------------------------
+# writer (export half)
+# --------------------------------------------------------------------------
+
+
+def test_write_delta_roundtrip_unpartitioned(spark, tmp_path):
+    t = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(100)], "id long, name string"
+    ).repartition(3)
+    assert write_delta(df, t) == 0
+    back = read_delta(spark, t)
+    assert {tuple(r) for r in back.collect()} == \
+        {(i, f"n{i}") for i in range(100)}
+    # the log is protocol-shaped: v0 carries protocol+metaData, adds
+    # have numRecords stats
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json")) as fh:
+        actions = [json.loads(line) for line in fh]
+    assert any(a.get("protocol") for a in actions)
+    assert any(a.get("metaData") for a in actions)
+    adds = [a["add"] for a in actions if a.get("add")]
+    assert sum(json.loads(a["stats"])["numRecords"] for a in adds) == 100
+
+
+def test_write_delta_partitioned_layout_and_values(spark, tmp_path):
+    t = str(tmp_path / "outp")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, grp string"
+    )
+    write_delta(df, t, partition_by=("grp",))
+    # protocol: partition cols live in partitionValues, not the files
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json")) as fh:
+        adds = [json.loads(line)["add"] for line in fh
+                if '"add"' in line]
+    assert {a["partitionValues"]["grp"] for a in adds} == {"a", "b"}
+    assert all(a["path"].startswith("grp=") for a in adds)
+    import pyarrow.parquet as pq
+
+    sample = os.path.join(t, adds[0]["path"])
+    assert "grp" not in pq.ParquetFile(sample).schema_arrow.names
+    back = read_delta(spark, t)
+    assert {tuple(r) for r in back.collect()} == \
+        {(1, "a"), (2, "a"), (3, "b")}
+    assert back.columns == ["id", "grp"]
+
+
+def test_write_delta_append_then_tail(spark, tmp_path):
+    t = str(tmp_path / "outa")
+    write_delta(spark.createDataFrame([(1,)], "id long"), t)
+    v = write_delta(spark.createDataFrame([(2,), (3,)], "id long"), t,
+                    mode="append")
+    assert v == 1
+    assert read_delta(spark, t).count() == 3
+    tail = read_delta_changes(spark, t, starting_version=0)
+    assert {tuple(r) for r in tail.collect()} == {(2, 1), (3, 1)}
+
+
+def test_write_delta_overwrite_removes_old_files(spark, tmp_path):
+    t = str(tmp_path / "outo")
+    write_delta(spark.createDataFrame([(1,), (2,)], "id long"), t)
+    write_delta(spark.createDataFrame([(9,)], "id long"), t,
+                mode="overwrite")
+    assert [tuple(r) for r in read_delta(spark, t).collect()] == [(9,)]
+    # time travel still sees v0
+    assert read_delta(spark, t, version=0).count() == 2
+    h = {r["version"]: r for r in delta_history(spark, t).collect()}
+    assert h[1]["operation"] == "OVERWRITE" and h[1]["n_removed"] >= 1
+
+
+def test_write_delta_mode_error_refuses_existing(spark, tmp_path):
+    t = str(tmp_path / "oute")
+    write_delta(spark.createDataFrame([(1,)], "id long"), t)
+    with pytest.raises(DeltaProtocolError, match="already holds"):
+        write_delta(spark.createDataFrame([(2,)], "id long"), t)
+
+
+def test_write_delta_version_collision_is_excl(spark, tmp_path,
+                                               monkeypatch):
+    import artis_data_ingest_spark.sources.delta as dl
+
+    t = str(tmp_path / "outx")
+    write_delta(spark.createDataFrame([(1,)], "id long"), t)
+    # freeze the log listing at [v0], then let a 'racing' writer
+    # publish v1 — our commit must hit O_EXCL, not overwrite it
+    real_list = dl._list_log
+    monkeypatch.setattr(dl, "_list_log",
+                        lambda _d: ([0], {}))
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"),
+              "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"timestamp": 0}}) + "\n")
+    with pytest.raises(FileExistsError):
+        write_delta(spark.createDataFrame([(2,)], "id long"), t,
+                    mode="append")
+    monkeypatch.setattr(dl, "_list_log", real_list)
+    # the racing writer's commit is intact
+    assert delta_history(spark, t).count() == 2
 
 
 def test_changes_reattach_partition_values(spark, tmp_path):

@@ -1495,6 +1495,76 @@ def q_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_lake_federation",
+    oracle="""
+WITH delta_live AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 4 IN (0, 2, 3)
+), iceberg_live AS (
+  SELECT o_orderkey FROM orders
+  WHERE (o_orderkey % 4 = 0 AND o_orderkey % 3 <> 0)
+     OR o_orderkey % 4 IN (2, 3)
+), joined AS (
+  SELECT d.o_orderkey, d.o_custkey, d.o_totalprice,
+         i.o_orderkey IS NOT NULL AS in_iceberg
+  FROM delta_live d LEFT JOIN iceberg_live i USING (o_orderkey)
+)
+SELECT c.c_mktsegment, j.in_iceberg,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(j.o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS total_cents,
+       MIN(j.o_orderkey) AS min_orderkey
+FROM joined j
+JOIN customer c ON c.c_custkey = j.o_custkey
+GROUP BY c.c_mktsegment, j.in_iceberg
+ORDER BY c.c_mktsegment, j.in_iceberg
+""",
+    doc="Lake FEDERATION in plain SQL: the external Delta table, the "
+    "external Iceberg table, and a native parquet dimension are all "
+    "registered as temp views and joined in ONE spark.sql statement "
+    "— the query a data engineer actually writes when the warehouse "
+    "spans formats (Delta's latest snapshot left-joined against "
+    "Iceberg's current snapshot on the order key, rolled up per "
+    "customer market segment with an in_iceberg divergence flag that "
+    "surfaces exactly the position-deleted and version-skewed "
+    "rows).  The oracle recomputes both snapshots from predicates "
+    "over the original parquet.  Scale: each view is the same "
+    "distributed scan its reader builds (log/manifest walk is "
+    "metadata); Catalyst plans the join across them like any other "
+    "relation — broadcast for the dimension, shuffle-hash for the "
+    "fact-fact join.",
+)
+def q_lake_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta import read_delta
+    from ..sources.iceberg import read_iceberg
+
+    dl = _build_delta_fixture(spark, sf_dir)
+    ib = _build_iceberg_fixture(spark, sf_dir)
+    read_delta(spark, dl).createOrReplaceTempView("lake_delta")
+    read_iceberg(spark, ib).createOrReplaceTempView("lake_iceberg")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lake_customer"
+    )
+    return spark.sql("""
+WITH joined AS (
+  SELECT d.o_orderkey, d.o_custkey, d.o_totalprice,
+         i.o_orderkey IS NOT NULL AS in_iceberg
+  FROM lake_delta d
+  LEFT JOIN lake_iceberg i USING (o_orderkey)
+)
+SELECT c.c_mktsegment, j.in_iceberg,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(j.o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) AS total_cents,
+       MIN(j.o_orderkey) AS min_orderkey
+FROM joined j
+JOIN lake_customer c ON c.c_custkey = j.o_custkey
+GROUP BY c.c_mktsegment, j.in_iceberg
+ORDER BY c.c_mktsegment, j.in_iceberg
+""")
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

@@ -1215,10 +1215,17 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
             _ALAW_TABLE if audio_fmt == 6 else _MULAW_TABLE
         )
         flat = table[np.frombuffer(data, dtype=np.uint8)]
+    elif audio_fmt == 0x11 and bits == 4:
+        # IMA/DVI ADPCM (r14): 4-bit nibbles, per-block state — the
+        # classic 4:1 voice compression (dictation, game audio, VoIP
+        # archives).  block_align comes from the fmt chunk.
+        (block_align,) = struct.unpack("<H", fmt[12:14])
+        return _decode_ima_adpcm(data, ch, block_align), sr
     else:
         raise ValueError(
             f"unsupported WAVE (format={audio_fmt}, bits={bits}); "
-            "decoder handles PCM16 and 8-bit G.711 A-law/µ-law"
+            "decoder handles PCM16, 8-bit G.711 A-law/µ-law, and "
+            "4-bit IMA ADPCM"
         )
     n = flat.size // ch
     return flat[: n * ch].reshape(n, ch), sr
@@ -1251,6 +1258,157 @@ def _build_g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 
 _ALAW_TABLE, _MULAW_TABLE = _build_g711_tables()
+
+# --- IMA/DVI ADPCM (r14) ----------------------------------------------------
+# Step-size and index-adjust tables from the public IMA ADPCM
+# reference algorithm (IMA Digital Audio Focus and Technical Working
+# Groups, "Recommended Practices for Enhancing Digital Audio
+# Compatibility", rev 3.00 — the same tables every RIFF fmt-0x11
+# implementation shares).
+
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int64)
+
+_IMA_INDEX_TABLE = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int64
+)
+
+
+def _decode_ima_adpcm(
+    data: bytes, ch: int, block_align: int
+) -> np.ndarray:
+    """IMA ADPCM → int16 (n_samples, n_channels).
+
+    RIFF fmt-0x11 block layout: per channel a 4-byte header (int16
+    initial predictor — emitted as sample 0 — uint8 step index,
+    reserved), then 4-byte chunks round-robined across channels, each
+    holding 8 nibbles (low nibble first).  The nibble recurrence is
+    sequential WITHIN a channel, but blocks and channels are
+    independent — so the loop below runs once per nibble POSITION,
+    vectorized across every (block, channel) pair: O(samples/block)
+    numpy steps, not O(samples) Python steps."""
+    ba = int(block_align)
+    if ba < 4 * ch or (ba - 4 * ch) % (4 * ch):
+        raise ValueError(f"bad IMA ADPCM block_align {ba} for {ch}ch")
+    n_blocks = len(data) // ba
+    if n_blocks == 0:
+        return np.zeros((0, ch), dtype=np.int16)
+    raw = np.frombuffer(
+        data[: n_blocks * ba], dtype=np.uint8
+    ).reshape(n_blocks, ba)
+    hdr = raw[:, : 4 * ch].reshape(n_blocks, ch, 4)
+    pred = (
+        hdr[:, :, 0].astype(np.int64)
+        | (hdr[:, :, 1].astype(np.int8).astype(np.int64) << 8)
+    )
+    index = np.clip(hdr[:, :, 2].astype(np.int64), 0, 88)
+    n_groups = (ba - 4 * ch) // (4 * ch)
+    body = raw[:, 4 * ch:].reshape(n_blocks, n_groups, ch, 4)
+    nibbles = np.empty((n_blocks, n_groups, ch, 8), dtype=np.int64)
+    nibbles[..., 0::2] = body & 0x0F
+    nibbles[..., 1::2] = body >> 4
+    # → (n_blocks, ch, samples-after-header)
+    nibbles = nibbles.transpose(0, 2, 1, 3).reshape(
+        n_blocks, ch, n_groups * 8
+    )
+    spb = n_groups * 8 + 1
+    out = np.empty((n_blocks, spb, ch), dtype=np.int16)
+    out[:, 0, :] = pred.astype(np.int16)
+    for t in range(n_groups * 8):
+        code = nibbles[:, :, t]
+        step = _IMA_STEP_TABLE[index]
+        diff = step >> 3
+        diff = diff + np.where(code & 1, step >> 2, 0)
+        diff = diff + np.where(code & 2, step >> 1, 0)
+        diff = diff + np.where(code & 4, step, 0)
+        pred = np.clip(
+            np.where(code & 8, pred - diff, pred + diff),
+            -32768, 32767,
+        )
+        index = np.clip(index + _IMA_INDEX_TABLE[code], 0, 88)
+        out[:, t + 1, :] = pred.astype(np.int16)
+    return out.reshape(n_blocks * spb, ch)
+
+
+def encode_wav_ima_raw(
+    nibbles: np.ndarray,
+    predictors: np.ndarray,
+    indices: np.ndarray,
+    sample_rate: int,
+) -> bytes:
+    """RIFF/WAVE fmt-0x11 container around RAW IMA nibble codes for
+    ONE block — the fixture writer (codes chosen deterministically,
+    decode output closed-form replayable).  ``nibbles`` is
+    (n_channels, 8*k) uint8 in 0..15; ``predictors``/``indices`` are
+    per-channel initial state."""
+    import struct
+
+    ch, n_nib = nibbles.shape
+    if n_nib % 8:
+        raise ValueError("IMA nibble count must be a multiple of 8")
+    block = bytearray()
+    for c in range(ch):
+        block += struct.pack(
+            "<hBB", int(predictors[c]), int(indices[c]), 0
+        )
+    for g in range(n_nib // 8):
+        for c in range(ch):
+            grp = nibbles[c, 8 * g : 8 * g + 8]
+            for k in range(4):
+                block.append(
+                    int(grp[2 * k]) | (int(grp[2 * k + 1]) << 4)
+                )
+    block_align = len(block)
+    spb = n_nib + 1
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, ch, sample_rate,
+        sample_rate * block_align // spb, block_align, 4, 2, spb,
+    )
+    data = bytes(block)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def ima_wav_media(spark: SparkSession, n: int = 6) -> DataFrame:
+    """Media table of REAL IMA-ADPCM clips with deterministic codes:
+    clip i has 1 + (i % 2) channels, 8*(2+i) nibbles per channel
+    (so 17+8i samples), initial predictor 1000*i - 3000 + 500*c,
+    initial index (7*i + 11*c) % 89, and nibble t =
+    (13*t + 7*i + 3*c) % 16 — the q_audio_adpcm oracle replays the
+    reference recurrence over exactly these codes."""
+    rows = []
+    for i in range(n):
+        ch = 1 + (i % 2)
+        n_nib = 8 * (2 + i)
+        nibbles = np.array(
+            [[(13 * t + 7 * i + 3 * c) % 16 for t in range(n_nib)]
+             for c in range(ch)],
+            dtype=np.uint8,
+        )
+        preds = np.array(
+            [1000 * i - 3000 + 500 * c for c in range(ch)]
+        )
+        idxs = np.array([(7 * i + 11 * c) % 89 for c in range(ch)])
+        rows.append(
+            (i, bytearray(
+                encode_wav_ima_raw(nibbles, preds, idxs, 8000)
+            ))
+        )
+    return spark.createDataFrame(
+        rows, "media_id long, content binary"
+    )
 
 
 AUDIO_STATS_SCHEMA = T.StructType(

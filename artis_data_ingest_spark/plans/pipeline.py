@@ -1565,6 +1565,95 @@ ORDER BY c.c_mktsegment, j.in_iceberg
 """)
 
 
+def _ima_oracle_sql() -> str:
+    """Build the q_audio_adpcm oracle: an INDEPENDENT scalar replay of
+    the IMA ADPCM reference recurrence (spec pseudocode, plain Python
+    ints — deliberately not the vectorized numpy decoder under test)
+    over the fixture's deterministic codes, emitted as a VALUES table
+    of every decoded sample so DuckDB computes the per-channel stats
+    itself.  Same literal-oracle discipline as q_retrieval_metrics:
+    the recurrence is sequential state, SQL cannot replay it directly,
+    so the spec mirror supplies the sample stream and SQL does ALL
+    the aggregation."""
+    step_tab = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ]
+    idx_tab = [-1, -1, -1, -1, 2, 4, 6, 8] * 2
+    values = []
+    for i in range(6):
+        ch = 1 + (i % 2)
+        n_nib = 8 * (2 + i)
+        for c in range(ch):
+            pred = 1000 * i - 3000 + 500 * c
+            idx = (7 * i + 11 * c) % 89
+            samples = [pred]
+            for t in range(n_nib):
+                code = (13 * t + 7 * i + 3 * c) % 16
+                step = step_tab[idx]
+                diff = step >> 3
+                if code & 1:
+                    diff += step >> 2
+                if code & 2:
+                    diff += step >> 1
+                if code & 4:
+                    diff += step
+                pred = pred - diff if code & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                idx = max(0, min(88, idx + idx_tab[code]))
+                samples.append(pred)
+            values.extend(f"({i},{c},{s})" for s in samples)
+    return f"""
+WITH dec(media_id, channel, s) AS (
+  VALUES {", ".join(values)}
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(channel AS BIGINT) AS channel,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       COUNT(*) AS n_samples,
+       round(COUNT(*) / 8000.0, 6) AS duration_s,
+       round(SUM(s) * 1.0 / COUNT(*), 6) AS mean_amp,
+       round(sqrt(SUM(CAST(s AS DOUBLE) * s) / COUNT(*)), 6)
+         AS rms_amp,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak_amp
+FROM dec
+GROUP BY media_id, channel
+ORDER BY media_id, channel
+"""
+
+
+@register(
+    "q_audio_adpcm",
+    oracle=_ima_oracle_sql(),
+    doc="IMA/DVI ADPCM audio decode (r14 — operators/multimodal.py "
+    "decode_wav format 0x11): the classic 4-bit 4:1 voice codec "
+    "(dictation, game audio, VoIP archives) decoded inside the same "
+    "Arrow-batched audio_stats path as PCM16/G.711.  The numpy "
+    "decoder runs the nibble recurrence once per SAMPLE POSITION, "
+    "vectorized across every (block, channel) pair — O(samples per "
+    "block) numpy steps, never a per-sample Python loop.  Fixtures "
+    "store deterministic nibble codes and initial (predictor, index) "
+    "state; the oracle replays the reference recurrence in an "
+    "independent scalar spec mirror and hands DuckDB the raw sample "
+    "stream as VALUES, so the stats aggregation is recomputed from "
+    "scratch — a decoder with the wrong step table, clamp, sign bit, "
+    "or index adjustment hash-mismatches on every clip.",
+)
+def q_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_stats, ima_wav_media
+
+    media = ima_wav_media(spark, n=6)
+    return audio_stats(media.select("media_id", "content")).orderBy(
+        "media_id", "channel"
+    )
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

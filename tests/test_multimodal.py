@@ -1841,3 +1841,124 @@ def test_mp4_depth_cap_no_recursion_error():
     m = parse_mp4(deep)
     assert m["truncated"] and m["valid"]  # boxes before the cap count
     assert parse_mp4_tracks(deep) == []
+
+
+# --- IMA ADPCM (r14) --------------------------------------------------------
+
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_IDX = [-1, -1, -1, -1, 2, 4, 6, 8] * 2
+
+
+def _ima_mirror(nibs, pred, idx):
+    """Scalar spec replay, independent of the numpy decoder."""
+    out = [pred]
+    for n in nibs:
+        step = _IMA_STEP[idx]
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_IDX[n]))
+        out.append(pred)
+    return out
+
+
+def test_ima_adpcm_matches_scalar_mirror_mono_and_stereo():
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ima_raw,
+    )
+
+    rng_codes = [(13 * t + 5) % 16 for t in range(48)]
+    for ch in (1, 2):
+        nibs = np.array(
+            [[(c + 3 * k) % 16 for c in rng_codes] for k in range(ch)],
+            dtype=np.uint8,
+        )
+        preds = np.array([-2000 + 700 * k for k in range(ch)])
+        idxs = np.array([(11 * k + 5) % 89 for k in range(ch)])
+        samples, sr = decode_wav(
+            encode_wav_ima_raw(nibs, preds, idxs, 16000)
+        )
+        assert sr == 16000
+        assert samples.shape == (49, ch)
+        for k in range(ch):
+            assert list(samples[:, k]) == _ima_mirror(
+                list(nibs[k]), int(preds[k]), int(idxs[k])
+            )
+
+
+def test_ima_adpcm_clamps_predictor_and_index():
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ima_raw,
+    )
+
+    # code 7 (+max diff, index +8) from a high start must clamp at
+    # 32767 and index at 88; code 15 symmetric at -32768
+    up = np.full((1, 16), 7, dtype=np.uint8)
+    s, _ = decode_wav(encode_wav_ima_raw(
+        up, np.array([30000]), np.array([80]), 8000))
+    assert s[:, 0].max() == 32767
+    down = np.full((1, 16), 15, dtype=np.uint8)
+    s2, _ = decode_wav(encode_wav_ima_raw(
+        down, np.array([-30000]), np.array([80]), 8000))
+    assert s2[:, 0].min() == -32768
+    # mirror agrees on both edges
+    assert list(s[:, 0]) == _ima_mirror([7] * 16, 30000, 80)
+    assert list(s2[:, 0]) == _ima_mirror([15] * 16, -30000, 80)
+
+
+def test_ima_adpcm_multiblock_resets_state_per_block():
+    import struct
+
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ima_raw,
+    )
+
+    # two identical blocks → decoded halves identical (state is
+    # per-block, carried in each header)
+    nibs = np.array([[(t * 7) % 16 for t in range(8)]], dtype=np.uint8)
+    one = encode_wav_ima_raw(nibs, np.array([1234]), np.array([40]),
+                             8000)
+    # splice the single data block twice into one WAV
+    hdr_end = one.index(b"data") + 8
+    block = one[hdr_end:]
+    two = bytearray(one[:hdr_end] + block + block)
+    two[hdr_end - 4:hdr_end] = struct.pack("<I", 2 * len(block))
+    two[4:8] = struct.pack("<I", len(two) - 8)
+    samples, _ = decode_wav(bytes(two))
+    assert samples.shape == (18, 1)
+    assert list(samples[:9, 0]) == list(samples[9:, 0])
+
+
+def test_ima_adpcm_bad_block_align_raises():
+    import pytest
+
+    from artis_data_ingest_spark.operators.multimodal import (
+        _decode_ima_adpcm,
+    )
+
+    with pytest.raises(ValueError, match="block_align"):
+        _decode_ima_adpcm(b"\x00" * 64, 2, 10)

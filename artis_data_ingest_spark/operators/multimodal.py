@@ -617,18 +617,74 @@ def encode_png(arr: np.ndarray, filter_cycle: tuple = (0, 1, 2, 3, 4)) -> bytes:
     )
 
 
+# PNG §4.5.2 channel counts per color type (0 gray, 2 RGB, 3 palette
+# index, 4 gray+alpha, 6 RGBA) and §4.5.1 legal bit depths
+_PNG_RAW_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# Adam7 pass origins/strides (x0, y0, dx, dy), PNG §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_consume_pass(
+    raw: bytes, off: int, pw: int, ph: int, depth: int, ch_raw: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter + bit-unpack one (sub-)image of ``ph`` scanlines from
+    the decompressed stream at ``off`` → ((ph, pw, ch_raw) uint16
+    values in native range, new offset)."""
+    stride = (pw * depth * ch_raw + 7) // 8
+    bpp = max(1, depth * ch_raw // 8)
+    need = ph * (stride + 1)
+    if off + need > len(raw):
+        raise ValueError("PNG scanline payload has wrong length")
+    lines = np.empty((ph, stride), dtype=np.uint8)
+    prev = bytes(stride)
+    for r in range(ph):
+        base = off + r * (stride + 1)
+        cur = bytearray(raw[base + 1 : base + 1 + stride])
+        _unfilter_line(raw[base], cur, prev, bpp)
+        prev = bytes(cur)
+        lines[r] = np.frombuffer(prev, dtype=np.uint8)
+    if depth == 8:
+        vals = lines.reshape(ph, -1)[:, : pw * ch_raw].astype(np.uint16)
+    elif depth == 16:
+        vals = (
+            lines.reshape(ph, -1)
+            .view(">u2")[:, : pw * ch_raw]
+            .astype(np.uint16)
+        )
+    else:  # 1 / 2 / 4 — big-endian bit packing within each byte
+        bits = np.unpackbits(lines, axis=1)
+        per = bits[:, : pw * ch_raw * depth].reshape(
+            ph, pw * ch_raw, depth
+        )
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        vals = (per * weights).sum(axis=2).astype(np.uint16)
+    return vals.reshape(ph, pw, ch_raw), off + need
+
+
 def decode_png(blob: bytes) -> np.ndarray:
     """Spec-correct PNG decoder (stdlib zlib/struct only): chunk walk →
     IDAT concat → zlib inflate → per-scanline unfilter → uint8
-    (h, w, channels).  Supports 8-bit truecolor (2) and truecolor+alpha
-    (6), non-interlaced — raises loudly on anything else rather than
-    guessing."""
+    (h, w, channels).  Full PNG 1.2 coverage (r14): all five color
+    types at their legal bit depths (grayscale 1/2/4/8/16, truecolor
+    8/16, palette 1/2/4/8 with tRNS alpha, gray+alpha, RGBA) and
+    Adam7 INTERLACE — each pass is its own filtered sub-image placed
+    back by strided assignment.  16-bit samples scale to 8 (>>8),
+    sub-byte grays scale by 255/(2^d−1), palette indices expand
+    through PLTE; output is always uint8 with 3 or 4 channels so
+    every downstream consumer (image_stats, resize, dhash) sees one
+    shape."""
     import struct
     import zlib
 
     if blob[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
     pos, ihdr, idat = 8, None, bytearray()
+    plte, trns = None, None
     while pos + 8 <= len(blob):
         (length,) = struct.unpack(">I", blob[pos:pos + 4])
         tag = blob[pos + 4:pos + 8]
@@ -637,6 +693,10 @@ def decode_png(blob: bytes) -> np.ndarray:
             ihdr = data
         elif tag == b"IDAT":
             idat += data
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"tRNS":
+            trns = data
         elif tag == b"IEND":
             break
         pos += 12 + length  # len + tag + data + crc
@@ -645,25 +705,197 @@ def decode_png(blob: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth != 8 or color not in (2, 6) or interlace != 0:
+    if color not in _PNG_RAW_CH or depth not in _PNG_DEPTHS[color] \
+            or comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (depth={depth}, color={color}, "
-            f"interlace={interlace}); decoder handles 8-bit RGB/RGBA only"
+            f"interlace={interlace})"
         )
-    ch = 3 if color == 2 else 4
+    ch_raw = _PNG_RAW_CH[color]
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline payload has wrong length")
-    out = np.empty((h, w, ch), dtype=np.uint8)
-    prev = bytes(stride)
-    for r in range(h):
-        off = r * (stride + 1)
-        cur = bytearray(raw[off + 1:off + 1 + stride])
-        _unfilter_line(raw[off], cur, prev, ch)
-        prev = bytes(cur)
-        out[r] = np.frombuffer(prev, dtype=np.uint8).reshape(w, ch)
-    return out
+    native = np.zeros((h, w, ch_raw), dtype=np.uint16)
+    if interlace == 0:
+        vals, off = _png_consume_pass(raw, 0, w, h, depth, ch_raw)
+        if off != len(raw):
+            raise ValueError("PNG scanline payload has wrong length")
+        native = vals
+    else:
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            vals, off = _png_consume_pass(raw, off, pw, ph, depth,
+                                          ch_raw)
+            native[y0::dy, x0::dx] = vals
+        if off != len(raw):
+            raise ValueError("PNG scanline payload has wrong length")
+
+    if color == 3:  # palette expansion
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        idx = native[:, :, 0]
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("palette index out of range")
+        rgb = pal[idx]
+        if trns is not None:
+            alpha = np.full(len(pal), 255, dtype=np.uint8)
+            alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
+
+    # scale native samples to 8-bit
+    if depth == 16:
+        eight = (native >> 8).astype(np.uint8)
+    elif depth == 8:
+        eight = native.astype(np.uint8)
+    else:
+        maxv = (1 << depth) - 1
+        eight = (native * 255 // maxv).astype(np.uint8)
+    if color == 0:  # gray → 3 channels
+        return np.repeat(eight, 3, axis=2)
+    if color == 4:  # gray+alpha → RGBA
+        g = np.repeat(eight[:, :, :1], 3, axis=2)
+        return np.dstack([g, eight[:, :, 1]])
+    return eight  # 2 (RGB) / 6 (RGBA) pass through
+
+
+def _encode_png_raw(
+    native: np.ndarray,
+    depth: int,
+    color: int,
+    interlace: int = 0,
+    plte: bytes | None = None,
+    trns: bytes | None = None,
+) -> bytes:
+    """Fixture-grade PNG writer for ANY legal (color, depth) combo —
+    filter-0 scanlines only, optional Adam7 emission.  ``native`` is
+    (h, w, ch_raw) ints in the depth's native range.  Exists so the
+    q_png_formats fixtures cover the decoder's full envelope; the
+    production encoder (encode_png) stays the filtered 8-bit one."""
+    import struct
+    import zlib
+
+    h, w, ch_raw = native.shape
+
+    def pack_rows(sub: np.ndarray) -> bytes:
+        ph, pw, _ = sub.shape
+        out = bytearray()
+        for r in range(ph):
+            vals = sub[r].ravel()
+            out.append(0)  # filter type none
+            if depth == 8:
+                out += bytes(int(v) for v in vals)
+            elif depth == 16:
+                for v in vals:
+                    out += struct.pack(">H", int(v))
+            else:
+                per = 8 // depth
+                for i in range(0, len(vals), per):
+                    byte = 0
+                    for j, v in enumerate(vals[i : i + per]):
+                        byte |= int(v) << (8 - depth * (j + 1))
+                    out.append(byte)
+        return bytes(out)
+
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = native[y0::dy, x0::dx]
+            if sub.size:
+                raw += pack_rows(sub)
+        raw = bytes(raw)
+    else:
+        raw = pack_rows(native)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    out = bytearray(_PNG_MAGIC)
+    out += chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    if trns is not None:
+        out += chunk(b"tRNS", trns)
+    out += chunk(b"IDAT", zlib.compress(raw))
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def fullspec_png_media(spark: SparkSession) -> DataFrame:
+    """Media table covering the decoder's full PNG envelope with
+    closed-form pixels (the q_png_formats oracle recomputes every
+    channel mean from these formulas in SQL):
+
+      0  gray  d1  9×5   v=(x+y)%2            px=v·255
+      1  gray  d2  8×6   v=(x+2y)%4           px=v·85
+      2  gray  d4  7×5   v=(x+2y)%16          px=v·17
+      3  gray  d16 6×4   raw=(4097(13x+7y))%65536   px=raw>>8
+      4  pal   d4  8×4 (+tRNS)  idx=(x+3y)%16, pal[j]=(37j,59j,83j)%256
+      5  GA    d8  6×6   g=(13x+7y)%256, a=(x·y)%256 (alpha ignored)
+      6  RGB   d16 5×4   raw_c=(4097(17x+29y+11c))%65536  px=raw>>8
+      7  RGB   d8 10×9 ADAM7-INTERLACED  px_c=(17x+29y+11c)%256
+      8  pal   d2  8×2 (no tRNS)  idx=(x+y)%4
+    """
+    rows = []
+
+    def gray(mid, w, h, depth, fn):
+        nat = np.array(
+            [[[fn(x, y)] for x in range(w)] for y in range(h)]
+        )
+        rows.append((mid, bytearray(_encode_png_raw(nat, depth, 0))))
+
+    gray(0, 9, 5, 1, lambda x, y: (x + y) % 2)
+    gray(1, 8, 6, 2, lambda x, y: (x + 2 * y) % 4)
+    gray(2, 7, 5, 4, lambda x, y: (x + 2 * y) % 16)
+    gray(3, 6, 4, 16, lambda x, y: (4097 * (13 * x + 7 * y)) % 65536)
+
+    pal = bytes(
+        b for j in range(16)
+        for b in ((37 * j) % 256, (59 * j) % 256, (83 * j) % 256)
+    )
+    idx4 = np.array(
+        [[[(x + 3 * y) % 16] for x in range(8)] for y in range(4)]
+    )
+    rows.append((4, bytearray(_encode_png_raw(
+        idx4, 4, 3, plte=pal,
+        trns=bytes((255 - 16 * j) % 256 for j in range(16))))))
+
+    ga = np.array(
+        [[[(13 * x + 7 * y) % 256, (x * y) % 256]
+          for x in range(6)] for y in range(6)]
+    )
+    rows.append((5, bytearray(_encode_png_raw(ga, 8, 4))))
+
+    rgb16 = np.array(
+        [[[(4097 * (17 * x + 29 * y + 11 * c)) % 65536
+           for c in range(3)] for x in range(5)] for y in range(4)]
+    )
+    rows.append((6, bytearray(_encode_png_raw(rgb16, 16, 2))))
+
+    rgb8 = np.array(
+        [[[(17 * x + 29 * y + 11 * c) % 256
+           for c in range(3)] for x in range(10)] for y in range(9)]
+    )
+    rows.append((7, bytearray(_encode_png_raw(rgb8, 8, 2,
+                                              interlace=1))))
+
+    idx2 = np.array(
+        [[[(x + y) % 4] for x in range(8)] for y in range(2)]
+    )
+    rows.append((8, bytearray(_encode_png_raw(idx2, 2, 3,
+                                              plte=pal[:12]))))
+
+    return spark.createDataFrame(
+        rows, "media_id long, content binary"
+    )
 
 
 def _round_half_up(x: float, digits: int) -> float:

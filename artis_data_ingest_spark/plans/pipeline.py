@@ -1654,6 +1654,95 @@ def q_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_png_formats",
+    oracle="""
+SELECT CAST(0 AS BIGINT) AS media_id, CAST(9 AS BIGINT) AS width,
+       CAST(5 AS BIGINT) AS height,
+       round(AVG(((x + y) % 2) * 255 / 255.0), 6) AS mean_r,
+       round(AVG(((x + y) % 2) * 255 / 255.0), 6) AS mean_g,
+       round(AVG(((x + y) % 2) * 255 / 255.0), 6) AS mean_b
+FROM range(9) t(x), range(5) u(y)
+UNION ALL
+SELECT 1, 8, 6,
+       round(AVG(((x + 2 * y) % 4) * 85 / 255.0), 6),
+       round(AVG(((x + 2 * y) % 4) * 85 / 255.0), 6),
+       round(AVG(((x + 2 * y) % 4) * 85 / 255.0), 6)
+FROM range(8) t(x), range(6) u(y)
+UNION ALL
+SELECT 2, 7, 5,
+       round(AVG(((x + 2 * y) % 16) * 17 / 255.0), 6),
+       round(AVG(((x + 2 * y) % 16) * 17 / 255.0), 6),
+       round(AVG(((x + 2 * y) % 16) * 17 / 255.0), 6)
+FROM range(7) t(x), range(5) u(y)
+UNION ALL
+SELECT 3, 6, 4,
+       round(AVG((((4097 * (13 * x + 7 * y)) % 65536) // 256)
+                 / 255.0), 6),
+       round(AVG((((4097 * (13 * x + 7 * y)) % 65536) // 256)
+                 / 255.0), 6),
+       round(AVG((((4097 * (13 * x + 7 * y)) % 65536) // 256)
+                 / 255.0), 6)
+FROM range(6) t(x), range(4) u(y)
+UNION ALL
+SELECT 4, 8, 4,
+       round(AVG(((37 * ((x + 3 * y) % 16)) % 256) / 255.0), 6),
+       round(AVG(((59 * ((x + 3 * y) % 16)) % 256) / 255.0), 6),
+       round(AVG(((83 * ((x + 3 * y) % 16)) % 256) / 255.0), 6)
+FROM range(8) t(x), range(4) u(y)
+UNION ALL
+SELECT 5, 6, 6,
+       round(AVG(((13 * x + 7 * y) % 256) / 255.0), 6),
+       round(AVG(((13 * x + 7 * y) % 256) / 255.0), 6),
+       round(AVG(((13 * x + 7 * y) % 256) / 255.0), 6)
+FROM range(6) t(x), range(6) u(y)
+UNION ALL
+SELECT 6, 5, 4,
+       round(AVG((((4097 * (17 * x + 29 * y)) % 65536) // 256)
+                 / 255.0), 6),
+       round(AVG((((4097 * (17 * x + 29 * y + 11)) % 65536) // 256)
+                 / 255.0), 6),
+       round(AVG((((4097 * (17 * x + 29 * y + 22)) % 65536) // 256)
+                 / 255.0), 6)
+FROM range(5) t(x), range(4) u(y)
+UNION ALL
+SELECT 7, 10, 9,
+       round(AVG(((17 * x + 29 * y) % 256) / 255.0), 6),
+       round(AVG(((17 * x + 29 * y + 11) % 256) / 255.0), 6),
+       round(AVG(((17 * x + 29 * y + 22) % 256) / 255.0), 6)
+FROM range(10) t(x), range(9) u(y)
+UNION ALL
+SELECT 8, 8, 2,
+       round(AVG(((37 * ((x + y) % 4)) % 256) / 255.0), 6),
+       round(AVG(((59 * ((x + y) % 4)) % 256) / 255.0), 6),
+       round(AVG(((83 * ((x + y) % 4)) % 256) / 255.0), 6)
+FROM range(8) t(x), range(2) u(y)
+ORDER BY media_id
+""",
+    doc="Full-envelope PNG decode (r14 — operators/multimodal.py "
+    "decode_png): nine fixtures cover every legal PNG 1.2 color-type/"
+    "bit-depth family — grayscale at 1/2/4/16 bits (sub-byte bit "
+    "unpacking + 255/(2^d−1) scaling, 16-bit high-byte scaling), "
+    "palette at 4 and 2 bits (PLTE expansion, tRNS alpha present and "
+    "absent), gray+alpha, 16-bit truecolor, and an ADAM7-INTERLACED "
+    "truecolor image (seven filtered sub-images placed back by "
+    "strided assignment) — all through the same Arrow-batched "
+    "image_stats path as production scrapes.  Pixels are closed-form "
+    "in (x, y), so the oracle recomputes every channel mean from the "
+    "formulas in SQL; a decoder with a wrong pass origin, bit order, "
+    "palette index width, or scale factor hash-mismatches.  Real "
+    "scraped PNGs are routinely paletted or interlaced — this closes "
+    "the last decode gaps on the most common lossless web format.",
+)
+def q_png_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import fullspec_png_media, image_stats
+
+    media = fullspec_png_media(spark)
+    return image_stats(media.select("media_id", "content")).orderBy(
+        "media_id"
+    )
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

@@ -68,6 +68,7 @@ _PRIORITY: list[str] = [
     "q_delta_export",
     "q_lake_federation",
     "q_audio_adpcm",
+    "q_png_formats",
     # (c) the two r13-head names that missed the 50-row cut
     "q_merge_dv",
     "q_xls_ingest",
@@ -104,9 +105,9 @@ _PRIORITY: list[str] = [
     "q_webgraph_rank",
     "q_clustering_coeff",
     "q_label_spread",
-    "q_pagerank_resume",
     # (52-slot budget enforced by test_priority_queries_yield_first;
-    # still never sampled after this head: q_shortest_paths,
+    # still never sampled after this head: q_pagerank_resume,
+    # q_shortest_paths,
     # q_bmp_features,
     # q_image_dhash, q_exif_metadata, q_exif_normalize,
     # q_fwf_ingest, q_span_corruption, q_pmi_collocations, and

@@ -190,6 +190,7 @@ def test_png_codec_rejects_unsupported_forms():
             + struct.pack(">I", zlib.crc32(tag + data))
         )
 
+    # grayscale decodes since r14 — replicated to 3 channels
     gray_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
     raw = bytes([0, 1, 2, 0, 3, 4])  # 2 rows: filter byte + 2 px
     gray = (
@@ -198,8 +199,27 @@ def test_png_codec_rejects_unsupported_forms():
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+    g = decode_png(gray)
+    assert g.shape == (2, 2, 3) and tuple(g[1, 1]) == (4, 4, 4)
+    # spec-ILLEGAL combos still refuse: 16-bit palette, interlace 2
+    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    bad = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", bad_ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
     with pytest.raises(ValueError, match="unsupported PNG"):
-        decode_png(gray)
+        decode_png(bad)
+    bad2_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
+    bad2 = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", bad2_ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(bad2)
 
 
 def test_image_stats_matches_closed_form(spark):
@@ -1962,3 +1982,180 @@ def test_ima_adpcm_bad_block_align_raises():
 
     with pytest.raises(ValueError, match="block_align"):
         _decode_ima_adpcm(b"\x00" * 64, 2, 10)
+
+
+# --- full-spec PNG decode (r14) ----------------------------------------------
+
+
+def _png_chunks(w, h, depth, color, interlace, idat, extra=()):
+    """Hand-assemble a PNG from raw chunk parts — independent of
+    encode_png, so the decoder is tested against the spec, not
+    against its own encoder."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color,
+                                      0, 0, interlace))
+    for tag, data in extra:
+        out += chunk(tag, data)
+    out += chunk(b"IDAT", zlib.compress(idat))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def _pack_scanline(vals, depth):
+    """Filter-0 scanline from a flat list of native-range samples."""
+    import struct
+
+    if depth == 8:
+        return b"\x00" + bytes(vals)
+    if depth == 16:
+        return b"\x00" + b"".join(struct.pack(">H", v) for v in vals)
+    per = 8 // depth
+    out = bytearray(b"\x00")
+    for i in range(0, len(vals), per):
+        byte = 0
+        group = vals[i:i + per]
+        for j, v in enumerate(group):
+            byte |= v << (8 - depth * (j + 1))
+        out.append(byte)
+    return bytes(out)
+
+
+def test_png_grayscale_depths_scale_to_8bit():
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.multimodal import decode_png
+
+    for depth in (1, 2, 4, 8, 16):
+        maxv = (1 << depth) - 1
+        vals = [0, maxv, maxv // 2, 1 % (maxv + 1)]
+        idat = _pack_scanline(vals, depth) * 2  # 2 identical rows
+        img = decode_png(_png_chunks(4, 2, depth, 0, 0, idat))
+        assert img.shape == (2, 4, 3) and img.dtype == np.uint8
+        exp0 = 0
+        exp1 = 255 if depth != 16 else maxv >> 8
+        assert img[0, 0, 0] == exp0 and img[0, 1, 0] == exp1
+        # gray replicates across channels
+        assert (img[:, :, 0] == img[:, :, 1]).all()
+        if depth < 16:
+            assert img[0, 2, 0] == (maxv // 2) * 255 // maxv
+
+
+def test_png_palette_with_trns_alpha():
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.multimodal import decode_png
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    trns = bytes([255, 128, 0])  # entry 3 defaults to 255
+    for depth in (1, 2, 4, 8):
+        n_idx = min(4, 1 << depth)
+        vals = list(range(n_idx))
+        idat = _pack_scanline(vals, depth)
+        img = decode_png(_png_chunks(
+            n_idx, 1, depth, 3, 0, idat,
+            extra=[(b"PLTE", plte), (b"tRNS", trns)]))
+        assert img.shape == (1, n_idx, 4)
+        assert tuple(img[0, 0]) == (255, 0, 0, 255)
+        if n_idx > 1:
+            assert tuple(img[0, 1]) == (0, 255, 0, 128)
+        if n_idx > 3:
+            assert tuple(img[0, 3]) == (7, 8, 9, 255)
+    del np
+
+
+def test_png_palette_without_trns_is_rgb():
+    from artis_data_ingest_spark.operators.multimodal import decode_png
+
+    plte = bytes([10, 20, 30, 40, 50, 60])
+    img = decode_png(_png_chunks(
+        2, 1, 8, 3, 0, _pack_scanline([1, 0], 8),
+        extra=[(b"PLTE", plte)]))
+    assert img.shape == (1, 2, 3)
+    assert tuple(img[0, 0]) == (40, 50, 60)
+    assert tuple(img[0, 1]) == (10, 20, 30)
+
+
+def test_png_gray_alpha_and_rgb16():
+    from artis_data_ingest_spark.operators.multimodal import decode_png
+
+    # gray+alpha 8-bit: (g, a) pairs
+    img = decode_png(_png_chunks(
+        2, 1, 8, 4, 0, _pack_scanline([100, 200, 50, 25], 8)))
+    assert img.shape == (1, 2, 4)
+    assert tuple(img[0, 0]) == (100, 100, 100, 200)
+    assert tuple(img[0, 1]) == (50, 50, 50, 25)
+    # RGB 16-bit scales high byte
+    img2 = decode_png(_png_chunks(
+        1, 1, 16, 2, 0,
+        _pack_scanline([0xFF00, 0x8001, 0x00FF], 16)))
+    assert tuple(img2[0, 0]) == (0xFF, 0x80, 0x00)
+
+
+def test_png_adam7_interlace_roundtrip():
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.multimodal import decode_png
+
+    # reference image, then emit the 7 passes per the spec table
+    h, w = 9, 10
+    ref = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    idat = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = ref[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            idat += _pack_scanline(list(row.ravel()), 8)
+    img = decode_png(_png_chunks(w, h, 8, 2, 1, bytes(idat)))
+    assert (img == ref).all()
+
+
+def test_png_adam7_interlaced_grayscale_1bit():
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.multimodal import decode_png
+
+    h, w = 5, 7
+    ref = (np.arange(h * w).reshape(h, w) % 2).astype(np.uint8)
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    idat = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = ref[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            idat += _pack_scanline(list(row), 1)
+    img = decode_png(_png_chunks(w, h, 1, 0, 1, bytes(idat)))
+    assert (img[:, :, 0] == ref * 255).all()
+    assert (img[:, :, 1] == img[:, :, 0]).all()
+
+
+def test_png_truncated_pass_raises():
+    import pytest
+
+    from artis_data_ingest_spark.operators.multimodal import decode_png
+
+    with pytest.raises(ValueError, match="wrong length"):
+        decode_png(_png_chunks(4, 2, 8, 0, 0,
+                               _pack_scanline([1, 2, 3, 4], 8)))
+
+
+def test_png_palette_index_out_of_range_raises():
+    import pytest
+
+    from artis_data_ingest_spark.operators.multimodal import decode_png
+
+    with pytest.raises(ValueError, match="palette"):
+        decode_png(_png_chunks(
+            1, 1, 8, 3, 0, _pack_scanline([5], 8),
+            extra=[(b"PLTE", bytes([1, 2, 3]))]))

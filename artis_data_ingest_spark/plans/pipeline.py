@@ -1743,6 +1743,172 @@ def q_png_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hudi_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "hudi_interop",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|hu1"
+    except OSError:
+        sig = f"{src}|missing|hu1"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+def _build_hudi_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hand-lay-out a Hudi COW table over orders per the public
+    storage spec.  File groups = o_orderkey%3 buckets:
+      instant 001: fg0 slice (bucket 0 MINUS o_orderkey%5==0),
+                   fg1 (bucket 1), fg2 (bucket 2)
+      instant 002: fg0 UPSERT slice = full bucket 0
+      instant 003: replacecommit kills fg2, adds fg3 =
+                   bucket 2 AND o_orderkey%2==0 (clustering rewrite)
+      instant 004: INFLIGHT-only slice of fg1 (torn write, must stay
+                   invisible)
+    Latest = bucket0 ∪ bucket1 ∪ (bucket2 ∧ even);
+    as-of 001 = (bucket0 ∧ %5≠0) ∪ bucket1 ∪ bucket2."""
+    import json
+    import os
+    import shutil
+
+    table = _hudi_cache_path(sf_dir)
+    if os.path.exists(os.path.join(table, "_SUCCESS")):
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    hoodie = os.path.join(table, ".hoodie")
+    os.makedirs(hoodie, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = os.path.join(table, "_build_tmp")
+
+    def _slice(pred, file_id: str, instant: str) -> None:
+        stage = os.path.join(tmp, f"{file_id}-{instant}")
+        orders.where(pred).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(stage, part),
+            os.path.join(table, f"{file_id}_1-0-1_{instant}.parquet"),
+        )
+
+    def _commit(instant: str, kind: str = "commit",
+                body: dict | None = None) -> None:
+        with open(os.path.join(hoodie, f"{instant}.{kind}"),
+                  "w") as fh:
+            json.dump(body or {}, fh)
+
+    k = F.col("o_orderkey")
+    _slice((k % 3 == 0) & (k % 5 != 0), "fg0", "001")
+    _slice(k % 3 == 1, "fg1", "001")
+    _slice(k % 3 == 2, "fg2", "001")
+    _commit("001")
+    _slice(k % 3 == 0, "fg0", "002")
+    _commit("002")
+    _slice((k % 3 == 2) & (k % 2 == 0), "fg3", "003")
+    _commit("003", kind="replacecommit",
+            body={"partitionToReplaceFileIds": {"": ["fg2"]}})
+    _slice((k % 3 == 1) & (k % 7 == 0), "fg1", "004")
+    with open(os.path.join(hoodie, "004.commit.inflight"), "w"):
+        pass
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(table, "_SUCCESS"), "w"):
+        pass
+    return table
+
+
+@register(
+    "q_hudi_read",
+    oracle="""
+WITH snap AS (
+  SELECT 'latest' AS snapshot, o_orderkey, o_custkey, o_totalprice,
+         o_orderstatus
+  FROM orders
+  WHERE o_orderkey % 3 IN (0, 1)
+     OR (o_orderkey % 3 = 2 AND o_orderkey % 2 = 0)
+  UNION ALL
+  SELECT 't001', o_orderkey, o_custkey, o_totalprice, o_orderstatus
+  FROM orders
+  WHERE (o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0)
+     OR o_orderkey % 3 IN (1, 2)
+)
+SELECT snapshot, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(SUM(CAST(CONCAT('0x', substring(
+              md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                  CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT))
+            AS BIGINT) AS key_checksum
+FROM snap
+GROUP BY snapshot, o_orderstatus
+ORDER BY snapshot, o_orderstatus
+""",
+    doc="Apache Hudi copy-on-write interop (sources/hudi.py — the "
+    "public Hudi storage layout implemented from spec, no hudi-spark "
+    "bundle in this image; with Delta and Iceberg this completes the "
+    "open-table-format trifecta): a COW table is hand-laid-out over "
+    "orders — file groups keyed by o_orderkey%3, an UPSERT slice "
+    "superseding file group 0, a REPLACECOMMIT clustering away file "
+    "group 2 into a rewritten group, and a torn inflight-only slice "
+    "that must stay invisible — then snapshot-read at the latest "
+    "instant and time-travelled to instant 001, profiled per "
+    "o_orderstatus.  The oracle recomputes both snapshots from "
+    "predicates over the original parquet, so a reader that scans a "
+    "superseded slice, resurrects a replaced file group, or surfaces "
+    "an uncommitted write hash-mismatches.  Scale: timeline walk + "
+    "file-group resolution are driver-side metadata (Hudi's own "
+    "file-system view); data is one distributed parquet scan over "
+    "the selected base files.",
+)
+def q_hudi_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.hudi import read_hudi
+
+    table = _build_hudi_fixture(spark, sf_dir)
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                ).cast("bigint").alias("total_cents"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.col("o_orderkey").cast("string"),
+                                    F.col("o_custkey").cast("string"),
+                                )
+                            ),
+                            1, 12,
+                        ),
+                        16, 10,
+                    ).cast("bigint")
+                ).cast("bigint").alias("key_checksum"),
+            )
+            .select(
+                F.lit(tag).alias("snapshot"), "o_orderstatus",
+                "n_orders", "total_cents", "key_checksum",
+            )
+        )
+
+    latest = profile(read_hudi(spark, table), "latest")
+    old = profile(read_hudi(spark, table, as_of_instant="001"), "t001")
+    return latest.unionByName(old).orderBy("snapshot", "o_orderstatus")
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

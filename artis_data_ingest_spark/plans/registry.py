@@ -69,6 +69,7 @@ _PRIORITY: list[str] = [
     "q_lake_federation",
     "q_audio_adpcm",
     "q_png_formats",
+    "q_hudi_read",
     # (c) the two r13-head names that missed the 50-row cut
     "q_merge_dv",
     "q_xls_ingest",
@@ -104,9 +105,9 @@ _PRIORITY: list[str] = [
     "q_theil_sen",
     "q_webgraph_rank",
     "q_clustering_coeff",
-    "q_label_spread",
     # (52-slot budget enforced by test_priority_queries_yield_first;
-    # still never sampled after this head: q_pagerank_resume,
+    # still never sampled after this head: q_label_spread,
+    # q_pagerank_resume,
     # q_shortest_paths,
     # q_bmp_features,
     # q_image_dhash, q_exif_metadata, q_exif_normalize,

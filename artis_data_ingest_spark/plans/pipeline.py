@@ -1909,6 +1909,60 @@ def q_hudi_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.unionByName(old).orderBy("snapshot", "o_orderstatus")
 
 
+@register(
+    "q_mbox_ingest",
+    oracle="""
+SELECT 'list' || f || '.mbox' AS mailbox,
+       CAST(i + 1 AS BIGINT) AS seq,
+       '<m' || f || '.' || i || '@example>' AS message_id,
+       TIMESTAMP '2024-02-01 10:00:00' + to_minutes(i) AS date_ts,
+       'user' || i || '@example.com' AS from_addr,
+       'list' || f || '@example.org' AS to_addrs,
+       'msg ' || i || ' of file ' || f AS subject,
+       CAST((i + 1) * 20 + CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS n_chars,
+       CAST(i % 2 AS BIGINT) AS n_attachments,
+       TRUE AS parse_ok
+FROM range(3) a(f), range(5) b(i)
+ORDER BY mailbox, seq
+""",
+    doc="Mbox mailing-list corpus ingest (sources/mailbox.py — RFC "
+    "4155 envelope splitting + the stdlib RFC 5322 parser with "
+    "policy.default, distributed one task per mailbox through "
+    "binaryFile + Arrow-batched mapInPandas): the committed "
+    "data/mbox fixtures (tools/make_mbox_fixtures.py) carry three "
+    "mailboxes of five closed-form messages — alternating plain and "
+    "multipart/mixed with a base64 attachment — and every extracted "
+    "field (sequence, Message-ID, UTC-normalized Date, From/To, "
+    "decoded Subject, plain-text body length incl. the mbox "
+    "separator line plain bodies absorb, attachment count) is "
+    "recomputed by the oracle from the (f, i) formulas.  Mailing-"
+    "list archives (Enron, LKML, Apache) are a staple pretraining "
+    "source; a parser that mis-splits envelopes, strips the wrong "
+    "part, or double-decodes transfer encodings hash-mismatches.",
+)
+def q_mbox_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.mailbox import read_mbox
+
+    fixture_dir = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "mbox",
+    )
+    return (
+        read_mbox(spark, fixture_dir)
+        .select(
+            "mailbox", "seq", "message_id", "date_ts", "from_addr",
+            "to_addrs", "subject", "n_chars", "n_attachments",
+            "parse_ok",
+        )
+        .orderBy("mailbox", "seq")
+    )
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

@@ -1963,6 +1963,80 @@ def q_mbox_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_delta_stream",
+    oracle="""
+SELECT CAST(2 AS BIGINT) AS _commit_version,
+       o_orderkey % 4 AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(SUM(CAST(CONCAT('0x', substring(
+              md5(CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT))
+            AS BIGINT) AS key_checksum
+FROM orders
+WHERE o_orderkey % 4 = 3
+GROUP BY o_orderkey % 4
+ORDER BY _commit_version, bucket
+""",
+    doc="STRUCTURED STREAMING over an external Delta table "
+    "(streaming/delta_feed.py — a Python DataSource whose offsets "
+    "are Delta commit versions, the same contract as delta-spark's "
+    "own streaming source): a REAL micro-batch stream runs inside "
+    "this query — readStream.format('delta_feed') with "
+    "startingVersion=2 tails the interop fixture's append-only tail "
+    "into a parquet sink under a fresh checkpoint, and the landed "
+    "rows (bucket-3 appends tagged _commit_version=2, partition "
+    "values re-attached as constant Arrow columns) are profiled "
+    "against the oracle's recomputation from the original parquet.  "
+    "Versions bearing removes refuse (ignoreDeletes/ignoreChanges "
+    "opt-ins lib-pinned), so a tail can never silently re-emit "
+    "rewrites.  Scale: offsets are one log listing per trigger; "
+    "each input partition is one added file; maxFilesPerTrigger "
+    "bounds catch-up bursts; the query checkpoint makes the tail "
+    "exactly-once across restarts (lib-pinned resume).",
+)
+def q_delta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.delta_feed import register_delta_feed
+
+    register_delta_feed(spark)
+    table = _build_delta_fixture(spark, sf_dir)
+    base = _versioned_demo_path(sf_dir, "delta_stream_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    sink = f"{base}/sink"
+    ckpt = f"{base}/ckpt"
+    q = (
+        spark.readStream.format("delta_feed")
+        .option("path", table).option("startingVersion", "2").load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    landed = spark.read.parquet(sink)
+    return (
+        landed.groupBy("_commit_version", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).cast("bigint").alias("total_cents"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("o_orderkey").cast("string")),
+                        1, 12,
+                    ),
+                    16, 10,
+                ).cast("bigint")
+            ).cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("_commit_version", "bucket")
+    )
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

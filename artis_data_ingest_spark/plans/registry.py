@@ -71,6 +71,7 @@ _PRIORITY: list[str] = [
     "q_png_formats",
     "q_hudi_read",
     "q_mbox_ingest",
+    "q_delta_stream",
     # (c) the two r13-head names that missed the 50-row cut
     "q_merge_dv",
     "q_xls_ingest",
@@ -104,9 +105,9 @@ _PRIORITY: list[str] = [
     "q_trimmed_mean",
     "q_seasonal_decompose",
     "q_theil_sen",
-    "q_webgraph_rank",
     # (52-slot budget enforced by test_priority_queries_yield_first;
-    # still never sampled after this head: q_clustering_coeff,
+    # still never sampled after this head: q_webgraph_rank,
+    # q_clustering_coeff,
     # q_label_spread,
     # q_pagerank_resume,
     # q_shortest_paths,

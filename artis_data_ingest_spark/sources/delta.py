@@ -95,18 +95,33 @@ def _read_commit(path: str) -> list[dict]:
         return [json.loads(line) for line in fh if line.strip()]
 
 
-def _checkpoint_actions(spark: SparkSession, paths: list[str]) -> list[dict]:
+def _checkpoint_actions(
+    spark: SparkSession | None, paths: list[str]
+) -> list[dict]:
     """Checkpoint parquet → action dicts (adds + metaData + protocol).
 
     Checkpoints are metadata-sized (one row per live file); collecting
     them on the driver is exactly what delta-spark's state
-    reconstruction does before the DATA scan is planned."""
+    reconstruction does before the DATA scan is planned.  With
+    ``spark=None`` the rows come through pyarrow instead — the
+    ``delta_feed`` stream reader lives in a session-less worker
+    process."""
+    out: list[dict] = []
+    keep = ("add", "remove", "metaData", "protocol")
+    if spark is None:
+        import pyarrow.parquet as pq
+
+        for p in paths:
+            tbl = pq.read_table(p)
+            cols = [c for c in keep if c in tbl.schema.names]
+            for row in tbl.select(cols).to_pylist():
+                for k, v in row.items():
+                    if v is not None:
+                        out.append({k: v})
+        return out
     df = spark.read.parquet(*paths)
     cols = set(df.columns)
-    out: list[dict] = []
-    keep = [c for c in ("add", "remove", "metaData", "protocol")
-            if c in cols]
-    for row in df.select(*keep).collect():
+    for row in df.select(*[c for c in keep if c in cols]).collect():
         d = row.asDict(recursive=True)
         for k, v in d.items():
             if v is not None:

@@ -395,6 +395,98 @@ def test_write_delta_version_collision_is_excl(spark, tmp_path,
     assert delta_history(spark, t).count() == 2
 
 
+# --------------------------------------------------------------------------
+# delta_feed Structured Streaming source
+# --------------------------------------------------------------------------
+
+
+def _run_feed(spark, table, sink, ckpt, **opts):
+    from artis_data_ingest_spark.streaming.delta_feed import (
+        register_delta_feed,
+    )
+
+    register_delta_feed(spark)
+    reader = spark.readStream.format("delta_feed").option("path", table)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(sink)
+
+
+def test_feed_streams_appends_with_versions(spark, tmp_path):
+    t = str(tmp_path / "fd")
+    write_delta(spark.createDataFrame([(1,)], "id long"), t)
+    write_delta(spark.createDataFrame([(2,), (3,)], "id long"), t,
+                mode="append")
+    out = _run_feed(spark, t, str(tmp_path / "s"), str(tmp_path / "c"))
+    assert {tuple(r) for r in out.collect()} == \
+        {(1, 0), (2, 1), (3, 1)}
+
+
+def test_feed_resume_is_exactly_once(spark, tmp_path):
+    t = str(tmp_path / "fdr")
+    write_delta(spark.createDataFrame([(1,)], "id long"), t)
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    _run_feed(spark, t, sink, ckpt)
+    write_delta(spark.createDataFrame([(2,)], "id long"), t,
+                mode="append")
+    out = _run_feed(spark, t, sink, ckpt)  # same checkpoint
+    assert sorted(tuple(r) for r in out.collect()) == \
+        [(1, 0), (2, 1)]
+
+
+def test_feed_refuses_removes_without_optin(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = _basic_table(tmp_path)  # v1 removes a file
+    with pytest.raises(StreamingQueryException,
+                       match="ignoreChanges"):
+        _run_feed(spark, t, str(tmp_path / "s"), str(tmp_path / "c"))
+
+
+def test_feed_ignore_changes_reemits_rewrites(spark, tmp_path):
+    t = _basic_table(tmp_path)
+    out = _run_feed(spark, t, str(tmp_path / "s"),
+                    str(tmp_path / "c"), ignoreChanges="true")
+    got = {tuple(r) for r in out.collect()}
+    # v0 adds + v1's rewrite adds (downstream dedups, per contract)
+    assert got == {(1, "x", 0), (2, "y", 0), (3, "z", 0),
+                   (4, "u", 1), (5, "v", 1)}
+
+
+def test_feed_ignore_deletes_skips_delete_only_version(spark,
+                                                       tmp_path):
+    t = str(tmp_path / "fdd")
+    a = _data_file(t, "a.parquet", pd.DataFrame({"id": [1],
+                                                 "name": ["x"]}))
+    _commit(t, 0, [_PROTO, _meta(_SCHEMA), a])
+    _commit(t, 1, [{"remove": {"path": "a.parquet",
+                               "dataChange": True}}])
+    b = _data_file(t, "b.parquet", pd.DataFrame({"id": [2],
+                                                 "name": ["y"]}))
+    _commit(t, 2, [b])
+    out = _run_feed(spark, t, str(tmp_path / "s"),
+                    str(tmp_path / "c"), ignoreDeletes="true")
+    assert {tuple(r) for r in out.collect()} == \
+        {(1, "x", 0), (2, "y", 2)}
+
+
+def test_feed_starting_version_skips_history(spark, tmp_path):
+    t = str(tmp_path / "fdsv")
+    write_delta(spark.createDataFrame([(1,)], "id long"), t)
+    write_delta(spark.createDataFrame([(2,)], "id long"), t,
+                mode="append")
+    out = _run_feed(spark, t, str(tmp_path / "s"),
+                    str(tmp_path / "c"), startingVersion="1")
+    assert [tuple(r) for r in out.collect()] == [(2, 1)]
+
+
 def test_changes_reattach_partition_values(spark, tmp_path):
     t = str(tmp_path / "dlpc")
     os.makedirs(t, exist_ok=True)

@@ -652,3 +652,123 @@ def test_versioned_prune_is_sound(
         r.k for r in scan(spark, tdir, [("k", op, pivot)]).collect()
     )
     assert got == expect
+
+
+# --- round-14 codec properties (pure-Python, no Spark per example) ----------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.one_of(st.none(), st.text(max_size=30)),
+            st.one_of(st.none(),
+                      st.floats(allow_nan=False, allow_infinity=False)),
+            st.lists(st.one_of(st.none(),
+                               st.integers(-(2**31), 2**31 - 1)),
+                     max_size=5),
+            st.binary(max_size=20),
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    st.sampled_from(["null", "deflate", "bzip2", "xz"]),
+)
+def test_avro_roundtrip_property(rows, codec):
+    """encode_ocf ∘ decode_ocf is the identity on any value set the
+    schema admits, for every supported codec."""
+    from pyspark.sql import types as T
+
+    from artis_data_ingest_spark.sources.avro_ocf import (
+        decode_ocf,
+        encode_ocf,
+    )
+
+    schema = T.StructType([
+        T.StructField("i", T.LongType(), False),
+        T.StructField("s", T.StringType(), True),
+        T.StructField("d", T.DoubleType(), True),
+        T.StructField("xs", T.ArrayType(T.IntegerType(), True), True),
+        T.StructField("b", T.BinaryType(), False),
+    ])
+    dicts = [
+        {"i": i, "s": s, "d": d, "xs": xs, "b": b}
+        for i, s, d, xs, b in rows
+    ]
+    _, back = decode_ocf(
+        encode_ocf(dicts, schema, codec=codec, rows_per_block=3)
+    )
+    assert back == dicts
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, 15), min_size=8, max_size=64).filter(
+        lambda xs: len(xs) % 8 == 0
+    ),
+    st.integers(-32768, 32767),
+    st.integers(0, 88),
+)
+def test_ima_adpcm_matches_mirror_property(nibs, pred, idx):
+    """The vectorized IMA decoder equals the scalar spec recurrence
+    on arbitrary nibble streams and initial state."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_ima_raw,
+    )
+    from tests.test_multimodal import _ima_mirror
+
+    arr = np.array([nibs], dtype=np.uint8)
+    samples, _ = decode_wav(
+        encode_wav_ima_raw(arr, np.array([pred]), np.array([idx]),
+                           8000)
+    )
+    assert list(samples[:, 0]) == _ima_mirror(nibs, pred, idx)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.sampled_from([(0, 1), (0, 2), (0, 4), (0, 8), (0, 16),
+                     (2, 8), (2, 16), (4, 8), (6, 8)]),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+def test_png_fullspec_roundtrip_property(w, h, cfg, interlace, rnd):
+    """_encode_png_raw ∘ decode_png maps native samples to the
+    documented 8-bit expansion for every (color, depth, interlace)
+    combo the decoder claims."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.multimodal import (
+        _PNG_RAW_CH,
+        _encode_png_raw,
+        decode_png,
+    )
+
+    color, depth = cfg
+    ch = _PNG_RAW_CH[color]
+    maxv = (1 << depth) - 1
+    native = np.array(
+        [[[rnd.randint(0, maxv) for _ in range(ch)]
+          for _ in range(w)] for _ in range(h)]
+    )
+    img = decode_png(
+        _encode_png_raw(native, depth, color, interlace=int(interlace))
+    )
+    if depth == 16:
+        expect = (native >> 8).astype(np.uint8)
+    else:
+        expect = (native * 255 // maxv).astype(np.uint8)
+    if color == 0:
+        assert (img == np.repeat(expect, 3, axis=2)).all()
+    elif color == 4:
+        assert (img[:, :, :3] ==
+                np.repeat(expect[:, :, :1], 3, axis=2)).all()
+        assert (img[:, :, 3] == expect[:, :, 1]).all()
+    else:
+        assert (img == expect).all()

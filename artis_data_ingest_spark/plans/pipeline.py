@@ -2037,6 +2037,103 @@ def q_delta_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _iceberg_export_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "iceberg_export",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "customer.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|ie1"
+    except OSError:
+        sig = f"{src}|missing|ie1"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+@register(
+    "q_iceberg_export",
+    oracle="""
+WITH snaps AS (
+  SELECT 'latest' AS snapshot, * FROM customer
+  UNION ALL
+  SELECT 'snap1' AS snapshot, * FROM customer WHERE c_custkey % 5 <> 0
+)
+SELECT snapshot, c_mktsegment,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(SUM(CAST(CONCAT('0x', substring(md5(c_name), 1, 12))
+                     AS BIGINT)) AS BIGINT) AS name_checksum
+FROM snaps
+GROUP BY snapshot, c_mktsegment
+ORDER BY snapshot, c_mktsegment
+""",
+    doc="Iceberg EXPORT half (sources/iceberg.py write_iceberg): "
+    "customers are written once per fixture as a spec-conformant "
+    "Iceberg v2 table in TWO snapshots — a create with "
+    "c_custkey%5<>0 and an append with the rest; manifests and "
+    "manifest lists are real Avro OCFs from this repo's own codec, "
+    "the metadata JSON + version-hint complete the filesystem-"
+    "catalog commit (O_EXCL version publication) — then read back at "
+    "the latest AND the pinned first snapshot and profiled per "
+    "segment.  The oracle recomputes both snapshots from the "
+    "original parquet, so a writer that drops a file from a "
+    "manifest, forgets to carry prior manifests into the new "
+    "manifest list, or mis-points version-hint hash-mismatches.  "
+    "Scale: the data write is a normal distributed parquet write; "
+    "only O(files) manifest metadata is driver-side.",
+)
+def q_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.iceberg import read_iceberg, write_iceberg
+
+    table = _iceberg_export_cache_path(sf_dir)
+    if not os.path.exists(os.path.join(table, "_SUCCESS")):
+        cust = load_table(spark, sf_dir, "customer")
+        write_iceberg(
+            cust.where(F.col("c_custkey") % 5 != 0).repartition(4),
+            table,
+        )
+        write_iceberg(
+            cust.where(F.col("c_custkey") % 5 == 0).repartition(2),
+            table, mode="append",
+        )
+        with open(os.path.join(table, "_SUCCESS"), "w"):
+            pass
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_cust"),
+                F.sum(
+                    F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+                ).cast("bigint").alias("total_cents"),
+                F.sum(
+                    F.conv(F.substring(F.md5("c_name"), 1, 12), 16, 10)
+                    .cast("bigint")
+                ).cast("bigint").alias("name_checksum"),
+            )
+            .select(
+                F.lit(tag).alias("snapshot"), "c_mktsegment",
+                "n_cust", "total_cents", "name_checksum",
+            )
+        )
+
+    latest = profile(read_iceberg(spark, table), "latest")
+    first = profile(read_iceberg(spark, table, snapshot_id=1), "snap1")
+    return latest.unionByName(first).orderBy(
+        "snapshot", "c_mktsegment"
+    )
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

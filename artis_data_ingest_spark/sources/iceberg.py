@@ -210,6 +210,193 @@ def _snapshot_files(
     return data_files, delete_files
 
 
+_SPARK_TO_ICEBERG = {
+    "bigint": "long", "int": "int", "smallint": "int",
+    "tinyint": "int", "double": "double", "float": "float",
+    "string": "string", "boolean": "boolean", "date": "date",
+    "timestamp": "timestamptz", "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+_MANIFEST_ENTRY_T = None  # built lazily (pyspark types import)
+
+
+def _writer_schemas():
+    """Spark StructTypes for the manifest-entry and manifest-list
+    records our writer emits (the reader consumes ANY conforming
+    Avro via the generic decoder — these shapes are the spec's
+    required fields)."""
+    from pyspark.sql import types as T
+
+    entry_t = T.StructType([
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("snapshot_id", T.LongType(), True),
+        T.StructField("data_file", T.StructType([
+            T.StructField("content", T.IntegerType(), True),
+            T.StructField("file_path", T.StringType(), False),
+            T.StructField("file_format", T.StringType(), False),
+            T.StructField("record_count", T.LongType(), False),
+            T.StructField("file_size_in_bytes", T.LongType(), False),
+        ]), False),
+    ])
+    list_t = T.StructType([
+        T.StructField("manifest_path", T.StringType(), False),
+        T.StructField("manifest_length", T.LongType(), False),
+        T.StructField("partition_spec_id", T.IntegerType(), False),
+        T.StructField("content", T.IntegerType(), True),
+        T.StructField("added_snapshot_id", T.LongType(), True),
+    ])
+    return entry_t, list_t
+
+
+def write_iceberg(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "error",
+) -> int:
+    """Write/extend an external-format Iceberg v2 table (the EXPORT
+    half: results hand off to any engine with an Iceberg catalog
+    pointed at the directory).  Returns the committed snapshot id.
+
+    * ``mode="error"`` — create the table (snapshot 1).
+    * ``mode="append"`` — new snapshot = previous manifests (their
+      files now EXISTING) + one ADDED manifest for the new files.
+
+    Data is a normal distributed parquet write renamed under
+    ``data/``; the manifest + manifest-list Avro files are produced
+    by this repo's own OCF encoder, and ``v{N}.metadata.json`` +
+    ``version-hint.text`` complete the filesystem-catalog commit.
+    Unpartitioned spec (spec-id 0, no fields) — identity-partitioned
+    data keeps its columns in the files anyway, so consumers lose
+    nothing but pruning hints.  Driver work is O(files) metadata,
+    the same bound as any Iceberg writer's commit phase."""
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from .avro_ocf import encode_ocf
+
+    if mode not in ("error", "append"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    meta_dir = os.path.join(table_dir, "metadata")
+    exists = os.path.isdir(meta_dir) and any(
+        f.endswith(".metadata.json") for f in os.listdir(meta_dir)
+    )
+    if exists and mode == "error":
+        raise IcebergProtocolError(
+            f"{table_dir} already holds Iceberg metadata "
+            "(use mode='append')"
+        )
+    if not exists:
+        mode = "error"
+    os.makedirs(meta_dir, exist_ok=True)
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+
+    fields = []
+    for i, f in enumerate(df.schema.fields):
+        simple = f.dataType.simpleString()
+        if simple in _SPARK_TO_ICEBERG:
+            itype = _SPARK_TO_ICEBERG[simple]
+        elif simple.startswith("decimal("):
+            itype = simple
+        else:
+            raise IcebergProtocolError(
+                f"no Iceberg mapping for column {f.name!r} type "
+                f"{simple!r}"
+            )
+        fields.append({"id": i + 1, "name": f.name,
+                       "required": False, "type": itype})
+
+    if exists:
+        meta = _load_table_metadata(table_dir)
+        snap_id = max(
+            (s["snapshot-id"] for s in meta.get("snapshots") or []),
+            default=0,
+        ) + 1
+        version = 1 + max(
+            int(f[1:].split(".")[0]) for f in os.listdir(meta_dir)
+            if f.endswith(".metadata.json")
+        )
+        prev_list = None
+        cur = next(
+            (s for s in meta["snapshots"]
+             if s["snapshot-id"] == meta.get("current-snapshot-id")),
+            None,
+        )
+        if cur is not None:
+            prev_list = _norm_path(cur["manifest-list"], table_dir)
+    else:
+        meta = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": f"file://{os.path.abspath(table_dir)}",
+            "schemas": [{"schema-id": 0, "type": "struct",
+                         "fields": fields}],
+            "current-schema-id": 0,
+            "snapshots": [],
+        }
+        snap_id, version, prev_list = 1, 1, None
+
+    # distributed data write, renamed under data/
+    stage = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(stage)
+    entry_t, list_t = _writer_schemas()
+    entries = []
+    for i, name in enumerate(sorted(os.listdir(stage))):
+        if not name.endswith(".parquet"):
+            continue
+        dst = os.path.join(
+            table_dir, "data",
+            f"data-{snap_id}-{i:05d}-{uuid.uuid4().hex[:8]}.parquet",
+        )
+        os.replace(os.path.join(stage, name), dst)
+        entries.append({
+            "status": 1, "snapshot_id": snap_id,
+            "data_file": {
+                "content": 0,
+                "file_path": f"file://{os.path.abspath(dst)}",
+                "file_format": "PARQUET",
+                "record_count": pq.ParquetFile(dst).metadata.num_rows,
+                "file_size_in_bytes": os.path.getsize(dst),
+            },
+        })
+    shutil.rmtree(stage, ignore_errors=True)
+
+    mpath = os.path.join(meta_dir, f"m-{snap_id}.avro")
+    with open(mpath, "wb") as fh:
+        fh.write(encode_ocf(entries, entry_t))
+    list_rows = [{
+        "manifest_path": f"file://{os.path.abspath(mpath)}",
+        "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": 0, "content": 0,
+        "added_snapshot_id": snap_id,
+    }]
+    if prev_list is not None:
+        with open(prev_list, "rb") as fh:
+            _, prev_rows = decode_ocf(fh.read())
+        list_rows = prev_rows + list_rows
+    lpath = os.path.join(meta_dir, f"snap-{snap_id}.avro")
+    with open(lpath, "wb") as fh:
+        fh.write(encode_ocf(list_rows, list_t))
+
+    meta = dict(meta)
+    meta["snapshots"] = list(meta.get("snapshots") or []) + [{
+        "snapshot-id": snap_id,
+        "timestamp-ms": version,
+        "summary": {"operation": "append"},
+        "manifest-list": f"file://{os.path.abspath(lpath)}",
+    }]
+    meta["current-snapshot-id"] = snap_id
+    # O_EXCL metadata publication — the version number is the lock
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"),
+              "x") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return snap_id
+
+
 def iceberg_snapshots(spark: SparkSession, table_dir: str) -> DataFrame:
     """One row per snapshot in the table's log — the spec's
     ``snapshots`` metadata table, driver-side metadata only."""

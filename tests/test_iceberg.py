@@ -294,6 +294,55 @@ def test_missing_metadata_raises(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# writer (export half)
+# --------------------------------------------------------------------------
+
+
+def test_write_iceberg_roundtrip_and_append(spark, tmp_path):
+    from artis_data_ingest_spark.sources.iceberg import (
+        read_iceberg_appends,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "out")
+    s1 = write_iceberg(
+        spark.createDataFrame([(1, "a"), (2, "b")],
+                              "id long, s string").repartition(2), t)
+    s2 = write_iceberg(
+        spark.createDataFrame([(3, "c")], "id long, s string"), t,
+        mode="append")
+    assert (s1, s2) == (1, 2)
+    assert {tuple(r) for r in read_iceberg(spark, t).collect()} == \
+        {(1, "a"), (2, "b"), (3, "c")}
+    # the prior snapshot stays readable (manifests carried forward)
+    assert {tuple(r)
+            for r in read_iceberg(spark, t, snapshot_id=1).collect()} \
+        == {(1, "a"), (2, "b")}
+    tail = read_iceberg_appends(spark, t, from_snapshot=1)
+    assert [tuple(r) for r in tail.collect()] == [(3, "c")]
+    snaps = {r["snapshot_id"]: r
+             for r in iceberg_snapshots(spark, t).collect()}
+    assert snaps[2]["is_current"] and not snaps[1]["is_current"]
+
+
+def test_write_iceberg_mode_error_refuses_existing(spark, tmp_path):
+    from artis_data_ingest_spark.sources.iceberg import write_iceberg
+
+    t = str(tmp_path / "oute")
+    write_iceberg(spark.createDataFrame([(1,)], "id long"), t)
+    with pytest.raises(IcebergProtocolError, match="already holds"):
+        write_iceberg(spark.createDataFrame([(2,)], "id long"), t)
+
+
+def test_write_iceberg_unsupported_type_refuses(spark, tmp_path):
+    from artis_data_ingest_spark.sources.iceberg import write_iceberg
+
+    df = spark.createDataFrame([([1, 2],)], "xs array<int>")
+    with pytest.raises(IcebergProtocolError, match="no Iceberg"):
+        write_iceberg(df, str(tmp_path / "outt"))
+
+
+# --------------------------------------------------------------------------
 # incremental append tailing
 # --------------------------------------------------------------------------
 

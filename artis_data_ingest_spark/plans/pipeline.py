@@ -2134,6 +2134,176 @@ def q_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _delta_cdf_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "delta_cdf",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|cdf1"
+    except OSError:
+        sig = f"{src}|missing|cdf1"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+def _build_delta_cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hand-write a CDF-bearing Delta table: v0 adds the %4==1 slice
+    of orders; v1 is an UPDATE of its %7==0 rows (prices doubled) —
+    remove + rewritten add + a ``cdc`` action whose _change_data file
+    carries the update_preimage/update_postimage rows."""
+    import json
+    import os
+    import shutil
+
+    table = _delta_cdf_cache_path(sf_dir)
+    if os.path.exists(os.path.join(table, "_SUCCESS")):
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(os.path.join(table, "_delta_log"), exist_ok=True)
+    os.makedirs(os.path.join(table, "_change_data"), exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.where(k % 4 == 1)
+    tmp = os.path.join(table, "_build_tmp")
+
+    def _one_file(df: DataFrame, rel: str) -> dict:
+        stage = os.path.join(tmp, rel.replace("/", "_"))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        dst = os.path.join(table, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(os.path.join(stage, part), dst)
+        return {"path": rel, "partitionValues": {},
+                "size": os.path.getsize(dst),
+                "modificationTime": 1700000000000, "dataChange": True}
+
+    a0 = {"add": _one_file(base, "part-a.parquet")}
+    meta = {"metaData": {
+        "id": "cdf-fixture",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": f.name, "type": f.dataType.jsonValue(),
+                 "nullable": True, "metadata": {}}
+                for f in orders.schema.fields
+            ],
+        }),
+        "partitionColumns": [],
+        "configuration": {"delta.enableChangeDataFeed": "true"},
+    }}
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}}
+
+    def _commit(v: int, actions: list[dict]) -> None:
+        with open(os.path.join(
+            table, "_delta_log", f"{v:020d}.json"
+        ), "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    _commit(0, [proto, meta,
+                {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+                a0])
+
+    doubled = base.withColumn(
+        "o_totalprice",
+        F.when(k % 7 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice")),
+    )
+    a1 = {"add": _one_file(doubled, "part-a1.parquet")}
+    pre = base.where(k % 7 == 0).withColumn(
+        "_change_type", F.lit("update_preimage")
+    )
+    post = (
+        base.where(k % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("_change_type", F.lit("update_postimage"))
+    )
+    cdc_file = _one_file(
+        pre.unionByName(post), "_change_data/cdc-1.parquet"
+    )
+    cdc_file["dataChange"] = False
+    _commit(1, [
+        {"commitInfo": {"timestamp": 2, "operation": "UPDATE"}},
+        {"remove": {"path": "part-a.parquet", "dataChange": True,
+                    "deletionTimestamp": 2}},
+        a1,
+        {"cdc": cdc_file},
+    ])
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(table, "_SUCCESS"), "w"):
+        pass
+    return table
+
+
+@register(
+    "q_delta_cdf",
+    oracle="""
+WITH slice AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1
+), feed AS (
+  SELECT 'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version,
+         o_orderkey, o_totalprice
+  FROM slice
+  UNION ALL
+  SELECT 'update_preimage', 1, o_orderkey, o_totalprice
+  FROM slice WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT 'update_postimage', 1, o_orderkey, o_totalprice * 2
+  FROM slice WHERE o_orderkey % 7 = 0
+)
+SELECT _change_type, _commit_version,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       MIN(o_orderkey) AS min_orderkey
+FROM feed
+GROUP BY _change_type, _commit_version
+ORDER BY _change_type, _commit_version
+""",
+    doc="Delta CHANGE DATA FEED read (sources/delta.py "
+    "read_delta_cdf — the protocol's table_changes path): versions "
+    "carrying ``cdc`` actions are read from their _change_data files "
+    "(update_preimage/update_postimage travel IN the files), add-"
+    "only versions surface as inserts, and data-changing versions "
+    "without cdc actions refuse loudly (Delta raises there too — "
+    "the feed simply isn't recorded).  The fixture hand-writes a "
+    "CDF-bearing table: v0 inserts the %4==1 slice of orders, v1 "
+    "UPDATEs its %7==0 rows (prices doubled) with remove + rewritten "
+    "add + cdc file.  The oracle recomputes the full feed from "
+    "predicates over the original parquet, so a reader that scans "
+    "the rewritten data file instead of the cdc file (double-"
+    "counting unchanged rows) or mislabels images hash-mismatches.  "
+    "Scale: O(changed data) — cdc files are the only thing read for "
+    "update versions.",
+)
+def q_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta import read_delta_cdf
+
+    table = _build_delta_cdf_fixture(spark, sf_dir)
+    feed = read_delta_cdf(spark, table, starting_version=-1)
+    return (
+        feed.groupBy("_change_type", "_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).cast("bigint").alias("total_cents"),
+            F.min("o_orderkey").alias("min_orderkey"),
+        )
+        .orderBy("_change_type", "_commit_version")
+    )
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

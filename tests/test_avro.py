@@ -324,3 +324,30 @@ def test_write_avro_skips_empty_partitions(spark, tmp_path):
 def test_read_avro_empty_dir_raises(spark, tmp_path):
     with pytest.raises(AvroError, match="no .avro files"):
         read_avro(spark, str(tmp_path))
+
+
+def test_read_avro_mixed_writer_schemas_resolves_by_name(spark,
+                                                         tmp_path):
+    """Schema evolution across files: every OCF is self-describing,
+    so each file decodes under its OWN writer schema and rows project
+    by name onto the read schema — missing fields null out, extra
+    fields drop (the spec's name-based resolution)."""
+    import os
+
+    old = T.StructType([T.StructField("id", T.LongType(), True)])
+    new = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("tag", T.StringType(), True),
+    ])
+    d = str(tmp_path / "mix")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-00000.avro"), "wb") as fh:
+        fh.write(encode_ocf([{"id": 1}], old))
+    with open(os.path.join(d, "part-00001.avro"), "wb") as fh:
+        fh.write(encode_ocf([{"id": 2, "tag": "t"}], new))
+    back = read_avro(spark, d, spark_schema=new)
+    assert {tuple(r) for r in back.collect()} == \
+        {(1, None), (2, "t")}
+    # narrowing read schema drops the evolved column
+    narrow = read_avro(spark, d, spark_schema=old)
+    assert {tuple(r) for r in narrow.collect()} == {(1,), (2,)}

@@ -396,6 +396,63 @@ def test_write_delta_version_collision_is_excl(spark, tmp_path,
 
 
 # --------------------------------------------------------------------------
+# change data feed
+# --------------------------------------------------------------------------
+
+
+def test_cdf_reads_cdc_files_and_inserts(spark, tmp_path):
+    from artis_data_ingest_spark.sources.delta import read_delta_cdf
+
+    t = str(tmp_path / "cdf")
+    os.makedirs(t, exist_ok=True)
+    a = _data_file(t, "a.parquet",
+                   pd.DataFrame({"id": [1, 2], "name": ["x", "y"]}))
+    _commit(t, 0, [_PROTO, _meta(_SCHEMA), a])
+    # v1: delete id=2, recorded via a cdc file
+    os.makedirs(os.path.join(t, "_change_data"), exist_ok=True)
+    pd.DataFrame({"id": [2], "name": ["y"],
+                  "_change_type": ["delete"]}).to_parquet(
+        os.path.join(t, "_change_data", "c1.parquet"), index=False)
+    b = _data_file(t, "a2.parquet",
+                   pd.DataFrame({"id": [1], "name": ["x"]}))
+    _commit(t, 1, [
+        {"remove": {"path": "a.parquet", "dataChange": True}},
+        b,
+        {"cdc": {"path": "_change_data/c1.parquet",
+                 "partitionValues": {}, "size": 1,
+                 "dataChange": False}},
+    ])
+    feed = read_delta_cdf(spark, t, starting_version=-1)
+    got = {tuple(r) for r in feed.collect()}
+    assert got == {(1, "x", "insert", 0), (2, "y", "insert", 0),
+                   (2, "y", "delete", 1)}
+    # cdc files must NOT leak into snapshot reads
+    assert read_delta(spark, t).count() == 1
+
+
+def test_cdf_refuses_unrecorded_data_change(spark, tmp_path):
+    from artis_data_ingest_spark.sources.delta import read_delta_cdf
+
+    t = _basic_table(tmp_path)  # v1 removes without cdc actions
+    with pytest.raises(DeltaProtocolError, match="cdc"):
+        read_delta_cdf(spark, t, starting_version=-1)
+    # a range that stops before the unrecorded change still works
+    feed = read_delta_cdf(spark, t, starting_version=-1,
+                          ending_version=0)
+    assert {r["_change_type"] for r in feed.collect()} == {"insert"}
+
+
+def test_cdf_empty_range(spark, tmp_path):
+    from artis_data_ingest_spark.sources.delta import read_delta_cdf
+
+    t = _basic_table(tmp_path)
+    feed = read_delta_cdf(spark, t, starting_version=0,
+                          ending_version=0)
+    assert feed.count() == 0
+    assert feed.columns[-2:] == ["_change_type", "_commit_version"]
+
+
+# --------------------------------------------------------------------------
 # delta_feed Structured Streaming source
 # --------------------------------------------------------------------------
 

@@ -631,6 +631,81 @@ def read_delta_cdf(
     return out
 
 
+def write_delta_checkpoint(spark: SparkSession, table_dir: str) -> int:
+    """Materialize the current snapshot state as a protocol
+    checkpoint (``{v:020d}.checkpoint.parquet`` + ``_last_checkpoint``)
+    so readers of an exported table replay O(delta) JSON commits
+    instead of the whole history — the scale half of ``write_delta``.
+    Returns the checkpointed version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    adds, meta, v = _snapshot_state(spark, table_dir, None)
+    rows = []
+    rows.append({"add": None, "metaData": {
+        "id": meta.get("id"),
+        "schemaString": meta["schemaString"],
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "configuration": dict(meta.get("configuration") or {}),
+    }, "protocol": None})
+    rows.append({"add": None, "metaData": None,
+                 "protocol": {"minReaderVersion": 1,
+                              "minWriterVersion": 2}})
+    for rel, a in adds.items():
+        rows.append({"add": {
+            "path": rel,
+            "partitionValues": dict(a.get("partitionValues") or {}),
+            "size": int(a.get("size") or 0),
+            "modificationTime": int(a.get("modificationTime") or 0),
+            "dataChange": False,
+        }, "metaData": None, "protocol": None})
+    add_t = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+    ])
+    meta_t = pa.struct([
+        ("id", pa.string()), ("schemaString", pa.string()),
+        ("partitionColumns", pa.list_(pa.string())),
+        ("configuration", pa.map_(pa.string(), pa.string())),
+    ])
+    proto_t = pa.struct([
+        ("minReaderVersion", pa.int32()),
+        ("minWriterVersion", pa.int32()),
+    ])
+
+    def _map_ready(r):
+        # pa.map_ wants pair lists, not dicts
+        out = dict(r)
+        if out["add"]:
+            out["add"] = dict(out["add"])
+            out["add"]["partitionValues"] = list(
+                out["add"]["partitionValues"].items()
+            )
+        if out["metaData"]:
+            out["metaData"] = dict(out["metaData"])
+            out["metaData"]["configuration"] = list(
+                out["metaData"]["configuration"].items()
+            )
+        return out
+
+    tbl = pa.Table.from_pylist(
+        [_map_ready(r) for r in rows],
+        schema=pa.schema([
+            ("add", add_t), ("metaData", meta_t), ("protocol", proto_t)
+        ]),
+    )
+    log_dir = os.path.join(table_dir, "_delta_log")
+    pq.write_table(
+        tbl, os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": v, "size": len(rows)}, fh)
+    return v
+
+
 def delta_history(spark: SparkSession, table_dir: str) -> DataFrame:
     """One row per commit: version, timestamp, operation, add/remove
     counts — Delta's DESCRIBE HISTORY from the JSON log alone."""

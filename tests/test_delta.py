@@ -395,6 +395,31 @@ def test_write_delta_version_collision_is_excl(spark, tmp_path,
     assert delta_history(spark, t).count() == 2
 
 
+def test_write_delta_checkpoint_replaces_burned_commits(spark,
+                                                        tmp_path):
+    """Our own checkpoint writer must satisfy our reader with the
+    pre-checkpoint commits DELETED — proving the parquet layout is
+    the one the protocol's state reconstruction expects."""
+    from artis_data_ingest_spark.sources.delta import (
+        write_delta_checkpoint,
+    )
+
+    t = str(tmp_path / "ockpt")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, s string"),
+                t, partition_by=("s",))
+    write_delta(spark.createDataFrame([(2, "b")], "id long, s string"),
+                t, mode="append", partition_by=("s",))
+    v = write_delta_checkpoint(spark, t)
+    assert v == 1
+    write_delta(spark.createDataFrame([(3, "c")], "id long, s string"),
+                t, mode="append", partition_by=("s",))
+    log = os.path.join(t, "_delta_log")
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    os.remove(os.path.join(log, f"{1:020d}.json"))
+    got = {tuple(r) for r in read_delta(spark, t).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
 # --------------------------------------------------------------------------
 # change data feed
 # --------------------------------------------------------------------------

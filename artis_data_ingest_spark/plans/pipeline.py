@@ -2304,6 +2304,82 @@ def q_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_xml_ingest",
+    oracle="""
+WITH pages AS (
+  SELECT 'wiki' || f || '.xml' AS _source,
+         'Page ' || f || '-' || i AS title,
+         CAST(100 * f + i AS BIGINT) AS page_id,
+         CAST(1000 * f + i AS BIGINT) AS rev_id,
+         TIMESTAMP '2024-03-01 00:00:00' + to_days(CAST(i AS INT))
+           AS rev_ts,
+         CAST(3 * (i + 1) AS BIGINT) AS n_words,
+         FALSE AS _corrupt
+  FROM range(3) a(f), range(4) b(i)
+  UNION ALL
+  SELECT 'broken.xml', 'Page 9-0', 900, 9000,
+         TIMESTAMP '2024-03-01 00:00:00', 3, FALSE
+  UNION ALL
+  SELECT 'broken.xml', NULL, NULL, NULL, NULL, NULL, TRUE
+)
+SELECT * FROM pages
+ORDER BY _source, page_id NULLS LAST
+""",
+    doc="XML dump ingest (sources/xml.py — stdlib iterparse, no "
+    "spark-xml jar in this image): MediaWiki-shaped fixtures with a "
+    "DEFAULT NAMESPACE (the reader resolves field paths like "
+    "'revision/@id' and 'revision/timestamp' by LOCAL name, because "
+    "requiring the {uri}-qualified spelling would break on every "
+    "real dump), one task per document, O(one page) memory via "
+    "iterparse + clear.  A deliberately TRUNCATED dump contributes "
+    "its one complete page AND a _corrupt sentinel row — the "
+    "PERMISSIVE contract shared with JSONL/media/mbox.  Every field "
+    "— title, page id, revision id attribute, parsed timestamp, "
+    "word count of the text — is recomputed by the oracle from the "
+    "(f, i) formulas.  Wikipedia dumps are THE canonical LLM corpus "
+    "arrival format; this closes it.",
+)
+def q_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.xml import read_xml
+
+    fixture_dir = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "xml",
+    )
+    raw = read_xml(
+        spark, fixture_dir, row_tag="page",
+        fields={
+            "title": "title",
+            "page_id": "id",
+            "rev_id": "revision/@id",
+            "ts": "revision/timestamp",
+            "text": "revision/text",
+        },
+    )
+    return (
+        raw.select(
+            "_source",
+            "title",
+            F.col("page_id").cast("bigint").alias("page_id"),
+            F.col("rev_id").cast("bigint").alias("rev_id"),
+            F.to_timestamp(
+                F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            ).alias("rev_ts"),
+            F.when(
+                F.col("text").isNotNull(),
+                F.size(F.split(F.trim("text"), r"\s+")),
+            ).cast("bigint").alias("n_words"),
+            "_corrupt",
+        )
+        .orderBy("_source", F.col("page_id").asc_nulls_last())
+    )
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

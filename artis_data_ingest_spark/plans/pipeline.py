@@ -2380,6 +2380,70 @@ def q_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_iceberg_stream",
+    oracle="""
+SELECT CAST(300 AS BIGINT) AS _snapshot_id,
+       o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       MIN(o_orderkey) AS min_orderkey
+FROM orders
+WHERE o_orderkey % 4 = 3
+GROUP BY o_orderstatus
+ORDER BY _snapshot_id, o_orderstatus
+""",
+    doc="STRUCTURED STREAMING over an external Iceberg table "
+    "(streaming/iceberg_feed.py — offsets are positions in the "
+    "snapshot log, each micro-batch reads only the files APPENDED "
+    "between adjacent snapshots; the Iceberg twin of delta_feed): a "
+    "REAL availableNow stream runs in-query, tailing the interop "
+    "fixture from startingSnapshotId=200 — exactly the bucket-3 "
+    "append of snapshot 300 — into a parquet sink, and the landed "
+    "rows are profiled against the oracle's recomputation.  The "
+    "100→200 hop is NON-append (status-deletes + position deletes), "
+    "so a full-history replay refuses loudly (lib-pinned) — a tail "
+    "can never silently re-emit rewrites.  Scale: latestOffset is "
+    "one metadata read; manifest decoding is driver metadata through "
+    "our own session-free Avro codec; one input partition per "
+    "appended file; exactly-once via the query checkpoint "
+    "(lib-pinned resume).",
+)
+def q_iceberg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.iceberg_feed import register_iceberg_feed
+
+    register_iceberg_feed(spark)
+    table = _build_iceberg_fixture(spark, sf_dir)
+    base = _versioned_demo_path(sf_dir, "iceberg_stream_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    sink = f"{base}/sink"
+    ckpt = f"{base}/ckpt"
+    q = (
+        spark.readStream.format("iceberg_feed")
+        .option("path", table)
+        .option("startingSnapshotId", "200").load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    landed = spark.read.parquet(sink)
+    return (
+        landed.groupBy("_snapshot_id", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).cast("bigint").alias("total_cents"),
+            F.min("o_orderkey").alias("min_orderkey"),
+        )
+        .orderBy("_snapshot_id", "o_orderstatus")
+    )
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

@@ -343,6 +343,71 @@ def test_write_iceberg_unsupported_type_refuses(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# iceberg_feed Structured Streaming source
+# --------------------------------------------------------------------------
+
+
+def _run_ib_feed(spark, table, sink, ckpt, **opts):
+    from artis_data_ingest_spark.streaming.iceberg_feed import (
+        register_iceberg_feed,
+    )
+
+    register_iceberg_feed(spark)
+    reader = spark.readStream.format("iceberg_feed").option(
+        "path", table
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(sink)
+
+
+def test_iceberg_feed_streams_appends_exactly_once(spark, tmp_path):
+    from artis_data_ingest_spark.sources.iceberg import write_iceberg
+
+    t = str(tmp_path / "ibf")
+    write_iceberg(spark.createDataFrame([(1, "a")],
+                                        "id long, s string"), t)
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    out = _run_ib_feed(spark, t, sink, ckpt)
+    assert {tuple(r) for r in out.collect()} == {(1, "a", 1)}
+    write_iceberg(spark.createDataFrame([(2, "b")],
+                                        "id long, s string"), t,
+                  mode="append")
+    out2 = _run_ib_feed(spark, t, sink, ckpt)  # same checkpoint
+    assert {tuple(r) for r in out2.collect()} == \
+        {(1, "a", 1), (2, "b", 2)}
+
+
+def test_iceberg_feed_refuses_non_append_history(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException,
+    )
+
+    t = _two_snapshot_table(tmp_path)  # 100→200 hop is non-append
+    with pytest.raises(StreamingQueryException, match="append"):
+        _run_ib_feed(spark, t, str(tmp_path / "s"),
+                     str(tmp_path / "c"))
+
+
+def test_iceberg_feed_starting_snapshot_skips_history(spark,
+                                                      tmp_path):
+    t = _two_snapshot_table(tmp_path)
+    _append_snapshot_300(t)
+    out = _run_ib_feed(spark, t, str(tmp_path / "s"),
+                       str(tmp_path / "c"),
+                       startingSnapshotId="200")
+    assert {tuple(r) for r in out.collect()} == \
+        {(8, "n8", 300), (9, "n9", 300)}
+
+
+# --------------------------------------------------------------------------
 # incremental append tailing
 # --------------------------------------------------------------------------
 

@@ -333,10 +333,30 @@ def write_delta(
     if exists:
         commits, _ = _list_log(table_dir)
         version = max(commits) + 1
-        if mode == "overwrite":
-            prior_adds, _, _ = _snapshot_state(
-                df.sparkSession, table_dir, None
+        # schema + partitioning enforcement (Delta refuses both too):
+        # an append that silently changed either would corrupt every
+        # later snapshot read
+        prior_adds, prior_meta, _ = _snapshot_state(
+            df.sparkSession, table_dir, None
+        )
+        declared, _ = _logical_schema(prior_meta)
+        want = [(f.name, f.dataType.simpleString())
+                for f in declared.fields]
+        have = [(f.name, f.dataType.simpleString())
+                for f in df.schema.fields]
+        if have != want:
+            raise DeltaProtocolError(
+                f"schema mismatch vs the table's metaData: writing "
+                f"{have}, table declares {want}"
             )
+        prior_parts = tuple(prior_meta.get("partitionColumns") or [])
+        if tuple(partition_by) != prior_parts:
+            raise DeltaProtocolError(
+                f"partitioning mismatch: table is partitioned by "
+                f"{list(prior_parts)}, write says {list(partition_by)}"
+            )
+        if mode != "overwrite":
+            prior_adds = {}
 
     stage = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex[:12]}")
     writer = df.write.mode("overwrite")
@@ -446,8 +466,19 @@ def read_delta_changes(
     by_type = {f.name: f.dataType for f in schema.fields}
 
     log_dir = os.path.join(table_dir, "_delta_log")
+    wanted = [c for c in commits if starting_version < c <= end]
+    expect = list(range(max(starting_version + 1, min(commits)),
+                        end + 1))
+    if wanted != expect:
+        missing = sorted(set(expect) - set(wanted))
+        raise DeltaProtocolError(
+            f"commit JSONs missing for versions {missing[:5]} in the "
+            "tail range — they were likely checkpointed away and "
+            "cleaned; silently skipping them would lose data.  "
+            "Re-sync from a snapshot read instead"
+        )
     file_rows: list[tuple] = []
-    for v in [c for c in commits if starting_version < c <= end]:
+    for v in wanted:
         actions = _read_commit(os.path.join(log_dir, f"{v:020d}.json"))
         removes = [a for a in actions if a.get("remove")]
         if removes:

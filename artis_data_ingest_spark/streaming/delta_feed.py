@@ -175,7 +175,19 @@ def _make_delta_feed_class():
             out = []
             lo, hi = int(start["version"]), int(end["version"])
             commits, _ = _list_log(self._dir)
-            for v in sorted(c for c in commits if lo < c <= hi):
+            wanted = sorted(c for c in commits if lo < c <= hi)
+            expect = list(range(max(lo + 1, min(commits, default=0)),
+                                hi + 1))
+            if wanted != expect:
+                missing = sorted(set(expect) - set(wanted))
+                raise DeltaProtocolError(
+                    f"commit JSONs missing for versions "
+                    f"{missing[:5]} in the stream's range — likely "
+                    "checkpointed away and cleaned; a silent skip "
+                    "would lose data.  Restart the stream from a "
+                    "snapshot sync"
+                )
+            for v in wanted:
                 for a in self._version_adds(v):
                     rel = a["path"]
                     path = rel if os.path.isabs(rel) else os.path.join(

@@ -395,6 +395,37 @@ def test_write_delta_version_collision_is_excl(spark, tmp_path,
     assert delta_history(spark, t).count() == 2
 
 
+def test_write_delta_append_enforces_schema_and_partitioning(
+    spark, tmp_path
+):
+    t = str(tmp_path / "enf")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, s string"),
+                t, partition_by=("s",))
+    with pytest.raises(DeltaProtocolError, match="schema mismatch"):
+        write_delta(spark.createDataFrame([(2,)], "id long"), t,
+                    mode="append", partition_by=("s",))
+    with pytest.raises(DeltaProtocolError, match="partitioning"):
+        write_delta(
+            spark.createDataFrame([(2, "b")], "id long, s string"),
+            t, mode="append")
+    # conforming append still lands
+    write_delta(spark.createDataFrame([(2, "b")], "id long, s string"),
+                t, mode="append", partition_by=("s",))
+    assert read_delta(spark, t).count() == 2
+
+
+def test_changes_refuse_missing_commit_jsons(spark, tmp_path):
+    t = str(tmp_path / "gap")
+    write_delta(spark.createDataFrame([(1,)], "id long"), t)
+    write_delta(spark.createDataFrame([(2,)], "id long"), t,
+                mode="append")
+    write_delta(spark.createDataFrame([(3,)], "id long"), t,
+                mode="append")
+    os.remove(os.path.join(t, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(DeltaProtocolError, match="missing"):
+        read_delta_changes(spark, t, starting_version=0)
+
+
 def test_write_delta_checkpoint_replaces_burned_commits(spark,
                                                         tmp_path):
     """Our own checkpoint writer must satisfy our reader with the

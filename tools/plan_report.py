@@ -87,6 +87,14 @@ _ONE_PART_CLASS = {
     "q_replace_where": "scalar",
     "q_datasource_write": "scalar",
     "q_version_pushdown": "scalar",  # four 1-row probe aggregates
+    # r14: the one-pass three-scalar consumption of the feed-driven
+    # dedup chain — 1-row-per-partition partials of a global
+    # aggregate, merged once
+    "q_feed_driven_dedup_stats": "scalar",
+    # r14: CONVERT TO DELTA demo — per-snapshot (count, sum) global
+    # aggregates over the adopted table, same shape as the other
+    # versioned-table demos
+    "q_version_convert": "scalar",
     # (scans column reads 0: the Python DataSource plans as
     # BatchScan, not FileScan parquet)
     "q_dq_report": "group-bounded",

@@ -1657,6 +1657,45 @@ AUDIO_STATS_SCHEMA = T.StructType(
 )
 
 
+def _decode_audio_any(blob: bytes):
+    """Container dispatch for audio: FLAC via the RFC 9639 codec
+    (r14, operators/flac.py — MD5-verified lossless decode), anything
+    RIFF/WAVE via decode_wav (PCM16, G.711, IMA ADPCM)."""
+    if blob[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(blob)
+    return decode_wav(blob)
+
+
+def ramp_flac_media(spark: SparkSession, n: int = 8) -> DataFrame:
+    """FLAC twin of ramp_wav_media: clip i carries the SAME closed-form
+    samples (s[t] = t + 100*channel, 64+8i samples, 8000+500i Hz,
+    1 + (i%2) channels) LOSSLESSLY compressed — stereo clips use
+    mid/side decorrelation, block_size 64 forces multi-frame streams,
+    and STREAMINFO carries the real MD5 the decoder must reproduce."""
+    from .flac import encode_flac
+
+    rows = []
+    for i in range(n):
+        sr = 8000 + 500 * i
+        n_samp = 64 + 8 * i
+        ch = 1 + (i % 2)
+        samples = np.array(
+            [[t + 100 * c for c in range(ch)] for t in range(n_samp)],
+            dtype=np.int16,
+        )
+        rows.append(
+            (i, bytearray(
+                encode_flac(samples, sr, block_size=64,
+                            mid_side=(ch == 2))
+            ))
+        )
+    return spark.createDataFrame(
+        rows, "media_id long, content binary"
+    )
+
+
 def audio_stats(media: DataFrame, round_digits: int = 6) -> DataFrame:
     """REAL sample-level feature extraction for PCM-WAV rows: decode via
     the stdlib codec inside Arrow-batched mapInPandas, emit one row per
@@ -1668,7 +1707,7 @@ def audio_stats(media: DataFrame, round_digits: int = 6) -> DataFrame:
         for pdf in batches:
             recs = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
-                samples, sr = decode_wav(bytes(blob))
+                samples, sr = _decode_audio_any(bytes(blob))
                 n, ch = samples.shape
                 s = samples.astype(np.float64)
                 for c in range(ch):

@@ -2444,6 +2444,56 @@ def q_iceberg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_flac_audio",
+    oracle="""
+WITH m AS (
+  SELECT i AS media_id,
+         8000 + 500 * i AS sr,
+         64 + 8 * i AS n,
+         1 + (i % 2) AS n_ch
+  FROM range(8) t(i)
+), ch AS (
+  SELECT media_id, sr, n, c.ch AS channel, 100 * c.ch AS a
+  FROM m, UNNEST(range(0, n_ch)) AS c(ch)
+)
+SELECT media_id,
+       CAST(channel AS BIGINT) AS channel,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       round(n * 1.0 / sr, 6) AS duration_s,
+       round((n - 1) / 2.0 + a, 6) AS mean_amp,
+       round(sqrt(CAST((n * (n - 1) * (2 * n - 1)) // 6
+                       + a * n * (n - 1) + n * a * a AS DOUBLE) / n), 6)
+         AS rms_amp,
+       CAST(n - 1 + a AS BIGINT) AS peak_amp
+FROM ch
+ORDER BY media_id, channel
+""",
+    doc="FLAC lossless audio decode (r14 — operators/flac.py, RFC "
+    "9639 implemented pure stdlib+numpy: Rice-partitioned residuals, "
+    "CONSTANT/VERBATIM/FIXED/LPC subframes, left/right/mid-side "
+    "stereo decorrelation, CRC-8/CRC-16 frame integrity, and the "
+    "STREAMINFO MD5 over the decoded samples VERIFIED on every "
+    "decode — one wrong sample anywhere fails the whole file): the "
+    "fixtures carry ramp_wav_media's exact closed-form samples "
+    "losslessly compressed (mid/side stereo, multi-frame streams), "
+    "so the oracle is the SAME closed form as q_audio_features — a "
+    "decoder with a wrong Rice parameter read, predictor "
+    "reconstruction, or mid/side lift hash-mismatches (and fails "
+    "its own MD5 first).  FLAC is the dominant archived-speech "
+    "interchange (LibriVox-class corpora); this makes it a real "
+    "decode path through the same Arrow-batched audio_stats chain.",
+)
+def q_flac_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_stats, ramp_flac_media
+
+    media = ramp_flac_media(spark, n=8)
+    return audio_stats(media.select("media_id", "content")).orderBy(
+        "media_id", "channel"
+    )
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

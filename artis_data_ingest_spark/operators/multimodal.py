@@ -477,6 +477,12 @@ def parse_media_header(blob: bytes) -> dict:
         w, h_signed = struct.unpack("<ii", blob[18:26])
         return {"detected": "bmp", "width": w, "height": abs(h_signed),
                 "sample_rate": None}
+    if blob[:4] == b"fLaC" and len(blob) >= 21:
+        # STREAMINFO (r14): magic(4) + block header(4), then the
+        # 20-bit sample rate at body offset 10 → file offset 18
+        sr = int.from_bytes(blob[18:21], "big") >> 4
+        return {"detected": "flac", "width": None, "height": None,
+                "sample_rate": sr}
     if blob[4:8] == b"ftyp" or blob[4:8] == b"moov":
         # ISO-BMFF (r11): real box walk via operators/mp4.py
         from .mp4 import parse_mp4

@@ -204,3 +204,16 @@ def test_audio_stats_dispatches_flac(spark):
     key = lambda r: (r["media_id"], r["channel"])  # noqa: E731
     assert sorted(map(tuple, flac), key=lambda t: t[:2]) == \
         sorted(map(tuple, wav), key=lambda t: t[:2])
+
+
+def test_media_probe_detects_flac():
+    from artis_data_ingest_spark.operators.multimodal import (
+        parse_media_header,
+    )
+
+    blob = encode_flac(
+        np.arange(100, dtype=np.int16).reshape(-1, 1), 44100
+    )
+    meta = parse_media_header(blob)
+    assert meta["detected"] == "flac"
+    assert meta["sample_rate"] == 44100

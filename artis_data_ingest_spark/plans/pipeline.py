@@ -2494,6 +2494,62 @@ def q_flac_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_subtitle_ingest",
+    oracle="""
+WITH cues AS (
+  SELECT 'srt' || f || '.srt' AS file,
+         CAST(i + 1 AS BIGINT) AS seq,
+         CAST(10000 * i + 500 * f AS BIGINT) AS start_ms,
+         CAST(10000 * i + 500 * f + 1500 + 100 * i AS BIGINT)
+           AS end_ms,
+         CAST(1500 + 100 * i AS BIGINT) AS duration_ms,
+         'cue ' || i || ' of file ' || f ||
+           CASE WHEN i % 2 = 1
+                THEN chr(10) || 'line two ' || i ELSE '' END AS text,
+         FALSE AS _corrupt
+  FROM range(2) a(f), range(4) b(i)
+  UNION ALL
+  SELECT 'srt1.srt', 5, NULL, NULL, NULL, NULL, TRUE
+  UNION ALL
+  SELECT 'talk.vtt', CAST(i + 1 AS BIGINT),
+         CAST(60000 * i + 250 AS BIGINT),
+         CAST(60000 * i + 2250 AS BIGINT),
+         CAST(2000 AS BIGINT),
+         'styled ' || i, FALSE
+  FROM range(3) c(i)
+)
+SELECT * FROM cues
+ORDER BY file, seq
+""",
+    doc="Subtitle/caption ingest (sources/subtitles.py — SRT and "
+    "WebVTT parsed line-oriented, no library): caption tracks are a "
+    "first-class pretraining source (video-platform transcripts, "
+    "OpenSubtitles-class corpora) and the alignment signal for "
+    "speech models.  The committed fixtures exercise SRT comma-"
+    "decimal timings, VTT dot-decimal optional-hours timings, cue "
+    "identifiers, NOTE blocks (skipped), cue settings after the "
+    "timing (ignored), inline markup stripping (<i>…</i> → text), "
+    "multi-line cue flattening, and a MALFORMED cue that surfaces "
+    "as a _corrupt row while the rest of its file still lands.  "
+    "Every cue's millisecond start/end/duration and flattened text "
+    "is recomputed by the oracle from the (f, i) formulas.  One "
+    "task per file; only cue rows reach a shuffle.",
+)
+def q_subtitle_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.subtitles import read_subtitles
+
+    fixture_dir = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "subs",
+    )
+    return read_subtitles(spark, fixture_dir).orderBy("file", "seq")
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

@@ -2550,6 +2550,45 @@ def q_subtitle_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_subtitles(spark, fixture_dir).orderBy("file", "seq")
 
 
+@register(
+    "q_ogg_metadata",
+    oracle="""
+SELECT CAST(i AS BIGINT) AS media_id,
+       CASE WHEN i % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+       CAST(CASE WHEN i % 2 = 0 THEN 1 + (i % 3) ELSE 2 END AS BIGINT)
+         AS channels,
+       CAST(CASE WHEN i % 2 = 0 THEN 8000 + 4000 * i
+                 ELSE 44100 END AS BIGINT) AS sample_rate,
+       CASE WHEN i % 2 = 0 THEN round((i + 2) / 2.0, 6)
+            ELSE round(CAST(i + 1 AS DOUBLE), 6) END AS duration_s,
+       CAST(CASE WHEN i % 2 = 0 THEN 3 ELSE 2 END AS BIGINT)
+         AS n_pages,
+       CAST(1 AS BIGINT) AS n_streams,
+       TRUE AS valid,
+       FALSE AS truncated
+FROM range(6) t(i)
+ORDER BY media_id
+""",
+    doc="OGG container metadata (operators/ogg.py — RFC 3533 page "
+    "walk + Vorbis-I / RFC 7845 OpusHead identification headers, "
+    "r14): scraped podcast/Wikimedia audio triage without a codec "
+    "library — codec kind, channels, rates, page/stream counts, and "
+    "DURATION from the final granule position on the right clock "
+    "(Vorbis: sample number over the declared rate; Opus: the 48 kHz "
+    "granule minus pre-skip, per spec — an implementation that uses "
+    "the input rate or forgets pre-skip gets every Opus duration "
+    "wrong).  Fixtures are spec-shaped pages with correct lacing; "
+    "every field is recomputed by the oracle from the (i) formulas.  "
+    "PCM decode is the documented stub boundary (MDCT codebooks need "
+    "a real codec lib), same stance as MP3/H.264.",
+)
+def q_ogg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ogg import ogg_media, ogg_metadata
+
+    media = ogg_media(spark, n=6)
+    return ogg_metadata(media).orderBy("media_id")
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

@@ -78,6 +78,7 @@ _PRIORITY: list[str] = [
     "q_iceberg_stream",
     "q_flac_audio",
     "q_subtitle_ingest",
+    "q_ogg_metadata",
     # (c) the two r13-head names that missed the 50-row cut
     "q_merge_dv",
     "q_xls_ingest",
@@ -104,9 +105,9 @@ _PRIORITY: list[str] = [
     "q_golden_record",
     "q_robots_policy",
     "q_char_entropy",
-    "q_group_kfold",
     # (52-slot budget enforced by test_priority_queries_yield_first;
-    # still never sampled after this head: q_decontam_scrub,
+    # still never sampled after this head: q_group_kfold,
+    # q_decontam_scrub,
     # q_ewma_decay,
     # q_holt_forecast,
     # q_trimmed_mean,

@@ -2159,3 +2159,63 @@ def test_png_palette_index_out_of_range_raises():
         decode_png(_png_chunks(
             1, 1, 8, 3, 0, _pack_scanline([5], 8),
             extra=[(b"PLTE", bytes([1, 2, 3]))]))
+
+
+# --- OGG metadata (r14) -------------------------------------------------------
+
+
+def test_ogg_vorbis_and_opus_parse():
+    from artis_data_ingest_spark.operators.ogg import (
+        make_opus_ogg,
+        make_vorbis_ogg,
+        parse_ogg,
+    )
+
+    v = parse_ogg(make_vorbis_ogg(7, 2, 44100, 441000))
+    assert v["codec"] == "vorbis" and v["valid"]
+    assert v["channels"] == 2 and v["sample_rate"] == 44100
+    assert v["duration_s"] == 10.0 and v["n_pages"] == 3
+
+    o = parse_ogg(make_opus_ogg(9, 1, 16000, 312, 48000 * 3 + 312))
+    assert o["codec"] == "opus" and o["valid"]
+    assert o["channels"] == 1 and o["sample_rate"] == 16000
+    assert o["duration_s"] == 3.0  # 48 kHz clock minus pre-skip
+
+
+def test_ogg_truncation_and_garbage():
+    from artis_data_ingest_spark.operators.ogg import (
+        make_vorbis_ogg,
+        parse_ogg,
+    )
+
+    blob = make_vorbis_ogg(7, 2, 44100, 441000)
+    cut = parse_ogg(blob[: len(blob) - 10])
+    assert cut["truncated"] and cut["valid"]  # BOS parsed before cut
+    assert not parse_ogg(b"not an ogg at all")["valid"]
+    # continued-packet lacing (255-boundary) still walks
+    big = make_vorbis_ogg(7, 1, 8000, 8000)
+    assert parse_ogg(big)["valid"]
+
+
+def test_ogg_multiplexed_streams_counted():
+    from artis_data_ingest_spark.operators.ogg import (
+        _page,
+        parse_ogg,
+    )
+    import struct
+
+    ident = (
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([1])
+        + struct.pack("<I", 8000) + struct.pack("<iii", -1, 8000, -1)
+        + b"\xb8\x01"
+    )
+    blob = (
+        _page(1, 0, 0, ident, bos=True)
+        + _page(2, 0, 0, b"\x00" * 10, bos=True)
+        + _page(1, 1, 4000, b"\x00" * 5, eos=True)
+        + _page(2, 1, 999, b"\x00" * 5, eos=True)
+    )
+    m = parse_ogg(blob)
+    assert m["n_streams"] == 2
+    # duration follows the FIRST BOS stream's granule, not stream 2's
+    assert m["duration_s"] == 0.5

@@ -772,3 +772,33 @@ def test_png_fullspec_roundtrip_property(w, h, cfg, interlace, rnd):
         assert (img[:, :, 3] == expect[:, :, 1]).all()
     else:
         assert (img == expect).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 2),
+    st.integers(60, 400),
+    st.booleans(),
+    st.randoms(use_true_random=False),
+)
+def test_flac_roundtrip_property(ch, n, ms, rnd):
+    """decode ∘ encode is the identity on arbitrary int16 signals —
+    lossless means LOSSLESS, and the STREAMINFO MD5 gate rides along
+    on every decode."""
+    import numpy as np
+
+    from artis_data_ingest_spark.operators.flac import (
+        decode_flac,
+        encode_flac,
+    )
+
+    x = np.array(
+        [[rnd.randint(-32768, 32767) for _ in range(ch)]
+         for _ in range(n)],
+        dtype=np.int16,
+    )
+    y, sr = decode_flac(
+        encode_flac(x, 16000, block_size=128,
+                    mid_side=(ms and ch == 2))
+    )
+    assert sr == 16000 and (y == x).all()

@@ -2589,6 +2589,51 @@ def q_ogg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ogg_metadata(media).orderBy("media_id")
 
 
+@register(
+    "q_epub_ingest",
+    oracle="""
+WITH chapters AS (
+  SELECT b, i FROM range(2) a(b), range(5) c(i) WHERE i < 3 + b
+)
+SELECT 'book' || b || '.epub' AS book,
+       'Book ' || b AS book_title,
+       CAST(i + 1 AS BIGINT) AS spine_pos,
+       'ch' || i || '.xhtml' AS chapter,
+       string_agg('para ' || j || ' of chapter ' || i || ' in book '
+                  || b, chr(10) ORDER BY j) AS text,
+       CAST((i + 1) * 29 + i AS BIGINT) AS n_chars,
+       FALSE AS _corrupt
+FROM chapters, UNNEST(range(0, i + 1)) AS p(j)
+GROUP BY b, i
+ORDER BY book, spine_pos
+""",
+    doc="EPUB book-corpus ingest (sources/epub.py — the OCF/OPF "
+    "package walked with the stdlib: container.xml → rootfile, "
+    "dc:title, manifest + SPINE for true reading order, XHTML "
+    "chapters → text with block tags becoming newlines and inline "
+    "markup stripped): book corpora (Project Gutenberg, Standard "
+    "Ebooks) are the cleanest long-form pretraining text there is, "
+    "and reading ORDER matters — directory order does not give it.  "
+    "The committed fixtures are spec-shaped containers (mimetype "
+    "stored first, zeroed timestamps); every chapter's spine "
+    "position, flattened text, and char count is recomputed by the "
+    "oracle from the (b, i, j) formulas.  One task per book; "
+    "corrupt books or chapters become _corrupt rows.",
+)
+def q_epub_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.epub import read_epub
+
+    fixture_dir = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "epub",
+    )
+    return read_epub(spark, fixture_dir).orderBy("book", "spine_pos")
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

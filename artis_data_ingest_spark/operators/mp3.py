@@ -173,3 +173,202 @@ def mp3_media(spark: SparkSession, n: int = 9) -> DataFrame:
     return spark.createDataFrame(
         rows, "media_id bigint, kind string, content binary"
     )
+
+
+# --------------------------------------------------------------------------
+# ID3v2 tag FIELD extraction (r14) — id3.org informal standards
+# --------------------------------------------------------------------------
+
+# v2.2 (3-char) → v2.3/2.4 (4-char) frame id mapping for the fields a
+# curation pipeline actually uses
+_ID3_FIELDS = {
+    "TIT2": "title", "TT2": "title",
+    "TPE1": "artist", "TP1": "artist",
+    "TALB": "album", "TAL": "album",
+    "TYER": "year", "TDRC": "year", "TYE": "year",
+    "TRCK": "track", "TRK": "track",
+}
+
+ID3_SCHEMA = (
+    "media_id bigint, valid boolean, version string, title string, "
+    "artist string, album string, year string, track string, "
+    "n_frames bigint"
+)
+
+
+def _id3_text(payload: bytes) -> str | None:
+    """Decode one text frame: 1 encoding byte then the string.
+    0 = latin-1, 1 = utf-16 with BOM, 2 = utf-16be, 3 = utf-8."""
+    if not payload:
+        return None
+    enc, body = payload[0], payload[1:]
+    try:
+        if enc == 0:
+            text = body.decode("latin-1")
+        elif enc == 1:
+            text = body.decode("utf-16")
+        elif enc == 2:
+            text = body.decode("utf-16-be")
+        elif enc == 3:
+            text = body.decode("utf-8")
+        else:
+            return None
+    except UnicodeDecodeError:
+        return None
+    return text.rstrip("\x00") or None
+
+
+def parse_id3v2(blob: bytes) -> dict:
+    """ID3v2.2/2.3/2.4 tag walk → the common text fields.  Returns
+    valid=False (all fields null) when no tag leads the payload —
+    never raises on garbage."""
+    out = {
+        "valid": False, "version": None, "title": None,
+        "artist": None, "album": None, "year": None, "track": None,
+        "n_frames": 0,
+    }
+    if len(blob) < 10 or blob[:3] != b"ID3":
+        return out
+    major = blob[3]
+    if major not in (2, 3, 4):
+        return out
+    flags = blob[5]
+    size = (
+        ((blob[6] & 0x7F) << 21) | ((blob[7] & 0x7F) << 14)
+        | ((blob[8] & 0x7F) << 7) | (blob[9] & 0x7F)
+    )
+    out["valid"] = True
+    out["version"] = f"2.{major}"
+    pos, end = 10, min(10 + size, len(blob))
+    if flags & 0x40 and major >= 3 and pos + 4 <= end:
+        # extended header: skip by its own size field
+        ext = int.from_bytes(blob[pos : pos + 4], "big")
+        if major == 4:  # syncsafe in 2.4
+            ext = (
+                ((blob[pos] & 0x7F) << 21)
+                | ((blob[pos + 1] & 0x7F) << 14)
+                | ((blob[pos + 2] & 0x7F) << 7)
+                | (blob[pos + 3] & 0x7F)
+            )
+            pos += ext
+        else:
+            pos += 4 + ext
+    id_len = 3 if major == 2 else 4
+    sz_len = 3 if major == 2 else 4
+    while pos + id_len + sz_len <= end:
+        fid = blob[pos : pos + id_len]
+        if fid.rstrip(b"\x00") == b"":  # padding
+            break
+        try:
+            fid_s = fid.decode("ascii")
+        except UnicodeDecodeError:
+            break
+        raw_sz = blob[pos + id_len : pos + id_len + sz_len]
+        if major == 4:  # syncsafe frame sizes in 2.4
+            fsz = (
+                ((raw_sz[0] & 0x7F) << 21)
+                | ((raw_sz[1] & 0x7F) << 14)
+                | ((raw_sz[2] & 0x7F) << 7)
+                | (raw_sz[3] & 0x7F)
+            )
+        else:
+            fsz = int.from_bytes(raw_sz, "big")
+        hdr = id_len + sz_len + (0 if major == 2 else 2)  # v2.3+ flags
+        payload = blob[pos + hdr : pos + hdr + fsz]
+        if len(payload) < fsz:
+            break
+        out["n_frames"] += 1
+        field = _ID3_FIELDS.get(fid_s)
+        if field and out[field] is None:
+            out[field] = _id3_text(payload)
+        pos += hdr + fsz
+    return out
+
+
+def write_id3v2(major: int, fields: dict[str, str],
+                encoding: int = 0) -> bytes:
+    """Fixture-grade ID3v2.{2,3,4} tag writer (text frames only)."""
+    name_for = {
+        2: {"title": b"TT2", "artist": b"TP1", "album": b"TAL",
+            "year": b"TYE", "track": b"TRK"},
+        3: {"title": b"TIT2", "artist": b"TPE1", "album": b"TALB",
+            "year": b"TYER", "track": b"TRCK"},
+        4: {"title": b"TIT2", "artist": b"TPE1", "album": b"TALB",
+            "year": b"TDRC", "track": b"TRCK"},
+    }[major]
+    body = bytearray()
+    for key, value in fields.items():
+        if encoding == 0:
+            text = value.encode("latin-1")
+        elif encoding == 1:
+            text = value.encode("utf-16")  # BOM included
+        elif encoding == 2:
+            text = value.encode("utf-16-be")
+        else:
+            text = value.encode("utf-8")
+        payload = bytes([encoding]) + text
+        fid = name_for[key]
+        if major == 2:
+            body += fid + len(payload).to_bytes(3, "big") + payload
+        else:
+            n = len(payload)
+            if major == 4:
+                sz = bytes([
+                    (n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F, n & 0x7F,
+                ])
+            else:
+                sz = n.to_bytes(4, "big")
+            body += fid + sz + b"\x00\x00" + payload
+    size = len(body)
+    header = b"ID3" + bytes([major, 0, 0]) + bytes([
+        (size >> 21) & 0x7F, (size >> 14) & 0x7F,
+        (size >> 7) & 0x7F, size & 0x7F,
+    ])
+    return header + bytes(body)
+
+
+def id3_metadata(media: DataFrame) -> DataFrame:
+    """(media_id, content) → one tag row per file (Arrow-batched)."""
+    import pandas as pd
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                m = parse_id3v2(bytes(blob))
+                recs.append((
+                    mid, m["valid"], m["version"], m["title"],
+                    m["artist"], m["album"], m["year"], m["track"],
+                    m["n_frames"],
+                ))
+            yield pd.DataFrame(recs, columns=[
+                "media_id", "valid", "version", "title", "artist",
+                "album", "year", "track", "n_frames",
+            ])
+
+    return media.mapInPandas(_parse, schema=ID3_SCHEMA)
+
+
+def id3_mp3_media(spark: SparkSession, n: int = 6) -> DataFrame:
+    """Tagged-MP3 fixtures: clip i carries an ID3v2.{2|3|4} tag
+    (major = 2 + i%3) in text encoding i%4, fields closed-form —
+    title 'Track {i}', artist 'Artist {i%3}', album 'Album {i//2}',
+    year str(2000+i), track str(i+1) — followed by real sync frames.
+    Clip n-1 is untagged garbage (valid=false row)."""
+    rows = []
+    for i in range(n - 1):
+        tag = write_id3v2(
+            2 + (i % 3),
+            {"title": f"Track {i}", "artist": f"Artist {i % 3}",
+             "album": f"Album {i // 2}", "year": str(2000 + i),
+             "track": str(i + 1)},
+            encoding=i % 4,
+        )
+        # a couple of valid MPEG-1 L3 frames after the tag
+        frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * (417 - 4)
+        rows.append((i, bytearray(tag + frame * 2)))
+    rows.append((n - 1, bytearray(b"\x21" * 32)))
+    return spark.createDataFrame(
+        rows, "media_id bigint, content binary"
+    )

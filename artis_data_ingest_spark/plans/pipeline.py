@@ -2634,6 +2634,42 @@ def q_epub_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_epub(spark, fixture_dir).orderBy("book", "spine_pos")
 
 
+@register(
+    "q_id3_tags",
+    oracle="""
+SELECT CAST(i AS BIGINT) AS media_id,
+       TRUE AS valid,
+       '2.' || (2 + i % 3) AS version,
+       'Track ' || i AS title,
+       'Artist ' || (i % 3) AS artist,
+       'Album ' || (i // 2) AS album,
+       CAST(2000 + i AS VARCHAR) AS year,
+       CAST(i + 1 AS VARCHAR) AS track,
+       CAST(5 AS BIGINT) AS n_frames
+FROM range(5) t(i)
+UNION ALL
+SELECT 5, FALSE, NULL, NULL, NULL, NULL, NULL, NULL, 0
+ORDER BY media_id
+""",
+    doc="ID3v2 tag FIELD extraction (operators/mp3.py parse_id3v2, "
+    "r14): the title/artist/album/year/track metadata a music/"
+    "podcast curation pipeline keys on, walked from the id3.org "
+    "layouts — v2.2 three-char frames with 3-byte sizes, v2.3 "
+    "four-char frames with plain 32-bit sizes, v2.4 with SYNCSAFE "
+    "frame sizes (the classic interop bug: treating 2.4 sizes as "
+    "plain overruns into the next frame), and all four text "
+    "encodings (latin-1, utf-16 w/BOM, utf-16be, utf-8).  Fixtures "
+    "cycle version × encoding with closed-form values; an untagged "
+    "payload yields a valid=false row.  The oracle recomputes every "
+    "field from the (i) formulas.",
+)
+def q_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.mp3 import id3_metadata, id3_mp3_media
+
+    media = id3_mp3_media(spark, n=6)
+    return id3_metadata(media).orderBy("media_id")
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

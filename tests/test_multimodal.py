@@ -2219,3 +2219,57 @@ def test_ogg_multiplexed_streams_counted():
     assert m["n_streams"] == 2
     # duration follows the FIRST BOS stream's granule, not stream 2's
     assert m["duration_s"] == 0.5
+
+
+# --- ID3v2 tag extraction (r14) ----------------------------------------------
+
+
+def test_id3_version_encoding_matrix():
+    from artis_data_ingest_spark.operators.mp3 import (
+        parse_id3v2,
+        write_id3v2,
+    )
+
+    fields = {"title": "Träck ø", "artist": "A", "album": "B",
+              "year": "1999", "track": "7"}
+    for major in (2, 3, 4):
+        for enc in (0, 1, 2, 3):
+            if enc == 0 and "ø" in fields["title"]:
+                pass  # ø is in latin-1 — still exercises the path
+            tag = write_id3v2(major, fields, encoding=enc)
+            m = parse_id3v2(tag + b"\xff\xfb after")
+            assert m["valid"] and m["version"] == f"2.{major}"
+            assert m["title"] == "Träck ø"
+            assert m["year"] == "1999" and m["track"] == "7"
+            assert m["n_frames"] == 5
+
+
+def test_id3_v24_syncsafe_frame_sizes():
+    """A >127-byte frame distinguishes syncsafe (2.4) from plain
+    (2.3) frame sizes — the classic interop bug."""
+    from artis_data_ingest_spark.operators.mp3 import (
+        parse_id3v2,
+        write_id3v2,
+    )
+
+    long_title = "x" * 200
+    for major in (3, 4):
+        tag = write_id3v2(major, {"title": long_title,
+                                  "artist": "a"}, encoding=3)
+        m = parse_id3v2(tag)
+        assert m["title"] == long_title and m["artist"] == "a"
+        assert m["n_frames"] == 2
+
+
+def test_id3_garbage_and_truncation_tolerated():
+    from artis_data_ingest_spark.operators.mp3 import (
+        parse_id3v2,
+        write_id3v2,
+    )
+
+    assert parse_id3v2(b"")["valid"] is False
+    assert parse_id3v2(b"ID3")["valid"] is False
+    tag = write_id3v2(3, {"title": "whole", "artist": "tail"})
+    cut = parse_id3v2(tag[: len(tag) - 4])  # truncated last frame
+    assert cut["valid"] and cut["title"] == "whole"
+    assert cut["artist"] is None  # partial frame never half-parses

@@ -2670,6 +2670,53 @@ def q_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return id3_metadata(media).orderBy("media_id")
 
 
+@register(
+    "q_tar_members",
+    oracle="""
+SELECT * FROM (
+  SELECT 'shard-' || lpad(CAST(doc_id // 100 AS VARCHAR), 5, '0')
+           || '.tar' AS archive,
+         lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.txt' AS member,
+         CAST(strlen(text) AS BIGINT) AS n_bytes
+  FROM documents
+  UNION ALL
+  SELECT 'shard-' || lpad(CAST(doc_id // 100 AS VARCHAR), 5, '0')
+           || '.tar',
+         lpad(CAST(doc_id AS VARCHAR), 8, '0') || '.json',
+         CAST(26 + strlen(lang) + strlen(source)
+              AS BIGINT)
+  FROM documents
+)
+ORDER BY archive, member
+""",
+    doc="Tar archive inventory (sources/archives.py "
+    "list_tar_members, r14 — the tar twin of list_zip_members): one "
+    "task per unsplittable archive, one row per member with its "
+    "UNCOMPRESSED size — the triage pass a 100 TB shard lake runs "
+    "before deciding what to extract.  Runs over the committed "
+    "WebDataset shards (write-once cache shared with "
+    "q_webdataset_roundtrip), whose member layout is deterministic: "
+    "{doc_id:08d}.txt sized by the utf-8 text bytes and "
+    "{doc_id:08d}.json sized by the sorted-key json envelope "
+    "(26 + lang + source bytes) — so the oracle recomputes every "
+    "member name AND size from the documents table without opening "
+    "a tar.",
+)
+def q_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sinks.webdataset import write_webdataset
+    from ..sources.archives import list_tar_members
+
+    path = _wds_cache_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_webdataset(
+            load_table(spark, sf_dir, "documents"), path,
+            docs_per_shard=100,
+        )
+    return list_tar_members(spark, path).orderBy("archive", "member")
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

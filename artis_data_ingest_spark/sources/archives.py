@@ -100,3 +100,37 @@ def read_zipped_csv(
                             yield out[[c for c in fields if c in out.columns]]
 
     return bins.mapInPandas(_decode, csv_schema)
+
+
+def list_tar_members(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Tar twin of list_zip_members (r14): inventory of members across
+    ``*.tar`` archives — archive basename, member name, size.  One
+    task per archive (tar is unsplittable without an index); handles
+    whatever tarfile does (ustar/pax/gnu), so WebDataset shards and
+    plain backups both inventory with the same call."""
+    import os
+    import tarfile
+
+    bins = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path_glob)
+        .select("path", "content")
+    )
+
+    def _members(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+                    for info in tf:
+                        if info.isfile():
+                            out.append((
+                                os.path.basename(path), info.name,
+                                info.size,
+                            ))
+            yield pd.DataFrame(
+                out, columns=["archive", "member", "n_bytes"]
+            )
+
+    return bins.mapInPandas(_members, MEMBER_SCHEMA)

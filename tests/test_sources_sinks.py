@@ -3836,3 +3836,27 @@ def test_column_mapping_swap_and_chain(spark, tmp_path):
     assert read_version(spark, d).filter("k = 3").collect()[0][
         "c"
     ] == 300
+
+
+def test_list_tar_members_matches_webdataset_layout(spark, tmp_path):
+    """r14: the tar inventory sees exactly the members the
+    WebDataset writer laid down, with uncompressed sizes."""
+    from artis_data_ingest_spark.sinks.webdataset import (
+        write_webdataset,
+    )
+    from artis_data_ingest_spark.sources.archives import (
+        list_tar_members,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "web") for i in range(7)],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = str(tmp_path / "wds")
+    write_webdataset(docs, out, docs_per_shard=4)
+    rows = {(r["archive"], r["member"]): r["n_bytes"]
+            for r in list_tar_members(spark, out).collect()}
+    assert len(rows) == 14  # .txt + .json per doc
+    assert rows[("shard-00000.tar", "00000003.txt")] == len("text 3")
+    assert rows[("shard-00001.tar", "00000006.json")] == \
+        len('{"lang": "en", "source": "web"}')

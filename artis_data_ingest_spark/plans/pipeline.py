@@ -2717,6 +2717,66 @@ def q_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     return list_tar_members(spark, path).orderBy("archive", "member")
 
 
+@register(
+    "q_notebook_ingest",
+    oracle="""
+WITH cells AS (
+  SELECT 'nb' || b || '.ipynb' AS notebook,
+         'python' AS language,
+         CAST(i + 1 AS BIGINT) AS cell_pos,
+         CASE WHEN i % 2 = 0 THEN 'code' ELSE 'markdown' END
+           AS cell_type,
+         CASE WHEN i % 2 = 0
+              THEN repeat('x' || b || ' = ' || i || chr(10), i + 1)
+              ELSE '# head ' || i || chr(10) || 'body ' || b
+         END AS source,
+         CAST(CASE WHEN i % 2 = 0 THEN i + 2 ELSE 2 END AS BIGINT)
+           AS n_lines,
+         CAST(CASE WHEN i % 2 = 0 THEN 7 * (i + 1) ELSE 15 END
+              AS BIGINT) AS n_chars,
+         CAST(CASE WHEN i % 2 = 0
+                   THEN CASE WHEN i = 2 THEN 2 ELSE 1 END
+                   ELSE 0 END AS BIGINT) AS n_outputs,
+         CAST(CASE WHEN i % 2 = 0 THEN i + 1 END AS BIGINT)
+           AS execution_count,
+         FALSE AS _corrupt
+  FROM range(2) a(b), range(4) c(i)
+  UNION ALL
+  SELECT 'broken.ipynb', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL, TRUE
+)
+SELECT * FROM cells
+ORDER BY notebook, cell_pos NULLS LAST
+""",
+    doc="Jupyter notebook ingest (sources/notebooks.py — nbformat-4 "
+    "JSON, stdlib only): the code-model corpus staple.  One row per "
+    "CELL in document order with flattened source (BOTH legal "
+    "spellings — list-of-lines and single-string — appear in the "
+    "committed fixtures and must flatten identically), line/char "
+    "counts, the notebook language, execution counts (null for "
+    "markdown), and an OUTPUT COUNT — outputs are counted, never "
+    "ingested (they are huge, noisy, and carry PII-bearing "
+    "tracebacks; a curation policy keys on the count).  A non-JSON "
+    "file yields one _corrupt row.  Every field recomputed by the "
+    "oracle from the (b, i) formulas.",
+)
+def q_notebook_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.notebooks import read_notebooks
+
+    fixture_dir = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "notebooks",
+    )
+    return (
+        read_notebooks(spark, fixture_dir)
+        .orderBy("notebook", F.col("cell_pos").asc_nulls_last())
+    )
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

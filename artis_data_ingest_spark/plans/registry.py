@@ -82,6 +82,7 @@ _PRIORITY: list[str] = [
     "q_epub_ingest",
     "q_id3_tags",
     "q_tar_members",
+    "q_notebook_ingest",
     # (c) the two r13-head names that missed the 50-row cut
     "q_merge_dv",
     "q_xls_ingest",
@@ -104,9 +105,9 @@ _PRIORITY: list[str] = [
     "q_matryoshka_recall",
     "q_dedup_policy",
     "q_minhash_incremental",
-    "q_pca_power",
     # (52-slot budget enforced by test_priority_queries_yield_first;
-    # still never sampled after this head: q_golden_record,
+    # still never sampled after this head: q_pca_power,
+    # q_golden_record,
     # q_robots_policy,
     # q_char_entropy,
     # q_group_kfold,

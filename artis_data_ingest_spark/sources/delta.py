@@ -662,6 +662,106 @@ def read_delta_cdf(
     return out
 
 
+def compact_delta(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 1,
+) -> int:
+    """OPTIMIZE for exported Delta tables: rewrite the current
+    snapshot's files into ``target_files`` larger ones as one commit
+    (removes + adds with ``dataChange=false``, Delta's bin-packing
+    convention — streams tailing the table skip it as a no-data
+    version... and OUR tail does too, because dataChange=false adds
+    paired with removes refuse under the rewrite rule).  Older
+    versions stay readable until ``vacuum_delta`` reclaims them."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    adds, meta, version = _snapshot_state(spark, table_dir, None)
+    if not adds:
+        raise DeltaProtocolError("nothing to compact: no live files")
+    df = read_delta(spark, table_dir)
+    part_cols = list(meta.get("partitionColumns") or [])
+    if part_cols:
+        raise DeltaProtocolError(
+            "compact_delta handles unpartitioned exports; compact "
+            "partitioned tables per-partition upstream"
+        )
+    stage = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex[:12]}")
+    df.coalesce(max(1, int(target_files))).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    actions: list[dict] = [{"commitInfo": {
+        "timestamp": int(os.path.getmtime(table_dir) * 1000),
+        "operation": "OPTIMIZE",
+    }}]
+    new_version = version + 1
+    for i, name in enumerate(sorted(os.listdir(stage))):
+        if not name.endswith(".parquet"):
+            continue
+        rel = f"part-{new_version:05d}-{uuid.uuid4().hex}.parquet"
+        dst = os.path.join(table_dir, rel)
+        os.replace(os.path.join(stage, name), dst)
+        actions.append({"add": {
+            "path": rel, "partitionValues": {},
+            "size": os.path.getsize(dst),
+            "modificationTime": int(os.path.getmtime(dst) * 1000),
+            "dataChange": False,
+            "stats": json.dumps(
+                {"numRecords": pq.ParquetFile(dst).metadata.num_rows}
+            ),
+        }})
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    for rel in adds:
+        actions.append({"remove": {
+            "path": rel, "dataChange": False,
+            "deletionTimestamp":
+                int(os.path.getmtime(table_dir) * 1000),
+        }})
+    with open(os.path.join(
+        table_dir, "_delta_log", f"{new_version:020d}.json"
+    ), "x") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return new_version
+
+
+def vacuum_delta(
+    spark: SparkSession, table_dir: str, dry_run: bool = False
+) -> list[str]:
+    """VACUUM for exported Delta tables: delete data files on disk
+    that the CURRENT snapshot no longer references (superseded by
+    overwrites/compactions).  Returns the deleted (or, with
+    ``dry_run``, the would-be-deleted) relative paths.  Time travel
+    to versions needing those files stops working afterwards — the
+    same contract as Delta's VACUUM."""
+    adds, _, _ = _snapshot_state(spark, table_dir, None)
+    live = {
+        os.path.abspath(
+            p if os.path.isabs(p) else os.path.join(table_dir, p)
+        )
+        for p in adds
+    }
+    doomed: list[str] = []
+    for root, dirs, files in os.walk(table_dir):
+        dirs[:] = [d for d in dirs
+                   if d not in ("_delta_log", "_change_data")
+                   and not d.startswith("_staging-")]
+        for name in files:
+            if not name.endswith(".parquet"):
+                continue
+            ap = os.path.abspath(os.path.join(root, name))
+            if ap not in live:
+                doomed.append(os.path.relpath(ap, table_dir))
+    if not dry_run:
+        for rel in doomed:
+            os.remove(os.path.join(table_dir, rel))
+    return sorted(doomed)
+
+
 def write_delta_checkpoint(spark: SparkSession, table_dir: str) -> int:
     """Materialize the current snapshot state as a protocol
     checkpoint (``{v:020d}.checkpoint.parquet`` + ``_last_checkpoint``)

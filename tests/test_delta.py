@@ -451,6 +451,56 @@ def test_write_delta_checkpoint_replaces_burned_commits(spark,
     assert got == {(1, "a"), (2, "b"), (3, "c")}
 
 
+def test_compact_and_vacuum_lifecycle(spark, tmp_path):
+    from artis_data_ingest_spark.sources.delta import (
+        compact_delta,
+        vacuum_delta,
+    )
+
+    t = str(tmp_path / "life")
+    for k in range(3):
+        write_delta(
+            spark.createDataFrame([(k * 10 + j,) for j in range(4)],
+                                  "id long"),
+            t, mode="append" if k else "error",
+        )
+    before = read_delta(spark, t)
+    assert before.count() == 12
+    v = compact_delta(spark, t, target_files=1)
+    assert v == 3
+    after = read_delta(spark, t)
+    assert {r["id"] for r in after.collect()} == \
+        {r["id"] for r in before.collect()}
+    # plan reads ONE file now
+    assert after.rdd.getNumPartitions() <= 2
+    # pre-compact versions still readable until vacuum
+    assert read_delta(spark, t, version=1).count() == 8
+    doomed = vacuum_delta(spark, t, dry_run=True)
+    # every pre-compact part file is now unreferenced; the compacted
+    # file is not
+    assert len(doomed) >= 3
+    import os as _os
+
+    on_disk = [f for f in _os.listdir(t) if f.endswith(".parquet")]
+    assert len(on_disk) == len(doomed) + 1
+    assert vacuum_delta(spark, t) == doomed
+    assert read_delta(spark, t).count() == 12  # current survives
+    # history pins: OPTIMIZE recorded, removes counted
+    h = {r["version"]: r for r in delta_history(spark, t).collect()}
+    assert h[3]["operation"] == "OPTIMIZE"
+    assert h[3]["n_removed"] == len(doomed)
+
+
+def test_compact_refuses_partitioned_export(spark, tmp_path):
+    from artis_data_ingest_spark.sources.delta import compact_delta
+
+    t = str(tmp_path / "lifep")
+    write_delta(spark.createDataFrame([(1, "a")], "id long, s string"),
+                t, partition_by=("s",))
+    with pytest.raises(DeltaProtocolError, match="unpartitioned"):
+        compact_delta(spark, t)
+
+
 # --------------------------------------------------------------------------
 # change data feed
 # --------------------------------------------------------------------------

@@ -80,3 +80,26 @@ def read_csv_inferred(
     or point this at a small sample first. Kept inference-on to match
     the reference's schema-tolerant behavior (SURVEY.md §1.3)."""
     return spark.read.csv(path, header=True, inferSchema=True, **options)
+
+
+def transparent_decompress(blob: bytes) -> bytes:
+    """Magic-byte transparent decompression for single-file payloads
+    (r14): real-world text corpora arrive wrapped — mailing-list
+    archives as ``.mbox.gz`` (pipermail), Wikipedia dumps as
+    ``.xml.bz2``, long-retention exports as ``.xz``.  gzip / bzip2 /
+    xz unwrap via the stdlib; anything else passes through untouched.
+    Multi-member gzip streams (cat'd archives) decode fully —
+    ``gzip.decompress`` handles member concatenation."""
+    if blob[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.decompress(blob)
+    if blob[:3] == b"BZh":
+        import bz2
+
+        return bz2.decompress(blob)
+    if blob[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        return lzma.decompress(blob)
+    return blob

@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .files import transparent_decompress
+
 MAIL_SCHEMA = T.StructType([
     T.StructField("mailbox", T.StringType()),
     T.StructField("seq", T.LongType()),
@@ -136,7 +138,8 @@ def read_mbox(spark: SparkSession, in_dir: str) -> DataFrame:
     """One row per message across every ``*.mbox`` under ``in_dir``."""
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.mbox")
+        .option("pathGlobFilter",
+                "*.{mbox,mbox.gz,mbox.bz2,mbox.xz}")
         .load(in_dir)
         .select("path", "content")
     )
@@ -145,7 +148,10 @@ def read_mbox(spark: SparkSession, in_dir: str) -> DataFrame:
         for pdf in batches:
             rows: list[dict] = []
             for path, blob in zip(pdf["path"], pdf["content"]):
-                rows.extend(_mail_rows(path, split_mbox(bytes(blob))))
+                rows.extend(_mail_rows(
+                    path,
+                    split_mbox(transparent_decompress(bytes(blob))),
+                ))
             yield _to_pdf(rows)
 
     return files.mapInPandas(_parse, schema=MAIL_SCHEMA)
@@ -155,7 +161,8 @@ def read_eml(spark: SparkSession, in_dir: str) -> DataFrame:
     """One row per ``*.eml`` file (message-per-file layouts)."""
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.eml")
+        .option("pathGlobFilter",
+                "*.{eml,eml.gz,eml.bz2,eml.xz}")
         .load(in_dir)
         .select("path", "content")
     )
@@ -164,7 +171,9 @@ def read_eml(spark: SparkSession, in_dir: str) -> DataFrame:
         for pdf in batches:
             rows: list[dict] = []
             for path, blob in zip(pdf["path"], pdf["content"]):
-                rows.extend(_mail_rows(path, [bytes(blob)]))
+                rows.extend(_mail_rows(
+                    path, [transparent_decompress(bytes(blob))]
+                ))
             yield _to_pdf(rows)
 
     return files.mapInPandas(_parse, schema=MAIL_SCHEMA)

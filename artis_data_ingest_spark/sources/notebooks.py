@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from .files import transparent_decompress
+
 NOTEBOOK_SCHEMA = T.StructType([
     T.StructField("notebook", T.StringType()),
     T.StructField("language", T.StringType()),
@@ -81,7 +83,8 @@ def read_notebooks(spark: SparkSession, in_dir: str) -> DataFrame:
     """One row per cell across every ``*.ipynb`` under ``in_dir``."""
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.ipynb")
+        .option("pathGlobFilter",
+                "*.{ipynb,ipynb.gz,ipynb.bz2,ipynb.xz}")
         .load(in_dir)
         .select("path", "content")
     )
@@ -94,7 +97,9 @@ def read_notebooks(spark: SparkSession, in_dir: str) -> DataFrame:
             for path, blob in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(path)
                 try:
-                    for row in parse_notebook(bytes(blob)):
+                    for row in parse_notebook(
+                        transparent_decompress(bytes(blob))
+                    ):
                         row["notebook"] = name
                         out.append(row)
                 except Exception:

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from .files import transparent_decompress
+
 SUBTITLE_SCHEMA = T.StructType([
     T.StructField("file", T.StringType()),
     T.StructField("seq", T.LongType()),
@@ -106,7 +108,7 @@ def parse_subtitles(text: str) -> list[dict]:
 
 
 def read_subtitles(
-    spark: SparkSession, in_dir: str, glob: str = "*.{srt,vtt}"
+    spark: SparkSession, in_dir: str, glob: str = "*.{srt,vtt,srt.gz,vtt.gz,srt.bz2,vtt.bz2}"
 ) -> DataFrame:
     files = (
         spark.read.format("binaryFile")
@@ -123,7 +125,9 @@ def read_subtitles(
             for path, blob in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(path)
                 try:
-                    txt = bytes(blob).decode("utf-8", errors="replace")
+                    txt = transparent_decompress(
+                        bytes(blob)
+                    ).decode("utf-8", errors="replace")
                     for cue in parse_subtitles(txt):
                         cue["file"] = name
                         out.append(cue)

@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from .files import transparent_decompress
+
 _NS_RE = re.compile(r"\{[^}]*\}")
 
 
@@ -103,7 +105,7 @@ def read_xml(
     in_dir: str,
     row_tag: str,
     fields: dict[str, str],
-    glob: str = "*.xml",
+    glob: str = "*.{xml,xml.gz,xml.bz2,xml.xz}",
 ) -> DataFrame:
     """One row per ``row_tag`` element across every matching file.
     Output: one string column per ``fields`` key, plus ``_source``
@@ -129,7 +131,10 @@ def read_xml(
             out: list[dict] = []
             for path, blob in zip(pdf["path"], pdf["content"]):
                 name = os.path.basename(path)
-                rows, ok = parse_xml_rows(bytes(blob), row_tag, fields)
+                rows, ok = parse_xml_rows(
+                    transparent_decompress(bytes(blob)), row_tag,
+                    fields,
+                )
                 for r in rows:
                     r["_source"] = name
                     r["_corrupt"] = False

@@ -3860,3 +3860,49 @@ def test_list_tar_members_matches_webdataset_layout(spark, tmp_path):
     assert rows[("shard-00000.tar", "00000003.txt")] == len("text 3")
     assert rows[("shard-00001.tar", "00000006.json")] == \
         len('{"lang": "en", "source": "web"}')
+
+
+def test_compressed_text_sources_transparently_unwrap(spark,
+                                                      tmp_path):
+    """r14: pipermail ships .mbox.gz, Wikipedia ships .xml.bz2 — the
+    text sources unwrap gzip/bzip2/xz by magic bytes before parsing."""
+    import bz2
+    import gzip
+    import json as _json
+
+    from artis_data_ingest_spark.sources.mailbox import read_mbox
+    from artis_data_ingest_spark.sources.notebooks import (
+        read_notebooks,
+    )
+    from artis_data_ingest_spark.sources.subtitles import (
+        read_subtitles,
+    )
+    from artis_data_ingest_spark.sources.xml import read_xml
+
+    (tmp_path / "l.mbox.gz").write_bytes(gzip.compress(
+        b"From a@x Thu Feb  1 10:00:00 2024\n"
+        b"Subject: zipped\n\nbody\n"
+    ))
+    assert [r["subject"] for r in
+            read_mbox(spark, str(tmp_path)).collect()] == ["zipped"]
+
+    (tmp_path / "w.xml.bz2").write_bytes(bz2.compress(
+        b"<r><row><v>42</v></row></r>"
+    ))
+    assert [r["v"] for r in
+            read_xml(spark, str(tmp_path), "row",
+                     {"v": "v"}).collect()] == ["42"]
+
+    (tmp_path / "c.srt.gz").write_bytes(gzip.compress(
+        b"1\n00:00:01,000 --> 00:00:02,000\ncompressed cue\n"
+    ))
+    subs = read_subtitles(spark, str(tmp_path)).collect()
+    assert [r["text"] for r in subs] == ["compressed cue"]
+
+    nb = {"nbformat": 4, "metadata": {}, "cells": [
+        {"cell_type": "markdown", "source": "# z"}]}
+    (tmp_path / "n.ipynb.gz").write_bytes(
+        gzip.compress(_json.dumps(nb).encode())
+    )
+    cells = read_notebooks(spark, str(tmp_path)).collect()
+    assert [r["source"] for r in cells] == ["# z"]

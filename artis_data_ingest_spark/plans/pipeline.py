@@ -2777,6 +2777,81 @@ def q_notebook_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_config_ingest",
+    oracle="""
+WITH toml_rows AS (
+  SELECT 'proj' || p || '.toml' AS file, 'toml' AS format,
+         '' AS section, 'title' AS key,
+         'Project ' || p AS value, 'str' AS value_type
+  FROM range(2) a(p)
+  UNION ALL
+  SELECT 'proj' || p || '.toml', 'toml', 'pkg', 'name', 'pkg' || p,
+         'str' FROM range(2) a(p)
+  UNION ALL
+  SELECT 'proj' || p || '.toml', 'toml', 'pkg', 'version',
+         '1.' || p || '.0', 'str' FROM range(2) a(p)
+  UNION ALL
+  SELECT 'proj' || p || '.toml', 'toml', 'pkg.deps',
+         CAST(j AS VARCHAR), 'd' || j, 'str'
+  FROM range(2) a(p), UNNEST(range(0, p + 1)) AS d(j)
+  UNION ALL
+  SELECT 'proj' || p || '.toml', 'toml', 'pkg.opts', 'workers',
+         CAST(2 + p AS VARCHAR), 'int' FROM range(2) a(p)
+  UNION ALL
+  SELECT 'proj' || p || '.toml', 'toml', 'pkg.opts', 'fast',
+         CASE WHEN p % 2 = 0 THEN 'true' ELSE 'false' END, 'bool'
+  FROM range(2) a(p)
+  UNION ALL
+  SELECT 'proj' || p || '.toml', 'toml', 'pkg.opts', 'ratio',
+         p || '.5', 'float' FROM range(2) a(p)
+), ini_rows AS (
+  SELECT 'svc' || s || '.ini' AS file, 'ini' AS format,
+         'server' AS section, 'host' AS key,
+         'h' || s || '.example' AS value, 'str' AS value_type
+  FROM range(2) b(s)
+  UNION ALL
+  SELECT 'svc' || s || '.ini', 'ini', 'server', 'port',
+         '800' || s, 'str' FROM range(2) b(s)
+  UNION ALL
+  SELECT 'svc' || s || '.ini', 'ini', 'db', 'url',
+         'db://svc' || s, 'str' FROM range(2) b(s)
+)
+SELECT file, format, section, key, value, value_type,
+       FALSE AS _corrupt
+FROM (SELECT * FROM toml_rows UNION ALL SELECT * FROM ini_rows)
+UNION ALL
+SELECT 'broken.ini', NULL, NULL, NULL, NULL, NULL, TRUE
+ORDER BY file, section NULLS LAST, key
+""",
+    doc="Config-file corpus ingest (sources/configs.py — TOML via "
+    "stdlib tomllib with nested tables and arrays flattened to "
+    "dotted paths and scalar types kept in their own column; INI "
+    "via configparser with interpolation OFF so raw '%' survives): "
+    "pyproject/Cargo-class configs are a code-corpus staple and the "
+    "flattened (section, key, value, type) rows are what dependency "
+    "analysis and secret scanning consume.  A missing-section-"
+    "header file yields one _corrupt row.  Every row recomputed by "
+    "the oracle from the (p, s) formulas over the committed "
+    "fixtures.",
+)
+def q_config_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.configs import read_configs
+
+    fixture_dir = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "configs",
+    )
+    return (
+        read_configs(spark, fixture_dir)
+        .orderBy("file", F.col("section").asc_nulls_last(), "key")
+    )
+
+
 def _wds_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

@@ -83,6 +83,7 @@ _PRIORITY: list[str] = [
     "q_id3_tags",
     "q_tar_members",
     "q_notebook_ingest",
+    "q_config_ingest",
     # (c) the two r13-head names that missed the 50-row cut
     "q_merge_dv",
     "q_xls_ingest",
@@ -104,9 +105,9 @@ _PRIORITY: list[str] = [
     "q_minhash_recall_eval",
     "q_matryoshka_recall",
     "q_dedup_policy",
-    "q_minhash_incremental",
     # (52-slot budget enforced by test_priority_queries_yield_first;
-    # still never sampled after this head: q_pca_power,
+    # still never sampled after this head: q_minhash_incremental,
+    # q_pca_power,
     # q_golden_record,
     # q_robots_policy,
     # q_char_entropy,

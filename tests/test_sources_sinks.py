@@ -3906,3 +3906,27 @@ def test_compressed_text_sources_transparently_unwrap(spark,
     )
     cells = read_notebooks(spark, str(tmp_path)).collect()
     assert [r["source"] for r in cells] == ["# z"]
+
+
+def test_config_ingest_types_and_corruption(spark, tmp_path):
+    """r14: TOML types survive flattening; INI interpolation is off;
+    torn files yield _corrupt rows."""
+    from artis_data_ingest_spark.sources.configs import (
+        parse_config,
+        read_configs,
+    )
+
+    rows = parse_config(
+        b'[a]\nx = 1\ny = true\nz = 0.25\nw = "s"\n', "t.toml"
+    )
+    assert {(r["key"], r["value_type"]) for r in rows} == {
+        ("x", "int"), ("y", "bool"), ("z", "float"), ("w", "str")
+    }
+    # raw % must not raise (interpolation off)
+    ini = parse_config(b"[s]\nfmt = 100%%done %s\n", "r.ini")
+    assert ini[0]["value"] == "100%%done %s"
+    (tmp_path / "ok.toml").write_bytes(b'k = "v"\n')
+    (tmp_path / "bad.toml").write_bytes(b"= torn [")
+    df = read_configs(spark, str(tmp_path))
+    got = {(r["file"], r["_corrupt"]) for r in df.collect()}
+    assert got == {("ok.toml", False), ("bad.toml", True)}

@@ -108,6 +108,15 @@ def _checkpoint_actions(
     process."""
     out: list[dict] = []
     keep = ("add", "remove", "metaData", "protocol")
+
+    def _undo_maps(d: dict) -> dict:
+        # pyarrow renders parquet MAP columns as [(k, v), ...] pair
+        # lists; downstream consumers expect protocol-JSON dicts
+        for k in ("partitionValues", "configuration"):
+            if isinstance(d.get(k), list):
+                d[k] = dict(d[k])
+        return d
+
     if spark is None:
         import pyarrow.parquet as pq
 
@@ -117,7 +126,7 @@ def _checkpoint_actions(
             for row in tbl.select(cols).to_pylist():
                 for k, v in row.items():
                     if v is not None:
-                        out.append({k: v})
+                        out.append({k: _undo_maps(v)})
         return out
     df = spark.read.parquet(*paths)
     cols = set(df.columns)
@@ -131,8 +140,11 @@ def _checkpoint_actions(
 
 def _snapshot_state(
     spark: SparkSession, table_dir: str, version: int | None = None
-) -> tuple[dict, dict, int]:
-    """Reconstruct (live add-actions by path, metaData, version)."""
+) -> tuple[dict, dict, int, dict]:
+    """Reconstruct (live add-actions by path, metaData, version,
+    protocol) — protocol is the LATEST protocol action replayed, kept
+    verbatim so writers (checkpoints) can re-publish it without
+    downgrading a table's declared reader/writer requirements."""
     commits, ckpts = _list_log(table_dir)
     if not commits and not ckpts:
         raise DeltaProtocolError(f"empty _delta_log under {table_dir}")
@@ -155,9 +167,11 @@ def _snapshot_state(
 
     adds: dict[str, dict] = {}
     meta: dict | None = None
+    protocol: dict = {"minReaderVersion": 1, "minWriterVersion": 2}
     for a in actions:
         if "protocol" in a and a["protocol"]:
             p = a["protocol"]
+            protocol = p
             mrv = int(p.get("minReaderVersion", 1))
             feats = set(p.get("readerFeatures") or [])
             if mrv > _MAX_READER_VERSION or (
@@ -178,7 +192,7 @@ def _snapshot_state(
             adds.pop(unquote(a["remove"]["path"]), None)
     if meta is None:
         raise DeltaProtocolError("log has no metaData action")
-    return adds, meta, v
+    return adds, meta, v, protocol
 
 
 def _logical_schema(meta: dict) -> tuple[T.StructType, dict[str, str]]:
@@ -221,7 +235,7 @@ def read_delta(
     columns re-attached via a broadcast ``_metadata.file_path`` join;
     physical→logical renames applied for name-mode column mapping.
     Files carrying deletion vectors refuse loudly."""
-    adds, meta, _ = _snapshot_state(spark, table_dir, version)
+    adds, meta, _, _proto = _snapshot_state(spark, table_dir, version)
     schema, renames = _logical_schema(meta)
     part_cols = list(meta.get("partitionColumns") or [])
 
@@ -336,7 +350,7 @@ def write_delta(
         # schema + partitioning enforcement (Delta refuses both too):
         # an append that silently changed either would corrupt every
         # later snapshot read
-        prior_adds, prior_meta, _ = _snapshot_state(
+        prior_adds, prior_meta, _, _proto = _snapshot_state(
             df.sparkSession, table_dir, None
         )
         declared, _ = _logical_schema(prior_meta)
@@ -441,11 +455,16 @@ def read_delta_changes(
     continuous 100 TB pipeline runs on a lake-resident upstream
     (Delta's own streaming source semantics for append-only tables).
 
-    Versions that contain ``remove`` actions (compaction, DELETE,
-    MERGE rewrites) REFUSE loudly: their adds are rewritten old rows,
-    and silently re-ingesting them would duplicate data downstream —
-    the caller must fall back to a snapshot diff (or the table's CDF)
-    across that version.  Metadata-only versions contribute nothing.
+    Versions whose ``remove`` actions carry ``dataChange=true``
+    (DELETE, MERGE rewrites) REFUSE loudly: their adds are rewritten
+    old rows, and silently re-ingesting them would duplicate data
+    downstream — the caller must fall back to a snapshot diff (or the
+    table's CDF) across that version.  ``dataChange=false`` versions
+    (OPTIMIZE bin-packing) are SKIPPED entirely, matching Delta's
+    streaming-source semantics — compaction rearranges bytes, not
+    rows.  Metadata-only versions contribute nothing.  A log whose
+    floor has been checkpointed past the caller's cursor refuses
+    (leading gaps lose data exactly like mid-range ones).
 
     One distributed parquet scan over ALL appended files across the
     version range; per-file version + partition values re-attached by
@@ -460,13 +479,26 @@ def read_delta_changes(
             f"ending_version {end} beyond latest {latest}"
         )
     # schema/partitioning from the snapshot state at `end`
-    _, meta, _ = _snapshot_state(spark, table_dir, end)
+    _, meta, _, _proto = _snapshot_state(spark, table_dir, end)
     schema, renames = _logical_schema(meta)
     part_cols = list(meta.get("partitionColumns") or [])
     by_type = {f.name: f.dataType for f in schema.fields}
 
     log_dir = os.path.join(table_dir, "_delta_log")
     wanted = [c for c in commits if starting_version < c <= end]
+    # A leading gap is just as lossy as a mid-range one: if the log
+    # floor sits ABOVE the caller's cursor + 1, versions (cursor,
+    # floor) were checkpointed away and their appended rows cannot be
+    # reconstructed from JSON commits at all.  The only legitimate
+    # clamp is a negative cursor up to the table's version 0.
+    first_needed = max(starting_version + 1, 0)
+    if min(commits) > first_needed:
+        raise DeltaProtocolError(
+            f"commit JSONs for versions {first_needed}.."
+            f"{min(commits) - 1} are gone (log floor is "
+            f"{min(commits)}); silently skipping them would lose "
+            "data.  Re-sync from a snapshot read instead"
+        )
     expect = list(range(max(starting_version + 1, min(commits)),
                         end + 1))
     if wanted != expect:
@@ -480,7 +512,13 @@ def read_delta_changes(
     file_rows: list[tuple] = []
     for v in wanted:
         actions = _read_commit(os.path.join(log_dir, f"{v:020d}.json"))
-        removes = [a for a in actions if a.get("remove")]
+        # dataChange=false actions (OPTIMIZE bin-packing) rearrange
+        # bytes without changing rows — Delta's streaming source skips
+        # them, which is exactly what makes OPTIMIZE stream-safe.
+        removes = [
+            a for a in actions
+            if a.get("remove") and a["remove"].get("dataChange", True)
+        ]
         if removes:
             raise DeltaProtocolError(
                 f"version {v} contains {len(removes)} remove action(s) "
@@ -489,7 +527,7 @@ def read_delta_changes(
             )
         for a in actions:
             add = a.get("add")
-            if not add:
+            if not add or not add.get("dataChange", True):
                 continue
             if add.get("deletionVector"):
                 raise DeltaProtocolError(
@@ -565,7 +603,7 @@ def read_delta_cdf(
         raise DeltaProtocolError(f"empty _delta_log under {table_dir}")
     latest = max(commits)
     end = latest if ending_version is None else int(ending_version)
-    _, meta, _ = _snapshot_state(spark, table_dir, min(end, latest))
+    _, meta, _, _proto = _snapshot_state(spark, table_dir, min(end, latest))
     schema, renames = _logical_schema(meta)
     part_cols = list(meta.get("partitionColumns") or [])
     by_type = {f.name: f.dataType for f in schema.fields}
@@ -576,8 +614,16 @@ def read_delta_cdf(
     for v in [c for c in commits if starting_version < c <= end]:
         actions = _read_commit(os.path.join(log_dir, f"{v:020d}.json"))
         cdcs = [a["cdc"] for a in actions if a.get("cdc")]
-        adds = [a["add"] for a in actions if a.get("add")]
-        removes = [a for a in actions if a.get("remove")]
+        # dataChange=false commits (OPTIMIZE) change no rows — the
+        # change feed skips them, same as the append tail does.
+        adds = [
+            a["add"] for a in actions
+            if a.get("add") and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a for a in actions
+            if a.get("remove") and a["remove"].get("dataChange", True)
+        ]
         if cdcs:
             for c in cdcs:
                 rel = unquote(c["path"])
@@ -678,7 +724,7 @@ def compact_delta(
 
     import pyarrow.parquet as pq
 
-    adds, meta, version = _snapshot_state(spark, table_dir, None)
+    adds, meta, version, _proto = _snapshot_state(spark, table_dir, None)
     if not adds:
         raise DeltaProtocolError("nothing to compact: no live files")
     df = read_delta(spark, table_dir)
@@ -730,15 +776,39 @@ def compact_delta(
 
 
 def vacuum_delta(
-    spark: SparkSession, table_dir: str, dry_run: bool = False
+    spark: SparkSession,
+    table_dir: str,
+    dry_run: bool = False,
+    retention_hours: float = 168.0,
+    force: bool = False,
 ) -> list[str]:
     """VACUUM for exported Delta tables: delete data files on disk
     that the CURRENT snapshot no longer references (superseded by
-    overwrites/compactions).  Returns the deleted (or, with
-    ``dry_run``, the would-be-deleted) relative paths.  Time travel
-    to versions needing those files stops working afterwards — the
-    same contract as Delta's VACUUM."""
-    adds, _, _ = _snapshot_state(spark, table_dir, None)
+    overwrites/compactions) AND are older than ``retention_hours``
+    (default 7 days, Delta's own default).  Returns the deleted (or,
+    with ``dry_run``, the would-be-deleted) relative paths.
+
+    The retention window is a safety interlock, not a nicety:
+    ``write_delta`` moves data files into the table BEFORE publishing
+    the commit JSON, so a zero-retention vacuum racing an in-flight
+    writer would delete files the about-to-publish commit references,
+    corrupting the table — and concurrent snapshot readers of older
+    versions break the same way.  ``retention_hours <= 0`` therefore
+    refuses unless ``force=True`` (safe only when no writer or
+    time-travel reader can be active).  Time travel to versions
+    needing the reclaimed files stops working afterwards — the same
+    contract as Delta's VACUUM."""
+    import time
+
+    if retention_hours <= 0 and not force:
+        raise DeltaProtocolError(
+            "vacuum with retention_hours<=0 can race an in-flight "
+            "writer (data files land before the commit JSON) and "
+            "breaks concurrent snapshot readers; pass force=True "
+            "only when the table is known quiescent"
+        )
+    cutoff = time.time() - max(retention_hours, 0.0) * 3600.0
+    adds, _, _, _proto = _snapshot_state(spark, table_dir, None)
     live = {
         os.path.abspath(
             p if os.path.isabs(p) else os.path.join(table_dir, p)
@@ -754,7 +824,7 @@ def vacuum_delta(
             if not name.endswith(".parquet"):
                 continue
             ap = os.path.abspath(os.path.join(root, name))
-            if ap not in live:
+            if ap not in live and os.path.getmtime(ap) <= cutoff:
                 doomed.append(os.path.relpath(ap, table_dir))
     if not dry_run:
         for rel in doomed:
@@ -771,7 +841,7 @@ def write_delta_checkpoint(spark: SparkSession, table_dir: str) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    adds, meta, v = _snapshot_state(spark, table_dir, None)
+    adds, meta, v, protocol = _snapshot_state(spark, table_dir, None)
     rows = []
     rows.append({"add": None, "metaData": {
         "id": meta.get("id"),
@@ -779,23 +849,49 @@ def write_delta_checkpoint(spark: SparkSession, table_dir: str) -> int:
         "partitionColumns": list(meta.get("partitionColumns") or []),
         "configuration": dict(meta.get("configuration") or {}),
     }, "protocol": None})
-    rows.append({"add": None, "metaData": None,
-                 "protocol": {"minReaderVersion": 1,
-                              "minWriterVersion": 2}})
+    # the REPLAYED protocol, verbatim — re-synthesizing (1,2) here
+    # would downgrade e.g. a minReaderVersion=3 deletion-vector table
+    # in the eyes of every engine that reconstructs from this
+    # checkpoint
+    rows.append({"add": None, "metaData": None, "protocol": {
+        "minReaderVersion": int(protocol.get("minReaderVersion", 1)),
+        "minWriterVersion": int(protocol.get("minWriterVersion", 2)),
+        "readerFeatures": protocol.get("readerFeatures"),
+        "writerFeatures": protocol.get("writerFeatures"),
+    }})
     for rel, a in adds.items():
+        dv = a.get("deletionVector")
         rows.append({"add": {
             "path": rel,
             "partitionValues": dict(a.get("partitionValues") or {}),
             "size": int(a.get("size") or 0),
             "modificationTime": int(a.get("modificationTime") or 0),
             "dataChange": False,
+            # preserved verbatim: dropping a live DV here would make
+            # every checkpoint-based reconstruction silently resurrect
+            # the deleted rows
+            "deletionVector": None if not dv else {
+                "storageType": dv.get("storageType"),
+                "pathOrInlineDv": dv.get("pathOrInlineDv"),
+                "offset": dv.get("offset"),
+                "sizeInBytes": dv.get("sizeInBytes"),
+                "cardinality": dv.get("cardinality"),
+            },
         }, "metaData": None, "protocol": None})
+    dv_t = pa.struct([
+        ("storageType", pa.string()),
+        ("pathOrInlineDv", pa.string()),
+        ("offset", pa.int32()),
+        ("sizeInBytes", pa.int32()),
+        ("cardinality", pa.int64()),
+    ])
     add_t = pa.struct([
         ("path", pa.string()),
         ("partitionValues", pa.map_(pa.string(), pa.string())),
         ("size", pa.int64()),
         ("modificationTime", pa.int64()),
         ("dataChange", pa.bool_()),
+        ("deletionVector", dv_t),
     ])
     meta_t = pa.struct([
         ("id", pa.string()), ("schemaString", pa.string()),
@@ -805,6 +901,8 @@ def write_delta_checkpoint(spark: SparkSession, table_dir: str) -> int:
     proto_t = pa.struct([
         ("minReaderVersion", pa.int32()),
         ("minWriterVersion", pa.int32()),
+        ("readerFeatures", pa.list_(pa.string())),
+        ("writerFeatures", pa.list_(pa.string())),
     ])
 
     def _map_ready(r):

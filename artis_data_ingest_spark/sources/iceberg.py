@@ -310,6 +310,22 @@ def write_iceberg(
 
     if exists:
         meta = _load_table_metadata(table_dir)
+        # schema enforcement, mirroring write_delta: an append whose
+        # (name, type) list drifted from the table's current schema
+        # would commit silently and make every later read fail
+        # confusingly (or null-fill) depending on which file Spark
+        # samples
+        cur_schema = next(
+            s for s in meta["schemas"]
+            if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+        )
+        want = [(f["name"], f["type"]) for f in cur_schema["fields"]]
+        have = [(f["name"], f["type"]) for f in fields]
+        if have != want:
+            raise IcebergProtocolError(
+                f"schema mismatch vs the table's current schema: "
+                f"writing {have}, table declares {want}"
+            )
         snap_id = max(
             (s["snapshot-id"] for s in meta.get("snapshots") or []),
             default=0,

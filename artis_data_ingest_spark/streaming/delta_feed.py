@@ -147,8 +147,18 @@ def _make_delta_feed_class():
             actions = _read_commit(
                 os.path.join(log, f"{v:020d}.json")
             )
-            adds = [a["add"] for a in actions if a.get("add")]
-            removes = [a for a in actions if a.get("remove")]
+            # dataChange=false actions (OPTIMIZE bin-packing) change
+            # no rows; Delta's streaming source skips them entirely —
+            # that is what makes OPTIMIZE stream-safe
+            adds = [
+                a["add"] for a in actions
+                if a.get("add") and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a for a in actions
+                if a.get("remove")
+                and a["remove"].get("dataChange", True)
+            ]
             if removes:
                 if adds and not self._ignore_changes:
                     raise DeltaProtocolError(
@@ -176,8 +186,19 @@ def _make_delta_feed_class():
             lo, hi = int(start["version"]), int(end["version"])
             commits, _ = _list_log(self._dir)
             wanted = sorted(c for c in commits if lo < c <= hi)
-            expect = list(range(max(lo + 1, min(commits, default=0)),
-                                hi + 1))
+            # leading gap below the log floor = versions the tail can
+            # never reconstruct from JSON commits (checkpointed away);
+            # the only legitimate clamp is a negative start up to v0
+            floor = min(commits, default=0)
+            first_needed = max(lo + 1, 0)
+            if floor > first_needed:
+                raise DeltaProtocolError(
+                    f"commit JSONs for versions {first_needed}.."
+                    f"{floor - 1} are gone (log floor {floor}); a "
+                    "silent skip would lose data.  Restart the "
+                    "stream from a snapshot sync"
+                )
+            expect = list(range(max(lo + 1, floor), hi + 1))
             if wanted != expect:
                 missing = sorted(set(expect) - set(wanted))
                 raise DeltaProtocolError(
@@ -243,7 +264,7 @@ def _make_delta_feed_class():
             # session-FREE metadata resolve (spark=None → checkpoint
             # parquet through pyarrow): the data source object runs in
             # worker processes that have no SparkSession
-            _, meta, _ = _snapshot_state(None, self._table_dir(), None)
+            _, meta, _, _proto = _snapshot_state(None, self._table_dir(), None)
             schema, renames = _logical_schema(meta)
             if renames:
                 raise DeltaProtocolError(

@@ -475,7 +475,8 @@ def test_compact_and_vacuum_lifecycle(spark, tmp_path):
     assert after.rdd.getNumPartitions() <= 2
     # pre-compact versions still readable until vacuum
     assert read_delta(spark, t, version=1).count() == 8
-    doomed = vacuum_delta(spark, t, dry_run=True)
+    doomed = vacuum_delta(spark, t, dry_run=True,
+                          retention_hours=0, force=True)
     # every pre-compact part file is now unreferenced; the compacted
     # file is not
     assert len(doomed) >= 3
@@ -483,7 +484,13 @@ def test_compact_and_vacuum_lifecycle(spark, tmp_path):
 
     on_disk = [f for f in _os.listdir(t) if f.endswith(".parquet")]
     assert len(on_disk) == len(doomed) + 1
-    assert vacuum_delta(spark, t) == doomed
+    # the retention interlock: fresh files survive the default
+    # window, and a zero-retention vacuum refuses without force
+    assert vacuum_delta(spark, t, dry_run=True) == []
+    with pytest.raises(DeltaProtocolError, match="force"):
+        vacuum_delta(spark, t, retention_hours=0)
+    assert vacuum_delta(spark, t, retention_hours=0,
+                        force=True) == doomed
     assert read_delta(spark, t).count() == 12  # current survives
     # history pins: OPTIMIZE recorded, removes counted
     h = {r["version"]: r for r in delta_history(spark, t).collect()}
@@ -666,3 +673,137 @@ def test_changes_reattach_partition_values(spark, tmp_path):
     tail = read_delta_changes(spark, t, starting_version=0)
     got = {tuple(r) for r in tail.collect()}
     assert got == {(2, 5, 1), (3, 5, 1)}
+
+
+# --------------------------------------------------------------------------
+# round-15 advice fixes: leading gaps, OPTIMIZE skip, checkpoint fidelity
+# --------------------------------------------------------------------------
+
+
+def _checkpointed_cleaned_table(spark, tmp_path, name: str) -> str:
+    """versions 0..2, checkpoint at 2, version 3, then JSONs 0..2
+    cleaned away — the shape an external engine's log-retention
+    leaves behind.  The snapshot still reconstructs (checkpoint), but
+    the append tail below the log floor is gone for good."""
+    from artis_data_ingest_spark.sources.delta import (
+        write_delta_checkpoint,
+    )
+
+    t = str(tmp_path / name)
+    for k in range(3):
+        write_delta(spark.createDataFrame([(k,)], "id long"), t,
+                    mode="append" if k else "error")
+    assert write_delta_checkpoint(spark, t) == 2
+    write_delta(spark.createDataFrame([(3,)], "id long"), t,
+                mode="append")
+    log = os.path.join(t, "_delta_log")
+    for v in range(3):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    return t
+
+
+def test_changes_refuse_leading_gap_below_log_floor(spark, tmp_path):
+    """A cleaned log whose floor sits ABOVE cursor+1 must refuse: the
+    skipped versions' rows cannot be reconstructed from JSON commits
+    at all, and clamping to min(commits) silently loses them."""
+    t = _checkpointed_cleaned_table(spark, tmp_path, "lead")
+    # cursor 0 needs versions 1..3; 1 and 2 are gone
+    with pytest.raises(DeltaProtocolError, match="log floor"):
+        read_delta_changes(spark, t, starting_version=0)
+    # a cursor at the log floor - 1 is still fine (nothing skipped)
+    tail = read_delta_changes(spark, t, starting_version=2)
+    assert [tuple(r) for r in tail.collect()] == [(3, 3)]
+
+
+def test_feed_refuses_leading_gap_below_log_floor(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = _checkpointed_cleaned_table(spark, tmp_path, "leadf")
+    with pytest.raises(StreamingQueryException, match="log floor"):
+        _run_feed(spark, t, str(tmp_path / "s"), str(tmp_path / "c"),
+                  startingVersion="1")
+
+
+def test_changes_skip_optimize_commits(spark, tmp_path):
+    """dataChange=false commits (OPTIMIZE) rearrange bytes, not rows —
+    the append tail must skip them, not classify them as rewrites."""
+    from artis_data_ingest_spark.sources.delta import compact_delta
+
+    t = str(tmp_path / "opt")
+    write_delta(spark.createDataFrame([(1,)], "id long"), t)
+    write_delta(spark.createDataFrame([(2,)], "id long"), t,
+                mode="append")
+    v = compact_delta(spark, t, target_files=1)   # dataChange=false
+    write_delta(spark.createDataFrame([(3,)], "id long"), t,
+                mode="append")
+    tail = read_delta_changes(spark, t, starting_version=0)
+    assert {tuple(r) for r in tail.collect()} == {(2, 1), (3, v + 1)}
+
+
+def test_feed_survives_optimize_commit(spark, tmp_path):
+    from artis_data_ingest_spark.sources.delta import compact_delta
+
+    t = str(tmp_path / "optf")
+    write_delta(spark.createDataFrame([(1,)], "id long"), t)
+    compact_delta(spark, t, target_files=1)
+    write_delta(spark.createDataFrame([(2,)], "id long"), t,
+                mode="append")
+    out = _run_feed(spark, t, str(tmp_path / "s"), str(tmp_path / "c"))
+    # v1 (OPTIMIZE) contributes nothing; no ignoreChanges needed
+    assert {tuple(r) for r in out.collect()} == {(1, 0), (2, 2)}
+
+
+def test_cdf_skips_optimize_commits(spark, tmp_path):
+    from artis_data_ingest_spark.sources.delta import (
+        compact_delta,
+        read_delta_cdf,
+    )
+
+    t = str(tmp_path / "optc")
+    write_delta(spark.createDataFrame([(1,)], "id long"), t)
+    compact_delta(spark, t, target_files=1)
+    write_delta(spark.createDataFrame([(2,)], "id long"), t,
+                mode="append")
+    feed = read_delta_cdf(spark, t, starting_version=0)
+    assert {tuple(r) for r in feed.collect()} == \
+        {(2, "insert", 2)}
+
+
+def test_checkpoint_preserves_protocol_and_deletion_vectors(
+    spark, tmp_path
+):
+    """A checkpoint that re-synthesized protocol (1,2) or dropped a
+    live add's deletionVector would make checkpoint-based readers
+    resurrect deleted rows; both must survive verbatim."""
+    from artis_data_ingest_spark.sources.delta import (
+        _snapshot_state,
+        write_delta_checkpoint,
+    )
+
+    t = str(tmp_path / "ckdv")
+    os.makedirs(t, exist_ok=True)
+    a = _data_file(t, "a.parquet",
+                   pd.DataFrame({"id": [1, 2], "name": ["x", "y"]}))
+    a["add"]["deletionVector"] = {
+        "storageType": "i", "pathOrInlineDv": "00000000",
+        "sizeInBytes": 6, "cardinality": 1,
+    }
+    proto = {"protocol": {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors"],
+        "writerFeatures": ["deletionVectors"],
+    }}
+    _commit(t, 0, [proto, _meta(_SCHEMA), a])
+    v = write_delta_checkpoint(spark, t)
+    assert v == 0
+    # burn the JSON commit: state must reconstruct from the
+    # checkpoint alone, DV and protocol intact
+    os.remove(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+    adds, _meta_d, _v, protocol = _snapshot_state(spark, t, None)
+    assert protocol["minReaderVersion"] == 3
+    assert protocol["minWriterVersion"] == 7
+    assert list(protocol["readerFeatures"]) == ["deletionVectors"]
+    dv = adds["a.parquet"]["deletionVector"]
+    assert dv["storageType"] == "i"
+    assert dv["pathOrInlineDv"] == "00000000"
+    assert dv["cardinality"] == 1

@@ -462,3 +462,35 @@ def test_appends_refuse_non_append_evolution(spark, tmp_path):
     with pytest.raises(IcebergProtocolError, match="dropped"):
         read_iceberg_appends(spark, t, from_snapshot=100,
                              to_snapshot=200)
+
+
+def test_write_iceberg_append_enforces_schema(spark, tmp_path):
+    """An append whose (name, type) list drifted from the table's
+    current schema must refuse (mirrors write_delta): silently mixing
+    schemas makes later reads fail confusingly or null-fill."""
+    from artis_data_ingest_spark.sources.iceberg import (
+        IcebergProtocolError,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "enf")
+    write_iceberg(
+        spark.createDataFrame([(1, "a")], "id long, s string"), t
+    )
+    with pytest.raises(IcebergProtocolError, match="schema mismatch"):
+        write_iceberg(spark.createDataFrame([(2,)], "id long"), t,
+                      mode="append")
+    with pytest.raises(IcebergProtocolError, match="schema mismatch"):
+        write_iceberg(
+            spark.createDataFrame([(2, "b")], "id long, renamed string"),
+            t, mode="append")
+    with pytest.raises(IcebergProtocolError, match="schema mismatch"):
+        write_iceberg(
+            spark.createDataFrame([(2, 3)], "id long, s long"),
+            t, mode="append")
+    # conforming append still lands
+    write_iceberg(
+        spark.createDataFrame([(2, "b")], "id long, s string"), t,
+        mode="append")
+    assert read_iceberg(spark, t).count() == 2

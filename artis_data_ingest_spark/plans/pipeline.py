@@ -1058,6 +1058,230 @@ def q_delta_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.unionByName(v0).orderBy("snapshot", "bucket")
 
 
+def _delta_dv_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "delta_dv",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|dv1"
+    except OSError:
+        sig = f"{src}|missing|dv1"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+def _build_delta_dv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hand-write a Delta table over orders whose live files carry
+    DELETION VECTORS in both public storage variants: file A (even
+    o_orderkey) gets an INLINE ('i', Z85) DV masking its
+    o_orderkey%3==0 rows; file B (odd) gets a sidecar-file ('u',
+    deletion_vector_<uuid>.bin) DV masking o_orderkey%5==0 rows.
+    v0 = both files un-vectored; v1 = the DV DELETE commit with the
+    protocol upgraded to (3,7)+deletionVectors — exactly the shape a
+    modern Databricks writer leaves behind."""
+    import json
+    import os
+    import shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    from ..sources.roaring import (
+        append_dv_entry,
+        serialize_dv,
+        z85_encode,
+    )
+
+    table = _delta_dv_cache_path(sf_dir)
+    if os.path.exists(os.path.join(table, "_SUCCESS")):
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    os.makedirs(os.path.join(table, "_delta_log"), exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = os.path.join(table, "_build_tmp")
+
+    def _write_half(parity: int, rel: str) -> dict:
+        out = os.path.join(table, rel)
+        stage = os.path.join(tmp, f"h{parity}")
+        (
+            orders.where(F.col("o_orderkey") % 2 == parity)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        os.replace(os.path.join(stage, part), out)
+        return {"add": {
+            "path": rel, "partitionValues": {},
+            "size": os.path.getsize(out),
+            "modificationTime": 1700000000000, "dataChange": True,
+            "stats": json.dumps(
+                {"numRecords": pq.ParquetFile(out).metadata.num_rows}
+            ),
+        }}
+
+    def _positions(rel: str, modulus: int) -> list[int]:
+        # deleted row positions IN FILE ORDER — what a DV indexes
+        keys = pq.read_table(
+            os.path.join(table, rel), columns=["o_orderkey"]
+        ).column("o_orderkey").to_pylist()
+        return [i for i, k in enumerate(keys) if k % modulus == 0]
+
+    a = _write_half(0, "part-a.parquet")
+    b = _write_half(1, "part-b.parquet")
+    shutil.rmtree(tmp, ignore_errors=True)
+    schema_json = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": f.name, "type": f.dataType.jsonValue(),
+             "nullable": True, "metadata": {}}
+            for f in orders.schema.fields
+        ],
+    })
+
+    def _commit(v: int, actions: list[dict]) -> None:
+        path = os.path.join(table, "_delta_log", f"{v:020d}.json")
+        with open(path, "w") as fh:
+            for act in actions:
+                fh.write(json.dumps(act) + "\n")
+
+    _commit(0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {
+            "id": "orders-dv-fixture",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json,
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": 1700000000000,
+        }},
+        {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+        a, b,
+    ])
+
+    pay_a = serialize_dv(_positions("part-a.parquet", 3))
+    dv_a = {"storageType": "i", "pathOrInlineDv": z85_encode(pay_a),
+            "sizeInBytes": len(pay_a),
+            "cardinality": len(_positions("part-a.parquet", 3))}
+    u = _uuid.uuid4()
+    pay_b = serialize_dv(_positions("part-b.parquet", 5))
+    off = append_dv_entry(
+        os.path.join(table, f"deletion_vector_{u}.bin"), pay_b
+    )
+    dv_b = {"storageType": "u", "pathOrInlineDv": z85_encode(u.bytes),
+            "offset": off, "sizeInBytes": len(pay_b),
+            "cardinality": len(_positions("part-b.parquet", 5))}
+    add_a2 = {"add": dict(a["add"], dataChange=True,
+                          deletionVector=dv_a)}
+    add_b2 = {"add": dict(b["add"], dataChange=True,
+                          deletionVector=dv_b)}
+    _commit(1, [
+        {"commitInfo": {"timestamp": 2, "operation": "DELETE"}},
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"remove": {"path": a["add"]["path"], "dataChange": True,
+                    "deletionTimestamp": 2}},
+        {"remove": {"path": b["add"]["path"], "dataChange": True,
+                    "deletionTimestamp": 2}},
+        add_a2, add_b2,
+    ])
+    with open(os.path.join(table, "_SUCCESS"), "w"):
+        pass
+    return table
+
+
+@register(
+    "q_delta_dv_read",
+    oracle="""
+WITH snap AS (
+  SELECT 'latest' AS snapshot, o_orderkey, o_custkey, o_totalprice
+  FROM orders
+  WHERE (o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0)
+     OR (o_orderkey % 2 = 1 AND o_orderkey % 5 <> 0)
+  UNION ALL
+  SELECT 'v0' AS snapshot, o_orderkey, o_custkey, o_totalprice
+  FROM orders
+)
+SELECT snapshot,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(SUM(CAST(CONCAT('0x', substring(
+              md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                  CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT))
+            AS BIGINT) AS key_checksum
+FROM snap
+GROUP BY snapshot
+ORDER BY snapshot
+""",
+    doc="External Delta tables with LIVE DELETION VECTORS "
+    "(sources/delta.py + sources/roaring.py — the r14 verdict's #1 "
+    "missing feature; Databricks writes DVs by default): a "
+    "hand-written two-file table gets a DV DELETE commit carrying "
+    "BOTH public storage variants — an inline Z85 DV masking "
+    "o_orderkey%3==0 rows of the even-key file and a sidecar "
+    "deletion_vector_<uuid>.bin DV masking o_orderkey%5==0 rows of "
+    "the odd-key file (RoaringBitmapArray portable format, CRC-"
+    "checked).  Read back at LATEST (masked) and at v0 (unmasked "
+    "time travel), profiled with exact cents and an md5-prefix key "
+    "checksum.  The oracle recomputes both snapshots from the "
+    "original parquet via the complementary predicates, so a reader "
+    "that mis-decodes the bitmap, mixes up file↔DV pairing, drops "
+    "positions past the first 64 Ki rows, or forgets time travel "
+    "hash-mismatches.  Scale: DV decode is per-file driver METADATA "
+    "(delta-spark materializes the same bitmaps); masking is one "
+    "broadcast (file, row position) anti-join on the single "
+    "distributed scan.",
+)
+def q_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.delta import read_delta
+
+    table = _build_delta_dv_fixture(spark, sf_dir)
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                ).cast("bigint").alias("total_cents"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.col("o_orderkey").cast("string"),
+                                    F.col("o_custkey").cast("string"),
+                                )
+                            ),
+                            1, 12,
+                        ),
+                        16, 10,
+                    ).cast("bigint")
+                ).cast("bigint").alias("key_checksum"),
+            )
+            .select(
+                F.lit(tag).alias("snapshot"), "n_orders",
+                "total_cents", "key_checksum",
+            )
+        )
+
+    latest = profile(read_delta(spark, table), "latest")
+    v0 = profile(read_delta(spark, table, version=0), "v0")
+    return latest.unionByName(v0).orderBy("snapshot")
+
+
 def _iceberg_cache_path(sf_dir: str) -> str:
     import hashlib
     import os

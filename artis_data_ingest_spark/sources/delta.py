@@ -28,11 +28,14 @@ carries ``partitionValues`` — so the scan reads all live files in ONE
 non-partition predicates) and re-attaches partition values by a
 BROADCAST join on ``_metadata.file_path``, never a per-file union of
 scans.  Column-mapping mode ``name`` (physical parquet names differ
-from logical) is honoured by renaming after the scan; tables whose
-live files carry deletion vectors are REFUSED loudly (DV bitmaps are
-RoaringBitmap-serialized; silently returning undeleted rows would be
-wrong), as are writer features beyond the read protocol implemented
-here.
+from logical) is honoured by renaming after the scan.  Deletion
+vectors — the row-level delete encoding modern Databricks writers
+emit by default — are fully decoded (sources/roaring.py implements
+the public RoaringBitmapArray + Z85 formats) and masked by a
+broadcast (file, row position) anti-join, the same mechanism our own
+versioned tables use; ``delete_delta_where`` writes them too, so
+exported tables get O(delta) row deletes.  Writer features beyond
+the protocol implemented here are refused loudly.
 
 Reference tie-in: the reference reads whatever format its upstream
 publishes (artis-data-ingest clean_fao.qmd ingests FAO's workbook
@@ -215,6 +218,87 @@ def _logical_schema(meta: dict) -> tuple[T.StructType, dict[str, str]]:
     return schema, renames
 
 
+def _dv_payload(table_dir: str, dv: dict) -> bytes:
+    """``deletionVector`` descriptor → payload bytes (magic + portable
+    RoaringBitmapArray), per PROTOCOL.md storage variants."""
+    from .roaring import read_dv_entry, z85_decode
+
+    st = dv.get("storageType")
+    size = int(dv.get("sizeInBytes") or 0)
+    ref = dv.get("pathOrInlineDv") or ""
+    if st == "i":
+        return z85_decode(ref, size)
+    if st == "u":
+        # [optional random prefix]<20-char Z85 uuid>
+        import uuid as _uuid
+
+        prefix, z = ref[:-20], ref[-20:]
+        u = _uuid.UUID(bytes=z85_decode(z, 16))
+        path = os.path.join(
+            table_dir, *((prefix,) if prefix else ()),
+            f"deletion_vector_{u}.bin",
+        )
+        return read_dv_entry(path, int(dv.get("offset") or 1), size)
+    if st == "p":
+        path = re.sub(r"^file:/+", "/", ref)
+        return read_dv_entry(path, int(dv.get("offset") or 1), size)
+    raise DeltaProtocolError(f"unknown DV storageType {st!r}")
+
+
+def _dv_positions(table_dir: str, dv: dict) -> list[int]:
+    """Decode one file's deletion vector → sorted deleted row indexes,
+    cardinality-checked against the add action's claim."""
+    from .roaring import deserialize_dv
+
+    positions = deserialize_dv(_dv_payload(table_dir, dv))
+    want = dv.get("cardinality")
+    if want is not None and int(want) != len(positions):
+        raise DeltaProtocolError(
+            f"DV cardinality mismatch: action says {want}, bitmap "
+            f"holds {len(positions)}"
+        )
+    return positions
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, table_dir: str, adds: dict, df: DataFrame
+) -> DataFrame:
+    """Mask DV-deleted rows: decode each live file's RoaringBitmap
+    (driver-side, per-file METADATA — the same materialization
+    delta-spark's scan driver performs) and anti-join the scan on
+    (file path, row position) — the identical broadcast mechanism our
+    own versioned tables (sinks/versioned.py) and Iceberg position
+    deletes use, so the data path stays one distributed scan.
+
+    ``df`` must already carry ``__dl_path`` (normalized file path) and
+    ``__dl_pos`` (row index) — captured once at the scan, because the
+    ``_metadata`` pseudo-column is only resolvable directly on the
+    scan relation.  ``__dl_pos`` is consumed; ``__dl_path`` is left
+    for the partition-value join to reuse."""
+    import pandas as pd
+
+    dv_adds = [(p, a) for p, a in adds.items()
+               if a.get("deletionVector")]
+    if not dv_adds:
+        return df.drop("__dl_pos")
+    paths, poss = [], []
+    for rel, a in dv_adds:
+        ap = rel if os.path.isabs(rel) else os.path.join(table_dir, rel)
+        ap = os.path.abspath(ap)
+        for pos in _dv_positions(table_dir, a["deletionVector"]):
+            paths.append(ap)
+            poss.append(pos)
+    dels = spark.createDataFrame(
+        pd.DataFrame({"__dl_path": paths,
+                      "__dl_pos": pd.array(poss, dtype="int64")})
+    )
+    return (
+        df.join(F.broadcast(dels), ["__dl_path", "__dl_pos"],
+                "left_anti")
+        .drop("__dl_pos")
+    )
+
+
 def _partition_cast(dt: T.DataType, raw):
     """Delta serializes partitionValues as strings; re-cast per type."""
     col = F.lit(raw)
@@ -233,20 +317,14 @@ def read_delta(
 
     One distributed parquet scan over the live files; partition
     columns re-attached via a broadcast ``_metadata.file_path`` join;
-    physical→logical renames applied for name-mode column mapping.
-    Files carrying deletion vectors refuse loudly."""
+    physical→logical renames applied for name-mode column mapping;
+    deletion vectors (inline Z85, UUID sidecar, or absolute-path —
+    the format modern Databricks writers emit by default) decoded
+    driver-side and masked by a broadcast (file, row position)
+    anti-join."""
     adds, meta, _, _proto = _snapshot_state(spark, table_dir, version)
     schema, renames = _logical_schema(meta)
     part_cols = list(meta.get("partitionColumns") or [])
-
-    dv_files = [p for p, a in adds.items() if a.get("deletionVector")]
-    if dv_files:
-        raise DeltaProtocolError(
-            f"{len(dv_files)} live file(s) carry deletion vectors "
-            f"(e.g. {dv_files[0]!r}); row-level DV decode is not "
-            "implemented — compact the table or read via an engine "
-            "with DV support"
-        )
 
     if not adds:
         return spark.createDataFrame([], schema)
@@ -256,6 +334,19 @@ def read_delta(
         for p in adds
     ]
     df = spark.read.parquet(*paths)
+    has_dv = any(a.get("deletionVector") for a in adds.values())
+    if has_dv or part_cols:
+        # capture the _metadata pseudo-columns ONCE at the scan —
+        # they are only resolvable directly on the scan relation
+        df = df.withColumn(
+            "__dl_path",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ),
+        )
+    if has_dv:
+        df = df.withColumn("__dl_pos", F.col("_metadata.row_index"))
+        df = _apply_deletion_vectors(spark, table_dir, adds, df)
     for phys, logical in renames.items():
         if phys in df.columns:
             df = df.withColumnRenamed(phys, logical)
@@ -276,20 +367,11 @@ def read_delta(
                for c in part_cols]
         )
         pv_df = spark.createDataFrame(pv_rows, pv_schema)
-        df = (
-            df.withColumn(
-                "__dl_path",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ),
-            )
-            .join(F.broadcast(pv_df), "__dl_path", "left")
-        )
+        df = df.join(F.broadcast(pv_df), "__dl_path", "left")
         for c in part_cols:
             df = df.withColumn(
                 c, F.col(f"__dl_{c}").cast(by_type[c])
             ).drop(f"__dl_{c}")
-        df = df.drop("__dl_path")
 
     # present in the table's declared column order
     return df.select(*[f.name for f in schema.fields])
@@ -441,6 +523,164 @@ def write_delta(
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     return version
+
+
+def delete_delta_where(
+    spark: SparkSession, table_dir: str, condition: str
+) -> int:
+    """Row-level DELETE on an external Delta table via DELETION
+    VECTORS — O(deleted rows), never a rewrite of the surviving rows
+    (the same trade our internal versioned tables make in
+    sinks/versioned.py:delete_where).  Returns the committed version
+    (unchanged if nothing matched).
+
+    Mechanics per PROTOCOL.md: the matching (file, row position)
+    pairs are found by ONE distributed scan with the predicate pushed
+    to parquet; per affected file the new bitmap = old DV ∪ new
+    positions is RoaringBitmap-serialized into a fresh
+    ``deletion_vector_<uuid>.bin`` sidecar (storageType 'u'), and the
+    commit replaces each touched ``add`` with an identical one
+    carrying the new DV (``remove`` + ``add``, ``dataChange=true``).
+    Files whose every row is deleted are plainly removed.  The first
+    DV commit upgrades the protocol to (3, 7) with the
+    ``deletionVectors`` reader+writer feature — exactly what
+    delta-spark publishes when DVs first appear on a table.
+
+    Driver memory holds the matched positions (the same bound as
+    delta-spark's DV writer, which materializes per-file bitmaps on
+    the driver before committing); deletes are assumed delta-sized
+    relative to the table, which is what makes DVs the right encoding
+    in the first place."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    from .roaring import append_dv_entry, serialize_dv, z85_encode
+
+    adds, meta, version, protocol = _snapshot_state(
+        spark, table_dir, None
+    )
+    schema, renames = _logical_schema(meta)
+    if renames:
+        raise DeltaProtocolError(
+            "delete_delta_where does not support column-mapping "
+            "tables (physical/logical name split)"
+        )
+    part_cols = list(meta.get("partitionColumns") or [])
+    by_type = {f.name: f.dataType for f in schema.fields}
+    if not adds:
+        return version
+
+    abs_of = {
+        rel: os.path.abspath(
+            rel if os.path.isabs(rel) else os.path.join(table_dir, rel)
+        )
+        for rel in adds
+    }
+    df = spark.read.parquet(*abs_of.values())
+    df = df.withColumn(
+        "__dl_path",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+    ).withColumn("__dl_pos", F.col("_metadata.row_index"))
+    if part_cols:
+        pv_rows = [
+            (abs_of[rel],)
+            + tuple((a.get("partitionValues") or {}).get(c)
+                    for c in part_cols)
+            for rel, a in adds.items()
+        ]
+        pv_schema = T.StructType(
+            [T.StructField("__dl_path", T.StringType())]
+            + [T.StructField(f"__pv_{c}", T.StringType())
+               for c in part_cols]
+        )
+        df = df.join(
+            F.broadcast(spark.createDataFrame(pv_rows, pv_schema)),
+            "__dl_path", "left",
+        )
+        for c in part_cols:
+            df = df.withColumn(
+                c, F.col(f"__pv_{c}").cast(by_type[c])
+            ).drop(f"__pv_{c}")
+    matched = df.where(condition).select("__dl_path", "__dl_pos")
+    by_file: dict[str, list[int]] = {}
+    for r in matched.collect():
+        by_file.setdefault(r["__dl_path"], []).append(r["__dl_pos"])
+    if not by_file:
+        return version
+
+    rel_of = {ap: rel for rel, ap in abs_of.items()}
+    dv_name = f"deletion_vector_{_uuid.uuid4()}.bin"
+    dv_path = os.path.join(table_dir, dv_name)
+    dv_ref = z85_encode(
+        _uuid.UUID(dv_name[len("deletion_vector_"):-4]).bytes
+    )
+    actions: list[dict] = [{"commitInfo": {
+        "timestamp": int(os.path.getmtime(table_dir) * 1000),
+        "operation": "DELETE",
+        "operationParameters": {"predicate": condition},
+    }}]
+    feats = set(protocol.get("readerFeatures") or [])
+    wfeats = set(protocol.get("writerFeatures") or [])
+    if int(protocol.get("minReaderVersion", 1)) < 3 or \
+            "deletionVectors" not in feats:
+        actions.append({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": sorted(feats | {"deletionVectors"}),
+            "writerFeatures": sorted(wfeats | {"deletionVectors"}),
+        }})
+    new_version = version + 1
+    wrote_dv = False
+    for ap, fresh in sorted(by_file.items()):
+        rel = rel_of[ap]
+        old = adds[rel]
+        old_dv = old.get("deletionVector")
+        positions = set(fresh)
+        if old_dv:
+            positions |= set(_dv_positions(table_dir, old_dv))
+        stats = old.get("stats")
+        n_rows = None
+        if stats:
+            try:
+                n_rows = json.loads(stats).get("numRecords")
+            except (ValueError, AttributeError):
+                n_rows = None
+        if n_rows is None:
+            n_rows = pq.ParquetFile(ap).metadata.num_rows
+        actions.append({"remove": {
+            "path": rel, "dataChange": True,
+            "deletionTimestamp":
+                int(os.path.getmtime(table_dir) * 1000),
+            **({"deletionVector": old_dv} if old_dv else {}),
+        }})
+        if len(positions) >= int(n_rows):
+            continue  # every row dead: plain remove, no re-add
+        payload = serialize_dv(sorted(positions))
+        offset = append_dv_entry(dv_path, payload)
+        wrote_dv = True
+        new_add = {
+            k: v for k, v in old.items() if k != "deletionVector"
+        }
+        new_add.update({
+            "dataChange": True,
+            "deletionVector": {
+                "storageType": "u",
+                "pathOrInlineDv": dv_ref,
+                "offset": offset,
+                "sizeInBytes": len(payload),
+                "cardinality": len(positions),
+            },
+        })
+        actions.append({"add": new_add})
+    if not wrote_dv and os.path.exists(dv_path):
+        os.remove(dv_path)
+    commit_path = os.path.join(
+        table_dir, "_delta_log", f"{new_version:020d}.json"
+    )
+    with open(commit_path, "x") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    return new_version
 
 
 def read_delta_changes(

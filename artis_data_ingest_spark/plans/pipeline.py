@@ -1541,6 +1541,244 @@ def q_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.unionByName(old).orderBy("snapshot", "o_orderstatus")
 
 
+def _iceberg_eq_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "iceberg_eq",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|eq1"
+    except OSError:
+        sig = f"{src}|missing|eq1"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+def _build_iceberg_eq_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hand-write an Iceberg v2 table in the Flink-CDC upsert shape:
+    snapshot 100 (seq 1) = file A (even o_orderkey); snapshot 200
+    (seq 2) = an EQUALITY-DELETE file on o_orderkey listing every key
+    ≡ 0 (mod 7) PLUS data file B (odd keys, seq 2).  Per the spec's
+    strictly-smaller sequence rule the delete masks only A's rows —
+    B's odd multiples of 7 survive because they arrived WITH the
+    delete, not before it."""
+    import json
+    import os
+    import shutil
+
+    from ..sources.avro_ocf import encode_ocf
+
+    table = _iceberg_eq_cache_path(sf_dir)
+    if os.path.exists(os.path.join(table, "_SUCCESS")):
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    meta_dir = os.path.join(table, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    os.makedirs(os.path.join(table, "data"), exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = os.path.join(table, "_build_tmp")
+
+    entry_t = T.StructType([
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("snapshot_id", T.LongType(), True),
+        T.StructField("sequence_number", T.LongType(), True),
+        T.StructField("data_file", T.StructType([
+            T.StructField("content", T.IntegerType(), True),
+            T.StructField("file_path", T.StringType(), False),
+            T.StructField("file_format", T.StringType(), False),
+            T.StructField("record_count", T.LongType(), False),
+            T.StructField("file_size_in_bytes", T.LongType(), False),
+            T.StructField("equality_ids",
+                          T.ArrayType(T.IntegerType()), True),
+        ]), False),
+    ])
+    list_t = T.StructType([
+        T.StructField("manifest_path", T.StringType(), False),
+        T.StructField("manifest_length", T.LongType(), False),
+        T.StructField("partition_spec_id", T.IntegerType(), False),
+        T.StructField("content", T.IntegerType(), True),
+        T.StructField("sequence_number", T.LongType(), True),
+        T.StructField("added_snapshot_id", T.LongType(), True),
+    ])
+
+    def _write_df(df, name: str, content: int = 0,
+                  equality_ids=None) -> dict:
+        out = os.path.join(table, "data", name)
+        stage = os.path.join(tmp, name)
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        os.replace(os.path.join(stage, part), out)
+        return {"content": content, "file_path": f"file://{out}",
+                "file_format": "PARQUET", "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(out),
+                "equality_ids": equality_ids}
+
+    def _avro(name: str, rows: list[dict], schema) -> str:
+        path = os.path.join(meta_dir, name)
+        with open(path, "wb") as fh:
+            fh.write(encode_ocf(rows, schema))
+        return path
+
+    def _manifest(name: str, entries: list[dict], content: int,
+                  seq: int) -> dict:
+        path = _avro(name, entries, entry_t)
+        return {"manifest_path": f"file://{path}",
+                "manifest_length": os.path.getsize(path),
+                "partition_spec_id": 0, "content": content,
+                "sequence_number": seq, "added_snapshot_id": 1}
+
+    a = _write_df(orders.where(F.col("o_orderkey") % 2 == 0),
+                  "even.parquet")
+    m1 = _manifest("m-100.avro", [
+        {"status": 1, "snapshot_id": 100, "sequence_number": 1,
+         "data_file": a},
+    ], 0, 1)
+    _avro("snap-100.avro", [m1], list_t)
+
+    b = _write_df(orders.where(F.col("o_orderkey") % 2 == 1),
+                  "odd.parquet")
+    e = _write_df(
+        orders.where(F.col("o_orderkey") % 7 == 0)
+        .select("o_orderkey"),
+        "eq-del.parquet", content=2, equality_ids=[1],
+    )
+    m2 = _manifest("m-200.avro", [
+        {"status": 0, "snapshot_id": 100, "sequence_number": 1,
+         "data_file": a},
+        # B leaves sequence_number null → inherits the manifest's
+        {"status": 1, "snapshot_id": 200, "sequence_number": None,
+         "data_file": b},
+    ], 0, 2)
+    m3 = _manifest("m-200-eq.avro", [
+        {"status": 1, "snapshot_id": 200, "sequence_number": 2,
+         "data_file": e},
+    ], 1, 2)
+    _avro("snap-200.avro", [m2, m3], list_t)
+
+    fields = [
+        {"id": i + 1, "name": f.name, "required": False,
+         "type": {"bigint": "long", "string": "string",
+                  "double": "double",
+                  "timestamp": "timestamptz"}[
+                      f.dataType.simpleString()]}
+        for i, f in enumerate(orders.schema.fields)
+    ]
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-0000000000eq",
+        "location": f"file://{table}",
+        "current-snapshot-id": 200,
+        "schemas": [{"schema-id": 0, "type": "struct",
+                     "fields": fields}],
+        "current-schema-id": 0,
+        "snapshots": [
+            {"snapshot-id": 100, "timestamp-ms": 1,
+             "summary": {"operation": "append"},
+             "manifest-list": f"file://{meta_dir}/snap-100.avro"},
+            {"snapshot-id": 200, "timestamp-ms": 2,
+             "summary": {"operation": "overwrite"},
+             "manifest-list": f"file://{meta_dir}/snap-200.avro"},
+        ],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(table, "_SUCCESS"), "w"):
+        pass
+    return table
+
+
+@register(
+    "q_iceberg_eq_deletes",
+    oracle="""
+WITH snap AS (
+  SELECT 'latest' AS snapshot, o_orderkey, o_custkey, o_totalprice
+  FROM orders
+  WHERE (o_orderkey % 2 = 0 AND o_orderkey % 7 <> 0)
+     OR o_orderkey % 2 = 1
+  UNION ALL
+  SELECT 'snap100' AS snapshot, o_orderkey, o_custkey, o_totalprice
+  FROM orders
+  WHERE o_orderkey % 2 = 0
+)
+SELECT snapshot,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(SUM(CAST(CONCAT('0x', substring(
+              md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                  CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT))
+            AS BIGINT) AS key_checksum
+FROM snap
+GROUP BY snapshot
+ORDER BY snapshot
+""",
+    doc="Iceberg EQUALITY DELETES (content=2 — the encoding Flink-"
+    "CDC upserts produce; the r14 verdict's #2 missing feature): a "
+    "hand-written v2 table where snapshot 100 (seq 1) holds the even "
+    "o_orderkey rows, and snapshot 200 (seq 2) carries an equality-"
+    "delete file on o_orderkey (field id 1) listing every key ≡ 0 "
+    "mod 7 PLUS a same-sequence data file of the odd keys.  Per the "
+    "spec the delete applies only to data files with STRICTLY "
+    "SMALLER data sequence numbers, so the odd multiples of 7 "
+    "survive — a reader that applies equality deletes globally (or "
+    "not at all, or matches the wrong field id) hash-mismatches.  "
+    "snapshot 100 pinned read proves delete isolation.  Scale: "
+    "delete rows are delta-sized → broadcast anti-join on the "
+    "equality columns + sequence guard over the single distributed "
+    "scan; per-file sequence numbers ride the same broadcast "
+    "file_path join as partition values.",
+)
+def q_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import read_iceberg
+
+    table = _build_iceberg_eq_fixture(spark, sf_dir)
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                ).cast("bigint").alias("total_cents"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.col("o_orderkey").cast("string"),
+                                    F.col("o_custkey").cast("string"),
+                                )
+                            ),
+                            1, 12,
+                        ),
+                        16, 10,
+                    ).cast("bigint")
+                ).cast("bigint").alias("key_checksum"),
+            )
+            .select(
+                F.lit(tag).alias("snapshot"), "n_orders",
+                "total_cents", "key_checksum",
+            )
+        )
+
+    cur = profile(read_iceberg(spark, table), "latest")
+    old = profile(read_iceberg(spark, table, snapshot_id=100),
+                  "snap100")
+    return cur.unionByName(old).orderBy("snapshot")
+
+
 @register(
     "q_delta_incremental",
     oracle="""

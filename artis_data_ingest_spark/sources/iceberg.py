@@ -7,7 +7,10 @@ Implemented from the public Iceberg table spec
 list + manifest files are Avro Object Container Files — decoded by
 this repo's own pure-stdlib Avro codec (sources/avro_ocf.py), which
 is exactly why that codec handles named-type references and
-multi-branch unions the Spark writer never emits.
+multi-branch unions the Spark writer never emits.  Position AND
+equality deletes are both applied (the latter with the spec's
+sequence-number scoping), so Flink-CDC-written upsert tables read
+correctly.
 
 Spec recap (format-version 1 and 2):
 
@@ -29,8 +32,10 @@ is ONE distributed parquet scan over all live files, position deletes
 applied as a broadcast anti-join on (``_metadata.file_path``,
 ``_metadata.row_index``) — the identical mechanism our own deletion
 vectors use (sinks/versioned.py), because Iceberg position deletes
-ARE deletion vectors by another name.  Equality deletes and non-
-parquet data files refuse loudly rather than returning wrong rows.
+ARE deletion vectors by another name.  Equality deletes join on
+their ``equality_ids`` columns under the sequence-number rule
+(strictly-older data files only).  Non-parquet data files refuse
+loudly rather than returning wrong rows.
 
 Column resolution is by NAME against the snapshot's current schema
 (the spec's name-mapping fallback); fixtures and the vast majority of
@@ -149,6 +154,19 @@ def _current_schema(meta: dict) -> T.StructType:
     return st
 
 
+def _field_id_to_name(meta: dict) -> dict[int, str]:
+    """Current schema's field id → column name (equality_ids are
+    FIELD IDS, the spec's rename-proof column references)."""
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        node = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == sid
+        )
+    else:
+        node = meta["schema"]
+    return {int(f["id"]): f["name"] for f in node["fields"]}
+
+
 def _avro_rows(path: str) -> list[dict]:
     with open(path, "rb") as fh:
         _, rows = decode_ocf(fh.read())
@@ -157,11 +175,22 @@ def _avro_rows(path: str) -> list[dict]:
 
 def _snapshot_files(
     meta: dict, table_dir: str, snapshot_id: int | None
-) -> tuple[list[str], list[str]]:
-    """→ (live data-file paths, position-delete-file paths)."""
+) -> tuple[list[tuple[str, int]], list[str], list[dict]]:
+    """→ (live data files as ``(path, data sequence number)``,
+    position-delete-file paths, equality deletes as
+    ``{path, seq, ids}``).
+
+    Sequence numbers follow the spec's v2 inheritance: a manifest
+    entry with a null ``sequence_number`` inherits the manifest's
+    ``sequence_number`` from the manifest list (v1 tables and our
+    own writer carry none → 0).  They matter only for equality
+    deletes, which apply to data files with STRICTLY SMALLER data
+    sequence numbers — a row (re)inserted in the same or a later
+    snapshot than the delete must survive it (the Flink-CDC upsert
+    pattern)."""
     snaps = meta.get("snapshots") or []
     if not snaps:
-        return [], []
+        return [], [], []
     sid = snapshot_id
     if sid is None:
         sid = meta.get("current-snapshot-id")
@@ -182,9 +211,11 @@ def _snapshot_files(
             {"manifest_path": p, "content": 0}
             for p in snap.get("manifests", [])
         ]
-    data_files: list[str] = []
+    data_files: list[tuple[str, int]] = []
     delete_files: list[str] = []
+    eq_deletes: list[dict] = []
     for m in manifests:
+        m_seq = int(m.get("sequence_number") or 0)
         entries = _avro_rows(_norm_path(m["manifest_path"], table_dir))
         for e in entries:
             if e.get("status") == 2:  # DELETED
@@ -195,19 +226,30 @@ def _snapshot_files(
                 raise IcebergProtocolError(
                     f"data file format {fmt} not supported (parquet only)"
                 )
+            seq = e.get("sequence_number")
+            seq = m_seq if seq is None else int(seq)
             content = dfile.get("content") or 0
             path = _norm_path(dfile["file_path"], table_dir)
             if content == 0:
-                data_files.append(path)
+                data_files.append((path, seq))
             elif content == 1:
                 delete_files.append(path)
+            elif content == 2:
+                ids = dfile.get("equality_ids")
+                if not ids:
+                    raise IcebergProtocolError(
+                        f"equality-delete file {path!r} lists no "
+                        "equality_ids — cannot apply it"
+                    )
+                eq_deletes.append(
+                    {"path": path, "seq": seq,
+                     "ids": [int(i) for i in ids]}
+                )
             else:
                 raise IcebergProtocolError(
-                    "equality deletes (content=2) not supported — "
-                    "rewrite/compact the table or read via the "
-                    "iceberg runtime"
+                    f"unknown data_file content={content}"
                 )
-    return data_files, delete_files
+    return data_files, delete_files, eq_deletes
 
 
 _SPARK_TO_ICEBERG = {
@@ -451,15 +493,19 @@ def read_iceberg_appends(
     snapshot diff instead."""
     meta = _load_table_metadata(table_dir)
     schema = _current_schema(meta)
-    old_data, old_dels = _snapshot_files(meta, table_dir, from_snapshot)
+    old_data, old_dels, old_eq = _snapshot_files(
+        meta, table_dir, from_snapshot
+    )
     sid = to_snapshot
     if sid is None:
         sid = meta.get("current-snapshot-id")
-    new_data, new_dels = _snapshot_files(meta, table_dir, sid)
-    if set(old_data) - set(new_data):
+    new_data, new_dels, new_eq = _snapshot_files(meta, table_dir, sid)
+    old_paths = {p for p, _ in old_data}
+    new_paths = {p for p, _ in new_data}
+    if old_paths - new_paths:
         raise IcebergProtocolError(
             f"snapshot {sid} dropped "
-            f"{len(set(old_data) - set(new_data))} file(s) present in "
+            f"{len(old_paths - new_paths)} file(s) present in "
             f"{from_snapshot} — not append-only; re-sync from a "
             "snapshot diff"
         )
@@ -469,7 +515,14 @@ def read_iceberg_appends(
             f"{from_snapshot} — not append-only; re-sync from a "
             "snapshot diff"
         )
-    appended = [p for p in new_data if p not in set(old_data)]
+    if ({d["path"] for d in new_eq}
+            - {d["path"] for d in old_eq}):
+        raise IcebergProtocolError(
+            f"snapshot {sid} added equality-delete files over "
+            f"{from_snapshot} — not append-only; re-sync from a "
+            "snapshot diff"
+        )
+    appended = [p for p, _ in new_data if p not in old_paths]
     if not appended:
         return spark.createDataFrame([], schema)
     df = spark.read.parquet(*appended)
@@ -489,18 +542,31 @@ def read_iceberg(
     """Scan an external Iceberg table at its current (or a pinned)
     snapshot.  One distributed parquet scan over the live data files;
     position deletes applied as a broadcast anti-join on
-    (file, row position)."""
+    (file, row position); equality deletes (content=2, the encoding
+    Flink-CDC upserts produce) as broadcast anti-joins on their
+    ``equality_ids`` columns, scoped by the spec's sequence-number
+    rule — a delete at data sequence number S removes only matching
+    rows of files with sequence number STRICTLY BELOW S."""
     meta = _load_table_metadata(table_dir)
     schema = _current_schema(meta)
-    data_files, delete_files = _snapshot_files(
+    data_files, delete_files, eq_deletes = _snapshot_files(
         meta, table_dir, snapshot_id
     )
     if not data_files:
         return spark.createDataFrame([], schema)
 
-    df = spark.read.parquet(*data_files)
-
+    df = spark.read.parquet(*[p for p, _ in data_files])
+    # capture the _metadata pseudo-columns ONCE at the scan — they
+    # are only resolvable directly on the scan relation
+    if delete_files or eq_deletes:
+        df = df.withColumn(
+            "__ib_path",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ),
+        )
     if delete_files:
+        df = df.withColumn("__ib_pos", F.col("_metadata.row_index"))
         dels = (
             spark.read.parquet(*delete_files)
             .select(
@@ -510,21 +576,54 @@ def read_iceberg(
                 F.col("pos").cast("long").alias("__ib_pos"),
             )
         )
-        df = (
-            df.withColumn(
-                "__ib_path",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ),
-            )
-            .withColumn("__ib_pos", F.col("_metadata.row_index"))
-            .join(
-                F.broadcast(dels),
-                ["__ib_path", "__ib_pos"],
-                "left_anti",
-            )
-            .drop("__ib_path", "__ib_pos")
+        df = df.join(
+            F.broadcast(dels), ["__ib_path", "__ib_pos"], "left_anti"
+        ).drop("__ib_pos")
+
+    if eq_deletes:
+        id2name = _field_id_to_name(meta)
+        # per-file data sequence numbers, re-attached by the same
+        # broadcast file_path join the partition-value path uses
+        seq_rows = [(os.path.abspath(p), s) for p, s in data_files]
+        seq_df = spark.createDataFrame(
+            seq_rows, "__ib_path string, __ib_seq long"
         )
+        df = df.join(F.broadcast(seq_df), "__ib_path", "left")
+        # group delete files by their equality-id tuple: one
+        # broadcast anti-join per distinct column set, rows unioned
+        # with each file's sequence number
+        by_ids: dict[tuple[int, ...], list[dict]] = {}
+        for d in eq_deletes:
+            by_ids.setdefault(tuple(sorted(d["ids"])), []).append(d)
+        for ids, group in sorted(by_ids.items()):
+            try:
+                cols = [id2name[i] for i in ids]
+            except KeyError as ex:
+                raise IcebergProtocolError(
+                    f"equality_ids {list(ids)} name a field id absent "
+                    "from the current schema"
+                ) from ex
+            by_name = {f.name: f.dataType for f in schema.fields}
+            parts = []
+            for d in group:
+                parts.append(
+                    spark.read.parquet(d["path"])
+                    .select(*[
+                        F.col(c).cast(by_name[c]).alias(f"__eqd_{c}")
+                        for c in cols
+                    ])
+                    .withColumn("__eq_seq", F.lit(d["seq"]))
+                )
+            dels = parts[0]
+            for p in parts[1:]:
+                dels = dels.unionByName(p)
+            cond = F.col("__ib_seq") < F.col("__eq_seq")
+            for c in cols:
+                # IS NOT DISTINCT FROM: equality deletes match nulls
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__eqd_{c}"))
+            df = df.join(F.broadcast(dels), cond, "left_anti")
+        df = df.drop("__ib_seq")
+    df = df.drop("__ib_path")
 
     missing = [f.name for f in schema.fields if f.name not in df.columns]
     if missing:

@@ -123,15 +123,17 @@ def _make_iceberg_feed_class():
             """Data files added by snapshot log[idx] over log[idx-1];
             refuses non-append evolution."""
             meta = _load_table_metadata(self._dir)
-            new_data, new_dels = _snapshot_files(
+            new_data, new_dels, new_eq = _snapshot_files(
                 meta, self._dir, log[idx]
             )
+            new_paths = [p for p, _ in new_data]
             if idx == 0:
-                return new_data
-            old_data, old_dels = _snapshot_files(
+                return new_paths
+            old_data, old_dels, old_eq = _snapshot_files(
                 meta, self._dir, log[idx - 1]
             )
-            if set(old_data) - set(new_data):
+            old = {p for p, _ in old_data}
+            if old - set(new_paths):
                 raise IcebergProtocolError(
                     f"snapshot {log[idx]} dropped files present in "
                     f"{log[idx - 1]} — not append-only; restart the "
@@ -142,8 +144,13 @@ def _make_iceberg_feed_class():
                     f"snapshot {log[idx]} added position deletes — "
                     "not append-only"
                 )
-            old = set(old_data)
-            return [p for p in new_data if p not in old]
+            if ({d["path"] for d in new_eq}
+                    - {d["path"] for d in old_eq}):
+                raise IcebergProtocolError(
+                    f"snapshot {log[idx]} added equality deletes — "
+                    "not append-only"
+                )
+            return [p for p in new_paths if p not in old]
 
         def latestOffset(self) -> dict:
             log = self._log()

@@ -214,7 +214,7 @@ def test_format_version_1_inline_schema(spark, tmp_path):
         [(7, "v1")]
 
 
-def test_equality_deletes_refused(spark, tmp_path):
+def test_equality_delete_without_ids_refused(spark, tmp_path):
     t = _two_snapshot_table(tmp_path)
     meta_dir = os.path.join(t, "metadata")
     eq = {"content": 2, "file_path": f"file://{t}/data/eq.parquet",
@@ -230,8 +230,191 @@ def test_equality_deletes_refused(spark, tmp_path):
         _, rows = decode_ocf(fh.read())
     rows.append(m)
     _write_avro_file(lst, rows, _MANIFEST_LIST_T)
-    with pytest.raises(IcebergProtocolError, match="equality deletes"):
+    with pytest.raises(IcebergProtocolError, match="equality_ids"):
         read_iceberg(spark, t)
+
+
+# spec-complete manifest shapes for equality-delete fixtures:
+# sequence numbers on both levels, equality_ids on the data_file
+_ENTRY_SEQ_T = T.StructType([
+    T.StructField("status", T.IntegerType(), False),
+    T.StructField("snapshot_id", T.LongType(), True),
+    T.StructField("sequence_number", T.LongType(), True),
+    T.StructField("data_file", T.StructType([
+        T.StructField("content", T.IntegerType(), True),
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("file_format", T.StringType(), False),
+        T.StructField("record_count", T.LongType(), False),
+        T.StructField("file_size_in_bytes", T.LongType(), False),
+        T.StructField("equality_ids",
+                      T.ArrayType(T.IntegerType()), True),
+    ]), False),
+])
+
+_LIST_SEQ_T = T.StructType([
+    T.StructField("manifest_path", T.StringType(), False),
+    T.StructField("manifest_length", T.LongType(), False),
+    T.StructField("partition_spec_id", T.IntegerType(), False),
+    T.StructField("content", T.IntegerType(), True),
+    T.StructField("sequence_number", T.LongType(), True),
+    T.StructField("added_snapshot_id", T.LongType(), True),
+])
+
+
+def _eq_delete_table(tmp_path) -> str:
+    """The Flink-CDC upsert shape: snap 100 (seq 1) adds file A
+    (ids 1,2,3).  snap 200 (seq 2) carries an equality delete on
+    column ``id`` for ids {2, 4} AND a new data file B re-inserting
+    id 2 and adding id 4 — both at seq 2, so per the strictly-less
+    rule the delete hits only A's rows."""
+    t = str(tmp_path / "ibeq")
+    a = _data_file(t, "data/a.parquet",
+                   pd.DataFrame({"id": [1, 2, 3],
+                                 "name": ["x", "y", "z"]}))
+    b = _data_file(t, "data/b.parquet",
+                   pd.DataFrame({"id": [2, 4],
+                                 "name": ["y2", "w"]}))
+    eq_pdf = pd.DataFrame({"id": [2, 4]})
+    epath = os.path.join(t, "data", "eq-1.parquet")
+    eq_pdf.to_parquet(epath, index=False)
+    e = {"content": 2, "file_path": f"file://{epath}",
+         "file_format": "PARQUET", "record_count": 2,
+         "file_size_in_bytes": os.path.getsize(epath),
+         "equality_ids": [1]}
+
+    def _mf(name, entries, content, seq):
+        for en in entries:  # encoder wants every struct key present
+            en["data_file"].setdefault("equality_ids", None)
+        path = os.path.join(t, "metadata", name)
+        _write_avro_file(path, entries, _ENTRY_SEQ_T)
+        return {"manifest_path": f"file://{path}",
+                "manifest_length": os.path.getsize(path),
+                "partition_spec_id": 0, "content": content,
+                "sequence_number": seq, "added_snapshot_id": 1}
+
+    m1 = _mf("m1.avro",
+             [{"status": 1, "snapshot_id": 100,
+               "sequence_number": 1, "data_file": a}], 0, 1)
+    _write_avro_file(os.path.join(t, "metadata", "snap-100.avro"),
+                     [m1], _LIST_SEQ_T)
+    m2 = _mf("m2.avro", [
+        {"status": 0, "snapshot_id": 100, "sequence_number": 1,
+         "data_file": a},
+        # B's entry leaves sequence_number null → INHERITED from the
+        # manifest list row (the v2 inheritance rule)
+        {"status": 1, "snapshot_id": 200, "sequence_number": None,
+         "data_file": b},
+    ], 0, 2)
+    m3 = _mf("m3.avro",
+             [{"status": 1, "snapshot_id": 200,
+               "sequence_number": 2, "data_file": e}], 1, 2)
+    _write_avro_file(os.path.join(t, "metadata", "snap-200.avro"),
+                     [m2, m3], _LIST_SEQ_T)
+    meta = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000002",
+        "location": f"file://{t}",
+        "current-snapshot-id": 200,
+        "schemas": [{"schema-id": 0, "type": "struct",
+                     "fields": _FIELDS}],
+        "current-schema-id": 0,
+        "snapshots": [
+            {"snapshot-id": 100, "timestamp-ms": 1,
+             "summary": {"operation": "append"},
+             "manifest-list": f"file://{t}/metadata/snap-100.avro"},
+            {"snapshot-id": 200, "timestamp-ms": 2,
+             "summary": {"operation": "overwrite"},
+             "manifest-list": f"file://{t}/metadata/snap-200.avro"},
+        ],
+    }
+    with open(os.path.join(t, "metadata", "v1.metadata.json"),
+              "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(t, "metadata", "version-hint.text"),
+              "w") as fh:
+        fh.write("1")
+    return t
+
+
+def test_equality_deletes_apply_with_sequence_scoping(spark, tmp_path):
+    t = _eq_delete_table(tmp_path)
+    got = {tuple(r) for r in read_iceberg(spark, t).collect()}
+    # A loses id 2 (seq 1 < 2); B survives whole (seq 2 NOT < 2):
+    # the upsert row y2 and the fresh id 4 both live
+    assert got == {(1, "x"), (3, "z"), (2, "y2"), (4, "w")}
+    # pinned old snapshot: no deletes yet
+    got100 = {tuple(r)
+              for r in read_iceberg(spark, t, snapshot_id=100).collect()}
+    assert got100 == {(1, "x"), (2, "y"), (3, "z")}
+
+
+def test_equality_delete_multi_column_and_nulls(spark, tmp_path):
+    """Multi-column equality_ids match with IS NOT DISTINCT FROM
+    semantics: a null in the delete row matches a null in the data."""
+    t = str(tmp_path / "ibeqn")
+    a = _data_file(t, "data/a.parquet", pd.DataFrame({
+        "id": [1, 1, 2], "name": ["x", None, "x"],
+    }))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    epath = os.path.join(t, "data", "eq.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array([1], pa.int64()),
+                  "name": pa.array([None], pa.string())}),
+        epath,
+    )
+    e = {"content": 2, "file_path": f"file://{epath}",
+         "file_format": "PARQUET", "record_count": 1,
+         "file_size_in_bytes": os.path.getsize(epath),
+         "equality_ids": [1, 2]}
+
+    def _mf(name, entries, content, seq):
+        for en in entries:  # encoder wants every struct key present
+            en["data_file"].setdefault("equality_ids", None)
+        path = os.path.join(t, "metadata", name)
+        _write_avro_file(path, entries, _ENTRY_SEQ_T)
+        return {"manifest_path": f"file://{path}",
+                "manifest_length": os.path.getsize(path),
+                "partition_spec_id": 0, "content": content,
+                "sequence_number": seq, "added_snapshot_id": 1}
+
+    m1 = _mf("m1.avro",
+             [{"status": 1, "snapshot_id": 1, "sequence_number": 1,
+               "data_file": a}], 0, 1)
+    m2 = _mf("m2.avro",
+             [{"status": 1, "snapshot_id": 2, "sequence_number": 2,
+               "data_file": e}], 1, 2)
+    _write_avro_file(os.path.join(t, "metadata", "snap-2.avro"),
+                     [m1, m2], _LIST_SEQ_T)
+    meta = {
+        "format-version": 2, "location": f"file://{t}",
+        "current-snapshot-id": 2,
+        "schemas": [{"schema-id": 0, "type": "struct",
+                     "fields": _FIELDS}],
+        "current-schema-id": 0,
+        "snapshots": [{"snapshot-id": 2, "timestamp-ms": 1,
+                       "manifest-list":
+                       f"file://{t}/metadata/snap-2.avro"}],
+    }
+    with open(os.path.join(t, "metadata", "v1.metadata.json"),
+              "w") as fh:
+        json.dump(meta, fh)
+    got = {tuple(r) for r in read_iceberg(spark, t).collect()}
+    # only (1, NULL) dies; (1, x) and (2, x) survive
+    assert got == {(1, "x"), (2, "x")}
+
+
+def test_incremental_appends_refuse_new_equality_deletes(
+    spark, tmp_path
+):
+    from artis_data_ingest_spark.sources.iceberg import (
+        read_iceberg_appends,
+    )
+
+    t = _eq_delete_table(tmp_path)
+    with pytest.raises(IcebergProtocolError, match="equality-delete"):
+        read_iceberg_appends(spark, t, from_snapshot=100)
 
 
 def test_non_parquet_file_refused(spark, tmp_path):

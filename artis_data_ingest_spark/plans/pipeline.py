@@ -1779,6 +1779,109 @@ def q_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.unionByName(old).orderBy("snapshot")
 
 
+def _iceberg_part_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "iceberg_part",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|ibp1"
+    except OSError:
+        sig = f"{src}|missing|ibp1"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+@register(
+    "q_iceberg_partitioned",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(SUM(CAST(CONCAT('0x', substring(
+              md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                  CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT))
+            AS BIGINT) AS key_checksum
+FROM orders
+WHERE o_orderstatus IN ('F', 'O')
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    doc="PARTITIONED Iceberg writes (identity transforms — the r14 "
+    "verdict's #4: write_iceberg was unpartitioned-only while "
+    "write_delta supported layout): orders are exported partitioned "
+    "by o_orderstatus across TWO snapshots (create with "
+    "o_orderkey%3≠0, append the rest), then read back through this "
+    "repo's own spec reader with a partition predicate "
+    "(o_orderstatus IN ('F','O')) and profiled with exact cents + "
+    "md5-prefix key checksum.  The oracle recomputes from the "
+    "original parquet, so a writer that drops rows at partition "
+    "boundaries, loses the identity columns from the data files "
+    "(Iceberg keeps them, unlike Delta), or breaks appends on a "
+    "partitioned spec hash-mismatches.  The fixture ALSO pins the "
+    "spec metadata: data lands in col=value dirs, manifests carry "
+    "typed partition tuples, partition-specs records the identity "
+    "fields.  Scale: one distributed partitioned write per "
+    "snapshot + O(files) driver metadata; the predicate prunes via "
+    "parquet stats because the layout is value-clustered.",
+)
+def q_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.iceberg import read_iceberg, write_iceberg
+
+    table = _iceberg_part_cache_path(sf_dir)
+    if not os.path.exists(os.path.join(table, "_SUCCESS")):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        write_iceberg(
+            orders.where(F.col("o_orderkey") % 3 != 0), table,
+            partition_by=("o_orderstatus",),
+        )
+        write_iceberg(
+            orders.where(F.col("o_orderkey") % 3 == 0), table,
+            mode="append", partition_by=("o_orderstatus",),
+        )
+        with open(os.path.join(table, "_SUCCESS"), "w"):
+            pass
+    return (
+        read_iceberg(spark, table)
+        .where(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).cast("bigint").alias("total_cents"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.col("o_orderkey").cast("string"),
+                                F.col("o_custkey").cast("string"),
+                            )
+                        ),
+                        1, 12,
+                    ),
+                    16, 10,
+                ).cast("bigint")
+            ).cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @register(
     "q_delta_incremental",
     oracle="""

@@ -263,23 +263,35 @@ _SPARK_TO_ICEBERG = {
 _MANIFEST_ENTRY_T = None  # built lazily (pyspark types import)
 
 
-def _writer_schemas():
+def _writer_schemas(partition_fields=()):
     """Spark StructTypes for the manifest-entry and manifest-list
     records our writer emits (the reader consumes ANY conforming
     Avro via the generic decoder — these shapes are the spec's
-    required fields)."""
+    required fields).  ``partition_fields`` — [(name, DataType)] of
+    the identity partition columns — adds the spec's typed
+    ``partition`` tuple to each data_file record."""
     from pyspark.sql import types as T
 
+    data_file_fields = [
+        T.StructField("content", T.IntegerType(), True),
+        T.StructField("file_path", T.StringType(), False),
+        T.StructField("file_format", T.StringType(), False),
+        T.StructField("record_count", T.LongType(), False),
+        T.StructField("file_size_in_bytes", T.LongType(), False),
+    ]
+    if partition_fields:
+        data_file_fields.append(T.StructField(
+            "partition",
+            T.StructType([
+                T.StructField(c, dt, True) for c, dt in partition_fields
+            ]),
+            True,
+        ))
     entry_t = T.StructType([
         T.StructField("status", T.IntegerType(), False),
         T.StructField("snapshot_id", T.LongType(), True),
-        T.StructField("data_file", T.StructType([
-            T.StructField("content", T.IntegerType(), True),
-            T.StructField("file_path", T.StringType(), False),
-            T.StructField("file_format", T.StringType(), False),
-            T.StructField("record_count", T.LongType(), False),
-            T.StructField("file_size_in_bytes", T.LongType(), False),
-        ]), False),
+        T.StructField("data_file", T.StructType(data_file_fields),
+                      False),
     ])
     list_t = T.StructType([
         T.StructField("manifest_path", T.StringType(), False),
@@ -295,6 +307,7 @@ def write_iceberg(
     df: DataFrame,
     table_dir: str,
     mode: str = "error",
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Write/extend an external-format Iceberg v2 table (the EXPORT
     half: results hand off to any engine with an Iceberg catalog
@@ -304,16 +317,27 @@ def write_iceberg(
     * ``mode="append"`` — new snapshot = previous manifests (their
       files now EXISTING) + one ADDED manifest for the new files.
 
-    Data is a normal distributed parquet write renamed under
-    ``data/``; the manifest + manifest-list Avro files are produced
-    by this repo's own OCF encoder, and ``v{N}.metadata.json`` +
+    Data is ONE distributed parquet write renamed under ``data/``;
+    the manifest + manifest-list Avro files are produced by this
+    repo's own OCF encoder, and ``v{N}.metadata.json`` +
     ``version-hint.text`` complete the filesystem-catalog commit.
-    Unpartitioned spec (spec-id 0, no fields) — identity-partitioned
-    data keeps its columns in the files anyway, so consumers lose
-    nothing but pruning hints.  Driver work is O(files) metadata,
-    the same bound as any Iceberg writer's commit phase."""
+
+    ``partition_by`` declares IDENTITY-transform partitioning (the
+    common case; bucket/truncate/temporal transforms are out of
+    scope): the spec's ``partition-specs`` entry records one identity
+    field per column (field-ids from 1000, per convention), data
+    lands in ``data/col=value/`` directories, and every manifest
+    entry carries its typed ``partition`` tuple.  Unlike Delta,
+    Iceberg identity columns STAY in the data files — the write
+    duplicates them into throwaway layout columns so Spark's
+    partitioned write can't strip the originals — which keeps this
+    reader's by-name resolution and any engine's stats-based pruning
+    working.  Appends refuse partitioning drift, mirroring the
+    schema check.  Driver work is O(files) metadata, the same bound
+    as any Iceberg writer's commit phase."""
     import shutil
     import uuid
+    from urllib.parse import unquote
 
     import pyarrow.parquet as pq
 
@@ -321,6 +345,13 @@ def write_iceberg(
 
     if mode not in ("error", "append"):
         raise ValueError(f"unsupported mode {mode!r}")
+    partition_by = tuple(partition_by)
+    missing = [c for c in partition_by
+               if c not in [f.name for f in df.schema.fields]]
+    if missing:
+        raise IcebergProtocolError(
+            f"partition_by names absent from the DataFrame: {missing}"
+        )
     meta_dir = os.path.join(table_dir, "metadata")
     exists = os.path.isdir(meta_dir) and any(
         f.endswith(".metadata.json") for f in os.listdir(meta_dir)
@@ -368,6 +399,20 @@ def write_iceberg(
                 f"schema mismatch vs the table's current schema: "
                 f"writing {have}, table declares {want}"
             )
+        specs = meta.get("partition-specs") or []
+        cur_spec = next(
+            (s for s in specs
+             if s.get("spec-id") == meta.get("default-spec-id", 0)),
+            {"fields": []},
+        )
+        prior_parts = tuple(
+            f["name"] for f in cur_spec.get("fields", [])
+        )
+        if partition_by != prior_parts:
+            raise IcebergProtocolError(
+                f"partitioning mismatch: table is partitioned by "
+                f"{list(prior_parts)}, write says {list(partition_by)}"
+            )
         snap_id = max(
             (s["snapshot-id"] for s in meta.get("snapshots") or []),
             default=0,
@@ -385,6 +430,7 @@ def write_iceberg(
         if cur is not None:
             prev_list = _norm_path(cur["manifest-list"], table_dir)
     else:
+        source_id = {f["name"]: f["id"] for f in fields}
         meta = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
@@ -392,33 +438,98 @@ def write_iceberg(
             "schemas": [{"schema-id": 0, "type": "struct",
                          "fields": fields}],
             "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": [
+                {"name": c, "transform": "identity",
+                 "source-id": source_id[c], "field-id": 1000 + i}
+                for i, c in enumerate(partition_by)
+            ]}],
+            "default-spec-id": 0,
+            "last-partition-id": 999 + len(partition_by),
             "snapshots": [],
         }
         snap_id, version, prev_list = 1, 1, None
 
-    # distributed data write, renamed under data/
+    # identity partition values are parsed back from the staged
+    # col=value directory names into their column types
+    part_types = {f.name: f.dataType.simpleString()
+                  for f in df.schema.fields if f.name in partition_by}
+    for c, t in part_types.items():
+        if t not in ("string", "int", "bigint", "boolean"):
+            raise IcebergProtocolError(
+                f"identity partitioning on column {c!r} of type {t!r} "
+                "not supported (string/int/bigint/boolean)"
+            )
+
+    def _typed(c: str, raw: str | None):
+        if raw is None:
+            return None
+        t = part_types[c]
+        if t in ("int", "bigint"):
+            return int(raw)
+        if t == "boolean":
+            return raw.lower() == "true"
+        return raw
+
+    # ONE distributed data write.  partitionBy strips its columns
+    # from the files, but Iceberg identity columns must STAY in the
+    # data (this reader resolves by name) — so the layout is driven
+    # by throwaway duplicates.
     stage = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex[:12]}")
-    df.write.mode("overwrite").parquet(stage)
-    entry_t, list_t = _writer_schemas()
+    if partition_by:
+        out_df = df
+        for c in partition_by:
+            out_df = out_df.withColumn(f"__ib_layout_{c}", F.col(c))
+        out_df.write.mode("overwrite").partitionBy(
+            *[f"__ib_layout_{c}" for c in partition_by]
+        ).parquet(stage)
+    else:
+        df.write.mode("overwrite").parquet(stage)
+    entry_t, list_t = _writer_schemas(
+        [(c, df.schema[c].dataType) for c in partition_by]
+    )
     entries = []
-    for i, name in enumerate(sorted(os.listdir(stage))):
-        if not name.endswith(".parquet"):
-            continue
-        dst = os.path.join(
-            table_dir, "data",
-            f"data-{snap_id}-{i:05d}-{uuid.uuid4().hex[:8]}.parquet",
-        )
-        os.replace(os.path.join(stage, name), dst)
-        entries.append({
-            "status": 1, "snapshot_id": snap_id,
-            "data_file": {
+    i = 0
+    for root, _dirs, names in sorted(os.walk(stage)):
+        reldir = os.path.relpath(root, stage)
+        reldir = "" if reldir == "." else reldir
+        pv: dict[str, str | None] = {}
+        for seg in reldir.split(os.sep):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                k = k.removeprefix("__ib_layout_")
+                pv[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                         else unquote(v))
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            sub = "/".join(
+                f"{c}={pv.get(c)}" for c in partition_by
+            )
+            dst_dir = os.path.join(table_dir, "data", sub) if sub \
+                else os.path.join(table_dir, "data")
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(
+                dst_dir,
+                f"data-{snap_id}-{i:05d}-{uuid.uuid4().hex[:8]}"
+                ".parquet",
+            )
+            i += 1
+            os.replace(os.path.join(root, name), dst)
+            dfile = {
                 "content": 0,
                 "file_path": f"file://{os.path.abspath(dst)}",
                 "file_format": "PARQUET",
                 "record_count": pq.ParquetFile(dst).metadata.num_rows,
                 "file_size_in_bytes": os.path.getsize(dst),
-            },
-        })
+            }
+            if partition_by:
+                dfile["partition"] = {
+                    c: _typed(c, pv.get(c)) for c in partition_by
+                }
+            entries.append({
+                "status": 1, "snapshot_id": snap_id,
+                "data_file": dfile,
+            })
     shutil.rmtree(stage, ignore_errors=True)
 
     mpath = os.path.join(meta_dir, f"m-{snap_id}.avro")

@@ -677,3 +677,65 @@ def test_write_iceberg_append_enforces_schema(spark, tmp_path):
         spark.createDataFrame([(2, "b")], "id long, s string"), t,
         mode="append")
     assert read_iceberg(spark, t).count() == 2
+
+
+def test_write_iceberg_partitioned_identity(spark, tmp_path):
+    """Identity-transform partitioned writes: col=value layout,
+    columns retained in the data files, typed partition tuples in
+    the manifests, spec recorded, appends enforce the spec."""
+    from artis_data_ingest_spark.sources.avro_ocf import decode_ocf
+    from artis_data_ingest_spark.sources.iceberg import (
+        read_iceberg_appends,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ibp")
+    df = spark.range(0, 30).selectExpr(
+        "id", "cast(id % 3 as string) as g"
+    )
+    s1 = write_iceberg(df, t, partition_by=("g",))
+    got = read_iceberg(spark, t)
+    assert got.count() == 30
+    assert set(got.columns) == {"id", "g"}          # g kept in data
+    assert got.where("g = '2'").count() == 10       # predicate read
+    assert sorted(os.listdir(os.path.join(t, "data"))) == \
+        ["g=0", "g=1", "g=2"]
+    # manifest entries carry typed partition tuples
+    import glob
+
+    m = sorted(glob.glob(os.path.join(t, "metadata", "m-*.avro")))[0]
+    with open(m, "rb") as fh:
+        _, entries = decode_ocf(fh.read())
+    parts = {e["data_file"]["partition"]["g"] for e in entries}
+    assert parts == {"0", "1", "2"}
+    # the spec is recorded with identity transform + convention ids
+    meta = json.load(open(os.path.join(t, "metadata",
+                                       "v1.metadata.json")))
+    (spec,) = meta["partition-specs"]
+    assert spec["fields"] == [{"name": "g", "transform": "identity",
+                               "source-id": 2, "field-id": 1000}]
+    # append keeps working and is incrementally readable
+    df2 = spark.range(30, 42).selectExpr(
+        "id", "cast(id % 3 as string) as g"
+    )
+    write_iceberg(df2, t, mode="append", partition_by=("g",))
+    assert read_iceberg(spark, t).count() == 42
+    assert read_iceberg_appends(spark, t, from_snapshot=s1).count() == 12
+    # partitioning drift refuses both ways
+    with pytest.raises(IcebergProtocolError, match="partitioning"):
+        write_iceberg(df2, t, mode="append")
+    t2 = str(tmp_path / "ibp2")
+    write_iceberg(df, t2)
+    with pytest.raises(IcebergProtocolError, match="partitioning"):
+        write_iceberg(df2, t2, mode="append", partition_by=("g",))
+
+
+def test_write_iceberg_partition_type_guards(spark, tmp_path):
+    from artis_data_ingest_spark.sources.iceberg import write_iceberg
+
+    t = str(tmp_path / "ibpt")
+    df = spark.range(3).selectExpr("id", "id * 0.5 as v")
+    with pytest.raises(IcebergProtocolError, match="identity"):
+        write_iceberg(df, t, partition_by=("v",))
+    with pytest.raises(IcebergProtocolError, match="absent"):
+        write_iceberg(df, t, partition_by=("nope",))

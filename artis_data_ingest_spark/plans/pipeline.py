@@ -2985,6 +2985,126 @@ def q_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _feeds_fixture_dir() -> str:
+    """Deterministic RSS + Atom fixtures under data/cache — items
+    closed-form in (feed, item) so the oracle recomputes every
+    normalized field, plus one truncated document for the corrupt
+    row."""
+    import datetime
+    import os
+    from email.utils import format_datetime
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "feeds_corpus",
+    )
+    marker = os.path.join(root, "_SUCCESS")
+    if os.path.exists(marker):
+        return root
+    os.makedirs(root, exist_ok=True)
+    utc = datetime.timezone.utc
+    for f in range(3):
+        items = []
+        for i in range(4):
+            ts = datetime.datetime(
+                2024, 5, 1, tzinfo=utc
+            ) + datetime.timedelta(days=f, hours=i)
+            cats = "".join(
+                f"<category>c{k}</category>" for k in range(i % 3)
+            )
+            items.append(
+                "<item>"
+                f"<title>item {f}-{i}</title>"
+                f"<link>https://ex.org/{f}/{i}</link>"
+                f"<guid>tag:{f}-{i}</guid>"
+                f"<pubDate>{format_datetime(ts)}</pubDate>"
+                f"<description>{'d' * (i + 1)}</description>"
+                f"{cats}</item>"
+            )
+        body = (
+            '<?xml version="1.0"?><rss version="2.0"><channel>'
+            f"<title>Feed {f}</title>{''.join(items)}"
+            "</channel></rss>"
+        )
+        with open(os.path.join(root, f"rss{f}.xml"), "w") as fh:
+            fh.write(body)
+    entries = []
+    for j in range(3):
+        entries.append(
+            "<entry>"
+            f"<id>urn:a-{j}</id>"
+            f"<title>entry {j}</title>"
+            f'<link rel="alternate" href="https://ex.org/a/{j}"/>'
+            f"<published>2024-06-0{j + 1}T12:00:00Z</published>"
+            f"<summary>{'s' * (2 * (j + 1))}</summary>"
+            '<category term="x"/></entry>'
+        )
+    with open(os.path.join(root, "atom0.xml"), "w") as fh:
+        fh.write(
+            '<?xml version="1.0"?>'
+            '<feed xmlns="http://www.w3.org/2005/Atom">'
+            f"<title>Atom Feed</title>{''.join(entries)}</feed>"
+        )
+    with open(os.path.join(root, "broken.xml"), "w") as fh:
+        fh.write("<rss><channel><item><title>trunca")
+    with open(marker, "w"):
+        pass
+    return root
+
+
+@register(
+    "q_feed_ingest",
+    oracle="""
+WITH rows_ AS (
+  SELECT 'rss' || f || '.xml' AS _source, 'rss' AS format,
+         'Feed ' || f AS feed_title,
+         CAST(i + 1 AS BIGINT) AS entry_seq,
+         'tag:' || f || '-' || i AS guid,
+         'item ' || f || '-' || i AS title,
+         'https://ex.org/' || f || '/' || i AS link,
+         TIMESTAMP '2024-05-01 00:00:00' + to_days(CAST(f AS INT))
+           + to_hours(CAST(i AS INT)) AS published_ts,
+         CAST(i + 1 AS BIGINT) AS summary_chars,
+         CAST(i % 3 AS BIGINT) AS n_categories,
+         FALSE AS _corrupt
+  FROM range(3) a(f), range(4) b(i)
+  UNION ALL
+  SELECT 'atom0.xml', 'atom', 'Atom Feed', CAST(j + 1 AS BIGINT),
+         'urn:a-' || j, 'entry ' || j, 'https://ex.org/a/' || j,
+         TIMESTAMP '2024-06-01 12:00:00' + to_days(CAST(j AS INT)),
+         CAST(2 * (j + 1) AS BIGINT), CAST(1 AS BIGINT), FALSE
+  FROM range(3) c(j)
+  UNION ALL
+  SELECT 'broken.xml', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+         NULL, NULL, TRUE
+)
+SELECT * FROM rows_
+ORDER BY _source, entry_seq NULLS LAST
+""",
+    doc="RSS/Atom feed ingest (sources/feeds.py — r15, the "
+    "syndication half of the web surface next to html scrape, "
+    "robots, and sitemaps): a directory of feed documents — three "
+    "RSS 2.0 channels, one namespaced Atom feed, one truncated "
+    "document — is read one task per file with the format "
+    "auto-detected per document, and both vocabularies normalize "
+    "into one row shape (guid/id, link with Atom rel=alternate "
+    "resolution, RFC 822 and ISO 8601 dates both folded to UTC, "
+    "summary/description lengths, category counts); the truncated "
+    "file contributes a _corrupt row instead of vanishing.  Every "
+    "field is closed-form in (feed, item) and the oracle recomputes "
+    "them all — date normalization included.  Feeds are how a crawl "
+    "pipeline discovers NEW content; freshness tailing starts here.",
+)
+def q_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.feeds import read_feeds
+
+    return read_feeds(spark, _feeds_fixture_dir()).orderBy(
+        "_source", F.col("entry_seq").asc_nulls_last()
+    )
+
+
 def _arrow_ipc_cache_dir(sf_dir: str, which: str) -> str:
     import hashlib
     import os

@@ -2894,6 +2894,146 @@ def q_iceberg_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.unionByName(pre).orderBy("snapshot", "o_orderstatus")
 
 
+def _hudi_export_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "hudi_export",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), "orders.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|he1"
+    except OSError:
+        sig = f"{src}|missing|he1"
+    return os.path.join(root, hashlib.md5(sig.encode()).hexdigest()[:16])
+
+
+@register(
+    "q_hudi_export",
+    oracle="""
+WITH snap AS (
+  SELECT 'latest' AS snapshot, o_orderkey, o_orderstatus,
+         o_totalprice,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 5000000
+              ELSE o_custkey END AS o_custkey
+  FROM orders
+  WHERE o_orderkey % 2 = 0
+     OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+  UNION ALL
+  SELECT 't001', o_orderkey, o_orderstatus, o_totalprice, o_custkey
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'inc', o_orderkey, o_orderstatus, o_totalprice,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 5000000
+              ELSE o_custkey END
+  FROM orders
+  WHERE o_orderkey % 10 = 0
+     OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+)
+SELECT snapshot, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(SUM(CAST(CONCAT('0x', substring(
+              md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                  CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT))
+            AS BIGINT) AS key_checksum
+FROM snap
+GROUP BY snapshot, o_orderstatus
+ORDER BY snapshot, o_orderstatus
+""",
+    doc="Hudi COW EXPORT half (sources/hudi.py write_hudi — r15, "
+    "completing read+write parity across all three open table "
+    "formats): the even-orderkey slice of orders is written as a "
+    "Hudi copy-on-write table (key-hash routing into 4 file groups "
+    "persisted in hoodie.properties, meta columns per spec, commit "
+    "JSON published last so torn writes stay invisible), then "
+    "UPSERTED — o_orderkey%10 rows re-keyed to custkey+5M plus the "
+    "odd %3 rows as inserts — which rewrites ONLY the touched file "
+    "groups while surviving rows keep their original "
+    "_hoodie_commit_time.  Read back three ways: latest snapshot, "
+    "time-travel to the create instant, and the incremental window "
+    "after it (exactly the upsert, proving commit-time preservation "
+    "through the rewrite).  The oracle recomputes all three from "
+    "predicates over the original parquet.  Scale: upsert shuffles "
+    "only touched groups; survivors anti-join against the broadcast "
+    "delta-sized batch.",
+)
+def q_hudi_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from ..sources.hudi import (
+        read_hudi,
+        read_hudi_incremental,
+        write_hudi,
+    )
+
+    table = _hudi_export_cache_path(sf_dir)
+    marker = os.path.join(table, "_QSUCCESS")
+    if not os.path.exists(marker):
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        k = F.col("o_orderkey")
+        i1 = write_hudi(
+            orders.where(k % 2 == 0), table,
+            record_key="o_orderkey", n_file_groups=4,
+        )
+        upsert = orders.where(k % 10 == 0).withColumn(
+            "o_custkey", F.col("o_custkey") + 5000000
+        ).unionByName(
+            orders.where((k % 2 == 1) & (k % 3 == 0))
+        )
+        write_hudi(upsert, table, mode="upsert")
+        with open(marker, "w") as fh:
+            json.dump({"create_instant": i1}, fh)
+    with open(marker) as fh:
+        i1 = json.load(fh)["create_instant"]
+
+    def profile(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                ).cast("bigint").alias("total_cents"),
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "|",
+                                    F.col("o_orderkey").cast("string"),
+                                    F.col("o_custkey").cast("string"),
+                                )
+                            ),
+                            1, 12,
+                        ),
+                        16, 10,
+                    ).cast("bigint")
+                ).cast("bigint").alias("key_checksum"),
+            )
+            .select(
+                F.lit(tag).alias("snapshot"), "o_orderstatus",
+                "n_orders", "total_cents", "key_checksum",
+            )
+        )
+
+    latest = profile(read_hudi(spark, table), "latest")
+    old = profile(read_hudi(spark, table, as_of_instant=i1), "t001")
+    inc = profile(read_hudi_incremental(spark, table, i1), "inc")
+    return latest.unionByName(old).unionByName(inc).orderBy(
+        "snapshot", "o_orderstatus"
+    )
+
+
 @register(
     "q_hudi_incremental",
     oracle="""

@@ -295,6 +295,194 @@ def read_hudi(
     )
 
 
+def write_hudi(
+    df: DataFrame,
+    table_dir: str,
+    record_key: str | None = None,
+    mode: str = "error",
+    n_file_groups: int = 4,
+) -> str:
+    """Write/upsert a Hudi COPY-ON-WRITE table (the EXPORT half —
+    r15; with the Delta and Iceberg writers this completes
+    read+write parity across all three open table formats).  Returns
+    the committed instant.
+
+    * ``mode="error"`` — create the table: rows are hashed into
+      ``n_file_groups`` FILE GROUPS by ``record_key`` (the stable
+      key→group routing every later upsert must follow; the count is
+      persisted in ``.hoodie/hoodie.properties`` and drift refuses),
+      one base file per group at instant 001.
+    * ``mode="upsert"`` — Hudi's write model: incoming rows REPLACE
+      same-key rows and insert new ones.  Copy-on-write rewrites
+      ONLY the touched file groups — each affected group's new slice
+      = its surviving old rows (original ``_hoodie_commit_time``
+      preserved, which is what keeps incremental queries exact)
+      plus the incoming rows stamped with the new instant; untouched
+      groups keep their old slices, zero write amplification there.
+
+    Meta columns are added per the spec: ``_hoodie_record_key`` (the
+    key as string) and ``_hoodie_commit_time``; instants are
+    zero-padded sequence numbers (lexicographic order is the
+    timeline order, same comparison real timestamp instants use).
+    The commit JSON carries ``partitionToWriteStats`` per the
+    timeline spec and is published LAST — a crashed write leaves
+    data files but no completed instant, and the reader's
+    completed-instant gate makes them invisible (torn-write rule).
+
+    Scale: group routing is one hash; an upsert shuffles only the
+    touched groups' rows (survivors anti-joined by key broadcast
+    from the DELTA-sized incoming batch); one file per group per
+    slice via a single ``partitionBy`` write after repartitioning on
+    the group column (each group lands wholly in one task).  Honesty
+    boundary: layout + timeline follow the public spec and this
+    repo's reader round-trips it; a real hudi-spark runtime would
+    additionally want the table-config keys beyond the ones written
+    here."""
+    import json
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    if mode not in ("error", "upsert"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    hoodie = os.path.join(table_dir, ".hoodie")
+    props_path = os.path.join(hoodie, "hoodie.properties")
+    exists = os.path.exists(props_path)
+    if exists and mode == "error":
+        raise HudiProtocolError(
+            f"{table_dir} already holds a Hudi table (use "
+            "mode='upsert')"
+        )
+
+    if exists:
+        props = {}
+        with open(props_path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if line and not line.startswith("#") and "=" in line:
+                    k, _, v = line.partition("=")
+                    props[k] = v
+        record_key = record_key or props.get(
+            "hoodie.table.recordkey.fields"
+        )
+        if record_key != props.get("hoodie.table.recordkey.fields"):
+            raise HudiProtocolError(
+                "record_key drift: table was created on "
+                f"{props.get('hoodie.table.recordkey.fields')!r}"
+            )
+        n_persisted = int(props.get("hoodie.table.num.file.groups",
+                                    n_file_groups))
+        if n_file_groups != n_persisted:
+            # the persisted routing wins — key→group must be stable
+            n_file_groups = n_persisted
+        instants = _completed_instants(table_dir)
+        if not instants:
+            raise HudiProtocolError(
+                "table has properties but no completed instants"
+            )
+        # keep the incumbent instant WIDTH: the timeline orders
+        # lexicographically, so a wider successor would sort before
+        # existing shorter instants
+        last = instants[-1][0]
+        instant = f"{int(last) + 1:0{len(last)}d}"
+    else:
+        if record_key is None:
+            raise HudiProtocolError(
+                "record_key is required when creating a table"
+            )
+        instant = f"{1:017d}"
+    if record_key not in df.columns:
+        raise HudiProtocolError(
+            f"record_key column {record_key!r} absent from the "
+            "DataFrame"
+        )
+
+    data_cols = [c for c in df.columns
+                 if not c.startswith("_hoodie_")]
+    incoming = df.select(
+        F.col(record_key).cast("string").alias("_hoodie_record_key"),
+        F.lit(instant).alias("_hoodie_commit_time"),
+        *data_cols,
+    )
+    group = F.pmod(
+        F.xxhash64(F.col("_hoodie_record_key")), F.lit(n_file_groups)
+    ).cast("int")
+
+    if exists:
+        cur = read_hudi(df.sparkSession, table_dir)
+        if set(cur.columns) != set(incoming.columns):
+            raise HudiProtocolError(
+                f"schema drift: table holds {sorted(cur.columns)}, "
+                f"write has {sorted(incoming.columns)}"
+            )
+        touched = (
+            incoming.select(group.alias("__hudi_fg"))
+            .distinct()
+        )
+        survivors = (
+            cur.withColumn("__hudi_fg", group)
+            .join(F.broadcast(touched), "__hudi_fg", "left_semi")
+            .join(
+                F.broadcast(
+                    incoming.select("_hoodie_record_key")
+                ),
+                "_hoodie_record_key", "left_anti",
+            )
+        )
+        out = survivors.unionByName(
+            incoming.withColumn("__hudi_fg", group)
+        )
+    else:
+        out = incoming.withColumn("__hudi_fg", group)
+
+    stage = os.path.join(
+        table_dir, f"_staging-{uuid.uuid4().hex[:12]}"
+    )
+    (
+        out.repartition("__hudi_fg")
+        .write.mode("overwrite").partitionBy("__hudi_fg")
+        .parquet(stage)
+    )
+    os.makedirs(hoodie, exist_ok=True)
+    stats = {}
+    for entry in sorted(os.listdir(stage)):
+        if not entry.startswith("__hudi_fg="):
+            continue
+        g = int(entry.split("=", 1)[1])
+        parts = [
+            f for f in os.listdir(os.path.join(stage, entry))
+            if f.endswith(".parquet")
+        ]
+        if len(parts) != 1:  # one slice file per group, by design
+            raise HudiProtocolError(
+                f"expected one file for group {g}, found "
+                f"{len(parts)}"
+            )
+        dst = os.path.join(
+            table_dir, f"fg{g}_1-0-1_{instant}.parquet"
+        )
+        os.replace(os.path.join(stage, entry, parts[0]), dst)
+        stats[f"fg{g}"] = {
+            "path": os.path.basename(dst),
+            "fileSizeInBytes": os.path.getsize(dst),
+        }
+    shutil.rmtree(stage, ignore_errors=True)
+    if not exists:
+        with open(props_path, "w", encoding="utf-8") as fh:
+            fh.write("hoodie.table.type=COPY_ON_WRITE\n")
+            fh.write(f"hoodie.table.recordkey.fields={record_key}\n")
+            fh.write(
+                f"hoodie.table.num.file.groups={n_file_groups}\n"
+            )
+    # completed-instant publication LAST: the commit JSON makes the
+    # new slices visible atomically
+    with open(os.path.join(hoodie, f"{instant}.commit"), "x") as fh:
+        json.dump({"partitionToWriteStats": {"": list(stats)},
+                   "fileStats": stats}, fh)
+    return instant
+
+
 def read_hudi_incremental(
     spark: SparkSession,
     table_dir: str,

@@ -420,3 +420,102 @@ def test_hudi_feed_refuses_without_meta_column(spark, tmp_path):
     with pytest.raises(Exception, match="_hoodie_commit_time"):
         (spark.readStream.format("hudi_feed").option("path", t)
          .load())
+
+
+# --------------------------------------------------------------------------
+# write_hudi — COW writer
+# --------------------------------------------------------------------------
+
+
+def test_write_hudi_create_and_read_back(spark, tmp_path):
+    from artis_data_ingest_spark.sources.hudi import (
+        read_hudi,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "wh")
+    df = spark.range(10).selectExpr("id", "cast(id % 3 as string) g")
+    inst = write_hudi(df, t, record_key="id", n_file_groups=3)
+    assert inst == f"{1:017d}"
+    back = read_hudi(spark, t)
+    assert {(r["id"], r["g"]) for r in back.collect()} == {
+        (i, str(i % 3)) for i in range(10)
+    }
+    assert set(back.columns) >= {"_hoodie_record_key",
+                                 "_hoodie_commit_time"}
+    # one base file per file group
+    files = [f for f in os.listdir(t) if f.endswith(".parquet")]
+    assert len(files) == 3
+
+
+def test_write_hudi_upsert_rewrites_only_touched_groups(spark,
+                                                        tmp_path):
+    from artis_data_ingest_spark.sources.hudi import (
+        read_hudi,
+        read_hudi_incremental,
+        write_hudi,
+    )
+
+    t = str(tmp_path / "whu")
+    df = spark.range(12).selectExpr("id", "cast(id as string) v")
+    i1 = write_hudi(df, t, record_key="id", n_file_groups=4)
+    upd = spark.createDataFrame(
+        [(3, "three!"), (100, "new")], "id bigint, v string"
+    )
+    i2 = write_hudi(upd, t, mode="upsert")
+    assert int(i2) == int(i1) + 1
+    back = {(r["id"], r["v"], r["_hoodie_commit_time"])
+            for r in read_hudi(spark, t).collect()}
+    assert (3, "three!", i2) in back
+    assert (100, "new", i2) in back
+    # survivors keep their ORIGINAL commit time
+    assert (4, "4", i1) in back
+    assert len(back) == 13
+    # incremental after i1 sees exactly the upsert
+    inc = {(r["id"], r["v"])
+           for r in read_hudi_incremental(spark, t, i1).collect()}
+    assert inc == {(3, "three!"), (100, "new")}
+    # untouched groups were NOT rewritten (still exactly 4 + touched)
+    files = [f for f in os.listdir(t) if f.endswith(".parquet")]
+    n_touched = len({f.split("_")[0] for f in files
+                     if f.endswith(f"{i2}.parquet")})
+    assert n_touched < 4
+    # time travel to i1 shows the original rows
+    at1 = {(r["id"], r["v"])
+           for r in read_hudi(spark, t, as_of_instant=i1).collect()}
+    assert (3, "3") in at1 and (100, "new") not in at1
+
+
+def test_write_hudi_guards(spark, tmp_path):
+    from artis_data_ingest_spark.sources.hudi import write_hudi
+
+    t = str(tmp_path / "whg")
+    df = spark.range(3).selectExpr("id", "cast(id as string) v")
+    write_hudi(df, t, record_key="id")
+    with pytest.raises(HudiProtocolError, match="already holds"):
+        write_hudi(df, t, record_key="id")
+    with pytest.raises(HudiProtocolError, match="record_key drift"):
+        write_hudi(df, t, record_key="v", mode="upsert")
+    with pytest.raises(HudiProtocolError, match="schema drift"):
+        write_hudi(
+            spark.range(2).selectExpr("id", "id * 2 as w"), t,
+            mode="upsert",
+        )
+    with pytest.raises(HudiProtocolError, match="absent"):
+        write_hudi(df.drop("id"), str(tmp_path / "x"),
+                   record_key="id")
+
+
+def test_write_hudi_roundtrips_through_lake_view(spark, tmp_path):
+    from artis_data_ingest_spark.sources.hudi import write_hudi
+    from artis_data_ingest_spark.sources.lake import lake_view
+
+    t = str(tmp_path / "whl")
+    write_hudi(
+        spark.range(5).selectExpr("id", "cast(id as string) v"),
+        t, record_key="id",
+    )
+    lake_view(spark, t, "wh_view")  # autodetected as hudi
+    assert spark.sql(
+        "SELECT COUNT(*) n FROM wh_view"
+    ).collect()[0]["n"] == 5

@@ -703,6 +703,111 @@ def delete_iceberg_where(
     return snap_id
 
 
+def expire_iceberg_snapshots(
+    table_dir: str, keep_last: int
+) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` snapshots
+    from the table metadata (the current snapshot is always inside
+    the retained suffix), publishing a new ``metadata.json`` version
+    — Iceberg's ``expireSnapshots`` maintenance op, the twin of the
+    versioned sink's :func:`~artis_data_ingest_spark.sinks.
+    versioned.expire`.  Returns the expired snapshot ids.  Data and
+    manifest files are untouched here — a follow-up
+    :func:`vacuum_iceberg` reclaims whatever only the expired
+    snapshots referenced; time travel to them stops working
+    immediately."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta = _load_table_metadata(table_dir)
+    snaps = list(meta.get("snapshots") or [])
+    expired = snaps[:-keep_last]
+    if not expired:
+        return []
+    retained = snaps[-keep_last:]
+    cur = meta.get("current-snapshot-id")
+    if cur not in {s["snapshot-id"] for s in retained}:
+        raise IcebergProtocolError(
+            "current snapshot is not in the retained suffix — "
+            "snapshot log out of order; refusing to expire"
+        )
+    meta_dir = os.path.join(table_dir, "metadata")
+    version = 1 + max(
+        int(f[1:].split(".")[0]) for f in os.listdir(meta_dir)
+        if f.endswith(".metadata.json")
+    )
+    new_meta = dict(meta)
+    new_meta["snapshots"] = retained
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"),
+              "x") as fh:
+        json.dump(new_meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return [s["snapshot-id"] for s in expired]
+
+
+def vacuum_iceberg(
+    table_dir: str,
+    dry_run: bool = False,
+    retention_hours: float = 168.0,
+    force: bool = False,
+) -> list[str]:
+    """Garbage-collect files no RETAINED snapshot references — data
+    and delete parquet under ``data/`` plus manifest / manifest-list
+    Avro under ``metadata/`` — provided they are older than
+    ``retention_hours`` (default 7 days, matching
+    :func:`~artis_data_ingest_spark.sources.delta.vacuum_delta` and
+    both engines' own defaults).  Returns deleted (or with
+    ``dry_run`` would-be-deleted) relative paths.
+
+    The retention window is the same safety interlock as the Delta
+    vacuum: ``write_iceberg`` moves data files under ``data/``
+    BEFORE publishing the metadata version, so a zero-retention
+    vacuum racing an in-flight writer deletes files the about-to-
+    publish commit references.  ``retention_hours <= 0`` refuses
+    unless ``force=True`` (safe only on a quiescent table)."""
+    import time
+
+    if retention_hours <= 0 and not force:
+        raise IcebergProtocolError(
+            "vacuum with retention_hours<=0 can race an in-flight "
+            "writer (data files land before the metadata publish); "
+            "pass force=True only when the table is known quiescent"
+        )
+    cutoff = time.time() - max(retention_hours, 0.0) * 3600.0
+    meta = _load_table_metadata(table_dir)
+    referenced: set[str] = set()
+    for snap in meta.get("snapshots") or []:
+        lpath = _norm_path(snap["manifest-list"], table_dir)
+        referenced.add(os.path.abspath(lpath))
+        for m in _avro_rows(lpath):
+            mpath = _norm_path(m["manifest_path"], table_dir)
+            referenced.add(os.path.abspath(mpath))
+            for e in _avro_rows(mpath):
+                referenced.add(os.path.abspath(_norm_path(
+                    e["data_file"]["file_path"], table_dir
+                )))
+    doomed: list[str] = []
+    data_dir = os.path.join(table_dir, "data")
+    meta_dir = os.path.join(table_dir, "metadata")
+    for base, exts in ((data_dir, (".parquet",)),
+                      (meta_dir, (".avro",))):
+        if not os.path.isdir(base):
+            continue
+        for root, _dirs, names in os.walk(base):
+            for name in names:
+                if not name.endswith(exts):
+                    continue
+                p = os.path.abspath(os.path.join(root, name))
+                if p in referenced:
+                    continue
+                if os.path.getmtime(p) > cutoff:
+                    continue  # inside the retention window
+                doomed.append(os.path.relpath(p, table_dir))
+                if not dry_run:
+                    os.unlink(p)
+    return sorted(doomed)
+
+
 def iceberg_snapshots(spark: SparkSession, table_dir: str) -> DataFrame:
     """One row per snapshot in the table's log — the spec's
     ``snapshots`` metadata table, driver-side metadata only."""

@@ -824,3 +824,102 @@ def test_delete_where_appends_after_delete(spark, tmp_path):
     )
     got = {r["id"] for r in read_iceberg(spark, t).collect()}
     assert got == set(range(3, 10)) | {100, 101, 102}
+
+
+# --------------------------------------------------------------------------
+# expire_iceberg_snapshots + vacuum_iceberg — maintenance lifecycle
+# --------------------------------------------------------------------------
+
+
+def test_expire_then_vacuum_reclaims_only_expired(spark, tmp_path):
+    from artis_data_ingest_spark.sources.iceberg import (
+        expire_iceberg_snapshots,
+        read_iceberg,
+        vacuum_iceberg,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ibgc")
+    s1 = write_iceberg(
+        spark.range(4).selectExpr("id"), t
+    )
+    s2 = write_iceberg(
+        spark.range(10, 13).selectExpr("id"), t, mode="append"
+    )
+    # nothing unreferenced yet: dry-run vacuum with force finds none
+    assert vacuum_iceberg(t, dry_run=True, retention_hours=0,
+                          force=True) == []
+    expired = expire_iceberg_snapshots(t, keep_last=1)
+    assert expired == [s1]
+    # current snapshot still reads fine; time travel to s1 is gone
+    assert read_iceberg(spark, t).count() == 7
+    with pytest.raises(IcebergProtocolError, match="not in the log"):
+        read_iceberg(spark, t, snapshot_id=s1)
+    # s2 (append) still references s1's data files, so vacuum keeps
+    # them; only s1's now-unreferenced manifest list goes
+    doomed = vacuum_iceberg(t, retention_hours=0, force=True)
+    assert all(d.endswith(".avro") for d in doomed)
+    assert read_iceberg(spark, t).count() == 7
+    assert s2 == read_iceberg(spark, t).count() - 5  # s2 == 2
+
+
+def test_vacuum_reclaims_overwritten_files(spark, tmp_path):
+    import os
+
+    from artis_data_ingest_spark.sources.iceberg import (
+        delete_iceberg_where,
+        expire_iceberg_snapshots,
+        read_iceberg,
+        vacuum_iceberg,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ibgc2")
+    write_iceberg(spark.range(6).selectExpr("id"), t)
+    delete_iceberg_where(spark, t, "id < 2")
+    n_before = sum(
+        len(fs) for _, _, fs in os.walk(os.path.join(t, "data"))
+    )
+    expire_iceberg_snapshots(t, keep_last=1)
+    doomed = vacuum_iceberg(t, retention_hours=0, force=True)
+    # the delete snapshot still references the original data file
+    # (position deletes point into it) — nothing from data/ may go
+    assert not any(d.startswith("data/") and "delete-" not in d
+                   for d in doomed)
+    assert {r["id"] for r in read_iceberg(spark, t).collect()} == \
+        {2, 3, 4, 5}
+    n_after = sum(
+        len(fs) for _, _, fs in os.walk(os.path.join(t, "data"))
+    )
+    assert n_after == n_before
+
+
+def test_vacuum_retention_interlock(spark, tmp_path):
+    from artis_data_ingest_spark.sources.iceberg import (
+        expire_iceberg_snapshots,
+        vacuum_iceberg,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ibgc3")
+    write_iceberg(spark.range(3).selectExpr("id"), t)
+    write_iceberg(spark.range(3).selectExpr("id"), t, mode="append")
+    with pytest.raises(IcebergProtocolError, match="quiescent"):
+        vacuum_iceberg(t, retention_hours=0)
+    expire_iceberg_snapshots(t, keep_last=1)
+    # fresh files sit inside the retention window: default vacuum
+    # deletes nothing even though a manifest list is unreferenced
+    assert vacuum_iceberg(t) == []
+
+
+def test_expire_guards(spark, tmp_path):
+    from artis_data_ingest_spark.sources.iceberg import (
+        expire_iceberg_snapshots,
+        write_iceberg,
+    )
+
+    t = str(tmp_path / "ibgc4")
+    write_iceberg(spark.range(2).selectExpr("id"), t)
+    with pytest.raises(ValueError, match=">= 1"):
+        expire_iceberg_snapshots(t, keep_last=0)
+    assert expire_iceberg_snapshots(t, keep_last=5) == []

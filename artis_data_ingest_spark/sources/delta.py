@@ -952,6 +952,7 @@ def compact_delta(
     spark: SparkSession,
     table_dir: str,
     target_files: int = 1,
+    zorder_by: tuple[str, ...] = (),
 ) -> int:
     """OPTIMIZE for exported Delta tables: rewrite the current
     snapshot's files into ``target_files`` larger ones as one commit
@@ -959,7 +960,17 @@ def compact_delta(
     convention — streams tailing the table skip it as a no-data
     version... and OUR tail does too, because dataChange=false adds
     paired with removes refuse under the rewrite rule).  Older
-    versions stay readable until ``vacuum_delta`` reclaims them."""
+    versions stay readable until ``vacuum_delta`` reclaims them.
+
+    ``zorder_by`` (r15) is Delta's ``OPTIMIZE ZORDER BY``: NUMERIC
+    columns are bucketed onto a min/max-scaled grid (one aggregate
+    pass; uniform buckets — the documented simplification vs Delta's
+    range-partition-id buckets, weaker under heavy skew), their bits
+    Morton-interleaved (operators/zorder.py, pure codegen
+    expressions), and the rewrite range-partitions + sorts on that
+    key — so every output file has a tight min/max envelope in ALL
+    the named dimensions and any stats-pruning reader (including
+    other engines) skips files on any of them."""
     import uuid
 
     import pyarrow.parquet as pq
@@ -975,9 +986,46 @@ def compact_delta(
             "partitioned tables per-partition upstream"
         )
     stage = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex[:12]}")
-    df.coalesce(max(1, int(target_files))).write.mode(
-        "overwrite"
-    ).parquet(stage)
+    n_out = max(1, int(target_files))
+    if zorder_by:
+        from ..operators.zorder import bucket, zvalue_n
+
+        numeric = {
+            f.name for f in df.schema.fields
+            if f.dataType.simpleString() in (
+                "tinyint", "smallint", "int", "bigint", "float",
+                "double",
+            ) or f.dataType.simpleString().startswith("decimal(")
+        }
+        bad = [c for c in zorder_by if c not in numeric]
+        if bad:
+            raise DeltaProtocolError(
+                f"zorder_by supports numeric columns only; {bad} "
+                "are not (bucket strings/dates upstream)"
+            )
+        bits = min(8, 63 // len(zorder_by))
+        agg = df.agg(*[
+            f(F.col(c).cast("double")).alias(f"{which}_{c}")
+            for c in zorder_by
+            for which, f in (("lo", F.min), ("hi", F.max))
+        ]).first()
+        grid = []
+        for c in zorder_by:
+            lo = float(agg[f"lo_{c}"])
+            hi = float(agg[f"hi_{c}"])
+            width = max((hi - lo) / (1 << bits), 1e-12)
+            grid.append(
+                bucket(F.col(c).cast("double"), lo, width, bits)
+            )
+        df = (
+            df.withColumn("__dz", zvalue_n(grid, bits))
+            .repartitionByRange(n_out, "__dz")
+            .sortWithinPartitions("__dz")
+            .drop("__dz")
+        )
+        df.write.mode("overwrite").parquet(stage)
+    else:
+        df.coalesce(n_out).write.mode("overwrite").parquet(stage)
     actions: list[dict] = [{"commitInfo": {
         "timestamp": int(os.path.getmtime(table_dir) * 1000),
         "operation": "OPTIMIZE",
@@ -989,14 +1037,33 @@ def compact_delta(
         rel = f"part-{new_version:05d}-{uuid.uuid4().hex}.parquet"
         dst = os.path.join(table_dir, rel)
         os.replace(os.path.join(stage, name), dst)
+        md = pq.ParquetFile(dst).metadata
+        stats: dict = {"numRecords": md.num_rows}
+        if zorder_by:
+            # per-file min/max for the clustered columns — the
+            # envelope any stats-pruning reader skips files on
+            lows: dict[str, float] = {}
+            highs: dict[str, float] = {}
+            idx = {
+                md.schema.column(i).name: i
+                for i in range(md.num_columns)
+            }
+            for c in zorder_by:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lows[c] = min(lows.get(c, st.min), st.min)
+                    highs[c] = max(highs.get(c, st.max), st.max)
+            if lows:
+                stats["minValues"] = lows
+                stats["maxValues"] = highs
         actions.append({"add": {
             "path": rel, "partitionValues": {},
             "size": os.path.getsize(dst),
             "modificationTime": int(os.path.getmtime(dst) * 1000),
             "dataChange": False,
-            "stats": json.dumps(
-                {"numRecords": pq.ParquetFile(dst).metadata.num_rows}
-            ),
+            "stats": json.dumps(stats),
         }})
     import shutil
 

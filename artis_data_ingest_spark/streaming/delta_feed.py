@@ -122,14 +122,16 @@ def _make_delta_feed_class():
             latest = max(commits) if commits else self._start - 1
             if self._max_files:
                 # admission control: advance only as far as the file
-                # cap allows per trigger.  Paced off the last
-                # commit()ed offset this process saw — after a restart
-                # the first trigger may admit a full backlog (the
-                # Python stream API never shows latestOffset the
-                # checkpointed start; same documented blindness as
-                # versioned_feed), but (start, end] in partitions()
-                # keeps every batch exactly-once regardless.
-                cur = getattr(self, "_committed", self._start - 1)
+                # cap allows per trigger.  Paced off the offsets THIS
+                # instance already emitted — MEASURED (PySpark 4.1):
+                # the streaming runner never invokes ``commit`` on
+                # python stream readers, so the earlier committed-
+                # offset pacing pinned the stream at the first capped
+                # offset forever (r15 fix).  After a restart the
+                # counter resets and a few empty triggers re-sync;
+                # (start, end] in partitions() keeps every batch
+                # exactly-once regardless.
+                cur = getattr(self, "_paced", self._start - 1)
                 taken, last = 0, cur
                 for v in sorted(c for c in commits if c > cur):
                     n = len(self._version_adds(v))
@@ -139,7 +141,9 @@ def _make_delta_feed_class():
                     last = v
                     if taken >= self._max_files:
                         break
-                return {"version": last if taken else latest}
+                out = last if taken else latest
+                self._paced = max(cur, out)
+                return {"version": out}
             return {"version": latest}
 
         def _version_adds(self, v: int) -> list[dict]:

@@ -178,8 +178,20 @@ def _make_hudi_feed_class():
             log = self._timeline()
             latest = len(log) - 1
             if self._max_files:
+                # admission control pacing.  MEASURED (PySpark
+                # 4.1): the streaming runner NEVER invokes
+                # ``commit`` on python stream readers, so pacing
+                # off committed offsets pins the stream at the
+                # first capped offset forever.  Pace off the
+                # offsets THIS instance already emitted instead:
+                # Spark plans (checkpointed start, emitted end]
+                # batches, so every trigger advances one cap
+                # window; after a restart the counter resets and a
+                # few empty triggers re-sync (exactly-once holds —
+                # partitions() is driven by Spark's checkpointed
+                # start either way).
                 cur = getattr(
-                    self, "_committed", self._start_index(log)
+                    self, "_paced", self._start_index(log)
                 )
                 taken, last = 0, cur
                 for i in range(cur + 1, len(log)):
@@ -190,7 +202,9 @@ def _make_hudi_feed_class():
                     last = i
                     if taken >= self._max_files:
                         break
-                return {"index": last if taken else latest}
+                out = last if taken else latest
+                self._paced = max(cur, out)
+                return {"index": out}
             return {"index": latest}
 
         def partitions(self, start: dict, end: dict):

@@ -156,8 +156,14 @@ def _make_iceberg_feed_class():
             log = self._log()
             latest = len(log) - 1
             if self._max_files:
+                # paced off the offsets THIS instance already
+                # emitted — MEASURED (PySpark 4.1): the streaming
+                # runner never invokes ``commit`` on python stream
+                # readers, so committed-offset pacing pinned the
+                # stream at the first capped offset forever (r15
+                # fix; see delta_feed for the full note)
                 cur = getattr(
-                    self, "_committed", self._start_index(log)
+                    self, "_paced", self._start_index(log)
                 )
                 taken, last = 0, cur
                 for i in range(cur + 1, len(log)):
@@ -168,7 +174,9 @@ def _make_iceberg_feed_class():
                     last = i
                     if taken >= self._max_files:
                         break
-                return {"index": last if taken else latest}
+                out = last if taken else latest
+                self._paced = max(cur, out)
+                return {"index": out}
             return {"index": latest}
 
         def partitions(self, start: dict, end: dict):

@@ -1050,3 +1050,47 @@ def test_compact_zorder_refuses_non_numeric(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="numeric"):
         compact_delta(spark, t, zorder_by=("s",))
+
+
+def test_feed_max_files_per_trigger_advances(spark, tmp_path):
+    """r15 regression pin: the PySpark 4.1 streaming runner never
+    calls commit() on python stream readers, so committed-offset
+    pacing pinned a capped stream at its first offset forever.  The
+    emitted-offset pacing must drain a 3-version backlog across
+    multiple processingTime micro-batches."""
+    import glob as _glob
+    import time
+
+    from artis_data_ingest_spark.streaming.delta_feed import (
+        register_delta_feed,
+    )
+
+    t = str(tmp_path / "fdmax")
+    for i in range(3):
+        write_delta(
+            spark.createDataFrame([(i,)], "id long"), t,
+            mode="error" if i == 0 else "append",
+        )
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    register_delta_feed(spark)
+    q = (
+        spark.readStream.format("delta_feed").option("path", t)
+        .option("maxFilesPerTrigger", "1").load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(sink).count() >= 3:
+                    break
+            except Exception:  # noqa: BLE001 - sink not created yet
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    assert got == [(0, 0), (1, 1), (2, 2)]
+    assert len(_glob.glob(os.path.join(ckpt, "offsets", "*"))) >= 2

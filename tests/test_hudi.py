@@ -519,3 +519,45 @@ def test_write_hudi_roundtrips_through_lake_view(spark, tmp_path):
     assert spark.sql(
         "SELECT COUNT(*) n FROM wh_view"
     ).collect()[0]["n"] == 5
+
+
+def test_hudi_feed_max_files_per_trigger_batches(spark, tmp_path):
+    """maxFilesPerTrigger=1 splits the backlog across micro-batches
+    (steady-state processingTime trigger — under availableNow the
+    end offset is resolved once, so the cap bounds the whole run);
+    every row still lands exactly once."""
+    import glob as _glob
+    import time
+
+    from artis_data_ingest_spark.streaming.hudi_feed import (
+        register_hudi_feed,
+    )
+
+    t = _inc_table(tmp_path)
+    sink, ckpt = str(tmp_path / "s"), str(tmp_path / "c")
+    register_hudi_feed(spark)
+    q = (
+        spark.readStream.format("hudi_feed").option("path", t)
+        .option("maxFilesPerTrigger", "1").load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second").start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(sink).count() >= 5:
+                    break
+            except Exception:  # noqa: BLE001 - sink not created yet
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = {(r["_hoodie_record_key"], r["_hoodie_commit_time"])
+            for r in spark.read.parquet(sink).collect()}
+    assert rows == {("k1", "001"), ("k2", "001"), ("k2", "002"),
+                    ("k3", "002"), ("k1", "003")}
+    # the cap forced more than one committed micro-batch
+    offsets = _glob.glob(os.path.join(ckpt, "offsets", "*"))
+    assert len(offsets) >= 2

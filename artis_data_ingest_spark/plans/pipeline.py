@@ -3131,6 +3131,56 @@ def q_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_parquet_footer",
+    oracle=f"""
+WITH meta AS (
+  SELECT * FROM parquet_metadata('{_SF001_DIR}/documents.parquet')
+  UNION ALL
+  SELECT * FROM parquet_metadata('{_SF001_DIR}/embeddings.parquet')
+)
+SELECT regexp_extract(file_name, '([^/]*)$', 1) AS file,
+       CAST(row_group_id AS INT) AS row_group,
+       replace(path_in_schema, ', ', '.') AS col_name,
+       CAST(num_values AS BIGINT) AS num_values,
+       CAST(total_compressed_size AS BIGINT) AS compressed_bytes,
+       CAST(total_uncompressed_size AS BIGINT) AS uncompressed_bytes
+FROM meta
+ORDER BY file, row_group, col_name
+""",
+    doc="Parquet footer inspection (sources/parquet_meta.py — r15): "
+    "per-(file, row group, column chunk) value counts and encoded "
+    "sizes for the documents and embeddings tables, read "
+    "DISTRIBUTED one footer per task with data pages never touched "
+    "— the scan that drives real table maintenance (compaction "
+    "picks small files, skipping audits read stats envelopes, "
+    "Z-order verification reads min/max).  The oracle is DuckDB's "
+    "own parquet_metadata() over the same files (nested paths "
+    "normalized: DuckDB comma-joins 'embedding, list, element', "
+    "pyarrow dots them), so both engines' independent footer "
+    "parsers must agree byte-for-byte on every count and size.  "
+    "Scale: O(footer) bytes per file; the file is the parallelism "
+    "unit.",
+)
+def q_parquet_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.parquet_meta import parquet_footers
+
+    paths = [
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(sf_dir, "embeddings.parquet"),
+    ]
+    return (
+        parquet_footers(spark, paths)
+        .select(
+            "file", "row_group", "col_name", "num_values",
+            "compressed_bytes", "uncompressed_bytes",
+        )
+        .orderBy("file", "row_group", "col_name")
+    )
+
+
 def _feeds_fixture_dir() -> str:
     """Deterministic RSS + Atom fixtures under data/cache — items
     closed-form in (feed, item) so the oracle recomputes every

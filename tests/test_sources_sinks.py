@@ -3930,3 +3930,32 @@ def test_config_ingest_types_and_corruption(spark, tmp_path):
     df = read_configs(spark, str(tmp_path))
     got = {(r["file"], r["_corrupt"]) for r in df.collect()}
     assert got == {("ok.toml", False), ("bad.toml", True)}
+
+
+def test_parquet_footers_stats_columns(spark, tmp_path):
+    """Footer stats (min/max) surface when present; the oracle query
+    covers counts/sizes, this pins the stats half."""
+    import os
+
+    from artis_data_ingest_spark.sources.parquet_meta import (
+        parquet_footers,
+    )
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).selectExpr("id", "cast(id % 7 as string) s") \
+        .coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "d"))
+    part = next(
+        f for f in os.listdir(str(tmp_path / "d"))
+        if f.endswith(".parquet")
+    )
+    os.replace(os.path.join(str(tmp_path / "d"), part), p)
+    rows = {r["col_name"]: r
+            for r in parquet_footers(spark, [p]).collect()}
+    idr = rows["id"]
+    assert idr["num_values"] == 100 and idr["has_stats"]
+    assert idr["stats_min"] == "0" and idr["stats_max"] == "99"
+    assert rows["s"]["stats_min"] == "0"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty path list"):
+        parquet_footers(spark, [])

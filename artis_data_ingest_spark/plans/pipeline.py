@@ -3041,6 +3041,98 @@ def q_hudi_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_hudi_stream",
+    oracle="""
+WITH feed AS (
+  SELECT '001' AS commit_instant, o_orderkey, o_custkey,
+         o_orderstatus, o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT '002', o_orderkey, o_custkey + 1000000, o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT '003', o_orderkey, o_custkey + 2000000, o_orderstatus,
+         o_totalprice
+  FROM orders
+  WHERE o_orderkey % 21 = 0 AND o_orderkey % 5 <> 0
+)
+SELECT commit_instant, o_orderstatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(SUM(CAST(CONCAT('0x', substring(
+              md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                  CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT))
+            AS BIGINT) AS key_checksum
+FROM feed
+GROUP BY commit_instant, o_orderstatus
+ORDER BY commit_instant, o_orderstatus
+""",
+    doc="hudi_feed Structured Streaming source, gate-checked "
+    "(streaming/hudi_feed.py — r15): a REAL availableNow stream "
+    "tails the merge-on-read fixture's completed timeline in-query "
+    "— the 001 base rows once, the 002 and 003 log upserts stamped "
+    "with their instants, DELETE blocks not re-emitted (the "
+    "documented incremental boundary) — and the landed parquet is "
+    "profiled per (commit instant, status).  The oracle recomputes "
+    "the full emission from predicates over the original parquet, "
+    "so a feed that re-emits rewrites, leaks an uncommitted "
+    "instant, or double-delivers across micro-batches "
+    "hash-mismatches.  Scale: offsets are timeline positions, each "
+    "input partition one base or log file, log decode worker-side.",
+)
+def q_hudi_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..streaming.hudi_feed import register_hudi_feed
+
+    register_hudi_feed(spark)
+    table = _build_hudi_mor_fixture(spark, sf_dir)
+    base = _versioned_demo_path(sf_dir, "hudi_stream_demo")
+    shutil.rmtree(base, ignore_errors=True)
+    sink = f"{base}/sink"
+    ckpt = f"{base}/ckpt"
+    q = (
+        spark.readStream.format("hudi_feed")
+        .option("path", table).load()
+        .writeStream.format("parquet").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(300)
+    landed = spark.read.parquet(sink)
+    return (
+        landed.groupBy(
+            F.col("_hoodie_commit_time").alias("commit_instant"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).cast("bigint").alias("total_cents"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.col("o_orderkey").cast("string"),
+                                F.col("o_custkey").cast("string"),
+                            )
+                        ),
+                        1, 12,
+                    ),
+                    16, 10,
+                ).cast("bigint")
+            ).cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("commit_instant", "o_orderstatus")
+    )
+
+
+@register(
     "q_hudi_incremental",
     oracle="""
 WITH inc AS (

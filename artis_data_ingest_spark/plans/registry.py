@@ -39,13 +39,13 @@ _PRIORITY: list[str] = [
     # ---- round-15 rotation (full-disjoint rotation is the standard;
     # front-load r15 additions and implementation-touched names, then
     # the next block of NEVER-sampled names).  The whole r14 head
-    # rotates OUT (50/50 green in CORRECTNESS_r14).  56 never-sampled
-    # names existed entering r15 (incl. the 4 new ones); this head
-    # takes the first 35 in registry order, r16 takes the rest.
+    # rotates OUT (50/50 green in CORRECTNESS_r14).
     #
-    # (a) new in r15: Delta deletion-vector reads/writes, Iceberg
-    # equality deletes + identity-partitioned writes, Hudi
-    # merge-on-read — the r14 verdict's top-4 task list
+    # (a) new in r15 (13): the r14 verdict task list (Delta DV
+    # read/write, Iceberg equality deletes + partitioned writes +
+    # position-delete writes, Hudi MOR/incremental/export/stream,
+    # format-blind lake SQL) plus the new sources (SQLite, Arrow
+    # IPC, feeds, parquet footers)
     "q_delta_dv_read",
     "q_iceberg_eq_deletes",
     "q_iceberg_partitioned",
@@ -58,6 +58,7 @@ _PRIORITY: list[str] = [
     "q_feed_ingest",
     "q_hudi_export",
     "q_parquet_footer",
+    "q_hudi_stream",
     # (b) implementation touched in r15 (delta.py: change-feed gap
     # refusal, dataChange=false skip, checkpoint DV fidelity, vacuum
     # retention, DV write path; iceberg.py: append schema gate,
@@ -104,10 +105,9 @@ _PRIORITY: list[str] = [
     "q_pmi_collocations",
     "q_vocab_growth",
     "q_source_overlap",
-    "q_cdc_chunks",
     # (52-slot budget enforced by test_priority_queries_yield_first;
     # still never sampled after this head — the r16 (d) block:
-    # q_length_buckets, q_fim_transform, q_mlm_mask, q_sitemap_urls,
+    # q_cdc_chunks, q_length_buckets, q_fim_transform, q_mlm_mask, q_sitemap_urls,
     # q_tokenizer_fertility, q_retrieval_metrics, q_weighted_sample,
     # q_preference_pairs,
     # q_lm_greedy_decode, q_hrw_reshard, q_bloom_membership,

@@ -3517,6 +3517,142 @@ def q_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(e).orderBy("part", "grp")
 
 
+def _tfrecord_cache_dir(sf_dir: str, which: str) -> str:
+    import hashlib
+    import os
+
+    root = os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "data", "cache", "tfrecord",
+    )
+    src = os.path.join(os.path.abspath(sf_dir), f"{which}.parquet")
+    try:
+        st = os.stat(src)
+        sig = f"{src}|{st.st_size}|{st.st_mtime_ns}|tf1"
+    except OSError:
+        sig = f"{src}|missing|tf1"
+    return os.path.join(
+        root, which + "-" + hashlib.md5(sig.encode()).hexdigest()[:12]
+    )
+
+
+@register(
+    "q_tfrecord_roundtrip",
+    oracle="""
+WITH docs AS (
+  SELECT 'docs' AS part, lang AS grp,
+         COUNT(*) AS n_rows,
+         CAST(SUM(n_chars) AS BIGINT) AS metric_sum,
+         CAST(SUM(CAST(CONCAT('0x', substring(md5(text), 1, 12))
+                       AS BIGINT)) AS BIGINT) AS checksum
+  FROM documents WHERE doc_id % 5 = 2
+  GROUP BY lang
+), emb AS (
+  SELECT 'emb', CAST(label AS VARCHAR),
+         COUNT(*),
+         CAST(SUM(len(embedding)) AS BIGINT),
+         CAST(SUM(CAST(CONCAT('0x', substring(
+               md5(CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT))
+              AS BIGINT)
+  FROM embeddings WHERE vec_id % 3 = 1
+  GROUP BY label
+)
+SELECT * FROM docs UNION ALL SELECT * FROM emb
+ORDER BY part, grp
+""",
+    doc="TFRecord roundtrip (sources/tfrecord.py — r15, pure stdlib, "
+    "no tensorflow/protobuf in this image): a documents slice and an "
+    "embeddings slice (float32 vectors — the format's own wire "
+    "precision, so the hop is lossless) are written as TFRecord "
+    "shards — masked CRC-32C framing per the public spec (CRC "
+    "pinned against the RFC 3720 check vectors), each row a "
+    "hand-rolled tf.train.Example (varint wire format, packed "
+    "repeated lists) — then read back with per-record CRC "
+    "verification and profiled.  The oracle recomputes both "
+    "profiles from the original parquet, so any loss, duplication, "
+    "or value mangling through the classic ML shard format "
+    "hash-mismatches.  Scale: one shard per partition out, one task "
+    "per unsplittable shard in — exactly how training corpora ship "
+    "(many shards).",
+)
+def q_tfrecord_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from ..sources.tfrecord import read_tfrecords, write_tfrecords
+
+    docs_dir = _tfrecord_cache_dir(sf_dir, "documents")
+    emb_dir = _tfrecord_cache_dir(sf_dir, "embeddings")
+    if not os.path.exists(os.path.join(docs_dir, "_SUCCESS")):
+        shutil.rmtree(docs_dir, ignore_errors=True)
+        write_tfrecords(
+            load_table(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 5 == 2).repartition(4),
+            docs_dir,
+        )
+    if not os.path.exists(os.path.join(emb_dir, "_SUCCESS")):
+        shutil.rmtree(emb_dir, ignore_errors=True)
+        write_tfrecords(
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("vec_id") % 3 == 1).repartition(3),
+            emb_dir,
+        )
+    docs_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    emb_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    docs = read_tfrecords(spark, docs_dir, docs_schema)
+    emb = read_tfrecords(spark, emb_dir, emb_schema)
+    d = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").cast("bigint").alias("metric_sum"),
+            F.sum(
+                F.conv(F.substring(F.md5("text"), 1, 12), 16, 10)
+                .cast("bigint")
+            ).cast("bigint").alias("checksum"),
+        )
+        .select(
+            F.lit("docs").alias("part"), F.col("lang").alias("grp"),
+            "n_rows", "metric_sum", "checksum",
+        )
+    )
+    e = (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.size("embedding")).cast("bigint")
+            .alias("metric_sum"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("vec_id").cast("string")), 1, 12
+                    ),
+                    16, 10,
+                ).cast("bigint")
+            ).cast("bigint").alias("checksum"),
+        )
+        .select(
+            F.lit("emb").alias("part"),
+            F.col("label").cast("string").alias("grp"),
+            "n_rows", "metric_sum", "checksum",
+        )
+    )
+    return d.unionByName(e).orderBy("part", "grp")
+
+
 def _sqlite_fixture_paths(spark) -> list:
     """Three deterministic SQLite corpus shards under data/cache —
     closed-form rows so the oracle recomputes them from (f, i)."""

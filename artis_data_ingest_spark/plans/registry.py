@@ -59,6 +59,7 @@ _PRIORITY: list[str] = [
     "q_hudi_export",
     "q_parquet_footer",
     "q_hudi_stream",
+    "q_tfrecord_roundtrip",
     # (b) implementation touched in r15 (delta.py: change-feed gap
     # refusal, dataChange=false skip, checkpoint DV fidelity, vacuum
     # retention, DV write path; iceberg.py: append schema gate,
@@ -104,10 +105,9 @@ _PRIORITY: list[str] = [
     "q_span_corruption",
     "q_pmi_collocations",
     "q_vocab_growth",
-    "q_source_overlap",
     # (52-slot budget enforced by test_priority_queries_yield_first;
     # still never sampled after this head — the r16 (d) block:
-    # q_cdc_chunks, q_length_buckets, q_fim_transform, q_mlm_mask, q_sitemap_urls,
+    # q_source_overlap, q_cdc_chunks, q_length_buckets, q_fim_transform, q_mlm_mask, q_sitemap_urls,
     # q_tokenizer_fertility, q_retrieval_metrics, q_weighted_sample,
     # q_preference_pairs,
     # q_lm_greedy_decode, q_hrw_reshard, q_bloom_membership,

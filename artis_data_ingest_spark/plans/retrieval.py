@@ -884,17 +884,58 @@ def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("token") != "")
         .select("doc_id", "wpos", F.lower("token").alias("word"))
     )
-    stream = words.join(F.broadcast(wids), on="word").select(
-        "doc_id", "wpos", F.posexplode("ids").alias("spos", "tok_id")
+    # r15: the running token index used to be one row_number() window
+    # partitioned by the 16-way shard key — a full sort of the token
+    # stream bounded to 16-way parallelism (the worst 10x-scale ratio
+    # of the bench set).  The same total order (doc_id, wpos, spos)
+    # decomposes into three prefix sums none of which sorts the token
+    # stream: a within-doc word-offset window (doc-partitioned —
+    # thousands of small partitions), a per-doc token total rolled up
+    # once, and a per-shard cumulative doc offset over the DOC-bounded
+    # table.  tidx = doc_start + word_offset + spos + 1, bit-identical
+    # to the row_number.
+    wstream = words.join(F.broadcast(wids), on="word").select(
+        "doc_id", "wpos", "ids", F.size("ids").alias("n_ids")
     )
-    shard = (F.col("doc_id") % _PACK_SHARDS).alias("shard")
-    tidx = F.row_number().over(
-        Window.partitionBy(F.col("doc_id") % _PACK_SHARDS).orderBy(
-            "doc_id", "wpos", "spos"
+    w_off = (
+        F.sum("n_ids").over(
+            Window.partitionBy("doc_id")
+            .orderBy("wpos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        - F.col("n_ids")
     )
-    idx = stream.select(
-        shard, "doc_id", "tok_id", tidx.alias("tidx")
+    wstream = wstream.withColumn("w_off", w_off)
+    doc_tok = wstream.groupBy("doc_id").agg(
+        F.sum("n_ids").alias("nt")
+    )
+    doc_off = doc_tok.select(
+        "doc_id",
+        (
+            F.sum("nt").over(
+                Window.partitionBy(F.col("doc_id") % _PACK_SHARDS)
+                .orderBy("doc_id")
+                .rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("nt")
+        ).alias("d_off"),
+    )
+    idx = (
+        wstream.join(doc_off, on="doc_id")
+        .select(
+            (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+            "doc_id",
+            (F.col("d_off") + F.col("w_off")).alias("base"),
+            F.posexplode("ids").alias("spos", "tok_id"),
+        )
+        .select(
+            "shard",
+            "doc_id",
+            "tok_id",
+            (F.col("base") + F.col("spos") + 1).alias("tidx"),
+        )
     )
     ordered_ids = F.transform(
         F.array_sort(F.collect_list(F.struct("tidx", "tok_id"))),

@@ -140,35 +140,70 @@ def substring_dedup(docs: DataFrame, span: int = _SPAN_N) -> DataFrame:
         .filter(F.col("occ") >= 2)
         .select("ngram")
     )
-    covered = (
+    # r15: coverage/reassembly used to run as three corpus-scale
+    # shuffles — a (doc_id, pos) explode+distinct (8x the duplicated
+    # gram rows), a word-level anti-join, and a per-doc sorted
+    # collect_list for the md5.  A document's cleaned text depends
+    # only on its word array (already in the checkpointed d) and its
+    # duplicated-span START list (doc-bounded), so all three collapse
+    # into ONE per-doc numpy/hashlib pass in mapInPandas: mark the
+    # covered positions with span offset writes, keep the rest, md5
+    # the space-joined remainder (hashlib == Spark md5 on identical
+    # UTF-8 bytes; the join separator matches concat_ws).  Measured
+    # at sf0.1: 2.37 -> 1.74 s; 10x corpus 7.17 -> 5.22 s; row parity
+    # pinned at sf0.001/0.01/0.1 plus the oracle hash.
+    starts = (
         grams.join(dup, "ngram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + (span - 1))
-            ).alias("pos"),
-        )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_list("start").alias("starts"))
     )
-    words = d.select(
-        "doc_id", F.posexplode("w").alias("pos0", "word")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
-    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
-    agg = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, word))),"
-                    " s -> s.word)"
-                ),
+    joined = d.join(starts, "doc_id", "left").select(
+        "doc_id", "w", "starts"
+    )
+
+    def _clean_batches(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, nk, md = [], [], []
+            for doc_id, w, st in zip(
+                pdf["doc_id"], pdf["w"], pdf["starts"]
+            ):
+                if st is not None and len(st):
+                    n = len(w)
+                    cov = np.zeros(n + span, dtype=bool)
+                    s = np.asarray(st, dtype=np.int64) - 1  # 0-based
+                    for o in range(span):
+                        cov[s + o] = True
+                    kept_words = [
+                        w[i] for i in np.nonzero(~cov[:n])[0]
+                    ]
+                else:
+                    kept_words = list(w)
+                ids.append(doc_id)
+                nk.append(len(kept_words))
+                md.append(
+                    hashlib.md5(
+                        " ".join(kept_words).encode("utf-8")
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "n_kept": np.asarray(nk, dtype=np.int64),
+                    "kept_md5": md,
+                }
             )
-        ).alias("kept_md5"),
+
+    stats = joined.mapInPandas(
+        _clean_batches, "doc_id bigint, n_kept bigint, kept_md5 string"
     )
     return (
         d.select("doc_id", F.size("w").cast("bigint").alias("n_words"))
-        .join(agg, "doc_id", "left")
+        .join(stats, "doc_id", "left")
         .select(
             "doc_id",
             "n_words",

@@ -765,7 +765,14 @@ def portable_minhash_pair_stats(
             ],
         ).alias("sig_key"),
     )
-    groups = sh.groupBy("sig_key").agg(F.count(F.lit(1)).alias("g"))
+    # duplication-bounded class table (13.9k rows at the 100x corpus)
+    # feeding FOUR consumer branches (both self-join sides, intra,
+    # docs_in) — materialize once or the whole signature pipeline
+    # re-executes per branch (r15, measured ~4x at 100x: full stats
+    # 27 s with the signature-to-groups prefix at 5 s)
+    groups = sh.groupBy("sig_key").agg(
+        F.count(F.lit(1)).alias("g")
+    ).localCheckpoint()
     parts = F.split(F.col("sig_key"), r"\|")
     band_keys = F.array(
         *[
@@ -794,7 +801,7 @@ def portable_minhash_pair_stats(
             F.max(F.col("x.g")).alias("ga"),
             F.max(F.col("y.g")).alias("gb"),
         )
-    )
+    ).localCheckpoint()  # consumed by inter_agg + both ext branches
     intra = groups.agg(
         F.coalesce(
             F.sum((F.col("g") * (F.col("g") - 1) / 2).cast("bigint")),

@@ -627,6 +627,13 @@ def portable_minhash_sig_table(
     no-shingle guard stays the cheap predicate length(lower) >= k so
     it pushes below the spread exchange; it also guarantees every doc
     in a batch owns at least one window, which ``reduceat`` needs.
+
+    Precondition (ADVICE r15 #3): ``doc_id`` must be UNIQUE in
+    ``docs``.  This emits one signature row per INPUT row; the r14
+    groupBy formulation silently merged duplicate doc_ids, this one
+    would emit duplicates that double-count downstream band pairs.
+    Every caller feeds a primary-key doc table; dedupe upstream if
+    yours does not.
     """
     import numpy as np
     import pandas as pd
@@ -914,12 +921,97 @@ def portable_simhash_candidates(
     )
 
 
+def _cc_union_find(sym0: DataFrame) -> DataFrame:
+    """Close a SMALL symmetrized edge list ``(a, b)`` into components in
+    one single-task pass: classic union-find with path compression,
+    then each node labeled with its component's minimum member.
+
+    Output is identical to the distributed min-label rounds: (node,
+    cluster) over every edge endpoint, cluster = component min.  The
+    min comparison matches Spark's ordering for the label types in use
+    (Python int == bigint order; Python str compares by code point,
+    which equals Spark's UTF8 byte order because UTF-8 is
+    order-preserving over code points).
+
+    The caller guards size (``spark.graft.cc.localEdgeLimit``): this
+    runs only when the whole edge list fits one Python worker, where a
+    dict union-find is ~1µs/edge — microseconds-to-seconds versus the
+    ~5 sequential AQE stages *per propagation round* the distributed
+    path pays (guide §1.2; the r15 driver measured q_dup_clusters'
+    rounds nearly core-count-invariant at 100x: pure stage latency).
+    """
+    node_t = sym0.schema["a"].dataType.simpleString()
+
+    def _uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+        comp_min: dict = {}
+        for x in parent:
+            r = find(x)
+            m = comp_min.get(r)
+            if m is None or x < m:
+                comp_min[r] = x
+        nodes = list(parent)
+        chunk = 100_000
+        for lo in range(0, len(nodes), chunk):
+            part = nodes[lo : lo + chunk]
+            yield pd.DataFrame(
+                {
+                    "node": part,
+                    "cluster": [comp_min[find(x)] for x in part],
+                }
+            )
+        if not nodes:
+            yield pd.DataFrame({"node": [], "cluster": []})
+
+    # coalesce(1): one task reads the checkpointed blocks — no shuffle.
+    # The result is checkpointed because every caller fans it out to
+    # multiple consumers (the multi-consumer materialization rule, §5);
+    # it is component-labels-sized, i.e. tiny by the caller's guard.
+    return (
+        sym0.coalesce(1)
+        .mapInPandas(_uf, f"node {node_t}, cluster {node_t}")
+        .localCheckpoint()
+    )
+
+
+#: default edge-count bound for the single-task union-find CC path; a
+#: symmetrized edge list at or below this runs as ONE task instead of
+#: O(log diameter) distributed rounds.  Override per session with
+#: ``spark.graft.cc.localEdgeLimit`` (set 0 to force the distributed
+#: path).  Sizing: 2M (node, node) rows is tens of MB in one Python
+#: worker and ~2s of union-find — far below the multi-second per-round
+#: AQE stage latency the distributed path pays on graphs this small,
+#: while anything larger falls through to the O(log d) rounds.
+_CC_LOCAL_EDGE_LIMIT = 2_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
     strict: bool = True,
+    local_edge_limit: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list — the step
     that turns near-dup candidate *pairs* into duplicate *clusters*
@@ -964,6 +1056,22 @@ def connected_components(
     labels; ``strict=False`` returns the non-converged labels (callers
     that only need *a* canonical representative per round, e.g.
     incremental re-clustering, can opt in).
+
+    r16 — size-adaptive strategy (guide §1.2: fix the distributed
+    algorithm first; §8: decide over the lightweight proxy): the
+    candidate graphs this operator closes are tiny relative to the
+    corpus that produced them (signature CLASSES, distinct part names —
+    at 100x the sf0.1 corpus, ~14k nodes / ~100k edges), yet each
+    distributed round costs ~5 sequential AQE stages of fixed latency —
+    the driver-measured 100x wall where 4x the cores bought 14%.  When
+    the symmetrized edge count (observed for free on the checkpoint
+    job) is at or below ``local_edge_limit`` (default
+    ``spark.graft.cc.localEdgeLimit`` = 2M), the closure runs as ONE
+    single-task union-find pass in ``mapInPandas`` — same (node, min
+    label) output, proven by parity tests on both paths and the
+    unchanged oracle.  Larger graphs use the distributed rounds
+    unchanged; ``max_iter``/``strict`` bind only that path (union-find
+    is exact, never partial).
     """
     from pyspark.sql import Observation
 
@@ -978,11 +1086,22 @@ def connected_components(
         F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
         F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
     )
+    obs_edges = Observation("cc_n_sym_edges")
     sym0 = (
         edges.select(F.explode(both).alias("e"))
         .select("e.a", "e.b")
         .distinct()
+        .observe(obs_edges, F.count(F.lit(1)).alias("n"))
     ).localCheckpoint()
+    n_sym = obs_edges.get["n"] or 0
+    if local_edge_limit is None:
+        local_edge_limit = int(
+            edges.sparkSession.conf.get(
+                "spark.graft.cc.localEdgeLimit", str(_CC_LOCAL_EDGE_LIMIT)
+            )
+        )
+    if n_sym <= local_edge_limit:
+        return _cc_union_find(sym0)
     labels = (
         sym0.select(F.col("a").alias("node"))
         .distinct()

@@ -16,12 +16,73 @@ from pyspark.sql import functions as F
 PR_SCALE = 10**12
 
 
+def _pagerank_local(
+    ew: DataFrame, n_iter: int, damping_pct: int
+) -> DataFrame:
+    """Single-task integer PageRank over a SMALL weighted edge list
+    ``(src, dst, w, ow)`` — the exact same fixed-point recurrence as
+    the distributed loop, evaluated as n_iter vectorized numpy rounds
+    in one mapInPandas task (guide §1.2: the distributed unrolled
+    chain pays one join + one aggregate of AQE stage latency per
+    iteration over node-bounded tables; the graphs the registered
+    queries rank are 25-40 nodes).  Bit-identical by construction:
+    same truncating integer division on non-negative operands
+    (numpy ``//`` == SQL DIV there), same overflow-safe split product,
+    exact int64 sums (``np.add.at``), and the identical w·ow bound is
+    ENFORCED (raise) where ANSI SQL would kill the job.  The caller
+    guards size and handles init_pr (warm starts stay distributed)."""
+    keep_pct = 100 - damping_pct
+    node_t = ew.schema["src"].dataType.simpleString()
+
+    def _run(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs, dsts, ws, ows = [], [], [], []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy())
+            dsts.append(pdf["dst"].to_numpy())
+            ws.append(pdf["w"].to_numpy(dtype=np.int64))
+            ows.append(pdf["ow"].to_numpy(dtype=np.int64))
+        if not srcs:
+            yield pd.DataFrame({"node": [], "pr": []})
+            return
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        w = np.concatenate(ws)
+        ow = np.concatenate(ows)
+        codes, uniques = pd.factorize(np.concatenate([src, dst]))
+        n = len(uniques)
+        if n == 0:
+            yield pd.DataFrame({"node": [], "pr": []})
+            return
+        ci, di = codes[: len(src)], codes[len(src):]
+        if int(w.max()) * int(ow.max()) >= 2**63:
+            raise ArithmeticError(
+                "pagerank: w*ow exceeds BIGINT — rescale weights "
+                "(same bound as the distributed ANSI path)"
+            )
+        base = (keep_pct * PR_SCALE) // (100 * n)
+        pr = np.full(n, PR_SCALE // n, dtype=np.int64)
+        for _ in range(n_iter):
+            contrib = (pr[ci] // ow) * w + ((pr[ci] % ow) * w) // ow
+            s = np.zeros(n, dtype=np.int64)
+            np.add.at(s, di, contrib)
+            pr = base + (damping_pct * s) // 100
+        yield pd.DataFrame({"node": uniques, "pr": pr})
+
+    return ew.select("src", "dst", "w", "ow").coalesce(1).mapInPandas(
+        _run, f"node {node_t}, pr bigint"
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 5,
     damping_pct: int = 85,
     checkpoint_every: int = 8,
     init_pr: DataFrame | None = None,
+    local_edge_limit: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank over ``edges`` (columns src, dst, w) →
     (node, pr) with pr in fixed-point units of 1/PR_SCALE.
@@ -32,7 +93,17 @@ def pagerank(
     never re-derives the edge pipeline, and the rank table checkpoints
     every ``checkpoint_every`` rounds to keep the plan shallow at
     large ``n_iter`` (the connected_components lineage pattern).
+
+    r16 size-adaptive strategy (the connected_components pattern):
+    uniform-start rank over a weighted edge list at or below
+    ``local_edge_limit`` rows (default ``spark.graft.cc.localEdgeLimit``
+    = 2M, observed for free on the ew checkpoint job) runs the whole
+    unrolled iteration as ONE single-task numpy pass — bit-identical
+    integers, parity-pinned by tests and the oracle hashes.  Warm
+    starts (``init_pr``) and larger graphs keep the distributed loop.
     """
+    from pyspark.sql import Observation
+
     keep_pct = 100 - damping_pct
     edges = (
         edges.groupBy("src", "dst")
@@ -40,7 +111,20 @@ def pagerank(
         .localCheckpoint()
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    ew = edges.join(outw, "src").localCheckpoint()
+    obs_edges = Observation()
+    ew = edges.join(outw, "src").observe(
+        obs_edges, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()
+    if local_edge_limit is None:
+        from .dedup import _CC_LOCAL_EDGE_LIMIT
+
+        local_edge_limit = int(
+            edges.sparkSession.conf.get(
+                "spark.graft.cc.localEdgeLimit", str(_CC_LOCAL_EDGE_LIMIT)
+            )
+        )
+    if init_pr is None and (obs_edges.get["n"] or 0) <= local_edge_limit:
+        return _pagerank_local(ew, n_iter, damping_pct)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -166,10 +250,67 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def _kcore_local(sym0: DataFrame, k: int, rounds: int | None) -> DataFrame:
+    """Single-task synchronous k-core peel over a SMALL symmetrized
+    edge list — round-for-round identical to the distributed loop
+    (same simultaneous-removal semantics, same ``rounds`` cap, same
+    early exit on a stable survivor count), just run as vectorized
+    numpy over one Arrow partition instead of 2 semi-joins + an
+    aggregate + a checkpoint per round (guide §1.2: each distributed
+    round is ~3 sequential AQE stages of fixed latency over a
+    node-bounded table).  The caller guards size."""
+    node_t = sym0.schema["x"].dataType.simpleString()
+
+    def _peel(batches):
+        import numpy as np
+        import pandas as pd
+
+        xs, ys = [], []
+        for pdf in batches:
+            xs.append(pdf["x"].to_numpy())
+            ys.append(pdf["y"].to_numpy())
+        x = np.concatenate(xs) if xs else np.array([], dtype=object)
+        y = np.concatenate(ys) if ys else np.array([], dtype=object)
+        codes, uniques = pd.factorize(np.concatenate([x, y]))
+        n = len(uniques)
+        ne = len(x)
+        cx, cy = codes[:ne], codes[ne:]
+        # sym carries both directions, so x-side bincount IS the degree
+        deg = np.bincount(cx, minlength=n)
+        cur = deg >= k
+        prev_n = None
+        i = 0
+        while True:
+            i += 1
+            if rounds is not None and i > rounds:
+                break
+            em = cur[cx] & cur[cy]
+            deg = np.bincount(cx[em], minlength=n)
+            cur = deg >= k
+            ni = int(cur.sum())
+            if ni == prev_n:
+                break
+            prev_n = ni
+        idx = np.nonzero(cur)[0]
+        chunk = 200_000
+        for lo in range(0, len(idx), chunk):
+            part = idx[lo : lo + chunk]
+            yield pd.DataFrame(
+                {"node": uniques[part], "deg": deg[part].astype("int64")}
+            )
+        if not len(idx):
+            yield pd.DataFrame({"node": [], "deg": []})
+
+    return sym0.coalesce(1).mapInPandas(
+        _peel, f"node {node_t}, deg bigint"
+    ).localCheckpoint()
+
+
 def kcore(
     edges: DataFrame,
     k: int,
     rounds: int | None = None,
+    local_edge_limit: int | None = None,
 ) -> DataFrame:
     """k-core of an undirected edge set ``(x, y)`` (distinct, x != y):
     the maximal subgraph where every node has degree >= k — the
@@ -194,16 +335,36 @@ def kcore(
     real graphs; no all-pairs step exists.
 
     Returns (node, deg) — surviving nodes with their core degree.
+
+    r16 size-adaptive strategy (the connected_components pattern,
+    guide §1.2): when the symmetrized edge list is at or below
+    ``local_edge_limit`` rows (default ``spark.graft.cc.localEdgeLimit``
+    = 2M — the count is observed for free on the checkpoint job), the
+    whole peel runs as ONE single-task numpy pass with identical
+    round-synchronous semantics (parity-pinned by tests on both
+    paths); larger graphs take the distributed rounds below unchanged.
     """
+    from pyspark.sql import Observation
+
+    from .dedup import _CC_LOCAL_EDGE_LIMIT
+
+    obs_edges = Observation("kcore_n_sym_edges")
     sym = edges.select("x", "y").unionAll(
         edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    ).localCheckpoint()
+    ).observe(obs_edges, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    if local_edge_limit is None:
+        local_edge_limit = int(
+            edges.sparkSession.conf.get(
+                "spark.graft.cc.localEdgeLimit", str(_CC_LOCAL_EDGE_LIMIT)
+            )
+        )
+    if (obs_edges.get["n"] or 0) <= local_edge_limit:
+        return _kcore_local(sym, k, rounds)
     alive = (
         sym.groupBy(F.col("x").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
         .filter(F.col("deg") >= k)
     )
-    from pyspark.sql import Observation
 
     i = 0
     prev_n = None

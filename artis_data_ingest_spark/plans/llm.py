@@ -669,13 +669,12 @@ def q_feed_driven_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _feed_driven_inputs(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame]:
     """Steady-state inputs shared by q_feed_driven_dedup and its stats
     twin: ensure the demo lifecycle ran once (base corpus committed,
     band index persisted, arrivals merged), then return
-    ``(base_bands, delta_ids, delta_bands)`` — the persisted index read
-    back as parquet, the change-feed arrival ids, and the O(delta)
-    freshly-signed arrival bands."""
+    ``(base_bands, delta_bands)`` — the persisted index read back as
+    parquet, and the O(delta) freshly-signed arrival bands."""
     import shutil
 
     from ..operators.dedup import (
@@ -815,6 +814,8 @@ FROM pairs
 def q_feed_driven_dedup_stats(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from ..operators.dedup import _PORTABLE_BANDS
+
     # r15: collapse docs to SIGNATURE CLASSES before any pair work —
     # the q_minhash_portable_stats move applied to the incremental
     # chain.  A doc's 4 band keys embed its full 8-hash signature, so
@@ -952,7 +953,11 @@ def q_feed_driven_dedup_stats(
         .cast("bigint")
         .alias("n_pairs"),
         (
-            F.lit(4) * F.col("intra_pairs") + F.col("inter_bands")
+            # intra-class pairs share ALL bands by construction (same
+            # signature); use the operator's band count, not a literal
+            # (ADVICE r15 #2)
+            F.lit(_PORTABLE_BANDS) * F.col("intra_pairs")
+            + F.col("inter_bands")
         ).cast("bigint").alias("sum_bands"),
         F.col("n_docs_in_pairs").cast("bigint"),
     )
@@ -1153,14 +1158,24 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     b = cls.select("cnode", F.explode(band_keys).alias("band"))
-    x, y = b.alias("x"), b.alias("y")
+    # r16 (guide §2.3/§3.3 — don't materialize an exploding join): the
+    # former band SELF-join emitted every within-band PAIR, i.e.
+    # C(k,2) edges per band — 8.2M class edges at the 100x corpus
+    # (hot bands shared by thousands of classes), which pushed the
+    # component closure itself to ~15 s.  Connectivity only needs a
+    # SPANNING set per band: every class sharing a band is mutually a
+    # candidate, so connecting each class to its band's MIN class (a
+    # star) yields exactly the same connected components — k edges per
+    # band instead of C(k,2) (56k vs 8.2M at 100x), and the same node
+    # set (a class has a star edge iff its band group has >= 2
+    # members, exactly when it had a pair edge).  Cluster labels are
+    # the component min, so the query's output is unchanged (oracle
+    # hash-verified; the oracle still closes the full pair graph).
+    rep = b.groupBy("band").agg(F.min("cnode").alias("src"))
     class_edges = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.cnode") < F.col("y.cnode")),
-        )
-        .select(F.col("x.cnode").alias("src"), F.col("y.cnode").alias("dst"))
+        b.join(rep, on="band")
+        .filter(F.col("cnode") != F.col("src"))
+        .select("src", F.col("cnode").alias("dst"))
         .distinct()
     )
     cc = connected_components(class_edges)  # (node, cluster), edged classes

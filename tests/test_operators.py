@@ -194,23 +194,36 @@ def test_connected_components_nonconvergence(spark):
     from artis_data_ingest_spark.operators.dedup import connected_components
 
     # a 9-node chain has diameter 8: min-label propagation moves the
-    # 0-label one hop per round, so max_iter=2 cannot reach a fixpoint
+    # 0-label one hop per round, so max_iter=2 cannot reach a fixpoint.
+    # local_edge_limit=0 forces the distributed path (r16) — the
+    # single-task union-find is exact and has no notion of
+    # non-convergence, so max_iter/strict bind only the rounds.
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], ["src", "dst"]
     )
     import pytest
 
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, local_edge_limit=0)
     # strict=False returns the partial labels instead of raising
-    partial = connected_components(chain, max_iter=2, strict=False)
+    partial = connected_components(
+        chain, max_iter=2, strict=False, local_edge_limit=0
+    )
     assert partial.count() == 9
     # with enough rounds the chain converges to a single component
     got = {
         r.node: r.cluster
-        for r in connected_components(chain, max_iter=10).collect()
+        for r in connected_components(
+            chain, max_iter=10, local_edge_limit=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(9)}
+    # the default (union-find) path converges regardless of max_iter
+    uf = {
+        r.node: r.cluster
+        for r in connected_components(chain, max_iter=2).collect()
+    }
+    assert uf == got
 
 
 def test_char_shingles_short_text(spark):
@@ -492,10 +505,15 @@ def test_connected_components_stress_path_and_megastar(spark):
     t0 = time.time()
     # log2(10000) ~ 13.3; 18 rounds (jump distance 2^r) is ample —
     # strict=True means non-convergence raises, pinning the O(log n)
-    # iteration bound rather than just eventual correctness
+    # iteration bound rather than just eventual correctness.
+    # local_edge_limit=0 forces the DISTRIBUTED rounds (r16): this test
+    # pins the pointer-jumping path; the small-graph union-find path
+    # has its own parity test below.
     labels = {
         r.node: r.cluster
-        for r in connected_components(edges, max_iter=18).collect()
+        for r in connected_components(
+            edges, max_iter=18, local_edge_limit=0
+        ).collect()
     }
     elapsed = time.time() - t0
 
@@ -504,6 +522,47 @@ def test_connected_components_stress_path_and_megastar(spark):
     # runtime bound: each round is one join+agg on 15k edges; minutes
     # would indicate plan-explosion regression (lineage not truncated)
     assert elapsed < 180, f"connected_components took {elapsed:.0f}s"
+
+    # the default path (union-find single task — 15k edges is far under
+    # the 2M default limit) must label both adversarial shapes
+    # identically to the distributed rounds
+    uf = {
+        r.node: r.cluster
+        for r in connected_components(edges).collect()
+    }
+    assert uf == labels
+
+
+def test_connected_components_union_find_parity(spark):
+    """r16: the size-adaptive single-task union-find path must agree
+    with the distributed min-label/pointer-jump rounds on random
+    graphs, for bigint AND string node labels."""
+    import random
+
+    from artis_data_ingest_spark.operators.dedup import connected_components
+
+    rng = random.Random(1234)
+    int_edges = [
+        (rng.randrange(500), rng.randrange(500)) for _ in range(400)
+    ]
+    str_edges = [
+        (f"n{a:03d}", f"n{b:03d}")
+        for a, b in (
+            (rng.randrange(120), rng.randrange(120)) for _ in range(150)
+        )
+    ]
+    for rows in (int_edges, str_edges):
+        edges = spark.createDataFrame(rows, ["src", "dst"])
+        uf_df = connected_components(edges)
+        dist_df = connected_components(edges, local_edge_limit=0)
+        # schema parity: same column names and types on both paths
+        # (nullability is writer metadata and may differ)
+        assert [(f.name, f.dataType) for f in uf_df.schema] == [
+            (f.name, f.dataType) for f in dist_df.schema
+        ]
+        uf = {r.node: r.cluster for r in uf_df.collect()}
+        dist = {r.node: r.cluster for r in dist_df.collect()}
+        assert uf == dist
 
 
 def test_pq_codebooks_degenerate_corpus_matches_duckdb(spark, tmp_path):
@@ -751,6 +810,13 @@ def test_pagerank_stress_star_and_chain(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", alt)
     assert rows2 == rows
+    # r16: the DISTRIBUTED loop must match the default (single-task)
+    # path bit-for-bit on this overflow-probing adversarial graph
+    dist = {
+        r.node: r.pr
+        for r in pagerank(edges, n_iter=8, local_edge_limit=0).collect()
+    }
+    assert dist == rows
 
 
 def test_exact_dedup_unicode_norm_collapses_twins(spark):
@@ -793,16 +859,26 @@ def test_pagerank_checkpoint_path_bit_identical(spark):
         + [(i, (i + 1) % 7, 2) for i in range(7)],
         ["src", "dst", "w"],
     )
+    # local_edge_limit=0 keeps both runs on the DISTRIBUTED loop (the
+    # checkpoint branch under test lives there; the r16 default would
+    # route this 14-edge graph to the single-task path)
     checked = {
         r.node: r.pr
-        for r in pagerank(edges, n_iter=10, checkpoint_every=3).collect()
+        for r in pagerank(
+            edges, n_iter=10, checkpoint_every=3, local_edge_limit=0
+        ).collect()
     }
     plain = {
         r.node: r.pr
-        for r in pagerank(edges, n_iter=10, checkpoint_every=99).collect()
+        for r in pagerank(
+            edges, n_iter=10, checkpoint_every=99, local_edge_limit=0
+        ).collect()
     }
     assert checked == plain
     assert len(checked) == 7
+    # and the r16 single-task path agrees with both
+    local = {r.node: r.pr for r in pagerank(edges, n_iter=10).collect()}
+    assert local == plain
 
 
 def test_strip_boilerplate_lines_semantics(spark):
@@ -1120,3 +1196,32 @@ def test_kcore_cascade_and_fixpoint(spark):
         (r["node"], r["deg"]) for r in kcore(edges, 2, rounds=8).collect()
     }
     assert fixed == got
+
+
+def test_kcore_local_distributed_parity(spark):
+    """r16: the size-adaptive single-task peel must match the
+    distributed rounds EXACTLY — at fixpoint, under a rounds cap that
+    converges, and under a cap that does NOT converge (the partial
+    per-round survivor sets and degrees are part of the contract; the
+    oracle unrolls exactly that many CTE peels)."""
+    from artis_data_ingest_spark.operators.graphs import kcore
+
+    tri = [("t0", "t1"), ("t1", "t2"), ("t0", "t2")]
+    path = [("t0", "p1"), ("p1", "p2"), ("p2", "p3"), ("p3", "p4")]
+    edges = spark.createDataFrame(tri + path, "x string, y string")
+    # bigint variant exercises the numeric factorize path
+    iedges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4), (4, 5), (5, 6)], ["x", "y"]
+    )
+    for e in (edges, iedges):
+        for rounds in (None, 1, 2, 8):
+            loc = kcore(e, 2, rounds=rounds)
+            dist = kcore(e, 2, rounds=rounds, local_edge_limit=0)
+            # compare names+types; nullability is writer metadata
+            # (mapInPandas defaults nullable, count() does not)
+            assert [(f.name, f.dataType) for f in loc.schema] == [
+                (f.name, f.dataType) for f in dist.schema
+            ]
+            assert {(r["node"], r["deg"]) for r in loc.collect()} == {
+                (r["node"], r["deg"]) for r in dist.collect()
+            }, f"mismatch at rounds={rounds}"

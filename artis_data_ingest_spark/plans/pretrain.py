@@ -37,6 +37,82 @@ _START_MOD = 20
 _MAX_SPAN = 3
 
 
+# ---------------------------------------------------------------------------
+# r16: vectorized single-block MD5 (first digest word only) for the
+# span-corruption mask.  Every mask message is "<doc_id>:<pos>" — at
+# most 19 + 1 + 19 ASCII bytes, far under the 56-byte single-block
+# limit — so the whole batch's digests evaluate as ~64 rounds of
+# numpy uint32 ops instead of one hashlib call + one f-string PER
+# TOKEN (VERDICT r15 task 7: the per-token Python md5 was the
+# per-core ceiling at scale; guide §4.2 — hand whole batches to
+# vectorized native code).  Only digest bytes 0-2 are consumed
+# (hexdigest[0:4] is bytes 0-1 big-endian, hexdigest[4:6] is byte 2),
+# all three live in the little-endian A word.  Bit-exactness vs
+# hashlib is pinned by a property test over random ids/positions.
+# ---------------------------------------------------------------------------
+
+_MD5_S = (
+    [7, 12, 17, 22] * 4 + [5, 9, 14, 20] * 4
+    + [4, 11, 16, 23] * 4 + [6, 10, 15, 21] * 4
+)
+
+
+def _md5_tables():
+    import math
+
+    import numpy as np
+
+    k = np.array(
+        [int(abs(math.sin(i + 1)) * 2**32) & 0xFFFFFFFF for i in range(64)],
+        dtype=np.uint32,
+    )
+    s = np.array(_MD5_S, dtype=np.uint32)
+    return k, s
+
+
+def _md5_word_a(msgs) -> "object":
+    """First (little-endian A) digest word of MD5 over a numpy bytes
+    array (dtype Sxx) of SINGLE-BLOCK messages (< 56 bytes each).
+    Returns uint32[N].  Identical to hashlib.md5(m).digest()[:4]."""
+    import numpy as np
+
+    K, S = _md5_tables()
+    n = len(msgs)
+    width = msgs.dtype.itemsize
+    lens = np.char.str_len(msgs).astype(np.int64)
+    block = np.zeros((n, 64), dtype=np.uint8)
+    block[:, :width] = msgs.view(np.uint8).reshape(n, width)
+    block[np.arange(n), lens] = 0x80
+    block[:, 56:64] = (
+        (lens * 8).astype("<u8").view(np.uint8).reshape(n, 8)
+    )
+    m = block.view("<u4").reshape(n, 16)
+    a = np.full(n, 0x67452301, dtype=np.uint32)
+    b = np.full(n, 0xEFCDAB89, dtype=np.uint32)
+    c = np.full(n, 0x98BADCFE, dtype=np.uint32)
+    d = np.full(n, 0x10325476, dtype=np.uint32)
+    A, B, C, D = a.copy(), b.copy(), c.copy(), d.copy()
+    for i in range(64):
+        if i < 16:
+            f = (B & C) | (~B & D)
+            g = i
+        elif i < 32:
+            f = (D & B) | (~D & C)
+            g = (5 * i + 1) % 16
+        elif i < 48:
+            f = B ^ C ^ D
+            g = (3 * i + 5) % 16
+        else:
+            f = C ^ (B | ~D)
+            g = (7 * i) % 16
+        x = A + f + K[i] + m[:, g]
+        sh = int(S[i])
+        rot = (x << np.uint32(sh)) | (x >> np.uint32(32 - sh))
+        # standard register rotation, atomic so every RHS is pre-round
+        A, D, C, B = D, C, B, B + rot
+    return (a + A).astype(np.uint32)
+
+
 def span_corrupt(docs: DataFrame) -> DataFrame:
     """T5-style span corruption over ``docs(doc_id, text)``.
 
@@ -57,72 +133,113 @@ def span_corrupt(docs: DataFrame) -> DataFrame:
     oracle hash unchanged; measured 10x corpus 5.0 -> 2.5 s (the win
     is the removed token shuffle, so it grows with corpus size).
     """
-    import hashlib
     import re
 
+    import numpy as np
     import pandas as pd
 
     from ..operators.scale import spread_cpu_bound
 
     ws_re = re.compile(_WS)
     start_mod, max_span = _START_MOD, _MAX_SPAN
+    cols = [
+        "doc_id",
+        "input_text",
+        "target_text",
+        "n_tokens",
+        "n_masked",
+        "n_spans",
+    ]
 
+    # r16 (VERDICT r15 task 7, guide §4.2): the md5 mask derivation and
+    # the run numbering are vectorized over the WHOLE Arrow batch's
+    # concatenated token stream (one `_md5_word_a` pass over all
+    # "<doc_id>:<pos>" messages, numpy shifts for the span overlap with
+    # doc boundaries guarded by the per-doc position resetting to 0);
+    # Python remains only for re.split and assembling the two output
+    # strings.  Byte-identical to the per-token hashlib loop: the mask
+    # bytes come from the same digest positions (property-pinned), the
+    # run numbering is the same prefix count, and string assembly uses
+    # the same tokens in the same order.
     def _corrupt_batches(it):
         for pdf in it:
-            rows = []
+            doc_ids, tok_lists = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
                     continue
-                toks = ws_re.split(text.strip(" "))
-                n = len(toks)
-                did = str(doc_id)
-                masked = [False] * n
-                for pos in range(n):
-                    hh = hashlib.md5(
-                        f"{did}:{pos}".encode()
-                    ).hexdigest()
-                    if int(hh[0:4], 16) % start_mod == 0:
-                        slen = 1 + int(hh[4:6], 16) % max_span
-                        for o in range(min(slen, n - pos)):
-                            masked[pos + o] = True
-                inp, tgt = [], []
-                run_id = 0
-                prev_masked = False
-                n_masked = 0
-                for pos in range(n):
-                    if masked[pos]:
-                        n_masked += 1
-                        if not prev_masked:
-                            run_id += 1
-                            s = f"<extra_id_{run_id - 1}>"
-                            inp.append(s)
-                            tgt.append(s + " " + toks[pos])
-                        else:
-                            tgt.append(toks[pos])
-                    else:
-                        inp.append(toks[pos])
-                    prev_masked = masked[pos]
+                doc_ids.append(doc_id)
+                tok_lists.append(ws_re.split(text.strip(" ")))
+            if not doc_ids:
+                yield pd.DataFrame([], columns=cols)
+                continue
+            counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+            total = int(counts.sum())
+            off = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=off[1:])
+            # per-token position within its doc
+            pos = np.arange(total, dtype=np.int64) - np.repeat(off, counts)
+            dids = np.repeat(
+                np.array([str(d).encode() for d in doc_ids], dtype="S20"),
+                counts,
+            )
+            msgs = np.char.add(np.char.add(dids, b":"), pos.astype("S19"))
+            a = _md5_word_a(msgs)
+            b01 = ((a & 0xFF).astype(np.int64) << 8) | (
+                (a >> 8) & 0xFF
+            ).astype(np.int64)
+            start = (b01 % start_mod) == 0
+            slen = 1 + ((a >> 16) & 0xFF).astype(np.int64) % max_span
+            masked = start.copy()
+            for b in range(1, max_span):
+                masked[b:] |= (
+                    start[:-b] & (slen[:-b] > b) & (pos[b:] >= b)
+                )
+            pm = np.zeros(total, dtype=bool)
+            pm[1:] = masked[:-1]
+            pm[pos == 0] = False
+            rs = masked & ~pm  # run starts
+            grs = np.cumsum(rs.astype(np.int64))
+            base = grs[off] - rs[off].astype(np.int64)
+            rid = grs - np.repeat(base, counts)  # 1-based run index
+            n_masked_doc = np.add.reduceat(masked.astype(np.int64), off)
+            n_spans_doc = np.add.reduceat(rs.astype(np.int64), off)
+            rows = []
+            for j, (doc_id, toks) in enumerate(zip(doc_ids, tok_lists)):
+                lo = int(off[j])
+                hi = lo + int(counts[j])
+                m = masked[lo:hi]
+                if not m.any():
+                    rows.append(
+                        (doc_id, " ".join(toks), "", len(toks), 0, 0)
+                    )
+                    continue
+                r = rs[lo:hi]
+                toks_arr = np.array(toks, dtype=object)
+                sent = np.array(
+                    [f"<extra_id_{k - 1}>" for k in rid[lo:hi][r]],
+                    dtype=object,
+                )
+                vals = toks_arr.copy()
+                vals[r] = sent
+                inp = " ".join(vals[~m | r])
+                tvals = toks_arr[m].copy()
+                # positions of run starts within the masked subsequence
+                rpos = np.nonzero(r[m])[0]
+                tvals[rpos] = [
+                    s + " " + t for s, t in zip(sent, tvals[rpos])
+                ]
+                tgt = " ".join(tvals)
                 rows.append(
                     (
                         doc_id,
-                        " ".join(inp),
-                        " ".join(tgt),
-                        n,
-                        n_masked,
-                        run_id,
+                        inp,
+                        tgt,
+                        len(toks),
+                        int(n_masked_doc[j]),
+                        int(n_spans_doc[j]),
                     )
                 )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id",
-                    "input_text",
-                    "target_text",
-                    "n_tokens",
-                    "n_masked",
-                    "n_spans",
-                ],
-            )
+            yield pd.DataFrame(rows, columns=cols)
 
     return spread_cpu_bound(docs.select("doc_id", "text")).mapInPandas(
         _corrupt_batches,

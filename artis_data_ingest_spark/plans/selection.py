@@ -178,13 +178,14 @@ def substring_dedup(docs: DataFrame, span: int = _SPAN_N) -> DataFrame:
                     s = np.asarray(st, dtype=np.int64) - 1  # 0-based
                     for o in range(span):
                         cov[s + o] = True
-                    kept_words = [
-                        w[i] for i in np.nonzero(~cov[:n])[0]
-                    ]
+                    # r16: boolean-mask the word array directly (one C
+                    # pass) instead of a Python index comprehension
+                    kept_words = np.asarray(w, dtype=object)[~cov[:n]]
+                    nk.append(int(kept_words.shape[0]))
                 else:
-                    kept_words = list(w)
+                    kept_words = w
+                    nk.append(len(w))
                 ids.append(doc_id)
-                nk.append(len(kept_words))
                 md.append(
                     hashlib.md5(
                         " ".join(kept_words).encode("utf-8")

@@ -802,3 +802,27 @@ def test_flac_roundtrip_property(ch, n, ms, rnd):
                     mid_side=(ms and ch == 2))
     )
     assert sr == 16000 and (y == x).all()
+
+
+def test_md5_word_a_matches_hashlib():
+    """r16: the vectorized single-block MD5 behind span_corrupt's mask
+    must be bit-identical to hashlib over the exact message shape the
+    query hashes ("<doc_id>:<pos>"), including boundary ids."""
+    import hashlib
+    import random
+
+    import numpy as np
+
+    from artis_data_ingest_spark.plans.pretrain import _md5_word_a
+
+    rng = random.Random(42)
+    msgs = [b"0:0", f"{2**63 - 1}:{10**9}".encode()]
+    for _ in range(500):
+        msgs.append(
+            f"{rng.randrange(2**63)}:{rng.randrange(10**9)}".encode()
+        )
+    arr = np.array(msgs, dtype="S48")
+    got = _md5_word_a(arr)
+    for i, m in enumerate(msgs):
+        want = int.from_bytes(hashlib.md5(m).digest()[:4], "little")
+        assert int(got[i]) == want, m

@@ -1,11 +1,11 @@
-"""Dump `.explain("formatted")` for named queries to plans/r15/.
+"""Dump `.explain("formatted")` for named queries to plans/r16/.
 
 Usage:
     python tools/explain_dump.py before [sf_dir] [name ...]
     python tools/explain_dump.py after  [sf_dir] [name ...]
 
 With no names, dumps every bench-headline query.  Writes
-plans/r15/<name>_<tag>.txt with the FORMATTED plan (pre-execution,
+plans/r16/<name>_<tag>.txt with the FORMATTED plan (pre-execution,
 AQE-initial) followed by the executed (AQE-final) plan string, so both
 the static shape (PushedFilters/ReadSchema) and the runtime join
 strategy/coalescing decisions are on record.
@@ -32,13 +32,17 @@ def main() -> None:
     reg = all_queries()
     if not names:
         names = [n for n, q in reg.items() if q.bench]
-    out_dir = Path(_REPO) / "plans" / "r15"
+    out_dir = Path(_REPO) / "plans" / "r16"
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("explain-dump")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:
         try:
             df = reg[name].fn(spark, sf_dir)
+            # NOTE (ADVICE r15 #4): dev-only tool, pinned to Spark 4.x
+            # internals (PythonSQLUtils / queryExecution) because the
+            # public df.explain() only prints; re-check on any Spark
+            # upgrade.
             formatted = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )

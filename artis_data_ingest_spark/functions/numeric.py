@@ -82,8 +82,13 @@ def with_qlog2(df, incol: str, outcol: str,
                frac_bits: int = QLOG2_FRAC_BITS,
                mant_bits: int = QLOG2_MANT_BITS):
     """Spark side: append bigint column ``outcol`` = qlog2(incol) to
-    ``df``.  Requires 1 <= incol < 2^(63 - mant_bits).  Apply to a
-    DISTINCT-values frame only (B multiplies per row).
+    ``df``.  Requires 1 <= incol < 2^(63 - mant_bits).  Cheap enough
+    to apply INLINE on artifact-sized frames (r16): the vectorized
+    recurrence below costs ~B numpy ops per row, so evaluating it over
+    a vocabulary directly beats building a distinct-values table and
+    joining back (which added a shuffle + a checkpoint job per LM
+    artifact build — measured 2.3x on lm_perplexity_buckets).  Keep
+    the distinct-table form only when the input is corpus-sized.
 
     Implementation (r12): a vectorized Arrow pandas UDF running the
     identical int64 recurrence in numpy.  The previous form — a

@@ -83,24 +83,21 @@ def train_unigram_lm(
             + F.lit(1)
         ).alias("den")
     )
-    # qlog2 over DISTINCT smoothed counts + the denominator (tiny)
-    # one distinct at the end covers the union's first branch too —
-    # an inner .distinct() would just add a shuffle before the union
-    vals = (
-        vocab.select((F.col("c") + 1).alias("x"))
-        .union(tot.select(F.col("den").alias("x")))
-        .distinct()
-    )
-    # ~hundreds of rows; materializing once keeps the qlog2 job (and
-    # the union of count branches under it) out of every downstream
-    # consumer's plan
-    qtab = with_qlog2(vals, "x", "q").localCheckpoint()
-    vocab_s = vocab.join(
-        F.broadcast(qtab), vocab["c"] + 1 == qtab["x"]
-    ).select("term", F.col("q").alias("s"))
-    sden = (
-        tot.join(F.broadcast(qtab), tot["den"] == qtab["x"])
-        .select(F.col("q").alias("sden"))
+    # r16 (VERDICT r15 task 3, guide §1.2): qlog2 applies INLINE on
+    # the checkpointed vocab instead of via a distinct-values table —
+    # the former vals-union-distinct + qtab localCheckpoint was one
+    # extra shuffle plus one extra JOB of pure latency per LM build
+    # (the vocab here is Zipf-tiny), and the since-r12 vectorized-UDF
+    # qlog2 costs ~20 numpy ops per ROW, so evaluating it over the
+    # vocab directly is cheap at any vocabulary size.  Values are
+    # identical by determinism of the recurrence (same-process parity
+    # + oracle verified).  Measured: lm_perplexity_buckets
+    # 3.74 → 1.65 s same-process at sf0.1.
+    vocab_s = with_qlog2(
+        vocab.withColumn("x", F.col("c") + F.lit(1)), "x", "s"
+    ).select("term", "s")
+    sden = with_qlog2(tot, "den", "q").select(
+        F.col("q").alias("sden")
     )
     return vocab_s, sden
 
@@ -285,22 +282,16 @@ def train_bigram_lm(
     ctx = c1.crossJoin(F.broadcast(vv)).select(
         "prev", (F.col("c1") + F.col("v")).alias("c1v")
     )
-    vals = (
-        c2.select((F.col("c2") + 1).alias("x"))
-        .union(ctx.select(F.col("c1v").alias("x")))
-        .union(vv.select(F.col("v").alias("x")))
-        .distinct()
+    # r16: inline qlog2 on each artifact (see train_unigram_lm) — the
+    # distinct-values qtab shuffle + checkpoint job and its three
+    # broadcast joins are gone; identical values by determinism.
+    bigram_s = with_qlog2(
+        c2.withColumn("x", F.col("c2") + F.lit(1)), "x", "s"
+    ).select("prev", "term", "s")
+    ctx_s = with_qlog2(ctx, "c1v", "q").select(
+        "prev", F.col("q").alias("sden")
     )
-    qtab = with_qlog2(vals, "x", "q").localCheckpoint()
-    bigram_s = c2.join(
-        F.broadcast(qtab), c2["c2"] + 1 == qtab["x"]
-    ).select("prev", "term", F.col("q").alias("s"))
-    ctx_s = ctx.join(
-        F.broadcast(qtab), ctx["c1v"] == qtab["x"]
-    ).select("prev", F.col("q").alias("sden"))
-    qv = vv.join(F.broadcast(qtab), vv["v"] == qtab["x"]).select(
-        F.col("q").alias("qv")
-    )
+    qv = with_qlog2(vv, "v", "q").select(F.col("q").alias("qv"))
     return bigram_s, ctx_s, qv
 
 

@@ -94,9 +94,19 @@ def segment_vocabulary(docs: DataFrame) -> DataFrame:
     n_pieces) with ``path`` the space-joined piece sequence."""
     wc = _word_counts(docs).localCheckpoint()
     occ = _occurrences(wc)
+    # r16 (VERDICT r15 task 4, guide §1.2/§5): materialize the
+    # piece-frequency table (piece-vocabulary-bounded, tiny) instead
+    # of the old qlog2 value table.  pfreq feeds THREE consumers (the
+    # tot_all broadcast, the vocab filter under both vocab_s and
+    # totalp) and each un-materialized evaluation re-exploded occ from
+    # wc; the distinct-vals + qtab checkpoint added one more shuffle
+    # and job.  qlog2 now applies INLINE on the filtered vocab and the
+    # 1-row totalp (identical values — the UDF is deterministic and
+    # vectorized; see train_unigram_lm).  Same job count with far less
+    # re-execution: occ evaluates exactly twice (pfreq build + edges).
     pfreq = occ.groupBy("piece").agg(
         F.sum("wcount").cast("bigint").alias("pfreq")
-    )
+    ).localCheckpoint()
     tot = pfreq.agg(
         F.sum("pfreq").cast("bigint").alias("tot_all")
     )
@@ -108,22 +118,13 @@ def segment_vocabulary(docs: DataFrame) -> DataFrame:
         )
         .select("piece", "pfreq")
     )
-    # qlog2 over DISTINCT freq values + the vocab total (the repo's
-    # exact-log playbook); totalp is the vocab mass, NOT tot_all
+    # totalp is the vocab mass, NOT tot_all
     totalp = vocab.agg(F.sum("pfreq").cast("bigint").alias("totalp"))
-    vals = (
-        vocab.select(F.col("pfreq").alias("x"))
-        .distinct()
-        .unionByName(totalp.select(F.col("totalp").alias("x")))
-        .distinct()
-    )
-    qtab = with_qlog2(vals, "x", "q").localCheckpoint()
-    qtot = (
-        totalp.join(qtab, totalp.totalp == qtab.x)
-        .select(F.col("q").alias("qtot"))
+    qtot = with_qlog2(totalp, "totalp", "q").select(
+        F.col("q").alias("qtot")
     )
     vocab_s = (
-        vocab.join(qtab, vocab.pfreq == qtab.x)
+        with_qlog2(vocab, "pfreq", "q")
         .crossJoin(F.broadcast(qtot))
         .select("piece", (F.col("q") - F.col("qtot")).alias("es"))
     )

@@ -761,6 +761,29 @@ def portable_minhash_pair_stats(
     ``n_docs_in_pairs`` counts docs appearing in ANY candidate pair
     (either side): its signature class has g ≥ 2, or collides with
     another class in some band.
+
+    r16 — NO pair enumeration at all (guide §2.3/§2.4; previously a
+    band self-join emitted C(k,2) rows per band bucket — 8.2M class
+    pairs at the 100x corpus, the query's 10x-ratio wall).  Every
+    output scalar has a bucket-level closed form:
+
+      * For any band subset S, the classes agreeing on all bands of S
+        partition into buckets of the concatenated key, and the
+        weighted pair sum over a bucket is ((Σg)² − Σg²)/2 — one hash
+        aggregation over the class table, no join.
+      * ``inter_bands`` = Σ_j W_{j} (a pair sharing nb bands is
+        counted in exactly nb single-band terms).
+      * ``inter_pairs`` (each pair ONCE) = inclusion–exclusion over
+        non-empty band subsets: Σ_S (−1)^{|S|+1} W_S.  The |S|=4 term
+        is identically zero — agreeing on all 4 bands means the full
+        signature, and classes are distinct signatures.
+      * ``n_docs_in_pairs``: a class is in some pair iff g ≥ 2 or any
+        of its band buckets holds ≥ 2 classes — a per-band bucket
+        count joined back, never a pair.
+
+    All integer arithmetic ((Σg)² − Σg² is even, so the halving is
+    exact); verified value-identical to the pair-enumerating form and
+    oracle-hash-checked (the oracle still enumerates doc pairs).
     """
     sh = portable_minhash_sig_table(docs, text_col, k).select(
         "doc_id",
@@ -773,65 +796,109 @@ def portable_minhash_pair_stats(
         ).alias("sig_key"),
     )
     # duplication-bounded class table (13.9k rows at the 100x corpus)
-    # feeding FOUR consumer branches (both self-join sides, intra,
-    # docs_in) — materialize once or the whole signature pipeline
-    # re-executes per branch (r15, measured ~4x at 100x: full stats
-    # 27 s with the signature-to-groups prefix at 5 s)
-    groups = sh.groupBy("sig_key").agg(
-        F.count(F.lit(1)).alias("g")
-    ).localCheckpoint()
+    # feeding every aggregate branch — materialize once or the whole
+    # signature pipeline re-executes per branch (r15, measured ~4x at
+    # 100x)
     parts = F.split(F.col("sig_key"), r"\|")
-    band_keys = F.array(
+    band_cols = [
+        F.concat_ws(
+            "-",
+            F.element_at(parts, 2 * j + 1),
+            F.element_at(parts, 2 * j + 2),
+        ).alias(f"b{j}")
+        for j in range(_PORTABLE_BANDS)
+    ]
+    groups = (
+        sh.groupBy("sig_key")
+        .agg(F.count(F.lit(1)).alias("g"))
+        .select("sig_key", F.col("g").cast("bigint").alias("g"), *band_cols)
+        .localCheckpoint()
+    )
+
+    from itertools import combinations
+
+    subsets = [
+        s
+        for size in (1, 2, 3)
+        for s in combinations(range(_PORTABLE_BANDS), size)
+    ]
+    signs = {
+        sid: 1 if len(s) % 2 == 1 else -1 for sid, s in enumerate(subsets)
+    }
+    single_sids = [
+        sid for sid, s in enumerate(subsets) if len(s) == 1
+    ]
+    # ONE exploded proxy table — (subset id, composite key, g) — so
+    # every W_S comes out of a single (sid, key) aggregation instead
+    # of 13 independent shuffles of pure stage latency (first cut of
+    # this rewrite measured 2.6x SLOWER at sf0.1 for exactly that
+    # reason; this shape wins at every scale)
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(sid).alias("sid"),
+                    F.concat_ws(
+                        "-", *[F.col(f"b{j}") for j in s]
+                    ).alias("key"),
+                )
+                for sid, s in enumerate(subsets)
+            ]
+        )
+    ).alias("e")
+    rows = groups.select("sig_key", "g", entries).select(
+        "sig_key", "g", "e.sid", "e.key"
+    )
+    bucket = rows.groupBy("sid", "key").agg(
+        F.sum("g").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).alias("sg2"),
+        F.count(F.lit(1)).alias("nc"),
+    ).localCheckpoint()  # consumed by the W sums AND the hot-bucket
+    # flag: un-materialized, the explode+shuffle re-executed per
+    # branch (measured 6.9 vs 3.8 s at 100x)
+    sign_col = F.coalesce(
         *[
-            F.concat_ws(
-                "-",
-                F.lit(str(j)),
-                F.element_at(parts, 2 * j + 1),
-                F.element_at(parts, 2 * j + 2),
-            )
-            for j in range(_PORTABLE_BANDS)
+            F.when(F.col("sid") == sid, F.lit(sg))
+            for sid, sg in signs.items()
         ]
     )
-    b = groups.select("sig_key", "g", F.explode(band_keys).alias("band"))
-    x, y = b.alias("x"), b.alias("y")
-    inter = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig_key") < F.col("y.sig_key")),
-        )
-        .groupBy(
-            F.col("x.sig_key").alias("sa"), F.col("y.sig_key").alias("sb")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("nb"),
-            F.max(F.col("x.g")).alias("ga"),
-            F.max(F.col("y.g")).alias("gb"),
-        )
-    ).localCheckpoint()  # consumed by inter_agg + both ext branches
+    wagg = bucket.select(
+        "sid",
+        # (Σg)² − Σg² is even; >> 1 is the EXACT halving (a float /2
+        # would silently lose exactness past 2^53 at extreme scale)
+        F.shiftright(
+            F.col("sg") * F.col("sg") - F.col("sg2"), 1
+        ).alias("w"),
+    ).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("sid").isin(single_sids), F.col("w"))),
+            F.lit(0),
+        ).cast("bigint").alias("inter_bands"),
+        F.coalesce(F.sum(sign_col * F.col("w")), F.lit(0))
+        .cast("bigint")
+        .alias("inter_pairs"),
+    )
     intra = groups.agg(
         F.coalesce(
             F.sum((F.col("g") * (F.col("g") - 1) / 2).cast("bigint")),
             F.lit(0).cast("bigint"),
         ).alias("intra_pairs")
     )
-    inter_agg = inter.agg(
-        F.coalesce(
-            F.sum(F.col("ga") * F.col("gb")), F.lit(0).cast("bigint")
-        ).alias("inter_pairs"),
-        F.coalesce(
-            F.sum(F.col("nb") * F.col("ga") * F.col("gb")),
-            F.lit(0).cast("bigint"),
-        ).alias("inter_bands"),
-    )
-    ext = (
-        inter.select(F.col("sa").alias("sig_key"))
-        .union(inter.select(F.col("sb").alias("sig_key")))
+    # per-band hot buckets (≥ 2 classes) → "class shares some band"
+    # flag via one broadcast semi-join over the single-band rows —
+    # still no pair enumeration anywhere
+    hot = bucket.filter(
+        F.col("sid").isin(single_sids) & (F.col("nc") >= 2)
+    ).select("sid", "key")
+    shared = (
+        rows.filter(F.col("sid").isin(single_sids))
+        .join(F.broadcast(hot), on=["sid", "key"], how="left_semi")
+        .select("sig_key")
         .distinct()
         .withColumn("ext", F.lit(True))
     )
     docs_in = (
-        groups.join(ext, on="sig_key", how="left")
+        groups.join(shared, on="sig_key", how="left")
         .filter((F.col("g") >= 2) | F.col("ext").isNotNull())
         .agg(
             F.coalesce(F.sum("g"), F.lit(0).cast("bigint")).alias(
@@ -840,7 +907,7 @@ def portable_minhash_pair_stats(
         )
     )
     return (
-        intra.crossJoin(inter_agg)
+        intra.crossJoin(wagg)
         .crossJoin(docs_in)
         .select(
             (F.col("intra_pairs") + F.col("inter_pairs")).alias("n_pairs"),

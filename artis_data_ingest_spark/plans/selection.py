@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.numeric import qlog2_duck_cte, with_qlog2
 from ..functions.textstats import WS_RE
@@ -134,12 +135,6 @@ def substring_dedup(docs: DataFrame, span: int = _SPAN_N) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", "g.start", "g.ngram")
-    dup = (
-        grams.groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .filter(F.col("occ") >= 2)
-        .select("ngram")
-    )
     # r15: coverage/reassembly used to run as three corpus-scale
     # shuffles — a (doc_id, pos) explode+distinct (8x the duplicated
     # gram rows), a word-level anti-join, and a per-doc sorted
@@ -152,8 +147,29 @@ def substring_dedup(docs: DataFrame, span: int = _SPAN_N) -> DataFrame:
     # UTF-8 bytes; the join separator matches concat_ws).  Measured
     # at sf0.1: 2.37 -> 1.74 s; 10x corpus 7.17 -> 5.22 s; row parity
     # pinned at sf0.001/0.01/0.1 plus the oracle hash.
+    #
+    # r16: the duplicated-gram filter used to be a second full pass
+    # over the gram stream (a groupBy(ngram) count to build `dup`,
+    # then grams JOIN dup — the corpus-scale explode ran twice and
+    # the 10x bench wall was exactly this branch, 5.7 s of the 6.0 s
+    # query floor).  The count and the occurrence rows can ride ONE
+    # ngram-hash exchange instead (guide §2.4): a count() window over
+    # the ngram partition marks every occurrence with its corpus-wide
+    # frequency in the same shuffle that used to feed the count-only
+    # aggregate, so the explode runs once and the join disappears.
+    # WindowExec buffers per ngram-partition with disk spill, so a
+    # pathological hot gram degrades to disk, not OOM (the former
+    # per-key collect_list alternative measured the same speed but
+    # holds a hot gram's occurrence list in one aggregation buffer).
+    # Measured at 10x, same process, min of 3: starts subtree
+    # 5.73 -> 2.21 s; full query 6.04 -> ~4.1 s.  Row parity pinned
+    # at sf0.001/0.01/0.1 plus the oracle hash (occurrence multiset
+    # identical by construction — same predicate, same rows).
     starts = (
-        grams.join(dup, "ngram")
+        grams.withColumn(
+            "occ", F.count(F.lit(1)).over(Window.partitionBy("ngram"))
+        )
+        .filter(F.col("occ") >= 2)
         .groupBy("doc_id")
         .agg(F.collect_list("start").alias("starts"))
     )

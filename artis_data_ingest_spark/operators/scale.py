@@ -37,10 +37,20 @@ def spread_cpu_bound(df: DataFrame, min_partitions: int | None = None) -> DataFr
     could go.  The driver-side partition probe is metadata-only; when
     the scan already has ≥ default parallelism splits (the 100 TB case)
     this is a no-op and adds no exchange.
+
+    r16 threshold: the round-robin exchange moves the FULL payload
+    (for the MinHash caller, the whole corpus text), so it only pays
+    off when it buys real parallelism.  At >= half the target the
+    possible map-stage speedup is < 2x while the shuffle is a whole
+    extra pass over the bytes — measured at the 100x bench corpus
+    (25 splits on 32 cores): signature pass 1.54 s WITH the 25->32
+    repartition vs 1.11 s without, identical output.  Below half the
+    target (1-split sf0.1 scans, 10-split 10x scans) the repartition
+    stays, where it is worth 3-16x.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if df.rdd.getNumPartitions() >= max(1, target // 2):
         return df
     return df.repartition(target)
 

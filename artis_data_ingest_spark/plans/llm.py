@@ -1144,7 +1144,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At cluster scale this intermediate persists to storage the same way.
     cls = dc.groupBy("sig_key").agg(
         F.min("doc_id").alias("cnode"), F.count(F.lit(1)).alias("g")
-    )
+    ).localCheckpoint()  # r16: the class table is duplication-bounded
+    # (13.9k rows at the 100x corpus) but feeds TWO consumers (the band
+    # edge derivation and the final labeling filter); without the
+    # checkpoint the 500k-row groupBy over dc re-executes per consumer.
+    # Measured same-process: sf0.1 2.47 -> 2.05 s, 100x neutral with a
+    # visibly tighter run spread.
     parts = F.split(F.col("sig_key"), r"\|")
     band_keys = F.array(
         *[

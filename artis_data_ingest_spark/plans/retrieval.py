@@ -903,72 +903,122 @@ def q_bpe_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioned by the 16-way shard key — a full sort of the token
     # stream bounded to 16-way parallelism (the worst 10x-scale ratio
     # of the bench set).  The same total order (doc_id, wpos, spos)
-    # decomposes into three prefix sums none of which sorts the token
-    # stream: a within-doc word-offset window (doc-partitioned —
-    # thousands of small partitions), a per-doc token total rolled up
-    # once, and a per-shard cumulative doc offset over the DOC-bounded
-    # table.  tidx = doc_start + word_offset + spos + 1, bit-identical
+    # decomposes into prefix sums none of which sorts the token
+    # stream; tidx = doc_start + word_offset + spos + 1, bit-identical
     # to the row_number.
+    #
+    # r16 (guide §2.3 — shuffle fewer, larger rows): the r15 shape
+    # still EXPLODED to token level and shuffled the token stream
+    # twice (the within-doc word-offset window, then the pack
+    # aggregation with a per-token collect_list — measured 2.4 s of
+    # the 7.0 s 10x floor in the pack agg alone).  Both shuffles
+    # collapse to DOC-level rows: one groupBy(doc_id) assembles each
+    # document's full token-id array (flatten of the wpos-sorted
+    # per-word id arrays — a doc's token sequence by construction),
+    # the per-shard cumulative doc offset window runs over the
+    # doc-bounded table as before, and each doc then explodes into
+    # only the packs it overlaps, carrying the array SLICE for that
+    # pack.  A pack's slices are contiguous non-overlapping tidx
+    # ranges, so sorting them by their first tidx and concatenating
+    # reproduces the exact token order; n_docs = the slice count
+    # (a doc emits at most one slice per pack), which also retires
+    # the countDistinct.  Token rows never cross an exchange — only
+    # word rows (once, to assemble docs) and ~(packs + docs) slice
+    # rows.  Per-doc buffering matches the suffix-array/span-corrupt
+    # operators' doc-bounded assumption.  Measured same-process,
+    # exact row parity at both SFs: 10x 6.96 -> 5.28 s, sf0.1
+    # 3.21 -> 2.62 s.
     wstream = words.join(F.broadcast(wids), on="word").select(
-        "doc_id", "wpos", "ids", F.size("ids").alias("n_ids")
+        "doc_id", "wpos", "ids"
     )
-    w_off = (
-        F.sum("n_ids").over(
-            Window.partitionBy("doc_id")
-            .orderBy("wpos")
+    docarr = (
+        wstream.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "ids"))),
+                    lambda s: s["ids"],
+                )
+            ).alias("idarr")
+        )
+        .select(
+            "doc_id", "idarr", F.size("idarr").cast("bigint").alias("nt")
+        )
+    )
+    d_off = (
+        F.sum("nt").over(
+            Window.partitionBy(F.col("doc_id") % _PACK_SHARDS)
+            .orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        - F.col("n_ids")
+        - F.col("nt")
     )
-    wstream = wstream.withColumn("w_off", w_off)
-    doc_tok = wstream.groupBy("doc_id").agg(
-        F.sum("n_ids").alias("nt")
-    )
-    doc_off = doc_tok.select(
-        "doc_id",
-        (
-            F.sum("nt").over(
-                Window.partitionBy(F.col("doc_id") % _PACK_SHARDS)
-                .orderBy("doc_id")
-                .rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            )
-            - F.col("nt")
-        ).alias("d_off"),
-    )
-    idx = (
-        wstream.join(doc_off, on="doc_id")
-        .select(
+    da = docarr.withColumn("d_off", d_off)
+    L = _PACK_LEN
+    slices = (
+        da.select(
             (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
             "doc_id",
-            (F.col("d_off") + F.col("w_off")).alias("base"),
-            F.posexplode("ids").alias("spos", "tok_id"),
+            "idarr",
+            "nt",
+            "d_off",
+            F.explode(
+                F.sequence(
+                    F.expr(f"d_off div {L}"),
+                    F.expr(f"(d_off + nt - 1) div {L}"),
+                )
+            ).alias("pack_id"),
         )
         .select(
             "shard",
             "doc_id",
-            "tok_id",
-            (F.col("base") + F.col("spos") + 1).alias("tidx"),
+            "pack_id",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.col("pack_id") * L - F.col("d_off"),
+            ).alias("lo"),
+            F.least(
+                F.col("nt"), (F.col("pack_id") + 1) * L - F.col("d_off")
+            ).alias("hi"),
+            "idarr",
+            "d_off",
         )
-    )
-    ordered_ids = F.transform(
-        F.array_sort(F.collect_list(F.struct("tidx", "tok_id"))),
-        lambda s: s["tok_id"].cast("string"),
+        .select(
+            "shard",
+            "doc_id",
+            "pack_id",
+            (F.col("hi") - F.col("lo")).alias("n_tok"),
+            (F.col("d_off") + F.col("lo")).alias("first_tidx0"),
+            F.slice(
+                "idarr",
+                (F.col("lo") + 1).cast("int"),
+                (F.col("hi") - F.col("lo")).cast("int"),
+            ).alias("sl"),
+        )
     )
     return (
-        idx.groupBy(
-            "shard",
-            F.expr(f"(tidx - 1) div {_PACK_LEN}")
-            .cast("bigint")
-            .alias("pack_id"),
-        )
+        slices.groupBy("shard", "pack_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
-            F.array_join(ordered_ids, ",").alias("token_ids"),
+            F.array_join(
+                F.transform(
+                    F.flatten(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct("first_tidx0", "sl")
+                                )
+                            ),
+                            lambda s: s["sl"],
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("token_ids"),
         )
         .orderBy("shard", "pack_id")
     )

@@ -250,16 +250,22 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
-def _kcore_local(sym0: DataFrame, k: int, rounds: int | None) -> DataFrame:
-    """Single-task synchronous k-core peel over a SMALL symmetrized
-    edge list — round-for-round identical to the distributed loop
-    (same simultaneous-removal semantics, same ``rounds`` cap, same
-    early exit on a stable survivor count), just run as vectorized
-    numpy over one Arrow partition instead of 2 semi-joins + an
-    aggregate + a checkpoint per round (guide §1.2: each distributed
-    round is ~3 sequential AQE stages of fixed latency over a
-    node-bounded table).  The caller guards size."""
-    node_t = sym0.schema["x"].dataType.simpleString()
+def _kcore_local(e0: DataFrame, k: int, rounds: int | None) -> DataFrame:
+    """Single-task synchronous k-core peel over a SMALL edge list —
+    round-for-round identical to the distributed loop (same
+    simultaneous-removal semantics, same ``rounds`` cap, same early
+    exit on a stable survivor count), just run as vectorized numpy
+    over one Arrow partition instead of 2 semi-joins + an aggregate +
+    a checkpoint per round (guide §1.2: each distributed round is ~3
+    sequential AQE stages of fixed latency over a node-bounded table).
+    The caller guards size.
+
+    r16: takes the ONE-directional edge list (possibly with duplicate
+    pairs) and dedups + symmetrizes in-kernel — integer pair packing
+    over the factorized codes, one np.unique — so the checkpoint and
+    the single-task transfer carry half the rows and the caller's
+    distinct exchange disappears from the local path."""
+    node_t = e0.schema["x"].dataType.simpleString()
 
     def _peel(batches):
         import numpy as np
@@ -274,8 +280,12 @@ def _kcore_local(sym0: DataFrame, k: int, rounds: int | None) -> DataFrame:
         codes, uniques = pd.factorize(np.concatenate([x, y]))
         n = len(uniques)
         ne = len(x)
-        cx, cy = codes[:ne], codes[ne:]
-        # sym carries both directions, so x-side bincount IS the degree
+        # dedup directed pairs via integer packing (n is single-task
+        # bounded, so n*n stays far inside int64), then symmetrize
+        pk = np.unique(codes[:ne] * np.int64(n) + codes[ne:])
+        ux, uy = pk // n, pk % n
+        cx = np.concatenate([ux, uy])
+        cy = np.concatenate([uy, ux])
         deg = np.bincount(cx, minlength=n)
         cur = deg >= k
         prev_n = None
@@ -301,7 +311,7 @@ def _kcore_local(sym0: DataFrame, k: int, rounds: int | None) -> DataFrame:
         if not len(idx):
             yield pd.DataFrame({"node": [], "deg": []})
 
-    return sym0.coalesce(1).mapInPandas(
+    return e0.coalesce(1).mapInPandas(
         _peel, f"node {node_t}, deg bigint"
     ).localCheckpoint()
 
@@ -311,6 +321,7 @@ def kcore(
     k: int,
     rounds: int | None = None,
     local_edge_limit: int | None = None,
+    dedup: bool = False,
 ) -> DataFrame:
     """k-core of an undirected edge set ``(x, y)`` (distinct, x != y):
     the maximal subgraph where every node has degree >= k — the
@@ -343,23 +354,42 @@ def kcore(
     whole peel runs as ONE single-task numpy pass with identical
     round-synchronous semantics (parity-pinned by tests on both
     paths); larger graphs take the distributed rounds below unchanged.
+
+    ``dedup=True`` accepts an edge list with duplicate (x, y) rows:
+    the local kernel dedups in numpy (an integer pair-pack + one
+    np.unique), and only the distributed fallback pays a distinct
+    exchange.  This lets callers drop their own pre-``distinct()`` —
+    measured at sf0.1 it removes one full shuffle of the edge stream
+    from q_kcore.  The checkpoint now carries the ONE-directional
+    list (half the former symmetrized rows; the local gate compares
+    2x the observed count, an overestimate under duplicates, so it
+    only ever falls back conservatively); the distributed path builds
+    the symmetric union lazily from the checkpoint, a map-side
+    concatenation that costs no exchange.
     """
     from pyspark.sql import Observation
 
     from .dedup import _CC_LOCAL_EDGE_LIMIT
 
-    obs_edges = Observation("kcore_n_sym_edges")
-    sym = edges.select("x", "y").unionAll(
-        edges.select(F.col("y").alias("x"), F.col("x").alias("y"))
-    ).observe(obs_edges, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    obs_edges = Observation("kcore_n_edges")
+    e0 = edges.select("x", "y").observe(
+        obs_edges, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()
     if local_edge_limit is None:
         local_edge_limit = int(
             edges.sparkSession.conf.get(
                 "spark.graft.cc.localEdgeLimit", str(_CC_LOCAL_EDGE_LIMIT)
             )
         )
-    if (obs_edges.get["n"] or 0) <= local_edge_limit:
-        return _kcore_local(sym, k, rounds)
+    if 2 * (obs_edges.get["n"] or 0) <= local_edge_limit:
+        return _kcore_local(e0, k, rounds)
+    if dedup:
+        # materialized: every peel round reads sym, and an un-pinned
+        # distinct would re-shuffle per round
+        e0 = e0.distinct().localCheckpoint()
+    sym = e0.unionAll(
+        e0.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
     alive = (
         sym.groupBy(F.col("x").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))

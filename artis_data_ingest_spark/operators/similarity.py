@@ -591,30 +591,57 @@ def semantic_dedup(
     cent = centroids if centroids is not None else kmeans_centroids(
         corpus, k=k, n_iter=n_iter
     )
-    c = cent.select(
-        "cid", "cemb", F.sqrt(dot(F.col("cemb"), F.col("cemb"))).alias("cnorm")
+    # r16 (guide §2.4): the assignment used to be a broadcast cross
+    # join against the k-row centroid table followed by a row_number()
+    # window — one full exchange of k copies of every embedding, run
+    # THREE times because assign feeds the pair join twice and the
+    # final labeling.  The centroid table is k rows by contract (the
+    # SemDeDup scaling knob), so collect it like a broadcast and fold
+    # the argmax into a literal-array expression: zero exchanges, and
+    # one localCheckpoint pins assign for its three consumers.  The
+    # (ccos DESC, cid ASC) tie-break becomes array_max over
+    # (ccos, -cid) structs — the same Spark type ordering (NaN
+    # greatest) the window used.  Measured same-process at sf0.1:
+    # 2.02 -> 1.70 s floor, identical output.
+    import math
+
+    cid_t = cent.schema["cid"].dataType
+    crows = sorted(
+        cent.select("cid", "cemb").collect(), key=lambda r: r["cid"]
     )
+    clits = [
+        F.struct(
+            F.lit(r["cid"]).cast(cid_t).alias("cid"),
+            F.array(*[F.lit(float(v)) for v in r["cemb"]]).alias("cemb"),
+            F.lit(
+                math.sqrt(sum(float(v) * float(v) for v in r["cemb"]))
+            ).alias("cnorm"),
+        )
+        for r in crows
+    ]
     e = corpus.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
     ).withColumn("vnorm", F.sqrt(dot(F.col("emb"), F.col("emb"))))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cid")
-    )
-    assign = (
-        e.crossJoin(F.broadcast(c))
-        .withColumn(
-            "ccos",
+    cand = F.transform(
+        F.array(*clits),
+        lambda c: F.struct(
             F.round(
-                dot(F.col("emb"), F.col("cemb"))
-                / (F.col("vnorm") * F.col("cnorm")),
+                dot(F.col("emb"), c["cemb"])
+                / (F.col("vnorm") * c["cnorm"]),
                 round_digits,
-            ),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "vnorm", "cid", "ccos")
+            ).alias("ccos"),
+            (-c["cid"]).alias("ncid"),
+        ),
     )
+    best = F.array_max(cand)
+    assign = e.select(
+        "vec_id",
+        "emb",
+        "vnorm",
+        (-best["ncid"]).cast(cid_t).alias("cid"),
+        best["ccos"].alias("ccos"),
+    ).localCheckpoint()
     # the within-cluster pair join fans out ~|cluster|^2/2 dot products
     # from a byte-small assignment table: AQE would coalesce it to ~1
     # partition and serialize the verify on one core (the
